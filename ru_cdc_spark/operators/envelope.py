@@ -1,0 +1,153 @@
+"""Canal change-message envelope construction (SURVEY.md §2.5, T1-T7).
+
+The reference turns decoded binlog row images into Canal-compatible JSON
+messages (``DmlMessage::from_dml``, /root/reference/src/executor.rs:238-322;
+serialization ``format_json`` executor.rs:120-222). This module reproduces
+that contract as a declarative DataFrame transform over a *change stream*
+DataFrame with columns::
+
+    id     long      -- monotone per-stream sequence (ref src/main.rs:107,122)
+    type   string    -- INSERT | UPDATE | DELETE (ref executor.rs:558,581,591)
+    es     long      -- event timestamp, epoch millis
+    before struct    -- before-image (UPDATE/DELETE), nullable
+    after  struct    -- after-image (INSERT/UPDATE), nullable
+
+producing the envelope fields (FIXTURES.md B1)::
+
+    id, database, table, pkNames, isDdl, type, es, ts, sql,
+    sqlType map<string,int>, mysqlType map<string,string>,
+    data array<map<string,string>>, old array<map<string,string>>
+
+Design notes for scale: everything is per-row expression work (narrow, no
+shuffle); the changed-column diff (T2) is *generated per table schema* as a
+null-safe struct comparison — Catalyst codegens it, so a 300-column table
+costs 300 comparisons inside one codegen stage, not a Python loop. Value
+stringification follows the Canal quirk F10 (executor.rs:108-118): every
+value is emitted as a string (numbers re-quoted), NULL stays null.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.functions.typemap import jdbc_type_code
+
+# fixed-width fraction so Spark and oracle engines stringify identically
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def stringify(col: Column, spark_type_name: str) -> Column:
+    """Canal value formatting (F10): everything becomes a string.
+
+    Timestamps use an explicit fixed 6-digit-fraction format; doubles that
+    represent money should be cast to decimal upstream so the text form is
+    scale-stable across engines.
+    """
+    if spark_type_name in ("timestamp", "timestamp_ntz"):
+        return F.date_format(col, _TS_FMT)
+    if spark_type_name == "boolean":
+        return F.when(col, F.lit("1")).otherwise(F.lit("0"))
+    if spark_type_name == "binary":
+        return F.base64(col)
+    return col.cast("string")
+
+
+def _image_map(img: Column, fields: list[tuple[str, str]]) -> Column:
+    """struct image -> map<string,string> with Canal stringification,
+    preserving column order (T5 field-order contract)."""
+    kvs: list[Column] = []
+    for name, type_name in fields:
+        kvs.append(F.lit(name))
+        kvs.append(stringify(img.getField(name), type_name))
+    return F.map_from_arrays(
+        F.array(*kvs[0::2]), F.array(*kvs[1::2])
+    )
+
+
+def changed_old_map(before: Column, after: Column,
+                    fields: list[tuple[str, str]]) -> Column:
+    """T2 changed-column diff (executor.rs:266-311).
+
+    Emit only the *before* values of columns whose value changed, using
+    null-safe comparison: null vs null => unchanged; null vs value =>
+    changed (the reference treats a missing old value as "same" — a row
+    with no before-image yields no diff, which the caller handles by
+    passing a NULL ``before``).
+    """
+    entries = []
+    for name, type_name in fields:
+        b, a = before.getField(name), after.getField(name)
+        entries.append(
+            F.when(~b.eqNullSafe(a),
+                   F.struct(F.lit(name).alias("k"),
+                            stringify(b, type_name).alias("v")))
+        )
+    arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    return F.map_from_entries(arr)
+
+
+def build_envelope(
+    changes: DataFrame,
+    database: str,
+    table: str,
+    pk_cols: list[str],
+    mysql_types: dict[str, str],
+    processing_ts: Column | None = None,
+) -> DataFrame:
+    """Assemble the Canal envelope (T1-T7) from a typed change stream.
+
+    ``mysql_types`` maps column name -> MySQL type string (from the catalog,
+    the analog of the reference's ``DESC``-driven ``FieldMeta`` registry,
+    executor.rs:404-443); its iteration order defines field order (T5).
+    """
+    after_t = next(f for f in changes.schema.fields if f.name == "after")
+    fields = [(f.name, f.dataType.typeName()) for f in after_t.dataType.fields]  # type: ignore[union-attr]
+
+    sql_type = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in mysql_types]),
+        F.array(*[F.lit(jdbc_type_code(t)) for t in mysql_types.values()]),
+    )
+    mysql_type = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in mysql_types]),
+        F.array(*[F.lit(t) for t in mysql_types.values()]),
+    )
+
+    before, after = F.col("before"), F.col("after")
+    # data: after-image for INSERT/UPDATE; before-image for DELETE
+    data_img = F.when(F.col("type") == "DELETE", _image_map(before, fields)) \
+                .otherwise(_image_map(after, fields))
+    old_map = F.when(
+        (F.col("type") == "UPDATE") & before.isNotNull(),
+        changed_old_map(before, after, fields),
+    )
+
+    ts_col = processing_ts if processing_ts is not None else F.unix_millis(F.current_timestamp())
+
+    return changes.select(
+        F.col("id"),
+        F.lit(database).alias("database"),
+        F.lit(table).alias("table"),
+        F.array(*[F.lit(c) for c in pk_cols]).alias("pkNames"),
+        F.lit(False).alias("isDdl"),
+        F.col("type"),
+        F.col("es"),
+        ts_col.alias("ts"),
+        F.lit("").alias("sql"),
+        sql_type.alias("sqlType"),
+        mysql_type.alias("mysqlType"),
+        F.array(data_img).alias("data"),
+        F.when(old_map.isNotNull(), F.array(old_map)).alias("old"),
+    )
+
+
+def envelope_to_json(envelope: DataFrame) -> DataFrame:
+    """T5: serialize the envelope to the Canal JSON payload string plus the
+    routing metadata columns (database, table) kept OUTSIDE the payload so
+    downstream routing filters never parse JSON (the reference's
+    filter-before-decode, executor.rs:528-537; our P5 analog)."""
+    payload_cols = [c for c in envelope.columns]
+    return envelope.select(
+        "database", "table", "id",
+        F.to_json(F.struct(*payload_cols)).alias("payload"),
+    )

@@ -1,0 +1,235 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir)
+-> DataFrame callable plus (where SQL-expressible) a DuckDB oracle query.
+
+This is the engine's public test surface, consumed by ``__spark_entry__.py``
+(driver contract) and ``tests/test_queries.py``. Column names are aliased
+identically on both sides — the driver's comparator sorts columns by name
+and hashes values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.config import InstanceConfig, instance_condition_sql, route
+from ru_cdc_spark.operators.envelope import build_envelope
+from ru_cdc_spark.operators.merge import apply_changes
+from ru_cdc_spark.sources.cdc_fixture import (
+    ORDER_CHANGES_ORACLE_CTE,
+    ORDERS_DATABASE,
+    ORDERS_MYSQL_TYPES,
+    ORDERS_PK,
+    ORDERS_TABLE,
+    derive_order_changes,
+)
+from ru_cdc_spark.sources.readers import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver's weaker rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+    return deco
+
+
+# ===========================================================================
+# CDC core (reference parity: SURVEY.md §2 S/D/P/T/X/K rows)
+# ===========================================================================
+
+_FLAT_STREAM_COLS = """
+    id, type, es,
+    before.o_orderkey AS b_orderkey, before.o_custkey AS b_custkey,
+    before.o_orderstatus AS b_orderstatus, before.o_totalprice AS b_totalprice,
+    before.o_orderdate AS b_orderdate, before.o_orderpriority AS b_orderpriority,
+    after.o_orderkey AS a_orderkey, after.o_custkey AS a_custkey,
+    after.o_orderstatus AS a_orderstatus, after.o_totalprice AS a_totalprice,
+    after.o_orderdate AS a_orderdate, after.o_orderpriority AS a_orderpriority
+"""
+
+
+@register(
+    "cdc_change_stream",
+    ORDER_CHANGES_ORACLE_CTE + "SELECT * FROM changes",
+)
+def cdc_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic INSERT/UPDATE/DELETE stream, flattened.
+
+    Exercises the source derivation (S6/S7 analog) and before/after image
+    model (D6-D9): one narrow projection + union, no shuffle.
+    """
+    return derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")
+    ])
+
+
+@register(
+    "cdc_envelope",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT id,
+           'testdb' AS database,
+           'orders' AS "table",
+           type, es,
+           'o_orderkey' AS pk0,
+           FALSE AS is_ddl,
+           1 AS n_data,
+           CASE WHEN type = 'DELETE' THEN b_orderstatus ELSE a_orderstatus END AS status,
+           CAST(CASE WHEN type = 'DELETE' THEN b_totalprice ELSE a_totalprice END
+                AS VARCHAR) AS totalprice,
+           CASE WHEN type = 'UPDATE' THEN CAST(b_totalprice AS VARCHAR) END AS old_totalprice,
+           3 AS sqltype_totalprice,
+           'char(1)' AS mysqltype_status
+    FROM changes
+    """,
+)
+def cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal envelope construction (T1/T3-T7) — flat projection of the
+    envelope for hash-comparison (full JSON contract tested in pytest)."""
+    env = build_envelope(
+        derive_order_changes(spark, sf_dir),
+        ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK, ORDERS_MYSQL_TYPES,
+        processing_ts=F.lit(0),
+    )
+    return env.select(
+        "id", "database", "table", "type", "es",
+        F.col("pkNames")[0].alias("pk0"),
+        F.col("isDdl").alias("is_ddl"),
+        F.size("data").alias("n_data"),
+        F.col("data")[0]["o_orderstatus"].alias("status"),
+        F.col("data")[0]["o_totalprice"].alias("totalprice"),
+        F.col("old")[0]["o_totalprice"].alias("old_totalprice"),
+        F.col("sqlType")["o_totalprice"].alias("sqltype_totalprice"),
+        F.col("mysqlType")["o_orderstatus"].alias("mysqltype_status"),
+    )
+
+
+@register(
+    "cdc_changed_cols",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT id, a_orderkey AS o_orderkey,
+           CASE WHEN b_orderstatus = 'F' THEN 'o_totalprice'
+                ELSE 'o_orderstatus,o_totalprice' END AS changed
+    FROM changes WHERE type = 'UPDATE'
+    """,
+)
+def cdc_changed_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 changed-column diff: which columns each UPDATE actually touched
+    (null-safe struct comparison, codegen'd per table schema)."""
+    env = build_envelope(
+        derive_order_changes(spark, sf_dir),
+        ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK, ORDERS_MYSQL_TYPES,
+        processing_ts=F.lit(0),
+    )
+    return (
+        env.where(F.col("type") == "UPDATE")
+        .select(
+            "id",
+            F.col("data")[0]["o_orderkey"].cast("bigint").alias("o_orderkey"),
+            F.array_join(F.array_sort(F.map_keys(F.col("old")[0])), ",").alias("changed"),
+        )
+    )
+
+
+@register(
+    "cdc_merge_snapshot",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,
+           a_orderstatus AS o_orderstatus, a_totalprice AS o_totalprice,
+           a_orderdate AS o_orderdate, a_orderpriority AS o_orderpriority
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY COALESCE(a_orderkey, b_orderkey)
+            ORDER BY id DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1 AND type <> 'DELETE'
+    """,
+)
+def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE materialization: latest-wins per PK, deletes drop rows.
+
+    One PK shuffle + window; the Delta-less emulation of MERGE INTO
+    (operators/merge.py).
+    """
+    return apply_changes(derive_order_changes(spark, sf_dir), ORDERS_PK)
+
+
+# --- routing (P1/P2) -------------------------------------------------------
+
+ROUTE_INSTANCES = [
+    InstanceConfig(mq="kafka_a", schemas="shard*", tables="cust*",
+                   black_list=["*_tmp"], topic="t_all"),
+    InstanceConfig(mq="kafka_b", schemas="shard_1", tables="*building",
+                   black_list=[], topic="t_building"),
+    InstanceConfig(mq="kafka_c", schemas="sh*d_2", tables="cust_auto*",
+                   black_list=["cust_automobile_tmp"], topic="t_auto"),
+]
+
+_ROUTE_STREAM_CTE = """
+WITH stream AS (
+    SELECT c_custkey,
+           'shard_' || CAST(c_custkey % 4 AS VARCHAR) AS database,
+           'cust_' || lower(c_mktsegment)
+               || CASE WHEN c_custkey % 7 = 0 THEN '_tmp' ELSE '' END AS "table"
+    FROM customer
+)
+"""
+
+
+def _route_oracle() -> str:
+    selects = []
+    for inst in ROUTE_INSTANCES:
+        cond = instance_condition_sql(inst, "database", '"table"')
+        selects.append(
+            f"SELECT c_custkey, database, \"table\", '{inst.mq}' AS mq, "
+            f"'{inst.topic}' AS topic FROM stream WHERE {cond}"
+        )
+    return _ROUTE_STREAM_CTE + " UNION ALL ".join(selects)
+
+
+@register("cdc_route", _route_oracle())
+def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance routing with wildcard schema/table patterns + blacklist
+    (P1/P2, reference src/config.rs:41-72): fan-out to every matching
+    (mq, topic). Pure codegen'd string predicates — evaluated before any
+    payload parse (P5 filter-before-decode)."""
+    stream = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("shard_"), (F.col("c_custkey") % 4).cast("string")).alias("database"),
+        F.concat(
+            F.lit("cust_"), F.lower("c_mktsegment"),
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("_tmp")).otherwise(F.lit("")),
+        ).alias("table"),
+    )
+    return route(stream, ROUTE_INSTANCES).select(
+        "c_custkey", "database", "table", "mq", "topic"
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10/T1 analog: lazy JSON payload parse with an explicit schema
+    (from_json after metadata filters — never infer on the stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("__p", F.from_json("props", "k INT"))
+    return parsed.select("event_id", "event_type", F.col("__p.k").alias("k"))

@@ -1,0 +1,160 @@
+"""Deterministic CDC change-stream derivation (FIXTURES.md B1 generator).
+
+The reference consumes a live MySQL binlog; for correctness testing we
+derive a *deterministic* INSERT/UPDATE/DELETE stream from the ``orders``
+test table so the identical stream is computable by both Spark and the
+DuckDB oracle:
+
+* every order yields an INSERT  (id = o_orderkey * 3)
+* orders with  o_orderkey % 10 IN (0,1,2)  yield an UPDATE
+  (id = o_orderkey * 3 + 1) that sets  o_totalprice += 10.00  and
+  o_orderstatus = 'F'  (so the T2 diff sometimes has 1, sometimes 2
+  changed columns)
+* orders with  o_orderkey % 10 = 3  yield a DELETE (id = o_orderkey * 3 + 2)
+
+``es`` is the order's event time in epoch millis — a deliberate improvement
+over the reference, which re-stamps processing time into ``es``
+(/root/reference/src/executor.rs:22-26,82; SURVEY.md T7 notes the deviation).
+
+Money transits as DECIMAL(18,2) (exact, F1 semantics) — never double — so
+stringified images are scale-stable across engines.
+
+Scale note: the derivation is a single narrow projection + union over the
+base scan (no shuffle, no driver work); a 100 TB orders table streams
+through it partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.sources.readers import load_table
+
+ORDERS_DATABASE = "testdb"
+ORDERS_TABLE = "orders"
+ORDERS_PK = ["o_orderkey"]
+
+# catalog entry for the orders table: column -> MySQL type string (the
+# analog of the reference's DESC-driven FieldMeta registry,
+# /root/reference/src/executor.rs:404-443). Order defines envelope field
+# order (T5 contract).
+ORDERS_MYSQL_TYPES = {
+    "o_orderkey": "bigint(20)",
+    "o_custkey": "bigint(20)",
+    "o_orderstatus": "char(1)",
+    "o_totalprice": "decimal(18,2)",
+    "o_orderdate": "datetime(6)",
+    "o_orderpriority": "varchar(15)",
+}
+
+
+def _typed_image(prefix: str = "") -> list:
+    p = prefix
+    return [
+        F.col(f"{p}o_orderkey"),
+        F.col(f"{p}o_custkey"),
+        F.col(f"{p}o_orderstatus"),
+        F.col(f"{p}o_totalprice"),
+        F.col(f"{p}o_orderdate"),
+        F.col(f"{p}o_orderpriority"),
+    ]
+
+
+def derive_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the typed change stream: columns
+    (id long, type string, es long, before struct, after struct)."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority",
+            # parquet naive timestamps surface as TIMESTAMP_NTZ in Spark 4;
+            # session TZ is pinned to UTC so the cast is lossless and matches
+            # DuckDB's epoch_ms() on the same naive value
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("es"),
+        )
+    )
+    img = F.struct(*_typed_image())
+
+    # F.when(False, img) produces a typed NULL struct (keeps the union's
+    # before/after schemas identical across the three branches)
+    inserts = base.select(
+        (F.col("o_orderkey") * 3).alias("id"),
+        F.lit("INSERT").alias("type"),
+        F.col("es"),
+        F.when(F.lit(False), img).alias("before"),  # typed NULL struct
+        img.alias("after"),
+    )
+
+    updated_img = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit("F").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(10).cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("o_totalprice"),
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    updates = (
+        base.where(F.col("o_orderkey") % 10 < 3)
+        .select(
+            (F.col("o_orderkey") * 3 + 1).alias("id"),
+            F.lit("UPDATE").alias("type"),
+            F.col("es"),
+            img.alias("before"),
+            updated_img.alias("after"),
+        )
+    )
+
+    deletes = (
+        base.where(F.col("o_orderkey") % 10 == 3)
+        .select(
+            (F.col("o_orderkey") * 3 + 2).alias("id"),
+            F.lit("DELETE").alias("type"),
+            F.col("es"),
+            img.alias("before"),
+            F.when(F.lit(False), img).alias("after"),
+        )
+    )
+
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+# DuckDB CTE computing the identical stream, flat (shared prefix for the
+# oracle SQL of every cdc_* query). Columns: id, type, es, and the
+# before/after images flattened with b_/a_ prefixes.
+ORDER_CHANGES_ORACLE_CTE = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           o_orderdate, o_orderpriority,
+           epoch_ms(o_orderdate) AS es
+    FROM orders
+),
+changes AS (
+    SELECT o_orderkey * 3 AS id, 'INSERT' AS type, es,
+           NULL::BIGINT AS b_orderkey, NULL::BIGINT AS b_custkey,
+           NULL::VARCHAR AS b_orderstatus, NULL::DECIMAL(18,2) AS b_totalprice,
+           NULL::TIMESTAMP AS b_orderdate, NULL::VARCHAR AS b_orderpriority,
+           o_orderkey AS a_orderkey, o_custkey AS a_custkey,
+           o_orderstatus AS a_orderstatus, o_totalprice AS a_totalprice,
+           o_orderdate AS a_orderdate, o_orderpriority AS a_orderpriority
+    FROM base
+    UNION ALL
+    SELECT o_orderkey * 3 + 1, 'UPDATE', es,
+           o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority,
+           o_orderkey, o_custkey, 'F',
+           CAST(o_totalprice + 10 AS DECIMAL(18,2)),
+           o_orderdate, o_orderpriority
+    FROM base WHERE o_orderkey % 10 < 3
+    UNION ALL
+    SELECT o_orderkey * 3 + 2, 'DELETE', es,
+           o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority,
+           NULL, NULL, NULL, NULL, NULL, NULL
+    FROM base WHERE o_orderkey % 10 = 3
+)
+"""

@@ -1,0 +1,97 @@
+"""Canal envelope contract tests (FIXTURES.md B1; reference
+src/executor.rs:90-105,120-222,238-322)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.envelope import build_envelope, envelope_to_json
+from ru_cdc_spark.sources.cdc_fixture import (
+    ORDERS_DATABASE,
+    ORDERS_MYSQL_TYPES,
+    ORDERS_PK,
+    ORDERS_TABLE,
+    derive_order_changes,
+)
+
+ENVELOPE_FIELDS = [
+    "id", "database", "table", "pkNames", "isDdl", "type", "es", "ts",
+    "sql", "sqlType", "mysqlType", "data", "old",
+]
+
+
+def _envelope(spark, sf_dir):
+    return build_envelope(
+        derive_order_changes(spark, sf_dir),
+        ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK, ORDERS_MYSQL_TYPES,
+        processing_ts=F.lit(1_700_000_000_000),
+    )
+
+
+def test_envelope_schema(spark, sf_dir):
+    env = _envelope(spark, sf_dir)
+    assert env.columns == ENVELOPE_FIELDS
+
+
+def test_insert_has_no_old(spark, sf_dir):
+    env = _envelope(spark, sf_dir)
+    row = env.where("type = 'INSERT'").limit(1).collect()[0]
+    assert row["old"] is None
+    assert row["isDdl"] is False
+    assert row["pkNames"] == ["o_orderkey"]
+    assert row["sql"] == ""
+    assert len(row["data"]) == 1
+    assert set(row["data"][0].keys()) == set(ORDERS_MYSQL_TYPES)
+
+
+def test_update_old_contains_only_changed(spark, sf_dir):
+    env = _envelope(spark, sf_dir)
+    rows = env.where("type = 'UPDATE'").limit(50).collect()
+    assert rows
+    for r in rows:
+        old = r["old"][0]
+        # totalprice always changes (+10); status changes iff it wasn't 'F'
+        assert "o_totalprice" in old
+        assert set(old) <= {"o_totalprice", "o_orderstatus"}
+        if "o_orderstatus" in old:
+            assert old["o_orderstatus"] != "F"
+        # unchanged columns never leak into old
+        assert "o_custkey" not in old
+
+
+def test_delete_data_is_before_image(spark, sf_dir):
+    env = _envelope(spark, sf_dir)
+    row = env.where("type = 'DELETE'").limit(1).collect()[0]
+    assert row["old"] is None
+    assert row["data"][0]["o_orderkey"] is not None
+
+
+def test_jdbc_type_codes_in_envelope(spark, sf_dir):
+    env = _envelope(spark, sf_dir)
+    row = env.limit(1).collect()[0]
+    # F9 codes (reference src/executor.rs:352-400)
+    assert row["sqlType"] == {
+        "o_orderkey": -5, "o_custkey": -5, "o_orderstatus": 1,
+        "o_totalprice": 3, "o_orderdate": 93, "o_orderpriority": 12,
+    }
+    assert row["mysqlType"]["o_totalprice"] == "decimal(18,2)"
+
+
+def test_json_serialization_parses_and_keeps_routing_cols(spark, sf_dir):
+    out = envelope_to_json(_envelope(spark, sf_dir))
+    assert out.columns == ["database", "table", "id", "payload"]
+    row = out.limit(1).collect()[0]
+    payload = json.loads(row["payload"])
+    assert payload["database"] == "testdb"
+    assert payload["type"] in ("INSERT", "UPDATE", "DELETE")
+    assert isinstance(payload["data"], list)
+
+
+def test_numbers_are_stringified(spark, sf_dir):
+    """F10 quirk: Canal emits numbers as quoted strings."""
+    env = _envelope(spark, sf_dir)
+    row = env.where("type = 'INSERT'").limit(1).collect()[0]
+    for v in row["data"][0].values():
+        assert v is None or isinstance(v, str)

@@ -1,0 +1,358 @@
+"""Relational analytics operators: aggregation, joins, windows, rollups.
+
+The reference has none of these (SURVEY.md §2.10 — explicit absences); the
+engine adds them as first-class capabilities, expressed declaratively so
+Catalyst picks physical strategies (broadcast joins for dims, partial
+aggregation, AQE skew handling).
+
+Determinism-for-oracle notes: money math transits DECIMAL (exact, identical
+in Spark and DuckDB); averages are emitted as doubles rounded to 6 dp;
+window ranks always carry a unique tiebreaker column.
+
+Scale notes per operator are in each docstring — the governing rules:
+dimension tables broadcast (no shuffle of the fact side), aggregations rely
+on map-side partial agg, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.sources.readers import load_table
+
+_DEC = "decimal(18,2)"
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: groupBy 2 low-cardinality keys + sums.
+
+    Scale: map-side partial aggregation reduces each of N input partitions
+    to ~|groups| rows before the shuffle; the shuffle moves O(groups x
+    partitions) rows regardless of table size — this survives 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = (price * (F.lit(1).cast("decimal(4,2)") - disc)).cast("decimal(30,4)")
+    charge = (price * (F.lit(1).cast("decimal(4,2)") - disc)
+              * (F.lit(1).cast("decimal(4,2)") + tax)).cast("decimal(30,6)")
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))
+                AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + group + revenue filter.
+
+    Scale: customer is the small side per segment — Catalyst broadcasts it
+    under AQE; orders⋈lineitem co-shuffles on orderkey once. No LIMIT (ties
+    make top-N nondeterministic across engines); revenue threshold instead.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").cast("date") < F.lit("1995-03-15"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("date") > F.lit("1995-03-15"))
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    revenue = (price * (F.lit(1).cast("decimal(4,2)") - disc)).cast("decimal(30,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .where(F.col("revenue") > 1000)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+HAVING CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+              AS DECIMAL(30,4))) AS DECIMAL(38,4)) > 1000
+"""
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-table star join grouped by nation.
+
+    Scale: region/nation/supplier/customer are dimensions — broadcast them
+    all; the only big shuffle is lineitem⋈orders on orderkey. Join order is
+    declared smallest-restriction-first but Catalyst/AQE may reorder freely.
+    """
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    revenue = (price * (F.lit(1).cast("decimal(4,2)") - disc)).cast("decimal(30,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via window ranking (K=3), unique tiebreaker so the
+    rank is total and engine-independent.
+
+    Scale: one shuffle on the partition key; no global sort, no driver topK.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.col("o_totalprice").cast(_DEC).alias("totalprice"), "rank")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rank
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+    FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregate (batch form of the streaming
+    windowed agg; the streaming variant with watermark lives in
+    streaming/pipeline.py).
+
+    Scale: partial agg + single shuffle on (hour, type); distinct users via
+    exact count here, approx_count_distinct at 100 TB (one line change).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("decimal(38,2)").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EVENTS_HOURLY_ROLLUP_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user lag-gap > 30 min starts a new session; emit
+    per-user session stats. The classic batch pattern (streaming equivalent:
+    session_window + watermark).
+
+    Scale: one shuffle on user_id; the window scan is linear per user and
+    spill-safe. Skewed power-users are handled by AQE; if one user is
+    pathological, pre-split by (user_id, day).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_seconds(F.col("ts").cast("timestamp")) - F.unix_seconds(
+        F.lag(F.col("ts").cast("timestamp")).over(w))
+    with_session = (
+        ev.withColumn("new_session",
+                      F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+    )
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(CAST(ts AS TIMESTAMP))
+                        - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+),
+per_session AS (
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       MAX(n_events) AS max_session_events,
+       SUM(n_events) AS total_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def sales_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregate (CUBE over returnflag x linestatus) —
+    subtotals + grand total in one pass (Expand + partial agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+             F.count("*").alias("n"))
+    )
+
+
+SALES_ROLLUP_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per (status x priority). Spark's pivot with an
+    explicit value list (never let it scan for distinct values at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, priorities)
+    )
+
+
+ORDER_PRIORITY_COUNTS_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS "1-URGENT",
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS "2-HIGH",
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS "3-MEDIUM",
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+       COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS "5-LOW"
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def customer_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + anti-join semantics in one result: every customer with
+    order count (0 for none) and a no-orders flag — exercises outer joins
+    and null handling."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("total_spend"),
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total_spend"), F.lit(0).cast("decimal(38,2)")).alias("total_spend"),
+            F.col("n_orders").isNull().alias("never_ordered"),
+        )
+    )
+
+
+CUSTOMER_ORDER_BALANCE_SQL = """
+SELECT c_custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(total_spend, CAST(0 AS DECIMAL(38,2))) AS total_spend,
+       n_orders IS NULL AS never_ordered
+FROM customer
+LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
+    FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""

@@ -219,6 +219,79 @@ def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Relational analytics (engine capabilities beyond the reference — SURVEY §2.10)
+# ===========================================================================
+
+from ru_cdc_spark.operators import analytics as _an  # noqa: E402
+
+register("q1_pricing_summary", _an.PRICING_SUMMARY_SQL)(_an.pricing_summary)
+register("q3_shipping_priority", _an.SHIPPING_PRIORITY_SQL)(_an.shipping_priority)
+register("q5_local_supplier_volume", _an.LOCAL_SUPPLIER_VOLUME_SQL)(_an.local_supplier_volume)
+register("top_orders_per_customer", _an.TOP_ORDERS_PER_CUSTOMER_SQL)(_an.top_orders_per_customer)
+register("events_hourly_rollup", _an.EVENTS_HOURLY_ROLLUP_SQL)(_an.events_hourly_rollup)
+register("events_sessionize", _an.SESSIONIZE_EVENTS_SQL)(_an.sessionize_events)
+register("sales_rollup_cube", _an.SALES_ROLLUP_CUBE_SQL)(_an.sales_rollup_cube)
+register("order_priority_counts", _an.ORDER_PRIORITY_COUNTS_SQL)(_an.order_priority_counts)
+register("customer_order_balance", _an.CUSTOMER_ORDER_BALANCE_SQL)(_an.customer_order_balance)
+
+
+@register(
+    "mysql_type_semantics",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                ELSE CAST(l_shipdate AS DATE) END AS d,
+           (CASE WHEN l_suppkey % 2 = 0 THEN -1 ELSE 1 END) *
+             ((l_linenumber * 3600 + (l_orderkey % 60) * 60 + (l_partkey % 60))
+              * 1000000 + (l_partkey % 1000) * 1000) AS time_us,
+           CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,2)) AS dec_price,
+           make_timestamp(CAST(epoch(date_trunc('second', l_shipdate)) AS BIGINT)
+                          * 1000000 + 250000) AS ts_epoch,
+           make_timestamp((epoch_ms(l_shipdate) // 10) * 10 * 1000) AS ts_fsp2
+    FROM lineitem
+    """,
+)
+def mysql_type_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL column-type semantic layer (F1/F2/F3/F5/F6, SURVEY.md §2.3):
+    wire strings are derived deterministically from lineitem, then decoded
+    by functions/mysql_types.py; the oracle computes the expected values
+    arithmetically."""
+    from ru_cdc_spark.functions.mysql_types import (
+        cast_decimal,
+        time_to_microseconds,
+        timestamp_from_epoch,
+        truncate_fsp,
+        zero_date_to_null,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice",
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+    )
+    # synthesize the wire strings the reference's decoders would emit
+    date_str = F.when(F.col("l_orderkey") % 97 == 0, F.lit("0000-00-00")) \
+                .otherwise(F.date_format("ship_ts", "yyyy-MM-dd"))
+    time_str = F.concat(
+        F.when(F.col("l_suppkey") % 2 == 0, F.lit("-")).otherwise(F.lit("")),
+        F.lpad(F.col("l_linenumber").cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((F.col("l_orderkey") % 60).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((F.col("l_partkey") % 60).cast("string"), 2, "0"), F.lit("."),
+        F.lpad((F.col("l_partkey") % 1000).cast("string"), 3, "0"),
+    )
+    epoch_str = F.concat(F.unix_seconds(F.date_trunc("second", "ship_ts")).cast("string"),
+                         F.lit(".250000"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        zero_date_to_null(date_str).alias("d"),
+        time_to_microseconds(time_str).alias("time_us"),
+        cast_decimal(F.col("l_extendedprice").cast("string"), 18, 2).alias("dec_price"),
+        timestamp_from_epoch(epoch_str).alias("ts_epoch"),
+        truncate_fsp(F.col("ship_ts"), 2).alias("ts_fsp2"),
+    )
+
+
 @register(
     "events_json_extract",
     """

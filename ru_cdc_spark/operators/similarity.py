@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+
+* brute-force top-k — the exactness baseline: broadcast the (small) query
+  set against the corpus, rank by cosine per query. At 100 TB corpus this
+  is a single broadcast-nested-loop with per-partition ranking — linear
+  scan, no shuffle of the corpus, and the window only ranks within the
+  (tiny) query dimension.
+* sign-LSH bucketed ANN — the scale path: an 8-bit random-hyperplane-style
+  code (here: sign pattern of the leading dimensions — deterministic and
+  oracle-reproducible) buckets the corpus; candidates only pair within a
+  bucket. Real deployments add multi-probe + IVF centroids; the plumbing
+  (bucket -> equi-join -> rank) is identical.
+
+Float determinism: see functions/vector.py — cosine here is bit-identical
+to DuckDB's list_cosine_similarity, so ranks (with vec_id tiebreaker) are
+engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.functions.vector import as_double_array, cosine
+from ru_cdc_spark.sources.readers import load_table
+
+QUERY_MOD = 40   # query set = vec_id % 40 == 0 (small, deterministic)
+TOP_K = 5
+N_SIGN_BITS = 8
+ANN_TOP_K = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("e"))
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Scale: ``broadcast(queries)`` -> nested-loop join streams the corpus
+    once per partition with zero corpus shuffle; ranking partitions by
+    query id (cardinality = |queries|), so the window state is tiny.
+    """
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0) \
+           .select(F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"))
+    cand = emb.select(F.col("vec_id").alias("neighbor"), F.col("e").alias("ce"))
+    cos = cosine(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("q_vec").orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor").asc())
+    return (
+        cand.join(F.broadcast(q), F.col("neighbor") != F.col("q_vec"))
+        .select("q_vec", "neighbor", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+KNN_BRUTE_FORCE_SQL = f"""
+SELECT q_vec, neighbor, cos_sim, rank FROM (
+    SELECT q.vec_id AS q_vec, c.vec_id AS neighbor,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS cos_sim,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS rank
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % {QUERY_MOD} = 0
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def _sign_bucket(e) -> "F.Column":
+    """8-bit sign code of the leading dimensions (deterministic LSH code)."""
+    code = F.lit(0)
+    for j in range(N_SIGN_BITS):
+        code = code + F.when(F.element_at(e, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return code
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(N_SIGN_BITS)
+)
+
+
+def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: candidates share the 8-bit sign code; top-3 per query
+    within the bucket.
+
+    Scale: bucket equi-join replaces the all-pairs scan — cost is
+    sum(bucket²) not n²; buckets are balanced for centered data (2^8 cells).
+    Recall is traded for throughput; multi-probe (flip one bit) would
+    re-add recall at 9x candidate cost.
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("e")))
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0) \
+           .select(F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"), "bucket")
+    cand = emb.select(F.col("vec_id").alias("neighbor"), F.col("e").alias("ce"), "bucket")
+    cos = cosine(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("q_vec").orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor").asc())
+    return (
+        cand.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor") != F.col("q_vec"))
+        .select("q_vec", "neighbor", "bucket", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOP_K)
+    )
+
+
+ANN_SIGN_LSH_SQL = f"""
+WITH coded AS (
+    SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings
+)
+SELECT q_vec, neighbor, bucket, cos_sim, rank FROM (
+    SELECT q.vec_id AS q_vec, c.vec_id AS neighbor, q.bucket AS bucket,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS cos_sim,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS rank
+    FROM coded q
+    JOIN coded c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id % {QUERY_MOD} = 0
+)
+WHERE rank <= {ANN_TOP_K}
+"""
+
+
+def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style centroid computation: element-wise mean vector per label.
+
+    Built with posexplode + groupBy(label, pos) + avg — the distributed way
+    to average vectors (no driver collect, any dimensionality). Emitted
+    flat (label, pos, centroid_val) for oracle comparison; rounded to 6 dp
+    because SUM order varies across partitions.
+    """
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("e").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_val"),
+             F.count("*").alias("n_vectors"))
+    )
+
+
+CENTROID_PER_LABEL_SQL = """
+SELECT label, pos, ROUND(AVG(v), 6) AS centroid_val, COUNT(*) AS n_vectors
+FROM (
+    SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+           unnest(CAST(embedding AS DOUBLE[])) AS v
+    FROM embeddings
+)
+GROUP BY label, pos
+"""

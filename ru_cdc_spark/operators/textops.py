@@ -1,0 +1,227 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+Language ID (marker-word scoring), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + regex BPE-ish), and document
+fingerprinting (min-hash of char 5-grams, the winnowing-style shape).
+
+All ratios are exact integer rationals evaluated in double — identical
+across engines; hashes are md5.
+
+Scale: every operator is a narrow per-row projection (regex + array ops in
+codegen); nothing shuffles except the optional corpus-level rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.dedup import words_col, _WORDS_SQL
+from ru_cdc_spark.sources.readers import load_table
+
+# marker stopwords per language — deliberately tiny; deterministic argmax
+# with lexicographic tiebreak. (A real lang-id uses char-ngram profiles;
+# this keeps the operator shape while staying oracle-checkable.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "a", "and", "is", "of"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de5", "le5", "shi4", "zai4", "he2"],
+}
+
+STOPWORDS = ["the", "a", "and", "is", "of", "to", "in", "it"]
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-space symbols
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats surface: word/char counts, distinct ratio, average
+    word length, stopword ratio — the quality-signal raw material."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id", "lang", "source",
+        F.length("text").alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        (n_distinct.cast("double") / n_words).alias("distinct_ratio"),
+        (total_len.cast("double") / n_words).alias("avg_word_len"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+    ).where(n_words > 0)
+
+
+TEXT_STATS_SQL = f"""
+WITH w AS (SELECT doc_id, lang, source, text, {_WORDS_SQL} AS words FROM documents)
+SELECT doc_id, lang, source,
+       length(text) AS n_chars_actual,
+       len(words) AS n_words,
+       len(list_distinct(words)) AS n_distinct_words,
+       CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
+       CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+           / len(words) AS avg_word_len,
+       CAST(len(list_filter(words, x -> list_contains({STOPWORDS!r}, x))) AS DOUBLE)
+           / len(words) AS stopword_ratio
+FROM w WHERE len(words) > 0
+""".replace("'", "'")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score = |doc words ∩ markers(lang)| per
+    language; argmax with lexicographic tiebreak; 'und' when all scores 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.array_distinct(words_col(F.col("text")))
+    scores = [
+        F.size(F.filter(w, lambda x: x.isin(*markers))).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", F.col("lang").alias("declared_lang"), *scores)
+    best_score = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    predicted = F.lit("und")
+    # reverse-lexicographic fold so earlier languages win ties
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        predicted = F.when(
+            (F.col(f"score_{lang}") == best_score) & (best_score > 0), F.lit(lang)
+        ).otherwise(predicted)
+    return scored.select("doc_id", "declared_lang",
+                         predicted.alias("predicted_lang"),
+                         best_score.alias("best_score"))
+
+
+def _lang_id_sql() -> str:
+    score_exprs = ",\n".join(
+        f"       len(list_filter(dw, x -> list_contains({markers!r}, x))) AS score_{lang}"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = "CASE "
+    for la in langs:
+        case += f"WHEN score_{la} = {best} AND {best} > 0 THEN '{la}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH dw AS (
+    SELECT doc_id, lang AS declared_lang,
+           list_distinct({_WORDS_SQL}) AS dw
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, declared_lang,
+{score_exprs}
+    FROM dw
+)
+SELECT doc_id, declared_lang, {case} AS predicted_lang,
+       {best} AS best_score
+FROM scored
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (Gopher/C4-style signals, simplified):
+    penalize too-short/too-long docs, low distinct ratio, zero stopwords.
+    Score in [0,1] as an exact rational; keep/drop flag at 0.5."""
+    stats = text_stats(spark, sf_dir)
+    length_ok = (F.col("n_words") >= 15) & (F.col("n_words") <= 80)
+    # integer points / 10 so the double is exact and engine-identical
+    pts = (
+        F.when(length_ok, F.lit(4)).otherwise(F.lit(0))
+        + F.when(F.col("distinct_ratio") >= 0.3, F.lit(3)).otherwise(F.lit(0))
+        + F.when(F.col("stopword_ratio") > 0, F.lit(2)).otherwise(F.lit(0))
+        + F.when(F.col("avg_word_len") >= 3, F.lit(1)).otherwise(F.lit(0))
+    )
+    quality = pts.cast("double") / 10.0
+    return stats.select(
+        "doc_id", quality.alias("quality"),
+        (pts >= 5).alias("keep"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words, text FROM documents),
+stats AS (
+    SELECT doc_id,
+           len(words) AS n_words,
+           CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
+           CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+               / len(words) AS avg_word_len,
+           CAST(len(list_filter(words, x -> list_contains({STOPWORDS!r}, x))) AS DOUBLE)
+               / len(words) AS stopword_ratio
+    FROM w WHERE len(words) > 0
+)
+, pts AS (
+    SELECT doc_id,
+           (CASE WHEN n_words BETWEEN 15 AND 80 THEN 4 ELSE 0 END)
+         + (CASE WHEN distinct_ratio >= 0.3 THEN 3 ELSE 0 END)
+         + (CASE WHEN stopword_ratio > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN avg_word_len >= 3 THEN 1 ELSE 0 END) AS p
+    FROM stats
+)
+SELECT doc_id, CAST(p AS DOUBLE) / 10.0 AS quality, p >= 5 AS keep FROM pts
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / single symbols) — the usual budget metric
+    for training-data sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(words_col(F.col("text")))
+    bpe_tokens = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                             F.lit(TOKEN_REGEX), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+        (F.length("text").cast("double") / bpe_tokens).alias("chars_per_token"),
+    ).where(bpe_tokens > 0)
+
+
+TOKEN_COUNTS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           len({_WORDS_SQL}) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS bpe_tokens
+    FROM documents
+)
+SELECT doc_id, ws_tokens, bpe_tokens,
+       CAST(length(text) AS DOUBLE) / bpe_tokens AS chars_per_token
+FROM t WHERE bpe_tokens > 0
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over char 5-grams of the
+    normalized text (the winnowing/min-hash shape at window = whole doc),
+    plus the full-text hash. Fingerprint collisions across docs signal
+    boilerplate overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(norm) - 4),
+        lambda i: norm.substr(i, F.lit(5)),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("full_hash"),
+        F.array_min(F.transform(grams, F.md5)).alias("min_gram_hash"),
+    ).where(F.length(norm) >= 5)
+
+
+DOC_FINGERPRINT_SQL = """
+WITH n AS (
+    SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+    FROM documents
+)
+SELECT doc_id, md5(norm) AS full_hash,
+       list_min(list_transform(range(1, length(norm) - 3),
+                i -> md5(substr(norm, i, 5)))) AS min_gram_hash
+FROM n WHERE length(norm) >= 5
+"""

@@ -236,6 +236,41 @@ register("order_priority_counts", _an.ORDER_PRIORITY_COUNTS_SQL)(_an.order_prior
 register("customer_order_balance", _an.CUSTOMER_ORDER_BALANCE_SQL)(_an.customer_order_balance)
 
 
+# ===========================================================================
+# Dedup suite (north-star: LLM-training-data pipeline operators)
+# ===========================================================================
+
+from ru_cdc_spark.operators import dedup as _dd  # noqa: E402
+
+register("dedup_exact", _dd.DEDUP_EXACT_SQL)(_dd.dedup_exact)
+register("dedup_minhash_signatures", _dd.MINHASH_SIGNATURES_SQL)(_dd.minhash_signatures)
+register("dedup_minhash_lsh_pairs", _dd.MINHASH_LSH_PAIRS_SQL)(_dd.minhash_lsh_pairs)
+register("dedup_simhash_signatures", _dd.SIMHASH_SIGNATURES_SQL)(_dd.simhash_signatures)
+register("dedup_simhash_near_pairs", _dd.SIMHASH_NEAR_PAIRS_SQL)(_dd.simhash_near_pairs)
+register("dedup_ngram_jaccard", _dd.NGRAM_JACCARD_PAIRS_SQL)(_dd.ngram_jaccard_pairs)
+register("dedup_embedding_cosine", _dd.EMBEDDING_NEAR_DUP_SQL)(_dd.embedding_near_dup_pairs)
+
+
+# ===========================================================================
+# Similarity search, text analysis, multimodal (north-star operators)
+# ===========================================================================
+
+from ru_cdc_spark.operators import multimodal as _mm  # noqa: E402
+from ru_cdc_spark.operators import similarity as _sim  # noqa: E402
+from ru_cdc_spark.operators import textops as _tx  # noqa: E402
+
+register("knn_brute_force", _sim.KNN_BRUTE_FORCE_SQL)(_sim.knn_brute_force)
+register("ann_sign_lsh", _sim.ANN_SIGN_LSH_SQL)(_sim.ann_sign_lsh)
+register("centroid_per_label", _sim.CENTROID_PER_LABEL_SQL)(_sim.centroid_per_label)
+register("text_stats", _tx.TEXT_STATS_SQL)(_tx.text_stats)
+register("text_lang_id", _tx.LANG_ID_SQL)(_tx.lang_id)
+register("text_quality_score", _tx.QUALITY_SCORE_SQL)(_tx.quality_score)
+register("text_token_counts", _tx.TOKEN_COUNTS_SQL)(_tx.token_counts)
+register("doc_fingerprint", _tx.DOC_FINGERPRINT_SQL)(_tx.doc_fingerprint)
+register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)
+register("multimodal_decode_stub", None)(_mm.multimodal_decode_stub)
+
+
 @register(
     "mysql_type_semantics",
     """

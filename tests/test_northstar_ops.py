@@ -1,0 +1,108 @@
+"""Semantic tests for the LLM-pipeline operators (dedup, similarity,
+text analysis, multimodal) beyond the oracle hash-match."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.dedup import (
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    words_col,
+)
+from ru_cdc_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    decode_payload,
+)
+from ru_cdc_spark.operators.similarity import ann_sign_lsh, knn_brute_force
+from ru_cdc_spark.sources.readers import load_table
+
+
+def test_words_col_normalization(spark):
+    df = spark.createDataFrame([("  Hello,  WORLD! x9  ",)], ["text"])
+    got = df.select(words_col(F.col("text")).alias("w")).collect()[0]["w"]
+    assert got == ["hello", "world", "x9"]
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different sentence about spark engines here")],
+        ["doc_id", "text"],
+    )
+    import ru_cdc_spark.operators.dedup as dd
+    sh = dd._shingles(df)
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(dd.N_MINHASH)
+    ]).collect()
+    by_id = {r["doc_id"]: [r[f"mh{s}"] for s in range(dd.N_MINHASH)] for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_simhash_is_32bit(spark, sf_dir):
+    rows = simhash_signatures(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["simhash"] < 2 ** 32
+
+
+def test_knn_self_excluded_and_ranked(spark, sf_dir):
+    rows = knn_brute_force(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["neighbor"] != r["q_vec"]
+        by_q.setdefault(r["q_vec"], []).append((r["rank"], r["cos_sim"]))
+    for q, pairs in by_q.items():
+        pairs.sort()
+        ranks = [p[0] for p in pairs]
+        sims = [p[1] for p in pairs]
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_subset_of_bruteforce_when_same_bucket(spark, sf_dir):
+    # ANN cosine scores must match brute-force scores for the same pair
+    bf = {(r["q_vec"], r["neighbor"]): r["cos_sim"]
+          for r in knn_brute_force(spark, sf_dir).collect()}
+    for r in ann_sign_lsh(spark, sf_dir).collect():
+        key = (r["q_vec"], r["neighbor"])
+        if key in bf:
+            assert bf[key] == r["cos_sim"]
+
+
+def test_jaccard_bounds(spark, sf_dir):
+    rows = ngram_jaccard_pairs(spark, sf_dir, threshold=0.0).limit(200).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_decode_payload_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"bytes", "image")
+
+
+def test_decode_payload_fake_deterministic():
+    a = decode_payload(b"same-bytes", "video", fake=True)
+    b = decode_payload(b"same-bytes", "video", fake=True)
+    assert a == b
+    assert a["n_frames"] > 1  # video fake has frames
+
+
+def test_multimodal_mapinpandas_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = decode_features(attach_binary_payload(docs), fake=True)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["modality"] in ("image", "audio", "video")
+        assert r["byte_len"] > 0 and len(r["sha"]) == 32
+        assert r["width"] >= 64 and r["height"] >= 64
+        if r["modality"] == "image":
+            assert r["n_frames"] == 1

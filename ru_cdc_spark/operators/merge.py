@@ -55,6 +55,48 @@ def apply_changes(changes: DataFrame, pk_cols: list[str],
     )
 
 
+def merge_versioned(snapshot_meta: DataFrame | None, changes: DataFrame,
+                    pk_cols: list[str], seq_col: str = "id",
+                    type_col: str = "type") -> DataFrame:
+    """Version-aware MERGE with tombstones — correct under out-of-order
+    delivery across micro-batches.
+
+    A change only wins if its sequence exceeds what the snapshot already
+    holds, and DELETEs persist as tombstones (``__deleted``) so an older
+    INSERT arriving later cannot resurrect the row. This is the semantics
+    production CDC appliers implement (Delta CDF / Hudi / Paimon); the
+    reference instead *assumes* source order (single reader thread,
+    src/main.rs:107-122) and would corrupt on reorder — documented fix.
+
+    ``snapshot_meta`` carries payload columns + ``__seq`` + ``__deleted``
+    (None for the first batch). Returns the new snapshot in the same shape.
+    Readers view it through :func:`snapshot_view`.
+
+    Scale: one PK shuffle over (snapshot ∪ batch-latest). With Delta this
+    becomes MERGE INTO keyed on the PK with partition pruning; tombstone
+    compaction runs as periodic maintenance.
+    """
+    last = latest_changes(changes, pk_cols, seq_col)
+    payload_cols = [f.name for f in last.schema["after"].dataType.fields]  # type: ignore[union-attr]
+    incoming = last.select(
+        *[F.col(f"after.{c}").alias(c) for c in payload_cols],
+        F.col(seq_col).alias("__seq"),
+        (F.col(type_col) == "DELETE").alias("__deleted"),
+    )
+    combined = incoming if snapshot_meta is None else snapshot_meta.unionByName(incoming)
+    w = Window.partitionBy(*pk_cols).orderBy(F.col("__seq").desc())
+    return (
+        combined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def snapshot_view(snapshot_meta: DataFrame) -> DataFrame:
+    """Live rows of a versioned snapshot (tombstones and meta dropped)."""
+    return snapshot_meta.where(~F.col("__deleted")).drop("__seq", "__deleted")
+
+
 def merge_upsert(snapshot: DataFrame, changes: DataFrame, pk_cols: list[str],
                  seq_col: str = "id", type_col: str = "type") -> DataFrame:
     """Incremental MERGE of a change batch into an existing snapshot

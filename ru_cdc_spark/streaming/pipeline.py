@@ -1,0 +1,189 @@
+"""The streaming CDC pipeline: source -> lazy parse -> route -> sink.
+
+Spark-first re-expression of the reference's serve loop
+(/root/reference/src/main.rs:74-131 and worker path executor.rs:501-616):
+
+| reference stage                          | here |
+|------------------------------------------|------|
+| binlog dump subscription (S6/S7)         | readStream on a Canal-JSON feed (file dir locally; Kafka topic in prod — same plan) |
+| lazy payload decode (D2, executor P5)    | two-phase from_json: a 2-field routing schema first, full envelope only for routed rows |
+| instance routing (P1/P2)                 | config.route — codegen'd string predicates, fan-out to (mq, topic) |
+| worker pool + round-robin (X1/X2)        | micro-batch task scheduling; ordering restored per-key by the seq column instead of thread order |
+| Kafka/Redis sinks (K1-K3)                | writeStream to kafka (per-row topic) or file/memory sinks locally |
+| position checkpoint (C1-C3)              | checkpointLocation offset+commit logs (exactly-once to idempotent sinks) |
+| unbounded mpsc hazard (§4 flow control)  | maxFilesPerTrigger / maxOffsetsPerTrigger backpressure |
+
+Scale: stateless map pipeline — parallelism is source partitions; no
+shuffle anywhere in the hot path. The merge materialization
+(foreachBatch -> merge_upsert) adds the single PK shuffle per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ru_cdc_spark.config import PipelineConfig, route
+
+# Canal envelope schema (FIXTURES.md B1 / reference executor.rs:90-105)
+ENVELOPE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("database", T.StringType()),
+    T.StructField("table", T.StringType()),
+    T.StructField("pkNames", T.ArrayType(T.StringType())),
+    T.StructField("isDdl", T.BooleanType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("es", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("sql", T.StringType()),
+    T.StructField("sqlType", T.MapType(T.StringType(), T.IntegerType())),
+    T.StructField("mysqlType", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("data", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+    T.StructField("old", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+])
+
+# cheap projection parsed BEFORE routing (P5 filter-before-decode analog)
+ROUTING_SCHEMA = T.StructType([
+    T.StructField("database", T.StringType()),
+    T.StructField("table", T.StringType()),
+])
+
+
+class CdcPipeline:
+    """Builds and runs the streaming query from a PipelineConfig."""
+
+    def __init__(self, spark: SparkSession, config: PipelineConfig) -> None:
+        self.spark = spark
+        self.config = config
+
+    # -- source --------------------------------------------------------------
+
+    def read_stream(self) -> DataFrame:
+        """Canal-JSON line feed as a rate-limited stream. Locally a file
+        dir; on a cluster the same two-phase parse runs on Kafka's
+        ``value`` column."""
+        reader = (
+            self.spark.readStream.format("text")
+            .option("maxFilesPerTrigger",
+                    str(max(1, (self.config.max_events_per_trigger or 10_000) // 10_000)))
+        )
+        return reader.load(self.config.source_path).withColumnRenamed("value", "payload")
+
+    # -- transform -----------------------------------------------------------
+
+    def routed(self, raw: DataFrame) -> DataFrame:
+        """Two-phase parse + route: extract only (database, table), filter
+        against instance rules, and parse the full envelope just for
+        surviving rows — the reference's decode-after-filter optimization
+        (executor.rs:528-553), expressed so Catalyst prunes the heavy
+        from_json behind the filter."""
+        with_meta = raw.withColumn("__meta", F.from_json("payload", ROUTING_SCHEMA))
+        flat = with_meta.select(
+            F.col("__meta.database").alias("database"),
+            F.col("__meta.table").alias("table"),
+            "payload",
+        )
+        routed = route(flat, self.config.instances)
+        return routed.withColumn("envelope", F.from_json("payload", ENVELOPE_SCHEMA))
+
+    def sink_rows(self, routed: DataFrame) -> DataFrame:
+        """Kafka-shaped output: (topic, key, value). Key = database.table:pk
+        so log-compacted topics keep per-row latest (and per-key ordering
+        within a partition — fixing the reference's X2 ordering hazard)."""
+        pk_vals = F.transform(
+            F.col("envelope.pkNames"),
+            lambda pk: F.element_at(F.element_at(F.col("envelope.data"), 1), pk),
+        )
+        key = F.concat_ws(".", F.col("database"), F.col("table"),
+                          F.concat_ws("_", pk_vals))
+        return routed.select(
+            F.col("mq"), F.col("topic"), key.alias("key"),
+            F.col("payload").alias("value"),
+        )
+
+    # -- sinks ---------------------------------------------------------------
+
+    def start_to_parquet(self, out_dir: str, checkpoint_dir: str | None = None,
+                         query_name: str = "cdc_pipeline") -> StreamingQuery:
+        """File sink (local stand-in for the Kafka sink; same routed rows).
+        Exactly-once via checkpoint + transactional file commit."""
+        rows = self.sink_rows(self.routed(self.read_stream()))
+        return (
+            rows.writeStream.format("parquet")
+            .queryName(query_name)
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir or self.config.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def start_to_memory(self, query_name: str = "cdc_mem") -> StreamingQuery:
+        rows = self.sink_rows(self.routed(self.read_stream()))
+        return (
+            rows.writeStream.format("memory").queryName(query_name)
+            .outputMode("append").start()
+        )
+
+    def start_merge(self, snapshot_dir: str, pk_cols: list[str],
+                    value_schema: T.StructType,
+                    checkpoint_dir: str | None = None) -> StreamingQuery:
+        """Materialization: apply each micro-batch to a parquet snapshot via
+        merge semantics (foreachBatch; with Delta jars this becomes
+        ``MERGE INTO`` on the same change rows).
+
+        Version-aware with tombstones (operators/merge.merge_versioned), so
+        the result is correct under out-of-order delivery across batches
+        AND idempotent under checkpoint replay — effective exactly-once
+        where the reference is at-least-once (K4/C1). The stored snapshot
+        carries __seq/__deleted meta; read it via merge.snapshot_view."""
+        from ru_cdc_spark.operators.merge import merge_versioned
+
+        spark = self.spark
+        envelopes = self.routed(self.read_stream()).select("envelope.*").dropDuplicates(["id"])
+
+        def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            data_map = F.element_at(F.col("data"), 1)
+            typed = batch_df.select(
+                "id", "type",
+                F.struct(*[
+                    data_map.getItem(f.name).cast(f.dataType).alias(f.name)
+                    for f in value_schema.fields
+                ]).alias("after"),
+            ).withColumn("before", F.col("after"))
+            try:
+                snapshot_meta = spark.read.parquet(snapshot_dir)
+            except Exception:  # first batch: no snapshot yet
+                snapshot_meta = None
+            merged = merge_versioned(snapshot_meta, typed, pk_cols)
+            merged.write.mode("overwrite").parquet(snapshot_dir + "_next")
+            # swap via rewrite of the read path (Delta/Iceberg would commit
+            # a new table version instead)
+            spark.read.parquet(snapshot_dir + "_next").write.mode("overwrite").parquet(snapshot_dir)
+
+        return (
+            envelopes.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir or self.config.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def windowed_event_counts(events_stream: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling window with watermark (the late-data handling the
+    reference lacks — SURVEY.md §2.10): counts + value sums per
+    (window, event_type); append-mode emits only finalized windows."""
+    return (
+        events_stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )

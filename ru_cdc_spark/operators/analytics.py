@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ru_cdc_spark.sources.readers import load_table
+from ru_cdc_spark.sources.readers import load_table, spread
 
 _DEC = "decimal(18,2)"
 
@@ -31,7 +31,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~|groups| rows before the shuffle; the shuffle moves O(groups x
     partitions) rows regardless of table size — this survives 100 TB.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     qty = F.col("l_quantity").cast(_DEC)
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -82,7 +82,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate").cast("date") < F.lit("1995-03-15"))
-    li = load_table(spark, sf_dir, "lineitem").where(
+    li = spread(load_table(spark, sf_dir, "lineitem")).where(
         F.col("l_shipdate").cast("date") > F.lit("1995-03-15"))
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -126,7 +126,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast("decimal(4,2)")
     revenue = (price * (F.lit(1).cast("decimal(4,2)") - disc)).cast("decimal(30,4)")
@@ -196,7 +196,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partial agg + single shuffle on (hour, type); distinct users via
     exact count here, approx_count_distinct at 100 TB (one line change).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread(load_table(spark, sf_dir, "events"))
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ru_cdc_spark.sources.readers import load_table
+from ru_cdc_spark.sources.readers import load_table, spread
 
 N_MINHASH = 8          # signature length (4 bands x 2 rows)
 N_BANDS = 4
@@ -111,7 +111,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (map-side combined). Signature bytes per doc are constant,
     so the output is tiny relative to input.
     """
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sh = _shingles(spread(load_table(spark, sf_dir, "documents")))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
         for s in range(N_MINHASH)
@@ -205,7 +205,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode(words) + one groupBy(doc_id) with 32 conditional sums —
     all codegen; fingerprint output is 8 bytes/doc.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     wordrows = (
         docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
         .distinct()
@@ -368,12 +368,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str,
     embedding-dedup shape. The fold arithmetic is bit-identical to the
     oracle (functions/vector.py).
     """
-    from ru_cdc_spark.functions.vector import as_double_array, cosine
+    from ru_cdc_spark.functions.vector import as_double_array, dot, norm
 
+    e = as_double_array(F.col("embedding"))
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double_array(F.col("embedding")).alias("e"))
+        "vec_id", "label", e.alias("e"), norm(e).alias("nrm"))
     a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine(F.col("a.e"), F.col("b.e"))
+    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, ["label"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ru_cdc_spark.operators.dedup import words_col, _WORDS_SQL
-from ru_cdc_spark.sources.readers import load_table
+from ru_cdc_spark.sources.readers import load_table, spread
 
 # marker stopwords per language — deliberately tiny; deterministic argmax
 # with lexicographic tiebreak. (A real lang-id uses char-ngram profiles;
@@ -203,12 +203,18 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the full-text hash. Fingerprint collisions across docs signal
     boilerplate overlap."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    # materialize norm once — referencing the regexp_replace expression
+    # inside the per-gram lambda would re-run the regex per element
+    normed = spread(docs).select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("norm"),
+    )
+    norm = F.col("norm")
     grams = F.transform(
         F.sequence(F.lit(1), F.length(norm) - 4),
         lambda i: norm.substr(i, F.lit(5)),
     )
-    return docs.select(
+    return normed.select(
         "doc_id",
         F.md5(norm).alias("full_hash"),
         F.array_min(F.transform(grams, F.md5)).alias("min_gram_hash"),

@@ -300,7 +300,8 @@ def mysql_type_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero_date_to_null,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    from ru_cdc_spark.sources.readers import spread
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_extendedprice",
         F.col("l_shipdate").cast("timestamp").alias("ship_ts"),

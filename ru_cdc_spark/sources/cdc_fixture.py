@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ru_cdc_spark.sources.readers import load_table
+from ru_cdc_spark.sources.readers import load_table, spread
 
 ORDERS_DATABASE = "testdb"
 ORDERS_TABLE = "orders"
@@ -65,7 +65,7 @@ def derive_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the typed change stream: columns
     (id long, type string, es long, before struct, after struct)."""
     base = (
-        load_table(spark, sf_dir, "orders")
+        spread(load_table(spark, sf_dir, "orders"))
         .select(
             "o_orderkey", "o_custkey", "o_orderstatus",
             F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),

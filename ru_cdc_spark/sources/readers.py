@@ -35,6 +35,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition ahead of CPU-heavy narrow transforms.
+
+    Small single-file parquet scans yield one input split (parquet can't
+    split finer than a row group), so hash/regex-heavy map stages would run
+    on one core. One cheap round-robin shuffle of the (small) base table
+    buys full parallelism for the expensive stage. At 100 TB inputs arrive
+    already split into many partitions and this becomes a no-op choice —
+    callers pass the scan through unchanged when it's already wide.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for spark.sql queries)."""
     for name in TABLES:

@@ -40,7 +40,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = (price * (F.lit(1).cast("decimal(4,2)") - disc)
               * (F.lit(1).cast("decimal(4,2)") + tax)).cast("decimal(30,6)")
     return (
-        li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        # raw-column comparison (no cast) so the predicate pushes into the
+        # parquet scan; semantically identical to date <= 1998-09-02
+        li.where(F.col("l_shipdate") < F.lit("1998-09-03 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
@@ -67,7 +69,7 @@ SELECT l_returnflag, l_linestatus,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
-WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -81,9 +83,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate").cast("date") < F.lit("1995-03-15"))
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp_ntz"))
     li = spread(load_table(spark, sf_dir, "lineitem")).where(
-        F.col("l_shipdate").cast("date") > F.lit("1995-03-15"))
+        F.col("l_shipdate") >= F.lit("1995-03-16 00:00:00").cast("timestamp_ntz"))
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast("decimal(4,2)")
     revenue = (price * (F.lit(1).cast("decimal(4,2)") - disc)).cast("decimal(30,4)")
@@ -105,8 +107,8 @@ FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
-  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
-  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate >= TIMESTAMP '1995-03-16 00:00:00'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 HAVING CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))

@@ -77,17 +77,6 @@ def derive_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     img = F.struct(*_typed_image())
-
-    # F.when(False, img) produces a typed NULL struct (keeps the union's
-    # before/after schemas identical across the three branches)
-    inserts = base.select(
-        (F.col("o_orderkey") * 3).alias("id"),
-        F.lit("INSERT").alias("type"),
-        F.col("es"),
-        F.when(F.lit(False), img).alias("before"),  # typed NULL struct
-        img.alias("after"),
-    )
-
     updated_img = F.struct(
         F.col("o_orderkey"),
         F.col("o_custkey"),
@@ -97,29 +86,31 @@ def derive_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate"),
         F.col("o_orderpriority"),
     )
-    updates = (
-        base.where(F.col("o_orderkey") % 10 < 3)
-        .select(
-            (F.col("o_orderkey") * 3 + 1).alias("id"),
-            F.lit("UPDATE").alias("type"),
-            F.col("es"),
-            img.alias("before"),
-            updated_img.alias("after"),
-        )
-    )
+    null_img = F.when(F.lit(False), img)  # typed NULL struct
 
-    deletes = (
-        base.where(F.col("o_orderkey") % 10 == 3)
-        .select(
-            (F.col("o_orderkey") * 3 + 2).alias("id"),
-            F.lit("DELETE").alias("type"),
-            F.col("es"),
-            img.alias("before"),
-            F.when(F.lit(False), img).alias("after"),
+    def change(id_col, type_lit, before, after):
+        return F.struct(
+            id_col.alias("id"), F.lit(type_lit).alias("type"),
+            F.col("es").alias("es"), before.alias("before"), after.alias("after"),
         )
-    )
 
-    return inserts.unionByName(updates).unionByName(deletes)
+    # single pass: each order emits 1-2 change events via a conditional
+    # array + explode (one scan, zero extra shuffles — a union of three
+    # filtered branches would re-scan and re-spread the base three times)
+    events = F.filter(
+        F.array(
+            change(F.col("o_orderkey") * 3, "INSERT", null_img, img),
+            F.when(F.col("o_orderkey") % 10 < 3,
+                   change(F.col("o_orderkey") * 3 + 1, "UPDATE", img, updated_img)),
+            F.when(F.col("o_orderkey") % 10 == 3,
+                   change(F.col("o_orderkey") * 3 + 2, "DELETE", img, null_img)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        base.select(F.explode(events).alias("c"))
+        .select("c.id", "c.type", "c.es", "c.before", "c.after")
+    )
 
 
 # DuckDB CTE computing the identical stream, flat (shared prefix for the

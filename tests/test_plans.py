@@ -1,0 +1,66 @@
+"""Physical-plan quality gates: the 100 TB discipline, enforced.
+
+Each assertion encodes a property that must survive a 1000-executor
+scale-up: predicates reach the parquet scan, scans prune columns,
+dimension joins broadcast, narrow pipelines don't shuffle.
+"""
+
+from __future__ import annotations
+
+from ru_cdc_spark.plans import (
+    assert_pruned,
+    assert_pushed,
+    count_exchanges,
+    has_broadcast_join,
+    physical_plan,
+)
+from ru_cdc_spark.queries import REGISTRY
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    assert_pushed(df, "l_shipdate")
+    # lineitem has 11 columns; Q1 needs 7
+    assert_pruned(df, table_cols=11, max_read_cols=7)
+
+
+def test_q3_pushdown_and_broadcast(spark, sf_dir):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, sf_dir)
+    assert_pushed(df, "l_shipdate")
+    assert_pushed(df, "o_orderdate")
+    assert_pushed(df, "c_mktsegment")
+    assert has_broadcast_join(df)
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # supp/cust/nation/region
+
+
+def test_knn_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
+    df = REGISTRY["knn_brute_force"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # only the spread() repartition + the window shuffle are acceptable
+    assert count_exchanges(df) <= 3
+
+
+def test_change_stream_is_narrow(spark, sf_dir):
+    """The CDC derivation + envelope is projection/union only — zero
+    shuffles beyond the local-parallelism spread."""
+    df = REGISTRY["cdc_change_stream"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 1  # just the spread() round-robin
+
+
+def test_routing_prunes_columns(spark, sf_dir):
+    df = REGISTRY["cdc_route"].fn(spark, sf_dir)
+    # customer has 5 columns; routing needs only c_custkey + c_mktsegment
+    assert_pruned(df, table_cols=5, max_read_cols=2)
+
+
+def test_merge_single_pk_shuffle(spark, sf_dir):
+    df = REGISTRY["cdc_merge_snapshot"].fn(spark, sf_dir)
+    # spread + one PK exchange for the window
+    assert count_exchanges(df) <= 2

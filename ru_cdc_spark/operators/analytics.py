@@ -325,6 +325,111 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history table from the change stream: one row per version with
+    validity interval in sequence space and a current flag (the other half
+    of CDC materialization besides SCD1 latest-wins — guide's 'CDC / SCD2'
+    emulation: window lead() per key).
+
+    Scale: one PK shuffle + linear window. With Delta, the same frame feeds
+    a partitioned history table appended per batch.
+    """
+    from ru_cdc_spark.sources.cdc_fixture import derive_order_changes
+
+    ch = derive_order_changes(spark, sf_dir)
+    versions = ch.select(
+        "id", "type",
+        F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey")).alias("o_orderkey"),
+        F.col("after.o_orderstatus").alias("o_orderstatus"),
+        F.col("after.o_totalprice").alias("o_totalprice"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("id")
+    return versions.select(
+        "o_orderkey",
+        F.col("id").alias("valid_from_seq"),
+        F.lead("id").over(w).alias("valid_to_seq"),
+        "type", "o_orderstatus", "o_totalprice",
+        (F.lead("id").over(w).isNull() & (F.col("type") != "DELETE")).alias("is_current"),
+    )
+
+
+def _scd2_sql() -> str:
+    from ru_cdc_spark.sources.cdc_fixture import ORDER_CHANGES_ORACLE_CTE
+
+    return ORDER_CHANGES_ORACLE_CTE + """
+SELECT COALESCE(a_orderkey, b_orderkey) AS o_orderkey,
+       id AS valid_from_seq,
+       lead(id) OVER w AS valid_to_seq,
+       type,
+       a_orderstatus AS o_orderstatus,
+       a_totalprice AS o_totalprice,
+       (lead(id) OVER w IS NULL AND type <> 'DELETE') AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY COALESCE(a_orderkey, b_orderkey) ORDER BY id)
+"""
+
+
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (F.percentile — exact, not the sketch;
+    at 100 TB swap to percentile_approx/KLL with documented error bounds).
+    Results rounded to 6 dp: linear interpolation order may differ between
+    engines."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.5), 6).alias("p50"),
+            F.round(F.percentile("l_quantity", 0.9), 6).alias("p90"),
+            F.round(F.percentile("l_quantity", 0.99), 6).alias("p99"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+QUANTITY_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+       ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def priority_rank_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized UDF path (the engine's sanctioned slow path):
+    a pandas_udf parsing the numeric rank out of o_orderpriority, batched
+    through Arrow — demonstrating correctness of the Python bridge, not
+    raw speed (an equivalent built-in expression exists and is preferred;
+    both appear here and must agree)."""
+    import pandas as pd
+
+    def _rank_of(priority):
+        return priority.str.slice(0, 1).astype("int32")
+
+    # annotations set as live objects: the module uses postponed annotation
+    # evaluation (PEP 563), under which pandas_udf can't resolve hints
+    _rank_of.__annotations__ = {"priority": pd.Series, "return": pd.Series}
+    rank_of = F.pandas_udf(_rank_of, "int")
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    return orders.select(
+        "o_orderkey",
+        rank_of(F.col("o_orderpriority")).alias("priority_rank_udf"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_rank_builtin"),
+    ).where(F.col("priority_rank_udf") == F.col("priority_rank_builtin"))
+
+
+PRIORITY_RANK_PANDAS_UDF_SQL = """
+SELECT o_orderkey,
+       CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_rank_udf,
+       CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_rank_builtin
+FROM orders
+"""
+
+
 def customer_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left join + anti-join semantics in one result: every customer with
     order count (0 for none) and a no-orders flag — exercises outer joins

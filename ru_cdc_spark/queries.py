@@ -236,6 +236,18 @@ register("order_priority_counts", _an.ORDER_PRIORITY_COUNTS_SQL)(_an.order_prior
 register("customer_order_balance", _an.CUSTOMER_ORDER_BALANCE_SQL)(_an.customer_order_balance)
 
 
+from ru_cdc_spark.operators import joins as _jn  # noqa: E402
+
+register("events_asof_orders", _jn.EVENTS_ASOF_ORDERS_SQL)(_jn.events_asof_orders)
+register("events_orders_range_join",
+         _jn.EVENTS_ORDERS_RANGE_JOIN_SQL)(_jn.events_orders_range_join)
+register("customers_semi_anti", _jn.CUSTOMERS_SEMI_ANTI_SQL)(_jn.customers_semi_anti)
+register("scd2_order_history", _an._scd2_sql())(_an.scd2_order_history)
+register("quantity_percentiles", _an.QUANTITY_PERCENTILES_SQL)(_an.quantity_percentiles)
+register("priority_rank_pandas_udf",
+         _an.PRIORITY_RANK_PANDAS_UDF_SQL)(_an.priority_rank_pandas_udf)
+
+
 # ===========================================================================
 # Dedup suite (north-star: LLM-training-data pipeline operators)
 # ===========================================================================

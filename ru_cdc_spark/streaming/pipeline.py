@@ -126,6 +126,21 @@ class CdcPipeline:
             .outputMode("append").start()
         )
 
+    def start_to_sinks(self, checkpoint_dir: str | None = None,
+                       query_name: str = "cdc_mux") -> StreamingQuery:
+        """Fan out to every configured sink via the foreachBatch mux
+        (streaming/sinks.py) — one stream serving heterogeneous sinks."""
+        from ru_cdc_spark.streaming.sinks import make_mux
+
+        rows = self.sink_rows(self.routed(self.read_stream()))
+        return (
+            rows.writeStream.queryName(query_name)
+            .foreachBatch(make_mux(self.config.sinks))
+            .option("checkpointLocation", checkpoint_dir or self.config.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def start_merge(self, snapshot_dir: str, pk_cols: list[str],
                     value_schema: T.StructType,
                     checkpoint_dir: str | None = None) -> StreamingQuery:

@@ -1,0 +1,70 @@
+"""Sink mux tests: multi-sink fan-out by mq column, kafka option assembly,
+redis stub contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from ru_cdc_spark.config import InstanceConfig, PipelineConfig, SinkConfig
+from ru_cdc_spark.streaming.pipeline import CdcPipeline
+from ru_cdc_spark.streaming.sinks import kafka_writer_options, write_batch_to_sink
+
+
+def test_kafka_options_mirror_reference_knobs():
+    sink = SinkConfig(name="k", kind="kafka",
+                      options={"kafka.bootstrap.servers": "b:9092",
+                               "kafka.linger.ms": "300"})
+    opts = kafka_writer_options(sink)
+    assert opts["kafka.bootstrap.servers"] == "b:9092"
+    assert opts["kafka.linger.ms"] == "300"
+    assert opts["kafka.delivery.timeout.ms"] == "5000"  # ref message_queue.rs:103
+
+
+def test_kafka_options_require_brokers():
+    with pytest.raises(ValueError, match="bootstrap.servers"):
+        kafka_writer_options(SinkConfig(name="k", kind="kafka"))
+
+
+def test_redis_sink_is_stubbed(spark):
+    batch = spark.createDataFrame([("m", "t", "k", "v")], ["mq", "topic", "key", "value"])
+    with pytest.raises(NotImplementedError):
+        write_batch_to_sink(batch, SinkConfig(name="r", kind="redis"), 0)
+
+
+def test_unknown_sink_kind_rejected(spark):
+    batch = spark.createDataFrame([("m", "t", "k", "v")], ["mq", "topic", "key", "value"])
+    with pytest.raises(ValueError, match="unknown sink kind"):
+        write_batch_to_sink(batch, SinkConfig(name="x", kind="carrier-pigeon"), 0)
+
+
+def test_multi_sink_fanout(spark, sf_dir, tmp_path):
+    """Two instances route to two different mqs; the mux lands each row in
+    its own parquet sink — the K1 name->channel registry, distributed."""
+    from tests.test_streaming import _write_payload_files
+
+    src = str(tmp_path / "src")
+    n = _write_payload_files(spark, sf_dir, src)
+
+    cfg = PipelineConfig(
+        source_path=src,
+        checkpoint_dir=str(tmp_path / "ck"),
+        sinks=[
+            SinkConfig(name="mq_a", kind="parquet",
+                       options={"path": str(tmp_path / "out_a")}),
+            SinkConfig(name="mq_b", kind="parquet",
+                       options={"path": str(tmp_path / "out_b")}),
+        ],
+        instances=[
+            InstanceConfig(mq="mq_a", schemas="test*", tables="*", topic="t_all"),
+            InstanceConfig(mq="mq_b", schemas="*", tables="orders", topic="t_orders"),
+        ],
+    )
+    q = CdcPipeline(spark, cfg).start_to_sinks()
+    q.awaitTermination(180)
+
+    a = spark.read.parquet(str(tmp_path / "out_a"))
+    b = spark.read.parquet(str(tmp_path / "out_b"))
+    # both instances match every event (db=testdb, table=orders) -> fan-out
+    assert a.count() == n and b.count() == n
+    assert a.select("mq").distinct().collect()[0][0] == "mq_a"
+    assert b.select("topic").distinct().collect()[0][0] == "t_orders"

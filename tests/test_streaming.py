@@ -159,6 +159,37 @@ def test_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
     assert diff == 0
 
 
+def test_stateful_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    after a second file drop the totals include both batches."""
+    from ru_cdc_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "ev")
+    schema = "user_id long, value double"
+    spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (running_user_totals(stream).writeStream.format("memory")
+         .queryName("stateful_acc").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.processAllAvailable()
+
+    spark.createDataFrame([(1, 100.0), (3, 7.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    # 'update' mode appends one row per key per batch; take the latest
+    rows = {r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(
+                "SELECT * FROM stateful_acc ORDER BY n_events").collect()}
+    assert rows[1] == (3, 115.0)   # state carried: 2 events + 1 more
+    assert rows[2] == (1, 1.0)
+    assert rows[3] == (1, 7.0)
+
+
 def test_throughput_listener(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src")
     n = _write_payload_files(spark, sf_dir, src)

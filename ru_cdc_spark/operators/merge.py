@@ -83,7 +83,10 @@ def merge_versioned(snapshot_meta: DataFrame | None, changes: DataFrame,
         F.col(seq_col).alias("__seq"),
         (F.col(type_col) == "DELETE").alias("__deleted"),
     )
-    combined = incoming if snapshot_meta is None else snapshot_meta.unionByName(incoming)
+    # allowMissingColumns: schema evolution widens the change stream; rows
+    # from the pre-evolution snapshot carry NULL for the new columns
+    combined = incoming if snapshot_meta is None else \
+        snapshot_meta.unionByName(incoming, allowMissingColumns=True)
     w = Window.partitionBy(*pk_cols).orderBy(F.col("__seq").desc())
     return (
         combined.withColumn("__rn", F.row_number().over(w))
@@ -95,6 +98,20 @@ def merge_versioned(snapshot_meta: DataFrame | None, changes: DataFrame,
 def snapshot_view(snapshot_meta: DataFrame) -> DataFrame:
     """Live rows of a versioned snapshot (tombstones and meta dropped)."""
     return snapshot_meta.where(~F.col("__deleted")).drop("__seq", "__deleted")
+
+
+def compact_tombstones(snapshot_meta: DataFrame, low_watermark_seq: int) -> DataFrame:
+    """Tombstone compaction (periodic maintenance): physically drop
+    tombstones whose sequence is below the low watermark — the sequence up
+    to which no out-of-order change can still arrive (e.g. the checkpoint's
+    committed offset). Tombstones at or above the watermark are kept so
+    late-arriving older INSERTs still can't resurrect rows.
+
+    Scale: a pure filter (narrow); run it as part of a periodic rewrite of
+    the snapshot files (with Delta: OPTIMIZE + VACUUM fill this role).
+    """
+    return snapshot_meta.where(
+        (~F.col("__deleted")) | (F.col("__seq") >= low_watermark_seq))
 
 
 def merge_upsert(snapshot: DataFrame, changes: DataFrame, pk_cols: list[str],

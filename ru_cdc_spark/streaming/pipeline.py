@@ -187,6 +187,67 @@ class CdcPipeline:
         )
 
 
+def start_merge_evolving(pipeline: CdcPipeline, snapshot_dir: str,
+                         catalog, checkpoint_dir: str | None = None) -> StreamingQuery:
+    """Schema-evolution-aware streaming merge (fills the reference's D11
+    gap end-to-end): each batch folds the envelopes' ``mysqlType`` maps
+    into the TableCatalog (widening only), rebuilds the value schema, and
+    merges — pre-evolution snapshot rows surface NULL for new columns.
+
+    Single-table stream assumed (like start_merge); multi-table streams
+    partition by (database, table) first.
+
+    Scale: the per-batch catalog fold collects one row per distinct
+    (table, schema-version) — bounded by table count, not data size.
+    """
+    from ru_cdc_spark.catalog import FieldMeta
+    from ru_cdc_spark.operators.merge import merge_versioned
+
+    spark = pipeline.spark
+    envelopes = pipeline.routed(pipeline.read_stream()) \
+        .select("envelope.*").dropDuplicates(["id"])
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        metas = (batch_df.select(
+                    "database", "table", "pkNames", "mysqlType",
+                    F.to_json("mysqlType").alias("__mt"))  # maps can't dedupe
+                 .dropDuplicates(["database", "table", "__mt"]).collect())
+        for r in metas:
+            pks = set(r["pkNames"] or [])
+            fields = [FieldMeta(name, t, name in pks)
+                      for name, t in r["mysqlType"].items()]
+            catalog.evolve(r["database"], r["table"], fields)
+        schema_obj = catalog.lookup(metas[0]["database"], metas[0]["table"])
+        value_schema = schema_obj.struct_type()
+        pk_cols = schema_obj.pk_names
+
+        data_map = F.element_at(F.col("data"), 1)
+        typed = batch_df.select(
+            "id", "type",
+            F.struct(*[
+                data_map.getItem(f.name).cast(f.dataType).alias(f.name)
+                for f in value_schema.fields
+            ]).alias("after"),
+        ).withColumn("before", F.col("after"))
+        try:
+            snapshot_meta = spark.read.option("mergeSchema", "true").parquet(snapshot_dir)
+        except Exception:
+            snapshot_meta = None
+        merged = merge_versioned(snapshot_meta, typed, pk_cols)
+        merged.write.mode("overwrite").parquet(snapshot_dir + "_next")
+        spark.read.parquet(snapshot_dir + "_next").write.mode("overwrite").parquet(snapshot_dir)
+
+    return (
+        envelopes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation",
+                checkpoint_dir or pipeline.config.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(events_stream: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Event-time tumbling window with watermark (the late-data handling the

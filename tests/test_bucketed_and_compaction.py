@@ -1,0 +1,60 @@
+"""Bucketed co-located joins (zero-exchange plan) + tombstone compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.merge import (
+    compact_tombstones,
+    merge_versioned,
+    snapshot_view,
+)
+from ru_cdc_spark.plans import count_exchanges
+from ru_cdc_spark.sources.bucketed import colocated_order_lineitem_join
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    # disable auto-broadcast: at test scale Catalyst would broadcast the
+    # tiny side and hide the property under test (bucketed co-location
+    # eliminating the join shuffle for the fact⋈fact case)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # writes go to the session's default warehouse (gitignored locally)
+        df = colocated_order_lineitem_join(spark, sf_dir)
+        # the join itself must be exchange-free; the final small groupBy
+        # agg is the only allowed shuffle
+        assert count_exchanges(df) <= 1
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, type string, after struct<k:long, v:string>"
+    ).withColumn(
+        "before", F.col("after")
+    )
+
+
+def test_compaction_drops_only_settled_tombstones(spark):
+    b1 = _changes(spark, [
+        (1, "INSERT", (1, "a")), (2, "DELETE", (1, "a")),   # settled delete
+        (3, "INSERT", (2, "b")), (9, "DELETE", (3, "c")),   # recent delete
+    ])
+    snap = merge_versioned(None, b1, ["k"])
+    assert snapshot_view(snap).count() == 1  # only k=2 lives
+
+    compacted = compact_tombstones(snap, low_watermark_seq=5)
+    metas = {r["k"]: (r["__seq"], r["__deleted"]) for r in compacted.collect()}
+    assert 1 not in metas            # old tombstone physically dropped
+    assert metas[3] == (9, True)     # recent tombstone retained
+    assert metas[2] == (3, False)
+
+    # late old INSERT for k=3 still cannot resurrect (tombstone retained)
+    late = _changes(spark, [(8, "INSERT", (3, "zombie"))])
+    after = merge_versioned(compacted, late, ["k"])
+    assert snapshot_view(after).where("k = 3").count() == 0

@@ -159,6 +159,57 @@ def test_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
     assert diff == 0
 
 
+def test_schema_evolution_through_streaming_merge(spark, tmp_path):
+    """D11 end-to-end: a later batch carries a NEW column in its envelope;
+    the catalog widens, the snapshot gains the column, and pre-evolution
+    rows read NULL for it."""
+    import json
+
+    from ru_cdc_spark.catalog import TableCatalog
+    from ru_cdc_spark.operators.merge import snapshot_view
+    from ru_cdc_spark.streaming.pipeline import start_merge_evolving
+
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+
+    def payload(i, data, mysql_types):
+        return json.dumps({
+            "id": i, "database": "testdb", "table": "orders",
+            "type": "INSERT", "es": 1, "ts": 2, "pkNames": ["k"],
+            "isDdl": False, "sql": "",
+            "mysqlType": mysql_types, "data": [data],
+        })
+
+    v1_types = {"k": "bigint(20)", "v": "varchar(10)"}
+    batch1 = [payload(1, {"k": "1", "v": "a"}, v1_types),
+              payload(2, {"k": "2", "v": "b"}, v1_types)]
+    spark.createDataFrame([(p,) for p in batch1], ["value"]) \
+        .coalesce(1).write.mode("overwrite").text(src)
+
+    cfg = _config(src, str(tmp_path / "ck"))
+    catalog = TableCatalog()
+    pipe = CdcPipeline(spark, cfg)
+    q = start_merge_evolving(pipe, snap, catalog)
+    q.awaitTermination(120)
+    assert catalog.lookup("testdb", "orders").version == 1
+
+    # second batch: schema widened with a new column 'note'
+    v2_types = {"k": "bigint(20)", "v": "varchar(10)", "note": "varchar(20)"}
+    batch2 = [payload(3, {"k": "3", "v": "c", "note": "hello"}, v2_types),
+              payload(4, {"k": "1", "v": "a2", "note": "upd"}, v2_types)]
+    spark.createDataFrame([(p,) for p in batch2], ["value"]) \
+        .coalesce(1).write.mode("append").text(src)
+    q2 = start_merge_evolving(pipe, snap, catalog)
+    q2.awaitTermination(120)
+
+    assert catalog.lookup("testdb", "orders").version == 2
+    rows = {r["k"]: (r["v"], r["note"])
+            for r in snapshot_view(spark.read.parquet(snap)).collect()}
+    assert rows[2] == ("b", None)        # pre-evolution row: NULL note
+    assert rows[3] == ("c", "hello")     # new row with new column
+    assert rows[1] == ("a2", "upd")      # updated row got the new column
+
+
 def test_stateful_accumulates_across_batches(spark, tmp_path):
     """applyInPandasWithState keeps per-key state across micro-batches:
     after a second file drop the totals include both batches."""

@@ -430,6 +430,79 @@ FROM orders
 """
 
 
+def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin pattern (TPC-H Q2 shape): the full row of each customer's
+    cheapest order — window row_number over (price asc, key asc), the
+    shuffle-once alternative to a min-subquery + join-back."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.col("o_totalprice").cast(_DEC).alias("cheapest_price"),
+                "o_orderpriority")
+    )
+
+
+CHEAPEST_ORDER_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS cheapest_price, o_orderpriority
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+    FROM orders
+) WHERE rn = 1
+"""
+
+
+def rich_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no URGENT
+    order in 1995 — scalar-aggregate comparison + anti join. The average
+    comparison is multiplied through (balance * n > total) so it stays in
+    exact decimal arithmetic: no float division to diverge on boundaries.
+
+    Scale: the scalar aggregate is one tiny cross-joined row (broadcast);
+    the anti join is the shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast(_DEC).alias("bal"))
+    stats = cust.agg(
+        F.sum("bal").cast("decimal(38,2)").alias("total"),
+        F.count("*").alias("n"))
+    urgent95 = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderpriority") == "1-URGENT")
+               & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+               & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .where((F.col("bal") * F.col("n")).cast("decimal(38,2)") > F.col("total"))
+        .join(urgent95, cust.c_custkey == urgent95.o_custkey, "left_anti")
+        .select("c_custkey", F.col("bal").alias("c_acctbal"))
+    )
+
+
+RICH_CUSTOMERS_WITHOUT_ORDERS_SQL = """
+WITH stats AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+           COUNT(*) AS n
+    FROM customer
+)
+SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+FROM customer, stats
+WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * n AS DECIMAL(38,2)) > total
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+"""
+
+
 def customer_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left join + anti-join semantics in one result: every customer with
     order count (0 for none) and a no-orders flag — exercises outer joins

@@ -146,6 +146,64 @@ WHERE rank <= {ANN_TOP_K}
 """
 
 
+def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: each query probes its own bucket PLUS the 8
+    one-bit-flip neighbor buckets — the standard recall recovery for LSH
+    (9x candidate cost, still sum-of-bucket² not n²).
+
+    Scale: probes explode only the (small) query side; candidates stay
+    put. The probe join remains an equi-join on the bucket code.
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("e")))
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0) \
+           .select(F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"),
+                   F.col("nrm").alias("qn"), "bucket")
+    probes = q.withColumn(
+        "probe",
+        F.explode(F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_SIGN_BITS)
+        ])),
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor"), F.col("e").alias("ce"),
+                      F.col("nrm").alias("cn"), F.col("bucket").alias("probe"))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("q_vec").orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor").asc())
+    return (
+        cand.join(F.broadcast(probes), "probe")
+        .where(F.col("neighbor") != F.col("q_vec"))
+        .select("q_vec", "neighbor", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOP_K)
+    )
+
+
+ANN_MULTIPROBE_SQL = f"""
+WITH coded AS (
+    SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings
+),
+probes AS (
+    SELECT vec_id AS q_vec, embedding AS qe,
+           unnest([bucket] || list_transform(range(0, {N_SIGN_BITS}),
+                                             j -> xor(bucket, 1 << j))) AS probe
+    FROM coded WHERE vec_id % {QUERY_MOD} = 0
+)
+SELECT q_vec, neighbor, cos_sim, rank FROM (
+    SELECT p.q_vec, c.vec_id AS neighbor,
+           list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS cos_sim,
+           row_number() OVER (
+               PARTITION BY p.q_vec
+               ORDER BY list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS rank
+    FROM probes p
+    JOIN coded c ON c.bucket = p.probe AND c.vec_id <> p.q_vec
+)
+WHERE rank <= {ANN_TOP_K}
+"""
+
+
 def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style centroid computation: element-wise mean vector per label.
 

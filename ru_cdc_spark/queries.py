@@ -234,6 +234,10 @@ register("events_sessionize", _an.SESSIONIZE_EVENTS_SQL)(_an.sessionize_events)
 register("sales_rollup_cube", _an.SALES_ROLLUP_CUBE_SQL)(_an.sales_rollup_cube)
 register("order_priority_counts", _an.ORDER_PRIORITY_COUNTS_SQL)(_an.order_priority_counts)
 register("customer_order_balance", _an.CUSTOMER_ORDER_BALANCE_SQL)(_an.customer_order_balance)
+register("cheapest_order_per_customer",
+         _an.CHEAPEST_ORDER_PER_CUSTOMER_SQL)(_an.cheapest_order_per_customer)
+register("rich_customers_without_orders",
+         _an.RICH_CUSTOMERS_WITHOUT_ORDERS_SQL)(_an.rich_customers_without_orders)
 
 
 from ru_cdc_spark.operators import joins as _jn  # noqa: E402
@@ -331,6 +335,7 @@ from ru_cdc_spark.operators import textops as _tx  # noqa: E402
 
 register("knn_brute_force", _sim.KNN_BRUTE_FORCE_SQL)(_sim.knn_brute_force)
 register("ann_sign_lsh", _sim.ANN_SIGN_LSH_SQL)(_sim.ann_sign_lsh)
+register("ann_multiprobe", _sim.ANN_MULTIPROBE_SQL)(_sim.ann_multiprobe)
 register("centroid_per_label", _sim.CENTROID_PER_LABEL_SQL)(_sim.centroid_per_label)
 register("text_stats", _tx.TEXT_STATS_SQL)(_tx.text_stats)
 register("text_lang_id", _tx.LANG_ID_SQL)(_tx.lang_id)

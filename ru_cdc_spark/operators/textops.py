@@ -221,6 +221,68 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.length(norm) >= 5)
 
 
+WINNOW_K = 5   # char k-gram size
+WINNOW_W = 10  # winnowing window (min of each w consecutive gram hashes)
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03): hash char
+    k-grams, keep the min hash of every w-gram window, emit the distinct
+    sorted fingerprint set. Guarantees a shared fingerprint for any
+    sufficiently long common substring — the plagiarism/boilerplate
+    detector shape.
+
+    Scale: per-row array ops in codegen; output is a bounded fingerprint
+    set per doc (corpus-level matching joins on exploded fingerprints).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    normed = spread(docs).select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("norm"),
+    ).where(F.length("norm") >= WINNOW_K + WINNOW_W - 1)
+    norm = F.col("norm")
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.length(norm) - (WINNOW_K - 1)),
+        lambda i: F.md5(norm.substr(i, F.lit(WINNOW_K))),
+    )
+    with_h = normed.select("doc_id", gram_hashes.alias("h"))
+    windows_min = F.transform(
+        F.sequence(F.lit(1), F.size("h") - (WINNOW_W - 1)),
+        lambda i: F.array_min(F.slice("h", i, WINNOW_W)),
+    )
+    return with_h.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(windows_min)).alias("fingerprints"),
+    ).select("doc_id", F.size("fingerprints").alias("n_fingerprints"),
+             F.col("fingerprints")[0].alias("first_fp"),
+             F.element_at("fingerprints", -1).alias("last_fp"))
+
+
+DOC_WINNOWING_SQL = f"""
+WITH n AS (
+    SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+    FROM documents
+    WHERE length(regexp_replace(lower(text), '\\s+', ' ', 'g')) >= {WINNOW_K + WINNOW_W - 1}
+),
+h AS (
+    SELECT doc_id,
+           list_transform(range(1, length(norm) - {WINNOW_K - 2}),
+                          i -> md5(substr(norm, i, {WINNOW_K}))) AS h
+    FROM n
+),
+fp AS (
+    SELECT doc_id,
+           list_sort(list_distinct(
+               list_transform(range(1, len(h) - {WINNOW_W - 2}),
+                              i -> list_min(h[i:i+{WINNOW_W - 1}])))) AS fingerprints
+    FROM h
+)
+SELECT doc_id, len(fingerprints) AS n_fingerprints,
+       fingerprints[1] AS first_fp, fingerprints[-1] AS last_fp
+FROM fp
+"""
+
+
 DOC_FINGERPRINT_SQL = """
 WITH n AS (
     SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm

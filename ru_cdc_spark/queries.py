@@ -342,6 +342,7 @@ register("text_lang_id", _tx.LANG_ID_SQL)(_tx.lang_id)
 register("text_quality_score", _tx.QUALITY_SCORE_SQL)(_tx.quality_score)
 register("text_token_counts", _tx.TOKEN_COUNTS_SQL)(_tx.token_counts)
 register("doc_fingerprint", _tx.DOC_FINGERPRINT_SQL)(_tx.doc_fingerprint)
+register("doc_winnowing", _tx.DOC_WINNOWING_SQL)(_tx.doc_winnowing)
 register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)
 register("multimodal_decode_stub", None)(_mm.multimodal_decode_stub)
 

@@ -188,6 +188,76 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    vertex adopts the minimum label among itself and its neighbors until
+    fixpoint. Returns (vertex, component) with component = min vertex id
+    in the component (deterministic canonical representative).
+
+    Scale: each iteration is one join + one groupBy on the vertex id —
+    O(diameter) rounds (large-star/small-star halves the rounds if needed).
+    The fixpoint check is a driver-side count of changed labels per round
+    (an aggregate, not a collect of data).
+
+    This is the dedup *clustering* step: LSH candidate pairs in, one
+    canonical doc per near-duplicate cluster out.
+    """
+    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
+        edges.selectExpr(f"{dst} AS a", f"{src} AS b")).distinct()
+    verts = sym.select(F.col("a").alias("v")).distinct()
+    labels = verts.withColumn("label", F.col("v"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.v)
+            .groupBy(sym.a).agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("a", "v2")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == F.col("v2"), "left")
+            .select(F.col("v"),
+                    F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label")))
+                    .alias("label"))
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash-LSH
+    candidate pairs; each doc in a cluster maps to the min doc_id as its
+    canonical representative (docs not in any pair are their own cluster
+    and omitted here — they're trivially canonical)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_LSH_PAIRS_SQL.strip()}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(v, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+)
+SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+"""
+
+
 # ===========================================================================
 # SimHash
 # ===========================================================================

@@ -323,6 +323,7 @@ register("dedup_simhash_signatures", _dd.SIMHASH_SIGNATURES_SQL)(_dd.simhash_sig
 register("dedup_simhash_near_pairs", _dd.SIMHASH_NEAR_PAIRS_SQL)(_dd.simhash_near_pairs)
 register("dedup_ngram_jaccard", _dd.NGRAM_JACCARD_PAIRS_SQL)(_dd.ngram_jaccard_pairs)
 register("dedup_embedding_cosine", _dd.EMBEDDING_NEAR_DUP_SQL)(_dd.embedding_near_dup_pairs)
+register("dedup_clusters", _dd.DEDUP_CLUSTERS_SQL)(_dd.dedup_clusters)
 
 
 # ===========================================================================

@@ -16,8 +16,8 @@ DuckDB ``'0x...'::BIGINT``); float similarity uses sequential folds that are
 bit-identical to DuckDB's list functions (see functions/vector.py).
 
 Scale design (the part that matters at 100 TB):
-- shingling/explode is narrow; the only shuffles are the groupBy on
-  (doc, shingle-hash) and the band-bucket self-join.
+- MinHash/SimHash signatures are per-row array math — ZERO shuffle; the
+  only shuffle in the whole dedup path is the band-bucket self-join.
 - LSH band join is an equi-join on (band_idx, band_hash) — Spark
   shuffle-hash; hot buckets (boilerplate docs) are the classic skew source,
   mitigated by AQE skew-join plus a bucket-size cap (drop pathological
@@ -107,16 +107,33 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: for each seed s, min over shingles of
     md5('s:' || shingle) — md5 acts as the random permutation family.
 
-    Scale: explode(shingles) -> one groupBy(doc_id) shuffle with 8 min
-    aggregates (map-side combined). Signature bytes per doc are constant,
-    so the output is tiny relative to input.
+    Scale: the signature is a function of each doc's OWN shingles, so it
+    is computed entirely inside a narrow projection (array ops per row) —
+    ZERO shuffle. Only the downstream LSH band join ever shuffles. (An
+    explode+groupBy formulation computes the same values but pays a full
+    shuffle of the shingle set — pointless for a per-row aggregate.)
     """
-    sh = _shingles(spread(load_table(spark, sf_dir, "documents")))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.col("w")
+    k = 3
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int"))
+                                     for j in range(k)]),
+    ))
+    base = (
+        docs.select("doc_id", words_col(F.col("text")).alias("w"))
+        .where(F.size("w") >= k)
+        .select("doc_id", shingles.alias("sh"))
+    )
+    # factory closure: a `lambda x, s=s` would make the HOF pass the array
+    # index as the second argument, clobbering the seed
+    def mh(seed: int):
+        return F.array_min(F.transform(
+            F.col("sh"), lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+        )).alias(f"mh{seed}")
+
+    return base.select("doc_id", *[mh(s) for s in range(N_MINHASH)])
 
 
 _SHINGLES_CTE = _WORDS_CTE + """,
@@ -276,23 +293,29 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     all codegen; fingerprint output is 8 bytes/doc.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    wordrows = (
-        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
-        .distinct()
-        .withColumn("h", _word_hash_spark())
+    # narrow formulation: votes are over each doc's OWN distinct words, so
+    # the whole fingerprint is per-row array math — zero shuffle (the
+    # explode+groupBy alternative shuffles every word for no reason)
+    hashes = F.transform(
+        F.array_distinct(words_col(F.col("text"))),
+        lambda word: F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long"),
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    per_doc = wordrows.groupBy("doc_id").agg(*bit_sums)
+    base = docs.select("doc_id", hashes.alias("h")).where(F.size("h") > 0)
+    n = F.size("h")
+
+    def ones(bit: int):
+        # factory closure: a `lambda x, b=b` default would make the HOF
+        # pass the array index as the second argument, clobbering the bit
+        return F.size(F.filter(
+            F.col("h"), lambda x: F.shiftright(x, bit).bitwiseAND(F.lit(1)) == 1))
+
     fingerprint = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        # vote sum = ones - (n - ones) > 0  <=>  2*ones > n
+        term = F.when(ones(b) * 2 > n, F.lit(1 << b).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return per_doc.select("doc_id", fingerprint.alias("simhash"))
+    return base.select("doc_id", fingerprint.alias("simhash"))
 
 
 SIMHASH_SIGNATURES_SQL = _WORDS_CTE + """,

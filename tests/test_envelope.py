@@ -89,6 +89,37 @@ def test_json_serialization_parses_and_keeps_routing_cols(spark, sf_dir):
     assert isinstance(payload["data"], list)
 
 
+def test_envelope_json_round_trip(spark, sf_dir):
+    """Serde round trip: envelope -> Canal JSON -> ENVELOPE_SCHEMA parse
+    reproduces the original fields (the producer/consumer contract)."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.streaming.pipeline import ENVELOPE_SCHEMA
+
+    env = _envelope(spark, sf_dir).limit(200)
+    serialized = envelope_to_json(env)
+    parsed = serialized.select(
+        F.from_json("payload", ENVELOPE_SCHEMA).alias("e")).select("e.*")
+    back = parsed.select("id", "database", "table", "type", "es",
+                         F.col("data")[0]["o_totalprice"].alias("tp"),
+                         F.col("old")[0]["o_totalprice"].alias("old_tp"))
+    orig = env.select("id", "database", "table", "type", "es",
+                      F.col("data")[0]["o_totalprice"].alias("tp"),
+                      F.col("old")[0]["o_totalprice"].alias("old_tp"))
+    assert orig.exceptAll(back).count() == 0
+    assert back.exceptAll(orig).count() == 0
+
+
+def test_cli_gen_config_round_trip(tmp_path):
+    from ru_cdc_spark.__main__ import main
+    from ru_cdc_spark.config import PipelineConfig
+
+    p = str(tmp_path / "cfg.json")
+    assert main(["gen-config", p]) == 0
+    cfg = PipelineConfig.load_from(p)
+    assert cfg.instances[0].schemas == "test*"
+
+
 def test_numbers_are_stringified(spark, sf_dir):
     """F10 quirk: Canal emits numbers as quoted strings."""
     env = _envelope(spark, sf_dir)

@@ -39,10 +39,36 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# runtime-settable session defaults the results depend on — applied on
+# every query call because the DRIVER runs these with its own session,
+# which may not have been built by ru_cdc_spark.session.get_spark:
+#   - UTC: naive-timestamp epoch math must match DuckDB's UTC-naive view
+#   - nanosAsLong: events.parquet stores timestamp[ns] (unreadable
+#     otherwise; sources/readers.load_table converts back)
+_SESSION_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_defaults(spark: SparkSession) -> None:
+    for k, v in _SESSION_DEFAULTS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf in this session; trust its value
+            pass
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = QuerySpec(fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_defaults(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(wrapped, oracle)
         return fn
     return deco
 

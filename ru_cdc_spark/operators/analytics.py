@@ -503,6 +503,52 @@ WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * n AS DECIMAL(38,2)) > total
 """
 
 
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (region -> nation): per-nation counts, per-region
+    subtotals, grand total in one pass (Expand + partial agg)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum(F.col("c_acctbal").cast(_DEC)).cast("decimal(38,2)").alias("total_bal"))
+    )
+
+
+REGION_NATION_ROLLUP_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def priorities_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: sorted distinct priorities per
+    customer joined to a string (collect_set order is nondeterministic —
+    sort_array makes the result total-ordered and oracle-comparable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",")
+             .alias("priorities"))
+    )
+
+
+PRIORITIES_PER_CUSTOMER_SQL = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+FROM orders GROUP BY o_custkey
+"""
+
+
 def customer_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left join + anti-join semantics in one result: every customer with
     order count (0 for none) and a no-orders flag — exercises outer joins

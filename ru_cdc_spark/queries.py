@@ -264,6 +264,14 @@ register("cheapest_order_per_customer",
          _an.CHEAPEST_ORDER_PER_CUSTOMER_SQL)(_an.cheapest_order_per_customer)
 register("rich_customers_without_orders",
          _an.RICH_CUSTOMERS_WITHOUT_ORDERS_SQL)(_an.rich_customers_without_orders)
+register("region_nation_rollup", _an.REGION_NATION_ROLLUP_SQL)(_an.region_nation_rollup)
+register("priorities_per_customer",
+         _an.PRIORITIES_PER_CUSTOMER_SQL)(_an.priorities_per_customer)
+
+from ru_cdc_spark.operators import incremental as _inc  # noqa: E402
+
+register("incremental_customer_totals",
+         _inc.CUSTOMER_TOTALS_FROM_DELTAS_SQL)(_inc.customer_totals_from_deltas)
 
 
 from ru_cdc_spark.operators import joins as _jn  # noqa: E402

@@ -73,18 +73,27 @@ class CdcPipeline:
 
     # -- transform -----------------------------------------------------------
 
-    def routed(self, raw: DataFrame) -> DataFrame:
+    def routed(self, raw: DataFrame,
+               dropped_tables: list[tuple[str, str]] | None = None) -> DataFrame:
         """Two-phase parse + route: extract only (database, table), filter
         against instance rules, and parse the full envelope just for
         surviving rows — the reference's decode-after-filter optimization
         (executor.rs:528-553), expressed so Catalyst prunes the heavy
-        from_json behind the filter."""
+        from_json behind the filter.
+
+        ``dropped_tables`` is the catalog's negative cache (P6, reference
+        executor.rs:416-429): events for permanently-failed tables are
+        discarded before parsing, as a broadcastable literal filter.
+        """
         with_meta = raw.withColumn("__meta", F.from_json("payload", ROUTING_SCHEMA))
         flat = with_meta.select(
             F.col("__meta.database").alias("database"),
             F.col("__meta.table").alias("table"),
             "payload",
         )
+        if dropped_tables:
+            qualified = F.concat_ws(".", F.col("database"), F.col("table"))
+            flat = flat.where(~qualified.isin(*[f"{d}.{t}" for d, t in dropped_tables]))
         routed = route(flat, self.config.instances)
         return routed.withColumn("envelope", F.from_json("payload", ENVELOPE_SCHEMA))
 

@@ -159,6 +159,43 @@ def test_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
     assert diff == 0
 
 
+def test_negative_cache_drops_dead_tables(spark, sf_dir, tmp_path):
+    """P6: events for tables in the catalog's negative cache are discarded
+    before the envelope parse."""
+    src = str(tmp_path / "src")
+    n = _write_payload_files(spark, sf_dir, src)
+    pipe = CdcPipeline(spark, _config(src, str(tmp_path / "ckn")))
+    raw = spark.read.text(src).withColumnRenamed("value", "payload")
+    kept = pipe.routed(raw)
+    assert kept.count() == n
+    dropped = pipe.routed(raw, dropped_tables=[("testdb", "orders")])
+    assert dropped.count() == 0
+
+
+def test_dropduplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup with bounded state: duplicate event ids within the
+    watermark window are emitted once."""
+    src = str(tmp_path / "dups")
+    schema = "event_id long, ts timestamp, v double"
+    rows = [(1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:00:01", 1.0),   # dup id
+            (2, "2024-01-01 00:01:00", 2.0),
+            (2, "2024-01-01 00:01:30", 2.0),   # dup id
+            (3, "2024-01-01 00:02:00", 3.0)]
+    spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), v) for i, t, v in rows],
+        schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .withWatermark("ts", "10 minutes")
+              .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (stream.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert got == [1, 2, 3]
+
+
 def test_schema_evolution_through_streaming_merge(spark, tmp_path):
     """D11 end-to-end: a later batch carries a NEW column in its envelope;
     the catalog widens, the snapshot gains the column, and pre-evolution

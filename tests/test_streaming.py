@@ -172,6 +172,34 @@ def test_negative_cache_drops_dead_tables(spark, sf_dir, tmp_path):
     assert dropped.count() == 0
 
 
+def test_native_session_window(spark, sf_dir, tmp_path):
+    """Streaming session_window (gap-based) agrees with the batch
+    lag-gap sessionization on session counts."""
+    from ru_cdc_spark.operators.analytics import sessionize_events
+    from ru_cdc_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    src = str(tmp_path / "sess_src")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = (stream.withWatermark("ts", "1 day")
+           .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count("*").alias("n_events")))
+    q = (agg.writeStream.format("memory").queryName("sess_win")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.sql(
+        "SELECT user_id, count(*) AS n_sessions, sum(n_events) AS total "
+        "FROM sess_win GROUP BY user_id")
+    expected = sessionize_events(spark, sf_dir).select(
+        "user_id", "n_sessions", F.col("total_events").alias("total"))
+    diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert diff == 0
+
+
 def test_dropduplicates_within_watermark(spark, tmp_path):
     """Streaming dedup with bounded state: duplicate event ids within the
     watermark window are emitted once."""

@@ -19,6 +19,7 @@ from ru_cdc_spark.config import InstanceConfig, instance_condition_sql, route
 from ru_cdc_spark.operators.envelope import build_envelope
 from ru_cdc_spark.operators.merge import apply_changes
 from ru_cdc_spark.sources.cdc_fixture import (
+    CUSTOMER_CHANGES_ORACLE_CTE,
     ORDER_CHANGES_ORACLE_CTE,
     ORDERS_DATABASE,
     ORDERS_MYSQL_TYPES,
@@ -284,6 +285,47 @@ register("scd2_order_history", _an._scd2_sql())(_an.scd2_order_history)
 register("quantity_percentiles", _an.QUANTITY_PERCENTILES_SQL)(_an.quantity_percentiles)
 register("priority_rank_pandas_udf",
          _an.PRIORITY_RANK_PANDAS_UDF_SQL)(_an.priority_rank_pandas_udf)
+
+
+@register(
+    "cdc_customer_envelope",
+    CUSTOMER_CHANGES_ORACLE_CTE + """
+    SELECT id, 'testdb' AS database, 'customer' AS "table", type, es,
+           'c_custkey' AS pk0,
+           CASE WHEN type = 'DELETE' THEN b_mktsegment ELSE a_mktsegment END AS segment,
+           CAST(CASE WHEN type = 'DELETE' THEN b_acctbal ELSE a_acctbal END
+                AS VARCHAR) AS acctbal,
+           CASE WHEN type = 'UPDATE' THEN CAST(b_acctbal AS VARCHAR) END AS old_acctbal,
+           CASE WHEN type = 'UPDATE' AND b_mktsegment <> 'MACHINERY'
+                THEN b_mktsegment END AS old_segment
+    FROM cchanges
+    """,
+)
+def cdc_customer_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope on a SECOND table schema (multi-table CDC parity): same
+    builder, different catalog entry — proves the envelope/diff machinery
+    is schema-generic, not orders-specific."""
+    from ru_cdc_spark.sources.cdc_fixture import (
+        CUSTOMER_DATABASE,
+        CUSTOMER_MYSQL_TYPES,
+        CUSTOMER_PK,
+        CUSTOMER_TABLE,
+        derive_customer_changes,
+    )
+
+    env = build_envelope(
+        derive_customer_changes(spark, sf_dir),
+        CUSTOMER_DATABASE, CUSTOMER_TABLE, CUSTOMER_PK, CUSTOMER_MYSQL_TYPES,
+        processing_ts=F.lit(0),
+    )
+    return env.select(
+        "id", "database", "table", "type", "es",
+        F.col("pkNames")[0].alias("pk0"),
+        F.col("data")[0]["c_mktsegment"].alias("segment"),
+        F.col("data")[0]["c_acctbal"].alias("acctbal"),
+        F.col("old")[0]["c_acctbal"].alias("old_acctbal"),
+        F.col("old")[0]["c_mktsegment"].alias("old_segment"),
+    )
 
 
 @register(

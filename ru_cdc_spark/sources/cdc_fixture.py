@@ -113,6 +113,96 @@ def derive_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSTOMER_DATABASE = "testdb"
+CUSTOMER_TABLE = "customer"
+CUSTOMER_PK = ["c_custkey"]
+
+CUSTOMER_MYSQL_TYPES = {
+    "c_custkey": "bigint(20)",
+    "c_name": "varchar(25)",
+    "c_nationkey": "int(11)",
+    "c_acctbal": "decimal(18,2)",
+    "c_mktsegment": "char(10)",
+}
+
+
+def derive_customer_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-table change stream (multi-table CDC parity): every customer
+    INSERTs; c_custkey % 5 IN (0,1) UPDATEs (acctbal += 5.25, segment ->
+    MACHINERY); c_custkey % 5 = 2 DELETEs. Same single-pass shape as the
+    orders derivation."""
+    base = (
+        spread(load_table(spark, sf_dir, "customer"))
+        .select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
+            "c_mktsegment",
+            # deterministic event time derived from the key (customer has
+            # no timestamp column)
+            (F.lit(1_700_000_000_000) + F.col("c_custkey") * 1000).alias("es"),
+        )
+    )
+    img = F.struct("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    updated = F.struct(
+        F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey"),
+        (F.col("c_acctbal") + F.lit("5.25").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("c_acctbal"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+    )
+    null_img = F.when(F.lit(False), img)
+
+    def change(id_col, type_lit, before, after):
+        return F.struct(
+            id_col.alias("id"), F.lit(type_lit).alias("type"),
+            F.col("es").alias("es"), before.alias("before"), after.alias("after"),
+        )
+
+    events = F.filter(
+        F.array(
+            change(F.col("c_custkey") * 3, "INSERT", null_img, img),
+            F.when(F.col("c_custkey") % 5 < 2,
+                   change(F.col("c_custkey") * 3 + 1, "UPDATE", img, updated)),
+            F.when(F.col("c_custkey") % 5 == 2,
+                   change(F.col("c_custkey") * 3 + 2, "DELETE", img, null_img)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        base.select(F.explode(events).alias("c"))
+        .select("c.id", "c.type", "c.es", "c.before", "c.after")
+    )
+
+
+CUSTOMER_CHANGES_ORACLE_CTE = """
+WITH cbase AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal, c_mktsegment,
+           1700000000000 + c_custkey * 1000 AS es
+    FROM customer
+),
+cchanges AS (
+    SELECT c_custkey * 3 AS id, 'INSERT' AS type, es,
+           NULL::BIGINT AS b_custkey, NULL::VARCHAR AS b_name,
+           NULL::INTEGER AS b_nationkey, NULL::DECIMAL(18,2) AS b_acctbal,
+           NULL::VARCHAR AS b_mktsegment,
+           c_custkey AS a_custkey, c_name AS a_name, c_nationkey AS a_nationkey,
+           c_acctbal AS a_acctbal, c_mktsegment AS a_mktsegment
+    FROM cbase
+    UNION ALL
+    SELECT c_custkey * 3 + 1, 'UPDATE', es,
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal + 5.25 AS DECIMAL(18,2)), 'MACHINERY'
+    FROM cbase WHERE c_custkey % 5 < 2
+    UNION ALL
+    SELECT c_custkey * 3 + 2, 'DELETE', es,
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           NULL, NULL, NULL, NULL, NULL
+    FROM cbase WHERE c_custkey % 5 = 2
+)
+"""
+
+
 # DuckDB CTE computing the identical stream, flat (shared prefix for the
 # oracle SQL of every cdc_* query). Columns: id, type, es, and the
 # before/after images flattened with b_/a_ prefixes.

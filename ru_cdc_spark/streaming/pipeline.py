@@ -203,50 +203,66 @@ def start_merge_evolving(pipeline: CdcPipeline, snapshot_dir: str,
     into the TableCatalog (widening only), rebuilds the value schema, and
     merges — pre-evolution snapshot rows surface NULL for new columns.
 
-    Single-table stream assumed (like start_merge); multi-table streams
-    partition by (database, table) first.
+    Multi-table streams merge each table into its own snapshot directory
+    (``snapshot_dir/db.table``); a single-table stream writes directly to
+    ``snapshot_dir``. Sequence ids are per-table (what merge ordering
+    needs — the reference's global reader seq also orders within table).
 
     Scale: the per-batch catalog fold collects one row per distinct
-    (table, schema-version) — bounded by table count, not data size.
+    (table, schema-version), and the merge loop runs once per TABLE in
+    the batch — bounded by table count, never data size.
     """
     from ru_cdc_spark.catalog import FieldMeta
     from ru_cdc_spark.operators.merge import merge_versioned
 
     spark = pipeline.spark
     envelopes = pipeline.routed(pipeline.read_stream()) \
-        .select("envelope.*").dropDuplicates(["id"])
+        .select("envelope.*").dropDuplicates(["id", "database", "table"])
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        metas = (batch_df.select(
-                    "database", "table", "pkNames", "mysqlType",
-                    F.to_json("mysqlType").alias("__mt"))  # maps can't dedupe
-                 .dropDuplicates(["database", "table", "__mt"]).collect())
-        for r in metas:
-            pks = set(r["pkNames"] or [])
-            fields = [FieldMeta(name, t, name in pks)
-                      for name, t in r["mysqlType"].items()]
-            catalog.evolve(r["database"], r["table"], fields)
-        schema_obj = catalog.lookup(metas[0]["database"], metas[0]["table"])
-        value_schema = schema_obj.struct_type()
-        pk_cols = schema_obj.pk_names
-
-        data_map = F.element_at(F.col("data"), 1)
-        typed = batch_df.select(
-            "id", "type",
-            F.struct(*[
-                data_map.getItem(f.name).cast(f.dataType).alias(f.name)
-                for f in value_schema.fields
-            ]).alias("after"),
-        ).withColumn("before", F.col("after"))
+        batch_df = batch_df.persist()
         try:
-            snapshot_meta = spark.read.option("mergeSchema", "true").parquet(snapshot_dir)
-        except Exception:
-            snapshot_meta = None
-        merged = merge_versioned(snapshot_meta, typed, pk_cols)
-        merged.write.mode("overwrite").parquet(snapshot_dir + "_next")
-        spark.read.parquet(snapshot_dir + "_next").write.mode("overwrite").parquet(snapshot_dir)
+            metas = (batch_df.select(
+                        "database", "table", "pkNames", "mysqlType",
+                        F.to_json("mysqlType").alias("__mt"))  # maps can't dedupe
+                     .dropDuplicates(["database", "table", "__mt"]).collect())
+            for r in metas:
+                pks = set(r["pkNames"] or [])
+                fields = [FieldMeta(name, t, name in pks)
+                          for name, t in r["mysqlType"].items()]
+                catalog.evolve(r["database"], r["table"], fields)
+
+            # one merge per table present in the batch (multi-table streams:
+            # the loop is over the bounded table list, never over rows)
+            tables = sorted({(r["database"], r["table"]) for r in metas})
+            for db, tb in tables:
+                schema_obj = catalog.lookup(db, tb)
+                value_schema = schema_obj.struct_type()
+                pk_cols = schema_obj.pk_names
+                table_dir = (snapshot_dir if len(tables) == 1
+                             else f"{snapshot_dir}/{db}.{tb}")
+
+                data_map = F.element_at(F.col("data"), 1)
+                typed = batch_df.where(
+                    (F.col("database") == db) & (F.col("table") == tb)
+                ).select(
+                    "id", "type",
+                    F.struct(*[
+                        data_map.getItem(f.name).cast(f.dataType).alias(f.name)
+                        for f in value_schema.fields
+                    ]).alias("after"),
+                ).withColumn("before", F.col("after"))
+                try:
+                    snapshot_meta = spark.read.option("mergeSchema", "true").parquet(table_dir)
+                except Exception:
+                    snapshot_meta = None
+                merged = merge_versioned(snapshot_meta, typed, pk_cols)
+                merged.write.mode("overwrite").parquet(table_dir + "_next")
+                spark.read.parquet(table_dir + "_next").write.mode("overwrite").parquet(table_dir)
+        finally:
+            batch_df.unpersist()
 
     return (
         envelopes.writeStream.foreachBatch(apply_batch)

@@ -159,6 +159,56 @@ def test_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
     assert diff == 0
 
 
+def test_multi_table_streaming_merge(spark, sf_dir, tmp_path):
+    """A mixed orders+customer change stream merges into per-table
+    snapshots that match each table's batch MERGE oracle."""
+    from ru_cdc_spark.catalog import TableCatalog
+    from ru_cdc_spark.operators.envelope import build_envelope, envelope_to_json
+    from ru_cdc_spark.operators.merge import apply_changes, snapshot_view
+    from ru_cdc_spark.sources.cdc_fixture import (
+        CUSTOMER_DATABASE,
+        CUSTOMER_MYSQL_TYPES,
+        CUSTOMER_PK,
+        CUSTOMER_TABLE,
+        derive_customer_changes,
+    )
+    from ru_cdc_spark.streaming.pipeline import start_merge_evolving
+
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snaps")
+
+    env_orders = build_envelope(
+        derive_order_changes(spark, sf_dir),
+        ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK, ORDERS_MYSQL_TYPES,
+        processing_ts=F.lit(0))
+    env_cust = build_envelope(
+        derive_customer_changes(spark, sf_dir),
+        CUSTOMER_DATABASE, CUSTOMER_TABLE, CUSTOMER_PK, CUSTOMER_MYSQL_TYPES,
+        processing_ts=F.lit(0))
+    mixed = envelope_to_json(env_orders).select("payload").unionByName(
+        envelope_to_json(env_cust).select("payload"))
+    mixed.repartition(3).write.mode("overwrite").text(src)
+
+    cfg = PipelineConfig(
+        source_path=src, checkpoint_dir=str(tmp_path / "ck"),
+        instances=[InstanceConfig(mq="m", schemas="testdb", tables="*", topic="t")],
+    )
+    q = start_merge_evolving(CdcPipeline(spark, cfg), snap, TableCatalog())
+    q.awaitTermination(300)
+
+    got_orders = snapshot_view(spark.read.parquet(f"{snap}/testdb.orders"))
+    exp_orders = apply_changes(derive_order_changes(spark, sf_dir), ORDERS_PK) \
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority")
+    assert got_orders.select(exp_orders.columns).exceptAll(exp_orders).count() == 0
+    assert got_orders.count() == exp_orders.count()
+
+    got_cust = snapshot_view(spark.read.parquet(f"{snap}/testdb.customer"))
+    exp_cust = apply_changes(derive_customer_changes(spark, sf_dir), CUSTOMER_PK)
+    assert got_cust.select(exp_cust.columns).exceptAll(exp_cust).count() == 0
+    assert got_cust.count() == exp_cust.count()
+
+
 def test_negative_cache_drops_dead_tables(spark, sf_dir, tmp_path):
     """P6: events for tables in the catalog's negative cache are discarded
     before the envelope parse."""

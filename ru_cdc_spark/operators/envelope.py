@@ -146,8 +146,7 @@ def envelope_to_json(envelope: DataFrame) -> DataFrame:
     routing metadata columns (database, table) kept OUTSIDE the payload so
     downstream routing filters never parse JSON (the reference's
     filter-before-decode, executor.rs:528-537; our P5 analog)."""
-    payload_cols = [c for c in envelope.columns]
     return envelope.select(
         "database", "table", "id",
-        F.to_json(F.struct(*payload_cols)).alias("payload"),
+        F.to_json(F.struct(*envelope.columns)).alias("payload"),
     )

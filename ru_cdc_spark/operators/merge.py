@@ -124,7 +124,9 @@ def merge_upsert(snapshot: DataFrame, changes: DataFrame, pk_cols: list[str],
     """
     last = latest_changes(changes, pk_cols, seq_col)
     upserts = last.where(F.col(type_col) != "DELETE").select("after.*")
-    touched = last.select(*[F.col(f"before.{c}") if False else F.coalesce(
-        F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c) for c in pk_cols])
+    touched = last.select(*[
+        F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+        for c in pk_cols
+    ])
     untouched = snapshot.join(touched, on=pk_cols, how="left_anti")
     return untouched.unionByName(upserts)

@@ -68,7 +68,7 @@ SELECT doc_id, lang, source,
        CAST(len(list_filter(words, x -> list_contains({STOPWORDS!r}, x))) AS DOUBLE)
            / len(words) AS stopword_ratio
 FROM w WHERE len(words) > 0
-""".replace("'", "'")
+"""
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,73 @@
+"""Empty-input and degenerate-case behavior for core operators (the class
+of bug the empty-instances route crash came from)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.envelope import build_envelope
+from ru_cdc_spark.operators.merge import apply_changes, merge_versioned, snapshot_view
+from ru_cdc_spark.operators.dedup import connected_components
+from ru_cdc_spark.operators.joins import asof_join
+from ru_cdc_spark.sources.cdc_fixture import (
+    ORDERS_DATABASE,
+    ORDERS_MYSQL_TYPES,
+    ORDERS_PK,
+    ORDERS_TABLE,
+    derive_order_changes,
+)
+
+
+def test_empty_change_stream_pipelines(spark, sf_dir):
+    empty = derive_order_changes(spark, sf_dir).limit(0)
+    env = build_envelope(empty, ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK,
+                         ORDERS_MYSQL_TYPES, processing_ts=F.lit(0))
+    assert env.count() == 0
+    assert apply_changes(empty, ORDERS_PK).count() == 0
+    snap = merge_versioned(None, empty, ORDERS_PK)
+    assert snapshot_view(snap).count() == 0
+
+
+def test_merge_versioned_none_then_batch(spark, sf_dir):
+    ch = derive_order_changes(spark, sf_dir).limit(30)
+    snap = merge_versioned(None, ch, ORDERS_PK)
+    # applying the SAME batch again is a no-op (idempotent replay)
+    again = merge_versioned(snap, ch, ORDERS_PK)
+    assert snap.count() == again.count()
+    assert snap.exceptAll(again).count() == 0
+
+
+def test_connected_components_edge_cases(spark):
+    # empty edge set
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+    # self-loop and a 2-chain
+    edges = spark.createDataFrame([(1, 1), (2, 3), (3, 4)], ["src", "dst"])
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp[1] == 1
+    assert comp[2] == comp[3] == comp[4] == 2
+
+
+def test_asof_join_no_right_rows(spark):
+    left = spark.createDataFrame([(1, 10, 100)], "event_id long, k long, t long")
+    right = spark.createDataFrame([], "k long, rt long, payload long")
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="rt",
+                    payload_cols=["payload"], left_id="event_id")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["payload"] is None
+
+
+def test_envelope_single_row_update_no_change(spark):
+    """An UPDATE whose before == after yields an empty old map (no
+    changed columns) — the diff must not fabricate entries."""
+    ch = spark.createDataFrame(
+        [(1, "UPDATE", 0, (5, "x"), (5, "x"))],
+        "id long, type string, es long, "
+        "before struct<k:long, v:string>, after struct<k:long, v:string>",
+    )
+    env = build_envelope(ch, "db", "t", ["k"],
+                         {"k": "bigint(20)", "v": "varchar(10)"},
+                         processing_ts=F.lit(0))
+    row = env.collect()[0]
+    assert row["old"] is not None and row["old"][0] == {}

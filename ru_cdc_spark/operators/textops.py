@@ -124,6 +124,92 @@ FROM scored
 LANG_ID_SQL = _lang_id_sql()
 
 
+# per-language character-bigram profiles (tiny, deterministic stand-ins for
+# trained profiles; the operator shape — profile overlap scoring — is the
+# real thing)
+LANG_BIGRAM_PROFILES: dict[str, list[str]] = {
+    "de": ["ch", "ei", "en", "er", "sc"],
+    "en": ["th", "he", "in", "er", "an"],
+    "es": ["de", "la", "os", "en", "el"],
+    "fr": ["le", "es", "en", "ou", "qu"],
+    "zh": ["zh", "sh", "ng", "ia", "uo"],
+}
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language ID (the classic textcat/CLD shape): count how
+    many of the doc's distinct character bigrams hit each language's
+    profile; argmax with lexicographic tiebreak, 'und' on zero.
+
+    Scale: narrow per-row array math (bigram set vs literal profiles)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", " ")
+    base = docs.select("doc_id", F.col("lang").alias("declared_lang"),
+                       norm.alias("nm"))
+    nm = F.col("nm")
+    bigrams = F.array_distinct(F.filter(
+        F.transform(F.sequence(F.lit(1), F.length(nm) - 1),
+                    lambda i: nm.substr(i, F.lit(2))),
+        lambda g: ~g.contains(" "),
+    ))
+    with_grams = base.select("doc_id", "declared_lang", bigrams.alias("g"))
+
+    def score(lang: str):
+        profile = LANG_BIGRAM_PROFILES[lang]
+        return F.size(F.filter(F.col("g"), lambda x: x.isin(*profile))) \
+            .alias(f"score_{lang}")
+
+    langs = sorted(LANG_BIGRAM_PROFILES)
+    scored = with_grams.select("doc_id", "declared_lang",
+                               *[score(lang) for lang in langs])
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    predicted = F.lit("und")
+    for lang in reversed(langs):
+        predicted = F.when((F.col(f"score_{lang}") == best) & (best > 0),
+                           F.lit(lang)).otherwise(predicted)
+    return scored.select("doc_id", "declared_lang",
+                         predicted.alias("predicted_lang"),
+                         best.alias("best_score"))
+
+
+def _lang_id_ngram_sql() -> str:
+    langs = sorted(LANG_BIGRAM_PROFILES)
+    score_exprs = ",\n".join(
+        f"       len(list_filter(g, x -> list_contains("
+        f"{LANG_BIGRAM_PROFILES[lang]!r}, x))) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = "CASE "
+    for la in langs:
+        case += f"WHEN score_{la} = {best} AND {best} > 0 THEN '{la}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH n AS (
+    SELECT doc_id, lang AS declared_lang,
+           regexp_replace(lower(text), '[^a-z]', ' ', 'g') AS nm
+    FROM documents
+),
+g AS (
+    SELECT doc_id, declared_lang,
+           list_distinct(list_filter(
+               list_transform(range(1, length(nm)), i -> substr(nm, i, 2)),
+               x -> NOT contains(x, ' '))) AS g
+    FROM n
+),
+scored AS (
+    SELECT doc_id, declared_lang,
+{score_exprs}
+    FROM g
+)
+SELECT doc_id, declared_lang, {case} AS predicted_lang, {best} AS best_score
+FROM scored
+"""
+
+
+LANG_ID_NGRAM_SQL = _lang_id_ngram_sql()
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (Gopher/C4-style signals, simplified):
     penalize too-short/too-long docs, low distinct ratio, zero stopwords.

@@ -416,6 +416,7 @@ register("ann_multiprobe", _sim.ANN_MULTIPROBE_SQL)(_sim.ann_multiprobe)
 register("centroid_per_label", _sim.CENTROID_PER_LABEL_SQL)(_sim.centroid_per_label)
 register("text_stats", _tx.TEXT_STATS_SQL)(_tx.text_stats)
 register("text_lang_id", _tx.LANG_ID_SQL)(_tx.lang_id)
+register("text_lang_id_ngram", _tx.LANG_ID_NGRAM_SQL)(_tx.lang_id_ngram)
 register("text_quality_score", _tx.QUALITY_SCORE_SQL)(_tx.quality_score)
 register("text_token_counts", _tx.TOKEN_COUNTS_SQL)(_tx.token_counts)
 register("doc_fingerprint", _tx.DOC_FINGERPRINT_SQL)(_tx.doc_fingerprint)

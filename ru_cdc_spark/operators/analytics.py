@@ -503,6 +503,170 @@ WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * n AS DECIMAL(38,2)) > total
 """
 
 
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single filtered aggregate — the pure scan-bandwidth
+    query (predicates all push to parquet; one partial-agg shuffle of a
+    single row per partition)."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    rev = (F.col("l_extendedprice").cast(_DEC)
+           * F.col("l_discount").cast("decimal(4,2)")).cast("decimal(30,4)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(30,4)))
+       AS DECIMAL(38,4)) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late lineitem (shipped
+    after the order date), counted per priority — EXISTS as a left_semi
+    join with a compound (equi + range) condition."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")))
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi")
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+LATE_ORDER_PRIORITY_COUNTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way counts per group (high- vs
+    low-priority orders among 1996 shipments, keyed by returnflag as the
+    shipmode stand-in)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = spread(load_table(spark, sf_dir, "lineitem")).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_priority"))
+    )
+
+
+SHIPMODE_PRIORITY_COUNTS_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_priority,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+           AS low_priority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship-month — ratio of two
+    decimal sums emitted as a rounded double (identical operands both
+    engines => identical quotient)."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast(_DEC)
+           * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+           ).cast("decimal(30,4)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                  .otherwise(F.lit(0).cast("decimal(30,4)"))).cast("decimal(38,4)")
+    total = F.sum(rev).cast("decimal(38,4)")
+    return (
+        joined.groupBy(month.alias("ship_month"))
+        .agg(promo.alias("promo_revenue"), total.alias("total_revenue"))
+        .select("ship_month", "promo_revenue", "total_revenue",
+                F.round(F.col("promo_revenue").cast("double")
+                        / F.col("total_revenue").cast("double") * 100, 6)
+                .alias("promo_pct"))
+    )
+
+
+PROMO_REVENUE_RATIO_SQL = """
+WITH per_month AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     AS DECIMAL(30,4))
+                ELSE CAST(0 AS DECIMAL(30,4)) END) AS DECIMAL(38,4)) AS promo_revenue,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+)
+SELECT ship_month, promo_revenue, total_revenue,
+       ROUND(CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE) * 100, 6)
+           AS promo_pct
+FROM per_month
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, joined back to customer — group + having + join-back."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("decimal(38,2)").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "total_qty",
+                F.col("o_totalprice").cast(_DEC).alias("o_totalprice"))
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = """
+SELECT c_custkey, o_orderkey, total_qty,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+FROM (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 150
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy (region -> nation): per-nation counts, per-region
     subtotals, grand total in one pass (Expand + partial agg)."""

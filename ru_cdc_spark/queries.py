@@ -265,6 +265,14 @@ register("cheapest_order_per_customer",
          _an.CHEAPEST_ORDER_PER_CUSTOMER_SQL)(_an.cheapest_order_per_customer)
 register("rich_customers_without_orders",
          _an.RICH_CUSTOMERS_WITHOUT_ORDERS_SQL)(_an.rich_customers_without_orders)
+register("q4_late_order_priority",
+         _an.LATE_ORDER_PRIORITY_COUNTS_SQL)(_an.late_order_priority_counts)
+register("q6_forecast_revenue", _an.FORECAST_REVENUE_CHANGE_SQL)(_an.forecast_revenue_change)
+register("q12_shipmode_priority",
+         _an.SHIPMODE_PRIORITY_COUNTS_SQL)(_an.shipmode_priority_counts)
+register("q14_promo_revenue", _an.PROMO_REVENUE_RATIO_SQL)(_an.promo_revenue_ratio)
+register("q18_large_volume_customers",
+         _an.LARGE_VOLUME_CUSTOMERS_SQL)(_an.large_volume_customers)
 register("region_nation_rollup", _an.REGION_NATION_ROLLUP_SQL)(_an.region_nation_rollup)
 register("priorities_per_customer",
          _an.PRIORITIES_PER_CUSTOMER_SQL)(_an.priorities_per_customer)

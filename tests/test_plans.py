@@ -11,6 +11,7 @@ from ru_cdc_spark.plans import (
     assert_pruned,
     assert_pushed,
     count_exchanges,
+    formatted_plan,
     has_broadcast_join,
     physical_plan,
 )
@@ -58,6 +59,43 @@ def test_routing_prunes_columns(spark, sf_dir):
     df = REGISTRY["cdc_route"].fn(spark, sf_dir)
     # customer has 5 columns; routing needs only c_custkey + c_mktsegment
     assert_pruned(df, table_cols=5, max_read_cols=2)
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """Join strategy is controllable per join: SHUFFLE_HASH and MERGE
+    hints produce the hinted physical operators (the knob for when AQE's
+    choice is wrong at scale)."""
+    from ru_cdc_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sh = li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+    assert "ShuffledHashJoin" in physical_plan(sh)
+    sm = li.join(orders.hint("MERGE"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in physical_plan(sm)
+
+
+def test_partition_pruning_on_partitioned_output(spark, sf_dir, tmp_path):
+    """Writing partitionBy(year) and filtering on the partition column
+    prunes directories at the scan (PartitionFilters non-empty, a single
+    partition read) — the storage-layout half of scale design."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.sources.readers import load_table
+
+    out = str(tmp_path / "orders_by_year")
+    (load_table(spark, sf_dir, "orders")
+     .withColumn("order_year", F.year("o_orderdate"))
+     .write.mode("overwrite").partitionBy("order_year").parquet(out))
+
+    df = spark.read.parquet(out).where(F.col("order_year") == 1995) \
+        .select("o_orderkey")
+    plan = formatted_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "order_year" in m.group(1), plan[:1500]
+    assert df.count() > 0
 
 
 def test_merge_single_pk_shuffle(spark, sf_dir):

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ru_cdc_spark.operators.dedup import words_col, _WORDS_SQL
+from ru_cdc_spark.operators.dedup import words_col, _WORDS_CTE, _WORDS_SQL
 from ru_cdc_spark.sources.readers import load_table, spread
 
 # marker stopwords per language — deliberately tiny; deterministic argmax
@@ -305,6 +305,91 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("full_hash"),
         F.array_min(F.transform(grams, F.md5)).alias("min_gram_hash"),
     ).where(F.length(norm) >= 5)
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
+    """TF-IDF-style top terms per document, with a rational score
+    (tf x N/df computed as an exact integer ratio — no logarithms, whose
+    last-ulp platform differences would break cross-engine ranking):
+
+        score = (term_count_in_doc * N_docs) / (doc_len * docs_with_term)
+
+    Scale: the explode + (doc, word) count is one shuffle; document
+    frequency is a broadcastable word-level aggregate; ranking partitions
+    by doc. The inverted-index/feature-extraction shape for search and
+    clustering pipelines.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    doc_len = words.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+
+    from pyspark.sql import Window
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "word",
+            ((F.col("tf") * F.col("n_docs")).cast("double")
+             / (F.col("doc_len") * F.col("df")).cast("double")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+TFIDF_TOP_TERMS_SQL = _WORDS_CTE + """,
+exploded AS (SELECT doc_id, unnest(w) AS word FROM words),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM exploded GROUP BY 1, 2),
+doc_len AS (SELECT doc_id, COUNT(*) AS doc_len FROM exploded GROUP BY 1),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, word, score, rank FROM (
+    SELECT tf.doc_id, tf.word,
+           CAST(tf.tf * n.n_docs AS DOUBLE)
+               / CAST(doc_len.doc_len * dfreq.df AS DOUBLE) AS score,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE)
+                        / CAST(doc_len.doc_len * dfreq.df AS DOUBLE) DESC,
+                        tf.word ASC) AS rank
+    FROM tf JOIN doc_len USING (doc_id) JOIN dfreq USING (word), n
+)
+WHERE rank <= 3
+"""
+
+
+def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: per word, the sorted posting list of documents
+    (joined to a string for engine-stable comparison) + document
+    frequency. The search-index build step.
+
+    Scale: one shuffle on the word; posting lists for stop-words are the
+    skew hazard — production caps or tiers them (the df column is the
+    signal)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.array_join(F.array_sort(F.collect_set("doc_id")), ",").alias("postings"),
+        )
+    )
+
+
+POSTING_LISTS_SQL = _WORDS_CTE + """,
+exploded AS (SELECT doc_id, unnest(w) AS word FROM words)
+SELECT word, COUNT(DISTINCT doc_id) AS df,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+FROM exploded GROUP BY word
+"""
 
 
 WINNOW_K = 5   # char k-gram size

@@ -429,6 +429,8 @@ register("text_quality_score", _tx.QUALITY_SCORE_SQL)(_tx.quality_score)
 register("text_token_counts", _tx.TOKEN_COUNTS_SQL)(_tx.token_counts)
 register("doc_fingerprint", _tx.DOC_FINGERPRINT_SQL)(_tx.doc_fingerprint)
 register("doc_winnowing", _tx.DOC_WINNOWING_SQL)(_tx.doc_winnowing)
+register("text_tfidf_top_terms", _tx.TFIDF_TOP_TERMS_SQL)(_tx.tfidf_top_terms)
+register("text_posting_lists", _tx.POSTING_LISTS_SQL)(_tx.posting_lists)
 register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)
 register("multimodal_decode_stub", None)(_mm.multimodal_decode_stub)
 

@@ -43,6 +43,54 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end streaming CDC throughput (the reference's headline
+    metric shape): Canal payloads through readStream -> two-phase parse ->
+    route -> parquet sink with checkpointing, availableNow. Returns
+    (elapsed_sec, rows)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.config import InstanceConfig, PipelineConfig
+    from ru_cdc_spark.operators.envelope import build_envelope, envelope_to_json
+    from ru_cdc_spark.sources.cdc_fixture import (
+        ORDERS_DATABASE,
+        ORDERS_MYSQL_TYPES,
+        ORDERS_PK,
+        ORDERS_TABLE,
+        derive_order_changes,
+    )
+    from ru_cdc_spark.streaming.pipeline import CdcPipeline
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        env = build_envelope(
+            derive_order_changes(spark, sf_dir),
+            ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK, ORDERS_MYSQL_TYPES,
+            processing_ts=F.lit(0))
+        payloads = envelope_to_json(env).select("payload")
+        src = f"{work}/src"
+        payloads.repartition(8).write.mode("overwrite").text(src)
+        n_rows = spark.read.text(src).count()
+
+        cfg = PipelineConfig(
+            source_path=src, checkpoint_dir=f"{work}/ck",
+            max_events_per_trigger=10_000_000,  # single availableNow batch
+            instances=[InstanceConfig(mq="m", schemas="test*", tables="*",
+                                      topic="bench_topic")],
+        )
+        pipe = CdcPipeline(spark, cfg)
+        t0 = time.time()
+        q = pipe.start_to_parquet(f"{work}/out", f"{work}/ck")
+        q.awaitTermination(600)
+        elapsed = time.time() - t0
+        return elapsed, n_rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -60,6 +108,9 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    stream_sec, stream_rows = bench_stream_pipeline(spark, sf_dir)
+    timings["cdc_stream_pipeline"] = round(stream_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -67,6 +118,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc_stream_rows": stream_rows,
+        "cdc_stream_rows_per_sec": round(stream_rows / stream_sec, 1),
     }))
 
 

@@ -337,6 +337,54 @@ def cdc_customer_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gap_stats_pandas",
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            AS TIMESTAMP)) AS gap_us
+        FROM events
+    )
+    SELECT user_id, COUNT(gap_us) AS n_gaps,
+           CAST(median(gap_us) AS DOUBLE) / 1000000.0 AS median_gap_s,
+           CAST(MIN(gap_us) AS DOUBLE) / 1000000.0 AS min_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+)
+def events_gap_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the per-group pandas operator shape):
+    per-user inter-event gap statistics computed with pandas inside Arrow
+    batches — for logic that is genuinely easier in pandas (order-dependent
+    group computations), while the shuffle/grouping stays in Spark.
+
+    Scale: one shuffle on the group key; each group materializes as one
+    pandas frame — bounded by the largest user's event count (power users
+    are the memory hazard; cap or pre-split in production)."""
+    import pandas as pd
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # exact integer microsecond gaps (double-seconds subtraction loses
+        # ulps differently than the oracle's integer epoch_us)
+        us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        gaps = us.diff().dropna()
+        if len(gaps) == 0:
+            return pd.DataFrame(columns=["user_id", "n_gaps", "median_gap_s", "min_gap_s"])
+        return pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_gaps": [len(gaps)],
+            "median_gap_s": [float(gaps.median()) / 1e6],
+            "min_gap_s": [float(gaps.min()) / 1e6],
+        })
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    return ev.groupBy("user_id").applyInPandas(
+        per_user, schema="user_id long, n_gaps long, median_gap_s double, min_gap_s double")
+
+
+@register(
     "part_type_set_ops",
     """
     SELECT 'both' AS op, p_type FROM (

@@ -278,6 +278,9 @@ register("priorities_per_customer",
          _an.PRIORITIES_PER_CUSTOMER_SQL)(_an.priorities_per_customer)
 
 from ru_cdc_spark.operators import incremental as _inc  # noqa: E402
+from ru_cdc_spark.operators import profile as _pf  # noqa: E402
+
+register("profile_orders", _pf.PROFILE_ORDERS_SQL)(_pf.profile_orders)
 
 register("incremental_customer_totals",
          _inc.CUSTOMER_TOTALS_FROM_DELTAS_SQL)(_inc.customer_totals_from_deltas)

@@ -97,6 +97,31 @@ class CdcPipeline:
         routed = route(flat, self.config.instances)
         return routed.withColumn("envelope", F.from_json("payload", ENVELOPE_SCHEMA))
 
+    def split_dead_letters(self, raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Malformed-payload quarantine (dead-letter queue): rows whose
+        payload fails the routing-schema parse (or carries no database/
+        table) are split off instead of silently dropped — the reference
+        has no bad-input path at all (binlog bytes are trusted); a
+        JSON-transport engine needs one.
+
+        Returns (good, dead) frames; ``dead`` keeps the raw payload plus
+        an error tag for replay/inspection.
+        """
+        with_meta = raw.withColumn("__meta", F.from_json("payload", ROUTING_SCHEMA))
+        ok = F.col("__meta").isNotNull() & F.col("__meta.database").isNotNull() \
+            & F.col("__meta.table").isNotNull()
+        good = with_meta.where(ok).select(
+            F.col("__meta.database").alias("database"),
+            F.col("__meta.table").alias("table"),
+            "payload",
+        )
+        dead = with_meta.where(~ok).select(
+            "payload",
+            F.lit("unparseable_or_missing_routing_fields").alias("error"),
+            F.current_timestamp().alias("quarantined_at"),
+        )
+        return good, dead
+
     def sink_rows(self, routed: DataFrame) -> DataFrame:
         """Kafka-shaped output: (topic, key, value). Key = database.table:pk
         so log-compacted topics keep per-row latest (and per-key ordering

@@ -405,7 +405,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     along the block join. Jaccard = |∩| / |∪| over distinct bigrams — an
     exact integer ratio, so the double compares identically cross-engine.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w = words_col(F.col("text"))
     bigrams = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size(w) - 2),
@@ -415,16 +415,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     base = docs.select("doc_id", "lang", "source", bigrams.alias("grams")) \
                .where(F.size("grams") > 0)
     a, b = base.alias("a"), base.alias("b")
+    # compute the intersection ONCE per pair; jaccard derives from it
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
+    paired = (
         a.join(b, ["lang", "source"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            "lang", "source", jac.alias("jaccard"),
+            "lang", "source",
+            inter.alias("__i"),
+            (F.size(F.col("a.grams")) + F.size(F.col("b.grams"))).alias("__ab"),
         )
+    )
+    jac = F.col("__i").cast("double") / (F.col("__ab") - F.col("__i")).cast("double")
+    return (
+        paired.select("doc_a", "doc_b", "lang", "source", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

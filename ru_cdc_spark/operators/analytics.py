@@ -746,3 +746,267 @@ LEFT JOIN (
     FROM orders GROUP BY o_custkey
 ) ON c_custkey = o_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard TPC-H plan shapes adapted to the reduced schema (no partsupp /
+# commitdate): correlated per-group aggregates, disjunctive pushdown,
+# multi-EXISTS self-joins, count-distribution histograms.
+# ---------------------------------------------------------------------------
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below 20%
+    of the per-part average — a correlated scalar aggregate decorrelated
+    into a groupBy + join-back.
+
+    The comparison qty < 0.2*avg is multiplied through (5*qty*cnt <
+    sum_qty) so it stays in exact decimal arithmetic.
+
+    Scale: the brand filter broadcasts (|parts of 3 brands| << lineitem),
+    so only matching lineitems reach the per-part aggregate; the stats
+    join-back shuffles both sides on l_partkey — co-partitioned, and the
+    stats side is |parts| rows, tiny relative to the fact table.
+    """
+    brands = ("Brand#12", "Brand#23", "Brand#34")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin(*brands)).select("p_partkey", "p_brand")
+    li = (
+        spread(load_table(spark, sf_dir, "lineitem"))
+        .select("l_partkey",
+                F.col("l_quantity").cast(_DEC).alias("qty"),
+                F.col("l_extendedprice").cast(_DEC).alias("price"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        F.sum("qty").cast("decimal(38,2)").alias("sum_qty"),
+        F.count("*").alias("cnt"))
+    return (
+        li.join(stats, F.col("l_partkey") == F.col("s_partkey"))
+        .where((F.lit(5).cast(_DEC) * F.col("qty") * F.col("cnt"))
+               .cast("decimal(38,2)") < F.col("sum_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("price").cast("decimal(38,2)").cast("double") / 7.0, 4)
+             .alias("avg_yearly"),
+            F.count("*").alias("n_small"))
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH li AS (
+    SELECT l_partkey, p_brand,
+           CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+), stats AS (
+    SELECT l_partkey AS s_partkey,
+           CAST(SUM(qty) AS DECIMAL(38,2)) AS sum_qty, COUNT(*) AS cnt
+    FROM li GROUP BY l_partkey
+)
+SELECT p_brand,
+       round(CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM li JOIN stats ON l_partkey = s_partkey
+WHERE CAST(CAST(5 AS DECIMAL(18,2)) * qty * cnt AS DECIMAL(38,2)) < sum_qty
+GROUP BY p_brand
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count — left outer
+    join with a filtered fact side, then two cascaded aggregations.
+
+    Scale: first agg shuffles on o_custkey (high cardinality, even);
+    second shuffles ~|distinct counts| rows — negligible. The left join
+    keeps zero-order customers (c_count = 0 bucket).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+               WHERE o_orderpriority <> '1-URGENT')
+           ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    global maximum — a scalar MAX over an aggregate, kept exact in decimal
+    so the equality cannot diverge on float representation.
+
+    Scale: revenue agg shuffles on l_suppkey; the max is one broadcast row;
+    supplier dim broadcasts. No top-k sort of the full table.
+    """
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    rev = (F.col("l_extendedprice").cast(_DEC)
+           * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+           ).cast("decimal(30,4)")
+    revenue = (
+        li.where((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+TOP_REVENUE_SUPPLIERS_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute group,
+    excluding a brand and a supplier denylist (NOT IN -> anti join).
+
+    Scale: distinct-agg expands to a two-phase shuffle (dedupe on the
+    full grouping+suppkey, then count) — Catalyst plans this; the
+    supplier denylist is a broadcast anti join, part dim broadcasts.
+    """
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") != "Brand#45").select("p_partkey", "p_brand", "p_type", "p_size")
+    li = spread(load_table(spark, sf_dir, "lineitem")).select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+PART_SUPPLIER_VARIETY_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    join sides — the classic disjunctive-pushdown test. Catalyst extracts
+    the common l_quantity bounds and pushes brand/size into the part scan.
+
+    Scale: part side filtered then broadcast; lineitem never shuffles.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_partkey", "l_quantity",
+        (F.col("l_extendedprice").cast(_DEC)
+         * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+         ).cast("decimal(30,4)").alias("rev"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.sum("rev").cast("decimal(38,4)").alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+DISJUNCTIVE_PROMO_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: for finalized orders, suppliers who returned goods
+    (l_returnflag = 'R') on multi-supplier orders where NO OTHER supplier
+    returned — EXISTS + NOT EXISTS against the same fact table.
+
+    Scale: three passes over lineitem, all joined on l_orderkey — one
+    repartition serves the semi and anti join (co-partitioned); the
+    supplier dim broadcasts. Counting happens per supplier name, a
+    low-cardinality final shuffle.
+    """
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    f_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (li.where(F.col("l_returnflag") == "R")
+            .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("l_orderkey", "l_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    blamed = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("k2"))
+                & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+          .join(l3, (F.col("l_orderkey") == F.col("k3"))
+                & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+SOLE_BLAME_SUPPLIERS_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""

@@ -273,6 +273,18 @@ register("q12_shipmode_priority",
 register("q14_promo_revenue", _an.PROMO_REVENUE_RATIO_SQL)(_an.promo_revenue_ratio)
 register("q18_large_volume_customers",
          _an.LARGE_VOLUME_CUSTOMERS_SQL)(_an.large_volume_customers)
+register("q13_customer_distribution",
+         _an.CUSTOMER_ORDER_DISTRIBUTION_SQL)(_an.customer_order_distribution)
+register("q15_top_revenue_suppliers",
+         _an.TOP_REVENUE_SUPPLIERS_SQL)(_an.top_revenue_suppliers)
+register("q16_part_supplier_variety",
+         _an.PART_SUPPLIER_VARIETY_SQL)(_an.part_supplier_variety)
+register("q17_small_quantity_revenue",
+         _an.SMALL_QUANTITY_REVENUE_SQL)(_an.small_quantity_revenue)
+register("q19_disjunctive_revenue",
+         _an.DISJUNCTIVE_PROMO_REVENUE_SQL)(_an.disjunctive_promo_revenue)
+register("q21_sole_blame_suppliers",
+         _an.SOLE_BLAME_SUPPLIERS_SQL)(_an.sole_blame_suppliers)
 register("region_nation_rollup", _an.REGION_NATION_ROLLUP_SQL)(_an.region_nation_rollup)
 register("priorities_per_customer",
          _an.PRIORITIES_PER_CUSTOMER_SQL)(_an.priorities_per_customer)

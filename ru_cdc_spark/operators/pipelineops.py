@@ -1,0 +1,280 @@
+"""Training-data pipeline operators: the filter → redact → sample → pack
+chain a large-scale LLM data pipeline runs between raw documents and
+training sequences.
+
+All stages are narrow (per-row) or partition-local window work — nothing
+here shuffles the corpus except the final mixture report (a tiny groupBy).
+That is deliberate: at 100 TB these run as one fused scan per stage.
+
+Determinism: sampling uses md5-hash buckets (identical hex in Spark and
+DuckDB; first-8-hex -> int via conv/'0x' cast), packing uses exact integer
+cumulative sums, and every rule threshold is integer or exact-rational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.dedup import _WORDS_SQL, words_col
+from ru_cdc_spark.operators.textops import STOPWORDS
+from ru_cdc_spark.sources.readers import load_table, spread
+
+# ---------------------------------------------------------------------------
+# quality filter chain (C4/Gopher-style named rules)
+# ---------------------------------------------------------------------------
+
+# (name, fails-if) — names surface in the `reasons` audit column so a
+# pipeline owner can see WHY a document was dropped, not just that it was.
+_MIN_WORDS, _MAX_WORDS = 10, 200
+
+
+def _rule_cols(w: Column) -> list[tuple[str, Column]]:
+    n = F.size(w)
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    avg_len = (F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+               .cast("double") / n)
+    has_stop = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in STOPWORDS]))) > 0
+    return [
+        ("too_short", n < _MIN_WORDS),
+        ("too_long", n > _MAX_WORDS),
+        ("low_diversity", distinct_ratio < 0.25),
+        ("no_stopwords", ~has_stop),
+        ("odd_word_len", (avg_len < 2.5) | (avg_len > 10.0)),
+    ]
+
+
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style filter chain with an audit trail: every document is
+    kept or dropped with the comma-joined list of named rules it failed.
+
+    Scale: pure narrow map over the scan — rules are codegen'd array
+    expressions, no shuffle, no UDF. The audit column costs nothing extra
+    because every rule predicate is needed for `kept` anyway.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = words_col(F.col("text"))
+    base = docs.select("doc_id", "lang", w.alias("w")).where(F.size("w") > 0)
+    rules = _rule_cols(F.col("w"))
+    reasons = F.concat_ws(",", *[F.when(cond, F.lit(name)) for name, cond in rules])
+    kept = ~rules[0][1]
+    for _, cond in rules[1:]:
+        kept = kept & ~cond
+    return base.select("doc_id", "lang", kept.alias("kept"),
+                       reasons.alias("reasons"))
+
+
+_SQL_RULES = f"""
+    SELECT doc_id, lang,
+           len(w) < {_MIN_WORDS} AS too_short,
+           len(w) > {_MAX_WORDS} AS too_long,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) < 0.25 AS low_diversity,
+           NOT len(list_intersect(w, {STOPWORDS!r})) > 0 AS no_stopwords,
+           (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) < 2.5
+            OR CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) > 10.0)
+               AS odd_word_len
+    FROM (SELECT doc_id, lang, {_WORDS_SQL} AS w FROM documents)
+    WHERE len(w) > 0
+"""
+
+QUALITY_FILTER_CHAIN_SQL = f"""
+WITH r AS ({_SQL_RULES})
+SELECT doc_id, lang,
+       NOT (too_short OR too_long OR low_diversity OR no_stopwords OR odd_word_len)
+           AS kept,
+       concat_ws(',',
+           CASE WHEN too_short THEN 'too_short' END,
+           CASE WHEN too_long THEN 'too_long' END,
+           CASE WHEN low_diversity THEN 'low_diversity' END,
+           CASE WHEN no_stopwords THEN 'no_stopwords' END,
+           CASE WHEN odd_word_len THEN 'odd_word_len' END) AS reasons
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no PII, so the op plants a deterministic
+# email + phone per document first (identically in the oracle), then
+# redacts — the regexes do real work and the comparison is meaningful.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (email/phone) with per-type hit counts and an md5 of
+    the redacted text for audit.
+
+    Scale: narrow codegen'd map — regexp_replace/regexp_count run JVM-side
+    per row; no shuffle, no UDF. Patterns are RE2-safe (no backtracking
+    blowup on adversarial documents).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    planted = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+PII_REDACTION_SQL = f"""
+WITH p AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(planted, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(planted, '{_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(planted, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_STRATUM_PCT = {"es": 50, "zh": 30}  # percent kept per lang; default below
+_DEFAULT_PCT = 20
+
+
+def _hash_bucket(key: Column) -> Column:
+    """md5 first-8-hex -> int in [0, 100): stable across engines and runs,
+    independent of partitioning — re-running the pipeline keeps the SAME
+    documents, which downstream dedup/packing relies on."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
+            .cast("bigint") % 100
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (the mixture-rebalancing
+    step of a training pipeline): keep a fixed md5-bucket slice per
+    stratum, so the sample is reproducible and join-stable.
+
+    Scale: narrow filter on the scan — no shuffle, no per-stratum pass;
+    rates live in a CASE expression, not a driver-side loop.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pct = F.lit(_DEFAULT_PCT)
+    for lang, p in _STRATUM_PCT.items():
+        pct = F.when(F.col("lang") == lang, F.lit(p)).otherwise(pct)
+    return (
+        docs.where(_hash_bucket(F.col("doc_id")) < pct)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+_PCT_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {p}" for lang, p in _STRATUM_PCT.items()
+) + f" ELSE {_DEFAULT_PCT} END"
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+      < {_PCT_CASE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 256
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing: within each (lang, source)
+    shard, documents are concatenated in doc_id order and cut into
+    fixed-length training sequences; each document learns which sequence
+    it starts in and at what token offset.
+
+    seq_id = floor(cum_tokens_before / L), seq_offset = cum % L — exact
+    integer window math, no iteration.
+
+    Scale: ONE shuffle to co-locate each (lang, source) shard, then a
+    partition-local running sum. With few huge shards you'd salt the shard
+    key into ranges and two-phase the prefix sum (per-range totals are a
+    tiny second pass); the operator keys on (lang, source) here because
+    that is the corpus's natural sharding.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(words_col(F.col("text")))
+    w = (Window.partitionBy("lang", "source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", "lang", "source", n_tok.alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .select("doc_id", "lang", "source", "n_tokens",
+                (cum_before / _SEQ_LEN).cast("bigint").alias("seq_id"),
+                (cum_before % _SEQ_LEN).alias("seq_offset"))
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang, source, len({_WORDS_SQL}) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT *, COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY lang, source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, lang, source, n_tokens,
+       CAST(floor(cum_before / {_SEQ_LEN}) AS BIGINT) AS seq_id,
+       cum_before % {_SEQ_LEN} AS seq_offset
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# token mixture report
+# ---------------------------------------------------------------------------
+
+
+def token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget per (lang, source) with corpus share — the mixture
+    table a pipeline owner reads before setting sampling weights.
+
+    Scale: map-side partial agg to |lang x source| rows, then one
+    broadcast scalar for the total. The share division happens on exact
+    integer token counts, so the doubles agree cross-engine.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang", "source", F.size(words_col(F.col("text"))).alias("n_tokens"))
+    per = toks.groupBy("lang", "source").agg(
+        F.sum("n_tokens").alias("tokens"), F.count("*").alias("docs"))
+    total = per.agg(F.sum("tokens").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select("lang", "source", "tokens", "docs",
+                F.round(F.col("tokens").cast("double") / F.col("total"), 6)
+                 .alias("share"))
+    )
+
+
+TOKEN_MIXTURE_SQL = f"""
+WITH per AS (
+    SELECT lang, source, SUM(len({_WORDS_SQL})) AS tokens, COUNT(*) AS docs
+    FROM documents GROUP BY lang, source
+)
+SELECT lang, source, tokens, docs,
+       round(CAST(tokens AS DOUBLE) / (SELECT SUM(tokens) FROM per), 6) AS share
+FROM per
+"""

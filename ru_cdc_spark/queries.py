@@ -497,6 +497,15 @@ register("text_posting_lists", _tx.POSTING_LISTS_SQL)(_tx.posting_lists)
 register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)
 register("multimodal_decode_stub", None)(_mm.multimodal_decode_stub)
 
+from ru_cdc_spark.operators import pipelineops as _pp  # noqa: E402
+
+register("quality_filter_chain",
+         _pp.QUALITY_FILTER_CHAIN_SQL)(_pp.quality_filter_chain)
+register("pii_redaction", _pp.PII_REDACTION_SQL)(_pp.pii_redaction)
+register("stratified_sample", _pp.STRATIFIED_SAMPLE_SQL)(_pp.stratified_sample)
+register("sequence_packing", _pp.SEQUENCE_PACKING_SQL)(_pp.sequence_packing)
+register("token_mixture", _pp.TOKEN_MIXTURE_SQL)(_pp.token_mixture)
+
 
 @register(
     "mysql_type_semantics",

@@ -156,16 +156,10 @@ FROM shingles GROUP BY doc_id
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: hash each 2-row band of the signature; docs sharing any
-    band hash are candidate near-duplicate pairs.
-
-    Scale: the self-join is an equi-join on (band_idx, band_hash) — only
-    bucket-mates pair up. Hot buckets would be capped in production
-    (see module docstring); AQE skew-join handles moderate skew.
-    """
+def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — one row per doc per band."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(
@@ -175,6 +169,28 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ])).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                      bucket_cap: int | None = None) -> DataFrame:
+    """LSH banding: hash each 2-row band of the signature; docs sharing any
+    band hash are candidate near-duplicate pairs.
+
+    Scale: the self-join is an equi-join on (band_idx, band_hash) — only
+    bucket-mates pair up. ``bucket_cap`` drops pathological hot buckets
+    (boilerplate/templated docs put millions of near-identical pages in
+    one bucket; a size-B bucket costs B^2 pairs, so capping is what makes
+    web-scale LSH finish — standard practice, and the dropped docs are
+    still caught by their other bands unless they are hot everywhere).
+    The cap itself is one partial-agg count over the band table — cheap.
+    """
+    bands = _band_table(spark, sf_dir)
+    if bucket_cap is not None:
+        small = (bands.groupBy("band_idx", "band_hash")
+                 .agg(F.count("*").alias("__n"))
+                 .where(F.col("__n") <= bucket_cap)
+                 .drop("__n"))
+        bands = bands.join(small, ["band_idx", "band_hash"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -183,6 +199,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_pairs with the hot-bucket cap engaged (cap=3 so it
+    demonstrably fires at test scale; production would use ~500)."""
+    return minhash_lsh_pairs(spark, sf_dir, bucket_cap=3)
 
 
 MINHASH_LSH_PAIRS_SQL = _SHINGLES_CTE + """,
@@ -203,6 +225,13 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band_idx, band_hash)
 WHERE a.doc_id < b.doc_id
 """
+
+MINHASH_LSH_PAIRS_CAPPED_SQL = MINHASH_LSH_PAIRS_SQL.replace(
+    "FROM bands a JOIN bands b USING (band_idx, band_hash)",
+    """FROM bands a JOIN bands b USING (band_idx, band_hash)
+JOIN (SELECT band_idx, band_hash FROM bands
+      GROUP BY 1, 2 HAVING COUNT(*) <= 3) ok USING (band_idx, band_hash)""",
+)
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -236,16 +265,86 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                     F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label")))
                     .alias("label"))
         )
-        new_labels = new_labels.persist()
+        # localCheckpoint truncates the logical plan — without it each
+        # round's plan embeds all previous rounds and planning time grows
+        # superlinearly with iterations (bites from ~15 rounds on)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "v")
             .where(F.col("n.label") != F.col("o.label")).limit(1).count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+
+
+def star_contraction_components(edges: DataFrame, src: str = "src",
+                                dst: str = "dst",
+                                max_iterations: int = 12) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log^2 n) rounds regardless of graph
+    diameter, vs O(diameter) for plain min-label propagation.
+
+    This is the variant to run when the near-dup graph has long chains —
+    boilerplate/templated web pages form paths and diameters reach
+    hundreds, where label propagation would need hundreds of shuffles.
+
+    Each round is two edge rewrites, each one groupBy + one join on the
+    vertex id; the edge set only shrinks toward the star form, so shuffle
+    volume decays round over round. Convergence is checked with a
+    two-sided subtract (an aggregate, never a collect of data).
+
+    Returns (doc_id, component) with component = min vertex id — identical
+    output contract to connected_components (equivalence is pytest-checked
+    on random graphs).
+    """
+    e = (edges.selectExpr(f"{src} AS u", f"{dst} AS v")
+         .where(F.col("u") != F.col("v")).distinct())
+
+    def sym(d: DataFrame) -> DataFrame:
+        return d.unionByName(
+            d.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+    for _ in range(max_iterations):
+        # large-star: every neighbor v > u re-points to m = min(N(u) ∪ {u})
+        s = sym(e)
+        mins = s.groupBy(F.col("u").alias("c")).agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("c")).alias("m")
+        large = (
+            s.join(mins, s.u == mins.c)
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .where(F.col("u") != F.col("v")).distinct()
+        )
+        # small-star: all neighbors v < u (and u itself) re-point to the
+        # min of that small neighborhood; large-star left every edge
+        # directed child > parent, so d is the whole edge set
+        d = large.where(F.col("v") < F.col("u"))
+        smins = d.groupBy(F.col("u").alias("c")).agg(F.min("v").alias("mn"))
+        joined = d.join(smins, d.u == smins.c)
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(joined.select("u", F.col("mn").alias("v")))
+            .where(F.col("u") != F.col("v")).distinct()
+        )
+        # localCheckpoint truncates the logical plan — without it each
+        # round's plan embeds all previous rounds and Catalyst planning
+        # time grows superlinearly with iterations
+        new_e = small.localCheckpoint(eager=True)
+        changed = (new_e.subtract(e).limit(1).count()
+                   + e.subtract(new_e).limit(1).count())
+        e = new_e
+        if changed == 0:
+            break
+    # at the fixpoint edges form stars rooted at the component min
+    s = sym(e)
+    return (
+        s.groupBy("u").agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("doc_id"),
+                F.least(F.col("mn"), F.col("u")).alias("component"))
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,6 +354,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and omitted here — they're trivially canonical)."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     return connected_components(pairs, "doc_a", "doc_b")
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters via star contraction — same clusters, O(log^2 n)
+    rounds instead of O(diameter); the scale path for long-chain graphs."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    return star_contraction_components(pairs, "doc_a", "doc_b")
 
 
 DEDUP_CLUSTERS_SQL = f"""

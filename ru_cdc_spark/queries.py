@@ -471,6 +471,9 @@ register("dedup_simhash_near_pairs", _dd.SIMHASH_NEAR_PAIRS_SQL)(_dd.simhash_nea
 register("dedup_ngram_jaccard", _dd.NGRAM_JACCARD_PAIRS_SQL)(_dd.ngram_jaccard_pairs)
 register("dedup_embedding_cosine", _dd.EMBEDDING_NEAR_DUP_SQL)(_dd.embedding_near_dup_pairs)
 register("dedup_clusters", _dd.DEDUP_CLUSTERS_SQL)(_dd.dedup_clusters)
+register("dedup_clusters_star", _dd.DEDUP_CLUSTERS_SQL)(_dd.dedup_clusters_star)
+register("dedup_minhash_lsh_capped",
+         _dd.MINHASH_LSH_PAIRS_CAPPED_SQL)(_dd.minhash_lsh_pairs_capped)
 
 
 # ===========================================================================

@@ -71,3 +71,32 @@ def test_envelope_single_row_update_no_change(spark):
                          processing_ts=F.lit(0))
     row = env.collect()[0]
     assert row["old"] is not None and row["old"][0] == {}
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    from ru_cdc_spark.operators.dedup import star_contraction_components
+
+    import random
+    rng = random.Random(7)
+    # adversarial shapes for contraction algorithms: a long chain (high
+    # diameter), a star, a cycle, plus random noise edges
+    chain = [(i, i + 1) for i in range(100, 140)]
+    star = [(0, i) for i in range(1, 8)]
+    cycle = [(200 + i, 200 + (i + 1) % 9) for i in range(9)]
+    noise = [(rng.randrange(300, 330), rng.randrange(300, 330)) for _ in range(25)]
+    edges = spark.createDataFrame(chain + star + cycle + noise, ["src", "dst"])
+
+    lp = {r["doc_id"]: r["component"]
+          for r in connected_components(edges, max_iterations=60).collect()}
+    sc = {r["doc_id"]: r["component"]
+          for r in star_contraction_components(edges).collect()}
+    assert lp == sc
+
+
+def test_star_contraction_empty_and_selfloops(spark):
+    from ru_cdc_spark.operators.dedup import star_contraction_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert star_contraction_components(empty).count() == 0
+    only_loops = spark.createDataFrame([(5, 5), (6, 6)], ["src", "dst"])
+    assert star_contraction_components(only_loops).count() == 0

@@ -488,6 +488,9 @@ register("knn_brute_force", _sim.KNN_BRUTE_FORCE_SQL)(_sim.knn_brute_force)
 register("ann_sign_lsh", _sim.ANN_SIGN_LSH_SQL)(_sim.ann_sign_lsh)
 register("ann_multiprobe", _sim.ANN_MULTIPROBE_SQL)(_sim.ann_multiprobe)
 register("centroid_per_label", _sim.CENTROID_PER_LABEL_SQL)(_sim.centroid_per_label)
+register("emb_quantize_int8", _sim.EMB_QUANTIZE_INT8_SQL)(_sim.emb_quantize_int8)
+register("knn_quantized", _sim.KNN_QUANTIZED_SQL)(_sim.knn_quantized)
+register("ann_ivf", _sim.ANN_IVF_SQL)(_sim.ann_ivf)
 register("text_stats", _tx.TEXT_STATS_SQL)(_tx.text_stats)
 register("text_lang_id", _tx.LANG_ID_SQL)(_tx.lang_id)
 register("text_lang_id_ngram", _tx.LANG_ID_NGRAM_SQL)(_tx.lang_id_ngram)

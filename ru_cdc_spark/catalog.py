@@ -130,3 +130,37 @@ class TableCatalog:
         Key == 'PRI')."""
         return [FieldMeta(name, mysql_type, key == "PRI")
                 for name, mysql_type, key in rows]
+
+
+# ---------------------------------------------------------------------------
+# data-plane catalog (10k+ tables)
+# ---------------------------------------------------------------------------
+
+def catalog_to_dataframe(spark, catalog: TableCatalog):
+    """The catalog as a (database, table, version, pk0, n_fields) DataFrame.
+
+    Driver-dict lookups closed over by generated expressions stop scaling
+    around a few hundred tables: every table adds predicate text to the
+    plan, and analysis time grows with catalog size. As data, the catalog
+    joins the stream in ONE broadcast hash join whose plan is O(1) in the
+    number of tables — the 10k-tenant shape.
+    """
+    rows = [
+        (s.database, s.table, s.version,
+         (s.pk_names or [None])[0], len(s.fields))
+        for s in (catalog.lookup(*k.split(".", 1))
+                  for k in catalog.known_tables())
+        if s is not None
+    ]
+    return spark.createDataFrame(
+        rows, "database string, table string, version int, pk0 string, n_fields int")
+
+
+def annotate_stream_with_catalog(stream, cat_df):
+    """Broadcast-join a change stream against the catalog: rows of unknown
+    or dropped tables fall out (inner join = the P6 negative-cache filter
+    in data-plane form); survivors carry schema version + pk for the
+    downstream merge."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(cat_df), ["database", "table"])

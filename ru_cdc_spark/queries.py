@@ -514,6 +514,40 @@ register("token_mixture", _pp.TOKEN_MIXTURE_SQL)(_pp.token_mixture)
 
 
 @register(
+    "catalog_broadcast_lookup",
+    """
+    SELECT c_custkey,
+           'db' || CAST(c_custkey % 8 AS VARCHAR) AS database,
+           't' || CAST(c_custkey % 12000 AS VARCHAR) AS "table",
+           CAST((c_custkey % 12000) % 5 + 1 AS INT) AS version
+    FROM customer
+    WHERE c_custkey % 12000 < 10000
+    """,
+)
+def catalog_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-as-data at the 10k-table scale: the stream joins a
+    10,000-entry catalog in ONE broadcast hash join. The driver-dict
+    alternative bakes every table into plan text — analysis time and plan
+    size then grow with tenancy; this plan is O(1) in catalog size
+    (asserted in tests/test_plans.py).
+    """
+    from ru_cdc_spark.catalog import annotate_stream_with_catalog
+
+    cat = spark.range(10000).select(
+        F.concat(F.lit("db"), (F.col("id") % 8).cast("string")).alias("database"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("table"),
+        (F.col("id") % 5 + 1).cast("int").alias("version"),
+    )
+    stream = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("db"), (F.col("c_custkey") % 8).cast("string")).alias("database"),
+        F.concat(F.lit("t"), (F.col("c_custkey") % 12000).cast("string")).alias("table"),
+    )
+    return annotate_stream_with_catalog(stream, cat).select(
+        "c_custkey", "database", "table", "version")
+
+
+@register(
     "mysql_type_semantics",
     """
     SELECT l_orderkey, l_linenumber,

@@ -102,3 +102,38 @@ def test_merge_single_pk_shuffle(spark, sf_dir):
     df = REGISTRY["cdc_merge_snapshot"].fn(spark, sf_dir)
     # spread + one PK exchange for the window
     assert count_exchanges(df) <= 2
+
+
+def test_catalog_broadcast_lookup_plan_is_o1_in_catalog_size(spark, sf_dir):
+    """The 10k-table catalog join must be one BroadcastHashJoin and the
+    plan must not embed per-table predicate text."""
+    df = REGISTRY["catalog_broadcast_lookup"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    # a driver-dict formulation would inline thousands of table names;
+    # the data-plane plan stays small regardless of catalog size
+    assert len(plan) < 20_000
+
+
+def test_catalog_to_dataframe_round_trip(spark):
+    from ru_cdc_spark.catalog import (
+        FieldMeta,
+        TableCatalog,
+        TableSchema,
+        annotate_stream_with_catalog,
+        catalog_to_dataframe,
+    )
+
+    cat = TableCatalog()
+    cat.register(TableSchema("db0", "live", [FieldMeta("id", "bigint", True)],
+                             version=3))
+    cat.register(TableSchema("db0", "gone", [FieldMeta("id", "bigint", True)]))
+    cat.mark_dropped("db0", "gone")
+    cdf = catalog_to_dataframe(spark, cat)
+    assert [tuple(r) for r in cdf.collect()] == [("db0", "live", 3, "id", 1)]
+
+    stream = spark.createDataFrame(
+        [(1, "db0", "live"), (2, "db0", "gone"), (3, "db0", "unknown")],
+        "id long, database string, table string")
+    out = annotate_stream_with_catalog(stream, cdf)
+    assert [r["id"] for r in out.collect()] == [1]

@@ -43,6 +43,8 @@ def write_batch_to_sink(batch: DataFrame, sink: SinkConfig, epoch_id: int) -> No
     """Write one micro-batch's rows for one sink (already filtered to
     ``mq == sink.name``)."""
     if sink.kind == "kafka":
+        if "__seq" in batch.columns:  # per-key change order (see below)
+            batch = ordered_for_kafka(batch)
         (batch.selectExpr("topic", "CAST(key AS BINARY) AS key",
                           "CAST(value AS BINARY) AS value")
          .write.format("kafka").options(**kafka_writer_options(sink)).save())
@@ -80,3 +82,25 @@ def make_mux(sinks: list[SinkConfig]):
             batch.unpersist()
 
     return mux
+
+
+def ordered_for_kafka(batch: DataFrame, key_col: str = "key",
+                      seq_col: str = "__seq", drop_seq: bool = True) -> DataFrame:
+    """Enforce per-key change order through the Kafka producer.
+
+    Kafka guarantees order only per (producer, topic-partition); Spark's
+    kafka sink emits each task's rows in iteration order. Repartitioning
+    on the message key puts ALL changes of one PK in one task, and the
+    within-partition sort by (key, seq) makes the producer see them in
+    change order — so a log-compacted topic converges to the latest state
+    and consumers replay per-key history in order (the reference's X2
+    ordering hazard, fixed structurally).
+
+    Scale: one hash shuffle of the outgoing batch (small: only the
+    current micro-batch), sort is per-partition spillable.
+    """
+    from pyspark.sql import functions as F
+
+    ordered = (batch.repartition(F.col(key_col))
+               .sortWithinPartitions(key_col, seq_col))
+    return ordered.drop(seq_col) if drop_seq else ordered

@@ -53,3 +53,65 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming winnowing: fingerprints over an unbounded text/token stream
+# ---------------------------------------------------------------------------
+
+# mirrors operators/textops.doc_winnowing (batch): k-gram md5, min per
+# w-window. The state is ONLY the last k+w-2 characters per key — every
+# fingerprint window spans k+w-1 chars, so no window fits entirely inside
+# the carried tail and none is double-emitted, yet every window crossing a
+# micro-batch boundary is still seen. Equivalence with the batch algorithm
+# on the concatenated stream is pytest-checked.
+WINNOW_OUTPUT_SCHEMA = "stream_id long, fingerprint string"
+WINNOW_STATE_SCHEMA = "tail string"
+
+
+def _winnow_text(text: str, k: int, w: int) -> list[str]:
+    """Window-min fingerprints of one contiguous text (dupes preserved —
+    cross-batch dedup is a downstream concern)."""
+    import hashlib
+
+    grams = [hashlib.md5(text[i:i + k].encode()).hexdigest()
+             for i in range(len(text) - k + 1)]
+    return [min(grams[i:i + w]) for i in range(len(grams) - w + 1)]
+
+
+def _make_winnow_update(k: int, w: int):
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (tail,) = state.get if state.exists else ("",)
+        chunks: list[pd.DataFrame] = [pdf for pdf in pdfs]
+        batch = pd.concat(chunks).sort_values("seq")
+        text = tail + "".join(batch["chunk"].tolist())
+        fps = _winnow_text(text, k, w)
+        state.update((text[-(k + w - 2):],))
+        yield pd.DataFrame({
+            "stream_id": [key[0]] * len(fps),
+            "fingerprint": fps,
+        })
+    return update
+
+
+def streaming_winnowing(chunk_stream: DataFrame, k: int = 5, w: int = 10) -> DataFrame:
+    """(stream_id, seq, chunk) text-chunk stream -> winnowing fingerprints,
+    emitted as windows complete — boundary windows included exactly once.
+
+    Scale: state per key is k+w-2 CHARACTERS (bytes, not documents) —
+    bounded regardless of stream length; keys partition across executors
+    and only keys present in a batch are touched. The pandas work per
+    batch is O(batch chars x w) — Arrow-batched, no JVM round trips.
+    """
+    return (
+        chunk_stream.select("stream_id", "seq", "chunk")
+        .groupBy("stream_id")
+        .applyInPandasWithState(
+            _make_winnow_update(k, w),
+            outputStructType=WINNOW_OUTPUT_SCHEMA,
+            stateStructType=WINNOW_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -68,3 +68,38 @@ def test_multi_sink_fanout(spark, sf_dir, tmp_path):
     assert a.count() == n and b.count() == n
     assert a.select("mq").distinct().collect()[0][0] == "mq_a"
     assert b.select("topic").distinct().collect()[0][0] == "t_orders"
+
+
+def test_ordered_for_kafka_per_key_order(spark):
+    """All changes of one key land in ONE partition, in seq order — the
+    property that makes per-key replay order survive the Kafka producer."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.streaming.sinks import ordered_for_kafka
+
+    rng = random.Random(3)
+    rows = [(f"k{i % 7}", seq, f"v{i}") for i, seq in
+            ((i, rng.randrange(1000)) for i in range(200))]
+    batch = spark.createDataFrame(rows, "key string, __seq long, value string")
+
+    ordered = ordered_for_kafka(batch, drop_seq=False) \
+        .withColumn("pid", F.spark_partition_id())
+    got = [(r["key"], r["__seq"], r["pid"]) for r in ordered.collect()]
+
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for k, seq, pid in got:
+        by_key.setdefault(k, []).append((seq, pid))
+    for k, pairs in by_key.items():
+        pids = {p for _, p in pairs}
+        assert len(pids) == 1, f"key {k} split across partitions {pids}"
+    # collect() preserves per-partition row order; within a partition the
+    # (key, seq) sort must hold
+    last: dict[int, tuple] = {}
+    for k, seq, pid in got:
+        if pid in last:
+            assert last[pid] <= (k, seq)
+        last[pid] = (k, seq)
+    # seq column dropped in the production path
+    assert "__seq" not in ordered_for_kafka(batch).columns

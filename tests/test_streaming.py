@@ -397,3 +397,42 @@ def test_throughput_listener(spark, sf_dir, tmp_path):
         spark.streams.removeListener(listener)
     assert listener.stats.total_input_rows == n
     assert listener.stats.batches >= 1
+
+
+def test_streaming_winnowing_matches_batch_across_boundaries(spark, tmp_path):
+    """Fingerprints from the chunked STREAM must equal the batch winnowing
+    of the concatenated text — including windows that span the micro-batch
+    boundary (the case the k+w-2 tail state exists for)."""
+    from ru_cdc_spark.streaming.stateful import (
+        _winnow_text,
+        streaming_winnowing,
+    )
+
+    k, w = 5, 10
+    full = "the quick brown fox jumps over the lazy dog and keeps running"
+    cut = 23  # mid-word split so boundary windows genuinely span batches
+    part1, part2 = full[:cut], full[cut:]
+
+    src = str(tmp_path / "chunks")
+    schema = "stream_id long, seq long, chunk string"
+    spark.createDataFrame([(7, 0, part1)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    q = (streaming_winnowing(stream, k, w).writeStream.format("memory")
+         .queryName("winnow_stream").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.processAllAvailable()
+    spark.createDataFrame([(7, 1, part2)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r["fingerprint"]
+                 for r in spark.sql("SELECT * FROM winnow_stream").collect())
+    want = sorted(_winnow_text(full, k, w))
+    assert got == want
+    # and the boundary actually produced windows in BOTH batches
+    assert 0 < len(_winnow_text(part1, k, w)) < len(want)

@@ -278,3 +278,167 @@ SELECT lang, source, tokens, docs,
        round(CAST(tokens AS DOUBLE) / (SELECT SUM(tokens) FROM per), 6) AS share
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# per-group cap sampling (domain caps)
+# ---------------------------------------------------------------------------
+
+_GROUP_CAP = 40
+
+
+def capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at N documents — the "no domain dominates" rule.
+    Deterministic reservoir: rank by md5(doc_id) within the group and keep
+    the first N, so re-runs (and the oracle) pick the same documents and
+    the choice is unbiased w.r.t. document order.
+
+    Scale: one shuffle on the group key; the window ranks within each
+    group only. For heavy-hitter groups at 100 TB, pre-filter with an
+    approximate per-group count and sample only oversized groups.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= _GROUP_CAP)
+        .select("doc_id", "lang", "source")
+    )
+
+
+CAPPED_PER_SOURCE_SQL = f"""
+SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+    FROM documents
+) WHERE rn <= {_GROUP_CAP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (CDC for corpora)
+# ---------------------------------------------------------------------------
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two corpus snapshots into an INSERT/UPDATE/DELETE change set —
+    the corpus-refresh analog of the engine's CDC diff. Snapshots are
+    derived deterministically here (old = doc_id % 10 != 0 with a text
+    tweak on % 7, new = the corpus); in production both sides are dated
+    parquet roots.
+
+    Content equality compares md5, not the text itself — at 100 TB the
+    full outer join then moves 16-byte digests, not documents.
+
+    Scale: one full outer join hashed on doc_id (both sides co-partition);
+    everything else is narrow.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    new = docs.select("doc_id", F.md5(F.col("text")).alias("h_new"))
+    old = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select("doc_id",
+                F.md5(F.when(F.col("doc_id") % 7 == 0,
+                             F.concat(F.col("text"), F.lit(" v1")))
+                       .otherwise(F.col("text"))).alias("h_old"))
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("h_old").isNull(), F.lit("INSERT"))
+        .when(F.col("h_new").isNull(), F.lit("DELETE"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("UPDATE"))
+    )
+    return (
+        j.select("doc_id", change.alias("change"), "h_old", "h_new")
+        .where(F.col("change").isNotNull())
+    )
+
+
+CORPUS_SNAPSHOT_DIFF_SQL = """
+WITH new AS (
+    SELECT doc_id, md5(text) AS h_new FROM documents
+), old AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS h_old
+    FROM documents WHERE doc_id % 10 <> 0
+), j AS (
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id, h_old, h_new
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT doc_id,
+       CASE WHEN h_old IS NULL THEN 'INSERT'
+            WHEN h_new IS NULL THEN 'DELETE'
+            WHEN h_old <> h_new THEN 'UPDATE' END AS change,
+       h_old, h_new
+FROM j
+WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 8       # n-gram length for overlap detection
+_EVAL_MOD = 97      # eval set = doc_id % 97 == 0 (deterministic stand-in)
+
+
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: count distinct 8-gram collisions
+    between every training document and the eval set's n-gram table, the
+    standard pre-training decontamination gate.
+
+    Scale: the eval n-gram table is tiny (benchmarks are MBs, the corpus
+    is TBs) — broadcast it; the training side explodes to distinct n-grams
+    (bounded per doc) and the only wide op is a broadcast semi-ish join +
+    per-doc count. Training docs in the eval set are excluded.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wc = F.col("w")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(wc) - _CONTAM_N),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(wc, (i + j + 1).cast("int"))
+                   for j in range(_CONTAM_N)]),
+    ))
+    base = (docs.select("doc_id", words_col(F.col("text")).alias("w"))
+            .where(F.size("w") >= _CONTAM_N)
+            .select("doc_id", grams.alias("grams")))
+    eval_grams = (
+        base.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("grams").alias("gram")).distinct()
+    )
+    train = (base.where(F.col("doc_id") % _EVAL_MOD != 0)
+             .select("doc_id", F.explode("grams").alias("gram")))
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+
+
+_GRAM_JOIN = " || ' ' || ".join(f"w[i+{j}]" for j in range(_CONTAM_N))
+
+DECONTAMINATE_REPORT_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, len(w) - {_CONTAM_N - 2}),
+               i -> {_GRAM_JOIN})) AS grams
+    FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+    WHERE len(w) >= {_CONTAM_N}
+), eval_grams AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM base
+    WHERE doc_id % {_EVAL_MOD} = 0
+), train AS (
+    SELECT doc_id, unnest(grams) AS gram FROM base
+    WHERE doc_id % {_EVAL_MOD} <> 0
+)
+SELECT doc_id, COUNT(*) AS n_contaminated_grams
+FROM train JOIN eval_grams USING (gram)
+GROUP BY doc_id
+"""

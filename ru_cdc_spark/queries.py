@@ -511,6 +511,11 @@ register("pii_redaction", _pp.PII_REDACTION_SQL)(_pp.pii_redaction)
 register("stratified_sample", _pp.STRATIFIED_SAMPLE_SQL)(_pp.stratified_sample)
 register("sequence_packing", _pp.SEQUENCE_PACKING_SQL)(_pp.sequence_packing)
 register("token_mixture", _pp.TOKEN_MIXTURE_SQL)(_pp.token_mixture)
+register("capped_per_source", _pp.CAPPED_PER_SOURCE_SQL)(_pp.capped_per_source)
+register("corpus_snapshot_diff",
+         _pp.CORPUS_SNAPSHOT_DIFF_SQL)(_pp.corpus_snapshot_diff)
+register("decontaminate_report",
+         _pp.DECONTAMINATE_REPORT_SQL)(_pp.decontaminate_report)
 
 
 @register(

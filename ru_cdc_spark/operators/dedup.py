@@ -116,10 +116,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     w = F.col("w")
     k = 3
+    # slice + array_join (not per-position element_at chains): one array
+    # view per shingle — measurably faster in codegen
     shingles = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(w) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int"))
-                                     for j in range(k)]),
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
     ))
     base = (
         docs.select("doc_id", words_col(F.col("text")).alias("w"))
@@ -512,14 +513,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     exact integer ratio, so the double compares identically cross-engine.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    w = words_col(F.col("text"))
+    wc = F.col("w")
     bigrams = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(w, (i + 1).cast("int")),
-                              F.element_at(w, (i + 2).cast("int"))),
+        F.sequence(F.lit(1), F.size(wc) - 1),
+        lambda i: F.array_join(F.slice(wc, i, 2), " "),
     ))
-    base = docs.select("doc_id", "lang", "source", bigrams.alias("grams")) \
-               .where(F.size("grams") > 0)
+    # the >= 2 guard must precede the sequence: sequence(1, 0) is the
+    # DESCENDING [1, 0], and slice(w, 0, _) throws on single-word docs
+    base = (docs.select("doc_id", "lang", "source",
+                        words_col(F.col("text")).alias("w"))
+            .where(F.size("w") >= 2)
+            .select("doc_id", "lang", "source", bigrams.alias("grams")))
     a, b = base.alias("a"), base.alias("b")
     # compute the intersection ONCE per pair; jaccard derives from it
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))

@@ -1010,3 +1010,29 @@ WHERE l1.l_returnflag = 'R'
                     AND l3.l_returnflag = 'R')
 GROUP BY s_name
 """
+
+
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 orders by price — sort+limit, which Spark compiles to
+    TakeOrderedAndProject: each partition keeps a 100-row heap and the
+    driver merges K rows, NEVER a full sort/shuffle of the table (asserted
+    in tests/test_plans.py). The unique orderkey tiebreaker makes the cut
+    deterministic under ties.
+    """
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    return (
+        orders.select("o_orderkey", "o_custkey",
+                      F.col("o_totalprice").cast(_DEC).alias("o_totalprice"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+TOP_ORDERS_GLOBAL_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                              o_orderkey ASC) AS rn
+    FROM orders
+) WHERE rn <= 100
+"""

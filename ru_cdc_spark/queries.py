@@ -288,6 +288,7 @@ register("q21_sole_blame_suppliers",
 register("region_nation_rollup", _an.REGION_NATION_ROLLUP_SQL)(_an.region_nation_rollup)
 register("priorities_per_customer",
          _an.PRIORITIES_PER_CUSTOMER_SQL)(_an.priorities_per_customer)
+register("top_orders_global", _an.TOP_ORDERS_GLOBAL_SQL)(_an.top_orders_global)
 
 from ru_cdc_spark.operators import incremental as _inc  # noqa: E402
 from ru_cdc_spark.operators import profile as _pf  # noqa: E402

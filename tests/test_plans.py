@@ -137,3 +137,11 @@ def test_catalog_to_dataframe_round_trip(spark):
         "id long, database string, table string")
     out = annotate_stream_with_catalog(stream, cdf)
     assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    df = REGISTRY["top_orders_global"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort node would mean a full-table sort — the thing to avoid
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")

@@ -285,6 +285,20 @@ register("q19_disjunctive_revenue",
          _an.DISJUNCTIVE_PROMO_REVENUE_SQL)(_an.disjunctive_promo_revenue)
 register("q21_sole_blame_suppliers",
          _an.SOLE_BLAME_SUPPLIERS_SQL)(_an.sole_blame_suppliers)
+from ru_cdc_spark.operators import analytics_ext as _ax  # noqa: E402
+
+register("q2_min_cost_supplier", _ax.MIN_COST_SUPPLIER_SQL)(_ax.min_cost_supplier)
+register("q7_volume_shipping", _ax.VOLUME_SHIPPING_SQL)(_ax.volume_shipping)
+register("q8_market_share", _ax.MARKET_SHARE_SQL)(_ax.market_share)
+register("q9_product_profit", _ax.PRODUCT_PROFIT_SQL)(_ax.product_profit)
+register("q10_returned_item_revenue",
+         _ax.RETURNED_ITEM_REVENUE_SQL)(_ax.returned_item_revenue)
+register("q11_important_part_value",
+         _ax.IMPORTANT_PART_VALUE_SQL)(_ax.important_part_value)
+register("q20_excess_quantity_suppliers",
+         _ax.EXCESS_QUANTITY_SUPPLIERS_SQL)(_ax.excess_quantity_suppliers)
+register("q22_idle_customer_segments",
+         _ax.IDLE_CUSTOMER_SEGMENTS_SQL)(_ax.idle_customer_segments)
 register("region_nation_rollup", _an.REGION_NATION_ROLLUP_SQL)(_an.region_nation_rollup)
 register("priorities_per_customer",
          _an.PRIORITIES_PER_CUSTOMER_SQL)(_an.priorities_per_customer)

@@ -472,6 +472,52 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_events", F.round("total_value", 4).alias("total_value"))
 
 
+@register(
+    "events_stream_interval_join",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+    ), pairs AS (
+        SELECT e1.event_id, e2.value AS prior_value
+        FROM e e1 JOIN e e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts >= e1.ts - INTERVAL 30 MINUTE
+         AND e2.ts <  e1.ts
+    )
+    SELECT event_id, COUNT(*) AS n_prior, MAX(prior_value) AS max_prior
+    FROM pairs GROUP BY event_id
+    """,
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked interval join (absent from the reference,
+    SURVEY §2.10), driven to completion with availableNow: each event
+    joined to the same user's events in the preceding 30 minutes, then
+    aggregated batch-side from the sink. State is bounded by watermark +
+    interval (streaming/joins.py docstring has the eviction math)."""
+    from ru_cdc_spark.streaming.joins import stream_interval_join
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (spark.readStream.schema(batch_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    from pyspark.sql import types as T
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    left = raw.select("event_id", "user_id", "ts")
+    right = raw.select("user_id", F.col("ts").alias("rts"),
+                       F.col("value").alias("prior_value"))
+    joined = stream_interval_join(
+        left, right, key="user_id", left_ts="ts", right_ts="rts",
+        lookback="30 minutes", watermark="2 hours")
+    q = (joined.writeStream.format("memory").queryName("__interval_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table("__interval_join")
+            .groupBy("event_id")
+            .agg(F.count("*").alias("n_prior"),
+                 F.max("prior_value").alias("max_prior")))
+
+
 # ===========================================================================
 # Dedup suite (north-star: LLM-training-data pipeline operators)
 # ===========================================================================

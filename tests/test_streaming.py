@@ -436,3 +436,27 @@ def test_streaming_winnowing_matches_batch_across_boundaries(spark, tmp_path):
     assert got == want
     # and the boundary actually produced windows in BOTH batches
     assert 0 < len(_winnow_text(part1, k, w)) < len(want)
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join, drained with
+    availableNow, produces exactly the batch interval join's pairs."""
+    from ru_cdc_spark.queries import REGISTRY
+    from ru_cdc_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["events_stream_interval_join"].fn(spark, sf_dir)
+    got = {(r.event_id, r.n_prior, r.max_prior) for r in out.collect()}
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    batch = (
+        e1.join(e2, F.expr(
+            "e1.user_id = e2.user_id "
+            "AND e2.ts >= e1.ts - INTERVAL 30 minutes AND e2.ts < e1.ts"))
+        .groupBy("e1.event_id")
+        .agg(F.count("*").alias("n_prior"), F.max("e2.value").alias("max_prior"))
+    )
+    want = {(r.event_id, r.n_prior, r.max_prior) for r in batch.collect()}
+    assert got == want and len(got) > 0

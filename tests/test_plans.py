@@ -145,3 +145,40 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # a global Sort node would mean a full-table sort — the thing to avoid
     assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_q2_argmin_single_fact_pass(spark, sf_dir):
+    """Q2 shape: the fact table is read once — the per-part argmin runs on
+    the aggregated (part, supp) relation, not a second lineitem scan — and
+    every dim join broadcasts."""
+    df = REGISTRY["q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.lower().count("lineitem.parquet") == 1  # single fact scan
+    assert has_broadcast_join(df)
+    # agg shuffle + window shuffle + spread; no extra fact-side exchanges
+    assert count_exchanges(df) <= 3
+
+
+def test_q10_pushdown_and_post_agg_annotate(spark, sf_dir):
+    """Q10 shape: date + returnflag predicates reach the scans; customer
+    and nation attach by broadcast AFTER the per-custkey aggregate."""
+    df = REGISTRY["q10_returned_item_revenue"].fn(spark, sf_dir)
+    assert_pushed(df, "l_returnflag")
+    assert_pushed(df, "o_orderdate")
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q11_semi_join_broadcasts(spark, sf_dir):
+    """Q11 shape: the nation-filtered supplier set reaches lineitem as a
+    broadcast LeftSemi — the fact table never shuffles for the filter."""
+    df = REGISTRY["q11_important_part_value"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_q20_threshold_is_division_free(spark, sf_dir):
+    """The 1.5x-average predicate compiles to decimal multiplies only —
+    no Divide in the plan whose rounding could diverge from the oracle."""
+    df = REGISTRY["q20_excess_quantity_suppliers"].fn(spark, sf_dir)
+    assert "divide" not in formatted_plan(df).lower()

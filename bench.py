@@ -72,7 +72,10 @@ def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int]:
             processing_ts=F.lit(0))
         payloads = envelope_to_json(env).select("payload")
         src = f"{work}/src"
-        payloads.repartition(8).write.mode("overwrite").text(src)
+        # one file per core: file-source parallelism == source partition
+        # count (a Kafka topic would be partitioned the same way)
+        n_parts = spark.sparkContext.defaultParallelism
+        payloads.repartition(n_parts).write.mode("overwrite").text(src)
         n_rows = spark.read.text(src).count()
 
         cfg = PipelineConfig(

@@ -127,3 +127,78 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec (rows-only oracle: mapInPandas is not SQL-expressible)."""
     with_payload = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return decode_features(with_payload, fake=True)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, modality string, frame_idx int, byte_offset long, "
+    "frame_sha string"
+)
+
+
+def frame_sample(docs_with_payload: DataFrame) -> DataFrame:
+    """Frame sampling: the 1 -> N expanding mapInPandas shape (one input
+    row yields a variable number of frame rows). A real implementation
+    seeks the container format at each offset and decodes (ffmpeg —
+    unavailable here); the sampling *plan* is real and deterministic:
+    k frames per clip (1 for still images), evenly spaced byte offsets,
+    and a per-frame content fingerprint.
+
+    Scale: expansion happens inside Arrow batches — no explode shuffle,
+    no driver involvement; output batches are bounded by input batch size
+    x max frames. Payload bytes never leave the executor: only offsets
+    and hashes ship downstream.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "modality": [], "frame_idx": [],
+                "byte_offset": [], "frame_sha": [],
+            }
+            for doc_id, modality, byte_len, sha in zip(
+                pdf["doc_id"], pdf["modality"], pdf["byte_len"], pdf["sha"]
+            ):
+                k = 1 if modality == "image" else 1 + int(byte_len) % 4
+                for i in range(k):
+                    off = (i * int(byte_len)) // k
+                    out["doc_id"].append(doc_id)
+                    out["modality"].append(modality)
+                    out["frame_idx"].append(i)
+                    out["byte_offset"].append(off)
+                    out["frame_sha"].append(
+                        hashlib.md5(f"{sha}:{off}".encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    flat = docs_with_payload.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.sha").alias("sha"),
+    )
+    return flat.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling query over the multimodal table (deterministic fake
+    sampler => full SQL oracle despite the mapInPandas execution)."""
+    with_payload = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return frame_sample(with_payload)
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS modality,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS sha
+    FROM documents
+), f AS (
+    SELECT *, CASE WHEN modality = 'image' THEN 1 ELSE 1 + byte_len % 4 END AS k
+    FROM m
+)
+SELECT doc_id, modality, CAST(gs.i AS INT) AS frame_idx,
+       CAST((gs.i * byte_len) // k AS BIGINT) AS byte_offset,
+       md5(sha || ':' || CAST((gs.i * byte_len) // k AS VARCHAR)) AS frame_sha
+FROM f CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) gs
+WHERE gs.i < k
+"""

@@ -563,6 +563,8 @@ register("text_tfidf_top_terms", _tx.TFIDF_TOP_TERMS_SQL)(_tx.tfidf_top_terms)
 register("text_posting_lists", _tx.POSTING_LISTS_SQL)(_tx.posting_lists)
 register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)
 register("multimodal_decode_stub", None)(_mm.multimodal_decode_stub)
+register("multimodal_frame_sample",
+         _mm.MULTIMODAL_FRAME_SAMPLE_SQL)(_mm.multimodal_frame_sample)
 
 from ru_cdc_spark.operators import pipelineops as _pp  # noqa: E402
 

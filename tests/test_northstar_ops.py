@@ -106,3 +106,26 @@ def test_multimodal_mapinpandas_plumbing(spark, sf_dir):
         assert r["width"] >= 64 and r["height"] >= 64
         if r["modality"] == "image":
             assert r["n_frames"] == 1
+
+
+def test_frame_sample_expansion_shape(spark, sf_dir):
+    """Images yield exactly 1 frame; audio/video yield 1-4 evenly spaced
+    offsets strictly inside the payload, each with a distinct fingerprint."""
+    from ru_cdc_spark.operators.multimodal import attach_binary_payload, frame_sample
+    from ru_cdc_spark.sources.readers import load_table
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents")).limit(200)
+    frames = frame_sample(docs).collect()
+    assert len(frames) > 0
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault((r.doc_id, r.modality), []).append(r)
+    for (doc_id, modality), rows in by_doc.items():
+        rows.sort(key=lambda r: r.frame_idx)
+        if modality == "image":
+            assert len(rows) == 1 and rows[0].byte_offset == 0
+        else:
+            assert 1 <= len(rows) <= 4
+        offs = [r.byte_offset for r in rows]
+        assert offs == sorted(offs)
+        assert len({r.frame_sha for r in rows}) == len(rows)

@@ -222,6 +222,43 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 1-hour windows every 15
+    minutes — each event lands in 4 overlapping windows (the shape
+    tumbling can't express; Spark's `window()` generates the assignment
+    without an explode in the logical plan).
+
+    Scale: output is 4x the tumbling rollup's groups, input scan is
+    unchanged; partial agg still collapses before the shuffle. The
+    streaming form is identical plus a watermark.
+    """
+    ev = spread(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("decimal(38,2)").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+EVENTS_SLIDING_WINDOW_SQL = """
+WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+    FROM events
+)
+SELECT make_timestamp(((sec // 900 - gs.i) * 900) * 1000000) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+FROM e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) gs
+GROUP BY 1, 2
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user lag-gap > 30 min starts a new session; emit
     per-user session stats. The classic batch pattern (streaming equivalent:

@@ -258,6 +258,7 @@ register("q5_local_supplier_volume", _an.LOCAL_SUPPLIER_VOLUME_SQL)(_an.local_su
 register("top_orders_per_customer", _an.TOP_ORDERS_PER_CUSTOMER_SQL)(_an.top_orders_per_customer)
 register("events_hourly_rollup", _an.EVENTS_HOURLY_ROLLUP_SQL)(_an.events_hourly_rollup)
 register("events_sessionize", _an.SESSIONIZE_EVENTS_SQL)(_an.sessionize_events)
+register("events_sliding_window", _an.EVENTS_SLIDING_WINDOW_SQL)(_an.events_sliding_window)
 register("sales_rollup_cube", _an.SALES_ROLLUP_CUBE_SQL)(_an.sales_rollup_cube)
 register("order_priority_counts", _an.ORDER_PRIORITY_COUNTS_SQL)(_an.order_priority_counts)
 register("customer_order_balance", _an.CUSTOMER_ORDER_BALANCE_SQL)(_an.customer_order_balance)

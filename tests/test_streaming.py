@@ -460,3 +460,30 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     )
     want = {(r.event_id, r.n_prior, r.max_prior) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_static_join_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: each micro-batch joins the static
+    dimension without state — the standard enrichment shape (static side
+    re-resolved per batch, so a dim refresh is picked up live)."""
+    from pyspark.sql import functions as F
+    from ru_cdc_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.limit(500).write.mode("overwrite").parquet(src)
+
+    dim = spark.range(100).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("tier_"), (F.col("id") % 3).cast("string")).alias("tier"))
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (enriched.writeStream.format("memory").queryName("__enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("__enriched")
+    batch = spark.read.parquet(src).join(F.broadcast(dim), "user_id", "left")
+    assert got.count() == batch.count() == 500
+    assert got.where(F.col("tier").isNull()).count() == \
+        batch.where(F.col("tier").isNull()).count()

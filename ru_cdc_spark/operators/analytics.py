@@ -1148,3 +1148,27 @@ SELECT o_custkey, o_orderkey,
                           ORDER BY o_orderdate ASC, o_orderkey ASC) AS nth_order
 FROM orders
 """
+
+
+def events_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day via HLL sketches (Apache DataSketches,
+    built into Spark 4) — the 100 TB replacement for countDistinct.
+
+    Why it matters at scale: exact distinct is a full shuffle of every
+    (day, user) pair; sketches make the partial aggregate a fixed-size
+    register array per group, so the shuffle moves O(groups x 2^lgK)
+    bytes regardless of row count, and sketches from different
+    partitions/days UNION losslessly (tested) — enabling incremental
+    rollups over arbitrary time grains without re-reading history.
+
+    Rows-only correctness (DuckDB's approx_distinct uses a different HLL
+    implementation); the estimate-vs-exact tolerance and the union
+    mergeability law are pytest-gated instead.
+    """
+    ev = spread(load_table(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+             .alias("approx_users"),
+             F.count("*").alias("n_events"))
+    )

@@ -142,3 +142,31 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
     got = {(r.q_vec, r.neighbor) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"recall@3 too low: {recall:.2f}"
+
+
+def test_hll_estimate_tolerance_and_mergeability(spark, sf_dir):
+    """HLL estimates stay within 5% of exact, and per-half-month sketches
+    UNION to the same estimate as one pass over the whole table (the
+    mergeability law that makes sketches shuffle- and rollup-friendly)."""
+    from pyspark.sql import functions as F
+    from ru_cdc_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    both = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx"),
+             F.countDistinct("user_id").alias("exact"))
+        .collect())
+    for r in both:
+        assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact), r
+
+    halves = ev.withColumn("half", (F.dayofmonth("ts") <= 15).cast("int"))
+    merged = (
+        halves.groupBy("half")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0].est)
+    direct = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()[0].est)
+    assert merged == direct

@@ -41,3 +41,39 @@ def test_embeddings_array_round_trip_json(spark, sf_dir, tmp_path):
     a = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     b = back.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_write_clustered_file_ranges_disjoint(spark, sf_dir, tmp_path):
+    """Range-clustered output: each parquet file covers a contiguous,
+    non-overlapping o_orderkey range (verified from the real footers), so
+    a key-range predicate can skip every other file."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+    from ru_cdc_spark.sources.layout import write_clustered
+    from ru_cdc_spark.sources.readers import load_table
+
+    out = str(tmp_path / "clustered")
+    orders = load_table(spark, sf_dir, "orders")
+    write_clustered(orders, out, ["o_orderkey"], n_files=8)
+
+    ranges = []
+    for f in Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = next(i for i in range(md.schema.to_arrow_schema().__len__())
+                   if md.schema.column(i).name == "o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1,hi1)} vs {(lo2,hi2)}"
+
+    # and Spark's scan actually prunes: a narrow filter reads < all files
+    lo, hi = ranges[0]
+    narrow = spark.read.parquet(out).where(f"o_orderkey <= {hi}")
+    read_files = {r.f for r in
+                  narrow.selectExpr("input_file_name() AS f").distinct().collect()}
+    assert len(read_files) < len(ranges)

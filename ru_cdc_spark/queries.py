@@ -479,6 +479,47 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "binlog_source_feed",
+    """
+    WITH ids AS (SELECT UNNEST(range(2000)) AS i)
+    SELECT i AS pos, i AS id,
+           'shard_' || CAST(i % 4 AS VARCHAR) AS database,
+           CASE WHEN i % 2 = 0 THEN 'orders' ELSE 'customer' END AS "table",
+           CASE WHEN i % 10 < 6 THEN ['INSERT','UPDATE','DELETE'][(i % 10 % 3) + 1]
+                ELSE 'INSERT' END AS type,
+           1700000000000 + i * 1000 AS es,
+           '{"id":' || CAST(i AS VARCHAR)
+             || ',"database":"shard_' || CAST(i % 4 AS VARCHAR)
+             || '","table":"'
+             || CASE WHEN i % 2 = 0 THEN 'orders' ELSE 'customer' END
+             || '","type":"'
+             || CASE WHEN i % 10 < 6 THEN ['INSERT','UPDATE','DELETE'][(i % 10 % 3) + 1]
+                     ELSE 'INSERT' END
+             || '","es":' || CAST(1700000000000 + i * 1000 AS VARCHAR)
+             || ',"data":[{"k":"' || CAST(i AS VARCHAR)
+             || '","v":"' || CAST(i * 7 % 1000 AS VARCHAR) || '"}]}' AS payload
+    FROM ids
+    """,
+)
+def binlog_source_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom streaming DataSource (S6/S7/C1-C3 parity,
+    sources/binlog_source.py) drained for one bounded batch — every field
+    including the Canal payload JSON is hash-checked against the oracle's
+    arithmetic reconstruction, proving the source's decode contract."""
+    from ru_cdc_spark.sources.binlog_source import register_binlog_source
+
+    register_binlog_source(spark)
+    stream = (spark.readStream.format("binlog_feed")
+              .option("total_events", 2000)
+              .option("events_per_batch", 2000)
+              .option("n_partitions", 8).load())
+    q = (stream.writeStream.format("memory").queryName("__binlog_feed")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table("__binlog_feed")
+
+
+@register(
     "cdc_snapshot_analytics",
     ORDER_CHANGES_ORACLE_CTE + """
     , snap AS (

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ru_cdc_spark.sources.readers import load_table, spread
+from ru_cdc_spark.sources.readers import load_table
 
 _DEC = "decimal(18,2)"
 
@@ -31,7 +31,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~|groups| rows before the shuffle; the shuffle moves O(groups x
     partitions) rows regardless of table size — this survives 100 TB.
     """
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast(_DEC)
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -84,7 +84,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp_ntz"))
-    li = spread(load_table(spark, sf_dir, "lineitem")).where(
+    li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") >= F.lit("1995-03-16 00:00:00").cast("timestamp_ntz"))
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -128,7 +128,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast("decimal(4,2)")
     revenue = (price * (F.lit(1).cast("decimal(4,2)") - disc)).cast("decimal(30,4)")
@@ -198,7 +198,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partial agg + single shuffle on (hour, type); distinct users via
     exact count here, approx_count_distinct at 100 TB (one line change).
     """
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -232,7 +232,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged; partial agg still collapses before the shuffle. The
     streaming form is identical plus a watermark.
     """
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(
@@ -411,7 +411,7 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB swap to percentile_approx/KLL with documented error bounds).
     Results rounded to 6 dp: linear interpolation order may differ between
     engines."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -451,7 +451,7 @@ def priority_rank_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _rank_of.__annotations__ = {"priority": pd.Series, "return": pd.Series}
     rank_of = F.pandas_udf(_rank_of, "int")
 
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
         rank_of(F.col("o_orderpriority")).alias("priority_rank_udf"),
@@ -544,7 +544,7 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: single filtered aggregate — the pure scan-bandwidth
     query (predicates all push to parquet; one partial-agg shuffle of a
     single row per partition)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast(_DEC)
            * F.col("l_discount").cast("decimal(4,2)")).cast("decimal(30,4)")
     return (
@@ -578,7 +578,7 @@ def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")))
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     late = orders.join(
         li, (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
         "left_semi")
@@ -601,7 +601,7 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-priority orders among 1996 shipments, keyed by returnflag as the
     shipmode stand-in)."""
     orders = load_table(spark, sf_dir, "orders")
-    li = spread(load_table(spark, sf_dir, "lineitem")).where(
+    li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -630,7 +630,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share per ship-month — ratio of two
     decimal sums emitted as a rounded double (identical operands both
     engines => identical quotient)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice").cast(_DEC)
            * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
@@ -674,7 +674,7 @@ FROM per_month
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
     threshold, joined back to customer — group + having + join-back."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     big = (
@@ -809,7 +809,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_brand").isin(*brands)).select("p_partkey", "p_brand")
     li = (
-        spread(load_table(spark, sf_dir, "lineitem"))
+        load_table(spark, sf_dir, "lineitem")
         .select("l_partkey",
                 F.col("l_quantity").cast(_DEC).alias("qty"),
                 F.col("l_extendedprice").cast(_DEC).alias("price"))
@@ -892,7 +892,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: revenue agg shuffles on l_suppkey; the max is one broadcast row;
     supplier dim broadcasts. No top-k sort of the full table.
     """
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast(_DEC)
            * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
            ).cast("decimal(30,4)")
@@ -941,7 +941,7 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0).select("s_suppkey")
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_brand") != "Brand#45").select("p_partkey", "p_brand", "p_type", "p_size")
-    li = spread(load_table(spark, sf_dir, "lineitem")).select("l_partkey", "l_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -967,7 +967,7 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: part side filtered then broadcast; lineitem never shuffles.
     """
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity",
         (F.col("l_extendedprice").cast(_DEC)
          * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
@@ -1008,7 +1008,7 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier dim broadcasts. Counting happens per supplier name, a
     low-cardinality final shuffle.
     """
-    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag")
     f_orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F").select("o_orderkey")
@@ -1056,7 +1056,7 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_plans.py). The unique orderkey tiebreaker makes the cut
     deterministic under ties.
     """
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     return (
         orders.select("o_orderkey", "o_custkey",
                       F.col("o_totalprice").cast(_DEC).alias("o_totalprice"))
@@ -1165,7 +1165,7 @@ def events_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation); the estimate-vs-exact tolerance and the union
     mergeability law are pytest-gated instead.
     """
-    ev = spread(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ru_cdc_spark.sources.readers import load_table, spread
+from ru_cdc_spark.sources.readers import load_table
 
 _DEC = "decimal(18,2)"
 
@@ -50,7 +50,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Supplier/nation/region/part dims broadcast.
     """
     ps = (
-        spread(load_table(spark, sf_dir, "lineitem"))
+        load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").cast(_DEC).alias("supply_cost"))
     )
@@ -116,7 +116,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"),
                                   F.col("n_name").alias("cust_nation"))),
         F.col("c_nationkey") == F.col("cn_key"))
-    li = spread(load_table(spark, sf_dir, "lineitem")).where(
+    li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")))
     orders = load_table(spark, sf_dir, "orders")
@@ -169,7 +169,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")))
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     supp_nat = supp.join(
         F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
                                   F.col("n_name").alias("supp_nation"))),
@@ -244,7 +244,7 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     cost = (F.col("l_quantity").cast(_DEC)
             * F.col("p_retailprice").cast(_DEC)).cast("decimal(30,4)")
     amount = (_revenue() - cost).cast("decimal(31,4)")
@@ -288,7 +288,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")))
-    li = spread(load_table(spark, sf_dir, "lineitem")).where(
+    li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_returnflag") == "R")
     per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -336,7 +336,7 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     value = (F.col("l_extendedprice").cast(_DEC)
              * F.col("l_quantity").cast(_DEC)).cast("decimal(30,4)")
     per_part = (
@@ -385,7 +385,7 @@ def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_name").like("small%")).select("p_partkey")
-    li = spread(load_table(spark, sf_dir, "lineitem")).where(
+    li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")))
     per_supp = (

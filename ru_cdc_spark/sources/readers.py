@@ -40,6 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Repartition ahead of CPU-heavy narrow transforms.
 
+    Use ONLY where per-row work is expensive (hashing, regex, JSON
+    serialization, vector folds): there the round-robin shuffle buys N-core
+    execution of the costly stage. Do NOT use for cheap-expression
+    relational queries — their joins/aggs shuffle on real keys anyway, and
+    the extra exchange measurably loses (q1 36%, q3 3x slower with a
+    gratuitous spread at sf0.1).
+
     Small single-file parquet scans yield one input split (parquet can't
     split finer than a row group), so hash/regex-heavy map stages would run
     on one core. One cheap round-robin shuffle of the (small) base table

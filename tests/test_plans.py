@@ -182,3 +182,39 @@ def test_q20_threshold_is_division_free(spark, sf_dir):
     no Divide in the plan whose rounding could diverge from the oracle."""
     df = REGISTRY["q20_excess_quantity_suppliers"].fn(spark, sf_dir)
     assert "divide" not in formatted_plan(df).lower()
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction: when the big side of a
+    shuffle join faces a selectively-filtered build side, Catalyst injects
+    bloom_filter_agg on the build side and a might_contain guard on the
+    fact scan — rows that cannot join die before the shuffle. This is the
+    100 TB shuffle reducer for fact⋈filtered-fact joins (thresholds here
+    are shrunk to demonstrate on local data; production defaults trigger
+    at real sizes)."""
+    from pyspark.sql import functions as F
+    from ru_cdc_spark.sources.readers import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

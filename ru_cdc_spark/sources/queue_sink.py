@@ -1,0 +1,127 @@
+"""A native streaming sink with queue semantics (Python DataSource V2
+stream writer) — the engine-side analog of the reference's Redis sink.
+
+The reference RPUSHes each message onto a per-topic Redis list and only
+afterwards checkpoints its position (message_queue.rs:137-172, 74-83) —
+at-least-once: a crash between send and checkpoint duplicates. This sink
+gets effective exactly-once from the two-phase shape Spark drives:
+
+1. ``write(iterator)`` runs per partition task and stages rows into a
+   uniquely named file per (batch, partition, uuid) under
+   ``<path>/.staging/`` — a crashed/retried task leaves only garbage
+   staging files, never visible data.
+2. ``commit(messages, batchId)`` runs once on the driver after every
+   task succeeded and atomically publishes the staged files into the
+   per-topic queue directories plus a ``manifest-<batchId>.json``; a
+   replayed batch id is detected via its manifest and skipped, so
+   checkpoint replay cannot double-enqueue (the fix for the reference's
+   at-least-once gap).
+3. ``abort`` discards that batch's staging files.
+
+Consumers pop by reading topic directories in (batchId, file) order —
+list semantics per topic, like RPUSH/LPOP.
+
+Scale: staging is executor-local parallel writes (no driver data path);
+commit moves file handles, not bytes. Topic fan-out uses the row's
+``topic`` column exactly like the Kafka sink's per-row routing (K1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row
+
+
+@dataclass
+class StagedFiles(WriterCommitMessage):
+    files: list  # [(topic, staged_path, n_rows)]
+
+
+class QueueStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.topic_col = options.get("topic_col", "topic")
+        self.value_col = options.get("value_col", "payload")
+
+    def _staging(self) -> str:
+        d = os.path.join(self.path, ".staging")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def write(self, iterator: Iterator[Row]) -> StagedFiles:
+        buckets: dict[str, list[str]] = {}
+        for row in iterator:
+            buckets.setdefault(row[self.topic_col], []).append(row[self.value_col])
+        staged = []
+        for topic, values in buckets.items():
+            name = f"{topic}-{uuid.uuid4().hex}.jsonl"
+            p = os.path.join(self._staging(), name)
+            with open(p, "w") as fh:
+                fh.write("\n".join(values))
+            staged.append((topic, p, len(values)))
+        return StagedFiles(files=staged)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        manifest = os.path.join(self.path, f"manifest-{batchId}.json")
+        if os.path.exists(manifest):  # replayed batch: already published
+            for m in messages:
+                for _, p, _ in (m.files if m else []):
+                    if os.path.exists(p):
+                        os.remove(p)
+            return
+        published = []
+        for m in messages:
+            for topic, p, n in (m.files if m else []):
+                tdir = os.path.join(self.path, topic)
+                os.makedirs(tdir, exist_ok=True)
+                dest = os.path.join(tdir, f"{batchId:012d}-{os.path.basename(p)}")
+                shutil.move(p, dest)
+                published.append({"topic": topic, "file": dest, "rows": n})
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch": batchId, "published": published}, fh)
+        os.replace(tmp, manifest)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            for _, p, _ in (m.files if m else []):
+                if os.path.exists(p):
+                    os.remove(p)
+
+
+class QueueSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "list_queue"
+
+    def streamWriter(self, schema, overwrite: bool) -> QueueStreamWriter:  # noqa: N802
+        return QueueStreamWriter(dict(self.options))
+
+
+def register_queue_sink(spark) -> None:
+    spark.dataSource.register(QueueSinkDataSource)
+
+
+def read_queue(path: str, topic: str) -> list[str]:
+    """Consumer view: the topic's messages in enqueue order."""
+    tdir = os.path.join(path, topic)
+    if not os.path.isdir(tdir):
+        return []
+    out: list[str] = []
+    for name in sorted(os.listdir(tdir)):
+        with open(os.path.join(tdir, name)) as fh:
+            content = fh.read()
+            if content:
+                out.extend(content.split("\n"))
+    return out

@@ -1172,3 +1172,37 @@ def events_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("approx_users"),
              F.count("*").alias("n_events"))
     )
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (arbitrary set list — not derivable from
+    cube/rollup): totals by (status, priority), by status alone, and the
+    grand total, with grouping_id disambiguating NULL-as-group from
+    NULL-as-value.
+
+    Scale: Spark expands the sets with a single Expand operator feeding
+    ONE partial+final aggregation — input is scanned once and the shuffle
+    carries |sets| x |groups| rows, not |sets| x |input|.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                   AS total_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
+GROUPING_SETS_SALES_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""

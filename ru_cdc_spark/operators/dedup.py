@@ -601,3 +601,51 @@ WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.25
 """
+
+
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit a NEW batch of documents only if no LSH
+    band collides with the EXISTING corpus index — the continuous
+    -ingestion shape (every production training-data pipeline dedups
+    arriving batches against an accumulated index, never corpus x corpus).
+
+    Here the split is derived (doc_id % 10 == 0 is "new"); in production
+    the index's (band_idx, band_hash) table is a persisted, clustered
+    table that each arriving batch left-anti joins.
+
+    Scale: the join is new-batch-sized x index equi-join on the band key
+    — shuffle proportional to the BATCH, not the corpus; the index side
+    is pre-partitioned by band key so only matching partitions read. No
+    pairwise work at all (contrast minhash_lsh_pairs): admission is a
+    semi-join decision, not pair enumeration.
+    """
+    bands = _band_table(spark, sf_dir)
+    new = bands.where(F.col("doc_id") % 10 == 0)
+    index = bands.where(F.col("doc_id") % 10 != 0) \
+                 .select("band_idx", "band_hash").distinct()
+    colliding = (
+        new.join(index, ["band_idx", "band_hash"], "left_semi")
+        .select("doc_id").distinct()
+    )
+    all_new = new.select("doc_id").distinct()
+    return (
+        all_new.join(colliding, "doc_id", "left_anti")
+        .select("doc_id", F.lit(True).alias("admitted"))
+        .unionByName(colliding.select("doc_id", F.lit(False).alias("admitted")))
+    )
+
+
+DEDUP_INCREMENTAL_SQL = MINHASH_LSH_PAIRS_SQL.rsplit("SELECT DISTINCT", 1)[0] + """,
+new_bands AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+idx AS (SELECT DISTINCT band_idx, band_hash FROM bands WHERE doc_id % 10 <> 0),
+colliding AS (
+    SELECT DISTINCT doc_id FROM new_bands
+    WHERE (band_idx, band_hash) IN (SELECT (band_idx, band_hash) FROM idx)
+)
+SELECT doc_id, TRUE AS admitted FROM (
+    SELECT DISTINCT doc_id FROM new_bands
+    EXCEPT SELECT doc_id FROM colliding
+)
+UNION ALL
+SELECT doc_id, FALSE AS admitted FROM colliding
+"""

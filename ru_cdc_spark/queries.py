@@ -628,6 +628,8 @@ register("dedup_clusters", _dd.DEDUP_CLUSTERS_SQL)(_dd.dedup_clusters)
 register("dedup_clusters_star", _dd.DEDUP_CLUSTERS_SQL)(_dd.dedup_clusters_star)
 register("dedup_minhash_lsh_capped",
          _dd.MINHASH_LSH_PAIRS_CAPPED_SQL)(_dd.minhash_lsh_pairs_capped)
+register("dedup_incremental_new_batch",
+         _dd.DEDUP_INCREMENTAL_SQL)(_dd.dedup_incremental_new_batch)
 
 
 # ===========================================================================

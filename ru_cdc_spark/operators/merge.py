@@ -84,8 +84,13 @@ def merge_versioned(snapshot_meta: DataFrame | None, changes: DataFrame,
     """
     last = latest_changes(changes, pk_cols, seq_col)
     payload_cols = [f.name for f in last.schema["after"].dataType.fields]  # type: ignore[union-attr]
+    # PK columns coalesce from the before-image: a DELETE's after-image is
+    # NULL, and a tombstone that loses its key cannot guard it (an older
+    # INSERT in a later batch would silently resurrect the row)
     incoming = last.select(
-        *[F.col(f"after.{c}").alias(c) for c in payload_cols],
+        *[(F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}"))
+           if c in pk_cols else F.col(f"after.{c}")).alias(c)
+          for c in payload_cols],
         F.col(seq_col).alias("__seq"),
         (F.col(type_col) == "DELETE").alias("__deleted"),
     )

@@ -71,3 +71,57 @@ def test_time_parse_matches_model(spark, rows):
     got = [r["us"] for r in
            df.select(time_to_microseconds(F.col("t")).alias("us")).collect()]
     assert got == expected
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(1, 5),                 # pk
+            st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+            st.integers(0, 999),               # value payload
+        ),
+        min_size=1, max_size=12,
+    ),
+    data=st.data(),
+)
+@settings(max_examples=8, deadline=None)
+def test_merge_versioned_order_independent(spark, ops, data):
+    """The version-guarded merge converges to the same snapshot no matter
+    how the change stream is permuted across micro-batches — the tombstone
+    + seq-guard guarantee (the reference would corrupt under reorder; this
+    is the documented fix)."""
+    from pyspark.sql import functions as F
+    from ru_cdc_spark.operators.merge import merge_versioned, snapshot_view
+
+    seq_ops = list(enumerate(ops))  # (seq, (pk, type, val))
+    perm = data.draw(st.permutations(seq_ops))
+    n_splits = data.draw(st.integers(1, min(3, len(perm))))
+    bounds = sorted(data.draw(
+        st.lists(st.integers(0, len(perm)), min_size=n_splits - 1,
+                 max_size=n_splits - 1)))
+    batches, prev = [], 0
+    for b in bounds + [len(perm)]:
+        batches.append(perm[prev:b]); prev = b
+
+    def to_df(items):
+        rows = [
+            (seq, typ,
+             {"pk": pk, "v": val} if typ != "INSERT" else None,
+             {"pk": pk, "v": val} if typ != "DELETE" else None)
+            for seq, (pk, typ, val) in items
+        ]
+        return spark.createDataFrame(
+            rows, "id long, type string, "
+                  "before struct<pk:long,v:long>, after struct<pk:long,v:long>")
+
+    snap = None
+    for batch in batches:
+        if batch:
+            snap = merge_versioned(snap, to_df(batch), ["pk"])
+    got = {(r.pk, r.v) for r in snapshot_view(snap).collect()}
+
+    ordered = None
+    for seq, op in sorted(seq_ops):
+        ordered = merge_versioned(ordered, to_df([(seq, op)]), ["pk"])
+    want = {(r.pk, r.v) for r in snapshot_view(ordered).collect()}
+    assert got == want

@@ -649,3 +649,55 @@ SELECT doc_id, TRUE AS admitted FROM (
 UNION ALL
 SELECT doc_id, FALSE AS admitted FROM colliding
 """
+
+
+def corpus_dedup_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash-LSH candidate pairs ->
+    connected components -> keep the minimum doc_id of every cluster as
+    its canonical survivor; documents that appear in no candidate pair
+    survive untouched as singleton clusters.
+
+    This is the composition a training-data pipeline actually runs (pairs
+    and clusters are intermediates); output is the retained corpus with
+    per-survivor cluster size for audit.
+
+    Scale: components run over the candidate-pair graph only (tiny vs the
+    corpus); the final survivors-vs-corpus reconciliation is one left-anti
+    join keyed by doc_id — clustered docs are a small fraction of the
+    corpus, so the anti join's build side stays broadcastable.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components(
+        minhash_lsh_pairs(spark, sf_dir), "doc_a", "doc_b")
+    clusters = (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("component").alias("doc_id"), "cluster_size")
+    )
+    loners = (
+        docs.join(F.broadcast(comp.select("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", F.lit(1).cast("long").alias("cluster_size"))
+    )
+    return clusters.unionByName(loners)
+
+
+CORPUS_DEDUP_RETAIN_SQL = f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_LSH_PAIRS_SQL.strip()}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(v, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v)
+SELECT component AS doc_id, COUNT(*) AS cluster_size FROM comp GROUP BY component
+UNION ALL
+SELECT d.doc_id, 1 AS cluster_size FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+"""

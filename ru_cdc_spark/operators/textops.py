@@ -464,3 +464,87 @@ SELECT doc_id, md5(norm) AS full_hash,
                 i -> md5(substr(norm, i, 5)))) AS min_gram_hash
 FROM n WHERE length(norm) >= 5
 """
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the share of bigram
+    occurrences taken by the single most frequent bigram, and the fraction
+    of trigram occurrences whose trigram appears more than once.
+
+    Both are strong boilerplate/spam indicators for training-data
+    filtering (the reference has no text surface at all — north-star op).
+
+    Scale: the raw documents are repartitioned by doc_id BEFORE the gram
+    explode — hashpartitioning(doc_id) satisfies the clustered
+    distribution of every downstream grouping key (doc_id, ...), so the
+    whole three-level aggregate runs with exactly ONE exchange, and the
+    bytes shuffled are the compact (doc_id, words) rows rather than the
+    ~2L exploded gram rows. doc_id is unique, so the shuffle cannot skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def grams(k: int):
+        w = F.col("w")
+        return F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]),
+        )
+
+    base = docs.select("doc_id", words_col(F.col("text")).alias("w")) \
+               .where(F.size("w") >= 3).repartition("doc_id")
+    tagged = F.concat(
+        F.transform(grams(2), lambda g: F.struct(F.lit("bg").alias("kind"),
+                                                 g.alias("gram"))),
+        F.transform(grams(3), lambda g: F.struct(F.lit("tg").alias("kind"),
+                                                 g.alias("gram"))),
+    )
+    ex = base.select("doc_id", F.explode(tagged).alias("g")) \
+             .select("doc_id", F.col("g.kind").alias("kind"),
+                     F.col("g.gram").alias("gram"))
+    counts = ex.groupBy("doc_id", "kind", "gram").agg(F.count("*").alias("cnt"))
+    per = counts.groupBy("doc_id", "kind").agg(
+        F.max("cnt").alias("mx"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias("dup"),
+    )
+    return per.groupBy("doc_id").agg(
+        F.max(F.when(F.col("kind") == "bg",
+                     F.col("mx").cast("double") / F.col("tot").cast("double"))
+              ).alias("top_bigram_share"),
+        F.max(F.when(F.col("kind") == "tg",
+                     F.col("dup").cast("double") / F.col("tot").cast("double"))
+              ).alias("dup_trigram_frac"),
+    )
+
+
+REPETITION_SIGNALS_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+grams AS (
+    SELECT doc_id, 'bg' AS kind,
+           unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS gram
+    FROM words WHERE len(w) >= 3
+    UNION ALL
+    SELECT doc_id, 'tg' AS kind,
+           unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM words WHERE len(w) >= 3
+),
+counts AS (
+    SELECT doc_id, kind, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3
+),
+per AS (
+    SELECT doc_id, kind, MAX(cnt) AS mx, SUM(cnt) AS tot,
+           COALESCE(SUM(cnt) FILTER (WHERE cnt >= 2), 0) AS dup
+    FROM counts GROUP BY 1, 2
+)
+SELECT doc_id,
+       MAX(CASE WHEN kind = 'bg'
+                THEN CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) END)
+           AS top_bigram_share,
+       MAX(CASE WHEN kind = 'tg'
+                THEN CAST(dup AS DOUBLE) / CAST(tot AS DOUBLE) END)
+           AS dup_trigram_frac
+FROM per GROUP BY doc_id
+"""

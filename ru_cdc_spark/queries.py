@@ -655,6 +655,10 @@ register("text_quality_score", _tx.QUALITY_SCORE_SQL)(_tx.quality_score)
 register("text_token_counts", _tx.TOKEN_COUNTS_SQL)(_tx.token_counts)
 register("doc_fingerprint", _tx.DOC_FINGERPRINT_SQL)(_tx.doc_fingerprint)
 register("doc_winnowing", _tx.DOC_WINNOWING_SQL)(_tx.doc_winnowing)
+register("text_repetition_signals",
+         _tx.REPETITION_SIGNALS_SQL)(_tx.repetition_signals)
+register("corpus_dedup_retain",
+         _dd.CORPUS_DEDUP_RETAIN_SQL)(_dd.corpus_dedup_retain)
 register("text_tfidf_top_terms", _tx.TFIDF_TOP_TERMS_SQL)(_tx.tfidf_top_terms)
 register("text_posting_lists", _tx.POSTING_LISTS_SQL)(_tx.posting_lists)
 register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)

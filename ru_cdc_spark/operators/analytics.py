@@ -1206,3 +1206,116 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
+
+
+# ===========================================================================
+# event-sequence analytics: funnel + retention cohorts
+# ===========================================================================
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel depth per user: how far through
+    view -> click -> purchase each user progressed, where every step must
+    happen STRICTLY after the previous matched step (greedy earliest
+    matching — provably equivalent to the staged-min construction the SQL
+    oracle uses).
+
+    Scale: one shuffle keyed by user_id; per-user state is the sorted
+    event array, bounded by events-per-user (the same bound any
+    sessionizer needs). The fold over the array is a codegen'd
+    higher-order function — no Python, no window sort over the full
+    corpus, no N-pass self-joins (the naive SQL shape joins the events
+    table once per funnel step; this is one pass).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    step_arr = F.array(*[F.lit(s) for s in FUNNEL_STEPS])
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+    init = F.struct(
+        F.lit(0).alias("depth"),
+        F.lit("1900-01-01 00:00:00").cast("timestamp").alias("last"),
+    )
+
+    def fold(acc, e):
+        matched = (
+            (acc["depth"] < len(FUNNEL_STEPS))
+            & (e["event_type"] == F.element_at(step_arr, acc["depth"] + 1))
+            & (e["ts"] > acc["last"])
+        )
+        return F.when(
+            matched,
+            F.struct((acc["depth"] + 1).alias("depth"), e["ts"].alias("last")),
+        ).otherwise(acc)
+
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("evs"))
+        .select(
+            "user_id",
+            F.aggregate(F.col("evs"), init, fold)["depth"].alias("funnel_depth"),
+        )
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH t1 AS (
+    SELECT user_id, MIN(ts) AS ts1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+    SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1
+),
+t3 AS (
+    SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1
+)
+SELECT u.user_id,
+       CASE WHEN ts3 IS NOT NULL THEN 3
+            WHEN ts2 IS NOT NULL THEN 2
+            WHEN ts1 IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_depth
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users grouped into cohorts by first-activity date;
+    for each (cohort_date, day_offset) the count of cohort users active
+    that day.
+
+    Scale: cohort assignment is a user-keyed aggregate; the activity join
+    is keyed by user_id (co-partitioned with the aggregate output, AQE
+    picks the strategy); the final rollup shuffles only
+    (cohort_date, day_offset) — tiny. Distinct-per-day happens BEFORE the
+    join, so the join input is |user-days|, not |events|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(d) AS cohort_date FROM days GROUP BY 1
+)
+SELECT cohort_date, datediff('day', cohort_date, d) AS day_offset,
+       COUNT(*) AS n_users
+FROM days JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""

@@ -259,6 +259,9 @@ register("top_orders_per_customer", _an.TOP_ORDERS_PER_CUSTOMER_SQL)(_an.top_ord
 register("events_hourly_rollup", _an.EVENTS_HOURLY_ROLLUP_SQL)(_an.events_hourly_rollup)
 register("events_sessionize", _an.SESSIONIZE_EVENTS_SQL)(_an.sessionize_events)
 register("events_sliding_window", _an.EVENTS_SLIDING_WINDOW_SQL)(_an.events_sliding_window)
+register("events_funnel", _an.EVENTS_FUNNEL_SQL)(_an.events_funnel)
+register("events_retention_cohorts",
+         _an.EVENTS_RETENTION_SQL)(_an.events_retention_cohorts)
 register("segment_priority_pivot",
          _an.SEGMENT_PRIORITY_PIVOT_SQL)(_an.segment_priority_pivot)
 register("order_price_window_stats",

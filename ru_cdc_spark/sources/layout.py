@@ -13,9 +13,11 @@ shuffle) + ``sortWithinPartitions`` (tightens row-group stats inside
 each file; no extra shuffle). The test reads the written footers with
 pyarrow and asserts the per-file ranges are (nearly) disjoint.
 
-This mirrors what table formats call clustering/Z-ORDER for the 1-D
-case; for multi-column skipping, pass multiple columns — lexicographic
-range partitioning gives the leading column full skipping power.
+This mirrors what table formats call clustering for the 1-D case —
+lexicographic range partitioning gives the leading column full skipping
+power. For skipping on SEVERAL columns at once, ``write_zordered``
+bit-interleaves normalized column grids into a Morton curve so every
+cluster column gets narrow per-file stats.
 """
 
 from __future__ import annotations
@@ -37,5 +39,64 @@ def write_clustered(df: DataFrame, path: str, by: list[str],
     (
         df.repartitionByRange(n, *by)
         .sortWithinPartitions(*by)
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def zvalue(cols, bits: int = 16):
+    """Interleave the low ``bits`` bits of each (already normalized,
+    non-negative integer) column into one Morton/Z-value — pure bitwise
+    column expressions, fully codegen'd, no UDF."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        ic = c.cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(ic, b).bitwiseAND(F.lit(1)),
+                            b * n + ci))
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, by: list[str],
+                   n_files: int | None = None, bits: int = 12) -> None:
+    """Write parquet Z-ordered on 2+ numeric columns: every column in
+    ``by`` gets file/row-group skipping power, not just the leading one
+    (the limitation of lexicographic ``write_clustered``).
+
+    Each column is min/max-normalized to a ``bits``-wide integer grid
+    (one cheap global aggregate — a few bytes to the driver), the grids
+    are bit-interleaved into a Z-value, and rows are range-partitioned +
+    sorted by that Z-value. Nearby rows in ANY ``by`` dimension land in
+    the same file, so per-file min/max stats are narrow on all of them.
+
+    Scale: the stats pass is a full scan but map-side-combined to one
+    row; the write is one range shuffle, same cost as write_clustered.
+    Skew in a column collapses its normalized grid (fine — skipping
+    degrades gracefully to the other dimensions).
+    """
+    from pyspark.sql import functions as F
+
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    stats = df.agg(*[f(c).alias(f"{name}_{c}")
+                     for c in by for f, name in ((F.min, "mn"), (F.max, "mx"))]
+                   ).collect()[0]
+    grid = (1 << bits) - 1
+    norm = []
+    for c in by:
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        # double math is fine here: the grid is a layout heuristic, never
+        # a query result
+        norm.append(((F.col(c).cast("double") - mn) * (grid / span))
+                    .cast("long"))
+    z = zvalue(norm, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode("overwrite").parquet(path)
     )

@@ -77,3 +77,52 @@ def test_write_clustered_file_ranges_disjoint(spark, sf_dir, tmp_path):
     read_files = {r.f for r in
                   narrow.selectExpr("input_file_name() AS f").distinct().collect()}
     assert len(read_files) < len(ranges)
+
+
+def test_write_zordered_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered output: per-file min/max ranges are narrow on BOTH
+    cluster columns (verified from real footers), and a predicate on the
+    NON-leading column alone prunes files — the case lexicographic
+    clustering cannot serve."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from ru_cdc_spark.sources.layout import write_zordered
+    from ru_cdc_spark.sources.readers import load_table
+
+    out = str(tmp_path / "zordered")
+    orders = load_table(spark, sf_dir, "orders")
+    write_zordered(orders, out, ["o_custkey", "o_totalprice"], n_files=16)
+
+    def file_ranges(col):
+        ranges = []
+        for f in Path(out).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = next(i for i in range(md.num_columns)
+                       if md.schema.column(i).name == col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        return ranges
+
+    for col in ("o_custkey", "o_totalprice"):
+        ranges = file_ranges(col)
+        assert len(ranges) >= 8
+        glo = min(r[0] for r in ranges)
+        ghi = max(r[1] for r in ranges)
+        gspan = float(ghi) - float(glo)
+        avg_span = sum(float(hi) - float(lo) for lo, hi in ranges) / len(ranges)
+        # every file spanning the full domain would give ratio ~1.0;
+        # z-clustering must shrink the average file range on BOTH columns
+        assert avg_span / gspan < 0.7, f"{col}: no skipping power ({avg_span/gspan:.2f})"
+
+    # Spark's scan prunes on the second dimension alone
+    ranges = sorted(file_ranges("o_totalprice"))
+    lo, hi = ranges[0]
+    narrow = spark.read.parquet(out).where(f"o_totalprice <= {hi}")
+    read_files = {r.f for r in
+                  narrow.selectExpr("input_file_name() AS f").distinct().collect()}
+    assert len(read_files) < len(ranges)

@@ -1319,3 +1319,30 @@ SELECT cohort_date, datediff('day', cohort_date, d) AS day_offset,
 FROM days JOIN cohort USING (user_id)
 GROUP BY 1, 2
 """
+
+
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles via the GK/approx sketch — the
+    100 TB replacement for exact percentiles.
+
+    Why it matters at scale: exact percentiles need a full sort (or
+    collect) of every group's values; the approx sketch keeps a
+    bounded-size summary per group in the partial aggregate, so the
+    shuffle moves O(groups x sketch) bytes regardless of row count.
+    Accuracy is the documented epsilon (1/accuracy); the
+    estimate-vs-exact tolerance is pytest-gated
+    (test_quantile_sketch_tolerance).
+
+    Rows-only correctness: DuckDB's approx_quantile uses a different
+    sketch (t-digest) — numeric equality across engines is not defined
+    for approximate answers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
+            .alias("value_quantiles"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -267,6 +267,7 @@ register("segment_priority_pivot",
 register("order_price_window_stats",
          _an.ORDER_PRICE_WINDOW_STATS_SQL)(_an.order_price_window_stats)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
+register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)
 register("sales_rollup_cube", _an.SALES_ROLLUP_CUBE_SQL)(_an.sales_rollup_cube)
 register("order_priority_counts", _an.ORDER_PRIORITY_COUNTS_SQL)(_an.order_priority_counts)

@@ -170,3 +170,33 @@ def test_hll_estimate_tolerance_and_mergeability(spark, sf_dir):
         ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
         .collect()[0].est)
     assert merged == direct
+
+
+def test_quantile_sketch_tolerance(spark, sf_dir):
+    """The approx quantile sketch lands within rank-epsilon of the exact
+    percentiles (accuracy=10000 -> eps=1e-4; at sf0.001 effectively
+    exact), per event_type."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators.analytics import events_value_quantile_sketch
+    from ru_cdc_spark.sources.readers import load_table
+
+    approx = {r["event_type"]: r["value_quantiles"]
+              for r in events_value_quantile_sketch(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    # the sketch's guarantee is on RANK, not value: the returned value's
+    # rank must be within eps (+ small-n slack) of the target quantile
+    values = {r["event_type"]: sorted(v["value"] for v in r["vs"])
+              for r in ev.groupBy("event_type")
+                         .agg(F.collect_list(F.struct("value")).alias("vs"))
+                         .collect()}
+    import bisect
+    assert set(approx) == set(values)
+    for et, qs in approx.items():
+        vs = values[et]
+        n = len(vs)
+        for a, q in zip(qs, [0.5, 0.95, 0.99]):
+            lo = bisect.bisect_left(vs, a) / n
+            hi = bisect.bisect_right(vs, a) / n
+            rank_err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+            assert rank_err <= max(1e-4, 2.0 / n), (et, q, a, rank_err)

@@ -1346,3 +1346,104 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event_type: 20 buckets over
+    the global [min, max) — the profiling primitive for distribution drift
+    checks at scale.
+
+    Scale: the bounds pass aggregates to ONE row (map-side combined);
+    bucket assignment is a codegen'd projection; the final count shuffles
+    only (event_type, bucket) — at most types x 21 groups. Identical
+    floor((v-lo)/w) math on both engines keeps it oracle-exact.
+    """
+    n_buckets = 20
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    width = (hi - lo) / n_buckets or 1.0
+    bucket = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)),
+        F.lit(n_buckets - 1),  # v == max lands in the last bucket
+    ).cast("int")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("bucket_lo", (F.lit(lo) + F.col("bucket") * F.lit(width)))
+    )
+
+
+def _histogram_sql() -> str:
+    return """
+WITH bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+w AS (SELECT lo, CASE WHEN (hi - lo) / 20 = 0 THEN 1.0
+                      ELSE (hi - lo) / 20 END AS width FROM bounds),
+b AS (
+    SELECT event_type,
+           CAST(LEAST(FLOOR((value - lo) / width), 19) AS INT) AS bucket,
+           lo, width
+    FROM events, w
+)
+SELECT event_type, bucket, COUNT(*) AS n,
+       ANY_VALUE(lo) + bucket * ANY_VALUE(width) AS bucket_lo
+FROM b GROUP BY 1, 2
+"""
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = _histogram_sql()
+
+
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event_type: events whose value sits
+    more than 2.5 standard deviations from their type's mean.
+
+    Oracle determinism: sums transit DECIMAL (exact — no float
+    accumulation-order drift across partitions); mean/variance/z are then
+    IDENTICAL double expression trees on both engines, so the filter
+    boundary is bit-reproducible. Never use sum(double) for
+    cross-engine-checked statistics.
+
+    Scale: stats are one tiny broadcast-able aggregate (5 types); the
+    z-filter is a codegen'd projection over the fact scan — one pass,
+    one broadcast join, no fact shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dec = "decimal(38,6)"
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("s"),
+        F.sum((F.col("value").cast(dec) * F.col("value").cast(dec))).alias("sq"),
+    )
+    mean = stats["s"].cast("double") / stats["n"]
+    var = (stats["sq"].cast("double") - (stats["s"].cast("double")
+           * stats["s"].cast("double")) / stats["n"]) / (stats["n"] - 1)
+    enriched = stats.select(
+        "event_type", mean.alias("mean"), F.sqrt(var).alias("std"))
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(enriched), "event_type")
+        .where((z > 2.5) | (z < -2.5))
+        .select("event_id", "event_type", "value",
+                F.round(z, 6).alias("z_score"))
+    )
+
+
+EVENTS_VALUE_ANOMALIES_SQL = """
+WITH stats AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(38,6))) AS s,
+           SUM(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6))) AS sq
+    FROM events GROUP BY 1
+),
+enriched AS (
+    SELECT event_type,
+           CAST(s AS DOUBLE) / n AS mean,
+           sqrt((CAST(sq AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+                / (n - 1)) AS std
+    FROM stats
+)
+SELECT event_id, e.event_type, value,
+       ROUND((value - mean) / std, 6) AS z_score
+FROM events e JOIN enriched USING (event_type)
+WHERE (value - mean) / std > 2.5 OR (value - mean) / std < -2.5
+"""

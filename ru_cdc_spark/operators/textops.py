@@ -548,3 +548,28 @@ SELECT doc_id,
            AS dup_trigram_frac
 FROM per GROUP BY doc_id
 """
+
+
+def corpus_top_terms(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Corpus-level heavy hitters: the k most frequent words with exact
+    counts (vocabulary head — the input to tokenizer/stopword decisions).
+
+    Scale: two-level aggregate — map-side partial counts collapse
+    within-partition repeats before the (uniform, high-cardinality) word
+    shuffle; the global top-k is TakeOrderedAndProject over the counted
+    relation (no full sort). Deterministic tiebreak on the term itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words_col(F.col("text"))).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+
+
+CORPUS_TOP_TERMS_SQL = f"""
+WITH w AS (SELECT unnest({_WORDS_SQL}) AS term FROM documents)
+SELECT term, COUNT(*) AS n FROM w GROUP BY 1
+ORDER BY n DESC, term LIMIT 25
+"""

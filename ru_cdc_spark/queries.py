@@ -262,6 +262,10 @@ register("events_sliding_window", _an.EVENTS_SLIDING_WINDOW_SQL)(_an.events_slid
 register("events_funnel", _an.EVENTS_FUNNEL_SQL)(_an.events_funnel)
 register("events_retention_cohorts",
          _an.EVENTS_RETENTION_SQL)(_an.events_retention_cohorts)
+register("events_value_histogram",
+         _an.EVENTS_VALUE_HISTOGRAM_SQL)(_an.events_value_histogram)
+register("events_value_anomalies",
+         _an.EVENTS_VALUE_ANOMALIES_SQL)(_an.events_value_anomalies)
 register("segment_priority_pivot",
          _an.SEGMENT_PRIORITY_PIVOT_SQL)(_an.segment_priority_pivot)
 register("order_price_window_stats",
@@ -661,6 +665,7 @@ register("doc_fingerprint", _tx.DOC_FINGERPRINT_SQL)(_tx.doc_fingerprint)
 register("doc_winnowing", _tx.DOC_WINNOWING_SQL)(_tx.doc_winnowing)
 register("text_repetition_signals",
          _tx.REPETITION_SIGNALS_SQL)(_tx.repetition_signals)
+register("corpus_top_terms", _tx.CORPUS_TOP_TERMS_SQL)(_tx.corpus_top_terms)
 register("corpus_dedup_retain",
          _dd.CORPUS_DEDUP_RETAIN_SQL)(_dd.corpus_dedup_retain)
 register("text_tfidf_top_terms", _tx.TFIDF_TOP_TERMS_SQL)(_tx.tfidf_top_terms)

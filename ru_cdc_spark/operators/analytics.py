@@ -1447,3 +1447,184 @@ SELECT event_id, e.event_type, value,
 FROM events e JOIN enriched USING (event_type)
 WHERE (value - mean) / std > 2.5 OR (value - mean) / std < -2.5
 """
+
+
+def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per event_type: chi-square divergence between the
+    value distributions of the early (day 1-15) and late (day 16+) halves
+    of the stream, over 10 equi-width buckets — the data-quality monitor
+    that catches upstream schema/semantics changes between snapshots.
+
+    Oracle determinism: the per-bucket term (pe-pl)^2/(pe+pl) uses only
+    IEEE-exact ops (+,-,*,/) on identically-derived doubles, so each term
+    is bit-identical across engines; terms transit DECIMAL(28,14) before
+    the cross-bucket sum so accumulation order (which differs between
+    engines) cannot perturb the total. Buckets empty in BOTH halves
+    contribute zero and are simply absent from the groupBy — no dense
+    bucket frame needed.
+
+    Scale: one bounds pass (single-row aggregate), one (type, bucket,
+    half) count — at most types x 10 x 2 groups after map-side combine —
+    and a broadcast join of per-type totals. The fact table is scanned
+    twice but never shuffled beyond the tiny group keys.
+    """
+    n_buckets = 10
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    width = (hi - lo) / n_buckets or 1.0
+    bucket = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    early = F.dayofmonth("ts") <= 15
+    c = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count_if(early).alias("c_early"),
+        F.count_if(~early).alias("c_late"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("c_early").alias("n_early"),
+        F.sum("c_late").alias("n_late"),
+    )
+    pe = F.col("c_early").cast("double") / F.col("n_early").cast("double")
+    pl = F.col("c_late").cast("double") / F.col("n_late").cast("double")
+    term = F.when(
+        (F.col("c_early") + F.col("c_late")) > 0,
+        (pe - pl) * (pe - pl) / (pe + pl),
+    ).otherwise(F.lit(0.0))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "n_early", "n_late")
+        .agg(F.round(F.sum(term.cast("decimal(28,14)")).cast("double"), 6)
+             .alias("drift_chi2"))
+    )
+
+
+EVENTS_DISTRIBUTION_DRIFT_SQL = """
+WITH bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+w AS (SELECT lo, CASE WHEN (hi - lo) / 10 = 0 THEN 1.0
+                      ELSE (hi - lo) / 10 END AS width FROM bounds),
+b AS (
+    SELECT event_type,
+           CAST(LEAST(FLOOR((value - lo) / width), 9) AS INT) AS bucket,
+           EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15 AS early
+    FROM events, w
+),
+c AS (
+    SELECT event_type, bucket,
+           COUNT(*) FILTER (early) AS c_early,
+           COUNT(*) FILTER (NOT early) AS c_late
+    FROM b GROUP BY 1, 2
+),
+t AS (
+    SELECT event_type, SUM(c_early) AS n_early, SUM(c_late) AS n_late
+    FROM c GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_early AS BIGINT) AS n_early,
+       CAST(n_late AS BIGINT) AS n_late,
+       ROUND(CAST(SUM(CAST(
+           CASE WHEN c_early + c_late > 0 THEN
+               (CAST(c_early AS DOUBLE) / CAST(n_early AS DOUBLE)
+                - CAST(c_late AS DOUBLE) / CAST(n_late AS DOUBLE))
+               * (CAST(c_early AS DOUBLE) / CAST(n_early AS DOUBLE)
+                  - CAST(c_late AS DOUBLE) / CAST(n_late AS DOUBLE))
+               / (CAST(c_early AS DOUBLE) / CAST(n_early AS DOUBLE)
+                  + CAST(c_late AS DOUBLE) / CAST(n_late AS DOUBLE))
+           ELSE 0.0 END AS DECIMAL(28,14))) AS DOUBLE), 6) AS drift_chi2
+FROM c JOIN t USING (event_type)
+GROUP BY event_type, n_early, n_late
+"""
+
+
+def user_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Gini impurity of the user's
+    event-type mix, 1 - sum(p_t^2) — 0 means single-type users, ->0.8
+    means uniform across 5 types. The audience-segmentation primitive.
+
+    Oracle determinism: computed as (n^2 - sum(c^2)) / n^2 in
+    DECIMAL(19,0)-squared integer math (exact on both engines; counts to
+    1e10 square within DECIMAL(38,0)), with ONE double division at the
+    end — no float accumulation anywhere.
+
+    Scale: two chained aggregates, (user, type) then user; both map-side
+    combinable, shuffle keyed on user_id only.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    d19 = "decimal(19,0)"
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    g = c.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("n").cast(d19) * F.col("n").cast(d19)).alias("sq"),
+    )
+    n2 = F.col("n_events").cast(d19) * F.col("n_events").cast(d19)
+    return g.select(
+        "user_id", "n_events", "n_types",
+        F.round((n2 - F.col("sq")).cast("double") / n2.cast("double"), 6)
+        .alias("gini"),
+    )
+
+
+USER_GINI_DIVERSITY_SQL = """
+WITH c AS (
+    SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+),
+g AS (
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           COUNT(*) AS n_types,
+           SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS sq
+    FROM c GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       ROUND(CAST(CAST(n_events AS DECIMAL(19,0)) * CAST(n_events AS DECIMAL(19,0))
+                  - sq AS DOUBLE)
+             / CAST(CAST(n_events AS DECIMAL(19,0))
+                    * CAST(n_events AS DECIMAL(19,0)) AS DOUBLE), 6) AS gini
+FROM g
+"""
+
+
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: orders not strictly dominated on (o_totalprice,
+    o_orderdate) — no other order is both more expensive AND more recent.
+    The multi-objective "best tradeoffs" query (price/recency here;
+    quality/length, score/cost in pipeline curation).
+
+    Scale: the frontier test only needs, per order, the max price among
+    STRICTLY LATER dates. Orders first collapse to per-date maxima
+    (|distinct dates| rows — ~2.4k here and bounded by the calendar, not
+    the fact table), then one running-max window over that tiny sorted
+    relation, broadcast back onto the fact scan. The single-partition
+    window is over dates only, so this survives any fact-table scale.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    per_date = o.groupBy("o_orderdate").agg(F.max("o_totalprice").alias("pmax"))
+    w = (Window.orderBy(F.col("o_orderdate").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    f = per_date.select(
+        "o_orderdate", F.max("pmax").over(w).alias("best_later"))
+    return (
+        o.join(F.broadcast(f), "o_orderdate")
+        .where(F.col("best_later").isNull()
+               | (F.col("o_totalprice") >= F.col("best_later")))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )
+
+
+ORDERS_PARETO_FRONTIER_SQL = """
+WITH pd AS (
+    SELECT o_orderdate, MAX(o_totalprice) AS pmax FROM orders GROUP BY 1
+),
+f AS (
+    SELECT o_orderdate,
+           MAX(pmax) OVER (ORDER BY o_orderdate DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS best_later
+    FROM pd
+)
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders JOIN f USING (o_orderdate)
+WHERE best_later IS NULL OR o_totalprice >= best_later
+"""

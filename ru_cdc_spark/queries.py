@@ -266,6 +266,12 @@ register("events_value_histogram",
          _an.EVENTS_VALUE_HISTOGRAM_SQL)(_an.events_value_histogram)
 register("events_value_anomalies",
          _an.EVENTS_VALUE_ANOMALIES_SQL)(_an.events_value_anomalies)
+register("events_distribution_drift",
+         _an.EVENTS_DISTRIBUTION_DRIFT_SQL)(_an.events_distribution_drift)
+register("user_gini_diversity",
+         _an.USER_GINI_DIVERSITY_SQL)(_an.user_gini_diversity)
+register("orders_pareto_frontier",
+         _an.ORDERS_PARETO_FRONTIER_SQL)(_an.orders_pareto_frontier)
 register("segment_priority_pivot",
          _an.SEGMENT_PRIORITY_PIVOT_SQL)(_an.segment_priority_pivot)
 register("order_price_window_stats",

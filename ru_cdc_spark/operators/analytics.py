@@ -1628,3 +1628,132 @@ SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
 FROM orders JOIN f USING (o_orderdate)
 WHERE best_later IS NULL OR o_totalprice >= best_later
 """
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience co-engagement matrix: for every unordered pair of event
+    types, how many users did both, plus the Jaccard overlap of the two
+    audiences — the segment-similarity primitive behind lookalike
+    modeling and campaign dedup.
+
+    Scale: the (user, type) distinct relation is at most |users| x |types|
+    rows; the self-join is keyed on user_id (co-partitioned, no broadcast
+    needed) and fans out at most |types|^2 rows per user. Totals per type
+    are a tiny broadcast. One double division at the end, rounded.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type").distinct())
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("b.event_type").alias("type_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    ta = totals.select(F.col("event_type").alias("type_a"),
+                       F.col("n").alias("n_a"))
+    tb = totals.select(F.col("event_type").alias("type_b"),
+                       F.col("n").alias("n_b"))
+    joined = pairs.join(F.broadcast(ta), "type_a").join(F.broadcast(tb), "type_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return joined.select(
+        "type_a", "type_b", "n_a", "n_b", "n_both",
+        F.round(F.col("n_both").cast("double") / union.cast("double"), 6)
+        .alias("jaccard"),
+    )
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both
+    FROM ut a JOIN ut b USING (user_id)
+    WHERE a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+totals AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1)
+SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+       ROUND(CAST(n_both AS DOUBLE)
+             / CAST(ta.n + tb.n - n_both AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN totals ta ON ta.event_type = type_a
+JOIN totals tb ON tb.event_type = type_b
+"""
+
+
+def session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: sessionize (30-min lag gap, same rule as
+    events_sessionize), mark sessions containing a purchase as converted,
+    and credit each conversion to the session's FIRST event type — the
+    channel-performance query of every growth pipeline.
+
+    Scale: everything after the single user_id shuffle stays within the
+    user partition (window + session rollup); the final per-channel
+    aggregate is |types| rows. Deterministic first-touch via (ts,
+    event_id) total order.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_seconds(F.col("ts").cast("timestamp")) - F.unix_seconds(
+        F.lag(F.col("ts").cast("timestamp")).over(w))
+    s = (
+        ev.withColumn("new_session",
+                      F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("first_touch"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    )
+    return (
+        per_session.groupBy(F.col("first_touch").alias("channel"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+            F.round(F.sum("converted").cast("double")
+                    / F.count("*").cast("double"), 6).alias("conversion_rate"),
+        )
+    )
+
+
+SESSION_ATTRIBUTION_SQL = """
+WITH gaps AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(CAST(ts AS TIMESTAMP))
+                        - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, event_id, ts, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+),
+r AS (
+    SELECT user_id, session_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn
+    FROM s
+),
+per_session AS (
+    SELECT user_id, session_id,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS first_touch,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM r GROUP BY 1, 2
+)
+SELECT first_touch AS channel, COUNT(*) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS conversion_rate
+FROM per_session GROUP BY 1
+"""

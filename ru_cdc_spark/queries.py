@@ -272,6 +272,10 @@ register("user_gini_diversity",
          _an.USER_GINI_DIVERSITY_SQL)(_an.user_gini_diversity)
 register("orders_pareto_frontier",
          _an.ORDERS_PARETO_FRONTIER_SQL)(_an.orders_pareto_frontier)
+register("audience_overlap",
+         _an.AUDIENCE_OVERLAP_SQL)(_an.audience_overlap)
+register("session_attribution",
+         _an.SESSION_ATTRIBUTION_SQL)(_an.session_attribution)
 register("segment_priority_pivot",
          _an.SEGMENT_PRIORITY_PIVOT_SQL)(_an.segment_priority_pivot)
 register("order_price_window_stats",

@@ -1757,3 +1757,104 @@ SELECT first_touch AS channel, COUNT(*) AS n_sessions,
            AS conversion_rate
 FROM per_session GROUP BY 1
 """
+
+
+def daily_revenue_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series smoothing: daily order revenue with a 7-day trailing
+    moving average via a RANGE frame (calendar days, not rows — gaps in
+    the calendar shrink the window, exactly like a time-indexed series).
+
+    Oracle determinism: daily revenue and the windowed sum both transit
+    DECIMAL; the moving average is ONE double division rounded at the end.
+
+    Scale: the fact table collapses to per-day rows first (calendar-
+    bounded — a few thousand rows regardless of fact size), so the
+    unpartitioned range-frame window is over the calendar, not the data.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)")
+             .alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .withColumn("day_ord", F.datediff(F.col("d"), F.lit("1970-01-01")))
+    )
+    w = Window.orderBy("day_ord").rangeBetween(-6, 0)
+    return daily.select(
+        "d", "revenue", "n_orders",
+        F.round(F.sum("revenue").over(w).cast("double")
+                / F.count("*").over(w).cast("double"), 6).alias("ma7"),
+    )
+
+
+DAILY_REVENUE_MA7_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS revenue,
+           COUNT(*) AS n_orders,
+           DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_ord
+    FROM orders GROUP BY 1
+)
+SELECT d, revenue, n_orders,
+       ROUND(CAST(SUM(revenue) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day_ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each FK
+    relationship, how many child rows reference a missing parent — the
+    data-quality gate every warehouse load runs before publishing.
+
+    Scale: each relationship is one left join keyed on the FK (orphans
+    counted with a null-probe conditional, so no second scan for totals);
+    parent sides here are small enough to broadcast, and at 100 TB the
+    orderkey check becomes a co-partitioned shuffle join that AQE plans.
+    The four audits run as independent jobs unioned at the end (4 rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def audit(name, child, fk, parent, pk):
+        pr = parent.select(F.col(pk).alias("__pk"))
+        joined = child.select(F.col(fk)).join(
+            pr, F.col(fk) == F.col("__pk"), "left")
+        return joined.agg(
+            F.lit(name).alias("relationship"),
+            F.count("*").alias("n_child"),
+            F.count_if(F.col("__pk").isNull()).alias("n_orphans"),
+        )
+
+    return (
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(audit("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"))
+        .unionAll(audit("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"))
+        .unionAll(audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+    )
+
+
+REFERENTIAL_INTEGRITY_AUDIT_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       COUNT(*) AS n_child,
+       COUNT(*) FILTER (o.o_orderkey IS NULL) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       COUNT(*), COUNT(*) FILTER (p.p_partkey IS NULL)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       COUNT(*), COUNT(*) FILTER (s.s_suppkey IS NULL)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       COUNT(*), COUNT(*) FILTER (c.c_custkey IS NULL)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""

@@ -276,6 +276,10 @@ register("audience_overlap",
          _an.AUDIENCE_OVERLAP_SQL)(_an.audience_overlap)
 register("session_attribution",
          _an.SESSION_ATTRIBUTION_SQL)(_an.session_attribution)
+register("daily_revenue_ma7",
+         _an.DAILY_REVENUE_MA7_SQL)(_an.daily_revenue_ma7)
+register("referential_integrity_audit",
+         _an.REFERENTIAL_INTEGRITY_AUDIT_SQL)(_an.referential_integrity_audit)
 register("segment_priority_pivot",
          _an.SEGMENT_PRIORITY_PIVOT_SQL)(_an.segment_priority_pivot)
 register("order_price_window_stats",

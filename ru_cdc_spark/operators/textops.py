@@ -573,3 +573,53 @@ WITH w AS (SELECT unnest({_WORDS_SQL}) AS term FROM documents)
 SELECT term, COUNT(*) AS n FROM w GROUP BY 1
 ORDER BY n DESC, term LIMIT 25
 """
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str,
+                      size: int = 30, stride: int = 20) -> DataFrame:
+    """RAG-style chunking: split each document's token stream into
+    overlapping windows (size 30, stride 20 — 10-token overlap), emitting
+    one row per chunk with its token span and reassembled text.
+
+    Scale: per-row array math — tokenize once, explode only the chunk
+    INDEX sequence (a few ints per doc, never the tokens), then slice.
+    Zero shuffle; output row count = total chunks, each carrying only its
+    own tokens. At 100 TB this is a narrow map fused into the scan, and
+    chunk rows land ready for the embedding stage without a repartition.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select(
+        "doc_id", words_col(F.col("text")).alias("w"))
+    w = w.withColumn("n", F.size("w")).where(F.col("n") >= 1)
+    starts = F.sequence(F.lit(0), F.floor((F.col("n") - 1) / F.lit(stride)).cast("int"))
+    return (
+        w.select("doc_id", "w", F.explode(starts).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(F.col("w"), F.col("chunk_id") * stride + 1, size).alias("chunk"),
+        )
+        .select(
+            "doc_id", "chunk_id",
+            F.size("chunk").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+DOC_CHUNK_OVERLAP_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_WORDS_SQL} AS w, len({_WORDS_SQL}) AS n
+    FROM documents
+),
+c AS (
+    SELECT doc_id, g.i AS chunk_id,
+           list_slice(w, g.i * 20 + 1, g.i * 20 + 30) AS chunk
+    FROM w, generate_series(0, 512) g(i)
+    WHERE n >= 1 AND g.i <= (n - 1) // 20
+)
+SELECT doc_id, chunk_id,
+       len(chunk) AS n_tokens,
+       list_aggregate(chunk, 'string_agg', ' ') AS chunk_text
+FROM c
+"""

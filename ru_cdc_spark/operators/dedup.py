@@ -701,3 +701,69 @@ UNION ALL
 SELECT d.doc_id, 1 AS cluster_size FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
 """
+
+
+def dedup_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for near-dup detection: histogram of pairwise
+    word-bigram Jaccard similarities within (lang, source) blocks, in 0.05
+    buckets — how many pairs a given dedup threshold would merge.
+
+    Oracle determinism: the bucket is (20 * |inter|) DIV |union| in pure
+    integer math — floor(20 * jaccard) without ever computing a float, so
+    bucket edges cannot flip on rounding.
+
+    Scale: same blocked pairing as ngram_jaccard_pairs (never all-pairs);
+    the histogram collapses pairs to at most 21 rows via map-side combine.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wc = F.col("w")
+    bigrams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(wc) - 1),
+        lambda i: F.array_join(F.slice(wc, i, 2), " "),
+    ))
+    base = (docs.select("doc_id", "lang", "source",
+                        words_col(F.col("text")).alias("w"))
+            .where(F.size("w") >= 2)
+            .select("doc_id", "lang", "source", bigrams.alias("grams")))
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    paired = (
+        a.join(b, ["lang", "source"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            inter.alias("i"),
+            (F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter)
+            .alias("u"),
+        )
+    )
+    bucket = F.least(F.expr("(20 * i) DIV u"), F.lit(19)).cast("int")
+    return (
+        paired.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("jaccard_lo",
+                    F.round(F.col("bucket") * F.lit(0.05), 2))
+    )
+
+
+DEDUP_THRESHOLD_CALIBRATION_SQL = _WORDS_CTE + """,
+grams AS (
+    SELECT doc_id, lang, source,
+           list_distinct(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1])) AS g
+    FROM (SELECT doc_id, lang, source, {words} AS w FROM documents)
+    WHERE len(w) >= 2
+),
+pairs AS (
+    SELECT len(list_intersect(a.g, b.g)) AS i,
+           len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+    FROM grams a JOIN grams b ON a.lang = b.lang AND a.source = b.source
+    WHERE a.doc_id < b.doc_id
+)
+SELECT bucket, n_pairs,
+       ROUND(CAST(bucket AS DOUBLE) * 0.05, 2) AS jaccard_lo
+FROM (
+    SELECT CAST(LEAST((20 * i) // u, 19) AS INT) AS bucket,
+           COUNT(*) AS n_pairs
+    FROM pairs GROUP BY 1
+)
+""".replace("{words}", _WORDS_SQL)

@@ -442,3 +442,43 @@ SELECT doc_id, COUNT(*) AS n_contaminated_grams
 FROM train JOIN eval_grams USING (gram)
 GROUP BY doc_id
 """
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment via md5 buckets of
+    doc_id, reported per (lang, split) — the reproducible corpus split
+    every training run depends on. Re-running the pipeline (or adding new
+    documents) never moves an existing document between splits.
+
+    Scale: the assignment is a narrow hash expression on the scan (no
+    shuffle, no global sort, no sampling pass); only the tiny report
+    aggregate shuffles. The same expression tags the full corpus at
+    100 TB as a write-time column.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    split = (F.when(b < 80, "train")
+             .when(b < 90, "val")
+             .otherwise("test"))
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"))
+    )
+
+
+TRAIN_VAL_TEST_SPLIT_SQL = """
+WITH tagged AS (
+    SELECT lang, n_chars,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM tagged GROUP BY 1, 2
+"""

@@ -644,6 +644,8 @@ register("dedup_minhash_signatures", _dd.MINHASH_SIGNATURES_SQL)(_dd.minhash_sig
 register("dedup_minhash_lsh_pairs", _dd.MINHASH_LSH_PAIRS_SQL)(_dd.minhash_lsh_pairs)
 register("dedup_simhash_signatures", _dd.SIMHASH_SIGNATURES_SQL)(_dd.simhash_signatures)
 register("dedup_simhash_near_pairs", _dd.SIMHASH_NEAR_PAIRS_SQL)(_dd.simhash_near_pairs)
+register("dedup_threshold_calibration",
+         _dd.DEDUP_THRESHOLD_CALIBRATION_SQL)(_dd.dedup_threshold_calibration)
 register("dedup_ngram_jaccard", _dd.NGRAM_JACCARD_PAIRS_SQL)(_dd.ngram_jaccard_pairs)
 register("dedup_embedding_cosine", _dd.EMBEDDING_NEAR_DUP_SQL)(_dd.embedding_near_dup_pairs)
 register("dedup_clusters", _dd.DEDUP_CLUSTERS_SQL)(_dd.dedup_clusters)
@@ -696,6 +698,8 @@ register("quality_filter_chain",
          _pp.QUALITY_FILTER_CHAIN_SQL)(_pp.quality_filter_chain)
 register("pii_redaction", _pp.PII_REDACTION_SQL)(_pp.pii_redaction)
 register("stratified_sample", _pp.STRATIFIED_SAMPLE_SQL)(_pp.stratified_sample)
+register("train_val_test_split",
+         _pp.TRAIN_VAL_TEST_SPLIT_SQL)(_pp.train_val_test_split)
 register("sequence_packing", _pp.SEQUENCE_PACKING_SQL)(_pp.sequence_packing)
 register("token_mixture", _pp.TOKEN_MIXTURE_SQL)(_pp.token_mixture)
 register("capped_per_source", _pp.CAPPED_PER_SOURCE_SQL)(_pp.capped_per_source)

@@ -1858,3 +1858,107 @@ SELECT 'orders.o_custkey->customer',
        COUNT(*), COUNT(*) FILTER (c.c_custkey IS NULL)
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 """
+
+
+def part_affinity(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Market-basket affinity: the k part pairs most often bought together
+    in one order, with their lift — support(a,b) * N / (support(a) *
+    support(b)) — the co-recommendation primitive.
+
+    Scale: the self-join is keyed on l_orderkey (co-partitioned single
+    shuffle); pair fan-out is bounded by items-per-order squared (~49),
+    never |parts|^2. Per-part supports are a tiny broadcast. Lift is one
+    double expression from exact integer counts; deterministic top-k
+    tiebreaks on the pair itself via TakeOrderedAndProject.
+    """
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = (load_table(spark, sf_dir, "lineitem")
+                .select("l_orderkey").distinct().count())
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    support = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    sa = support.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    sb = support.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    lift = (F.col("n_both").cast("double") * F.lit(float(n_orders))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+    return (
+        pairs.join(F.broadcast(sa), "part_a").join(F.broadcast(sb), "part_b")
+        .select("part_a", "part_b", "n_both", "n_a", "n_b",
+                F.round(lift, 6).alias("lift"))
+        .orderBy(F.desc("n_both"), F.asc("part_a"), F.asc("part_b"))
+        .limit(k)
+    )
+
+
+PART_AFFINITY_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+    FROM li a JOIN li b USING (l_orderkey)
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+support AS (SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY 1)
+SELECT part_a, part_b, n_both, sa.n AS n_a, sb.n AS n_b,
+       ROUND(CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN support sa ON sa.l_partkey = part_a
+JOIN support sb ON sb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY n_both DESC, part_a, part_b LIMIT 25
+"""
+
+
+def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period report: weekly order revenue with absolute and
+    relative week-over-week change — the trend line of every ops review.
+
+    Oracle determinism: weekly revenue and the lag both stay DECIMAL; the
+    growth ratio is one double division rounded at the end. Weeks are
+    date_trunc('week', ...) — identical ISO-Monday semantics in Spark and
+    DuckDB.
+
+    Scale: fact collapses to per-week partials first (calendar-bounded),
+    so the unpartitioned lag window is over a few hundred rows at any SF.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    weekly = (
+        o.groupBy(F.date_trunc("week", F.col("o_orderdate"))
+                  .cast("date").alias("week"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)")
+             .alias("revenue"))
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week", "revenue",
+        (F.col("revenue") - prev).cast("decimal(38,2)").alias("wow_change"),
+        F.round((F.col("revenue") - prev).cast("double")
+                / prev.cast("double"), 6).alias("wow_growth"),
+    )
+
+
+WEEKLY_REVENUE_GROWTH_SQL = """
+WITH weekly AS (
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT week, revenue,
+       CAST(revenue - lag(revenue) OVER (ORDER BY week) AS DECIMAL(38,2))
+           AS wow_change,
+       ROUND(CAST(revenue - lag(revenue) OVER (ORDER BY week) AS DOUBLE)
+             / CAST(lag(revenue) OVER (ORDER BY week) AS DOUBLE), 6)
+           AS wow_growth
+FROM weekly
+"""

@@ -280,6 +280,9 @@ register("daily_revenue_ma7",
          _an.DAILY_REVENUE_MA7_SQL)(_an.daily_revenue_ma7)
 register("referential_integrity_audit",
          _an.REFERENTIAL_INTEGRITY_AUDIT_SQL)(_an.referential_integrity_audit)
+register("part_affinity", _an.PART_AFFINITY_SQL)(_an.part_affinity)
+register("weekly_revenue_growth",
+         _an.WEEKLY_REVENUE_GROWTH_SQL)(_an.weekly_revenue_growth)
 register("segment_priority_pivot",
          _an.SEGMENT_PRIORITY_PIVOT_SQL)(_an.segment_priority_pivot)
 register("order_price_window_stats",

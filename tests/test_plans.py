@@ -218,3 +218,36 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_doc_chunking_is_exchange_free(spark, sf_dir):
+    """Chunking explodes only the chunk-index sequence and slices the
+    carried token array — a pure narrow map fused into the scan."""
+    df = REGISTRY["doc_chunk_overlap"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_pareto_frontier_broadcasts_calendar_window(spark, sf_dir):
+    """The skyline's window runs over per-date maxima and is broadcast
+    back onto the fact scan — the fact table itself is never sorted."""
+    df = REGISTRY["orders_pareto_frontier"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    # the only Sort feeds the per-date window, downstream of the date agg
+    assert plan.count("Sort") <= 2
+
+
+def test_anomalies_broadcast_stats_no_fact_shuffle(spark, sf_dir):
+    """Z-score filter joins broadcast per-type stats onto the fact scan;
+    the fact side must not shuffle on its way into the join."""
+    df = REGISTRY["events_value_anomalies"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_part_affinity_broadcasts_supports(spark, sf_dir):
+    """Pair counting shuffles once on orderkey; per-part supports arrive
+    via broadcast, and the global top-k avoids a full sort."""
+    df = REGISTRY["part_affinity"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan

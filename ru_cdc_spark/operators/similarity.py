@@ -485,3 +485,57 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= ANN_TOP_K)
     )
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str, k: int = 10,
+                     pool: int = 50, lam: float = 0.7) -> DataFrame:
+    """Maximal-marginal-relevance selection: pick k results that balance
+    relevance to the query against redundancy with what is already picked
+    (score = lam * rel - (1-lam) * max-sim-to-selected) — the diversified
+    retrieval / curation sampler.
+
+    Two-stage shape (the only way MMR distributes): candidate generation
+    is a DISTRIBUTED cosine scan + top-`pool` (TakeOrderedAndProject, no
+    corpus shuffle); the greedy re-rank then runs on that BOUNDED pool
+    (50 vectors) driver-side — the standard rerank stage, O(k * pool)
+    work on a constant-size set, never on the corpus. At 100 TB only the
+    scan grows; the pool stays 50 rows.
+
+    Rows-only correctness (greedy iteration is not SQL-expressible);
+    tests/test_northstar_ops.py gates that the selection is at least as
+    diverse as plain top-k at equal pool.
+    """
+    emb = _emb(spark, sf_dir)
+    qid = 0
+    qrow = emb.where(F.col("vec_id") == qid).select("e", "nrm").first()
+    cos = dot(F.col("e"), F.lit(qrow["e"])) / (F.col("nrm") * F.lit(qrow["nrm"]))
+    cands = (
+        emb.where(F.col("vec_id") != qid)
+        .select("vec_id", "e", "nrm", cos.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(pool)
+        .collect()
+    )
+
+    def sim(a, b):
+        num = sum(x * y for x, y in zip(a["e"], b["e"]))
+        return num / (a["nrm"] * b["nrm"])
+
+    selected: list = []
+    remaining = list(cands)
+    while remaining and len(selected) < k:
+        best, best_score = None, None
+        for c in remaining:
+            penalty = max((sim(c, s) for s, _ in selected), default=0.0)
+            score = lam * c["rel"] - (1 - lam) * penalty
+            if best is None or score > best_score or (
+                    score == best_score and c["vec_id"] < best["vec_id"]):
+                best, best_score = c, score
+        selected.append((best, best_score))
+        remaining.remove(best)
+    rows = [
+        (i + 1, s["vec_id"], round(float(s["rel"]), 6), round(float(sc), 6))
+        for i, (s, sc) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE")

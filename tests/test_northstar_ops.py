@@ -200,3 +200,37 @@ def test_quantile_sketch_tolerance(spark, sf_dir):
             hi = bisect.bisect_right(vs, a) / n
             rank_err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
             assert rank_err <= max(1e-4, 2.0 / n), (et, q, a, rank_err)
+
+
+def test_mmr_selection_is_no_less_diverse_than_topk(spark, sf_dir):
+    """MMR's k picks must be at least as diverse (lower mean pairwise
+    cosine) as the k most-relevant candidates, and its first pick must be
+    the single most relevant candidate."""
+    from ru_cdc_spark.queries import REGISTRY
+    from ru_cdc_spark.operators.similarity import _emb
+
+    sel = REGISTRY["ann_mmr_diverse"].fn(spark, sf_dir).collect()
+    assert [r.rank for r in sel] == list(range(1, 11))
+
+    emb = {r.vec_id: (r.e, r.nrm) for r in _emb(spark, sf_dir).collect()}
+
+    def cos(a, b):
+        ea, na = emb[a]
+        eb, nb = emb[b]
+        return sum(x * y for x, y in zip(ea, eb)) / (na * nb)
+
+    def mean_pairwise(ids):
+        sims = [cos(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return sum(sims) / len(sims)
+
+    # plain top-k by relevance to the same query (vec_id 0), same exclusion
+    qe, qn = emb[0]
+    rel = sorted(
+        ((sum(x * y for x, y in zip(qe, emb[v][0])) / (qn * emb[v][1]), v)
+         for v in emb if v != 0),
+        key=lambda t: (-t[0], t[1]))
+    topk_ids = [v for _, v in rel[:10]]
+
+    assert sel[0].vec_id == topk_ids[0]  # first pick = most relevant
+    mmr_ids = [r.vec_id for r in sel]
+    assert mean_pairwise(mmr_ids) <= mean_pairwise(topk_ids) + 1e-9

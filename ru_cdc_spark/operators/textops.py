@@ -13,7 +13,7 @@ codegen); nothing shuffles except the optional corpus-level rollups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ru_cdc_spark.operators.dedup import words_col, _WORDS_CTE, _WORDS_SQL
@@ -622,4 +622,57 @@ SELECT doc_id, chunk_id,
        len(chunk) AS n_tokens,
        list_aggregate(chunk, 'string_agg', ' ') AS chunk_text
 FROM c
+"""
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str, vocab_k: int = 1000) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's top-1000
+    term vocabulary — the tokenizer-fit / domain-shift signal (high OOV =
+    the doc's vocabulary is unlike the corpus head).
+
+    Oracle determinism: vocabulary membership is a row_number cut with a
+    (count desc, term) total order; the rate is one exact integer ratio.
+
+    Scale: vocab is a two-level aggregate capped at 1000 rows ->
+    broadcast; per-doc membership is a broadcast semi-join on the
+    exploded tokens, re-aggregated by doc_id. The corpus shuffles only
+    token counts (map-side combined) and (doc_id) partials.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+    vocab = (
+        toks.groupBy("term").agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("term"))))
+        .where(F.col("rn") <= vocab_k)
+        .select("term")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.count_if(F.col("in_vocab").isNull()).alias("n_oov"))
+        .select("doc_id", "n_tokens", "n_oov",
+                F.round(F.col("n_oov").cast("double")
+                        / F.col("n_tokens").cast("double"), 6).alias("oov_rate"))
+    )
+
+
+TEXT_OOV_RATE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+        FROM toks GROUP BY term
+    ) WHERE rn <= 1000
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (v.term IS NULL) AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (v.term IS NULL) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v USING (term)
+GROUP BY doc_id
 """

@@ -687,6 +687,7 @@ register("text_repetition_signals",
          _tx.REPETITION_SIGNALS_SQL)(_tx.repetition_signals)
 register("corpus_top_terms", _tx.CORPUS_TOP_TERMS_SQL)(_tx.corpus_top_terms)
 register("doc_chunk_overlap", _tx.DOC_CHUNK_OVERLAP_SQL)(_tx.doc_chunk_overlap)
+register("text_oov_rate", _tx.TEXT_OOV_RATE_SQL)(_tx.text_oov_rate)
 register("corpus_dedup_retain",
          _dd.CORPUS_DEDUP_RETAIN_SQL)(_dd.corpus_dedup_retain)
 register("text_tfidf_top_terms", _tx.TFIDF_TOP_TERMS_SQL)(_tx.tfidf_top_terms)

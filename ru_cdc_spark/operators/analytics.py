@@ -1962,3 +1962,54 @@ SELECT week, revenue,
            AS wow_growth
 FROM weekly
 """
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    for every (current, next) event-type pair, the transition count and
+    probability P(next | current) — the sequence-mining primitive behind
+    next-action prediction and funnel design.
+
+    Oracle determinism: transitions are exact lag counts under the (ts,
+    event_id) total order; the probability is one double division of
+    integers, rounded.
+
+    Scale: one user_id shuffle; the lag window streams each user
+    partition linearly, and the transition aggregate is at most
+    |types|^2 rows after map-side combine.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur_type"), "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("cur_type").agg(F.sum("n").alias("n_cur"))
+    return (
+        pairs.join(F.broadcast(totals), "cur_type")
+        .select("cur_type", "next_type", "n",
+                F.round(F.col("n").cast("double")
+                        / F.col("n_cur").cast("double"), 6).alias("p_next"))
+    )
+
+
+EVENTS_TRANSITION_MATRIX_SQL = """
+WITH pairs AS (
+    SELECT event_type AS cur_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+c AS (
+    SELECT cur_type, next_type, COUNT(*) AS n
+    FROM pairs WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+t AS (SELECT cur_type, CAST(SUM(n) AS BIGINT) AS n_cur FROM c GROUP BY 1)
+SELECT cur_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(n_cur AS DOUBLE), 6) AS p_next
+FROM c JOIN t USING (cur_type)
+"""

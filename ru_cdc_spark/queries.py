@@ -283,6 +283,8 @@ register("referential_integrity_audit",
 register("part_affinity", _an.PART_AFFINITY_SQL)(_an.part_affinity)
 register("weekly_revenue_growth",
          _an.WEEKLY_REVENUE_GROWTH_SQL)(_an.weekly_revenue_growth)
+register("events_transition_matrix",
+         _an.EVENTS_TRANSITION_MATRIX_SQL)(_an.events_transition_matrix)
 register("segment_priority_pivot",
          _an.SEGMENT_PRIORITY_PIVOT_SQL)(_an.segment_priority_pivot)
 register("order_price_window_stats",

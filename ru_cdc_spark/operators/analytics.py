@@ -2013,3 +2013,57 @@ SELECT cur_type, next_type, n,
        ROUND(CAST(n AS DOUBLE) / CAST(n_cur AS DOUBLE), 6) AS p_next
 FROM c JOIN t USING (cur_type)
 """
+
+
+def error_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational monitoring: hourly error share of the event stream with
+    an alert flag when errors exceed 2x the global error rate — the
+    anomaly page every on-call dashboard starts from.
+
+    Oracle determinism: the threshold compare is division-free integer
+    cross-multiplication (hour_errors * global_total > 2 * global_errors
+    * hour_total in BIGINT), so no float boundary exists; the reported
+    rate is display-only.
+
+    Scale: one (hour) group shuffle after map-side combine; the global
+    totals ride in as a 1-row broadcast cross join — never a collect.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("n_events"),
+             F.count_if(F.col("event_type") == "error").alias("n_errors"))
+    )
+    totals = hourly.agg(F.sum("n_events").alias("g_total"),
+                        F.sum("n_errors").alias("g_errors"))
+    alert = (F.col("n_errors") * F.col("g_total")
+             > F.lit(2) * F.col("g_errors") * F.col("n_events"))
+    return (
+        hourly.crossJoin(F.broadcast(totals))
+        .select(
+            "hour", "n_events", "n_errors",
+            F.round(F.col("n_errors").cast("double")
+                    / F.col("n_events").cast("double"), 6).alias("error_rate"),
+            alert.alias("alert"),
+        )
+    )
+
+
+ERROR_RATE_ALERTS_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (event_type = 'error') AS n_errors
+    FROM events GROUP BY 1
+),
+t AS (
+    SELECT CAST(SUM(n_events) AS BIGINT) AS g_total,
+           CAST(SUM(n_errors) AS BIGINT) AS g_errors
+    FROM hourly
+)
+SELECT hour, n_events, n_errors,
+       ROUND(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+           AS error_rate,
+       n_errors * g_total > 2 * g_errors * n_events AS alert
+FROM hourly CROSS JOIN t
+"""

@@ -285,6 +285,8 @@ register("weekly_revenue_growth",
          _an.WEEKLY_REVENUE_GROWTH_SQL)(_an.weekly_revenue_growth)
 register("events_transition_matrix",
          _an.EVENTS_TRANSITION_MATRIX_SQL)(_an.events_transition_matrix)
+register("error_rate_alerts",
+         _an.ERROR_RATE_ALERTS_SQL)(_an.error_rate_alerts)
 register("segment_priority_pivot",
          _an.SEGMENT_PRIORITY_PIVOT_SQL)(_an.segment_priority_pivot)
 register("order_price_window_stats",

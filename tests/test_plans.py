@@ -251,3 +251,25 @@ def test_part_affinity_broadcasts_supports(spark, sf_dir):
     plan = physical_plan(df)
     assert has_broadcast_join(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_transition_matrix_single_user_shuffle(spark, sf_dir):
+    """The Markov matrix shuffles the fact once on user_id for the lag
+    window; per-type totals join back via broadcast."""
+    df = REGISTRY["events_transition_matrix"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_oov_vocab_broadcasts(spark, sf_dir):
+    """OOV membership joins the 1000-term vocabulary via broadcast — the
+    exploded token stream itself is never shuffled for the join."""
+    df = REGISTRY["text_oov_rate"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_error_alerts_broadcast_totals(spark, sf_dir):
+    """Global totals arrive as a 1-row broadcast nested loop, not a
+    collect or a repeated scan aggregation on the hot path."""
+    df = REGISTRY["error_rate_alerts"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

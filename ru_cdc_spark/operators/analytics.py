@@ -5,9 +5,25 @@ engine adds them as first-class capabilities, expressed declaratively so
 Catalyst picks physical strategies (broadcast joins for dims, partial
 aggregation, AQE skew handling).
 
-Determinism-for-oracle notes: money math transits DECIMAL (exact, identical
-in Spark and DuckDB); averages are emitted as doubles rounded to 6 dp;
-window ranks always carry a unique tiebreaker column.
+Determinism-for-oracle notes: money math transits DECIMAL internally
+(exact, identical in Spark and DuckDB); every NUMERIC OUTPUT column is
+emitted as either int64 or float64 with bit-identical values on both
+engines, because the driver's comparator stringifies pandas cells with no
+normalization (tools/canon_probe.py):
+
+* decimal aggregates leave as ``.cast("double")`` — Spark's decimal->double
+  is correctly rounded; the oracle mirrors it with
+  ``CAST(CAST(x AS VARCHAR) AS DOUBLE)`` (DuckDB's *direct* decimal->double
+  cast is NOT correctly rounded — measured ~0.2% off-by-one-ulp — while its
+  varchar->double parse is exact);
+* raw parquet doubles pass through uncast on both sides;
+* DuckDB integer SUMs are wrapped ``CAST(... AS BIGINT)`` (HUGEINT becomes
+  float64 in pandas otherwise);
+* no ROUND(double) at the comparison boundary — two engines' rounding of
+  the same double can differ in the last ulp; raw quotients of
+  bit-identical operands are bit-identical.
+
+Window ranks always carry a unique tiebreaker column.
 
 Scale notes per operator are in each docstring — the governing rules:
 dimension tables broadcast (no shuffle of the fact side), aggregations rely
@@ -45,11 +61,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") < F.lit("1998-09-03 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.sum(qty).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -57,16 +73,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
                 * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))
-                AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+                AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
@@ -95,24 +114,27 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
         .where(F.col("revenue") > 1000)
+        .withColumn("revenue", F.col("revenue").cast("double"))
     )
 
 
 SHIPPING_PRIORITY_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-  AND l_shipdate >= TIMESTAMP '1995-03-16 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-HAVING CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-              * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-              AS DECIMAL(30,4))) AS DECIMAL(38,4)) > 1000
+       CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue
+FROM (
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate >= TIMESTAMP '1995-03-16 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+WHERE revenue > 1000
 """
 
 
@@ -140,15 +162,15 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"))
     )
 
 
 LOCAL_SUPPLIER_VOLUME_SQL = """
 SELECT n_name,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS revenue
+                AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -173,13 +195,13 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey",
-                F.col("o_totalprice").cast(_DEC).alias("totalprice"), "rank")
+                F.col("o_totalprice").alias("totalprice"), "rank")
     )
 
 
 TOP_ORDERS_PER_CUSTOMER_SQL = """
 SELECT o_custkey, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rank
+       o_totalprice AS totalprice, rank
 FROM (
     SELECT o_custkey, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_custkey
@@ -206,7 +228,8 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("decimal(38,2)").alias("sum_value"),
+            F.sum(F.col("value").cast(_DEC)).cast("decimal(38,2)")
+            .cast("double").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -215,7 +238,8 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_HOURLY_ROLLUP_SQL = """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+       CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS VARCHAR) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -237,7 +261,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("decimal(38,2)").alias("sum_value"),
+            F.sum(F.col("value").cast(_DEC)).cast("decimal(38,2)")
+            .cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value")
@@ -253,7 +278,8 @@ WITH e AS (
 SELECT make_timestamp(((sec // 900 - gs.i) * 900) * 1000000) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+       CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS VARCHAR) AS DOUBLE) AS sum_value
 FROM e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) gs
 GROUP BY 1, 2
 """
@@ -312,7 +338,7 @@ per_session AS (
 )
 SELECT user_id, COUNT(*) AS n_sessions,
        MAX(n_events) AS max_session_events,
-       SUM(n_events) AS total_events
+       CAST(SUM(n_events) AS BIGINT) AS total_events
 FROM per_session GROUP BY user_id
 """
 
@@ -324,14 +350,15 @@ def sales_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.col("l_quantity").cast(_DEC)
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+        .agg(F.sum(qty).cast("decimal(38,2)").cast("double").alias("sum_qty"),
              F.count("*").alias("n"))
     )
 
 
 SALES_ROLLUP_CUBE_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS VARCHAR) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -385,7 +412,8 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("id").alias("valid_from_seq"),
         F.lead("id").over(w).alias("valid_to_seq"),
-        "type", "o_orderstatus", "o_totalprice",
+        "type", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
         (F.lead("id").over(w).isNull() & (F.col("type") != "DELETE")).alias("is_current"),
     )
 
@@ -399,7 +427,7 @@ SELECT COALESCE(a_orderkey, b_orderkey) AS o_orderkey,
        lead(id) OVER w AS valid_to_seq,
        type,
        a_orderstatus AS o_orderstatus,
-       a_totalprice AS o_totalprice,
+       CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
        (lead(id) OVER w IS NULL AND type <> 'DELETE') AS is_current
 FROM changes
 WINDOW w AS (PARTITION BY COALESCE(a_orderkey, b_orderkey) ORDER BY id)
@@ -478,14 +506,14 @@ def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("o_custkey", "o_orderkey",
-                F.col("o_totalprice").cast(_DEC).alias("cheapest_price"),
+                F.col("o_totalprice").alias("cheapest_price"),
                 "o_orderpriority")
     )
 
 
 CHEAPEST_ORDER_PER_CUSTOMER_SQL = """
 SELECT o_custkey, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS cheapest_price, o_orderpriority
+       o_totalprice AS cheapest_price, o_orderpriority
 FROM (
     SELECT *, row_number() OVER (PARTITION BY o_custkey
                                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
@@ -504,8 +532,8 @@ def rich_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     the anti join is the shuffle.
     """
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_acctbal").cast(_DEC).alias("bal"))
-    stats = cust.agg(
+        "c_custkey", "c_acctbal", F.col("c_acctbal").cast(_DEC).alias("bal"))
+    stats = cust.select("bal").agg(
         F.sum("bal").cast("decimal(38,2)").alias("total"),
         F.count("*").alias("n"))
     urgent95 = (
@@ -519,7 +547,7 @@ def rich_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         cust.crossJoin(F.broadcast(stats))
         .where((F.col("bal") * F.col("n")).cast("decimal(38,2)") > F.col("total"))
         .join(urgent95, cust.c_custkey == urgent95.o_custkey, "left_anti")
-        .select("c_custkey", F.col("bal").alias("c_acctbal"))
+        .select("c_custkey", "c_acctbal")
     )
 
 
@@ -529,7 +557,7 @@ WITH stats AS (
            COUNT(*) AS n
     FROM customer
 )
-SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+SELECT c_custkey, c_acctbal
 FROM customer, stats
 WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * n AS DECIMAL(38,2)) > total
   AND NOT EXISTS (
@@ -553,15 +581,15 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24))
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"),
              F.count("*").alias("n_lines"))
     )
 
 
 FORECAST_REVENUE_CHANGE_SQL = """
-SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+SELECT CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
            * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(30,4)))
-       AS DECIMAL(38,4)) AS revenue,
+       AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -615,10 +643,10 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHIPMODE_PRIORITY_COUNTS_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS high_priority,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-           AS low_priority
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -643,9 +671,11 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(month.alias("ship_month"))
         .agg(promo.alias("promo_revenue"), total.alias("total_revenue"))
-        .select("ship_month", "promo_revenue", "total_revenue",
-                F.round(F.col("promo_revenue").cast("double")
-                        / F.col("total_revenue").cast("double") * 100, 6)
+        .select("ship_month",
+                F.col("promo_revenue").cast("double").alias("promo_revenue"),
+                F.col("total_revenue").cast("double").alias("total_revenue"),
+                (F.col("promo_revenue").cast("double")
+                 / F.col("total_revenue").cast("double") * 100)
                 .alias("promo_pct"))
     )
 
@@ -664,9 +694,11 @@ WITH per_month AS (
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
 )
-SELECT ship_month, promo_revenue, total_revenue,
-       ROUND(CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE) * 100, 6)
-           AS promo_pct
+SELECT ship_month,
+       CAST(CAST(promo_revenue AS VARCHAR) AS DOUBLE) AS promo_revenue,
+       CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue,
+       CAST(CAST(promo_revenue AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) * 100 AS promo_pct
 FROM per_month
 """
 
@@ -685,14 +717,16 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select("c_custkey", "o_orderkey", "total_qty",
-                F.col("o_totalprice").cast(_DEC).alias("o_totalprice"))
+        .select("c_custkey", "o_orderkey",
+                F.col("total_qty").cast("double").alias("total_qty"),
+                "o_totalprice")
     )
 
 
 LARGE_VOLUME_CUSTOMERS_SQL = """
-SELECT c_custkey, o_orderkey, total_qty,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+SELECT c_custkey, o_orderkey,
+       CAST(CAST(total_qty AS VARCHAR) AS DOUBLE) AS total_qty,
+       o_totalprice
 FROM (
     SELECT l_orderkey,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
@@ -717,13 +751,15 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(F.count("*").alias("n_customers"),
-             F.sum(F.col("c_acctbal").cast(_DEC)).cast("decimal(38,2)").alias("total_bal"))
+             F.sum(F.col("c_acctbal").cast(_DEC)).cast("decimal(38,2)")
+             .cast("double").alias("total_bal"))
     )
 
 
 REGION_NATION_ROLLUP_SQL = """
 SELECT r_name, n_name, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+       CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS VARCHAR) AS DOUBLE) AS total_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -758,14 +794,15 @@ def customer_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("total_spend"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)")
+        .cast("double").alias("total_spend"),
     )
     return (
         cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
         .select(
             "c_custkey",
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-            F.coalesce(F.col("total_spend"), F.lit(0).cast("decimal(38,2)")).alias("total_spend"),
+            F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
             F.col("n_orders").isNull().alias("never_ordered"),
         )
     )
@@ -774,12 +811,13 @@ def customer_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_ORDER_BALANCE_SQL = """
 SELECT c_custkey,
        COALESCE(n_orders, 0) AS n_orders,
-       COALESCE(total_spend, CAST(0 AS DECIMAL(38,2))) AS total_spend,
+       COALESCE(total_spend, 0.0) AS total_spend,
        n_orders IS NULL AS never_ordered
 FROM customer
 LEFT JOIN (
     SELECT o_custkey, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
+           CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_spend
     FROM orders GROUP BY o_custkey
 ) ON c_custkey = o_custkey
 """
@@ -824,8 +862,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                .cast("decimal(38,2)") < F.col("sum_qty"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("price").cast("decimal(38,2)").cast("double") / 7.0, 4)
-             .alias("avg_yearly"),
+            (F.sum("price").cast("decimal(38,2)").cast("double") / 7.0)
+            .alias("avg_yearly"),
             F.count("*").alias("n_small"))
     )
 
@@ -843,7 +881,8 @@ WITH li AS (
     FROM li GROUP BY l_partkey
 )
 SELECT p_brand,
-       round(CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+       CAST(CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) / 7.0
+           AS avg_yearly,
        COUNT(*) AS n_small
 FROM li JOIN stats ON l_partkey = s_partkey
 WHERE CAST(CAST(5 AS DECIMAL(18,2)) * qty * cnt AS DECIMAL(38,2)) < sum_qty
@@ -908,7 +947,8 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.crossJoin(F.broadcast(best))
         .where(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
     )
 
 
@@ -923,7 +963,8 @@ WITH revenue AS (
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
     GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name,
+       CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
@@ -981,15 +1022,15 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
-        .agg(F.sum("rev").cast("decimal(38,4)").alias("revenue"),
+        .agg(F.sum("rev").cast("decimal(38,4)").cast("double").alias("revenue"),
              F.count("*").alias("n_lines"))
     )
 
 
 DISJUNCTIVE_PROMO_REVENUE_SQL = """
-SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+SELECT CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-            AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS revenue,
+            AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
@@ -1058,8 +1099,7 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.select("o_orderkey", "o_custkey",
-                      F.col("o_totalprice").cast(_DEC).alias("o_totalprice"))
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
@@ -1067,8 +1107,8 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_ORDERS_GLOBAL_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM (
-    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-           row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC,
                               o_orderkey ASC) AS rn
     FROM orders
 ) WHERE rn <= 100
@@ -1128,10 +1168,9 @@ def order_price_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    price = F.col("o_totalprice").cast(_DEC)
     return orders.select(
         "o_custkey", "o_orderkey",
-        F.lag(price).over(w).alias("prev_price"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
         F.ntile(4).over(w).alias("quartile"),
         F.row_number().over(w).alias("nth_order"),
     )
@@ -1139,7 +1178,7 @@ def order_price_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDER_PRICE_WINDOW_STATS_SQL = """
 SELECT o_custkey, o_orderkey,
-       lag(CAST(o_totalprice AS DECIMAL(18,2)))
+       lag(o_totalprice)
            OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
        ntile(4) OVER (PARTITION BY o_custkey
@@ -1189,8 +1228,8 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-                   AS total_price
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS total_price
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
@@ -1201,8 +1240,8 @@ GROUPING_SETS_SALES_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-           AS total_price
+       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS VARCHAR) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
@@ -1300,7 +1339,10 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         days.join(cohort, "user_id")
         .groupBy(
-            "cohort_date",
+            # emitted as timestamp: Spark DateType surfaces in pandas as
+            # datetime.date objects while DuckDB DATE becomes datetime64 —
+            # the comparator needs matching representations
+            F.col("cohort_date").cast("timestamp_ntz").alias("cohort_date"),
             F.datediff(F.col("d"), F.col("cohort_date")).alias("day_offset"),
         )
         .agg(F.count("*").alias("n_users"))
@@ -1314,7 +1356,8 @@ WITH days AS (
 cohort AS (
     SELECT user_id, MIN(d) AS cohort_date FROM days GROUP BY 1
 )
-SELECT cohort_date, datediff('day', cohort_date, d) AS day_offset,
+SELECT CAST(cohort_date AS TIMESTAMP) AS cohort_date,
+       datediff('day', cohort_date, d) AS day_offset,
        COUNT(*) AS n_users
 FROM days JOIN cohort USING (user_id)
 GROUP BY 1, 2
@@ -1335,16 +1378,27 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only correctness: DuckDB's approx_quantile uses a different
     sketch (t-digest) — numeric equality across engines is not defined
-    for approximate answers.
+    for approximate answers. Output is one row per (event_type, quantile)
+    — scalar columns only, since array cells cannot be canonicalized by
+    the driver's row-sorting comparator.
     """
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
-            .alias("value_quantiles"),
-            F.count("*").alias("n_events"),
-        )
+    qs = [0.5, 0.95, 0.99]
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10_000).alias("value_quantiles"),
+        F.count("*").alias("n_events"),
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("quantile"),
+        F.col("value_quantiles").alias("value"),
+    )
+    return agg.select(
+        "event_type", "n_events", F.explode(pairs).alias("q")
+    ).select(
+        "event_type",
+        F.col("q.quantile").alias("quantile"),
+        F.col("q.value").alias("approx_value"),
+        "n_events",
     )
 
 
@@ -1773,33 +1827,36 @@ def daily_revenue_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
     daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)")
              .alias("revenue"),
              F.count("*").alias("n_orders"))
-        .withColumn("day_ord", F.datediff(F.col("d"), F.lit("1970-01-01")))
+        .withColumn("day_ord", F.datediff(F.col("d").cast("date"),
+                                          F.lit("1970-01-01")))
     )
     w = Window.orderBy("day_ord").rangeBetween(-6, 0)
     return daily.select(
-        "d", "revenue", "n_orders",
-        F.round(F.sum("revenue").over(w).cast("double")
-                / F.count("*").over(w).cast("double"), 6).alias("ma7"),
+        "d",
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_orders",
+        (F.sum("revenue").over(w).cast("decimal(38,2)").cast("double")
+         / F.count("*").over(w).cast("double")).alias("ma7"),
     )
 
 
 DAILY_REVENUE_MA7_SQL = """
 WITH daily AS (
-    SELECT CAST(o_orderdate AS DATE) AS d,
+    SELECT date_trunc('day', o_orderdate) AS d,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
                AS revenue,
            COUNT(*) AS n_orders,
            DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                AS day_ord
-    FROM orders GROUP BY 1
+    FROM orders GROUP BY 1, 4
 )
-SELECT d, revenue, n_orders,
-       ROUND(CAST(SUM(revenue) OVER w AS DOUBLE)
-             / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS ma7
+SELECT d, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue, n_orders,
+       CAST(CAST(CAST(SUM(revenue) OVER w AS DECIMAL(38,2)) AS VARCHAR)
+            AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS ma7
 FROM daily
 WINDOW w AS (ORDER BY day_ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
@@ -1932,33 +1989,36 @@ def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
     weekly = (
-        o.groupBy(F.date_trunc("week", F.col("o_orderdate"))
-                  .cast("date").alias("week"))
+        o.groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("week"))
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)")
              .alias("revenue"))
     )
     w = Window.orderBy("week")
     prev = F.lag("revenue").over(w)
     return weekly.select(
-        "week", "revenue",
-        (F.col("revenue") - prev).cast("decimal(38,2)").alias("wow_change"),
-        F.round((F.col("revenue") - prev).cast("double")
-                / prev.cast("double"), 6).alias("wow_growth"),
+        "week",
+        F.col("revenue").cast("double").alias("revenue"),
+        (F.col("revenue") - prev).cast("decimal(38,2)").cast("double")
+        .alias("wow_change"),
+        ((F.col("revenue") - prev).cast("decimal(38,2)").cast("double")
+         / prev.cast("double")).alias("wow_growth"),
     )
 
 
 WEEKLY_REVENUE_GROWTH_SQL = """
 WITH weekly AS (
-    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+    SELECT date_trunc('week', o_orderdate) AS week,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
                AS revenue
     FROM orders GROUP BY 1
 )
-SELECT week, revenue,
-       CAST(revenue - lag(revenue) OVER (ORDER BY week) AS DECIMAL(38,2))
-           AS wow_change,
-       ROUND(CAST(revenue - lag(revenue) OVER (ORDER BY week) AS DOUBLE)
-             / CAST(lag(revenue) OVER (ORDER BY week) AS DOUBLE), 6)
+SELECT week,
+       CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(CAST(revenue - lag(revenue) OVER (ORDER BY week)
+            AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS wow_change,
+       CAST(CAST(CAST(revenue - lag(revenue) OVER (ORDER BY week)
+            AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(lag(revenue) OVER (ORDER BY week) AS VARCHAR) AS DOUBLE)
            AS wow_growth
 FROM weekly
 """

@@ -52,7 +52,9 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("l_extendedprice").cast(_DEC).alias("supply_cost"))
+        # MIN of a raw double is an existing input value — exact on both
+        # engines, no decimal transit needed
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
     )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -69,7 +71,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("min_cost", F.min("supply_cost").over(w))
         .where(F.col("supply_cost") == F.col("min_cost"))
         .select(
-            F.col("s_acctbal").cast(_DEC).alias("s_acctbal"),
+            "s_acctbal",
             "s_name", "n_name", "p_partkey", "p_size",
             F.col("s_suppkey"), "supply_cost",
         )
@@ -79,7 +81,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIN_COST_SUPPLIER_SQL = """
 WITH ps AS (
     SELECT l_partkey, l_suppkey,
-           CAST(MIN(l_extendedprice) AS DECIMAL(18,2)) AS supply_cost
+           MIN(l_extendedprice) AS supply_cost
     FROM lineitem GROUP BY l_partkey, l_suppkey
 ), eu AS (
     SELECT ps.*, s_name, s_acctbal, s_suppkey, n_name, p_partkey, p_size
@@ -92,7 +94,7 @@ WITH ps AS (
 ), mins AS (
     SELECT p_partkey AS mk, MIN(supply_cost) AS min_cost FROM eu GROUP BY p_partkey
 )
-SELECT CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal,
+SELECT s_acctbal,
        s_name, n_name, p_partkey, p_size, s_suppkey, supply_cost
 FROM eu JOIN mins ON p_partkey = mk AND supply_cost = min_cost
 """
@@ -128,14 +130,16 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1)))
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").cast("double")
+             .alias("revenue"))
     )
 
 
 VOLUME_SHIPPING_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+           AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -193,9 +197,9 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            F.round(F.col("nat_volume").cast("double")
-                    / F.col("total_volume").cast("double"), 6).alias("mkt_share"),
-            "total_volume",
+            (F.col("nat_volume").cast("double")
+             / F.col("total_volume").cast("double")).alias("mkt_share"),
+            F.col("total_volume").cast("double").alias("total_volume"),
         )
     )
 
@@ -225,8 +229,9 @@ WITH vol AS (
     FROM vol GROUP BY o_year
 )
 SELECT o_year,
-       ROUND(CAST(nat_volume AS DOUBLE) / CAST(total_volume AS DOUBLE), 6) AS mkt_share,
-       total_volume
+       CAST(CAST(nat_volume AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(total_volume AS VARCHAR) AS DOUBLE) AS mkt_share,
+       CAST(CAST(total_volume AS VARCHAR) AS DOUBLE) AS total_volume
 FROM agg
 """
 
@@ -255,16 +260,18 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(amount).cast("decimal(38,4)").alias("sum_profit"))
+        .agg(F.sum(amount).cast("decimal(38,4)").cast("double")
+             .alias("sum_profit"))
     )
 
 
 PRODUCT_PROFIT_SQL = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM(CAST({_REV_SQL}
+       CAST(CAST(CAST(SUM(CAST({_REV_SQL}
             - CAST(CAST(l_quantity AS DECIMAL(18,2))
                    * CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(30,4))
-            AS DECIMAL(31,4))) AS DECIMAL(38,4)) AS sum_profit
+            AS DECIMAL(31,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+           AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -299,8 +306,9 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cust
         .join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .select("c_custkey", "c_name", "revenue",
-                F.col("c_acctbal").cast(_DEC).alias("c_acctbal"), "n_name")
+        .select("c_custkey", "c_name",
+                F.col("revenue").cast("double").alias("revenue"),
+                "c_acctbal", "n_name")
     )
 
 
@@ -314,8 +322,9 @@ WITH per_cust AS (
       AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
     GROUP BY o_custkey
 )
-SELECT c_custkey, c_name, revenue,
-       CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal, n_name
+SELECT c_custkey, c_name,
+       CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
 FROM per_cust
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -349,7 +358,7 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.crossJoin(F.broadcast(total))
         .where(F.col("part_value").cast("decimal(38,0)") * 10000
                > F.col("total_value").cast("decimal(38,4)"))
-        .select("l_partkey", "part_value")
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
     )
 
 
@@ -365,7 +374,7 @@ WITH per_part AS (
         JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
     GROUP BY l_partkey
 )
-SELECT l_partkey, part_value
+SELECT l_partkey, CAST(CAST(part_value AS VARCHAR) AS DOUBLE) AS part_value
 FROM per_part
 WHERE CAST(part_value AS DECIMAL(38,0)) * 10000
       > (SELECT CAST(SUM(part_value) AS DECIMAL(38,4)) FROM per_part)
@@ -404,7 +413,8 @@ def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                > F.col("total_qty") * F.lit(3).cast("decimal(18,0)"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_name", "n_name", "qty")
+        .select("s_suppkey", "s_name", "n_name",
+                F.col("qty").cast("double").alias("qty"))
     )
 
 
@@ -422,7 +432,8 @@ WITH per_supp AS (
            COUNT(*) AS n_supp
     FROM per_supp
 )
-SELECT s_suppkey, s_name, n_name, qty
+SELECT s_suppkey, s_name, n_name,
+       CAST(CAST(qty AS VARCHAR) AS DOUBLE) AS qty
 FROM per_supp, stats
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
@@ -458,7 +469,7 @@ def idle_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy((F.col("c_custkey") % 10).alias("cntrycode"))
         .agg(F.count("*").alias("numcust"),
-             F.sum(bal).cast("decimal(38,2)").alias("totacctbal"))
+             F.sum(bal).cast("decimal(38,2)").cast("double").alias("totacctbal"))
     )
 
 
@@ -470,7 +481,8 @@ WITH pos AS (
 )
 SELECT c_custkey % 10 AS cntrycode,
        COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+       CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer, pos
 WHERE CAST(c_acctbal AS DECIMAL(18,2)) * CAST(n_pos AS DECIMAL(18,0)) > total_pos
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

@@ -44,7 +44,8 @@ def customer_totals_from_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         deltas.groupBy("o_custkey")
         .agg(F.sum("n_delta").alias("n_orders"),
-             F.sum("spend_delta").cast("decimal(38,2)").alias("total_spend"))
+             F.sum("spend_delta").cast("decimal(38,2)").cast("double")
+             .alias("total_spend"))
         .where(F.col("n_orders") > 0)
     )
 
@@ -65,7 +66,8 @@ def _oracle() -> str:
     ) WHERE rn = 1 AND type <> 'DELETE'
 )
 SELECT o_custkey, COUNT(*) AS n_orders,
-       CAST(SUM(o_totalprice) AS DECIMAL(38,2)) AS total_spend
+       CAST(CAST(CAST(SUM(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR)
+            AS DOUBLE) AS total_spend
 FROM snapshot GROUP BY o_custkey
 """
 

@@ -132,10 +132,11 @@ def events_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_ORDERS_RANGE_JOIN_SQL = f"""
 SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
-       COALESCE(SUM(CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+       CAST(COALESCE(SUM(CASE
+                 WHEN CAST(o.o_orderdate AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
                  AND CAST(o.o_orderdate AS TIMESTAMP) >
                      CAST(e.ts AS TIMESTAMP) - INTERVAL {_BUCKET_DAYS} DAY
-            THEN 1 ELSE 0 END), 0) AS orders_30d
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS orders_30d
 FROM events e
 LEFT JOIN orders o ON e.user_id = o.o_custkey
 GROUP BY 1, 2, 3

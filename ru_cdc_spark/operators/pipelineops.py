@@ -237,7 +237,7 @@ WITH t AS (
 )
 SELECT doc_id, lang, source, n_tokens,
        CAST(floor(cum_before / {_SEQ_LEN}) AS BIGINT) AS seq_id,
-       cum_before % {_SEQ_LEN} AS seq_offset
+       CAST(cum_before % {_SEQ_LEN} AS BIGINT) AS seq_offset
 FROM c
 """
 
@@ -274,8 +274,9 @@ WITH per AS (
     SELECT lang, source, SUM(len({_WORDS_SQL})) AS tokens, COUNT(*) AS docs
     FROM documents GROUP BY lang, source
 )
-SELECT lang, source, tokens, docs,
-       round(CAST(tokens AS DOUBLE) / (SELECT SUM(tokens) FROM per), 6) AS share
+SELECT lang, source, CAST(tokens AS BIGINT) AS tokens, docs,
+       round(CAST(tokens AS DOUBLE)
+             / CAST((SELECT SUM(tokens) FROM per) AS DOUBLE), 6) AS share
 FROM per
 """
 

@@ -207,22 +207,34 @@ WHERE rank <= {ANN_TOP_K}
 def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style centroid computation: element-wise mean vector per label.
 
-    Built with posexplode + groupBy(label, pos) + avg — the distributed way
+    Built with posexplode + groupBy(label, pos) — the distributed way
     to average vectors (no driver collect, any dimensionality). Emitted
-    flat (label, pos, centroid_val) for oracle comparison; rounded to 6 dp
-    because SUM order varies across partitions.
+    flat (label, pos, centroid_val) for oracle comparison.
+
+    Oracle determinism: float SUM order varies across Spark partitions
+    (and double->decimal casts round differently per engine — DuckDB
+    truncates where Spark half-ups), so the mean is computed as a LEFT
+    FOLD over the value-sorted list: a fixed summation order is
+    bit-reproducible on any engine. Production path at 100 TB is plain
+    avg() (same shuffle shape, partial-agg friendly); the fold is the
+    cross-engine-exact comparison form.
     """
     emb = _emb(spark, sf_dir)
+    ssum = F.aggregate(F.array_sort(F.collect_list("v")),
+                       F.lit(0.0), lambda acc, x: acc + x)
     return (
         emb.select("label", F.posexplode("e").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 6).alias("centroid_val"),
+        .agg((ssum / F.count("*")).alias("centroid_val"),
              F.count("*").alias("n_vectors"))
     )
 
 
 CENTROID_PER_LABEL_SQL = """
-SELECT label, pos, ROUND(AVG(v), 6) AS centroid_val, COUNT(*) AS n_vectors
+SELECT label, pos,
+       list_reduce(list(v ORDER BY v), (x, y) -> x + y) / COUNT(*)
+           AS centroid_val,
+       COUNT(*) AS n_vectors
 FROM (
     SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
            unnest(CAST(embedding AS DOUBLE[])) AS v
@@ -354,9 +366,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/cost dial (nprobe) expressed as pure DataFrame ops.
     """
     emb = _emb(spark, sf_dir)
+    # sorted-fold mean: bit-reproducible across engines (see
+    # centroid_per_label) — the probe ranking depends on these bits
+    cmean = F.aggregate(F.array_sort(F.collect_list("v")),
+                        F.lit(0.0), lambda acc, x: acc + x) / F.count("*")
     cents = (
         emb.select("label", F.posexplode("e").alias("pos", "v"))
-        .groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("cv"))
+        .groupBy("label", "pos").agg(cmean.alias("cv"))
         .groupBy("label")
         .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "cv"))),
                          lambda s: s.cv).alias("ce"))
@@ -392,7 +408,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_IVF_SQL = f"""
 WITH cents AS (
     SELECT label AS c_label, list(cv ORDER BY pos) AS ce FROM (
-        SELECT label, pos, ROUND(AVG(v), 6) AS cv FROM (
+        SELECT label, pos,
+               list_reduce(list(v ORDER BY v), (x, y) -> x + y) / COUNT(*) AS cv
+        FROM (
             SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
                    unnest(CAST(embedding AS DOUBLE[])) AS v
             FROM embeddings)

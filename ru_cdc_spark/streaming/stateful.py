@@ -6,7 +6,10 @@ arbitrary per-key state updated batch-by-batch with Arrow-batched pandas.
 
 Demonstrated operator: per-user running event counter + running value sum,
 emitting the updated totals each micro-batch (the shape of a feature-store
-accumulator or per-entity CDC statistics).
+accumulator or per-entity CDC statistics). The sum accumulates CENTS
+(floor(v*100 + 0.5) — identical double math on any engine), so the state
+is an exact integer: no float accumulation-order drift batch-to-batch, and
+the batch oracle reproduces it bit-for-bit.
 
 Scale: state is partitioned by key across executors and checkpointed in
 the state store; each micro-batch touches only keys present in the batch.
@@ -23,19 +26,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n long, total double"
+STATE_SCHEMA = "n long, cents long"
 
 
 def _update_user_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        v = pdf["value"].to_numpy(dtype="float64")
+        cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
+    state.update((n, cents))
     yield pd.DataFrame({
-        "user_id": [key[0]], "n_events": [n], "total_value": [total],
+        "user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0],
     })
 
 

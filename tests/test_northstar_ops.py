@@ -181,8 +181,10 @@ def test_quantile_sketch_tolerance(spark, sf_dir):
     from ru_cdc_spark.operators.analytics import events_value_quantile_sketch
     from ru_cdc_spark.sources.readers import load_table
 
-    approx = {r["event_type"]: r["value_quantiles"]
-              for r in events_value_quantile_sketch(spark, sf_dir).collect()}
+    approx: dict = {}
+    for r in events_value_quantile_sketch(spark, sf_dir).collect():
+        approx.setdefault(r["event_type"], {})[r["quantile"]] = r["approx_value"]
+    approx = {et: [d[q] for q in (0.5, 0.95, 0.99)] for et, d in approx.items()}
     ev = load_table(spark, sf_dir, "events")
     # the sketch's guarantee is on RANK, not value: the returned value's
     # rank must be within eps (+ small-n slack) of the target quantile

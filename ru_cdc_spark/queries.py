@@ -851,6 +851,110 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("event_id", "event_type", F.col("__p.k").alias("k"))
 
 
+@register(
+    "events_session_window_stream",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ),
+    g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native STREAMING session windows (F.session_window + watermark —
+    the event-time gap sessionizer the reference lacks, SURVEY §2.10),
+    drained with availableNow. The oracle reproduces Spark's merge rule
+    exactly: an event joins the open session iff its gap is STRICTLY less
+    than 30 min (session end = last event + gap).
+
+    Scale: session state lives in the state store partitioned by user_id
+    and is evicted by the watermark — bounded by active users x open
+    sessions, never by stream length.
+    """
+    from pyspark.sql import types as T
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (spark.readStream.schema(batch_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        raw.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (agg.writeStream.format("memory").queryName("__sess_win_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("__sess_win_stream").select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "events_stream_dedup_watermark",
+    """
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup with bounded state
+    (dropDuplicatesWithinWatermark): the source is read TWICE and unioned
+    — every event arrives duplicated — and the operator emits each
+    event_id exactly once, verified by the per-type counts matching the
+    batch distinct counts.
+
+    This is the CDC at-least-once -> effectively-once repair stage: the
+    reference delivers duplicates on crash-restart (SURVEY K4/C1); this
+    operator collapses them with state bounded by the watermark horizon
+    (vs dropDuplicates' unbounded state).
+    """
+    from pyspark.sql import types as T
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def read() -> DataFrame:
+        raw = (spark.readStream.schema(batch_schema)
+               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        if isinstance(batch_schema["ts"].dataType, T.LongType):
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw.select("event_id", "ts", "event_type")
+
+    doubled = read().unionByName(read())
+    deduped = (doubled.withWatermark("ts", "1 day")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (deduped.writeStream.format("memory").queryName("__stream_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table("__stream_dedup")
+            .groupBy("event_type").agg(F.count("*").alias("n_unique")))
+
+
 # ===========================================================================
 # Grading order
 # ===========================================================================
@@ -889,11 +993,13 @@ _GRADED_PREFIX = [
     "knn_brute_force", "ann_sign_lsh", "ann_ivf", "centroid_per_label",
     # text analysis
     "text_stats", "text_lang_id_ngram", "text_quality_score",
-    "text_token_counts", "doc_fingerprint",
     # multimodal
     "multimodal_meta",
-    # streaming state + custom source (oracle-checked)
-    "stateful_user_totals", "binlog_source_feed",
+    # streaming: state, native session windows, bounded-state dedup,
+    # custom source (all oracle-checked)
+    "stateful_user_totals", "events_session_window_stream",
+    "events_stream_dedup_watermark", "binlog_source_feed",
+    "text_token_counts", "doc_fingerprint",
 ]
 
 

@@ -113,7 +113,11 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # min of 2 for the streaming run as well: query startup + sink commit
+    # overhead are the noisiest components of the whole suite
     stream_sec, stream_rows = bench_stream_pipeline(spark, sf_dir)
+    s2, _ = bench_stream_pipeline(spark, sf_dir)
+    stream_sec = min(stream_sec, s2)
     timings["cdc_stream_pipeline"] = round(stream_sec, 3)
 
     total = round(sum(timings.values()), 3)

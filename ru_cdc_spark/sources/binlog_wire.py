@@ -1,0 +1,585 @@
+"""MySQL binlog wire codec: byte-level event encode/decode (binlog v4).
+
+This is the engine's real-parity counterpart of the reference's decoder
+stack (/root/reference/src/binlog.rs — EventHeader D1, TableMapEvent D4/D5,
+Write/Update/DeleteRows D6-D9, per-column value decoders D10 + F1-F6),
+implemented independently from the PUBLIC binlog format documentation
+(MySQL internals manual, binary-log-event layouts). Events here are in
+binlog FILE format — the reference reads the network form, which prefixes
+each packet with an OK byte (src/binlog.rs:526-544 skips it); everything
+after that byte is identical.
+
+Wire features covered:
+
+* event header: timestamp u32, type u8, server_id u32, event_size u32,
+  log_pos u32, flags u16 (19 bytes, LE)
+* TABLE_MAP (type 19): 6-byte table_id, schema/table names, column-type
+  array, per-type metadata block, nullability bitmap. NOTE: the binlog
+  carries NO column names — they come from the catalog (``DESC`` in the
+  reference, executor.rs:404-443; a name list parameter here).
+* WRITE/UPDATE/DELETE_ROWS v2 (types 30/31/32): post-header + extra-data,
+  present-column bitmaps, per-image NULL bitmap, multi-row payloads
+  (D7's loop-until-checksum), UPDATE before/after image pairs.
+* column codecs: TINY/SHORT/INT24/LONG/LONGLONG (signed LE),
+  FLOAT/DOUBLE (IEEE LE), NEWDECIMAL (packed base-10^9 groups, sign-bit
+  XOR, negative = bitwise complement — F1), DATE (day|month<<5|year<<9
+  bitfield, zero date -> NULL — F2), TIME2 (offset-binary 3-byte packed
+  +fsp, negative times — F3), DATETIME2 (5-byte BE + 0x8000000000 offset,
+  year*13+month packing, fsp — F4), TIMESTAMP2 (BE epoch + fsp — F5/F6),
+  YEAR (1900+u8), VARCHAR/CHAR (1- or 2-byte length prefix by max_length,
+  the reference's prefix-width rule binlog.rs:311-321), BLOB/TEXT
+  (length_size-prefixed).
+
+Deviation from the reference (documented, deliberate): TINY/SHORT/INT24
+decode SIGNED — the reference drops the sign (SURVEY §1.2 notes the
+lossy u8/u16 reads); MySQL's signed column types are signed on the wire.
+
+Scale shape: frames (one TABLE_MAP + one ROWS event, the reference's
+RowEvents pairing, executor.rs:33-48) are opaque ``binary`` cells in a
+DataFrame; decoding runs inside ``mapInPandas`` — Arrow-batched, pure
+narrow map, parallel across partitions, no shuffle. At 100 TB of binlog
+the decode scales with scan bandwidth exactly like every other narrow
+operator in the engine.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from datetime import date, datetime, timedelta
+from decimal import Decimal
+
+# binlog event type codes (public)
+TABLE_MAP_EVENT = 19
+WRITE_ROWS_V2 = 30
+UPDATE_ROWS_V2 = 31
+DELETE_ROWS_V2 = 32
+
+# MySQL column type codes (public; reference binlog.rs:159-204)
+T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
+T_LONGLONG, T_INT24, T_DATE = 8, 9, 10
+T_YEAR = 13
+T_VARCHAR = 15
+T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 17, 18, 19
+T_NEWDECIMAL = 246
+T_BLOB = 252
+T_STRING = 254
+
+# bytes needed to store 0..9 leftover decimal digits (public dig2bytes)
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+@dataclass(frozen=True)
+class ColSpec:
+    """One column's wire spec: type code + metadata the TABLE_MAP carries.
+
+    meta meaning per type: NEWDECIMAL -> (precision, scale);
+    VARCHAR/STRING -> max_length; BLOB -> length_size;
+    TIME2/DATETIME2/TIMESTAMP2 -> fsp; others -> ().
+    """
+
+    type_code: int
+    meta: tuple = ()
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def write_lenenc(n: int) -> bytes:
+    if n < 251:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + n.to_bytes(2, "little")
+    if n < 1 << 24:
+        return b"\xfd" + n.to_bytes(3, "little")
+    return b"\xfe" + n.to_bytes(8, "little")
+
+
+def read_lenenc(b: bytes, off: int) -> tuple[int, int]:
+    first = b[off]
+    if first < 251:
+        return first, off + 1
+    if first == 0xFC:
+        return int.from_bytes(b[off + 1:off + 3], "little"), off + 3
+    if first == 0xFD:
+        return int.from_bytes(b[off + 1:off + 4], "little"), off + 4
+    return int.from_bytes(b[off + 1:off + 9], "little"), off + 9
+
+
+def _frac_bytes(fsp: int) -> int:
+    return (fsp + 1) // 2
+
+
+def _frac_to_micros(raw: int, fsp: int) -> int:
+    # stored unit is 10^-(2*ceil(fsp/2)) seconds; scale up to microseconds
+    return raw * 10 ** (6 - 2 * _frac_bytes(fsp))
+
+
+def _micros_to_frac(micros: int, fsp: int) -> int:
+    return micros // 10 ** (6 - 2 * _frac_bytes(fsp))
+
+
+# ---------------------------------------------------------------------------
+# NEWDECIMAL (F1): packed base-10^9, sign-bit XOR, negative = complement
+# ---------------------------------------------------------------------------
+
+
+def encode_decimal(value: Decimal, precision: int, scale: int) -> bytes:
+    sign = 1 if value >= 0 else -1
+    q = abs(value).scaleb(scale).to_integral_value()
+    digits = f"{int(q):0{precision}d}"
+    intg_digits, frac_digits = digits[: precision - scale], digits[precision - scale:]
+
+    out = bytearray()
+
+    def pack_side(ds: str, leading: bool) -> None:
+        extra = len(ds) % 9
+        groups = []
+        if leading:
+            if extra:
+                groups.append((ds[:extra], _DIG2BYTES[extra]))
+            for i in range(extra, len(ds), 9):
+                groups.append((ds[i:i + 9], 4))
+        else:
+            for i in range(0, len(ds) - extra, 9):
+                groups.append((ds[i:i + 9], 4))
+            if extra:
+                groups.append((ds[len(ds) - extra:], _DIG2BYTES[extra]))
+        for g, nb in groups:
+            out.extend(int(g or "0").to_bytes(nb, "big"))
+
+    pack_side(intg_digits, leading=True)
+    pack_side(frac_digits, leading=False)
+    out[0] ^= 0x80
+    if sign < 0:
+        out = bytearray(~b & 0xFF for b in out)
+    return bytes(out)
+
+
+def decode_decimal(b: bytes, off: int, precision: int, scale: int
+                   ) -> tuple[Decimal, int]:
+    intg = precision - scale
+    nbytes = (
+        _DIG2BYTES[intg % 9] + 4 * (intg // 9)
+        + _DIG2BYTES[scale % 9] + 4 * (scale // 9)
+    )
+    raw = bytearray(b[off:off + nbytes])
+    negative = not (raw[0] & 0x80)
+    if negative:
+        raw = bytearray(~x & 0xFF for x in raw)
+    raw[0] ^= 0x80
+
+    pos = 0
+    digits = ""
+
+    def unpack_side(ndigits: int, leading: bool) -> str:
+        nonlocal pos
+        s = ""
+        extra = ndigits % 9
+        seq: list[int] = []
+        if leading and extra:
+            seq.append(extra)
+        seq.extend([9] * (ndigits // 9))
+        if not leading and extra:
+            seq.append(extra)
+        for nd in seq:
+            nb = _DIG2BYTES[nd] if nd != 9 else 4
+            v = int.from_bytes(raw[pos:pos + nb], "big")
+            pos += nb
+            s += f"{v:0{nd}d}"
+        return s
+
+    digits += unpack_side(intg, leading=True) or "0"
+    fd = unpack_side(scale, leading=False)
+    text = digits + ("." + fd if fd else "")
+    val = Decimal(text)
+    if negative:
+        val = -val
+    return val, off + nbytes
+
+
+# ---------------------------------------------------------------------------
+# temporal codecs (F2-F6)
+# ---------------------------------------------------------------------------
+
+
+# sentinel for MySQL's zero date '0000-00-00' — a PRESENT value on the
+# wire (all bits zero), decoded to NULL (F2); distinct from bitmap-NULL
+ZERO_DATE = "0000-00-00"
+
+
+def encode_date(d) -> bytes:
+    # zero date (F2): all bits zero
+    v = 0 if (d is None or d == ZERO_DATE) else (
+        d.day | (d.month << 5) | (d.year << 9))
+    return v.to_bytes(3, "little")
+
+
+def decode_date(b: bytes, off: int) -> tuple[date | None, int]:
+    v = int.from_bytes(b[off:off + 3], "little")
+    if v == 0:
+        return None, off + 3
+    return date(v >> 9, (v >> 5) & 0x0F, v & 0x1F), off + 3
+
+
+def encode_time2(total_micros: int, fsp: int) -> bytes:
+    """TIME2: 3-byte offset-binary packed h/m/s + fsp frac (BE).
+
+    Negative times with a fractional part use the full-word complement
+    form; this codec supports negative whole-second times (frac == 0),
+    which is the reference's tested negative path (F3).
+    """
+    neg = total_micros < 0
+    a = abs(total_micros)
+    secs, micros = divmod(a, 1_000_000)
+    if neg and micros:
+        raise ValueError("negative TIME with fractional part not supported")
+    h, rem = divmod(secs, 3600)
+    m, s = divmod(rem, 60)
+    packed = (h << 12) | (m << 6) | s
+    word = 0x800000 + (-packed if neg else packed)
+    out = word.to_bytes(3, "big")
+    if fsp:
+        out += _micros_to_frac(micros, fsp).to_bytes(_frac_bytes(fsp), "big")
+    return out
+
+
+def decode_time2(b: bytes, off: int, fsp: int) -> tuple[int, int]:
+    word = int.from_bytes(b[off:off + 3], "big")
+    off += 3
+    signed = word - 0x800000
+    neg = signed < 0
+    packed = -signed if neg else signed
+    h, m, s = packed >> 12, (packed >> 6) & 0x3F, packed & 0x3F
+    micros = 0
+    if fsp:
+        nb = _frac_bytes(fsp)
+        micros = _frac_to_micros(int.from_bytes(b[off:off + nb], "big"), fsp)
+        off += nb
+    total = (h * 3600 + m * 60 + s) * 1_000_000 + micros
+    return (-total if neg else total), off
+
+
+def encode_datetime2(dt: datetime, fsp: int) -> bytes:
+    ym = dt.year * 13 + dt.month
+    packed = (((ym << 5) | dt.day) << 17) | (dt.hour << 12) | (dt.minute << 6) | dt.second
+    out = (packed + 0x8000000000).to_bytes(5, "big")
+    if fsp:
+        out += _micros_to_frac(dt.microsecond, fsp).to_bytes(_frac_bytes(fsp), "big")
+    return out
+
+
+def decode_datetime2(b: bytes, off: int, fsp: int) -> tuple[datetime, int]:
+    packed = int.from_bytes(b[off:off + 5], "big") - 0x8000000000
+    off += 5
+    second = packed & 0x3F
+    minute = (packed >> 6) & 0x3F
+    hour = (packed >> 12) & 0x1F
+    ymd = packed >> 17
+    day = ymd & 0x1F
+    ym = ymd >> 5
+    micros = 0
+    if fsp:
+        nb = _frac_bytes(fsp)
+        micros = _frac_to_micros(int.from_bytes(b[off:off + nb], "big"), fsp)
+        off += nb
+    return datetime(ym // 13, ym % 13, day, hour, minute, second, micros), off
+
+
+def encode_timestamp2(epoch_micros: int, fsp: int) -> bytes:
+    secs, micros = divmod(epoch_micros, 1_000_000)
+    out = secs.to_bytes(4, "big")
+    if fsp:
+        out += _micros_to_frac(micros, fsp).to_bytes(_frac_bytes(fsp), "big")
+    return out
+
+
+def decode_timestamp2(b: bytes, off: int, fsp: int) -> tuple[int, int]:
+    secs = int.from_bytes(b[off:off + 4], "big")
+    off += 4
+    micros = 0
+    if fsp:
+        nb = _frac_bytes(fsp)
+        micros = _frac_to_micros(int.from_bytes(b[off:off + nb], "big"), fsp)
+        off += nb
+    return secs * 1_000_000 + micros, off
+
+
+# ---------------------------------------------------------------------------
+# column value encode/decode dispatch (D10)
+# ---------------------------------------------------------------------------
+
+
+def encode_value(v, spec: ColSpec) -> bytes:
+    t = spec.type_code
+    if t == T_TINY:
+        return int(v).to_bytes(1, "little", signed=True)
+    if t == T_SHORT:
+        return int(v).to_bytes(2, "little", signed=True)
+    if t == T_INT24:
+        return int(v).to_bytes(3, "little", signed=True)
+    if t == T_LONG:
+        return int(v).to_bytes(4, "little", signed=True)
+    if t == T_LONGLONG:
+        return int(v).to_bytes(8, "little", signed=True)
+    if t == T_FLOAT:
+        return struct.pack("<f", v)
+    if t == T_DOUBLE:
+        return struct.pack("<d", v)
+    if t == T_NEWDECIMAL:
+        return encode_decimal(v, *spec.meta)
+    if t == T_DATE:
+        return encode_date(v)
+    if t == T_TIME2:
+        return encode_time2(v, spec.meta[0])
+    if t == T_DATETIME2:
+        return encode_datetime2(v, spec.meta[0])
+    if t == T_TIMESTAMP2:
+        return encode_timestamp2(v, spec.meta[0])
+    if t == T_YEAR:
+        return bytes([int(v) - 1900])
+    if t in (T_VARCHAR, T_STRING):
+        data = v.encode("utf-8")
+        width = 2 if spec.meta[0] > 255 else 1  # prefix-width rule (F)
+        return len(data).to_bytes(width, "little") + data
+    if t == T_BLOB:
+        data = v if isinstance(v, bytes) else v.encode("utf-8")
+        return len(data).to_bytes(spec.meta[0], "little") + data
+    raise ValueError(f"unsupported type code {t}")
+
+
+def decode_value(b: bytes, off: int, spec: ColSpec):
+    t = spec.type_code
+    if t == T_TINY:
+        return int.from_bytes(b[off:off + 1], "little", signed=True), off + 1
+    if t == T_SHORT:
+        return int.from_bytes(b[off:off + 2], "little", signed=True), off + 2
+    if t == T_INT24:
+        return int.from_bytes(b[off:off + 3], "little", signed=True), off + 3
+    if t == T_LONG:
+        return int.from_bytes(b[off:off + 4], "little", signed=True), off + 4
+    if t == T_LONGLONG:
+        return int.from_bytes(b[off:off + 8], "little", signed=True), off + 8
+    if t == T_FLOAT:
+        return struct.unpack("<f", b[off:off + 4])[0], off + 4
+    if t == T_DOUBLE:
+        return struct.unpack("<d", b[off:off + 8])[0], off + 8
+    if t == T_NEWDECIMAL:
+        return decode_decimal(b, off, *spec.meta)
+    if t == T_DATE:
+        return decode_date(b, off)
+    if t == T_TIME2:
+        return decode_time2(b, off, spec.meta[0])
+    if t == T_DATETIME2:
+        return decode_datetime2(b, off, spec.meta[0])
+    if t == T_TIMESTAMP2:
+        return decode_timestamp2(b, off, spec.meta[0])
+    if t == T_YEAR:
+        return 1900 + b[off], off + 1
+    if t in (T_VARCHAR, T_STRING):
+        width = 2 if spec.meta[0] > 255 else 1
+        n = int.from_bytes(b[off:off + width], "little")
+        off += width
+        return b[off:off + n].decode("utf-8"), off + n
+    if t == T_BLOB:
+        ls = spec.meta[0]
+        n = int.from_bytes(b[off:off + ls], "little")
+        off += ls
+        return b[off:off + n].decode("utf-8"), off + n
+    raise ValueError(f"unsupported type code {t}")
+
+
+# ---------------------------------------------------------------------------
+# events (D1, D4-D9)
+# ---------------------------------------------------------------------------
+
+
+def _header(event_type: int, payload_len: int, timestamp: int = 0,
+            server_id: int = 1, log_pos: int = 0) -> bytes:
+    size = 19 + payload_len
+    return struct.pack("<IBIIIH", timestamp, event_type, server_id, size,
+                       log_pos, 0)
+
+
+def _type_meta_bytes(spec: ColSpec) -> bytes:
+    t = spec.type_code
+    if t == T_FLOAT:
+        return bytes([4])
+    if t == T_DOUBLE:
+        return bytes([8])
+    if t == T_NEWDECIMAL:
+        return bytes([spec.meta[0], spec.meta[1]])
+    if t in (T_VARCHAR, T_STRING):
+        return spec.meta[0].to_bytes(2, "little")
+    if t == T_BLOB:
+        return bytes([spec.meta[0]])
+    if t in (T_TIME2, T_DATETIME2, T_TIMESTAMP2):
+        return bytes([spec.meta[0]])
+    return b""
+
+
+def encode_table_map(table_id: int, schema: str, table: str,
+                     specs: list[ColSpec], log_pos: int = 0) -> bytes:
+    p = bytearray()
+    p += table_id.to_bytes(6, "little") + b"\x01\x00"  # table_id + flags
+    sb, tb = schema.encode(), table.encode()
+    p += bytes([len(sb)]) + sb + b"\x00"
+    p += bytes([len(tb)]) + tb + b"\x00"
+    p += write_lenenc(len(specs))
+    p += bytes(s.type_code for s in specs)
+    meta = b"".join(_type_meta_bytes(s) for s in specs)
+    p += write_lenenc(len(meta)) + meta
+    # nullability bitmap: every column nullable (partial final byte)
+    p += bytes((1 << min(8, len(specs) - 8 * i)) - 1
+               for i in range((len(specs) + 7) // 8))
+    return _header(TABLE_MAP_EVENT, len(p), log_pos=log_pos) + bytes(p)
+
+
+def decode_table_map(b: bytes) -> tuple[int, str, str, list[ColSpec]]:
+    assert b[4] == TABLE_MAP_EVENT, "not a TABLE_MAP event"
+    off = 19
+    table_id = int.from_bytes(b[off:off + 6], "little")
+    off += 8  # table_id + flags
+    n = b[off]
+    schema = b[off + 1:off + 1 + n].decode()
+    off += 1 + n + 1
+    n = b[off]
+    table = b[off + 1:off + 1 + n].decode()
+    off += 1 + n + 1
+    ncols, off = read_lenenc(b, off)
+    type_codes = list(b[off:off + ncols])
+    off += ncols
+    meta_len, off = read_lenenc(b, off)
+    meta = b[off:off + meta_len]
+    off += meta_len
+    specs: list[ColSpec] = []
+    mp = 0
+    for t in type_codes:
+        if t == T_FLOAT:
+            specs.append(ColSpec(t, ()))
+            mp += 1
+        elif t == T_DOUBLE:
+            specs.append(ColSpec(t, ()))
+            mp += 1
+        elif t == T_NEWDECIMAL:
+            specs.append(ColSpec(t, (meta[mp], meta[mp + 1])))
+            mp += 2
+        elif t in (T_VARCHAR, T_STRING):
+            specs.append(ColSpec(t, (int.from_bytes(meta[mp:mp + 2], "little"),)))
+            mp += 2
+        elif t == T_BLOB:
+            specs.append(ColSpec(t, (meta[mp],)))
+            mp += 1
+        elif t in (T_TIME2, T_DATETIME2, T_TIMESTAMP2):
+            specs.append(ColSpec(t, (meta[mp],)))
+            mp += 1
+        else:
+            specs.append(ColSpec(t, ()))
+    return table_id, schema, table, specs
+
+
+def _bitmap(bits: list[bool]) -> bytes:
+    out = bytearray((len(bits) + 7) // 8)
+    for i, bit in enumerate(bits):
+        if bit:
+            out[i // 8] |= 1 << (i % 8)
+    return bytes(out)
+
+
+def _read_bit(b: bytes, off: int, i: int) -> bool:
+    return bool(b[off + i // 8] & (1 << (i % 8)))
+
+
+def _encode_image(row: tuple, specs: list[ColSpec]) -> bytes:
+    nulls = [v is None for v in row]
+    out = bytearray(_bitmap(nulls))
+    for v, spec in zip(row, specs):
+        if v is not None:
+            out += encode_value(v, spec)
+    return bytes(out)
+
+
+def _decode_image(b: bytes, off: int, specs: list[ColSpec]) -> tuple[tuple, int]:
+    nb = (len(specs) + 7) // 8
+    bitmap_off = off
+    off += nb
+    vals = []
+    for i, spec in enumerate(specs):
+        if _read_bit(b, bitmap_off, i):
+            vals.append(None)  # NULL columns consume no payload bytes
+        else:
+            v, off = decode_value(b, off, spec)
+            vals.append(v)
+    return tuple(vals), off
+
+
+def encode_rows_event(event_type: int, table_id: int, specs: list[ColSpec],
+                      rows: list, log_pos: int = 0) -> bytes:
+    """rows: list of images (WRITE/DELETE) or of (before, after) pairs
+    (UPDATE). Multi-row events supported (D7)."""
+    p = bytearray()
+    p += table_id.to_bytes(6, "little") + b"\x01\x00"
+    p += (2).to_bytes(2, "little")  # extra-data length (just itself)
+    p += write_lenenc(len(specs))
+    present = _bitmap([True] * len(specs))
+    p += present
+    if event_type == UPDATE_ROWS_V2:
+        p += present  # second present bitmap (after-image columns)
+        for before, after in rows:
+            p += _encode_image(before, specs)
+            p += _encode_image(after, specs)
+    else:
+        for row in rows:
+            p += _encode_image(row, specs)
+    return _header(event_type, len(p), log_pos=log_pos) + bytes(p)
+
+
+def decode_rows_event(b: bytes, specs: list[ColSpec]) -> tuple[int, list]:
+    """Returns (event_type, rows) — rows are images, or (before, after)
+    pairs for UPDATE. Loops rows to end-of-payload (D7)."""
+    event_type = b[4]
+    size = int.from_bytes(b[9:13], "little")
+    off = 19
+    off += 8  # table_id + flags
+    extra = int.from_bytes(b[off:off + 2], "little")
+    off += extra
+    ncols, off = read_lenenc(b, off)
+    assert ncols == len(specs)
+    nb = (ncols + 7) // 8
+    off += nb  # present bitmap (all set here)
+    if event_type == UPDATE_ROWS_V2:
+        off += nb
+    rows = []
+    while off < size:
+        img, off = _decode_image(b, off, specs)
+        if event_type == UPDATE_ROWS_V2:
+            after, off = _decode_image(b, off, specs)
+            rows.append((img, after))
+        else:
+            rows.append(img)
+    return event_type, rows
+
+
+# ---------------------------------------------------------------------------
+# frames: the reference's RowEvents pairing as one binary cell
+# ---------------------------------------------------------------------------
+
+
+def encode_frame(table_id: int, schema: str, table: str, specs: list[ColSpec],
+                 event_type: int, rows: list, log_pos: int = 0) -> bytes:
+    tm = encode_table_map(table_id, schema, table, specs, log_pos)
+    re_ = encode_rows_event(event_type, table_id, specs, rows, log_pos)
+    return tm + re_
+
+
+def decode_frame(b: bytes) -> tuple[str, str, int, list]:
+    """One (TABLE_MAP, ROWS) pair -> (schema, table, event_type, rows).
+
+    The TABLE_MAP's own metadata drives the value decode — schema-on-read
+    exactly like the reference's two-layer registry (D4/D5 then D10)."""
+    tm_size = int.from_bytes(b[9:13], "little")
+    _, schema, table, specs = decode_table_map(b[:tm_size])
+    event_type, rows = decode_rows_event(b[tm_size:], specs)
+    return schema, table, event_type, rows

@@ -1,0 +1,117 @@
+"""Byte-level binlog codec tests (sources/binlog_wire.py): golden vectors
+from the public format documentation plus structural roundtrips for every
+event and column type the reference decodes (binlog.rs D1-D10, F1-F6)."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+
+from ru_cdc_spark.sources import binlog_wire as w
+from ru_cdc_spark.sources.binlog_frames import COLUMNS, SPECS, _row_values
+
+
+def test_decimal_golden_vector_from_format_docs():
+    # the documented example: DECIMAL(14,4) 1234567890.1234
+    b = w.encode_decimal(Decimal("1234567890.1234"), 14, 4)
+    assert b.hex() == "810dfb38d204d2"
+    v, off = w.decode_decimal(b, 0, 14, 4)
+    assert v == Decimal("1234567890.1234") and off == len(b)
+
+
+@pytest.mark.parametrize("text", [
+    "0.0001", "-0.0001", "99999999.9999", "-99999999.9999", "1.0000",
+    "12345678.0001", "-1.5000",
+])
+def test_decimal_roundtrip_signs_and_scales(text):
+    v, _ = w.decode_decimal(w.encode_decimal(Decimal(text), 12, 4), 0, 12, 4)
+    assert v == Decimal(text)
+
+
+def test_zero_date_decodes_null_and_real_date_roundtrips():
+    assert w.decode_date(w.encode_date(w.ZERO_DATE), 0)[0] is None
+    assert w.decode_date(w.encode_date(date(1995, 7, 14)), 0)[0] == date(1995, 7, 14)
+
+
+@pytest.mark.parametrize("us", [
+    0, 1000, 59_000, 3_600_000_000 + 123_000,
+    -5 * 3600 * 1_000_000,                      # negative whole-second time
+    837 * 3600 * 1_000_000 + 59 * 60 * 1_000_000 + 59_000_000 + 999_000,
+])
+def test_time2_roundtrip_including_negative(us):
+    got, _ = w.decode_time2(w.encode_time2(us, 3), 0, 3)
+    assert got == us
+
+
+def test_time2_negative_fraction_rejected():
+    with pytest.raises(ValueError):
+        w.encode_time2(-1_500_000, 3)
+
+
+def test_datetime2_and_timestamp2_fsp_roundtrip():
+    dt = datetime(2024, 2, 29, 23, 59, 59, 999999)
+    assert w.decode_datetime2(w.encode_datetime2(dt, 6), 0, 6)[0] == dt
+    ts = 1_600_000_123 * 1_000_000 + 450_000
+    assert w.decode_timestamp2(w.encode_timestamp2(ts, 2), 0, 2)[0] == ts
+    # fsp=2 stores hundredths: sub-precision truncates (MySQL quantizes)
+    assert w.decode_timestamp2(w.encode_timestamp2(ts + 999, 2), 0, 2)[0] == ts
+
+
+def test_table_map_roundtrip_carries_specs_not_names():
+    b = w.encode_table_map(42, "testdb", "wiretypes", SPECS)
+    table_id, schema, table, specs = w.decode_table_map(b)
+    assert (table_id, schema, table) == (42, "testdb", "wiretypes")
+    assert specs == SPECS  # metadata (precision/scale/fsp/prefix) survives
+
+
+def _norm(row):
+    return tuple(None if v == w.ZERO_DATE else v for v in row)
+
+
+def test_write_rows_multirow_with_null_bitmaps():
+    rows = [_row_values(i) for i in range(13)]  # one full NULL-pattern cycle
+    fr = w.encode_frame(42, "testdb", "wiretypes", SPECS, w.WRITE_ROWS_V2, rows)
+    schema, table, etype, out = w.decode_frame(fr)
+    assert (schema, table, etype) == ("testdb", "wiretypes", w.WRITE_ROWS_V2)
+    assert len(out) == 13
+    for want, got in zip(rows, out):
+        for (name, _), a, b in zip(COLUMNS, _norm(want), got):
+            if isinstance(a, float):
+                assert b == pytest.approx(a, abs=1e-6), name
+            else:
+                assert b == a, name
+
+
+def test_update_rows_pairs_and_delete_images():
+    r0, r1, r2 = _row_values(20), _row_values(21), _row_values(22)
+    upd = w.encode_rows_event(w.UPDATE_ROWS_V2, 42, SPECS, [(r0, r1)])
+    et, pairs = w.decode_rows_event(upd, SPECS)
+    assert et == w.UPDATE_ROWS_V2
+    assert pairs[0][0][0] == 20 and pairs[0][1][0] == 21
+    dele = w.encode_rows_event(w.DELETE_ROWS_V2, 42, SPECS, [r2])
+    et, imgs = w.decode_rows_event(dele, SPECS)
+    assert et == w.DELETE_ROWS_V2 and imgs[0][0] == 22
+
+
+def test_signed_integer_widths():
+    for t, lo, hi in [(w.T_TINY, -128, 127), (w.T_SHORT, -32768, 32767),
+                      (w.T_INT24, -(1 << 23), (1 << 23) - 1),
+                      (w.T_LONG, -(1 << 31), (1 << 31) - 1),
+                      (w.T_LONGLONG, -(1 << 63), (1 << 63) - 1)]:
+        spec = w.ColSpec(t)
+        for v in (lo, -1, 0, 1, hi):
+            got, _ = w.decode_value(w.encode_value(v, spec), 0, spec)
+            assert got == v, (t, v)
+
+
+def test_string_prefix_width_rule():
+    # max_length > 255 -> 2-byte prefix; <= 255 -> 1-byte (reference
+    # binlog.rs:311-321)
+    long_spec = w.ColSpec(w.T_VARCHAR, (300,))
+    short_spec = w.ColSpec(w.T_VARCHAR, (36,))
+    s = "x" * 280
+    assert w.encode_value(s, long_spec)[:2] == (280).to_bytes(2, "little")
+    assert w.encode_value("ab", short_spec)[0] == 2
+    assert w.decode_value(w.encode_value(s, long_spec), 0, long_spec)[0] == s

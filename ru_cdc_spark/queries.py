@@ -874,10 +874,43 @@ def binlog_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate_frames(spark, BINLOG_WIRE_N_ROWS).select("frame"))
 
 
+def binlog_wire_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE pipeline on real wire bytes: mixed
+    INSERT/UPDATE/DELETE binlog frames (WRITE/UPDATE/DELETE_ROWS_v2 with
+    before/after pairs) -> distributed byte decode -> latest-wins merge ->
+    table snapshot. Bytes in, queryable state out — with every stage
+    hash-checked against the oracle's arithmetic reconstruction.
+
+    Scale: decode is a narrow Arrow map; the merge is the engine's single
+    PK shuffle with max_by partial aggregation (operators/merge.py
+    rationale); deletes drop before the snapshot materializes."""
+    from ru_cdc_spark.sources.binlog_frames import (
+        BINLOG_CDC_N_ROWS,
+        decode_cdc_frames,
+        generate_cdc_frames,
+    )
+
+    changes = decode_cdc_frames(
+        generate_cdc_frames(spark, BINLOG_CDC_N_ROWS).select("frame"))
+    row = F.struct(*[F.col(c) for c in changes.columns])
+    return (
+        changes.groupBy("i")
+        .agg(F.max_by(row, F.col("seq")).alias("__r"))
+        .select("__r.*")
+        .where(F.col("type") != "DELETE")
+        .select("i", "t_long", "t_dec", "t_varchar", "t_datetime")
+    )
+
+
 def _register_binlog_wire() -> None:
-    from ru_cdc_spark.sources.binlog_frames import BINLOG_WIRE_ORACLE
+    from ru_cdc_spark.sources.binlog_frames import (
+        BINLOG_CDC_SNAPSHOT_ORACLE,
+        BINLOG_WIRE_ORACLE,
+    )
 
     register("binlog_wire_decode", BINLOG_WIRE_ORACLE)(binlog_wire_decode)
+    register("binlog_wire_cdc_snapshot",
+             BINLOG_CDC_SNAPSHOT_ORACLE)(binlog_wire_cdc_snapshot)
 
 
 _register_binlog_wire()
@@ -1031,7 +1064,8 @@ _GRADED_PREFIX = [
     # custom source (all oracle-checked)
     "stateful_user_totals", "events_session_window_stream",
     "events_stream_dedup_watermark", "binlog_wire_decode",
-    "binlog_source_feed", "text_token_counts", "doc_fingerprint",
+    "binlog_wire_cdc_snapshot", "binlog_source_feed",
+    "text_token_counts", "doc_fingerprint",
 ]
 
 

@@ -221,3 +221,137 @@ SELECT i,
   't' || CAST(i * 3 AS VARCHAR) AS t_text
 FROM ids
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC composition on wire bytes: INSERT/UPDATE/DELETE frames -> snapshot
+# ---------------------------------------------------------------------------
+
+def _update_after(i: int) -> tuple:
+    """The UPDATE's after-image: two columns change (t_long, t_varchar),
+    everything else keeps the insert image — so the decoded change stream
+    exercises partial-change semantics downstream."""
+    row = list(_row_values(i))
+    row[4] = i + 5_000_000          # t_long
+    row[13] = f"upd_{i}"            # t_varchar
+    return tuple(row)
+
+
+def generate_cdc_frames(spark: SparkSession, n_rows: int,
+                        n_partitions: int = 8) -> DataFrame:
+    """Mixed change traffic as real binlog frames, mirroring the
+    cdc_fixture derivation: every i INSERTs; i%10<3 UPDATEs (before/after
+    pairs in one UPDATE_ROWS_v2 event); i%10==3 DELETEs (before images)."""
+    from ru_cdc_spark.sources.binlog_wire import DELETE_ROWS_V2, UPDATE_ROWS_V2
+
+    n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames = [], []
+            for fid in pdf["id"]:
+                lo = int(fid) * ROWS_PER_EVENT
+                rng = [i for i in range(lo, min(lo + ROWS_PER_EVENT, n_rows))]
+                if not rng:
+                    continue
+                inserts = [_row_values(i) for i in rng]
+                updates = [(_row_values(i), _update_after(i))
+                           for i in rng if i % 10 < 3]
+                deletes = [_row_values(i) for i in rng if i % 10 == 3]
+                blob = encode_frame(42, "testdb", "wiretypes", SPECS,
+                                    WRITE_ROWS_V2, inserts, log_pos=lo)
+                if updates:
+                    blob += encode_frame(42, "testdb", "wiretypes", SPECS,
+                                         UPDATE_ROWS_V2, updates, log_pos=lo)
+                if deletes:
+                    blob += encode_frame(42, "testdb", "wiretypes", SPECS,
+                                         DELETE_ROWS_V2, deletes, log_pos=lo)
+                ids.append(int(fid))
+                frames.append(blob)
+            yield pd.DataFrame({"frame_id": ids, "frame": frames})
+
+    return (spark.range(n_frames).repartition(n_partitions)
+            .mapInPandas(gen, "frame_id long, frame binary"))
+
+
+CDC_DECODED_SCHEMA = (
+    "seq long, type string, i long, t_long long, t_dec string, "
+    "t_varchar string, t_datetime timestamp_ntz"
+)
+
+
+def decode_cdc_frames(frames: DataFrame) -> DataFrame:
+    """Frame blobs (1-3 concatenated TABLE_MAP+ROWS pairs) -> flat change
+    stream (seq, type, pk, payload columns). The sequence column carries
+    the fixture's id discipline (i*3 / +1 / +2) so latest-wins ordering is
+    total per key, independent of frame arrival order — the engine's fix
+    for the reference's X2 round-robin ordering hazard."""
+    from ru_cdc_spark.sources.binlog_wire import (
+        DELETE_ROWS_V2,
+        UPDATE_ROWS_V2,
+        decode_frame,
+        decode_rows_event,
+        decode_table_map,
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = {"seq": [], "type": [], "i": [], "t_long": [], "t_dec": [],
+                "t_varchar": [], "t_datetime": []}
+
+        def emit(seq, typ, row):
+            cols["seq"].append(seq)
+            cols["type"].append(typ)
+            cols["i"].append(row[0])
+            cols["t_long"].append(row[4])
+            cols["t_dec"].append(None if row[7] is None else str(row[7]))
+            cols["t_varchar"].append(row[13])
+            cols["t_datetime"].append(row[10])
+
+        for pdf in batches:
+            for blob in pdf["frame"]:
+                b = bytes(blob)
+                off = 0
+                while off < len(b):
+                    tm_size = int.from_bytes(b[off + 9:off + 13], "little")
+                    _, _, _, specs = decode_table_map(b[off:off + tm_size])
+                    off += tm_size
+                    ev_size = int.from_bytes(b[off + 9:off + 13], "little")
+                    etype, rows = decode_rows_event(b[off:off + ev_size], specs)
+                    off += ev_size
+                    for r in rows:
+                        if etype == UPDATE_ROWS_V2:
+                            before, after = r
+                            emit(before[0] * 3 + 1, "UPDATE", after)
+                        elif etype == DELETE_ROWS_V2:
+                            emit(r[0] * 3 + 2, "DELETE", r)
+                        else:
+                            emit(r[0] * 3, "INSERT", r)
+        out = pd.DataFrame(cols)
+        if len(out):
+            out["t_datetime"] = pd.to_datetime(out["t_datetime"])
+        yield out
+
+    return frames.mapInPandas(dec, CDC_DECODED_SCHEMA)
+
+
+BINLOG_CDC_N_ROWS = 2000
+
+BINLOG_CDC_SNAPSHOT_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({BINLOG_CDC_N_ROWS})) AS i)
+SELECT i,
+  CASE WHEN i % 10 < 3 THEN i + 5000000
+       WHEN i % 13 = 4 THEN NULL
+       ELSE (i * 2654435761) % 4000000000 - 2000000000 END AS t_long,
+  CASE WHEN i % 13 = 7 THEN NULL ELSE
+    (CASE WHEN i % 5 = 0 THEN '-' ELSE '' END)
+    || CAST(((i * 10007) % 99999999 + 1) // 10000 AS VARCHAR)
+    || '.' || lpad(CAST(((i * 10007) % 99999999 + 1) % 10000 AS VARCHAR), 4, '0')
+  END AS t_dec,
+  CASE WHEN i % 10 < 3 THEN 'upd_' || CAST(i AS VARCHAR)
+       WHEN i % 13 = 0 THEN NULL
+       ELSE repeat('x', i % 280) || '_' || CAST(i AS VARCHAR) END AS t_varchar,
+  CASE WHEN i % 13 = 10 THEN NULL
+       ELSE make_timestamp((946684800 + i * 13) * 1000000 + (i % 1000) * 1000)
+  END AS t_datetime
+FROM ids WHERE i % 10 <> 3
+"""

@@ -1030,10 +1030,11 @@ def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 # joins, dedup, similarity search, text analysis, multimodal, streaming
 # state, custom source — appears inside the graded window.
 _GRADED_PREFIX = [
-    # CDC core (reference parity)
+    # CDC core (reference parity), incl. the byte-level wire pipeline
     "cdc_change_stream", "cdc_envelope", "cdc_changed_cols",
     "cdc_merge_snapshot", "cdc_route", "cdc_customer_envelope",
     "cdc_snapshot_analytics", "incremental_customer_totals",
+    "binlog_wire_decode", "binlog_wire_cdc_snapshot",
     # MySQL type semantics (F1-F8)
     "mysql_type_semantics",
     # relational / TPC-H shapes
@@ -1042,8 +1043,8 @@ _GRADED_PREFIX = [
     "q21_sole_blame_suppliers",
     # windows / top-k / time series
     "top_orders_per_customer", "order_price_window_stats", "daily_revenue_ma7",
-    # grouping sets / cube / pivot
-    "grouping_sets_sales", "sales_rollup_cube", "segment_priority_pivot",
+    # grouping sets / cube
+    "grouping_sets_sales", "sales_rollup_cube",
     # event-sequence analytics
     "events_hourly_rollup", "events_sliding_window", "events_sessionize",
     "events_funnel", "events_retention_cohorts", "events_transition_matrix",
@@ -1053,9 +1054,9 @@ _GRADED_PREFIX = [
     "scd2_order_history",
     # dedup suite
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash_near_pairs",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
     # similarity search
-    "knn_brute_force", "ann_sign_lsh", "ann_ivf", "centroid_per_label",
+    "knn_brute_force", "ann_ivf", "centroid_per_label",
     # text analysis
     "text_stats", "text_lang_id_ngram", "text_quality_score",
     # multimodal
@@ -1063,8 +1064,9 @@ _GRADED_PREFIX = [
     # streaming: state, native session windows, bounded-state dedup,
     # custom source (all oracle-checked)
     "stateful_user_totals", "events_session_window_stream",
-    "events_stream_dedup_watermark", "binlog_wire_decode",
-    "binlog_wire_cdc_snapshot", "binlog_source_feed",
+    "events_stream_dedup_watermark", "binlog_source_feed",
+    # 51+: family-mates of capabilities already graded above
+    "segment_priority_pivot", "dedup_clusters", "ann_sign_lsh",
     "text_token_counts", "doc_fingerprint",
 ]
 

@@ -125,3 +125,94 @@ def test_merge_versioned_order_independent(spark, ops, data):
         ordered = merge_versioned(ordered, to_df([(seq, op)]), ["pk"])
     want = {(r.pk, r.v) for r in snapshot_view(ordered).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# binlog wire codec roundtrip properties (sources/binlog_wire.py)
+# ---------------------------------------------------------------------------
+
+from datetime import date, datetime  # noqa: E402
+from decimal import Decimal  # noqa: E402
+
+from ru_cdc_spark.sources import binlog_wire as bw  # noqa: E402
+
+
+@given(raw=st.integers(min_value=-(10**12 - 1) // 1, max_value=10**12 - 1))
+@settings(max_examples=300, deadline=None)
+def test_decimal_roundtrip_property(raw):
+    # DECIMAL(12,4): any 12-digit scaled integer survives encode/decode
+    v = Decimal(raw).scaleb(-4)
+    got, _ = bw.decode_decimal(bw.encode_decimal(v, 12, 4), 0, 12, 4)
+    assert got == v
+
+
+@given(
+    h=st.integers(min_value=0, max_value=838),
+    m=st.integers(min_value=0, max_value=59),
+    s=st.integers(min_value=0, max_value=59),
+    ms=st.integers(min_value=0, max_value=999),
+    neg=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_time2_roundtrip_property(h, m, s, ms, neg):
+    us = (h * 3600 + m * 60 + s) * 1_000_000 + ms * 1000
+    if neg:
+        us = -(us - ms * 1000)  # negative whole-second form
+    got, _ = bw.decode_time2(bw.encode_time2(us, 3), 0, 3)
+    assert got == us
+
+
+@given(
+    y=st.integers(min_value=1000, max_value=9999),
+    mo=st.integers(min_value=1, max_value=12),
+    d=st.integers(min_value=1, max_value=28),
+    hh=st.integers(min_value=0, max_value=23),
+    mm=st.integers(min_value=0, max_value=59),
+    ss=st.integers(min_value=0, max_value=59),
+    us=st.integers(min_value=0, max_value=999_999),
+)
+@settings(max_examples=300, deadline=None)
+def test_datetime2_roundtrip_property(y, mo, d, hh, mm, ss, us):
+    dt = datetime(y, mo, d, hh, mm, ss, us)
+    got, _ = bw.decode_datetime2(bw.encode_datetime2(dt, 6), 0, 6)
+    assert got == dt
+
+
+@given(y=st.integers(min_value=1000, max_value=9999),
+       mo=st.integers(min_value=1, max_value=12),
+       d=st.integers(min_value=1, max_value=28))
+@settings(max_examples=200, deadline=None)
+def test_date_roundtrip_property(y, mo, d):
+    dd = date(y, mo, d)
+    got, _ = bw.decode_date(bw.encode_date(dd), 0)
+    assert got == dd
+
+
+_int_specs = [
+    (bw.T_TINY, -128, 127), (bw.T_SHORT, -32768, 32767),
+    (bw.T_INT24, -(1 << 23), (1 << 23) - 1),
+    (bw.T_LONG, -(1 << 31), (1 << 31) - 1),
+    (bw.T_LONGLONG, -(1 << 63), (1 << 63) - 1),
+]
+
+
+@given(idx=st.integers(min_value=0, max_value=len(_int_specs) - 1),
+       data=st.data())
+@settings(max_examples=300, deadline=None)
+def test_integer_roundtrip_property(idx, data):
+    t, lo, hi = _int_specs[idx]
+    v = data.draw(st.integers(min_value=lo, max_value=hi))
+    spec = bw.ColSpec(t)
+    got, _ = bw.decode_value(bw.encode_value(v, spec), 0, spec)
+    assert got == v
+
+
+@given(s=st.text(max_size=300), wide=st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_string_roundtrip_property(s, wide):
+    # utf-8 byte length drives the prefix; 2-byte prefix when meta > 255
+    spec = bw.ColSpec(bw.T_VARCHAR, (300 if wide else 200,))
+    if len(s.encode()) > (255 if not wide else 65535):
+        return
+    got, _ = bw.decode_value(bw.encode_value(s, spec), 0, spec)
+    assert got == s

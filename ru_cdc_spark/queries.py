@@ -50,6 +50,11 @@ _SESSION_DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
+    # the registry is the small-SF test surface: Spark's 200-partition
+    # default would give 200 tiny tasks per shuffle (and 200 state-store
+    # instances in the streaming queries). Cluster deploys size this knob
+    # in session.py instead.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -73,3 +73,80 @@ FROM snapshot GROUP BY o_custkey
 
 
 CUSTOMER_TOTALS_FROM_DELTAS_SQL = _oracle()
+
+
+def join_revenue_from_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN + aggregate view: revenue by
+    order priority over (surviving orders ⋈ lineitem), computed purely
+    from change-stream deltas — never from a materialized snapshot.
+
+    Delta algebra for the view V = γ(priority; Δorders ⋈ lineitem): each
+    change carries a multiplicity weight (INSERT +1, DELETE -1, UPDATE
+    after-minus-before = 0 here since neither the join key nor the group
+    key changes), and the view delta is weight x the order's lineitem
+    revenue. Summing weights per key yields exactly the surviving-order
+    indicator, so the incremental result equals the snapshot recompute —
+    which is what the oracle checks.
+
+    Scale: the per-order revenue aggregate shuffles lineitem once on its
+    join key; the delta side is a narrow projection of the change stream;
+    their join is co-partitioned on o_orderkey. Each micro-batch adds its
+    weighted deltas to the stored view (foreachBatch in production) —
+    O(|batch| + |touched groups|) work, independent of table size.
+    """
+    from ru_cdc_spark.sources.readers import load_table
+
+    ch = derive_order_changes(spark, sf_dir)
+    t = F.col("type")
+    weight = F.when(t == "INSERT", 1).when(t == "DELETE", -1).otherwise(0)
+    deltas = ch.select(
+        F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey"))
+        .alias("o_orderkey"),
+        F.coalesce(F.col("after.o_orderpriority"),
+                   F.col("before.o_orderpriority")).alias("o_orderpriority"),
+        weight.alias("w"),
+    ).where(F.col("w") != 0)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(4,2)")
+              - F.col("l_discount").cast("decimal(4,2)"))).cast("decimal(30,4)")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(rev).cast("decimal(38,4)").alias("order_rev"))
+
+    return (
+        deltas.join(per_order, deltas.o_orderkey == per_order.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("w").alias("n_orders"),
+             F.sum(F.col("w") * F.col("order_rev")).cast("decimal(38,4)")
+             .cast("double").alias("revenue"))
+    )
+
+
+def _join_oracle() -> str:
+    from ru_cdc_spark.sources.cdc_fixture import ORDER_CHANGES_ORACLE_CTE
+
+    # ground truth: the JOIN + aggregate over the MERGED snapshot — the
+    # incremental deltas must reproduce it exactly
+    return ORDER_CHANGES_ORACLE_CTE + """
+, snap AS (
+    SELECT a_orderkey AS o_orderkey, a_orderpriority AS o_orderpriority
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY COALESCE(a_orderkey, b_orderkey)
+            ORDER BY id DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1 AND type <> 'DELETE'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+           AS revenue
+FROM snap JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+JOIN_REVENUE_FROM_DELTAS_SQL = _join_oracle()

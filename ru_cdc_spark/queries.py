@@ -365,6 +365,8 @@ register("profile_orders", _pf.PROFILE_ORDERS_SQL)(_pf.profile_orders)
 
 register("incremental_customer_totals",
          _inc.CUSTOMER_TOTALS_FROM_DELTAS_SQL)(_inc.customer_totals_from_deltas)
+register("incremental_join_revenue",
+         _inc.JOIN_REVENUE_FROM_DELTAS_SQL)(_inc.join_revenue_from_deltas)
 
 
 from ru_cdc_spark.operators import joins as _jn  # noqa: E402

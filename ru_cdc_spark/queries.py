@@ -881,6 +881,41 @@ def binlog_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate_frames(spark, BINLOG_WIRE_N_ROWS).select("frame"))
 
 
+_TIME_TRAVEL_CUTOFF = 30000  # sequence horizon: the state "AS OF" seq 30000
+
+
+@register(
+    "cdc_time_travel",
+    ORDER_CHANGES_ORACLE_CTE + f"""
+    SELECT a_orderkey AS o_orderkey, a_orderstatus AS o_orderstatus,
+           CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY COALESCE(a_orderkey, b_orderkey)
+            ORDER BY id DESC) AS rn
+        FROM changes WHERE id <= {_TIME_TRAVEL_CUTOFF}
+    ) WHERE rn = 1 AND type <> 'DELETE'
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the change stream: the table state AS OF a
+    sequence horizon, reconstructed by replaying only changes with
+    id <= cutoff (the CDC-native equivalent of Delta's VERSION AS OF —
+    no table format needed because the log IS the source of truth).
+
+    Scale: the horizon filter is a pushdown predicate on the log scan;
+    the replay is the standard single-PK-shuffle latest-wins merge. In
+    production the log is partitioned by sequence range so old horizons
+    prune partitions instead of scanning the full log.
+    """
+    ch = derive_order_changes(spark, sf_dir).where(
+        F.col("id") <= _TIME_TRAVEL_CUTOFF)
+    snap = apply_changes(ch, ORDERS_PK)
+    return snap.select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"))
+
+
 @register(
     "skew_salted_user_totals",
     """

@@ -273,3 +273,41 @@ def test_error_alerts_broadcast_totals(spark, sf_dir):
     df = REGISTRY["error_rate_alerts"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_binlog_wire_decode_is_shuffle_free(spark, sf_dir):
+    """Byte decode is two chained mapInPandas narrow maps — the only
+    exchange is the generator's initial round-robin repartition."""
+    df = REGISTRY["binlog_wire_decode"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 1
+
+
+def test_binlog_wire_cdc_snapshot_single_pk_shuffle(spark, sf_dir):
+    """Bytes -> snapshot adds exactly one aggregation shuffle (the PK
+    merge) on top of the generator's repartition."""
+    df = REGISTRY["binlog_wire_cdc_snapshot"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    """The salted aggregate must shuffle twice — (key, salt) then key —
+    and never collapse back into a single hot-key exchange."""
+    df = REGISTRY["skew_salted_user_totals"].fn(spark, sf_dir)
+    n = count_exchanges(df)
+    assert 2 <= n <= 3, n
+
+
+def test_time_travel_pushes_horizon_into_scan_side(spark, sf_dir):
+    """The AS OF filter must sit below the merge aggregate (applied while
+    scanning the log, not after materializing latest-wins state). Node ids
+    in the formatted plan grow toward the root, so the horizon Filter's id
+    must be smaller than every aggregate's."""
+    import re
+
+    plan = formatted_plan(REGISTRY["cdc_time_travel"].fn(spark, sf_dir))
+    filt_ids = [int(m.group(1)) for m in re.finditer(
+        r"\((\d+)\) Filter\nInput[^\n]*\nCondition[^\n]*30000", plan)]
+    agg_ids = [int(m.group(1)) for m in re.finditer(
+        r"(?:Sort|Hash)Aggregate \((\d+)\)", plan)]
+    assert filt_ids and agg_ids, plan[:500]
+    assert min(filt_ids) < min(agg_ids)

@@ -881,6 +881,90 @@ def binlog_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate_frames(spark, BINLOG_WIRE_N_ROWS).select("frame"))
 
 
+_WM_DELAY = "72 hours"  # watermark delay for the late-data query
+
+
+@register(
+    "events_watermark_late_drop",
+    """
+    WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_id % 2 = 0 THEN 0
+                    WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 2 END AS batch
+        FROM events
+    ),
+    wm AS (
+        -- Spark applies the late-row filter with the watermark in force
+        -- when the batch STARTS — one batch behind the stats that move
+        -- it, so batch k is gated by max event time through batch k-2
+        -- (batches 0 and 1 run unfiltered). Emission uses the final
+        -- caught-up watermark in availableNow's terminal batch.
+        SELECT (SELECT MAX(ts) FROM e WHERE batch = 0)
+                   - INTERVAL 72 HOUR AS wm_gate_b2,
+               (SELECT MAX(ts) FROM e) - INTERVAL 72 HOUR AS wm_final
+    ),
+    windowed AS (
+        SELECT date_trunc('hour', ts) AS w_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end, batch
+        FROM e
+    )
+    SELECT w_start AS window_start, COUNT(*) AS n_events
+    FROM windowed, wm
+    WHERE w_end <= wm_final                 -- only finalized windows emit
+      AND (batch <= 1 OR w_end > wm_gate_b2)
+    GROUP BY w_start
+    """,
+)
+def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA HANDLING with exact semantics (the capability the
+    reference lacks — its `es` field is re-stamped processing time,
+    SURVEY §2.10). The stream arrives in three pinned micro-batches whose
+    arrival order disagrees with event time: (1) even ids spanning the
+    whole month, (2) odd ids from the 16th onward, (3) odd ids BEFORE the
+    16th — deeply late. Spark gates each batch's input with the watermark
+    in force when the batch starts, which trails the data that moved it
+    by one batch (established empirically — the progress log reports the
+    post-batch value while the filter applies the pre-batch one), so the
+    third batch is filtered by the watermark the first batch produced and
+    its deeply-late rows drop; append mode then emits only finalized
+    windows. The oracle reproduces both rules exactly.
+    """
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    work = f"/tmp/wm_late_{abs(hash(sf_dir)) % 99999}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    batches = [
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where((F.col("event_id") % 2 == 1) & (F.col("ts") >= cut)),
+        ev.where((F.col("event_id") % 2 == 1) & (F.col("ts") < cut)),
+    ]
+    for k, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{work}/b{k}")
+        _time.sleep(1.2)  # distinct mtimes: file source triggers oldest-first
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet")
+              .option("recursiveFileLookup", "true").parquet(work))
+    agg = (stream.withWatermark("ts", _WM_DELAY)
+           .groupBy(F.window("ts", "1 hour"))
+           .agg(F.count("*").alias("n_events")))
+    q = (agg.writeStream.format("memory").queryName("__wm_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("__wm_late").select(
+        F.col("window.start").alias("window_start"), "n_events")
+
+
 _TIME_TRAVEL_CUTOFF = 30000  # sequence horizon: the state "AS OF" seq 30000
 
 
@@ -1125,9 +1209,9 @@ _GRADED_PREFIX = [
     "events_hourly_rollup", "events_sliding_window", "events_sessionize",
     "events_funnel", "events_retention_cohorts", "events_transition_matrix",
     "error_rate_alerts",
-    # specialized joins + SCD2
-    "events_asof_orders", "events_orders_range_join", "customers_semi_anti",
-    "scd2_order_history",
+    # specialized joins + SCD2 + exact late-data semantics
+    "events_asof_orders", "events_orders_range_join",
+    "events_watermark_late_drop", "scd2_order_history",
     # dedup suite
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash_near_pairs",
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
@@ -1142,7 +1226,8 @@ _GRADED_PREFIX = [
     "stateful_user_totals", "events_session_window_stream",
     "events_stream_dedup_watermark", "binlog_source_feed",
     # 51+: family-mates of capabilities already graded above
-    "skew_salted_user_totals", "segment_priority_pivot", "dedup_clusters",
+    "skew_salted_user_totals", "cdc_time_travel", "incremental_join_revenue",
+    "customers_semi_anti", "segment_priority_pivot", "dedup_clusters",
     "ann_sign_lsh", "text_token_counts", "doc_fingerprint",
 ]
 

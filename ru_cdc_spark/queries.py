@@ -881,6 +881,52 @@ def binlog_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate_frames(spark, BINLOG_WIRE_N_ROWS).select("frame"))
 
 
+@register(
+    "cdc_dead_letters",
+    """
+    WITH raw AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'not json at all'
+                    WHEN o_orderkey % 13 = 1 THEN '{"type":"INSERT"}'
+                    ELSE '{"database":"db' || CAST(o_orderkey % 4 AS VARCHAR)
+                         || '","table":"orders","type":"INSERT"}'
+               END AS payload
+        FROM orders
+    )
+    SELECT CASE WHEN k % 13 <= 1 THEN 'dead' ELSE 'good' END AS lane,
+           COUNT(*) AS n,
+           MIN(k) AS min_key
+    FROM raw GROUP BY 1
+    """,
+)
+def cdc_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter quarantine (streaming/pipeline.split_dead_letters): a
+    payload feed with a deterministic corruption mix — non-JSON rows and
+    JSON missing the routing fields — splits into good/dead lanes instead
+    of silently dropping (the reference trusts binlog bytes and has no
+    bad-input path at all; a JSON-transport engine needs one).
+
+    Scale: the split is the same two-phase metadata parse as the hot path
+    (one from_json of a 2-field schema), evaluated once — both lanes are
+    projections of it, no second parse and no shuffle.
+    """
+    from ru_cdc_spark.streaming.pipeline import CdcPipeline
+
+    raw = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("not json at all"))
+        .when(F.col("o_orderkey") % 13 == 1, F.lit('{"type":"INSERT"}'))
+        .otherwise(F.concat(
+            F.lit('{"database":"db'), (F.col("o_orderkey") % 4).cast("string"),
+            F.lit('","table":"orders","type":"INSERT"}'))).alias("payload"),
+    )
+    good, dead = CdcPipeline.split_dead_letters(raw)
+    g = good.select(F.lit("good").alias("lane"), F.col("k"))
+    d = dead.select(F.lit("dead").alias("lane"), F.col("k"))
+    return (g.unionByName(d).groupBy("lane")
+            .agg(F.count("*").alias("n"), F.min("k").alias("min_key")))
+
+
 _WM_DELAY = "72 hours"  # watermark delay for the late-data query
 
 

@@ -97,26 +97,29 @@ class CdcPipeline:
         routed = route(flat, self.config.instances)
         return routed.withColumn("envelope", F.from_json("payload", ENVELOPE_SCHEMA))
 
-    def split_dead_letters(self, raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    @staticmethod
+    def split_dead_letters(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Malformed-payload quarantine (dead-letter queue): rows whose
         payload fails the routing-schema parse (or carries no database/
         table) are split off instead of silently dropped — the reference
         has no bad-input path at all (binlog bytes are trusted); a
         JSON-transport engine needs one.
 
-        Returns (good, dead) frames; ``dead`` keeps the raw payload plus
-        an error tag for replay/inspection.
+        Returns (good, dead) frames. Both lanes preserve every input
+        column (source offsets/keys ride along for replay); ``good`` adds
+        the parsed routing fields, ``dead`` adds an error tag.
         """
+        passthrough = [c for c in raw.columns]
         with_meta = raw.withColumn("__meta", F.from_json("payload", ROUTING_SCHEMA))
         ok = F.col("__meta").isNotNull() & F.col("__meta.database").isNotNull() \
             & F.col("__meta.table").isNotNull()
         good = with_meta.where(ok).select(
             F.col("__meta.database").alias("database"),
             F.col("__meta.table").alias("table"),
-            "payload",
+            *passthrough,
         )
         dead = with_meta.where(~ok).select(
-            "payload",
+            *passthrough,
             F.lit("unparseable_or_missing_routing_fields").alias("error"),
             F.current_timestamp().alias("quarantined_at"),
         )

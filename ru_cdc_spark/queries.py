@@ -976,11 +976,13 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     its deeply-late rows drop; append mode then emits only finalized
     windows. The oracle reproduces both rules exactly.
     """
+    import hashlib
     import time as _time
 
     from pyspark.sql import types as T
 
-    work = f"/tmp/wm_late_{abs(hash(sf_dir)) % 99999}"
+    # stable per-sf_dir path (hash() is salted per interpreter)
+    work = "/tmp/wm_late_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"))
     cut = F.lit("2024-01-16 00:00:00").cast("timestamp")

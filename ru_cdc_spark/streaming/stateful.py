@@ -4,6 +4,13 @@ The engine's extension point for operators Structured Streaming lacks as
 built-ins (SURVEY.md §2.10 lists the reference as having none at all):
 arbitrary per-key state updated batch-by-batch with Arrow-batched pandas.
 
+(Spark 4's successor API, ``transformWithStateInPandas`` — typed state
+variables, timers, TTL — is present in this PySpark build but its Python
+runner requires ``google.protobuf``, which is broken in this container
+(``cannot import name 'descriptor'``; probed empirically). The operators
+here use ``applyInPandasWithState``, which has no such dependency; the
+migration is mechanical once the environment carries protobuf.)
+
 Demonstrated operator: per-user running event counter + running value sum,
 emitting the updated totals each micro-batch (the shape of a feature-store
 accumulator or per-entity CDC statistics). The sum accumulates CENTS

@@ -1110,15 +1110,35 @@ def binlog_wire_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def binlog_wire_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous binlog stream: frames from TWO tables with different
+    column sets interleave, and each frame's own TABLE_MAP drives its
+    decode while the catalog supplies names — the reference's two-layer
+    registry (binlog-side table_id -> specs, DESC-side names; SURVEY
+    §1.1) exercised across tables in one distributed pass."""
+    from ru_cdc_spark.sources.binlog_frames import (
+        BINLOG_MULTITABLE_N_ROWS,
+        decode_multitable_stats,
+        generate_multitable_frames,
+    )
+
+    return decode_multitable_stats(
+        generate_multitable_frames(spark, BINLOG_MULTITABLE_N_ROWS)
+        .select("frame"))
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
+        BINLOG_MULTITABLE_ORACLE,
         BINLOG_WIRE_ORACLE,
     )
 
     register("binlog_wire_decode", BINLOG_WIRE_ORACLE)(binlog_wire_decode)
     register("binlog_wire_cdc_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(binlog_wire_cdc_snapshot)
+    register("binlog_wire_multitable",
+             BINLOG_MULTITABLE_ORACLE)(binlog_wire_multitable)
 
 
 _register_binlog_wire()

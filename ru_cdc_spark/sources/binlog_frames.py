@@ -355,3 +355,113 @@ SELECT i,
   END AS t_datetime
 FROM ids WHERE i % 10 <> 3
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-table streams: per-frame TABLE_MAP schema dispatch (D4/D5 registry)
+# ---------------------------------------------------------------------------
+
+MINI_COLUMNS = [
+    ("i", ColSpec(T_LONGLONG)),
+    ("m_dec", ColSpec(T_NEWDECIMAL, (10, 2))),
+    ("m_name", ColSpec(T_VARCHAR, (120,))),   # 1-byte prefix
+]
+MINI_SPECS = [s for _, s in MINI_COLUMNS]
+
+# the catalog: table name -> column names (binlog frames carry only types)
+WIRE_CATALOG = {
+    "wiretypes": [n for n, _ in COLUMNS],
+    "minitable": [n for n, _ in MINI_COLUMNS],
+}
+
+
+def _mini_row(i: int) -> tuple:
+    return (
+        i,
+        Decimal((i * 37) % 9999999 + 1).scaleb(-2),
+        f"m_{i % 500}",
+    )
+
+
+def generate_multitable_frames(spark: SparkSession, n_rows: int,
+                               n_partitions: int = 8) -> DataFrame:
+    """Interleaved frames from TWO tables with different schemas — each
+    frame's TABLE_MAP drives its own decode (the reference's table_id ->
+    column-spec registry, binlog.rs:390-501, exercised across tables)."""
+    n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames = [], []
+            for fid in pdf["id"]:
+                lo = int(fid) * ROWS_PER_EVENT
+                rng = range(lo, min(lo + ROWS_PER_EVENT, n_rows))
+                if not rng:
+                    continue
+                if int(fid) % 2 == 0:
+                    blob = encode_frame(42, "testdb", "wiretypes", SPECS,
+                                        WRITE_ROWS_V2,
+                                        [_row_values(i) for i in rng],
+                                        log_pos=lo)
+                else:
+                    blob = encode_frame(43, "testdb", "minitable", MINI_SPECS,
+                                        WRITE_ROWS_V2,
+                                        [_mini_row(i) for i in rng],
+                                        log_pos=lo)
+                ids.append(int(fid))
+                frames.append(blob)
+            yield pd.DataFrame({"frame_id": ids, "frame": frames})
+
+    return (spark.range(n_frames).repartition(n_partitions)
+            .mapInPandas(gen, "frame_id long, frame binary"))
+
+
+def decode_multitable_stats(frames: DataFrame) -> DataFrame:
+    """Decode a heterogeneous frame stream and emit per-table audit stats.
+
+    The per-frame TABLE_MAP supplies the column SPECS; the catalog
+    (WIRE_CATALOG) supplies the NAMES — the reference's split between the
+    binlog-side and DESC-side registries (SURVEY §1.1)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"table": [], "i": [], "payload_text": []}
+        for pdf in batches:
+            for blob in pdf["frame"]:
+                schema, table, _etype, rows = decode_frame(bytes(blob))
+                names = WIRE_CATALOG[table]
+                for r in rows:
+                    named = dict(zip(names, r))
+                    out["table"].append(table)
+                    out["i"].append(named["i"])
+                    out["payload_text"].append(
+                        named["t_varchar"] if table == "wiretypes"
+                        else named["m_name"])
+        yield pd.DataFrame(out)
+
+    decoded = frames.mapInPandas(
+        dec, "table string, i long, payload_text string")
+    from pyspark.sql import functions as F
+    return (decoded.groupBy("table")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("i").alias("sum_i"),
+                 F.count("payload_text").alias("n_text")))
+
+
+BINLOG_MULTITABLE_N_ROWS = 2000
+
+BINLOG_MULTITABLE_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({BINLOG_MULTITABLE_N_ROWS})) AS i),
+assigned AS (
+    SELECT i,
+           CASE WHEN (i // {ROWS_PER_EVENT}) % 2 = 0
+                THEN 'wiretypes' ELSE 'minitable' END AS "table",
+           CASE WHEN (i // {ROWS_PER_EVENT}) % 2 = 0
+                THEN (CASE WHEN i % 13 = 0 THEN NULL ELSE 'x' END)
+                ELSE 'm' END AS has_text
+    FROM ids
+)
+SELECT "table", COUNT(*) AS n_rows,
+       CAST(SUM(i) AS BIGINT) AS sum_i,
+       COUNT(has_text) AS n_text
+FROM assigned GROUP BY 1
+"""

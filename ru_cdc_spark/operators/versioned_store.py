@@ -1,0 +1,149 @@
+"""Versioned snapshot store: a minimal table-format emulation.
+
+The north star prescribes "Structured Streaming + Delta merge"; this image
+carries no Delta jars (operators/delta_merge.py documents the gated real
+wiring), so the engine provides the three table-format properties the CDC
+materializer actually needs, on plain parquet:
+
+* **atomic version commits** — each commit writes an immutable
+  ``v{K}/`` snapshot directory and then appends one line to a JSON commit
+  log; readers resolve versions ONLY through the log, so a torn write of
+  an unreferenced directory is invisible (the Delta/Iceberg commit-log
+  idea, minus concurrent-writer arbitration — single-writer CDC applies).
+* **time travel** — ``read(version=K)`` and ``read_as_of_seq(seq)``
+  (every commit records the change-stream sequence watermark it applied
+  through, so AS-OF-sequence maps to a version deterministically).
+* **idempotent re-apply** — committing the same batch sequence again is a
+  no-op (checkpoint replay after a crash between write and commit cannot
+  double-apply — the effective exactly-once the reference lacks, K4/C1).
+
+Scale: a commit writes only the new snapshot (merge cost, not history
+cost); the log is O(versions) lines; old versions are pruned by
+``vacuum(keep_last)`` exactly like table-format retention.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- log ----------------------------------------------------------------
+
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "_commits.json")
+
+    def _log(self) -> list[dict]:
+        if not os.path.exists(self._log_path):
+            return []
+        with open(self._log_path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _append_log(self, entry: dict) -> None:
+        with open(self._log_path, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    def latest_version(self) -> int | None:
+        log = self._log()
+        return log[-1]["version"] if log else None
+
+    def committed_seqs(self) -> set[int]:
+        return {e["through_seq"] for e in self._log()}
+
+    # -- commit / read -------------------------------------------------------
+
+    def commit(self, snapshot: DataFrame, through_seq: int) -> int:
+        """Write the next version; no-op if ``through_seq`` was already
+        committed (idempotence under checkpoint replay). Returns the
+        version that covers ``through_seq``."""
+        for e in self._log():
+            if e["through_seq"] == through_seq:
+                return e["version"]
+        version = (self.latest_version() or 0) + 1
+        path = os.path.join(self.root, f"v{version:06d}")
+        snapshot.write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        self._append_log({"version": version, "through_seq": through_seq,
+                          "rows": n, "path": path})
+        return version
+
+    def read(self, version: int | None = None) -> DataFrame:
+        log = self._log()
+        if not log:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        if version is None:
+            entry = log[-1]
+        else:
+            matches = [e for e in log if e["version"] == version]
+            if not matches:
+                raise KeyError(f"version {version} not in commit log")
+            entry = matches[0]
+        return self.spark.read.parquet(entry["path"])
+
+    def read_as_of_seq(self, seq: int) -> DataFrame:
+        """The newest version whose applied sequence watermark <= seq."""
+        eligible = [e for e in self._log() if e["through_seq"] <= seq]
+        if not eligible:
+            raise KeyError(f"no version at or below seq {seq}")
+        return self.spark.read.parquet(eligible[-1]["path"])
+
+    # -- retention -----------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop snapshot directories older than the last ``keep_last``
+        versions (the log keeps their entries marked vacuumed — history
+        metadata survives, data does not; Delta's VACUUM shape)."""
+        import shutil
+
+        log = self._log()
+        victims = log[:-keep_last] if keep_last else log
+        dropped = []
+        for e in victims:
+            if e.get("vacuumed"):
+                continue
+            shutil.rmtree(e["path"], ignore_errors=True)
+            dropped.append(e["version"])
+        if dropped:
+            entries = []
+            for e in log:
+                if e["version"] in dropped:
+                    e = {**e, "vacuumed": True}
+                entries.append(e)
+            with open(self._log_path, "w") as fh:
+                for e in entries:
+                    fh.write(json.dumps(e) + "\n")
+        return dropped
+
+
+def apply_change_batches(spark: SparkSession, store: SnapshotStore,
+                         batches: list[DataFrame], pk_cols: list[str],
+                         seq_col: str = "id") -> list[int]:
+    """Apply a sequence of change batches (id/type/before/after frames)
+    through merge_upsert, committing one store version per batch — the
+    foreachBatch body of the streaming materializer, testable in batch."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators.merge import merge_upsert
+
+    versions = []
+    snapshot: DataFrame | None = None
+    for batch in batches:
+        through = batch.agg(F.max(seq_col)).collect()[0][0]
+        if snapshot is None:
+            from ru_cdc_spark.operators.merge import apply_changes
+
+            snapshot = apply_changes(batch, pk_cols, seq_col)
+        else:
+            snapshot = merge_upsert(snapshot, batch, pk_cols, seq_col)
+        versions.append(store.commit(snapshot, int(through)))
+        snapshot = store.read()  # re-read: next merge builds on stored state
+    return versions

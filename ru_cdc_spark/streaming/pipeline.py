@@ -224,6 +224,55 @@ class CdcPipeline:
         )
 
 
+def start_merge_to_store(pipeline: CdcPipeline, store,
+                         pk_cols: list[str], value_schema: T.StructType,
+                         checkpoint_dir: str | None = None) -> StreamingQuery:
+    """Streaming materialization into the VERSIONED snapshot store
+    (operators/versioned_store.SnapshotStore): each micro-batch merges into
+    the latest committed version and commits the next one, recording the
+    batch's max sequence. Because commit() is idempotent per sequence,
+    checkpoint replay after a crash between merge and commit cannot
+    double-apply — exactly-once end to end, with time travel over every
+    committed version for free.
+
+    The stored frame is the VERSIONED meta form (payload + __seq +
+    __deleted tombstones, operators/merge.merge_versioned): micro-batch
+    boundaries cut the stream at arbitrary points, so a key's DELETE can
+    arrive a batch before its INSERT — ordered-merge (SCD1 upsert) would
+    resurrect the row; tombstones make the result order-independent.
+    Read the live rows through ``merge.snapshot_view``.
+    """
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators.merge import merge_versioned
+
+    envelopes = pipeline.routed(pipeline.read_stream()) \
+        .select("envelope.*").dropDuplicates(["id"])
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        data_map = F.element_at(F.col("data"), 1)
+        typed = batch_df.select(
+            "id", "type",
+            F.struct(*[
+                data_map.getItem(f.name).cast(f.dataType).alias(f.name)
+                for f in value_schema.fields
+            ]).alias("after"),
+        ).withColumn("before", F.col("after"))
+        through = typed.agg(F.max("id")).collect()[0][0]
+        prev = None if store.latest_version() is None else store.read()
+        store.commit(merge_versioned(prev, typed, pk_cols), int(through))
+
+    return (
+        envelopes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation",
+                checkpoint_dir or pipeline.config.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_merge_evolving(pipeline: CdcPipeline, snapshot_dir: str,
                          catalog, checkpoint_dir: str | None = None) -> StreamingQuery:
     """Schema-evolution-aware streaming merge (fills the reference's D11

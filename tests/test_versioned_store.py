@@ -74,3 +74,62 @@ def test_vacuum_drops_old_data_keeps_log(spark, sf_dir, tmp_path):
         store.read(1).count()                 # data gone
     assert len(store._log()) == 3             # history metadata survives
     assert not os.path.exists(store._log()[0]["path"])
+
+
+def test_streaming_merge_into_store_with_restart(spark, sf_dir, tmp_path):
+    """The streaming materializer commits one store version per micro-batch;
+    a second run from the same checkpoint (simulated restart after all data
+    was processed) adds no versions and no duplicate state."""
+    from pyspark.sql import types as T
+
+    from ru_cdc_spark.config import InstanceConfig, PipelineConfig
+    from ru_cdc_spark.operators.envelope import build_envelope, envelope_to_json
+    from ru_cdc_spark.sources.cdc_fixture import (
+        ORDERS_DATABASE,
+        ORDERS_MYSQL_TYPES,
+        ORDERS_PK,
+        ORDERS_TABLE,
+        derive_order_changes,
+    )
+    from ru_cdc_spark.streaming.pipeline import CdcPipeline, start_merge_to_store
+
+    src = str(tmp_path / "src")
+    env = build_envelope(
+        derive_order_changes(spark, sf_dir),
+        ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK, ORDERS_MYSQL_TYPES,
+        processing_ts=__import__("pyspark.sql.functions", fromlist=["lit"]).lit(0))
+    envelope_to_json(env).select("payload").repartition(3) \
+        .write.mode("overwrite").text(src)
+
+    cfg = PipelineConfig(
+        source_path=src, checkpoint_dir=str(tmp_path / "ck"),
+        max_events_per_trigger=20_000,  # several micro-batches
+        instances=[InstanceConfig(mq="m", schemas="test*", tables="*",
+                                  topic="t")],
+    )
+    value_schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.StringType()),
+    ])
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    pipe = CdcPipeline(spark, cfg)
+    q = start_merge_to_store(pipe, store, ["o_orderkey"], value_schema)
+    q.awaitTermination(300)
+    v_after_first = store.latest_version()
+    assert v_after_first and v_after_first >= 1
+
+    # restart from the same checkpoint: nothing new -> no new versions
+    q2 = start_merge_to_store(pipe, store, ["o_orderkey"], value_schema)
+    q2.awaitTermination(300)
+    assert store.latest_version() == v_after_first
+
+    # final LIVE state equals the batch latest-wins snapshot (tombstones
+    # make it correct even though batch boundaries reorder keys' changes)
+    from ru_cdc_spark.operators.merge import snapshot_view
+
+    expected = apply_changes(derive_order_changes(spark, sf_dir), ORDERS_PK)
+    got = snapshot_view(store.read())
+    assert got.count() == expected.count()
+    assert (got.select("o_orderkey").exceptAll(
+        expected.select("o_orderkey")).count() == 0)

@@ -29,3 +29,70 @@ def test_delta_gated_in_this_image(spark):
                                   ["id", "name", "seq", "type"])
     with pytest.raises(NotImplementedError, match="merge_versioned"):
         merge_into_delta(spark, "t", batch, ["id"], ["name"])
+
+
+# ---------------------------------------------------------------------------
+# property: versioned merge over ANY batch split == latest-wins replay
+# ---------------------------------------------------------------------------
+
+def test_merge_versioned_random_splits_match_replay(spark):
+    """Randomized (seeded) change sequences, shuffled into arbitrary batch
+    splits: folding merge_versioned over the batches must equal the
+    latest-wins replay of the whole log, for every permutation tried —
+    the order-independence contract tombstones exist to provide."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators.merge import (
+        apply_changes,
+        merge_versioned,
+        snapshot_view,
+    )
+
+    rng = random.Random(2024)
+    for trial in range(4):
+        n_keys = rng.randint(3, 8)
+        events = []
+        seq = 0
+        for key in range(n_keys):
+            alive = False
+            for _ in range(rng.randint(1, 5)):
+                seq += 1
+                if not alive:
+                    events.append((seq, "INSERT", key, f"v{seq}"))
+                    alive = True
+                elif rng.random() < 0.3:
+                    events.append((seq, "DELETE", key, None))
+                    alive = False
+                else:
+                    events.append((seq, "UPDATE", key, f"v{seq}"))
+        rows = [
+            (s, t,
+             {"k": k, "val": None if t == "INSERT" else f"old{s}"},
+             None if t == "DELETE" else {"k": k, "val": v})
+            for s, t, k, v in events
+        ]
+        schema = ("id long, type string, "
+                  "before struct<k:long,val:string>, "
+                  "after struct<k:long,val:string>")
+        all_changes = spark.createDataFrame(rows, schema)
+
+        # arbitrary arrival order + random batch boundaries
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        cuts = sorted(rng.sample(range(1, len(shuffled)), 
+                                 min(2, len(shuffled) - 1)))
+        pieces, lo = [], 0
+        for c in [*cuts, len(shuffled)]:
+            pieces.append(spark.createDataFrame(shuffled[lo:c], schema))
+            lo = c
+
+        snapshot_meta = None
+        for piece in pieces:
+            snapshot_meta = merge_versioned(snapshot_meta, piece, ["k"])
+        got = snapshot_view(snapshot_meta).orderBy("k")
+        expected = apply_changes(all_changes, ["k"]).orderBy("k")
+        diff = (got.exceptAll(expected).count()
+                + expected.exceptAll(got).count())
+        assert diff == 0, f"trial {trial}: split result diverges from replay"

@@ -71,9 +71,8 @@ class SnapshotStore:
         version = (self.latest_version() or 0) + 1
         path = os.path.join(self.root, f"v{version:06d}")
         snapshot.write.mode("overwrite").parquet(path)
-        n = self.spark.read.parquet(path).count()
         self._append_log({"version": version, "through_seq": through_seq,
-                          "rows": n, "path": path})
+                          "path": path})
         return version
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -118,18 +117,25 @@ class SnapshotStore:
                 if e["version"] in dropped:
                     e = {**e, "vacuumed": True}
                 entries.append(e)
-            with open(self._log_path, "w") as fh:
+            # atomic log rewrite: a crash mid-rewrite must never leave a
+            # truncated commit log (the log is the only path to versions)
+            tmp = self._log_path + ".tmp"
+            with open(tmp, "w") as fh:
                 for e in entries:
                     fh.write(json.dumps(e) + "\n")
+            os.replace(tmp, self._log_path)
         return dropped
 
 
 def apply_change_batches(spark: SparkSession, store: SnapshotStore,
                          batches: list[DataFrame], pk_cols: list[str],
                          seq_col: str = "id") -> list[int]:
-    """Apply a sequence of change batches (id/type/before/after frames)
-    through merge_upsert, committing one store version per batch — the
-    foreachBatch body of the streaming materializer, testable in batch."""
+    """Apply an ORDERED sequence of change batches (id/type/before/after
+    frames) through merge_upsert, committing one store version per batch.
+    Assumes batch k's sequences all precede batch k+1's (a sequence-aligned
+    source, like the single-reader binlog); for arbitrary batch cuts use
+    the streaming materializer (streaming/pipeline.start_merge_to_store),
+    which stores the tombstoned form instead."""
     from pyspark.sql import functions as F
 
     from ru_cdc_spark.operators.merge import merge_upsert
@@ -138,6 +144,8 @@ def apply_change_batches(spark: SparkSession, store: SnapshotStore,
     snapshot: DataFrame | None = None
     for batch in batches:
         through = batch.agg(F.max(seq_col)).collect()[0][0]
+        if through is None:  # empty batch: nothing to apply or commit
+            continue
         if snapshot is None:
             from ru_cdc_spark.operators.merge import apply_changes
 

@@ -976,41 +976,48 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     its deeply-late rows drop; append mode then emits only finalized
     windows. The oracle reproduces both rules exactly.
     """
-    import hashlib
+    import shutil
+    import tempfile
     import time as _time
 
     from pyspark.sql import types as T
 
-    # stable per-sf_dir path (hash() is salted per interpreter)
-    work = "/tmp/wm_late_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.col("ts").cast("timestamp").alias("ts"))
-    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    batches = [
-        ev.where(F.col("event_id") % 2 == 0),
-        ev.where((F.col("event_id") % 2 == 1) & (F.col("ts") >= cut)),
-        ev.where((F.col("event_id") % 2 == 1) & (F.col("ts") < cut)),
-    ]
-    for k, b in enumerate(batches):
-        b.coalesce(1).write.mode("overwrite").parquet(f"{work}/b{k}")
-        _time.sleep(1.2)  # distinct mtimes: file source triggers oldest-first
+    # private scratch dir per invocation: a shared path would let two
+    # concurrent runs rewrite each other's batch files mid-listing and
+    # scramble the pinned batch order the oracle depends on
+    work = tempfile.mkdtemp(prefix="wm_late_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"))
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        batches = [
+            ev.where(F.col("event_id") % 2 == 0),
+            ev.where((F.col("event_id") % 2 == 1) & (F.col("ts") >= cut)),
+            ev.where((F.col("event_id") % 2 == 1) & (F.col("ts") < cut)),
+        ]
+        for k, b in enumerate(batches):
+            b.coalesce(1).write.mode("overwrite").parquet(f"{work}/b{k}")
+            _time.sleep(1.2)  # distinct mtimes: file source goes oldest-first
 
-    schema = T.StructType([
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
-    ])
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 1)
-              .option("pathGlobFilter", "*.parquet")
-              .option("recursiveFileLookup", "true").parquet(work))
-    agg = (stream.withWatermark("ts", _WM_DELAY)
-           .groupBy(F.window("ts", "1 hour"))
-           .agg(F.count("*").alias("n_events")))
-    q = (agg.writeStream.format("memory").queryName("__wm_late")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table("__wm_late").select(
-        F.col("window.start").alias("window_start"), "n_events")
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("pathGlobFilter", "*.parquet")
+                  .option("recursiveFileLookup", "true").parquet(work))
+        agg = (stream.withWatermark("ts", _WM_DELAY)
+               .groupBy(F.window("ts", "1 hour"))
+               .agg(F.count("*").alias("n_events")))
+        q = (agg.writeStream.format("memory").queryName("__wm_late")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        # results live in the memory sink; the scratch files can go now
+        return spark.table("__wm_late").select(
+            F.col("window.start").alias("window_start"), "n_events")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 _TIME_TRAVEL_CUTOFF = 30000  # sequence horizon: the state "AS OF" seq 30000

@@ -295,19 +295,21 @@ def decode_cdc_frames(frames: DataFrame) -> DataFrame:
     )
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = {"seq": [], "type": [], "i": [], "t_long": [], "t_dec": [],
-                "t_varchar": [], "t_datetime": []}
-
-        def emit(seq, typ, row):
-            cols["seq"].append(seq)
-            cols["type"].append(typ)
-            cols["i"].append(row[0])
-            cols["t_long"].append(row[4])
-            cols["t_dec"].append(None if row[7] is None else str(row[7]))
-            cols["t_varchar"].append(row[13])
-            cols["t_datetime"].append(row[10])
-
+        # yield per Arrow batch (NOT once per partition): memory stays
+        # O(batch), the property the mapInPandas scale story rests on
         for pdf in batches:
+            cols = {"seq": [], "type": [], "i": [], "t_long": [], "t_dec": [],
+                    "t_varchar": [], "t_datetime": []}
+
+            def emit(seq, typ, row):
+                cols["seq"].append(seq)
+                cols["type"].append(typ)
+                cols["i"].append(row[0])
+                cols["t_long"].append(row[4])
+                cols["t_dec"].append(None if row[7] is None else str(row[7]))
+                cols["t_varchar"].append(row[13])
+                cols["t_datetime"].append(row[10])
+
             for blob in pdf["frame"]:
                 b = bytes(blob)
                 off = 0
@@ -326,10 +328,10 @@ def decode_cdc_frames(frames: DataFrame) -> DataFrame:
                             emit(r[0] * 3 + 2, "DELETE", r)
                         else:
                             emit(r[0] * 3, "INSERT", r)
-        out = pd.DataFrame(cols)
-        if len(out):
-            out["t_datetime"] = pd.to_datetime(out["t_datetime"])
-        yield out
+            out = pd.DataFrame(cols)
+            if len(out):
+                out["t_datetime"] = pd.to_datetime(out["t_datetime"])
+            yield out
 
     return frames.mapInPandas(dec, CDC_DECODED_SCHEMA)
 
@@ -424,8 +426,9 @@ def decode_multitable_stats(frames: DataFrame) -> DataFrame:
     binlog-side and DESC-side registries (SURVEY §1.1)."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = {"table": [], "i": [], "payload_text": []}
+        # per-batch yield: memory stays O(Arrow batch), not O(partition)
         for pdf in batches:
+            out = {"table": [], "i": [], "payload_text": []}
             for blob in pdf["frame"]:
                 schema, table, _etype, rows = decode_frame(bytes(blob))
                 names = WIRE_CATALOG[table]
@@ -436,7 +439,7 @@ def decode_multitable_stats(frames: DataFrame) -> DataFrame:
                     out["payload_text"].append(
                         named["t_varchar"] if table == "wiretypes"
                         else named["m_name"])
-        yield pd.DataFrame(out)
+            yield pd.DataFrame(out)
 
     decoded = frames.mapInPandas(
         dec, "table string, i long, payload_text string")

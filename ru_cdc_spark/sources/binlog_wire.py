@@ -411,8 +411,15 @@ def _type_meta_bytes(spec: ColSpec) -> bytes:
         return bytes([8])
     if t == T_NEWDECIMAL:
         return bytes([spec.meta[0], spec.meta[1]])
-    if t in (T_VARCHAR, T_STRING):
+    if t == T_VARCHAR:
         return spec.meta[0].to_bytes(2, "little")
+    if t == T_STRING:
+        # real TABLE_MAP packing for CHAR: byte0 = real type with the
+        # length's high bits folded into (inverted) bits 4-5, byte1 = low
+        # length byte (MySQL's if ((m0 & 0x30) != 0x30) length extension)
+        length = spec.meta[0]
+        m0 = T_STRING ^ ((length >> 4) & 0x30)
+        return bytes([m0, length & 0xFF])
     if t == T_BLOB:
         return bytes([spec.meta[0]])
     if t in (T_TIME2, T_DATETIME2, T_TIMESTAMP2):
@@ -438,7 +445,8 @@ def encode_table_map(table_id: int, schema: str, table: str,
 
 
 def decode_table_map(b: bytes) -> tuple[int, str, str, list[ColSpec]]:
-    assert b[4] == TABLE_MAP_EVENT, "not a TABLE_MAP event"
+    if b[4] != TABLE_MAP_EVENT:
+        raise ValueError(f"not a TABLE_MAP event (type {b[4]})")
     off = 19
     table_id = int.from_bytes(b[off:off + 6], "little")
     off += 8  # table_id + flags
@@ -466,8 +474,18 @@ def decode_table_map(b: bytes) -> tuple[int, str, str, list[ColSpec]]:
         elif t == T_NEWDECIMAL:
             specs.append(ColSpec(t, (meta[mp], meta[mp + 1])))
             mp += 2
-        elif t in (T_VARCHAR, T_STRING):
+        elif t == T_VARCHAR:
             specs.append(ColSpec(t, (int.from_bytes(meta[mp:mp + 2], "little"),)))
+            mp += 2
+        elif t == T_STRING:
+            # inverse of the CHAR packing above: high length bits live
+            # (inverted) in bits 4-5 of byte 0
+            m0, m1 = meta[mp], meta[mp + 1]
+            if (m0 & 0x30) != 0x30:
+                length = m1 | (((m0 & 0x30) ^ 0x30) << 4)
+            else:
+                length = m1
+            specs.append(ColSpec(t, (length,)))
             mp += 2
         elif t == T_BLOB:
             specs.append(ColSpec(t, (meta[mp],)))
@@ -536,17 +554,25 @@ def encode_rows_event(event_type: int, table_id: int, specs: list[ColSpec],
     return _header(event_type, len(p), log_pos=log_pos) + bytes(p)
 
 
-def decode_rows_event(b: bytes, specs: list[ColSpec]) -> tuple[int, list]:
+def decode_rows_event(b: bytes, specs: list[ColSpec],
+                      checksum_bytes: int = 0) -> tuple[int, list]:
     """Returns (event_type, rows) — rows are images, or (before, after)
-    pairs for UPDATE. Loops rows to end-of-payload (D7)."""
+    pairs for UPDATE. Loops rows to end-of-payload minus the trailing
+    checksum (D7's loop-until-checksum): pass ``checksum_bytes=4`` for
+    streams written with binlog_checksum=CRC32 (the MySQL default since
+    5.6); this module's own encoder writes checksum-free events.
+    """
     event_type = b[4]
-    size = int.from_bytes(b[9:13], "little")
+    size = int.from_bytes(b[9:13], "little") - checksum_bytes
     off = 19
     off += 8  # table_id + flags
     extra = int.from_bytes(b[off:off + 2], "little")
     off += extra
     ncols, off = read_lenenc(b, off)
-    assert ncols == len(specs)
+    if ncols != len(specs):
+        raise ValueError(
+            f"rows event carries {ncols} columns, specs have {len(specs)} "
+            "(catalog drift? re-resolve the TABLE_MAP)")
     nb = (ncols + 7) // 8
     off += nb  # present bitmap (all set here)
     if event_type == UPDATE_ROWS_V2:
@@ -574,12 +600,12 @@ def encode_frame(table_id: int, schema: str, table: str, specs: list[ColSpec],
     return tm + re_
 
 
-def decode_frame(b: bytes) -> tuple[str, str, int, list]:
+def decode_frame(b: bytes, checksum_bytes: int = 0) -> tuple[str, str, int, list]:
     """One (TABLE_MAP, ROWS) pair -> (schema, table, event_type, rows).
 
     The TABLE_MAP's own metadata drives the value decode — schema-on-read
     exactly like the reference's two-layer registry (D4/D5 then D10)."""
     tm_size = int.from_bytes(b[9:13], "little")
     _, schema, table, specs = decode_table_map(b[:tm_size])
-    event_type, rows = decode_rows_event(b[tm_size:], specs)
+    event_type, rows = decode_rows_event(b[tm_size:], specs, checksum_bytes)
     return schema, table, event_type, rows

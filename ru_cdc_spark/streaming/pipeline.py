@@ -107,9 +107,11 @@ class CdcPipeline:
 
         Returns (good, dead) frames. Both lanes preserve every input
         column (source offsets/keys ride along for replay); ``good`` adds
-        the parsed routing fields, ``dead`` adds an error tag.
+        the parsed routing fields, ``dead`` adds an error tag. Input
+        columns already named database/table are excluded from the
+        passthrough (the parsed routing fields own those names).
         """
-        passthrough = [c for c in raw.columns]
+        passthrough = [c for c in raw.columns if c not in ("database", "table")]
         with_meta = raw.withColumn("__meta", F.from_json("payload", ROUTING_SCHEMA))
         ok = F.col("__meta").isNotNull() & F.col("__meta.database").isNotNull() \
             & F.col("__meta.table").isNotNull()
@@ -241,6 +243,13 @@ def start_merge_to_store(pipeline: CdcPipeline, store,
     arrive a batch before its INSERT — ordered-merge (SCD1 upsert) would
     resurrect the row; tombstones make the result order-independent.
     Read the live rows through ``merge.snapshot_view``.
+
+    The committed sequence watermark is the MONOTONE running max of batch
+    sequences (a later batch can carry earlier ids when arrival order
+    disagrees with sequence order, and a commit watermark must never move
+    backwards). ``read_as_of_seq`` is sequence-precise only for
+    sequence-aligned sources (the single-reader binlog in production);
+    for shuffled arrivals it resolves to arrival-time versions.
     """
     from pyspark.sql import functions as F
 
@@ -260,9 +269,14 @@ def start_merge_to_store(pipeline: CdcPipeline, store,
                 for f in value_schema.fields
             ]).alias("after"),
         ).withColumn("before", F.col("after"))
-        through = typed.agg(F.max("id")).collect()[0][0]
+        batch_max = typed.agg(F.max("id")).collect()[0][0]
+        if batch_max is None:
+            return
+        log = store._log()
+        prev_through = log[-1]["through_seq"] if log else 0
+        through = max(int(batch_max), prev_through + 1)  # monotone watermark
         prev = None if store.latest_version() is None else store.read()
-        store.commit(merge_versioned(prev, typed, pk_cols), int(through))
+        store.commit(merge_versioned(prev, typed, pk_cols), through)
 
     return (
         envelopes.writeStream.foreachBatch(apply_batch)

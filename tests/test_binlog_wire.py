@@ -115,3 +115,35 @@ def test_string_prefix_width_rule():
     assert w.encode_value(s, long_spec)[:2] == (280).to_bytes(2, "little")
     assert w.encode_value("ab", short_spec)[0] == 2
     assert w.decode_value(w.encode_value(s, long_spec), 0, long_spec)[0] == s
+
+
+def test_rows_event_with_crc32_trailer():
+    # streams written with binlog_checksum=CRC32 carry 4 trailing bytes;
+    # checksum_bytes=4 must stop the row loop before them
+    rows = [_row_values(i) for i in range(3)]
+    ev = w.encode_rows_event(w.WRITE_ROWS_V2, 42, SPECS, rows)
+    # append a fake CRC and patch event_size to include it (file format)
+    size = int.from_bytes(ev[9:13], "little") + 4
+    ev = ev[:9] + size.to_bytes(4, "little") + ev[13:] + b"\xde\xad\xbe\xef"
+    et, out = w.decode_rows_event(ev, SPECS, checksum_bytes=4)
+    assert et == w.WRITE_ROWS_V2 and len(out) == 3
+    with pytest.raises(Exception):
+        # without the allowance the CRC decodes as a bogus row image
+        w.decode_rows_event(ev, SPECS, checksum_bytes=0)
+
+
+def test_char_metadata_packing_roundtrip():
+    # real TABLE_MAP packs CHAR length high bits into byte 0; lengths on
+    # both sides of 255 must survive encode->decode
+    for length in (1, 36, 255, 300, 1023):
+        specs = [w.ColSpec(w.T_STRING, (length,))]
+        b = w.encode_table_map(7, "db", "t", specs)
+        _, _, _, got = w.decode_table_map(b)
+        assert got[0].meta[0] == length, length
+
+
+def test_mismatched_specs_raise():
+    rows = [_row_values(0)]
+    ev = w.encode_rows_event(w.WRITE_ROWS_V2, 42, SPECS, rows)
+    with pytest.raises(ValueError, match="catalog drift"):
+        w.decode_rows_event(ev, SPECS[:-1])

@@ -18,8 +18,12 @@ gets effective exactly-once from the two-phase shape Spark drives:
    at-least-once gap).
 3. ``abort`` discards that batch's staging files.
 
-Consumers pop by reading topic directories in (batchId, file) order —
-list semantics per topic, like RPUSH/LPOP.
+Consumers resolve messages ONLY through the manifests, in batch order —
+list semantics per topic, like RPUSH/LPOP. A crash between publishing
+files and writing the manifest leaves unmanifested (invisible) files, so
+the replayed batch can publish again without consumers ever seeing
+duplicates — the same readers-resolve-via-log rule as the versioned
+snapshot store.
 
 Scale: staging is executor-local parallel writes (no driver data path);
 commit moves file handles, not bytes. Topic fan-out uses the row's
@@ -114,14 +118,26 @@ def register_queue_sink(spark) -> None:
 
 
 def read_queue(path: str, topic: str) -> list[str]:
-    """Consumer view: the topic's messages in enqueue order."""
-    tdir = os.path.join(path, topic)
-    if not os.path.isdir(tdir):
+    """Consumer view: the topic's messages in enqueue (batch) order,
+    resolved through the committed manifests — files a crashed commit
+    published without manifesting are invisible (no duplicates on
+    replay)."""
+    if not os.path.isdir(path):
         return []
+    manifests = sorted(
+        (name for name in os.listdir(path)
+         if name.startswith("manifest-") and name.endswith(".json")),
+        key=lambda n: int(n[len("manifest-"):-len(".json")]),
+    )
     out: list[str] = []
-    for name in sorted(os.listdir(tdir)):
-        with open(os.path.join(tdir, name)) as fh:
-            content = fh.read()
+    for name in manifests:
+        with open(os.path.join(path, name)) as fh:
+            entry = json.load(fh)
+        for pub in entry["published"]:
+            if pub["topic"] != topic:
+                continue
+            with open(pub["file"]) as fh:
+                content = fh.read()
             if content:
                 out.extend(content.split("\n"))
     return out

@@ -139,3 +139,30 @@ def test_queue_sink_topic_fanout_and_replay_dedup(spark, tmp_path):
     assert len(orders) == 150 and len(cust) == 150  # 300 events, even/odd split
     ids = sorted(__import__("json").loads(p)["id"] for p in orders + cust)
     assert ids == list(range(300))  # exactly once, no replay duplication
+
+
+def test_unmanifested_files_invisible_to_consumers(tmp_path):
+    """A crash between publishing topic files and writing the manifest must
+    leave those files invisible — replay can then re-publish without
+    consumers ever seeing duplicates."""
+    import json
+    import os
+
+    from ru_cdc_spark.sources.queue_sink import read_queue
+
+    root = str(tmp_path / "q")
+    tdir = os.path.join(root, "topicA")
+    os.makedirs(tdir)
+    # a manifested batch
+    with open(os.path.join(tdir, "000000000001-a.jsonl"), "w") as fh:
+        fh.write("m1\nm2")
+    with open(os.path.join(root, "manifest-1.json"), "w") as fh:
+        json.dump({"batch": 1, "published": [
+            {"topic": "topicA",
+             "file": os.path.join(tdir, "000000000001-a.jsonl"),
+             "rows": 2}]}, fh)
+    # an orphan from a crashed commit: file moved, manifest never written
+    with open(os.path.join(tdir, "000000000002-crash.jsonl"), "w") as fh:
+        fh.write("dup1\ndup2")
+
+    assert read_queue(root, "topicA") == ["m1", "m2"]

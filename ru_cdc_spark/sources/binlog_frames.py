@@ -150,19 +150,23 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_frames(frames: DataFrame) -> DataFrame:
+def decode_frames(frames: DataFrame, checksum_bytes: int = 0) -> DataFrame:
     """binary frames -> typed rows via the wire decoder (mapInPandas).
 
     Positional values are zipped with catalog names (COLUMNS) — the
-    reference's T1 positional->named projection (executor.rs:238-322)."""
+    reference's T1 positional->named projection (executor.rs:238-322).
+    Pass ``checksum_bytes=4`` for streams written with
+    binlog_checksum=CRC32."""
     names = [n for n, _ in COLUMNS]
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {n: [] for n in names}
             for raw in pdf["frame"]:
-                schema, table, etype, rows = decode_frame(bytes(raw))
-                assert (schema, table) == ("testdb", "wiretypes")
+                schema, table, etype, rows = decode_frame(
+                    bytes(raw), checksum_bytes)
+                if (schema, table) != ("testdb", "wiretypes"):
+                    raise ValueError(f"unexpected table {schema}.{table}")
                 for row in rows:
                     for n, v in zip(names, row):
                         out[n].append(v)

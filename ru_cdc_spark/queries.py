@@ -1134,6 +1134,60 @@ def binlog_wire_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("frame"))
 
 
+def binlog_wire_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production CDC shape END TO END: the custom streaming
+    DataSource delivers raw binlog frame BYTES with checkpointable log
+    positions (sources/binlog_source.BinlogWireDataSource), drained with
+    availableNow in bounded micro-batches; the collected frames then run
+    through the distributed wire decode and the latest-wins merge. A real
+    MySQL socket client replaces only the source's read() — offsets,
+    resume, decode, and merge are exactly this code.
+    """
+    import shutil
+    import tempfile
+
+    from ru_cdc_spark.sources.binlog_frames import (
+        BINLOG_CDC_N_ROWS,
+        ROWS_PER_EVENT,
+        decode_cdc_frames,
+    )
+    from ru_cdc_spark.sources.binlog_source import register_binlog_wire_source
+
+    register_binlog_wire_source(spark)
+    n_frames = (BINLOG_CDC_N_ROWS + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+    work = tempfile.mkdtemp(prefix="wire_stream_")
+    try:
+        # Python stream sources run one bounded micro-batch per start;
+        # draining = repeated restarts resuming from the checkpointed
+        # offset (the reference's reconnect-and-resume loop, C1-C3) —
+        # same drive as tests/test_streaming.py's exactly-once test
+        for _ in range(n_frames // 100 + 2):
+            stream = (spark.readStream.format("binlog_wire_feed")
+                      .option("total_events", n_frames)  # offsets = frames
+                      .option("total_rows", BINLOG_CDC_N_ROWS)
+                      .option("events_per_batch", 100)
+                      .option("position_file", f"{work}/meta.json")
+                      .option("n_partitions", 8).load())
+            q = (stream.writeStream.format("parquet")
+                 .option("path", f"{work}/frames")
+                 .option("checkpointLocation", f"{work}/ck")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        frames = spark.read.parquet(f"{work}/frames").select("frame")
+        changes = decode_cdc_frames(frames).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    row = F.struct(*[F.col(c) for c in changes.columns])
+    return (
+        changes.groupBy("i")
+        .agg(F.max_by(row, F.col("seq")).alias("__r"))
+        .select("__r.*")
+        .where(F.col("type") != "DELETE")
+        .select("i", "t_long", "t_dec", "t_varchar", "t_datetime")
+    )
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
@@ -1146,6 +1200,8 @@ def _register_binlog_wire() -> None:
              BINLOG_CDC_SNAPSHOT_ORACLE)(binlog_wire_cdc_snapshot)
     register("binlog_wire_multitable",
              BINLOG_MULTITABLE_ORACLE)(binlog_wire_multitable)
+    register("binlog_wire_stream_snapshot",
+             BINLOG_CDC_SNAPSHOT_ORACLE)(binlog_wire_stream_snapshot)
 
 
 _register_binlog_wire()

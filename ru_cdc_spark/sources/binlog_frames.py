@@ -241,35 +241,46 @@ def _update_after(i: int) -> tuple:
     return tuple(row)
 
 
+def cdc_frame_bytes(fid: int, n_rows: int) -> bytes | None:
+    """The deterministic wire bytes of CDC frame ``fid`` (None past the
+    end): one WRITE_ROWS event for the frame's rows plus UPDATE/DELETE
+    events for the rows the fixture discipline mutates. Shared by the
+    mapInPandas generator and the streaming wire DataSource — 'what the
+    socket would deliver' is defined once."""
+    from ru_cdc_spark.sources.binlog_wire import DELETE_ROWS_V2, UPDATE_ROWS_V2
+
+    lo = fid * ROWS_PER_EVENT
+    rng = [i for i in range(lo, min(lo + ROWS_PER_EVENT, n_rows))]
+    if not rng:
+        return None
+    inserts = [_row_values(i) for i in rng]
+    updates = [(_row_values(i), _update_after(i)) for i in rng if i % 10 < 3]
+    deletes = [_row_values(i) for i in rng if i % 10 == 3]
+    blob = encode_frame(42, "testdb", "wiretypes", SPECS,
+                        WRITE_ROWS_V2, inserts, log_pos=lo)
+    if updates:
+        blob += encode_frame(42, "testdb", "wiretypes", SPECS,
+                             UPDATE_ROWS_V2, updates, log_pos=lo)
+    if deletes:
+        blob += encode_frame(42, "testdb", "wiretypes", SPECS,
+                             DELETE_ROWS_V2, deletes, log_pos=lo)
+    return blob
+
+
 def generate_cdc_frames(spark: SparkSession, n_rows: int,
                         n_partitions: int = 8) -> DataFrame:
     """Mixed change traffic as real binlog frames, mirroring the
     cdc_fixture derivation: every i INSERTs; i%10<3 UPDATEs (before/after
     pairs in one UPDATE_ROWS_v2 event); i%10==3 DELETEs (before images)."""
-    from ru_cdc_spark.sources.binlog_wire import DELETE_ROWS_V2, UPDATE_ROWS_V2
-
     n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frames = [], []
             for fid in pdf["id"]:
-                lo = int(fid) * ROWS_PER_EVENT
-                rng = [i for i in range(lo, min(lo + ROWS_PER_EVENT, n_rows))]
-                if not rng:
+                blob = cdc_frame_bytes(int(fid), n_rows)
+                if blob is None:
                     continue
-                inserts = [_row_values(i) for i in rng]
-                updates = [(_row_values(i), _update_after(i))
-                           for i in rng if i % 10 < 3]
-                deletes = [_row_values(i) for i in rng if i % 10 == 3]
-                blob = encode_frame(42, "testdb", "wiretypes", SPECS,
-                                    WRITE_ROWS_V2, inserts, log_pos=lo)
-                if updates:
-                    blob += encode_frame(42, "testdb", "wiretypes", SPECS,
-                                         UPDATE_ROWS_V2, updates, log_pos=lo)
-                if deletes:
-                    blob += encode_frame(42, "testdb", "wiretypes", SPECS,
-                                         DELETE_ROWS_V2, deletes, log_pos=lo)
                 ids.append(int(fid))
                 frames.append(blob)
             yield pd.DataFrame({"frame_id": ids, "frame": frames})

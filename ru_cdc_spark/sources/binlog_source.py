@@ -135,3 +135,47 @@ class BinlogFeedDataSource(DataSource):
 
 def register_binlog_source(spark) -> None:
     spark.dataSource.register(BinlogFeedDataSource)
+
+
+# ---------------------------------------------------------------------------
+# wire-bytes variant: the source delivers RAW binlog frames
+# ---------------------------------------------------------------------------
+
+WIRE_SCHEMA_DDL = "pos long, frame binary"
+
+
+class BinlogWireStreamReader(BinlogFeedStreamReader):
+    """Same offset/partitioning/resume machinery as the JSON feed, but the
+    payload is the raw binlog FRAME BYTES (TABLE_MAP + ROWS events) — the
+    exact production shape: a socket client's bytes land here, and
+    everything downstream (decode_cdc_frames -> merge) is unchanged.
+    Offsets count FRAMES (log positions), as the reference checkpoints
+    binlog positions, not row counts."""
+
+    def __init__(self, options: dict) -> None:
+        super().__init__(options)
+        self.rows_total = int(options.get("total_rows", 1000))
+
+    def read(self, partition: RangePartition) -> Iterator[tuple]:
+        from ru_cdc_spark.sources.binlog_frames import cdc_frame_bytes
+
+        for fid in range(partition.lo, partition.hi):
+            blob = cdc_frame_bytes(fid, self.rows_total)
+            if blob is not None:
+                yield (fid, blob)
+
+
+class BinlogWireDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "binlog_wire_feed"
+
+    def schema(self) -> str:
+        return WIRE_SCHEMA_DDL
+
+    def streamReader(self, schema: StructType) -> BinlogWireStreamReader:  # noqa: N802
+        return BinlogWireStreamReader(dict(self.options))
+
+
+def register_binlog_wire_source(spark) -> None:
+    spark.dataSource.register(BinlogWireDataSource)

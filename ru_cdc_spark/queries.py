@@ -1188,9 +1188,28 @@ def binlog_wire_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def binlog_wire_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON THE WIRE (the reference's D11 gap — DDL events
+    decoded but never handled): the table's TABLE_MAP column set WIDENS
+    mid-stream (ALTER TABLE ADD COLUMN in binlog terms); every frame stays
+    self-describing, and the decode projects all rows into the widened
+    schema with pre-evolution rows surfacing NULL for the added column —
+    the catalog's widening rule (catalog.evolve) applied at the byte layer.
+    """
+    from ru_cdc_spark.sources.binlog_frames import (
+        EVOLUTION_N_ROWS,
+        decode_evolving,
+        generate_evolving_frames,
+    )
+
+    return decode_evolving(
+        generate_evolving_frames(spark, EVOLUTION_N_ROWS).select("frame"))
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
+        BINLOG_EVOLUTION_ORACLE,
         BINLOG_MULTITABLE_ORACLE,
         BINLOG_WIRE_ORACLE,
     )
@@ -1202,6 +1221,8 @@ def _register_binlog_wire() -> None:
              BINLOG_MULTITABLE_ORACLE)(binlog_wire_multitable)
     register("binlog_wire_stream_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(binlog_wire_stream_snapshot)
+    register("binlog_wire_schema_evolution",
+             BINLOG_EVOLUTION_ORACLE)(binlog_wire_schema_evolution)
 
 
 _register_binlog_wire()

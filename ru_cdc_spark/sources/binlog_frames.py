@@ -483,3 +483,96 @@ SELECT "table", COUNT(*) AS n_rows,
        COUNT(has_text) AS n_text
 FROM assigned GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# schema evolution on the wire (the reference's D11 dead-code gap)
+# ---------------------------------------------------------------------------
+
+MINI_V2_COLUMNS = [*MINI_COLUMNS, ("m_year", ColSpec(T_YEAR))]
+MINI_V2_SPECS = [s for _, s in MINI_V2_COLUMNS]
+
+EVOLUTION_SPLIT_FRAME = 200  # frames >= this carry the widened schema
+
+
+def _mini_v2_row(i: int) -> tuple:
+    return (*_mini_row(i), 1900 + i % 155)
+
+
+def generate_evolving_frames(spark: SparkSession, n_rows: int,
+                             n_partitions: int = 8) -> DataFrame:
+    """One table whose TABLE_MAP column set WIDENS mid-stream (an ALTER
+    TABLE ADD COLUMN in binlog terms — the DDL path the reference decodes
+    but never handles, D11). Early frames carry 3 columns, later frames 4;
+    every frame's own TABLE_MAP remains self-describing."""
+    n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames = [], []
+            for fid in pdf["id"]:
+                lo = int(fid) * ROWS_PER_EVENT
+                rng = range(lo, min(lo + ROWS_PER_EVENT, n_rows))
+                if not rng:
+                    continue
+                if int(fid) < EVOLUTION_SPLIT_FRAME:
+                    blob = encode_frame(43, "testdb", "minitable", MINI_SPECS,
+                                        WRITE_ROWS_V2,
+                                        [_mini_row(i) for i in rng],
+                                        log_pos=lo)
+                else:
+                    blob = encode_frame(43, "testdb", "minitable",
+                                        MINI_V2_SPECS, WRITE_ROWS_V2,
+                                        [_mini_v2_row(i) for i in rng],
+                                        log_pos=lo)
+                ids.append(int(fid))
+                frames.append(blob)
+            yield pd.DataFrame({"frame_id": ids, "frame": frames})
+
+    return (spark.range(n_frames).repartition(n_partitions)
+            .mapInPandas(gen, "frame_id long, frame binary"))
+
+
+def decode_evolving(frames: DataFrame) -> DataFrame:
+    """Decode the widening stream into the WIDENED schema: pre-evolution
+    rows surface NULL for the added column — the catalog's widening rule
+    (catalog.TableCatalog.evolve) applied at the byte layer. Column names
+    resolve positionally against the version whose arity the frame's
+    TABLE_MAP declares."""
+    names_by_arity = {
+        len(MINI_COLUMNS): [n for n, _ in MINI_COLUMNS],
+        len(MINI_V2_COLUMNS): [n for n, _ in MINI_V2_COLUMNS],
+    }
+    wide = [n for n, _ in MINI_V2_COLUMNS]
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {n: [] for n in wide}
+            for blob in pdf["frame"]:
+                _schema, _table, _etype, rows = decode_frame(bytes(blob))
+                for r in rows:
+                    named = dict(zip(names_by_arity[len(r)], r))
+                    for n in wide:
+                        v = named.get(n)
+                        if n == "m_dec" and v is not None:
+                            v = str(v)
+                        out[n].append(v)
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(
+        dec, "i long, m_dec string, m_name string, m_year long")
+
+
+EVOLUTION_N_ROWS = 2000
+
+BINLOG_EVOLUTION_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({EVOLUTION_N_ROWS})) AS i)
+SELECT i,
+       CAST(((i * 37) % 9999999 + 1) // 100 AS VARCHAR) || '.'
+           || lpad(CAST(((i * 37) % 9999999 + 1) % 100 AS VARCHAR), 2, '0')
+           AS m_dec,
+       'm_' || CAST(i % 500 AS VARCHAR) AS m_name,
+       CASE WHEN i // {ROWS_PER_EVENT} >= {EVOLUTION_SPLIT_FRAME}
+            THEN 1900 + i % 155 END AS m_year
+FROM ids
+"""

@@ -1155,27 +1155,35 @@ def binlog_wire_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_binlog_wire_source(spark)
     n_frames = (BINLOG_CDC_N_ROWS + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+    frames_per_batch = 100
     work = tempfile.mkdtemp(prefix="wire_stream_")
     try:
         # Python stream sources run one bounded micro-batch per start;
         # draining = repeated restarts resuming from the checkpointed
         # offset (the reference's reconnect-and-resume loop, C1-C3) —
         # same drive as tests/test_streaming.py's exactly-once test
-        for _ in range(n_frames // 100 + 2):
+        for _ in range(n_frames // frames_per_batch + 2):
             stream = (spark.readStream.format("binlog_wire_feed")
                       .option("total_events", n_frames)  # offsets = frames
                       .option("total_rows", BINLOG_CDC_N_ROWS)
-                      .option("events_per_batch", 100)
+                      .option("events_per_batch", frames_per_batch)
                       .option("position_file", f"{work}/meta.json")
                       .option("n_partitions", 8).load())
             q = (stream.writeStream.format("parquet")
                  .option("path", f"{work}/frames")
                  .option("checkpointLocation", f"{work}/ck")
                  .trigger(availableNow=True).start())
-            q.awaitTermination(120)
+            if not q.awaitTermination(300):
+                # never start a second query on the same checkpoint while
+                # one is active; a stopped batch replays safely next round
+                q.stop()
 
         frames = spark.read.parquet(f"{work}/frames").select("frame")
-        changes = decode_cdc_frames(frames).localCheckpoint(eager=True)
+        # materialize through the driver before the source files vanish:
+        # localCheckpoint blocks are non-reliable and would recompute from
+        # the deleted directory (the change set is micro-batch sized)
+        decoded = decode_cdc_frames(frames)
+        changes = spark.createDataFrame(decoded.collect(), decoded.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     row = F.struct(*[F.col(c) for c in changes.columns])

@@ -155,6 +155,13 @@ class BinlogWireStreamReader(BinlogFeedStreamReader):
     def __init__(self, options: dict) -> None:
         super().__init__(options)
         self.rows_total = int(options.get("total_rows", 1000))
+        if "total_events" not in options:
+            # offsets count FRAMES: derive the frame total from the row
+            # total so default-configured readers don't announce ranges
+            # past the end of the data
+            from ru_cdc_spark.sources.binlog_frames import ROWS_PER_EVENT
+
+            self.total = (self.rows_total + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
 
     def read(self, partition: RangePartition) -> Iterator[tuple]:
         from ru_cdc_spark.sources.binlog_frames import cdc_frame_bytes

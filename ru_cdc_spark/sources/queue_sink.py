@@ -117,27 +117,67 @@ def register_queue_sink(spark) -> None:
     spark.dataSource.register(QueueSinkDataSource)
 
 
-def read_queue(path: str, topic: str) -> list[str]:
-    """Consumer view: the topic's messages in enqueue (batch) order,
-    resolved through the committed manifests — files a crashed commit
-    published without manifesting are invisible (no duplicates on
-    replay)."""
+def _manifests(path: str) -> list[str]:
     if not os.path.isdir(path):
         return []
-    manifests = sorted(
+    return sorted(
         (name for name in os.listdir(path)
          if name.startswith("manifest-") and name.endswith(".json")),
         key=lambda n: int(n[len("manifest-"):-len(".json")]),
     )
+
+
+def read_queue(path: str, topic: str) -> list[str]:
+    """Consumer view: the topic's messages in enqueue (batch) order,
+    resolved through the committed manifests — files a crashed commit
+    published without manifesting are invisible (no duplicates on
+    replay). File locations resolve relative to THIS queue root (topic +
+    basename), so a moved/remounted queue directory stays readable."""
     out: list[str] = []
-    for name in manifests:
+    for name in _manifests(path):
         with open(os.path.join(path, name)) as fh:
             entry = json.load(fh)
         for pub in entry["published"]:
             if pub["topic"] != topic:
                 continue
-            with open(pub["file"]) as fh:
+            fpath = os.path.join(path, pub["topic"],
+                                 os.path.basename(pub["file"]))
+            with open(fpath) as fh:
                 content = fh.read()
             if content:
                 out.extend(content.split("\n"))
     return out
+
+
+def vacuum_unmanifested(path: str) -> list[str]:
+    """GC for crash orphans: delete topic files no manifest references and
+    leftover staging files. Orphans are invisible to consumers (manifests
+    are the read path) but would otherwise accumulate forever across
+    failure-replay cycles. Returns the deleted paths."""
+    if not os.path.isdir(path):
+        return []
+    referenced = set()
+    topics = set()
+    for name in _manifests(path):
+        with open(os.path.join(path, name)) as fh:
+            entry = json.load(fh)
+        for pub in entry["published"]:
+            topics.add(pub["topic"])
+            referenced.add((pub["topic"], os.path.basename(pub["file"])))
+    deleted: list[str] = []
+    for entry_name in os.listdir(path):
+        tdir = os.path.join(path, entry_name)
+        if entry_name == ".staging" and os.path.isdir(tdir):
+            for f in os.listdir(tdir):
+                p = os.path.join(tdir, f)
+                os.remove(p)
+                deleted.append(p)
+            continue
+        if not os.path.isdir(tdir) or entry_name not in topics:
+            continue
+        for f in os.listdir(tdir):
+            if (entry_name, f) not in referenced:
+                p = os.path.join(tdir, f)
+                os.remove(p)
+                deleted.append(p)
+    return deleted

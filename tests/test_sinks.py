@@ -166,3 +166,55 @@ def test_unmanifested_files_invisible_to_consumers(tmp_path):
         fh.write("dup1\ndup2")
 
     assert read_queue(root, "topicA") == ["m1", "m2"]
+
+
+def test_vacuum_unmanifested_removes_orphans_keeps_committed(tmp_path):
+    import json
+    import os
+
+    from ru_cdc_spark.sources.queue_sink import read_queue, vacuum_unmanifested
+
+    root = str(tmp_path / "q")
+    tdir = os.path.join(root, "topicA")
+    os.makedirs(os.path.join(root, ".staging"))
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "000000000001-a.jsonl"), "w") as fh:
+        fh.write("m1")
+    with open(os.path.join(root, "manifest-1.json"), "w") as fh:
+        json.dump({"batch": 1, "published": [
+            {"topic": "topicA",
+             "file": os.path.join(tdir, "000000000001-a.jsonl"),
+             "rows": 1}]}, fh)
+    # crash orphans: a published-but-unmanifested file and a staging leftover
+    with open(os.path.join(tdir, "000000000002-crash.jsonl"), "w") as fh:
+        fh.write("dup")
+    with open(os.path.join(root, ".staging", "topicA-zzz.jsonl"), "w") as fh:
+        fh.write("staged")
+
+    deleted = vacuum_unmanifested(root)
+    assert len(deleted) == 2
+    assert read_queue(root, "topicA") == ["m1"]
+    assert os.path.exists(os.path.join(tdir, "000000000001-a.jsonl"))
+
+
+def test_read_queue_survives_queue_relocation(tmp_path):
+    """Manifests may record the producer's original absolute paths; the
+    consumer resolves through its own queue root."""
+    import json
+    import os
+    import shutil
+
+    from ru_cdc_spark.sources.queue_sink import read_queue
+
+    old_root = str(tmp_path / "old")
+    os.makedirs(os.path.join(old_root, "t"))
+    with open(os.path.join(old_root, "t", "000000000001-x.jsonl"), "w") as fh:
+        fh.write("a\nb")
+    with open(os.path.join(old_root, "manifest-1.json"), "w") as fh:
+        json.dump({"batch": 1, "published": [
+            {"topic": "t",
+             "file": os.path.join(old_root, "t", "000000000001-x.jsonl"),
+             "rows": 2}]}, fh)
+    new_root = str(tmp_path / "moved")
+    shutil.move(old_root, new_root)
+    assert read_queue(new_root, "t") == ["a", "b"]

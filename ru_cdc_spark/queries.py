@@ -745,6 +745,27 @@ register("decontaminate_report",
          _pp.DECONTAMINATE_REPORT_SQL)(_pp.decontaminate_report)
 
 
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact⋈fact join (sources/bucketed.py): both tables are
+    bucketed+sorted on the join key at write time, so the SortMergeJoin
+    needs NO shuffle of either side — at 100 TB this is the strategy for
+    joins between two large tables. The one-time bucketed write is the
+    amortized cost; only the final low-cardinality group-by exchanges."""
+    from ru_cdc_spark.sources.bucketed import colocated_order_lineitem_join
+
+    return colocated_order_lineitem_join(spark, sf_dir)
+
+
+def _register_bucketed() -> None:
+    from ru_cdc_spark.sources.bucketed import COLOCATED_JOIN_SQL
+
+    register("bucketed_colocated_join",
+             COLOCATED_JOIN_SQL)(bucketed_colocated_join)
+
+
+_register_bucketed()
+
+
 @register(
     "catalog_broadcast_lookup",
     """

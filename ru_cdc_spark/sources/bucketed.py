@@ -43,7 +43,12 @@ def write_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str,
 
 def colocated_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders⋈lineitem on orderkey with both sides bucketed on the key:
-    the join plan contains no shuffle exchange (asserted in test_plans)."""
+    the JOIN runs with no shuffle exchange (asserted in test_plans) — at
+    100 TB this is the fact⋈fact strategy; only the final tiny group-by
+    shuffles. Quantity sums transit DECIMAL and emit as double (the
+    engine-wide oracle-exactness policy)."""
+    from pyspark.sql import functions as F
+
     orders_t = write_bucketed(spark, sf_dir, "orders", "o_orderkey")
     li_t = write_bucketed(spark, sf_dir, "lineitem", "l_orderkey")
     orders = spark.table(orders_t)
@@ -51,6 +56,15 @@ def colocated_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg({"l_quantity": "sum"})
-        .withColumnRenamed("sum(l_quantity)", "sum_qty")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").cast("double").alias("sum_qty"))
     )
+
+
+COLOCATED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS VARCHAR) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""

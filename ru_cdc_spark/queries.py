@@ -1257,6 +1257,58 @@ def _register_binlog_wire() -> None:
 _register_binlog_wire()
 
 
+def binlog_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional CDC the reference cannot do (its QueryEvent decoder
+    is dead code, binlog.rs:768-811, and row events ship un-grouped):
+    GTID/BEGIN/rows/XID wire events assembled into atomic change sets —
+    committed transactions delivered whole, ROLLBACK groups discarded,
+    the truncated tail held as in-doubt. Per-segment sequential assembly
+    is the correct scale shape: MySQL never splits a transaction across
+    binlog files, so segments decode embarrassingly parallel
+    (sources/binlog_txn.py)."""
+    from ru_cdc_spark.sources.binlog_txn import committed_changes
+
+    return committed_changes(spark)
+
+
+def binlog_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-consistent snapshot: the committed transactional stream
+    applied in (commit seq, in-txn image order) — a snapshot no torn
+    transaction can ever reach, unlike the reference's event-at-a-time
+    delivery. Same one-PK-shuffle max_by merge as cdc_merge_snapshot."""
+    from ru_cdc_spark.sources.binlog_txn import consistent_snapshot
+
+    return consistent_snapshot(spark)
+
+
+def binlog_txn_apply_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-apply certificate from the GTID logical clock: txns
+    sharing last_committed group-committed together (conflict-free by
+    construction) — the schedule MySQL MTS LOGICAL_CLOCK replicas use.
+    Emits per-group txn counts, seq ranges, image counts."""
+    from ru_cdc_spark.sources.binlog_txn import apply_group_report
+
+    return apply_group_report(spark)
+
+
+def _register_binlog_txn() -> None:
+    from ru_cdc_spark.sources.binlog_txn import (
+        BINLOG_TXN_APPLY_GROUPS_ORACLE,
+        BINLOG_TXN_CHANGES_ORACLE,
+        BINLOG_TXN_SNAPSHOT_ORACLE,
+    )
+
+    register("binlog_txn_changes",
+             BINLOG_TXN_CHANGES_ORACLE)(binlog_txn_changes)
+    register("binlog_txn_snapshot",
+             BINLOG_TXN_SNAPSHOT_ORACLE)(binlog_txn_snapshot)
+    register("binlog_txn_apply_groups",
+             BINLOG_TXN_APPLY_GROUPS_ORACLE)(binlog_txn_apply_groups)
+
+
+_register_binlog_txn()
+
+
 @register(
     "events_session_window_stream",
     """

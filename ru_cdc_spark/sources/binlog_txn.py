@@ -1,0 +1,371 @@
+"""Transactional binlog assembly: GTID/BEGIN/rows/XID -> atomic change sets.
+
+The reference has NO transaction notion: every row event ships to the sink
+independently (/root/reference/src/executor.rs:528-607 processes events
+one at a time; src/binlog.rs:768-811 decodes QueryEvent but nothing calls
+it — D11 dead code), so a consumer can observe half a transaction, and a
+crash between events of one COMMIT leaves the downstream snapshot
+torn. This module closes that gap with the real binlog grammar (public
+binlog v4 layouts, wire codecs in binlog_wire.py):
+
+    GTID_EVENT(33) -> QUERY("BEGIN") -> (TABLE_MAP + ROWS)* ->
+        XID_EVENT(16)          # commit:   deliver the group atomically
+      | QUERY("ROLLBACK")      # rollback: discard the group
+      | <stream ends>          # in-doubt: hold back, never deliver early
+
+Assembly is a per-segment sequential scan — and that is the CORRECT scale
+shape, not a compromise: a binlog segment (file) is a physically ordered
+medium, and MySQL never splits a transaction across segment files
+(rotation happens only at transaction boundaries — public replication
+contract). So segments are embarrassingly parallel: `mapInPandas` walks
+each segment's bytes once, O(largest transaction) memory, no shuffle; a
+100 TB binlog backlog is thousands of segments decoding concurrently,
+scan-bandwidth bound exactly like every other narrow operator here.
+
+The GTID event's MySQL 5.7 logical clock (last_committed /
+sequence_number) is decoded and carried through: transactions sharing a
+`last_committed` value group-committed together on the primary and are
+mutually conflict-free — the scheduling fact MySQL's own multi-threaded
+replica applier (MTS LOGICAL_CLOCK) parallelizes by, which downstream
+appliers of this stream can use the same way (`apply_group_report`).
+
+Fixture values are pure functions of (transaction id, row id) so a DuckDB
+oracle recomputes every byte-decoded value arithmetically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.sources.binlog_wire import (
+    DELETE_ROWS_V2,
+    GTID_EVENT,
+    QUERY_EVENT,
+    TABLE_MAP_EVENT,
+    UPDATE_ROWS_V2,
+    WRITE_ROWS_V2,
+    XID_EVENT,
+    ColSpec,
+    T_LONG,
+    T_LONGLONG,
+    T_NEWDECIMAL,
+    T_VARCHAR,
+    decode_gtid,
+    decode_query,
+    decode_rows_event,
+    decode_table_map,
+    decode_xid,
+    encode_frame,
+    encode_gtid,
+    encode_query,
+    encode_xid,
+)
+
+TXN_COLUMNS = [
+    ("i", ColSpec(T_LONGLONG)),
+    ("qty", ColSpec(T_LONG)),
+    ("amount", ColSpec(T_NEWDECIMAL, (10, 2))),
+    ("note", ColSpec(T_VARCHAR, (80,))),
+]
+TXN_SPECS = [s for _, s in TXN_COLUMNS]
+TXN_TABLE_ID = 77
+
+# fixed server UUID (SID) for the fixture stream
+TXN_SID = bytes(range(16))
+
+N_TXNS = 500
+TXNS_PER_SEGMENT = 50
+GROUP_COMMIT_SIZE = 5      # txns per group commit -> shared last_committed
+ROLLBACK_MOD = 7           # tid % 7 == 5 -> ROLLBACK
+TRUNCATED_TID = N_TXNS - 1  # last txn is cut mid-flight (no terminator)
+XID_BASE = 43000
+
+
+def _row_values(i: int) -> tuple:
+    return (i, (i * 31) % 1000,
+            Decimal((i * 37) % 9999999 + 1).scaleb(-2),
+            f"n_{i % 100}")
+
+
+def _update_after(i: int) -> tuple:
+    r = list(_row_values(i))
+    r[1] += 10000
+    r[3] = f"upd_{i}"
+    return tuple(r)
+
+
+def txn_event_bytes(tid: int) -> bytes:
+    """All wire bytes of transaction ``tid``: GTID + BEGIN + row frames +
+    terminator (XID / ROLLBACK / nothing for the truncated tail)."""
+    n_rows = tid % 3 + 1
+    ids = [tid * 4 + k for k in range(n_rows)]
+    blob = bytearray()
+    blob += encode_gtid(TXN_SID, tid + 1,
+                        last_committed=(tid // GROUP_COMMIT_SIZE)
+                        * GROUP_COMMIT_SIZE,
+                        sequence_number=tid + 1, log_pos=tid)
+    blob += encode_query("BEGIN", "testdb", log_pos=tid)
+    blob += encode_frame(TXN_TABLE_ID, "testdb", "txn_rows", TXN_SPECS,
+                         WRITE_ROWS_V2, [_row_values(i) for i in ids],
+                         log_pos=tid)
+    if tid % 4 == 2:
+        blob += encode_frame(TXN_TABLE_ID, "testdb", "txn_rows", TXN_SPECS,
+                             UPDATE_ROWS_V2,
+                             [(_row_values(ids[0]), _update_after(ids[0]))],
+                             log_pos=tid)
+    elif tid % 4 == 3:
+        blob += encode_frame(TXN_TABLE_ID, "testdb", "txn_rows", TXN_SPECS,
+                             DELETE_ROWS_V2, [_row_values(ids[0])],
+                             log_pos=tid)
+    if tid == TRUNCATED_TID:
+        return bytes(blob)  # stream ends mid-transaction: in-doubt
+    if tid % ROLLBACK_MOD == 5:
+        blob += encode_query("ROLLBACK", "testdb", log_pos=tid)
+    else:
+        blob += encode_xid(XID_BASE + tid, log_pos=tid)
+    return bytes(blob)
+
+
+def generate_txn_segments(spark: SparkSession, n_txns: int = N_TXNS,
+                          txns_per_segment: int = TXNS_PER_SEGMENT
+                          ) -> DataFrame:
+    """Binlog segments (one binary blob each = one binlog file's ordered
+    event bytes). Segment boundaries fall only between transactions —
+    MySQL's rotation contract — which is what licenses the parallel
+    per-segment assembly below."""
+    n_segments = (n_txns + txns_per_segment - 1) // txns_per_segment
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sids, blobs = [], []
+            for sid in pdf["id"]:
+                lo = int(sid) * txns_per_segment
+                hi = min(lo + txns_per_segment, n_txns)
+                if lo >= hi:
+                    continue
+                blob = b"".join(txn_event_bytes(t) for t in range(lo, hi))
+                sids.append(int(sid))
+                blobs.append(blob)
+            yield pd.DataFrame({"segment_id": sids, "blob": blobs})
+
+    return (spark.range(n_segments).repartition(8)
+            .mapInPandas(gen, "segment_id long, blob binary"))
+
+
+ASSEMBLED_SCHEMA = (
+    "status string, gno long, xid long, seq_no long, last_committed long, "
+    "op string, seq_in_txn long, i long, qty long, amount string, "
+    "note string"
+)
+
+_OPNAMES = {WRITE_ROWS_V2: "INSERT", UPDATE_ROWS_V2: "UPDATE",
+            DELETE_ROWS_V2: "DELETE"}
+
+
+def assemble_transactions(segments: DataFrame) -> DataFrame:
+    """Walk each segment's ordered bytes once, buffering row images per
+    open transaction; emit each image tagged with its transaction identity
+    (gno / xid / logical clock) and outcome status:
+
+    * ``committed``   — an XID event closed the group
+    * ``rolled_back`` — a ROLLBACK query closed it (images never valid)
+    * ``in_doubt``    — the segment ended mid-transaction (deliver only
+      after the position is re-read past the gap; never early)
+
+    Memory: one transaction's images (bounded by the largest transaction,
+    not the segment). The committed view downstream filters
+    status='committed' — atomicity is structural, not best-effort."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [n for n, _ in TXN_COLUMNS]
+
+        def out_frame(rows: list[dict]) -> pd.DataFrame:
+            return pd.DataFrame(
+                rows, columns=["status", "gno", "xid", "seq_no",
+                               "last_committed", "op", "seq_in_txn", *cols])
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for blob in pdf["blob"]:
+                b = bytes(blob)
+                off = 0
+                cur = None          # open txn: dict of gtid fields
+                images: list = []   # (op, value-tuple) in arrival order
+                specs_by_tid: dict[int, list[ColSpec]] = {}
+
+                def flush(status: str, xid) -> None:
+                    for k, (op, vals) in enumerate(images):
+                        rows.append({
+                            "status": status, "gno": cur["gno"], "xid": xid,
+                            "seq_no": cur["sequence_number"],
+                            "last_committed": cur["last_committed"],
+                            "op": op, "seq_in_txn": k,
+                            **dict(zip(cols, vals)),
+                        })
+
+                while off < len(b):
+                    etype = b[off + 4]
+                    size = int.from_bytes(b[off + 9:off + 13], "little")
+                    ev = b[off:off + size]
+                    off += size
+                    if etype == GTID_EVENT:
+                        cur = decode_gtid(ev)
+                        images = []
+                    elif etype == QUERY_EVENT:
+                        _schema, sql = decode_query(ev)
+                        if sql == "ROLLBACK" and cur is not None:
+                            flush("rolled_back", None)
+                            cur, images = None, []
+                        # BEGIN: transaction already opened by GTID
+                    elif etype == TABLE_MAP_EVENT:
+                        tid_, _s, _t, specs = decode_table_map(ev)
+                        specs_by_tid[tid_] = specs
+                    elif etype in _OPNAMES:
+                        table_id = int.from_bytes(ev[19:25], "little")
+                        et, imgs = decode_rows_event(
+                            ev, specs_by_tid[table_id])
+                        for img in imgs:
+                            if et == UPDATE_ROWS_V2:
+                                images.append(("UPDATE", img[1]))
+                            else:
+                                images.append((_OPNAMES[et], img))
+                    elif etype == XID_EVENT:
+                        if cur is not None:
+                            flush("committed", decode_xid(ev))
+                            cur, images = None, []
+                if cur is not None:
+                    flush("in_doubt", None)
+            out = out_frame(rows)
+            out["amount"] = out["amount"].map(
+                lambda d: None if d is None else str(d))
+            yield out
+
+    return segments.mapInPandas(walk, ASSEMBLED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — recompute the committed stream arithmetically
+# ---------------------------------------------------------------------------
+
+BINLOG_TXN_CHANGES_ORACLE = f"""
+WITH committed AS (
+    SELECT tid FROM (SELECT UNNEST(range({N_TXNS})) AS tid)
+    WHERE tid % {ROLLBACK_MOD} <> 5 AND tid <> {TRUNCATED_TID}
+),
+ins AS (
+    SELECT tid, k AS seq_in_txn, tid * 4 + k AS i, 'INSERT' AS op
+    FROM committed CROSS JOIN (SELECT UNNEST(range(3)) AS k)
+    WHERE k < tid % 3 + 1
+),
+tail AS (
+    SELECT tid, tid % 3 + 1 AS seq_in_txn, tid * 4 AS i,
+           CASE WHEN tid % 4 = 2 THEN 'UPDATE' ELSE 'DELETE' END AS op
+    FROM committed WHERE tid % 4 IN (2, 3)
+),
+ops AS (SELECT * FROM ins UNION ALL SELECT * FROM tail)
+SELECT tid + 1 AS gno, {XID_BASE} + tid AS xid, tid + 1 AS seq_no,
+       (tid // {GROUP_COMMIT_SIZE}) * {GROUP_COMMIT_SIZE} AS last_committed,
+       op, seq_in_txn, i,
+       CASE WHEN op = 'UPDATE' THEN (i * 31) % 1000 + 10000
+            ELSE (i * 31) % 1000 END AS qty,
+       CAST(((i * 37) % 9999999 + 1) // 100 AS VARCHAR) || '.' ||
+           lpad(CAST(((i * 37) % 9999999 + 1) % 100 AS VARCHAR), 2, '0')
+           AS amount,
+       CASE WHEN op = 'UPDATE' THEN 'upd_' || CAST(i AS VARCHAR)
+            ELSE 'n_' || CAST(i % 100 AS VARCHAR) END AS note
+FROM ops
+"""
+
+BINLOG_TXN_SNAPSHOT_ORACLE = f"""
+WITH committed AS (
+    SELECT tid FROM (SELECT UNNEST(range({N_TXNS})) AS tid)
+    WHERE tid % {ROLLBACK_MOD} <> 5 AND tid <> {TRUNCATED_TID}
+),
+live AS (
+    SELECT tid, tid * 4 + k AS i
+    FROM committed CROSS JOIN (SELECT UNNEST(range(3)) AS k)
+    WHERE k < tid % 3 + 1
+      AND NOT (tid % 4 = 3 AND k = 0)   -- DELETEd first row of those txns
+)
+SELECT i,
+       CASE WHEN tid % 4 = 2 AND i = tid * 4
+            THEN (i * 31) % 1000 + 10000
+            ELSE (i * 31) % 1000 END AS qty,
+       CAST(((i * 37) % 9999999 + 1) // 100 AS VARCHAR) || '.' ||
+           lpad(CAST(((i * 37) % 9999999 + 1) % 100 AS VARCHAR), 2, '0')
+           AS amount,
+       CASE WHEN tid % 4 = 2 AND i = tid * 4
+            THEN 'upd_' || CAST(i AS VARCHAR)
+            ELSE 'n_' || CAST(i % 100 AS VARCHAR) END AS note
+FROM live
+"""
+
+BINLOG_TXN_APPLY_GROUPS_ORACLE = f"""
+WITH committed AS (
+    SELECT tid FROM (SELECT UNNEST(range({N_TXNS})) AS tid)
+    WHERE tid % {ROLLBACK_MOD} <> 5 AND tid <> {TRUNCATED_TID}
+),
+per_txn AS (
+    SELECT tid,
+           (tid // {GROUP_COMMIT_SIZE}) * {GROUP_COMMIT_SIZE}
+               AS last_committed,
+           tid + 1 AS seq_no,
+           tid % 3 + 1
+             + CASE WHEN tid % 4 IN (2, 3) THEN 1 ELSE 0 END AS n_images
+    FROM committed
+)
+SELECT last_committed,
+       COUNT(*) AS n_txns,
+       CAST(MIN(seq_no) AS BIGINT) AS min_seq,
+       CAST(MAX(seq_no) AS BIGINT) AS max_seq,
+       CAST(SUM(n_images) AS BIGINT) AS n_images
+FROM per_txn GROUP BY 1
+"""
+
+
+def committed_changes(spark: SparkSession) -> DataFrame:
+    """The atomic, commit-consistent change stream: only images whose
+    transaction reached XID; rolled-back and in-doubt groups never leak."""
+    assembled = assemble_transactions(generate_txn_segments(spark))
+    return (assembled.where(F.col("status") == "committed")
+            .select("gno", "xid", "seq_no", "last_committed", "op",
+                    "seq_in_txn", "i", "qty", "amount", "note"))
+
+
+def consistent_snapshot(spark: SparkSession) -> DataFrame:
+    """Apply the committed stream in commit order (seq_no, then image
+    order within the txn) -> final row state per PK. Latest-image-wins is
+    the same max_by partial-agg shape as merge.merge_versioned: one
+    shuffle on the PK, no sort."""
+    changes = committed_changes(spark)
+    # global image order: commits are totally ordered by seq_no; within a
+    # txn by seq_in_txn. 2^20 bounds seq_in_txn far above any real txn.
+    ordered = changes.withColumn(
+        "ord", F.col("seq_no") * (1 << 20) + F.col("seq_in_txn"))
+    last = (ordered.groupBy("i")
+            .agg(F.max_by(F.struct("op", "qty", "amount", "note"),
+                          "ord").alias("s")))
+    return (last.where(F.col("s.op") != "DELETE")
+            .select("i", "s.qty", "s.amount", "s.note"))
+
+
+def apply_group_report(spark: SparkSession) -> DataFrame:
+    """Group-commit intervals from the GTID logical clock: transactions
+    sharing last_committed group-committed together on the primary and
+    are conflict-free — the exact parallelism certificate MySQL MTS
+    (slave_parallel_type=LOGICAL_CLOCK) schedules by. A downstream
+    applier of this stream can replay each group concurrently and fence
+    between groups."""
+    changes = committed_changes(spark)
+    per_txn = (changes.groupBy("gno", "last_committed", "seq_no")
+               .agg(F.count("*").alias("n_images")))
+    return (per_txn.groupBy("last_committed")
+            .agg(F.count("*").alias("n_txns"),
+                 F.min("seq_no").alias("min_seq"),
+                 F.max("seq_no").alias("max_seq"),
+                 F.sum("n_images").alias("n_images")))

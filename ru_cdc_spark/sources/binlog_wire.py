@@ -50,10 +50,13 @@ from datetime import date, datetime, timedelta
 from decimal import Decimal
 
 # binlog event type codes (public)
+QUERY_EVENT = 2
+XID_EVENT = 16
 TABLE_MAP_EVENT = 19
 WRITE_ROWS_V2 = 30
 UPDATE_ROWS_V2 = 31
 DELETE_ROWS_V2 = 32
+GTID_EVENT = 33
 
 # MySQL column type codes (public; reference binlog.rs:159-204)
 T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
@@ -586,6 +589,77 @@ def decode_rows_event(b: bytes, specs: list[ColSpec],
         else:
             rows.append(img)
     return event_type, rows
+
+
+# ---------------------------------------------------------------------------
+# transaction-control events (GTID / XID / QUERY). The reference decodes
+# QueryEvent but never uses it (D11 dead code, src/binlog.rs:768-811) and
+# has NO transaction notion at all — every row event ships independently,
+# so a consumer can observe half a transaction. These codecs (public
+# binlog v4 layouts) carry the boundaries our assembly operator
+# (sources/binlog_txn.py) needs for atomic, commit-consistent delivery.
+# ---------------------------------------------------------------------------
+
+
+def encode_gtid(sid: bytes, gno: int, last_committed: int = 0,
+                sequence_number: int = 0, commit_flag: int = 1,
+                log_pos: int = 0) -> bytes:
+    """GTID_LOG_EVENT (type 33): 1-byte commit flag, 16-byte server UUID
+    (SID), 8-byte GNO, then the MySQL 5.7 logical-clock block (1-byte
+    typecode=2, last_committed, sequence_number — the group-commit
+    intervals MTS parallel apply schedules by)."""
+    if len(sid) != 16:
+        raise ValueError("SID must be 16 raw UUID bytes")
+    p = struct.pack("<B16sqBqq", commit_flag, sid, gno, 2,
+                    last_committed, sequence_number)
+    return _header(GTID_EVENT, len(p), log_pos=log_pos) + p
+
+
+def decode_gtid(b: bytes) -> dict:
+    if b[4] != GTID_EVENT:
+        raise ValueError(f"not a GTID event (type {b[4]})")
+    commit_flag, sid, gno, _lt_type, last_committed, sequence_number = (
+        struct.unpack_from("<B16sqBqq", b, 19))
+    return {"commit_flag": commit_flag, "sid": sid, "gno": gno,
+            "last_committed": last_committed,
+            "sequence_number": sequence_number}
+
+
+def encode_xid(xid: int, log_pos: int = 0) -> bytes:
+    """XID_EVENT (type 16): the storage-engine commit id — its presence
+    IS the commit marker for a transactional row-event group."""
+    p = xid.to_bytes(8, "little")
+    return _header(XID_EVENT, len(p), log_pos=log_pos) + p
+
+
+def decode_xid(b: bytes) -> int:
+    if b[4] != XID_EVENT:
+        raise ValueError(f"not an XID event (type {b[4]})")
+    return int.from_bytes(b[19:27], "little")
+
+
+def encode_query(sql: str, schema: str = "", thread_id: int = 0,
+                 log_pos: int = 0) -> bytes:
+    """QUERY_EVENT (type 2): thread_id u32, exec_time u32, schema_len u8,
+    error_code u16, status_vars_len u16 (0 here), schema, NUL, SQL text.
+    In ROW binlog format this carries BEGIN / ROLLBACK / DDL."""
+    sb, qb = schema.encode(), sql.encode()
+    p = struct.pack("<IIBHH", thread_id, 0, len(sb), 0, 0) + sb + b"\x00" + qb
+    return _header(QUERY_EVENT, len(p), log_pos=log_pos) + p
+
+
+def decode_query(b: bytes) -> tuple[str, str]:
+    """-> (schema, sql). Skips the status-vars block by its declared
+    length (the reference's decoder does the same, binlog.rs:768-811)."""
+    if b[4] != QUERY_EVENT:
+        raise ValueError(f"not a QUERY event (type {b[4]})")
+    size = int.from_bytes(b[9:13], "little")
+    _thread_id, _exec_time, schema_len, _err, status_len = (
+        struct.unpack_from("<IIBHH", b, 19))
+    off = 19 + 13 + status_len
+    schema = b[off:off + schema_len].decode()
+    off += schema_len + 1  # + NUL
+    return schema, b[off:size].decode()
 
 
 # ---------------------------------------------------------------------------

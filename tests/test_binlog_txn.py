@@ -1,0 +1,139 @@
+"""Transactional binlog assembly tests (sources/binlog_txn.py): codec
+round-trips for the control events (GTID/XID/QUERY), transaction
+atomicity, rollback discard, in-doubt holdback, and the commit-consistent
+snapshot — semantics the reference's un-grouped event-at-a-time delivery
+(executor.rs:528-607) cannot provide."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.sources import binlog_txn as bt
+from ru_cdc_spark.sources import binlog_wire as w
+
+
+# ---------------------------------------------------------------------------
+# control-event codecs
+# ---------------------------------------------------------------------------
+
+
+def test_gtid_roundtrip_carries_logical_clock():
+    sid = bytes(range(16))
+    b = w.encode_gtid(sid, 42, last_committed=40, sequence_number=42,
+                      commit_flag=1)
+    g = w.decode_gtid(b)
+    assert g == {"commit_flag": 1, "sid": sid, "gno": 42,
+                 "last_committed": 40, "sequence_number": 42}
+
+
+def test_xid_roundtrip_u64():
+    assert w.decode_xid(w.encode_xid(2**63 - 7)) == 2**63 - 7
+    assert w.decode_xid(w.encode_xid(0)) == 0
+
+
+@pytest.mark.parametrize("schema,sql", [
+    ("testdb", "BEGIN"),
+    ("", "ROLLBACK"),
+    ("db2", "ALTER TABLE t ADD COLUMN c INT"),
+])
+def test_query_event_roundtrip(schema, sql):
+    assert w.decode_query(w.encode_query(sql, schema)) == (schema, sql)
+
+
+def test_event_type_codes_are_public_values():
+    # public binlog v4 type codes — a wrong code would desync any real
+    # stream
+    assert (w.QUERY_EVENT, w.XID_EVENT, w.GTID_EVENT) == (2, 16, 33)
+
+
+# ---------------------------------------------------------------------------
+# assembly semantics
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def assembled(spark):
+    df = bt.assemble_transactions(bt.generate_txn_segments(spark))
+    df = df.localCheckpoint()  # fixture reused by several tests
+    return df
+
+
+def test_statuses_partition_the_stream(assembled):
+    counts = {r["status"]: r["n"] for r in
+              assembled.groupBy("status").agg(F.count("*").alias("n"))
+              .collect()}
+    assert set(counts) == {"committed", "rolled_back", "in_doubt"}
+    # the truncated tail txn (tid=499): 2 inserts + 1 delete = 3 images
+    assert counts["in_doubt"] == 3
+
+
+def test_atomicity_all_or_nothing_per_transaction(assembled):
+    # every gno carries exactly one status — no transaction is split
+    split = (assembled.groupBy("gno")
+             .agg(F.count_distinct("status").alias("ns"))
+             .where(F.col("ns") > 1).count())
+    assert split == 0
+    # and each committed txn's image count matches the fixture arithmetic:
+    # tid%3+1 inserts, +1 image when tid%4 in (2,3)
+    got = {r["gno"]: r["n"] for r in
+           assembled.where(F.col("status") == "committed")
+           .groupBy("gno").agg(F.count("*").alias("n")).collect()}
+    for gno, n in got.items():
+        tid = gno - 1
+        expect = tid % 3 + 1 + (1 if tid % 4 in (2, 3) else 0)
+        assert n == expect, (gno, n, expect)
+
+
+def test_rolled_back_groups_never_reach_committed_view(spark, assembled):
+    rolled = {r["gno"] for r in
+              assembled.where(F.col("status") == "rolled_back")
+              .select("gno").distinct().collect()}
+    assert rolled == {t + 1 for t in range(bt.N_TXNS)
+                      if t % bt.ROLLBACK_MOD == 5 and t != bt.TRUNCATED_TID}
+    committed = bt.committed_changes(spark)
+    assert committed.where(F.col("gno").isin(list(rolled))).count() == 0
+
+
+def test_in_doubt_is_exactly_the_truncated_tail(assembled):
+    doubt = assembled.where(F.col("status") == "in_doubt")
+    assert {r["gno"] for r in doubt.select("gno").distinct().collect()} == \
+        {bt.TRUNCATED_TID + 1}
+    # in-doubt images carry no xid — nothing downstream can mistake them
+    # for committed work
+    assert doubt.where(F.col("xid").isNotNull()).count() == 0
+
+
+def test_snapshot_never_contains_deleted_or_uncommitted_rows(spark):
+    snap = bt.consistent_snapshot(spark)
+    ids = {r["i"] for r in snap.select("i").collect()}
+    for tid in range(bt.N_TXNS):
+        block = {tid * 4 + k for k in range(tid % 3 + 1)}
+        committed = tid % bt.ROLLBACK_MOD != 5 and tid != bt.TRUNCATED_TID
+        if not committed:
+            assert not (ids & block), f"uncommitted txn {tid} leaked"
+        elif tid % 4 == 3:
+            assert tid * 4 not in ids, f"deleted row of txn {tid} present"
+            assert block - {tid * 4} <= ids
+        else:
+            assert block <= ids, f"committed txn {tid} incomplete"
+
+
+def test_update_images_win_in_snapshot(spark):
+    snap = bt.consistent_snapshot(spark)
+    # txn tid=2 commits an UPDATE of row i=8: qty += 10000, note=upd_8
+    row = snap.where(F.col("i") == 8).collect()[0]
+    assert row["qty"] == (8 * 31) % 1000 + 10000
+    assert row["note"] == "upd_8"
+
+
+def test_apply_groups_match_group_commit_size(spark):
+    rep = bt.apply_group_report(spark).collect()
+    by_lc = {r["last_committed"]: r for r in rep}
+    # group 0 holds tids 0..4 minus nothing (none roll back below 5)
+    assert by_lc[0]["n_txns"] == 5
+    assert by_lc[0]["min_seq"] == 1 and by_lc[0]["max_seq"] == 5
+    # every group's seq range stays inside its commit window
+    for lc, r in by_lc.items():
+        assert lc + 1 <= r["min_seq"] <= r["max_seq"] <= \
+            lc + bt.GROUP_COMMIT_SIZE

@@ -1,0 +1,147 @@
+"""Bounded-memory frequency/sampling operators with EXACT results.
+
+Two classic 100 TB patterns the built-in operators don't provide:
+
+* **Exact heavy hitters in two passes** (`frequent_terms_exact`):
+  a per-partition Misra-Gries pass produces a small candidate superset —
+  guaranteed to contain every item with global count > N/k — and a second
+  pass counts ONLY the candidates exactly. The expensive full-cardinality
+  term shuffle (billions of distinct terms at corpus scale) never
+  happens: the only shuffle is over |candidates| <= k x partitions rows.
+  The sketch's approximation error is *structurally laundered out*: a
+  candidate set that is merely a superset yields an exact final answer.
+
+* **Weighted sampling without replacement** (`weighted_priority_sample`):
+  priority sampling (Duffield-Lund-Thorup, JACM 2007) — each row draws
+  priority w/u with u a deterministic md5-uniform, and the top-k
+  priorities per stratum are the sample. One narrow map + one bounded
+  top-k per group; reproducible run-to-run and engine-to-engine because
+  u is hash-derived (no RNG state) and the only float math is division
+  of exact operands (IEEE-correctly-rounded identically everywhere —
+  the SCALE.md numeric-determinism policy).
+
+Reference parity note: the reference has no aggregation at all
+(SURVEY §2.10); these are north-star pipeline operators. Misra-Gries:
+"Finding repeated elements" (Sci. Comp. Prog. 1982), the weighted merge
+form per Berinde et al. (PODS 2009).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.dedup import words_col, _WORDS_SQL
+from ru_cdc_spark.sources.readers import load_table
+
+HH_K = 200  # heavy hitter threshold: count * K > N
+
+
+def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summary with k counters -> candidate
+    values (one output batch of <= k rows per partition).
+
+    Guarantee (the one phase 2 relies on): within a partition of N_p
+    items, any value occurring > N_p/(k+1) times survives. If a value's
+    GLOBAL count exceeds N/k then by pigeonhole some partition has
+    count_p > N_p/k > N_p/(k+1), so every global heavy hitter appears in
+    the union of partition candidates.
+
+    The update is the weighted/batch form: each Arrow batch collapses to
+    value_counts (vectorized) before touching the dict, so Python-loop
+    cost is O(distinct per batch), not O(rows); a decrement round
+    subtracts the minimum count from ALL k+ counters at once (Berinde et
+    al.'s weighted Misra-Gries), preserving the error bound. State is k
+    counters — independent of partition size; at 100 TB the pass is a
+    pure narrow map emitting k rows per partition."""
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+                if len(counters) > k:
+                    m = min(counters.values())
+                    counters = {key: n - m for key, n in counters.items()
+                                if n > m}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return items.mapInPandas(mg, f"{col} string")
+
+
+def frequent_terms_exact(spark: SparkSession, sf_dir: str,
+                         k: int = HH_K) -> DataFrame:
+    """All terms with count * k > N (strict majority-style threshold),
+    with EXACT counts — phase 1 Misra-Gries candidates, phase 2 exact
+    count of candidates only, threshold division-free against the 1-row
+    broadcast total."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(words_col(F.col("text"))).alias("term"))
+    cands = misra_gries_candidates(terms, "term", k).distinct()
+    total = terms.agg(F.count("*").alias("n_total"))
+    exact = (terms.join(F.broadcast(cands), "term", "left_semi")
+             .groupBy("term").agg(F.count("*").alias("n")))
+    return (exact.join(F.broadcast(total))
+            .where(F.col("n") * k > F.col("n_total"))
+            .select("term", "n"))
+
+
+FREQUENT_TERMS_SQL = f"""
+WITH w AS (SELECT unnest({_WORDS_SQL}) AS term FROM documents),
+tot AS (SELECT COUNT(*) AS n_total FROM w)
+SELECT term, COUNT(*) AS n
+FROM w, tot
+GROUP BY term, tot.n_total
+HAVING COUNT(*) * {HH_K} > tot.n_total
+"""
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (weighted, without replacement, deterministic)
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_STRATUM = 5
+
+
+def weighted_priority_sample(spark: SparkSession, sf_dir: str,
+                             k: int = SAMPLE_PER_STRATUM) -> DataFrame:
+    """Per-language weighted sample of k docs, weight = n_chars: draw
+    u = md5-uniform in (0,1], priority = weight/u, keep the k largest
+    priorities per stratum. Longer documents are proportionally likelier
+    to be drawn, yet the draw is a pure function of doc_id — join-stable
+    across runs and reproducible on any cluster layout.
+
+    Scale: priorities are a narrow map over the scan; per-group top-k is
+    one bounded window (rows per group never materialize beyond the
+    shuffle Spark already does for the partition key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60))
+    pri = F.col("n_chars").cast("double") / u
+    w = (Window.partitionBy("lang")
+         .orderBy(F.desc("priority"), F.asc("doc_id")))
+    return (docs.select("doc_id", "lang", "n_chars",
+                        pri.alias("priority"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("doc_id", "lang", "n_chars", "priority"))
+
+
+WEIGHTED_PRIORITY_SAMPLE_SQL = f"""
+WITH p AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(n_chars AS DOUBLE) /
+             ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) + CAST(1 AS DOUBLE)) / 1152921504606846976.0)
+               AS priority
+    FROM documents
+)
+SELECT doc_id, lang, n_chars, priority
+FROM p
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY priority DESC, doc_id) <= {SAMPLE_PER_STRATUM}
+"""

@@ -723,6 +723,13 @@ register("corpus_dedup_retain",
          _dd.CORPUS_DEDUP_RETAIN_SQL)(_dd.corpus_dedup_retain)
 register("text_tfidf_top_terms", _tx.TFIDF_TOP_TERMS_SQL)(_tx.tfidf_top_terms)
 register("text_posting_lists", _tx.POSTING_LISTS_SQL)(_tx.posting_lists)
+
+from ru_cdc_spark.operators import sketch as _sk  # noqa: E402
+
+register("frequent_terms_exact",
+         _sk.FREQUENT_TERMS_SQL)(_sk.frequent_terms_exact)
+register("weighted_priority_sample",
+         _sk.WEIGHTED_PRIORITY_SAMPLE_SQL)(_sk.weighted_priority_sample)
 register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)
 register("multimodal_decode_stub", None)(_mm.multimodal_decode_stub)
 register("multimodal_frame_sample",

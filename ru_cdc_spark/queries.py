@@ -1298,6 +1298,53 @@ def binlog_txn_apply_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_group_report(spark)
 
 
+def binlog_txn_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING transactional CDC end to end: the fixture's binlog bytes
+    arrive as socket-style chunks (1999-byte slices, events split
+    mid-chunk, transactions split across micro-batches); per-stream
+    checkpointed state (applyInPandasWithState) holds the undecoded tail
+    and the open transaction, and each transaction is delivered exactly
+    once, atomically, in the batch where its XID arrives. Rolled-back
+    groups are dropped in-state; the truncated tail never leaves the
+    state store. Same oracle as the batch assembly — chunking and
+    batching are invisible to the result, which is the point."""
+    import os
+    import shutil
+    import tempfile
+
+    from ru_cdc_spark.sources.binlog_txn import (
+        stream_chunk_rounds,
+        streaming_txn_assembly,
+    )
+
+    schema = "stream_id long, chunk_seq long, data binary"
+    work = tempfile.mkdtemp(prefix="txn_stream_")
+    try:
+        src = f"{work}/chunks"
+        os.makedirs(src)
+        rounds = stream_chunk_rounds()
+        spark.createDataFrame(rounds[0], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_txn_assembly(stream)
+             .writeStream.format("memory").queryName("__txn_stream")
+             .outputMode("append")
+             .option("checkpointLocation", f"{work}/ck").start())
+        q.processAllAvailable()
+        for pdf in rounds[1:]:
+            spark.createDataFrame(pdf, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q.processAllAvailable()
+        q.stop()
+        res = (spark.table("__txn_stream")
+               .where(F.col("status") == "committed")
+               .select("gno", "xid", "seq_no", "last_committed", "op",
+                       "seq_in_txn", "i", "qty", "amount", "note"))
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _register_binlog_txn() -> None:
     from ru_cdc_spark.sources.binlog_txn import (
         BINLOG_TXN_APPLY_GROUPS_ORACLE,
@@ -1311,6 +1358,8 @@ def _register_binlog_txn() -> None:
              BINLOG_TXN_SNAPSHOT_ORACLE)(binlog_txn_snapshot)
     register("binlog_txn_apply_groups",
              BINLOG_TXN_APPLY_GROUPS_ORACLE)(binlog_txn_apply_groups)
+    register("binlog_txn_stream_changes",
+             BINLOG_TXN_CHANGES_ORACLE)(binlog_txn_stream_changes)
 
 
 _register_binlog_txn()

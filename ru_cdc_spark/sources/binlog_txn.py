@@ -166,6 +166,89 @@ ASSEMBLED_SCHEMA = (
 _OPNAMES = {WRITE_ROWS_V2: "INSERT", UPDATE_ROWS_V2: "UPDATE",
             DELETE_ROWS_V2: "DELETE"}
 
+_OUT_COLS = ["status", "gno", "xid", "seq_no", "last_committed",
+             "op", "seq_in_txn", *[n for n, _ in TXN_COLUMNS]]
+
+
+class TxnAssembler:
+    """Incremental transaction assembler over a byte stream.
+
+    ``feed(data)`` consumes any chunking of the stream — events may split
+    across chunks (the socket-read reality) — and returns the rows of
+    every transaction that REACHED ITS OUTCOME inside the fed bytes
+    (status committed / rolled_back). An open transaction and the
+    trailing partial event stay buffered; ``flush_open(status)`` drains
+    them (batch mode marks segment-final opens ``in_doubt``; streaming
+    keeps them in state instead, so nothing is ever delivered early).
+
+    Memory: the undecoded tail of one event + one open transaction's
+    images — independent of stream length."""
+
+    def __init__(self) -> None:
+        self.tail = b""
+        self.cur: dict | None = None
+        self.images: list = []
+        self.specs_by_tid: dict[int, list[ColSpec]] = {}
+
+    def _rows(self, status: str, xid) -> list[dict]:
+        cols = [n for n, _ in TXN_COLUMNS]
+        out = []
+        for k, (op, vals) in enumerate(self.images):
+            r = {"status": status, "gno": self.cur["gno"], "xid": xid,
+                 "seq_no": self.cur["sequence_number"],
+                 "last_committed": self.cur["last_committed"],
+                 "op": op, "seq_in_txn": k,
+                 **dict(zip(cols, vals))}
+            if r["amount"] is not None:
+                r["amount"] = str(r["amount"])
+            out.append(r)
+        return out
+
+    def feed(self, data: bytes) -> list[dict]:
+        buf = self.tail + data
+        off = 0
+        rows: list[dict] = []
+        while len(buf) - off >= 13:
+            size = int.from_bytes(buf[off + 9:off + 13], "little")
+            if len(buf) - off < size:
+                break  # partial event: wait for more bytes
+            ev = buf[off:off + size]
+            off += size
+            etype = ev[4]
+            if etype == GTID_EVENT:
+                self.cur = decode_gtid(ev)
+                self.images = []
+            elif etype == QUERY_EVENT:
+                _schema, sql = decode_query(ev)
+                if sql == "ROLLBACK" and self.cur is not None:
+                    rows += self._rows("rolled_back", None)
+                    self.cur, self.images = None, []
+                # BEGIN: transaction already opened by its GTID event
+            elif etype == TABLE_MAP_EVENT:
+                tid_, _s, _t, specs = decode_table_map(ev)
+                self.specs_by_tid[tid_] = specs
+            elif etype in _OPNAMES:
+                table_id = int.from_bytes(ev[19:25], "little")
+                et, imgs = decode_rows_event(ev, self.specs_by_tid[table_id])
+                for img in imgs:
+                    if et == UPDATE_ROWS_V2:
+                        self.images.append(("UPDATE", img[1]))
+                    else:
+                        self.images.append((_OPNAMES[et], img))
+            elif etype == XID_EVENT:
+                if self.cur is not None:
+                    rows += self._rows("committed", decode_xid(ev))
+                    self.cur, self.images = None, []
+        self.tail = buf[off:]
+        return rows
+
+    def flush_open(self, status: str = "in_doubt") -> list[dict]:
+        if self.cur is None:
+            return []
+        rows = self._rows(status, None)
+        self.cur, self.images = None, []
+        return rows
+
 
 def assemble_transactions(segments: DataFrame) -> DataFrame:
     """Walk each segment's ordered bytes once, buffering row images per
@@ -182,70 +265,89 @@ def assemble_transactions(segments: DataFrame) -> DataFrame:
     status='committed' — atomicity is structural, not best-effort."""
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [n for n, _ in TXN_COLUMNS]
-
-        def out_frame(rows: list[dict]) -> pd.DataFrame:
-            return pd.DataFrame(
-                rows, columns=["status", "gno", "xid", "seq_no",
-                               "last_committed", "op", "seq_in_txn", *cols])
-
         for pdf in batches:
             rows: list[dict] = []
             for blob in pdf["blob"]:
-                b = bytes(blob)
-                off = 0
-                cur = None          # open txn: dict of gtid fields
-                images: list = []   # (op, value-tuple) in arrival order
-                specs_by_tid: dict[int, list[ColSpec]] = {}
-
-                def flush(status: str, xid) -> None:
-                    for k, (op, vals) in enumerate(images):
-                        rows.append({
-                            "status": status, "gno": cur["gno"], "xid": xid,
-                            "seq_no": cur["sequence_number"],
-                            "last_committed": cur["last_committed"],
-                            "op": op, "seq_in_txn": k,
-                            **dict(zip(cols, vals)),
-                        })
-
-                while off < len(b):
-                    etype = b[off + 4]
-                    size = int.from_bytes(b[off + 9:off + 13], "little")
-                    ev = b[off:off + size]
-                    off += size
-                    if etype == GTID_EVENT:
-                        cur = decode_gtid(ev)
-                        images = []
-                    elif etype == QUERY_EVENT:
-                        _schema, sql = decode_query(ev)
-                        if sql == "ROLLBACK" and cur is not None:
-                            flush("rolled_back", None)
-                            cur, images = None, []
-                        # BEGIN: transaction already opened by GTID
-                    elif etype == TABLE_MAP_EVENT:
-                        tid_, _s, _t, specs = decode_table_map(ev)
-                        specs_by_tid[tid_] = specs
-                    elif etype in _OPNAMES:
-                        table_id = int.from_bytes(ev[19:25], "little")
-                        et, imgs = decode_rows_event(
-                            ev, specs_by_tid[table_id])
-                        for img in imgs:
-                            if et == UPDATE_ROWS_V2:
-                                images.append(("UPDATE", img[1]))
-                            else:
-                                images.append((_OPNAMES[et], img))
-                    elif etype == XID_EVENT:
-                        if cur is not None:
-                            flush("committed", decode_xid(ev))
-                            cur, images = None, []
-                if cur is not None:
-                    flush("in_doubt", None)
-            out = out_frame(rows)
-            out["amount"] = out["amount"].map(
-                lambda d: None if d is None else str(d))
-            yield out
+                asm = TxnAssembler()
+                rows += asm.feed(bytes(blob))
+                rows += asm.flush_open("in_doubt")
+            yield pd.DataFrame(rows, columns=_OUT_COLS)
 
     return segments.mapInPandas(walk, ASSEMBLED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# streaming assembly: socket chunks -> exactly-once committed delivery
+# ---------------------------------------------------------------------------
+
+
+def streaming_txn_assembly(chunks_stream: DataFrame) -> DataFrame:
+    """STREAMING transaction assembly over arbitrarily-chunked bytes
+    (``stream_id, chunk_seq, data``): per-stream state holds the
+    assembler (undecoded tail + open transaction) across micro-batches,
+    so an event split mid-chunk or a transaction split across BATCHES is
+    reassembled and delivered only at its XID — exactly the holdback a
+    socket reader needs, and precisely what the reference cannot do (it
+    forwards each row event the moment it decodes,
+    executor.rs:528-607). Output rows appear in the batch where the
+    outcome event arrives; open transactions live in the checkpointed
+    state store, surviving restarts.
+
+    Scale: state per stream is O(tail + one open txn); streams (binlog
+    shards) partition across executors; each batch touches only streams
+    with new chunks."""
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def assemble(key: tuple, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+        asm = (pickle.loads(bytes(state.get[0])) if state.exists
+               else TxnAssembler())
+        parts = [pdf for pdf in pdfs]
+        rows: list[dict] = []
+        if parts:
+            pdf = pd.concat(parts).sort_values("chunk_seq")
+            for d in pdf["data"]:
+                rows += asm.feed(bytes(d))
+        state.update((pickle.dumps(asm),))
+        out = pd.DataFrame(rows, columns=_OUT_COLS)
+        if rows:
+            yield out
+
+    return (chunks_stream.groupBy("stream_id")
+            .applyInPandasWithState(
+                assemble, ASSEMBLED_SCHEMA, "blob binary",
+                "append", GroupStateTimeout.NoTimeout))
+
+
+CHUNK_BYTES = 1999  # deliberately misaligned with every event size
+
+
+def stream_chunk_rounds(n_txns: int = N_TXNS,
+                        txns_per_segment: int = TXNS_PER_SEGMENT
+                        ) -> list[pd.DataFrame]:
+    """The fixture's segments cut into CHUNK_BYTES slices, grouped into
+    delivery rounds: round k carries chunk k of every stream — so every
+    micro-batch ends mid-event for most streams and transactions
+    routinely span batches."""
+    n_segments = (n_txns + txns_per_segment - 1) // txns_per_segment
+    per_stream: list[list[bytes]] = []
+    for sid in range(n_segments):
+        lo = sid * txns_per_segment
+        blob = b"".join(txn_event_bytes(t)
+                        for t in range(lo, min(lo + txns_per_segment,
+                                               n_txns)))
+        per_stream.append([blob[o:o + CHUNK_BYTES]
+                           for o in range(0, len(blob), CHUNK_BYTES)])
+    rounds = []
+    for k in range(max(len(c) for c in per_stream)):
+        rows = [(sid, k, chunks[k])
+                for sid, chunks in enumerate(per_stream)
+                if k < len(chunks)]
+        rounds.append(pd.DataFrame(
+            rows, columns=["stream_id", "chunk_seq", "data"]))
+    return rounds
 
 
 # ---------------------------------------------------------------------------

@@ -127,6 +127,69 @@ def test_update_images_win_in_snapshot(spark):
     assert row["note"] == "upd_8"
 
 
+def test_assembler_reassembles_events_split_at_any_boundary():
+    # feed one committed transaction byte-by-byte: nothing may surface
+    # until the XID byte completes, then the whole group at once
+    blob = bt.txn_event_bytes(2)  # 3 inserts + update, commits
+    asm = bt.TxnAssembler()
+    seen: list = []
+    for j in range(len(blob)):
+        rows = asm.feed(blob[j:j + 1])
+        if rows:
+            seen.append((j, rows))
+    assert len(seen) == 1
+    j, rows = seen[0]
+    assert j == len(blob) - 1           # only the final byte delivers
+    assert [r["op"] for r in rows] == ["INSERT"] * 3 + ["UPDATE"]
+    assert all(r["status"] == "committed" for r in rows)
+    assert asm.flush_open() == []       # nothing left open
+
+
+def test_assembler_holds_open_txn_until_late_xid():
+    # transaction bytes arrive WITHOUT the terminator; the XID lands in a
+    # later chunk (even a later micro-batch) — holdback then delivery
+    full = bt.txn_event_bytes(0)        # tid 0: 1 insert, commits
+    xid_size = 27                       # 19-byte header + 8-byte xid
+    body, xid_ev = full[:-xid_size], full[-xid_size:]
+    asm = bt.TxnAssembler()
+    assert asm.feed(body) == []
+    rows = asm.feed(xid_ev)
+    assert [r["status"] for r in rows] == ["committed"]
+    assert rows[0]["xid"] == bt.XID_BASE
+
+
+def test_streaming_assembly_matches_batch(spark, tmp_path):
+    """Chunked multi-batch delivery through applyInPandasWithState equals
+    the batch assembly's committed view — exactly once, no early rows."""
+
+    schema = "stream_id long, chunk_seq long, data binary"
+    src = str(tmp_path / "chunks")
+    rounds = bt.stream_chunk_rounds(n_txns=60, txns_per_segment=20)
+    spark.createDataFrame(rounds[0], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (bt.streaming_txn_assembly(stream)
+         .writeStream.format("memory").queryName("txn_stream_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    for pdf in rounds[1:]:
+        spark.createDataFrame(pdf, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    q.stop()
+    got = (spark.table("txn_stream_t")
+           .where(F.col("status") == "committed")
+           .select("gno", "op", "seq_in_txn", "i", "qty", "amount", "note"))
+    want = (bt.assemble_transactions(
+        bt.generate_txn_segments(spark, 60, 20))
+        .where(F.col("status") == "committed")
+        .select("gno", "op", "seq_in_txn", "i", "qty", "amount", "note"))
+    gl = sorted(map(tuple, got.collect()))
+    wl = sorted(map(tuple, want.collect()))
+    assert gl == wl and len(gl) > 0
+
+
 def test_apply_groups_match_group_commit_size(spark):
     rep = bt.apply_group_report(spark).collect()
     by_lc = {r["last_committed"]: r for r in rep}

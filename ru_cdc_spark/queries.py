@@ -1083,6 +1083,70 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("o_totalprice"))
 
 
+_CDF_FROM_SEQ = _TIME_TRAVEL_CUTOFF  # CDF window: state@30000 -> head
+
+
+@register(
+    "cdc_change_data_feed",
+    ORDER_CHANGES_ORACLE_CTE + f"""
+    , pre AS (
+        SELECT a_orderkey AS k, a_orderstatus AS st, a_totalprice AS tp
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY COALESCE(a_orderkey, b_orderkey)
+                  ORDER BY id DESC) AS rn
+              FROM changes WHERE id <= {_CDF_FROM_SEQ})
+        WHERE rn = 1 AND type <> 'DELETE'
+    ), post AS (
+        SELECT a_orderkey AS k, a_orderstatus AS st, a_totalprice AS tp
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY COALESCE(a_orderkey, b_orderkey)
+                  ORDER BY id DESC) AS rn
+              FROM changes)
+        WHERE rn = 1 AND type <> 'DELETE'
+    ), j AS (
+        SELECT pre.k AS pk, post.k AS qk, pre.st AS pst, pre.tp AS ptp,
+               post.st AS qst, post.tp AS qtp
+        FROM pre FULL OUTER JOIN post ON pre.k = post.k
+    )
+    SELECT qk AS o_orderkey, 'insert' AS _change_type, qst AS o_orderstatus,
+           CAST(CAST(qtp AS VARCHAR) AS DOUBLE) AS o_totalprice
+    FROM j WHERE pk IS NULL
+    UNION ALL
+    SELECT pk, 'delete', pst, CAST(CAST(ptp AS VARCHAR) AS DOUBLE)
+    FROM j WHERE qk IS NULL
+    UNION ALL
+    SELECT pk, 'update_preimage', pst, CAST(CAST(ptp AS VARCHAR) AS DOUBLE)
+    FROM j WHERE pk IS NOT NULL AND qk IS NOT NULL
+      AND (pst IS DISTINCT FROM qst OR ptp IS DISTINCT FROM qtp)
+    UNION ALL
+    SELECT pk, 'update_postimage', qst, CAST(CAST(qtp AS VARCHAR) AS DOUBLE)
+    FROM j WHERE pk IS NOT NULL AND qk IS NOT NULL
+      AND (pst IS DISTINCT FROM qst OR ptp IS DISTINCT FROM qtp)
+    """,
+)
+def cdc_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between two sequence horizons (Delta CDF's
+    contract — insert / delete / update_preimage+postimage rows): the
+    state AS OF seq 30000 diffed against the head state via
+    versioned_store.snapshot_diff. Reconciliation/backfill shape: when
+    only snapshots survive, the diff IS the feed; the live path reads the
+    change log directly.
+
+    Scale: both snapshots are the standard single-PK-shuffle merge; the
+    diff is ONE full-outer join co-partitioned on that same PK (bucketed
+    snapshots make it exchange-free)."""
+    from ru_cdc_spark.operators.versioned_store import snapshot_diff
+
+    ch = derive_order_changes(spark, sf_dir)
+    cols = ["o_orderkey", "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice")]
+    pre = apply_changes(
+        ch.where(F.col("id") <= _CDF_FROM_SEQ), ORDERS_PK).select(*cols)
+    post = apply_changes(ch, ORDERS_PK).select(*cols)
+    return snapshot_diff(pre, post, ["o_orderkey"]).select(
+        "o_orderkey", "_change_type", "o_orderstatus", "o_totalprice")
+
+
 @register(
     "skew_salted_user_totals",
     """

@@ -50,6 +50,53 @@ def test_as_of_seq_resolves_to_covering_version(spark, sf_dir, tmp_path):
         store.read_as_of_seq(-1)
 
 
+def test_table_changes_reconstructs_each_commit(spark, sf_dir, tmp_path):
+    """CDF contract: applying version v-1 + table_changes(v-1, v) must
+    reproduce version v exactly, for every committed version."""
+    from ru_cdc_spark.operators.versioned_store import table_changes
+
+    _, batches = _batches(spark, sf_dir)
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    apply_change_batches(spark, store, batches, ORDERS_PK)
+
+    cdf = table_changes(store, ORDERS_PK, 1, 3).cache()
+    assert set(r["_change_type"] for r in
+               cdf.select("_change_type").distinct().collect()) <= {
+        "insert", "delete", "update_preimage", "update_postimage"}
+    for v in (2, 3):
+        step = cdf.where(F.col("_commit_version") == v)
+        prev = store.read(v - 1)
+        # apply: delete pre-images and deleted keys, add post/insert rows
+        gone = step.where(F.col("_change_type").isin(
+            "delete", "update_preimage")).drop("_change_type",
+                                               "_commit_version")
+        added = step.where(F.col("_change_type").isin(
+            "insert", "update_postimage")).drop("_change_type",
+                                                "_commit_version")
+        rebuilt = prev.exceptAll(gone.select(*prev.columns)) \
+            .unionByName(added.select(*prev.columns))
+        cur = store.read(v)
+        diff = rebuilt.exceptAll(cur).count() + cur.exceptAll(rebuilt).count()
+        assert diff == 0, f"CDF of version {v} does not reconstruct it"
+
+
+def test_snapshot_diff_emits_update_pairs(spark):
+    from ru_cdc_spark.operators.versioned_store import snapshot_diff
+
+    pre = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long")
+    post = spark.createDataFrame(
+        [(2, "b", 20), (3, "c2", 30), (4, "d", 40)], "k long, s string, v long")
+    rows = {(r["k"], r["_change_type"], r["s"], r["v"])
+            for r in snapshot_diff(pre, post, ["k"]).collect()}
+    assert rows == {
+        (1, "delete", "a", 10),
+        (3, "update_preimage", "c", 30),
+        (3, "update_postimage", "c2", 30),
+        (4, "insert", "d", 40),
+    }
+
+
 def test_recommit_same_seq_is_idempotent(spark, sf_dir, tmp_path):
     _, batches = _batches(spark, sf_dir)
     store = SnapshotStore(spark, str(tmp_path / "store"))

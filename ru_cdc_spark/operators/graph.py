@@ -1,0 +1,96 @@
+"""Iterative graph analytics: weighted PageRank on a co-occurrence graph.
+
+Complements the dedup clustering operators (connected components /
+star-contraction in operators/dedup.py) with the other canonical
+iterative-graph shape: a fixed-iteration linear-algebra loop (power
+iteration) expressed as joins + aggregates. The reference has no graph or
+iteration capability at all (SURVEY §2.10 — no joins, no aggregation).
+
+Scale shape per iteration: ONE join (ranks against the transition edges,
+co-partitioned on the source key) + ONE aggregate shuffle on the
+destination key. The edge relation is normalized once, repartitioned on
+src and localCheckpoint'ed so every iteration reuses the same partitioning
+and the plan stays O(1)-deep (lineage truncated every few rounds — the
+same discipline as dedup.connected_components). Ranks are O(V) rows;
+edges never rebuild. At 100 TB the edge relation is bucketed by src at
+write time and the per-iteration join is exchange-free on the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.sources.readers import load_table
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Directed edge list of the part co-purchase graph: an edge p1->p2
+    with weight = number of orders containing both. Built as an
+    orderkey-co-partitioned self-join (the part_affinity shape —
+    fan-out bounded by basket size squared, never |lineitem|²); both
+    directions present, so the graph is symmetric and has no dangling
+    nodes (every vertex has out-edges — rank mass never leaks)."""
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("src"),
+                 F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def pagerank(edges: DataFrame, alpha: float = 0.85,
+             n_iter: int = 10) -> DataFrame:
+    """Weighted PageRank by fixed-iteration power method:
+
+        r_{t+1}(v) = (1-alpha)/N + alpha * sum_u r_t(u) * w(u,v)/outw(u)
+
+    Returns (v, rank). Assumes every vertex has at least one out-edge
+    (true for symmetric co-occurrence graphs; for general graphs add a
+    dangling-mass redistribution term first).
+
+    Iterative float math: reproducible in distribution shape but not
+    bit-stable across partition layouts (sum order varies) — use the
+    rows-only correctness tier; tests verify against a dense power
+    iteration within 1e-9."""
+    out = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    trans = (edges.join(out, "src")
+             .select("src", "dst",
+                     (F.col("w").cast("double") / F.col("outw"))
+                     .alias("p")))
+    trans = trans.repartition("src").localCheckpoint()
+
+    verts = (edges.select(F.col("src").alias("v")).distinct()
+             .localCheckpoint())
+    n = verts.count()
+    ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
+    base = (1.0 - alpha) / n
+    for i in range(n_iter):
+        contrib = (trans.join(ranks, trans["src"] == ranks["v"])
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("p") * F.col("r")).alias("c")))
+        ranks = (verts.join(contrib, verts["v"] == contrib["dst"], "left")
+                 .select("v",
+                         (F.lit(base)
+                          + F.lit(alpha) * F.coalesce(F.col("c"),
+                                                      F.lit(0.0)))
+                         .alias("r")))
+        if (i + 1) % 3 == 0:  # truncate lineage: plan depth stays O(1)
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def part_pagerank(spark: SparkSession, sf_dir: str,
+                  k: int = 20) -> DataFrame:
+    """Top-k parts by co-purchase PageRank — 'centrality' of a part in
+    the basket graph (which parts anchor the most shopping paths)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ranks = pagerank(copurchase_edges(li))
+    return (ranks.select(F.col("v").alias("l_partkey"),
+                         F.col("r").alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("l_partkey"))
+            .limit(k))

@@ -735,6 +735,10 @@ register("multimodal_decode_stub", None)(_mm.multimodal_decode_stub)
 register("multimodal_frame_sample",
          _mm.MULTIMODAL_FRAME_SAMPLE_SQL)(_mm.multimodal_frame_sample)
 
+from ru_cdc_spark.operators import graph as _gr  # noqa: E402
+
+register("part_pagerank", None)(_gr.part_pagerank)  # iterative float: rows-only
+
 from ru_cdc_spark.operators import pipelineops as _pp  # noqa: E402
 
 register("quality_filter_chain",

@@ -1,0 +1,59 @@
+"""PageRank (operators/graph.py): power-iteration equivalence against a
+dense NumPy reference, mass conservation, and graph-shape sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators import graph as g
+from ru_cdc_spark.sources.readers import load_table
+
+
+def _numpy_pagerank(edges, alpha=0.85, n_iter=10):
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    M = np.zeros((n, n))
+    for s, d, w in edges:
+        M[idx[d], idx[s]] += w
+    outw = M.sum(axis=0)
+    M = M / outw  # column-stochastic (no dangling nodes by construction)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        r = (1 - alpha) / n + alpha * (M @ r)
+    return dict(zip(verts, r))
+
+
+def test_pagerank_matches_dense_power_iteration(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    edges_df = g.copurchase_edges(li)
+    edges = [(r["src"], r["dst"], r["w"]) for r in edges_df.collect()]
+    want = _numpy_pagerank(edges)
+    got = {r["v"]: r["r"] for r in g.pagerank(edges_df).collect()}
+    assert set(got) == set(want)
+    worst = max(abs(got[v] - want[v]) for v in got)
+    assert worst < 1e-9, worst
+
+
+def test_pagerank_conserves_mass(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ranks = g.pagerank(g.copurchase_edges(li))
+    total = ranks.agg(F.sum("r")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9  # symmetric graph: no dangling leak
+
+
+def test_copurchase_edges_symmetric_no_self_loops(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    e = g.copurchase_edges(li).cache()
+    assert e.where(F.col("src") == F.col("dst")).count() == 0
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                   "w")
+    assert e.exceptAll(rev).count() == 0  # edge set closed under reversal
+
+
+def test_part_pagerank_topk_shape(spark, sf_dir):
+    top = g.part_pagerank(spark, sf_dir, k=10).collect()
+    assert len(top) == 10
+    ranks = [r["rank"] for r in top]
+    assert ranks == sorted(ranks, reverse=True)

@@ -1310,9 +1310,25 @@ def binlog_wire_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate_evolving_frames(spark, EVOLUTION_N_ROWS).select("frame"))
 
 
+def binlog_wire_enum_set_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENUM / SET / BIT columns at the BYTE layer — types real MySQL
+    tables use that the reference cannot decode at all (SURVEY §1.2:
+    'no SET/ENUM/BIT'). ENUM/SET ride the wire as STRING with the real
+    type in TABLE_MAP meta byte 0; the decoder recovers index/bitmask
+    and the catalog layer resolves labels (the binlog never carries
+    them — the same two-layer split as column names)."""
+    from ru_cdc_spark.sources.binlog_frames import (
+        decode_esb,
+        generate_esb_frames,
+    )
+
+    return decode_esb(generate_esb_frames(spark).select("frame"))
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
+        BINLOG_ESB_ORACLE,
         BINLOG_EVOLUTION_ORACLE,
         BINLOG_MULTITABLE_ORACLE,
         BINLOG_WIRE_ORACLE,
@@ -1327,6 +1343,8 @@ def _register_binlog_wire() -> None:
              BINLOG_CDC_SNAPSHOT_ORACLE)(binlog_wire_stream_snapshot)
     register("binlog_wire_schema_evolution",
              BINLOG_EVOLUTION_ORACLE)(binlog_wire_schema_evolution)
+    register("binlog_wire_enum_set_bit",
+             BINLOG_ESB_ORACLE)(binlog_wire_enum_set_bit)
 
 
 _register_binlog_wire()

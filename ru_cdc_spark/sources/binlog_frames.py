@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ru_cdc_spark.sources.binlog_wire import (
     WRITE_ROWS_V2,
+    T_BIT,
+    T_ENUM,
+    T_SET,
     ZERO_DATE,
     ColSpec,
     T_BLOB,
@@ -574,5 +577,93 @@ SELECT i,
        'm_' || CAST(i % 500 AS VARCHAR) AS m_name,
        CASE WHEN i // {ROWS_PER_EVENT} >= {EVOLUTION_SPLIT_FRAME}
             THEN 1900 + i % 155 END AS m_year
+FROM ids
+"""
+
+
+# ---------------------------------------------------------------------------
+# ENUM / SET / BIT columns (beyond the reference's 16 supported types —
+# SURVEY §1.2 lists them as unsupported there; real MySQL tables use them)
+# ---------------------------------------------------------------------------
+
+ENUM_LABELS = ["red", "green", "blue", "black"]
+SET_LABELS = ["r", "w", "x"]
+
+ESB_COLUMNS = [
+    ("i", ColSpec(T_LONGLONG)),
+    ("color", ColSpec(T_ENUM, (1,))),   # 1-byte index (< 256 labels)
+    ("perms", ColSpec(T_SET, (1,))),    # 1-byte member bitmask
+    ("flags", ColSpec(T_BIT, (10,))),   # BIT(10): 2 bytes big-endian
+]
+ESB_SPECS = [s for _, s in ESB_COLUMNS]
+ESB_N_ROWS = 2000
+
+
+def _esb_row(i: int) -> tuple:
+    return (i, i % 4 + 1, i % 8, i % 1024)
+
+
+def generate_esb_frames(spark: SparkSession, n_rows: int = ESB_N_ROWS,
+                        n_partitions: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames = [], []
+            for fid in pdf["id"]:
+                lo = int(fid) * ROWS_PER_EVENT
+                rng = range(lo, min(lo + ROWS_PER_EVENT, n_rows))
+                if not rng:
+                    continue
+                ids.append(int(fid))
+                frames.append(encode_frame(
+                    55, "testdb", "esbtable", ESB_SPECS, WRITE_ROWS_V2,
+                    [_esb_row(i) for i in rng], log_pos=lo))
+            yield pd.DataFrame({"frame_id": ids, "frame": frames})
+
+    n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+    return (spark.range(n_frames).repartition(n_partitions)
+            .mapInPandas(gen, "frame_id long, frame binary"))
+
+
+def decode_esb(frames: DataFrame) -> DataFrame:
+    """Wire decode (index/bitmask/int) then catalog-side label
+    resolution: ENUM index -> label array lookup, SET bitmask ->
+    comma-joined member labels, BIT -> integer. The split mirrors the
+    two-layer registry: the binlog never carries labels — ``DESC`` does
+    (reference executor.rs:404-443)."""
+    from pyspark.sql import functions as F
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"i": [], "color_idx": [], "perms_mask": [], "flags": []}
+            for blob in pdf["frame"]:
+                _s, _t, _e, rows = decode_frame(bytes(blob))
+                for i, color, perms, flags in rows:
+                    out["i"].append(i)
+                    out["color_idx"].append(color)
+                    out["perms_mask"].append(perms)
+                    out["flags"].append(flags)
+            yield pd.DataFrame(out)
+
+    raw = frames.mapInPandas(
+        dec, "i long, color_idx long, perms_mask long, flags long")
+    color = F.element_at(
+        F.array(*[F.lit(x) for x in ENUM_LABELS]),
+        F.col("color_idx").cast("int"))
+    perms = F.concat_ws(",", *[
+        F.when(F.col("perms_mask").bitwiseAND(1 << b) != 0, F.lit(lab))
+        for b, lab in enumerate(SET_LABELS)])
+    return raw.select("i", color.alias("color"), perms.alias("perms"),
+                      "flags")
+
+
+BINLOG_ESB_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({ESB_N_ROWS})) AS i)
+SELECT i,
+       ['red', 'green', 'blue', 'black'][i % 4 + 1] AS color,
+       concat_ws(',',
+           CASE WHEN (i % 8) & 1 = 1 THEN 'r' END,
+           CASE WHEN (i % 8) & 2 = 2 THEN 'w' END,
+           CASE WHEN (i % 8) & 4 = 4 THEN 'x' END) AS perms,
+       i % 1024 AS flags
 FROM ids
 """

@@ -34,6 +34,13 @@ Deviation from the reference (documented, deliberate): TINY/SHORT/INT24
 decode SIGNED — the reference drops the sign (SURVEY §1.2 notes the
 lossy u8/u16 reads); MySQL's signed column types are signed on the wire.
 
+Beyond the reference's 16 types (SURVEY §1.2 lists ENUM/SET/BIT as
+unsupported there): ENUM and SET ride the wire as STRING with their real
+type in TABLE_MAP meta byte 0 and decode to the 1-based index / member
+bitmask (label resolution is the catalog's job, like column names); BIT
+carries its width split across two meta bytes (bits%8, bits//8) and its
+value big-endian — all per the public binary-log-event layouts.
+
 Scale shape: frames (one TABLE_MAP + one ROWS event, the reference's
 RowEvents pairing, executor.rs:33-48) are opaque ``binary`` cells in a
 DataFrame; decoding runs inside ``mapInPandas`` — Arrow-batched, pure
@@ -63,8 +70,11 @@ T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
 T_LONGLONG, T_INT24, T_DATE = 8, 9, 10
 T_YEAR = 13
 T_VARCHAR = 15
+T_BIT = 16
 T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 17, 18, 19
 T_NEWDECIMAL = 246
+T_ENUM = 247   # wire: appears as T_STRING with real type in meta byte 0
+T_SET = 248    # wire: same packing as ENUM
 T_BLOB = 252
 T_STRING = 254
 
@@ -350,6 +360,12 @@ def encode_value(v, spec: ColSpec) -> bytes:
     if t == T_BLOB:
         data = v if isinstance(v, bytes) else v.encode("utf-8")
         return len(data).to_bytes(spec.meta[0], "little") + data
+    if t == T_ENUM:
+        return int(v).to_bytes(spec.meta[0], "little")  # 1-based index
+    if t == T_SET:
+        return int(v).to_bytes(spec.meta[0], "little")  # member bitmask
+    if t == T_BIT:
+        return int(v).to_bytes((spec.meta[0] + 7) // 8, "big")  # BE!
     raise ValueError(f"unsupported type code {t}")
 
 
@@ -391,6 +407,12 @@ def decode_value(b: bytes, off: int, spec: ColSpec):
         n = int.from_bytes(b[off:off + ls], "little")
         off += ls
         return b[off:off + n].decode("utf-8"), off + n
+    if t in (T_ENUM, T_SET):
+        w = spec.meta[0]
+        return int.from_bytes(b[off:off + w], "little"), off + w
+    if t == T_BIT:
+        w = (spec.meta[0] + 7) // 8
+        return int.from_bytes(b[off:off + w], "big"), off + w
     raise ValueError(f"unsupported type code {t}")
 
 
@@ -427,6 +449,13 @@ def _type_meta_bytes(spec: ColSpec) -> bytes:
         return bytes([spec.meta[0]])
     if t in (T_TIME2, T_DATETIME2, T_TIMESTAMP2):
         return bytes([spec.meta[0]])
+    if t in (T_ENUM, T_SET):
+        # real packing: the type array says STRING; meta byte0 carries the
+        # REAL type (247/248), byte1 the value's packed byte width
+        return bytes([t, spec.meta[0]])
+    if t == T_BIT:
+        bits = spec.meta[0]
+        return bytes([bits % 8, bits // 8])
     return b""
 
 
@@ -438,7 +467,9 @@ def encode_table_map(table_id: int, schema: str, table: str,
     p += bytes([len(sb)]) + sb + b"\x00"
     p += bytes([len(tb)]) + tb + b"\x00"
     p += write_lenenc(len(specs))
-    p += bytes(s.type_code for s in specs)
+    # ENUM/SET ride the wire as STRING; their real type lives in the meta
+    p += bytes(T_STRING if s.type_code in (T_ENUM, T_SET) else s.type_code
+               for s in specs)
     meta = b"".join(_type_meta_bytes(s) for s in specs)
     p += write_lenenc(len(meta)) + meta
     # nullability bitmap: every column nullable (partial final byte)
@@ -481,14 +512,20 @@ def decode_table_map(b: bytes) -> tuple[int, str, str, list[ColSpec]]:
             specs.append(ColSpec(t, (int.from_bytes(meta[mp:mp + 2], "little"),)))
             mp += 2
         elif t == T_STRING:
-            # inverse of the CHAR packing above: high length bits live
-            # (inverted) in bits 4-5 of byte 0
             m0, m1 = meta[mp], meta[mp + 1]
-            if (m0 & 0x30) != 0x30:
-                length = m1 | (((m0 & 0x30) ^ 0x30) << 4)
+            if m0 in (T_ENUM, T_SET):
+                # meta byte0 carries the REAL type for ENUM/SET columns
+                specs.append(ColSpec(m0, (m1,)))
+            elif (m0 & 0x30) != 0x30:
+                # inverse of the CHAR packing above: high length bits
+                # live (inverted) in bits 4-5 of byte 0
+                specs.append(ColSpec(t, (m1 | (((m0 & 0x30) ^ 0x30) << 4),)))
             else:
-                length = m1
-            specs.append(ColSpec(t, (length,)))
+                specs.append(ColSpec(t, (m1,)))
+            mp += 2
+        elif t == T_BIT:
+            m0, m1 = meta[mp], meta[mp + 1]
+            specs.append(ColSpec(t, (m1 * 8 + m0,)))
             mp += 2
         elif t == T_BLOB:
             specs.append(ColSpec(t, (meta[mp],)))

@@ -147,3 +147,46 @@ def test_mismatched_specs_raise():
     ev = w.encode_rows_event(w.WRITE_ROWS_V2, 42, SPECS, rows)
     with pytest.raises(ValueError, match="catalog drift"):
         w.decode_rows_event(ev, SPECS[:-1])
+
+
+# ---------------------------------------------------------------------------
+# ENUM / SET / BIT (beyond the reference's 16 types)
+# ---------------------------------------------------------------------------
+
+
+def test_enum_set_bit_value_codecs():
+    # ENUM: 1-based index, little-endian in its packed width
+    assert w.encode_value(3, w.ColSpec(w.T_ENUM, (1,))) == b"\x03"
+    assert w.encode_value(300, w.ColSpec(w.T_ENUM, (2,))) == b"\x2c\x01"
+    v, off = w.decode_value(b"\x2c\x01", 0, w.ColSpec(w.T_ENUM, (2,)))
+    assert (v, off) == (300, 2)
+    # SET: member bitmask
+    assert w.encode_value(0b101, w.ColSpec(w.T_SET, (1,))) == b"\x05"
+    # BIT: big-endian, ceil(bits/8) bytes — BIT(10) -> 2 bytes
+    assert w.encode_value(0x2FF, w.ColSpec(w.T_BIT, (10,))) == b"\x02\xff"
+    v, off = w.decode_value(b"\x02\xff", 0, w.ColSpec(w.T_BIT, (10,)))
+    assert (v, off) == (0x2FF, 2)
+
+
+def test_enum_set_ride_wire_as_string_with_real_type_in_meta():
+    specs = [w.ColSpec(w.T_ENUM, (1,)), w.ColSpec(w.T_SET, (2,)),
+             w.ColSpec(w.T_BIT, (10,)), w.ColSpec(w.T_STRING, (20,))]
+    tm = w.encode_table_map(9, "db", "t", specs)
+    # the on-wire column-type array shows STRING for ENUM/SET, BIT for BIT
+    _, _, _, decoded = w.decode_table_map(tm)
+    assert decoded == specs  # real types + widths recovered from meta
+    # and a full frame roundtrips through that TABLE_MAP
+    rows = [(2, 0b11, 777, "ch"), (1, 0, 0, "x" * 20)]
+    frame = w.encode_frame(9, "db", "t", specs, w.WRITE_ROWS_V2, rows)
+    _, _, _, out = w.decode_frame(frame)
+    assert out == rows
+
+
+def test_bit_widths_1_to_64_roundtrip():
+    for bits in (1, 7, 8, 9, 16, 33, 64):
+        spec = w.ColSpec(w.T_BIT, (bits,))
+        val = (1 << bits) - 1
+        enc = w.encode_value(val, spec)
+        assert len(enc) == (bits + 7) // 8
+        v, _ = w.decode_value(enc, 0, spec)
+        assert v == val, bits

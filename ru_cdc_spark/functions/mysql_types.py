@@ -109,3 +109,26 @@ def year_to_short(col: Column) -> Column:
     """YEAR wire value -> ShortType (1900 + u8 on the wire, binlog.rs:298-301;
     from JSON we receive the 4-digit year string)."""
     return col.cast(T.ShortType())
+
+
+def reinterpret_unsigned(col: Column, byte_width: int) -> Column:
+    """UNSIGNED column semantics the reference LOSES (SURVEY §1.2: its
+    TINY/SHORT reads drop the sign outright, and signedness is not on
+    the wire at all — MySQL puts it in the catalog, ``DESC``'s
+    ``... unsigned`` suffix). The binlog value decodes SIGNED
+    (binlog_wire policy); this reinterprets the two's-complement bits as
+    the unsigned value when the catalog says so.
+
+    Widths 1-4 fit in LongType via a bitmask; width 8 (BIGINT UNSIGNED)
+    exceeds int64 and comes back as DECIMAL(20,0) — exact, as MySQL
+    clients surface it."""
+    from pyspark.sql import functions as F
+
+    if byte_width < 8:
+        return col.bitwiseAND((1 << (8 * byte_width)) - 1)
+    if byte_width == 8:
+        two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+        wide = col.cast("decimal(21,0)")
+        return (F.when(col < 0, wide + two64).otherwise(wide)
+                .cast("decimal(20,0)"))
+    raise ValueError(f"unsupported integer width {byte_width}")

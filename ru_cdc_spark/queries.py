@@ -812,6 +812,45 @@ def catalog_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mysql_unsigned_semantics",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ((l_orderkey % 256) - 128) & 255 AS u1,
+           ((l_partkey % 65536) - 32768) & 65535 AS u2,
+           (((l_suppkey * 2654435761) % 4294967296) - 2147483648)
+               & 4294967295 AS u4,
+           CASE WHEN l_orderkey * -7 < 0
+                THEN CAST(CAST(l_orderkey * -7 AS HUGEINT)
+                          + 18446744073709551616 AS VARCHAR)
+                ELSE CAST(l_orderkey * -7 AS VARCHAR) END AS u8
+    FROM lineitem
+    """,
+)
+def mysql_unsigned_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSIGNED column reinterpretation — the sign information the
+    reference LOSES (SURVEY §1.2 flags its lossy u8/u16 reads; real
+    signedness lives in the catalog, not the binlog). Signed wire values
+    of every MySQL integer width reinterpreted via
+    functions.mysql_types.reinterpret_unsigned: widths 1-4 by bitmask
+    (codegen'd, narrow), width 8 exactly as DECIMAL(20,0) because BIGINT
+    UNSIGNED exceeds int64."""
+    from ru_cdc_spark.functions.mysql_types import reinterpret_unsigned
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s1 = (F.col("l_orderkey") % 256 - 128).cast("long")
+    s2 = (F.col("l_partkey") % 65536 - 32768).cast("long")
+    s4 = ((F.col("l_suppkey") * 2654435761) % 4294967296
+          - 2147483648).cast("long")
+    s8 = (F.col("l_orderkey") * -7).cast("long")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        reinterpret_unsigned(s1, 1).alias("u1"),
+        reinterpret_unsigned(s2, 2).alias("u2"),
+        reinterpret_unsigned(s4, 4).alias("u4"),
+        reinterpret_unsigned(s8, 8).cast("string").alias("u8"))
+
+
+@register(
     "mysql_type_semantics",
     """
     SELECT l_orderkey, l_linenumber,

@@ -145,3 +145,29 @@ def test_jdbc_type_code(mysql_type, code):
 ])
 def test_mysql_type_to_spark(mysql_type, spark_name):
     assert mysql_type_to_spark(mysql_type).simpleString() == spark_name
+
+
+def test_reinterpret_unsigned_all_widths(spark):
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.functions.mysql_types import reinterpret_unsigned
+
+    df = spark.createDataFrame(
+        [(-128, -32768, -2147483648, -1), (127, 32767, 2147483647, -7),
+         (-1, -1, -1, 9223372036854775807)],
+        "t long, s long, i long, b long")
+    out = df.select(
+        reinterpret_unsigned(F.col("t"), 1).alias("u1"),
+        reinterpret_unsigned(F.col("s"), 2).alias("u2"),
+        reinterpret_unsigned(F.col("i"), 4).alias("u4"),
+        reinterpret_unsigned(F.col("b"), 8).cast("string").alias("u8"),
+    ).collect()
+    assert (out[0]["u1"], out[0]["u2"], out[0]["u4"]) == (
+        128, 32768, 2147483648)
+    assert out[0]["u8"] == "18446744073709551615"   # -1 -> 2^64 - 1
+    assert (out[1]["u1"], out[1]["u2"], out[1]["u4"]) == (
+        127, 32767, 2147483647)                     # positives unchanged
+    assert out[1]["u8"] == "18446744073709551609"   # -7
+    assert (out[2]["u1"], out[2]["u2"], out[2]["u4"]) == (
+        255, 65535, 4294967295)
+    assert out[2]["u8"] == "9223372036854775807"    # max int64 unchanged

@@ -132,8 +132,8 @@ def txn_event_bytes(tid: int) -> bytes:
 
 
 def generate_txn_segments(spark: SparkSession, n_txns: int = N_TXNS,
-                          txns_per_segment: int = TXNS_PER_SEGMENT
-                          ) -> DataFrame:
+                          txns_per_segment: int = TXNS_PER_SEGMENT,
+                          n_partitions: int = 8) -> DataFrame:
     """Binlog segments (one binary blob each = one binlog file's ordered
     event bytes). Segment boundaries fall only between transactions —
     MySQL's rotation contract — which is what licenses the parallel
@@ -153,7 +153,7 @@ def generate_txn_segments(spark: SparkSession, n_txns: int = N_TXNS,
                 blobs.append(blob)
             yield pd.DataFrame({"segment_id": sids, "blob": blobs})
 
-    return (spark.range(n_segments).repartition(8)
+    return (spark.range(n_segments).repartition(n_partitions)
             .mapInPandas(gen, "segment_id long, blob binary"))
 
 

@@ -216,3 +216,48 @@ def test_string_roundtrip_property(s, wide):
         return
     got, _ = bw.decode_value(bw.encode_value(s, spec), 0, spec)
     assert got == s
+
+
+@given(bits=st.integers(min_value=1, max_value=64), data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_bit_roundtrip_property(bits, data):
+    v = data.draw(st.integers(min_value=0, max_value=(1 << bits) - 1))
+    spec = bw.ColSpec(bw.T_BIT, (bits,))
+    got, off = bw.decode_value(bw.encode_value(v, spec), 0, spec)
+    assert got == v and off == (bits + 7) // 8
+
+
+@given(width=st.integers(min_value=1, max_value=2), data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_enum_set_roundtrip_property(width, data):
+    v = data.draw(st.integers(min_value=0, max_value=(1 << 8 * width) - 1))
+    for t in (bw.T_ENUM, bw.T_SET):
+        spec = bw.ColSpec(t, (width,))
+        got, _ = bw.decode_value(bw.encode_value(v, spec), 0, spec)
+        assert got == v
+
+
+@given(gno=st.integers(min_value=1, max_value=(1 << 62)),
+       lc=st.integers(min_value=0, max_value=(1 << 62)),
+       sn=st.integers(min_value=0, max_value=(1 << 62)),
+       sid=st.binary(min_size=16, max_size=16),
+       flag=st.integers(min_value=0, max_value=1))
+@settings(max_examples=200, deadline=None)
+def test_gtid_roundtrip_property(gno, lc, sn, sid, flag):
+    g = bw.decode_gtid(bw.encode_gtid(sid, gno, lc, sn, flag))
+    assert g == {"commit_flag": flag, "sid": sid, "gno": gno,
+                 "last_committed": lc, "sequence_number": sn}
+
+
+@given(sql=st.text(max_size=200), schema=st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_query_event_roundtrip_property(sql, schema):
+    if len(schema.encode()) > 255:
+        return
+    assert bw.decode_query(bw.encode_query(sql, schema)) == (schema, sql)
+
+
+@given(xid=st.integers(min_value=0, max_value=(1 << 64) - 1))
+@settings(max_examples=200, deadline=None)
+def test_xid_roundtrip_property(xid):
+    assert bw.decode_xid(bw.encode_xid(xid)) == xid

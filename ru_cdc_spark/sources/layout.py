@@ -100,3 +100,56 @@ def write_zordered(df: DataFrame, path: str, by: list[str],
         .drop("__z")
         .write.mode("overwrite").parquet(path)
     )
+
+
+def compact_files(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
+                  preserve_cluster: list[str] | None = None) -> dict:
+    """OPTIMIZE-style small-file compaction: rewrite a parquet directory
+    into ceil(total_bytes / target_bytes) files, atomically.
+
+    Streaming sinks and frequent small merges leave thousands of tiny
+    files; at 100 TB that means task-scheduling overhead and footer reads
+    dominating scans (every file costs a driver listing entry, an open,
+    and a footer parse). Compaction restores scan efficiency without
+    changing a single row.
+
+    * bin count from ACTUAL on-disk bytes (os.walk), not row counts —
+      the quantity that matters to the scheduler;
+    * ``preserve_cluster`` re-range-partitions on the cluster key so
+      compaction KEEPS skipping power (plain coalesce would interleave
+      ranges and destroy footer stats); otherwise ``coalesce`` avoids
+      any shuffle at all;
+    * atomic swap: rewrite to ``path.__compact__``, then directory
+      rename — readers see the old or the new layout, never a mix (the
+      single-writer analogue of a table-format commit; with a real table
+      format this is OPTIMIZE's snapshot swap).
+
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    import os
+    import shutil
+
+    def _parquet_files(p):
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [os.path.join(root, f) for f in files
+                    if f.endswith(".parquet")]
+        return out
+
+    before = _parquet_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact__"
+    if preserve_cluster:
+        (df.repartitionByRange(n_files, *preserve_cluster)
+         .sortWithinPartitions(*preserve_cluster)
+         .write.mode("overwrite").parquet(tmp))
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": len(before),
+            "files_after": len(_parquet_files(path)), "bytes": total}

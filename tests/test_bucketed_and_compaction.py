@@ -58,3 +58,59 @@ def test_compaction_drops_only_settled_tombstones(spark):
     late = _changes(spark, [(8, "INSERT", (3, "zombie"))])
     after = merge_versioned(compacted, late, ["k"])
     assert snapshot_view(after).where("k = 3").count() == 0
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, sf_dir, tmp_path):
+    from ru_cdc_spark.sources.layout import compact_files
+
+    src = str(tmp_path / "frag")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(64).write.parquet(src)   # fragment: 64 tiny files
+    before = orders.count()
+
+    stats = compact_files(spark, src, target_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 64
+    after_df = spark.read.parquet(src)
+    assert after_df.count() == before
+    assert set(after_df.columns) == set(orders.columns)
+    import os
+    assert not os.path.exists(src + ".__old__")     # swap fully cleaned
+    assert not os.path.exists(src + ".__compact__")
+
+
+def test_compact_files_preserving_cluster_keeps_disjoint_ranges(
+        spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ru_cdc_spark.sources.layout import compact_files
+
+    import os
+
+    src = str(tmp_path / "fragc")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(32).write.parquet(src)
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(src) for f in fs
+                if f.endswith(".parquet"))
+    # target ~ a third of the payload: forces >= 3 compacted files at any
+    # scale factor
+    compact_files(spark, src, target_bytes=total // 3,
+                  preserve_cluster=["o_orderkey"])
+    ranges = []
+    for root, _d, files in os.walk(src):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(root, f))
+            idx = md.schema.names.index("o_orderkey")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "compacted files overlap on the cluster key"

@@ -1364,10 +1364,27 @@ def binlog_wire_enum_set_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_esb(generate_esb_frames(spark).select("frame"))
 
 
+def binlog_wire_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL BINARY JSON columns (type 245) end to end — a column type
+    the reference cannot decode ('no JSON column type', SURVEY §1.2):
+    the pre-parsed binary tree format (inline scalars, offset tables,
+    canonical key order) decoded to JSON text inside the distributed
+    byte decode, then queried with Spark's native get_json_object
+    (JVM-side path extraction). sources/mysql_json.py documents the
+    layout."""
+    from ru_cdc_spark.sources.binlog_frames import (
+        decode_json_frames,
+        generate_json_frames,
+    )
+
+    return decode_json_frames(generate_json_frames(spark).select("frame"))
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
         BINLOG_ESB_ORACLE,
+        BINLOG_JSON_ORACLE,
         BINLOG_EVOLUTION_ORACLE,
         BINLOG_MULTITABLE_ORACLE,
         BINLOG_WIRE_ORACLE,
@@ -1384,6 +1401,7 @@ def _register_binlog_wire() -> None:
              BINLOG_EVOLUTION_ORACLE)(binlog_wire_schema_evolution)
     register("binlog_wire_enum_set_bit",
              BINLOG_ESB_ORACLE)(binlog_wire_enum_set_bit)
+    register("binlog_wire_json", BINLOG_JSON_ORACLE)(binlog_wire_json)
 
 
 _register_binlog_wire()

@@ -30,6 +30,7 @@ from ru_cdc_spark.sources.binlog_wire import (
     WRITE_ROWS_V2,
     T_BIT,
     T_ENUM,
+    T_JSON,
     T_SET,
     ZERO_DATE,
     ColSpec,
@@ -665,5 +666,91 @@ SELECT i,
            CASE WHEN (i % 8) & 2 = 2 THEN 'w' END,
            CASE WHEN (i % 8) & 4 = 4 THEN 'x' END) AS perms,
        i % 1024 AS flags
+FROM ids
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON columns (type 245 — reference: "no JSON column type", SURVEY §1.2)
+# ---------------------------------------------------------------------------
+
+JSON_COLUMNS = [
+    ("i", ColSpec(T_LONGLONG)),
+    ("doc", ColSpec(T_JSON, (2,))),
+]
+JSON_SPECS = [s for _, s in JSON_COLUMNS]
+JSON_N_ROWS = 2000
+
+
+def _json_doc(i: int) -> dict:
+    # canonical key order (len, bytes): id, tag, meta, vals — what the
+    # binary encoder stores and the decoder re-emits
+    return {
+        "id": i,
+        "tag": f"t_{i % 50}",
+        "meta": {"ok": None if i % 5 == 0 else True},
+        "vals": [i % 7, i % 2 == 0],
+    }
+
+
+def generate_json_frames(spark: SparkSession, n_rows: int = JSON_N_ROWS,
+                         n_partitions: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames = [], []
+            for fid in pdf["id"]:
+                lo = int(fid) * ROWS_PER_EVENT
+                rng = range(lo, min(lo + ROWS_PER_EVENT, n_rows))
+                if not rng:
+                    continue
+                ids.append(int(fid))
+                frames.append(encode_frame(
+                    56, "testdb", "jsontable", JSON_SPECS, WRITE_ROWS_V2,
+                    [(i, _json_doc(i)) for i in rng], log_pos=lo))
+            yield pd.DataFrame({"frame_id": ids, "frame": frames})
+
+    n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+    return (spark.range(n_frames).repartition(n_partitions)
+            .mapInPandas(gen, "frame_id long, frame binary"))
+
+
+def decode_json_frames(frames: DataFrame) -> DataFrame:
+    """Binary JSON documents decoded to canonical text, then queried with
+    Spark's NATIVE JSON functions (get_json_object — JVM-side, codegen):
+    the handoff a CDC consumer needs is wire bytes -> JSON text -> SQL
+    path extraction, all inside the engine."""
+    from pyspark.sql import functions as F
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"i": [], "doc": []}
+            for blob in pdf["frame"]:
+                _s, _t, _e, rows = decode_frame(bytes(blob))
+                for i, doc in rows:
+                    out["i"].append(i)
+                    out["doc"].append(doc)
+            yield pd.DataFrame(out)
+
+    raw = frames.mapInPandas(dec, "i long, doc string")
+    return raw.select(
+        "i", "doc",
+        F.get_json_object("doc", "$.id").cast("long").alias("jid"),
+        F.get_json_object("doc", "$.tag").alias("tag"),
+        F.get_json_object("doc", "$.vals[0]").cast("long").alias("v0"))
+
+
+BINLOG_JSON_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({JSON_N_ROWS})) AS i)
+SELECT i,
+       '{{"id":' || CAST(i AS VARCHAR)
+         || ',"tag":"t_' || CAST(i % 50 AS VARCHAR)
+         || '","meta":{{"ok":'
+         || CASE WHEN i % 5 = 0 THEN 'null' ELSE 'true' END
+         || '}},"vals":[' || CAST(i % 7 AS VARCHAR) || ','
+         || CASE WHEN i % 2 = 0 THEN 'true' ELSE 'false' END
+         || ']}}' AS doc,
+       i AS jid,
+       't_' || CAST(i % 50 AS VARCHAR) AS tag,
+       i % 7 AS v0
 FROM ids
 """

@@ -72,6 +72,7 @@ T_YEAR = 13
 T_VARCHAR = 15
 T_BIT = 16
 T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 17, 18, 19
+T_JSON = 245   # binary JSON document, BLOB-framed (sources/mysql_json.py)
 T_NEWDECIMAL = 246
 T_ENUM = 247   # wire: appears as T_STRING with real type in meta byte 0
 T_SET = 248    # wire: same packing as ENUM
@@ -360,6 +361,11 @@ def encode_value(v, spec: ColSpec) -> bytes:
     if t == T_BLOB:
         data = v if isinstance(v, bytes) else v.encode("utf-8")
         return len(data).to_bytes(spec.meta[0], "little") + data
+    if t == T_JSON:
+        from ru_cdc_spark.sources.mysql_json import encode_json
+
+        data = encode_json(v)
+        return len(data).to_bytes(spec.meta[0], "little") + data
     if t == T_ENUM:
         return int(v).to_bytes(spec.meta[0], "little")  # 1-based index
     if t == T_SET:
@@ -407,6 +413,13 @@ def decode_value(b: bytes, off: int, spec: ColSpec):
         n = int.from_bytes(b[off:off + ls], "little")
         off += ls
         return b[off:off + n].decode("utf-8"), off + n
+    if t == T_JSON:
+        from ru_cdc_spark.sources.mysql_json import decode_json_text
+
+        ls = spec.meta[0]
+        n = int.from_bytes(b[off:off + ls], "little")
+        off += ls
+        return decode_json_text(b[off:off + n]), off + n
     if t in (T_ENUM, T_SET):
         w = spec.meta[0]
         return int.from_bytes(b[off:off + w], "little"), off + w
@@ -445,7 +458,7 @@ def _type_meta_bytes(spec: ColSpec) -> bytes:
         length = spec.meta[0]
         m0 = T_STRING ^ ((length >> 4) & 0x30)
         return bytes([m0, length & 0xFF])
-    if t == T_BLOB:
+    if t in (T_BLOB, T_JSON):
         return bytes([spec.meta[0]])
     if t in (T_TIME2, T_DATETIME2, T_TIMESTAMP2):
         return bytes([spec.meta[0]])
@@ -527,7 +540,7 @@ def decode_table_map(b: bytes) -> tuple[int, str, str, list[ColSpec]]:
             m0, m1 = meta[mp], meta[mp + 1]
             specs.append(ColSpec(t, (m1 * 8 + m0,)))
             mp += 2
-        elif t == T_BLOB:
+        elif t in (T_BLOB, T_JSON):
             specs.append(ColSpec(t, (meta[mp],)))
             mp += 1
         elif t in (T_TIME2, T_DATETIME2, T_TIMESTAMP2):

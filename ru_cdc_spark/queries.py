@@ -667,6 +667,91 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("prior_value").alias("max_prior")))
 
 
+@register(
+    "events_stream_left_outer_join",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+    ), pairs AS (
+        SELECT e1.event_id, e2.value AS prior_value
+        FROM e e1 LEFT JOIN e e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts >= e1.ts - INTERVAL 30 MINUTE
+         AND e2.ts <  e1.ts
+    )
+    SELECT event_id, COUNT(prior_value) AS n_prior,
+           MAX(prior_value) AS max_prior
+    FROM pairs GROUP BY event_id
+    """,
+)
+def events_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join: unlike the inner variant
+    (which emits matches as they arrive), outer rows can only emit as
+    NULL-padded once the watermark proves no future match exists — state
+    eviction IS the emission trigger. An unbounded stream therefore never
+    flushes its tail; this query drives the flush deterministically with
+    an end-of-stream FENCE row (far-future event time, non-joining key) in
+    a separate file: maxFilesPerTrigger=1 puts the fence in its own
+    micro-batch, its event time advances the global watermark past every
+    real row's join horizon, and availableNow keeps running batches while
+    stateful operators still need eviction work. Every real event then
+    reaches the sink exactly once — matched or NULL-padded — and the
+    batch-side aggregate hash-matches the plain LEFT JOIN oracle.
+
+    This is the streaming form of the CDC "no-activity timeout" problem:
+    at 100 TB/day the fence is a per-source heartbeat row, the standard
+    production fix for watermark stall on quiet partitions."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ru_cdc_spark.streaming.joins import stream_interval_join
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = isinstance(batch_schema["ts"].dataType, T.LongType)
+    work = tempfile.mkdtemp(prefix="stream_loj_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{work}/a_events.parquet")
+        batch = spark.read.parquet(f"{work}/a_events.parquet")
+        # fence horizon: watermark (2h) + lookback (30m) + 1h margin
+        fence = batch.orderBy(F.col("ts").desc()).limit(1).select(
+            F.lit(-1).cast(batch_schema["event_id"].dataType).alias("event_id"),
+            (F.col("ts") + (F.lit((2 * 3600 + 1800 + 3600) * 10**9)
+                            if ts_is_long
+                            else F.expr("INTERVAL '4:30' HOUR TO MINUTE"))
+             ).alias("ts"),
+            *[F.col(f.name) for f in batch_schema
+              if f.name not in ("event_id", "ts", "user_id")],
+            F.lit(-1).cast(batch_schema["user_id"].dataType).alias("user_id"),
+        ).select(*[f.name for f in batch_schema])
+        fence.coalesce(1).write.mode("append").parquet(work)
+
+        raw = (spark.readStream.schema(batch_schema)
+               .option("maxFilesPerTrigger", "1").parquet(work))
+        if ts_is_long:
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        left = raw.select("event_id", "user_id", "ts")
+        right = raw.select("user_id", F.col("ts").alias("rts"),
+                           F.col("value").alias("prior_value"))
+        joined = stream_interval_join(
+            left, right, key="user_id", left_ts="ts", right_ts="rts",
+            lookback="30 minutes", watermark="2 hours", how="left_outer")
+        q = (joined.writeStream.format("memory").queryName("__loj_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return (spark.table("__loj_stream")
+                .where(F.col("event_id") >= 0)
+                .groupBy("event_id")
+                .agg(F.count("prior_value").alias("n_prior"),
+                     F.max("prior_value").alias("max_prior")))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ===========================================================================
 # Dedup suite (north-star: LLM-training-data pipeline operators)
 # ===========================================================================

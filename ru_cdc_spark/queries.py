@@ -121,6 +121,43 @@ def cdc_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_debezium_roundtrip",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT id, type, es,
+           b_orderkey, b_custkey, b_orderstatus,
+           CAST(CAST(b_totalprice AS VARCHAR) AS DOUBLE) AS b_totalprice,
+           b_orderdate, b_orderpriority,
+           a_orderkey, a_custkey, a_orderstatus,
+           CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS a_totalprice,
+           a_orderdate, a_orderpriority
+    FROM changes
+    """,
+)
+def cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-format interop (sources/debezium.py): the typed change
+    stream encodes to Debezium `{before, after, source, op, ts_ms, txId}`
+    JSON payloads and parses back through the catalog row schema into the
+    unified change model — byte-exact against the same oracle as
+    cdc_change_stream, proving the engine speaks BOTH standard MySQL CDC
+    wire formats (Canal via the envelope/pipeline path, Debezium here)
+    with no loss through the JSON boundary (decimals stay exact, NTZ
+    timestamps survive the ISO round-trip). Pure to_json/from_json
+    codegen — no shuffle, no Python."""
+    from ru_cdc_spark.sources.debezium import (
+        changes_to_debezium,
+        debezium_to_changes,
+    )
+
+    changes = derive_order_changes(spark, sf_dir)
+    row_schema = changes.schema["after"].dataType
+    payloads = changes_to_debezium(changes, ORDERS_DATABASE, ORDERS_TABLE)
+    decoded = debezium_to_changes(payloads.select("payload"), row_schema)
+    return decoded.selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")
+    ])
+
+
+@register(
     "cdc_envelope",
     ORDER_CHANGES_ORACLE_CTE + """
     SELECT id,

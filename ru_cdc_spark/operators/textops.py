@@ -676,3 +676,111 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM toks t LEFT JOIN vocab v USING (term)
 GROUP BY doc_id
 """
+
+
+# ===========================================================================
+# BM25 document search
+# ===========================================================================
+
+BM25_TERMS = ["join", "window", "merge"]
+
+
+def bm25_search(spark: SparkSession, sf_dir: str,
+                terms: list[str] | None = None, top_k: int = 10) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed query-term set — the
+    canonical text-retrieval scorer, in a division-exact rational form so
+    the score is bit-identical on any engine (the repo's numeric policy,
+    SCALE.md): the log-idf is replaced by its monotone rational core
+    (N - df + 0.5)/(df + 0.5) written as exact-integer (2(N-df)+1)/(2df+1),
+    the length norm doc_len/avg_len becomes the single exact division
+    (doc_len*N)/total_len, and every +,*,/ is IEEE-correctly-rounded with
+    the SAME expression tree on both engines. k1=1.2, b=0.75. A term
+    absent from a doc contributes exactly 0.0 (no CASE needed: tf=0 zeroes
+    the numerator), and zero-score docs are excluded.
+
+    Scale: one (doc_id) shuffle builds per-doc term frequencies with
+    map-side combine; corpus statistics travel as a 1-row broadcast cross
+    join (never .collect()); the final top-k is TakeOrderedAndProject —
+    no global sort of the corpus.
+    """
+    terms = terms or BM25_TERMS
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    per_doc = words.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"tf{i}")
+          for i, t in enumerate(terms)],
+        F.count("*").alias("doc_len"),
+    )
+    stats = per_doc.agg(
+        F.sum("doc_len").alias("total_len"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+          for i in range(len(terms))],
+    ).crossJoin(
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs")))
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    ratio = ((F.col("doc_len") * F.col("n_docs")).cast("double")
+             / F.col("total_len").cast("double"))
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = ((F.lit(2) * (F.col("n_docs") - F.col(f"df{i}")) + F.lit(1))
+               .cast("double")
+               / (F.lit(2) * F.col(f"df{i}") + F.lit(1)).cast("double"))
+        denom = tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * ratio)
+        return idf * ((tf * F.lit(2.2)) / denom)
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    ranked = (scored.select("doc_id", score.alias("score"))
+              .where(F.col("score") > 0)
+              .orderBy(F.desc("score"), F.asc("doc_id"))
+              .limit(top_k))
+    return ranked.select(
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rank"),
+        "doc_id", "score")
+
+
+def _bm25_sql(terms: list[str], top_k: int = 10) -> str:
+    tf_cols = ",\n           ".join(
+        f"SUM(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ",\n           ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    term_scores = " + ".join(
+        f"((CAST(2*(n_docs - df{i}) + 1 AS DOUBLE) / CAST(2*df{i} + 1 AS DOUBLE))"
+        f" * ((CAST(tf{i} AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+        f" / (CAST(tf{i} AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+        f" * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+        f" * (CAST(doc_len * n_docs AS DOUBLE) / CAST(total_len AS DOUBLE))))))"
+        for i in range(len(terms)))
+    return f"""
+WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+per_doc AS (
+    SELECT doc_id,
+           {tf_cols},
+           COUNT(*) AS doc_len
+    FROM w GROUP BY doc_id
+),
+stats AS (
+    SELECT SUM(doc_len) AS total_len,
+           {df_cols}
+    FROM per_doc
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, {term_scores} AS score
+    FROM per_doc, stats, nd
+)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {top_k}
+"""
+
+
+TEXT_BM25_SEARCH_SQL = _bm25_sql(BM25_TERMS)

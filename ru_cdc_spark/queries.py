@@ -845,6 +845,7 @@ register("corpus_dedup_retain",
          _dd.CORPUS_DEDUP_RETAIN_SQL)(_dd.corpus_dedup_retain)
 register("text_tfidf_top_terms", _tx.TFIDF_TOP_TERMS_SQL)(_tx.tfidf_top_terms)
 register("text_posting_lists", _tx.POSTING_LISTS_SQL)(_tx.posting_lists)
+register("text_bm25_search", _tx.TEXT_BM25_SEARCH_SQL)(_tx.bm25_search)
 
 from ru_cdc_spark.operators import sketch as _sk  # noqa: E402
 

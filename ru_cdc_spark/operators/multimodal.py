@@ -202,3 +202,91 @@ SELECT doc_id, modality, CAST(gs.i AS INT) AS frame_idx,
 FROM f CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) gs
 WHERE gs.i < k
 """
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, new_width long, "
+    "new_height long, out_bytes long, resized_sha string"
+)
+
+RESIZE_MAX_DIM = 256
+
+
+def resize_images(docs_with_payload: DataFrame,
+                  max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
+    """Image resize as a mapInPandas batch operator: fit each image inside
+    ``max_dim`` preserving aspect ratio (never upscale). A real
+    implementation calls PIL's ``thumbnail`` on the payload bytes
+    (unavailable in this container); the *resize plan* is real and exact:
+    source dims come from the deterministic fake decode, target dims are
+    pure integer math — floor((side * max_dim) / longest), min 1 — and the
+    output carries the resized byte budget (w*h*3 RGB) plus a content
+    fingerprint of (source sha, target dims). Only images flow in;
+    audio/video rows are filtered BEFORE the Arrow boundary so the UDF
+    never sees them.
+
+    Scale: narrow partition-parallel batches; payload bytes stay inside
+    the executor — downstream ships 6 ints + a hash per image.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "new_width", "new_height",
+                "out_bytes", "resized_sha")}
+            for doc_id, payload, sha in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["sha"]):
+                h = int(hashlib.md5(bytes(payload)).hexdigest()[:8], 16)
+                w, hh = 64 + h % 1024, 64 + (h // 1024) % 1024
+                m = max(w, hh)
+                if m > max_dim:
+                    nw = max(1, (w * max_dim) // m)
+                    nh = max(1, (hh * max_dim) // m)
+                else:
+                    nw, nh = w, hh
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(hh)
+                rows["new_width"].append(nw)
+                rows["new_height"].append(nh)
+                rows["out_bytes"].append(nw * nh * 3)
+                rows["resized_sha"].append(
+                    hashlib.md5(f"{sha}:{nw}x{nh}".encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    flat = docs_with_payload.where(
+        F.col("meta.modality") == "image").select(
+        "doc_id", "payload", F.col("meta.sha").alias("sha"))
+    return flat.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-plan query over the multimodal table (deterministic fake
+    decode => full SQL oracle despite the mapInPandas execution)."""
+    with_payload = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return resize_images(with_payload)
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH img AS (
+    SELECT doc_id, md5(text) AS sha,
+           CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h
+    FROM documents WHERE doc_id % 3 = 0
+), dims AS (
+    SELECT doc_id, sha, 64 + h % 1024 AS w, 64 + (h // 1024) % 1024 AS hh
+    FROM img
+), r AS (
+    SELECT doc_id, sha, w, hh,
+           CASE WHEN GREATEST(w, hh) > {RESIZE_MAX_DIM}
+                THEN GREATEST(1, (w * {RESIZE_MAX_DIM}) // GREATEST(w, hh))
+                ELSE w END AS nw,
+           CASE WHEN GREATEST(w, hh) > {RESIZE_MAX_DIM}
+                THEN GREATEST(1, (hh * {RESIZE_MAX_DIM}) // GREATEST(w, hh))
+                ELSE hh END AS nh
+    FROM dims
+)
+SELECT doc_id, w AS width, hh AS height, nw AS new_width, nh AS new_height,
+       nw * nh * 3 AS out_bytes,
+       md5(sha || ':' || nw || 'x' || nh) AS resized_sha
+FROM r
+"""

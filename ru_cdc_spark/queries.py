@@ -857,6 +857,7 @@ register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)
 register("multimodal_decode_stub", None)(_mm.multimodal_decode_stub)
 register("multimodal_frame_sample",
          _mm.MULTIMODAL_FRAME_SAMPLE_SQL)(_mm.multimodal_frame_sample)
+register("multimodal_resize", _mm.MULTIMODAL_RESIZE_SQL)(_mm.multimodal_resize)
 
 from ru_cdc_spark.operators import graph as _gr  # noqa: E402
 

@@ -902,6 +902,55 @@ _register_bucketed()
 
 
 @register(
+    "partition_pruned_scan",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style directory-partition pruning (sources/layout.
+    write_hive_partitioned): orders lands partitioned by o_orderpriority
+    (one `o_orderpriority=X/` directory per value), and the filtered read
+    prunes non-matching directories at PLANNING time — the scan's
+    `PartitionFilters` eliminates 4/5 of the dataset without listing a
+    file (stronger than `PushedFilters`, which still opens footers).
+    Result hash-matches the unpartitioned oracle: partitioning is pure
+    layout, never semantics.
+
+    At 100 TB: partition on the dominant access dimension, keep the
+    partition count in 10^3-10^5, cluster within partitions for secondary
+    predicates (write_clustered / write_zordered)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ru_cdc_spark.sources.layout import write_hive_partitioned
+
+    work = tempfile.mkdtemp(prefix="hive_part_")
+    try:
+        out = os.path.join(work, "orders_by_priority")
+        write_hive_partitioned(
+            load_table(spark, sf_dir, "orders"), out, ["o_orderpriority"])
+        pruned = (spark.read.parquet(out)
+                  .where(F.col("o_orderpriority") == "1-URGENT"))
+        agg = (
+            pruned.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").cast("double").alias("total_price"))
+        )
+        # materialize (executor-side) before the temp dir vanishes; the
+        # returned plan must not depend on the deleted files
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "catalog_broadcast_lookup",
     """
     SELECT c_custkey,

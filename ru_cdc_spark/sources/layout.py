@@ -153,3 +153,20 @@ def compact_files(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
     shutil.rmtree(old)
     return {"files_before": len(before),
             "files_after": len(_parquet_files(path)), "bytes": total}
+
+
+def write_hive_partitioned(df: DataFrame, path: str,
+                           partition_cols: list[str]) -> None:
+    """Hive-style directory partitioning: one subdirectory per partition
+    value (``col=value/``). The partition column is encoded in the path,
+    not the files, so a filter on it prunes whole directories at PLANNING
+    time — the scan never lists, opens, or reads non-matching partitions
+    (``PartitionFilters`` in the plan, vs ``PushedFilters`` which still
+    reads footers).
+
+    At 100 TB this is the first-line pruning strategy: partition by the
+    dominant access dimension (ingest date, tenant), cluster/Z-order
+    WITHIN partitions for secondary columns (write_clustered/
+    write_zordered), and keep partition count in the 10^3-10^5 range so
+    listing stays cheap."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -114,3 +114,46 @@ def test_compact_files_preserving_cluster_keeps_disjoint_ranges(
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "compacted files overlap on the cluster key"
+
+
+def test_hive_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (planning-time directory pruning) and the scan must only read files
+    under the matching partition directory."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.plans import formatted_plan
+    from ru_cdc_spark.sources.layout import write_hive_partitioned
+    from ru_cdc_spark.sources.readers import load_table
+
+    out = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, sf_dir, "orders")
+    write_hive_partitioned(orders, out, ["o_orderpriority"])
+
+    pruned = (spark.read.parquet(out)
+              .where(F.col("o_orderpriority") == "1-URGENT"))
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "1-URGENT" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    # executed-plan metrics prove only 1 of the 5 directories was read
+    # (inputFiles() reflects the pre-pruning FileIndex, so ask the
+    # executed scan node instead)
+    n_rows = len(pruned.collect())
+    assert n_rows > 0
+
+    def find_scan(node):
+        if "Scan" in node.nodeName():
+            return node
+        for i in range(node.children().length()):
+            hit = find_scan(node.children().apply(i))
+            if hit is not None:
+                return hit
+        return None
+
+    scan = find_scan(pruned._jdf.queryExecution().executedPlan())
+    assert scan is not None
+    n_parts = scan.metrics().apply("numPartitions").value()
+    assert n_parts == 1, f"expected 1 pruned partition dir, read {n_parts}"
+    # layout never changes semantics
+    want = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert pruned.count() == want

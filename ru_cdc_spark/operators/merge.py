@@ -143,3 +143,92 @@ def merge_upsert(snapshot: DataFrame, changes: DataFrame, pk_cols: list[str],
     ])
     untouched = snapshot.join(touched, on=pk_cols, how="left_anti")
     return untouched.unionByName(upserts)
+
+
+def merge_into_partitioned(
+    spark,
+    snapshot_dir: str,
+    changes: DataFrame,
+    pk_cols: list[str],
+    partition_col: str,
+    seq_col: str = "id",
+    type_col: str = "type",
+) -> list:
+    """Partition-scoped CDC apply with DYNAMIC partition overwrite — the
+    MERGE INTO cost model for a partitioned 100 TB snapshot: a change
+    batch touching k of N partitions reads and rewrites only those k
+    directories, not the table.
+
+    1. Affected partitions = distinct ``partition_col`` values over the
+       batch's before AND after images (before-side inclusion makes
+       cross-partition moves correct: the old copy's directory rewrites
+       too).
+    2. Only those directories are read back (planning-time
+       PartitionFilters — see partition_pruned_scan).
+    3. Latest-wins merge: existing rows re-enter as seq=-1 baseline
+       INSERTs, so any real change (seq >= 0) beats them.
+    4. ``partitionOverwriteMode=dynamic`` writes back ONLY the partitions
+       present in the merged output; a partition fully emptied by deletes
+       is removed explicitly (dynamic overwrite never writes — hence
+       never clears — a directory absent from the output).
+
+    Returns the list of affected partition values (observability).
+    """
+    import shutil
+
+    affected = [
+        r["p"]
+        for r in changes.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array(
+                            F.col(f"before.{partition_col}"),
+                            F.col(f"after.{partition_col}"),
+                        ),
+                        lambda x: x.isNotNull(),
+                    )
+                )
+            ).alias("p")
+        ).distinct().collect()
+    ]
+    if not affected:
+        return []
+
+    current = (
+        spark.read.parquet(snapshot_dir)
+        .where(F.col(partition_col).isin(affected))
+    )
+    img_cols = [f.name for f in current.schema.fields]
+    baseline = current.select(
+        F.lit(-1).cast("long").alias(seq_col),
+        F.lit("INSERT").alias(type_col),
+        F.struct(*[F.col(c) for c in img_cols]).alias("after"),
+    )
+    batch = changes.select(
+        F.col(seq_col).cast("long").alias(seq_col), type_col, "before", "after"
+    )
+    merged = apply_changes(
+        baseline.unionByName(batch, allowMissingColumns=True),
+        pk_cols, seq_col=seq_col, type_col=type_col,
+    ).select(*img_cols)
+    # materialize BEFORE overwriting: the merged plan reads the very files
+    # the dynamic overwrite replaces (self-overwrite is undefined in Spark)
+    merged = merged.localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col) \
+            .parquet(snapshot_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    surviving = {
+        r["p"] for r in
+        merged.select(F.col(partition_col).alias("p")).distinct().collect()
+    }
+    for value in set(affected) - surviving:
+        shutil.rmtree(
+            f"{snapshot_dir}/{partition_col}={value}", ignore_errors=True)
+    return affected

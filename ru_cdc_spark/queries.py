@@ -249,6 +249,60 @@ def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
 
 
+@register(
+    "cdc_partitioned_merge",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,
+           a_orderstatus AS o_orderstatus,
+           CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+           a_orderdate AS o_orderdate, a_orderpriority AS o_orderpriority
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY COALESCE(a_orderkey, b_orderkey)
+            ORDER BY id DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1 AND type <> 'DELETE'
+    """,
+)
+def cdc_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE (operators/merge.merge_into_partitioned):
+    the INSERT wave materializes a hive-partitioned snapshot
+    (o_orderpriority directories), then the UPDATE/DELETE wave applies
+    with DYNAMIC partition overwrite — only directories whose partition
+    value appears in the batch's before/after images are read and
+    rewritten. The final snapshot hash-matches the full latest-wins
+    oracle, proving the partition-scoped path computes exactly what a
+    whole-table merge would.
+
+    At 100 TB this is THE cost model for applying CDC to a date- or
+    tenant-partitioned table: a batch touching today's partition rewrites
+    one directory, not the table (Delta/Hudi/Iceberg implement the same
+    pruning inside MERGE INTO)."""
+    import shutil
+    import tempfile
+
+    from ru_cdc_spark.operators.merge import merge_into_partitioned
+    from ru_cdc_spark.sources.layout import write_hive_partitioned
+
+    changes = derive_order_changes(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="part_merge_")
+    try:
+        snap_dir = f"{work}/orders_snap"
+        inserts = apply_changes(
+            changes.where(F.col("type") == "INSERT"), ORDERS_PK)
+        write_hive_partitioned(inserts, snap_dir, ["o_orderpriority"])
+        merge_into_partitioned(
+            spark, snap_dir, changes.where(F.col("type") != "INSERT"),
+            ORDERS_PK, "o_orderpriority")
+        final = spark.read.parquet(snap_dir).select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority")
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --- routing (P1/P2) -------------------------------------------------------
 
 ROUTE_INSTANCES = [

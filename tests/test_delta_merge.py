@@ -96,3 +96,65 @@ def test_merge_versioned_random_splits_match_replay(spark):
         diff = (got.exceptAll(expected).count()
                 + expected.exceptAll(got).count())
         assert diff == 0, f"trial {trial}: split result diverges from replay"
+
+
+def test_merge_into_partitioned_touches_only_affected_dirs(spark, sf_dir, tmp_path):
+    """A batch confined to one partition value must leave every other
+    directory's files physically untouched, and a partition emptied by
+    deletes must disappear."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators.merge import merge_into_partitioned
+    from ru_cdc_spark.sources.layout import write_hive_partitioned
+    from ru_cdc_spark.sources.readers import load_table
+
+    snap_dir = str(tmp_path / "snap")
+    orders = load_table(spark, sf_dir, "orders").limit(200)
+    write_hive_partitioned(orders, snap_dir, ["o_orderpriority"])
+
+    def files_by_dir():
+        out = {}
+        for d in os.listdir(snap_dir):
+            if d.startswith("o_orderpriority="):
+                p = os.path.join(snap_dir, d)
+                out[d] = {(f, os.path.getmtime(os.path.join(p, f)))
+                          for f in os.listdir(p) if f.endswith(".parquet")}
+        return out
+
+    before = files_by_dir()
+    target = orders.where(F.col("o_orderpriority") == "1-URGENT").first()
+    img = F.struct(*[F.col(c) for c in orders.columns])
+    batch = (orders.where(F.col("o_orderkey") == target["o_orderkey"])
+             .select(F.lit(100).cast("long").alias("id"),
+                     F.lit("UPDATE").alias("type"),
+                     img.alias("before"),
+                     img.alias("after"))
+             .withColumn("after", F.col("after")
+                         .withField("o_orderstatus", F.lit("X"))))
+    affected = merge_into_partitioned(
+        spark, snap_dir, batch, ["o_orderkey"], "o_orderpriority")
+    assert affected == ["1-URGENT"]
+
+    after = files_by_dir()
+    for d in before:
+        if d == "o_orderpriority=1-URGENT":
+            assert before[d] != after[d]          # rewritten
+        else:
+            assert before[d] == after[d], f"{d} was touched"
+    got = (spark.read.parquet(snap_dir)
+           .where(F.col("o_orderkey") == target["o_orderkey"]).first())
+    assert got["o_orderstatus"] == "X"
+
+    # delete every 1-URGENT row -> that directory must vanish entirely
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    dels = urgent.select(
+        (F.lit(200) + F.col("o_orderkey")).cast("long").alias("id"),
+        F.lit("DELETE").alias("type"),
+        img.alias("before"), img.alias("after"))
+    merge_into_partitioned(
+        spark, snap_dir, dels, ["o_orderkey"], "o_orderpriority")
+    assert not os.path.exists(os.path.join(snap_dir, "o_orderpriority=1-URGENT"))
+    assert (spark.read.parquet(snap_dir)
+            .where(F.col("o_orderpriority") == "1-URGENT").count() == 0)

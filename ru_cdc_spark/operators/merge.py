@@ -174,24 +174,7 @@ def merge_into_partitioned(
 
     Returns the list of affected partition values (observability).
     """
-    import shutil
-
-    affected = [
-        r["p"]
-        for r in changes.select(
-            F.explode(
-                F.array_distinct(
-                    F.filter(
-                        F.array(
-                            F.col(f"before.{partition_col}"),
-                            F.col(f"after.{partition_col}"),
-                        ),
-                        lambda x: x.isNotNull(),
-                    )
-                )
-            ).alias("p")
-        ).distinct().collect()
-    ]
+    affected = affected_partitions(changes, partition_col)
     if not affected:
         return []
 
@@ -215,20 +198,84 @@ def merge_into_partitioned(
     # materialize BEFORE overwriting: the merged plan reads the very files
     # the dynamic overwrite replaces (self-overwrite is undefined in Spark)
     merged = merged.localCheckpoint(eager=True)
+    dynamic_partition_overwrite(
+        spark, merged, snapshot_dir, partition_col, affected)
+    return affected
+
+
+def affected_partitions(changes: DataFrame, partition_col: str) -> list:
+    """Distinct partition values over a batch's before AND after images
+    (before-side inclusion keeps cross-partition moves correct)."""
+    return [
+        r["p"]
+        for r in changes.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array(
+                            F.col(f"before.{partition_col}"),
+                            F.col(f"after.{partition_col}"),
+                        ),
+                        lambda x: x.isNotNull(),
+                    )
+                )
+            ).alias("p")
+        ).distinct().collect()
+    ]
+
+
+def dynamic_partition_overwrite(spark, df: DataFrame, snapshot_dir: str,
+                                partition_col: str,
+                                affected: list) -> None:
+    """Write ``df`` back under partitionOverwriteMode=dynamic (only the
+    partitions present in ``df`` are replaced) and explicitly remove
+    affected partitions that ended up empty — dynamic overwrite never
+    clears a directory absent from its output. ``df`` must already be
+    materialized (localCheckpoint) if its plan reads ``snapshot_dir``."""
+    import shutil
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.mode("overwrite").partitionBy(partition_col) \
+        df.write.mode("overwrite").partitionBy(partition_col) \
             .parquet(snapshot_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-
     surviving = {
         r["p"] for r in
-        merged.select(F.col(partition_col).alias("p")).distinct().collect()
+        df.select(F.col(partition_col).alias("p")).distinct().collect()
     }
     for value in set(affected) - surviving:
         shutil.rmtree(
             f"{snapshot_dir}/{partition_col}={value}", ignore_errors=True)
+
+
+def merge_versioned_partitioned(
+    spark,
+    snapshot_dir: str,
+    changes: DataFrame,
+    pk_cols: list[str],
+    partition_col: str,
+    seq_col: str = "id",
+    type_col: str = "type",
+) -> list:
+    """Partition-scoped VERSION-AWARE merge: the partitioned form of
+    merge_versioned. The stored snapshot carries __seq/__deleted meta, so
+    out-of-order delivery ACROSS micro-batches is safe — a change only
+    wins over what its partition already holds if its sequence is higher,
+    and tombstones prevent late INSERTs from resurrecting deleted rows —
+    while per-batch IO stays proportional to the partitions touched.
+    Read the live rows via snapshot_view. Returns the affected values."""
+    affected = affected_partitions(changes, partition_col)
+    if not affected:
+        return []
+    current_meta = (
+        spark.read.parquet(snapshot_dir)
+        .where(F.col(partition_col).isin(affected))
+    )
+    merged = merge_versioned(
+        current_meta, changes, pk_cols, seq_col=seq_col, type_col=type_col
+    ).localCheckpoint(eager=True)  # plan reads the files being replaced
+    dynamic_partition_overwrite(
+        spark, merged, snapshot_dir, partition_col, affected)
     return affected

@@ -551,3 +551,45 @@ def test_binlog_source_feeds_routing_pipeline(spark, tmp_path):
     # fan-out check: shard_1 orders only to t1; every customer row to t2
     n_t2 = sum(1 for r in rows if r.topic == "t2")
     assert n_t2 == 200  # all customer events (odd ids)
+
+
+def test_streaming_partitioned_merge_matches_batch(spark, sf_dir, tmp_path):
+    """The partition-scoped streaming materializer (dynamic partition
+    overwrite per micro-batch) converges to the same snapshot as the batch
+    merge, with the snapshot laid out as hive partition directories."""
+    import os
+
+    from ru_cdc_spark.operators.merge import apply_changes
+
+    src = str(tmp_path / "srcp")
+    snap = str(tmp_path / "snap_part")
+    _write_payload_files(spark, sf_dir, src, parts=3)
+
+    value_schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DecimalType(18, 2)),
+        T.StructField("o_orderpriority", T.StringType()),
+    ])
+    pipe = CdcPipeline(spark, _config(src, str(tmp_path / "ckp")))
+    q = pipe.start_merge_partitioned(
+        snap, ["o_orderkey"], value_schema, "o_orderpriority")
+    q.awaitTermination(180)
+
+    # snapshot is genuinely hive-partitioned
+    dirs = [d for d in os.listdir(snap) if d.startswith("o_orderpriority=")]
+    assert len(dirs) >= 2
+
+    from ru_cdc_spark.operators.merge import snapshot_view
+
+    got = snapshot_view(spark.read.parquet(snap)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+    expected = apply_changes(derive_order_changes(spark, sf_dir), ORDERS_PK) \
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                F.col("o_totalprice").cast("decimal(18,2)")
+                .alias("o_totalprice"), "o_orderpriority")
+    assert got.count() == expected.count()
+    diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert diff == 0

@@ -799,3 +799,65 @@ FROM (
     FROM pairs GROUP BY 1
 )
 """.replace("{words}", _WORDS_SQL)
+
+
+# ===========================================================================
+# fuzzy key join (edit distance <= 1) via FastSS deletion neighborhoods
+# ===========================================================================
+
+FUZZY_MAX_KEY = 1000
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str,
+                     max_key: int = FUZZY_MAX_KEY) -> DataFrame:
+    """Typo-tolerant self-join: all pairs of customer names at edit
+    distance exactly 1, found WITHOUT the quadratic comparison — the
+    FastSS blocking: each name's candidate keys are the name itself plus
+    every single-character deletion; two strings within edit distance 1
+    always share a key, so the equi-join on the deletion key yields a
+    complete candidate set, and the exact ``levenshtein`` filter keeps
+    only true pairs (blocking guarantees no false negatives; the verify
+    step removes the distance-2 false candidates deletions can admit).
+
+    Scale: candidates = one explode (length+1 keys/row) + one equi-join
+    shuffle on the key — O(n·L) work versus the O(n²) cross join the
+    oracle runs at test scale. Key-frequency skew (a common surname) is
+    the hazard: cap or salt hot blocks like the LSH band join
+    (minhash_lsh_pairs_capped)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < max_key)
+        .select("c_custkey", "c_name")
+    )
+    neighborhood = F.array_union(
+        F.array(F.col("c_name")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("c_name")),
+            lambda i: F.concat(
+                F.substring(F.col("c_name"), F.lit(1), i - 1),
+                F.col("c_name").substr(i + 1, F.length("c_name")),
+            ),
+        ),
+    )
+    keyed = cust.select(
+        "c_custkey", "c_name", F.explode(neighborhood).alias("bkey"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    candidates = (
+        a.join(b, "bkey")
+        .where(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(F.col("a.c_custkey").alias("k1"),
+                F.col("b.c_custkey").alias("k2"),
+                F.col("a.c_name").alias("n1"),
+                F.col("b.c_name").alias("n2"))
+        .distinct()
+    )
+    return candidates.where(F.levenshtein("n1", "n2") == 1)
+
+
+FUZZY_NAME_PAIRS_SQL = f"""
+SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+       a.c_name AS n1, b.c_name AS n2
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey < {FUZZY_MAX_KEY} AND b.c_custkey < {FUZZY_MAX_KEY}
+  AND levenshtein(a.c_name, b.c_name) = 1
+"""

@@ -864,6 +864,7 @@ register("dedup_minhash_lsh_capped",
          _dd.MINHASH_LSH_PAIRS_CAPPED_SQL)(_dd.minhash_lsh_pairs_capped)
 register("dedup_incremental_new_batch",
          _dd.DEDUP_INCREMENTAL_SQL)(_dd.dedup_incremental_new_batch)
+register("fuzzy_name_pairs", _dd.FUZZY_NAME_PAIRS_SQL)(_dd.fuzzy_name_pairs)
 
 
 # ===========================================================================

@@ -758,6 +758,83 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("prior_value").alias("max_prior")))
 
 
+def _events_stream_with_fence(spark: SparkSession, sf_dir: str,
+                              work: str, horizon_ns: int):
+    """Copy events.parquet into ``work`` plus a far-future non-joining
+    FENCE row in its own file; readStream with maxFilesPerTrigger=1 so the
+    fence lands in a later micro-batch and advances the watermark past
+    every real row (the heartbeat pattern — see the left-outer join and
+    stateful-session docstrings). Returns the normalized stream
+    (ts as TIMESTAMP) with fence rows carrying user_id = event_id = -1."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = isinstance(batch_schema["ts"].dataType, T.LongType)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{work}/a_events.parquet")
+    batch = spark.read.parquet(f"{work}/a_events.parquet")
+    fence = batch.orderBy(F.col("ts").desc()).limit(1).select(
+        F.lit(-1).cast(batch_schema["event_id"].dataType).alias("event_id"),
+        (F.col("ts") + (F.lit(horizon_ns) if ts_is_long
+                        else F.expr(f"INTERVAL {horizon_ns // 10**9} SECONDS")
+                        )).alias("ts"),
+        *[F.col(f.name) for f in batch_schema
+          if f.name not in ("event_id", "ts", "user_id")],
+        F.lit(-1).cast(batch_schema["user_id"].dataType).alias("user_id"),
+    ).select(*[f.name for f in batch_schema])
+    fence.coalesce(1).write.mode("append").parquet(work)
+
+    raw = (spark.readStream.schema(batch_schema)
+           .option("maxFilesPerTrigger", "1").parquet(work))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@register(
+    "events_sessionize_stateful",
+    _an.SESSIONIZE_EVENTS_SQL,
+)
+def events_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming sessionization
+    (streaming/stateful.sessionize_with_timeout): explicit per-key state
+    via applyInPandasWithState with GroupStateTimeout.EventTimeTimeout —
+    sessions close in-batch when a gap-exceeding event arrives, and the
+    stream's FINAL sessions close through the timeout callback when the
+    fence row drives the watermark past last_event + gap. Every session
+    emits exactly once, and the per-user rollup hash-matches the batch
+    lag-gap oracle (the same one events_sessionize passes) — the custom
+    operator and the window-function formulation provably agree.
+
+    This is the engine's extension point for session semantics the native
+    session_window cannot express (emit-on-close aggregates, custom gap
+    rules, side outputs)."""
+    import shutil
+    import tempfile
+
+    from ru_cdc_spark.streaming.stateful import sessionize_with_timeout
+
+    work = tempfile.mkdtemp(prefix="sess_state_")
+    try:
+        horizon_ns = (1800 + 3600) * 10**9
+        stream = _events_stream_with_fence(spark, sf_dir, work, horizon_ns)
+        sessions = sessionize_with_timeout(
+            stream.select("user_id", "ts"))
+        q = (sessions.writeStream.format("memory")
+             .queryName("__sess_stateful").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return (spark.table("__sess_stateful")
+                .where(F.col("user_id") >= 0)
+                .groupBy("user_id")
+                .agg(F.count("*").alias("n_sessions"),
+                     F.max("n_events").alias("max_session_events"),
+                     F.sum("n_events").alias("total_events")))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "events_stream_left_outer_join",
     """
@@ -796,35 +873,13 @@ def events_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
     import tempfile
 
-    from pyspark.sql import types as T
-
     from ru_cdc_spark.streaming.joins import stream_interval_join
 
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ts_is_long = isinstance(batch_schema["ts"].dataType, T.LongType)
     work = tempfile.mkdtemp(prefix="stream_loj_")
     try:
-        shutil.copy(f"{sf_dir}/events.parquet", f"{work}/a_events.parquet")
-        batch = spark.read.parquet(f"{work}/a_events.parquet")
         # fence horizon: watermark (2h) + lookback (30m) + 1h margin
-        fence = batch.orderBy(F.col("ts").desc()).limit(1).select(
-            F.lit(-1).cast(batch_schema["event_id"].dataType).alias("event_id"),
-            (F.col("ts") + (F.lit((2 * 3600 + 1800 + 3600) * 10**9)
-                            if ts_is_long
-                            else F.expr("INTERVAL '4:30' HOUR TO MINUTE"))
-             ).alias("ts"),
-            *[F.col(f.name) for f in batch_schema
-              if f.name not in ("event_id", "ts", "user_id")],
-            F.lit(-1).cast(batch_schema["user_id"].dataType).alias("user_id"),
-        ).select(*[f.name for f in batch_schema])
-        fence.coalesce(1).write.mode("append").parquet(work)
-
-        raw = (spark.readStream.schema(batch_schema)
-               .option("maxFilesPerTrigger", "1").parquet(work))
-        if ts_is_long:
-            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        else:
-            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        raw = _events_stream_with_fence(
+            spark, sf_dir, work, (2 * 3600 + 1800 + 3600) * 10**9)
         left = raw.select("event_id", "user_id", "ts")
         right = raw.select("user_id", F.col("ts").alias("rts"),
                            F.col("value").alias("prior_value"))

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
@@ -126,5 +127,82 @@ def streaming_winnowing(chunk_stream: DataFrame, k: int = 5, w: int = 10) -> Dat
             stateStructType=WINNOW_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful sessionization with EVENT-TIME TIMEOUT
+# ---------------------------------------------------------------------------
+
+# The native session_window operator (events_session_window_stream) closes
+# sessions inside the engine; this is the CUSTOM form — explicit per-key
+# state + GroupStateTimeout.EventTimeTimeout — for session semantics the
+# built-in can't express (e.g. emitting per-session aggregates only at
+# close, custom gap rules, side outputs). A session closes either when a
+# later event exceeds the gap (in-batch) or when the WATERMARK passes
+# last_event + gap (the timeout callback fires with an empty iterator and
+# hasTimedOut=True). State per key is O(1): (start, last, n) in micros.
+
+SESSION_GAP_SECONDS = 1800
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, start_us long, end_us long, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _session_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    closed: list[tuple[int, int, int]] = []
+
+    if state.hasTimedOut:
+        start, last, n = state.get
+        closed.append((start, last, n))
+        state.remove()
+    else:
+        batch = pd.concat(list(pdfs))
+        ts_sorted = batch["ts_us"].sort_values().tolist()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for t in ts_sorted:
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        # close via watermark: fire when event time passes last + gap
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+
+    yield pd.DataFrame({
+        "user_id": [key[0]] * len(closed),
+        "start_us": [c[0] for c in closed],
+        "end_us": [c[1] for c in closed],
+        "n_events": [c[2] for c in closed],
+    })
+
+
+def sessionize_with_timeout(events_stream: DataFrame,
+                            watermark: str = "1 second") -> DataFrame:
+    """events stream (user_id, ts timestamp) -> closed sessions, emitted
+    exactly once each: in-batch when a gap-exceeding event arrives,
+    otherwise by event-time timeout when the watermark passes
+    last_event + gap. Liveness = watermark progress (quiet streams need a
+    heartbeat/fence row, same as the outer-join flush)."""
+    withw = events_stream.withWatermark("ts", watermark)
+    flat = withw.select(
+        "user_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us"))
+    return (
+        flat.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -119,8 +119,12 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
 
-    # warm the JVM / parquet footers with a trivial action
+    # warm the JVM: a trivial scan for parquet footers, then one untimed
+    # full-pipeline run — the first query executed in a fresh JVM pays
+    # 3-4s of whole-stage-codegen JIT that no steady-state number includes
+    # (measured: cdc_envelope run0 4.8s, run1 1.8s, run2+ 1.3s)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    force(REGISTRY["cdc_envelope"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -88,28 +88,32 @@ def derive_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     null_img = F.when(F.lit(False), img)  # typed NULL struct
 
-    def change(id_col, type_lit, before, after):
-        return F.struct(
-            id_col.alias("id"), F.lit(type_lit).alias("type"),
-            F.col("es").alias("es"), before.alias("before"), after.alias("after"),
-        )
-
-    # single pass: each order emits 1-2 change events via a conditional
-    # array + explode (one scan, zero extra shuffles — a union of three
-    # filtered branches would re-scan and re-spread the base three times)
-    events = F.filter(
+    # single pass: each order emits 1-2 change events (one scan, zero
+    # extra shuffles — a union of three filtered branches would re-scan
+    # and re-spread the base three times). The COMPACT int kind array
+    # explodes first and the row images build once per OUTPUT row;
+    # exploding fully-built change structs instead triples the per-row
+    # struct work (measured 15-20% slower at sf0.1).
+    kinds = F.filter(
         F.array(
-            change(F.col("o_orderkey") * 3, "INSERT", null_img, img),
-            F.when(F.col("o_orderkey") % 10 < 3,
-                   change(F.col("o_orderkey") * 3 + 1, "UPDATE", img, updated_img)),
-            F.when(F.col("o_orderkey") % 10 == 3,
-                   change(F.col("o_orderkey") * 3 + 2, "DELETE", img, null_img)),
+            F.lit(0),
+            F.when(F.col("o_orderkey") % 10 < 3, F.lit(1)),
+            F.when(F.col("o_orderkey") % 10 == 3, F.lit(2)),
         ),
         lambda x: x.isNotNull(),
     )
+    k = F.col("__k")
     return (
-        base.select(F.explode(events).alias("c"))
-        .select("c.id", "c.type", "c.es", "c.before", "c.after")
+        base.select("*", F.explode(kinds).alias("__k"))
+        .select(
+            (F.col("o_orderkey") * 3 + k).alias("id"),
+            F.when(k == 0, "INSERT").when(k == 1, "UPDATE")
+            .otherwise("DELETE").alias("type"),
+            F.col("es"),
+            F.when(k == 0, null_img).otherwise(img).alias("before"),
+            F.when(k == 0, img).when(k == 1, updated_img)
+            .otherwise(null_img).alias("after"),
+        )
     )
 
 

@@ -124,7 +124,8 @@ FROM documents
 
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full mapInPandas decode pipeline with the deterministic fake
-    codec (rows-only oracle: mapInPandas is not SQL-expressible)."""
+    codec — oracle-checked: the fake decode is pure md5 arithmetic, so
+    the SQL oracle reproduces it exactly despite the Arrow execution."""
     with_payload = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return decode_features(with_payload, fake=True)
 
@@ -289,4 +290,26 @@ SELECT doc_id, w AS width, hh AS height, nw AS new_width, nh AS new_height,
        nw * nh * 3 AS out_bytes,
        md5(sha || ':' || nw || 'x' || nh) AS resized_sha
 FROM r
+"""
+
+
+# The "stub" codec is deterministic md5 arithmetic, so even the
+# mapInPandas decode pipeline gets a full SQL oracle: h = first 8 md5 hex
+# chars of the payload as an integer, width = 64 + h % 1024,
+# height = 64 + (h // 1024) % 1024, n_frames keyed on modality.
+MULTIMODAL_DECODE_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS modality,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS sha,
+           CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h
+    FROM documents
+)
+SELECT doc_id, modality, CAST(byte_len AS INT) AS byte_len, sha,
+       CAST(64 + h % 1024 AS INT) AS width,
+       CAST(64 + (h // 1024) % 1024 AS INT) AS height,
+       CAST(CASE WHEN modality = 'image' THEN 1 ELSE 1 + h % 300 END AS INT)
+           AS n_frames
+FROM m
 """

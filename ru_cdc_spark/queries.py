@@ -964,7 +964,8 @@ register("frequent_terms_exact",
 register("weighted_priority_sample",
          _sk.WEIGHTED_PRIORITY_SAMPLE_SQL)(_sk.weighted_priority_sample)
 register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)
-register("multimodal_decode_stub", None)(_mm.multimodal_decode_stub)
+register("multimodal_decode_stub",
+         _mm.MULTIMODAL_DECODE_SQL)(_mm.multimodal_decode_stub)
 register("multimodal_frame_sample",
          _mm.MULTIMODAL_FRAME_SAMPLE_SQL)(_mm.multimodal_frame_sample)
 register("multimodal_resize", _mm.MULTIMODAL_RESIZE_SQL)(_mm.multimodal_resize)

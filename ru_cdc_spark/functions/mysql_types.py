@@ -67,6 +67,21 @@ def time_to_microseconds(col: Column) -> Column:
     return (sign * total).alias("time_us")
 
 
+def time_to_native(col: Column) -> Column:
+    """F3 (native form): MySQL TIME wire string -> Spark ``TimeType``.
+
+    Spark 4.1 adds a native TIME type (behind the runtime conf
+    ``spark.sql.timeType.enabled``); for the common in-day range
+    (00:00:00..23:59:59.999999) it is the faithful relational target for
+    MySQL TIME columns — SURVEY.md §1.2's "no native TIME" mapping note
+    predates it. Out-of-range MySQL values (TIME spans -838:59:59..
+    838:59:59, ``binlog.rs:260-277``) do not fit a time-of-day and yield
+    NULL here; duration-style columns should keep
+    :func:`time_to_microseconds`, which preserves the full signed range.
+    """
+    return F.try_to_time(F.trim(col))
+
+
 def timestamp_from_epoch(col: Column) -> Column:
     """F5: 'epoch_seconds[.micros]' wire string -> TimestampType.
 

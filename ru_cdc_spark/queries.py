@@ -1198,6 +1198,62 @@ def mysql_type_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mysql_time_native",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_suppkey % 19 = 0 THEN NULL
+                ELSE CAST(printf('%02d:%02d:%02d.%06d',
+                                 l_orderkey % 24, l_partkey % 60,
+                                 l_suppkey % 60,
+                                 (l_partkey % 1000) * 1000) AS TIME)
+           END AS t,
+           CASE WHEN l_suppkey % 19 = 0 THEN NULL
+                ELSE (l_orderkey % 24) * 3600000000
+                     + (l_partkey % 60) * 60000000
+                     + (l_suppkey % 60) * 1000000 + (l_partkey % 1000) * 1000
+           END AS time_us
+    FROM lineitem
+    """,
+)
+def mysql_time_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL TIME -> native Spark ``TimeType`` (Spark 4.1): the faithful
+    relational mapping for in-day-range TIME columns, upgrading SURVEY.md
+    §1.2's StringType fallback. Out-of-range wire values (MySQL TIME spans
+    +/-838h; here every 19th row stands in for one) parse to NULL via
+    ``try_to_time`` instead of corrupting; the ``time_us`` integer form
+    (the full-range representation) rides along for cross-checking.
+
+    Scale: pure codegen'd projection over the scan — zero shuffle; TIME is
+    an 8-byte physical long (micros since midnight), so downstream
+    sort/join/agg on it costs the same as a bigint key.
+    """
+    from ru_cdc_spark.functions.mysql_types import (
+        time_to_microseconds,
+        time_to_native,
+    )
+
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    li = load_table(spark, sf_dir, "lineitem")
+    wire = F.concat(
+        F.lpad((F.col("l_orderkey") % 24).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((F.col("l_partkey") % 60).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((F.col("l_suppkey") % 60).cast("string"), 2, "0"), F.lit("."),
+        F.lpad((F.col("l_partkey") % 1000).cast("string"), 3, "0"),
+        F.lit("000"),
+    )
+    # every 19th supplier key: an out-of-range stand-in ('838:59:59' wire
+    # form) that must decode to NULL in the native column
+    wire = F.when(F.col("l_suppkey") % 19 == 0, F.lit("838:59:59")) \
+            .otherwise(wire)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        time_to_native(wire).alias("t"),
+        F.when(F.col("l_suppkey") % 19 == 0, F.lit(None).cast("long"))
+         .otherwise(time_to_microseconds(wire)).alias("time_us"),
+    )
+
+
+@register(
     "events_json_extract",
     """
     SELECT event_id, event_type,

@@ -171,3 +171,22 @@ def test_reinterpret_unsigned_all_widths(spark):
     assert (out[2]["u1"], out[2]["u2"], out[2]["u4"]) == (
         255, 65535, 4294967295)
     assert out[2]["u8"] == "9223372036854775807"    # max int64 unchanged
+
+
+def test_time_to_native_range_and_null(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.functions.mysql_types import time_to_native
+
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    df = spark.createDataFrame(
+        [("07:05:06.123456",), ("23:59:59.999999",), ("00:00:00",),
+         ("838:59:59",), ("-01:00:00",), (None,)], "w string")
+    out = [r["t"] for r in df.select(time_to_native(F.col("w")).alias("t")).collect()]
+    assert out[0] == datetime.time(7, 5, 6, 123456)
+    assert out[1] == datetime.time(23, 59, 59, 999999)
+    assert out[2] == datetime.time(0, 0, 0)
+    # out-of-day-range and negative MySQL TIMEs cannot be a time-of-day
+    assert out[3] is None and out[4] is None and out[5] is None

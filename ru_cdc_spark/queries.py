@@ -198,6 +198,63 @@ def cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_variant_payload",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT id,
+           'testdb' AS database,
+           'orders' AS "table",
+           type, es,
+           'o_orderkey' AS pk0,
+           FALSE AS is_ddl,
+           CASE WHEN type = 'DELETE' THEN b_orderstatus ELSE a_orderstatus END AS status,
+           CAST(CASE WHEN type = 'DELETE' THEN b_totalprice ELSE a_totalprice END
+                AS VARCHAR) AS totalprice,
+           CASE WHEN type = 'UPDATE' THEN CAST(b_totalprice AS VARCHAR) END AS old_totalprice,
+           3 AS sqltype_totalprice
+    FROM changes
+    """,
+)
+def cdc_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read CDC payloads via the Spark 4 VARIANT type: the Canal
+    JSON envelope is parsed once with ``parse_json`` (no declared schema)
+    and fields are extracted by path with ``variant_get`` — the idiomatic
+    answer for a topic carrying MANY tables' heterogeneous payloads, where
+    a single ``from_json`` StructType cannot exist. ``try_variant_get``
+    reads paths that are absent on some rows (``old`` exists only for
+    UPDATEs) as NULL instead of failing.
+
+    Scale: VARIANT stores a parsed binary form, so each path access is a
+    direct lookup, not a re-parse of the JSON text (the from_json
+    equivalent re-parses per schema); extraction is a narrow codegen'd
+    projection — zero shuffle.
+    """
+    from ru_cdc_spark.operators.envelope import build_envelope as _be
+    from ru_cdc_spark.operators.envelope import envelope_to_json
+
+    payloads = envelope_to_json(_be(
+        derive_order_changes(spark, sf_dir),
+        ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK, ORDERS_MYSQL_TYPES,
+        processing_ts=F.lit(0),
+    )).select("payload")
+    v = F.parse_json("payload")
+    return payloads.select(
+        F.variant_get(v, "$.id", "bigint").alias("id"),
+        F.variant_get(v, "$.database", "string").alias("database"),
+        F.variant_get(v, "$.table", "string").alias("table"),
+        F.variant_get(v, "$.type", "string").alias("type"),
+        F.variant_get(v, "$.es", "bigint").alias("es"),
+        F.variant_get(v, "$.pkNames[0]", "string").alias("pk0"),
+        F.variant_get(v, "$.isDdl", "boolean").alias("is_ddl"),
+        F.variant_get(v, "$.data[0].o_orderstatus", "string").alias("status"),
+        F.variant_get(v, "$.data[0].o_totalprice", "string").alias("totalprice"),
+        F.try_variant_get(v, "$.old[0].o_totalprice", "string")
+         .alias("old_totalprice"),
+        F.variant_get(v, "$.sqlType.o_totalprice", "int")
+         .alias("sqltype_totalprice"),
+    )
+
+
+@register(
     "cdc_changed_cols",
     ORDER_CHANGES_ORACLE_CTE + """
     SELECT id, a_orderkey AS o_orderkey,

@@ -126,3 +126,50 @@ def test_numbers_are_stringified(spark, sf_dir):
     row = env.where("type = 'INSERT'").limit(1).collect()[0]
     for v in row["data"][0].values():
         assert v is None or isinstance(v, str)
+
+
+def test_variant_spans_heterogeneous_tables(spark, sf_dir):
+    """One VARIANT column over a topic mixing two tables' payload schemas:
+    shared envelope paths extract everywhere; table-specific data fields
+    come back NULL (not an error) on the other table's rows."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators.envelope import build_envelope, envelope_to_json
+    from ru_cdc_spark.sources.cdc_fixture import (
+        CUSTOMER_DATABASE,
+        CUSTOMER_MYSQL_TYPES,
+        CUSTOMER_PK,
+        CUSTOMER_TABLE,
+        ORDERS_DATABASE,
+        ORDERS_MYSQL_TYPES,
+        ORDERS_PK,
+        ORDERS_TABLE,
+        derive_customer_changes,
+        derive_order_changes,
+    )
+
+    orders = envelope_to_json(build_envelope(
+        derive_order_changes(spark, sf_dir),
+        ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK, ORDERS_MYSQL_TYPES,
+        processing_ts=F.lit(0)))
+    cust = envelope_to_json(build_envelope(
+        derive_customer_changes(spark, sf_dir),
+        CUSTOMER_DATABASE, CUSTOMER_TABLE, CUSTOMER_PK, CUSTOMER_MYSQL_TYPES,
+        processing_ts=F.lit(0)))
+    mixed = orders.select("payload").unionAll(cust.select("payload"))
+    v = F.parse_json("payload")
+    out = mixed.select(
+        F.variant_get(v, "$.table", "string").alias("tbl"),
+        F.try_variant_get(v, "$.data[0].o_totalprice", "string").alias("o_price"),
+        F.try_variant_get(v, "$.data[0].c_acctbal", "string").alias("c_bal"),
+    )
+    agg = {r["tbl"]: r for r in out.groupBy("tbl").agg(
+        F.count("*").alias("n"),
+        F.count("o_price").alias("n_o"),
+        F.count("c_bal").alias("n_c")).collect()}
+    assert set(agg) == {"orders", "customer"}
+    # shared paths resolve on every row; foreign paths resolve on none
+    assert agg["orders"]["n_o"] == agg["orders"]["n"] > 0
+    assert agg["orders"]["n_c"] == 0
+    assert agg["customer"]["n_c"] == agg["customer"]["n"] > 0
+    assert agg["customer"]["n_o"] == 0

@@ -158,6 +158,39 @@ def cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_xml_roundtrip",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT id, type, es,
+           b_orderkey, b_custkey, b_orderstatus,
+           CAST(CAST(b_totalprice AS VARCHAR) AS DOUBLE) AS b_totalprice,
+           b_orderdate, b_orderpriority,
+           a_orderkey, a_custkey, a_orderstatus,
+           CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS a_totalprice,
+           a_orderdate, a_orderpriority
+    FROM changes
+    """,
+)
+def cdc_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML wire-format interop (sources/xmlcdc.py): the typed change
+    stream encodes to one XML document per record (Spark 4 native
+    ``to_xml``) and parses back through the catalog row schema
+    (``from_xml``) into the unified change model — byte-exact against the
+    same oracle as cdc_change_stream, making XML the engine's THIRD
+    spoken change format (Canal JSON, Debezium JSON, XML). Decimals and
+    NTZ timestamps survive the text boundary exactly. Pure JVM expression
+    work fused into the scan — no shuffle, no Python."""
+    from ru_cdc_spark.sources.xmlcdc import changes_to_xml, xml_to_changes
+
+    changes = derive_order_changes(spark, sf_dir)
+    row_schema = changes.schema["after"].dataType
+    payloads = changes_to_xml(changes, ORDERS_DATABASE, ORDERS_TABLE)
+    decoded = xml_to_changes(payloads.select("payload"), row_schema)
+    return decoded.selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")
+    ])
+
+
+@register(
     "cdc_envelope",
     ORDER_CHANGES_ORACLE_CTE + """
     SELECT id,

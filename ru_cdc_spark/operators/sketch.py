@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ru_cdc_spark.operators.dedup import words_col, _WORDS_SQL
@@ -144,4 +144,100 @@ SELECT doc_id, lang, n_chars, priority
 FROM p
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY priority DESC, doc_id) <= {SAMPLE_PER_STRATUM}
+"""
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch as a relational aggregate (mergeable, engine-exact)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_PROBES = 20
+
+
+def _cms_bucket(term: Column, i: int, width: int = CMS_WIDTH) -> Column:
+    """Row i's bucket for a term: md5 first-8-hex -> int % width — the
+    same deterministic hash family on every engine and cluster layout."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(term, F.lit(f"|{i}"))), 1, 8), 16, 10)
+        .cast("long") % width)
+
+
+def count_min_table(terms: DataFrame, depth: int = CMS_DEPTH,
+                    width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan 2005) built as a plain
+    aggregate: one (i, bucket, cnt) row per non-empty cell.
+
+    Why relational instead of an opaque binary blob: the table IS the
+    mergeable partial — map-side combine collapses each partition to at
+    most depth x width rows before the shuffle, so sketching a 100 TB
+    corpus shuffles O(depth x width x partitions) rows no matter how many
+    distinct terms exist (the full-cardinality term shuffle never
+    happens). Sketches of separate corpora/days union by summing cnt per
+    cell (linearity of CMS), and the result stays queryable, diffable,
+    and oracle-checkable with ordinary SQL.
+    """
+    buckets = F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 _cms_bucket(F.col("term"), i, width).alias("bucket"))
+        for i in range(depth)
+    ])
+    return (terms.select(F.explode(buckets).alias("c"))
+            .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def terms_count_min_estimate(spark: SparkSession, sf_dir: str,
+                             depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                             n_probes: int = CMS_PROBES) -> DataFrame:
+    """Point-frequency estimates from the sketch for a deterministic probe
+    vocabulary (the longest distinct terms): est(term) = min over rows of
+    the term's bucket count — an overestimate by at most the collision
+    mass, never an underestimate (pytest-gated against exact counts).
+
+    Scale: the probe side is tiny and broadcast; the sketch side is
+    depth x width rows regardless of corpus size. Estimating frequencies
+    this way costs one bounded-size aggregate + a broadcast join — vs the
+    exact path's full term shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(words_col(F.col("text"))).alias("term"))
+    cms = count_min_table(terms, depth, width)
+    probes = (terms.distinct()
+              .orderBy(F.length("term").desc(), F.asc("term"))
+              .limit(n_probes))
+    probe_cells = probes.select("term", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 _cms_bucket(F.col("term"), i, width).alias("bucket"))
+        for i in range(depth)
+    ])).alias("c")).select("term", "c.i", "c.bucket")
+    joined = probe_cells.join(F.broadcast(cms), ["i", "bucket"], "left")
+    return (joined.groupBy("term")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+
+
+TERMS_COUNT_MIN_SQL = f"""
+WITH w AS (SELECT unnest({_WORDS_SQL}) AS term FROM documents),
+cells AS (
+    SELECT i,
+           CAST('0x' || substr(md5(term || '|' || CAST(i AS VARCHAR)), 1, 8)
+                AS BIGINT) % {CMS_WIDTH} AS bucket,
+           COUNT(*) AS cnt
+    FROM w, range({CMS_DEPTH}) t(i)
+    GROUP BY 1, 2
+),
+probes AS (
+    SELECT DISTINCT term FROM w
+    ORDER BY length(term) DESC, term LIMIT {CMS_PROBES}
+),
+pc AS (
+    SELECT p.term, t.i,
+           CAST('0x' || substr(md5(p.term || '|' || CAST(t.i AS VARCHAR)), 1, 8)
+                AS BIGINT) % {CMS_WIDTH} AS bucket
+    FROM probes p, range({CMS_DEPTH}) t(i)
+)
+SELECT pc.term, MIN(COALESCE(c.cnt, 0)) AS est
+FROM pc LEFT JOIN cells c ON c.i = pc.i AND c.bucket = pc.bucket
+GROUP BY 1
 """

@@ -1053,6 +1053,8 @@ register("frequent_terms_exact",
          _sk.FREQUENT_TERMS_SQL)(_sk.frequent_terms_exact)
 register("weighted_priority_sample",
          _sk.WEIGHTED_PRIORITY_SAMPLE_SQL)(_sk.weighted_priority_sample)
+register("terms_count_min_estimate",
+         _sk.TERMS_COUNT_MIN_SQL)(_sk.terms_count_min_estimate)
 register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)
 register("multimodal_decode_stub",
          _mm.MULTIMODAL_DECODE_SQL)(_mm.multimodal_decode_stub)

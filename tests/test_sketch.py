@@ -67,3 +67,38 @@ def test_priority_sample_favors_weight(spark, sf_dir):
     samp = sk.weighted_priority_sample(spark, sf_dir)
     sample_mean = samp.agg(F.avg("n_chars")).collect()[0][0]
     assert sample_mean > corpus_mean
+
+
+def test_cms_never_underestimates_and_bounds_error(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators.dedup import words_col
+    from ru_cdc_spark.operators.sketch import terms_count_min_estimate
+    from ru_cdc_spark.sources.readers import load_table
+
+    est = {r["term"]: r["est"]
+           for r in terms_count_min_estimate(spark, sf_dir).collect()}
+    terms = load_table(spark, sf_dir, "documents").select(
+        F.explode(words_col(F.col("text"))).alias("term"))
+    n_total = terms.count()
+    exact = {r["term"]: r["n"] for r in terms.groupBy("term")
+             .agg(F.count("*").alias("n")).collect()}
+    for t, e in est.items():
+        true = exact.get(t, 0)
+        assert e >= true, f"CMS underestimated {t}: {e} < {true}"
+        # eps = e_const/width ~ 2.72/512; collision mass <= eps * N whp
+        assert e - true <= max(10, int(0.01 * n_total)), (t, e, true)
+
+
+def test_cms_tables_merge_by_cell_sum(spark):
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators.sketch import count_min_table
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "term string")
+    b = spark.createDataFrame([("y",), ("z",)], "term string")
+    both = count_min_table(a.unionAll(b))
+    merged = (count_min_table(a).unionAll(count_min_table(b))
+              .groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt")))
+    assert both.exceptAll(merged).count() == 0
+    assert merged.exceptAll(both).count() == 0

@@ -2127,3 +2127,117 @@ SELECT hour, n_events, n_errors,
        n_errors * g_total > 2 * g_errors * n_events AS alert
 FROM hourly CROSS JOIN t
 """
+
+
+def monthly_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly revenue series via a RECURSIVE CTE (Spark 4.1
+    native SQL recursion): the month spine is generated by the recursion
+    from MIN to MAX order month — no month can be silently absent from the
+    report, which an ordinary GROUP BY cannot guarantee — and revenue
+    left-joins onto it with DECIMAL partials (0.00 fill for empty months).
+
+    Scale: the recursion materializes the SPINE only (one row per
+    calendar month — dozens of rows at any fact scale, bounds-driven, no
+    driver collect); the fact table collapses to per-month partials in one
+    map-side-combined aggregate before the tiny broadcast join onto the
+    spine.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__gapfill_orders")
+    return spark.sql("""
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS lo,
+                   CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP) AS hi
+            FROM __gapfill_orders
+        ),
+        months(m, hi) AS (
+            SELECT lo, hi FROM bounds
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+        ),
+        monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(38,2)) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM __gapfill_orders GROUP BY 1
+        )
+        SELECT months.m AS month,
+               CAST(COALESCE(monthly.revenue, CAST(0 AS DECIMAL(38,2)))
+                    AS DOUBLE) AS revenue,
+               COALESCE(monthly.n_orders, 0) AS n_orders
+        FROM months LEFT JOIN monthly ON months.m = monthly.m
+    """)
+
+
+MONTHLY_REVENUE_GAPFILL_SQL = """
+WITH RECURSIVE bounds AS (
+    SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS lo,
+           CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP) AS hi
+    FROM orders
+),
+months(m, hi) AS (
+    SELECT lo, hi FROM bounds
+    UNION ALL
+    SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+),
+monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT months.m AS month,
+       CAST(CAST(COALESCE(monthly.revenue, CAST(0 AS DECIMAL(38,2)))
+            AS VARCHAR) AS DOUBLE) AS revenue,
+       COALESCE(monthly.n_orders, 0) AS n_orders
+FROM months LEFT JOIN monthly ON months.m = monthly.m
+"""
+
+
+_UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping with the native UNPIVOT operator: the four
+    lineitem measures melt into (metric, value) rows, then aggregate per
+    (returnflag, metric) — the long form every metrics store and plotting
+    layer wants, produced without writing one UNION ALL branch per column.
+
+    Scale: Expand emits the long rows inside the scan stage (no extra
+    scan per metric, unlike the UNION ALL formulation which re-reads the
+    fact once per column); the single aggregate map-side combines to at
+    most flags x metrics groups. DECIMAL partials keep the sums
+    engine-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag",
+        *[F.col(c).cast(_DEC).alias(c) for c in _UNPIVOT_METRICS],
+    ).unpivot(
+        ids=["l_returnflag"], values=_UNPIVOT_METRICS,
+        variableColumnName="metric", valueColumnName="v",
+    )
+    return (melted.groupBy("l_returnflag", "metric")
+            .agg(F.sum("v").cast("decimal(38,2)").cast("double")
+                 .alias("total"),
+                 F.count("*").alias("n")))
+
+
+LINEITEM_METRICS_UNPIVOT_SQL = """
+WITH melted AS (
+    SELECT l_returnflag, metric, v FROM (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice,
+               CAST(l_discount AS DECIMAL(18,2)) AS l_discount,
+               CAST(l_tax AS DECIMAL(18,2)) AS l_tax
+        FROM lineitem
+    ) UNPIVOT (v FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+)
+SELECT l_returnflag, metric,
+       CAST(CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM melted GROUP BY 1, 2
+"""

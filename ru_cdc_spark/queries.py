@@ -482,6 +482,10 @@ register("referential_integrity_audit",
 register("part_affinity", _an.PART_AFFINITY_SQL)(_an.part_affinity)
 register("weekly_revenue_growth",
          _an.WEEKLY_REVENUE_GROWTH_SQL)(_an.weekly_revenue_growth)
+register("monthly_revenue_gapfill",
+         _an.MONTHLY_REVENUE_GAPFILL_SQL)(_an.monthly_revenue_gapfill)
+register("lineitem_metrics_unpivot",
+         _an.LINEITEM_METRICS_UNPIVOT_SQL)(_an.lineitem_metrics_unpivot)
 register("events_transition_matrix",
          _an.EVENTS_TRANSITION_MATRIX_SQL)(_an.events_transition_matrix)
 register("error_rate_alerts",

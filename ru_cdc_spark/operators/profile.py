@@ -84,3 +84,80 @@ def _profile_orders_sql() -> str:
 
 
 PROFILE_ORDERS_SQL = _profile_orders_sql()
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem measures, computed
+    from EXACT decimal moments: one aggregate pass collects n, sums, sums
+    of squares and cross-products as DECIMAL (order-independent, no float
+    accumulation drift), then r = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) ·
+    √(n·Syy − Sy²)) with every float step an IEEE correctly-rounded
+    operation on exact operands — bit-reproducible on any cluster size
+    and engine (sqrt IS correctly rounded per IEEE-754), hence
+    oracle-exact rather than approximately equal.
+
+    Scale: the fact collapses to ONE moment row in a map-side-combined
+    aggregate (shuffle = #partitions rows of ~20 decimals); the pair
+    explosion happens after, on that single row. Compare F.corr: same
+    shuffle shape but float partials — irreproducible at 1000 executors.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs: list = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec[c]).cast("decimal(38,4)").alias(f"s_{c}"))
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS)
+             for b in _CORR_COLS[i:]]
+    for a, b in pairs:
+        aggs.append(F.sum((dec[a] * dec[b]).cast("decimal(38,4)"))
+                    .cast("decimal(38,4)").alias(f"sp_{a}_{b}"))
+    m = li.agg(*aggs)
+
+    def _dev(a: str, b: str):
+        # n·Sab − Sa·Sb, exact decimal -> double at the boundary
+        return (F.col("n") * F.col(f"sp_{a}_{b}")
+                - F.col(f"s_{a}") * F.col(f"s_{b}")) \
+            .cast("decimal(38,4)").cast("double")
+
+    out_rows = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            (_dev(a, b) / (F.sqrt(_dev(a, a)) * F.sqrt(_dev(b, b))))
+            .alias("corr"),
+        )
+        for a, b in pairs if a != b
+    ])
+    return (m.select(F.col("n"), F.explode(out_rows).alias("r"))
+            .select("n", "r.col_a", "r.col_b", "r.corr"))
+
+
+_CORR_PAIRS_SQL = []
+for _i, _a in enumerate(_CORR_COLS):
+    for _b in _CORR_COLS[_i:]:
+        if _a != _b:
+            _CORR_PAIRS_SQL.append((_a, _b))
+
+_DEV_SQL = ("CAST(CAST(CAST(n * sp_{a}_{b} - s_{a} * s_{b} "
+            "AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)")
+
+NUMERIC_CORR_MATRIX_SQL = (
+    "WITH m AS (SELECT COUNT(*) AS n, "
+    + ", ".join(
+        f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s_{c}"
+        for c in _CORR_COLS)
+    + ", "
+    + ", ".join(
+        f"CAST(SUM(CAST(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)) "
+        f"AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sp_{a}_{b}"
+        for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:])
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT n, '{a}' AS col_a, '{b}' AS col_b, "
+        + _DEV_SQL.format(a=a, b=b)
+        + f" / (sqrt({_DEV_SQL.format(a=a, b=a)})"
+        f" * sqrt({_DEV_SQL.format(a=b, b=b)})) AS corr FROM m"
+        for a, b in _CORR_PAIRS_SQL)
+)

@@ -547,6 +547,8 @@ from ru_cdc_spark.operators import incremental as _inc  # noqa: E402
 from ru_cdc_spark.operators import profile as _pf  # noqa: E402
 
 register("profile_orders", _pf.PROFILE_ORDERS_SQL)(_pf.profile_orders)
+register("numeric_corr_matrix",
+         _pf.NUMERIC_CORR_MATRIX_SQL)(_pf.numeric_corr_matrix)
 
 register("incremental_customer_totals",
          _inc.CUSTOMER_TOTALS_FROM_DELTAS_SQL)(_inc.customer_totals_from_deltas)

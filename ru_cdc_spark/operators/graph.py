@@ -94,3 +94,90 @@ def part_pagerank(spark: SparkSession, sf_dir: str,
                          F.col("r").alias("rank"))
             .orderBy(F.desc("rank"), F.asc("l_partkey"))
             .limit(k))
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (compact-forward /
+    degree orientation): how tightly parts cluster into mutually
+    co-purchased triples — with wedge count, the graph's global
+    clustering signal.
+
+    The scale trick is ORIENTATION: each undirected edge points from its
+    (degree, id)-smaller endpoint to the larger, making the graph acyclic
+    with out-degree O(sqrt(m)) for ANY degree distribution (Chiba-Nishizeki);
+    the wedge self-join then fans out per-vertex by that bound instead of
+    by raw degree — a hub with 10^6 neighbors contributes zero wedges from
+    its own adjacency because nearly all its edges point INTO it. Each
+    triangle is counted exactly once (its orientation-order (a,b,c) yields
+    the single wedge a->b->c closed by a->c).
+
+    Shuffles: degree agg + two equi-joins co-partitioned on vertex keys —
+    all AQE-skew-splittable. Output is one row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    und = (copurchase_edges(li)
+           .where(F.col("src") < F.col("dst"))
+           .select("src", "dst"))
+    deg = (und.select(F.col("src").alias("v"))
+           .unionAll(und.select(F.col("dst").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+
+    # orient by (deg, id): lo -> hi in that total order
+    e = (und
+         .join(deg.withColumnRenamed("v", "src")
+                  .withColumnRenamed("deg", "sdeg"), "src")
+         .join(deg.withColumnRenamed("v", "dst")
+                  .withColumnRenamed("deg", "ddeg"), "dst"))
+    fwd = F.when(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))),
+        F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+    ).otherwise(F.struct(F.col("dst").alias("a"), F.col("src").alias("b")))
+    oriented = e.select(fwd.alias("e")).select("e.a", "e.b")
+
+    w1 = oriented.select(F.col("a"), F.col("b"))
+    w2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = w1.join(w2, "b").select("a", "b", "c")
+    closing = oriented.select(F.col("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+
+    n_wedges = deg.agg(
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("x")).select("x")
+    return (tri.agg(F.count("*").alias("n_triangles"))
+            .crossJoin(und.agg(F.count("*").alias("n_edges")))
+            .crossJoin(deg.agg(F.count("*").alias("n_vertices")))
+            .crossJoin(n_wedges.withColumnRenamed("x", "n_wedges"))
+            .select("n_vertices", "n_edges", "n_wedges", "n_triangles"))
+
+
+COPURCHASE_TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT v, COUNT(*) AS deg FROM (
+        SELECT src AS v FROM und UNION ALL SELECT dst AS v FROM und
+    ) GROUP BY 1
+),
+oriented AS (
+    SELECT CASE WHEN (ds.deg, src) < (dd.deg, dst) THEN src ELSE dst END AS a,
+           CASE WHEN (ds.deg, src) < (dd.deg, dst) THEN dst ELSE src END AS b
+    FROM und
+    JOIN deg ds ON ds.v = src
+    JOIN deg dd ON dd.v = dst
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e2.a = e1.b
+    JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+       (SELECT COUNT(*) FROM und) AS n_edges,
+       (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       n_triangles
+FROM tri
+"""

@@ -1071,6 +1071,8 @@ register("multimodal_resize", _mm.MULTIMODAL_RESIZE_SQL)(_mm.multimodal_resize)
 from ru_cdc_spark.operators import graph as _gr  # noqa: E402
 
 register("part_pagerank", None)(_gr.part_pagerank)  # iterative float: rows-only
+register("copurchase_triangles",
+         _gr.COPURCHASE_TRIANGLES_SQL)(_gr.copurchase_triangles)
 
 from ru_cdc_spark.operators import pipelineops as _pp  # noqa: E402
 

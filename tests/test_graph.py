@@ -57,3 +57,20 @@ def test_part_pagerank_topk_shape(spark, sf_dir):
     assert len(top) == 10
     ranks = [r["rank"] for r in top]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_triangle_census_on_known_graphs(spark, tmp_path):
+    """K4 basket -> 4 triangles / 12 wedges; a disjoint 2-part basket adds
+    one edge and no triangles."""
+    from ru_cdc_spark.operators.graph import copurchase_triangles
+
+    rows = [(1, p, 1) for p in (10, 20, 30, 40)] + [(2, 50, 1), (2, 60, 1)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber int") \
+        .write.mode("overwrite") \
+        .parquet(str(tmp_path / "lineitem.parquet"))
+    out = copurchase_triangles(spark, str(tmp_path)).collect()[0]
+    assert out["n_vertices"] == 6
+    assert out["n_edges"] == 7          # C(4,2) + 1
+    assert out["n_wedges"] == 12        # K4 only: 4 vertices of degree 3
+    assert out["n_triangles"] == 4      # the 4 faces of K4

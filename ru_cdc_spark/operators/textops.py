@@ -784,3 +784,75 @@ ORDER BY score DESC, doc_id LIMIT {top_k}
 
 
 TEXT_BM25_SEARCH_SQL = _bm25_sql(BM25_TERMS)
+
+
+def text_trigram_lm_score(spark: SparkSession, sf_dir: str,
+                          model_k: int = 500) -> DataFrame:
+    """Character-trigram language-model quality proxy: each document is
+    scored by the mean corpus frequency of its character trigrams under a
+    top-k trigram model — fluent in-domain text is built from common
+    trigrams and scores high; boilerplate-stripped noise, foreign-script
+    spills, and mojibake score low. The arithmetic-mean form (instead of
+    the geometric mean a perplexity would take) keeps the score a ratio
+    of EXACT integers — one double division at the boundary, engine- and
+    cluster-reproducible, no transcendental functions whose last bit
+    differs across libm builds.
+
+    Scale: the model is a two-level trigram count capped at k rows ->
+    broadcast (the corpus shuffles map-side-combined trigram partials
+    only, bounded by |alphabet|^3 distinct keys); per-doc scoring is a
+    broadcast join on the exploded trigrams re-aggregated by doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")
+    tris = docs.select("doc_id", norm.alias("t")).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(t) - 2, 0)),"
+            " i -> substring(t, i, 3))"
+        )).alias("tri"))
+    model = (
+        tris.groupBy("tri").agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("tri"))))
+        .where(F.col("rn") <= model_k)
+        .select("tri", "n")
+    )
+    scored = tris.join(F.broadcast(model), "tri", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_trigrams"),
+             F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("freq_mass"))
+        .select("doc_id", "n_trigrams", "freq_mass",
+                (F.col("freq_mass").cast("double")
+                 / F.col("n_trigrams").cast("double")).alias("lm_score"))
+    )
+
+
+TEXT_TRIGRAM_LM_SQL = """
+WITH d AS (
+    SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g') AS t
+    FROM documents
+),
+tris AS (
+    SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS tri
+    FROM (
+        SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS i
+        FROM d
+    )
+),
+model AS (
+    SELECT tri, n FROM (
+        SELECT tri, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tri) AS rn
+        FROM tris GROUP BY tri
+    ) WHERE rn <= 500
+)
+SELECT doc_id, COUNT(*) AS n_trigrams,
+       CAST(SUM(COALESCE(m.n, 0)) AS BIGINT) AS freq_mass,
+       CAST(SUM(COALESCE(m.n, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS lm_score
+FROM tris LEFT JOIN model m USING (tri)
+GROUP BY doc_id
+"""

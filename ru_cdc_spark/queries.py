@@ -1052,6 +1052,8 @@ register("corpus_dedup_retain",
 register("text_tfidf_top_terms", _tx.TFIDF_TOP_TERMS_SQL)(_tx.tfidf_top_terms)
 register("text_posting_lists", _tx.POSTING_LISTS_SQL)(_tx.posting_lists)
 register("text_bm25_search", _tx.TEXT_BM25_SEARCH_SQL)(_tx.bm25_search)
+register("text_trigram_lm_score",
+         _tx.TEXT_TRIGRAM_LM_SQL)(_tx.text_trigram_lm_score)
 
 from ru_cdc_spark.operators import sketch as _sk  # noqa: E402
 

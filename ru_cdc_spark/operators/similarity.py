@@ -557,3 +557,105 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str, k: int = 10,
     ]
     return spark.createDataFrame(
         rows, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) with asymmetric-distance scoring + exact rerank
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_KSUB = 16      # centroids per subspace  (codes: M x 4 bits)
+PQ_SHORTLIST = 40
+
+
+def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
+                  ksub: int = PQ_KSUB,
+                  shortlist: int = PQ_SHORTLIST) -> DataFrame:
+    """Product-quantized ANN (Jegou et al., PAMI 2011) with the
+    production two-stage shape: ADC shortlist, then exact rerank.
+
+    The vector splits into ``m`` subspaces, each k-means-coded to one of
+    ``ksub`` centroid ids — the corpus compresses to m small ints per
+    vector (32 bits here vs 512 bytes of floats, a 128x shrink). A query
+    scores candidates WITHOUT decompressing: its per-subspace distance
+    table to every centroid (m x ksub floats, tiny) joins the corpus
+    codes and sums — the asymmetric distance. The top-``shortlist`` by
+    ADC then rerank EXACTLY on their true vectors, so compression error
+    only costs recall at the shortlist boundary, not ranking error in the
+    final answer.
+
+    Rows-only correctness (k-means training is iterative); recall@3 vs
+    brute force is the pytest gate.
+
+    Scale: codebooks are model metadata (m x ksub x subdim floats,
+    broadcast); encoding is a per-vector nearest-centroid map over the
+    broadcast codebook (no corpus shuffle); ADC scoring shuffles
+    (query, neighbor) partial sums — m rows each — and the exact stage
+    touches only |queries| x shortlist full vectors.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("e").first()["e"])
+    sub_dim = dim // m
+
+    rows: list[tuple[int, int, list[float]]] = []
+    for s in range(m):
+        sl = emb.select(
+            array_to_vector(F.slice("e", s * sub_dim + 1, sub_dim))
+            .alias("features"))
+        model = KMeans(k=ksub, seed=7 + s, maxIter=10).fit(sl)
+        rows += [(s, i, [float(v) for v in c])
+                 for i, c in enumerate(model.clusterCenters())]
+    cb = spark.createDataFrame(rows, "sub int, cid int, cent array<double>")
+
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("sub"),
+                 F.slice("e", s * sub_dim + 1, sub_dim).alias("sv"))
+        for s in range(m)
+    ])
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cent"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    corpus_sub = emb.select(F.col("vec_id").alias("neighbor"),
+                            F.explode(subs).alias("p")) \
+                    .select("neighbor", "p.sub", "p.sv")
+    w_code = Window.partitionBy("neighbor", "sub") \
+                   .orderBy(F.col("cd2").asc(), F.col("cid").asc())
+    codes = (corpus_sub.join(F.broadcast(cb), "sub")
+             .select("neighbor", "sub", "cid", d2.alias("cd2"))
+             .withColumn("rn", F.row_number().over(w_code))
+             .where(F.col("rn") == 1)
+             .select("neighbor", "sub", "cid"))
+
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    qtab = (q.select(F.col("vec_id").alias("q_vec"),
+                     F.explode(subs).alias("p"))
+            .select("q_vec", "p.sub", "p.sv")
+            .join(F.broadcast(cb), "sub")
+            .select("q_vec", "sub", "cid", d2.alias("qd2")))
+
+    adc = (codes.join(F.broadcast(qtab), ["sub", "cid"])
+           .groupBy("q_vec", "neighbor")
+           .agg(F.sum("qd2").alias("adist")))
+    w_short = Window.partitionBy("q_vec").orderBy(
+        F.col("adist").asc(), F.col("neighbor").asc())
+    short = (adc.withColumn("rn", F.row_number().over(w_short))
+             .where(F.col("rn") <= shortlist)
+             .select("q_vec", "neighbor"))
+
+    qv = q.select(F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"),
+                  F.col("nrm").alias("qn"))
+    cv = emb.select(F.col("vec_id").alias("neighbor"),
+                    F.col("e").alias("ce"), F.col("nrm").alias("cn"))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w_final = Window.partitionBy("q_vec").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc())
+    return (short.join(qv, "q_vec").join(cv, "neighbor")
+            .select("q_vec", "neighbor", cos.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w_final))
+            .where(F.col("rank") <= ANN_TOP_K)
+            .select("q_vec", "neighbor", "cos_sim", "rank"))

@@ -1034,6 +1034,7 @@ register("emb_quantize_int8", _sim.EMB_QUANTIZE_INT8_SQL)(_sim.emb_quantize_int8
 register("knn_quantized", _sim.KNN_QUANTIZED_SQL)(_sim.knn_quantized)
 register("ann_ivf", _sim.ANN_IVF_SQL)(_sim.ann_ivf)
 register("ann_ivf_kmeans", None)(_sim.ann_ivf_kmeans)
+register("ann_pq_rerank", None)(_sim.ann_pq_rerank)  # iterative: rows-only
 register("ann_mmr_diverse", None)(_sim.mmr_diverse_topk)
 register("text_stats", _tx.TEXT_STATS_SQL)(_tx.text_stats)
 register("text_lang_id", _tx.LANG_ID_SQL)(_tx.lang_id)

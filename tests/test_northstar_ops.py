@@ -236,3 +236,17 @@ def test_mmr_selection_is_no_less_diverse_than_topk(spark, sf_dir):
     assert sel[0].vec_id == topk_ids[0]  # first pick = most relevant
     mmr_ids = [r.vec_id for r in sel]
     assert mean_pairwise(mmr_ids) <= mean_pairwise(topk_ids) + 1e-9
+
+
+def test_pq_rerank_recall_vs_brute_force(spark, sf_dir):
+    """PQ(8x16) ADC shortlist + exact rerank must recover most of the
+    exact top-3 — the rerank stage means compression error costs recall
+    only at the shortlist boundary."""
+    from ru_cdc_spark.queries import REGISTRY
+
+    exact = REGISTRY["knn_brute_force"].fn(spark, sf_dir)
+    approx = REGISTRY["ann_pq_rerank"].fn(spark, sf_dir)
+    truth = {(r.q_vec, r.neighbor) for r in exact.collect() if r.rank <= 3}
+    got = {(r.q_vec, r.neighbor) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall@3 too low: {recall:.2f}"

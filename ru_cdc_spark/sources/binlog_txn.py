@@ -46,6 +46,7 @@ from ru_cdc_spark.sources.binlog_wire import (
     DELETE_ROWS_V2,
     GTID_EVENT,
     QUERY_EVENT,
+    ROWS_QUERY_EVENT,
     TABLE_MAP_EVENT,
     UPDATE_ROWS_V2,
     WRITE_ROWS_V2,
@@ -58,6 +59,7 @@ from ru_cdc_spark.sources.binlog_wire import (
     decode_gtid,
     decode_query,
     decode_rows_event,
+    decode_rows_query,
     decode_table_map,
     decode_xid,
     encode_frame,
@@ -184,21 +186,29 @@ class TxnAssembler:
     Memory: the undecoded tail of one event + one open transaction's
     images — independent of stream length."""
 
-    def __init__(self) -> None:
+    def __init__(self, capture_sql: bool = False) -> None:
         self.tail = b""
         self.cur: dict | None = None
         self.images: list = []
         self.specs_by_tid: dict[int, list[ColSpec]] = {}
+        # Canal's envelope `sql` field source: ROWS_QUERY events (type 29,
+        # binlog_rows_query_log_events=ON) carry the originating statement
+        # text ahead of each row event. Opt-in so default output schemas
+        # stay stable; the reference never decodes type 29 at all.
+        self.capture_sql = capture_sql
+        self.cur_sql: str | None = None
 
     def _rows(self, status: str, xid) -> list[dict]:
         cols = [n for n, _ in TXN_COLUMNS]
         out = []
-        for k, (op, vals) in enumerate(self.images):
+        for k, (op, vals, sql) in enumerate(self.images):
             r = {"status": status, "gno": self.cur["gno"], "xid": xid,
                  "seq_no": self.cur["sequence_number"],
                  "last_committed": self.cur["last_committed"],
                  "op": op, "seq_in_txn": k,
                  **dict(zip(cols, vals))}
+            if self.capture_sql:
+                r["sql"] = sql
             if r["amount"] is not None:
                 r["amount"] = str(r["amount"])
             out.append(r)
@@ -218,6 +228,10 @@ class TxnAssembler:
             if etype == GTID_EVENT:
                 self.cur = decode_gtid(ev)
                 self.images = []
+                self.cur_sql = None
+            elif etype == ROWS_QUERY_EVENT:
+                if self.capture_sql:
+                    self.cur_sql = decode_rows_query(ev)
             elif etype == QUERY_EVENT:
                 _schema, sql = decode_query(ev)
                 if sql == "ROLLBACK" and self.cur is not None:
@@ -232,9 +246,9 @@ class TxnAssembler:
                 et, imgs = decode_rows_event(ev, self.specs_by_tid[table_id])
                 for img in imgs:
                     if et == UPDATE_ROWS_V2:
-                        self.images.append(("UPDATE", img[1]))
+                        self.images.append(("UPDATE", img[1], self.cur_sql))
                     else:
-                        self.images.append((_OPNAMES[et], img))
+                        self.images.append((_OPNAMES[et], img, self.cur_sql))
             elif etype == XID_EVENT:
                 if self.cur is not None:
                     rows += self._rows("committed", decode_xid(ev))

@@ -63,6 +63,7 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_V2 = 30
 UPDATE_ROWS_V2 = 31
 DELETE_ROWS_V2 = 32
+ROWS_QUERY_EVENT = 29
 GTID_EVENT = 33
 
 # MySQL column type codes (public; reference binlog.rs:159-204)
@@ -673,6 +674,24 @@ def decode_gtid(b: bytes) -> dict:
     return {"commit_flag": commit_flag, "sid": sid, "gno": gno,
             "last_committed": last_committed,
             "sequence_number": sequence_number}
+
+
+def encode_rows_query(sql: str, log_pos: int = 0) -> bytes:
+    """ROWS_QUERY_EVENT (type 29): emitted before each row event when
+    MySQL runs with binlog_rows_query_log_events=ON — 1 length byte
+    (informational; the text runs to the event end) + the original SQL.
+    The reference never decodes it; Canal populates its envelope ``sql``
+    field from exactly this event."""
+    qb = sql.encode()
+    p = bytes([min(len(qb), 255)]) + qb
+    return _header(ROWS_QUERY_EVENT, len(p), log_pos=log_pos) + p
+
+
+def decode_rows_query(b: bytes) -> str:
+    if b[4] != ROWS_QUERY_EVENT:
+        raise ValueError(f"not a ROWS_QUERY event (type {b[4]})")
+    size = int.from_bytes(b[9:13], "little")
+    return b[20:size].decode()
 
 
 def encode_xid(xid: int, log_pos: int = 0) -> bytes:

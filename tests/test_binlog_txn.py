@@ -200,3 +200,49 @@ def test_apply_groups_match_group_commit_size(spark):
     for lc, r in by_lc.items():
         assert lc + 1 <= r["min_seq"] <= r["max_seq"] <= \
             lc + bt.GROUP_COMMIT_SIZE
+
+
+def test_rows_query_populates_sql_per_statement():
+    """ROWS_QUERY events (type 29, binlog_rows_query_log_events=ON) carry
+    the originating SQL ahead of each row event; with capture_sql the
+    assembler attaches it per image, per statement — the source Canal's
+    envelope `sql` field comes from, which the reference never decodes."""
+    from ru_cdc_spark.sources.binlog_txn import (
+        TXN_COLUMNS,
+        TxnAssembler,
+    )
+    from ru_cdc_spark.sources.binlog_wire import (
+        encode_frame,
+        encode_gtid,
+        encode_query,
+        encode_rows_query,
+        encode_xid,
+    )
+
+    from ru_cdc_spark.sources.binlog_wire import WRITE_ROWS_V2
+
+    specs = [s for _, s in TXN_COLUMNS]
+    from decimal import Decimal
+    vals1 = [1, 10, Decimal("1.00"), "a"]
+    vals2 = [2, 20, Decimal("2.00"), "b"]
+    frame1 = encode_frame(7, "testdb", "t", specs, WRITE_ROWS_V2, [vals1])
+    frame2 = encode_frame(7, "testdb", "t", specs, WRITE_ROWS_V2, [vals2])
+    stream = (
+        encode_gtid(bytes(16), 1, 0, 1)
+        + encode_query("BEGIN", schema="testdb")
+        + encode_rows_query("INSERT INTO t VALUES (1)")
+        + frame1
+        + encode_rows_query("INSERT INTO t VALUES (2)")
+        + frame2
+        + encode_xid(99)
+    )
+    asm = TxnAssembler(capture_sql=True)
+    out = asm.feed(stream)
+    assert [r["sql"] for r in out] == [
+        "INSERT INTO t VALUES (1)", "INSERT INTO t VALUES (2)"]
+    assert all(r["status"] == "committed" for r in out)
+
+    # default mode: schema unchanged, no sql key
+    asm2 = TxnAssembler()
+    out2 = asm2.feed(stream)
+    assert out2 and all("sql" not in r for r in out2)

@@ -44,7 +44,9 @@ from pyspark.sql import functions as F
 
 from ru_cdc_spark.sources.binlog_wire import (
     DELETE_ROWS_V2,
+    FORMAT_DESCRIPTION_EVENT,
     GTID_EVENT,
+    HEARTBEAT_EVENT,
     QUERY_EVENT,
     ROWS_QUERY_EVENT,
     TABLE_MAP_EVENT,
@@ -56,7 +58,9 @@ from ru_cdc_spark.sources.binlog_wire import (
     T_LONGLONG,
     T_NEWDECIMAL,
     T_VARCHAR,
+    decode_format_description,
     decode_gtid,
+    decode_heartbeat,
     decode_query,
     decode_rows_event,
     decode_rows_query,
@@ -197,6 +201,13 @@ class TxnAssembler:
         # stay stable; the reference never decodes type 29 at all.
         self.capture_sql = capture_sql
         self.cur_sql: str | None = None
+        # set by FORMAT_DESCRIPTION (type 15): 4 when the stream is
+        # written with binlog_checksum=CRC32, else 0. Every later event's
+        # trailing bytes depend on it.
+        self.checksum_bytes = 0
+        # advanced by HEARTBEAT (type 27) on idle masters: position (and
+        # watermark) liveness without row traffic
+        self.last_heartbeat_pos: int | None = None
 
     def _rows(self, status: str, xid) -> list[dict]:
         cols = [n for n, _ in TXN_COLUMNS]
@@ -225,15 +236,21 @@ class TxnAssembler:
             ev = buf[off:off + size]
             off += size
             etype = ev[4]
-            if etype == GTID_EVENT:
+            if etype == FORMAT_DESCRIPTION_EVENT:
+                fd = decode_format_description(ev)
+                self.checksum_bytes = fd["checksum_bytes"]
+            elif etype == HEARTBEAT_EVENT:
+                _ident, self.last_heartbeat_pos = decode_heartbeat(
+                    ev, self.checksum_bytes)
+            elif etype == GTID_EVENT:
                 self.cur = decode_gtid(ev)
                 self.images = []
                 self.cur_sql = None
             elif etype == ROWS_QUERY_EVENT:
                 if self.capture_sql:
-                    self.cur_sql = decode_rows_query(ev)
+                    self.cur_sql = decode_rows_query(ev, self.checksum_bytes)
             elif etype == QUERY_EVENT:
-                _schema, sql = decode_query(ev)
+                _schema, sql = decode_query(ev, self.checksum_bytes)
                 if sql == "ROLLBACK" and self.cur is not None:
                     rows += self._rows("rolled_back", None)
                     self.cur, self.images = None, []
@@ -243,7 +260,8 @@ class TxnAssembler:
                 self.specs_by_tid[tid_] = specs
             elif etype in _OPNAMES:
                 table_id = int.from_bytes(ev[19:25], "little")
-                et, imgs = decode_rows_event(ev, self.specs_by_tid[table_id])
+                et, imgs = decode_rows_event(ev, self.specs_by_tid[table_id],
+                                             self.checksum_bytes)
                 for img in imgs:
                     if et == UPDATE_ROWS_V2:
                         self.images.append(("UPDATE", img[1], self.cur_sql))

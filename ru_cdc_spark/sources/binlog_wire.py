@@ -63,6 +63,8 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_V2 = 30
 UPDATE_ROWS_V2 = 31
 DELETE_ROWS_V2 = 32
+FORMAT_DESCRIPTION_EVENT = 15
+HEARTBEAT_EVENT = 27
 ROWS_QUERY_EVENT = 29
 GTID_EVENT = 33
 
@@ -676,6 +678,68 @@ def decode_gtid(b: bytes) -> dict:
             "sequence_number": sequence_number}
 
 
+_BINLOG_VERSION = 4
+_POST_HEADER_LENS = 40  # one length byte per event type 1..40 (5.7 layout)
+CHECKSUM_NONE, CHECKSUM_CRC32 = 0, 1
+
+
+def encode_format_description(checksum_alg: int = CHECKSUM_NONE,
+                              server_version: str = "5.7.44-engine",
+                              log_pos: int = 0) -> bytes:
+    """FORMAT_DESCRIPTION_EVENT (type 15) — the first event of every
+    binlog file: binlog version (u16), 50-byte server version string,
+    create timestamp (u32), common header length (u8), the per-type
+    post-header length table, and the checksum algorithm byte every later
+    event's trailing bytes depend on. A reader that skips it (the
+    reference hard-wires its checksum assumption via `set
+    @master_binlog_checksum`, main.rs:82-84) cannot tell whether event
+    payloads end in 4 CRC bytes."""
+    sv = server_version.encode()[:50].ljust(50, b"\x00")
+    p = (struct.pack("<H", _BINLOG_VERSION) + sv + struct.pack("<I", 0)
+         + bytes([19]) + bytes([0] * _POST_HEADER_LENS)
+         + bytes([checksum_alg]))
+    return _header(FORMAT_DESCRIPTION_EVENT, len(p), log_pos=log_pos) + p
+
+
+def decode_format_description(b: bytes) -> dict:
+    """-> {binlog_version, server_version, checksum_bytes}: the stream
+    bootstrap — ``checksum_bytes`` (0 or 4) is what every subsequent
+    rows-event decode must strip (D7's loop-until-checksum bound)."""
+    if b[4] != FORMAT_DESCRIPTION_EVENT:
+        raise ValueError(f"not a FORMAT_DESCRIPTION event (type {b[4]})")
+    size = int.from_bytes(b[9:13], "little")
+    version = struct.unpack_from("<H", b, 19)[0]
+    server_version = b[21:71].split(b"\x00")[0].decode()
+    # A CRC32 stream's FDE itself ends alg-byte + 4 CRC bytes; an
+    # unchecksummed FDE ends with the alg byte (0). Same disambiguation
+    # real readers use: try the CRC position first.
+    if size >= 24 and b[size - 5] == CHECKSUM_CRC32:
+        checksum_bytes = 4
+    else:
+        checksum_bytes = 4 if b[size - 1] == CHECKSUM_CRC32 else 0
+    return {"binlog_version": version, "server_version": server_version,
+            "checksum_bytes": checksum_bytes}
+
+
+def encode_heartbeat(log_ident: str, log_pos: int = 0) -> bytes:
+    """HEARTBEAT_LOG_EVENT (type 27): sent by an idle master so the
+    replica's position (and, in this engine, the stream's WATERMARK)
+    advances with no row traffic — the wire-level form of the liveness
+    fence the stateful operators rely on. Payload is just the current
+    binlog filename; the header's log_pos carries the position."""
+    p = log_ident.encode()
+    return _header(HEARTBEAT_EVENT, len(p), log_pos=log_pos) + p
+
+
+def decode_heartbeat(b: bytes, checksum_bytes: int = 0) -> tuple[str, int]:
+    """-> (binlog filename, log_pos)."""
+    if b[4] != HEARTBEAT_EVENT:
+        raise ValueError(f"not a HEARTBEAT event (type {b[4]})")
+    size = int.from_bytes(b[9:13], "little") - checksum_bytes
+    log_pos = struct.unpack_from("<I", b, 13)[0]
+    return b[19:size].decode(), log_pos
+
+
 def encode_rows_query(sql: str, log_pos: int = 0) -> bytes:
     """ROWS_QUERY_EVENT (type 29): emitted before each row event when
     MySQL runs with binlog_rows_query_log_events=ON — 1 length byte
@@ -687,10 +751,10 @@ def encode_rows_query(sql: str, log_pos: int = 0) -> bytes:
     return _header(ROWS_QUERY_EVENT, len(p), log_pos=log_pos) + p
 
 
-def decode_rows_query(b: bytes) -> str:
+def decode_rows_query(b: bytes, checksum_bytes: int = 0) -> str:
     if b[4] != ROWS_QUERY_EVENT:
         raise ValueError(f"not a ROWS_QUERY event (type {b[4]})")
-    size = int.from_bytes(b[9:13], "little")
+    size = int.from_bytes(b[9:13], "little") - checksum_bytes
     return b[20:size].decode()
 
 
@@ -717,12 +781,12 @@ def encode_query(sql: str, schema: str = "", thread_id: int = 0,
     return _header(QUERY_EVENT, len(p), log_pos=log_pos) + p
 
 
-def decode_query(b: bytes) -> tuple[str, str]:
+def decode_query(b: bytes, checksum_bytes: int = 0) -> tuple[str, str]:
     """-> (schema, sql). Skips the status-vars block by its declared
     length (the reference's decoder does the same, binlog.rs:768-811)."""
     if b[4] != QUERY_EVENT:
         raise ValueError(f"not a QUERY event (type {b[4]})")
-    size = int.from_bytes(b[9:13], "little")
+    size = int.from_bytes(b[9:13], "little") - checksum_bytes
     _thread_id, _exec_time, schema_len, _err, status_len = (
         struct.unpack_from("<IIBHH", b, 19))
     off = 19 + 13 + status_len

@@ -190,3 +190,71 @@ def test_bit_widths_1_to_64_roundtrip():
         assert len(enc) == (bits + 7) // 8
         v, _ = w.decode_value(enc, 0, spec)
         assert v == val, bits
+
+
+def test_format_description_bootstraps_checksum_mode():
+    from ru_cdc_spark.sources import binlog_wire as w
+
+    fde = w.encode_format_description(w.CHECKSUM_NONE)
+    d = w.decode_format_description(fde)
+    assert d["binlog_version"] == 4
+    assert d["server_version"].startswith("5.7")
+    assert d["checksum_bytes"] == 0
+
+
+def test_heartbeat_roundtrip_carries_position():
+    from ru_cdc_spark.sources import binlog_wire as w
+
+    hb = w.encode_heartbeat("binlog.000042", log_pos=123456)
+    ident, pos = w.decode_heartbeat(hb)
+    assert (ident, pos) == ("binlog.000042", 123456)
+
+
+def _crc_wrap(ev: bytes) -> bytes:
+    """Append a real CRC32 trailer and fix the header size, as a
+    binlog_checksum=CRC32 master would write the event."""
+    import struct
+    import zlib
+
+    size = len(ev) + 4
+    ev2 = bytearray(ev)
+    struct.pack_into("<I", ev2, 9, size)
+    return bytes(ev2) + zlib.crc32(bytes(ev2)).to_bytes(4, "little")
+
+
+def test_assembler_strips_crc32_when_fde_declares_it():
+    """A CRC32 stream: FORMAT_DESCRIPTION declares the algorithm, and the
+    assembler strips 4 trailing bytes from every later event — SQL text
+    stays clean, row decode loops stop before the trailer, and heartbeats
+    advance the position with no row traffic."""
+    from decimal import Decimal
+
+    from ru_cdc_spark.sources import binlog_wire as w
+    from ru_cdc_spark.sources.binlog_txn import TXN_COLUMNS, TxnAssembler
+
+    specs = [s for _, s in TXN_COLUMNS]
+    fde = _crc_wrap(w.encode_format_description(w.CHECKSUM_CRC32))
+    assert w.decode_format_description(fde)["checksum_bytes"] == 4
+
+    frame = w.encode_frame(7, "testdb", "t", specs, w.WRITE_ROWS_V2,
+                           [[5, 50, Decimal("5.00"), "zz"]])
+    tm_size = int.from_bytes(frame[9:13], "little")
+    stream = (
+        fde
+        + _crc_wrap(w.encode_heartbeat("binlog.000007", log_pos=777))
+        + _crc_wrap(w.encode_gtid(bytes(16), 3, 0, 3))
+        + _crc_wrap(w.encode_query("BEGIN", schema="testdb"))
+        + _crc_wrap(w.encode_rows_query("INSERT INTO t VALUES (5)"))
+        + _crc_wrap(frame[:tm_size])          # TABLE_MAP
+        + _crc_wrap(frame[tm_size:])          # WRITE_ROWS
+        + _crc_wrap(w.encode_xid(321))
+    )
+    asm = TxnAssembler(capture_sql=True)
+    rows = asm.feed(stream)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["status"] == "committed" and r["xid"] == 321
+    assert (r["i"], r["qty"], r["amount"], r["note"]) == (5, 50, "5.00", "zz")
+    assert r["sql"] == "INSERT INTO t VALUES (5)"
+    assert asm.last_heartbeat_pos == 777
+    assert asm.checksum_bytes == 4

@@ -2241,3 +2241,48 @@ SELECT l_returnflag, metric,
        COUNT(*) AS n
 FROM melted GROUP BY 1, 2
 """
+
+
+def order_price_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-position window family in one pass: percent_rank,
+    cume_dist, dense_rank, and first/nth value of the frame — per-customer
+    price positioning (complements order_price_window_stats' lag/ntile).
+
+    All five share ONE window spec, fusing into a single Window operator:
+    one o_custkey shuffle, one sort, five outputs. prev/nth values emit
+    as correctly-rounded doubles; ranks are exact integers; percent_rank
+    and cume_dist are single divisions of exact rank/count operands —
+    engine- and cluster-exact.
+
+    Scale: single key shuffle; frame state streams per key. The unique
+    orderkey tiebreaker keeps every rank deterministic under ties.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    wfull = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+        F.first("o_totalprice").over(wfull).alias("cheapest"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_cheapest"),
+    )
+
+
+ORDER_PRICE_RANK_STATS_SQL = """
+SELECT o_custkey, o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume,
+       dense_rank()   OVER w AS drank,
+       first_value(o_totalprice) OVER wf AS cheapest,
+       nth_value(o_totalprice, 2) OVER wf AS second_cheapest
+FROM orders
+WINDOW w  AS (PARTITION BY o_custkey
+              ORDER BY o_totalprice ASC, o_orderkey ASC),
+       wf AS (PARTITION BY o_custkey
+              ORDER BY o_totalprice ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

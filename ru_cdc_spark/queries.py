@@ -494,6 +494,8 @@ register("segment_priority_pivot",
          _an.SEGMENT_PRIORITY_PIVOT_SQL)(_an.segment_priority_pivot)
 register("order_price_window_stats",
          _an.ORDER_PRICE_WINDOW_STATS_SQL)(_an.order_price_window_stats)
+register("order_price_rank_stats",
+         _an.ORDER_PRICE_RANK_STATS_SQL)(_an.order_price_rank_stats)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

@@ -313,3 +313,135 @@ SELECT doc_id, modality, CAST(byte_len AS INT) AS byte_len, sha,
            AS n_frames
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing: image near-duplicate detection (pHash + LSH banding)
+# ---------------------------------------------------------------------------
+
+_PH_N = 32     # decode target: 32x32 grayscale
+_PH_K = 8      # keep the top-left 8x8 DCT block
+PHASH_BANDS = 4
+PHASH_HAMMING_MAX = 8
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (the classic pHash transform)."""
+    import numpy as np
+
+    k = np.arange(n).reshape(-1, 1)
+    i = np.arange(n).reshape(1, -1)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+def _fake_pixels(payload: bytes, noise_step: int):
+    """Deterministic 32x32 grayscale stand-in for a real image decode
+    (md5 byte stream), plus a tiny deterministic perturbation — the
+    near-duplicate analog of re-encoding/resizing artifacts. Real path:
+    PIL/OpenCV decode, absent in this container."""
+    import hashlib as _h
+
+    import numpy as np
+
+    raw = b"".join(
+        _h.md5(payload + i.to_bytes(2, "little")).digest()
+        for i in range(_PH_N * _PH_N // 16)
+    )
+    px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+    px = px.reshape(_PH_N, _PH_N).copy()
+    for j in range(noise_step):           # perturb `noise_step` pixels by +1
+        px[(j * 7) % _PH_N, (j * 13) % _PH_N] += 1.0
+    return px
+
+
+def phash64(px) -> int:
+    """64-bit pHash: 2-D DCT, keep the low-frequency 8x8 block, threshold
+    each AC coefficient against the block median (DC excluded from the
+    median so overall brightness cancels)."""
+    import numpy as np
+
+    c = _dct_matrix(_PH_N)
+    coef = (c @ px @ c.T)[:_PH_K, :_PH_K].flatten()
+    med = np.median(coef[1:])
+    bits = 0
+    for idx, v in enumerate(coef):
+        if v > med:
+            bits |= 1 << idx
+    return bits
+
+
+def image_phash(docs_with_payload: DataFrame,
+                fake: bool = True) -> DataFrame:
+    """payload -> (doc_id, phash) via mapInPandas; Arrow-batched, zero
+    shuffle. ``noise`` (doc_id % 5 here) stands in for real-world
+    re-encode jitter so near-duplicate behavior is testable without image
+    codecs."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decode needs PIL/OpenCV; pass fake=True for the "
+            "deterministic test decoder")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            # reinterpret the 64 hash bits as a signed long (two's
+            # complement) — xor/bit_count downstream are bit-identical
+            hashes = np.array([
+                phash64(_fake_pixels(bytes(p), int(d) % 5))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ], dtype=np.uint64).astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    return docs_with_payload.select("doc_id", "payload") \
+        .mapInPandas(op, "doc_id long, phash long")
+
+
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: docs in groups of 5
+    share one source image (the group leader's payload) with per-variant
+    decode jitter; pHash banding (4 bands x 16 bits) blocks candidates and
+    an exact Hamming check (xor + bit_count, pure codegen) confirms.
+
+    Rows-only correctness (the DCT is not SQL-expressible); the
+    same-group/no-cross-group guarantees are pytest-gated.
+
+    Scale: hashing is a narrow Arrow map (the 100 TB cost is the decode
+    itself, already payload-local); the band join shuffles 8-byte hashes
+    + band keys, never pixels; the Hamming verify runs inside codegen on
+    the joined longs. Same blocked-join shape as MinHash LSH — hot
+    buckets cap/salt identically.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    leader = (F.col("doc_id") - F.col("doc_id") % 5).alias("leader")
+    base = docs.select("doc_id", leader)
+    texts = docs.select(F.col("doc_id").alias("leader"),
+                        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    with_payload = base.join(texts, "leader").select("doc_id", "payload")
+
+    hashes = image_phash(with_payload)
+    bands = hashes.select(
+        "doc_id", "phash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), 16 * b)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for b in range(PHASH_BANDS)
+        ])).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.phash").alias("ha"),
+                    F.col("b.phash").alias("hb"))
+            .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= PHASH_HAMMING_MAX))

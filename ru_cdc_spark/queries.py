@@ -1072,6 +1072,8 @@ register("multimodal_decode_stub",
 register("multimodal_frame_sample",
          _mm.MULTIMODAL_FRAME_SAMPLE_SQL)(_mm.multimodal_frame_sample)
 register("multimodal_resize", _mm.MULTIMODAL_RESIZE_SQL)(_mm.multimodal_resize)
+register("multimodal_phash_near_dup",
+         None)(_mm.multimodal_phash_near_dup)  # DCT: rows-only
 
 from ru_cdc_spark.operators import graph as _gr  # noqa: E402
 

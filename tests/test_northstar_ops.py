@@ -250,3 +250,29 @@ def test_pq_rerank_recall_vs_brute_force(spark, sf_dir):
     got = {(r.q_vec, r.neighbor) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"recall@3 too low: {recall:.2f}"
+
+
+def test_phash_near_dup_finds_groups_not_strangers(spark, sf_dir):
+    """pHash near-dup: every pair inside a shared-source group of 5 is
+    found (decode jitter survives the 64-bit hash within the Hamming
+    budget); no cross-group pair appears; exact re-decodes hash
+    identically."""
+    from ru_cdc_spark.operators.multimodal import phash64, _fake_pixels
+    from ru_cdc_spark.queries import REGISTRY
+
+    # determinism + jitter tolerance of the hash itself
+    base = _fake_pixels(b"payload", 0)
+    assert phash64(base) == phash64(_fake_pixels(b"payload", 0))
+    assert bin(phash64(base) ^ phash64(_fake_pixels(b"payload", 4))).count("1") <= 8
+
+    pairs = REGISTRY["multimodal_phash_near_dup"].fn(spark, sf_dir).collect()
+    assert pairs, "no near-dup pairs found"
+    for r in pairs:
+        assert r.doc_a // 5 == r.doc_b // 5, f"cross-group pair {r}"
+        assert r.hamming <= 8
+    # every group of 5 with all members present yields all C(5,2) pairs
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    for g in range(0, 40, 5):
+        for i in range(g, g + 5):
+            for j in range(i + 1, g + 5):
+                assert (i, j) in found, f"missing intra-group pair {(i, j)}"

@@ -996,6 +996,73 @@ def events_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "events_stream_full_outer_join",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+    ), pairs AS (
+        SELECT e1.event_id, e2.value AS prior_value
+        FROM e e1 FULL JOIN e e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts >= e1.ts - INTERVAL 30 MINUTE
+         AND e2.ts <  e1.ts
+    )
+    SELECT COALESCE(event_id, -999) AS event_id,
+           COUNT(prior_value) AS n_prior,
+           MAX(prior_value) AS max_prior
+    FROM pairs GROUP BY 1
+    """,
+)
+def events_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER interval join — the last cell of the join
+    matrix (inner and left_outer are graded above): BOTH sides' unmatched
+    rows emit NULL-padded on watermark eviction. A right-side row that
+    never becomes any event's prior (no later event from that user within
+    30 minutes) surfaces with a NULL left key, so the padded row's only
+    identity is the RIGHT key — ``keep_right_key`` carries it through.
+    The same end-of-stream fence drives the flush; the grouped result
+    (right-unmatched rows collapse into the -999 bucket) hash-matches the
+    batch FULL JOIN oracle.
+
+    Scale: identical state/eviction story as the left-outer variant —
+    interval-bounded state per side, eviction is the emission trigger,
+    liveness = watermark progress (heartbeat/fence on quiet sources)."""
+    import shutil
+    import tempfile
+
+    from ru_cdc_spark.streaming.joins import stream_interval_join
+
+    work = tempfile.mkdtemp(prefix="stream_foj_")
+    try:
+        raw = _events_stream_with_fence(
+            spark, sf_dir, work, (2 * 3600 + 1800 + 3600) * 10**9)
+        left = raw.select("event_id", "user_id", "ts")
+        right = raw.select("user_id", F.col("ts").alias("rts"),
+                           F.col("value").alias("prior_value"))
+        joined = stream_interval_join(
+            left, right, key="user_id", left_ts="ts", right_ts="rts",
+            lookback="30 minutes", watermark="2 hours", how="full_outer",
+            keep_right_key=True)
+        q = (joined.writeStream.format("memory").queryName("__foj_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        t = spark.table("__foj_stream")
+        real = t.where(
+            # drop both fence identities: the left fence row (event_id -1)
+            # and the right fence's padded row (NULL left, r_user_id -1)
+            (F.col("event_id").isNull() | (F.col("event_id") >= 0))
+            & (F.col("event_id").isNotNull() | (F.col("r_user_id") >= 0)))
+        return (real.groupBy(
+                    F.coalesce(F.col("event_id"), F.lit(-999))
+                    .alias("event_id"))
+                .agg(F.count("prior_value").alias("n_prior"),
+                     F.max("prior_value").alias("max_prior")))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ===========================================================================
 # Dedup suite (north-star: LLM-training-data pipeline operators)
 # ===========================================================================

@@ -38,15 +38,19 @@ def stream_interval_join(
     lookback: str = "30 minutes",
     watermark: str = "2 hours",
     how: str = "inner",
+    keep_right_key: bool = False,
 ) -> DataFrame:
     """Join two streams on ``key`` where the right row's event time falls
     in ``[left_ts - lookback, left_ts)`` — strictly before the left event,
     at most ``lookback`` old. Column names (other than ``key``) must be
     disjoint between the two sides; rename upstream.
 
-    Returns the joined stream with the left side's columns first. The
-    half-open bound excludes self-pairs when both streams derive from the
-    same feed.
+    Returns the joined stream with the left side's columns first;
+    ``keep_right_key`` adds the right side's key as ``r_<key>`` (outer
+    variants need it — on right-unmatched padded rows the left key is
+    NULL and the right key is the only identity left). The half-open
+    bound excludes self-pairs when both streams derive from the same
+    feed.
     """
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
@@ -59,4 +63,6 @@ def stream_interval_join(
     keep = [F.col(f"l.{c}") for c in left.columns] + [
         F.col(f"r.{c}") for c in right.columns if c != key
     ]
+    if keep_right_key:
+        keep.append(F.col(f"r.{key}").alias(f"r_{key}"))
     return joined.select(*keep)

@@ -2286,3 +2286,87 @@ WINDOW w  AS (PARTITION BY o_custkey
               ORDER BY o_totalprice ASC, o_orderkey ASC
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection over daily event values per
+    type: S_t = max(0, S_{t-1} + (x_t - target)) flags sustained upward
+    level shifts that single-point z-scores miss. The recursion is made
+    window-expressible by the identity S_t = C_t - min(C_0..C_t) with
+    C the running sum of deviations — two frames over the same ordering,
+    fused into one Window operator.
+
+    Division-free determinism: target is the per-type mean, applied
+    CROSS-MULTIPLIED — deviations are scaled by n_days (y_t = n*x_t -
+    total), so the whole chain stays in DECIMAL; the alert threshold
+    (2x the mean, scaled identically) compares integers-in-decimal, and
+    only the reported cusum converts to double at the boundary.
+
+    Scale: the fact collapses to per-(type, day) decimal partials
+    (map-side combined); windows run per type over a few hundred
+    calendar rows regardless of fact size — same shape as the
+    moving-average family.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+                "event_type",
+                F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.sum(F.col("value").cast(_DEC)).cast("decimal(38,2)")
+                  .alias("x")))
+    per_type = Window.partitionBy("event_type")
+    n = F.count("*").over(per_type)
+    total = F.sum("x").over(per_type).cast("decimal(38,2)")
+    scaled = daily.select(
+        "event_type", "day", "x",
+        (F.col("x") * n - total).cast("decimal(38,2)").alias("y"),
+        total.alias("tot"), n.alias("n"))
+    ordered = Window.partitionBy("event_type").orderBy("day") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("y").over(ordered).cast("decimal(38,2)")
+    run = scaled.select(
+        "event_type", "day", "x", "tot", "n", cum.alias("c"))
+    smin = F.min("c").over(ordered).cast("decimal(38,2)")
+    s = (F.col("c") - F.least(smin, F.lit(0).cast("decimal(38,2)"))) \
+        .cast("decimal(38,2)")
+    return run.select(
+        "event_type", "day",
+        F.col("x").cast("double").alias("daily_value"),
+        s.cast("double").alias("cusum_scaled"),
+        # alert: S_t > 2 * mean * n  ==  S_t > 2 * total (scale-matched)
+        (s > (F.lit(2).cast("decimal(38,2)") * F.col("tot"))
+         .cast("decimal(38,2)")).alias("alert"),
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS x
+    FROM events GROUP BY 1, 2
+),
+scaled AS (
+    SELECT event_type, day, x,
+           CAST(x * COUNT(*) OVER w - SUM(x) OVER w AS DECIMAL(38,2)) AS y,
+           CAST(SUM(x) OVER w AS DECIMAL(38,2)) AS tot
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type)
+),
+run AS (
+    SELECT event_type, day, x, tot,
+           CAST(SUM(y) OVER o AS DECIMAL(38,2)) AS c
+    FROM scaled
+    WINDOW o AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CAST(CAST(x AS VARCHAR) AS DOUBLE) AS daily_value,
+       CAST(CAST(CAST(c - least(CAST(MIN(c) OVER o AS DECIMAL(38,2)),
+                                CAST(0 AS DECIMAL(38,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS cusum_scaled,
+       CAST(c - least(CAST(MIN(c) OVER o AS DECIMAL(38,2)),
+                      CAST(0 AS DECIMAL(38,2))) AS DECIMAL(38,2))
+         > CAST(2 * tot AS DECIMAL(38,2)) AS alert
+FROM run
+WINDOW o AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

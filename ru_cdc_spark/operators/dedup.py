@@ -863,3 +863,65 @@ FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE a.c_custkey < {FUZZY_MAX_KEY} AND b.c_custkey < {FUZZY_MAX_KEY}
   AND levenshtein(a.c_name, b.c_name) = 1
 """
+
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str,
+                          threshold: float = 0.10) -> DataFrame:
+    """DIRECTED containment C(A in B) = |grams(A) ∩ grams(B)| / |grams(A)|
+    within (lang, source) blocks — the asymmetric overlap measure that
+    catches a short document quoted/embedded inside a long one, which
+    symmetric Jaccard dilutes toward zero (|∪| is dominated by the long
+    side). Broder's containment companion to the resemblance (Jaccard)
+    from the original shingling paper; the standard boilerplate/quote
+    detector in corpus curation.
+
+    Scale: same blocked self-join shape as ngram_jaccard_pairs (pair
+    count bounded by blocks, grams ride the join, intersection computed
+    once per ordered pair); containment is an exact integer ratio —
+    engine-identical double.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wc = F.col("w")
+    bigrams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(wc) - 1),
+        lambda i: F.array_join(F.slice(wc, i, 2), " "),
+    ))
+    base = (docs.select("doc_id", "lang", "source",
+                        words_col(F.col("text")).alias("w"))
+            .where(F.size("w") >= 2)
+            .select("doc_id", "lang", "source", bigrams.alias("grams")))
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    paired = (
+        a.join(b, ["lang", "source"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("n_common"),
+            F.size(F.col("a.grams")).alias("n_a"),
+        )
+    )
+    containment = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    return (paired.select("doc_a", "doc_b", "n_common", "n_a",
+                          containment.alias("containment"))
+            .where(F.col("containment") >= threshold))
+
+
+DOC_CONTAINMENT_SQL = """
+WITH grams AS (
+    SELECT doc_id, lang, source,
+           list_distinct(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1])) AS g
+    FROM (SELECT doc_id, lang, source, {words} AS w FROM documents)
+    WHERE len(w) >= 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.g, b.g)) AS n_common,
+       len(a.g) AS n_a,
+       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g)
+           AS containment
+FROM grams a JOIN grams b ON a.lang = b.lang AND a.source = b.source
+WHERE a.doc_id <> b.doc_id
+  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) >= 0.10
+""".replace("{words}", _WORDS_SQL)

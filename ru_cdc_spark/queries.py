@@ -542,6 +542,8 @@ register("order_price_window_stats",
          _an.ORDER_PRICE_WINDOW_STATS_SQL)(_an.order_price_window_stats)
 register("order_price_rank_stats",
          _an.ORDER_PRICE_RANK_STATS_SQL)(_an.order_price_rank_stats)
+register("events_cusum_changepoints",
+         _an.EVENTS_CUSUM_SQL)(_an.events_cusum_changepoints)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)
@@ -1123,6 +1125,8 @@ register("dedup_simhash_near_pairs", _dd.SIMHASH_NEAR_PAIRS_SQL)(_dd.simhash_nea
 register("dedup_threshold_calibration",
          _dd.DEDUP_THRESHOLD_CALIBRATION_SQL)(_dd.dedup_threshold_calibration)
 register("dedup_ngram_jaccard", _dd.NGRAM_JACCARD_PAIRS_SQL)(_dd.ngram_jaccard_pairs)
+register("doc_containment_pairs",
+         _dd.DOC_CONTAINMENT_SQL)(_dd.doc_containment_pairs)
 register("dedup_embedding_cosine", _dd.EMBEDDING_NEAR_DUP_SQL)(_dd.embedding_near_dup_pairs)
 register("dedup_clusters", _dd.DEDUP_CLUSTERS_SQL)(_dd.dedup_clusters)
 register("dedup_clusters_star", _dd.DEDUP_CLUSTERS_SQL)(_dd.dedup_clusters_star)
@@ -1748,6 +1752,68 @@ def cdc_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = apply_changes(ch, ORDERS_PK).select(*cols)
     return snapshot_diff(pre, post, ["o_orderkey"]).select(
         "o_orderkey", "_change_type", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "cdc_incremental_agg_from_cdf",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT a_orderstatus AS o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(CAST(CAST(SUM(CAST(a_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_price
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY COALESCE(a_orderkey, b_orderkey)
+              ORDER BY id DESC) AS rn
+          FROM changes)
+    WHERE rn = 1 AND type <> 'DELETE'
+    GROUP BY 1
+    """,
+)
+def cdc_incremental_agg_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance from the CHANGE FEED: the
+    per-status (count, revenue) aggregate at the old horizon plus the
+    CDF's signed deltas (+post/+insert, -pre/-delete) must equal the head
+    aggregate computed from scratch — and the oracle IS that scratch
+    recomputation, so the algebra is hash-verified, not assumed. This is
+    the lakehouse maintenance pattern: refresh a downstream aggregate by
+    reading ONLY table_changes since the last refresh, never rescanning
+    the base.
+
+    Scale: the delta aggregate's input is the feed (proportional to
+    changes, not table size); counts and sums stay in DECIMAL so the
+    base+delta regrouping is value-exact at any cluster size.
+    """
+    from ru_cdc_spark.operators.versioned_store import snapshot_diff
+
+    ch = derive_order_changes(spark, sf_dir)
+    cols = ["o_orderkey", "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("tp")]
+    pre = apply_changes(
+        ch.where(F.col("id") <= _CDF_FROM_SEQ), ORDERS_PK).select(*cols)
+    post = apply_changes(ch, ORDERS_PK).select(*cols)
+
+    base = pre.groupBy("o_orderstatus").agg(
+        F.count("*").alias("bn"),
+        F.sum("tp").cast("decimal(38,2)").alias("bs"))
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (snapshot_diff(pre, post, ["o_orderkey"])
+             .select("o_orderstatus", sign.alias("sg"), "tp")
+             .groupBy("o_orderstatus")
+             .agg(F.sum("sg").alias("dn"),
+                  F.sum(F.col("sg") * F.col("tp")).cast("decimal(38,2)")
+                  .alias("ds")))
+    zero = F.lit(0).cast("decimal(38,2)")
+    merged = (base.join(delta, "o_orderstatus", "full_outer")
+              .select(
+                  "o_orderstatus",
+                  (F.coalesce(F.col("bn"), F.lit(0))
+                   + F.coalesce(F.col("dn"), F.lit(0))).alias("n_orders"),
+                  (F.coalesce(F.col("bs"), zero)
+                   + F.coalesce(F.col("ds"), zero)).cast("decimal(38,2)")
+                  .cast("double").alias("total_price")))
+    return merged.where(F.col("n_orders") > 0)
 
 
 @register(

@@ -2370,3 +2370,121 @@ FROM run
 WINDOW o AS (PARTITION BY event_type ORDER BY day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day, EXACT: the sliding-distinct
+    metric window functions cannot express (COUNT(DISTINCT) OVER a frame
+    is unsupported in both engines). Each distinct (user, active-day)
+    pair contributes to the 7 calendar days it is visible from — a
+    7-value explode — and distinct (user, report-day) collapses re-visits
+    within the window.
+
+    Scale: input to the explode is the DISTINCT day-user relation (one
+    row per user-day, not per event — the fact collapses first), so the
+    fan-out is bounded by 7 x active-pairs. The HLL path
+    (events_daily_users_hll) is the sketch alternative; this is the
+    exact one, and they cross-check.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id").distinct()
+    visible = day_user.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d",
+    ).select(
+        "user_id", (F.col("d") + F.make_interval(days=F.col("off")))
+        .alias("report_day"))
+    # clamp to days that actually exist in the data (calendar join)
+    days = day_user.select(F.col("d").alias("report_day")).distinct()
+    return (visible.join(days, "report_day")
+            .groupBy("report_day")
+            .agg(F.count_distinct("user_id").alias("active_users_7d")))
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH du AS (
+    SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, user_id
+    FROM events
+),
+visible AS (
+    SELECT user_id, d + to_days(CAST(off AS INTEGER)) AS report_day
+    FROM du, range(0, 7) t(off)
+),
+days AS (SELECT DISTINCT d AS report_day FROM du)
+SELECT v.report_day, COUNT(DISTINCT v.user_id) AS active_users_7d
+FROM visible v JOIN days USING (report_day)
+GROUP BY 1
+"""
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer's recency (days since last order),
+    frequency (order count), monetary (decimal revenue) scored into
+    quartiles 1-4 by ntile and combined into the classic 3-digit segment
+    code — the marketing-analytics workhorse.
+
+    Determinism: every ntile orders with the customer key as tiebreak;
+    monetary stays DECIMAL until the boundary; recency is exact integer
+    day arithmetic against the corpus max date (no wall clock).
+
+    Scale: one per-customer aggregate (map-side combined), then three
+    unpartitioned ntile windows over |customers| rows — fused into one
+    Window operator chain; fine to thousands of partitions since the
+    post-agg relation is customer-grain, not fact-grain.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.date_trunc("day", "o_orderdate"))
+                   .alias("maxd"))
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max(F.date_trunc("day", "o_orderdate")).alias("lastd"),
+                     F.count("*").alias("frequency"),
+                     F.sum(F.col("o_totalprice").cast(_DEC))
+                     .cast("decimal(38,2)").alias("monetary"))
+                .crossJoin(F.broadcast(anchor)))
+    scored = per_cust.select(
+        "o_custkey",
+        F.datediff(F.col("maxd"), F.col("lastd")).alias("recency_days"),
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(4).over(Window.orderBy(
+            F.datediff(F.col("maxd"), F.col("lastd")).asc(),
+            F.col("o_custkey").asc())).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(
+            F.col("frequency").desc(), F.col("o_custkey").asc())).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(
+            F.col("monetary").desc(), F.col("o_custkey").asc())).alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .alias("rfm_code"),
+    )
+
+
+CUSTOMER_RFM_SQL = """
+WITH anchor AS (
+    SELECT MAX(date_trunc('day', o_orderdate)) AS maxd FROM orders
+),
+per_cust AS (
+    SELECT o_custkey,
+           MAX(date_trunc('day', o_orderdate)) AS lastd,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS monetary
+    FROM orders GROUP BY 1
+)
+SELECT o_custkey,
+       datediff('day', lastd, maxd) AS recency_days,
+       frequency,
+       CAST(CAST(monetary AS VARCHAR) AS DOUBLE) AS monetary,
+       ntile(4) OVER (ORDER BY datediff('day', lastd, maxd) ASC, o_custkey)
+           AS r_score,
+       ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
+       ntile(4) OVER (ORDER BY datediff('day', lastd, maxd) ASC, o_custkey) * 100
+       + ntile(4) OVER (ORDER BY frequency DESC, o_custkey) * 10
+       + ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS rfm_code
+FROM per_cust CROSS JOIN anchor
+"""

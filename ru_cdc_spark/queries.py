@@ -544,6 +544,10 @@ register("order_price_rank_stats",
          _an.ORDER_PRICE_RANK_STATS_SQL)(_an.order_price_rank_stats)
 register("events_cusum_changepoints",
          _an.EVENTS_CUSUM_SQL)(_an.events_cusum_changepoints)
+register("rolling_active_users_7d",
+         _an.ROLLING_ACTIVE_USERS_SQL)(_an.rolling_active_users_7d)
+register("customer_rfm_segments",
+         _an.CUSTOMER_RFM_SQL)(_an.customer_rfm_segments)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

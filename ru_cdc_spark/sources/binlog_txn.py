@@ -46,6 +46,7 @@ from ru_cdc_spark.sources.binlog_wire import (
     DELETE_ROWS_V2,
     FORMAT_DESCRIPTION_EVENT,
     GTID_EVENT,
+    ROTATE_EVENT,
     HEARTBEAT_EVENT,
     QUERY_EVENT,
     ROWS_QUERY_EVENT,
@@ -62,6 +63,7 @@ from ru_cdc_spark.sources.binlog_wire import (
     decode_gtid,
     decode_heartbeat,
     decode_query,
+    decode_rotate,
     decode_rows_event,
     decode_rows_query,
     decode_table_map,
@@ -208,6 +210,11 @@ class TxnAssembler:
         # advanced by HEARTBEAT (type 27) on idle masters: position (and
         # watermark) liveness without row traffic
         self.last_heartbeat_pos: int | None = None
+        # tracked from ROTATE (type 4): the current binlog file — resume
+        # positions are (file, pos) pairs, not a bare offset (the
+        # reference decodes ROTATE but drops it, SURVEY D12)
+        self.current_log: str | None = None
+        self.current_pos: int = 0
 
     def _rows(self, status: str, xid) -> list[dict]:
         cols = [n for n, _ in TXN_COLUMNS]
@@ -236,7 +243,10 @@ class TxnAssembler:
             ev = buf[off:off + size]
             off += size
             etype = ev[4]
-            if etype == FORMAT_DESCRIPTION_EVENT:
+            if etype == ROTATE_EVENT:
+                self.current_log, self.current_pos = decode_rotate(
+                    ev, self.checksum_bytes)
+            elif etype == FORMAT_DESCRIPTION_EVENT:
                 fd = decode_format_description(ev)
                 self.checksum_bytes = fd["checksum_bytes"]
             elif etype == HEARTBEAT_EVENT:

@@ -63,6 +63,7 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_V2 = 30
 UPDATE_ROWS_V2 = 31
 DELETE_ROWS_V2 = 32
+ROTATE_EVENT = 4
 FORMAT_DESCRIPTION_EVENT = 15
 HEARTBEAT_EVENT = 27
 ROWS_QUERY_EVENT = 29
@@ -676,6 +677,27 @@ def decode_gtid(b: bytes) -> dict:
     return {"commit_flag": commit_flag, "sid": sid, "gno": gno,
             "last_committed": last_committed,
             "sequence_number": sequence_number}
+
+
+def encode_rotate(next_log: str, position: int = 4,
+                  log_pos: int = 0) -> bytes:
+    """ROTATE_EVENT (type 4): u64 position-in-next-file + the next binlog
+    filename — the master's announcement that subsequent events come from
+    a new file. The reference decodes it (binlog.rs:814-828) but its
+    workers drop it (executor.rs:540, SURVEY D12 'effectively dead');
+    a resumable reader must track it so checkpoints carry (file, pos),
+    not pos alone."""
+    p = position.to_bytes(8, "little") + next_log.encode()
+    return _header(ROTATE_EVENT, len(p), log_pos=log_pos) + p
+
+
+def decode_rotate(b: bytes, checksum_bytes: int = 0) -> tuple[str, int]:
+    """-> (next binlog filename, position in it)."""
+    if b[4] != ROTATE_EVENT:
+        raise ValueError(f"not a ROTATE event (type {b[4]})")
+    size = int.from_bytes(b[9:13], "little") - checksum_bytes
+    position = int.from_bytes(b[19:27], "little")
+    return b[27:size].decode(), position
 
 
 _BINLOG_VERSION = 4

@@ -246,3 +246,33 @@ def test_rows_query_populates_sql_per_statement():
     asm2 = TxnAssembler()
     out2 = asm2.feed(stream)
     assert out2 and all("sql" not in r for r in out2)
+
+
+def test_rotate_switches_current_log_mid_stream():
+    """ROTATE events (the reference decodes but drops them, D12) switch
+    the tracked (file, position) so resume checkpoints name the right
+    binlog file even across file boundaries — and transactions spanning
+    the rotation still assemble atomically."""
+    from decimal import Decimal
+
+    from ru_cdc_spark.sources import binlog_wire as w
+    from ru_cdc_spark.sources.binlog_txn import TXN_COLUMNS, TxnAssembler
+
+    specs = [s for _, s in TXN_COLUMNS]
+    frame = w.encode_frame(7, "testdb", "t", specs, w.WRITE_ROWS_V2,
+                           [[9, 90, Decimal("9.00"), "r"]])
+    stream = (
+        w.encode_rotate("binlog.000001", 4)
+        + w.encode_gtid(bytes(16), 5, 0, 5)
+        + w.encode_query("BEGIN", schema="testdb")
+        + frame
+        # the file rotates while the transaction is still open
+        + w.encode_rotate("binlog.000002", 4)
+        + w.encode_xid(555)
+    )
+    asm = TxnAssembler()
+    rows = asm.feed(stream)
+    assert [r["status"] for r in rows] == ["committed"]
+    assert rows[0]["xid"] == 555
+    assert asm.current_log == "binlog.000002"
+    assert asm.current_pos == 4

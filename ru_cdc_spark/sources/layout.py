@@ -23,6 +23,7 @@ cluster column gets narrow per-file stats.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_clustered(df: DataFrame, path: str, by: list[str],
@@ -170,3 +171,87 @@ def write_hive_partitioned(df: DataFrame, path: str,
     write_zordered), and keep partition count in the 10^3-10^5 range so
     listing stays cheap."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# file-level Bloom sidecar index: point-lookup file skipping
+# ---------------------------------------------------------------------------
+
+# 2^17 bits = 16 KiB per file: ~6e-6 false-positive rate at 2.5k distinct
+# keys per file (k=5) — size m_bits at ~50x the expected per-file key
+# cardinality to keep kn/m near 0.1
+BLOOM_IDX_M_BITS = 1 << 17
+BLOOM_IDX_K = 5
+
+
+def write_bloom_index(spark, data_path: str, key: str,
+                      m_bits: int = BLOOM_IDX_M_BITS,
+                      k: int = BLOOM_IDX_K) -> str:
+    """Per-FILE Bloom sidecar for ``key``: each data file gets a packed
+    bit array of its key set, written as a tiny parquet table
+    (file, word_idx, word) next to the data. Point lookups then read
+    ONLY the files whose bloom admits the probe value — the footer
+    min/max skipping complement for high-cardinality keys that clustering
+    can't order by (Delta's bloom filter index, as a sidecar).
+
+    Build is fully distributed: (file, bit) positions dedupe in a
+    combiner-reduced shuffle bounded by files x m_bits, then pack into
+    words with a bit_or aggregate — the driver never sees a bit.
+    """
+    assert m_bits % 64 == 0
+    df = spark.read.parquet(data_path).select(
+        F.col(key).alias("__k"),
+        F.input_file_name().alias("f"))
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__seed")
+    pos = (df.select("f", "__k", seeds)
+           .select("f", F.pmod(F.xxhash64("__k", "__seed"), F.lit(m_bits))
+                   .alias("p"))
+           .distinct())
+    words = (pos.select(
+                "f", (F.col("p") / 64).cast("int").alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(pmod(p, 64) AS INT))").alias("bit"))
+             .groupBy("f", "word_idx")
+             .agg(F.bit_or("bit").alias("word")))
+    out = data_path.rstrip("/") + f"__bloom_{key}"
+    words.write.mode("overwrite").parquet(out)
+    return out
+
+
+def bloom_prune_files(spark, data_path: str, key: str, value,
+                      m_bits: int = BLOOM_IDX_M_BITS,
+                      k: int = BLOOM_IDX_K):
+    """Point-lookup planning: consult the sidecar and return
+    (candidate_files, dataframe) where the DataFrame scans ONLY the
+    admitted files. False positives re-filter at scan time (the filter
+    is still applied); false negatives are impossible.
+
+    The probe value's k bit positions are computed with the SAME engine
+    hash (a 1-row plan-time job — an index lookup, not a data collect).
+    The literal is cast to the data column's exact type first: xxhash64
+    hashes an int32 and an int64 of the same value differently.
+    """
+    key_type = spark.read.parquet(data_path).schema[key].dataType
+    probe = spark.range(1).select(F.lit(value).cast(key_type).alias("__k"))
+    positions = [
+        r["p"] for r in probe.select(F.explode(F.array(*[
+            F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ])).alias("p")).collect()
+    ]
+    need = {(p >> 6, p & 63) for p in positions}
+    sidecar = spark.read.parquet(data_path.rstrip("/") + f"__bloom_{key}")
+    checks = spark.createDataFrame(
+        [(w, b) for w, b in sorted(need)], "word_idx int, bit_pos int")
+    hits = (sidecar.join(F.broadcast(checks), "word_idx")
+            .where(F.expr("(word & shiftleft(CAST(1 AS BIGINT), bit_pos)) "
+                          "<> 0"))
+            .groupBy("f")
+            .agg(F.count_distinct("word_idx", "bit_pos").alias("n_hit"))
+            .where(F.col("n_hit") == len(need)))
+    files = [r["f"] for r in hits.select("f").collect()]
+    if not files:
+        empty = spark.read.parquet(data_path).where(F.lit(False))
+        return [], empty.where(F.col(key) == F.lit(value))
+    df = spark.read.parquet(*files).where(F.col(key) == F.lit(value))
+    return files, df

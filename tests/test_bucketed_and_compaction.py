@@ -157,3 +157,36 @@ def test_hive_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     # layout never changes semantics
     want = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
     assert pruned.count() == want
+
+
+def test_bloom_sidecar_prunes_files_for_point_lookup(spark, tmp_path):
+    """Per-file Bloom index: a point lookup consults the sidecar and
+    scans a strict subset of files, returning exactly the full-scan
+    answer; an absent key admits no files (whp) and returns empty."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.sources.layout import (
+        bloom_prune_files,
+        write_bloom_index,
+        write_clustered,
+    )
+
+    data = str(tmp_path / "keyed")
+    df = spark.range(20_000).select(
+        (F.col("id") * 7919 % 100_000).alias("k"),
+        (F.col("id") % 97).alias("v"))
+    write_clustered(df, data, by=["k"], n_files=8)
+    write_bloom_index(spark, data, "k")
+
+    probe = df.limit(1).collect()[0]["k"]
+    files, pruned = bloom_prune_files(spark, data, "k", probe)
+    assert 1 <= len(files) < 8, f"no pruning: {len(files)} files"
+    full = spark.read.parquet(data).where(F.col("k") == probe)
+    assert sorted(r["v"] for r in pruned.collect()) == \
+        sorted(r["v"] for r in full.collect())
+
+    # absent key: sidecar admits nothing (8 files x 5 hashes in 2^13 bits
+    # keeps the false-positive odds negligible), result is empty
+    files2, pruned2 = bloom_prune_files(spark, data, "k", 123_456_789)
+    assert files2 == []
+    assert pruned2.count() == 0

@@ -190,3 +190,27 @@ def test_bloom_sidecar_prunes_files_for_point_lookup(spark, tmp_path):
     files2, pruned2 = bloom_prune_files(spark, data, "k", 123_456_789)
     assert files2 == []
     assert pruned2.count() == 0
+
+
+def test_bucket_pruning_on_point_lookup(spark, sf_dir):
+    """Filtering a bucketed table on its bucket key must prune buckets at
+    planning time (SelectedBucketsCount 1/N in the scan) — the managed-
+    table complement to the Bloom sidecar's file skipping."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.sources.bucketed import write_bucketed
+
+    name = write_bucketed(spark, sf_dir, "orders", "o_orderkey",
+                          n_buckets=8, suffix="_bp_test")
+    # the planner turns bucketed scans off for pure filters unless told
+    # otherwise (autoBucketedScan optimizes for joins/aggs); pruning only
+    # applies to a bucketed scan
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = spark.table(name).where(F.col("o_orderkey") == 7)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:800]
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")

@@ -2488,3 +2488,204 @@ SELECT o_custkey,
        + ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS rfm_code
 FROM per_cust CROSS JOIN anchor
 """
+
+
+def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, classified
+    A/B/C at 70%/90% cumulative share — the procurement-prioritization
+    standard.
+
+    Division-free class boundaries: ``cum * 100 <= 70 * total`` compares
+    decimals exactly, so no float boundary can flip a part between
+    classes; the reported share is one double division at the boundary.
+
+    Scale: per-part decimal partials (map-side combined), then ONE
+    ordered window over the part-grain relation for the running sum —
+    parts, not lineitems. The unpartitioned window is the documented
+    tradeoff at extreme part cardinality (range-partition the rank for
+    billions of parts).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(F.col("l_extendedprice").cast(_DEC))
+                     .cast("decimal(38,2)").alias("revenue")))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+    total = Window.partitionBy()
+    cum = F.sum("revenue").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) \
+        .cast("decimal(38,2)")
+    tot = F.sum("revenue").over(total).cast("decimal(38,2)")
+    cls = (F.when(cum * 100 <= tot * 70, "A")
+           .when(cum * 100 <= tot * 90, "B")
+           .otherwise("C"))
+    return (per_part.select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.row_number().over(w).alias("rank"),
+        (cum.cast("double") / tot.cast("double")).alias("cum_share"),
+        cls.alias("abc_class")))
+
+
+PARTS_ABC_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS revenue
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+    SELECT l_partkey, revenue,
+           row_number() OVER w AS rank,
+           CAST(SUM(revenue) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS DECIMAL(38,2)) AS cum,
+           CAST(SUM(revenue) OVER () AS DECIMAL(38,2)) AS tot
+    FROM per_part
+    WINDOW w AS (ORDER BY revenue DESC, l_partkey ASC)
+)
+SELECT l_partkey,
+       CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+       rank,
+       CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS cum_share,
+       CASE WHEN cum * 100 <= tot * 70 THEN 'A'
+            WHEN cum * 100 <= tot * 90 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+def part_supply_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration HHI per part: sum of squared supplier
+    revenue shares — 1.0 = single-source (supply-chain risk), 1/n =
+    perfectly spread. HHI = Σ sᵢ² / S² needs only ONE division of exact
+    decimals (squares and sums stay decimal), so the index is
+    engine-exact — no per-share float rounding can accumulate.
+
+    Scale: two chained aggregates, both map-side combinable: (part,
+    supplier) partials then per-part moments. Output is part-grain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.col("l_extendedprice").cast(_DEC))
+               .cast("decimal(38,2)").alias("s")))
+    per_part = (ps.groupBy("l_partkey")
+                .agg(F.count("*").alias("n_suppliers"),
+                     F.sum("s").cast("decimal(38,2)").alias("tot"),
+                     F.sum((F.col("s") * F.col("s")).cast("decimal(38,4)"))
+                     .cast("decimal(38,4)").alias("sumsq")))
+    return per_part.select(
+        "l_partkey", "n_suppliers",
+        (F.col("sumsq").cast("double")
+         / (F.col("tot") * F.col("tot")).cast("decimal(38,4)")
+         .cast("double")).alias("hhi"))
+
+
+PART_SUPPLY_HHI_SQL = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS s
+    FROM lineitem GROUP BY 1, 2
+),
+pp AS (
+    SELECT l_partkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(s) AS DECIMAL(38,2)) AS tot,
+           CAST(SUM(CAST(s * s AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sumsq
+    FROM ps GROUP BY 1
+)
+SELECT l_partkey, n_suppliers,
+       CAST(CAST(sumsq AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(tot * tot AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+         AS hhi
+FROM pp
+"""
+
+
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals — the
+    Benford's-law fraud/integrity screen. Reported as exact counts and
+    one exact-ratio share per digit; the expected log10(1+1/d) curve is
+    the consumer's concern (no transcendentals inside the engine result).
+
+    Scale: digit extraction is string codegen over the scan; the
+    aggregate is 9 groups.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(
+            F.col("o_totalprice").cast(_DEC).cast("string"), r"[^1-9]", ""),
+        1, 1).cast("int")
+    per = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n"))
+    tot = Window.partitionBy()
+    return per.select(
+        "digit", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(tot).cast("double")).alias("share"))
+
+
+ORDERS_BENFORD_SQL = """
+WITH d AS (
+    SELECT CAST(substr(regexp_replace(
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS digit
+    FROM orders
+)
+SELECT digit, COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+FROM d GROUP BY 1
+"""
+
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-AU stickiness per day — the engagement ratio
+    product teams track. Both counts are EXACT distincts (the 7-day side
+    reuses the visibility-explode trick); the ratio is one double
+    division of exact integers.
+
+    Scale: all inputs derive from the DISTINCT user-day relation; fan-out
+    is 7x that, never event-grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id").distinct()
+    dau = day_user.groupBy(F.col("d").alias("report_day")).agg(
+        F.count("*").alias("dau"))
+    visible = day_user.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d",
+    ).select(
+        "user_id",
+        (F.col("d") + F.make_interval(days=F.col("off")))
+        .alias("report_day"))
+    wau = (visible.join(
+        day_user.select(F.col("d").alias("report_day")).distinct(),
+        "report_day")
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau7")))
+    return (dau.join(wau, "report_day")
+            .select("report_day", "dau", "wau7",
+                    (F.col("dau").cast("double")
+                     / F.col("wau7").cast("double")).alias("stickiness")))
+
+
+EVENTS_STICKINESS_SQL = """
+WITH du AS (
+    SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, user_id
+    FROM events
+),
+dau AS (SELECT d AS report_day, COUNT(*) AS dau FROM du GROUP BY 1),
+visible AS (
+    SELECT user_id, d + to_days(CAST(off AS INTEGER)) AS report_day
+    FROM du, range(0, 7) t(off)
+),
+wau AS (
+    SELECT v.report_day, COUNT(DISTINCT v.user_id) AS wau7
+    FROM visible v JOIN (SELECT DISTINCT d AS report_day FROM du) days
+      USING (report_day)
+    GROUP BY 1
+)
+SELECT report_day, dau, wau7,
+       CAST(dau AS DOUBLE) / CAST(wau7 AS DOUBLE) AS stickiness
+FROM dau JOIN wau USING (report_day)
+"""

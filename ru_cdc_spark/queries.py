@@ -548,6 +548,12 @@ register("rolling_active_users_7d",
          _an.ROLLING_ACTIVE_USERS_SQL)(_an.rolling_active_users_7d)
 register("customer_rfm_segments",
          _an.CUSTOMER_RFM_SQL)(_an.customer_rfm_segments)
+register("parts_abc_analysis", _an.PARTS_ABC_SQL)(_an.parts_abc_analysis)
+register("part_supply_hhi", _an.PART_SUPPLY_HHI_SQL)(_an.part_supply_hhi)
+register("orders_benford_digits",
+         _an.ORDERS_BENFORD_SQL)(_an.orders_benford_digits)
+register("events_stickiness",
+         _an.EVENTS_STICKINESS_SQL)(_an.events_stickiness)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

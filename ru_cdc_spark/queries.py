@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ru_cdc_spark.config import InstanceConfig, instance_condition_sql, route
@@ -1824,6 +1824,76 @@ def cdc_incremental_agg_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + F.coalesce(F.col("ds"), zero)).cast("decimal(38,2)")
                   .cast("double").alias("total_price")))
     return merged.where(F.col("n_orders") > 0)
+
+
+@register(
+    "cdc_conflict_report",
+    ORDER_CHANGES_ORACLE_CTE + """
+    , a AS (
+        SELECT a_orderkey AS k, es AS a_es,
+               CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS a_price
+        FROM (SELECT *, row_number() OVER (PARTITION BY a_orderkey
+                                           ORDER BY id DESC) AS rn
+              FROM changes WHERE type = 'UPDATE')
+        WHERE rn = 1
+    ), b AS (
+        SELECT a_orderkey AS k,
+               es + (a_orderkey % 3 - 1) * 1000 AS b_es,
+               CAST(CAST(CAST(a_totalprice + 7.77 AS DECIMAL(18,2))
+                    AS VARCHAR) AS DOUBLE) AS b_price
+        FROM (SELECT *, row_number() OVER (PARTITION BY a_orderkey
+                                           ORDER BY id DESC) AS rn
+              FROM changes WHERE type = 'UPDATE')
+        WHERE rn = 1
+    )
+    SELECT a.k AS o_orderkey, a_es, b_es, a_price, b_price,
+           CASE WHEN b_es > a_es THEN 'b'
+                WHEN b_es < a_es THEN 'a'
+                ELSE 'b' END AS winner,
+           CASE WHEN b_es >= a_es THEN b_price ELSE a_price END
+               AS resolved_price
+    FROM a JOIN b ON a.k = b.k
+    """,
+)
+def cdc_conflict_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-MASTER conflict detection and resolution: two sources emit
+    changes for the same table (source B is a deterministic divergent
+    replica: same keys, shifted prices, event times skewed per key); any
+    PK whose latest change differs across sources is a conflict, resolved
+    last-writer-wins on (event time, source id) with the source id as the
+    total-order tiebreak — the standard active-active CDC policy, and the
+    failure mode the single-master reference never has to face.
+
+    Scale: each source collapses to its per-PK latest (the standard merge
+    partial, max_by shape); conflicts surface in ONE PK-co-partitioned
+    join. The report is the audit artifact; the resolved column is what a
+    multi-master merge would apply.
+    """
+    ch = derive_order_changes(spark, sf_dir).where(F.col("type") == "UPDATE")
+    latest = (ch.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy(F.col("after.o_orderkey"))
+            .orderBy(F.col("id").desc())))
+        .where(F.col("rn") == 1))
+    a = latest.select(
+        F.col("after.o_orderkey").alias("o_orderkey"),
+        F.col("es").alias("a_es"),
+        F.col("after.o_totalprice").cast("double").alias("a_price"))
+    b = latest.select(
+        F.col("after.o_orderkey").alias("o_orderkey"),
+        (F.col("es") + (F.col("after.o_orderkey") % 3 - 1) * 1000)
+        .alias("b_es"),
+        (F.col("after.o_totalprice") + F.lit(7.77))
+        .cast("decimal(18,2)").cast("double").alias("b_price"))
+    j = a.join(b, "o_orderkey")
+    winner = F.when(F.col("b_es") > F.col("a_es"), "b") \
+              .when(F.col("b_es") < F.col("a_es"), "a") \
+              .otherwise("b")  # tie: source id total order, b > a
+    return j.select(
+        "o_orderkey", "a_es", "b_es", "a_price", "b_price",
+        winner.alias("winner"),
+        F.when(F.col("b_es") >= F.col("a_es"), F.col("b_price"))
+         .otherwise(F.col("a_price")).alias("resolved_price"))
 
 
 @register(

@@ -1207,6 +1207,7 @@ from ru_cdc_spark.operators import graph as _gr  # noqa: E402
 register("part_pagerank", None)(_gr.part_pagerank)  # iterative float: rows-only
 register("copurchase_triangles",
          _gr.COPURCHASE_TRIANGLES_SQL)(_gr.copurchase_triangles)
+register("copurchase_kcore", None)(_gr.copurchase_kcore)  # iterative peel
 
 from ru_cdc_spark.operators import pipelineops as _pp  # noqa: E402
 

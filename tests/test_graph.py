@@ -74,3 +74,37 @@ def test_triangle_census_on_known_graphs(spark, tmp_path):
     assert out["n_edges"] == 7          # C(4,2) + 1
     assert out["n_wedges"] == 12        # K4 only: 4 vertices of degree 3
     assert out["n_triangles"] == 4      # the 4 faces of K4
+
+
+def test_kcore_fixpoint_and_maximality(spark):
+    """3-core semantics on a known graph: K4 plus a pendant path. The
+    core must be exactly K4 (fixpoint: every member keeps >= 3 neighbors
+    inside; maximality: every peeled vertex has < 3 core neighbors)."""
+    from ru_cdc_spark.operators.graph import kcore
+
+    und_pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+                 (4, 5), (5, 6)]                                  # pendant
+    edges = spark.createDataFrame(
+        und_pairs + [(b, a) for a, b in und_pairs], "src long, dst long")
+    core = {r["v"]: r["core_deg"] for r in kcore(edges, 3).collect()}
+    assert set(core) == {1, 2, 3, 4}
+    assert all(d >= 3 for d in core.values())
+
+
+def test_kcore_on_copurchase_graph(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators.graph import copurchase_edges, kcore
+    from ru_cdc_spark.sources.readers import load_table
+
+    und = copurchase_edges(load_table(spark, sf_dir, "lineitem")) \
+        .select("src", "dst")
+    core = kcore(und, 3).localCheckpoint()
+    assert core.where(F.col("core_deg") < 3).count() == 0
+    # maximality: no peeled vertex has >= 3 neighbors inside the core
+    members = core.select("v")
+    outside = (und.join(members.withColumnRenamed("v", "src"), "src",
+                        "anti")
+               .join(members.withColumnRenamed("v", "dst"), "dst", "semi")
+               .groupBy("src").agg(F.count("*").alias("into_core")))
+    assert outside.where(F.col("into_core") >= 3).count() == 0

@@ -2689,3 +2689,54 @@ SELECT report_day, dau, wau7,
        CAST(dau AS DOUBLE) / CAST(wau7 AS DOUBLE) AS stickiness
 FROM dau JOIN wau USING (report_day)
 """
+
+
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index for order revenue: each weekday's
+    average daily revenue relative to the overall daily average —
+    index > 1 = structurally busy day. The index is a ratio of two exact
+    decimal averages, cross-multiplied into ONE double division
+    (dow_total * n_days_overall) / (overall_total * n_days_dow), so no
+    intermediate float mean exists to drift.
+
+    Scale: per-day decimal partials first (calendar-bounded), then a
+    7-group rollup — constant-size everything after the first aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast(_DEC))
+                  .cast("decimal(38,2)").alias("rev")))
+    dow = (daily.groupBy(F.dayofweek("d").alias("dow"))
+           .agg(F.count("*").alias("n_days"),
+                F.sum("rev").cast("decimal(38,2)").alias("total")))
+    tot = Window.partitionBy()
+    g_total = F.sum("total").over(tot).cast("decimal(38,2)")
+    g_days = F.sum("n_days").over(tot)
+    return dow.select(
+        "dow", "n_days",
+        F.col("total").cast("double").alias("total_revenue"),
+        ((F.col("total") * g_days).cast("decimal(38,6)").cast("double")
+         / (g_total * F.col("n_days")).cast("decimal(38,6)").cast("double"))
+        .alias("seasonality_index"))
+
+
+WEEKDAY_SEASONALITY_SQL = """
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS rev
+    FROM orders GROUP BY 1
+),
+dow AS (
+    SELECT dayofweek(d) + 1 AS dow, COUNT(*) AS n_days,
+           CAST(SUM(rev) AS DECIMAL(38,2)) AS total
+    FROM daily GROUP BY 1
+)
+SELECT dow, n_days,
+       CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total_revenue,
+       CAST(CAST(CAST(total * SUM(n_days) OVER () AS DECIMAL(38,6))
+            AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(SUM(total) OVER () * n_days AS DECIMAL(38,6))
+                AS VARCHAR) AS DOUBLE) AS seasonality_index
+FROM dow
+"""

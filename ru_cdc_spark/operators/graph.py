@@ -223,3 +223,81 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     und = copurchase_edges(li).select("src", "dst")  # both directions
     return kcore(und, k)
+
+
+def link_prediction_scores(spark: SparkSession, sf_dir: str,
+                           min_common: int = 3) -> DataFrame:
+    """Link prediction over the co-purchase graph: for 2-hop-connected
+    part pairs that are NOT yet co-purchased, the common-neighbor count
+    and preferential-attachment score (degree product) — the classic
+    recommendation candidates ("parts bought with the same partners but
+    never together").
+
+    Scale: candidates come from the wedge join (bounded by Σ deg², the
+    triangle-counting shape — orient/cap hubs the same way at extreme
+    skew); the existing-edge anti-join and degree annotations are
+    vertex-key co-partitioned. Integer scores — oracle-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    und = (copurchase_edges(li).where(F.col("src") < F.col("dst"))
+           .select("src", "dst").localCheckpoint())
+    both = und.unionAll(und.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    deg = both.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("deg"))
+
+    w1 = both.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = both.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = (w1.join(w2, "b").where(F.col("a") < F.col("c"))
+              .groupBy("a", "c").agg(F.count("*").alias("common_neighbors")))
+    cand = (wedges.join(
+        und, (wedges["a"] == und["src"]) & (wedges["c"] == und["dst"]),
+        "anti")
+        .where(F.col("common_neighbors") >= min_common))
+    scored = (cand
+              .join(deg.withColumnRenamed("v", "a")
+                       .withColumnRenamed("deg", "deg_a"), "a")
+              .join(deg.withColumnRenamed("v", "c")
+                       .withColumnRenamed("deg", "deg_c"), "c")
+              .select(F.col("a").alias("part_a"), F.col("c").alias("part_b"),
+                      "common_neighbors",
+                      (F.col("deg_a") * F.col("deg_c"))
+                      .alias("pref_attachment")))
+    # top-k with a full deterministic order: TakeOrderedAndProject, no
+    # global sort — candidate volume grows with graph density, the report
+    # should not
+    return (scored.orderBy(F.desc("common_neighbors"),
+                           F.asc("part_a"), F.asc("part_b"))
+            .limit(1000))
+
+
+LINK_PREDICTION_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+),
+bi AS (
+    SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+),
+deg AS (SELECT src AS v, COUNT(*) AS deg FROM bi GROUP BY 1),
+wedges AS (
+    SELECT w1.src AS a, w2.dst AS c, COUNT(*) AS common_neighbors
+    FROM bi w1 JOIN bi w2 ON w1.dst = w2.src
+    WHERE w1.src < w2.dst
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT w.* FROM wedges w
+    LEFT JOIN und e ON e.src = w.a AND e.dst = w.c
+    WHERE e.src IS NULL AND w.common_neighbors >= 3
+)
+SELECT cand.a AS part_a, cand.c AS part_b, common_neighbors,
+       da.deg * dc.deg AS pref_attachment
+FROM cand
+JOIN deg da ON da.v = cand.a
+JOIN deg dc ON dc.v = cand.c
+ORDER BY common_neighbors DESC, part_a, part_b
+LIMIT 1000
+"""

@@ -554,6 +554,8 @@ register("orders_benford_digits",
          _an.ORDERS_BENFORD_SQL)(_an.orders_benford_digits)
 register("events_stickiness",
          _an.EVENTS_STICKINESS_SQL)(_an.events_stickiness)
+register("weekday_seasonality",
+         _an.WEEKDAY_SEASONALITY_SQL)(_an.weekday_seasonality)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)
@@ -1208,6 +1210,8 @@ register("part_pagerank", None)(_gr.part_pagerank)  # iterative float: rows-only
 register("copurchase_triangles",
          _gr.COPURCHASE_TRIANGLES_SQL)(_gr.copurchase_triangles)
 register("copurchase_kcore", None)(_gr.copurchase_kcore)  # iterative peel
+register("link_prediction_scores",
+         _gr.LINK_PREDICTION_SQL)(_gr.link_prediction_scores)
 
 from ru_cdc_spark.operators import pipelineops as _pp  # noqa: E402
 

@@ -2454,6 +2454,17 @@ _GRADED_PREFIX = [
     "fuzzy_name_pairs", "text_bm25_search", "multimodal_resize",
     "cdc_partitioned_merge", "events_sessionize_stateful",
     "events_stream_left_outer_join", "skew_salted_supplier_join",
+    # continuation-session capability families (all oracle-checked)
+    "cdc_variant_payload", "cdc_xml_roundtrip", "mysql_time_native",
+    "cdc_cell_changes", "cdc_incremental_agg_from_cdf",
+    "cdc_conflict_report", "events_stream_full_outer_join",
+    "terms_count_min_estimate", "numeric_corr_matrix",
+    "copurchase_triangles", "link_prediction_scores",
+    "text_trigram_lm_score", "doc_containment_pairs",
+    "monthly_revenue_gapfill", "lineitem_metrics_unpivot",
+    "order_price_rank_stats", "events_cusum_changepoints",
+    "rolling_active_users_7d", "customer_rfm_segments",
+    "parts_abc_analysis", "part_supply_hhi", "events_stickiness",
 ]
 
 

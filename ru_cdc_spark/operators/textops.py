@@ -640,11 +640,12 @@ def text_oov_rate(spark: SparkSession, sf_dir: str, vocab_k: int = 1000) -> Data
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+    # TakeOrderedAndProject, not a one-partition row_number window (same
+    # deterministic cut under the total order)
     vocab = (
         toks.groupBy("term").agg(F.count("*").alias("n"))
-        .withColumn("rn", F.row_number().over(
-            Window.orderBy(F.desc("n"), F.asc("term"))))
-        .where(F.col("rn") <= vocab_k)
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(vocab_k)
         .select("term")
     )
     flagged = toks.join(
@@ -811,12 +812,13 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str,
             "transform(sequence(1, greatest(length(t) - 2, 0)),"
             " i -> substring(t, i, 3))"
         )).alias("tri"))
+    # top-k cut via TakeOrderedAndProject (per-partition top-k + driver
+    # merge of k x partitions rows) — the row_number window formulation
+    # would drag the full trigram-count relation through ONE partition
     model = (
         tris.groupBy("tri").agg(F.count("*").alias("n"))
-        .withColumn("rn", F.row_number().over(
-            Window.orderBy(F.desc("n"), F.asc("tri"))))
-        .where(F.col("rn") <= model_k)
-        .select("tri", "n")
+        .orderBy(F.desc("n"), F.asc("tri"))
+        .limit(model_k)
     )
     scored = tris.join(F.broadcast(model), "tri", "left")
     return (

@@ -333,6 +333,31 @@ def cdc_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_props_schema_discovery", None)
+def events_props_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema DISCOVERY: the merged VARIANT schema of the
+    events payload per event type (``schema_of_variant_agg`` — the
+    aggregate unions every row's observed structure), plus how many rows
+    carried a parseable payload. This is the bootstrap step before
+    declaring a StructType for a new topic: run discovery, read the
+    merged schema, then pin it (the engine's schema-on-read -> schema-
+    on-write promotion path).
+
+    Rows-only correctness (the schema string spelling is Spark's own);
+    the discovered shape is pytest-gated.
+
+    Scale: the aggregate's partial state is a SCHEMA, not rows — merged
+    structurally per partition, so discovery over 100 TB shuffles one
+    schema value per (group x partition).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    return (ev.groupBy("event_type")
+            .agg(F.schema_of_variant_agg(v).alias("merged_schema"),
+                 F.count(v).alias("n_parsed"),
+                 F.count("*").alias("n_rows")))
+
+
 @register(
     "cdc_changed_cols",
     ORDER_CHANGES_ORACLE_CTE + """

@@ -30,3 +30,13 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
         diff = next((a, b) for a, b in zip(s_lines, d_lines) if a != b)
         pytest.fail(
             f"value mismatch in {name}:\n spark={diff[0][:200]}\n duck ={diff[1][:200]}")
+
+
+def test_variant_schema_discovery_shape(spark, sf_dir):
+    from ru_cdc_spark.queries import REGISTRY
+
+    rows = REGISTRY["events_props_schema_discovery"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_schema == "OBJECT<k: BIGINT>"   # props = {"k": int}
+        assert r.n_parsed == r.n_rows > 0

@@ -925,3 +925,47 @@ FROM grams a JOIN grams b ON a.lang = b.lang AND a.source = b.source
 WHERE a.doc_id <> b.doc_id
   AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) >= 0.10
 """.replace("{words}", _WORDS_SQL)
+
+
+def ml_minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                         jaccard_max_dist: float = 0.6) -> DataFrame:
+    """Near-dup pairs via the MLlib estimator path (ml.feature.MinHashLSH
+    + approxSimilarityJoin) — the library counterpart to the hand-rolled
+    Carter-Wegman MinHash (`minhash_lsh_pairs`), kept alongside it
+    because the estimator owns its hash family (random coefficients from
+    a seed) and its join internals, which is exactly what you want when
+    you'd rather configure than maintain.
+
+    Rows-only correctness (the estimator's hash family is seeded RNG, not
+    SQL-reproducible); planted-duplicate recall and the Jaccard-distance
+    contract are pytest-gated against the exact pairwise computation.
+
+    Scale: same banding theory as the manual path — approxSimilarityJoin
+    explodes per-band hash buckets and joins on them, so cost tracks
+    bucket occupancy, not the pair square. The estimator's vocab-sized
+    binary vectors ride sparsely (HashingTF over shingles).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = spread(load_table(spark, sf_dir, "documents")) \
+        .select("doc_id", words_col(F.col("text")).alias("w")) \
+        .where(F.size("w") >= 3)
+    shingled = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.array_join(F.slice("w", i, 3), " "),
+        ).alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=8, seed=17)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, jaccard_max_dist,
+                                        distCol="jaccard_dist")
+    return (joined
+            .select(F.col("datasetA.doc_id").alias("doc_a"),
+                    F.col("datasetB.doc_id").alias("doc_b"),
+                    F.col("jaccard_dist"))
+            .where(F.col("doc_a") < F.col("doc_b")))

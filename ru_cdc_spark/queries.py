@@ -1164,6 +1164,7 @@ register("dedup_threshold_calibration",
 register("dedup_ngram_jaccard", _dd.NGRAM_JACCARD_PAIRS_SQL)(_dd.ngram_jaccard_pairs)
 register("doc_containment_pairs",
          _dd.DOC_CONTAINMENT_SQL)(_dd.doc_containment_pairs)
+register("ml_minhash_lsh_pairs", None)(_dd.ml_minhash_lsh_pairs)  # seeded RNG
 register("dedup_embedding_cosine", _dd.EMBEDDING_NEAR_DUP_SQL)(_dd.embedding_near_dup_pairs)
 register("dedup_clusters", _dd.DEDUP_CLUSTERS_SQL)(_dd.dedup_clusters)
 register("dedup_clusters_star", _dd.DEDUP_CLUSTERS_SQL)(_dd.dedup_clusters_star)

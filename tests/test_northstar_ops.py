@@ -276,3 +276,31 @@ def test_phash_near_dup_finds_groups_not_strangers(spark, sf_dir):
         for i in range(g, g + 5):
             for j in range(i + 1, g + 5):
                 assert (i, j) in found, f"missing intra-group pair {(i, j)}"
+
+
+def test_ml_minhash_lsh_contract(spark, sf_dir):
+    """The MLlib LSH path honors the Jaccard-distance contract on every
+    emitted pair (distance == exact 1 - J of the shingle sets within the
+    estimator's tolerance) and finds the corpus's exact duplicates."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators.dedup import words_col
+    from ru_cdc_spark.queries import REGISTRY
+    from ru_cdc_spark.sources.readers import load_table
+
+    pairs = REGISTRY["ml_minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    assert pairs
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("w"))
+    sh = {r["doc_id"]: {" ".join(r["w"][i:i + 3])
+                       for i in range(len(r["w"]) - 2)}
+          for r in docs.collect() if len(r["w"]) >= 3}
+    exact_dups = {(a, b) for a in sh for b in sh
+                  if a < b and sh[a] == sh[b]}
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert exact_dups <= got, f"missed exact dups: {exact_dups - got}"
+    for r in pairs[:200]:
+        inter = len(sh[r.doc_a] & sh[r.doc_b])
+        union = len(sh[r.doc_a] | sh[r.doc_b])
+        true_dist = 1.0 - inter / union
+        assert abs(r.jaccard_dist - true_dist) < 1e-9, (r, true_dist)

@@ -2740,3 +2740,70 @@ SELECT dow, n_days,
                 AS VARCHAR) AS DOUBLE) AS seasonality_index
 FROM dow
 """
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per event_type between the
+    early (day 1-15) and late (day 16+) halves of the value stream — the
+    binning-free companion to the chi-square drift monitor (KS sees any
+    CDF divergence; chi-square only what the bucket grid resolves).
+
+    Exactness: at every observed value v, |F_early(v) − F_late(v)| =
+    |cum_e·n_l − cum_l·n_e| / (n_e·n_l) has an INTEGER numerator, so the
+    maximum is found in pure integer arithmetic and the statistic is ONE
+    exact division — hash-identical across engines and cluster layouts.
+
+    Scale: collapse to per-(type, value) counts first (map-side combined),
+    then one ordered window per type over the distinct-value relation —
+    the window input is |distinct values|, not |events|.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    half = F.when(F.dayofmonth("ts") <= 15, "e").otherwise("l")
+    per_val = (ev.select("event_type", half.alias("h"), "value")
+               .groupBy("event_type", "value")
+               .agg(F.count_if(F.col("h") == "e").alias("ce"),
+                    F.count_if(F.col("h") == "l").alias("cl")))
+    w = Window.partitionBy("event_type").orderBy("value") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("event_type")
+    stepped = per_val.select(
+        "event_type",
+        F.sum("ce").over(w).alias("cum_e"),
+        F.sum("cl").over(w).alias("cum_l"),
+        F.sum("ce").over(tot).alias("n_e"),
+        F.sum("cl").over(tot).alias("n_l"))
+    num = F.abs(F.col("cum_e") * F.col("n_l") - F.col("cum_l") * F.col("n_e"))
+    return (stepped.groupBy("event_type")
+            .agg(F.max(num).alias("max_num"),
+                 F.max("n_e").alias("n_early"),
+                 F.max("n_l").alias("n_late"))
+            .select("event_type", "n_early", "n_late",
+                    (F.col("max_num").cast("double")
+                     / (F.col("n_early") * F.col("n_late")).cast("double"))
+                    .alias("ks_stat")))
+
+
+EVENTS_KS_DRIFT_SQL = """
+WITH pv AS (
+    SELECT event_type, value,
+           COUNT(*) FILTER (dayofmonth(CAST(ts AS TIMESTAMP)) <= 15) AS ce,
+           COUNT(*) FILTER (dayofmonth(CAST(ts AS TIMESTAMP)) > 15) AS cl
+    FROM events GROUP BY 1, 2
+),
+stepped AS (
+    SELECT event_type,
+           SUM(ce) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS cum_e,
+           SUM(cl) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS cum_l,
+           SUM(ce) OVER (PARTITION BY event_type) AS n_e,
+           SUM(cl) OVER (PARTITION BY event_type) AS n_l
+    FROM pv
+)
+SELECT event_type,
+       CAST(MAX(n_e) AS BIGINT) AS n_early,
+       CAST(MAX(n_l) AS BIGINT) AS n_late,
+       CAST(MAX(abs(cum_e * n_l - cum_l * n_e)) AS DOUBLE)
+         / CAST(MAX(n_e) * MAX(n_l) AS DOUBLE) AS ks_stat
+FROM stepped GROUP BY 1
+"""

@@ -10,7 +10,7 @@ pattern, numerics via plain cast).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ru_cdc_spark.sources.readers import load_table
@@ -160,4 +160,91 @@ NUMERIC_CORR_MATRIX_SQL = (
         + f" / (sqrt({_DEV_SQL.format(a=a, b=a)})"
         f" * sqrt({_DEV_SQL.format(a=b, b=b)})) AS corr FROM m"
         for a, b in _CORR_PAIRS_SQL)
+)
+
+
+def numeric_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the lineitem measures: Pearson
+    over AVERAGE RANKS, which are exact .5-quantized rationals (ties get
+    the mean of their rank range), so the same exact-decimal-moment
+    machinery as `numeric_corr_matrix` applies and the matrix hash-
+    matches the oracle — monotone association without Pearson's
+    outlier sensitivity, still bit-reproducible at any cluster size.
+
+    Scale: one rank window per column (key-less but SORT-based — at
+    extreme N swap for a two-pass histogram rank), then the single
+    moment-row aggregate; the pair explosion happens on that one row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # two window layers (nesting is illegal): dense positions first, then
+    # the per-tie-group average rank
+    rn = li.select(*_CORR_COLS, *[
+        F.row_number().over(
+            Window.orderBy(F.col(c).asc(), F.col("l_orderkey").asc(),
+                           F.col("l_linenumber").asc())).alias(f"rn_{c}")
+        for c in _CORR_COLS
+    ])
+    ranked = rn.select(*[
+        F.avg(F.col(f"rn_{c}")).over(Window.partitionBy(F.col(c)))
+        .cast("decimal(18,1)").alias(f"r_{c}")
+        for c in _CORR_COLS
+    ])
+
+    cols = [f"r_{c}" for c in _CORR_COLS]
+    aggs: list = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).cast("decimal(38,2)").alias(f"s_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    for a, b in pairs:
+        aggs.append(F.sum((F.col(a) * F.col(b)).cast("decimal(38,2)"))
+                    .cast("decimal(38,2)").alias(f"sp_{a}_{b}"))
+    m = ranked.agg(*aggs)
+
+    def _dev(a: str, b: str):
+        return (F.col("n") * F.col(f"sp_{a}_{b}")
+                - F.col(f"s_{a}") * F.col(f"s_{b}")) \
+            .cast("decimal(38,2)").cast("double")
+
+    out_rows = F.array(*[
+        F.struct(
+            F.lit(a.removeprefix("r_")).alias("col_a"),
+            F.lit(b.removeprefix("r_")).alias("col_b"),
+            (_dev(a, b) / (F.sqrt(_dev(a, a)) * F.sqrt(_dev(b, b))))
+            .alias("spearman"),
+        )
+        for a, b in pairs if a != b
+    ])
+    return (m.select(F.col("n"), F.explode(out_rows).alias("r"))
+            .select("n", "r.col_a", "r.col_b", "r.spearman"))
+
+
+_SP_DEV_SQL = ("CAST(CAST(CAST(n * sp_{a}_{b} - s_{a} * s_{b} "
+               "AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)")
+
+NUMERIC_SPEARMAN_SQL = (
+    "WITH rn AS (SELECT "
+    + ", ".join(_CORR_COLS) + ", "
+    + ", ".join(
+        f"row_number() OVER (ORDER BY {c}, l_orderkey, l_linenumber) AS rn_{c}"
+        for c in _CORR_COLS)
+    + " FROM lineitem), ranked AS (SELECT "
+    + ", ".join(
+        f"CAST(AVG(rn_{c}) OVER (PARTITION BY {c}) AS DECIMAL(18,1)) AS r_{c}"
+        for c in _CORR_COLS)
+    + " FROM rn), m AS (SELECT COUNT(*) AS n, "
+    + ", ".join(
+        f"CAST(SUM(r_{c}) AS DECIMAL(38,2)) AS s_r_{c}" for c in _CORR_COLS)
+    + ", "
+    + ", ".join(
+        f"CAST(SUM(CAST(r_{a} * r_{b} AS DECIMAL(38,2))) AS DECIMAL(38,2))"
+        f" AS sp_r_{a}_r_{b}"
+        for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:])
+    + " FROM ranked) "
+    + " UNION ALL ".join(
+        f"SELECT n, '{a}' AS col_a, '{b}' AS col_b, "
+        + _SP_DEV_SQL.format(a=f"r_{a}", b=f"r_{b}")
+        + f" / (sqrt({_SP_DEV_SQL.format(a=f'r_{a}', b=f'r_{a}')})"
+        f" * sqrt({_SP_DEV_SQL.format(a=f'r_{b}', b=f'r_{b}')})) AS spearman"
+        " FROM m"
+        for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:] if a != b)
 )

@@ -581,6 +581,7 @@ register("events_stickiness",
          _an.EVENTS_STICKINESS_SQL)(_an.events_stickiness)
 register("weekday_seasonality",
          _an.WEEKDAY_SEASONALITY_SQL)(_an.weekday_seasonality)
+register("events_ks_drift", _an.EVENTS_KS_DRIFT_SQL)(_an.events_ks_drift)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)
@@ -636,6 +637,8 @@ from ru_cdc_spark.operators import profile as _pf  # noqa: E402
 register("profile_orders", _pf.PROFILE_ORDERS_SQL)(_pf.profile_orders)
 register("numeric_corr_matrix",
          _pf.NUMERIC_CORR_MATRIX_SQL)(_pf.numeric_corr_matrix)
+register("numeric_spearman_matrix",
+         _pf.NUMERIC_SPEARMAN_SQL)(_pf.numeric_spearman_matrix)
 
 register("incremental_customer_totals",
          _inc.CUSTOMER_TOTALS_FROM_DELTAS_SQL)(_inc.customer_totals_from_deltas)

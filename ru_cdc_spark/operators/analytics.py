@@ -2807,3 +2807,73 @@ SELECT event_type,
          / CAST(MAX(n_e) * MAX(n_l) AS DOUBLE) AS ks_stat
 FROM stepped GROUP BY 1
 """
+
+
+def segment_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration per market
+    segment (how unequal customer value is — the Lorenz-curve summary).
+    Using G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    per-customer revenue: numerator and denominator are exact decimals
+    (rank is an integer window, revenue decimal), so the coefficient is
+    ONE exact division — engine- and layout-reproducible.
+
+    Scale: per-customer partials first; the rank window runs per segment
+    over the customer-grain relation. Distinct from user_gini_diversity
+    (Gini IMPURITY of categorical mixes) — this is the economic
+    concentration index over a continuous measure.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.sum(F.col("o_totalprice").cast(_DEC))
+                     .cast("decimal(38,2)").alias("rev"))
+                .join(c, o["o_custkey"] == c["c_custkey"])
+                .select("c_mktsegment", "c_custkey", "rev"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("rev").asc(), F.col("c_custkey").asc())
+    ranked = per_cust.select(
+        "c_mktsegment", "rev",
+        F.row_number().over(w).alias("rk"))
+    agg = (ranked.groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n"),
+                F.sum("rev").cast("decimal(38,2)").alias("s"),
+                F.sum((F.col("rk") * F.col("rev")).cast("decimal(38,2)"))
+                .cast("decimal(38,2)").alias("s1")))
+    num = (F.lit(2) * F.col("s1")
+           - (F.col("n") + 1) * F.col("s")).cast("decimal(38,2)")
+    den = (F.col("n") * F.col("s")).cast("decimal(38,2)")
+    return agg.select(
+        "c_mktsegment", "n",
+        F.col("s").cast("double").alias("total_revenue"),
+        (num.cast("double") / den.cast("double")).alias("gini"))
+
+
+SEGMENT_REVENUE_GINI_SQL = """
+WITH per_cust AS (
+    SELECT c.c_mktsegment, c.c_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS rev
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT c_mktsegment, rev,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY rev ASC, c_custkey ASC) AS rk
+    FROM per_cust
+),
+agg AS (
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(rev) AS DECIMAL(38,2)) AS s,
+           CAST(SUM(CAST(rk * rev AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS s1
+    FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment, n,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE) AS total_revenue,
+       CAST(CAST(CAST(2 * s1 - (n + 1) * s AS DECIMAL(38,2)) AS VARCHAR)
+            AS DOUBLE)
+         / CAST(CAST(CAST(n * s AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+         AS gini
+FROM agg
+"""

@@ -582,6 +582,8 @@ register("events_stickiness",
 register("weekday_seasonality",
          _an.WEEKDAY_SEASONALITY_SQL)(_an.weekday_seasonality)
 register("events_ks_drift", _an.EVENTS_KS_DRIFT_SQL)(_an.events_ks_drift)
+register("segment_revenue_gini",
+         _an.SEGMENT_REVENUE_GINI_SQL)(_an.segment_revenue_gini)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

@@ -2496,6 +2496,8 @@ _GRADED_PREFIX = [
     "order_price_rank_stats", "events_cusum_changepoints",
     "rolling_active_users_7d", "customer_rfm_segments",
     "parts_abc_analysis", "part_supply_hhi", "events_stickiness",
+    "numeric_spearman_matrix", "events_ks_drift", "segment_revenue_gini",
+    "weekday_seasonality", "orders_benford_digits",
 ]
 
 

@@ -659,3 +659,58 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
             .withColumn("rank", F.row_number().over(w_final))
             .where(F.col("rank") <= ANN_TOP_K)
             .select("q_vec", "neighbor", "cos_sim", "rank"))
+
+
+def label_centroid_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-geometry diagnostic: pairwise cosine similarity between
+    label centroids — high off-diagonal similarity means labels are not
+    separable in embedding space (the pre-training sanity check before
+    trusting labels for IVF cells or supervision).
+
+    Oracle determinism: centroids use the value-sorted LEFT FOLD mean
+    (same machinery as centroid_per_label — fixed summation order, engine
+    exact); each pairwise cosine is then a sequential fold over the
+    POSITION-ordered centroid vectors, so every float op is the same op
+    in the same order on both engines.
+
+    Scale: centroids are labels x dim rows (tiny — aggregated
+    distributed, never collected); the pairwise stage joins centroid
+    vectors per label pair, |labels|² rows of dim-length arrays.
+    """
+    emb = _emb(spark, sf_dir)
+    ssum = F.aggregate(F.array_sort(F.collect_list("v")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    cent_flat = (emb.select("label", F.posexplode("e").alias("pos", "v"))
+                 .groupBy("label", "pos")
+                 .agg((ssum / F.count("*")).alias("cv")))
+    # reassemble position-ordered centroid arrays
+    cent = (cent_flat.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv")))
+                 .alias("pc"))
+            .select("label",
+                    F.transform("pc", lambda s: s["cv"]).alias("c")))
+    a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("label_a") < F.col("label_b"))
+    cos = dot(F.col("ca"), F.col("cb")) / (norm(F.col("ca")) * norm(F.col("cb")))
+    return pairs.select("label_a", "label_b", cos.alias("centroid_cosine"))
+
+
+LABEL_CENTROID_GEOMETRY_SQL = """
+WITH flat AS (
+    SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+           unnest(CAST(embedding AS DOUBLE[])) AS v
+    FROM embeddings
+),
+cent_flat AS (
+    SELECT label, pos,
+           list_reduce(list(v ORDER BY v), (x, y) -> x + y) / COUNT(*) AS cv
+    FROM flat GROUP BY label, pos
+),
+cent AS (
+    SELECT label, list(cv ORDER BY pos) AS c FROM cent_flat GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       list_cosine_similarity(a.c, b.c) AS centroid_cosine
+FROM cent a JOIN cent b ON a.label < b.label
+"""

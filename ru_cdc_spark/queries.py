@@ -1197,6 +1197,8 @@ register("knn_quantized", _sim.KNN_QUANTIZED_SQL)(_sim.knn_quantized)
 register("ann_ivf", _sim.ANN_IVF_SQL)(_sim.ann_ivf)
 register("ann_ivf_kmeans", None)(_sim.ann_ivf_kmeans)
 register("ann_pq_rerank", None)(_sim.ann_pq_rerank)  # iterative: rows-only
+register("label_centroid_geometry",
+         _sim.LABEL_CENTROID_GEOMETRY_SQL)(_sim.label_centroid_geometry)
 register("ann_mmr_diverse", None)(_sim.mmr_diverse_topk)
 register("text_stats", _tx.TEXT_STATS_SQL)(_tx.text_stats)
 register("text_lang_id", _tx.LANG_ID_SQL)(_tx.lang_id)

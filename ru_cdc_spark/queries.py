@@ -2500,6 +2500,7 @@ _GRADED_PREFIX = [
     "parts_abc_analysis", "part_supply_hhi", "events_stickiness",
     "numeric_spearman_matrix", "events_ks_drift", "segment_revenue_gini",
     "weekday_seasonality", "orders_benford_digits",
+    "label_centroid_geometry",
 ]
 
 

@@ -2877,3 +2877,123 @@ SELECT c_mktsegment, n,
          AS gini
 FROM agg
 """
+
+
+def session_top_paths(spark: SparkSession, sf_dir: str,
+                      top_k: int = 20) -> DataFrame:
+    """Path mining: the most common 3-step event-type sequences WITHIN a
+    session (lag-gap sessionization, 30 min) — the product-analytics view
+    of how journeys actually flow, one level deeper than the pairwise
+    transition matrix.
+
+    Scale: sessions form in one user-keyed window pass; each session's
+    ordered type array emits its trigram windows by index explode (no
+    shuffle — fan-out = path positions); the count aggregate map-side
+    combines on at most |types|³ keys and the report is a deterministic
+    TakeOrdered top-k.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_seconds(F.col("ts").cast("timestamp")) - F.unix_seconds(
+        F.lag(F.col("ts").cast("timestamp")).over(w))
+    sess = (ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))))
+    paths = (sess.groupBy("user_id", "session_id")
+             .agg(F.array_sort(F.collect_list(F.struct(
+                 "ts", "event_id", "event_type"))).alias("evs"))
+             .select(F.transform("evs", lambda s: s["event_type"])
+                     .alias("types")))
+    tri = paths.where(F.size("types") >= 3).select(
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("types") - 2),
+            lambda i: F.concat_ws(
+                ">", F.element_at("types", i),
+                F.element_at("types", i + 1),
+                F.element_at("types", i + 2)),
+        )).alias("path"))
+    return (tri.groupBy("path").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("path"))
+            .limit(top_k))
+
+
+SESSION_TOP_PATHS_SQL = """
+WITH g AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(CAST(ts AS TIMESTAMP))
+                        - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM g
+),
+paths AS (
+    SELECT list(event_type ORDER BY ts, event_id) AS types
+    FROM s GROUP BY user_id, session_id
+),
+tri AS (
+    SELECT types[CAST(i AS INTEGER)] || '>'
+           || types[CAST(i AS INTEGER) + 1] || '>'
+           || types[CAST(i AS INTEGER) + 2] AS path
+    FROM (
+        SELECT types, unnest(range(1, len(types) - 1)) AS i
+        FROM paths WHERE len(types) >= 3
+    )
+)
+SELECT path, COUNT(*) AS n
+FROM tri GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 20
+"""
+
+
+def ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution: integer-day lag between order and
+    line shipment, bucketed by week per return flag — the fulfillment
+    SLA view. Counts are exact; the mean lag is one division of exact
+    integer sums.
+
+    Scale: the orders side joins broadcast (or co-shuffles at fact-fact
+    size); lag math is codegen'd; the aggregate sees (flag, week) keys
+    only.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    lag = F.datediff(F.date_trunc("day", "l_shipdate"),
+                     F.date_trunc("day", "o_orderdate"))
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]) \
+          .select("l_returnflag", lag.alias("lag_days"))
+    return (j.groupBy("l_returnflag",
+                      F.expr("lag_days div 7").alias("lag_week"))
+            .agg(F.count("*").alias("n"),
+                 F.min("lag_days").alias("min_days"),
+                 F.max("lag_days").alias("max_days"),
+                 (F.sum("lag_days").cast("double")
+                  / F.count("*").cast("double")).alias("mean_days")))
+
+
+SHIP_LAG_PROFILE_SQL = """
+SELECT l_returnflag,
+       datediff('day', date_trunc('day', o_orderdate),
+                date_trunc('day', l_shipdate)) // 7 AS lag_week,
+       COUNT(*) AS n,
+       MIN(datediff('day', date_trunc('day', o_orderdate),
+                    date_trunc('day', l_shipdate))) AS min_days,
+       MAX(datediff('day', date_trunc('day', o_orderdate),
+                    date_trunc('day', l_shipdate))) AS max_days,
+       CAST(SUM(datediff('day', date_trunc('day', o_orderdate),
+                         date_trunc('day', l_shipdate))) AS DOUBLE)
+         / COUNT(*) AS mean_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""

@@ -584,6 +584,10 @@ register("weekday_seasonality",
 register("events_ks_drift", _an.EVENTS_KS_DRIFT_SQL)(_an.events_ks_drift)
 register("segment_revenue_gini",
          _an.SEGMENT_REVENUE_GINI_SQL)(_an.segment_revenue_gini)
+register("session_top_paths",
+         _an.SESSION_TOP_PATHS_SQL)(_an.session_top_paths)
+register("ship_lag_profile",
+         _an.SHIP_LAG_PROFILE_SQL)(_an.ship_lag_profile)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

@@ -2997,3 +2997,60 @@ SELECT l_returnflag,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2
 """
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort curve: customers grouped by FIRST-order month,
+    revenue accumulated by cohort age in months — the LTV ramp every
+    growth model is fit against (the revenue-side sibling of the
+    events_retention_cohorts count view).
+
+    Exactness: cohort assignment is a min-aggregate; age is integer
+    month arithmetic; revenue stays DECIMAL with the per-customer share
+    emitted as one exact division.
+
+    Scale: per-customer first-order partials, broadcast back over the
+    orders scan (customer-grain), then a (cohort, age) aggregate —
+    calendar-bounded group count.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    first = (o.groupBy("o_custkey")
+             .agg(F.date_trunc("month", F.min("o_orderdate"))
+                  .alias("cohort_month")))
+    j = o.join(first, "o_custkey")
+    age = (F.months_between(F.date_trunc("month", "o_orderdate"),
+                            F.col("cohort_month"))).cast("int")
+    curve = (j.groupBy(F.col("cohort_month"), age.alias("age_months"))
+             .agg(F.count_distinct("o_custkey").alias("n_customers"),
+                  F.sum(F.col("o_totalprice").cast(_DEC))
+                  .cast("decimal(38,2)").alias("rev")))
+    return curve.select(
+        "cohort_month", "age_months", "n_customers",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double")
+         / F.col("n_customers").cast("double")).alias("revenue_per_customer"))
+
+
+COHORT_LTV_SQL = """
+WITH first AS (
+    SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_month
+    FROM orders GROUP BY 1
+),
+curve AS (
+    SELECT f.cohort_month,
+           CAST(datediff('month', f.cohort_month,
+                         date_trunc('month', o.o_orderdate)) AS INTEGER)
+               AS age_months,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS rev
+    FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+)
+SELECT cohort_month, age_months, n_customers,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) / CAST(n_customers AS DOUBLE)
+           AS revenue_per_customer
+FROM curve
+"""

@@ -588,6 +588,7 @@ register("session_top_paths",
          _an.SESSION_TOP_PATHS_SQL)(_an.session_top_paths)
 register("ship_lag_profile",
          _an.SHIP_LAG_PROFILE_SQL)(_an.ship_lag_profile)
+register("cohort_ltv_curve", _an.COHORT_LTV_SQL)(_an.cohort_ltv_curve)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

@@ -3054,3 +3054,107 @@ SELECT cohort_month, age_months, n_customers,
            AS revenue_per_customer
 FROM curve
 """
+
+
+def discount_quantity_corr_by_flag(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """GROUPED exact Pearson: discount-vs-quantity correlation per return
+    flag (does discounting move volume differently across outcomes?) —
+    the per-group form of the profile module's global moment matrix, same
+    exactness argument: decimal moments per group, one correctly-rounded
+    float chain per output row.
+
+    Scale: ONE map-side-combined aggregate to |groups| moment rows; no
+    second pass, no window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(d).cast("decimal(38,4)").alias("sd"),
+        F.sum(q).cast("decimal(38,4)").alias("sq"),
+        F.sum((d * d).cast("decimal(38,4)")).cast("decimal(38,4)").alias("sdd"),
+        F.sum((q * q).cast("decimal(38,4)")).cast("decimal(38,4)").alias("sqq"),
+        F.sum((d * q).cast("decimal(38,4)")).cast("decimal(38,4)").alias("sdq"))
+
+    def dev(sab, sa, sb):
+        return (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)) \
+            .cast("decimal(38,4)").cast("double")
+
+    return m.select(
+        "l_returnflag", "n",
+        (dev("sdq", "sd", "sq")
+         / (F.sqrt(dev("sdd", "sd", "sd")) * F.sqrt(dev("sqq", "sq", "sq"))))
+        .alias("corr_discount_quantity"))
+
+
+DISCOUNT_QUANTITY_CORR_SQL = """
+WITH m AS (
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sd,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sq,
+           CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                AS DECIMAL(38,4)) AS sdd,
+           CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                AS DECIMAL(38,4)) AS sqq,
+           CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                AS DECIMAL(38,4)) AS sdq
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CAST(CAST(CAST(n * sdq - sd * sq AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+       / (sqrt(CAST(CAST(CAST(n * sdd - sd * sd AS DECIMAL(38,4)) AS VARCHAR)
+               AS DOUBLE))
+          * sqrt(CAST(CAST(CAST(n * sqq - sq * sq AS DECIMAL(38,4)) AS VARCHAR)
+                 AS DOUBLE))) AS corr_discount_quantity
+FROM m
+"""
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of event arrivals per type: variance over
+    mean of per-minute counts — 1.0 = Poisson-like, >> 1 = bursty (the
+    capacity-planning signal behind queue sizing). Computed from exact
+    integer moments over the per-minute count relation: F = (n·Σc² −
+    (Σc)²) / (n·Σc) cross-multiplied — note the usual var/mean needs TWO
+    divisions; this form needs ONE, so there is no intermediate float.
+
+    Scale: minute counts are a (type, minute) aggregate (map-side
+    combined); moments collapse that to one row per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_min = (ev.groupBy("event_type",
+                          F.date_trunc("minute", "ts").alias("m"))
+               .agg(F.count("*").alias("c")))
+    m = per_min.groupBy("event_type").agg(
+        F.count("*").alias("n_minutes"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"))
+    return m.select(
+        "event_type", "n_minutes", F.col("s").alias("n_events"),
+        ((F.col("n_minutes") * F.col("ss") - F.col("s") * F.col("s"))
+         .cast("double")
+         / (F.col("n_minutes") * F.col("s")).cast("double"))
+        .alias("fano_factor"))
+
+
+EVENTS_BURSTINESS_SQL = """
+WITH pm AS (
+    SELECT event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+mo AS (
+    SELECT event_type, COUNT(*) AS n_minutes,
+           CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS ss
+    FROM pm GROUP BY 1
+)
+SELECT event_type, n_minutes, s AS n_events,
+       CAST(n_minutes * ss - s * s AS DOUBLE)
+         / CAST(n_minutes * s AS DOUBLE) AS fano_factor
+FROM mo
+"""

@@ -589,6 +589,10 @@ register("session_top_paths",
 register("ship_lag_profile",
          _an.SHIP_LAG_PROFILE_SQL)(_an.ship_lag_profile)
 register("cohort_ltv_curve", _an.COHORT_LTV_SQL)(_an.cohort_ltv_curve)
+register("discount_quantity_corr_by_flag",
+         _an.DISCOUNT_QUANTITY_CORR_SQL)(_an.discount_quantity_corr_by_flag)
+register("events_burstiness",
+         _an.EVENTS_BURSTINESS_SQL)(_an.events_burstiness)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

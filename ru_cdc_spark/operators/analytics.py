@@ -3158,3 +3158,68 @@ SELECT event_type, n_minutes, s AS n_events,
          / CAST(n_minutes * s AS DOUBLE) AS fano_factor
 FROM mo
 """
+
+
+def divergent_users_tv(spark: SparkSession, sf_dir: str,
+                       top_k: int = 20) -> DataFrame:
+    """Behavioral outlier screen: the users whose event-type mix diverges
+    most from the global mix, scored by TOTAL VARIATION distance —
+    TV(user, global) = sum_t |o_t/u - g_t/G| / 2 in [0, 1] — the
+    account-takeover / bot triage list.
+
+    Exactness: cross-multiplied, every user's score is
+    sum_t |o_t*G - u*g_t| / (2*u*G): the numerator is an exact integer
+    sum (unlike chi-square, all terms share ONE denominator, so no
+    per-term float division exists to round differently per engine) and
+    the score is one correctly-rounded division. Note absent types
+    contribute |0*G - u*g_t| — the dense form; summing u*g_t over ALL
+    types minus observed types' u*g_t folds that in without a dense join:
+    sum_absent u*g_t = u*G - sum_observed u*g_t.
+
+    Scale: one (user, type) count aggregate, broadcast |types| globals,
+    per-user integer sum; the report is TakeOrdered.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("o"))
+    g = ev.groupBy("event_type").agg(F.count("*").alias("gt"))
+    tot = ev.agg(F.count("*").alias("gtot"))
+    u = ev.groupBy("user_id").agg(F.count("*").alias("u"))
+    j = (ut.join(F.broadcast(g), "event_type")
+         .join(u, "user_id").crossJoin(F.broadcast(tot)))
+    dev = F.abs(F.col("o") * F.col("gtot") - F.col("u") * F.col("gt"))
+    per_user = (j.groupBy("user_id")
+                .agg(F.max("u").alias("u"), F.max("gtot").alias("gtot"),
+                     F.sum(dev).alias("obs_dev"),
+                     F.sum(F.col("u") * F.col("gt")).alias("obs_exp")))
+    # absent types' deviation = u*G - observed expected mass
+    total_dev = (F.col("obs_dev")
+                 + (F.col("u") * F.col("gtot") - F.col("obs_exp")))
+    per_user = per_user.select(
+        "user_id", F.col("u").alias("n_events"),
+        (total_dev.cast("double")
+         / (F.lit(2) * F.col("u") * F.col("gtot")).cast("double"))
+        .alias("tv_distance"))
+    return (per_user.orderBy(F.desc("tv_distance"), F.asc("user_id"))
+            .limit(top_k))
+
+
+DIVERGENT_USERS_SQL = """
+WITH ut AS (
+    SELECT user_id, event_type, COUNT(*) AS o FROM events GROUP BY 1, 2
+),
+g AS (SELECT event_type, COUNT(*) AS gt FROM events GROUP BY 1),
+u AS (SELECT user_id, COUNT(*) AS u FROM events GROUP BY 1),
+tot AS (SELECT COUNT(*) AS gtot FROM events),
+per_user AS (
+    SELECT ut.user_id, MAX(u.u) AS u, MAX(tot.gtot) AS gtot,
+           CAST(SUM(abs(ut.o * tot.gtot - u.u * g.gt)) AS BIGINT) AS obs_dev,
+           CAST(SUM(u.u * g.gt) AS BIGINT) AS obs_exp
+    FROM ut JOIN g USING (event_type) JOIN u USING (user_id) CROSS JOIN tot
+    GROUP BY 1
+)
+SELECT user_id, u AS n_events,
+       CAST(obs_dev + (u * gtot - obs_exp) AS DOUBLE)
+         / CAST(2 * u * gtot AS DOUBLE) AS tv_distance
+FROM per_user
+ORDER BY tv_distance DESC, user_id LIMIT 20
+"""

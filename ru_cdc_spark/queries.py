@@ -593,6 +593,8 @@ register("discount_quantity_corr_by_flag",
          _an.DISCOUNT_QUANTITY_CORR_SQL)(_an.discount_quantity_corr_by_flag)
 register("events_burstiness",
          _an.EVENTS_BURSTINESS_SQL)(_an.events_burstiness)
+register("divergent_users_tv",
+         _an.DIVERGENT_USERS_SQL)(_an.divergent_users_tv)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

@@ -2511,7 +2511,9 @@ _GRADED_PREFIX = [
     "parts_abc_analysis", "part_supply_hhi", "events_stickiness",
     "numeric_spearman_matrix", "events_ks_drift", "segment_revenue_gini",
     "weekday_seasonality", "orders_benford_digits",
-    "label_centroid_geometry",
+    "label_centroid_geometry", "session_top_paths", "cohort_ltv_curve",
+    "divergent_users_tv", "events_burstiness",
+    "discount_quantity_corr_by_flag", "ship_lag_profile",
 ]
 
 

@@ -241,3 +241,91 @@ SELECT pc.term, MIN(COALESCE(c.cnt, 0)) AS est
 FROM pc LEFT JOIN cells c ON c.i = pc.i AND c.bucket = pc.bucket
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# exact order statistics WITHOUT a global sort (two-pass bucket refine)
+# ---------------------------------------------------------------------------
+
+MEDIAN_BUCKETS = 1000
+
+
+def exact_median_two_pass(spark: SparkSession, sf_dir: str,
+                          n_buckets: int = MEDIAN_BUCKETS) -> DataFrame:
+    """EXACT per-group median with NO global sort — the 100 TB pattern for
+    exact order statistics: pass 1 histograms values into equi-width
+    buckets and locates, per group, which bucket holds each middle rank;
+    pass 2 sorts ONLY those buckets' rows (a ~1/n_buckets sliver) to pull
+    the exact order statistics. The median is (lo + hi) / 2 written as
+    that exact expression on both engines (quantile_cont's a+(b-a)*f is a
+    DIFFERENT float op order and can differ in the last bit).
+
+    Scale: pass 1 is a map-side-combined (group, bucket) count — the same
+    shuffle as any histogram; pass 2's window sorts only the target
+    buckets' rows per group. Against F.percentile / a full sort: the
+    sort input shrinks by ~n_buckets x, and partial agg does the rest.
+    The candidate filter is a broadcast semi-join, so the fact is scanned
+    twice but never globally sorted.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").alias("v"),
+        "l_orderkey", "l_linenumber")
+    lo, hi = li.agg(F.min("v"), F.max("v")).collect()[0]
+    width = (hi - lo) / n_buckets or 1.0
+    bucket = F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+                     F.lit(n_buckets - 1)).cast("int")
+
+    hist = (li.select("l_returnflag", bucket.alias("b"))
+            .groupBy("l_returnflag", "b").agg(F.count("*").alias("c")))
+    wcum = Window.partitionBy("l_returnflag").orderBy("b") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag", "b", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("n"))
+    # middle ranks: k1 = (n+1) div 2, k2 = (n+2) div 2 (equal when odd)
+    k1 = F.expr("(n + 1) div 2")
+    k2 = F.expr("(n + 2) div 2")
+    targets = (cum.where((F.col("cum") >= k1)
+                         & (F.col("cum") - F.col("c") < k2))
+               .select("l_returnflag", "b",
+                       (F.col("cum") - F.col("c")).alias("rank_before"),
+                       k1.alias("k1"), k2.alias("k2")))
+
+    cand = (li.select("l_returnflag", "v", bucket.alias("b"),
+                      "l_orderkey", "l_linenumber")
+            .join(F.broadcast(targets), ["l_returnflag", "b"]))
+    wrank = Window.partitionBy("l_returnflag", "b").orderBy(
+        F.col("v").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc())
+    ranked = cand.withColumn(
+        "rk", F.row_number().over(wrank) + F.col("rank_before"))
+    picks = ranked.where((F.col("rk") == F.col("k1"))
+                         | (F.col("rk") == F.col("k2")))
+    return (picks.groupBy("l_returnflag")
+            .agg(F.min("v").alias("lo_mid"), F.max("v").alias("hi_mid"),
+                 F.max("k2").alias("upper_rank"))
+            .select("l_returnflag", "lo_mid", "hi_mid", "upper_rank",
+                    ((F.col("lo_mid") + F.col("hi_mid")) / F.lit(2.0))
+                    .alias("median")))
+
+
+EXACT_MEDIAN_TWO_PASS_SQL = """
+WITH ranked AS (
+    SELECT l_returnflag, l_quantity AS v,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity, l_orderkey, l_linenumber)
+               AS rk,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+),
+picks AS (
+    SELECT l_returnflag, v, n FROM ranked
+    WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+)
+SELECT l_returnflag, MIN(v) AS lo_mid, MAX(v) AS hi_mid,
+       CAST(MAX((n + 2) // 2) AS BIGINT) AS upper_rank,
+       (MIN(v) + MAX(v)) / 2.0 AS median
+FROM picks GROUP BY 1
+"""

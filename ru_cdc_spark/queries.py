@@ -1239,6 +1239,8 @@ register("weighted_priority_sample",
          _sk.WEIGHTED_PRIORITY_SAMPLE_SQL)(_sk.weighted_priority_sample)
 register("terms_count_min_estimate",
          _sk.TERMS_COUNT_MIN_SQL)(_sk.terms_count_min_estimate)
+register("exact_median_two_pass",
+         _sk.EXACT_MEDIAN_TWO_PASS_SQL)(_sk.exact_median_two_pass)
 register("multimodal_meta", _mm.MULTIMODAL_META_SQL)(_mm.multimodal_meta)
 register("multimodal_decode_stub",
          _mm.MULTIMODAL_DECODE_SQL)(_mm.multimodal_decode_stub)

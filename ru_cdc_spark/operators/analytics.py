@@ -3223,3 +3223,37 @@ SELECT user_id, u AS n_events,
 FROM per_user
 ORDER BY tv_distance DESC, user_id LIMIT 20
 """
+
+
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str,
+                               n_tiles: int = 10) -> DataFrame:
+    """Equi-DEPTH histogram per event type: 10 ntile buckets of the value
+    distribution with exact bounds and counts — the complement of the
+    equi-width profile (equi-width resolves range, equi-depth resolves
+    mass; skewed data needs both). Deterministic under ties via the
+    (value, event_id) total order.
+
+    Scale: one shuffle on the type key; the ntile window streams per
+    type. Bucket count is fixed, so downstream joins see types x 10 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc())
+    tiled = ev.select("event_type", "value",
+                      F.ntile(n_tiles).over(w).alias("tile"))
+    return (tiled.groupBy("event_type", "tile")
+            .agg(F.count("*").alias("n"),
+                 F.min("value").alias("lo"),
+                 F.max("value").alias("hi")))
+
+
+EVENTS_EQUIDEPTH_SQL = """
+WITH tiled AS (
+    SELECT event_type, value,
+           ntile(10) OVER (PARTITION BY event_type
+                           ORDER BY value ASC, event_id ASC) AS tile
+    FROM events
+)
+SELECT event_type, tile, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+FROM tiled GROUP BY 1, 2
+"""

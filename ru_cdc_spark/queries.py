@@ -411,6 +411,49 @@ def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_out_of_order_replay",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,
+           a_orderstatus AS o_orderstatus,
+           CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+           a_orderdate AS o_orderdate, a_orderpriority AS o_orderpriority
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY COALESCE(a_orderkey, b_orderkey)
+            ORDER BY id DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1 AND type <> 'DELETE'
+    """,
+)
+def cdc_out_of_order_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The version-guard/tombstone GUARANTEE surfaced as a graded query:
+    the change stream is deliberately applied in the WRONG order — all
+    odd-sequence changes as batch 1, then the even-sequence changes that
+    logically precede and interleave them, then the odd batch replayed
+    AGAIN (duplicate delivery) — through merge_versioned, and the final
+    snapshot must still hash-match the in-order MERGE oracle. Sequence
+    guards reject stale writes, tombstones stop resurrections, and replay
+    is idempotent — the at-least-once reality the reference's
+    position-after-send checkpointing produces (message_queue.rs:74-83)
+    but its un-versioned consumer side cannot absorb.
+
+    Scale: each apply is the standard single-PK-shuffle merge; the
+    guarantee costs nothing extra — it lives in the __seq/__deleted meta.
+    """
+    from ru_cdc_spark.operators.merge import merge_versioned, snapshot_view
+
+    ch = derive_order_changes(spark, sf_dir)
+    odd = ch.where(F.col("id") % 2 == 1)
+    even = ch.where(F.col("id") % 2 == 0)
+    meta = merge_versioned(None, odd, ORDERS_PK)
+    meta = merge_versioned(meta, even, ORDERS_PK)
+    meta = merge_versioned(meta, odd, ORDERS_PK)   # duplicate delivery
+    snap = snapshot_view(meta)
+    return snap.withColumn("o_totalprice",
+                           F.col("o_totalprice").cast("double"))
+
+
+@register(
     "cdc_partitioned_merge",
     ORDER_CHANGES_ORACLE_CTE + """
     SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,

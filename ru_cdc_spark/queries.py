@@ -2561,6 +2561,8 @@ _GRADED_PREFIX = [
     "label_centroid_geometry", "session_top_paths", "cohort_ltv_curve",
     "divergent_users_tv", "events_burstiness",
     "discount_quantity_corr_by_flag", "ship_lag_profile",
+    "exact_median_two_pass", "events_equidepth_histogram",
+    "cdc_out_of_order_replay",
 ]
 
 

@@ -3257,3 +3257,71 @@ WITH tiled AS (
 SELECT event_type, tile, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
 FROM tiled GROUP BY 1, 2
 """
+
+
+def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event counts per type — the
+    persistence diagnostic (r1 near 0 = memoryless arrivals, high r1 =
+    trending/weekly structure worth modeling). Daily counts are exact
+    integers; consecutive-day pairs form with one lead window over the
+    per-day relation; r1 then comes from the same exact integer-moment
+    Pearson chain as the profile module — engine-exact.
+
+    Scale: the fact collapses to (type, day) counts first; the window
+    and moments run over calendar-bounded rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("d"))
+             .agg(F.count("*").alias("c")))
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = (daily.select(
+        "event_type", "d", "c",
+        F.lead("c").over(w).alias("cn"),
+        F.lead("d").over(w).alias("dn"))
+        # only truly consecutive days pair up (gaps break the lag)
+        .where(F.col("dn") == F.col("d") + F.expr("INTERVAL 1 DAY")))
+    m = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("sx"), F.sum("cn").alias("sy"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.sum(F.col("cn") * F.col("cn")).alias("syy"),
+        F.sum(F.col("c") * F.col("cn")).alias("sxy"))
+
+    def dev(sab, sa, sb):
+        return (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)) \
+            .cast("double")
+
+    return m.select(
+        "event_type", F.col("n").alias("n_pairs"),
+        (dev("sxy", "sx", "sy")
+         / (F.sqrt(dev("sxx", "sx", "sx")) * F.sqrt(dev("syy", "sy", "sy"))))
+        .alias("lag1_autocorr"))
+
+
+EVENTS_DAILY_AUTOCORR_SQL = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT event_type, c,
+           lead(c) OVER w AS cn, lead(d) OVER w AS dn, d
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+m AS (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(cn) AS BIGINT) AS sy,
+           CAST(SUM(c * c) AS BIGINT) AS sxx,
+           CAST(SUM(cn * cn) AS BIGINT) AS syy,
+           CAST(SUM(c * cn) AS BIGINT) AS sxy
+    FROM pairs WHERE dn = d + INTERVAL 1 DAY
+    GROUP BY 1
+)
+SELECT event_type, n AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS lag1_autocorr
+FROM m
+"""

@@ -640,6 +640,8 @@ register("divergent_users_tv",
          _an.DIVERGENT_USERS_SQL)(_an.divergent_users_tv)
 register("events_equidepth_histogram",
          _an.EVENTS_EQUIDEPTH_SQL)(_an.events_equidepth_histogram)
+register("events_daily_autocorr",
+         _an.EVENTS_DAILY_AUTOCORR_SQL)(_an.events_daily_autocorr)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

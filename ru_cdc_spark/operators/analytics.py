@@ -3325,3 +3325,70 @@ SELECT event_type, n AS n_pairs,
           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS lag1_autocorr
 FROM m
 """
+
+
+def brand_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing power by brand: realized unit price (total extended price
+    over total quantity sold) against the brand's average retail list
+    price — realization below 1.0 quantifies discount leakage per brand.
+
+    Exactness: every aggregate is an exact decimal sum; the three ratios
+    (realized, retail average, realization) are correctly-rounded double
+    divisions of those exact operands in a fixed chain — no float sums,
+    no per-row margins to accumulate in engine-dependent order.
+
+    Scale: lineitem collapses per brand after a broadcast part join; the
+    retail side aggregates the (small) part dimension separately.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice")
+    sold = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand")
+            .agg(F.sum(F.col("l_extendedprice").cast(_DEC))
+                 .cast("decimal(38,2)").alias("sext"),
+                 F.sum(F.col("l_quantity").cast(_DEC))
+                 .cast("decimal(38,2)").alias("sqty")))
+    retail = (p.groupBy("p_brand")
+              .agg(F.count("*").alias("n_parts"),
+                   F.sum(F.col("p_retailprice").cast(_DEC))
+                   .cast("decimal(38,2)").alias("sretail")))
+    j = sold.join(retail, "p_brand")
+    realized = F.col("sext").cast("double") / F.col("sqty").cast("double")
+    retail_avg = (F.col("sretail").cast("double")
+                  / F.col("n_parts").cast("double"))
+    return j.select(
+        "p_brand", "n_parts",
+        realized.alias("realized_unit_price"),
+        retail_avg.alias("avg_retail_price"),
+        (realized / retail_avg).alias("realization"))
+
+
+BRAND_PRICE_REALIZATION_SQL = """
+WITH sold AS (
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS sext,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sqty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+),
+retail AS (
+    SELECT p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sretail
+    FROM part GROUP BY 1
+)
+SELECT p_brand, n_parts,
+       CAST(CAST(sext AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(sqty AS VARCHAR) AS DOUBLE) AS realized_unit_price,
+       CAST(CAST(sretail AS VARCHAR) AS DOUBLE) / CAST(n_parts AS DOUBLE)
+           AS avg_retail_price,
+       (CAST(CAST(sext AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(sqty AS VARCHAR) AS DOUBLE))
+       / (CAST(CAST(sretail AS VARCHAR) AS DOUBLE) / CAST(n_parts AS DOUBLE))
+           AS realization
+FROM sold JOIN retail USING (p_brand)
+"""

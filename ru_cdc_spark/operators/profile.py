@@ -248,3 +248,78 @@ NUMERIC_SPEARMAN_SQL = (
         " FROM m"
         for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:] if a != b)
 )
+
+
+def part_size_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed simple linear regression: retail price regressed
+    on part size, per part type — slope, intercept, and r² all derived
+    from one map-side-combined decimal-moment row per group (the same
+    argument as the correlation matrix: every float step is a correctly-
+    rounded op on exact operands, so the fit is bit-reproducible at any
+    cluster size and hash-matches the oracle — unlike regr_slope/
+    REGR_* whose float partials drift with partitioning).
+
+    Scale: ONE aggregate pass to |groups| rows; the algebra runs on
+    those rows only.
+    """
+    p = load_table(spark, sf_dir, "part")
+    x = F.col("p_size").cast("decimal(18,2)")
+    y = F.col("p_retailprice").cast("decimal(18,2)")
+    m = p.groupBy("p_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("decimal(38,4)").alias("sx"),
+        F.sum(y).cast("decimal(38,4)").alias("sy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("decimal(38,4)").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("decimal(38,4)").alias("syy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("decimal(38,4)").alias("sxy"))
+
+    def dev(sab, sa, sb):
+        return (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)) \
+            .cast("decimal(38,4)").cast("double")
+
+    slope = dev("sxy", "sx", "sy") / dev("sxx", "sx", "sx")
+    intercept = (F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double")) \
+        / F.col("n").cast("double")
+    r2 = ((dev("sxy", "sx", "sy") * dev("sxy", "sx", "sy"))
+          / (dev("sxx", "sx", "sx") * dev("syy", "sy", "sy")))
+    return m.select("p_type", "n", slope.alias("slope"),
+                    intercept.alias("intercept"), r2.alias("r2"))
+
+
+_REG_DEV = ("CAST(CAST(CAST(n * {sab} - {sa} * {sb} AS DECIMAL(38,4)) "
+            "AS VARCHAR) AS DOUBLE)")
+
+PART_SIZE_PRICE_REGRESSION_SQL = (
+    """
+WITH m AS (
+    SELECT p_type, COUNT(*) AS n,
+           CAST(SUM(CAST(p_size AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sx,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,4))
+               AS sy,
+           CAST(SUM(CAST(CAST(p_size AS DECIMAL(18,2))
+                * CAST(p_size AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                AS DECIMAL(38,4)) AS sxx,
+           CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                * CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                AS DECIMAL(38,4)) AS syy,
+           CAST(SUM(CAST(CAST(p_size AS DECIMAL(18,2))
+                * CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                AS DECIMAL(38,4)) AS sxy
+    FROM part GROUP BY 1
+)
+SELECT p_type, n,
+       """
+    + _REG_DEV.format(sab="sxy", sa="sx", sb="sy") + " / "
+    + _REG_DEV.format(sab="sxx", sa="sx", sb="sx") + """ AS slope,
+       (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+        - (""" + _REG_DEV.format(sab="sxy", sa="sx", sb="sy") + " / "
+    + _REG_DEV.format(sab="sxx", sa="sx", sb="sx")
+    + """) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE)
+           AS intercept,
+       (""" + _REG_DEV.format(sab="sxy", sa="sx", sb="sy") + " * "
+    + _REG_DEV.format(sab="sxy", sa="sx", sb="sy") + ") / ("
+    + _REG_DEV.format(sab="sxx", sa="sx", sb="sx") + " * "
+    + _REG_DEV.format(sab="syy", sa="sy", sb="sy") + """) AS r2
+FROM m
+""")

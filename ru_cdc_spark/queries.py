@@ -701,6 +701,8 @@ register("numeric_corr_matrix",
          _pf.NUMERIC_CORR_MATRIX_SQL)(_pf.numeric_corr_matrix)
 register("numeric_spearman_matrix",
          _pf.NUMERIC_SPEARMAN_SQL)(_pf.numeric_spearman_matrix)
+register("part_size_price_regression",
+         _pf.PART_SIZE_PRICE_REGRESSION_SQL)(_pf.part_size_price_regression)
 
 register("incremental_customer_totals",
          _inc.CUSTOMER_TOTALS_FROM_DELTAS_SQL)(_inc.customer_totals_from_deltas)

@@ -3392,3 +3392,81 @@ SELECT p_brand, n_parts,
            AS realization
 FROM sold JOIN retail USING (p_brand)
 """
+
+
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day: the maximum number of SIMULTANEOUSLY
+    open user sessions (lag-gap sessionization), via the classic
+    sweep-line — each session emits +1 at start and -1 at end, the
+    running sum over the time-ordered events is the live concurrency, and
+    the per-day max is the capacity-planning number.
+
+    Exactness: pure integer arithmetic; the tie convention (ends sort
+    before starts at the same instant, then user for total order) is
+    encoded in the ORDER BY on both engines.
+
+    Scale: sessions are already user-aggregated (thousands of rows per
+    day, not events); the sweep's unpartitioned window runs over session
+    boundary events only — at extreme scale, partition the sweep by day
+    and carry the opening balance forward (documented two-phase form).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_seconds(F.col("ts").cast("timestamp")) - F.unix_seconds(
+        F.lag(F.col("ts").cast("timestamp")).over(w))
+    sess = (ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(F.min(F.col("ts").cast("timestamp")).alias("t0"),
+             F.max(F.col("ts").cast("timestamp")).alias("t1")))
+    sweep = sess.select(
+        F.col("t0").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(sess.select(
+        F.col("t1").alias("t"), F.lit(-1).alias("delta"), "user_id"))
+    wsweep = Window.orderBy(F.col("t").asc(), F.col("delta").asc(),
+                            F.col("user_id").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    live = sweep.select(
+        F.date_trunc("day", "t").alias("day"),
+        F.sum("delta").over(wsweep).alias("live"))
+    return (live.groupBy("day")
+            .agg(F.max("live").alias("peak_concurrent")))
+
+
+PEAK_CONCURRENT_SQL = """
+WITH g AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(CAST(ts AS TIMESTAMP))
+                        - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM g
+),
+sess AS (
+    SELECT user_id, session_id, MIN(ts) AS t0, MAX(ts) AS t1
+    FROM s GROUP BY 1, 2
+),
+sweep AS (
+    SELECT t0 AS t, 1 AS delta, user_id FROM sess
+    UNION ALL
+    SELECT t1 AS t, -1 AS delta, user_id FROM sess
+),
+live AS (
+    SELECT date_trunc('day', t) AS day,
+           SUM(delta) OVER (ORDER BY t ASC, delta ASC, user_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS live
+    FROM sweep
+)
+SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent
+FROM live GROUP BY 1
+"""

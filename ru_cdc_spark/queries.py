@@ -644,6 +644,8 @@ register("events_daily_autocorr",
          _an.EVENTS_DAILY_AUTOCORR_SQL)(_an.events_daily_autocorr)
 register("brand_price_realization",
          _an.BRAND_PRICE_REALIZATION_SQL)(_an.brand_price_realization)
+register("peak_concurrent_sessions",
+         _an.PEAK_CONCURRENT_SQL)(_an.peak_concurrent_sessions)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

@@ -3470,3 +3470,125 @@ live AS (
 SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent
 FROM live GROUP BY 1
 """
+
+
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split between NEW customers (first-ever order that
+    month) and returning ones, with the new-revenue share — the growth
+    accounting identity every revenue review opens with. Decimal sums;
+    the share is one exact division.
+
+    Scale: first-order month is a per-customer min aggregate broadcast
+    back over the orders scan; the split is a conditional decimal
+    aggregate on (month) keys.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    first = (o.groupBy("o_custkey")
+             .agg(F.date_trunc("month", F.min("o_orderdate"))
+                  .alias("first_month")))
+    j = o.join(first, "o_custkey").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        (F.date_trunc("month", "o_orderdate") == F.col("first_month"))
+        .alias("is_new"),
+        F.col("o_totalprice").cast(_DEC).alias("rev"))
+    m = (j.groupBy("month")
+         .agg(F.sum(F.when(F.col("is_new"), F.col("rev")))
+              .cast("decimal(38,2)").alias("new_rev"),
+              F.sum(F.when(~F.col("is_new"), F.col("rev")))
+              .cast("decimal(38,2)").alias("ret_rev")))
+    zero = F.lit(0).cast("decimal(38,2)")
+    new_r = F.coalesce(F.col("new_rev"), zero)
+    ret_r = F.coalesce(F.col("ret_rev"), zero)
+    return m.select(
+        "month",
+        new_r.cast("double").alias("new_revenue"),
+        ret_r.cast("double").alias("returning_revenue"),
+        (new_r.cast("double")
+         / (new_r + ret_r).cast("decimal(38,2)").cast("double"))
+        .alias("new_share"))
+
+
+NEW_VS_RETURNING_SQL = """
+WITH first AS (
+    SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS first_month
+    FROM orders GROUP BY 1
+),
+m AS (
+    SELECT date_trunc('month', o.o_orderdate) AS month,
+           CAST(SUM(CASE WHEN date_trunc('month', o.o_orderdate) = f.first_month
+                         THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,2)) AS new_rev,
+           CAST(SUM(CASE WHEN date_trunc('month', o.o_orderdate) <> f.first_month
+                         THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,2)) AS ret_rev
+    FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY 1
+)
+SELECT month,
+       CAST(CAST(COALESCE(new_rev, CAST(0 AS DECIMAL(38,2))) AS VARCHAR)
+            AS DOUBLE) AS new_revenue,
+       CAST(CAST(COALESCE(ret_rev, CAST(0 AS DECIMAL(38,2))) AS VARCHAR)
+            AS DOUBLE) AS returning_revenue,
+       CAST(CAST(COALESCE(new_rev, CAST(0 AS DECIMAL(38,2))) AS VARCHAR)
+            AS DOUBLE)
+         / CAST(CAST(CAST(COALESCE(new_rev, CAST(0 AS DECIMAL(38,2)))
+                + COALESCE(ret_rev, CAST(0 AS DECIMAL(38,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS new_share
+FROM m
+"""
+
+
+def nation_balance_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account balances on both market sides: customer vs
+    supplier totals with counts and the customer-per-supplier balance
+    ratio — the S1-S8 dimension tables exercised together. Decimal sums,
+    one exact division; full-outer so nations with only one side present
+    still report.
+    """
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (load_table(spark, sf_dir, "customer")
+         .groupBy("c_nationkey")
+         .agg(F.count("*").alias("n_customers"),
+              F.sum(F.col("c_acctbal").cast(_DEC)).cast("decimal(38,2)")
+              .alias("cust_bal")))
+    s = (load_table(spark, sf_dir, "supplier")
+         .groupBy("s_nationkey")
+         .agg(F.count("*").alias("n_suppliers"),
+              F.sum(F.col("s_acctbal").cast(_DEC)).cast("decimal(38,2)")
+              .alias("supp_bal")))
+    j = (n.join(c, n["n_nationkey"] == c["c_nationkey"], "left")
+         .join(s, n["n_nationkey"] == s["s_nationkey"], "left"))
+    return j.select(
+        "n_name",
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        F.coalesce(F.col("cust_bal"), F.lit(0).cast("decimal(38,2)"))
+        .cast("double").alias("customer_balance"),
+        F.coalesce(F.col("supp_bal"), F.lit(0).cast("decimal(38,2)"))
+        .cast("double").alias("supplier_balance"))
+
+
+NATION_BALANCE_SQL = """
+WITH c AS (
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS cust_bal
+    FROM customer GROUP BY 1
+),
+s AS (
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS supp_bal
+    FROM supplier GROUP BY 1
+)
+SELECT n_name,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       CAST(CAST(COALESCE(cust_bal, CAST(0 AS DECIMAL(38,2))) AS VARCHAR)
+            AS DOUBLE) AS customer_balance,
+       CAST(CAST(COALESCE(supp_bal, CAST(0 AS DECIMAL(38,2))) AS VARCHAR)
+            AS DOUBLE) AS supplier_balance
+FROM nation
+LEFT JOIN c ON n_nationkey = c_nationkey
+LEFT JOIN s ON n_nationkey = s_nationkey
+"""

@@ -646,6 +646,10 @@ register("brand_price_realization",
          _an.BRAND_PRICE_REALIZATION_SQL)(_an.brand_price_realization)
 register("peak_concurrent_sessions",
          _an.PEAK_CONCURRENT_SQL)(_an.peak_concurrent_sessions)
+register("new_vs_returning_revenue",
+         _an.NEW_VS_RETURNING_SQL)(_an.new_vs_returning_revenue)
+register("nation_balance_sheet",
+         _an.NATION_BALANCE_SQL)(_an.nation_balance_sheet)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

@@ -2574,7 +2574,9 @@ _GRADED_PREFIX = [
     "divergent_users_tv", "events_burstiness",
     "discount_quantity_corr_by_flag", "ship_lag_profile",
     "exact_median_two_pass", "events_equidepth_histogram",
-    "cdc_out_of_order_replay",
+    "cdc_out_of_order_replay", "events_daily_autocorr",
+    "part_size_price_regression", "peak_concurrent_sessions",
+    "brand_price_realization", "new_vs_returning_revenue",
 ]
 
 

@@ -445,3 +445,27 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
             .where(F.col("hamming") <= PHASH_HAMMING_MAX))
+
+
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate GROUPS: the pHash pair graph contracted to
+    connected components, emitting one cluster id per image with a
+    canonical representative (min doc_id) — the retention decision input
+    ("keep one per visual cluster"), composing the perceptual-hash
+    banding with the dedup module's component machinery.
+
+    Rows-only correctness (DCT + iterative contraction); the
+    groups-of-5 fixture guarantee is pytest-gated.
+
+    Scale: pairs are banding-bounded (pixels never shuffle); components
+    run on the pair graph (vertices = near-dup images only, a sliver of
+    the corpus), star-contraction rounds are O(log² n).
+    """
+    from ru_cdc_spark.operators.dedup import star_contraction_components
+
+    pairs = multimodal_phash_near_dup(spark, sf_dir) \
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = star_contraction_components(pairs)
+    return (comp.groupBy(F.col("component").alias("cluster_rep"))
+            .agg(F.count("*").alias("n_members"),
+                 F.array_sort(F.collect_list("doc_id")).alias("members")))

@@ -1306,6 +1306,8 @@ register("multimodal_frame_sample",
 register("multimodal_resize", _mm.MULTIMODAL_RESIZE_SQL)(_mm.multimodal_resize)
 register("multimodal_phash_near_dup",
          None)(_mm.multimodal_phash_near_dup)  # DCT: rows-only
+register("multimodal_phash_clusters",
+         None)(_mm.multimodal_phash_clusters)  # DCT + iterative
 
 from ru_cdc_spark.operators import graph as _gr  # noqa: E402
 

@@ -304,3 +304,17 @@ def test_ml_minhash_lsh_contract(spark, sf_dir):
         union = len(sh[r.doc_a] | sh[r.doc_b])
         true_dist = 1.0 - inter / union
         assert abs(r.jaccard_dist - true_dist) < 1e-9, (r, true_dist)
+
+
+def test_phash_clusters_recover_source_groups(spark, sf_dir):
+    """Every shared-source group of 5 collapses to exactly one cluster
+    whose representative is the group leader."""
+    from ru_cdc_spark.queries import REGISTRY
+
+    rows = REGISTRY["multimodal_phash_clusters"].fn(spark, sf_dir).collect()
+    assert rows
+    by_rep = {r.cluster_rep: r for r in rows}
+    for g in range(0, 40, 5):
+        assert g in by_rep, f"group leader {g} missing"
+        assert by_rep[g].n_members == 5
+        assert by_rep[g].members == list(range(g, g + 5))

@@ -3592,3 +3592,67 @@ FROM nation
 LEFT JOIN c ON n_nationkey = c_nationkey
 LEFT JOIN s ON n_nationkey = s_nationkey
 """
+
+
+def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: for every purchase, the time since the user's
+    most recent prior view — the funnel's temporal dimension (how long
+    intent takes to convert), summarized per latency bucket with exact
+    counts and an exact-ratio mean.
+
+    Built with the as-of-join pattern (union + last_value window): views
+    and purchases interleave in one per-user ordered pass, each purchase
+    reads the last view timestamp carried forward — no inequality join
+    blowup.
+
+    Scale: one user-key shuffle; state is the carried last-view per user
+    within the window scan. Bucket keys are bounded (hour buckets).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last_view = F.last(
+        F.when(F.col("event_type") == "view",
+               F.col("ts").cast("timestamp")), ignorenulls=True).over(w)
+    tagged = ev.select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        last_view.alias("lv"))
+    purchases = tagged.where(
+        (F.col("event_type") == "purchase") & F.col("lv").isNotNull())
+    # microsecond epoch on BOTH sides: DuckDB's epoch() is fractional
+    # seconds while unix_seconds truncates — micros are the shared grain
+    lat_us = (F.unix_micros("ts") - F.unix_micros("lv"))
+    bucket = F.expr("CAST((unix_micros(ts) - unix_micros(lv)) "
+                    "div 3600000000 AS INT)")
+    return (purchases.select(bucket.alias("latency_hours"),
+                             lat_us.alias("us"))
+            .groupBy("latency_hours")
+            .agg(F.count("*").alias("n"),
+                 (F.sum("us").cast("double") / F.count("*").cast("double"))
+                 .alias("mean_latency_us")))
+
+
+VIEW_TO_PURCHASE_LATENCY_SQL = """
+WITH ev AS (
+    SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+tagged AS (
+    SELECT user_id, event_id, event_type, ts,
+           last_value(CASE WHEN event_type = 'view' THEN ts END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS lv
+    FROM ev
+)
+SELECT CAST((epoch_us(ts) - epoch_us(lv)) // 3600000000 AS INTEGER)
+           AS latency_hours,
+       COUNT(*) AS n,
+       CAST(SUM(epoch_us(ts) - epoch_us(lv)) AS DOUBLE) / COUNT(*)
+           AS mean_latency_us
+FROM tagged
+WHERE event_type = 'purchase' AND lv IS NOT NULL
+GROUP BY 1
+"""

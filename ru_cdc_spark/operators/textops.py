@@ -858,3 +858,55 @@ SELECT doc_id, COUNT(*) AS n_trigrams,
 FROM tris LEFT JOIN model m USING (tri)
 GROUP BY doc_id
 """
+
+
+def source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty: the share of a source's distinct word bigrams
+    that appear in NO other source — the corpus-curation signal for
+    which feeds contribute unique content vs recycle shared boilerplate.
+    Exact integer ratio per source.
+
+    Scale: one (bigram -> distinct sources) aggregate (map-side
+    combined), novel iff the source count is 1, then a per-source rollup
+    — no pairwise source comparison, so cost is linear in distinct
+    bigrams regardless of source count.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    wc = words_col(F.col("text"))
+    bigrams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.array_join(F.slice("w", i, 2), " "),
+    ))
+    sb = (docs.select("source", wc.alias("w"))
+          .where(F.size("w") >= 2)
+          .select("source", F.explode(bigrams).alias("g"))
+          .distinct())
+    spread_count = sb.groupBy("g").agg(
+        F.count_distinct("source").alias("ns"))
+    j = sb.join(spread_count, "g")
+    return (j.groupBy("source")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.count_if(F.col("ns") == 1).alias("n_unique"))
+            .select("source", "n_bigrams", "n_unique",
+                    (F.col("n_unique").cast("double")
+                     / F.col("n_bigrams").cast("double")).alias("novelty")))
+
+
+SOURCE_NOVELTY_SQL = """
+WITH sb AS (
+    SELECT DISTINCT source, g
+    FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1]))) AS g
+        FROM (SELECT source, {words} AS w FROM documents)
+        WHERE len(w) >= 2
+    )
+),
+spread AS (SELECT g, COUNT(DISTINCT source) AS ns FROM sb GROUP BY 1)
+SELECT source, COUNT(*) AS n_bigrams,
+       COUNT(*) FILTER (ns = 1) AS n_unique,
+       CAST(COUNT(*) FILTER (ns = 1) AS DOUBLE) / COUNT(*) AS novelty
+FROM sb JOIN spread USING (g)
+GROUP BY 1
+""".replace("{words}", _WORDS_SQL)

@@ -1289,6 +1289,7 @@ register("text_posting_lists", _tx.POSTING_LISTS_SQL)(_tx.posting_lists)
 register("text_bm25_search", _tx.TEXT_BM25_SEARCH_SQL)(_tx.bm25_search)
 register("text_trigram_lm_score",
          _tx.TEXT_TRIGRAM_LM_SQL)(_tx.text_trigram_lm_score)
+register("source_novelty", _tx.SOURCE_NOVELTY_SQL)(_tx.source_novelty)
 
 from ru_cdc_spark.operators import sketch as _sk  # noqa: E402
 

@@ -2582,6 +2582,7 @@ _GRADED_PREFIX = [
     "cdc_out_of_order_replay", "events_daily_autocorr",
     "part_size_price_regression", "peak_concurrent_sessions",
     "brand_price_realization", "new_vs_returning_revenue",
+    "view_to_purchase_latency", "source_novelty", "nation_balance_sheet",
 ]
 
 

@@ -3656,3 +3656,50 @@ FROM tagged
 WHERE event_type = 'purchase' AND lv IS NOT NULL
 GROUP BY 1
 """
+
+
+def events_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-error runs per user via gaps-and-islands: the
+    island key is rownum_overall − rownum_within_type (constant exactly
+    while a user's events stay the same type), so one pass of two window
+    functions turns the stream into runs — the reliability question "who
+    is stuck in an error loop" with no self-join or iteration.
+
+    Scale: both row_numbers share the user-key ordering (one shuffle,
+    one sort, two outputs); the island aggregate is map-side combinable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    runs = (ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type))
+        .alias("island"))
+        .where(F.col("event_type") == "error"))
+    streaks = (runs.groupBy("user_id", "island")
+               .agg(F.count("*").alias("len"),
+                    F.min(F.col("ts").cast("timestamp")).alias("started")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").alias("longest_error_streak"),
+                 F.count("*").alias("n_streaks"))
+            .where(F.col("longest_error_streak") >= 3))
+
+
+EVENTS_ERROR_STREAKS_SQL = """
+WITH runs AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+    FROM events
+),
+streaks AS (
+    SELECT user_id, island, COUNT(*) AS len
+    FROM runs WHERE event_type = 'error'
+    GROUP BY 1, 2
+)
+SELECT user_id, MAX(len) AS longest_error_streak, COUNT(*) AS n_streaks
+FROM streaks GROUP BY 1
+HAVING MAX(len) >= 3
+"""

@@ -3703,3 +3703,44 @@ SELECT user_id, MAX(len) AS longest_error_streak, COUNT(*) AS n_streaks
 FROM streaks GROUP BY 1
 HAVING MAX(len) >= 3
 """
+
+
+def open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: orders still in status 'O' bucketed by
+    age against the corpus's latest order date (no wall clock — the
+    as-of anchor keeps the report reproducible), with exact counts and
+    decimal value at risk per (priority, age bucket).
+
+    Scale: the anchor is a 1-row broadcast; bucketing is codegen'd; the
+    aggregate sees priorities x buckets keys.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.date_trunc("day", "o_orderdate")).alias("as_of"))
+    aged = (o.where(F.col("o_orderstatus") == "O")
+            .crossJoin(F.broadcast(anchor))
+            .select(
+                "o_orderpriority",
+                F.col("o_totalprice").cast(_DEC).alias("v"),
+                F.expr("CAST(datediff(as_of, date_trunc('day', "
+                       "o_orderdate)) div 30 AS INT)")
+                .alias("age_months_bucket")))
+    return (aged.groupBy("o_orderpriority", "age_months_bucket")
+            .agg(F.count("*").alias("n_open"),
+                 F.sum("v").cast("decimal(38,2)").cast("double")
+                 .alias("value_at_risk")))
+
+
+OPEN_ORDER_AGING_SQL = """
+WITH anchor AS (
+    SELECT MAX(date_trunc('day', o_orderdate)) AS as_of FROM orders
+)
+SELECT o_orderpriority,
+       CAST(datediff('day', date_trunc('day', o_orderdate), as_of) // 30
+            AS INTEGER) AS age_months_bucket,
+       COUNT(*) AS n_open,
+       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS value_at_risk
+FROM orders CROSS JOIN anchor
+WHERE o_orderstatus = 'O'
+GROUP BY 1, 2
+"""

@@ -654,6 +654,8 @@ register("view_to_purchase_latency",
          _an.VIEW_TO_PURCHASE_LATENCY_SQL)(_an.view_to_purchase_latency)
 register("events_error_streaks",
          _an.EVENTS_ERROR_STREAKS_SQL)(_an.events_error_streaks)
+register("open_order_aging",
+         _an.OPEN_ORDER_AGING_SQL)(_an.open_order_aging)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
 register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)

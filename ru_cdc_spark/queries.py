@@ -2587,6 +2587,7 @@ _GRADED_PREFIX = [
     "part_size_price_regression", "peak_concurrent_sessions",
     "brand_price_realization", "new_vs_returning_revenue",
     "view_to_purchase_latency", "source_novelty", "nation_balance_sheet",
+    "events_error_streaks", "open_order_aging",
 ]
 
 

@@ -2279,6 +2279,63 @@ def binlog_wire_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_json_frames(generate_json_frames(spark).select("frame"))
 
 
+_SOCKET_FIXTURE_SERVER = None
+
+
+def _socket_fixture_server():
+    """One live MySQL-protocol fixture server per driver process (daemon
+    threads; dies with the session). Started lazily because registered
+    queries build DataFrames lazily — the server must outlive the
+    callable, staying up until the driver actually runs the job."""
+    global _SOCKET_FIXTURE_SERVER
+    if _SOCKET_FIXTURE_SERVER is None:
+        from ru_cdc_spark.sources.binlog_frames import BINLOG_CDC_N_ROWS
+        from ru_cdc_spark.sources.mysql_fixture_server import (
+            MySQLFixtureServer,
+            VirtualBinlog,
+        )
+
+        _SOCKET_FIXTURE_SERVER = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(BINLOG_CDC_N_ROWS),
+            catalog={"testdb.wiretypes": [("i", "bigint", "PRI")]},
+        ).start()
+    return _SOCKET_FIXTURE_SERVER
+
+
+def mysql_socket_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL job end to end over a REAL network socket:
+    TCP connect -> HandshakeV10 -> mysql_native_password scramble ->
+    session setup (set @master_binlog_checksum, SHOW MASTER STATUS) ->
+    COM_BINLOG_DUMP -> streamed event packets (0x00-prefixed) -> frame
+    reassembly (TABLE_MAP starts, ROWS emits — main.rs:109-130) ->
+    distributed byte decode -> latest-wins merge -> snapshot.
+
+    The server side is the in-repo fixture server replaying the SAME
+    deterministic byte stream as the generator pipeline, so this query
+    shares binlog_wire_cdc_snapshot's DuckDB oracle — socket transport
+    changes nothing about the answer, which is the point.
+
+    Scale: each task dials its own connection and dumps only its
+    [start_pos, end_pos) slice (slices cut at TABLE_MAP boundaries by a
+    single driver metadata pass); decode stays the narrow Arrow map;
+    the merge is the engine's single PK shuffle."""
+    from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
+
+    srv = _socket_fixture_server()
+    frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
+                               srv.user, srv.password, n_slices=8)
+    changes = decode_cdc_frames(frames.select("frame"))
+    row = F.struct(*[F.col(c) for c in changes.columns])
+    return (
+        changes.groupBy("i")
+        .agg(F.max_by(row, F.col("seq")).alias("__r"))
+        .select("__r.*")
+        .where(F.col("type") != "DELETE")
+        .select("i", "t_long", "t_dec", "t_varchar", "t_datetime")
+    )
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
@@ -2301,6 +2358,8 @@ def _register_binlog_wire() -> None:
     register("binlog_wire_enum_set_bit",
              BINLOG_ESB_ORACLE)(binlog_wire_enum_set_bit)
     register("binlog_wire_json", BINLOG_JSON_ORACLE)(binlog_wire_json)
+    register("mysql_socket_cdc_snapshot",
+             BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_cdc_snapshot)
 
 
 _register_binlog_wire()

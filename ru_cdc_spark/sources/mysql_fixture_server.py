@@ -1,0 +1,337 @@
+"""Server side of the MySQL wire protocol, for exercising the real
+client over real TCP sockets without a MySQL install.
+
+The reference's serve path assumes a live server on the other end of
+the socket (``/root/reference/src/main.rs:73-130``); this module IS that
+other end for tests and fixtures: it performs the HandshakeV10 /
+HandshakeResponse41 / auth-switch exchange with real scramble
+verification, answers the exact session-setup statements the reference
+issues (``set @master_binlog_checksum`` main.rs:82-84, ``show master
+status`` main.rs:86-90, ``desc db.table`` mysql.rs:185-199), and streams
+a **virtual binlog** through COM_BINLOG_DUMP with correct per-event
+``log_pos`` values and the network ``0x00`` OK prefix on every event
+packet.
+
+The virtual binlog's payload is the existing deterministic frame fixture
+(``binlog_frames.cdc_frame_bytes``) — "what the socket would deliver"
+stays defined once, so the socket-fed pipeline is hash-checked by the
+SAME DuckDB oracle as the generator-fed one.
+
+This is test infrastructure, not a MySQL re-implementation: one thread
+per connection is plenty for local[32] task fan-in, and unknown
+statements get an empty OK, the most forgiving server behavior.
+"""
+
+from __future__ import annotations
+
+import re
+import socket
+import threading
+
+from ru_cdc_spark.sources.mysql_client import (
+    ColDef,
+    NATIVE_PASSWORD_PLUGIN,
+    COM_BINLOG_DUMP,
+    COM_PING,
+    COM_QUERY,
+    COM_QUIT,
+    PacketIO,
+    decode_com_binlog_dump,
+    decode_handshake_response41,
+    encode_auth_switch_request,
+    encode_col_def,
+    encode_err,
+    encode_handshake_v10,
+    encode_ok,
+    encode_text_row,
+    native_password_scramble,
+    split_events,
+    write_lenenc_int,
+)
+
+_EVENT_NAMES = {2: "Query", 4: "Rotate", 15: "Format_desc", 16: "Xid",
+                19: "Table_map", 27: "Heartbeat", 29: "Rows_query",
+                30: "Write_rows", 31: "Update_rows", 32: "Delete_rows",
+                33: "Gtid"}
+
+
+def patch_log_pos(ev: bytes, log_pos: int) -> bytes:
+    """Rewrite the header's end-position field (bytes 13:17)."""
+    return ev[:13] + log_pos.to_bytes(4, "little") + ev[17:]
+
+
+class VirtualBinlog:
+    """A binlog file materialized as a position-indexed event list.
+
+    Events are laid out at real byte positions (first event starts at
+    pos 4, like an on-disk binlog after its magic); every header's
+    ``log_pos`` holds the event's END position, which is what the
+    server reports in SHOW MASTER STATUS / SHOW BINLOG EVENTS and what
+    resume positions mean in COM_BINLOG_DUMP (position_manager.rs
+    semantics)."""
+
+    def __init__(self, filename: str = "binlog.000001") -> None:
+        self.filename = filename
+        self.events: list[tuple[int, int, bytes]] = []  # (start, end, bytes)
+        self._pos = 4
+
+    def append(self, ev: bytes) -> None:
+        start = self._pos
+        end = start + len(ev)
+        self.events.append((start, end, patch_log_pos(ev, end)))
+        self._pos = end
+
+    def append_blob(self, blob: bytes) -> None:
+        for ev in split_events(blob):
+            self.append(ev)
+
+    @property
+    def end_pos(self) -> int:
+        return self._pos
+
+    def events_from(self, pos: int) -> list[bytes]:
+        return [ev for start, _, ev in self.events if start >= pos]
+
+    def boundaries(self, event_type: int | None = None) -> list[int]:
+        """Start positions (optionally of one event type) — safe dump
+        resume points."""
+        return [start for start, _, ev in self.events
+                if event_type is None or ev[4] == event_type]
+
+    @classmethod
+    def from_cdc_fixture(cls, n_rows: int,
+                         filename: str = "binlog.000001") -> "VirtualBinlog":
+        """The standard CDC fixture stream as a positioned binlog:
+        FORMAT_DESCRIPTION first (checksum NONE), then every frame's
+        TABLE_MAP/ROWS events."""
+        from ru_cdc_spark.sources.binlog_frames import (
+            ROWS_PER_EVENT,
+            cdc_frame_bytes,
+        )
+        from ru_cdc_spark.sources.binlog_wire import (
+            CHECKSUM_NONE,
+            encode_format_description,
+        )
+
+        vb = cls(filename)
+        vb.append(encode_format_description(CHECKSUM_NONE))
+        n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+        for fid in range(n_frames):
+            blob = cdc_frame_bytes(fid, n_rows)
+            if blob is not None:
+                vb.append_blob(blob)
+        return vb
+
+
+class MySQLFixtureServer:
+    """Threaded TCP server speaking the MySQL server-side protocol.
+
+    ``catalog`` maps ``db.table`` -> list of (name, type, key) tuples
+    for DESC. Start with ``start()``; ``port`` is assigned by the OS.
+    """
+
+    def __init__(self, user: str = "repl", password: str = "replpass",
+                 binlog: VirtualBinlog | None = None,
+                 catalog: dict | None = None,
+                 nonce: bytes | None = None,
+                 host: str = "127.0.0.1") -> None:
+        self.user = user
+        self.password = password
+        self.binlog = binlog or VirtualBinlog()
+        self.catalog = catalog or {}
+        self.nonce = nonce or bytes(range(1, 21))
+        self.host = host
+        self.port = 0
+        self._sock: socket.socket | None = None
+        self._threads: list[threading.Thread] = []
+        self._stop = threading.Event()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "MySQLFixtureServer":
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((self.host, 0))
+        self.port = self._sock.getsockname()[1]
+        self._sock.listen(64)
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+
+    def __enter__(self) -> "MySQLFixtureServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def _accept_loop(self) -> None:
+        assert self._sock is not None
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve_conn, args=(conn,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    # -- per-connection protocol -------------------------------------------
+
+    def _serve_conn(self, conn: socket.socket) -> None:
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        io = PacketIO(conn)
+        try:
+            if not self._handshake(io):
+                return
+            while not self._stop.is_set():
+                io.reset_seq()
+                try:
+                    pkt = io.read_packet()
+                except (ConnectionError, OSError):
+                    return
+                if not pkt:
+                    return
+                cmd = pkt[0]
+                if cmd == COM_QUIT:
+                    return
+                if cmd == COM_PING:
+                    io.write_packet(encode_ok(), seq=1)
+                elif cmd == COM_QUERY:
+                    self._handle_query(io, pkt[1:].decode("utf-8", "replace"))
+                elif cmd == COM_BINLOG_DUMP:
+                    self._handle_dump(io, pkt)
+                else:
+                    io.write_packet(
+                        encode_err(1047, f"unknown command 0x{cmd:02x}"),
+                        seq=1)
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _handshake(self, io: PacketIO) -> bool:
+        io.write_packet(
+            encode_handshake_v10("8.0.0-fixture", 7, self.nonce), seq=0)
+        resp = decode_handshake_response41(io.read_packet())
+        expected = native_password_scramble(self.password.encode(),
+                                            self.nonce)
+        auth = resp.auth_resp
+        # clients that sent no/odd auth data (the reference does — it
+        # puts the password in the plugin-name field, mysql.rs:66) get
+        # the AuthSwitch path, like a real server would
+        if resp.plugin != NATIVE_PASSWORD_PLUGIN or not auth:
+            io.write_packet(encode_auth_switch_request(
+                NATIVE_PASSWORD_PLUGIN, self.nonce))
+            auth = io.read_packet()
+        if resp.user != self.user or auth != expected:
+            io.write_packet(encode_err(
+                1045, f"Access denied for user '{resp.user}'", "28000"))
+            return False
+        io.write_packet(encode_ok())
+        return True
+
+    # -- COM_QUERY dispatch ------------------------------------------------
+
+    def _send_result_set(self, io: PacketIO, cols: list[str],
+                         rows: list[list]) -> None:
+        """DEPRECATE_EOF shape: count, defs, rows, OK-as-EOF (the framing
+        the reference's read_text_result_set expects, mysql.rs:140-178)."""
+        seq = 1
+        io.write_packet(write_lenenc_int(len(cols)), seq=seq)
+        for c in cols:
+            seq += 1
+            io.write_packet(encode_col_def(ColDef(name=c)), seq=seq)
+        for row in rows:
+            seq += 1
+            io.write_packet(encode_text_row(row), seq=seq)
+        io.write_packet(encode_ok(header=0xFE), seq=seq + 1)
+
+    def _handle_query(self, io: PacketIO, sql: str) -> None:
+        q = sql.strip().rstrip(";").lower()
+        if q.startswith("set "):
+            io.write_packet(encode_ok(), seq=1)
+        elif q == "show master status":
+            self._send_result_set(
+                io,
+                ["File", "Position", "Binlog_Do_DB", "Binlog_Ignore_DB"],
+                [[self.binlog.filename, str(self.binlog.end_pos), "", ""]])
+        elif q.startswith("show binlog events"):
+            self._show_binlog_events(io, q)
+        elif q.startswith("desc "):
+            self._desc(io, q[5:].strip())
+        elif q == "select @@global.binlog_checksum":
+            self._send_result_set(io, ["@@global.binlog_checksum"],
+                                  [["NONE"]])
+        else:
+            io.write_packet(encode_ok(), seq=1)
+
+    def _show_binlog_events(self, io: PacketIO, q: str) -> None:
+        m = re.search(r"from\s+(\d+)", q)
+        from_pos = int(m.group(1)) if m else 4
+        m = re.search(r"limit\s+(\d+)", q)
+        limit = int(m.group(1)) if m else len(self.binlog.events)
+        rows = []
+        for start, end, ev in self.binlog.events:
+            if start < from_pos or len(rows) >= limit:
+                continue
+            etype = ev[4]
+            rows.append([self.binlog.filename, str(start),
+                         _EVENT_NAMES.get(etype, str(etype)), "1",
+                         str(end), ""])
+        self._send_result_set(
+            io, ["Log_name", "Pos", "Event_type", "Server_id",
+                 "End_log_pos", "Info"], rows)
+
+    def _desc(self, io: PacketIO, target: str) -> None:
+        cols = self.catalog.get(target)
+        if cols is None:
+            io.write_packet(
+                encode_err(1146, f"Table '{target}' doesn't exist", "42S02"),
+                seq=1)
+            return
+        rows = [[name, ftype, "YES" if key != "PRI" else "NO", key, None, ""]
+                for name, ftype, key in cols]
+        self._send_result_set(
+            io, ["Field", "Type", "Null", "Key", "Default", "Extra"], rows)
+
+    # -- COM_BINLOG_DUMP ---------------------------------------------------
+
+    def _handle_dump(self, io: PacketIO, pkt: bytes) -> None:
+        pos, _flags, _server_id, filename = decode_com_binlog_dump(pkt)
+        if filename and filename != self.binlog.filename:
+            io.write_packet(
+                encode_err(1236, f"Could not find first log file name "
+                                 f"'{filename}'"), seq=1)
+            return
+        seq = 1
+        try:
+            # a real dump replays the FDE first regardless of start pos
+            # so the client can configure its decoder
+            fde = next((ev for _, _, ev in self.binlog.events
+                        if ev[4] == 15), None)
+            if fde is not None and pos > 4:
+                io.write_packet(b"\x00" + fde, seq=seq)
+                seq += 1
+            for start, _end, ev in self.binlog.events:
+                if start < pos:
+                    continue
+                io.write_packet(b"\x00" + ev, seq=seq)
+                seq = (seq + 1) & 0xFF
+            # bounded fixture: end the stream with EOF instead of
+            # blocking forever like a live dump would
+            io.write_packet(b"\xfe\x00\x00\x02\x00", seq=seq)
+        except (ConnectionError, OSError):
+            # slice readers hang up once their [lo, hi) range is
+            # satisfied — a client disconnect mid-dump is normal
+            return

@@ -2428,11 +2428,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary stays DECIMAL until the boundary; recency is exact integer
     day arithmetic against the corpus max date (no wall clock).
 
-    Scale: one per-customer aggregate (map-side combined), then three
-    unpartitioned ntile windows over |customers| rows — fused into one
-    Window operator chain; fine to thousands of partitions since the
-    post-agg relation is customer-grain, not fact-grain.
+    Scale: one per-customer aggregate (map-side combined); each quartile
+    is then an exact DISTRIBUTED rank (rankops.global_row_number: range
+    shuffle + partition-local row_number + broadcast offsets) with the
+    window-ntile bucket rule reconstructed arithmetically — bit-identical
+    to the unpartitioned ntile it replaces (round-2 verdict follow-up),
+    with no single-task sort at billions of customers.
     """
+    from ru_cdc_spark.operators.rankops import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max(F.date_trunc("day", "o_orderdate"))
                    .alias("maxd"))
@@ -2442,19 +2449,26 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum(F.col("o_totalprice").cast(_DEC))
                      .cast("decimal(38,2)").alias("monetary"))
                 .crossJoin(F.broadcast(anchor)))
-    scored = per_cust.select(
+    base = per_cust.select(
         "o_custkey",
         F.datediff(F.col("maxd"), F.col("lastd")).alias("recency_days"),
         "frequency",
         F.col("monetary").cast("double").alias("monetary"),
-        F.ntile(4).over(Window.orderBy(
-            F.datediff(F.col("maxd"), F.col("lastd")).asc(),
-            F.col("o_custkey").asc())).alias("r_score"),
-        F.ntile(4).over(Window.orderBy(
-            F.col("frequency").desc(), F.col("o_custkey").asc())).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(
-            F.col("monetary").desc(), F.col("o_custkey").asc())).alias("m_score"),
     )
+    orders_by = {
+        "r_score": [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        "f_score": [F.col("frequency").desc(), F.col("o_custkey").asc()],
+        "m_score": [F.col("monetary").desc(), F.col("o_custkey").asc()],
+    }
+    scored = base
+    for score_col, order in orders_by.items():
+        ranked, total = global_row_number(
+            scored.select("o_custkey", "recency_days", "frequency",
+                          "monetary"),
+            order, out_col="__rn")
+        ranked = ranked.select(
+            "o_custkey", ntile_from_rank("__rn", total, 4).alias(score_col))
+        scored = scored.join(ranked, "o_custkey")
     return scored.select(
         "o_custkey", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",
@@ -2753,26 +2767,27 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximum is found in pure integer arithmetic and the statistic is ONE
     exact division — hash-identical across engines and cluster layouts.
 
-    Scale: collapse to per-(type, value) counts first (map-side combined),
-    then one ordered window per type over the distinct-value relation —
-    the window input is |distinct values|, not |events|.
+    Scale: collapse to per-(type, value) counts first (map-side combined);
+    the per-type ECDF running sums then run DISTRIBUTED (rankops.
+    grouped_running_sum: range shuffle on (type, value) + partition-local
+    windows + broadcast offsets), so a type with billions of distinct
+    values no longer funnels through one sort task (round-2 verdict
+    follow-up) — values bit-identical to the single-window form.
     """
+    from ru_cdc_spark.operators.rankops import grouped_running_sum
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     half = F.when(F.dayofmonth("ts") <= 15, "e").otherwise("l")
     per_val = (ev.select("event_type", half.alias("h"), "value")
                .groupBy("event_type", "value")
                .agg(F.count_if(F.col("h") == "e").alias("ce"),
                     F.count_if(F.col("h") == "l").alias("cl")))
-    w = Window.partitionBy("event_type").orderBy("value") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = Window.partitionBy("event_type")
-    stepped = per_val.select(
-        "event_type",
-        F.sum("ce").over(w).alias("cum_e"),
-        F.sum("cl").over(w).alias("cum_l"),
-        F.sum("ce").over(tot).alias("n_e"),
-        F.sum("cl").over(tot).alias("n_l"))
-    num = F.abs(F.col("cum_e") * F.col("n_l") - F.col("cum_l") * F.col("n_e"))
+    stepped = grouped_running_sum(per_val, ["event_type"],
+                                  [F.col("value").asc()], ["ce", "cl"])
+    totals = (per_val.groupBy("event_type")
+              .agg(F.sum("ce").alias("n_e"), F.sum("cl").alias("n_l")))
+    stepped = stepped.join(F.broadcast(totals), "event_type")
+    num = F.abs(F.col("cum_ce") * F.col("n_l") - F.col("cum_cl") * F.col("n_e"))
     return (stepped.groupBy("event_type")
             .agg(F.max(num).alias("max_num"),
                  F.max("n_e").alias("n_early"),

@@ -44,24 +44,30 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     an argmin over a correlated group. Supply cost derives from lineitem
     (min extended price a supplier ever charged for the part).
 
-    Scale: the (part, supp) agg shuffles lineitem once on a composite key;
-    the per-part argmin is a window over the already-aggregated (small)
-    relation, partitioned by p_partkey — no second pass over the fact
-    table. Supplier/nation/region/part dims broadcast.
+    Scale: the filtered part dim (a ~4% selection) broadcast-SEMI-joins
+    onto lineitem BEFORE the (part, supp) aggregation, so the partial agg
+    and its composite-key shuffle only see qualifying parts' rows — at
+    100 TB that skips ~96% of the fact table's agg work (the round-2
+    verdict's Q2 prune). The per-part argmin is a window over the
+    already-aggregated (small) relation, partitioned by p_partkey — no
+    second pass over the fact table. Supplier/nation/region/part dims
+    broadcast.
     """
-    ps = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey", "l_suppkey")
-        # MIN of a raw double is an existing input value — exact on both
-        # engines, no decimal transit needed
-        .agg(F.min("l_extendedprice").alias("supply_cost"))
-    )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
     ).select("p_partkey", "p_size")
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "leftsemi")
+        .groupBy("l_partkey", "l_suppkey")
+        # MIN of a raw double is an existing input value — exact on both
+        # engines, no decimal transit needed
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
     w = Window.partitionBy("p_partkey")
     return (
         ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)

@@ -171,24 +171,32 @@ def numeric_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the oracle — monotone association without Pearson's
     outlier sensitivity, still bit-reproducible at any cluster size.
 
-    Scale: one rank window per column (key-less but SORT-based — at
-    extreme N swap for a two-pass histogram rank), then the single
-    moment-row aggregate; the pair explosion happens on that one row.
+    Scale: the average rank of a tied value group is a pure function of
+    the cumulative count before it — avg = before + (cnt+1)/2 — so ranks
+    are computed on the per-DISTINCT-VALUE relation with a distributed
+    running count (rankops.grouped_running_sum: range shuffle +
+    partition-local windows + broadcast offsets) and joined back, instead
+    of a per-column unpartitioned row_number window over the fact table
+    (round-2 verdict follow-up). Values are bit-identical (.5-quantized
+    exact rationals), so the oracle hash is unchanged; then the single
+    moment-row aggregate — the pair explosion happens on that one row.
     """
+    from ru_cdc_spark.operators.rankops import grouped_running_sum
+
     li = load_table(spark, sf_dir, "lineitem")
-    # two window layers (nesting is illegal): dense positions first, then
-    # the per-tie-group average rank
-    rn = li.select(*_CORR_COLS, *[
-        F.row_number().over(
-            Window.orderBy(F.col(c).asc(), F.col("l_orderkey").asc(),
-                           F.col("l_linenumber").asc())).alias(f"rn_{c}")
-        for c in _CORR_COLS
-    ])
-    ranked = rn.select(*[
-        F.avg(F.col(f"rn_{c}")).over(Window.partitionBy(F.col(c)))
-        .cast("decimal(18,1)").alias(f"r_{c}")
-        for c in _CORR_COLS
-    ])
+    ranked = li.select(*_CORR_COLS)
+    for c in _CORR_COLS:
+        vc = li.groupBy(c).agg(F.count("*").alias("cnt"))
+        cum = grouped_running_sum(vc, [], [F.col(c).asc()], ["cnt"])
+        # avg rank of the tie group = before + (cnt+1)/2, exact to .5
+        num = (2 * (F.col("cum_cnt") - F.col("cnt"))
+               + F.col("cnt") + 1).cast("decimal(19,1)")
+        avg_rank = (num / 2).cast("decimal(18,1)")
+        rank_map = cum.select(F.col(c).alias(f"__v_{c}"),
+                              avg_rank.alias(f"r_{c}"))
+        ranked = ranked.join(rank_map,
+                             ranked[c] == F.col(f"__v_{c}")).drop(f"__v_{c}")
+    ranked = ranked.select(*[f"r_{c}" for c in _CORR_COLS])
 
     cols = [f"r_{c}" for c in _CORR_COLS]
     aggs: list = [F.count("*").alias("n")]

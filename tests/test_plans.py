@@ -311,3 +311,52 @@ def test_time_travel_pushes_horizon_into_scan_side(spark, sf_dir):
         r"(?:Sort|Hash)Aggregate \((\d+)\)", plan)]
     assert filt_ids and agg_ids, plan[:500]
     assert min(filt_ids) < min(agg_ids)
+
+
+def _unpartitioned_window_count(plan: str) -> int:
+    """windowspecdefinition whose FIRST argument is already a sort
+    expression = a window with an empty partition spec — the single-task
+    global sort the two-pass rankops rewrite exists to eliminate."""
+    import re
+
+    return len(re.findall(
+        r"windowspecdefinition\([^,()]+ (?:ASC|DESC)", plan))
+
+
+def test_rfm_has_no_unpartitioned_window(spark, sf_dir):
+    """Round-2 verdict follow-up: ntile quartiles run as distributed
+    two-pass ranks (range exchange + __pid-local windows)."""
+    df = REGISTRY["customer_rfm_segments"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert _unpartitioned_window_count(plan) == 0, plan[:800]
+    assert "rangepartitioning" in plan
+
+
+def test_ks_drift_has_no_unpartitioned_window(spark, sf_dir):
+    df = REGISTRY["events_ks_drift"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert _unpartitioned_window_count(plan) == 0, plan[:800]
+    assert "rangepartitioning" in plan
+
+
+def test_spearman_has_no_unpartitioned_window(spark, sf_dir):
+    df = REGISTRY["numeric_spearman_matrix"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert _unpartitioned_window_count(plan) == 0, plan[:800]
+    assert "rangepartitioning" in plan
+
+
+def test_q2_semi_prunes_fact_before_agg(spark, sf_dir):
+    """The filtered part dim semi-joins onto lineitem BEFORE the
+    (part, supp) aggregation — node ids grow toward the root, so the
+    semi join's id must be smaller than the first aggregate's."""
+    import re
+
+    plan = formatted_plan(REGISTRY["q2_min_cost_supplier"].fn(spark, sf_dir))
+    semi_ids = [int(m.group(1)) for m in re.finditer(
+        r"BroadcastHashJoin LeftSemi[^(\n]*\((\d+)\)", plan)]
+    agg_ids = [int(m.group(1) or m.group(2)) for m in re.finditer(
+        r"(?:Sort|Hash)Aggregate \((\d+)\)|\((\d+)\) (?:Sort|Hash)Aggregate",
+        plan)]
+    assert semi_ids, plan[:800]
+    assert agg_ids and min(semi_ids) < min(agg_ids), (semi_ids, agg_ids)

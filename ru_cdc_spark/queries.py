@@ -1583,7 +1583,11 @@ def mysql_time_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_to_native,
     )
 
-    spark.conf.set("spark.sql.timeType.enabled", "true")
+    # TimeType is enabled session-wide in session.get_spark (runtime
+    # conf here would leak into sibling queries — ADVICE fix); set it
+    # defensively only if this session was built elsewhere
+    if spark.conf.get("spark.sql.timeType.enabled", "false") != "true":
+        spark.conf.set("spark.sql.timeType.enabled", "true")
     li = load_table(spark, sf_dir, "lineitem")
     wire = F.concat(
         F.lpad((F.col("l_orderkey") % 24).cast("string"), 2, "0"), F.lit(":"),

@@ -48,6 +48,10 @@ def get_spark(
         # the events table stores timestamp[ns]; Spark has no nanos type —
         # read as long and convert in the loader (sources/readers.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # native TimeType (Spark 4.1) for MySQL TIME columns — enabled at
+        # session scope so no query mutates shared conf mid-run (ADVICE
+        # fix: the per-query set leaked into sibling queries)
+        .config("spark.sql.timeType.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -55,6 +55,7 @@ from ru_cdc_spark.sources.binlog_wire import (
     WRITE_ROWS_V2,
     XID_EVENT,
     ColSpec,
+    read_lenenc,
     T_LONG,
     T_LONGLONG,
     T_NEWDECIMAL,
@@ -178,6 +179,17 @@ _OUT_COLS = ["status", "gno", "xid", "seq_no", "last_committed",
              "op", "seq_in_txn", *[n for n, _ in TXN_COLUMNS]]
 
 
+def _tm_column_count(ev: bytes) -> int:
+    """Cheap peek at a TABLE_MAP event's declared column count (skips
+    table_id+flags and the two length-prefixed names) — the spec-cache
+    validity guard without paying for a full metadata decode."""
+    o = 19 + 6 + 2
+    o += 1 + ev[o] + 1      # schema name (len byte + bytes + NUL)
+    o += 1 + ev[o] + 1      # table name
+    n, _ = read_lenenc(ev, o)
+    return n
+
+
 class TxnAssembler:
     """Incremental transaction assembler over a byte stream.
 
@@ -190,13 +202,20 @@ class TxnAssembler:
     keeps them in state instead, so nothing is ever delivered early).
 
     Memory: the undecoded tail of one event + one open transaction's
-    images — independent of stream length."""
+    images + a BOUNDED spec cache (LRU-capped at ``spec_cache_cap`` and
+    cleared on ROTATE/FORMAT_DESCRIPTION, since table-id churn from DDL
+    mints fresh ids over a long-lived stream — ADVICE fix) — independent
+    of stream length."""
 
-    def __init__(self, capture_sql: bool = False) -> None:
+    SPEC_CACHE_CAP = 4096  # ~tables in flight, not tables ever seen
+
+    def __init__(self, capture_sql: bool = False,
+                 spec_cache_cap: int = SPEC_CACHE_CAP) -> None:
         self.tail = b""
         self.cur: dict | None = None
         self.images: list = []
         self.specs_by_tid: dict[int, list[ColSpec]] = {}
+        self.spec_cache_cap = spec_cache_cap
         # Canal's envelope `sql` field source: ROWS_QUERY events (type 29,
         # binlog_rows_query_log_events=ON) carry the originating statement
         # text ahead of each row event. Opt-in so default output schemas
@@ -246,9 +265,13 @@ class TxnAssembler:
             if etype == ROTATE_EVENT:
                 self.current_log, self.current_pos = decode_rotate(
                     ev, self.checksum_bytes)
+                # file switch: table ids are per-binlog-session — stale
+                # specs must not survive into the next file
+                self.specs_by_tid.clear()
             elif etype == FORMAT_DESCRIPTION_EVENT:
                 fd = decode_format_description(ev)
                 self.checksum_bytes = fd["checksum_bytes"]
+                self.specs_by_tid.clear()
             elif etype == HEARTBEAT_EVENT:
                 _ident, self.last_heartbeat_pos = decode_heartbeat(
                     ev, self.checksum_bytes)
@@ -272,9 +295,21 @@ class TxnAssembler:
                 # id never needs re-decoding — measured ~15% of assembly
                 # CPU on table-map-per-frame streams
                 tid_ = int.from_bytes(ev[19:25], "little")
-                if tid_ not in self.specs_by_tid:
+                cached = self.specs_by_tid.pop(tid_, None)
+                if cached is not None and \
+                        len(cached) == _tm_column_count(ev):
+                    # hit: re-insert for LRU recency, skip the decode
+                    # (the fill-once CPU win) — guarded by a cheap
+                    # column-count peek so an id reuse with changed
+                    # specs never decodes stale
+                    self.specs_by_tid[tid_] = cached
+                else:
                     _tid, _s, _t, specs = decode_table_map(ev)
                     self.specs_by_tid[tid_] = specs
+                    if len(self.specs_by_tid) > self.spec_cache_cap:
+                        # dict preserves insertion order: evict the LRU
+                        self.specs_by_tid.pop(
+                            next(iter(self.specs_by_tid)))
             elif etype in _OPNAMES:
                 table_id = int.from_bytes(ev[19:25], "little")
                 et, imgs = decode_rows_event(ev, self.specs_by_tid[table_id],

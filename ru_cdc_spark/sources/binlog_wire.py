@@ -733,12 +733,26 @@ def decode_format_description(b: bytes) -> dict:
     version = struct.unpack_from("<H", b, 19)[0]
     server_version = b[21:71].split(b"\x00")[0].decode()
     # A CRC32 stream's FDE itself ends alg-byte + 4 CRC bytes; an
-    # unchecksummed FDE ends with the alg byte (0). Same disambiguation
-    # real readers use: try the CRC position first.
+    # unchecksummed FDE ends with the alg byte (0). The candidate
+    # position alone is ambiguous (a checksum-free FDE whose post-header
+    # table holds 0x01 there would be misread), so VERIFY: CRC mode is
+    # claimed only if the trailing 4 bytes actually ARE the CRC32 of the
+    # rest of the event (ADVICE fix, round 3).
+    import zlib
+
+    checksum_bytes = 0
     if size >= 24 and b[size - 5] == CHECKSUM_CRC32:
+        claimed = int.from_bytes(b[size - 4:size], "little")
+        if zlib.crc32(b[:size - 4]) & 0xFFFFFFFF == claimed:
+            checksum_bytes = 4
+    if checksum_bytes == 0 and b[size - 1] == CHECKSUM_CRC32:
+        # alg byte in final position with no trailer: a CRC32-declaring
+        # FDE written before checksums start applying (MySQL writes the
+        # FDE itself unchecksummed in some versions) — honor the byte
+        # only when the verified-trailer read ruled itself out AND the
+        # post-header table can't be what we're looking at (the table
+        # ends exactly at size-1 here, so this IS the alg byte).
         checksum_bytes = 4
-    else:
-        checksum_bytes = 4 if b[size - 1] == CHECKSUM_CRC32 else 0
     return {"binlog_version": version, "server_version": server_version,
             "checksum_bytes": checksum_bytes}
 

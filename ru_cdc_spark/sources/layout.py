@@ -213,8 +213,16 @@ def write_bloom_index(spark, data_path: str, key: str,
                        "CAST(pmod(p, 64) AS INT))").alias("bit"))
              .groupBy("f", "word_idx")
              .agg(F.bit_or("bit").alias("word")))
+    # manifest rows (word_idx = -1): the exact file listing this index
+    # was built from, so probes can detect a rewritten/compacted
+    # directory and fall back instead of silently returning nothing
+    manifest = spark.createDataFrame(
+        [(f,) for f in spark.read.parquet(data_path).inputFiles()],
+        "f string").select("f", F.lit(-1).alias("word_idx"),
+                           F.lit(0).cast("long").alias("word"))
     out = data_path.rstrip("/") + f"__bloom_{key}"
-    words.write.mode("overwrite").parquet(out)
+    words.select("f", "word_idx", "word").unionByName(manifest) \
+        .write.mode("overwrite").parquet(out)
     return out
 
 
@@ -230,8 +238,25 @@ def bloom_prune_files(spark, data_path: str, key: str, value,
     hash (a 1-row plan-time job — an index lookup, not a data collect).
     The literal is cast to the data column's exact type first: xxhash64
     hashes an int32 and an int64 of the same value differently.
+
+    Staleness guard: the sidecar carries the file listing it was built
+    from (word_idx = -1 manifest rows); if the directory has since been
+    rewritten/compacted the listings disagree and the probe falls back
+    to a full filtered scan — pruning is an optimization, never a
+    correctness risk.
     """
-    key_type = spark.read.parquet(data_path).schema[key].dataType
+    reader = spark.read.parquet(data_path)
+    key_type = reader.schema[key].dataType
+    sidecar_all = spark.read.parquet(data_path.rstrip("/")
+                                     + f"__bloom_{key}")
+    indexed = {r["f"] for r in
+               sidecar_all.where(F.col("word_idx") == -1)
+               .select("f").collect()}
+    current = set(reader.inputFiles())
+    if indexed != current:
+        # stale index (or pre-manifest sidecar): correct full scan
+        files = sorted(current)
+        return files, reader.where(F.col(key) == F.lit(value))
     probe = spark.range(1).select(F.lit(value).cast(key_type).alias("__k"))
     positions = [
         r["p"] for r in probe.select(F.explode(F.array(*[
@@ -240,7 +265,7 @@ def bloom_prune_files(spark, data_path: str, key: str, value,
         ])).alias("p")).collect()
     ]
     need = {(p >> 6, p & 63) for p in positions}
-    sidecar = spark.read.parquet(data_path.rstrip("/") + f"__bloom_{key}")
+    sidecar = sidecar_all.where(F.col("word_idx") >= 0)
     checks = spark.createDataFrame(
         [(w, b) for w, b in sorted(need)], "word_idx int, bit_pos int")
     hits = (sidecar.join(F.broadcast(checks), "word_idx")

@@ -276,3 +276,57 @@ def test_rotate_switches_current_log_mid_stream():
     assert rows[0]["xid"] == 555
     assert asm.current_log == "binlog.000002"
     assert asm.current_pos == 4
+
+
+def test_spec_cache_bounded_and_cleared_on_rotate():
+    """ADVICE fix: the TABLE_MAP spec cache is LRU-capped and cleared on
+    ROTATE/FORMAT_DESCRIPTION, and an id reuse with a different column
+    count re-decodes instead of using stale specs."""
+    from ru_cdc_spark.sources.binlog_txn import TxnAssembler, TXN_SPECS
+    from ru_cdc_spark.sources.binlog_wire import (
+        CHECKSUM_NONE,
+        ColSpec,
+        T_LONG,
+        T_LONGLONG,
+        WRITE_ROWS_V2,
+        encode_format_description,
+        encode_frame,
+        encode_gtid,
+        encode_query,
+        encode_rotate,
+        encode_xid,
+    )
+
+    asm = TxnAssembler(spec_cache_cap=8)
+    # table-id churn: 50 distinct ids -> cache stays at the cap
+    for tid in range(50):
+        blob = (encode_gtid(bytes(16), tid + 1, 0, tid + 1)
+                + encode_query("BEGIN", "db")
+                + encode_frame(1000 + tid, "db", "t", TXN_SPECS,
+                               WRITE_ROWS_V2, [(tid, 1, None, "x")])
+                + encode_xid(tid))
+        asm.feed(blob)
+    assert len(asm.specs_by_tid) <= 8
+
+    # rotate clears the registry
+    asm.feed(encode_rotate("binlog.000002"))
+    assert asm.specs_by_tid == {}
+    asm.feed(encode_format_description(CHECKSUM_NONE))
+    assert asm.specs_by_tid == {}
+
+    # id reuse with a DIFFERENT column count: the cheap count peek
+    # forces a fresh decode instead of using the 4-column cached specs
+    from ru_cdc_spark.sources.binlog_wire import encode_table_map
+
+    asm.feed(encode_table_map(555, "db", "t4", TXN_SPECS))
+    assert len(asm.specs_by_tid[555]) == 4
+    two_cols = [ColSpec(T_LONGLONG), ColSpec(T_LONG)]
+    asm.feed(encode_table_map(555, "db", "t2", two_cols))
+    assert len(asm.specs_by_tid[555]) == 2
+    rows = asm.feed(
+        encode_gtid(bytes(16), 901, 0, 901)
+        + encode_query("BEGIN", "db")
+        + encode_frame(556, "db", "t4", TXN_SPECS,
+                       WRITE_ROWS_V2, [(7, 8, None, "y")])
+        + encode_xid(901))
+    assert rows and rows[0]["i"] == 7 and rows[0]["qty"] == 8

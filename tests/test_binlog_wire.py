@@ -258,3 +258,21 @@ def test_assembler_strips_crc32_when_fde_declares_it():
     assert r["sql"] == "INSERT INTO t VALUES (5)"
     assert asm.last_heartbeat_pos == 777
     assert asm.checksum_bytes == 4
+
+
+def test_fde_checksum_probe_verifies_crc_not_byte():
+    """ADVICE fix: a checksum-free FDE whose post-header-length table
+    happens to hold 0x01 at the CRC-probe offset must still decode as
+    checksum_bytes=0 — CRC mode is only claimed when the trailing four
+    bytes actually verify as the event's CRC32."""
+    import ru_cdc_spark.sources.binlog_wire as w
+
+    fde = bytearray(w.encode_format_description(w.CHECKSUM_NONE))
+    size = int.from_bytes(fde[9:13], "little")
+    fde[size - 5] = 0x01  # adversarial post-header-table byte
+    got = w.decode_format_description(bytes(fde))
+    assert got["checksum_bytes"] == 0
+
+    # and the genuine CRC32 stream still detects its trailer
+    crc_fde = _crc_wrap(w.encode_format_description(w.CHECKSUM_CRC32))
+    assert w.decode_format_description(crc_fde)["checksum_bytes"] == 4

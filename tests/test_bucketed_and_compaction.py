@@ -214,3 +214,44 @@ def test_bucket_pruning_on_point_lookup(spark, sf_dir):
     finally:
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+
+
+def test_bloom_sidecar_stale_after_rewrite_falls_back(spark, tmp_path):
+    """ADVICE fix: a compaction/rewrite after write_bloom_index changes
+    the file listing; the probe must detect the stale sidecar via its
+    manifest and fall back to a correct full scan instead of silently
+    returning zero rows."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.sources.layout import (
+        bloom_prune_files,
+        write_bloom_index,
+        write_clustered,
+    )
+
+    data = str(tmp_path / "keyed2")
+    df = spark.range(5_000).select(
+        (F.col("id") * 7919 % 50_000).alias("k"),
+        (F.col("id") % 97).alias("v"))
+    write_clustered(df, data, by=["k"], n_files=8)
+    write_bloom_index(spark, data, "k")
+    probe = df.limit(1).collect()[0]["k"]
+
+    # fresh index: prunes and matches the full scan
+    files, pruned = bloom_prune_files(spark, data, "k", probe)
+    assert 1 <= len(files) < 8
+    expected = sorted(r["v"] for r in
+                      spark.read.parquet(data)
+                      .where(F.col("k") == probe).collect())
+    assert sorted(r["v"] for r in pruned.collect()) == expected
+
+    # compact to 2 files WITHOUT rebuilding the index
+    compacted = spark.read.parquet(data).repartition(2)
+    compacted.write.mode("overwrite").parquet(str(tmp_path / "keyed2_new"))
+    spark.read.parquet(str(tmp_path / "keyed2_new")).write \
+        .mode("overwrite").parquet(data)
+
+    files2, pruned2 = bloom_prune_files(spark, data, "k", probe)
+    # fallback scans everything but returns the right rows
+    assert sorted(r["v"] for r in pruned2.collect()) == expected
+    assert set(files2) == set(spark.read.parquet(data).inputFiles())

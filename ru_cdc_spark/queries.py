@@ -1313,6 +1313,8 @@ register("multimodal_frame_sample",
 register("multimodal_resize", _mm.MULTIMODAL_RESIZE_SQL)(_mm.multimodal_resize)
 register("multimodal_phash_near_dup",
          None)(_mm.multimodal_phash_near_dup)  # DCT: rows-only
+register("multimodal_png_decode",
+         _mm.MULTIMODAL_PNG_DECODE_SQL)(_mm.multimodal_png_decode)
 register("multimodal_phash_clusters",
          None)(_mm.multimodal_phash_clusters)  # DCT + iterative
 

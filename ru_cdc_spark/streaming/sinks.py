@@ -13,10 +13,12 @@ producers. Here:
   checkpointed batch id + idempotent writes (vs the reference's
   at-least-once, K4).
 
-Kafka/redis clients aren't in the test image — their writers are
-constructed and config-checked but only file/memory sinks execute locally;
-the redis path is gated behind an import-try (stub contract like the
-multimodal codecs).
+The Kafka client isn't in the test image — its writer is constructed
+and config-checked but doesn't execute locally. The redis sink executes
+FOR REAL (round 3): sources/resp.py implements the RESP wire protocol
+directly (no client library), and the sink RPUSHes per row over
+executor-side sockets, verified against the in-repo RESP server
+fixture.
 """
 
 from __future__ import annotations
@@ -49,14 +51,27 @@ def write_batch_to_sink(batch: DataFrame, sink: SinkConfig, epoch_id: int) -> No
                           "CAST(value AS BINARY) AS value")
          .write.format("kafka").options(**kafka_writer_options(sink)).save())
     elif sink.kind == "redis":
-        try:
-            import redis  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - no redis in image
-            raise NotImplementedError(
-                "redis sink requires the redis client (RPUSH per row, "
-                "reference message_queue.rs:137-172); not in this image"
-            ) from exc
-        raise NotImplementedError("redis sink wiring pending client availability")
+        # real RESP wire client (sources/resp.py — round 3 closed the
+        # stub): RPUSH topic payload per row, the reference's exact call
+        # (message_queue.rs:155-166). One connection per PARTITION with
+        # pipelined commands — executor-side sockets, driver relays
+        # nothing; per-key order is preserved by the same __seq
+        # discipline as Kafka (X2 ordering fix).
+        host = sink.options.get("host", "127.0.0.1")
+        port = int(sink.options["port"])
+        if "__seq" in batch.columns:
+            batch = ordered_for_kafka(batch)
+
+        def push_partition(rows) -> None:
+            from ru_cdc_spark.sources.resp import RespClient
+
+            cmds = [("RPUSH", row["topic"], row["value"]) for row in rows]
+            if not cmds:
+                return
+            with RespClient.connect(host, port) as rc:
+                rc.pipeline(cmds)
+
+        batch.select("topic", "value").foreachPartition(push_partition)
     elif sink.kind == "parquet":
         batch.write.mode("append").parquet(sink.options["path"])
     elif sink.kind == "json":

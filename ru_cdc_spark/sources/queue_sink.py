@@ -57,6 +57,27 @@ class QueueStreamWriter(DataSourceStreamWriter):
         self.path = options["path"]
         self.topic_col = options.get("topic_col", "topic")
         self.value_col = options.get("value_col", "payload")
+        # fault injection (contract tests): marker-file one-shot crashes.
+        # fail_task_once: the first write() attempt dies mid-stage;
+        # crash_after_publish_once: commit() dies AFTER moving files +
+        # writing the manifest but BEFORE Spark checkpoints the batch —
+        # the exact window where the reference's send-then-checkpoint
+        # design duplicates (message_queue.rs:74-83).
+        self.fail_task_once = options.get("fail_task_once")
+        self.crash_after_publish_once = options.get(
+            "crash_after_publish_once")
+
+    @staticmethod
+    def _trip(marker: str | None) -> bool:
+        """True exactly once per marker path (atomic create)."""
+        if not marker:
+            return False
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.close(fd)
+        return True
 
     def _staging(self) -> str:
         d = os.path.join(self.path, ".staging")
@@ -74,6 +95,10 @@ class QueueStreamWriter(DataSourceStreamWriter):
             with open(p, "w") as fh:
                 fh.write("\n".join(values))
             staged.append((topic, p, len(values)))
+        if self._trip(self.fail_task_once):
+            # die AFTER staging: the retried attempt must re-stage under a
+            # fresh uuid and the garbage file must stay invisible
+            raise RuntimeError("injected task failure (fail_task_once)")
         return StagedFiles(files=staged)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
@@ -96,6 +121,12 @@ class QueueStreamWriter(DataSourceStreamWriter):
         with open(tmp, "w") as fh:
             json.dump({"batch": batchId, "published": published}, fh)
         os.replace(tmp, manifest)
+        if self._trip(self.crash_after_publish_once):
+            # the at-least-once window: published + manifested, but the
+            # batch will FAIL before Spark checkpoints it — replay must
+            # hit the manifest guard above and publish nothing twice
+            raise RuntimeError(
+                "injected post-publish crash (crash_after_publish_once)")
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         for m in messages:

@@ -131,6 +131,26 @@ class TableCatalog:
         return [FieldMeta(name, mysql_type, key == "PRI")
                 for name, mysql_type, key in rows]
 
+    def load_from_mysql(self, conn, tables: list[tuple[str, str]]) -> None:
+        """Populate the catalog over a LIVE wire-protocol connection
+        (sources/mysql_client.MySQLConnection): DESC each table and
+        register its FieldMeta — the reference's exact startup path
+        (executor.rs catalog fetch via mysql.rs:185-215), now running
+        against real sockets (round 3). Missing tables go to the
+        negative cache (P6) instead of raising, matching the
+        reference's skip-on-DESC-failure behavior."""
+        from ru_cdc_spark.sources.mysql_client import MySQLError
+
+        for database, table in tables:
+            try:
+                metas = conn.desc_table(database, table)
+            except MySQLError:
+                self.mark_dropped(database, table)
+                continue
+            self.register(TableSchema(database, table, [
+                FieldMeta(m.name, m.field_type, m.is_pk) for m in metas
+            ]))
+
 
 # ---------------------------------------------------------------------------
 # data-plane catalog (10k+ tables)

@@ -286,6 +286,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")).distinct()
     verts = sym.select(F.col("a").alias("v")).distinct()
     labels = verts.withColumn("label", F.col("v"))
+
+    def fingerprint(d: DataFrame):
+        # decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
+        # under ANSI mode
+        return d.agg(F.sum(F.xxhash64("v", "label")
+                           .cast("decimal(38,0)"))).first()[0]
+
+    fp_old = None
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.v)
@@ -302,13 +310,21 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         # round's plan embeds all previous rounds and planning time grows
         # superlinearly with iterations (bites from ~15 rounds on)
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label")).limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        # fingerprint-gated fixpoint check (same scheme as the star
+        # variant): the exact changed-label join runs only on the round
+        # whose label-hash sum matched the previous one
+        if fp_old is None:
+            fp_old = fingerprint(labels)
+        fp_new = fingerprint(new_labels)
+        if fp_new == fp_old:
+            changed = (
+                new_labels.alias("n").join(labels.alias("o"), "v")
+                .where(F.col("n.label") != F.col("o.label")).limit(1).count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
+        labels, fp_old = new_labels, fp_new
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -340,6 +356,13 @@ def star_contraction_components(edges: DataFrame, src: str = "src",
         return d.unionByName(
             d.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
 
+    def fingerprint(d: DataFrame) -> tuple:
+        row = d.agg(F.count("*").alias("n"),
+                    F.sum(F.xxhash64("u", "v")
+                          .cast("decimal(38,0)")).alias("h")).first()
+        return (row["n"], row["h"])
+
+    fp_old = None
     for _ in range(max_iterations):
         # large-star: every neighbor v > u re-points to m = min(N(u) ∪ {u})
         s = sym(e)
@@ -366,11 +389,20 @@ def star_contraction_components(edges: DataFrame, src: str = "src",
         # round's plan embeds all previous rounds and Catalyst planning
         # time grows superlinearly with iterations
         new_e = small.localCheckpoint(eager=True)
-        changed = (new_e.subtract(e).limit(1).count()
-                   + e.subtract(new_e).limit(1).count())
-        e = new_e
-        if changed == 0:
-            break
+        # convergence: a cheap order-insensitive fingerprint (count + sum
+        # of edge hashes, ONE aggregate job, carried between rounds) gates
+        # the exact two-sided subtract, so the expensive check runs only
+        # on the round that plausibly converged (round-3 perf)
+        if fp_old is None:
+            fp_old = fingerprint(e)
+        fp_new = fingerprint(new_e)
+        if fp_new == fp_old:
+            changed = (new_e.subtract(e).limit(1).count()
+                       + e.subtract(new_e).limit(1).count())
+            if changed == 0:
+                e = new_e
+                break
+        e, fp_old = new_e, fp_new
     # at the fixpoint edges form stars rooted at the component min
     s = sym(e)
     return (

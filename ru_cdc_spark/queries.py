@@ -1234,7 +1234,9 @@ def events_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
 from ru_cdc_spark.operators import dedup as _dd  # noqa: E402
 
 register("dedup_exact", _dd.DEDUP_EXACT_SQL)(_dd.dedup_exact)
-register("dedup_minhash_signatures", _dd.MINHASH_SIGNATURES_SQL)(_dd.minhash_signatures)
+# dedup_minhash_signatures deregistered round 3: it is the first stage of
+# dedup_minhash_lsh_pairs (still unit-tested there) — the registry lists
+# operators, not pipeline stages (round-2 verdict #6)
 register("dedup_minhash_lsh_pairs", _dd.MINHASH_LSH_PAIRS_SQL)(_dd.minhash_lsh_pairs)
 register("dedup_simhash_signatures", _dd.SIMHASH_SIGNATURES_SQL)(_dd.simhash_signatures)
 register("dedup_simhash_near_pairs", _dd.SIMHASH_NEAR_PAIRS_SQL)(_dd.simhash_near_pairs)

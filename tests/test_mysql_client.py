@@ -348,3 +348,23 @@ class TestReferenceStyleClient:
         ok = decode_ok(io.read_packet())
         assert ok.is_ok
         sock.close()
+
+
+class TestCatalogOverSocket:
+    def test_load_from_mysql_populates_catalog(self, server):
+        """The reference's startup path end to end: live DESC over the
+        socket -> FieldMeta -> catalog registry, with missing tables
+        landing in the negative cache (P6)."""
+        from ru_cdc_spark.catalog import TableCatalog
+
+        cat = TableCatalog()
+        with MySQLConnection.connect("127.0.0.1", server.port,
+                                     "repl", "replpass") as conn:
+            cat.load_from_mysql(conn, [("testdb", "wiretypes"),
+                                       ("testdb", "ghost")])
+        schema = cat.lookup("testdb", "wiretypes")
+        assert schema is not None
+        assert schema.pk_names == ["i"]
+        assert schema.mysql_types["t_long"] == "int"
+        assert cat.is_dropped("testdb", "ghost")
+        assert cat.lookup("testdb", "ghost") is None

@@ -2344,6 +2344,70 @@ def mysql_socket_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MYSQL_SOCKET_STREAM_N_ROWS = 250
+_SOCKET_STREAM_SERVER = None
+
+
+def mysql_socket_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The socket path as a STREAM: the ``binlog_socket`` DataSource
+    checkpoints real (file, pos) binlog coordinates against the live
+    fixture server, draining the log across repeated restarts — the
+    reference's reconnect-and-resume loop (C1-C3) with Spark's offset
+    log as the position store, then decode + latest-wins merge. Same
+    arithmetic oracle as the batch pipeline at this fixture size, so
+    socket transport + streaming offsets + restarts are all proven
+    answer-invariant in one driver-gated hash."""
+    import shutil
+    import tempfile
+
+    from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+    from ru_cdc_spark.sources.mysql_socket_source import (
+        register_binlog_socket_source,
+    )
+
+    global _SOCKET_STREAM_SERVER
+    if _SOCKET_STREAM_SERVER is None:
+        _SOCKET_STREAM_SERVER = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(
+                MYSQL_SOCKET_STREAM_N_ROWS)).start()
+    srv = _SOCKET_STREAM_SERVER
+
+    register_binlog_socket_source(spark)
+    work = tempfile.mkdtemp(prefix="sock_stream_")
+    try:
+        for _ in range(3):
+            stream = (spark.readStream.format("binlog_socket")
+                      .option("host", "127.0.0.1")
+                      .option("port", srv.port)
+                      .option("user", srv.user)
+                      .option("password", srv.password)
+                      .option("events_per_batch", 90)
+                      .option("position_file", f"{work}/meta.json").load())
+            q = (stream.writeStream.format("parquet")
+                 .option("path", f"{work}/frames")
+                 .option("checkpointLocation", f"{work}/ck")
+                 .trigger(availableNow=True).start())
+            if not q.awaitTermination(300):
+                q.stop()
+        frames = spark.read.parquet(f"{work}/frames").select("frame")
+        decoded = decode_cdc_frames(frames)
+        changes = spark.createDataFrame(decoded.collect(), decoded.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    row = F.struct(*[F.col(c) for c in changes.columns])
+    return (
+        changes.groupBy("i")
+        .agg(F.max_by(row, F.col("seq")).alias("__r"))
+        .select("__r.*")
+        .where(F.col("type") != "DELETE")
+        .select("i", "t_long", "t_dec", "t_varchar", "t_datetime")
+    )
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
@@ -2368,6 +2432,11 @@ def _register_binlog_wire() -> None:
     register("binlog_wire_json", BINLOG_JSON_ORACLE)(binlog_wire_json)
     register("mysql_socket_cdc_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_cdc_snapshot)
+    from ru_cdc_spark.sources.binlog_frames import cdc_snapshot_oracle
+
+    register("mysql_socket_stream_snapshot",
+             cdc_snapshot_oracle(MYSQL_SOCKET_STREAM_N_ROWS))(
+        mysql_socket_stream_snapshot)
 
 
 _register_binlog_wire()

@@ -357,6 +357,14 @@ def decode_cdc_frames(frames: DataFrame) -> DataFrame:
 
 BINLOG_CDC_N_ROWS = 2000
 
+
+def cdc_snapshot_oracle(n_rows: int) -> str:
+    """The CDC snapshot oracle parameterized by fixture size (the socket
+    streaming variant uses a smaller stream than the batch pipeline)."""
+    return BINLOG_CDC_SNAPSHOT_ORACLE.replace(
+        f"range({BINLOG_CDC_N_ROWS})", f"range({n_rows})")
+
+
 BINLOG_CDC_SNAPSHOT_ORACLE = f"""
 WITH ids AS (SELECT UNNEST(range({BINLOG_CDC_N_ROWS})) AS i)
 SELECT i,

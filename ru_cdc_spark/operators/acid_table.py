@@ -1,0 +1,248 @@
+"""Log-structured ACID table on plain parquet: the Delta-merge path,
+executed for real.
+
+The north star prescribes "Structured Streaming + Delta MERGE"; no Delta
+jars ship in this image (operators/delta_merge.py keeps the gated real
+wiring), and round 2's ``SnapshotStore`` substituted FULL-snapshot
+versioning. This module closes the remaining gap with the actual
+table-format mechanics, built from the public Delta/Iceberg design
+(transaction log + immutable data files + optimistic concurrency):
+
+* **file-level transaction log** — ``_log/{version:020d}.json``, one
+  file per commit holding ``add`` / ``remove`` actions with per-file
+  row counts and primary-key min/max stats. Readers replay the log to
+  the active file set; data files are immutable and unreferenced files
+  are invisible (torn writes cannot corrupt a snapshot).
+* **copy-on-write MERGE** — ``merge(changes)`` joins the incoming
+  change keys against the log's per-file key ranges and rewrites ONLY
+  the files that can contain a matched key; untouched files carry over
+  by reference. At 100 TB this is the difference between rewriting a
+  table and rewriting the handful of files a micro-batch touches.
+* **stats-based data skipping** — ``snapshot(where_pk_between=...)``
+  prunes files by log stats before Spark ever lists them (the
+  min/max-skipping complement to parquet footer pruning, but planned
+  from the log with zero file I/O).
+* **optimistic concurrency** — commits claim ``version K`` by
+  exclusive-create of the K-th log file (``O_CREAT|O_EXCL``, the same
+  atomic-rename-free protocol Delta uses on object stores via
+  put-if-absent). A losing writer gets ``CommitConflict`` and must
+  rebase on the new snapshot — no torn table states, ever.
+* **time travel** — ``snapshot(version=K)`` replays a log prefix;
+  ``history()`` lists commits; ``vacuum`` deletes files no live
+  version references.
+
+MERGE semantics match the engine's CDC contract (and the oracle used
+throughout): latest change per key wins by sequence column, DELETE
+removes, UPDATE/INSERT upserts — i.e. ``MERGE INTO t USING c ON
+t.pk = c.pk WHEN MATCHED AND c.op='DELETE' THEN DELETE WHEN MATCHED
+THEN UPDATE SET * WHEN NOT MATCHED AND c.op<>'DELETE' THEN INSERT *``.
+
+Scale shape: the log is O(commits) tiny JSON files read driver-side
+(metadata, like every table format); all data movement is executor-side
+parquet. The rewrite set is chosen by a broadcast join of file stats
+(driver-small) against change keys (distributed) — the table's file
+COUNT can be large, but per-commit planning only materializes hit file
+names.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """Another writer claimed this version first — rebase and retry."""
+
+
+class AcidTable:
+    def __init__(self, spark: SparkSession, root: str, pk: str,
+                 seq_col: str = "seq") -> None:
+        self.spark = spark
+        self.root = root
+        self.pk = pk
+        self.seq_col = seq_col
+        os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- log ---------------------------------------------------------------
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.root, "_log")
+
+    def _log_file(self, version: int) -> str:
+        return os.path.join(self._log_dir(), f"{version:020d}.json")
+
+    def versions(self) -> list[int]:
+        return sorted(int(f.split(".")[0])
+                      for f in os.listdir(self._log_dir())
+                      if f.endswith(".json"))
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _read_commit(self, version: int) -> dict:
+        with open(self._log_file(version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        return [self._read_commit(v) for v in self.versions()]
+
+    def active_files(self, version: int | None = None) -> list[dict]:
+        """Replay add/remove actions up to ``version`` (inclusive)."""
+        live: dict[str, dict] = {}
+        for v in self.versions():
+            if version is not None and v > version:
+                break
+            for action in self._read_commit(v)["actions"]:
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+        return list(live.values())
+
+    def _try_commit(self, version: int, actions: list[dict],
+                    op: str) -> None:
+        """Claim ``version`` by exclusive create — the put-if-absent
+        commit protocol. Atomic on POSIX; on object stores the same
+        contract comes from conditional PUT."""
+        payload = json.dumps({"version": version, "op": op,
+                              "actions": actions})
+        try:
+            fd = os.open(self._log_file(version),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise CommitConflict(
+                f"version {version} already committed") from exc
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+
+    # -- writing -----------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[dict]:
+        """Write df as immutable parquet files under a fresh uuid dir and
+        return add-actions with per-file rows + pk min/max stats (one
+        distributed stats pass grouped by file — no driver data)."""
+        sub = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df.write.parquet(sub)
+        stats = (self.spark.read.parquet(sub)
+                 .groupBy(F.input_file_name().alias("path"))
+                 .agg(F.count("*").alias("rows"),
+                      F.min(self.pk).alias("min_pk"),
+                      F.max(self.pk).alias("max_pk"))
+                 .collect())
+        return [{"add": {"path": r["path"].removeprefix("file://"),
+                         "rows": r["rows"],
+                         "min_pk": r["min_pk"], "max_pk": r["max_pk"]}}
+                for r in stats]
+
+    def create(self, df: DataFrame) -> int:
+        """Version 0: initial data files."""
+        adds = self._write_files(df)
+        self._try_commit(0, adds, op="CREATE")
+        return 0
+
+    def append(self, df: DataFrame) -> int:
+        base = self.latest_version()
+        version = 0 if base is None else base + 1
+        adds = self._write_files(df)
+        self._try_commit(version, adds, op="APPEND")
+        return version
+
+    # -- reading -----------------------------------------------------------
+
+    def snapshot(self, version: int | None = None,
+                 where_pk_between: tuple | None = None) -> DataFrame:
+        files = self.active_files(version)
+        if where_pk_between is not None:
+            lo, hi = where_pk_between
+            files = [f for f in files
+                     if not (f["max_pk"] < lo or f["min_pk"] > hi)]
+        if not files:
+            raise ValueError("empty table (no committed files)")
+        df = self.spark.read.parquet(*[f["path"] for f in files])
+        if where_pk_between is not None:
+            lo, hi = where_pk_between
+            df = df.where(F.col(self.pk).between(lo, hi))
+        return df
+
+    # -- MERGE (copy-on-write) --------------------------------------------
+
+    def merge(self, changes: DataFrame, op_col: str = "type",
+              delete_op: str = "DELETE") -> int:
+        """Copy-on-write MERGE of a CDC change batch.
+
+        1. latest-wins collapse of the batch per key (max_by seq);
+        2. plan: broadcast the log's per-file (min_pk, max_pk) ranges
+           against the distinct change keys — a file is HIT if any key
+           falls in its range;
+        3. rewrite = hit files' surviving rows (anti-join changed keys)
+           + upserts; write as new files;
+        4. commit removes(hit) + adds(new). Misses carry by reference.
+        """
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("merge into empty table; create() first")
+        files = self.active_files(base)
+
+        row = F.struct(*[F.col(c) for c in changes.columns])
+        latest = (changes.groupBy(self.pk)
+                  .agg(F.max_by(row, F.col(self.seq_col)).alias("__r"))
+                  .select("__r.*"))
+
+        ranges = self.spark.createDataFrame(
+            [(f["path"], f["min_pk"], f["max_pk"]) for f in files],
+            "path string, min_pk long, max_pk long")
+        hit_paths = {
+            r["path"] for r in
+            latest.select(self.pk).distinct()
+            .join(F.broadcast(ranges),
+                  F.col(self.pk).between(F.col("min_pk"),
+                                         F.col("max_pk")), "inner")
+            .select("path").distinct().collect()
+        }
+        hit = [f for f in files if f["path"] in hit_paths]
+
+        upserts = latest.where(F.col(op_col) != delete_op) \
+            .drop(self.seq_col, op_col)
+        if hit:
+            current = self.spark.read.parquet(*[f["path"] for f in hit])
+            survivors = current.join(latest.select(self.pk),
+                                     self.pk, "left_anti")
+            rewritten = survivors.unionByName(upserts)
+        else:
+            rewritten = upserts
+        actions: list[dict] = [{"remove": {"path": f["path"]}}
+                               for f in hit]
+        if not rewritten.isEmpty():
+            actions += self._write_files(rewritten)
+        self._try_commit(base + 1, actions, op="MERGE")
+        return base + 1
+
+    # -- retention ---------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Delete data files referenced by NO retained version. Keeps the
+        last ``keep_last`` versions time-travelable; earlier log entries
+        stay (history is cheap) but their exclusive files go."""
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) if keep_last else set()
+        needed: set[str] = set()
+        for v in keep:
+            needed |= {f["path"] for f in self.active_files(v)}
+        ever: set[str] = set()
+        for v in vs:
+            for a in self._read_commit(v)["actions"]:
+                if "add" in a:
+                    ever.add(a["add"]["path"])
+        deleted = []
+        for path in sorted(ever - needed):
+            if os.path.exists(path):
+                os.remove(path)
+                deleted.append(path)
+        return deleted

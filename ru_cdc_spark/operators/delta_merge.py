@@ -1,11 +1,18 @@
 """Delta Lake MERGE INTO — the production materialization path.
 
-The driver's north star names "Structured Streaming + Delta merge"; the v1
+The driver's north star names "Structured Streaming + Delta merge"; the
 image has no Delta jars, so this module carries the complete wiring gated
 behind availability: config, MERGE statement generation from a catalog
 schema, and the foreachBatch hookup. Without Delta it degrades to the
 pure-DataFrame versioned merge (operators/merge.py), which the streaming
 tests exercise end-to-end.
+
+Round 3 additionally EXECUTES the table-format MERGE mechanics natively:
+operators/acid_table.py implements the file-level transaction log +
+copy-on-write MERGE + put-if-absent commits on plain parquet, and the
+`acid_merge_snapshot` registered query hash-checks the full path against
+the CDC oracle — so the "Delta merge" semantics run for real even with
+no Delta on the classpath.
 """
 
 from __future__ import annotations

@@ -411,6 +411,59 @@ def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "acid_merge_snapshot",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,
+           a_orderstatus AS o_orderstatus,
+           CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+           a_orderdate AS o_orderdate, a_orderpriority AS o_orderpriority
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY COALESCE(a_orderkey, b_orderkey)
+            ORDER BY id DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1 AND type <> 'DELETE'
+    """,
+)
+def acid_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-format MERGE path executed FOR REAL (round 3, closing
+    the 'Delta merge never ran' gap): the CDC change stream applies
+    through operators/acid_table.AcidTable — a file-level transaction
+    log on plain parquet with copy-on-write MERGE, per-file pk-range
+    stats, and put-if-absent commits — and the resulting snapshot
+    hash-matches the same oracle as the window-based merge.
+
+    v0 = the insert images (CREATE); the UPDATE/DELETE batch then
+    MERGEs copy-on-write: only files whose pk range contains a changed
+    key rewrite, the rest carry by reference — the mechanics that make
+    a micro-batch merge O(touched files), not O(table), at 100 TB."""
+    import shutil
+    import tempfile
+
+    from ru_cdc_spark.operators.acid_table import AcidTable
+
+    changes = derive_order_changes(spark, sf_dir)
+    img = F.when(F.col("type") == "DELETE", F.col("before")) \
+        .otherwise(F.col("after"))
+    flat = changes.select(F.col("id").alias("seq"), "type",
+                          img.alias("__i")).select("seq", "type", "__i.*")
+
+    work = tempfile.mkdtemp(prefix="acid_")
+    try:
+        table = AcidTable(spark, work, pk="o_orderkey", seq_col="seq")
+        inserts = flat.where(F.col("type") == "INSERT") \
+            .drop("seq", "type").repartition(8)
+        table.create(inserts)
+        table.merge(flat.where(F.col("type") != "INSERT"))
+        snap = table.snapshot().withColumn(
+            "o_totalprice", F.col("o_totalprice").cast("double"))
+        out = spark.createDataFrame(snap.collect(), snap.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "cdc_out_of_order_replay",
     ORDER_CHANGES_ORACLE_CTE + """
     SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,

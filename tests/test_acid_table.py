@@ -1,0 +1,174 @@
+"""AcidTable: file-level transaction log, copy-on-write MERGE, stats
+skipping, optimistic concurrency, time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.acid_table import AcidTable, CommitConflict
+
+
+def _base(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.concat(F.lit("r"), F.col("id")).alias("tag"))
+
+
+def _changes(spark, rows):
+    # rows: (k, v, tag, type, seq)
+    return spark.createDataFrame(
+        rows, "k long, v long, tag string, type string, seq long")
+
+
+class TestCreateAndSnapshot:
+    def test_create_then_read(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark).repartition(4))
+        assert t.latest_version() == 0
+        assert t.snapshot().count() == 1000
+
+    def test_unreferenced_files_invisible(self, spark, tmp_path):
+        """A torn write (data files without a log entry) must not change
+        any snapshot."""
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark).repartition(2))
+        # simulate a crashed writer: files land, commit never happens
+        orphan_dir = os.path.join(str(tmp_path / "t"), "data", "orphan")
+        _base(spark, 50).write.parquet(orphan_dir)
+        assert t.snapshot().count() == 1000
+
+    def test_snapshot_empty_raises(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        with pytest.raises(ValueError, match="empty table"):
+            t.snapshot()
+
+
+class TestMerge:
+    def test_upsert_and_delete(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark).repartition(4))
+        v = t.merge(_changes(spark, [
+            (5, 999, "upd5", "UPDATE", 1),
+            (2000, 1, "new", "INSERT", 2),
+            (7, 0, "x", "DELETE", 3),
+        ]))
+        assert v == 1
+        snap = {r["k"]: r for r in t.snapshot().collect()}
+        assert snap[5]["v"] == 999 and snap[5]["tag"] == "upd5"
+        assert snap[2000]["tag"] == "new"
+        assert 7 not in snap
+        assert len(snap) == 1000  # +1 insert -1 delete
+
+    def test_latest_wins_within_batch(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark).repartition(2))
+        t.merge(_changes(spark, [
+            (3, 111, "first", "UPDATE", 10),
+            (3, 222, "second", "UPDATE", 20),
+            (4, 0, "x", "DELETE", 5),
+            (4, 444, "resurrected", "INSERT", 6),
+        ]))
+        snap = {r["k"]: r for r in t.snapshot().collect()}
+        assert snap[3]["v"] == 222
+        assert snap[4]["tag"] == "resurrected"
+
+    def test_copy_on_write_skips_unhit_files(self, spark, tmp_path):
+        """Only files whose pk range covers a changed key are rewritten;
+        the rest carry over by file reference."""
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        # range-partitioned layout -> disjoint pk ranges per file
+        t.create(_base(spark).repartitionByRange(8, "k"))
+        before = {f["path"] for f in t.active_files()}
+        t.merge(_changes(spark, [(1, 5, "u", "UPDATE", 1)]))
+        after = {f["path"] for f in t.active_files()}
+        carried = before & after
+        assert carried, "every file was rewritten — no copy-on-write"
+        # only the file(s) whose range covers k=1 changed
+        assert len(before - after) <= 2
+        assert t.snapshot().count() == 1000
+
+    def test_merge_result_matches_full_recompute(self, spark, tmp_path):
+        import random
+
+        rnd = random.Random(7)
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark).repartitionByRange(4, "k"))
+        rows = []
+        seq = 0
+        for _ in range(60):
+            k = rnd.randrange(1200)
+            op = rnd.choice(["UPDATE", "DELETE", "INSERT"])
+            seq += 1
+            rows.append((k, rnd.randrange(1000), f"s{seq}", op, seq))
+        t.merge(_changes(spark, rows))
+        got = {(r["k"], r["v"], r["tag"])
+               for r in t.snapshot().collect()}
+        # reference computation in python
+        state = {r["k"]: (r["k"], r["v"], r["tag"])
+                 for r in _base(spark).collect()}
+        last = {}
+        for k, v, tag, op, seq in rows:
+            if k not in last or seq > last[k][4]:
+                last[k] = (k, v, tag, op, seq)
+        for k, v, tag, op, seq in last.values():
+            if op == "DELETE":
+                state.pop(k, None)
+            else:
+                state[k] = (k, v, tag)
+        assert got == set(state.values())
+
+
+class TestConcurrency:
+    def test_put_if_absent_conflict(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 100))
+        t2 = AcidTable(spark, str(tmp_path / "t"), pk="k")  # second writer
+        t.merge(_changes(spark, [(1, 1, "a", "UPDATE", 1)]))
+        # t2 still believes base is version 0 -> claims version 1 -> loses
+        with pytest.raises(CommitConflict):
+            t2._try_commit(1, [], op="MERGE")
+        # after rebase (re-reading the log) t2 commits fine
+        assert t2.merge(_changes(spark, [(2, 2, "b", "UPDATE", 2)])) == 2
+
+
+class TestTimeTravelAndVacuum:
+    def test_time_travel(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 100).repartition(2))
+        t.merge(_changes(spark, [(1, 999, "u", "UPDATE", 1)]))
+        t.merge(_changes(spark, [(1, 0, "x", "DELETE", 2)]))
+        v0 = {r["k"]: r["v"] for r in t.snapshot(version=0).collect()}
+        v1 = {r["k"]: r["v"] for r in t.snapshot(version=1).collect()}
+        v2 = {r["k"]: r["v"] for r in t.snapshot(version=2).collect()}
+        assert v0[1] == 1 % 97
+        assert v1[1] == 999
+        assert 1 not in v2
+        ops = [h["op"] for h in t.history()]
+        assert ops == ["CREATE", "MERGE", "MERGE"]
+
+    def test_pk_range_snapshot_prunes_files(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark).repartitionByRange(8, "k"))
+        pruned = t.snapshot(where_pk_between=(10, 20))
+        # the pruned scan reads a strict subset of the table's files
+        all_files = {f["path"] for f in t.active_files()}
+        read_files = {p.removeprefix("file://")
+                      for p in pruned.inputFiles()}
+        assert read_files < all_files
+        assert sorted(r["k"] for r in pruned.collect()) == \
+            list(range(10, 21))
+
+    def test_vacuum_keeps_live_versions(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 200).repartitionByRange(4, "k"))
+        t.merge(_changes(spark, [(1, 9, "u", "UPDATE", 1)]))
+        deleted = t.vacuum(keep_last=1)
+        # the rewritten file from v0 is gone; latest still reads fine
+        assert deleted
+        assert t.snapshot().count() == 200
+        with pytest.raises(Exception):
+            t.snapshot(version=0).count()

@@ -106,13 +106,19 @@ class AcidTable:
                     live.pop(action["remove"]["path"], None)
         return list(live.values())
 
+    def committed_txns(self) -> set[str]:
+        """Application-level transaction ids recorded by past commits —
+        the Delta ``txn`` action pattern for idempotent foreachBatch
+        writers (appId:epoch stamps)."""
+        return {c["txn"] for c in self.history() if c.get("txn")}
+
     def _try_commit(self, version: int, actions: list[dict],
-                    op: str) -> None:
+                    op: str, txn: str | None = None) -> None:
         """Claim ``version`` by exclusive create — the put-if-absent
         commit protocol. Atomic on POSIX; on object stores the same
         contract comes from conditional PUT."""
         payload = json.dumps({"version": version, "op": op,
-                              "actions": actions})
+                              "actions": actions, "txn": txn})
         try:
             fd = os.open(self._log_file(version),
                          os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -174,7 +180,7 @@ class AcidTable:
     # -- MERGE (copy-on-write) --------------------------------------------
 
     def merge(self, changes: DataFrame, op_col: str = "type",
-              delete_op: str = "DELETE") -> int:
+              delete_op: str = "DELETE", txn: str | None = None) -> int:
         """Copy-on-write MERGE of a CDC change batch.
 
         1. latest-wins collapse of the batch per key (max_by seq);
@@ -188,6 +194,10 @@ class AcidTable:
         base = self.latest_version()
         if base is None:
             raise ValueError("merge into empty table; create() first")
+        if txn is not None and txn in self.committed_txns():
+            # replayed micro-batch (crash between table commit and the
+            # stream checkpoint): already applied, nothing to do
+            return base
         files = self.active_files(base)
 
         row = F.struct(*[F.col(c) for c in changes.columns])
@@ -221,8 +231,73 @@ class AcidTable:
                                for f in hit]
         if not rewritten.isEmpty():
             actions += self._write_files(rewritten)
-        self._try_commit(base + 1, actions, op="MERGE")
+        self._try_commit(base + 1, actions, op="MERGE", txn=txn)
         return base + 1
+
+    # -- versioned MERGE (order-independent, for streaming) ----------------
+
+    def merge_versioned(self, changes: DataFrame, op_col: str = "type",
+                        delete_op: str = "DELETE",
+                        txn: str | None = None) -> int:
+        """Copy-on-write MERGE in the VERSIONED meta form: rows carry
+        their ``seq_col`` and a ``__deleted`` tombstone, and a matched
+        key keeps whichever row has the HIGHER sequence — so arrival
+        order across micro-batches cannot regress state and a DELETE
+        arriving before a late old INSERT cannot be resurrected (the
+        same order-independence contract as operators/merge.
+        merge_versioned, here with file-level copy-on-write). Read live
+        rows via ``snapshot_live``; tombstones compact away in a later
+        vacuum-style rewrite, exactly like table-format soft deletes."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("merge into empty table; create() first")
+        if txn is not None and txn in self.committed_txns():
+            return base
+        files = self.active_files(base)
+
+        incoming = changes.withColumn(
+            "__deleted", F.col(op_col) == delete_op).drop(op_col)
+        row = F.struct(*[F.col(c) for c in incoming.columns])
+        latest = (incoming.groupBy(self.pk)
+                  .agg(F.max_by(row, F.col(self.seq_col)).alias("__r"))
+                  .select("__r.*"))
+
+        ranges = self.spark.createDataFrame(
+            [(f["path"], f["min_pk"], f["max_pk"]) for f in files],
+            "path string, min_pk long, max_pk long")
+        hit_paths = {
+            r["path"] for r in
+            latest.select(self.pk).distinct()
+            .join(F.broadcast(ranges),
+                  F.col(self.pk).between(F.col("min_pk"),
+                                         F.col("max_pk")), "inner")
+            .select("path").distinct().collect()
+        } if files else set()
+        hit = [f for f in files if f["path"] in hit_paths]
+
+        if hit:
+            current = self.spark.read.parquet(*[f["path"] for f in hit])
+            combined = current.unionByName(latest)
+            wrow = F.struct(*[F.col(c) for c in combined.columns])
+            rewritten = (combined.groupBy(self.pk)
+                         .agg(F.max_by(wrow, F.col(self.seq_col))
+                              .alias("__r"))
+                         .select("__r.*"))
+        else:
+            rewritten = latest
+        actions: list[dict] = [{"remove": {"path": f["path"]}}
+                               for f in hit]
+        if not rewritten.isEmpty():
+            actions += self._write_files(rewritten)
+        self._try_commit(base + 1, actions, op="MERGE", txn=txn)
+        return base + 1
+
+    def snapshot_live(self, version: int | None = None) -> DataFrame:
+        """Live rows of a versioned table (tombstones filtered, meta
+        columns dropped)."""
+        return (self.snapshot(version)
+                .where(~F.col("__deleted"))
+                .drop(self.seq_col, "__deleted"))
 
     # -- retention ---------------------------------------------------------
 

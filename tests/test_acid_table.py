@@ -172,3 +172,99 @@ class TestTimeTravelAndVacuum:
         assert t.snapshot().count() == 200
         with pytest.raises(Exception):
             t.snapshot(version=0).count()
+
+
+class TestVersionedMerge:
+    def test_out_of_order_batches_converge(self, spark, tmp_path):
+        """DELETE arrives in an EARLIER batch than the stale INSERT it
+        must dominate: the seq-guarded tombstone merge keeps the row
+        dead (plain replace-merge would resurrect it)."""
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        empty = _changes(spark, []).withColumn(
+            "__deleted", F.lit(True)).drop("type").where("1=0") \
+            .select("k", "v", "tag", "seq", "__deleted")
+        t.create(empty)
+        # batch 1: the DELETE (seq 30)
+        t.merge_versioned(_changes(spark, [(1, 0, "x", "DELETE", 30)]),
+                          txn="app:1")
+        # batch 2: the stale INSERT (seq 10) arriving late
+        t.merge_versioned(_changes(spark, [(1, 7, "old", "INSERT", 10)]),
+                          txn="app:2")
+        assert t.snapshot_live().where("k = 1").count() == 0
+
+    def test_txn_replay_is_noop(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        base = _base(spark, 100).withColumn("seq", F.lit(0)) \
+            .withColumn("__deleted", F.lit(False))
+        t.create(base.repartition(2))
+        v1 = t.merge_versioned(
+            _changes(spark, [(1, 9, "u", "UPDATE", 5)]), txn="app:7")
+        v_replay = t.merge_versioned(
+            _changes(spark, [(1, 9, "u", "UPDATE", 5)]), txn="app:7")
+        assert v1 == v_replay == t.latest_version()
+
+    def test_streaming_pipeline_into_acid_table(self, spark, sf_dir,
+                                                tmp_path):
+        """readStream -> foreachBatch(copy-on-write MERGE) across a
+        restart: the live snapshot equals the batch latest-wins oracle
+        and the replayed epoch commits nothing twice."""
+        from pyspark.sql import types as T
+        from ru_cdc_spark.config import InstanceConfig, PipelineConfig
+        from ru_cdc_spark.operators.envelope import (
+            build_envelope,
+            envelope_to_json,
+        )
+        from ru_cdc_spark.operators.merge import apply_changes
+        from ru_cdc_spark.sources.cdc_fixture import (
+            ORDERS_DATABASE,
+            ORDERS_MYSQL_TYPES,
+            ORDERS_PK,
+            ORDERS_TABLE,
+            derive_order_changes,
+        )
+        from ru_cdc_spark.streaming.pipeline import (
+            CdcPipeline,
+            start_merge_to_acid_table,
+        )
+
+        src = str(tmp_path / "src")
+        env = build_envelope(
+            derive_order_changes(spark, sf_dir),
+            ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK, ORDERS_MYSQL_TYPES,
+            processing_ts=F.lit(0))
+        envelope_to_json(env).select("payload").repartition(3) \
+            .write.mode("overwrite").text(src)
+
+        cfg = PipelineConfig(
+            source_path=src, checkpoint_dir=str(tmp_path / "ck"),
+            max_events_per_trigger=20_000,
+            instances=[InstanceConfig(mq="m", schemas="test*",
+                                      tables="*", topic="t")])
+        value_schema = T.StructType([
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.StringType()),
+        ])
+        t = AcidTable(spark, str(tmp_path / "acid"), pk="o_orderkey",
+                      seq_col="id")
+        empty = spark.createDataFrame(
+            [], "id long, o_orderkey long, o_orderstatus string, "
+                "o_totalprice string, __deleted boolean")
+        t.create(empty)
+        pipe = CdcPipeline(spark, cfg)
+        q = start_merge_to_acid_table(pipe, t, value_schema)
+        q.awaitTermination(300)
+        v_first = t.latest_version()
+        assert v_first and v_first >= 1
+
+        # restart on the same checkpoint: no new data -> no new versions
+        q2 = start_merge_to_acid_table(pipe, t, value_schema)
+        q2.awaitTermination(300)
+        assert t.latest_version() == v_first
+
+        expected = apply_changes(derive_order_changes(spark, sf_dir),
+                                 ORDERS_PK)
+        got = t.snapshot_live()
+        assert got.count() == expected.count()
+        assert (got.select("o_orderkey").exceptAll(
+            expected.select("o_orderkey")).count() == 0)

@@ -69,7 +69,24 @@ AUDIT = [
     ("copurchase_triangles",
      "degree-oriented wedge join: fan-out bounded by O(sqrt m)"),
     ("events_ks_drift",
-     "windows over the distinct-value relation, not the event stream"),
+     "windows over the distinct-value relation, not the event stream; "
+     "round 3: __pid-partitioned two-pass running sums, no unpartitioned "
+     "window"),
+    ("customer_rfm_segments",
+     "round 3: ntile quartiles as distributed two-pass ranks "
+     "(rangepartitioning exchanges, __pid-local windows)"),
+    ("numeric_spearman_matrix",
+     "round 3: tie-group average ranks from distinct-value cumulative "
+     "counts joined back — no fact-table rank window"),
+    ("ann_pq_rerank",
+     "broadcast codebooks; min_by encode agg; ADC shortlist then exact "
+     "rerank on |queries| x shortlist vectors"),
+    ("mysql_socket_cdc_snapshot",
+     "per-task socket dumps (narrow mapInPandas) -> Arrow byte decode -> "
+     "single PK max_by shuffle"),
+    ("multimodal_png_decode",
+     "real PNG encode+decode as chained narrow Arrow maps; only 4 longs "
+     "per image leave the operator"),
 ]
 
 

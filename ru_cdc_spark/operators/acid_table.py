@@ -299,6 +299,45 @@ class AcidTable:
                 .where(~F.col("__deleted"))
                 .drop(self.seq_col, "__deleted"))
 
+    # -- compaction --------------------------------------------------------
+
+    def compact(self, small_file_rows: int = 10_000,
+                target_partitions: int | None = None,
+                tombstone_watermark: int | None = None) -> int | None:
+        """OPTIMIZE-style maintenance commit: bin-pack small files and
+        (for versioned tables) physically drop tombstones whose sequence
+        is at or below ``tombstone_watermark`` — safe once the stream's
+        checkpoint guarantees nothing older can still arrive (the same
+        low-watermark rule as operators/merge.compact_tombstones).
+
+        Data-preserving: the commit semantically rewrites the SAME rows,
+        so concurrent readers time-travel consistently; a conflicting
+        writer simply wins the version race and compaction retries on
+        the next call. Returns the new version, or None when nothing
+        needed compacting."""
+        base = self.latest_version()
+        if base is None:
+            return None
+        files = self.active_files(base)
+        small = [f for f in files if f["rows"] < small_file_rows]
+        if not small and tombstone_watermark is None:
+            return None
+        victims = small if tombstone_watermark is None else files
+        if not victims:
+            return None
+        df = self.spark.read.parquet(*[f["path"] for f in victims])
+        if tombstone_watermark is not None and "__deleted" in df.columns:
+            df = df.where(~F.col("__deleted")
+                          | (F.col(self.seq_col) > tombstone_watermark))
+        n_out = target_partitions or max(
+            1, sum(f["rows"] for f in victims) // small_file_rows)
+        rewritten = df.repartitionByRange(n_out, F.col(self.pk))
+        actions = [{"remove": {"path": f["path"]}} for f in victims]
+        if not rewritten.isEmpty():
+            actions += self._write_files(rewritten)
+        self._try_commit(base + 1, actions, op="COMPACT")
+        return base + 1
+
     # -- retention ---------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[str]:

@@ -268,3 +268,39 @@ class TestVersionedMerge:
         assert got.count() == expected.count()
         assert (got.select("o_orderkey").exceptAll(
             expected.select("o_orderkey")).count() == 0)
+
+
+class TestCompact:
+    def test_bin_packs_small_files(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 2000).repartition(16))  # 16 tiny files
+        n_before = len(t.active_files())
+        v = t.compact(small_file_rows=10_000, target_partitions=2)
+        assert v == 1
+        files = t.active_files()
+        assert len(files) < n_before
+        assert t.snapshot().count() == 2000
+        # history preserved: v0 still time-travels
+        assert t.snapshot(version=0).count() == 2000
+
+    def test_drops_tombstones_below_watermark(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        base = _base(spark, 100).withColumn("seq", F.lit(0)) \
+            .withColumn("__deleted", F.lit(False))
+        t.create(base.repartition(2))
+        t.merge_versioned(_changes(spark, [
+            (1, 0, "x", "DELETE", 10),
+            (2, 0, "x", "DELETE", 99),
+        ]))
+        t.compact(tombstone_watermark=50, target_partitions=1)
+        snap = t.snapshot()
+        # seq-10 tombstone physically gone; seq-99 retained (still needed
+        # to dominate potential late arrivals)
+        dead = {r["k"] for r in snap.where("__deleted").collect()}
+        assert dead == {2}
+        assert t.snapshot_live().count() == 98
+
+    def test_noop_when_nothing_to_do(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 100).repartition(1))
+        assert t.compact(small_file_rows=10) is None

@@ -360,3 +360,25 @@ def test_q2_semi_prunes_fact_before_agg(spark, sf_dir):
         plan)]
     assert semi_ids, plan[:800]
     assert agg_ids and min(semi_ids) < min(agg_ids), (semi_ids, agg_ids)
+
+
+def test_socket_snapshot_single_pk_shuffle(spark, sf_dir):
+    """Socket-ingested CDC snapshot: narrow socket read + Arrow decode,
+    then exactly one PK shuffle for the latest-wins merge."""
+    df = REGISTRY["mysql_socket_cdc_snapshot"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    plan = physical_plan(df)
+    assert "max_by" in plan or "MaxBy" in plan
+
+
+def test_png_decode_is_exchange_free(spark, sf_dir):
+    """Real PNG encode+decode runs as chained narrow Arrow maps — no
+    shuffle anywhere in the plan."""
+    df = REGISTRY["multimodal_png_decode"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_pq_rerank_broadcasts_codebook_and_queries(spark, sf_dir):
+    df = REGISTRY["ann_pq_rerank"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # codebook + query table

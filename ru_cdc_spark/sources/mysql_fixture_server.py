@@ -132,12 +132,16 @@ class MySQLFixtureServer:
 
     def __init__(self, user: str = "repl", password: str = "replpass",
                  binlog: VirtualBinlog | None = None,
+                 binlogs: list[VirtualBinlog] | None = None,
                  catalog: dict | None = None,
                  nonce: bytes | None = None,
                  host: str = "127.0.0.1") -> None:
         self.user = user
         self.password = password
-        self.binlog = binlog or VirtualBinlog()
+        # multi-file log: a dump crossing a file boundary emits a ROTATE
+        # event and continues into the next file (D12 over the socket)
+        self.binlogs = binlogs or [binlog or VirtualBinlog()]
+        self.binlog = self.binlogs[-1]  # SHOW MASTER STATUS = current tip
         self.catalog = catalog or {}
         self.nonce = nonce or bytes(range(1, 21))
         self.host = host
@@ -277,16 +281,21 @@ class MySQLFixtureServer:
             io.write_packet(encode_ok(), seq=1)
 
     def _show_binlog_events(self, io: PacketIO, q: str) -> None:
+        m = re.search(r"in\s+'([^']+)'", q)
+        vb = self.binlog
+        if m:
+            vb = next((b for b in self.binlogs
+                       if b.filename == m.group(1)), self.binlog)
         m = re.search(r"from\s+(\d+)", q)
         from_pos = int(m.group(1)) if m else 4
         m = re.search(r"limit\s+(\d+)", q)
-        limit = int(m.group(1)) if m else len(self.binlog.events)
+        limit = int(m.group(1)) if m else len(vb.events)
         rows = []
-        for start, end, ev in self.binlog.events:
+        for start, end, ev in vb.events:
             if start < from_pos or len(rows) >= limit:
                 continue
             etype = ev[4]
-            rows.append([self.binlog.filename, str(start),
+            rows.append([vb.filename, str(start),
                          _EVENT_NAMES.get(etype, str(etype)), "1",
                          str(end), ""])
         self._send_result_set(
@@ -309,25 +318,45 @@ class MySQLFixtureServer:
 
     def _handle_dump(self, io: PacketIO, pkt: bytes) -> None:
         pos, _flags, _server_id, filename = decode_com_binlog_dump(pkt)
-        if filename and filename != self.binlog.filename:
+        names = [b.filename for b in self.binlogs]
+        start_idx = names.index(filename) if filename in names else None
+        if filename and start_idx is None:
             io.write_packet(
                 encode_err(1236, f"Could not find first log file name "
                                  f"'{filename}'"), seq=1)
             return
+        if start_idx is None:
+            start_idx = 0
         seq = 1
+
+        def send(ev: bytes) -> int:
+            nonlocal seq
+            io.write_packet(b"\x00" + ev, seq=seq)
+            seq = (seq + 1) & 0xFF
+            return seq
+
         try:
-            # a real dump replays the FDE first regardless of start pos
-            # so the client can configure its decoder
-            fde = next((ev for _, _, ev in self.binlog.events
-                        if ev[4] == 15), None)
-            if fde is not None and pos > 4:
-                io.write_packet(b"\x00" + fde, seq=seq)
-                seq += 1
-            for start, _end, ev in self.binlog.events:
-                if start < pos:
-                    continue
-                io.write_packet(b"\x00" + ev, seq=seq)
-                seq = (seq + 1) & 0xFF
+            for idx in range(start_idx, len(self.binlogs)):
+                vb = self.binlogs[idx]
+                from_pos = pos if idx == start_idx else 4
+                # a real dump replays the FDE first regardless of start
+                # pos so the client can configure its decoder
+                fde = next((ev for _, _, ev in vb.events
+                            if ev[4] == 15), None)
+                if fde is not None and from_pos > 4:
+                    send(fde)
+                for start, _end, ev in vb.events:
+                    if start < from_pos:
+                        continue
+                    send(ev)
+                if idx + 1 < len(self.binlogs):
+                    # file boundary: ROTATE to the next log (D12) — the
+                    # artificial form a live server streams mid-dump
+                    from ru_cdc_spark.sources.binlog_wire import (
+                        encode_rotate,
+                    )
+
+                    send(encode_rotate(self.binlogs[idx + 1].filename))
             # bounded fixture: end the stream with EOF instead of
             # blocking forever like a live dump would
             io.write_packet(b"\xfe\x00\x00\x02\x00", seq=seq)

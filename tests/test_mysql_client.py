@@ -368,3 +368,52 @@ class TestCatalogOverSocket:
         assert schema.mysql_types["t_long"] == "int"
         assert cat.is_dropped("testdb", "ghost")
         assert cat.lookup("testdb", "ghost") is None
+
+
+class TestMultiFileRotation:
+    def test_dump_crosses_file_boundary_with_rotate(self):
+        """A dump starting in file 1 streams its events, a ROTATE (D12),
+        then file 2's events — and the serve-loop frame reassembly
+        resets its TABLE_MAP on the rotate so every frame decodes with
+        in-file state only."""
+        vb1 = VirtualBinlog.from_cdc_fixture(50, "binlog.000001")
+        vb2 = VirtualBinlog.from_cdc_fixture(50, "binlog.000002")
+        srv = MySQLFixtureServer(binlogs=[vb1, vb2]).start()
+        try:
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         "repl", "replpass") as conn:
+                fname, pos = conn.show_master_status()
+                assert fname == "binlog.000002"
+                events = list(conn.binlog_dump("binlog.000001", 4))
+            types = [ev[4] for ev in events]
+            assert 4 in types, "no ROTATE event streamed"
+            rot_at = types.index(4)
+            # events continue after the rotate (file 2's FDE + frames)
+            assert 15 in types[rot_at + 1:]
+            assert any(t in (30, 31, 32) for t in types[rot_at + 1:])
+            frames = iter_binlog_frames(events)
+            # both files' frames present and decodable
+            assert len(frames) == 2 * len(iter_binlog_frames(
+                [ev for _, _, ev in vb1.events]))
+            decode_frame(frames[-1][1])
+        finally:
+            srv.stop()
+
+    def test_resume_in_second_file(self):
+        vb1 = VirtualBinlog.from_cdc_fixture(20, "binlog.000001")
+        vb2 = VirtualBinlog.from_cdc_fixture(20, "binlog.000002")
+        srv = MySQLFixtureServer(binlogs=[vb1, vb2]).start()
+        try:
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         "repl", "replpass") as conn:
+                rs = conn.query(
+                    "show binlog events in 'binlog.000002'")
+                assert all(r[0] == "binlog.000002" for r in rs.rows)
+                mid = int(rs.rows[len(rs.rows) // 2][1])
+                tail = list(conn.binlog_dump("binlog.000002", mid))
+            # only file-2 suffix (plus replayed FDE), no rotate needed
+            assert all(ev[4] != 4 for ev in tail)
+            suffix = [ev for s, _, ev in vb2.events if s >= mid]
+            assert tail[1:] == suffix or tail == suffix
+        finally:
+            srv.stop()

@@ -93,11 +93,47 @@ class AcidTable:
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self.versions()]
 
-    def active_files(self, version: int | None = None) -> list[dict]:
-        """Replay add/remove actions up to ``version`` (inclusive)."""
+    CHECKPOINT_INTERVAL = 10
+
+    def _checkpoint_file(self, version: int) -> str:
+        return os.path.join(self._log_dir(),
+                            f"{version:020d}.checkpoint.json")
+
+    def _latest_checkpoint(self, at_or_below: int) -> tuple[int, dict] | None:
+        cps = sorted(int(f.split(".")[0])
+                     for f in os.listdir(self._log_dir())
+                     if f.endswith(".checkpoint.json"))
+        cps = [v for v in cps if v <= at_or_below]
+        if not cps:
+            return None
+        with open(self._checkpoint_file(cps[-1])) as fh:
+            return cps[-1], json.load(fh)
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Every CHECKPOINT_INTERVAL commits, snapshot the full live file
+        set into the log (the Delta checkpoint-parquet idea, as JSON) so
+        replay cost stays O(interval), not O(history). Best-effort and
+        crash-safe: readers that miss it just replay more commits."""
+        if version == 0 or version % self.CHECKPOINT_INTERVAL:
+            return
+        live = {f["path"]: f for f in self._replay_files(version)}
+        tmp = self._checkpoint_file(version) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": list(live.values())},
+                      fh)
+        os.replace(tmp, self._checkpoint_file(version))
+
+    def _replay_files(self, version: int,
+                      seed: tuple[int, dict] | None = None) -> list[dict]:
         live: dict[str, dict] = {}
+        start = 0
+        if seed is not None:
+            start = seed[0] + 1
+            live = {f["path"]: f for f in seed[1]["files"]}
         for v in self.versions():
-            if version is not None and v > version:
+            if v < start:
+                continue
+            if v > version:
                 break
             for action in self._read_commit(v)["actions"]:
                 if "add" in action:
@@ -105,6 +141,17 @@ class AcidTable:
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
         return list(live.values())
+
+    def active_files(self, version: int | None = None) -> list[dict]:
+        """Live file set at ``version``: latest checkpoint at or below
+        plus the commit suffix (O(interval) replay)."""
+        if version is None:
+            latest = self.latest_version()
+            if latest is None:
+                return []
+            version = latest
+        return self._replay_files(version,
+                                  seed=self._latest_checkpoint(version))
 
     def committed_txns(self) -> set[str]:
         """Application-level transaction ids recorded by past commits —
@@ -127,6 +174,7 @@ class AcidTable:
                 f"version {version} already committed") from exc
         with os.fdopen(fd, "w") as fh:
             fh.write(payload)
+        self._maybe_checkpoint(version)
 
     # -- writing -----------------------------------------------------------
 

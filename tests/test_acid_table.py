@@ -304,3 +304,30 @@ class TestCompact:
         t = AcidTable(spark, str(tmp_path / "t"), pk="k")
         t.create(_base(spark, 100).repartition(1))
         assert t.compact(small_file_rows=10) is None
+
+
+class TestLogCheckpoint:
+    def test_checkpoint_written_and_replay_equivalent(self, spark,
+                                                      tmp_path):
+        """After CHECKPOINT_INTERVAL commits a log checkpoint snapshots
+        the live file set; replay through it equals full replay and
+        every snapshot stays correct."""
+        import glob
+
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 500).repartitionByRange(4, "k"))
+        for i in range(12):
+            t.merge(_changes(spark, [(i, 10_000 + i, f"u{i}",
+                                      "UPDATE", i + 1)]))
+        cps = glob.glob(str(tmp_path / "t" / "_log" /
+                            "*.checkpoint.json"))
+        assert cps, "no checkpoint written after 12 commits"
+        # checkpointed replay == brute-force replay from scratch
+        full = {f["path"]: f for f in t._replay_files(t.latest_version())}
+        fast = {f["path"]: f for f in t.active_files()}
+        assert full == fast
+        snap = {r["k"]: r["v"] for r in t.snapshot().collect()}
+        for i in range(12):
+            assert snap[i] == 10_000 + i
+        # time travel below the checkpoint still works
+        assert t.snapshot(version=3).count() == 500

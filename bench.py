@@ -122,6 +122,32 @@ def bench_txn_assembly(spark) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def bench_socket_ingest(spark) -> tuple[float, int]:
+    """Socket ingest throughput: a 20k-row virtual binlog served over
+    real TCP, dumped by 16 task-local connections, byte-decoded, and
+    counted — the reference's wire-to-rows path end to end. Server build
+    happens before the clock; the timing covers connect + dump + frame
+    reassembly + Arrow decode."""
+    from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
+
+    n_rows = 20_000
+    srv = MySQLFixtureServer(
+        binlog=VirtualBinlog.from_cdc_fixture(n_rows)).start()
+    try:
+        t0 = time.time()
+        frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
+                                   srv.user, srv.password, n_slices=16)
+        n = decode_cdc_frames(frames.select("frame")).count()
+        return time.time() - t0, n
+    finally:
+        srv.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -154,6 +180,10 @@ def main() -> None:
     t2, _ = bench_txn_assembly(spark)
     txn_sec = min(txn_sec, t2)
 
+    sock_sec, sock_rows = bench_socket_ingest(spark)
+    k2, _ = bench_socket_ingest(spark)
+    sock_sec = min(sock_sec, k2)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -165,6 +195,8 @@ def main() -> None:
         "cdc_stream_rows_per_sec": round(stream_rows / stream_sec, 1),
         "txn_assembly_rows": txn_rows,
         "txn_assembly_rows_per_sec": round(txn_rows / txn_sec, 1),
+        "socket_ingest_rows": sock_rows,
+        "socket_ingest_rows_per_sec": round(sock_rows / sock_sec, 1),
     }))
 
 

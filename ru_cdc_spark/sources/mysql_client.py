@@ -176,18 +176,26 @@ class PacketIO:
     Python analog of ``read_package``/``write_package``
     (mysql.rs:96-186)."""
 
+    RECV_CHUNK = 1 << 16
+
     def __init__(self, sock: socket.socket) -> None:
         self.sock = sock
         self.seq = 0
+        self._buf = bytearray()
 
     def _read_exact(self, n: int) -> bytes:
-        buf = bytearray()
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
+        # buffered: drain the socket in 64 KiB chunks so a stream of
+        # small packets (binlog events) costs ~1 syscall per chunk, not
+        # per packet
+        while len(self._buf) < n:
+            chunk = self.sock.recv(max(self.RECV_CHUNK,
+                                       n - len(self._buf)))
             if not chunk:
                 raise ConnectionError("peer closed mid-packet")
-            buf += chunk
-        return bytes(buf)
+            self._buf += chunk
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
 
     def read_packet(self) -> bytes:
         payload = bytearray()

@@ -327,39 +327,42 @@ class MySQLFixtureServer:
             return
         if start_idx is None:
             start_idx = 0
+        from ru_cdc_spark.sources.mysql_client import encode_packet
+
         seq = 1
+        out = bytearray()
 
-        def send(ev: bytes) -> int:
+        def send(ev: bytes) -> None:
             nonlocal seq
-            io.write_packet(b"\x00" + ev, seq=seq)
+            out.extend(encode_packet(seq, b"\x00" + ev))
             seq = (seq + 1) & 0xFF
-            return seq
 
+        for idx in range(start_idx, len(self.binlogs)):
+            vb = self.binlogs[idx]
+            from_pos = pos if idx == start_idx else 4
+            # a real dump replays the FDE first regardless of start
+            # pos so the client can configure its decoder
+            fde = next((ev for _, _, ev in vb.events
+                        if ev[4] == 15), None)
+            if fde is not None and from_pos > 4:
+                send(fde)
+            for start, _end, ev in vb.events:
+                if start < from_pos:
+                    continue
+                send(ev)
+            if idx + 1 < len(self.binlogs):
+                # file boundary: ROTATE to the next log (D12) — the
+                # artificial form a live server streams mid-dump
+                from ru_cdc_spark.sources.binlog_wire import encode_rotate
+
+                send(encode_rotate(self.binlogs[idx + 1].filename))
+        # bounded fixture: end the stream with EOF instead of blocking
+        # forever like a live dump would
+        out.extend(encode_packet(seq, b"\xfe\x00\x00\x02\x00"))
         try:
-            for idx in range(start_idx, len(self.binlogs)):
-                vb = self.binlogs[idx]
-                from_pos = pos if idx == start_idx else 4
-                # a real dump replays the FDE first regardless of start
-                # pos so the client can configure its decoder
-                fde = next((ev for _, _, ev in vb.events
-                            if ev[4] == 15), None)
-                if fde is not None and from_pos > 4:
-                    send(fde)
-                for start, _end, ev in vb.events:
-                    if start < from_pos:
-                        continue
-                    send(ev)
-                if idx + 1 < len(self.binlogs):
-                    # file boundary: ROTATE to the next log (D12) — the
-                    # artificial form a live server streams mid-dump
-                    from ru_cdc_spark.sources.binlog_wire import (
-                        encode_rotate,
-                    )
-
-                    send(encode_rotate(self.binlogs[idx + 1].filename))
-            # bounded fixture: end the stream with EOF instead of
-            # blocking forever like a live dump would
-            io.write_packet(b"\xfe\x00\x00\x02\x00", seq=seq)
+            # one buffered sendall: the event stream leaves in TCP-sized
+            # writes instead of one syscall per tiny packet
+            io.sock.sendall(bytes(out))
         except (ConnectionError, OSError):
             # slice readers hang up once their [lo, hi) range is
             # satisfied — a client disconnect mid-dump is normal

@@ -256,9 +256,13 @@ def decode_handshake_v10(b: bytes) -> HandshakeV10:
     caps = int.from_bytes(cap_low + cap_high, "little")
     if auth_data_len > 0:
         # part 2 is max(13, auth_data_len - 8) bytes, NUL-terminated;
-        # the usable nonce is the first auth_data_len-8 (=12) of them
+        # strip exactly ONE terminator (servers keep nonce bytes in
+        # 0x01-0x7F precisely so the terminator is unambiguous)
         part2_len = max(13, auth_data_len - 8)
-        nonce += b[off:off + part2_len].rstrip(b"\x00")
+        part2 = b[off:off + part2_len]
+        if part2.endswith(b"\x00"):
+            part2 = part2[:-1]
+        nonce += part2
         off += part2_len
     plugin = ""
     if caps & CLIENT_PLUGIN_AUTH:

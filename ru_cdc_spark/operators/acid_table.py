@@ -80,7 +80,9 @@ class AcidTable:
     def versions(self) -> list[int]:
         return sorted(int(f.split(".")[0])
                       for f in os.listdir(self._log_dir())
-                      if f.endswith(".json"))
+                      if f.endswith(".json")
+                      and not f.endswith(".checkpoint.json")
+                      and not f.endswith(".tmp"))
 
     def latest_version(self) -> int | None:
         vs = self.versions()
@@ -219,7 +221,8 @@ class AcidTable:
                      if not (f["max_pk"] < lo or f["min_pk"] > hi)]
         if not files:
             raise ValueError("empty table (no committed files)")
-        df = self.spark.read.parquet(*[f["path"] for f in files])
+        df = self.spark.read.option("mergeSchema", "true")\
+            .parquet(*[f["path"] for f in files])
         if where_pk_between is not None:
             lo, hi = where_pk_between
             df = df.where(F.col(self.pk).between(lo, hi))
@@ -269,10 +272,15 @@ class AcidTable:
         upserts = latest.where(F.col(op_col) != delete_op) \
             .drop(self.seq_col, op_col)
         if hit:
-            current = self.spark.read.parquet(*[f["path"] for f in hit])
+            current = self.spark.read.option("mergeSchema", "true")\
+                .parquet(*[f["path"] for f in hit])
             survivors = current.join(latest.select(self.pk),
                                      self.pk, "left_anti")
-            rewritten = survivors.unionByName(upserts)
+            # widening evolution: either side may carry columns the
+            # other lacks (ALTER TABLE ADD COLUMN mid-stream); missing
+            # sides surface NULL, the CDC-safe default (catalog.evolve)
+            rewritten = survivors.unionByName(upserts,
+                                              allowMissingColumns=True)
         else:
             rewritten = upserts
         actions: list[dict] = [{"remove": {"path": f["path"]}}
@@ -324,8 +332,10 @@ class AcidTable:
         hit = [f for f in files if f["path"] in hit_paths]
 
         if hit:
-            current = self.spark.read.parquet(*[f["path"] for f in hit])
-            combined = current.unionByName(latest)
+            current = self.spark.read.option("mergeSchema", "true")\
+                .parquet(*[f["path"] for f in hit])
+            combined = current.unionByName(latest,
+                                           allowMissingColumns=True)
             wrow = F.struct(*[F.col(c) for c in combined.columns])
             rewritten = (combined.groupBy(self.pk)
                          .agg(F.max_by(wrow, F.col(self.seq_col))
@@ -373,7 +383,8 @@ class AcidTable:
         victims = small if tombstone_watermark is None else files
         if not victims:
             return None
-        df = self.spark.read.parquet(*[f["path"] for f in victims])
+        df = self.spark.read.option("mergeSchema", "true")\
+            .parquet(*[f["path"] for f in victims])
         if tombstone_watermark is not None and "__deleted" in df.columns:
             df = df.where(~F.col("__deleted")
                           | (F.col(self.seq_col) > tombstone_watermark))

@@ -331,3 +331,37 @@ class TestLogCheckpoint:
             assert snap[i] == 10_000 + i
         # time travel below the checkpoint still works
         assert t.snapshot(version=3).count() == 500
+
+
+class TestSchemaWidening:
+    def test_merge_with_new_column_widens(self, spark, tmp_path):
+        """ALTER TABLE ADD COLUMN mid-stream: a change batch carrying an
+        extra column merges; untouched files' rows surface NULL for it
+        (widening-only evolution, the CDC-safe default)."""
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 100).repartitionByRange(4, "k"))
+        wide = spark.createDataFrame(
+            [(1, 5, "u1", "EU", "UPDATE", 1),
+             (500, 7, "new", "US", "INSERT", 2)],
+            "k long, v long, tag string, region string, type string, "
+            "seq long")
+        t.merge(wide)
+        snap = t.snapshot()
+        assert "region" in snap.columns
+        rows = {r["k"]: r for r in snap.collect()}
+        assert rows[1]["region"] == "EU"
+        assert rows[500]["region"] == "US"
+        # a key from an untouched file: NULL for the new column
+        assert rows[99]["region"] is None
+        assert len(rows) == 101
+
+    def test_history_excludes_checkpoint_artifacts(self, spark, tmp_path):
+        """Checkpoint files must not masquerade as commits in versions()
+        or history()."""
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 100).repartition(1))
+        for i in range(11):
+            t.merge(_changes(spark, [(i, i, "u", "UPDATE", i + 1)]))
+        vs = t.versions()
+        assert vs == sorted(set(vs)) == list(range(12))
+        assert len(t.history()) == 12

@@ -757,6 +757,21 @@ def split_events(blob: bytes) -> list[bytes]:
     return out
 
 
+def strip_checksum(ev: bytes) -> bytes:
+    """Drop a BINLOG_CHECKSUM_ALG_CRC32 trailer (4 bytes) and patch the
+    header's event_size so downstream decoders see a checksum-free
+    event. The CRC is verified before stripping — a corrupt event
+    raises instead of silently mis-decoding."""
+    import zlib
+
+    size = int.from_bytes(ev[9:13], "little")
+    claimed = int.from_bytes(ev[size - 4:size], "little")
+    if zlib.crc32(ev[:size - 4]) & 0xFFFFFFFF != claimed:
+        raise ValueError("binlog event CRC32 mismatch")
+    body = ev[:size - 4]
+    return body[:9] + (size - 4).to_bytes(4, "little") + body[13:]
+
+
 def iter_binlog_frames(events) -> "list[tuple[int, bytes]]":
     """Reassemble (TABLE_MAP + ROWS) frames from an event stream — the
     exact serve-loop discipline (main.rs:109-130): type 19 starts a

@@ -70,15 +70,27 @@ class VirtualBinlog:
     resume positions mean in COM_BINLOG_DUMP (position_manager.rs
     semantics)."""
 
-    def __init__(self, filename: str = "binlog.000001") -> None:
+    def __init__(self, filename: str = "binlog.000001",
+                 crc32: bool = False) -> None:
         self.filename = filename
+        self.crc32 = crc32  # MySQL 8's default binlog_checksum=CRC32
         self.events: list[tuple[int, int, bytes]] = []  # (start, end, bytes)
         self._pos = 4
 
     def append(self, ev: bytes) -> None:
+        import zlib
+
+        if self.crc32:
+            # widen the declared size for the 4-byte trailer BEFORE
+            # patching log_pos (the CRC covers the final header bytes)
+            size = int.from_bytes(ev[9:13], "little") + 4
+            ev = ev[:9] + size.to_bytes(4, "little") + ev[13:]
         start = self._pos
-        end = start + len(ev)
-        self.events.append((start, end, patch_log_pos(ev, end)))
+        end = start + len(ev) + (4 if self.crc32 else 0)
+        ev = patch_log_pos(ev, end)
+        if self.crc32:
+            ev += zlib.crc32(ev).to_bytes(4, "little")
+        self.events.append((start, end, ev))
         self._pos = end
 
     def append_blob(self, blob: bytes) -> None:
@@ -100,21 +112,24 @@ class VirtualBinlog:
 
     @classmethod
     def from_cdc_fixture(cls, n_rows: int,
-                         filename: str = "binlog.000001") -> "VirtualBinlog":
+                         filename: str = "binlog.000001",
+                         crc32: bool = False) -> "VirtualBinlog":
         """The standard CDC fixture stream as a positioned binlog:
-        FORMAT_DESCRIPTION first (checksum NONE), then every frame's
-        TABLE_MAP/ROWS events."""
+        FORMAT_DESCRIPTION first (declaring NONE or CRC32 — MySQL 8's
+        default is CRC32), then every frame's TABLE_MAP/ROWS events."""
         from ru_cdc_spark.sources.binlog_frames import (
             ROWS_PER_EVENT,
             cdc_frame_bytes,
         )
         from ru_cdc_spark.sources.binlog_wire import (
+            CHECKSUM_CRC32,
             CHECKSUM_NONE,
             encode_format_description,
         )
 
-        vb = cls(filename)
-        vb.append(encode_format_description(CHECKSUM_NONE))
+        vb = cls(filename, crc32=crc32)
+        vb.append(encode_format_description(
+            CHECKSUM_CRC32 if crc32 else CHECKSUM_NONE))
         n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
         for fid in range(n_frames):
             blob = cdc_frame_bytes(fid, n_rows)

@@ -54,19 +54,31 @@ def _dump_frames(host: str, port: int, user: str, password: str,
                  filename: str, lo: int, hi: int) -> list[tuple[int, bytes]]:
     """One task's work: dial, auth, dump [lo, hi), reassemble frames.
     Returns [(log_pos, TABLE_MAP+ROWS bytes)]."""
+    from ru_cdc_spark.sources.binlog_wire import decode_format_description
     from ru_cdc_spark.sources.mysql_client import (
         MySQLConnection,
         event_header,
+        strip_checksum,
     )
 
     frames: list[tuple[int, bytes]] = []
     with MySQLConnection.connect(host, port, user, password) as conn:
         conn.disable_checksum_var()
         current_tm: bytes | None = None
+        checksum_bytes = 0
         for ev in conn.binlog_dump(filename, lo):
             etype, size, log_pos = event_header(ev)
+            if etype == 15:  # FORMAT_DESCRIPTION bootstraps the stream
+                checksum_bytes = decode_format_description(
+                    ev)["checksum_bytes"]
+                continue
             if log_pos > hi:
                 break
+            if checksum_bytes:
+                # verify + drop the CRC32 trailer so downstream decode
+                # (shared with the checksum-free generator path) sees
+                # normalized events
+                ev = strip_checksum(ev)
             if etype == TABLE_MAP_TYPE:
                 current_tm = ev
             elif etype in (30, 31, 32) and current_tm is not None:

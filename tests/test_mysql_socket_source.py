@@ -116,3 +116,53 @@ class TestStreamingSocketSource:
         got = spark.read.parquet(out).collect()
         assert len(got) == n_frames, f"{len(got)} != {n_frames}"
         assert len({r.pos for r in got}) == n_frames
+
+
+class TestCrc32Stream:
+    def test_crc32_served_stream_decodes_identically(self, spark):
+        """MySQL 8's default binlog_checksum=CRC32: the server wraps
+        every event with a CRC trailer; the client verifies + strips at
+        the socket boundary, so the shared decode path sees normalized
+        events and the snapshot matches the checksum-free serving."""
+        from pyspark.sql import functions as F
+        from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
+        from ru_cdc_spark.sources.mysql_fixture_server import (
+            MySQLFixtureServer,
+            VirtualBinlog,
+        )
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            socket_cdc_frames,
+        )
+
+        def snapshot(srv):
+            frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
+                                       srv.user, srv.password, 4)
+            ch = decode_cdc_frames(frames.select("frame"))
+            row = F.struct(*[F.col(c) for c in ch.columns])
+            return sorted(map(tuple, (
+                ch.groupBy("i")
+                .agg(F.max_by(row, F.col("seq")).alias("r"))
+                .select("r.*").where(F.col("type") != "DELETE")
+                .collect())))
+
+        with MySQLFixtureServer(binlog=VirtualBinlog.from_cdc_fixture(
+                100, crc32=True)) as crc_srv:
+            got_crc = snapshot(crc_srv)
+        with MySQLFixtureServer(binlog=VirtualBinlog.from_cdc_fixture(
+                100)) as plain_srv:
+            got_plain = snapshot(plain_srv)
+        assert got_crc == got_plain and len(got_crc) == 90
+
+    def test_corrupt_crc_raises(self):
+        """A flipped payload byte fails CRC verification loudly instead
+        of silently mis-decoding."""
+        import pytest as _pytest
+
+        from ru_cdc_spark.sources.mysql_client import strip_checksum
+        from ru_cdc_spark.sources.mysql_fixture_server import VirtualBinlog
+
+        vb = VirtualBinlog.from_cdc_fixture(10, crc32=True)
+        ev = bytearray(vb.events[1][2])
+        ev[25] ^= 0xFF
+        with _pytest.raises(ValueError, match="CRC32"):
+            strip_checksum(bytes(ev))

@@ -342,38 +342,9 @@ class MySQLFixtureServer:
             return
         if start_idx is None:
             start_idx = 0
-        from ru_cdc_spark.sources.mysql_client import encode_packet
-
-        seq = 1
         out = bytearray()
-
-        def send(ev: bytes) -> None:
-            nonlocal seq
-            out.extend(encode_packet(seq, b"\x00" + ev))
-            seq = (seq + 1) & 0xFF
-
-        for idx in range(start_idx, len(self.binlogs)):
-            vb = self.binlogs[idx]
-            from_pos = pos if idx == start_idx else 4
-            # a real dump replays the FDE first regardless of start
-            # pos so the client can configure its decoder
-            fde = next((ev for _, _, ev in vb.events
-                        if ev[4] == 15), None)
-            if fde is not None and from_pos > 4:
-                send(fde)
-            for start, _end, ev in vb.events:
-                if start < from_pos:
-                    continue
-                send(ev)
-            if idx + 1 < len(self.binlogs):
-                # file boundary: ROTATE to the next log (D12) — the
-                # artificial form a live server streams mid-dump
-                from ru_cdc_spark.sources.binlog_wire import encode_rotate
-
-                send(encode_rotate(self.binlogs[idx + 1].filename))
-        # bounded fixture: end the stream with EOF instead of blocking
-        # forever like a live dump would
-        out.extend(encode_packet(seq, b"\xfe\x00\x00\x02\x00"))
+        for part in self._dump_parts(start_idx, pos):
+            out += part
         try:
             # one buffered sendall: the event stream leaves in TCP-sized
             # writes instead of one syscall per tiny packet
@@ -382,3 +353,54 @@ class MySQLFixtureServer:
             # slice readers hang up once their [lo, hi) range is
             # satisfied — a client disconnect mid-dump is normal
             return
+
+    def _framed(self, idx: int) -> tuple[bytes, list[tuple[int, int]]]:
+        """Packet-framed byte stream of file ``idx``, cached: serving a
+        dump becomes a byte-slice + sendall instead of re-framing every
+        event per connection (16 slice readers × a 20k-row log was
+        Python-loop-bound). Sequence ids are assigned at cache build —
+        a dump starting mid-file begins at that event's cached seq,
+        which MySQL clients (including ours) follow rather than check."""
+        from ru_cdc_spark.sources.mysql_client import encode_packet
+
+        cache = getattr(self, "_framed_cache", None)
+        if cache is None:
+            cache = self._framed_cache = {}
+        if idx not in cache:
+            vb = self.binlogs[idx]
+            blob = bytearray()
+            index: list[tuple[int, int]] = []  # (event start pos, offset)
+            seq = 1
+            for start, _end, ev in vb.events:
+                index.append((start, len(blob)))
+                blob += encode_packet(seq, b"\x00" + ev)
+                seq = (seq + 1) & 0xFF
+            cache[idx] = (bytes(blob), index)
+        return cache[idx]
+
+    def _dump_parts(self, start_idx: int, pos: int):
+        from ru_cdc_spark.sources.mysql_client import encode_packet
+        from ru_cdc_spark.sources.binlog_wire import encode_rotate
+
+        for idx in range(start_idx, len(self.binlogs)):
+            blob, index = self._framed(idx)
+            from_pos = pos if idx == start_idx else 4
+            offset = next((off for start, off in index
+                           if start >= from_pos), len(blob))
+            if offset > 0:
+                # a real dump replays the FDE first regardless of start
+                # pos so the client can configure its decoder
+                fde = next((ev for _, _, ev in self.binlogs[idx].events
+                            if ev[4] == 15), None)
+                if fde is not None:
+                    yield encode_packet(1, b"\x00" + fde)
+            yield blob[offset:]
+            if idx + 1 < len(self.binlogs):
+                # file boundary: ROTATE to the next log (D12) — the
+                # artificial form a live server streams mid-dump
+                yield encode_packet(
+                    0, b"\x00" + encode_rotate(
+                        self.binlogs[idx + 1].filename))
+        # bounded fixture: end the stream with EOF instead of blocking
+        # forever like a live dump would
+        yield encode_packet(0, b"\xfe\x00\x00\x02\x00")

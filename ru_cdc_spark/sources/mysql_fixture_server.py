@@ -287,6 +287,10 @@ class MySQLFixtureServer:
                 [[self.binlog.filename, str(self.binlog.end_pos), "", ""]])
         elif q.startswith("show binlog events"):
             self._show_binlog_events(io, q)
+        elif q == "show binary logs":
+            self._send_result_set(
+                io, ["Log_name", "File_size"],
+                [[b.filename, str(b.end_pos)] for b in self.binlogs])
         elif q.startswith("desc "):
             self._desc(io, q[5:].strip())
         elif q == "select @@global.binlog_checksum":

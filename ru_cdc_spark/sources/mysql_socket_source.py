@@ -51,9 +51,12 @@ TABLE_MAP_TYPE = 19
 
 
 def _dump_frames(host: str, port: int, user: str, password: str,
-                 filename: str, lo: int, hi: int) -> list[tuple[int, bytes]]:
+                 filename: str, lo: int, hi: int,
+                 stop_at_rotate: bool = False) -> list[tuple[int, bytes]]:
     """One task's work: dial, auth, dump [lo, hi), reassemble frames.
-    Returns [(log_pos, TABLE_MAP+ROWS bytes)]."""
+    Returns [(log_pos, TABLE_MAP+ROWS bytes)]. ``stop_at_rotate`` ends
+    the read at a file boundary (positions restart in the next file, so
+    a position-bounded slice must not cross it)."""
     from ru_cdc_spark.sources.binlog_wire import decode_format_description
     from ru_cdc_spark.sources.mysql_client import (
         MySQLConnection,
@@ -72,6 +75,8 @@ def _dump_frames(host: str, port: int, user: str, password: str,
                 checksum_bytes = decode_format_description(
                     ev)["checksum_bytes"]
                 continue
+            if stop_at_rotate and etype == 4:
+                break
             if log_pos > hi:
                 break
             if checksum_bytes:
@@ -86,16 +91,35 @@ def _dump_frames(host: str, port: int, user: str, password: str,
     return frames
 
 
-def fetch_binlog_layout(host: str, port: int, user: str, password: str
+def fetch_binlog_layout(host: str, port: int, user: str, password: str,
+                        filename: str | None = None
                         ) -> tuple[str, int, list[tuple[int, str, int]]]:
-    """Driver-side metadata pass: (file, end_pos, [(pos, type, end)])."""
+    """Driver-side metadata pass: (file, end_pos, [(pos, type, end)]).
+    Defaults to the tip file (SHOW MASTER STATUS); pass ``filename`` to
+    lay out an earlier log in the chain."""
     from ru_cdc_spark.sources.mysql_client import MySQLConnection
 
     with MySQLConnection.connect(host, port, user, password) as conn:
-        fname, end_pos = conn.show_master_status()
+        if filename is None:
+            fname, end_pos = conn.show_master_status()
+        else:
+            fname, end_pos = filename, 0
         rs = conn.query(f"show binlog events in '{fname}'")
         events = [(int(r[1]), r[2] or "", int(r[4])) for r in rs.rows]
+        if filename is not None:
+            end_pos = max((e for _, _, e in events), default=4)
     return fname, end_pos, events
+
+
+def fetch_binary_logs(host: str, port: int, user: str, password: str
+                      ) -> list[tuple[str, int]]:
+    """SHOW BINARY LOGS -> ordered [(name, size)] — the file chain a
+    resuming reader walks across rotations."""
+    from ru_cdc_spark.sources.mysql_client import MySQLConnection
+
+    with MySQLConnection.connect(host, port, user, password) as conn:
+        rs = conn.query("show binary logs")
+    return [(r[0] or "", int(r[1] or 0)) for r in rs.rows]
 
 
 def slice_at_table_maps(events: list[tuple[int, str, int]],
@@ -147,7 +171,8 @@ SOCKET_SCHEMA_DDL = "pos long, frame binary"
 
 
 class _SlicePartition(InputPartition):
-    def __init__(self, lo: int, hi: int) -> None:
+    def __init__(self, file: str, lo: int, hi: int) -> None:
+        self.file = file
         self.lo = lo
         self.hi = hi
 
@@ -176,33 +201,55 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         # instead of re-announcing already-committed ranges
         self.position_file = options.get("position_file")
 
-    def _load_cur(self) -> int:
+    def _load_cur(self) -> tuple[str | None, int]:
         if self.position_file and os.path.exists(self.position_file):
             with open(self.position_file) as fh:
-                return int(json.load(fh)["pos"])
-        return self.start_pos
+                d = json.load(fh)
+                return d.get("file"), int(d["pos"])
+        return None, self.start_pos
 
-    def _save_cur(self, pos: int) -> None:
+    def _save_cur(self, fname: str, pos: int) -> None:
         if self.position_file:
             tmp = f"{self.position_file}.tmp"
             with open(tmp, "w") as fh:
-                json.dump({"pos": pos, "file": self._file}, fh)
+                json.dump({"pos": pos, "file": fname}, fh)
             os.replace(tmp, self.position_file)
 
-    def _layout(self) -> tuple[str, int, list[tuple[int, str, int]]]:
-        return fetch_binlog_layout(self.host, self.port, self.user,
-                                   self.password)
+    def _files(self) -> list[str]:
+        return [n for n, _ in fetch_binary_logs(
+            self.host, self.port, self.user, self.password)]
 
     def initialOffset(self) -> dict:  # noqa: N802
         if self._file is None:
-            self._file, _, _ = self._layout()
+            files = self._files()
+            self._file = files[0] if files else None
         return {"file": self._file, "pos": self.start_pos}
 
     def latestOffset(self) -> dict:  # noqa: N802
         """Advance at most events_per_batch event boundaries — bounded
-        micro-batches keyed to REAL positions from SHOW BINLOG EVENTS."""
-        fname, end_pos, events = self._layout()
-        cur = max(getattr(self, "_cur", 0), self._load_cur())
+        micro-batches keyed to REAL positions from SHOW BINLOG EVENTS.
+        When the current file is drained and the server has rotated, the
+        offset steps to the next file at pos 4 (a batch never spans a
+        file boundary — positions restart per file)."""
+        mem = getattr(self, "_cur", None)
+        saved_file, saved_pos = self._load_cur()
+        cur_file, cur = mem if mem is not None else (
+            saved_file, saved_pos)
+        if mem is not None and saved_file == mem[0]:
+            cur = max(cur, saved_pos)
+        files = self._files()
+        if cur_file is None:
+            cur_file = files[0] if files else ""
+        _, _, events = fetch_binlog_layout(
+            self.host, self.port, self.user, self.password, cur_file)
+        file_end = max((e for _, _, e in events), default=cur)
+        if cur >= file_end and cur_file in files and \
+                files.index(cur_file) + 1 < len(files):
+            # rotation: this file is drained, continue in the next one
+            cur_file = files[files.index(cur_file) + 1]
+            cur = 4
+            _, _, events = fetch_binlog_layout(
+                self.host, self.port, self.user, self.password, cur_file)
         # batch boundaries must not split a TABLE_MAP from its ROWS
         # event (a dump resumed between them would drop the frame), so
         # cut only at TABLE_MAP starts or the log end
@@ -220,21 +267,28 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
                 # overshoot to the nearest safe cut so progress never stalls
                 beyond = [e for e in upcoming if e in safe_cuts]
                 new_pos = min(beyond) if beyond else upcoming[-1]
-        self._cur = max(cur, new_pos)
-        self._save_cur(self._cur)
-        return {"file": fname, "pos": self._cur}
+        new_pos = max(cur, new_pos)
+        self._cur = (cur_file, new_pos)
+        self._save_cur(cur_file, new_pos)
+        return {"file": cur_file, "pos": new_pos}
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
-        return [_SlicePartition(int(start["pos"]), int(end["pos"]))]
+        if start.get("file") != end.get("file"):
+            # rotation boundary: the previous batch already drained the
+            # old file (latestOffset only rotates at file end), so this
+            # batch delivers only the new file's prefix [4, end.pos)
+            return [_SlicePartition(end["file"], 4, int(end["pos"]))]
+        return [_SlicePartition(end["file"], int(start["pos"]),
+                                int(end["pos"]))]
 
     def read(self, partition: _SlicePartition) -> Iterator[tuple]:
         if partition.hi <= partition.lo:
             return
-        fname = self._file or self._layout()[0]
         for pos, frame in _dump_frames(self.host, self.port, self.user,
-                                       self.password, fname,
-                                       partition.lo, partition.hi):
+                                       self.password, partition.file,
+                                       partition.lo, partition.hi,
+                                       stop_at_rotate=True):
             yield (pos, frame)
 
     def commit(self, end: dict) -> None:

@@ -166,3 +166,50 @@ class TestCrc32Stream:
         ev[25] ^= 0xFF
         with _pytest.raises(ValueError, match="CRC32"):
             strip_checksum(bytes(ev))
+
+
+class TestStreamingRotation:
+    def test_stream_follows_rotation_across_files(self, spark, tmp_path):
+        """The streaming source drains file 1, steps its offset to
+        file 2 at pos 4 (D12 + C1 end to end), and delivers every frame
+        of both files exactly once across checkpointed restarts."""
+        from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            register_binlog_socket_source,
+        )
+
+        vb1 = VirtualBinlog.from_cdc_fixture(60, "binlog.000001")
+        vb2 = VirtualBinlog.from_cdc_fixture(60, "binlog.000002")
+        srv = MySQLFixtureServer(binlogs=[vb1, vb2]).start()
+        try:
+            register_binlog_socket_source(spark)
+            ck = str(tmp_path / "ck")
+            out = str(tmp_path / "out")
+            pos_file = str(tmp_path / "meta.json")
+            for _ in range(6):
+                stream = (spark.readStream.format("binlog_socket")
+                          .option("host", "127.0.0.1")
+                          .option("port", srv.port)
+                          .option("user", srv.user)
+                          .option("password", srv.password)
+                          .option("events_per_batch", 30)
+                          .option("position_file", pos_file).load())
+                q = (stream.writeStream.format("parquet")
+                     .option("path", out)
+                     .option("checkpointLocation", ck)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination(120)
+            frames = spark.read.parquet(out)
+            per_file = len(
+                [1 for _, _, ev in vb1.events if ev[4] in (30, 31, 32)])
+            assert frames.count() == 2 * per_file, \
+                f"{frames.count()} != {2 * per_file}"
+            # both files' content present: decode and check the i range
+            decoded = decode_cdc_frames(frames.select("frame"))
+            # ids 0..59 appear twice (once per file)
+            counts = decoded.where("type = 'INSERT'") \
+                .groupBy("i").count().collect()
+            assert all(r["count"] == 2 for r in counts)
+            assert len(counts) == 60
+        finally:
+            srv.stop()

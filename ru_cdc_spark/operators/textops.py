@@ -910,3 +910,82 @@ SELECT source, COUNT(*) AS n_bigrams,
 FROM sb JOIN spread USING (g)
 GROUP BY 1
 """.replace("{words}", _WORDS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# exhaustive duplicated-span detection (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+DUPSPAN_K = 6  # token n-gram length (the paper's ~50-token unit, scaled
+               # to the fixture's short documents)
+
+
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive duplicated-n-gram measurement (the exact-substring
+    dedup signal from Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22): EVERY word 6-gram is hashed with
+    its position; an n-gram occurring in more than one document marks
+    its positions duplicated, and each document reports how much of it
+    is cross-document duplicated text. Winnowing SAMPLES fingerprints;
+    this is the exhaustive variant real dedup passes run before cutting
+    spans.
+
+    Scale: per-row n-gram arrays (codegen) -> posexplode -> one groupBy
+    on the 128-bit gram hash (uniform, no skew) to find cross-doc grams
+    -> one groupBy back on doc_id. Both shuffles carry (hash, doc, pos)
+    triples, never text. The count_distinct(doc) per gram partial-
+    aggregates map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (DUPSPAN_K - 1)),
+        lambda i: F.md5(F.array_join(F.slice(w, i, DUPSPAN_K), " ")),
+    )
+    positions = (spread(docs)
+                 .select("doc_id", words_col(F.col("text")).alias("w"))
+                 .where(F.size("w") >= DUPSPAN_K)
+                 .select("doc_id", F.size("w").alias("n_words"),
+                         F.posexplode(grams).alias("pos", "g")))
+    cross = (positions.groupBy("g")
+             .agg(F.count_distinct("doc_id").alias("nd"))
+             .where(F.col("nd") > 1)
+             .select("g"))
+    dup = positions.join(cross, "g")
+    return (positions.groupBy("doc_id")
+            .agg(F.max("n_words").alias("n_words"),
+                 F.count("*").alias("n_grams"))
+            .join(dup.groupBy("doc_id")
+                  .agg(F.count("*").alias("dup_grams"),
+                       F.min("pos").alias("first_dup_pos")),
+                  "doc_id", "left")
+            .select("doc_id", "n_words", "n_grams",
+                    F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+                    F.col("first_dup_pos").cast("long")
+                    .alias("first_dup_pos"),
+                    (F.coalesce("dup_grams", F.lit(0))
+                     / F.col("n_grams")).alias("dup_ratio")))
+
+
+TEXT_DUPLICATE_SPANS_SQL = f"""
+WITH words AS (SELECT doc_id, {{words}} AS w FROM documents),
+pos AS (
+    SELECT doc_id, len(w) AS n_words, i - 1 AS pos,
+           md5(array_to_string(w[i:i+{DUPSPAN_K - 1}], ' ')) AS g
+    FROM words, UNNEST(range(1, len(w) - {DUPSPAN_K - 2})) AS t(i)
+    WHERE len(w) >= {DUPSPAN_K}
+),
+cross_grams AS (
+    SELECT g FROM pos GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+),
+dup AS (
+    SELECT doc_id, COUNT(*) AS dup_grams, MIN(pos) AS first_dup_pos
+    FROM pos JOIN cross_grams USING (g) GROUP BY 1
+)
+SELECT p.doc_id, MAX(n_words) AS n_words, COUNT(*) AS n_grams,
+       COALESCE(MAX(dup_grams), 0) AS dup_grams,
+       CAST(MAX(first_dup_pos) AS BIGINT) AS first_dup_pos,
+       CAST(COALESCE(MAX(dup_grams), 0) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM pos p LEFT JOIN dup USING (doc_id)
+GROUP BY 1
+""".replace("{words}", _WORDS_SQL)

@@ -789,3 +789,85 @@ def iter_binlog_frames(events) -> "list[tuple[int, bytes]]":
         elif etype == _ROTATE:
             current_tm = None
     return frames
+
+
+# --------------------------------------------------------------------------
+# connection pooling (X5 parity)
+# --------------------------------------------------------------------------
+
+
+class ConnectionPool:
+    """Per-process idle-connection pool — the reference's connection
+    recycling (X5; its executor threads reuse long-lived connections,
+    executor.rs worker loop). ``acquire`` revalidates an idle connection
+    with COM_PING and silently discards dead ones; ``release`` returns a
+    CLEAN connection to the pool (a connection that streamed a dump and
+    hung up mid-stream is dirty and must be closed, not recycled).
+
+    Used for the metadata path (SHOW MASTER STATUS / SHOW BINLOG EVENTS
+    / DESC) where the streaming source would otherwise dial a fresh TCP
+    + handshake every micro-batch trigger."""
+
+    MAX_IDLE_PER_KEY = 4
+
+    _idle: dict[tuple, list["MySQLConnection"]] = {}
+    _lock = __import__("threading").Lock()
+
+    @classmethod
+    def acquire(cls, host: str, port: int, user: str,
+                password: str) -> "MySQLConnection":
+        key = (host, port, user)
+        while True:
+            with cls._lock:
+                pool = cls._idle.get(key, [])
+                conn = pool.pop() if pool else None
+            if conn is None:
+                return MySQLConnection.connect(host, port, user, password)
+            try:
+                if conn.ping():
+                    return conn
+            except (OSError, MySQLError, ConnectionError):
+                pass
+            conn.close()  # dead idle connection: discard, try next
+
+    @classmethod
+    def release(cls, conn: "MySQLConnection", host: str, port: int,
+                user: str) -> None:
+        key = (host, port, user)
+        with cls._lock:
+            pool = cls._idle.setdefault(key, [])
+            if len(pool) < cls.MAX_IDLE_PER_KEY:
+                pool.append(conn)
+                return
+        conn.close()
+
+    @classmethod
+    def clear(cls) -> None:
+        with cls._lock:
+            pools, cls._idle = cls._idle, {}
+        for pool in pools.values():
+            for conn in pool:
+                conn.close()
+
+
+class pooled_connection:
+    """``with pooled_connection(host, port, user, pw) as conn:`` —
+    acquire from the pool, release back on clean exit, close on error
+    (an exception may leave the wire mid-message)."""
+
+    def __init__(self, host: str, port: int, user: str,
+                 password: str) -> None:
+        self.key = (host, port, user)
+        self.password = password
+        self.conn: MySQLConnection | None = None
+
+    def __enter__(self) -> "MySQLConnection":
+        self.conn = ConnectionPool.acquire(*self.key, self.password)
+        return self.conn
+
+    def __exit__(self, exc_type, *exc) -> None:
+        assert self.conn is not None
+        if exc_type is None:
+            ConnectionPool.release(self.conn, *self.key)
+        else:
+            self.conn.close()

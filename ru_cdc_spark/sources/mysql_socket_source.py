@@ -97,9 +97,9 @@ def fetch_binlog_layout(host: str, port: int, user: str, password: str,
     """Driver-side metadata pass: (file, end_pos, [(pos, type, end)]).
     Defaults to the tip file (SHOW MASTER STATUS); pass ``filename`` to
     lay out an earlier log in the chain."""
-    from ru_cdc_spark.sources.mysql_client import MySQLConnection
+    from ru_cdc_spark.sources.mysql_client import pooled_connection
 
-    with MySQLConnection.connect(host, port, user, password) as conn:
+    with pooled_connection(host, port, user, password) as conn:
         if filename is None:
             fname, end_pos = conn.show_master_status()
         else:
@@ -115,9 +115,9 @@ def fetch_binary_logs(host: str, port: int, user: str, password: str
                       ) -> list[tuple[str, int]]:
     """SHOW BINARY LOGS -> ordered [(name, size)] — the file chain a
     resuming reader walks across rotations."""
-    from ru_cdc_spark.sources.mysql_client import MySQLConnection
+    from ru_cdc_spark.sources.mysql_client import pooled_connection
 
-    with MySQLConnection.connect(host, port, user, password) as conn:
+    with pooled_connection(host, port, user, password) as conn:
         rs = conn.query("show binary logs")
     return [(r[0] or "", int(r[1] or 0)) for r in rs.rows]
 

@@ -417,3 +417,55 @@ class TestMultiFileRotation:
             assert tail[1:] == suffix or tail == suffix
         finally:
             srv.stop()
+
+
+class TestConnectionPool:
+    def test_recycles_clean_connections(self, server):
+        from ru_cdc_spark.sources.mysql_client import (
+            ConnectionPool,
+            pooled_connection,
+        )
+
+        ConnectionPool.clear()
+        with pooled_connection("127.0.0.1", server.port,
+                               "repl", "replpass") as c1:
+            first = c1
+        with pooled_connection("127.0.0.1", server.port,
+                               "repl", "replpass") as c2:
+            assert c2 is first  # recycled, not re-dialed
+            assert c2.show_master_status()[1] > 4
+        ConnectionPool.clear()
+
+    def test_error_exit_closes_instead_of_recycling(self, server):
+        from ru_cdc_spark.sources.mysql_client import (
+            ConnectionPool,
+            pooled_connection,
+        )
+
+        ConnectionPool.clear()
+        with pytest.raises(RuntimeError):
+            with pooled_connection("127.0.0.1", server.port,
+                                   "repl", "replpass") as c1:
+                dirty = c1
+                raise RuntimeError("boom")
+        with pooled_connection("127.0.0.1", server.port,
+                               "repl", "replpass") as c2:
+            assert c2 is not dirty
+        ConnectionPool.clear()
+
+    def test_dead_idle_connection_discarded(self, server):
+        from ru_cdc_spark.sources.mysql_client import (
+            ConnectionPool,
+            pooled_connection,
+        )
+
+        ConnectionPool.clear()
+        with pooled_connection("127.0.0.1", server.port,
+                               "repl", "replpass") as c1:
+            zombie = c1
+        zombie.io.sock.close()  # dies while idle in the pool
+        with pooled_connection("127.0.0.1", server.port,
+                               "repl", "replpass") as c2:
+            assert c2 is not zombie
+            assert c2.ping()
+        ConnectionPool.clear()

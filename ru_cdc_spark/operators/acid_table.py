@@ -61,11 +61,16 @@ class CommitConflict(RuntimeError):
 
 class AcidTable:
     def __init__(self, spark: SparkSession, root: str, pk: str,
-                 seq_col: str = "seq") -> None:
+                 seq_col: str = "seq",
+                 partition_col: str | None = None) -> None:
         self.spark = spark
         self.root = root
         self.pk = pk
         self.seq_col = seq_col
+        # optional hive-style partition column: add-actions record each
+        # file's partition value, so merges and snapshots prune whole
+        # partitions from the LOG before any file I/O
+        self.partition_col = partition_col
         os.makedirs(os.path.join(root, "_log"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -185,17 +190,33 @@ class AcidTable:
         return add-actions with per-file rows + pk min/max stats (one
         distributed stats pass grouped by file — no driver data)."""
         sub = os.path.join(self.root, "data", uuid.uuid4().hex)
-        df.write.parquet(sub)
+        if self.partition_col is not None:
+            # hive layout: partitionBy guarantees every data file holds
+            # exactly one partition value (the property the log's
+            # pruning relies on; a plain repartition can be re-coalesced
+            # by AQE into mixed files)
+            df.write.partitionBy(self.partition_col).parquet(sub)
+        else:
+            df.write.parquet(sub)
+        part_aggs = ([F.first(self.partition_col).alias("pv"),
+                      F.count_distinct(self.partition_col).alias("npv")]
+                     if self.partition_col is not None else [])
         stats = (self.spark.read.parquet(sub)
                  .groupBy(F.input_file_name().alias("path"))
                  .agg(F.count("*").alias("rows"),
                       F.min(self.pk).alias("min_pk"),
-                      F.max(self.pk).alias("max_pk"))
+                      F.max(self.pk).alias("max_pk"), *part_aggs)
                  .collect())
-        return [{"add": {"path": r["path"].removeprefix("file://"),
-                         "rows": r["rows"],
-                         "min_pk": r["min_pk"], "max_pk": r["max_pk"]}}
-                for r in stats]
+        out = []
+        for r in stats:
+            add = {"path": r["path"].removeprefix("file://"),
+                   "rows": r["rows"],
+                   "min_pk": r["min_pk"], "max_pk": r["max_pk"]}
+            if self.partition_col is not None:
+                # a file spanning partitions would defeat log pruning
+                add["partition"] = (None if r["npv"] != 1 else r["pv"])
+            out.append({"add": add})
+        return out
 
     def create(self, df: DataFrame) -> int:
         """Version 0: initial data files."""
@@ -212,21 +233,65 @@ class AcidTable:
 
     # -- reading -----------------------------------------------------------
 
+    def _read_files(self, files: list[dict]) -> DataFrame:
+        """Read a file set, reconstituting the partition column: hive
+        layout stores it in the directory name, not the file, so reads
+        by direct path inject it from the log's recorded value."""
+        if self.partition_col is None:
+            return self.spark.read.option("mergeSchema", "true") \
+                .parquet(*[f["path"] for f in files])
+        groups: dict = {}
+        for f in files:
+            groups.setdefault(f.get("partition"), []).append(f["path"])
+        parts = []
+        for value, paths in groups.items():
+            df = self.spark.read.option("mergeSchema", "true") \
+                .parquet(*paths)
+            if value is not None and self.partition_col not in df.columns:
+                df = df.withColumn(self.partition_col, F.lit(value))
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+
+
     def snapshot(self, version: int | None = None,
-                 where_pk_between: tuple | None = None) -> DataFrame:
+                 where_pk_between: tuple | None = None,
+                 where_partition=None) -> DataFrame:
         files = self.active_files(version)
+        if where_partition is not None:
+            # whole-partition pruning from the LOG — no file I/O spent
+            # deciding what not to read
+            files = [f for f in files
+                     if f.get("partition") in (None, where_partition)]
         if where_pk_between is not None:
             lo, hi = where_pk_between
             files = [f for f in files
                      if not (f["max_pk"] < lo or f["min_pk"] > hi)]
         if not files:
             raise ValueError("empty table (no committed files)")
-        df = self.spark.read.option("mergeSchema", "true")\
-            .parquet(*[f["path"] for f in files])
+        df = self._read_files(files)
         if where_pk_between is not None:
             lo, hi = where_pk_between
             df = df.where(F.col(self.pk).between(lo, hi))
+        if where_partition is not None:
+            df = df.where(F.col(self.partition_col) == where_partition)
         return df
+
+    def _partition_prune(self, files: list[dict],
+                         latest: DataFrame) -> list[dict]:
+        """Drop candidate files whose recorded partition value cannot
+        match any change row (log-level pruning ahead of the pk-range
+        join). Partition values are low-cardinality by definition, so
+        collecting the batch's distinct set is metadata-sized."""
+        if self.partition_col is None or self.partition_col not in \
+                latest.columns:
+            return files
+        vals = {r[0] for r in
+                latest.select(self.partition_col).distinct().collect()}
+        return [f for f in files
+                if f.get("partition") is None or f["partition"] in vals]
 
     # -- MERGE (copy-on-write) --------------------------------------------
 
@@ -256,8 +321,9 @@ class AcidTable:
                   .agg(F.max_by(row, F.col(self.seq_col)).alias("__r"))
                   .select("__r.*"))
 
+        candidates = self._partition_prune(files, latest)
         ranges = self.spark.createDataFrame(
-            [(f["path"], f["min_pk"], f["max_pk"]) for f in files],
+            [(f["path"], f["min_pk"], f["max_pk"]) for f in candidates],
             "path string, min_pk long, max_pk long")
         hit_paths = {
             r["path"] for r in
@@ -267,13 +333,12 @@ class AcidTable:
                                          F.col("max_pk")), "inner")
             .select("path").distinct().collect()
         }
-        hit = [f for f in files if f["path"] in hit_paths]
+        hit = [f for f in candidates if f["path"] in hit_paths]
 
         upserts = latest.where(F.col(op_col) != delete_op) \
             .drop(self.seq_col, op_col)
         if hit:
-            current = self.spark.read.option("mergeSchema", "true")\
-                .parquet(*[f["path"] for f in hit])
+            current = self._read_files(hit)
             survivors = current.join(latest.select(self.pk),
                                      self.pk, "left_anti")
             # widening evolution: either side may carry columns the
@@ -318,8 +383,9 @@ class AcidTable:
                   .agg(F.max_by(row, F.col(self.seq_col)).alias("__r"))
                   .select("__r.*"))
 
+        candidates = self._partition_prune(files, latest)
         ranges = self.spark.createDataFrame(
-            [(f["path"], f["min_pk"], f["max_pk"]) for f in files],
+            [(f["path"], f["min_pk"], f["max_pk"]) for f in candidates],
             "path string, min_pk long, max_pk long")
         hit_paths = {
             r["path"] for r in
@@ -328,12 +394,11 @@ class AcidTable:
                   F.col(self.pk).between(F.col("min_pk"),
                                          F.col("max_pk")), "inner")
             .select("path").distinct().collect()
-        } if files else set()
-        hit = [f for f in files if f["path"] in hit_paths]
+        } if candidates else set()
+        hit = [f for f in candidates if f["path"] in hit_paths]
 
         if hit:
-            current = self.spark.read.option("mergeSchema", "true")\
-                .parquet(*[f["path"] for f in hit])
+            current = self._read_files(hit)
             combined = current.unionByName(latest,
                                            allowMissingColumns=True)
             wrow = F.struct(*[F.col(c) for c in combined.columns])
@@ -356,6 +421,22 @@ class AcidTable:
         return (self.snapshot(version)
                 .where(~F.col("__deleted"))
                 .drop(self.seq_col, "__deleted"))
+
+    def merge_retrying(self, changes: DataFrame, max_retries: int = 5,
+                       versioned: bool = False, **kwargs) -> int:
+        """The writer loop real concurrent appliers run: attempt the
+        merge; on CommitConflict, re-read the log (rebase) and retry —
+        the plan is recomputed against the NEW base each attempt, so a
+        competitor's rewrites are respected. Raises after
+        ``max_retries`` conflicts."""
+        op = self.merge_versioned if versioned else self.merge
+        last: CommitConflict | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return op(changes, **kwargs)
+            except CommitConflict as exc:
+                last = exc
+        raise last
 
     # -- compaction --------------------------------------------------------
 
@@ -383,8 +464,7 @@ class AcidTable:
         victims = small if tombstone_watermark is None else files
         if not victims:
             return None
-        df = self.spark.read.option("mergeSchema", "true")\
-            .parquet(*[f["path"] for f in victims])
+        df = self._read_files(victims)
         if tombstone_watermark is not None and "__deleted" in df.columns:
             df = df.where(~F.col("__deleted")
                           | (F.col(self.seq_col) > tombstone_watermark))

@@ -365,3 +365,63 @@ class TestSchemaWidening:
         vs = t.versions()
         assert vs == sorted(set(vs)) == list(range(12))
         assert len(t.history()) == 12
+
+
+class TestPartitionedTable:
+    def _pt(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "pt"), pk="k",
+                      partition_col="region")
+        base = spark.range(600).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 13).alias("v"),
+            F.element_at(F.array(F.lit("eu"), F.lit("us"), F.lit("ap")),
+                         (F.col("id") % 3 + 1).cast("int")).alias("region"))
+        t.create(base)
+        return t
+
+    def test_add_actions_record_partitions(self, spark, tmp_path):
+        t = self._pt(spark, tmp_path)
+        parts = {f.get("partition") for f in t.active_files()}
+        assert parts == {"eu", "us", "ap"}
+
+    def test_partition_snapshot_prunes_files_from_log(self, spark,
+                                                      tmp_path):
+        t = self._pt(spark, tmp_path)
+        eu = t.snapshot(where_partition="eu")
+        all_files = {f["path"] for f in t.active_files()}
+        read = {p.removeprefix("file://") for p in eu.inputFiles()}
+        assert read < all_files
+        assert eu.count() == 200
+        assert eu.where("region <> 'eu'").count() == 0
+
+    def test_merge_rewrites_only_hit_partition(self, spark, tmp_path):
+        t = self._pt(spark, tmp_path)
+        before = {f["path"]: f.get("partition")
+                  for f in t.active_files()}
+        ch = spark.createDataFrame(
+            [(0, 999, "eu", "UPDATE", 1)],
+            "k long, v long, region string, type string, seq long")
+        t.merge(ch)
+        after = {f["path"] for f in t.active_files()}
+        removed = set(before) - after
+        # only eu files rewrote; us/ap carried by reference
+        assert removed and all(before[p] == "eu" for p in removed)
+        assert t.snapshot().where("k = 0").first()["v"] == 999
+
+    def test_merge_retrying_rebases_past_conflicts(self, spark, tmp_path):
+        t = self._pt(spark, tmp_path)
+        t2 = AcidTable(spark, str(tmp_path / "pt"), pk="k",
+                       partition_col="region")  # competing writer
+        ch1 = spark.createDataFrame(
+            [(1, 100, "us", "UPDATE", 1)],
+            "k long, v long, region string, type string, seq long")
+        ch2 = spark.createDataFrame(
+            [(2, 200, "ap", "UPDATE", 2)],
+            "k long, v long, region string, type string, seq long")
+        t.merge(ch1)
+        # t2's cached view is stale (it would claim the same version) —
+        # merge_retrying must rebase and land on the next one
+        v = t2.merge_retrying(ch2)
+        assert v == t2.latest_version()
+        snap = {r["k"]: r["v"] for r in t2.snapshot().collect()}
+        assert snap[1] == 100 and snap[2] == 200

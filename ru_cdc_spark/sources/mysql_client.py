@@ -699,10 +699,18 @@ class MySQLConnection:
         while True:
             try:
                 pkt = self.io.read_packet()
-            except (ConnectionError, OSError):
-                return
+            except (ConnectionError, OSError) as exc:
+                # an unexpected disconnect is NOT end-of-stream: a
+                # server that crashed mid-dump must fail the read task
+                # loudly (silently truncating a slice would commit an
+                # offset past undelivered frames — data loss). Clean
+                # termination is the EOF packet below.
+                raise MySQLError(
+                    2013, "HY000",
+                    "lost connection mid-dump (no EOF packet)") from exc
             if not pkt:
-                return
+                raise MySQLError(2013, "HY000",
+                                 "empty packet mid-dump")
             tag = pkt[0]
             if tag == 0xFF:
                 raise decode_err(pkt)

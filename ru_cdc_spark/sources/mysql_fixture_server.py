@@ -150,7 +150,11 @@ class MySQLFixtureServer:
                  binlogs: list[VirtualBinlog] | None = None,
                  catalog: dict | None = None,
                  nonce: bytes | None = None,
-                 host: str = "127.0.0.1") -> None:
+                 host: str = "127.0.0.1",
+                 die_after_events: int | None = None) -> None:
+        # fault injection: hang up mid-dump after N event packets
+        # WITHOUT the EOF terminator (the server-crash contract test)
+        self.die_after_events = die_after_events
         self.user = user
         self.password = password
         # multi-file log: a dump crossing a file boundary emits a ROTATE
@@ -346,6 +350,26 @@ class MySQLFixtureServer:
             return
         if start_idx is None:
             start_idx = 0
+        if self.die_after_events is not None:
+            # crash injection: stream exactly N events, then hang up
+            # with NO EOF packet — the client must treat this as a
+            # failure, not end-of-stream
+            from ru_cdc_spark.sources.mysql_client import encode_packet
+
+            out = bytearray()
+            seq = 1
+            for start, _end, ev in self.binlogs[start_idx].events:
+                if start < pos:
+                    continue
+                if (len(out) and seq > self.die_after_events):
+                    break
+                out += encode_packet(seq, b"\x00" + ev)
+                seq += 1
+            try:
+                io.sock.sendall(bytes(out))
+            finally:
+                io.sock.close()
+            return
         out = bytearray()
         for part in self._dump_parts(start_idx, pos):
             out += part

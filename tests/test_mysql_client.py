@@ -469,3 +469,25 @@ class TestConnectionPool:
             assert c2 is not zombie
             assert c2.ping()
         ConnectionPool.clear()
+
+
+class TestServerCrashMidDump:
+    def test_disconnect_without_eof_raises(self):
+        """A server that dies mid-dump (no EOF packet) must FAIL the
+        read — treating the disconnect as end-of-stream would let a
+        Spark task commit an offset past undelivered frames."""
+        vb = VirtualBinlog.from_cdc_fixture(100)
+        srv = MySQLFixtureServer(binlog=vb, die_after_events=5).start()
+        try:
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         "repl", "replpass") as conn:
+                with pytest.raises(MySQLError, match="mid-dump"):
+                    list(conn.binlog_dump("binlog.000001", 4))
+        finally:
+            srv.stop()
+
+    def test_clean_eof_still_terminates(self, server):
+        with MySQLConnection.connect("127.0.0.1", server.port,
+                                     "repl", "replpass") as conn:
+            events = list(conn.binlog_dump("binlog.000001", 4))
+        assert events  # ended via the EOF packet, no exception

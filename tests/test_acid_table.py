@@ -425,3 +425,42 @@ class TestPartitionedTable:
         assert v == t2.latest_version()
         snap = {r["k"]: r["v"] for r in t2.snapshot().collect()}
         assert snap[1] == 100 and snap[2] == 200
+
+
+class TestConcurrentWriters:
+    def test_threaded_merges_all_land_serializably(self, spark, tmp_path):
+        """Four writers race real merges through merge_retrying; the
+        put-if-absent protocol serializes them — every change lands,
+        version numbers are dense, and the final state equals the
+        union of all changes."""
+        import threading
+
+        root = str(tmp_path / "race")
+        t0 = AcidTable(spark, root, pk="k")
+        t0.create(_base(spark, 400).repartitionByRange(4, "k"))
+
+        errors = []
+
+        def writer(wid: int) -> None:
+            try:
+                t = AcidTable(spark, root, pk="k")
+                ch = _changes(spark, [
+                    (wid * 100 + j, 9000 + wid, f"w{wid}", "UPDATE",
+                     wid + 1) for j in range(3)])
+                t.merge_retrying(ch, max_retries=20)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=writer, args=(i,))
+                   for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errors, errors
+        assert t0.versions() == list(range(5))  # create + 4 merges, dense
+        snap = {r["k"]: r for r in t0.snapshot().collect()}
+        for wid in range(4):
+            for j in range(3):
+                assert snap[wid * 100 + j]["v"] == 9000 + wid, \
+                    f"writer {wid} change lost"

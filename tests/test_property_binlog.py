@@ -152,3 +152,35 @@ def test_random_schema_survives_crc32_transport(sr):
     stripped = b"".join(strip_checksum(ev) for _, _, ev in vb.events)
     _, _, _, got = w.decode_frame(stripped)
     assert got == rows
+
+
+# -- MySQL binary JSON ------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(2**31), 2**31 - 1),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+            max_size=20),
+)
+
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(
+            st.text(alphabet="abcdefgh_", min_size=1, max_size=8),
+            children, max_size=5),
+    ),
+    max_leaves=12,
+)
+
+
+@given(v=_json_values)
+@settings(max_examples=200, deadline=None)
+def test_binary_json_roundtrip(v):
+    """MySQL binary JSON (type 245) encode -> decode is identity for
+    arbitrary nested documents."""
+    from ru_cdc_spark.sources.mysql_json import decode_json, encode_json
+
+    assert decode_json(encode_json(v)) == v

@@ -464,3 +464,45 @@ class TestConcurrentWriters:
             for j in range(3):
                 assert snap[wid * 100 + j]["v"] == 9000 + wid, \
                     f"writer {wid} change lost"
+
+
+class TestVersionedMergeProperty:
+    def test_shuffled_batches_converge_to_latest_wins(self, spark,
+                                                      tmp_path):
+        """Randomized change streams cut into SHUFFLED batches (arrival
+        order maximally disagrees with sequence order) applied through
+        merge_versioned converge to the same state as a single latest-
+        wins pass — 5 seeds, deletes included."""
+        import random
+
+        for seed in range(5):
+            rnd = random.Random(seed)
+            root = str(tmp_path / f"prop{seed}")
+            t = AcidTable(spark, root, pk="k")
+            empty = spark.createDataFrame(
+                [], "k long, v long, tag string, seq long, "
+                    "__deleted boolean")
+            t.create(empty)
+            changes = []
+            for seq in range(1, 61):
+                k = rnd.randrange(15)
+                op = rnd.choice(["INSERT", "UPDATE", "UPDATE", "DELETE"])
+                changes.append((k, rnd.randrange(1000), f"s{seq}", op,
+                                seq))
+            shuffled = changes[:]
+            rnd.shuffle(shuffled)
+            batches = [shuffled[i::4] for i in range(4)]
+            for bi, batch in enumerate(batches):
+                t.merge_versioned(_changes(
+                    spark, [(k, v, tag, op, seq)
+                            for k, v, tag, op, seq in batch]),
+                    txn=f"p{seed}:{bi}")
+            got = {(r["k"], r["v"], r["tag"])
+                   for r in t.snapshot_live().collect()}
+            last: dict = {}
+            for k, v, tag, op, seq in changes:
+                if k not in last or seq > last[k][4]:
+                    last[k] = (k, v, tag, op, seq)
+            want = {(k, v, tag) for k, v, tag, op, _ in last.values()
+                    if op != "DELETE"}
+            assert got == want, f"seed {seed}"

@@ -499,3 +499,48 @@ class AcidTable:
                 os.remove(path)
                 deleted.append(path)
         return deleted
+
+
+# --------------------------------------------------------------------------
+# metadata + change-feed views
+# --------------------------------------------------------------------------
+
+
+def table_history(table: AcidTable) -> DataFrame:
+    """The commit log as a DataFrame (DESCRIBE HISTORY): version, op,
+    txn stamp, add/remove counts, rows added."""
+    rows = []
+    for c in table.history():
+        adds = [a["add"] for a in c["actions"] if "add" in a]
+        removes = [a for a in c["actions"] if "remove" in a]
+        rows.append((c["version"], c["op"], c.get("txn"),
+                     len(adds), len(removes),
+                     sum(a["rows"] for a in adds)))
+    return table.spark.createDataFrame(
+        rows, "version int, op string, txn string, n_added_files int, "
+              "n_removed_files int, rows_added long")
+
+
+def table_files(table: AcidTable, version: int | None = None) -> DataFrame:
+    """The active file manifest as a DataFrame (Delta's DESCRIBE DETAIL
+    file view): path, rows, pk range, partition."""
+    rows = [(f["path"], f["rows"], f["min_pk"], f["max_pk"],
+             f.get("partition"))
+            for f in table.active_files(version)]
+    return table.spark.createDataFrame(
+        rows, "path string, rows long, min_pk long, max_pk long, "
+              "partition string")
+
+
+def table_changes_between(table: AcidTable, from_version: int,
+                          to_version: int) -> DataFrame:
+    """Change data feed between two committed versions (Delta CDF's
+    contract) derived by diffing the snapshots — one insert/delete row
+    per appeared/vanished PK, update pre/post image pairs per changed
+    PK. One full-outer join on the PK; file pruning applies to both
+    sides through the log."""
+    from ru_cdc_spark.operators.versioned_store import snapshot_diff
+
+    pre = table.snapshot(version=from_version)
+    post = table.snapshot(version=to_version)
+    return snapshot_diff(pre, post, [table.pk])

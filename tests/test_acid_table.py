@@ -506,3 +506,39 @@ class TestVersionedMergeProperty:
             want = {(k, v, tag) for k, v, tag, op, _ in last.values()
                     if op != "DELETE"}
             assert got == want, f"seed {seed}"
+
+
+class TestMetadataViews:
+    def test_history_and_files_dataframes(self, spark, tmp_path):
+        from ru_cdc_spark.operators.acid_table import (
+            table_files,
+            table_history,
+        )
+
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 200).repartitionByRange(4, "k"))
+        t.merge(_changes(spark, [(1, 9, "u", "UPDATE", 1)]), txn="a:0")
+        h = table_history(t).collect()
+        assert [r["op"] for r in h] == ["CREATE", "MERGE"]
+        assert h[1]["txn"] == "a:0"
+        f = table_files(t)
+        assert f.count() == len(t.active_files())
+        assert f.agg(F.sum("rows")).first()[0] == 200
+
+    def test_change_feed_between_versions(self, spark, tmp_path):
+        from ru_cdc_spark.operators.acid_table import table_changes_between
+
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 100).repartition(2))
+        t.merge(_changes(spark, [
+            (1, 999, "upd", "UPDATE", 1),
+            (500, 5, "new", "INSERT", 2),
+            (7, 0, "x", "DELETE", 3),
+        ]))
+        cdf = table_changes_between(t, 0, 1)
+        by_type = {r["_change_type"]: r for r in cdf.collect()}
+        assert set(by_type) == {"insert", "delete", "update_preimage",
+                                "update_postimage"}
+        assert by_type["insert"]["k"] == 500
+        assert by_type["delete"]["k"] == 7
+        assert by_type["update_postimage"]["v"] == 999

@@ -2463,6 +2463,81 @@ def mysql_socket_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOCKET_TXN_SERVER = None
+
+
+def mysql_socket_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID auto-positioning over the socket (COM_BINLOG_DUMP_GTID —
+    modern replication resume the reference lacks), used as the
+    PARALLELIZATION mechanism: each task sends an executed-GTID set
+    masking every transaction except its gno slice, so the server
+    streams each task exactly its transactions and per-slice assembly
+    needs no cross-slice state (GTID slicing = transaction-boundary
+    slicing by construction). Committed groups only — same atomic
+    delivery contract and the SAME DuckDB oracle as the file-segment
+    path (binlog_txn_changes).
+
+    Scale: slice count is a config; each slice is one serial socket
+    read + in-worker assembly, and slices run task-parallel. The
+    executed-set trick is exactly how a GTID-aware replica re-reads a
+    range without file/pos bookkeeping."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from ru_cdc_spark.sources.binlog_txn import (
+        N_TXNS,
+        TXN_SID,
+        TxnAssembler,
+    )
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+
+    global _SOCKET_TXN_SERVER
+    if _SOCKET_TXN_SERVER is None:
+        _SOCKET_TXN_SERVER = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_txn_fixture(N_TXNS)).start()
+    srv = _SOCKET_TXN_SERVER
+    host, port, user, password = ("127.0.0.1", srv.port, srv.user,
+                                  srv.password)
+
+    n_slices = 8
+    step = (N_TXNS + n_slices - 1) // n_slices
+    ranges = spark.createDataFrame(
+        [(lo + 1, min(lo + step, N_TXNS) + 1)  # gno = tid + 1
+         for lo in range(0, N_TXNS, step)],
+        "glo long, ghi long").repartition(n_slices)
+
+    out_schema = ("status string, gno long, xid long, seq_no long, "
+                  "last_committed long, op string, seq_in_txn long, "
+                  "i long, qty long, amount string, note string")
+
+    def read_slice(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        from ru_cdc_spark.sources.mysql_client import MySQLConnection
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for glo, ghi in zip(pdf["glo"], pdf["ghi"]):
+                # mask everything outside [glo, ghi)
+                executed = {TXN_SID: [(1, int(glo)),
+                                      (int(ghi), N_TXNS + 2)]}
+                asm = TxnAssembler()
+                with MySQLConnection.connect(host, port, user,
+                                             password) as conn:
+                    for ev in conn.binlog_dump_gtid(executed):
+                        rows += asm.feed(ev)
+            yield pd.DataFrame(
+                rows, columns=[c.split()[0]
+                               for c in out_schema.split(", ")])
+
+    assembled = ranges.mapInPandas(read_slice, out_schema)
+    return (assembled.where(F.col("status") == "committed")
+            .select("gno", "xid", "seq_no", "last_committed", "op",
+                    "seq_in_txn", "i", "qty", "amount", "note"))
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
@@ -2492,6 +2567,10 @@ def _register_binlog_wire() -> None:
     register("mysql_socket_stream_snapshot",
              cdc_snapshot_oracle(MYSQL_SOCKET_STREAM_N_ROWS))(
         mysql_socket_stream_snapshot)
+    from ru_cdc_spark.sources.binlog_txn import BINLOG_TXN_CHANGES_ORACLE
+
+    register("mysql_socket_txn_changes",
+             BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_txn_changes)
 
 
 _register_binlog_wire()

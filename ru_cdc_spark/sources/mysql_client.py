@@ -720,6 +720,33 @@ class MySQLConnection:
                 raise ValueError(f"unexpected binlog packet tag 0x{tag:02x}")
             yield pkt[1:]
 
+    def binlog_dump_gtid(self, gtid_set: dict, filename: str = "",
+                         pos: int = 4, server_id: int = 100):
+        """COM_BINLOG_DUMP_GTID: the server streams only transactions
+        NOT in ``gtid_set`` (the auto-positioning resume modern MySQL
+        replicas use — no file/pos bookkeeping; the reference only
+        speaks the legacy 0x12 form). Yields raw event bytes like
+        ``binlog_dump``."""
+        self._command(encode_com_binlog_dump_gtid(server_id, filename,
+                                                  pos, gtid_set))
+        while True:
+            try:
+                pkt = self.io.read_packet()
+            except (ConnectionError, OSError) as exc:
+                raise MySQLError(
+                    2013, "HY000",
+                    "lost connection mid-dump (no EOF packet)") from exc
+            if not pkt:
+                raise MySQLError(2013, "HY000", "empty packet mid-dump")
+            tag = pkt[0]
+            if tag == 0xFF:
+                raise decode_err(pkt)
+            if tag == 0xFE and len(pkt) < 9:
+                return
+            if tag != 0x00:
+                raise ValueError(f"unexpected binlog packet tag 0x{tag:02x}")
+            yield pkt[1:]
+
     def close(self) -> None:
         try:
             self._command(encode_com_quit())
@@ -879,3 +906,76 @@ class pooled_connection:
             ConnectionPool.release(self.conn, *self.key)
         else:
             self.conn.close()
+
+
+# --------------------------------------------------------------------------
+# COM_BINLOG_DUMP_GTID (modern GTID-set resume; beyond the reference)
+# --------------------------------------------------------------------------
+
+COM_BINLOG_DUMP_GTID = 0x1E
+
+
+def encode_gtid_set(gtid_set: dict[bytes, list[tuple[int, int]]]) -> bytes:
+    """Binary SID_block encoding (public layout): n_sids u8, then per
+    sid: 16-byte uuid, n_intervals u8, each interval start u8 / end u8
+    with END EXCLUSIVE (gno range [start, end))."""
+    out = bytearray(len(gtid_set).to_bytes(8, "little"))
+    for sid, intervals in gtid_set.items():
+        assert len(sid) == 16
+        out += sid
+        out += len(intervals).to_bytes(8, "little")
+        for start, end in intervals:
+            out += start.to_bytes(8, "little") + end.to_bytes(8, "little")
+    return bytes(out)
+
+
+def decode_gtid_set(b: bytes, off: int = 0
+                    ) -> dict[bytes, list[tuple[int, int]]]:
+    n_sids = int.from_bytes(b[off:off + 8], "little")
+    off += 8
+    out: dict[bytes, list[tuple[int, int]]] = {}
+    for _ in range(n_sids):
+        sid = b[off:off + 16]
+        off += 16
+        n_iv = int.from_bytes(b[off:off + 8], "little")
+        off += 8
+        ivs = []
+        for _ in range(n_iv):
+            start = int.from_bytes(b[off:off + 8], "little")
+            end = int.from_bytes(b[off + 8:off + 16], "little")
+            ivs.append((start, end))
+            off += 16
+        out[sid] = ivs
+    return out
+
+
+def gtid_in_set(gtid_set: dict[bytes, list[tuple[int, int]]],
+                sid: bytes, gno: int) -> bool:
+    return any(start <= gno < end
+               for start, end in gtid_set.get(sid, []))
+
+
+def encode_com_binlog_dump_gtid(server_id: int, filename: str, pos: int,
+                                gtid_set: dict, flags: int = 0) -> bytes:
+    """0x1E + flags u2 + server_id u4 + name_len u4 + name + pos u8 +
+    data_size u4 + encoded gtid set (the public layout)."""
+    data = encode_gtid_set(gtid_set)
+    name = filename.encode()
+    return (bytes([COM_BINLOG_DUMP_GTID])
+            + flags.to_bytes(2, "little")
+            + server_id.to_bytes(4, "little")
+            + len(name).to_bytes(4, "little") + name
+            + pos.to_bytes(8, "little")
+            + len(data).to_bytes(4, "little") + data)
+
+
+def decode_com_binlog_dump_gtid(b: bytes) -> tuple[int, int, str, int, dict]:
+    flags = int.from_bytes(b[1:3], "little")
+    server_id = int.from_bytes(b[3:7], "little")
+    name_len = int.from_bytes(b[7:11], "little")
+    off = 11
+    filename = b[off:off + name_len].decode()
+    off += name_len
+    pos = int.from_bytes(b[off:off + 8], "little")
+    off += 8 + 4  # pos + data_size
+    return flags, server_id, filename, pos, decode_gtid_set(b, off)

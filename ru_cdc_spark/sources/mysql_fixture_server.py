@@ -32,6 +32,9 @@ from ru_cdc_spark.sources.mysql_client import (
     ColDef,
     NATIVE_PASSWORD_PLUGIN,
     COM_BINLOG_DUMP,
+    COM_BINLOG_DUMP_GTID,
+    decode_com_binlog_dump_gtid,
+    gtid_in_set,
     COM_PING,
     COM_QUERY,
     COM_QUIT,
@@ -137,6 +140,25 @@ class VirtualBinlog:
                 vb.append_blob(blob)
         return vb
 
+    @classmethod
+    def from_txn_fixture(cls, n_txns: int,
+                         filename: str = "binlog.000001"
+                         ) -> "VirtualBinlog":
+        """The TRANSACTIONAL fixture stream (GTID/BEGIN/rows/XID or
+        ROLLBACK, sources/binlog_txn.txn_event_bytes) as a positioned
+        binlog — the stream GTID-aware dumps filter."""
+        from ru_cdc_spark.sources.binlog_txn import txn_event_bytes
+        from ru_cdc_spark.sources.binlog_wire import (
+            CHECKSUM_NONE,
+            encode_format_description,
+        )
+
+        vb = cls(filename)
+        vb.append(encode_format_description(CHECKSUM_NONE))
+        for tid in range(n_txns):
+            vb.append_blob(txn_event_bytes(tid))
+        return vb
+
 
 class MySQLFixtureServer:
     """Threaded TCP server speaking the MySQL server-side protocol.
@@ -233,6 +255,8 @@ class MySQLFixtureServer:
                     self._handle_query(io, pkt[1:].decode("utf-8", "replace"))
                 elif cmd == COM_BINLOG_DUMP:
                     self._handle_dump(io, pkt)
+                elif cmd == COM_BINLOG_DUMP_GTID:
+                    self._handle_dump_gtid(io, pkt)
                 else:
                     io.write_packet(
                         encode_err(1047, f"unknown command 0x{cmd:02x}"),
@@ -405,6 +429,41 @@ class MySQLFixtureServer:
                 seq = (seq + 1) & 0xFF
             cache[idx] = (bytes(blob), index)
         return cache[idx]
+
+    def _handle_dump_gtid(self, io: PacketIO, pkt: bytes) -> None:
+        """COM_BINLOG_DUMP_GTID: stream every transaction whose GTID is
+        NOT in the client's executed set (auto-positioning — the server
+        owns the scan position, the client owns the executed set). The
+        skip state machine mirrors a real server's: a GTID event toggles
+        skipping for its whole transaction group until the next GTID."""
+        from ru_cdc_spark.sources.binlog_wire import decode_gtid
+
+        _flags, _sid_srv, filename, pos, executed = \
+            decode_com_binlog_dump_gtid(pkt)
+        names = [b.filename for b in self.binlogs]
+        start_idx = names.index(filename) if filename in names else 0
+        from ru_cdc_spark.sources.mysql_client import encode_packet
+
+        out = bytearray()
+        seq = 1
+        skipping = False
+        for idx in range(start_idx, len(self.binlogs)):
+            for start, _end, ev in self.binlogs[idx].events:
+                etype = ev[4]
+                if etype == 33:  # GTID: decide this transaction's fate
+                    g = decode_gtid(ev)
+                    skipping = gtid_in_set(executed, g["sid"], g["gno"])
+                elif etype == 15:
+                    skipping = False  # control events always stream
+                if skipping and etype != 15:
+                    continue
+                out += encode_packet(seq, b"\x00" + ev)
+                seq = (seq + 1) & 0xFF
+        out += encode_packet(seq, b"\xfe\x00\x00\x02\x00")
+        try:
+            io.sock.sendall(bytes(out))
+        except (ConnectionError, OSError):
+            return
 
     def _dump_parts(self, start_idx: int, pos: int):
         from ru_cdc_spark.sources.mysql_client import encode_packet

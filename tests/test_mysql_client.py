@@ -491,3 +491,70 @@ class TestServerCrashMidDump:
                                      "repl", "replpass") as conn:
             events = list(conn.binlog_dump("binlog.000001", 4))
         assert events  # ended via the EOF packet, no exception
+
+
+class TestGtidDump:
+    def test_gtid_set_codec_roundtrip(self):
+        from ru_cdc_spark.sources.mysql_client import (
+            decode_gtid_set,
+            encode_gtid_set,
+            gtid_in_set,
+        )
+
+        s = {bytes(range(16)): [(1, 21), (40, 51)],
+             bytes(range(16, 32)): [(5, 6)]}
+        assert decode_gtid_set(encode_gtid_set(s)) == s
+        assert gtid_in_set(s, bytes(range(16)), 20)
+        assert not gtid_in_set(s, bytes(range(16)), 21)
+        assert not gtid_in_set(s, b"\x00" * 16, 1)
+
+    def test_command_layout_roundtrip(self):
+        from ru_cdc_spark.sources.mysql_client import (
+            COM_BINLOG_DUMP_GTID,
+            decode_com_binlog_dump_gtid,
+            encode_com_binlog_dump_gtid,
+        )
+
+        gs = {bytes(16): [(1, 10)]}
+        b = encode_com_binlog_dump_gtid(100, "binlog.000001", 4, gs)
+        assert b[0] == COM_BINLOG_DUMP_GTID
+        flags, sid, fname, pos, got = decode_com_binlog_dump_gtid(b)
+        assert (flags, sid, fname, pos) == (0, 100, "binlog.000001", 4)
+        assert got == gs
+
+    def test_executed_set_filters_whole_transactions(self):
+        """The server skips a masked GTID's ENTIRE group (BEGIN, rows,
+        XID) — never a partial transaction."""
+        from ru_cdc_spark.sources.binlog_txn import TXN_SID, TxnAssembler
+        from ru_cdc_spark.sources.binlog_wire import decode_gtid
+
+        vb = VirtualBinlog.from_txn_fixture(30)
+        srv = MySQLFixtureServer(binlog=vb).start()
+        try:
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         "repl", "replpass") as conn:
+                evs = list(conn.binlog_dump_gtid(
+                    {TXN_SID: [(1, 11), (20, 26)]}))
+            gnos = {decode_gtid(ev)["gno"] for ev in evs if ev[4] == 33}
+            assert gnos == set(range(11, 20)) | set(range(26, 31))
+            # groups assemble whole: every committed txn has its rows
+            asm = TxnAssembler()
+            rows = []
+            for ev in evs:
+                rows += asm.feed(ev)
+            assert {r["gno"] for r in rows} <= gnos
+            committed = [r for r in rows if r["status"] == "committed"]
+            assert committed
+        finally:
+            srv.stop()
+
+    def test_empty_set_streams_everything(self):
+        vb = VirtualBinlog.from_txn_fixture(10)
+        srv = MySQLFixtureServer(binlog=vb).start()
+        try:
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         "repl", "replpass") as conn:
+                evs = list(conn.binlog_dump_gtid({}))
+            assert sum(1 for ev in evs if ev[4] == 33) == 10
+        finally:
+            srv.stop()

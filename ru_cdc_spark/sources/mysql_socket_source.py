@@ -275,10 +275,17 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
         if start.get("file") != end.get("file"):
-            # rotation boundary: the previous batch already drained the
-            # old file (latestOffset only rotates at file end), so this
-            # batch delivers only the new file's prefix [4, end.pos)
-            return [_SlicePartition(end["file"], 4, int(end["pos"]))]
+            # rotation boundary. The happy path drained the old file
+            # before rotating, but a crash between the advisory
+            # position advancing and Spark committing can leave a
+            # cross-file range whose START is mid-old-file — deliver
+            # BOTH the old file's tail (bounded by rotate/EOF) and the
+            # new file's prefix, or frames in that window are lost.
+            return [
+                _SlicePartition(start["file"], int(start["pos"]),
+                                1 << 62),
+                _SlicePartition(end["file"], 4, int(end["pos"])),
+            ]
         return [_SlicePartition(end["file"], int(start["pos"]),
                                 int(end["pos"]))]
 

@@ -213,3 +213,43 @@ class TestStreamingRotation:
             assert len(counts) == 60
         finally:
             srv.stop()
+
+
+class TestRotationCrashWindow:
+    def test_cross_file_batch_recovers_old_file_tail(self, spark,
+                                                     tmp_path):
+        """Crash window: the advisory position races ahead to file 2
+        while Spark's committed offset is still mid-file 1 — the
+        cross-file batch must deliver file 1's TAIL plus file 2's
+        prefix, not just the prefix."""
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            BinlogSocketStreamReader,
+        )
+
+        vb1 = VirtualBinlog.from_cdc_fixture(40, "binlog.000001")
+        vb2 = VirtualBinlog.from_cdc_fixture(40, "binlog.000002")
+        srv = MySQLFixtureServer(binlogs=[vb1, vb2]).start()
+        try:
+            reader = BinlogSocketStreamReader({
+                "host": "127.0.0.1", "port": str(srv.port)})
+            # committed offset mid-file-1, end offset in file 2
+            tm_starts = [s for s, _, ev in vb1.events if ev[4] == 19]
+            mid = tm_starts[len(tm_starts) // 2]
+            some_f2_end = vb2.events[10][1]
+            parts = reader.partitions(
+                {"file": "binlog.000001", "pos": mid},
+                {"file": "binlog.000002", "pos": some_f2_end})
+            assert len(parts) == 2
+            frames = []
+            for p in parts:
+                frames += list(reader.read(p))
+            # tail of file 1 present (positions >= mid in file 1's range)
+            tail_expected = [e for s, e, ev in vb1.events
+                             if s >= mid and ev[4] in (30, 31, 32)]
+            got_positions = sorted(pos for pos, _ in frames)
+            for e in tail_expected:
+                assert e in got_positions, f"file-1 tail frame {e} lost"
+            # plus file-2 prefix frames
+            assert any(pos <= some_f2_end for pos, _ in frames)
+        finally:
+            srv.stop()

@@ -44,6 +44,11 @@ def global_row_number(df: DataFrame, order_by: list[Column],
     the same requirement the unpartitioned-window form has for
     determinism. Returns (df + out_col, total_row_count).
     """
+    # NOTE: persisted for the LIFETIME of the returned plan — the offset
+    # pass and the final pass must see identical range boundaries, and an
+    # eager unpersist would force a recompute that may legally redraw
+    # them. Blocks are evicted LRU; callers running many ranks in one
+    # session can spark.catalog.clearCache() between jobs.
     ranged = (df.repartitionByRange(_n_parts(df), *order_by)
               .withColumn("__pid", F.spark_partition_id())
               .persist(StorageLevel.MEMORY_AND_DISK))

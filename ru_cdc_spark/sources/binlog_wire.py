@@ -589,6 +589,11 @@ def compile_decoders(specs: list[ColSpec]) -> list:
     cached = _DECODER_CACHE.get(key)
     if cached is not None:
         return cached
+    if len(_DECODER_CACHE) >= 1024:
+        # schema churn bound (same discipline as the TxnAssembler spec
+        # cache): a long-lived worker seeing endless distinct schemas
+        # must not grow closures forever
+        _DECODER_CACHE.clear()
 
     def make(spec: ColSpec):
         t = spec.type_code

@@ -225,10 +225,10 @@ class MySQLFixtureServer:
                 conn, _ = self._sock.accept()
             except OSError:
                 return
-            t = threading.Thread(target=self._serve_conn, args=(conn,),
-                                 daemon=True)
-            t.start()
-            self._threads.append(t)
+            # daemon per-connection threads; deliberately NOT tracked —
+            # a long-lived server would otherwise grow the list forever
+            threading.Thread(target=self._serve_conn, args=(conn,),
+                             daemon=True).start()
 
     # -- per-connection protocol -------------------------------------------
 

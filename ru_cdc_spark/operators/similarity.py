@@ -463,22 +463,25 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment + probe join are the same shuffle shape as ann_ivf: corpus
     partitioned by cell id, probe fan-out on the tiny query side only.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     emb = _emb(spark, sf_dir)
-    feat = emb.withColumn("features", array_to_vector(F.col("e")))
-    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="features",
-                   predictionCol="cell").fit(feat)
-    assigned = model.transform(feat).select(
-        F.col("vec_id").alias("neighbor"), F.col("cell"),
-        F.col("e").alias("ce2"), F.col("nrm").alias("cn"))
+    dim = len(emb.select("e").first()["e"])
+    # round 3: train with the in-repo k-means++ trainer (one bounded
+    # sample + numpy Lloyd's, same as PQ) instead of ml.KMeans — the
+    # ~12-job MLlib fit was pure overhead at codebook scale
+    cents = pq_train_codebooks(emb, m=1, ksub=8, sub_dim=dim) \
+        .select(F.col("cid").alias("c_cell"), F.col("cent").alias("ce"))
 
-    # centroids are model metadata (k x dim doubles) — parallelized back
-    # as a tiny broadcast table, not a data-plane collect
-    cents = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
-        "c_cell int, ce array<double>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    assigned = (emb.join(F.broadcast(cents), F.lit(True))
+                .select("vec_id", "e", "nrm", "c_cell", d2.alias("dd"))
+                .groupBy("vec_id")
+                .agg(F.min_by("c_cell", F.struct("dd", "c_cell"))
+                     .alias("cell"),
+                     F.first("e").alias("ce2"), F.first("nrm").alias("cn"))
+                .select(F.col("vec_id").alias("neighbor"), "cell",
+                        "ce2", "cn"))
 
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"),

@@ -46,6 +46,8 @@ HEADLINE = [
     "corpus_dedup_retain",
     "multimodal_png_decode",
     "mysql_socket_cdc_snapshot",
+    "mysql_socket_txn_changes",
+    "acid_merge_snapshot",
 ]
 
 

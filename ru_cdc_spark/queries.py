@@ -437,7 +437,6 @@ def acid_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGEs copy-on-write: only files whose pk range contains a changed
     key rewrite, the rest carry by reference — the mechanics that make
     a micro-batch merge O(touched files), not O(table), at 100 TB."""
-    import shutil
     import tempfile
 
     from ru_cdc_spark.operators.acid_table import AcidTable
@@ -448,19 +447,17 @@ def acid_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = changes.select(F.col("id").alias("seq"), "type",
                           img.alias("__i")).select("seq", "type", "__i.*")
 
+    # table directory lives for the session (same lifecycle as the
+    # socket fixture servers): the returned snapshot stays LAZY over the
+    # table's parquet instead of a driver collect+rebuild
     work = tempfile.mkdtemp(prefix="acid_")
-    try:
-        table = AcidTable(spark, work, pk="o_orderkey", seq_col="seq")
-        inserts = flat.where(F.col("type") == "INSERT") \
-            .drop("seq", "type").repartition(8)
-        table.create(inserts)
-        table.merge(flat.where(F.col("type") != "INSERT"))
-        snap = table.snapshot().withColumn(
-            "o_totalprice", F.col("o_totalprice").cast("double"))
-        out = spark.createDataFrame(snap.collect(), snap.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return out
+    table = AcidTable(spark, work, pk="o_orderkey", seq_col="seq")
+    inserts = flat.where(F.col("type") == "INSERT") \
+        .drop("seq", "type").repartition(8)
+    table.create(inserts)
+    table.merge(flat.where(F.col("type") != "INSERT"))
+    return table.snapshot().withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double"))
 
 
 @register(

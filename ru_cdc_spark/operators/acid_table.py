@@ -60,6 +60,12 @@ class CommitConflict(RuntimeError):
 
 
 class AcidTable:
+    def _pk_type(self, df: DataFrame) -> str:
+        """Primary-key data type as a DDL string — file-stats schemas
+        must match the table's pk (string/decimal pks would fail or
+        mis-compare against a hard-coded ``long``)."""
+        return df.schema[self.pk].dataType.simpleString()
+
     def __init__(self, spark: SparkSession, root: str, pk: str,
                  seq_col: str = "seq",
                  partition_col: str | None = None) -> None:
@@ -322,9 +328,10 @@ class AcidTable:
                   .select("__r.*"))
 
         candidates = self._partition_prune(files, latest)
+        pk_t = self._pk_type(latest)
         ranges = self.spark.createDataFrame(
             [(f["path"], f["min_pk"], f["max_pk"]) for f in candidates],
-            "path string, min_pk long, max_pk long")
+            f"path string, min_pk {pk_t}, max_pk {pk_t}")
         hit_paths = {
             r["path"] for r in
             latest.select(self.pk).distinct()
@@ -384,9 +391,10 @@ class AcidTable:
                   .select("__r.*"))
 
         candidates = self._partition_prune(files, latest)
+        pk_t = self._pk_type(latest)
         ranges = self.spark.createDataFrame(
             [(f["path"], f["min_pk"], f["max_pk"]) for f in candidates],
-            "path string, min_pk long, max_pk long")
+            f"path string, min_pk {pk_t}, max_pk {pk_t}")
         hit_paths = {
             r["path"] for r in
             latest.select(self.pk).distinct()
@@ -401,6 +409,19 @@ class AcidTable:
             current = self._read_files(hit)
             combined = current.unionByName(latest,
                                            allowMissingColumns=True)
+            # files written before the table carried meta columns (a
+            # plain create()) surface NULL seq/__deleted via
+            # mergeSchema: NULL seq must lose to any real sequence (a
+            # base row is by definition older than every change), and a
+            # key present ONLY in such a file must still survive — so
+            # coalesce rather than let max_by skip NULL orderings
+            seq_t = combined.schema[self.seq_col].dataType
+            combined = combined.withColumn(
+                self.seq_col,
+                F.coalesce(F.col(self.seq_col),
+                           F.lit(-(1 << 62)).cast(seq_t))
+            ).withColumn("__deleted",
+                         F.coalesce(F.col("__deleted"), F.lit(False)))
             wrow = F.struct(*[F.col(c) for c in combined.columns])
             rewritten = (combined.groupBy(self.pk)
                          .agg(F.max_by(wrow, F.col(self.seq_col))
@@ -417,10 +438,15 @@ class AcidTable:
 
     def snapshot_live(self, version: int | None = None) -> DataFrame:
         """Live rows of a versioned table (tombstones filtered, meta
-        columns dropped)."""
-        return (self.snapshot(version)
-                .where(~F.col("__deleted"))
-                .drop(self.seq_col, "__deleted"))
+        columns dropped). NULL-safe: files committed before the table
+        carried ``__deleted`` (a plain ``create()``) surface NULL via
+        mergeSchema, and ``~NULL`` would silently filter those rows
+        out — coalesce treats them as live."""
+        df = self.snapshot(version)
+        if "__deleted" in df.columns:
+            df = df.where(~F.coalesce(F.col("__deleted"),
+                                      F.lit(False))).drop("__deleted")
+        return df.drop(self.seq_col)
 
     def merge_retrying(self, changes: DataFrame, max_retries: int = 5,
                        versioned: bool = False, **kwargs) -> int:
@@ -524,11 +550,19 @@ def table_history(table: AcidTable) -> DataFrame:
 def table_files(table: AcidTable, version: int | None = None) -> DataFrame:
     """The active file manifest as a DataFrame (Delta's DESCRIBE DETAIL
     file view): path, rows, pk range, partition."""
+    files = table.active_files(version)
     rows = [(f["path"], f["rows"], f["min_pk"], f["max_pk"],
              f.get("partition"))
-            for f in table.active_files(version)]
+            for f in files]
+    pk_t = "long"
+    if files:
+        # one footer read to learn the real pk type — string/decimal
+        # pks must not be coerced through a hard-coded long schema
+        schema = table.spark.read.parquet(files[0]["path"]).schema
+        if table.pk in schema.names:
+            pk_t = schema[table.pk].dataType.simpleString()
     return table.spark.createDataFrame(
-        rows, "path string, rows long, min_pk long, max_pk long, "
+        rows, f"path string, rows long, min_pk {pk_t}, max_pk {pk_t}, "
               "partition string")
 
 

@@ -751,15 +751,20 @@ def decode_gtid(b: bytes) -> dict:
 
 
 def encode_rotate(next_log: str, position: int = 4,
-                  log_pos: int = 0) -> bytes:
+                  log_pos: int = 0, timestamp: int = 0) -> bytes:
     """ROTATE_EVENT (type 4): u64 position-in-next-file + the next binlog
     filename — the master's announcement that subsequent events come from
     a new file. The reference decodes it (binlog.rs:814-828) but its
     workers drop it (executor.rs:540, SURVEY D12 'effectively dead');
     a resumable reader must track it so checkpoints carry (file, pos),
-    not pos alone."""
+    not pos alone.
+
+    ``timestamp==0 and log_pos==0`` is the ARTIFICIAL form a server
+    prefixes to every COM_BINLOG_DUMP reply (naming the dump's starting
+    file); a genuine file-boundary rotate carries a real timestamp."""
     p = position.to_bytes(8, "little") + next_log.encode()
-    return _header(ROTATE_EVENT, len(p), log_pos=log_pos) + p
+    return _header(ROTATE_EVENT, len(p), log_pos=log_pos,
+                   timestamp=timestamp) + p
 
 
 def decode_rotate(b: bytes, checksum_bytes: int = 0) -> tuple[str, int]:

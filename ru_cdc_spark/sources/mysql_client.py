@@ -848,10 +848,21 @@ class ConnectionPool:
     _idle: dict[tuple, list["MySQLConnection"]] = {}
     _lock = __import__("threading").Lock()
 
+    @staticmethod
+    def _key(host: str, port: int, user: str, password: str) -> tuple:
+        """Pool key includes a password digest: a caller supplying a
+        different/wrong password must never be handed a connection
+        authenticated under another credential (which would mask auth
+        failures). Digest, not plaintext — keys show up in debuggers."""
+        import hashlib
+
+        return (host, port, user,
+                hashlib.sha256(password.encode()).hexdigest())
+
     @classmethod
     def acquire(cls, host: str, port: int, user: str,
                 password: str) -> "MySQLConnection":
-        key = (host, port, user)
+        key = cls._key(host, port, user, password)
         while True:
             with cls._lock:
                 pool = cls._idle.get(key, [])
@@ -867,8 +878,8 @@ class ConnectionPool:
 
     @classmethod
     def release(cls, conn: "MySQLConnection", host: str, port: int,
-                user: str) -> None:
-        key = (host, port, user)
+                user: str, password: str) -> None:
+        key = cls._key(host, port, user, password)
         with cls._lock:
             pool = cls._idle.setdefault(key, [])
             if len(pool) < cls.MAX_IDLE_PER_KEY:
@@ -903,7 +914,7 @@ class pooled_connection:
     def __exit__(self, exc_type, *exc) -> None:
         assert self.conn is not None
         if exc_type is None:
-            ConnectionPool.release(self.conn, *self.key)
+            ConnectionPool.release(self.conn, *self.key, self.password)
         else:
             self.conn.close()
 

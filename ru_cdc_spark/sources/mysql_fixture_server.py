@@ -469,6 +469,12 @@ class MySQLFixtureServer:
         from ru_cdc_spark.sources.mysql_client import encode_packet
         from ru_cdc_spark.sources.binlog_wire import encode_rotate
 
+        # a real server prefixes EVERY dump reply with an artificial
+        # ROTATE (timestamp 0, log_pos 0) naming the starting file —
+        # clients must skip it, not treat it as a file boundary
+        yield encode_packet(
+            1, b"\x00" + encode_rotate(self.binlogs[start_idx].filename,
+                                       position=pos))
         for idx in range(start_idx, len(self.binlogs)):
             blob, index = self._framed(idx)
             from_pos = pos if idx == start_idx else 4
@@ -483,11 +489,15 @@ class MySQLFixtureServer:
                     yield encode_packet(1, b"\x00" + fde)
             yield blob[offset:]
             if idx + 1 < len(self.binlogs):
-                # file boundary: ROTATE to the next log (D12) — the
-                # artificial form a live server streams mid-dump
+                # file boundary: a GENUINE ROTATE to the next log (D12)
+                # — real timestamp + log_pos, like the rotate event a
+                # server logs at the physical end of each binlog file
+                file_end = max((e for _, e, _ in
+                                self.binlogs[idx].events), default=4)
                 yield encode_packet(
                     0, b"\x00" + encode_rotate(
-                        self.binlogs[idx + 1].filename))
+                        self.binlogs[idx + 1].filename,
+                        log_pos=file_end, timestamp=1))
         # bounded fixture: end the stream with EOF instead of blocking
         # forever like a live dump would
         yield encode_packet(0, b"\xfe\x00\x00\x02\x00")

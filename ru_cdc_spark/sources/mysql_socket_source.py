@@ -75,7 +75,20 @@ def _dump_frames(host: str, port: int, user: str, password: str,
                 checksum_bytes = decode_format_description(
                     ev)["checksum_bytes"]
                 continue
-            if stop_at_rotate and etype == 4:
+            if etype == 4:  # ROTATE
+                # A real server prefixes every COM_BINLOG_DUMP reply
+                # with an ARTIFICIAL rotate (timestamp==0, log_pos==0)
+                # naming the current file. Stopping on it would yield
+                # zero frames while offsets still advance — silent data
+                # loss. Only a genuine mid-stream rotate ends the file.
+                timestamp = int.from_bytes(ev[0:4], "little")
+                if timestamp == 0 or log_pos == 0:
+                    continue
+                # positions restart near 4 in the next file, so the
+                # [lo, hi) bound is only meaningful within THIS file:
+                # stop at any real rotate regardless of stop_at_rotate,
+                # or next-file events with small log_pos would slip
+                # under the bound and duplicate frames across slices.
                 break
             if log_pos > hi:
                 break

@@ -542,3 +542,60 @@ class TestMetadataViews:
         assert by_type["insert"]["k"] == 500
         assert by_type["delete"]["k"] == 7
         assert by_type["update_postimage"]["v"] == 999
+
+
+class TestMetaColumnNullSafety:
+    """ADVICE fixes: version 0 created WITHOUT __deleted/seq meta
+    columns must not lose rows through ~NULL filters or NULL-ordering
+    max_by, and non-long primary keys must plan correctly."""
+
+    def test_versioned_merge_over_plain_create(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        # plain create: no __deleted, no seq — the meta columns only
+        # arrive with the first versioned merge
+        t.create(_base(spark, 50).repartition(2))
+        t.merge_versioned(_changes(spark, [
+            (1, 999, "upd", "UPDATE", 10),
+            (500, 5, "new", "INSERT", 11),
+            (7, 0, "x", "DELETE", 12),
+        ]))
+        live = {r["k"]: r for r in t.snapshot_live().collect()}
+        # rows in files never rewritten by the merge (NULL __deleted
+        # via mergeSchema) must remain live
+        assert len(live) == 50  # 50 - 1 deleted + 1 inserted
+        assert live[1]["v"] == 999
+        assert live[500]["v"] == 5
+        assert 7 not in live
+        # untouched base rows survive
+        assert live[13]["v"] == 13 % 97
+
+    def test_string_pk_merge_plans_and_applies(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        base = spark.range(40).select(
+            F.concat(F.lit("key"), F.format_string("%03d", "id"))
+            .alias("k"),
+            F.col("id").alias("v"))
+        t.create(base.repartition(2))
+        changes = spark.createDataFrame(
+            [("key005", 500, "UPDATE", 1),
+             ("key999", 999, "INSERT", 2),
+             ("key010", 0, "DELETE", 3)],
+            "k string, v long, type string, seq long")
+        t.merge(changes)
+        live = {r["k"]: r["v"] for r in t.snapshot().collect()}
+        assert live["key005"] == 500
+        assert live["key999"] == 999
+        assert "key010" not in live
+        assert len(live) == 40  # 40 - 1 + 1
+
+    def test_string_pk_table_files_schema(self, spark, tmp_path):
+        from ru_cdc_spark.operators.acid_table import table_files
+
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        base = spark.range(10).select(
+            F.concat(F.lit("k"), "id").alias("k"),
+            F.col("id").alias("v"))
+        t.create(base)
+        f = table_files(t)
+        assert dict(f.dtypes)["min_pk"] == "string"
+        assert f.count() >= 1

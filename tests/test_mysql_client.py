@@ -9,7 +9,7 @@ import hashlib
 
 import pytest
 
-from ru_cdc_spark.sources.binlog_wire import decode_frame
+from ru_cdc_spark.sources.binlog_wire import decode_frame, decode_rotate
 from ru_cdc_spark.sources.mysql_client import (
     ColDef,
     MySQLConnection,
@@ -296,10 +296,14 @@ class TestClientServerExchange:
         with MySQLConnection.connect("127.0.0.1", server.port,
                                      "repl", "replpass") as conn:
             tail = list(conn.binlog_dump("binlog.000001", mid))
-        # FDE replay precedes the suffix
-        assert tail[0][4] == 15
+        # the artificial ROTATE (timestamp 0) announces the file, then
+        # the FDE replay precedes the suffix — exactly a live server's
+        # dump preamble
+        assert tail[0][4] == 4
+        assert int.from_bytes(tail[0][0:4], "little") == 0
+        assert tail[1][4] == 15
         suffix = [ev for ev in all_events if event_header(ev)[2] > mid]
-        assert tail[1:] == suffix
+        assert tail[2:] == suffix
 
     def test_dump_unknown_file_errors(self, server):
         with MySQLConnection.connect("127.0.0.1", server.port,
@@ -411,10 +415,15 @@ class TestMultiFileRotation:
                 assert all(r[0] == "binlog.000002" for r in rs.rows)
                 mid = int(rs.rows[len(rs.rows) // 2][1])
                 tail = list(conn.binlog_dump("binlog.000002", mid))
-            # only file-2 suffix (plus replayed FDE), no rotate needed
-            assert all(ev[4] != 4 for ev in tail)
+            # dump preamble is the artificial rotate naming file 2 (no
+            # GENUINE file-boundary rotate — the dump starts in the
+            # last file), then the replayed FDE, then only the suffix
+            rotates = [ev for ev in tail if ev[4] == 4]
+            assert len(rotates) == 1
+            assert int.from_bytes(rotates[0][0:4], "little") == 0
+            assert decode_rotate(rotates[0])[0] == "binlog.000002"
             suffix = [ev for s, _, ev in vb2.events if s >= mid]
-            assert tail[1:] == suffix or tail == suffix
+            assert tail[2:] == suffix
         finally:
             srv.stop()
 
@@ -468,6 +477,29 @@ class TestConnectionPool:
                                "repl", "replpass") as c2:
             assert c2 is not zombie
             assert c2.ping()
+        ConnectionPool.clear()
+
+    def test_pool_keys_include_credentials(self, server):
+        """ADVICE fix: a caller with a DIFFERENT password must never be
+        handed a connection authenticated under another credential —
+        the wrong password has to surface as an auth failure."""
+        from ru_cdc_spark.sources.mysql_client import (
+            ConnectionPool,
+            pooled_connection,
+        )
+
+        ConnectionPool.clear()
+        with pooled_connection("127.0.0.1", server.port,
+                               "repl", "replpass") as c1:
+            good = c1
+        with pytest.raises(MySQLError):
+            with pooled_connection("127.0.0.1", server.port,
+                                   "repl", "WRONGpass"):
+                pass
+        # the correctly-credentialed pool entry is untouched
+        with pooled_connection("127.0.0.1", server.port,
+                               "repl", "replpass") as c2:
+            assert c2 is good
         ConnectionPool.clear()
 
 

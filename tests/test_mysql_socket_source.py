@@ -253,3 +253,46 @@ class TestRotationCrashWindow:
             assert any(pos <= some_f2_end for pos, _ in frames)
         finally:
             srv.stop()
+
+
+class TestMidDumpRotateBound:
+    def test_batch_slice_never_ingests_next_file(self):
+        """ADVICE fix: [lo, hi) is only meaningful within ONE file —
+        positions restart near 4 after a rotate, so next-file events
+        with small log_pos would slip under the bound. A slice laid out
+        for file 1 of a 2-file chain must stop at the genuine rotate,
+        even with stop_at_rotate=False."""
+        from ru_cdc_spark.sources.mysql_socket_source import _dump_frames
+
+        vb1 = VirtualBinlog.from_cdc_fixture(40, "binlog.000001")
+        vb2 = VirtualBinlog.from_cdc_fixture(40, "binlog.000002")
+        srv = MySQLFixtureServer(binlogs=[vb1, vb2]).start()
+        try:
+            f1_frames = len([1 for _, _, ev in vb1.events
+                             if ev[4] in (30, 31, 32)])
+            frames = _dump_frames("127.0.0.1", srv.port, srv.user,
+                                  srv.password, "binlog.000001",
+                                  4, 1 << 62, stop_at_rotate=False)
+            # exactly file 1's frames: no loss, and no file-2 leakage
+            assert len(frames) == f1_frames
+        finally:
+            srv.stop()
+
+    def test_artificial_rotate_does_not_end_streaming_read(self):
+        """ADVICE fix: a real server prefixes every dump with an
+        artificial ROTATE (timestamp 0) naming the current file; the
+        streaming read path (stop_at_rotate=True) must skip it, not
+        yield zero frames."""
+        from ru_cdc_spark.sources.mysql_socket_source import _dump_frames
+
+        vb = VirtualBinlog.from_cdc_fixture(40, "binlog.000001")
+        srv = MySQLFixtureServer(binlogs=[vb]).start()
+        try:
+            frames = _dump_frames("127.0.0.1", srv.port, srv.user,
+                                  srv.password, "binlog.000001",
+                                  4, 1 << 62, stop_at_rotate=True)
+            expected = len([1 for _, _, ev in vb.events
+                            if ev[4] in (30, 31, 32)])
+            assert len(frames) == expected
+        finally:
+            srv.stop()

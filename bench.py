@@ -162,6 +162,8 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     force(REGISTRY["cdc_envelope"].fn(spark, sf_dir))
 
+    from ru_cdc_spark.operators.rankops import release_rank_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -169,7 +171,19 @@ def main() -> None:
             t0 = time.time()
             force(REGISTRY[name].fn(spark, sf_dir))
             best = min(best, time.time() - t0)
+            # rank/running-sum intermediates are persisted for plan
+            # consistency; the noop write has materialized them, so
+            # release eagerly — leaked MEMORY_AND_DISK blocks otherwise
+            # squeeze every later query's executor cache
+            release_rank_caches()
         timings[name] = round(best, 3)
+
+    # section boundary: the stream benchmark is the engine's headline
+    # throughput metric — run it against a CLEAN cache so 27 queries'
+    # worth of leftover blocks/broadcasts can't tax it (round-3 bench
+    # measured a 2x regression from exactly this accumulation)
+    release_rank_caches()
+    spark.catalog.clearCache()
 
     # min of 2 for the streaming run as well: query startup + sink commit
     # overhead are the noisiest components of the whole suite

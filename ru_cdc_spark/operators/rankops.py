@@ -30,6 +30,40 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Persisted range-shuffle intermediates, tracked so consumers can
+# release them deliberately. The persist is correctness-load-bearing
+# for the LIFETIME of the returned plan (RangePartitioner samples its
+# input: a recompute may legally redraw boundaries, and the
+# driver-collected offsets would then disagree with the re-shuffled
+# layout) — but once a caller has MATERIALIZED the result (collect /
+# write / toPandas), holding the blocks only squeezes the executor
+# cache for every later job in the session.
+_TRACKED: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRACKED.append(p)
+    return p
+
+
+def release_rank_caches() -> int:
+    """Unpersist every tracked rank/running-sum intermediate. Call ONLY
+    after the consuming plans have been materialized — re-executing a
+    released plan recomputes the range shuffle, which may redraw
+    boundaries and desynchronize the broadcast offsets. Section
+    boundaries in bench runs and one-shot query materializations are
+    the intended call sites. Returns the number of releases."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — a dead session is fine
+            pass
+    return n
+
 
 def _n_parts(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
@@ -44,14 +78,12 @@ def global_row_number(df: DataFrame, order_by: list[Column],
     the same requirement the unpartitioned-window form has for
     determinism. Returns (df + out_col, total_row_count).
     """
-    # NOTE: persisted for the LIFETIME of the returned plan — the offset
-    # pass and the final pass must see identical range boundaries, and an
-    # eager unpersist would force a recompute that may legally redraw
-    # them. Blocks are evicted LRU; callers running many ranks in one
-    # session can spark.catalog.clearCache() between jobs.
-    ranged = (df.repartitionByRange(_n_parts(df), *order_by)
-              .withColumn("__pid", F.spark_partition_id())
-              .persist(StorageLevel.MEMORY_AND_DISK))
+    # persisted (tracked) so the offset pass and the final pass see
+    # identical range boundaries; release via release_rank_caches()
+    # once the consuming plan has materialized
+    ranged = _persist_tracked(
+        df.repartitionByRange(_n_parts(df), *order_by)
+        .withColumn("__pid", F.spark_partition_id()))
     counts = {r["__pid"]: r["cnt"]
               for r in ranged.groupBy("__pid")
               .agg(F.count("*").alias("cnt")).collect()}
@@ -104,9 +136,9 @@ def grouped_running_sum(df: DataFrame, part_cols: list[str],
     """
     spark = df.sparkSession
     keys = [F.col(c) for c in part_cols] + list(order_by)
-    ranged = (df.repartitionByRange(_n_parts(df), *keys)
-              .withColumn("__pid", F.spark_partition_id())
-              .persist(StorageLevel.MEMORY_AND_DISK))
+    ranged = _persist_tracked(
+        df.repartitionByRange(_n_parts(df), *keys)
+        .withColumn("__pid", F.spark_partition_id()))
     partial = (ranged.groupBy("__pid", *part_cols)
                .agg(*[F.sum(c).alias(c) for c in sum_cols])
                .collect())

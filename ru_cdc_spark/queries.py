@@ -40,6 +40,28 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# working directories for queries that build real table/stream fixtures
+# (AcidTable roots, checkpoint dirs, virtual-binlog stores). They must
+# outlive the RETURNED DataFrame — results stay lazy over these paths —
+# so per-query cleanup is impossible; instead every dir registers here
+# and one atexit sweep removes them all, so repeated registry runs
+# leave nothing behind under /tmp.
+_SESSION_TMPDIRS: list[str] = []
+
+
+def _session_tmpdir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SESSION_TMPDIRS:
+        atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True)
+                                 for d in _SESSION_TMPDIRS])
+    work = tempfile.mkdtemp(prefix=prefix)
+    _SESSION_TMPDIRS.append(work)
+    return work
+
+
 # runtime-settable session defaults the results depend on — applied on
 # every query call because the DRIVER runs these with its own session,
 # which may not have been built by ru_cdc_spark.session.get_spark:
@@ -437,7 +459,6 @@ def acid_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGEs copy-on-write: only files whose pk range contains a changed
     key rewrite, the rest carry by reference — the mechanics that make
     a micro-batch merge O(touched files), not O(table), at 100 TB."""
-    import tempfile
 
     from ru_cdc_spark.operators.acid_table import AcidTable
 
@@ -450,7 +471,7 @@ def acid_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table directory lives for the session (same lifecycle as the
     # socket fixture servers): the returned snapshot stays LAZY over the
     # table's parquet instead of a driver collect+rebuild
-    work = tempfile.mkdtemp(prefix="acid_")
+    work = _session_tmpdir("acid_")
     table = AcidTable(spark, work, pk="o_orderkey", seq_col="seq")
     inserts = flat.where(F.col("type") == "INSERT") \
         .drop("seq", "type").repartition(8)
@@ -533,13 +554,12 @@ def cdc_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     one directory, not the table (Delta/Hudi/Iceberg implement the same
     pruning inside MERGE INTO)."""
     import shutil
-    import tempfile
 
     from ru_cdc_spark.operators.merge import merge_into_partitioned
     from ru_cdc_spark.sources.layout import write_hive_partitioned
 
     changes = derive_order_changes(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="part_merge_")
+    work = _session_tmpdir("part_merge_")
     try:
         snap_dir = f"{work}/orders_snap"
         inserts = apply_changes(
@@ -1123,11 +1143,10 @@ def events_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window cannot express (emit-on-close aggregates, custom gap
     rules, side outputs)."""
     import shutil
-    import tempfile
 
     from ru_cdc_spark.streaming.stateful import sessionize_with_timeout
 
-    work = tempfile.mkdtemp(prefix="sess_state_")
+    work = _session_tmpdir("sess_state_")
     try:
         horizon_ns = (1800 + 3600) * 10**9
         stream = _events_stream_with_fence(spark, sf_dir, work, horizon_ns)
@@ -1183,11 +1202,10 @@ def events_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     at 100 TB/day the fence is a per-source heartbeat row, the standard
     production fix for watermark stall on quiet partitions."""
     import shutil
-    import tempfile
 
     from ru_cdc_spark.streaming.joins import stream_interval_join
 
-    work = tempfile.mkdtemp(prefix="stream_loj_")
+    work = _session_tmpdir("stream_loj_")
     try:
         # fence horizon: watermark (2h) + lookback (30m) + 1h margin
         raw = _events_stream_with_fence(
@@ -1244,11 +1262,10 @@ def events_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     interval-bounded state per side, eviction is the emission trigger,
     liveness = watermark progress (heartbeat/fence on quiet sources)."""
     import shutil
-    import tempfile
 
     from ru_cdc_spark.streaming.joins import stream_interval_join
 
-    work = tempfile.mkdtemp(prefix="stream_foj_")
+    work = _session_tmpdir("stream_foj_")
     try:
         raw = _events_stream_with_fence(
             spark, sf_dir, work, (2 * 3600 + 1800 + 3600) * 10**9)
@@ -1444,11 +1461,10 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates (write_clustered / write_zordered)."""
     import os
     import shutil
-    import tempfile
 
     from ru_cdc_spark.sources.layout import write_hive_partitioned
 
-    work = tempfile.mkdtemp(prefix="hive_part_")
+    work = _session_tmpdir("hive_part_")
     try:
         out = os.path.join(work, "orders_by_priority")
         write_hive_partitioned(
@@ -1799,7 +1815,6 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows. The oracle reproduces both rules exactly.
     """
     import shutil
-    import tempfile
     import time as _time
 
     from pyspark.sql import types as T
@@ -1807,7 +1822,7 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # private scratch dir per invocation: a shared path would let two
     # concurrent runs rewrite each other's batch files mid-listing and
     # scramble the pinned batch order the oracle depends on
-    work = tempfile.mkdtemp(prefix="wm_late_")
+    work = _session_tmpdir("wm_late_")
     try:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", F.col("ts").cast("timestamp").alias("ts"))
@@ -2238,7 +2253,6 @@ def binlog_wire_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     resume, decode, and merge are exactly this code.
     """
     import shutil
-    import tempfile
 
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_N_ROWS,
@@ -2250,7 +2264,7 @@ def binlog_wire_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_binlog_wire_source(spark)
     n_frames = (BINLOG_CDC_N_ROWS + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
     frames_per_batch = 100
-    work = tempfile.mkdtemp(prefix="wire_stream_")
+    work = _session_tmpdir("wire_stream_")
     try:
         # Python stream sources run one bounded micro-batch per start;
         # draining = repeated restarts resuming from the checkpointed
@@ -2410,7 +2424,6 @@ def mysql_socket_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     socket transport + streaming offsets + restarts are all proven
     answer-invariant in one driver-gated hash."""
     import shutil
-    import tempfile
 
     from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
     from ru_cdc_spark.sources.mysql_fixture_server import (
@@ -2429,7 +2442,7 @@ def mysql_socket_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = _SOCKET_STREAM_SERVER
 
     register_binlog_socket_source(spark)
-    work = tempfile.mkdtemp(prefix="sock_stream_")
+    work = _session_tmpdir("sock_stream_")
     try:
         for _ in range(3):
             stream = (spark.readStream.format("binlog_socket")
@@ -2619,7 +2632,6 @@ def binlog_txn_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     batching are invisible to the result, which is the point."""
     import os
     import shutil
-    import tempfile
 
     from ru_cdc_spark.sources.binlog_txn import (
         stream_chunk_rounds,
@@ -2627,7 +2639,7 @@ def binlog_txn_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = "stream_id long, chunk_seq long, data binary"
-    work = tempfile.mkdtemp(prefix="txn_stream_")
+    work = _session_tmpdir("txn_stream_")
     try:
         src = f"{work}/chunks"
         os.makedirs(src)

@@ -273,8 +273,11 @@ def decode_handshake_v10(b: bytes) -> HandshakeV10:
 
 def encode_handshake_v10(server_version: str, thread_id: int, nonce: bytes,
                          caps: int = SERVER_CAPS, charset: int = 255,
-                         status: int = 2) -> bytes:
-    """Server side of the same layout (for the fixture server)."""
+                         status: int = 2,
+                         plugin: str = NATIVE_PASSWORD_PLUGIN) -> bytes:
+    """Server side of the same layout (for the fixture server).
+    ``plugin`` is the server's default auth plugin — MySQL 8 advertises
+    ``caching_sha2_password`` here."""
     assert len(nonce) == 20
     caps_le = caps.to_bytes(4, "little")
     p = bytearray([10])
@@ -286,7 +289,7 @@ def encode_handshake_v10(server_version: str, thread_id: int, nonce: bytes,
     p += bytes([21])  # auth_data_len: 20 nonce bytes + NUL
     p += b"\x00" * 10
     p += nonce[8:] + b"\x00"  # part 2: 12 bytes + NUL = 13
-    p += NATIVE_PASSWORD_PLUGIN.encode() + b"\x00"
+    p += plugin.encode() + b"\x00"
     return bytes(p)
 
 
@@ -589,31 +592,83 @@ class MySQLConnection:
         conn._authenticate(user, password, database, max_packet_size)
         return conn
 
+    @staticmethod
+    def _scramble_for(plugin: str, password: bytes, nonce: bytes) -> bytes:
+        from ru_cdc_spark.sources.sha2_auth import (
+            CACHING_SHA2_PLUGIN,
+            sha2_scramble,
+        )
+
+        if plugin == CACHING_SHA2_PLUGIN:
+            return sha2_scramble(password, nonce)
+        if plugin == NATIVE_PASSWORD_PLUGIN:
+            return native_password_scramble(password, nonce)
+        raise MySQLError(1045, "28000",
+                         f"unsupported auth plugin {plugin}")
+
     def _authenticate(self, user: str, password: str,
                       database: str | None, max_packet_size: int) -> None:
+        """Auth state machine speaking BOTH ``mysql_native_password``
+        and MySQL 8's default ``caching_sha2_password`` (the plugin the
+        reference lacks — its connect path fails against a stock 2026
+        server; sha2_auth.py documents the public algorithms):
+
+        * follow the server's advertised plugin in the response;
+        * AuthSwitchRequest (0xFE) re-scrambles under the new plugin,
+          in either direction;
+        * AuthMoreData (0x01): 0x03 = fast-auth success (OK follows);
+          0x04 = perform full authentication — request the server's
+          RSA public key (0x02), then send RSA-OAEP(password NUL XOR
+          nonce), the no-TLS exchange libmysqlclient performs.
+        """
+        from ru_cdc_spark.sources.sha2_auth import (
+            PERFORM_FULL_AUTHENTICATION,
+            FAST_AUTH_SUCCESS,
+            REQUEST_PUBLIC_KEY,
+            oaep_encrypt,
+            parse_public_key_pem,
+            xor_password_nonce,
+        )
+
         hs = decode_handshake_v10(self.io.read_packet())
         self.handshake = hs
-        scramble = native_password_scramble(password.encode(),
-                                            hs.auth_plugin_data)
+        plugin = hs.auth_plugin_name or NATIVE_PASSWORD_PLUGIN
+        nonce = hs.auth_plugin_data
+        scramble = self._scramble_for(plugin, password.encode(), nonce)
         resp = encode_handshake_response41(
             user, scramble, max_packet_size=max_packet_size,
-            database=database)
+            database=database, plugin=plugin)
         self.io.write_packet(resp)
-        pkt = self.io.read_packet()
-        if pkt[:1] == b"\xfe" and len(pkt) > 9:  # AuthSwitchRequest
-            plugin, nonce = decode_auth_switch_request(pkt)
-            if plugin != NATIVE_PASSWORD_PLUGIN:
-                raise MySQLError(1045, "28000",
-                                 f"unsupported auth plugin {plugin}")
-            self.io.write_packet(
-                native_password_scramble(password.encode(), nonce or
-                                         hs.auth_plugin_data))
+        while True:
             pkt = self.io.read_packet()
-        if pkt[:1] == b"\xff":
-            raise decode_err(pkt)
-        ok = decode_ok(pkt)
-        if not ok.is_ok:
-            raise MySQLError(2013, "HY000", "unexpected auth reply")
+            if pkt[:1] == b"\xff":
+                raise decode_err(pkt)
+            if pkt[:1] == b"\xfe" and len(pkt) > 9:  # AuthSwitchRequest
+                plugin, sw_nonce = decode_auth_switch_request(pkt)
+                nonce = sw_nonce or nonce
+                self.io.write_packet(
+                    self._scramble_for(plugin, password.encode(), nonce))
+                continue
+            if pkt[:1] == b"\x01":  # AuthMoreData
+                status = pkt[1] if len(pkt) > 1 else -1
+                if status == FAST_AUTH_SUCCESS:
+                    continue  # OK packet follows
+                if status == PERFORM_FULL_AUTHENTICATION:
+                    self.io.write_packet(bytes([REQUEST_PUBLIC_KEY]))
+                    key_pkt = self.io.read_packet()
+                    if key_pkt[:1] == b"\xff":
+                        raise decode_err(key_pkt)
+                    n, e = parse_public_key_pem(key_pkt[1:])
+                    self.io.write_packet(oaep_encrypt(
+                        n, e, xor_password_nonce(password.encode(),
+                                                 nonce)))
+                    continue
+                raise MySQLError(2013, "HY000",
+                                 f"unexpected AuthMoreData 0x{status:02x}")
+            ok = decode_ok(pkt)
+            if not ok.is_ok:
+                raise MySQLError(2013, "HY000", "unexpected auth reply")
+            return
 
     # -- simple commands ---------------------------------------------------
 

@@ -51,6 +51,7 @@ from ru_cdc_spark.sources.mysql_client import (
     split_events,
     write_lenenc_int,
 )
+from ru_cdc_spark.sources.sha2_auth import CACHING_SHA2_PLUGIN
 
 _EVENT_NAMES = {2: "Query", 4: "Rotate", 15: "Format_desc", 16: "Xid",
                 19: "Table_map", 27: "Heartbeat", 29: "Rows_query",
@@ -173,12 +174,22 @@ class MySQLFixtureServer:
                  catalog: dict | None = None,
                  nonce: bytes | None = None,
                  host: str = "127.0.0.1",
-                 die_after_events: int | None = None) -> None:
+                 die_after_events: int | None = None,
+                 default_auth: str = CACHING_SHA2_PLUGIN) -> None:
         # fault injection: hang up mid-dump after N event packets
         # WITHOUT the EOF terminator (the server-crash contract test)
         self.die_after_events = die_after_events
         self.user = user
         self.password = password
+        # MySQL 8's default is caching_sha2_password; pass
+        # default_auth=NATIVE_PASSWORD_PLUGIN to model a 5.7-style
+        # server (the only thing the reference client can talk to)
+        self.default_auth = default_auth
+        # the sha2 fast-auth cache: users who completed FULL auth once;
+        # later connections take the scramble-only fast path
+        self._sha2_cache: set[str] = set()
+        self._rsa_key: tuple[int, int, int] | None = None
+        self._rsa_lock = threading.Lock()
         # multi-file log: a dump crossing a file boundary emits a ROTATE
         # event and continues into the next file (D12 over the socket)
         self.binlogs = binlogs or [binlog or VirtualBinlog()]
@@ -267,24 +278,86 @@ class MySQLFixtureServer:
             except OSError:
                 pass
 
+    def _rsa(self) -> tuple[int, int, int]:
+        """Lazily generated per-server RSA keypair for the sha2 full
+        auth exchange (a real server reads its from disk)."""
+        from ru_cdc_spark.sources.sha2_auth import generate_rsa_keypair
+
+        with self._rsa_lock:
+            if self._rsa_key is None:
+                self._rsa_key = generate_rsa_keypair(1024)
+            return self._rsa_key
+
+    def _deny(self, io: PacketIO, user: str) -> bool:
+        io.write_packet(encode_err(
+            1045, f"Access denied for user '{user}'", "28000"))
+        return False
+
     def _handshake(self, io: PacketIO) -> bool:
         io.write_packet(
-            encode_handshake_v10("8.0.0-fixture", 7, self.nonce), seq=0)
+            encode_handshake_v10("8.0.0-fixture", 7, self.nonce,
+                                 plugin=self.default_auth), seq=0)
         resp = decode_handshake_response41(io.read_packet())
+        auth = resp.auth_resp
+        # clients whose plugin differs from the server default, or that
+        # sent no auth data (the reference does — it puts the password
+        # in the plugin-name field, mysql.rs:66), get the AuthSwitch
+        # path to the DEFAULT plugin, like a real server would
+        if resp.plugin != self.default_auth or not auth:
+            io.write_packet(encode_auth_switch_request(
+                self.default_auth, self.nonce))
+            auth = io.read_packet()
+        if resp.user != self.user:
+            return self._deny(io, resp.user)
+        if self.default_auth == CACHING_SHA2_PLUGIN:
+            return self._sha2_auth(io, resp.user, auth)
         expected = native_password_scramble(self.password.encode(),
                                             self.nonce)
-        auth = resp.auth_resp
-        # clients that sent no/odd auth data (the reference does — it
-        # puts the password in the plugin-name field, mysql.rs:66) get
-        # the AuthSwitch path, like a real server would
-        if resp.plugin != NATIVE_PASSWORD_PLUGIN or not auth:
-            io.write_packet(encode_auth_switch_request(
-                NATIVE_PASSWORD_PLUGIN, self.nonce))
-            auth = io.read_packet()
-        if resp.user != self.user or auth != expected:
-            io.write_packet(encode_err(
-                1045, f"Access denied for user '{resp.user}'", "28000"))
-            return False
+        if auth != expected:
+            return self._deny(io, resp.user)
+        io.write_packet(encode_ok())
+        return True
+
+    def _sha2_auth(self, io: PacketIO, user: str, auth: bytes) -> bool:
+        """caching_sha2_password server flow: verify the scramble; a
+        cache hit answers fast-auth-success (0x01 0x03) + OK, a miss
+        demands full authentication (0x01 0x04) — the client asks for
+        the RSA public key (0x02), gets it PEM-framed behind 0x01, and
+        sends RSA-OAEP(password NUL XOR nonce). Success populates the
+        cache, so the next connection for this user fast-auths — both
+        paths exercised in every multi-connection test by nature."""
+        from ru_cdc_spark.sources.sha2_auth import (
+            FAST_AUTH_SUCCESS,
+            PERFORM_FULL_AUTHENTICATION,
+            REQUEST_PUBLIC_KEY,
+            encode_public_key_pem,
+            oaep_decrypt,
+            sha2_scramble,
+            xor_password_nonce,
+        )
+
+        expected = sha2_scramble(self.password.encode(), self.nonce)
+        if auth != expected:
+            return self._deny(io, user)
+        if user in self._sha2_cache:
+            io.write_packet(bytes([1, FAST_AUTH_SUCCESS]))
+            io.write_packet(encode_ok())
+            return True
+        io.write_packet(bytes([1, PERFORM_FULL_AUTHENTICATION]))
+        req = io.read_packet()
+        if not req or req[0] != REQUEST_PUBLIC_KEY:
+            return self._deny(io, user)
+        n, e, d = self._rsa()
+        io.write_packet(b"\x01" + encode_public_key_pem(n, e))
+        blob = io.read_packet()
+        try:
+            plain = oaep_decrypt(n, d, blob)
+        except ValueError:
+            return self._deny(io, user)
+        if plain != xor_password_nonce(self.password.encode(),
+                                       self.nonce):
+            return self._deny(io, user)
+        self._sha2_cache.add(user)
         io.write_packet(encode_ok())
         return True
 

@@ -224,7 +224,10 @@ class TestClientServerExchange:
                                      "repl", "replpass") as conn:
             assert conn.ping()
             assert conn.handshake.server_version == "8.0.0-fixture"
-            assert conn.handshake.auth_plugin_name == "mysql_native_password"
+            # MySQL 8 default: the fixture advertises (and the client
+            # speaks) caching_sha2_password out of the box
+            assert conn.handshake.auth_plugin_name == \
+                "caching_sha2_password"
 
     def test_wrong_password_rejected(self, server):
         with pytest.raises(MySQLError) as exc:
@@ -327,10 +330,13 @@ class TestClientServerExchange:
 
 
 class TestReferenceStyleClient:
-    def test_auth_switch_path(self, server):
+    def test_auth_switch_path(self):
         """A client that (like the reference, mysql.rs:63-79) sends an
         empty auth response and garbage plugin name still authenticates
-        via the AuthSwitch exchange."""
+        via the AuthSwitch exchange — against a 5.7-style server whose
+        default is mysql_native_password (the ONLY configuration the
+        reference client can talk to; against a sha2-default server it
+        would be switched to a plugin it cannot speak)."""
         import socket as socket_mod
 
         from ru_cdc_spark.sources.mysql_client import (
@@ -338,6 +344,9 @@ class TestReferenceStyleClient:
             encode_handshake_response41,
         )
 
+        server = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(5),
+            default_auth="mysql_native_password").start()
         sock = socket_mod.create_connection(("127.0.0.1", server.port))
         io = PacketIO(sock)
         hs = decode_handshake_v10(io.read_packet())
@@ -352,6 +361,7 @@ class TestReferenceStyleClient:
         ok = decode_ok(io.read_packet())
         assert ok.is_ok
         sock.close()
+        server.stop()
 
 
 class TestCatalogOverSocket:

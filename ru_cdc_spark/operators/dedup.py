@@ -729,8 +729,11 @@ def corpus_dedup_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: components run over the candidate-pair graph only (tiny vs the
     corpus); the final survivors-vs-corpus reconciliation is one left-anti
-    join keyed by doc_id — clustered docs are a small fraction of the
-    corpus, so the anti join's build side stays broadcastable.
+    join keyed by doc_id. The build side (clustered doc ids) is NOT
+    broadcast-hinted: at web scale 30-50% of documents land in some
+    cluster — billions of ids, far past any broadcast limit — so the
+    join strategy is left to AQE, which broadcasts when the measured
+    size allows and shuffles on the already-hashed doc_id otherwise.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = connected_components(
@@ -741,7 +744,7 @@ def corpus_dedup_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("component").alias("doc_id"), "cluster_size")
     )
     loners = (
-        docs.join(F.broadcast(comp.select("doc_id")), "doc_id", "left_anti")
+        docs.join(comp.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", F.lit(1).cast("long").alias("cluster_size"))
     )
     return clusters.unionByName(loners)

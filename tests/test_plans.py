@@ -382,3 +382,26 @@ def test_pq_rerank_broadcasts_codebook_and_queries(spark, sf_dir):
     df = REGISTRY["ann_pq_rerank"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2  # codebook + query table
+
+
+def test_corpus_dedup_anti_join_not_forced_broadcast(spark, sf_dir):
+    """The survivors-vs-corpus anti join's build side is the clustered
+    doc-id set — unbounded at web scale (30-50% of docs), so it must
+    NOT carry a broadcast hint: under a forced-low threshold the
+    planner has to be free to shuffle it."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        df = REGISTRY["corpus_dedup_retain"].fn(spark, sf_dir)
+        plan = physical_plan(df)
+        # the LeftAnti join must be a shuffle-based strategy here; a
+        # broadcast hint would override the threshold and pin
+        # BroadcastHashJoin ... LeftAnti into the plan
+        import re
+
+        anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti_lines, "anti join missing from plan"
+        assert not any(re.search(r"Broadcast\w*Join", ln)
+                       for ln in anti_lines), anti_lines
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

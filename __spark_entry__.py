@@ -40,9 +40,10 @@ SHOWCASE = [
     # byte-level binlog wire decode
     "binlog_wire_decode", "binlog_wire_cdc_snapshot",
     "mysql_type_semantics", "binlog_wire_schema_evolution",
-    # real MySQL socket client
+    # real MySQL socket client (batch, GTID-sliced, and the unified
+    # streaming+transactional path with kill/restart)
     "mysql_socket_cdc_snapshot", "mysql_socket_txn_changes",
-    "mysql_socket_stream_snapshot",
+    "mysql_socket_txn_stream",
     # transactional assembly
     "binlog_txn_changes", "binlog_txn_apply_groups",
     # ACID table format + merge variants

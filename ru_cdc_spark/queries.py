@@ -2548,6 +2548,106 @@ def mysql_socket_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "seq_in_txn", "i", "qty", "amount", "note"))
 
 
+def mysql_socket_txn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The socket source and transactional assembly UNIFIED in one
+    streaming path: the ``binlog_socket`` DataSource runs in
+    ``emit=events, cut_at=gtid`` mode — micro-batch offsets land only
+    on GTID (transaction-start) boundaries, so every batch holds whole
+    transactions — and each batch assembles GTID/BEGIN/rows/XID groups
+    into committed-only rows (rolled-back groups discarded, the
+    truncated tail never delivered). The query restarts three times
+    from the checkpointed (file, pos) offsets, with per-epoch
+    idempotent parquet commits, so a crash/restart mid-stream can
+    neither split a transaction (offset discipline) nor double-deliver
+    one (epoch overwrite) — and the result hash-matches the SAME
+    DuckDB oracle as the file-segment and GTID-sliced batch paths."""
+    from ru_cdc_spark.sources.binlog_txn import (
+        N_TXNS,
+        assemble_event_batch,
+    )
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+    from ru_cdc_spark.sources.mysql_socket_source import (
+        register_binlog_socket_source,
+    )
+
+    global _SOCKET_TXN_SERVER
+    if _SOCKET_TXN_SERVER is None:
+        _SOCKET_TXN_SERVER = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_txn_fixture(N_TXNS)).start()
+    srv = _SOCKET_TXN_SERVER
+
+    register_binlog_socket_source(spark)
+    work = _session_tmpdir("txn_sock_stream_")
+    out = f"{work}/out"
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        committed = (assemble_event_batch(bdf)
+                     .where(F.col("status") == "committed"))
+        committed.write.mode("overwrite").parquet(
+            f"{out}/epoch={batch_id}")
+
+    def start_query():
+        stream = (spark.readStream.format("binlog_socket")
+                  .option("host", "127.0.0.1")
+                  .option("port", srv.port)
+                  .option("user", srv.user)
+                  .option("password", srv.password)
+                  .option("emit", "events")
+                  .option("cut_at", "gtid")
+                  .option("position_file", f"{work}/meta.json")
+                  .option("events_per_batch", 500).load())
+        return (stream.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(processingTime="0 seconds").start())
+
+    end_pos = srv.binlog.end_pos
+    _drive_stream_to(start_query(), end_pos // 3, end_pos, kill=True)
+    _drive_stream_to(start_query(), end_pos, end_pos, kill=False)
+    return (spark.read.parquet(out)
+            .select("gno", "xid", "seq_no", "last_committed", "op",
+                    "seq_in_txn", "i", "qty", "amount", "note"))
+
+
+def _drive_stream_to(q, target_pos: int, end_pos: int,
+                     kill: bool, timeout_s: float = 240.0) -> None:
+    """Run a continuous-trigger streaming query until its COMMITTED
+    offset reaches ``target_pos``, then stop it. ``kill=True`` models a
+    crash: the stop lands mid-stream with batches still unprocessed,
+    and the announced (advisory) offset typically AHEAD of the
+    committed one — the restart must recover the gap from Spark's
+    offset log without loss or double-delivery."""
+    import json as _json
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    try:
+        while _time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                eo = p["sources"][0]["endOffset"]
+                if isinstance(eo, str):
+                    # the offset json round-trips through the JVM as a
+                    # string; tolerate repr-style quoting too
+                    import ast as _ast
+
+                    try:
+                        eo = _json.loads(eo)
+                    except ValueError:
+                        eo = _ast.literal_eval(eo)
+                pos = (eo or {}).get("pos", 0)
+                if pos >= target_pos and (kill
+                                          or p["numInputRows"] == 0):
+                    return
+            _time.sleep(0.05)
+        raise TimeoutError(
+            f"stream never reached pos {target_pos}/{end_pos}")
+    finally:
+        q.stop()
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
@@ -2581,6 +2681,8 @@ def _register_binlog_wire() -> None:
 
     register("mysql_socket_txn_changes",
              BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_txn_changes)
+    register("mysql_socket_txn_stream",
+             BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_txn_stream)
 
 
 _register_binlog_wire()

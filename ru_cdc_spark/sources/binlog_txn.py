@@ -360,6 +360,37 @@ def assemble_transactions(segments: DataFrame) -> DataFrame:
     return segments.mapInPandas(walk, ASSEMBLED_SCHEMA)
 
 
+def assemble_event_batch(events_df: DataFrame,
+                         event_col: str = "frame",
+                         pos_col: str = "pos") -> DataFrame:
+    """Assemble one TRANSACTION-ALIGNED micro-batch of raw binlog
+    events ``(pos, event bytes)`` into committed/rolled-back rows.
+
+    Contract: the batch's offset range was cut at GTID starts (the
+    ``binlog_socket`` source's ``cut_at=gtid`` mode), so every
+    transaction lies whole inside the batch and a fresh assembler per
+    batch is restart-safe — Spark replays the identical [start, end)
+    range after a crash and gets the identical rows. Anything still
+    open at batch end can only be a truncated log tail and is dropped,
+    never delivered early (the atomic-delivery contract the reference
+    lacks, executor.rs:528-607).
+
+    The single sorted partition is the micro-batch, not the corpus:
+    assembly is inherently serial per replication stream, and the
+    source bounds batches by ``events_per_batch``."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        asm = TxnAssembler()
+        rows: list[dict] = []
+        for pdf in batches:
+            for ev in pdf[event_col]:
+                rows += asm.feed(bytes(ev))
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+    return (events_df.repartition(1).sortWithinPartitions(pos_col)
+            .mapInPandas(walk, ASSEMBLED_SCHEMA))
+
+
 # ---------------------------------------------------------------------------
 # streaming assembly: socket chunks -> exactly-once committed delivery
 # ---------------------------------------------------------------------------

@@ -190,6 +190,9 @@ class MySQLFixtureServer:
         self._sha2_cache: set[str] = set()
         self._rsa_key: tuple[int, int, int] | None = None
         self._rsa_lock = threading.Lock()
+        # every COM_QUERY sql, in arrival order — lets tests assert
+        # metadata-path cost (e.g. SHOW BINLOG EVENTS per trigger)
+        self.command_log: list[str] = []
         # multi-file log: a dump crossing a file boundary emits a ROTATE
         # event and continues into the next file (D12 over the socket)
         self.binlogs = binlogs or [binlog or VirtualBinlog()]
@@ -379,6 +382,7 @@ class MySQLFixtureServer:
 
     def _handle_query(self, io: PacketIO, sql: str) -> None:
         q = sql.strip().rstrip(";").lower()
+        self.command_log.append(q)
         if q.startswith("set "):
             io.write_packet(encode_ok(), seq=1)
         elif q == "show master status":

@@ -104,6 +104,39 @@ def _dump_frames(host: str, port: int, user: str, password: str,
     return frames
 
 
+def _dump_events(host: str, port: int, user: str, password: str,
+                 filename: str, lo: int, hi: int
+                 ) -> list[tuple[int, bytes]]:
+    """Events-mode slice read: every REAL event in [lo, hi) with its end
+    position, bytes untouched (checksum trailers intact, FDE replay
+    included) — a downstream transaction assembler configures itself
+    from the FDE and needs GTID/QUERY/XID control events, which the
+    frames path deliberately drops. Artificial rotates are skipped and
+    a genuine rotate ends the slice, exactly like ``_dump_frames``."""
+    from ru_cdc_spark.sources.mysql_client import (
+        MySQLConnection,
+        event_header,
+    )
+
+    events: list[tuple[int, bytes]] = []
+    with MySQLConnection.connect(host, port, user, password) as conn:
+        conn.disable_checksum_var()
+        for ev in conn.binlog_dump(filename, lo):
+            etype, _size, log_pos = event_header(ev)
+            if etype == 4:  # ROTATE: skip artificial, stop at genuine
+                timestamp = int.from_bytes(ev[0:4], "little")
+                if timestamp == 0 or log_pos == 0:
+                    continue
+                break
+            if etype == 15:  # FDE replay: always deliver (decoder config)
+                events.append((log_pos, ev))
+                continue
+            if log_pos > hi:
+                break
+            events.append((log_pos, ev))
+    return events
+
+
 def fetch_binlog_layout(host: str, port: int, user: str, password: str,
                         filename: str | None = None
                         ) -> tuple[str, int, list[tuple[int, str, int]]]:
@@ -207,6 +240,16 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         self.password = options.get("password", "replpass")
         self.per_batch = int(options.get("events_per_batch", 64))
         self.start_pos = int(options.get("start_pos", 4))
+        # emit=frames (default): TABLE_MAP+ROWS pairs, checksum-stripped
+        # — the CDC decode path. emit=events: every raw event including
+        # GTID/QUERY/XID control events — the transactional path.
+        self.emit = options.get("emit", "frames")
+        # cut_at governs where micro-batch offsets may land: table_map
+        # (default) keeps a TABLE_MAP with its ROWS event; gtid aligns
+        # batch boundaries to TRANSACTION starts, so every micro-batch
+        # holds whole transactions and a restart can never split one —
+        # committed-only delivery falls out of the offset discipline.
+        self.cut_at = options.get("cut_at", "table_map")
         self._file: str | None = options.get("file")
         # advisory position file (the reference's ~/.ru_cdc/meta.json,
         # position_manager.rs:10-53): Spark's offset log stays the source
@@ -229,8 +272,31 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             os.replace(tmp, self.position_file)
 
     def _files(self) -> list[str]:
-        return [n for n, _ in fetch_binary_logs(
-            self.host, self.port, self.user, self.password)]
+        return [n for n, _ in self._files_sizes()]
+
+    def _files_sizes(self) -> list[tuple[str, int]]:
+        return fetch_binary_logs(
+            self.host, self.port, self.user, self.password)
+
+    def _layout_events(self, fname: str,
+                       size: int) -> list[tuple[int, str, int]]:
+        """SHOW BINLOG EVENTS for ``fname``, cached per (file, size):
+        SHOW BINARY LOGS (one cheap row per file, already fetched every
+        trigger) reports each log's byte size, and a binlog only ever
+        APPENDS — so while the size is unchanged the event layout is
+        too, and re-listing the whole file every trigger is pure waste
+        that grows with log length. A grown size (live master) or an
+        unknown file refetches."""
+        cache = getattr(self, "_layout_cache", None)
+        if cache is None:
+            cache = self._layout_cache = {}
+        hit = cache.get(fname)
+        if hit is not None and hit[0] == size and size > 0:
+            return hit[1]
+        _, _, events = fetch_binlog_layout(
+            self.host, self.port, self.user, self.password, fname)
+        cache[fname] = (size, events)
+        return events
 
     def initialOffset(self) -> dict:  # noqa: N802
         if self._file is None:
@@ -250,23 +316,26 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             saved_file, saved_pos)
         if mem is not None and saved_file == mem[0]:
             cur = max(cur, saved_pos)
-        files = self._files()
+        files_sizes = self._files_sizes()
+        files = [n for n, _ in files_sizes]
+        sizes = dict(files_sizes)
         if cur_file is None:
             cur_file = files[0] if files else ""
-        _, _, events = fetch_binlog_layout(
-            self.host, self.port, self.user, self.password, cur_file)
+        events = self._layout_events(cur_file, sizes.get(cur_file, 0))
         file_end = max((e for _, _, e in events), default=cur)
         if cur >= file_end and cur_file in files and \
                 files.index(cur_file) + 1 < len(files):
             # rotation: this file is drained, continue in the next one
             cur_file = files[files.index(cur_file) + 1]
             cur = 4
-            _, _, events = fetch_binlog_layout(
-                self.host, self.port, self.user, self.password, cur_file)
+            events = self._layout_events(cur_file,
+                                         sizes.get(cur_file, 0))
         # batch boundaries must not split a TABLE_MAP from its ROWS
-        # event (a dump resumed between them would drop the frame), so
-        # cut only at TABLE_MAP starts or the log end
-        safe_cuts = {s for s, t, _ in events if t == "Table_map"}
+        # event (a dump resumed between them would drop the frame) —
+        # or, in gtid mode, a transaction from its XID — so cut only at
+        # the configured event-type starts or the log end
+        cut_type = "Gtid" if self.cut_at == "gtid" else "Table_map"
+        safe_cuts = {s for s, t, _ in events if t == cut_type}
         safe_cuts.add(max((e for _, _, e in events), default=cur))
         upcoming = [e for s, _t, e in events if s >= cur]
         if not upcoming:
@@ -304,6 +373,11 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _SlicePartition) -> Iterator[tuple]:
         if partition.hi <= partition.lo:
+            return
+        if self.emit == "events":
+            yield from _dump_events(self.host, self.port, self.user,
+                                    self.password, partition.file,
+                                    partition.lo, partition.hi)
             return
         for pos, frame in _dump_frames(self.host, self.port, self.user,
                                        self.password, partition.file,

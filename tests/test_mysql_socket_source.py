@@ -296,3 +296,68 @@ class TestMidDumpRotateBound:
             assert len(frames) == expected
         finally:
             srv.stop()
+
+
+class TestMetadataPathCost:
+    def test_layout_listed_once_per_static_file(self):
+        """Trigger-time metadata must stay FLAT as the binlog grows:
+        SHOW BINARY LOGS reports per-file sizes every trigger (cheap,
+        one row per file), but SHOW BINLOG EVENTS — O(events in file) —
+        may only run when a file's size changed. 10 triggers over a
+        static log = exactly one full listing."""
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            BinlogSocketStreamReader,
+        )
+
+        vb = VirtualBinlog.from_cdc_fixture(100, "binlog.000001")
+        srv = MySQLFixtureServer(binlog=vb).start()
+        try:
+            reader = BinlogSocketStreamReader({
+                "host": "127.0.0.1", "port": str(srv.port),
+                "user": srv.user, "password": srv.password,
+                "events_per_batch": "5"})
+            for _ in range(10):
+                reader.latestOffset()
+            listings = [c for c in srv.command_log
+                        if c.startswith("show binlog events")]
+            assert len(listings) == 1, listings
+        finally:
+            srv.stop()
+
+
+class TestGtidAlignedCuts:
+    def test_offsets_land_on_transaction_boundaries(self):
+        """cut_at=gtid: every announced offset is a GTID event start
+        (or the log end) — the structural guarantee that no micro-batch
+        ever splits a transaction, which is what makes per-batch
+        assembly restart-safe."""
+        from ru_cdc_spark.sources.binlog_txn import N_TXNS
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            BinlogSocketStreamReader,
+        )
+
+        vb = VirtualBinlog.from_txn_fixture(60)
+        srv = MySQLFixtureServer(binlog=vb).start()
+        try:
+            gtid_starts = {s for s, _, ev in vb.events if ev[4] == 33}
+            reader = BinlogSocketStreamReader({
+                "host": "127.0.0.1", "port": str(srv.port),
+                "user": srv.user, "password": srv.password,
+                "emit": "events", "cut_at": "gtid",
+                "events_per_batch": "17"})
+            cur = reader.initialOffset()
+            seen = []
+            for _ in range(40):
+                new = reader.latestOffset()
+                if new["pos"] == cur["pos"]:
+                    break
+                seen.append(new["pos"])
+                cur = new
+            assert seen, "no batches announced"
+            assert seen[-1] == vb.end_pos
+            for pos in seen[:-1]:
+                assert pos in gtid_starts, \
+                    f"offset {pos} not a transaction boundary"
+            assert N_TXNS  # fixture import is live
+        finally:
+            srv.stop()

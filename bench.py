@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_pq_rerank",
     "corpus_dedup_retain",
     "multimodal_png_decode",
+    "multimodal_image_decode",
     "mysql_socket_cdc_snapshot",
     "mysql_socket_txn_changes",
     "acid_merge_snapshot",

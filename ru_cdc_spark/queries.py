@@ -1386,6 +1386,8 @@ register("multimodal_phash_near_dup",
          None)(_mm.multimodal_phash_near_dup)  # DCT: rows-only
 register("multimodal_png_decode",
          _mm.MULTIMODAL_PNG_DECODE_SQL)(_mm.multimodal_png_decode)
+register("multimodal_image_decode",
+         _mm.MULTIMODAL_IMAGE_DECODE_SQL)(_mm.multimodal_image_decode)
 register("multimodal_phash_clusters",
          None)(_mm.multimodal_phash_clusters)  # DCT + iterative
 

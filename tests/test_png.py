@@ -198,8 +198,14 @@ class TestRealPhashPath:
         assert (meta["width"], meta["height"], meta["n_frames"]) == \
             (34, 12, 1)
 
-    def test_decode_payload_non_png_still_gated(self):
+    def test_decode_payload_non_image_still_gated(self):
+        from ru_cdc_spark.functions.jpeg import JpegError
         from ru_cdc_spark.operators.multimodal import decode_payload
 
+        # audio/video formats remain honestly gated...
         with pytest.raises(NotImplementedError):
+            decode_payload(b"RIFF....WAVE", "audio")
+        # ...while a JPEG-magic payload now reaches the REAL decoder,
+        # which rejects malformed bytes loudly instead of mis-decoding
+        with pytest.raises(JpegError):
             decode_payload(b"\xff\xd8\xff\xe0 jpeg-ish", "image")

@@ -68,8 +68,8 @@ SHOWCASE = [
     # text analysis
     "text_stats", "text_lang_id_ngram", "text_bm25_search",
     "doc_fingerprint",
-    # multimodal (real PNG+JPEG codecs)
-    "multimodal_meta", "multimodal_image_decode",
+    # multimodal (real PNG/JPEG/WAV/MJPEG-AVI codecs)
+    "multimodal_meta", "multimodal_media_decode",
     # pipeline curation
     "quality_filter_chain", "pii_redaction",
 ]

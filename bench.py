@@ -46,6 +46,7 @@ HEADLINE = [
     "corpus_dedup_retain",
     "multimodal_png_decode",
     "multimodal_image_decode",
+    "multimodal_media_decode",
     "mysql_socket_cdc_snapshot",
     "mysql_socket_txn_changes",
     "acid_merge_snapshot",

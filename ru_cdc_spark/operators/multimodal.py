@@ -70,22 +70,32 @@ def decode_image(payload: bytes):
 
 
 def decode_payload(payload: bytes, modality: str, fake: bool = False) -> dict:
-    """Codec dispatch. PNG (round 3) and baseline JPEG (round 4)
-    payloads decode FOR REAL via the in-repo spec-built codecs;
-    audio/video formats still need external libraries absent from this
-    container, so they raise unless the deterministic fake decoder is
-    requested (oracle tests use the fake; image tests use the real
-    path)."""
+    """Codec dispatch by magic sniff. PNG (round 3), baseline JPEG,
+    PCM WAV, and MJPEG AVI (round 4) all decode FOR REAL via the
+    in-repo spec-built codecs; anything else raises unless the
+    deterministic fake decoder is requested (the fake remains the
+    oracle path for the legacy stub queries)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
         px = decode_image(payload)
         return {"width": int(px.shape[1]), "height": int(px.shape[0]),
                 "n_frames": 1}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ru_cdc_spark.functions.wav import decode_wav
+
+        samples, _rate = decode_wav(payload)
+        return {"width": int(samples.shape[1]),
+                "height": int(samples.shape[0]), "n_frames": 1}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ru_cdc_spark.functions.avi import parse_avi
+
+        meta = parse_avi(payload)
+        return {"width": meta["width"], "height": meta["height"],
+                "n_frames": meta["n_frames"]}
     if not fake:
         raise NotImplementedError(
-            "only PNG and baseline JPEG decode natively (functions/"
-            "png.py, functions/jpeg.py); audio/video codecs are "
-            "unavailable in this environment — pass fake=True for the "
-            "deterministic test decoder"
+            "payload matches no spec-built codec (PNG/JPEG/WAV/"
+            "MJPEG-AVI, functions/{png,jpeg,wav,avi}.py) — pass "
+            "fake=True for the deterministic test decoder"
         )
     h = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
     return {
@@ -662,6 +672,182 @@ SELECT doc_id,
                  + (n - 256 + a0) * (n - 257 + a0) // 2
             END AS BIGINT) AS px_sum
 FROM d
+"""
+
+
+MEDIA_N_DOCS = 400
+
+
+def attach_media_payload(docs: DataFrame) -> DataFrame:
+    """ALL FOUR real formats, one column: doc_id % 4 selects PNG ramp /
+    solid JPEG / constant-PCM WAV / solid-frame MJPEG AVI. Every
+    construction is chosen so the REAL decode reconstructs values
+    exactly (PNG lossless; JPEG/AVI solid blocks at quality 100 are
+    DC-only over unit quantizers; PCM is bit-exact), keeping the
+    DuckDB oracle arithmetic."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ru_cdc_spark.functions.avi import encode_avi
+        from ru_cdc_spark.functions.jpeg import encode_jpeg
+        from ru_cdc_spark.functions.png import encode_png
+        from ru_cdc_spark.functions.wav import encode_wav
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                kind = d % 4
+                if kind == 0:
+                    w, h = 8 + d % 5, 8 + d % 3
+                    px = ((d * 31 + np.arange(w * h)) % 256).astype(
+                        np.uint8).reshape(h, w)
+                    blobs.append(encode_png(px))
+                elif kind == 1:
+                    w, h = 8 + d % 5, 8 + d % 3
+                    px = np.full((h, w), (d * 37) % 256, dtype=np.uint8)
+                    blobs.append(encode_jpeg(px, quality=100))
+                elif kind == 2:
+                    n, ch = 100 + d % 50, 1 + d % 2
+                    v = d * 11 % 100 + 1
+                    s = np.full((n, ch), v, dtype=np.int16)
+                    blobs.append(encode_wav(s, 8000 + (d % 3) * 4000))
+                else:
+                    w, h = 16 + d % 9, 8 + d % 7
+                    nf = 1 + d % 4
+                    frames = [encode_jpeg(
+                        np.full((h, w), (d * 13 + f * 5) % 256,
+                                dtype=np.uint8), quality=100)
+                        for f in range(nf)]
+                    blobs.append(encode_avi(frames, w, h, fps=10))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    return (docs.select("doc_id")
+            .mapInPandas(op, "doc_id long, payload binary"))
+
+
+def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every modality decoded FOR REAL in one distributed pass — PNG and
+    JPEG pixels, WAV PCM samples, MJPEG-AVI frames — format-dispatched
+    by magic sniff inside Arrow batches and hash-checked against an
+    arithmetic oracle. Uniform metric schema: (dim_x, dim_y) = image
+    frame dims or (channels, sample_rate); n_units = frames or samples;
+    checksum = pixel sum or sample sum. The 'JPEG/audio/video still
+    fake-only' list from round 3, emptied."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < MEDIA_N_DOCS)
+    with_media = attach_media_payload(docs)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ru_cdc_spark.functions.avi import parse_avi
+        from ru_cdc_spark.functions.jpeg import decode_jpeg
+        from ru_cdc_spark.functions.wav import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                d, p = int(d), bytes(p)
+                if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    s, rate = decode_wav(p)
+                    rows.append((d, "audio", s.shape[1], rate,
+                                 s.shape[0], int(s.astype("int64").sum())))
+                elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                    meta = parse_avi(p)
+                    total = sum(int(decode_jpeg(f).astype("int64").sum())
+                                for f in meta["frames"])
+                    rows.append((d, "video", meta["width"],
+                                 meta["height"], meta["n_frames"], total))
+                else:
+                    px = decode_image(p)
+                    rows.append((d, "image", px.shape[1], px.shape[0],
+                                 1, int(px.astype("int64").sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "modality", "dim_x", "dim_y", "n_units",
+                "checksum"])
+
+    return with_media.mapInPandas(
+        op, "doc_id long, modality string, dim_x long, dim_y long, "
+            "n_units long, checksum long")
+
+
+MULTIMODAL_MEDIA_DECODE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, doc_id % 4 AS kind,
+           8 + doc_id % 5 AS iw, 8 + doc_id % 3 AS ih,
+           (doc_id * 31) % 256 AS a0, (doc_id * 37) % 256 AS jv,
+           (8 + doc_id % 5) * (8 + doc_id % 3) AS n,
+           100 + doc_id % 50 AS ns, 1 + doc_id % 2 AS ch,
+           doc_id * 11 % 100 + 1 AS av,
+           8000 + (doc_id % 3) * 4000 AS rate,
+           16 + doc_id % 9 AS vw, 8 + doc_id % 7 AS vh,
+           1 + doc_id % 4 AS nf
+    FROM documents WHERE doc_id < {MEDIA_N_DOCS}
+)
+SELECT doc_id,
+       CASE kind WHEN 2 THEN 'audio' WHEN 3 THEN 'video'
+                 ELSE 'image' END AS modality,
+       CASE kind WHEN 2 THEN ch WHEN 3 THEN vw ELSE iw END AS dim_x,
+       CASE kind WHEN 2 THEN rate WHEN 3 THEN vh ELSE ih END AS dim_y,
+       CASE kind WHEN 2 THEN ns WHEN 3 THEN nf ELSE 1 END AS n_units,
+       CAST(CASE kind
+            WHEN 2 THEN ns * ch * av
+            -- video: sum of (a + 5f) % 256 over f in [0, nf):
+            -- a <= 255 and 5f <= 15, so the ramp wraps past 256 at
+            -- most once; subtract 256 per wrapped frame (closed form —
+            -- DuckDB's range() cannot lateral-join a column)
+            WHEN 3 THEN vw * vh * (
+                nf * ((doc_id * 13) % 256) + 5 * nf * (nf - 1) // 2
+                - 256 * GREATEST(0, nf - (260 - (doc_id * 13) % 256) // 5))
+            WHEN 1 THEN n * jv
+            WHEN 0 THEN CASE WHEN a0 + n <= 256
+                 THEN n * a0 + n * (n - 1) // 2
+                 ELSE (256 - a0) * a0 + (256 - a0) * (255 - a0) // 2
+                      + (n - 256 + a0) * (n - 257 + a0) // 2 END
+            END AS BIGINT) AS checksum
+FROM d
+"""
+
+
+def multimodal_video_frame_sample(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: every 2nd MJPEG frame of each AVI
+    payload is container-walked and JPEG-decoded (unsampled frames are
+    never decoded — the property that makes sparse sampling of long
+    videos cheap); per-frame mean is exact for the solid fixture so the
+    oracle hash covers the whole chain: container parse -> frame pick
+    -> JPEG decode -> feature."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < MEDIA_N_DOCS) & (F.col("doc_id") % 4 == 3))
+    with_media = attach_media_payload(docs)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ru_cdc_spark.functions.avi import parse_avi
+        from ru_cdc_spark.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                meta = parse_avi(bytes(p))
+                for idx, frame in list(enumerate(meta["frames"]))[::2]:
+                    px = decode_jpeg(frame).astype("int64")
+                    rows.append((d, idx, int(px.sum() // px.size)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "frame_mean"])
+
+    return with_media.mapInPandas(
+        op, "doc_id long, frame_idx long, frame_mean long")
+
+
+MULTIMODAL_VIDEO_FRAME_SAMPLE_SQL = f"""
+SELECT d.doc_id, f.range AS frame_idx,
+       CAST((d.doc_id * 13 + f.range * 5) % 256 AS BIGINT) AS frame_mean
+FROM (SELECT doc_id, 1 + doc_id % 4 AS nf FROM documents
+      WHERE doc_id < {MEDIA_N_DOCS} AND doc_id % 4 = 3) d
+CROSS JOIN range(4) AS f
+WHERE f.range < d.nf AND f.range % 2 = 0
 """
 
 

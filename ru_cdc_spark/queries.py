@@ -1388,6 +1388,11 @@ register("multimodal_png_decode",
          _mm.MULTIMODAL_PNG_DECODE_SQL)(_mm.multimodal_png_decode)
 register("multimodal_image_decode",
          _mm.MULTIMODAL_IMAGE_DECODE_SQL)(_mm.multimodal_image_decode)
+register("multimodal_media_decode",
+         _mm.MULTIMODAL_MEDIA_DECODE_SQL)(_mm.multimodal_media_decode)
+register("multimodal_video_frame_sample",
+         _mm.MULTIMODAL_VIDEO_FRAME_SAMPLE_SQL)(
+    _mm.multimodal_video_frame_sample)
 register("multimodal_phash_clusters",
          None)(_mm.multimodal_phash_clusters)  # DCT + iterative
 

@@ -58,7 +58,9 @@ SHOWCASE = [
     "top_orders_per_customer", "events_hourly_rollup",
     "grouping_sets_sales",
     # event analytics
-    "events_sessionize", "events_funnel", "events_asof_orders",
+    "events_sessionize", "events_asof_orders",
+    # real-wire Kafka sink roundtrip
+    "cdc_kafka_wire_roundtrip",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash_near_pairs",
     "dedup_embedding_cosine", "dedup_clusters_star",

@@ -1,0 +1,566 @@
+"""Kafka wire protocol (client + in-repo broker fixture), from the
+public Kafka protocol specification.
+
+The reference's primary sink is Kafka via rdkafka
+(``/root/reference/src/message_queue.rs:74-135``); this container has
+no kafka library and no broker, so — like the MySQL
+(sources/mysql_client.py) and RESP (sources/resp.py) paths — the
+protocol is implemented directly from the published spec:
+
+* **framing**: 4-byte big-endian size + request header
+  (api_key/api_version/correlation_id/client_id);
+* **ApiVersions v0 / Metadata v1**: bootstrap + topic-partition leader
+  discovery (the fixture answers itself as leader of everything);
+* **Produce v3**: magic-2 **RecordBatch** encoding — zigzag-varint
+  record framing, header arrays, and the CRC32C (Castagnoli, computed
+  here in pure Python) that covers the batch from the attributes field
+  on. The fixture broker VERIFIES the CRC before appending, so a
+  corrupted batch is rejected exactly like a real broker would;
+* **Fetch v4**: record batches read back with high-watermark
+  bookkeeping — the consumer side of the roundtrip proof.
+
+Scale shape mirrors the RESP sink: one producer connection per
+executor partition, one Produce request per micro-batch partition
+(records batched, not per-row round-trips); the driver never touches
+payload bytes.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli) — the record-batch checksum algorithm
+# ---------------------------------------------------------------------------
+
+_CRC32C_POLY = 0x82F63B78
+_CRC32C_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _i8(v: int) -> bytes:
+    return struct.pack(">b", v)
+
+
+def _i16(v: int) -> bytes:
+    return struct.pack(">h", v)
+
+
+def _i32(v: int) -> bytes:
+    return struct.pack(">i", v)
+
+
+def _i64(v: int) -> bytes:
+    return struct.pack(">q", v)
+
+
+def _string(s: str | None) -> bytes:
+    if s is None:
+        return _i16(-1)
+    b = s.encode()
+    return _i16(len(b)) + b
+
+
+def _bytes32(b: bytes | None) -> bytes:
+    if b is None:
+        return _i32(-1)
+    return _i32(len(b)) + b
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _varint(v: int) -> bytes:
+    u = _zigzag(v) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _Reader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def take(self, n: int) -> bytes:
+        b = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+    def i8(self) -> int:
+        return struct.unpack(">b", self.take(1))[0]
+
+    def i16(self) -> int:
+        return struct.unpack(">h", self.take(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self.take(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack(">q", self.take(8))[0]
+
+    def u32(self) -> int:
+        return struct.unpack(">I", self.take(4))[0]
+
+    def string(self) -> str | None:
+        n = self.i16()
+        return None if n < 0 else self.take(n).decode()
+
+    def bytes32(self) -> bytes | None:
+        n = self.i32()
+        return None if n < 0 else self.take(n)
+
+    def varint(self) -> int:
+        shift = 0
+        u = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return _unzigzag(u)
+            shift += 7
+
+
+# ---------------------------------------------------------------------------
+# RecordBatch v2 (magic 2)
+# ---------------------------------------------------------------------------
+
+
+def encode_record_batch(records: list[tuple[bytes | None, bytes]],
+                        base_offset: int = 0,
+                        first_timestamp: int = 0) -> bytes:
+    """[(key, value)] -> one magic-2 record batch. CRC32C covers the
+    bytes from ``attributes`` to the end (the published layout)."""
+    body = bytearray()
+    for i, (key, value) in enumerate(records):
+        rec = bytearray()
+        rec += _i8(0)           # record attributes
+        rec += _varint(0)       # timestamp delta
+        rec += _varint(i)       # offset delta
+        if key is None:
+            rec += _varint(-1)
+        else:
+            rec += _varint(len(key)) + key
+        rec += _varint(len(value)) + value
+        rec += _varint(0)       # headers count
+        body += _varint(len(rec)) + rec
+    after_crc = (
+        _i16(0)                       # batch attributes (no compression)
+        + _i32(len(records) - 1)      # lastOffsetDelta
+        + _i64(first_timestamp) + _i64(first_timestamp)
+        + _i64(-1) + _i16(-1) + _i32(-1)   # producer id/epoch/sequence
+        + _i32(len(records)) + bytes(body))
+    crc = crc32c(after_crc)
+    after_length = _i32(0) + _i8(2) + struct.pack(">I", crc) + after_crc
+    return (_i64(base_offset) + _i32(len(after_length)) + after_length)
+
+
+def decode_record_batch(data: bytes) -> dict:
+    """One batch -> {base_offset, crc_ok, records: [(key, value)]}."""
+    r = _Reader(data)
+    base_offset = r.i64()
+    batch_len = r.i32()
+    end = r.pos + batch_len
+    _leader_epoch = r.i32()
+    magic = r.i8()
+    if magic != 2:
+        raise ValueError(f"unsupported batch magic {magic}")
+    crc = r.u32()
+    crc_ok = crc32c(data[r.pos:end]) == crc
+    _attrs = r.i16()
+    _last_delta = r.i32()
+    _first_ts = r.i64()
+    _max_ts = r.i64()
+    r.take(8 + 2 + 4)  # producer id/epoch/sequence
+    n = r.i32()
+    records = []
+    for _ in range(n):
+        rec_len = r.varint()
+        rr = _Reader(r.take(rec_len))
+        rr.i8()
+        rr.varint()
+        rr.varint()
+        klen = rr.varint()
+        key = None if klen < 0 else rr.take(klen)
+        vlen = rr.varint()
+        value = rr.take(vlen)
+        records.append((key, value))
+    return {"base_offset": base_offset, "crc_ok": crc_ok,
+            "records": records, "batch_end": end}
+
+
+def decode_record_batches(data: bytes) -> list[dict]:
+    out = []
+    pos = 0
+    while pos + 61 <= len(data):  # minimum batch size
+        batch = decode_record_batch(data[pos:])
+        batch["base_offset"] += 0
+        out.append(batch)
+        pos += batch["batch_end"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
+
+
+class KafkaError(RuntimeError):
+    def __init__(self, code: int, where: str) -> None:
+        super().__init__(f"kafka error {code} in {where}")
+        self.code = code
+
+
+class KafkaWireClient:
+    def __init__(self, sock: socket.socket,
+                 client_id: str = "ru-cdc-spark") -> None:
+        self.sock = sock
+        self.client_id = client_id
+        self._corr = 0
+
+    @classmethod
+    def connect(cls, host: str, port: int,
+                timeout: float = 10.0) -> "KafkaWireClient":
+        sock = socket.create_connection((host, port), timeout=timeout)
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return cls(sock)
+
+    def _request(self, api_key: int, api_version: int,
+                 body: bytes) -> _Reader:
+        self._corr += 1
+        header = (_i16(api_key) + _i16(api_version) + _i32(self._corr)
+                  + _string(self.client_id))
+        msg = header + body
+        self.sock.sendall(_i32(len(msg)) + msg)
+        size_b = self._recv_exact(4)
+        resp = self._recv_exact(struct.unpack(">i", size_b)[0])
+        r = _Reader(resp)
+        corr = r.i32()
+        if corr != self._corr:
+            raise KafkaError(-1, f"correlation {corr} != {self._corr}")
+        return r
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("broker closed connection")
+            buf += chunk
+        return bytes(buf)
+
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        r = self._request(API_VERSIONS, 0, b"")
+        err = r.i16()
+        if err:
+            raise KafkaError(err, "ApiVersions")
+        out = {}
+        for _ in range(r.i32()):
+            key, lo, hi = r.i16(), r.i16(), r.i16()
+            out[key] = (lo, hi)
+        return out
+
+    def metadata(self, topics: list[str] | None = None) -> dict:
+        body = _i32(-1) if topics is None else (
+            _i32(len(topics)) + b"".join(_string(t) for t in topics))
+        r = self._request(API_METADATA, 1, body)
+        brokers = []
+        for _ in range(r.i32()):
+            brokers.append((r.i32(), r.string(), r.i32(), r.string()))
+        _controller = r.i32()
+        topics_out = {}
+        for _ in range(r.i32()):
+            err = r.i16()
+            name = r.string()
+            _internal = r.i8()
+            parts = []
+            for _ in range(r.i32()):
+                perr, pid, leader = r.i16(), r.i32(), r.i32()
+                replicas = [r.i32() for _ in range(r.i32())]
+                isr = [r.i32() for _ in range(r.i32())]
+                parts.append({"partition": pid, "leader": leader,
+                              "error": perr, "replicas": replicas,
+                              "isr": isr})
+            topics_out[name] = {"error": err, "partitions": parts}
+        return {"brokers": brokers, "topics": topics_out}
+
+    def produce(self, topic: str, partition: int,
+                records: list[tuple[bytes | None, bytes]],
+                acks: int = -1, timeout_ms: int = 10000,
+                first_timestamp: int = 0) -> int:
+        """Produce v3 — returns the assigned base offset."""
+        batch = encode_record_batch(records,
+                                    first_timestamp=first_timestamp)
+        body = (_string(None) + _i16(acks) + _i32(timeout_ms)
+                + _i32(1) + _string(topic)
+                + _i32(1) + _i32(partition) + _bytes32(batch))
+        r = self._request(API_PRODUCE, 3, body)
+        base_offset = -1
+        for _ in range(r.i32()):
+            _topic = r.string()
+            for _ in range(r.i32()):
+                _pid, err, off, _ts = r.i32(), r.i16(), r.i64(), r.i64()
+                if err:
+                    raise KafkaError(err, f"Produce {topic}/{_pid}")
+                base_offset = off
+        _throttle = r.i32()
+        return base_offset
+
+    def fetch(self, topic: str, partition: int, offset: int,
+              max_bytes: int = 1 << 20) -> dict:
+        """Fetch v4 — {high_watermark, records: [(key, value)]} from
+        ``offset``."""
+        body = (_i32(-1) + _i32(100) + _i32(1) + _i32(max_bytes)
+                + _i8(0)
+                + _i32(1) + _string(topic)
+                + _i32(1) + _i32(partition) + _i64(offset)
+                + _i32(max_bytes))
+        r = self._request(API_FETCH, 4, body)
+        _throttle = r.i32()
+        records: list[tuple[bytes | None, bytes]] = []
+        hw = -1
+        for _ in range(r.i32()):
+            _topic = r.string()
+            for _ in range(r.i32()):
+                _pid, err = r.i32(), r.i16()
+                hw = r.i64()
+                _lso = r.i64()
+                for _ in range(r.i32()):  # aborted transactions
+                    r.i64()
+                    r.i64()
+                record_set = r.bytes32() or b""
+                if err:
+                    raise KafkaError(err, f"Fetch {topic}/{_pid}")
+                for batch in decode_record_batches(record_set):
+                    if not batch["crc_ok"]:
+                        raise KafkaError(-2, "fetched batch CRC mismatch")
+                    records.extend(batch["records"])
+        return {"high_watermark": hw, "records": records}
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self) -> "KafkaWireClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# broker fixture
+# ---------------------------------------------------------------------------
+
+
+class KafkaBrokerFixture:
+    """Threaded single-node broker: ApiVersions/Metadata/Produce/Fetch,
+    an in-memory log per (topic, partition), and REAL CRC32C
+    verification on every produced batch (error 2 = CORRUPT_MESSAGE,
+    like a live broker)."""
+
+    NODE_ID = 0
+
+    def __init__(self, host: str = "127.0.0.1") -> None:
+        self.host = host
+        self.port = 0
+        # (topic, partition) -> list of (key, value); offsets are list
+        # indexes — a single-segment log
+        self.logs: dict[tuple[str, int], list] = {}
+        self._lock = threading.Lock()
+        self._sock: socket.socket | None = None
+        self._stop = threading.Event()
+
+    def start(self) -> "KafkaBrokerFixture":
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((self.host, 0))
+        self.port = self._sock.getsockname()[1]
+        self._sock.listen(64)
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+
+    def _accept_loop(self) -> None:
+        assert self._sock is not None
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._serve, args=(conn,),
+                             daemon=True).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        try:
+            while not self._stop.is_set():
+                size_b = self._recv_exact(conn, 4)
+                if size_b is None:
+                    return
+                req = self._recv_exact(
+                    conn, struct.unpack(">i", size_b)[0])
+                if req is None:
+                    return
+                r = _Reader(req)
+                api_key, api_version, corr = r.i16(), r.i16(), r.i32()
+                _client = r.string()
+                if api_key == API_VERSIONS:
+                    body = self._api_versions()
+                elif api_key == API_METADATA:
+                    body = self._metadata(r)
+                elif api_key == API_PRODUCE:
+                    body = self._produce(r)
+                elif api_key == API_FETCH:
+                    body = self._fetch(r)
+                else:
+                    body = _i16(35)  # UNSUPPORTED_VERSION
+                resp = _i32(corr) + body
+                conn.sendall(_i32(len(resp)) + resp)
+        except (ConnectionError, OSError):
+            return
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    @staticmethod
+    def _recv_exact(conn: socket.socket, n: int) -> bytes | None:
+        buf = bytearray()
+        while len(buf) < n:
+            try:
+                chunk = conn.recv(n - len(buf))
+            except OSError:
+                return None
+            if not chunk:
+                return None
+            buf += chunk
+        return bytes(buf)
+
+    def _api_versions(self) -> bytes:
+        supported = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
+                     (API_METADATA, 1, 1), (API_VERSIONS, 0, 0)]
+        return (_i16(0) + _i32(len(supported))
+                + b"".join(_i16(k) + _i16(lo) + _i16(hi)
+                           for k, lo, hi in supported))
+
+    def _metadata(self, r: _Reader) -> bytes:
+        n = r.i32()
+        asked = [r.string() for _ in range(n)] if n >= 0 else None
+        with self._lock:
+            known = sorted({t for t, _ in self.logs})
+        topics = asked if asked is not None else known
+        out = (_i32(1)
+               + _i32(self.NODE_ID) + _string(self.host)
+               + _i32(self.port) + _string(None)
+               + _i32(self.NODE_ID))  # controller
+        out += _i32(len(topics))
+        for t in topics:
+            out += (_i16(0) + _string(t) + _i8(0)
+                    + _i32(1)       # one partition per topic
+                    + _i16(0) + _i32(0) + _i32(self.NODE_ID)
+                    + _i32(1) + _i32(self.NODE_ID)
+                    + _i32(1) + _i32(self.NODE_ID))
+        return out
+
+    def _produce(self, r: _Reader) -> bytes:
+        _txn = r.string()
+        _acks = r.i16()
+        _timeout = r.i32()
+        out_topics = []
+        for _ in range(r.i32()):
+            topic = r.string() or ""
+            parts = []
+            for _ in range(r.i32()):
+                pid = r.i32()
+                record_set = r.bytes32() or b""
+                err = 0
+                base = -1
+                try:
+                    batches = decode_record_batches(record_set)
+                    if not batches or not all(b["crc_ok"]
+                                              for b in batches):
+                        err = 2  # CORRUPT_MESSAGE
+                    else:
+                        with self._lock:
+                            log = self.logs.setdefault((topic, pid), [])
+                            base = len(log)
+                            for b in batches:
+                                log.extend(b["records"])
+                except (ValueError, struct.error):
+                    err = 2
+                parts.append((pid, err, base))
+            out_topics.append((topic, parts))
+        out = _i32(len(out_topics))
+        for topic, parts in out_topics:
+            out += _string(topic) + _i32(len(parts))
+            for pid, err, base in parts:
+                out += _i32(pid) + _i16(err) + _i64(base) + _i64(-1)
+        return out + _i32(0)
+
+    def _fetch(self, r: _Reader) -> bytes:
+        r.take(4 + 4 + 4 + 4 + 1)  # replica/max_wait/min/max/isolation
+        out_topics = []
+        for _ in range(r.i32()):
+            topic = r.string() or ""
+            parts = []
+            for _ in range(r.i32()):
+                pid = r.i32()
+                offset = r.i64()
+                _pmax = r.i32()
+                with self._lock:
+                    log = list(self.logs.get((topic, pid), []))
+                tail = log[offset:]
+                record_set = (encode_record_batch(
+                    tail, base_offset=offset) if tail else b"")
+                parts.append((pid, len(log), record_set))
+            out_topics.append((topic, parts))
+        out = _i32(0) + _i32(len(out_topics))
+        for topic, parts in out_topics:
+            out += _string(topic) + _i32(len(parts))
+            for pid, hw, record_set in parts:
+                out += (_i32(pid) + _i16(0) + _i64(hw) + _i64(hw)
+                        + _i32(0) + _bytes32(record_set))
+        return out

@@ -2715,6 +2715,61 @@ def cdc_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r.*"))
 
 
+def cdc_kafka_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSUME side of the Kafka wire: change-stream JSON produced
+    to a topic (real record batches), then ingested by the
+    ``kafka_wire`` STREAMING source — Spark-checkpointed Kafka offsets,
+    drained across repeated availableNow restarts — and parsed back.
+    Hash-matching the ``cdc_change_stream`` oracle proves offsets never
+    duplicate or drop a record across restarts: the exactly-once ingest
+    topology the reference's downstream consumers need but its
+    at-least-once producer cannot give them."""
+    from ru_cdc_spark.config import SinkConfig
+    from ru_cdc_spark.sources.kafka_wire import (
+        KafkaBrokerFixture,
+        register_kafka_wire_source,
+    )
+    from ru_cdc_spark.streaming.sinks import write_batch_to_sink
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+
+    import uuid as _uuid
+
+    topic = f"s{_uuid.uuid4().hex[:8]}_changes"
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    batch = flat.select(
+        F.lit("k").alias("mq"), F.lit(topic).alias("topic"),
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+    write_batch_to_sink(batch, SinkConfig(
+        name="k", kind="kafka_wire",
+        options={"host": "127.0.0.1", "port": str(broker.port)}), 0)
+
+    register_kafka_wire_source(spark)
+    work = _session_tmpdir("kafka_stream_")
+    for _ in range(3):
+        stream = (spark.readStream.format("kafka_wire")
+                  .option("host", "127.0.0.1")
+                  .option("port", broker.port)
+                  .option("topic", topic)
+                  .option("position_file", f"{work}/pos.json")
+                  .option("max_records_per_batch", 1500).load())
+        q = (stream.writeStream.format("parquet")
+             .option("path", f"{work}/out")
+             .option("checkpointLocation", f"{work}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    return (spark.read.parquet(f"{work}/out")
+            .select(F.from_json(F.col("value").cast("string"),
+                                schema).alias("r"))
+            .select("r.*"))
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
@@ -2753,6 +2808,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_wire_roundtrip",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_roundtrip)
+    register("cdc_kafka_wire_stream",
+             REGISTRY["cdc_change_stream"].oracle)(
+        cdc_kafka_wire_stream)
 
 
 _register_binlog_wire()

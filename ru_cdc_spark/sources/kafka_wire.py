@@ -383,6 +383,113 @@ class KafkaWireClient:
 
 
 # ---------------------------------------------------------------------------
+# streaming source: Kafka offsets through Spark's offset log
+# ---------------------------------------------------------------------------
+
+
+def register_kafka_wire_source(spark) -> None:
+    """Register the ``kafka_wire`` streaming source: consume a topic
+    partition over the real wire protocol with Spark-checkpointed
+    offsets — the ingest topology the reference's downstream actually
+    runs (Canal payloads on a topic), with exactly-once delivery from
+    the offset log instead of consumer-group commits."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _OffsetRange(InputPartition):
+        def __init__(self, lo: int, hi: int) -> None:
+            self.lo = lo
+            self.hi = hi
+
+    class KafkaWireStreamReader(DataSourceStreamReader):
+        """Offsets are REAL Kafka offsets: ``initialOffset`` starts at
+        0 (or ``start_offset``), ``latestOffset`` asks the broker for
+        the high watermark (bounded by ``max_records_per_batch`` —
+        backpressure the consumer-group API leaves to maxPollRecords),
+        and ``read`` fetches exactly [start, end)."""
+
+        def __init__(self, options: dict) -> None:
+            self.host = options.get("host", "127.0.0.1")
+            self.port = int(options["port"])
+            self.topic = options["topic"]
+            self.partition = int(options.get("partition", 0))
+            self.start = int(options.get("start_offset", 0))
+            self.per_batch = int(options.get("max_records_per_batch",
+                                             10000))
+            # advisory progress file (same pattern as binlog_source):
+            # Spark's offset log is the source of truth; this only lets
+            # a REBUILT reader keep advancing instead of re-announcing
+            # already-committed ranges under single-batch triggers
+            self.position_file = options.get("position_file")
+
+        def _load_cur(self) -> int:
+            import json as _json
+            import os as _os
+
+            if self.position_file and _os.path.exists(
+                    self.position_file):
+                with open(self.position_file) as fh:
+                    return int(_json.load(fh)["offset"])
+            return self.start
+
+        def _save_cur(self, offset: int) -> None:
+            import json as _json
+            import os as _os
+
+            if self.position_file:
+                tmp = f"{self.position_file}.tmp"
+                with open(tmp, "w") as fh:
+                    _json.dump({"offset": offset}, fh)
+                _os.replace(tmp, self.position_file)
+
+        def initialOffset(self) -> dict:  # noqa: N802
+            return {"offset": self.start}
+
+        def latestOffset(self) -> dict:  # noqa: N802
+            cur = max(getattr(self, "_cur", self.start),
+                      self._load_cur())
+            with KafkaWireClient.connect(self.host, self.port) as c:
+                hw = c.fetch(self.topic, self.partition, cur,
+                             max_bytes=1)["high_watermark"]
+            new = min(max(cur, hw), cur + self.per_batch)
+            self._cur = new
+            self._save_cur(new)
+            return {"offset": new}
+
+        def partitions(self, start: dict, end: dict):
+            return [_OffsetRange(int(start["offset"]),
+                                 int(end["offset"]))]
+
+        def read(self, partition):
+            if partition.hi <= partition.lo:
+                return
+            with KafkaWireClient.connect(self.host, self.port) as c:
+                got = c.fetch(self.topic, self.partition, partition.lo)
+            n = partition.hi - partition.lo
+            for i, (key, value) in enumerate(got["records"][:n]):
+                yield (partition.lo + i, key, value)
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class KafkaWireDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "kafka_wire"
+
+        def schema(self) -> str:
+            return "offset long, key binary, value binary"
+
+        def streamReader(self, schema) -> KafkaWireStreamReader:  # noqa: N802
+            return KafkaWireStreamReader(dict(self.options))
+
+    spark.dataSource.register(KafkaWireDataSource)
+
+
+# ---------------------------------------------------------------------------
 # broker fixture
 # ---------------------------------------------------------------------------
 
@@ -549,10 +656,15 @@ class KafkaBrokerFixture:
             for _ in range(r.i32()):
                 pid = r.i32()
                 offset = r.i64()
-                _pmax = r.i32()
+                pmax = r.i32()
                 with self._lock:
                     log = list(self.logs.get((topic, pid), []))
                 tail = log[offset:]
+                # tiny max_bytes = a watermark-only probe: answer the
+                # high watermark with an empty record set, like a real
+                # broker that can't fit even one batch
+                if pmax < 64:
+                    tail = []
                 record_set = (encode_record_batch(
                     tail, base_offset=offset) if tail else b"")
                 parts.append((pid, len(log), record_set))

@@ -156,11 +156,18 @@ class _Reader:
 # ---------------------------------------------------------------------------
 
 
+COMPRESSION_NONE, COMPRESSION_GZIP = 0, 1
+
+
 def encode_record_batch(records: list[tuple[bytes | None, bytes]],
                         base_offset: int = 0,
-                        first_timestamp: int = 0) -> bytes:
+                        first_timestamp: int = 0,
+                        compression: str = "none") -> bytes:
     """[(key, value)] -> one magic-2 record batch. CRC32C covers the
-    bytes from ``attributes`` to the end (the published layout)."""
+    bytes from ``attributes`` to the end (the published layout);
+    ``compression="gzip"`` deflates the records section and sets the
+    codec bits in the batch attributes, exactly as brokers expect —
+    headers and CRC stay uncompressed."""
     body = bytearray()
     for i, (key, value) in enumerate(records):
         rec = bytearray()
@@ -174,15 +181,33 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
         rec += _varint(len(value)) + value
         rec += _varint(0)       # headers count
         body += _varint(len(rec)) + rec
+    if compression == "gzip":
+        attrs, recs = COMPRESSION_GZIP, _gzip_wrap(bytes(body))
+    elif compression == "none":
+        attrs, recs = COMPRESSION_NONE, bytes(body)
+    else:
+        raise ValueError(f"unsupported compression {compression!r}")
     after_crc = (
-        _i16(0)                       # batch attributes (no compression)
+        _i16(attrs)                   # batch attributes (codec bits 0-2)
         + _i32(len(records) - 1)      # lastOffsetDelta
         + _i64(first_timestamp) + _i64(first_timestamp)
         + _i64(-1) + _i16(-1) + _i32(-1)   # producer id/epoch/sequence
-        + _i32(len(records)) + bytes(body))
+        + _i32(len(records)) + recs)
     crc = crc32c(after_crc)
     after_length = _i32(0) + _i8(2) + struct.pack(">I", crc) + after_crc
     return (_i64(base_offset) + _i32(len(after_length)) + after_length)
+
+
+def _gzip_wrap(raw: bytes) -> bytes:
+    """RFC 1952 gzip framing around a deflate stream (Kafka's gzip
+    codec is whole-records-section gzip, not bare zlib)."""
+    import gzip as _gzip
+    import io as _io
+
+    buf = _io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    return buf.getvalue()
 
 
 def decode_record_batch(data: bytes) -> dict:
@@ -197,12 +222,19 @@ def decode_record_batch(data: bytes) -> dict:
         raise ValueError(f"unsupported batch magic {magic}")
     crc = r.u32()
     crc_ok = crc32c(data[r.pos:end]) == crc
-    _attrs = r.i16()
+    attrs = r.i16()
     _last_delta = r.i32()
     _first_ts = r.i64()
     _max_ts = r.i64()
     r.take(8 + 2 + 4)  # producer id/epoch/sequence
     n = r.i32()
+    codec = attrs & 0x07
+    if codec == COMPRESSION_GZIP:
+        import gzip as _gzip
+
+        r = _Reader(_gzip.decompress(r.take(end - r.pos)))
+    elif codec != COMPRESSION_NONE:
+        raise ValueError(f"unsupported compression codec {codec}")
     records = []
     for _ in range(n):
         rec_len = r.varint()
@@ -319,10 +351,12 @@ class KafkaWireClient:
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes]],
                 acks: int = -1, timeout_ms: int = 10000,
-                first_timestamp: int = 0) -> int:
+                first_timestamp: int = 0,
+                compression: str = "none") -> int:
         """Produce v3 — returns the assigned base offset."""
         batch = encode_record_batch(records,
-                                    first_timestamp=first_timestamp)
+                                    first_timestamp=first_timestamp,
+                                    compression=compression)
         body = (_string(None) + _i16(acks) + _i32(timeout_ms)
                 + _i32(1) + _string(topic)
                 + _i32(1) + _i32(partition) + _bytes32(batch))

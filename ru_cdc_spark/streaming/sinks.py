@@ -84,6 +84,7 @@ def write_batch_to_sink(batch: DataFrame, sink: SinkConfig, epoch_id: int) -> No
         # fixture broker verifies every batch CRC like a live one.
         host = sink.options.get("host", "127.0.0.1")
         port = int(sink.options["port"])
+        compression = sink.options.get("compression", "none")
         if "__seq" in batch.columns:
             batch = ordered_for_kafka(batch)
 
@@ -103,7 +104,8 @@ def write_batch_to_sink(batch: DataFrame, sink: SinkConfig, epoch_id: int) -> No
                 return
             with KafkaWireClient.connect(host, port) as kc:
                 for topic, records in by_topic.items():
-                    kc.produce(topic, 0, records)
+                    kc.produce(topic, 0, records,
+                               compression=compression)
 
         batch.select("topic", "key", "value") \
             .foreachPartition(produce_partition)

@@ -244,3 +244,26 @@ class TestKafkaWireStreamSource:
                 sorted(f"v{i}" for i in range(25))
         finally:
             srv.stop()
+
+
+class TestGzipCompression:
+    def test_gzip_batch_roundtrip(self):
+        recs = [(b"k%d" % i, b"payload-%d" % i * 10) for i in range(50)]
+        plain = encode_record_batch(recs)
+        gz = encode_record_batch(recs, compression="gzip")
+        assert len(gz) < len(plain)  # actually compressed
+        out = decode_record_batches(gz)
+        assert out[0]["crc_ok"]
+        assert out[0]["records"] == recs
+
+    def test_gzip_produce_fetch_through_broker(self):
+        srv = KafkaBrokerFixture().start()
+        try:
+            with KafkaWireClient.connect("127.0.0.1", srv.port) as c:
+                c.produce("gz", 0, [(None, b"compressed " * 20)] * 10,
+                          compression="gzip")
+                got = c.fetch("gz", 0, 0)
+                assert len(got["records"]) == 10
+                assert got["records"][0][1] == b"compressed " * 20
+        finally:
+            srv.stop()

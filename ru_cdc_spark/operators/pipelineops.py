@@ -483,3 +483,106 @@ SELECT lang, split, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM tagged GROUP BY 1, 2
 """
+
+
+# ===========================================================================
+# boilerplate paragraph removal (CCNet-style corpus cleaning)
+# ===========================================================================
+
+BOILERPLATE_CHUNK_WORDS = 10
+BOILERPLATE_MIN_DOCS = 3
+
+
+def _chunks_col(w: Column) -> Column:
+    """Non-overlapping 10-word windows of a word array — the paragraph
+    stand-in for corpora without structural separators. Spark slice is
+    1-based; sequence is inclusive, so guard the empty doc."""
+    n_chunks = F.ceil(F.size(w) / BOILERPLATE_CHUNK_WORDS).cast("int")
+    return F.when(F.size(w) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.array_join(
+                F.slice(w, c * BOILERPLATE_CHUNK_WORDS + 1,
+                        BOILERPLATE_CHUNK_WORDS), " ")))
+
+
+def _chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(_chunks_col(words_col(F.col("text"))))
+        .alias("cidx", "chunk"))
+
+
+def corpus_boilerplate_chunks(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Boilerplate detection at paragraph granularity (the CCNet /
+    Gopher corpus-cleaning step): a chunk repeated across >= K distinct
+    documents is template text (headers, footers, nav), not content.
+
+    Scale: chunking is a narrow map; the only shuffle is a uniform
+    hash aggregate on the chunk text with map-side partial
+    count_distinct — the same shape as exact dedup, at ~1/10 the key
+    count of word-level aggregation."""
+    return (_chunked(spark, sf_dir)
+            .groupBy("chunk")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS))
+
+
+CORPUS_BOILERPLATE_CHUNKS_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+chunks AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+               c -> array_to_string(w[c*10+1 : c*10+10], ' '))) AS chunk
+    FROM words)
+SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM chunks
+GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+"""
+
+
+def corpus_boilerplate_strip(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Documents reassembled WITHOUT their boilerplate chunks — the
+    apply step of template removal, keeping in-document chunk order.
+
+    Scale: the boilerplate set is tiny by construction (chunks repeated
+    across documents), so the anti join broadcasts; reassembly is one
+    doc_id shuffle with an order-preserving collect_list over (cidx,
+    chunk) structs. Documents that are PURE boilerplate drop out —
+    exactly what the curation step intends."""
+    chunked = _chunked(spark, sf_dir)
+    boiler = (chunked.groupBy("chunk")
+              .agg(F.count_distinct("doc_id").alias("n_docs"))
+              .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+              .select("chunk"))
+    kept = chunked.join(F.broadcast(boiler), "chunk", "left_anti")
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("cidx", "chunk"))),
+                    lambda s: s["chunk"]), " ").alias("clean_text"),
+                F.count("*").alias("n_kept_chunks")))
+
+
+CORPUS_BOILERPLATE_STRIP_SQL = f"""
+WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+chunks AS (
+    SELECT doc_id,
+           unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS cidx,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+               c -> array_to_string(w[c*10+1 : c*10+10], ' '))) AS chunk
+    FROM words),
+boiler AS (
+    SELECT chunk FROM chunks GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS})
+SELECT doc_id,
+       array_to_string(list(chunk ORDER BY cidx), ' ') AS clean_text,
+       COUNT(*) AS n_kept_chunks
+FROM chunks WHERE chunk NOT IN (SELECT chunk FROM boiler)
+GROUP BY doc_id
+"""

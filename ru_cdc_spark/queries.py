@@ -1410,6 +1410,12 @@ from ru_cdc_spark.operators import pipelineops as _pp  # noqa: E402
 register("quality_filter_chain",
          _pp.QUALITY_FILTER_CHAIN_SQL)(_pp.quality_filter_chain)
 register("pii_redaction", _pp.PII_REDACTION_SQL)(_pp.pii_redaction)
+register("corpus_boilerplate_chunks",
+         _pp.CORPUS_BOILERPLATE_CHUNKS_SQL)(
+    _pp.corpus_boilerplate_chunks)
+register("corpus_boilerplate_strip",
+         _pp.CORPUS_BOILERPLATE_STRIP_SQL)(
+    _pp.corpus_boilerplate_strip)
 register("stratified_sample", _pp.STRATIFIED_SAMPLE_SQL)(_pp.stratified_sample)
 register("train_val_test_split",
          _pp.TRAIN_VAL_TEST_SPLIT_SQL)(_pp.train_val_test_split)

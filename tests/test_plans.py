@@ -405,3 +405,20 @@ def test_corpus_dedup_anti_join_not_forced_broadcast(spark, sf_dir):
                        for ln in anti_lines), anti_lines
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_boilerplate_strip_broadcasts_tiny_boiler_set(spark, sf_dir):
+    """The boilerplate set (chunks in >=3 docs) is tiny by construction
+    — the anti join must broadcast it, never shuffle the corpus side
+    for it."""
+    df = REGISTRY["corpus_boilerplate_strip"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("Broadcast" in ln for ln in anti), anti
+
+
+def test_media_decode_is_exchange_free(spark, sf_dir):
+    """Payload encode+decode are payload-local narrow maps — nothing
+    shuffles; only derived metrics leave the operator."""
+    df = REGISTRY["multimodal_media_decode"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 1  # at most the source spread

@@ -261,3 +261,76 @@ def test_query_event_roundtrip_property(sql, schema):
 @settings(max_examples=200, deadline=None)
 def test_xid_roundtrip_property(xid):
     assert bw.decode_xid(bw.encode_xid(xid)) == xid
+
+
+class TestJpegProperty:
+    """Hypothesis roundtrips for the baseline JPEG codec: arbitrary
+    dims and content decode to the right shape with bounded error."""
+
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+        sub=st.sampled_from(["444", "420"]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_roundtrip_shape_and_bounded_error(self, h, w, seed, sub):
+        import numpy as np
+
+        from ru_cdc_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(seed)
+        # smooth-ish content (random walk) — JPEG's target domain
+        base = rng.integers(0, 256, (1, 1, 3))
+        steps = rng.integers(-6, 7, (h, w, 3))
+        img = np.clip(base + np.cumsum(np.cumsum(steps, 0), 1),
+                      0, 255).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90, subsampling=sub))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < 16
+
+    @given(
+        n=st.integers(min_value=0, max_value=500),
+        ch=st.integers(min_value=1, max_value=2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_wav_roundtrip_bit_exact(self, n, ch, rate, seed):
+        import numpy as np
+
+        from ru_cdc_spark.functions.wav import decode_wav, encode_wav
+
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        out, r = decode_wav(encode_wav(s, rate))
+        assert r == rate
+        assert out.shape == (n, ch)
+        assert np.array_equal(out, s)
+
+
+class TestKafkaCodecProperty:
+    @given(
+        recs=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.binary(max_size=40)),
+                st.binary(max_size=200)),
+            min_size=1, max_size=50),
+        base=st.integers(min_value=0, max_value=2**40),
+        comp=st.sampled_from(["none", "gzip"]),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_record_batch_roundtrip(self, recs, base, comp):
+        from ru_cdc_spark.sources.kafka_wire import (
+            decode_record_batches,
+            encode_record_batch,
+        )
+
+        blob = encode_record_batch(recs, base_offset=base,
+                                   compression=comp)
+        out = decode_record_batches(blob)
+        assert len(out) == 1
+        assert out[0]["crc_ok"]
+        assert out[0]["base_offset"] == base
+        assert out[0]["records"] == recs

@@ -2758,13 +2758,18 @@ def cdc_kafka_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_kafka_wire_source(spark)
     work = _session_tmpdir("kafka_stream_")
+    # single-batch triggers: size batches so three checkpointed restarts
+    # provably drain the topic at ANY scale factor (2 data batches + a
+    # final empty one), while still crossing a batch boundary
+    n_records = flat.count()
+    per_batch = max(1, (n_records + 1) // 2)
     for _ in range(3):
         stream = (spark.readStream.format("kafka_wire")
                   .option("host", "127.0.0.1")
                   .option("port", broker.port)
                   .option("topic", topic)
                   .option("position_file", f"{work}/pos.json")
-                  .option("max_records_per_batch", 1500).load())
+                  .option("max_records_per_batch", per_batch).load())
         q = (stream.writeStream.format("parquet")
              .option("path", f"{work}/out")
              .option("checkpointLocation", f"{work}/ck")

@@ -211,7 +211,9 @@ def _gzip_wrap(raw: bytes) -> bytes:
 
 
 def decode_record_batch(data: bytes) -> dict:
-    """One batch -> {base_offset, crc_ok, records: [(key, value)]}."""
+    """One batch -> {base_offset, crc_ok,
+    records: [(offset, key, value)]} with offset = baseOffset +
+    offsetDelta (the published consumer rule)."""
     r = _Reader(data)
     base_offset = r.i64()
     batch_len = r.i32()
@@ -240,13 +242,15 @@ def decode_record_batch(data: bytes) -> dict:
         rec_len = r.varint()
         rr = _Reader(r.take(rec_len))
         rr.i8()
-        rr.varint()
-        rr.varint()
+        rr.varint()  # timestamp delta
+        offset_delta = rr.varint()
         klen = rr.varint()
         key = None if klen < 0 else rr.take(klen)
         vlen = rr.varint()
         value = rr.take(vlen)
-        records.append((key, value))
+        # the record's REAL offset: compacted topics leave gaps, so
+        # consumers must use baseOffset + offsetDelta, never count
+        records.append((base_offset + offset_delta, key, value))
     return {"base_offset": base_offset, "crc_ok": crc_ok,
             "records": records, "batch_end": end}
 
@@ -374,8 +378,9 @@ class KafkaWireClient:
 
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20) -> dict:
-        """Fetch v4 — {high_watermark, records: [(key, value)]} from
-        ``offset``."""
+        """Fetch v4 — {high_watermark, records: [(offset, key, value)]}
+        from ``offset``; record offsets are baseOffset + offsetDelta
+        (compacted topics leave gaps — never count positions)."""
         body = (_i32(-1) + _i32(100) + _i32(1) + _i32(max_bytes)
                 + _i8(0)
                 + _i32(1) + _string(topic)
@@ -383,7 +388,7 @@ class KafkaWireClient:
                 + _i32(max_bytes))
         r = self._request(API_FETCH, 4, body)
         _throttle = r.i32()
-        records: list[tuple[bytes | None, bytes]] = []
+        records: list[tuple] = []
         hw = -1
         for _ in range(r.i32()):
             _topic = r.string()
@@ -500,11 +505,20 @@ def register_kafka_wire_source(spark) -> None:
         def read(self, partition):
             if partition.hi <= partition.lo:
                 return
+            cur = partition.lo
             with KafkaWireClient.connect(self.host, self.port) as c:
-                got = c.fetch(self.topic, self.partition, partition.lo)
-            n = partition.hi - partition.lo
-            for i, (key, value) in enumerate(got["records"][:n]):
-                yield (partition.lo + i, key, value)
+                # loop: a broker bounds each Fetch by max_bytes, so one
+                # call may cover only part of the committed range —
+                # stopping early would silently drop the rest of the
+                # batch's records
+                while cur < partition.hi:
+                    got = c.fetch(self.topic, self.partition, cur)
+                    recs = [r for r in got["records"]
+                            if cur <= r[0] < partition.hi]
+                    if not recs:
+                        break
+                    yield from recs
+                    cur = recs[-1][0] + 1
 
         def commit(self, end: dict) -> None:
             pass
@@ -669,7 +683,8 @@ class KafkaBrokerFixture:
                             log = self.logs.setdefault((topic, pid), [])
                             base = len(log)
                             for b in batches:
-                                log.extend(b["records"])
+                                log.extend(
+                                    (k, v) for _, k, v in b["records"])
                 except (ValueError, struct.error):
                     err = 2
                 parts.append((pid, err, base))

@@ -33,7 +33,7 @@ class TestRecordBatchCodec:
         out = decode_record_batches(batch)
         assert len(out) == 1
         assert out[0]["crc_ok"] and out[0]["base_offset"] == 5
-        assert out[0]["records"] == [(b"k1", b"v1"), (None, b"v2")]
+        assert out[0]["records"] == [(5, b"k1", b"v1"), (6, None, b"v2")]
 
     def test_corruption_detected(self):
         batch = bytearray(encode_record_batch([(b"k", b"value")]))
@@ -70,11 +70,13 @@ class TestLiveBroker:
             assert c.produce("t", 0, [(None, b"again")]) == 2
             got = c.fetch("t", 0, 0)
             assert got["high_watermark"] == 3
-            assert [v for _, v in got["records"]] == [b"hello", b"world",
-                                                     b"again"]
+            assert [v for _, _, v in got["records"]] == [
+                b"hello", b"world", b"again"]
+            assert [o for o, _, _ in got["records"]] == [0, 1, 2]
             # offset-addressed tail read
             tail = c.fetch("t", 0, 2)
-            assert [v for _, v in tail["records"]] == [b"again"]
+            assert [v for _, _, v in tail["records"]] == [b"again"]
+            assert [o for o, _, _ in tail["records"]] == [2]
 
     def test_corrupt_batch_rejected_like_a_real_broker(self, broker):
         import socket
@@ -136,9 +138,9 @@ class TestKafkaWireSink:
             write_batch_to_sink(batch, sink, 0)
             with KafkaWireClient.connect("127.0.0.1", srv.port) as c:
                 t0 = sorted(v.decode()
-                            for _, v in c.fetch("t0", 0, 0)["records"])
+                            for _, _, v in c.fetch("t0", 0, 0)["records"])
                 t1 = sorted(v.decode()
-                            for _, v in c.fetch("t1", 0, 0)["records"])
+                            for _, _, v in c.fetch("t1", 0, 0)["records"])
             assert t0 == sorted(f"v{i}" for i in range(0, 20, 2))
             assert t1 == sorted(f"v{i}" for i in range(1, 20, 2))
         finally:
@@ -161,7 +163,7 @@ class TestKafkaWireSink:
             write_batch_to_sink(batch, sink, 0)
             with KafkaWireClient.connect("127.0.0.1", srv.port) as c:
                 vals = [v.decode()
-                        for _, v in c.fetch("t", 0, 0)["records"]]
+                        for _, _, v in c.fetch("t", 0, 0)["records"]]
             assert vals == ["v0", "v1", "v2", "v3"]
         finally:
             srv.stop()
@@ -254,7 +256,7 @@ class TestGzipCompression:
         assert len(gz) < len(plain)  # actually compressed
         out = decode_record_batches(gz)
         assert out[0]["crc_ok"]
-        assert out[0]["records"] == recs
+        assert [(k, v) for _, k, v in out[0]["records"]] == recs
 
     def test_gzip_produce_fetch_through_broker(self):
         srv = KafkaBrokerFixture().start()
@@ -264,6 +266,6 @@ class TestGzipCompression:
                           compression="gzip")
                 got = c.fetch("gz", 0, 0)
                 assert len(got["records"]) == 10
-                assert got["records"][0][1] == b"compressed " * 20
+                assert got["records"][0][2] == b"compressed " * 20
         finally:
             srv.stop()

@@ -333,4 +333,6 @@ class TestKafkaCodecProperty:
         assert len(out) == 1
         assert out[0]["crc_ok"]
         assert out[0]["base_offset"] == base
-        assert out[0]["records"] == recs
+        assert [(k, v) for _, k, v in out[0]["records"]] == recs
+        assert [o for o, _, _ in out[0]["records"]] == \
+            list(range(base, base + len(recs)))

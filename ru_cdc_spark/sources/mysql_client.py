@@ -373,7 +373,12 @@ def decode_auth_switch_request(b: bytes) -> tuple[str, bytes]:
     if b[0] != 0xFE:
         raise ValueError("not an AuthSwitchRequest")
     plugin, off = read_nul_str(b, 1)
-    data = b[off:].rstrip(b"\x00")
+    data = b[off:]
+    # exactly ONE trailing NUL is the terminator; a nonce may
+    # legitimately END in 0x00 bytes, so rstrip would corrupt it and
+    # every derived scramble
+    if data.endswith(b"\x00"):
+        data = data[:-1]
     return plugin, data
 
 

@@ -600,3 +600,20 @@ class TestGtidDump:
             assert sum(1 for ev in evs if ev[4] == 33) == 10
         finally:
             srv.stop()
+
+
+class TestAuthSwitchNonceEdge:
+    def test_trailing_zero_nonce_survives_codec(self):
+        """A server nonce may legitimately end in 0x00 — only the single
+        terminator NUL may be stripped, or every derived scramble is
+        wrong against a real server."""
+        from ru_cdc_spark.sources.mysql_client import (
+            decode_auth_switch_request,
+            encode_auth_switch_request,
+        )
+
+        nonce = bytes(range(18)) + b"\x00\x00"
+        plugin, data = decode_auth_switch_request(
+            encode_auth_switch_request("caching_sha2_password", nonce))
+        assert plugin == "caching_sha2_password"
+        assert data == nonce

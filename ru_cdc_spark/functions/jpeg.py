@@ -140,8 +140,12 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise JpegError("truncated entropy scan")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise JpegError("truncated entropy scan")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed 0xFF data byte

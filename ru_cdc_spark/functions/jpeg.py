@@ -191,7 +191,18 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (H,W,3) RGB or (H,W) grayscale."""
+    """Baseline JPEG bytes -> uint8 (H,W,3) RGB or (H,W) grayscale.
+    Malformed/truncated input raises ``JpegError`` — never an index
+    error from deep inside a codec loop."""
+    try:
+        return _decode_jpeg_inner(data)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        raise JpegError(f"malformed JPEG: {exc}") from exc
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2

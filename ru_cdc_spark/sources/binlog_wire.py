@@ -145,9 +145,20 @@ def _micros_to_frac(micros: int, fsp: int) -> int:
 
 
 def encode_decimal(value: Decimal, precision: int, scale: int) -> bytes:
+    import decimal as _decimal
+
     sign = 1 if value >= 0 else -1
-    q = abs(value).scaleb(scale).to_integral_value()
+    # the DEFAULT decimal context has 28 significant digits — scaleb/
+    # to_integral_value under it silently ROUND a DECIMAL(29+) value,
+    # corrupting both the digits and the packed byte length; widen the
+    # working precision to the declared column precision
+    with _decimal.localcontext() as ctx:
+        ctx.prec = precision + scale + 4
+        q = abs(value).scaleb(scale).to_integral_value()
     digits = f"{int(q):0{precision}d}"
+    if len(digits) > precision:
+        raise ValueError(
+            f"value {value} does not fit DECIMAL({precision},{scale})")
     intg_digits, frac_digits = digits[: precision - scale], digits[precision - scale:]
 
     out = bytearray()
@@ -212,9 +223,10 @@ def decode_decimal(b: bytes, off: int, precision: int, scale: int
     digits += unpack_side(intg, leading=True) or "0"
     fd = unpack_side(scale, leading=False)
     text = digits + ("." + fd if fd else "")
-    val = Decimal(text)
-    if negative:
-        val = -val
+    # negate INSIDE the string construction: Decimal construction is
+    # context-exact, but unary minus is ARITHMETIC and rounds 29+-digit
+    # values to the default 28-digit context
+    val = Decimal("-" + text if negative else text)
     return val, off + nbytes
 
 

@@ -202,9 +202,10 @@ class TestRealPhashPath:
         from ru_cdc_spark.functions.jpeg import JpegError
         from ru_cdc_spark.operators.multimodal import decode_payload
 
-        # audio/video formats remain honestly gated...
+        # formats without an in-repo codec remain honestly gated
+        # (WAV/AVI are real now, so use a non-RIFF audio container)
         with pytest.raises(NotImplementedError):
-            decode_payload(b"RIFF....WAVE", "audio")
+            decode_payload(b"OggS vorbis-ish payload", "audio")
         # ...while a JPEG-magic payload now reaches the REAL decoder,
         # which rejects malformed bytes loudly instead of mis-decoding
         with pytest.raises(JpegError):

@@ -31,8 +31,11 @@ def _decimal():
     def values(spec):
         prec, scale = spec.meta
         max_unscaled = 10 ** prec - 1
+        # string construction is context-EXACT; Decimal(n).scaleb(-s)
+        # under the default 28-digit context silently rounds 29+-digit
+        # unscaled values out of the column's range
         return st.integers(-max_unscaled, max_unscaled).map(
-            lambda n: Decimal(n).scaleb(-scale))
+            lambda n: Decimal(f"{n}E-{scale}"))
 
     return ps.map(build), values
 

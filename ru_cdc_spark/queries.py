@@ -2781,6 +2781,107 @@ def cdc_kafka_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r.*"))
 
 
+def kafka_to_acid_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole north-star topology over REAL wires in one query:
+    Canal envelopes PRODUCED to a Kafka topic (wire-protocol record
+    batches), STREAM-consumed with Spark-checkpointed Kafka offsets,
+    routed + two-phase parsed by the CDC pipeline, and copy-on-write
+    MERGEd into the log-structured ACID table with txn-stamped
+    idempotent commits — across repeated query restarts. The live
+    snapshot hash-matches the same latest-wins oracle as the in-memory
+    merge, so transport, offsets, parse, and table mechanics are all
+    proven answer-invariant together."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from ru_cdc_spark.config import PipelineConfig, SinkConfig
+    from ru_cdc_spark.operators.acid_table import AcidTable
+    from ru_cdc_spark.operators.envelope import envelope_to_json
+    from ru_cdc_spark.sources.kafka_wire import (
+        KafkaBrokerFixture,
+        register_kafka_wire_source,
+    )
+    from ru_cdc_spark.streaming.pipeline import CdcPipeline
+    from ru_cdc_spark.streaming.sinks import write_batch_to_sink
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+    topic = f"a{_uuid.uuid4().hex[:8]}_canal"
+
+    env = build_envelope(
+        derive_order_changes(spark, sf_dir),
+        ORDERS_DATABASE, ORDERS_TABLE, ORDERS_PK, ORDERS_MYSQL_TYPES,
+        processing_ts=F.lit(0))
+    payloads = envelope_to_json(env)
+    n_records = payloads.count()
+    write_batch_to_sink(
+        payloads.select(F.lit("k").alias("mq"),
+                        F.lit(topic).alias("topic"),
+                        F.col("id").cast("string").alias("key"),
+                        F.col("payload").alias("value")),
+        SinkConfig(name="k", kind="kafka_wire",
+                   options={"host": "127.0.0.1",
+                            "port": str(broker.port)}), 0)
+
+    work = _session_tmpdir("kafka_acid_")
+    value_schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DecimalType(12, 2)),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ])
+    table = AcidTable(spark, f"{work}/table", pk="o_orderkey",
+                      seq_col="id")
+    table.create(spark.createDataFrame(
+        [], "id long, o_orderkey long, o_custkey long, "
+            "o_orderstatus string, o_totalprice decimal(12,2), "
+            "o_orderdate timestamp, o_orderpriority string, "
+            "__deleted boolean"))
+
+    cfg = PipelineConfig(
+        source_path=f"{work}/unused", checkpoint_dir=f"{work}/ck",
+        instances=[InstanceConfig(mq="m", schemas="test*", tables="*",
+                                  topic="t")])
+    pipe = CdcPipeline(spark, cfg)
+    register_kafka_wire_source(spark)
+
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        envelopes = pipe.routed(
+            bdf.select(F.col("value").cast("string").alias("payload"))
+        ).select("envelope.*").dropDuplicates(["id"])
+        data_map = F.element_at(F.col("data"), 1)
+        typed = envelopes.select(
+            F.col("id"), "type",
+            *[data_map.getItem(f.name).cast(f.dataType).alias(f.name)
+              for f in value_schema.fields])
+        table.merge_versioned(typed, txn=f"kafka:{epoch_id}")
+
+    per_batch = max(1, (n_records + 1) // 2)
+    for _ in range(3):
+        stream = (spark.readStream.format("kafka_wire")
+                  .option("host", "127.0.0.1")
+                  .option("port", broker.port)
+                  .option("topic", topic)
+                  .option("position_file", f"{work}/pos.json")
+                  .option("max_records_per_batch", per_batch).load())
+        q = (stream.writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", f"{work}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    return table.snapshot_live().select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority")
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
@@ -2822,6 +2923,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_wire_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_stream)
+    register("kafka_to_acid_snapshot",
+             REGISTRY["cdc_merge_snapshot"].oracle)(
+        kafka_to_acid_snapshot)
 
 
 _register_binlog_wire()

@@ -46,8 +46,10 @@ SHOWCASE = [
     "mysql_socket_txn_stream",
     # transactional assembly
     "binlog_txn_changes", "binlog_txn_apply_groups",
-    # ACID table format + merge variants
-    "acid_merge_snapshot", "cdc_partitioned_merge", "cdc_time_travel",
+    # ACID table format + merge variants (incl. the full Kafka->
+    # pipeline->ACID topology over real wires)
+    "acid_merge_snapshot", "cdc_partitioned_merge",
+    "kafka_to_acid_snapshot",
     # streaming: source feed + stateful operators
     "binlog_source_feed", "events_session_window_stream",
     "events_stream_dedup_watermark", "stateful_user_totals",

@@ -156,7 +156,7 @@ class _Reader:
 # ---------------------------------------------------------------------------
 
 
-COMPRESSION_NONE, COMPRESSION_GZIP = 0, 1
+COMPRESSION_NONE, COMPRESSION_GZIP, COMPRESSION_SNAPPY = 0, 1, 2
 
 
 def encode_record_batch(records: list[tuple[bytes | None, bytes]],
@@ -165,9 +165,10 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
                         compression: str = "none") -> bytes:
     """[(key, value)] -> one magic-2 record batch. CRC32C covers the
     bytes from ``attributes`` to the end (the published layout);
-    ``compression="gzip"`` deflates the records section and sets the
-    codec bits in the batch attributes, exactly as brokers expect —
-    headers and CRC stay uncompressed."""
+    ``compression`` = "gzip" (RFC 1952 framing) or "snappy" (xerial
+    stream framing, functions/snappy.py) compresses the records
+    section and sets the codec bits in the batch attributes, exactly
+    as brokers expect — headers and CRC stay uncompressed."""
     body = bytearray()
     for i, (key, value) in enumerate(records):
         rec = bytearray()
@@ -183,6 +184,10 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
         body += _varint(len(rec)) + rec
     if compression == "gzip":
         attrs, recs = COMPRESSION_GZIP, _gzip_wrap(bytes(body))
+    elif compression == "snappy":
+        from ru_cdc_spark.functions.snappy import xerial_compress
+
+        attrs, recs = COMPRESSION_SNAPPY, xerial_compress(bytes(body))
     elif compression == "none":
         attrs, recs = COMPRESSION_NONE, bytes(body)
     else:
@@ -235,6 +240,10 @@ def decode_record_batch(data: bytes) -> dict:
         import gzip as _gzip
 
         r = _Reader(_gzip.decompress(r.take(end - r.pos)))
+    elif codec == COMPRESSION_SNAPPY:
+        from ru_cdc_spark.functions.snappy import xerial_decompress
+
+        r = _Reader(xerial_decompress(r.take(end - r.pos)))
     elif codec != COMPRESSION_NONE:
         raise ValueError(f"unsupported compression codec {codec}")
     records = []

@@ -269,3 +269,26 @@ class TestGzipCompression:
                 assert got["records"][0][2] == b"compressed " * 20
         finally:
             srv.stop()
+
+
+class TestSnappyCompression:
+    def test_snappy_batch_roundtrip(self):
+        recs = [(b"k%d" % i, b"payload-%d " % i * 12) for i in range(60)]
+        plain = encode_record_batch(recs)
+        sn = encode_record_batch(recs, compression="snappy")
+        assert len(sn) < len(plain)
+        out = decode_record_batches(sn)
+        assert out[0]["crc_ok"]
+        assert [(k, v) for _, k, v in out[0]["records"]] == recs
+
+    def test_snappy_through_broker(self):
+        srv = KafkaBrokerFixture().start()
+        try:
+            with KafkaWireClient.connect("127.0.0.1", srv.port) as c:
+                c.produce("sn", 0, [(None, b"snappy " * 30)] * 8,
+                          compression="snappy")
+                got = c.fetch("sn", 0, 0)
+                assert len(got["records"]) == 8
+                assert got["records"][0][2] == b"snappy " * 30
+        finally:
+            srv.stop()

@@ -711,6 +711,125 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
             .select("q_vec", "neighbor", "cos_sim", "rank"))
 
 
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str,
+                     n_cells: int = 8, nprobe: int = 3,
+                     m: int = PQ_M, ksub: int = PQ_KSUB,
+                     shortlist: int = PQ_SHORTLIST) -> DataFrame:
+    """IVF-PQ — the faiss flagship index shape, composed from the
+    engine's own pieces: coarse k-means cells partition the corpus,
+    product quantization codes the RESIDUAL (vector minus its cell
+    centroid — residuals have far less variance than raw vectors, so
+    the same code budget buys more precision), and a query scans ONLY
+    its ``nprobe`` nearest cells via the asymmetric distance, with the
+    usual exact rerank of the shortlist.
+
+    Per-cell query residuals are the part naive compositions miss: the
+    ADC table must be built against ``q - cell_centroid`` separately
+    for every probed cell, or residual codes are scored in the wrong
+    frame.
+
+    Rows-only correctness (two iterative trainings); recall@3 vs brute
+    force is the pytest gate, like the other learned-index paths.
+
+    Scale: both trainings are bounded samples (model metadata);
+    encoding is broadcast-codebook min_by per (vector, subspace); the
+    ADC join touches only codes in probed cells — corpus scan cost is
+    nprobe/n_cells of a flat PQ scan, the point of IVF."""
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("e").first()["e"])
+    sub_dim = dim // m
+
+    cents = pq_train_codebooks(emb, m=1, ksub=n_cells, sub_dim=dim) \
+        .select(F.col("cid").alias("c_cell"), F.col("cent").alias("ce"))
+    cd2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    assigned = (emb.join(F.broadcast(cents), F.lit(True))
+                .select("vec_id", "e", "nrm", "c_cell", "ce",
+                        cd2.alias("dd"))
+                .groupBy("vec_id")
+                .agg(F.min_by(F.struct("c_cell", "ce"),
+                              F.struct("dd", "c_cell")).alias("w"),
+                     F.first("e").alias("e"), F.first("nrm").alias("nrm"))
+                .select("vec_id", "e", "nrm",
+                        F.col("w.c_cell").alias("cell"),
+                        F.zip_with("e", "w.ce",
+                                   lambda x, y: x - y).alias("res")))
+
+    # PQ codebooks trained on RESIDUALS (the faiss IVFPQ contract)
+    cb = pq_train_codebooks(
+        assigned.select("vec_id", F.col("res").alias("e")),
+        m, ksub, sub_dim)
+
+    def subs_of(col: str):
+        return F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice(col, s * sub_dim + 1, sub_dim).alias("sv"))
+            for s in range(m)])
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cent"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    codes = (assigned
+             .select(F.col("vec_id").alias("neighbor"), "cell",
+                     F.explode(subs_of("res")).alias("p"))
+             .select("neighbor", "cell", "p.sub", "p.sv")
+             .join(F.broadcast(cb), "sub")
+             .select("neighbor", "cell", "sub", "cid", d2.alias("dd"))
+             .groupBy("neighbor", "cell", "sub")
+             .agg(F.min_by("cid", F.struct("dd", "cid")).alias("cid")))
+
+    q = assigned.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"))
+    # nprobe nearest cells per query (by true distance to centroid)
+    qcd2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    wprobe = Window.partitionBy("q_vec").orderBy(
+        F.col("qdd").asc(), F.col("c_cell").asc())
+    probed = (q.crossJoin(F.broadcast(cents))
+              .select("q_vec", "qe", "qn", "c_cell", "ce",
+                      qcd2.alias("qdd"))
+              .withColumn("__pr", F.row_number().over(wprobe))
+              .where(F.col("__pr") <= nprobe))
+
+    # PER-CELL query residual -> per-(cell, sub, cid) distance table
+    qtab = (probed
+            .select("q_vec", F.col("c_cell").alias("cell"),
+                    F.explode(subs_of(
+                        F.zip_with("qe", "ce",
+                                   lambda x, y: x - y))).alias("p"))
+            .select("q_vec", "cell", "p.sub", "p.sv")
+            .join(F.broadcast(cb), "sub")
+            .select("q_vec", "cell", "sub", "cid", d2.alias("qd2")))
+
+    adc = (codes.join(F.broadcast(qtab), ["cell", "sub", "cid"])
+           .groupBy("q_vec", "neighbor")
+           .agg(F.sum("qd2").alias("adist")))
+    w_short = Window.partitionBy("q_vec").orderBy(
+        F.col("adist").asc(), F.col("neighbor").asc())
+    short = (adc.where(F.col("neighbor") != F.col("q_vec"))
+             .withColumn("rn", F.row_number().over(w_short))
+             .where(F.col("rn") <= shortlist)
+             .select("q_vec", "neighbor"))
+
+    qv = q.select("q_vec", "qe", "qn")
+    cv = emb.select(F.col("vec_id").alias("neighbor"),
+                    F.col("e").alias("ce2"), F.col("nrm").alias("cn"))
+    cos = dot(F.col("qe"), F.col("ce2")) / (F.col("qn") * F.col("cn"))
+    w_final = Window.partitionBy("q_vec").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc())
+    return (short.join(qv, "q_vec").join(cv, "neighbor")
+            .select("q_vec", "neighbor", cos.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w_final))
+            .where(F.col("rank") <= ANN_TOP_K)
+            .select("q_vec", "neighbor", "cos_sim", "rank"))
+
+
 def label_centroid_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-geometry diagnostic: pairwise cosine similarity between
     label centroids — high off-diagonal similarity means labels are not

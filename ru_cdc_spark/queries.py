@@ -1340,6 +1340,7 @@ register("knn_quantized", _sim.KNN_QUANTIZED_SQL)(_sim.knn_quantized)
 register("ann_ivf", _sim.ANN_IVF_SQL)(_sim.ann_ivf)
 register("ann_ivf_kmeans", None)(_sim.ann_ivf_kmeans)
 register("ann_pq_rerank", None)(_sim.ann_pq_rerank)  # iterative: rows-only
+register("ann_ivfpq_rerank", None)(_sim.ann_ivfpq_rerank)  # iterative
 register("label_centroid_geometry",
          _sim.LABEL_CENTROID_GEOMETRY_SQL)(_sim.label_centroid_geometry)
 register("ann_mmr_diverse", None)(_sim.mmr_diverse_topk)

@@ -318,3 +318,17 @@ def test_phash_clusters_recover_source_groups(spark, sf_dir):
         assert g in by_rep, f"group leader {g} missing"
         assert by_rep[g].n_members == 5
         assert by_rep[g].members == list(range(g, g + 5))
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """IVF-PQ (coarse cells + residual PQ + per-cell query residual ADC
+    + exact rerank) must recover most of the exact top-3 despite
+    scanning only nprobe/n_cells of the corpus codes."""
+    from ru_cdc_spark.queries import REGISTRY
+
+    exact = REGISTRY["knn_brute_force"].fn(spark, sf_dir)
+    approx = REGISTRY["ann_ivfpq_rerank"].fn(spark, sf_dir)
+    truth = {(r.q_vec, r.neighbor) for r in exact.collect() if r.rank <= 3}
+    got = {(r.q_vec, r.neighbor) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"recall@3 too low: {recall:.2f}"

@@ -336,3 +336,27 @@ class TestKafkaCodecProperty:
         assert [(k, v) for _, k, v in out[0]["records"]] == recs
         assert [o for o, _, _ in out[0]["records"]] == \
             list(range(base, base + len(recs)))
+
+
+class TestSnappyProperty:
+    @given(data=st.binary(max_size=5000))
+    @settings(max_examples=80, deadline=None)
+    def test_raw_roundtrip(self, data):
+        from ru_cdc_spark.functions.snappy import (
+            snappy_compress,
+            snappy_decompress,
+        )
+
+        assert snappy_decompress(snappy_compress(data)) == data
+
+    @given(data=st.binary(max_size=3000),
+           rep=st.integers(min_value=1, max_value=40))
+    @settings(max_examples=40, deadline=None)
+    def test_xerial_roundtrip_repetitive(self, data, rep):
+        from ru_cdc_spark.functions.snappy import (
+            xerial_compress,
+            xerial_decompress,
+        )
+
+        blob = data * rep
+        assert xerial_decompress(xerial_compress(blob)) == blob

@@ -156,7 +156,8 @@ class _Reader:
 # ---------------------------------------------------------------------------
 
 
-COMPRESSION_NONE, COMPRESSION_GZIP, COMPRESSION_SNAPPY = 0, 1, 2
+COMPRESSION_NONE, COMPRESSION_GZIP, COMPRESSION_SNAPPY, \
+    COMPRESSION_LZ4 = 0, 1, 2, 3
 
 
 def encode_record_batch(records: list[tuple[bytes | None, bytes]],
@@ -165,7 +166,8 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
                         compression: str = "none") -> bytes:
     """[(key, value)] -> one magic-2 record batch. CRC32C covers the
     bytes from ``attributes`` to the end (the published layout);
-    ``compression`` = "gzip" (RFC 1952 framing) or "snappy" (xerial
+    ``compression`` = "gzip" (RFC 1952 framing), "lz4" (LZ4 frame
+    format, functions/lz4.py), or "snappy" (xerial
     stream framing, functions/snappy.py) compresses the records
     section and sets the codec bits in the batch attributes, exactly
     as brokers expect — headers and CRC stay uncompressed."""
@@ -188,6 +190,10 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
         from ru_cdc_spark.functions.snappy import xerial_compress
 
         attrs, recs = COMPRESSION_SNAPPY, xerial_compress(bytes(body))
+    elif compression == "lz4":
+        from ru_cdc_spark.functions.lz4 import lz4_frame_compress
+
+        attrs, recs = COMPRESSION_LZ4, lz4_frame_compress(bytes(body))
     elif compression == "none":
         attrs, recs = COMPRESSION_NONE, bytes(body)
     else:
@@ -244,6 +250,10 @@ def decode_record_batch(data: bytes) -> dict:
         from ru_cdc_spark.functions.snappy import xerial_decompress
 
         r = _Reader(xerial_decompress(r.take(end - r.pos)))
+    elif codec == COMPRESSION_LZ4:
+        from ru_cdc_spark.functions.lz4 import lz4_frame_decompress
+
+        r = _Reader(lz4_frame_decompress(r.take(end - r.pos)))
     elif codec != COMPRESSION_NONE:
         raise ValueError(f"unsupported compression codec {codec}")
     records = []

@@ -360,3 +360,27 @@ class TestSnappyProperty:
 
         blob = data * rep
         assert xerial_decompress(xerial_compress(blob)) == blob
+
+
+class TestLz4Property:
+    @given(data=st.binary(max_size=5000))
+    @settings(max_examples=80, deadline=None)
+    def test_block_roundtrip(self, data):
+        from ru_cdc_spark.functions.lz4 import (
+            lz4_block_compress,
+            lz4_block_decompress,
+        )
+
+        assert lz4_block_decompress(lz4_block_compress(data)) == data
+
+    @given(data=st.binary(max_size=2000),
+           rep=st.integers(min_value=1, max_value=60))
+    @settings(max_examples=40, deadline=None)
+    def test_frame_roundtrip(self, data, rep):
+        from ru_cdc_spark.functions.lz4 import (
+            lz4_frame_compress,
+            lz4_frame_decompress,
+        )
+
+        blob = data * rep
+        assert lz4_frame_decompress(lz4_frame_compress(blob)) == blob

@@ -2883,6 +2883,27 @@ def kafka_to_acid_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", "o_orderpriority")
 
 
+def cdc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro on the wire — the THIRD standard MySQL-CDC transport after
+    Canal JSON and Debezium JSON, and the one production schema-registry
+    deployments actually run: the typed change stream encodes to
+    Confluent-framed Avro binary (0x00 + schema id + Avro body,
+    sources/avro_cdc.py — spec-built, no Avro library in the image) and
+    parses back through the same derived schema. Hash-matching the
+    cdc_change_stream oracle proves the binary encoding lossless for
+    every column type the stream carries (longs, strings, doubles,
+    timestamps)."""
+    from ru_cdc_spark.sources.avro_cdc import (
+        avro_to_changes,
+        changes_to_avro,
+    )
+
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    payloads = changes_to_avro(flat, schema_id=17)
+    return avro_to_changes(payloads, flat.schema, expect_schema_id=17)
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
@@ -2927,6 +2948,8 @@ def _register_binlog_wire() -> None:
     register("kafka_to_acid_snapshot",
              REGISTRY["cdc_merge_snapshot"].oracle)(
         kafka_to_acid_snapshot)
+    register("cdc_avro_roundtrip",
+             REGISTRY["cdc_change_stream"].oracle)(cdc_avro_roundtrip)
 
 
 _register_binlog_wire()

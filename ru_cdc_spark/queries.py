@@ -2904,6 +2904,85 @@ def cdc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avro_to_changes(payloads, flat.schema, expect_schema_id=17)
 
 
+ACID_CDF_STREAM_ORACLE = ORDER_CHANGES_ORACLE_CTE + """,
+pre AS (
+    SELECT a_orderkey AS k, a_orderstatus AS st, a_totalprice AS tp
+    FROM changes WHERE type = 'INSERT'
+),
+post AS (
+    SELECT a_orderkey AS k, a_orderstatus AS st, a_totalprice AS tp
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY COALESCE(a_orderkey, b_orderkey)
+              ORDER BY id DESC) AS rn
+          FROM changes)
+    WHERE rn = 1 AND type <> 'DELETE'
+),
+j AS (
+    SELECT pre.k AS pk, post.k AS qk, pre.st AS pst, pre.tp AS ptp,
+           post.st AS qst, post.tp AS qtp
+    FROM pre FULL OUTER JOIN post ON pre.k = post.k
+)
+SELECT 1 AS version, 'delete' AS _change_type, pk AS o_orderkey,
+       pst AS o_orderstatus,
+       CAST(CAST(ptp AS VARCHAR) AS DOUBLE) AS o_totalprice
+FROM j WHERE qk IS NULL
+UNION ALL
+SELECT 1, 'update_preimage', pk, pst,
+       CAST(CAST(ptp AS VARCHAR) AS DOUBLE)
+FROM j WHERE pk IS NOT NULL AND qk IS NOT NULL
+  AND (pst IS DISTINCT FROM qst OR ptp IS DISTINCT FROM qtp)
+UNION ALL
+SELECT 1, 'update_postimage', pk, qst,
+       CAST(CAST(qtp AS VARCHAR) AS DOUBLE)
+FROM j WHERE pk IS NOT NULL AND qk IS NOT NULL
+  AND (pst IS DISTINCT FROM qst OR ptp IS DISTINCT FROM qtp)
+"""
+
+
+def acid_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change data feed off the ACID table (Delta CDF's
+    readStream contract on the in-repo format): table versions are the
+    stream offsets, and each micro-batch diffs ONLY the files the
+    commits added/removed (copy-on-write means untouched files cannot
+    contribute a change), bucket-partitioned by pk hash. Downstream
+    consumers follow the materialized table without re-diffing
+    snapshots — and without Spark ever re-reading the unchanged 99% of
+    a 100 TB table. Hash-checked against the arithmetic diff of the
+    insert snapshot vs the final snapshot."""
+    from ru_cdc_spark.operators.acid_table import AcidTable
+    from ru_cdc_spark.sources.acid_cdf_source import (
+        register_acid_cdf_source,
+    )
+
+    work = _session_tmpdir("acid_cdf_")
+    changes = derive_order_changes(spark, sf_dir)
+    img = F.when(F.col("type") == "DELETE", F.col("before")) \
+        .otherwise(F.col("after"))
+    flat = changes.select(F.col("id").alias("seq"), "type",
+                          img.alias("__i")).select("seq", "type", "__i.*")
+    table = AcidTable(spark, f"{work}/table", pk="o_orderkey",
+                      seq_col="seq")
+    table.create(flat.where(F.col("type") == "INSERT")
+                 .drop("seq", "type").repartition(8))
+    table.merge(flat.where(F.col("type") != "INSERT"))
+
+    register_acid_cdf_source(spark)
+    stream = (spark.readStream.format("acid_cdf")
+              .option("root", f"{work}/table")
+              .option("pk", "o_orderkey")
+              .option("start_version", 0).load())
+    q = (stream.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.read.parquet(f"{work}/out")
+            .select("version", "_change_type", "o_orderkey",
+                    "o_orderstatus",
+                    F.col("o_totalprice").cast("double")
+                    .alias("o_totalprice")))
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
@@ -2950,6 +3029,7 @@ def _register_binlog_wire() -> None:
         kafka_to_acid_snapshot)
     register("cdc_avro_roundtrip",
              REGISTRY["cdc_change_stream"].oracle)(cdc_avro_roundtrip)
+    register("acid_cdf_stream", ACID_CDF_STREAM_ORACLE)(acid_cdf_stream)
 
 
 _register_binlog_wire()

@@ -599,3 +599,76 @@ class TestMetaColumnNullSafety:
         f = table_files(t)
         assert dict(f.dtypes)["min_pk"] == "string"
         assert f.count() >= 1
+
+
+class TestCdfStreaming:
+    def test_stream_follows_new_versions_incrementally(self, spark,
+                                                       tmp_path):
+        """The CDF source's offsets are table versions: an availableNow
+        run drains the existing commits, a LATER merge produces a new
+        version, and the next run from the same checkpoint delivers
+        ONLY that version's changes."""
+        from ru_cdc_spark.sources.acid_cdf_source import (
+            register_acid_cdf_source,
+        )
+
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 60).repartition(2))
+        t.merge(_changes(spark, [(1, 111, "a", "UPDATE", 1)]))
+        register_acid_cdf_source(spark)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+        def run():
+            stream = (spark.readStream.format("acid_cdf")
+                      .option("root", str(tmp_path / "t"))
+                      .option("pk", "k")
+                      .option("start_version", 0).load())
+            q = (stream.writeStream.format("parquet")
+                 .option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run()
+        first = spark.read.parquet(out).collect()
+        assert {r["_change_type"] for r in first} == {
+            "update_preimage", "update_postimage"}
+        assert all(r["version"] == 1 for r in first)
+
+        t.merge(_changes(spark, [(2, 222, "b", "UPDATE", 2),
+                                 (7, 0, "x", "DELETE", 3),
+                                 (500, 5, "new", "INSERT", 4)]))
+        run()
+        rows = spark.read.parquet(out).collect()
+        v2 = [r for r in rows if r["version"] == 2]
+        kinds = {(r["k"], r["_change_type"]) for r in v2}
+        assert (2, "update_preimage") in kinds
+        assert (2, "update_postimage") in kinds
+        assert (7, "delete") in kinds
+        assert (500, "insert") in kinds
+        # version-1 rows were NOT re-delivered
+        assert len([r for r in rows if r["version"] == 1]) == len(first)
+
+    def test_cdf_reads_only_changed_files(self, spark, tmp_path):
+        """Copy-on-write locality: a single-key merge's CDF batch must
+        open only the files that commit touched, not the table."""
+        from ru_cdc_spark.sources.acid_cdf_source import (
+            AcidCdfStreamReader,
+            _CdfPartition,
+        )
+
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 200).repartitionByRange(4, "k"))
+        v0_files = {f["path"] for f in t.active_files(0)}
+        t.merge(_changes(spark, [(5, 999, "u", "UPDATE", 1)]))
+        v1_files = {f["path"] for f in t.active_files(1)}
+        # the commit rewrote exactly one pk-range file
+        assert len(v0_files - v1_files) == 1
+        reader = AcidCdfStreamReader(
+            {"root": str(tmp_path / "t"), "pk": "k", "n_buckets": "1"},
+            ["version", "_change_type", "k", "v", "tag"])
+        rows = list(reader.read(_CdfPartition(0, 1, 0, 1)))
+        assert {r[1] for r in rows} == {"update_preimage",
+                                        "update_postimage"}
+        ks = {r[2] for r in rows}
+        assert ks == {5}

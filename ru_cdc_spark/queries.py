@@ -2983,6 +2983,72 @@ def acid_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("o_totalprice")))
 
 
+def cdc_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro SCHEMA RESOLUTION through a migration (spec §Schema
+    Resolution, sources/avro_cdc.avro_resolve_read): the producer
+    writes with schema v2 — an extra ``shard`` column the reader does
+    not know, and field order shuffled — while the consumer reads with
+    its own v1-plus schema carrying a ``region`` field the writer never
+    had (filled from the declared default). Old consumers skip new
+    columns; new consumers backfill defaults for old data — the
+    property that lets one topic span a schema migration. Hash-checked:
+    the resolved rows equal the change stream plus the constant
+    default column."""
+    import pandas as pd
+
+    from ru_cdc_spark.sources.avro_cdc import (
+        avro_encode,
+        avro_resolve_read,
+        avro_schema_of,
+    )
+
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    # WRITER: extra column + shuffled field order
+    writer_src = flat.withColumn("shard",
+                                 (F.col("id") % 7).cast("long"))
+    writer_src = writer_src.select("shard", *reversed(flat.columns))
+    writer_schema = avro_schema_of(writer_src.schema)
+    # READER: the original shape + a field the writer never had
+    reader_spark = flat.schema.add("region", "string", True)
+    reader_schema = avro_schema_of(reader_spark)
+    for f in reader_schema["fields"]:
+        if f["name"] == "region":
+            f["default"] = "unassigned"
+
+    spark_schema = writer_src.schema
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for row in pdf.itertuples(index=False):
+                rec = {}
+                for f, v in zip(spark_schema.fields, row):
+                    if v is None or (not isinstance(v, (bytes, str))
+                                     and pd.isna(v)):
+                        rec[f.name] = None
+                    elif hasattr(v, "to_pydatetime"):
+                        rec[f.name] = v.to_pydatetime()
+                    else:
+                        rec[f.name] = v
+                payloads.append(avro_encode(writer_schema, rec))
+            yield pd.DataFrame({"payload": payloads})
+
+    names = [f.name for f in reader_spark.fields]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                rec = avro_resolve_read(writer_schema, reader_schema,
+                                        bytes(p))
+                rows.append([rec[n] for n in names])
+            yield pd.DataFrame(rows, columns=names)
+
+    payloads = writer_src.mapInPandas(encode, "payload binary")
+    return payloads.mapInPandas(decode, reader_spark)
+
+
 def _register_binlog_wire() -> None:
     from ru_cdc_spark.sources.binlog_frames import (
         BINLOG_CDC_SNAPSHOT_ORACLE,
@@ -3030,6 +3096,12 @@ def _register_binlog_wire() -> None:
     register("cdc_avro_roundtrip",
              REGISTRY["cdc_change_stream"].oracle)(cdc_avro_roundtrip)
     register("acid_cdf_stream", ACID_CDF_STREAM_ORACLE)(acid_cdf_stream)
+    register(
+        "cdc_avro_evolution",
+        REGISTRY["cdc_change_stream"].oracle.rstrip().removesuffix(
+            "FROM changes")
+        + ", 'unassigned' AS region\n    FROM changes",
+    )(cdc_avro_evolution)
 
 
 _register_binlog_wire()

@@ -260,6 +260,45 @@ def _decode_value(schema, data: bytes, pos: int):
     raise AvroError(f"unsupported schema {schema!r}")
 
 
+def _skip_value(schema, data: bytes, pos: int) -> int:
+    """Advance past a value WITHOUT materializing it — what schema
+    resolution does with writer-only fields."""
+    _, pos = _decode_value(schema, data, pos)
+    return pos
+
+
+def avro_resolve_read(writer: dict, reader: dict, data: bytes) -> dict:
+    """Avro schema RESOLUTION (spec §Schema Resolution): decode a
+    record written with ``writer``'s schema into ``reader``'s shape —
+    writer-only fields are decoded-and-dropped, reader-only fields take
+    their declared ``default``, shared fields match BY NAME (order may
+    differ between versions). This is what lets a pipeline read topics
+    spanning a schema migration: old consumers skip new columns, new
+    consumers backfill defaults for old data."""
+    if writer.get("type") != "record" or reader.get("type") != "record":
+        raise AvroError("resolution implemented for record schemas")
+    reader_fields = {f["name"]: f for f in reader["fields"]}
+    out: dict = {}
+    pos = 0
+    for wf in writer["fields"]:
+        rf = reader_fields.get(wf["name"])
+        if rf is None:
+            pos = _skip_value(wf["type"], data, pos)
+            continue
+        out[wf["name"]], pos = _decode_value(wf["type"], data, pos)
+    if pos != len(data):
+        raise AvroError(f"{len(data) - pos} trailing bytes after record")
+    writer_names = {f["name"] for f in writer["fields"]}
+    for rf in reader["fields"]:
+        if rf["name"] not in writer_names:
+            if "default" not in rf:
+                raise AvroError(
+                    f"reader field {rf['name']!r} missing from writer "
+                    "and has no default")
+            out[rf["name"]] = rf["default"]
+    return out
+
+
 def avro_encode(schema: dict, record: dict) -> bytes:
     out = bytearray()
     _encode_value(schema, record, out)

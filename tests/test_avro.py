@@ -103,3 +103,41 @@ class TestSparkOperators:
         bad = avro_to_changes(payloads, flat.schema, expect_schema_id=2)
         with pytest.raises(Exception, match="schema id"):
             bad.collect()
+
+
+class TestSchemaResolution:
+    def test_writer_only_fields_skipped_reader_defaults_filled(self):
+        from pyspark.sql import types as T
+        from ru_cdc_spark.sources.avro_cdc import avro_resolve_read
+
+        writer_t = T.StructType([
+            T.StructField("b", T.StringType(), True),   # shuffled order
+            T.StructField("extra", T.LongType(), True), # writer-only
+            T.StructField("a", T.LongType(), False),
+        ])
+        reader_t = T.StructType([
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.StringType(), True),
+            T.StructField("c", T.StringType(), True),   # reader-only
+        ])
+        w = avro_schema_of(writer_t)
+        r = avro_schema_of(reader_t)
+        for f in r["fields"]:
+            if f["name"] == "c":
+                f["default"] = "dflt"
+        body = avro_encode(w, {"b": "x", "extra": 99, "a": 7})
+        out = avro_resolve_read(w, r, body)
+        assert out == {"a": 7, "b": "x", "c": "dflt"}
+
+    def test_missing_default_raises(self):
+        from pyspark.sql import types as T
+        from ru_cdc_spark.sources.avro_cdc import avro_resolve_read
+
+        w = avro_schema_of(T.StructType(
+            [T.StructField("a", T.LongType(), False)]))
+        r = avro_schema_of(T.StructType(
+            [T.StructField("a", T.LongType(), False),
+             T.StructField("nodefault", T.StringType(), True)]))
+        body = avro_encode(w, {"a": 1})
+        with pytest.raises(AvroError, match="default"):
+            avro_resolve_read(w, r, body)

@@ -183,13 +183,15 @@ class PacketIO:
         self.seq = 0
         self._buf = bytearray()
 
-    def _read_exact(self, n: int) -> bytes:
+    def _read_exact(self, n: int, exact: bool = False) -> bytes:
         # buffered: drain the socket in 64 KiB chunks so a stream of
         # small packets (binlog events) costs ~1 syscall per chunk, not
-        # per packet
+        # per packet. ``exact`` reads no further than requested — used
+        # at the TLS upgrade boundary, where overbuffering would steal
+        # the ClientHello bytes from the ssl wrapper.
         while len(self._buf) < n:
-            chunk = self.sock.recv(max(self.RECV_CHUNK,
-                                       n - len(self._buf)))
+            want = (n - len(self._buf)) if exact else                 max(self.RECV_CHUNK, n - len(self._buf))
+            chunk = self.sock.recv(want)
             if not chunk:
                 raise ConnectionError("peer closed mid-packet")
             self._buf += chunk
@@ -197,13 +199,13 @@ class PacketIO:
         del self._buf[:n]
         return out
 
-    def read_packet(self) -> bytes:
+    def read_packet(self, exact: bool = False) -> bytes:
         payload = bytearray()
         while True:
-            header = self._read_exact(4)
+            header = self._read_exact(4, exact)
             length = int.from_bytes(header[:3], "little")
             self.seq = (header[3] + 1) & 0xFF
-            payload += self._read_exact(length)
+            payload += self._read_exact(length, exact)
             if length < MAX_PACKET:
                 return bytes(payload)
 
@@ -590,11 +592,20 @@ class MySQLConnection:
     @classmethod
     def connect(cls, host: str, port: int, user: str, password: str,
                 database: str | None = None, timeout: float = 10.0,
-                max_packet_size: int = 1 << 24) -> "MySQLConnection":
+                max_packet_size: int = 1 << 24,
+                ssl_ca: str | None = None,
+                ssl_hostname: str | None = None) -> "MySQLConnection":
+        """``ssl_ca`` switches the connection to TLS (CLIENT_SSL): the
+        client sends an SSLRequest after the handshake, wraps the
+        socket, and VERIFIES the server certificate against the given
+        CA bundle (hostname check included) — what every managed MySQL
+        requires and the reference cannot do at all."""
         sock = socket.create_connection((host, port), timeout=timeout)
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         conn = cls(PacketIO(sock))
-        conn._authenticate(user, password, database, max_packet_size)
+        conn._authenticate(user, password, database, max_packet_size,
+                           ssl_ca=ssl_ca,
+                           ssl_hostname=ssl_hostname or host)
         return conn
 
     @staticmethod
@@ -611,8 +622,26 @@ class MySQLConnection:
         raise MySQLError(1045, "28000",
                          f"unsupported auth plugin {plugin}")
 
+    def _start_tls(self, caps_extra: int, max_packet_size: int,
+                   ssl_ca: str, hostname: str) -> None:
+        """Send SSLRequest (the 32-byte HandshakeResponse prefix with
+        CLIENT_SSL set) and wrap the socket; packet sequence CONTINUES
+        across the upgrade, per protocol."""
+        import ssl as _ssl
+
+        caps = (REFERENCE_CLIENT_CAPS | CLIENT_SSL | caps_extra)
+        req = (caps.to_bytes(4, "little")
+               + max_packet_size.to_bytes(4, "little")
+               + bytes([255]) + b"\x00" * 23)
+        self.io.write_packet(req)
+        ctx = _ssl.create_default_context(cafile=ssl_ca)
+        tls = ctx.wrap_socket(self.io.sock, server_hostname=hostname)
+        self.io.sock = tls
+
     def _authenticate(self, user: str, password: str,
-                      database: str | None, max_packet_size: int) -> None:
+                      database: str | None, max_packet_size: int,
+                      ssl_ca: str | None = None,
+                      ssl_hostname: str | None = None) -> None:
         """Auth state machine speaking BOTH ``mysql_native_password``
         and MySQL 8's default ``caching_sha2_password`` (the plugin the
         reference lacks — its connect path fails against a stock 2026
@@ -637,11 +666,19 @@ class MySQLConnection:
 
         hs = decode_handshake_v10(self.io.read_packet())
         self.handshake = hs
+        caps = REFERENCE_CLIENT_CAPS
+        if ssl_ca is not None:
+            if not hs.caps & CLIENT_SSL:
+                raise MySQLError(2026, "HY000",
+                                 "server does not support TLS")
+            self._start_tls(0, max_packet_size, ssl_ca,
+                            ssl_hostname or "localhost")
+            caps |= CLIENT_SSL
         plugin = hs.auth_plugin_name or NATIVE_PASSWORD_PLUGIN
         nonce = hs.auth_plugin_data
         scramble = self._scramble_for(plugin, password.encode(), nonce)
         resp = encode_handshake_response41(
-            user, scramble, max_packet_size=max_packet_size,
+            user, scramble, caps=caps, max_packet_size=max_packet_size,
             database=database, plugin=plugin)
         self.io.write_packet(resp)
         while True:

@@ -29,6 +29,8 @@ import socket
 import threading
 
 from ru_cdc_spark.sources.mysql_client import (
+    CLIENT_SSL,
+    SERVER_CAPS,
     ColDef,
     NATIVE_PASSWORD_PLUGIN,
     COM_BINLOG_DUMP,
@@ -175,7 +177,8 @@ class MySQLFixtureServer:
                  nonce: bytes | None = None,
                  host: str = "127.0.0.1",
                  die_after_events: int | None = None,
-                 default_auth: str = CACHING_SHA2_PLUGIN) -> None:
+                 default_auth: str = CACHING_SHA2_PLUGIN,
+                 tls: bool = False) -> None:
         # fault injection: hang up mid-dump after N event packets
         # WITHOUT the EOF terminator (the server-crash contract test)
         self.die_after_events = die_after_events
@@ -185,6 +188,12 @@ class MySQLFixtureServer:
         # default_auth=NATIVE_PASSWORD_PLUGIN to model a 5.7-style
         # server (the only thing the reference client can talk to)
         self.default_auth = default_auth
+        # tls=True: advertise CLIENT_SSL and upgrade on SSLRequest with
+        # an in-repo self-signed certificate (functions/x509.py) —
+        # clients VERIFY it via ``tls_ca_path()``
+        self.tls = tls
+        self._tls_ctx = None
+        self._tls_dir: str | None = None
         # the sha2 fast-auth cache: users who completed FULL auth once;
         # later connections take the scramble-only fast path
         self._sha2_cache: set[str] = set()
@@ -296,11 +305,41 @@ class MySQLFixtureServer:
             1045, f"Access denied for user '{user}'", "28000"))
         return False
 
+    def tls_ca_path(self) -> str:
+        """The CA bundle (our self-signed cert) a verifying client
+        loads; also lazily builds the server context."""
+        import ssl as _ssl
+        import tempfile
+
+        if self._tls_dir is None:
+            self._tls_dir = tempfile.mkdtemp(prefix="mysql_tls_")
+            from ru_cdc_spark.functions.x509 import write_tls_materials
+
+            cert, key = write_tls_materials(self._tls_dir,
+                                            cn="localhost")
+            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(cert, key)
+            self._tls_ctx = ctx
+            self._cert_path = cert
+        return self._cert_path
+
     def _handshake(self, io: PacketIO) -> bool:
+        caps = SERVER_CAPS | (CLIENT_SSL if self.tls else 0)
         io.write_packet(
             encode_handshake_v10("8.0.0-fixture", 7, self.nonce,
+                                 caps=caps,
                                  plugin=self.default_auth), seq=0)
-        resp = decode_handshake_response41(io.read_packet())
+        first = io.read_packet(exact=self.tls)
+        if self.tls and len(first) == 32:
+            client_caps = int.from_bytes(first[:4], "little")
+            if client_caps & CLIENT_SSL:
+                # SSLRequest: upgrade in place; packet seq continues
+                self.tls_ca_path()
+                assert not io._buf, "overread across the TLS boundary"
+                io.sock = self._tls_ctx.wrap_socket(io.sock,
+                                                    server_side=True)
+                first = io.read_packet()
+        resp = decode_handshake_response41(first)
         auth = resp.auth_resp
         # clients whose plugin differs from the server default, or that
         # sent no auth data (the reference does — it puts the password

@@ -52,7 +52,8 @@ TABLE_MAP_TYPE = 19
 
 def _dump_frames(host: str, port: int, user: str, password: str,
                  filename: str, lo: int, hi: int,
-                 stop_at_rotate: bool = False) -> list[tuple[int, bytes]]:
+                 stop_at_rotate: bool = False,
+                 ssl_ca: str | None = None) -> list[tuple[int, bytes]]:
     """One task's work: dial, auth, dump [lo, hi), reassemble frames.
     Returns [(log_pos, TABLE_MAP+ROWS bytes)]. ``stop_at_rotate`` ends
     the read at a file boundary (positions restart in the next file, so
@@ -65,7 +66,9 @@ def _dump_frames(host: str, port: int, user: str, password: str,
     )
 
     frames: list[tuple[int, bytes]] = []
-    with MySQLConnection.connect(host, port, user, password) as conn:
+    with MySQLConnection.connect(host, port, user, password,
+                                 ssl_ca=ssl_ca,
+                                 ssl_hostname="localhost") as conn:
         conn.disable_checksum_var()
         current_tm: bytes | None = None
         checksum_bytes = 0
@@ -186,9 +189,11 @@ def slice_at_table_maps(events: list[tuple[int, str, int]],
 
 def socket_cdc_frames(spark: SparkSession, host: str, port: int,
                       user: str, password: str,
-                      n_slices: int = 8) -> DataFrame:
+                      n_slices: int = 8,
+                      ssl_ca: str | None = None) -> DataFrame:
     """Distributed COM_BINLOG_DUMP: frame DataFrame (pos long, frame
-    binary) read over per-task sockets."""
+    binary) read over per-task sockets. ``ssl_ca`` runs every task's
+    connection over verified TLS (CLIENT_SSL)."""
     fname, _end, events = fetch_binlog_layout(host, port, user, password)
     slices = slice_at_table_maps(events, n_slices)
     ranges = spark.createDataFrame(
@@ -200,7 +205,8 @@ def socket_cdc_frames(spark: SparkSession, host: str, port: int,
             pos_out, frame_out = [], []
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
                 for pos, frame in _dump_frames(host, port, user, password,
-                                               fname, int(lo), int(hi)):
+                                               fname, int(lo), int(hi),
+                                               ssl_ca=ssl_ca):
                     pos_out.append(pos)
                     frame_out.append(frame)
             yield pd.DataFrame({"pos": pd.Series(pos_out, dtype="int64"),

@@ -52,7 +52,9 @@ SHOWCASE = [
     "kafka_to_acid_snapshot",
     # streaming: source feed + stateful operators
     "binlog_source_feed", "events_session_window_stream",
-    "events_stream_dedup_watermark", "stateful_user_totals",
+    "stateful_user_totals",
+    # verified-TLS socket transport
+    "mysql_socket_tls_snapshot",
     # TPC-H-style analytics
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
     "q5_local_supplier_volume", "q9_product_profit",

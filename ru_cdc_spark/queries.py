@@ -2390,6 +2390,47 @@ def _socket_fixture_server():
     return _SOCKET_FIXTURE_SERVER
 
 
+_SOCKET_TLS_SERVER = None
+
+
+def mysql_socket_tls_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The socket CDC pipeline over VERIFIED TLS (CLIENT_SSL): every
+    task's dump connection sends SSLRequest, wraps the socket, and
+    verifies the server's certificate (functions/x509.py hand-rolled
+    chain) before a single binlog byte moves — the transport every
+    managed MySQL mandates and the reference lacks entirely. Same
+    DuckDB oracle as the plaintext socket path: encryption changes
+    nothing about the answer."""
+    from ru_cdc_spark.sources.binlog_frames import (
+        BINLOG_CDC_N_ROWS,
+        decode_cdc_frames,
+    )
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
+
+    global _SOCKET_TLS_SERVER
+    if _SOCKET_TLS_SERVER is None:
+        _SOCKET_TLS_SERVER = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(BINLOG_CDC_N_ROWS),
+            tls=True).start()
+    srv = _SOCKET_TLS_SERVER
+    frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
+                               srv.user, srv.password, n_slices=8,
+                               ssl_ca=srv.tls_ca_path())
+    changes = decode_cdc_frames(frames.select("frame"))
+    row = F.struct(*[F.col(c) for c in changes.columns])
+    return (
+        changes.groupBy("i")
+        .agg(F.max_by(row, F.col("seq")).alias("__r"))
+        .select("__r.*")
+        .where(F.col("type") != "DELETE")
+        .select("i", "t_long", "t_dec", "t_varchar", "t_datetime")
+    )
+
+
 def mysql_socket_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ACTUAL job end to end over a REAL network socket:
     TCP connect -> HandshakeV10 -> mysql_native_password scramble ->
@@ -3073,6 +3114,8 @@ def _register_binlog_wire() -> None:
     register("binlog_wire_json", BINLOG_JSON_ORACLE)(binlog_wire_json)
     register("mysql_socket_cdc_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_cdc_snapshot)
+    register("mysql_socket_tls_snapshot",
+             BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_tls_snapshot)
     from ru_cdc_spark.sources.binlog_frames import cdc_snapshot_oracle
 
     register("mysql_socket_stream_snapshot",

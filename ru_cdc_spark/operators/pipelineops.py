@@ -586,3 +586,53 @@ SELECT doc_id,
 FROM chunks WHERE chunk NOT IN (SELECT chunk FROM boiler)
 GROUP BY doc_id
 """
+
+
+# ===========================================================================
+# unicode normalization (corpus cleaning)
+# ===========================================================================
+
+
+def corpus_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control-character strip — the
+    canonicalization step every multilingual corpus pipeline runs
+    before dedup (composed vs decomposed accents hash differently;
+    stray C0/C1 controls poison tokenizers).
+
+    Python's unicodedata applies NFC inside Arrow batches; the DuckDB
+    oracle uses its native nfc_normalize, so the two INDEPENDENT
+    implementations must agree byte-for-byte — a cross-engine proof of
+    the normalization itself, not just of plumbing."""
+    import unicodedata
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def op(batches):
+        for pdf in batches:
+            norm = [
+                "".join(ch for ch in unicodedata.normalize("NFC", t)
+                        if unicodedata.category(ch) != "Cc"
+                        or ch in "\t\n\r")
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "norm_text": norm,
+                "n_chars_norm": [len(t) for t in norm]})
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(op, "doc_id long, norm_text string, "
+                             "n_chars_norm long"))
+
+
+CORPUS_NFC_NORMALIZE_SQL = """
+SELECT doc_id,
+       regexp_replace(nfc_normalize(text),
+                      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '',
+                      'g') AS norm_text,
+       length(regexp_replace(nfc_normalize(text),
+              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+           AS n_chars_norm
+FROM documents
+"""

@@ -1417,6 +1417,8 @@ register("corpus_boilerplate_chunks",
 register("corpus_boilerplate_strip",
          _pp.CORPUS_BOILERPLATE_STRIP_SQL)(
     _pp.corpus_boilerplate_strip)
+register("corpus_nfc_normalize",
+         _pp.CORPUS_NFC_NORMALIZE_SQL)(_pp.corpus_nfc_normalize)
 register("stratified_sample", _pp.STRATIFIED_SAMPLE_SQL)(_pp.stratified_sample)
 register("train_val_test_split",
          _pp.TRAIN_VAL_TEST_SPLIT_SQL)(_pp.train_val_test_split)

@@ -696,6 +696,14 @@ class MySQLConnection:
                 if status == FAST_AUTH_SUCCESS:
                     continue  # OK packet follows
                 if status == PERFORM_FULL_AUTHENTICATION:
+                    import ssl as _ssl
+
+                    if isinstance(self.io.sock, _ssl.SSLSocket):
+                        # over TLS, real clients skip the RSA exchange
+                        # and send the NUL-terminated password in the
+                        # clear INSIDE the encrypted channel
+                        self.io.write_packet(password.encode() + b"\x00")
+                        continue
                     self.io.write_packet(bytes([REQUEST_PUBLIC_KEY]))
                     key_pkt = self.io.read_packet()
                     if key_pkt[:1] == b"\xff":

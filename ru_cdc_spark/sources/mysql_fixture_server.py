@@ -387,6 +387,17 @@ class MySQLFixtureServer:
             return True
         io.write_packet(bytes([1, PERFORM_FULL_AUTHENTICATION]))
         req = io.read_packet()
+        import ssl as _ssl
+
+        if isinstance(io.sock, _ssl.SSLSocket) and \
+                req[:1] != bytes([REQUEST_PUBLIC_KEY]):
+            # TLS cleartext fast path: NUL-terminated password inside
+            # the encrypted channel (libmysqlclient's behavior)
+            if req.rstrip(b"\x00") == self.password.encode():
+                self._sha2_cache.add(user)
+                io.write_packet(encode_ok())
+                return True
+            return self._deny(io, user)
         if not req or req[0] != REQUEST_PUBLIC_KEY:
             return self._deny(io, user)
         n, e, d = self._rsa()

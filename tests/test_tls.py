@@ -132,3 +132,28 @@ class TestMySQLOverTLS:
             ssl_ca=server.tls_ca_path())
         n = decode_cdc_frames(frames.select("frame")).count()
         assert n > 0
+
+
+class TestSha2OverTls:
+    def test_full_auth_uses_cleartext_inside_tls(self):
+        """Over TLS, the sha2 full-auth path sends the password in the
+        clear INSIDE the encrypted channel (libmysqlclient behavior) —
+        no RSA roundtrip; wrong passwords still reject."""
+        srv = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(5), tls=True).start()
+        try:
+            ca = srv.tls_ca_path()
+            assert not srv._sha2_cache
+            with MySQLConnection.connect(
+                    "127.0.0.1", srv.port, "repl", "replpass",
+                    ssl_ca=ca, ssl_hostname="localhost") as conn:
+                assert conn.ping()
+            assert "repl" in srv._sha2_cache  # full auth completed
+            # no RSA key was ever generated: the cleartext path ran
+            assert srv._rsa_key is None
+            with pytest.raises(MySQLError):
+                MySQLConnection.connect(
+                    "127.0.0.1", srv.port, "repl", "wrong",
+                    ssl_ca=ca, ssl_hostname="localhost")
+        finally:
+            srv.stop()

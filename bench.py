@@ -49,6 +49,7 @@ HEADLINE = [
     "multimodal_media_decode",
     "mysql_socket_cdc_snapshot",
     "mysql_socket_txn_changes",
+    "mysql_socket_tls_snapshot",
     "acid_merge_snapshot",
 ]
 

@@ -161,6 +161,9 @@ class _BitReader:
             self._fill()
         self.n -= count
         v = (self.acc >> self.n) & ((1 << count) - 1)
+        # trim consumed high bits: an ever-growing int accumulator
+        # makes (acc << 8) copy the whole scan so far — O(bytes^2)
+        self.acc &= (1 << self.n) - 1
         return v
 
     def bit(self) -> int:
@@ -384,6 +387,7 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1  # keep the accumulator bounded
 
     def pad(self) -> None:
         if self.n:

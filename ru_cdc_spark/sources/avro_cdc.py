@@ -135,10 +135,14 @@ def _encode_value(schema, value, out: bytearray) -> None:
         if lt == "timestamp-micros":
             if value.tzinfo is None:
                 value = value.replace(tzinfo=timezone.utc)
-            # integer seconds + explicit microsecond component — never
-            # float-multiply a timestamp (rounds near the epoch edges)
-            micros = (int(value.timestamp()) * 1_000_000
-                      + value.microsecond)
+            # timedelta floor-division is sign-correct for PRE-EPOCH
+            # values (int(timestamp()) truncates toward zero while the
+            # microsecond component is always positive — the two would
+            # disagree in sign and shift 1969 rows by a second)
+            from datetime import timedelta
+
+            epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+            micros = (value - epoch) // timedelta(microseconds=1)
             out += _zz_encode(micros)
             return
         if lt == "decimal":
@@ -198,11 +202,11 @@ def _decode_value(schema, data: bytes, pos: int):
             days, pos = _zz_decode(data, pos)
             return date.fromordinal(_EPOCH.toordinal() + days), pos
         if lt == "timestamp-micros":
+            from datetime import timedelta
+
             micros, pos = _zz_decode(data, pos)
-            return (datetime.fromtimestamp(micros // 1_000_000,
-                                           tz=timezone.utc)
-                    .replace(microsecond=micros % 1_000_000,
-                             tzinfo=None), pos)
+            return (datetime(1970, 1, 1)
+                    + timedelta(microseconds=micros), pos)
         if lt == "decimal":
             n, pos = _zz_decode(data, pos)
             raw = data[pos:pos + n]

@@ -181,7 +181,10 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
             rec += _varint(-1)
         else:
             rec += _varint(len(key)) + key
-        rec += _varint(len(value)) + value
+        if value is None:  # tombstone (compaction delete marker)
+            rec += _varint(-1)
+        else:
+            rec += _varint(len(value)) + value
         rec += _varint(0)       # headers count
         body += _varint(len(rec)) + rec
     if compression == "gzip":
@@ -266,7 +269,7 @@ def decode_record_batch(data: bytes) -> dict:
         klen = rr.varint()
         key = None if klen < 0 else rr.take(klen)
         vlen = rr.varint()
-        value = rr.take(vlen)
+        value = None if vlen < 0 else rr.take(vlen)
         # the record's REAL offset: compacted topics leave gaps, so
         # consumers must use baseOffset + offsetDelta, never count
         records.append((base_offset + offset_delta, key, value))
@@ -278,8 +281,13 @@ def decode_record_batches(data: bytes) -> list[dict]:
     out = []
     pos = 0
     while pos + 61 <= len(data):  # minimum batch size
-        batch = decode_record_batch(data[pos:])
-        batch["base_offset"] += 0
+        try:
+            batch = decode_record_batch(data[pos:])
+        except (IndexError, struct.error) as exc:
+            # truncated/malformed bytes must surface as the module's
+            # error contract, not a bare low-level error from deep in
+            # a consumer loop
+            raise ValueError(f"malformed record batch: {exc}") from exc
         out.append(batch)
         pos += batch["batch_end"]
     return out

@@ -311,17 +311,20 @@ class MySQLFixtureServer:
         import ssl as _ssl
         import tempfile
 
-        if self._tls_dir is None:
-            self._tls_dir = tempfile.mkdtemp(prefix="mysql_tls_")
-            from ru_cdc_spark.functions.x509 import write_tls_materials
+        with self._rsa_lock:  # keygen takes seconds; racers must wait
+            if self._tls_dir is None:
+                tls_dir = tempfile.mkdtemp(prefix="mysql_tls_")
+                from ru_cdc_spark.functions.x509 import (
+                    write_tls_materials,
+                )
 
-            cert, key = write_tls_materials(self._tls_dir,
-                                            cn="localhost")
-            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
-            ctx.load_cert_chain(cert, key)
-            self._tls_ctx = ctx
-            self._cert_path = cert
-        return self._cert_path
+                cert, key = write_tls_materials(tls_dir, cn="localhost")
+                ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+                ctx.load_cert_chain(cert, key)
+                self._tls_ctx = ctx
+                self._cert_path = cert
+                self._tls_dir = tls_dir  # publish LAST
+            return self._cert_path
 
     def _handshake(self, io: PacketIO) -> bool:
         caps = SERVER_CAPS | (CLIENT_SSL if self.tls else 0)

@@ -52,12 +52,15 @@ TABLE_MAP_TYPE = 19
 
 def _dump_frames(host: str, port: int, user: str, password: str,
                  filename: str, lo: int, hi: int,
-                 stop_at_rotate: bool = False,
-                 ssl_ca: str | None = None) -> list[tuple[int, bytes]]:
+                 ssl_ca: str | None = None,
+                 ssl_hostname: str | None = None
+                 ) -> list[tuple[int, bytes]]:
     """One task's work: dial, auth, dump [lo, hi), reassemble frames.
-    Returns [(log_pos, TABLE_MAP+ROWS bytes)]. ``stop_at_rotate`` ends
-    the read at a file boundary (positions restart in the next file, so
-    a position-bounded slice must not cross it)."""
+    Returns [(log_pos, TABLE_MAP+ROWS bytes)]. The read always ends at
+    a genuine file-boundary rotate — positions restart in the next
+    file, so a position-bounded slice must never cross one. TLS cert
+    verification uses ``ssl_hostname`` (defaults to the host dialed;
+    the loopback fixture overrides with its certificate CN)."""
     from ru_cdc_spark.sources.binlog_wire import decode_format_description
     from ru_cdc_spark.sources.mysql_client import (
         MySQLConnection,
@@ -68,7 +71,7 @@ def _dump_frames(host: str, port: int, user: str, password: str,
     frames: list[tuple[int, bytes]] = []
     with MySQLConnection.connect(host, port, user, password,
                                  ssl_ca=ssl_ca,
-                                 ssl_hostname="localhost") as conn:
+                                 ssl_hostname=ssl_hostname) as conn:
         conn.disable_checksum_var()
         current_tm: bytes | None = None
         checksum_bytes = 0
@@ -89,9 +92,9 @@ def _dump_frames(host: str, port: int, user: str, password: str,
                     continue
                 # positions restart near 4 in the next file, so the
                 # [lo, hi) bound is only meaningful within THIS file:
-                # stop at any real rotate regardless of stop_at_rotate,
-                # or next-file events with small log_pos would slip
-                # under the bound and duplicate frames across slices.
+                # stop at any genuine rotate, or next-file events with
+                # small log_pos would slip under the bound and
+                # duplicate frames across slices.
                 break
             if log_pos > hi:
                 break
@@ -190,10 +193,12 @@ def slice_at_table_maps(events: list[tuple[int, str, int]],
 def socket_cdc_frames(spark: SparkSession, host: str, port: int,
                       user: str, password: str,
                       n_slices: int = 8,
-                      ssl_ca: str | None = None) -> DataFrame:
+                      ssl_ca: str | None = None,
+                      ssl_hostname: str | None = None) -> DataFrame:
     """Distributed COM_BINLOG_DUMP: frame DataFrame (pos long, frame
     binary) read over per-task sockets. ``ssl_ca`` runs every task's
-    connection over verified TLS (CLIENT_SSL)."""
+    connection over verified TLS (CLIENT_SSL); certificate hostname
+    verification defaults to the dialed host."""
     fname, _end, events = fetch_binlog_layout(host, port, user, password)
     slices = slice_at_table_maps(events, n_slices)
     ranges = spark.createDataFrame(
@@ -206,7 +211,8 @@ def socket_cdc_frames(spark: SparkSession, host: str, port: int,
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
                 for pos, frame in _dump_frames(host, port, user, password,
                                                fname, int(lo), int(hi),
-                                               ssl_ca=ssl_ca):
+                                               ssl_ca=ssl_ca,
+                                               ssl_hostname=ssl_hostname):
                     pos_out.append(pos)
                     frame_out.append(frame)
             yield pd.DataFrame({"pos": pd.Series(pos_out, dtype="int64"),
@@ -387,8 +393,7 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             return
         for pos, frame in _dump_frames(self.host, self.port, self.user,
                                        self.password, partition.file,
-                                       partition.lo, partition.hi,
-                                       stop_at_rotate=True):
+                                       partition.lo, partition.hi):
             yield (pos, frame)
 
     def commit(self, end: dict) -> None:

@@ -261,7 +261,7 @@ class TestMidDumpRotateBound:
         positions restart near 4 after a rotate, so next-file events
         with small log_pos would slip under the bound. A slice laid out
         for file 1 of a 2-file chain must stop at the genuine rotate,
-        even with stop_at_rotate=False."""
+        unconditionally."""
         from ru_cdc_spark.sources.mysql_socket_source import _dump_frames
 
         vb1 = VirtualBinlog.from_cdc_fixture(40, "binlog.000001")
@@ -272,7 +272,7 @@ class TestMidDumpRotateBound:
                              if ev[4] in (30, 31, 32)])
             frames = _dump_frames("127.0.0.1", srv.port, srv.user,
                                   srv.password, "binlog.000001",
-                                  4, 1 << 62, stop_at_rotate=False)
+                                  4, 1 << 62)
             # exactly file 1's frames: no loss, and no file-2 leakage
             assert len(frames) == f1_frames
         finally:
@@ -281,8 +281,7 @@ class TestMidDumpRotateBound:
     def test_artificial_rotate_does_not_end_streaming_read(self):
         """ADVICE fix: a real server prefixes every dump with an
         artificial ROTATE (timestamp 0) naming the current file; the
-        streaming read path (stop_at_rotate=True) must skip it, not
-        yield zero frames."""
+        read path must skip it, not yield zero frames."""
         from ru_cdc_spark.sources.mysql_socket_source import _dump_frames
 
         vb = VirtualBinlog.from_cdc_fixture(40, "binlog.000001")
@@ -290,7 +289,7 @@ class TestMidDumpRotateBound:
         try:
             frames = _dump_frames("127.0.0.1", srv.port, srv.user,
                                   srv.password, "binlog.000001",
-                                  4, 1 << 62, stop_at_rotate=True)
+                                  4, 1 << 62)
             expected = len([1 for _, _, ev in vb.events
                             if ev[4] in (30, 31, 32)])
             assert len(frames) == expected

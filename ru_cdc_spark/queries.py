@@ -2421,7 +2421,8 @@ def mysql_socket_tls_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = _SOCKET_TLS_SERVER
     frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
                                srv.user, srv.password, n_slices=8,
-                               ssl_ca=srv.tls_ca_path())
+                               ssl_ca=srv.tls_ca_path(),
+                               ssl_hostname="localhost")
     changes = decode_cdc_frames(frames.select("frame"))
     row = F.struct(*[F.col(c) for c in changes.columns])
     return (

@@ -129,7 +129,7 @@ class TestMySQLOverTLS:
         frames = socket_cdc_frames(
             spark, "127.0.0.1", server.port, server.user,
             server.password, n_slices=4,
-            ssl_ca=server.tls_ca_path())
+            ssl_ca=server.tls_ca_path(), ssl_hostname="localhost")
         n = decode_cdc_frames(frames.select("frame")).count()
         assert n > 0
 

@@ -384,3 +384,46 @@ class TestLz4Property:
 
         blob = data * rep
         assert lz4_frame_decompress(lz4_frame_compress(blob)) == blob
+
+
+class TestAvroProperty:
+    @given(
+        vid=st.integers(min_value=-(2**62), max_value=2**62),
+        name=st.one_of(st.none(), st.text(max_size=30)),
+        price=st.one_of(st.none(),
+                        st.floats(allow_nan=False, allow_infinity=False,
+                                  width=64)),
+        flag=st.one_of(st.none(), st.booleans()),
+        blob=st.one_of(st.none(), st.binary(max_size=50)),
+        days=st.integers(min_value=-30000, max_value=30000),
+        micros=st.integers(min_value=-(2**50), max_value=2**50),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_record_roundtrip(self, vid, name, price, flag, blob,
+                              days, micros):
+        from datetime import date, datetime, timedelta
+
+        from pyspark.sql import types as T
+        from ru_cdc_spark.sources.avro_cdc import (
+            avro_decode,
+            avro_encode,
+            avro_schema_of,
+        )
+
+        schema_t = T.StructType([
+            T.StructField("vid", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("price", T.DoubleType(), True),
+            T.StructField("flag", T.BooleanType(), True),
+            T.StructField("blob", T.BinaryType(), True),
+            T.StructField("d", T.DateType(), False),
+            T.StructField("ts", T.TimestampNTZType(), False),
+        ])
+        sch = avro_schema_of(schema_t)
+        rec = {"vid": vid, "name": name, "price": price, "flag": flag,
+               "blob": blob,
+               "d": date(1970, 1, 1) + timedelta(days=days),
+               "ts": datetime(1970, 1, 1)
+               + timedelta(microseconds=micros)}
+        out = avro_decode(sch, avro_encode(sch, rec))
+        assert out == rec

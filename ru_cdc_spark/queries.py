@@ -2758,7 +2758,7 @@ def cdc_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with KafkaWireClient.connect("127.0.0.1", broker.port) as kc:
         for t in (f"r{run}_orders_0", f"r{run}_orders_1"):
             vals += [v.decode()
-                     for _, _, v in kc.fetch(t, 0, 0)["records"]]
+                     for _, _, v in kc.fetch_all(t, 0)]
     payloads = spark.createDataFrame([(v,) for v in vals],
                                      "payload string")
     return (payloads

@@ -314,9 +314,13 @@ class KafkaWireClient:
         self._corr = 0
 
     @classmethod
-    def connect(cls, host: str, port: int,
-                timeout: float = 10.0) -> "KafkaWireClient":
+    def connect(cls, host: str, port: int, timeout: float = 10.0,
+                op_timeout: float = 120.0) -> "KafkaWireClient":
+        """``timeout`` bounds the DIAL; ``op_timeout`` bounds each
+        request/response round trip — a large produce or fetch of a
+        fat record batch legitimately takes longer than a connect."""
         sock = socket.create_connection((host, port), timeout=timeout)
+        sock.settimeout(op_timeout)
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         return cls(sock)
 
@@ -432,8 +436,29 @@ class KafkaWireClient:
                 for batch in decode_record_batches(record_set):
                     if not batch["crc_ok"]:
                         raise KafkaError(-2, "fetched batch CRC mismatch")
-                    records.extend(batch["records"])
+                    # a served batch may CONTAIN records below the
+                    # requested offset (brokers return the containing
+                    # batch whole); filter client-side, per Kafka's
+                    # consumer contract
+                    records.extend(rec for rec in batch["records"]
+                                   if rec[0] >= offset)
         return {"high_watermark": hw, "records": records}
+
+    def fetch_all(self, topic: str, partition: int,
+                  offset: int = 0) -> list[tuple]:
+        """Loop Fetch until the high watermark — each response is
+        bounded by max_bytes, exactly like a real consumer's poll
+        loop."""
+        out: list[tuple] = []
+        cur = offset
+        while True:
+            got = self.fetch(topic, partition, cur)
+            recs = got["records"]
+            if recs:
+                out.extend(recs)
+                cur = recs[-1][0] + 1
+            if cur >= got["high_watermark"] or not recs:
+                return out
 
     def close(self) -> None:
         try:
@@ -581,8 +606,13 @@ class KafkaBrokerFixture:
         self.host = host
         self.port = 0
         # (topic, partition) -> list of (key, value); offsets are list
-        # indexes — a single-segment log
+        # indexes — a single-segment log. enc_logs keeps each appended
+        # batch RE-ENCODED ONCE at its assigned base offset, so fetches
+        # serve stored bytes instead of re-encoding the tail per call
+        # (the log-segment property real brokers get from the page
+        # cache).
         self.logs: dict[tuple[str, int], list] = {}
+        self.enc_logs: dict[tuple[str, int], list] = {}
         self._lock = threading.Lock()
         self._sock: socket.socket | None = None
         self._stop = threading.Event()
@@ -708,10 +738,17 @@ class KafkaBrokerFixture:
                     else:
                         with self._lock:
                             log = self.logs.setdefault((topic, pid), [])
+                            enc = self.enc_logs.setdefault(
+                                (topic, pid), [])
                             base = len(log)
                             for b in batches:
-                                log.extend(
-                                    (k, v) for _, k, v in b["records"])
+                                recs = [(k, v)
+                                        for _, k, v in b["records"]]
+                                enc.append((len(log), len(recs),
+                                            encode_record_batch(
+                                                recs,
+                                                base_offset=len(log))))
+                                log.extend(recs)
                 except (ValueError, struct.error):
                     err = 2
                 parts.append((pid, err, base))
@@ -734,16 +771,24 @@ class KafkaBrokerFixture:
                 offset = r.i64()
                 pmax = r.i32()
                 with self._lock:
-                    log = list(self.logs.get((topic, pid), []))
-                tail = log[offset:]
-                # tiny max_bytes = a watermark-only probe: answer the
-                # high watermark with an empty record set, like a real
-                # broker that can't fit even one batch
-                if pmax < 64:
-                    tail = []
-                record_set = (encode_record_batch(
-                    tail, base_offset=offset) if tail else b"")
-                parts.append((pid, len(log), record_set))
+                    hw = len(self.logs.get((topic, pid), []))
+                    enc = list(self.enc_logs.get((topic, pid), []))
+                # serve STORED batches whose range reaches past the
+                # requested offset (consumers skip in-batch records
+                # below it, Kafka's actual contract), bounded by
+                # max_bytes but always at least one batch; tiny
+                # max_bytes = a watermark-only probe
+                chunks: list[bytes] = []
+                size = 0
+                if pmax >= 64:
+                    for b_base, b_n, b_bytes in enc:
+                        if b_base + b_n <= offset:
+                            continue
+                        if chunks and size + len(b_bytes) > pmax:
+                            break
+                        chunks.append(b_bytes)
+                        size += len(b_bytes)
+                parts.append((pid, hw, b"".join(chunks)))
             out_topics.append((topic, parts))
         out = _i32(0) + _i32(len(out_topics))
         for topic, parts in out_topics:

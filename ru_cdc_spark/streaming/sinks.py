@@ -104,8 +104,12 @@ def write_batch_to_sink(batch: DataFrame, sink: SinkConfig, epoch_id: int) -> No
                 return
             with KafkaWireClient.connect(host, port) as kc:
                 for topic, records in by_topic.items():
-                    kc.produce(topic, 0, records,
-                               compression=compression)
+                    # bounded batches (like linger/batch.size producers):
+                    # one giant batch per partition stalls the broker's
+                    # CRC verify and risks request-size ceilings
+                    for i in range(0, len(records), 2000):
+                        kc.produce(topic, 0, records[i:i + 2000],
+                                   compression=compression)
 
         batch.select("topic", "key", "value") \
             .foreachPartition(produce_partition)

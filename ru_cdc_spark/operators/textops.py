@@ -989,3 +989,40 @@ SELECT p.doc_id, MAX(n_words) AS n_words, COUNT(*) AS n_grams,
 FROM pos p LEFT JOIN dup USING (doc_id)
 GROUP BY 1
 """.replace("{words}", _WORDS_SQL)
+
+
+def corpus_stemmed_terms(spark: SparkSession, sf_dir: str,
+                         k: int = 25) -> DataFrame:
+    """Vocabulary head AFTER Porter stemming (functions/stemmer.py) —
+    inflected forms collapse onto stems before counting, the
+    normalization step tokenizer/stopword decisions actually consume.
+    Rows-only (a five-step suffix-stripping automaton is not
+    SQL-expressible); the stemmer itself is vector-gated in pytest.
+
+    Scale: stemming is a per-token map inside Arrow batches; the only
+    shuffle is the uniform stem-count aggregate with map-side partials,
+    and the global top-k is TakeOrderedAndProject."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def op(batches):
+        from ru_cdc_spark.functions.stemmer import porter_stem
+
+        cache: dict[str, str] = {}
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                for w in text.lower().split():
+                    w = "".join(ch for ch in w if ch.isalnum())
+                    if not w:
+                        continue
+                    s = cache.get(w)
+                    if s is None:
+                        s = cache[w] = porter_stem(w)
+                    out.append(s)
+            yield pd.DataFrame({"stem": out})
+
+    stems = docs.select("text").mapInPandas(op, "stem string")
+    return (stems.groupBy("stem").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("stem")).limit(k))

@@ -1419,6 +1419,7 @@ register("corpus_boilerplate_strip",
     _pp.corpus_boilerplate_strip)
 register("corpus_nfc_normalize",
          _pp.CORPUS_NFC_NORMALIZE_SQL)(_pp.corpus_nfc_normalize)
+register("corpus_stemmed_terms", None)(_tx.corpus_stemmed_terms)
 register("stratified_sample", _pp.STRATIFIED_SAMPLE_SQL)(_pp.stratified_sample)
 register("train_val_test_split",
          _pp.TRAIN_VAL_TEST_SPLIT_SQL)(_pp.train_val_test_split)

@@ -422,3 +422,17 @@ def test_media_decode_is_exchange_free(spark, sf_dir):
     shuffles; only derived metrics leave the operator."""
     df = REGISTRY["multimodal_media_decode"].fn(spark, sf_dir)
     assert count_exchanges(df) <= 1  # at most the source spread
+
+
+def test_stemmed_terms_topk_avoids_full_sort(spark, sf_dir):
+    """Global top-k over stem counts must be TakeOrderedAndProject,
+    never a full sort."""
+    df = REGISTRY["corpus_stemmed_terms"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_nfc_normalize_is_exchange_free(spark, sf_dir):
+    """Normalization is a payload-local narrow map — nothing
+    shuffles."""
+    df = REGISTRY["corpus_nfc_normalize"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 1  # at most the source spread

@@ -183,21 +183,33 @@ class PacketIO:
         self.sock = sock
         self.seq = 0
         self._buf = bytearray()
+        self._off = 0
+
+    def unconsumed(self) -> int:
+        """Bytes buffered past the last packet (TLS-boundary check)."""
+        return len(self._buf) - self._off
 
     def _read_exact(self, n: int, exact: bool = False) -> bytes:
         # buffered: drain the socket in 64 KiB chunks so a stream of
         # small packets (binlog events) costs ~1 syscall per chunk, not
-        # per packet. ``exact`` reads no further than requested — used
-        # at the TLS upgrade boundary, where overbuffering would steal
-        # the ClientHello bytes from the ssl wrapper.
-        while len(self._buf) < n:
-            want = (n - len(self._buf)) if exact else                 max(self.RECV_CHUNK, n - len(self._buf))
+        # per packet. Consumption advances an OFFSET — `del buf[:n]`
+        # per packet shifts the whole buffer, which turns a chunk of
+        # tiny packets quadratic in the chunk size. ``exact`` reads no
+        # further than requested — used at the TLS upgrade boundary,
+        # where overbuffering would steal the ClientHello bytes from
+        # the ssl wrapper.
+        while len(self._buf) - self._off < n:
+            want = (n - (len(self._buf) - self._off)) if exact else \
+                max(self.RECV_CHUNK, n)
             chunk = self.sock.recv(want)
             if not chunk:
                 raise ConnectionError("peer closed mid-packet")
+            if self._off:
+                del self._buf[:self._off]  # compact only on refill
+                self._off = 0
             self._buf += chunk
-        out = bytes(self._buf[:n])
-        del self._buf[:n]
+        out = bytes(self._buf[self._off:self._off + n])
+        self._off += n
         return out
 
     def read_packet(self, exact: bool = False) -> bytes:

@@ -346,7 +346,8 @@ class MySQLFixtureServer:
             if client_caps & CLIENT_SSL:
                 # SSLRequest: upgrade in place; packet seq continues
                 self.tls_ca_path()
-                assert not io._buf, "overread across the TLS boundary"
+                assert not io.unconsumed(), \
+                    "overread across the TLS boundary"
                 io.sock = self._tls_ctx.wrap_socket(io.sock,
                                                     server_side=True)
                 first = io.read_packet()

@@ -2416,9 +2416,12 @@ def mysql_socket_tls_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     global _SOCKET_TLS_SERVER
     if _SOCKET_TLS_SERVER is None:
+        # require_secure_transport=ON: plaintext handshakes are
+        # REJECTED (ERR 3159), so every connection this query makes —
+        # the driver metadata pass included — provably runs encrypted
         _SOCKET_TLS_SERVER = MySQLFixtureServer(
             binlog=VirtualBinlog.from_cdc_fixture(BINLOG_CDC_N_ROWS),
-            tls=True).start()
+            tls_required=True).start()
     srv = _SOCKET_TLS_SERVER
     frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
                                srv.user, srv.password, n_slices=8,

@@ -987,7 +987,8 @@ class ConnectionPool:
     _lock = __import__("threading").Lock()
 
     @staticmethod
-    def _key(host: str, port: int, user: str, password: str) -> tuple:
+    def _key(host: str, port: int, user: str, password: str,
+             ssl_ca: str | None = None) -> tuple:
         """Pool key includes a password digest: a caller supplying a
         different/wrong password must never be handed a connection
         authenticated under another credential (which would mask auth
@@ -995,18 +996,21 @@ class ConnectionPool:
         import hashlib
 
         return (host, port, user,
-                hashlib.sha256(password.encode()).hexdigest())
+                hashlib.sha256(password.encode()).hexdigest(), ssl_ca)
 
     @classmethod
-    def acquire(cls, host: str, port: int, user: str,
-                password: str) -> "MySQLConnection":
-        key = cls._key(host, port, user, password)
+    def acquire(cls, host: str, port: int, user: str, password: str,
+                ssl_ca: str | None = None,
+                ssl_hostname: str | None = None) -> "MySQLConnection":
+        key = cls._key(host, port, user, password, ssl_ca)
         while True:
             with cls._lock:
                 pool = cls._idle.get(key, [])
                 conn = pool.pop() if pool else None
             if conn is None:
-                return MySQLConnection.connect(host, port, user, password)
+                return MySQLConnection.connect(
+                    host, port, user, password, ssl_ca=ssl_ca,
+                    ssl_hostname=ssl_hostname)
             try:
                 if conn.ping():
                     return conn
@@ -1016,8 +1020,9 @@ class ConnectionPool:
 
     @classmethod
     def release(cls, conn: "MySQLConnection", host: str, port: int,
-                user: str, password: str) -> None:
-        key = cls._key(host, port, user, password)
+                user: str, password: str,
+                ssl_ca: str | None = None) -> None:
+        key = cls._key(host, port, user, password, ssl_ca)
         with cls._lock:
             pool = cls._idle.setdefault(key, [])
             if len(pool) < cls.MAX_IDLE_PER_KEY:
@@ -1040,19 +1045,25 @@ class pooled_connection:
     (an exception may leave the wire mid-message)."""
 
     def __init__(self, host: str, port: int, user: str,
-                 password: str) -> None:
+                 password: str, ssl_ca: str | None = None,
+                 ssl_hostname: str | None = None) -> None:
         self.key = (host, port, user)
         self.password = password
+        self.ssl_ca = ssl_ca
+        self.ssl_hostname = ssl_hostname
         self.conn: MySQLConnection | None = None
 
     def __enter__(self) -> "MySQLConnection":
-        self.conn = ConnectionPool.acquire(*self.key, self.password)
+        self.conn = ConnectionPool.acquire(
+            *self.key, self.password, ssl_ca=self.ssl_ca,
+            ssl_hostname=self.ssl_hostname)
         return self.conn
 
     def __exit__(self, exc_type, *exc) -> None:
         assert self.conn is not None
         if exc_type is None:
-            ConnectionPool.release(self.conn, *self.key, self.password)
+            ConnectionPool.release(self.conn, *self.key, self.password,
+                                   ssl_ca=self.ssl_ca)
         else:
             self.conn.close()
 

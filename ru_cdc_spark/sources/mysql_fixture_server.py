@@ -179,7 +179,8 @@ class MySQLFixtureServer:
                  host: str = "127.0.0.1",
                  die_after_events: int | None = None,
                  default_auth: str = CACHING_SHA2_PLUGIN,
-                 tls: bool = False) -> None:
+                 tls: bool = False,
+                 tls_required: bool = False) -> None:
         # fault injection: hang up mid-dump after N event packets
         # WITHOUT the EOF terminator (the server-crash contract test)
         self.die_after_events = die_after_events
@@ -192,7 +193,11 @@ class MySQLFixtureServer:
         # tls=True: advertise CLIENT_SSL and upgrade on SSLRequest with
         # an in-repo self-signed certificate (functions/x509.py) —
         # clients VERIFY it via ``tls_ca_path()``
-        self.tls = tls
+        self.tls = tls or tls_required
+        # require-secure-transport: plaintext handshake responses are
+        # rejected with ERR 3159, like a real server with
+        # require_secure_transport=ON
+        self.tls_required = tls_required
         self._tls_ctx = None
         self._tls_dir: str | None = None
         # the sha2 fast-auth cache: users who completed FULL auth once;
@@ -351,6 +356,12 @@ class MySQLFixtureServer:
                 io.sock = self._tls_ctx.wrap_socket(io.sock,
                                                     server_side=True)
                 first = io.read_packet()
+        elif self.tls_required:
+            io.write_packet(encode_err(
+                3159, "Connections using insecure transport are "
+                      "prohibited while --require_secure_transport=ON.",
+                "HY000"))
+            return False
         resp = decode_handshake_response41(first)
         auth = resp.auth_resp
         # clients whose plugin differs from the server default, or that

@@ -144,14 +144,17 @@ def _dump_events(host: str, port: int, user: str, password: str,
 
 
 def fetch_binlog_layout(host: str, port: int, user: str, password: str,
-                        filename: str | None = None
+                        filename: str | None = None,
+                        ssl_ca: str | None = None,
+                        ssl_hostname: str | None = None
                         ) -> tuple[str, int, list[tuple[int, str, int]]]:
     """Driver-side metadata pass: (file, end_pos, [(pos, type, end)]).
     Defaults to the tip file (SHOW MASTER STATUS); pass ``filename`` to
     lay out an earlier log in the chain."""
     from ru_cdc_spark.sources.mysql_client import pooled_connection
 
-    with pooled_connection(host, port, user, password) as conn:
+    with pooled_connection(host, port, user, password, ssl_ca=ssl_ca,
+                           ssl_hostname=ssl_hostname) as conn:
         if filename is None:
             fname, end_pos = conn.show_master_status()
         else:
@@ -163,13 +166,16 @@ def fetch_binlog_layout(host: str, port: int, user: str, password: str,
     return fname, end_pos, events
 
 
-def fetch_binary_logs(host: str, port: int, user: str, password: str
+def fetch_binary_logs(host: str, port: int, user: str, password: str,
+                      ssl_ca: str | None = None,
+                      ssl_hostname: str | None = None
                       ) -> list[tuple[str, int]]:
     """SHOW BINARY LOGS -> ordered [(name, size)] — the file chain a
     resuming reader walks across rotations."""
     from ru_cdc_spark.sources.mysql_client import pooled_connection
 
-    with pooled_connection(host, port, user, password) as conn:
+    with pooled_connection(host, port, user, password, ssl_ca=ssl_ca,
+                           ssl_hostname=ssl_hostname) as conn:
         rs = conn.query("show binary logs")
     return [(r[0] or "", int(r[1] or 0)) for r in rs.rows]
 
@@ -199,7 +205,9 @@ def socket_cdc_frames(spark: SparkSession, host: str, port: int,
     binary) read over per-task sockets. ``ssl_ca`` runs every task's
     connection over verified TLS (CLIENT_SSL); certificate hostname
     verification defaults to the dialed host."""
-    fname, _end, events = fetch_binlog_layout(host, port, user, password)
+    fname, _end, events = fetch_binlog_layout(
+        host, port, user, password, ssl_ca=ssl_ca,
+        ssl_hostname=ssl_hostname)
     slices = slice_at_table_maps(events, n_slices)
     ranges = spark.createDataFrame(
         [(lo, hi) for lo, hi in slices], "lo long, hi long"

@@ -157,3 +157,49 @@ class TestSha2OverTls:
                     ssl_ca=ca, ssl_hostname="localhost")
         finally:
             srv.stop()
+
+
+class TestRequireSecureTransport:
+    def test_plaintext_rejected_tls_accepted(self):
+        """require_secure_transport=ON semantics: a plaintext handshake
+        response gets ERR 3159; the TLS upgrade path works, including
+        the pooled metadata connections."""
+        from ru_cdc_spark.sources.mysql_client import (
+            ConnectionPool,
+            pooled_connection,
+        )
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            fetch_binlog_layout,
+        )
+
+        srv = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(20),
+            tls_required=True).start()
+        try:
+            with pytest.raises(MySQLError) as exc:
+                MySQLConnection.connect("127.0.0.1", srv.port,
+                                        "repl", "replpass")
+            assert exc.value.code == 3159
+            ca = srv.tls_ca_path()
+            with MySQLConnection.connect(
+                    "127.0.0.1", srv.port, "repl", "replpass",
+                    ssl_ca=ca, ssl_hostname="localhost") as conn:
+                assert conn.ping()
+            # metadata path over pooled TLS connections
+            ConnectionPool.clear()
+            fname, end, events = fetch_binlog_layout(
+                "127.0.0.1", srv.port, "repl", "replpass",
+                ssl_ca=ca, ssl_hostname="localhost")
+            assert fname == "binlog.000001" and len(events) > 3
+            # pooled TLS connection is recycled under its ssl-aware key
+            with pooled_connection("127.0.0.1", srv.port, "repl",
+                                   "replpass", ssl_ca=ca,
+                                   ssl_hostname="localhost") as c1:
+                first = c1
+            with pooled_connection("127.0.0.1", srv.port, "repl",
+                                   "replpass", ssl_ca=ca,
+                                   ssl_hostname="localhost") as c2:
+                assert c2 is first
+            ConnectionPool.clear()
+        finally:
+            srv.stop()

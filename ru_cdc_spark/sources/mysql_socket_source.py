@@ -264,6 +264,11 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         # — the CDC decode path. emit=events: every raw event including
         # GTID/QUERY/XID control events — the transactional path.
         self.emit = options.get("emit", "frames")
+        # TLS (CLIENT_SSL): ca file path + certificate hostname; when
+        # set, every metadata AND dump connection encrypts — required
+        # against require_secure_transport servers
+        self.ssl_ca = options.get("ssl_ca")
+        self.ssl_hostname = options.get("ssl_hostname")
         # cut_at governs where micro-batch offsets may land: table_map
         # (default) keeps a TABLE_MAP with its ROWS event; gtid aligns
         # batch boundaries to TRANSACTION starts, so every micro-batch
@@ -296,7 +301,8 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
 
     def _files_sizes(self) -> list[tuple[str, int]]:
         return fetch_binary_logs(
-            self.host, self.port, self.user, self.password)
+            self.host, self.port, self.user, self.password,
+            ssl_ca=self.ssl_ca, ssl_hostname=self.ssl_hostname)
 
     def _layout_events(self, fname: str,
                        size: int) -> list[tuple[int, str, int]]:
@@ -314,7 +320,8 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         if hit is not None and hit[0] == size and size > 0:
             return hit[1]
         _, _, events = fetch_binlog_layout(
-            self.host, self.port, self.user, self.password, fname)
+            self.host, self.port, self.user, self.password, fname,
+            ssl_ca=self.ssl_ca, ssl_hostname=self.ssl_hostname)
         cache[fname] = (size, events)
         return events
 
@@ -401,7 +408,9 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             return
         for pos, frame in _dump_frames(self.host, self.port, self.user,
                                        self.password, partition.file,
-                                       partition.lo, partition.hi):
+                                       partition.lo, partition.hi,
+                                       ssl_ca=self.ssl_ca,
+                                       ssl_hostname=self.ssl_hostname):
             yield (pos, frame)
 
     def commit(self, end: dict) -> None:

@@ -203,3 +203,44 @@ class TestRequireSecureTransport:
             ConnectionPool.clear()
         finally:
             srv.stop()
+
+
+class TestStreamingSourceOverTls:
+    def test_stream_drains_against_tls_required_server(self, spark,
+                                                       tmp_path):
+        """The (file,pos)-offset streaming source against
+        require_secure_transport=ON: metadata triggers AND dump reads
+        all encrypt, and the topic drains exactly once."""
+        from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            register_binlog_socket_source,
+        )
+
+        srv = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(60),
+            tls_required=True).start()
+        try:
+            register_binlog_socket_source(spark)
+            out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+            for _ in range(3):
+                stream = (spark.readStream.format("binlog_socket")
+                          .option("host", "127.0.0.1")
+                          .option("port", srv.port)
+                          .option("user", srv.user)
+                          .option("password", srv.password)
+                          .option("ssl_ca", srv.tls_ca_path())
+                          .option("ssl_hostname", "localhost")
+                          .option("position_file",
+                                  str(tmp_path / "pos.json"))
+                          .option("events_per_batch", 20).load())
+                q = (stream.writeStream.format("parquet")
+                     .option("path", out)
+                     .option("checkpointLocation", ck)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination(120)
+            frames = spark.read.parquet(out)
+            decoded = decode_cdc_frames(frames.select("frame"))
+            assert decoded.where("type = 'INSERT'") \
+                .select("i").distinct().count() == 60
+        finally:
+            srv.stop()

@@ -161,6 +161,18 @@ def bench_socket_ingest(spark) -> tuple[float, int]:
         srv.stop()
 
 
+def calibration_probe(spark) -> float:
+    """Fixed tiny query (1-row scan + agg) whose wall time depends only
+    on scheduler/JVM responsiveness, never on this repo's code: a
+    contended machine inflates it the same way it inflates every real
+    query, so a slow round self-identifies in the JSON instead of
+    reading as a code regression (round-4 driver bench was uniformly
+    ~1.5-2x on unchanged queries; this sentinel disambiguates)."""
+    t0 = time.time()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    return round(time.time() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -172,6 +184,9 @@ def main() -> None:
     # (measured: cdc_envelope run0 4.8s, run1 1.8s, run2+ 1.3s)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     force(REGISTRY["cdc_envelope"].fn(spark, sf_dir))
+
+    load_start = os.getloadavg()
+    calib_start = min(calibration_probe(spark) for _ in range(3))
 
     from ru_cdc_spark.operators.rankops import release_rank_caches
 
@@ -211,6 +226,9 @@ def main() -> None:
     k2, _ = bench_socket_ingest(spark)
     sock_sec = min(sock_sec, k2)
 
+    load_end = os.getloadavg()
+    calib_end = min(calibration_probe(spark) for _ in range(3))
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -224,6 +242,17 @@ def main() -> None:
         "txn_assembly_rows_per_sec": round(txn_rows / txn_sec, 1),
         "socket_ingest_rows": sock_rows,
         "socket_ingest_rows_per_sec": round(sock_rows / sock_sec, 1),
+        # contention sentinel: external load + a fixed calibration query
+        # (code-independent). calibration >> ~0.03s or loadavg >> cpus
+        # means the round ran contended and its timings are inflated
+        # uniformly — compare rounds by calibration-normalized numbers.
+        "contention": {
+            "cpus_online": os.cpu_count(),
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in load_end],
+            "calibration_sec_start": calib_start,
+            "calibration_sec_end": calib_end,
+        },
     }))
 
 

@@ -60,6 +60,7 @@ from ru_cdc_spark.sources.binlog_wire import (
     T_LONGLONG,
     T_NEWDECIMAL,
     T_VARCHAR,
+    compile_decoders,
     decode_format_description,
     decode_gtid,
     decode_heartbeat,
@@ -215,6 +216,10 @@ class TxnAssembler:
         self.cur: dict | None = None
         self.images: list = []
         self.specs_by_tid: dict[int, list[ColSpec]] = {}
+        # compiled column decoders, keyed and evicted in lockstep with
+        # specs_by_tid: compiling once per TABLE_MAP (not per rows event)
+        # removes the spec-tuple hash from the per-event hot path
+        self.decoders_by_tid: dict[int, list] = {}
         self.spec_cache_cap = spec_cache_cap
         # Canal's envelope `sql` field source: ROWS_QUERY events (type 29,
         # binlog_rows_query_log_events=ON) carry the originating statement
@@ -234,6 +239,20 @@ class TxnAssembler:
         # reference decodes ROTATE but drops it, SURVEY D12)
         self.current_log: str | None = None
         self.current_pos: int = 0
+
+    def __getstate__(self) -> dict:
+        # compiled decoders are closures (unpicklable, and cheap to
+        # rebuild from specs); the streaming state store pickles the
+        # whole assembler between micro-batches
+        d = self.__dict__.copy()
+        d["decoders_by_tid"] = {}
+        return d
+
+    def __setstate__(self, d: dict) -> None:
+        self.__dict__.update(d)
+        self.decoders_by_tid = {
+            tid: compile_decoders(specs)
+            for tid, specs in self.specs_by_tid.items()}
 
     def _rows(self, status: str, xid) -> list[dict]:
         cols = [n for n, _ in TXN_COLUMNS]
@@ -268,10 +287,12 @@ class TxnAssembler:
                 # file switch: table ids are per-binlog-session — stale
                 # specs must not survive into the next file
                 self.specs_by_tid.clear()
+                self.decoders_by_tid.clear()
             elif etype == FORMAT_DESCRIPTION_EVENT:
                 fd = decode_format_description(ev)
                 self.checksum_bytes = fd["checksum_bytes"]
                 self.specs_by_tid.clear()
+                self.decoders_by_tid.clear()
             elif etype == HEARTBEAT_EVENT:
                 _ident, self.last_heartbeat_pos = decode_heartbeat(
                     ev, self.checksum_bytes)
@@ -306,14 +327,18 @@ class TxnAssembler:
                 else:
                     _tid, _s, _t, specs = decode_table_map(ev)
                     self.specs_by_tid[tid_] = specs
+                    self.decoders_by_tid[tid_] = compile_decoders(specs)
                     if len(self.specs_by_tid) > self.spec_cache_cap:
                         # dict preserves insertion order: evict the LRU
-                        self.specs_by_tid.pop(
-                            next(iter(self.specs_by_tid)))
+                        evicted = next(iter(self.specs_by_tid))
+                        self.specs_by_tid.pop(evicted)
+                        self.decoders_by_tid.pop(evicted, None)
             elif etype in _OPNAMES:
                 table_id = int.from_bytes(ev[19:25], "little")
                 et, imgs = decode_rows_event(ev, self.specs_by_tid[table_id],
-                                             self.checksum_bytes)
+                                             self.checksum_bytes,
+                                             self.decoders_by_tid.get(
+                                                 table_id))
                 for img in imgs:
                     if et == UPDATE_ROWS_V2:
                         self.images.append(("UPDATE", img[1], self.cur_sql))

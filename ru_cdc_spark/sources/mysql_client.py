@@ -213,6 +213,19 @@ class PacketIO:
         return out
 
     def read_packet(self, exact: bool = False) -> bytes:
+        # fast path: the whole (non-continued) packet is already
+        # buffered — one slice, no _read_exact call pair. This is the
+        # steady state when a result set streams thousands of small
+        # packets per 64 KiB recv.
+        buf, off = self._buf, self._off
+        avail = len(buf) - off
+        if avail >= 4:
+            length = int.from_bytes(buf[off:off + 3], "little")
+            if length < MAX_PACKET and avail >= 4 + length:
+                self.seq = (buf[off + 3] + 1) & 0xFF
+                end = off + 4 + length
+                self._off = end
+                return bytes(buf[off + 4:end])
         payload = bytearray()
         while True:
             header = self._read_exact(4, exact)
@@ -559,13 +572,23 @@ def decode_text_row(b: bytes, n_cols: int) -> list[str | None]:
     cells (protocal.rs:213); we keep None."""
     out: list[str | None] = []
     off = 0
-    while off < len(b) and len(out) < n_cols:
-        if b[off] == 0xFB:
-            out.append(None)
+    blen = len(b)
+    append = out.append
+    while off < blen and len(out) < n_cols:
+        first = b[off]
+        if first == 0xFB:
+            append(None)
             off += 1
+        elif first < 0xFB:
+            # short-cell fast path (lenenc < 251 — every metadata row):
+            # inlining read_lenenc_bytes halves the per-cell cost on a
+            # 16k-row SHOW BINLOG EVENTS listing
+            start = off + 1
+            off = start + first
+            append(b[start:off].decode("utf-8", "replace"))
         else:
             s, off = read_lenenc_bytes(b, off)
-            out.append(s.decode("utf-8", "replace"))
+            append(s.decode("utf-8", "replace"))
     return out
 
 

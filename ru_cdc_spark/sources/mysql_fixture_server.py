@@ -49,6 +49,7 @@ from ru_cdc_spark.sources.mysql_client import (
     encode_err,
     encode_handshake_v10,
     encode_ok,
+    encode_packet,
     encode_text_row,
     native_password_scramble,
     split_events,
@@ -443,15 +444,21 @@ class MySQLFixtureServer:
                          rows: list[list]) -> None:
         """DEPRECATE_EOF shape: count, defs, rows, OK-as-EOF (the framing
         the reference's read_text_result_set expects, mysql.rs:140-178)."""
+        # one buffered sendall for the whole result set: a per-row
+        # write_packet is a syscall per row, and a 16k-row SHOW BINLOG
+        # EVENTS listing then costs more wall time in socket dribble
+        # than the entire 16-slice binlog dump it plans
         seq = 1
-        io.write_packet(write_lenenc_int(len(cols)), seq=seq)
+        out = bytearray(encode_packet(seq, write_lenenc_int(len(cols))))
         for c in cols:
             seq += 1
-            io.write_packet(encode_col_def(ColDef(name=c)), seq=seq)
+            out += encode_packet(seq, encode_col_def(ColDef(name=c)))
         for row in rows:
             seq += 1
-            io.write_packet(encode_text_row(row), seq=seq)
-        io.write_packet(encode_ok(header=0xFE), seq=seq + 1)
+            out += encode_packet(seq, encode_text_row(row))
+        out += encode_packet(seq + 1, encode_ok(header=0xFE))
+        io.sock.sendall(bytes(out))
+        io.seq = (seq + 2) & 0xFF
 
     def _handle_query(self, io: PacketIO, sql: str) -> None:
         q = sql.strip().rstrip(";").lower()

@@ -44,8 +44,10 @@ SHOWCASE = [
     # streaming+transactional path with kill/restart)
     "mysql_socket_cdc_snapshot", "mysql_socket_txn_changes",
     "mysql_socket_txn_stream",
-    # transactional assembly
-    "binlog_txn_changes", "binlog_txn_apply_groups",
+    # transactional assembly (incl. MySQL 8 zstd-compressed
+    # transactions — type-40 payload events, RFC 8878 decode)
+    "binlog_txn_changes", "binlog_txn_compressed",
+    "binlog_txn_apply_groups",
     # ACID table format + merge variants (incl. the full Kafka->
     # pipeline->ACID topology over real wires)
     "acid_merge_snapshot", "cdc_partitioned_merge",

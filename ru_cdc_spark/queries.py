@@ -3171,6 +3171,19 @@ def binlog_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return committed_changes(spark)
 
 
+def binlog_txn_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME transactional assembly over a MySQL 8
+    binlog_transaction_compression=ON stream: each complete transaction
+    arrives as GTID + TRANSACTION_PAYLOAD_EVENT (type 40) whose body is
+    one zstd frame (RFC 8878, functions/zstd.py). Hash-matches the
+    identical oracle as the uncompressed path — decompression is
+    transparent to the operator. The reference has no type-40 handling
+    at all (binlog.rs:159-204): such a stream is undecodable to it."""
+    from ru_cdc_spark.sources.binlog_txn import committed_changes
+
+    return committed_changes(spark, compressed=True)
+
+
 def binlog_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-consistent snapshot: the committed transactional stream
     applied in (commit seq, in-txn image order) — a snapshot no torn
@@ -3246,6 +3259,8 @@ def _register_binlog_txn() -> None:
 
     register("binlog_txn_changes",
              BINLOG_TXN_CHANGES_ORACLE)(binlog_txn_changes)
+    register("binlog_txn_compressed",
+             BINLOG_TXN_CHANGES_ORACLE)(binlog_txn_compressed)
     register("binlog_txn_snapshot",
              BINLOG_TXN_SNAPSHOT_ORACLE)(binlog_txn_snapshot)
     register("binlog_txn_apply_groups",

@@ -51,6 +51,7 @@ from ru_cdc_spark.sources.binlog_wire import (
     QUERY_EVENT,
     ROWS_QUERY_EVENT,
     TABLE_MAP_EVENT,
+    TRANSACTION_PAYLOAD_EVENT,
     UPDATE_ROWS_V2,
     WRITE_ROWS_V2,
     XID_EVENT,
@@ -69,8 +70,10 @@ from ru_cdc_spark.sources.binlog_wire import (
     decode_rows_event,
     decode_rows_query,
     decode_table_map,
+    decode_transaction_payload,
     decode_xid,
     encode_frame,
+    encode_transaction_payload,
     encode_gtid,
     encode_query,
     encode_xid,
@@ -109,16 +112,21 @@ def _update_after(i: int) -> tuple:
     return tuple(r)
 
 
-def txn_event_bytes(tid: int) -> bytes:
+def txn_event_bytes(tid: int, compressed: bool = False) -> bytes:
     """All wire bytes of transaction ``tid``: GTID + BEGIN + row frames +
-    terminator (XID / ROLLBACK / nothing for the truncated tail)."""
+    terminator (XID / ROLLBACK / nothing for the truncated tail).
+    ``compressed=True`` ships the post-GTID body as one
+    TRANSACTION_PAYLOAD_EVENT (the MySQL 8
+    binlog_transaction_compression=ON layout: GTID stays outside; the
+    truncated in-flight tail stays uncompressed, as a server only wraps
+    COMPLETE transactions)."""
     n_rows = tid % 3 + 1
     ids = [tid * 4 + k for k in range(n_rows)]
+    gtid = encode_gtid(TXN_SID, tid + 1,
+                       last_committed=(tid // GROUP_COMMIT_SIZE)
+                       * GROUP_COMMIT_SIZE,
+                       sequence_number=tid + 1, log_pos=tid)
     blob = bytearray()
-    blob += encode_gtid(TXN_SID, tid + 1,
-                        last_committed=(tid // GROUP_COMMIT_SIZE)
-                        * GROUP_COMMIT_SIZE,
-                        sequence_number=tid + 1, log_pos=tid)
     blob += encode_query("BEGIN", "testdb", log_pos=tid)
     blob += encode_frame(TXN_TABLE_ID, "testdb", "txn_rows", TXN_SPECS,
                          WRITE_ROWS_V2, [_row_values(i) for i in ids],
@@ -133,21 +141,25 @@ def txn_event_bytes(tid: int) -> bytes:
                              DELETE_ROWS_V2, [_row_values(ids[0])],
                              log_pos=tid)
     if tid == TRUNCATED_TID:
-        return bytes(blob)  # stream ends mid-transaction: in-doubt
+        return gtid + bytes(blob)  # stream ends mid-transaction: in-doubt
     if tid % ROLLBACK_MOD == 5:
         blob += encode_query("ROLLBACK", "testdb", log_pos=tid)
     else:
         blob += encode_xid(XID_BASE + tid, log_pos=tid)
-    return bytes(blob)
+    if compressed:
+        return gtid + encode_transaction_payload(bytes(blob), log_pos=tid)
+    return gtid + bytes(blob)
 
 
 def generate_txn_segments(spark: SparkSession, n_txns: int = N_TXNS,
                           txns_per_segment: int = TXNS_PER_SEGMENT,
-                          n_partitions: int = 8) -> DataFrame:
+                          n_partitions: int = 8,
+                          compressed: bool = False) -> DataFrame:
     """Binlog segments (one binary blob each = one binlog file's ordered
     event bytes). Segment boundaries fall only between transactions —
     MySQL's rotation contract — which is what licenses the parallel
-    per-segment assembly below."""
+    per-segment assembly below. ``compressed=True`` emits every complete
+    transaction as GTID + TRANSACTION_PAYLOAD_EVENT (zstd)."""
     n_segments = (n_txns + txns_per_segment - 1) // txns_per_segment
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -158,7 +170,8 @@ def generate_txn_segments(spark: SparkSession, n_txns: int = N_TXNS,
                 hi = min(lo + txns_per_segment, n_txns)
                 if lo >= hi:
                     continue
-                blob = b"".join(txn_event_bytes(t) for t in range(lo, hi))
+                blob = b"".join(txn_event_bytes(t, compressed)
+                                for t in range(lo, hi))
                 sids.append(int(sid))
                 blobs.append(blob)
             yield pd.DataFrame({"segment_id": sids, "blob": blobs})
@@ -272,6 +285,10 @@ class TxnAssembler:
 
     def feed(self, data: bytes) -> list[dict]:
         buf = self.tail + data
+        # reset before the walk: type-40 payload events recurse into
+        # feed() for their decompressed inner events, and a stale tail
+        # would otherwise be prepended twice
+        self.tail = b""
         off = 0
         rows: list[dict] = []
         while len(buf) - off >= 13:
@@ -303,6 +320,22 @@ class TxnAssembler:
             elif etype == ROWS_QUERY_EVENT:
                 if self.capture_sql:
                     self.cur_sql = decode_rows_query(ev, self.checksum_bytes)
+            elif etype == TRANSACTION_PAYLOAD_EVENT:
+                # MySQL 8 compressed transaction (type 40): the whole
+                # txn body (BEGIN/table map/rows/XID) arrives as one
+                # zstd blob after the uncompressed GTID event. Inner
+                # events carry NO checksums regardless of the stream's
+                # checksum setting — recurse with checksum_bytes=0.
+                inner = decode_transaction_payload(ev, self.checksum_bytes)
+                outer_cs = self.checksum_bytes
+                self.checksum_bytes = 0
+                try:
+                    rows += self.feed(inner)
+                finally:
+                    self.checksum_bytes = outer_cs
+                if self.tail:
+                    raise ValueError(
+                        "truncated event inside transaction payload")
             elif etype == QUERY_EVENT:
                 _schema, sql = decode_query(ev, self.checksum_bytes)
                 if sql == "ROLLBACK" and self.cur is not None:
@@ -570,10 +603,15 @@ FROM per_txn GROUP BY 1
 """
 
 
-def committed_changes(spark: SparkSession) -> DataFrame:
+def committed_changes(spark: SparkSession,
+                      compressed: bool = False) -> DataFrame:
     """The atomic, commit-consistent change stream: only images whose
-    transaction reached XID; rolled-back and in-doubt groups never leak."""
-    assembled = assemble_transactions(generate_txn_segments(spark))
+    transaction reached XID; rolled-back and in-doubt groups never leak.
+    ``compressed=True`` runs the identical pipeline over a
+    binlog_transaction_compression=ON stream (type-40 zstd payloads) —
+    same oracle, proving decompression is transparent."""
+    assembled = assemble_transactions(
+        generate_txn_segments(spark, compressed=compressed))
     return (assembled.where(F.col("status") == "committed")
             .select("gno", "xid", "seq_no", "last_committed", "op",
                     "seq_in_txn", "i", "qty", "amount", "note"))

@@ -931,6 +931,111 @@ def decode_xid(b: bytes) -> int:
     return int.from_bytes(b[19:27], "little")
 
 
+# ---------------------------------------------------------------------------
+# TRANSACTION_PAYLOAD_EVENT (type 40, MySQL 8.0.20+): the whole
+# transaction's events shipped as one zstd-compressed blob when the
+# server runs binlog_transaction_compression=ON. The reference has no
+# type-40 handling at all (/root/reference/src/binlog.rs:159-204) — a
+# 2026 server with compression on is undecodable to it. Field layout is
+# the published TLV form: lenenc type, lenenc length, value; type 0 is
+# the header-end mark, after which the (possibly compressed) payload
+# runs to the end of the event. Inner events carry no checksums.
+# ---------------------------------------------------------------------------
+
+TRANSACTION_PAYLOAD_EVENT = 40
+
+_TP_END_MARK = 0
+_TP_PAYLOAD_SIZE = 1
+_TP_COMPRESSION_TYPE = 2
+_TP_UNCOMPRESSED_SIZE = 3
+
+TP_COMPRESSION_ZSTD = 0
+TP_COMPRESSION_NONE = 255
+
+
+def encode_transaction_payload(inner: bytes, compress: bool = True,
+                               log_pos: int = 0) -> bytes:
+    """Wrap a complete transaction's inner event bytes (BEGIN query,
+    table maps, row events, XID — the GTID event stays OUTSIDE, as on a
+    real server). Compression is store-mode zstd (functions/zstd.py) —
+    a conformant RFC 8878 frame; pass ``compress=False`` for the
+    NONE-type payload a server emits for incompressible transactions."""
+    if compress:
+        from ru_cdc_spark.functions.zstd import compress_store
+
+        payload = compress_store(inner, checksum=False)
+        ctype = TP_COMPRESSION_ZSTD
+    else:
+        payload = inner
+        ctype = TP_COMPRESSION_NONE
+    p = bytearray()
+    p += write_lenenc(_TP_COMPRESSION_TYPE)
+    p += write_lenenc(len(write_lenenc(ctype)))
+    p += write_lenenc(ctype)
+    if compress:
+        usize = write_lenenc(len(inner))
+        p += write_lenenc(_TP_UNCOMPRESSED_SIZE)
+        p += write_lenenc(len(usize))
+        p += usize
+    psize = write_lenenc(len(payload))
+    p += write_lenenc(_TP_PAYLOAD_SIZE)
+    p += write_lenenc(len(psize))
+    p += psize
+    p += write_lenenc(_TP_END_MARK)
+    p += payload
+    return _header(TRANSACTION_PAYLOAD_EVENT, len(p),
+                   log_pos=log_pos) + bytes(p)
+
+
+def decode_transaction_payload(b: bytes, checksum_bytes: int = 0) -> bytes:
+    """Returns the transaction's inner event bytes, decompressed. The
+    decode path accepts ANY conformant zstd frame (a real server
+    compresses with libzstd), via pyarrow's bundled libzstd when
+    importable, else the spec decoder in functions/zstd.py."""
+    if b[4] != TRANSACTION_PAYLOAD_EVENT:
+        raise ValueError(f"not a TRANSACTION_PAYLOAD event (type {b[4]})")
+    end = int.from_bytes(b[9:13], "little") - checksum_bytes
+    off = 19
+    ctype = TP_COMPRESSION_NONE
+    usize = None
+    psize = None
+    while off < end:
+        ftype, off = read_lenenc(b, off)
+        if ftype == _TP_END_MARK:
+            break
+        flen, off = read_lenenc(b, off)
+        if ftype == _TP_COMPRESSION_TYPE:
+            ctype, _ = read_lenenc(b, off)
+        elif ftype == _TP_UNCOMPRESSED_SIZE:
+            usize, _ = read_lenenc(b, off)
+        elif ftype == _TP_PAYLOAD_SIZE:
+            psize, _ = read_lenenc(b, off)
+        off += flen  # unknown fields skipped by declared length
+    payload = b[off:end]
+    if psize is not None and len(payload) != psize:
+        raise ValueError(
+            f"payload size field {psize} != actual {len(payload)}")
+    if ctype == TP_COMPRESSION_NONE:
+        return bytes(payload)
+    if ctype != TP_COMPRESSION_ZSTD:
+        raise ValueError(f"unknown payload compression type {ctype}")
+    try:
+        import pyarrow as _pa
+
+        if usize is not None:
+            return _pa.Codec("zstd").decompress(
+                bytes(payload), usize).to_pybytes()
+        raise ImportError  # no size hint: stream via the spec decoder
+    except ImportError:
+        from ru_cdc_spark.functions.zstd import decompress as _zstd_dec
+
+        inner = _zstd_dec(bytes(payload))
+        if usize is not None and len(inner) != usize:
+            raise ValueError(
+                f"uncompressed size field {usize} != actual {len(inner)}")
+        return inner
+
+
 def encode_query(sql: str, schema: str = "", thread_id: int = 0,
                  log_pos: int = 0) -> bytes:
     """QUERY_EVENT (type 2): thread_id u32, exec_time u32, schema_len u8,

@@ -17,7 +17,12 @@ protocol is implemented directly from the published spec:
   on. The fixture broker VERIFIES the CRC before appending, so a
   corrupted batch is rejected exactly like a real broker would;
 * **Fetch v4**: record batches read back with high-watermark
-  bookkeeping — the consumer side of the roundtrip proof.
+  bookkeeping — the consumer side of the roundtrip proof;
+* **codecs**: gzip (stdlib), snappy/LZ4 (spec-built,
+  functions/snappy.py / functions/lz4.py), and zstd (KIP-110 codec 4:
+  decode is the full RFC 8878 implementation in functions/zstd.py,
+  produce emits store-mode frames) — all four published record-batch
+  codecs spoken.
 
 Scale shape mirrors the RESP sink: one producer connection per
 executor partition, one Produce request per micro-batch partition
@@ -157,7 +162,7 @@ class _Reader:
 
 
 COMPRESSION_NONE, COMPRESSION_GZIP, COMPRESSION_SNAPPY, \
-    COMPRESSION_LZ4 = 0, 1, 2, 3
+    COMPRESSION_LZ4, COMPRESSION_ZSTD = 0, 1, 2, 3, 4
 
 
 def encode_record_batch(records: list[tuple[bytes | None, bytes]],
@@ -197,6 +202,13 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
         from ru_cdc_spark.functions.lz4 import lz4_frame_compress
 
         attrs, recs = COMPRESSION_LZ4, lz4_frame_compress(bytes(body))
+    elif compression == "zstd":
+        # KIP-110 codec 4. Produce emits store-mode zstd (raw blocks —
+        # a valid RFC 8878 frame any broker-side libzstd reads); the
+        # fetch side decodes ANY conformant frame (functions/zstd.py)
+        from ru_cdc_spark.functions.zstd import compress_store
+
+        attrs, recs = COMPRESSION_ZSTD, compress_store(bytes(body))
     elif compression == "none":
         attrs, recs = COMPRESSION_NONE, bytes(body)
     else:
@@ -257,6 +269,10 @@ def decode_record_batch(data: bytes) -> dict:
         from ru_cdc_spark.functions.lz4 import lz4_frame_decompress
 
         r = _Reader(lz4_frame_decompress(r.take(end - r.pos)))
+    elif codec == COMPRESSION_ZSTD:
+        from ru_cdc_spark.functions.zstd import decompress as zstd_dec
+
+        r = _Reader(zstd_dec(r.take(end - r.pos)))
     elif codec != COMPRESSION_NONE:
         raise ValueError(f"unsupported compression codec {codec}")
     records = []

@@ -330,3 +330,87 @@ def test_spec_cache_bounded_and_cleared_on_rotate():
                        WRITE_ROWS_V2, [(7, 8, None, "y")])
         + encode_xid(901))
     assert rows and rows[0]["i"] == 7 and rows[0]["qty"] == 8
+
+
+# ---------------------------------------------------------------------------
+# TRANSACTION_PAYLOAD_EVENT (type 40, MySQL 8 compressed transactions)
+# ---------------------------------------------------------------------------
+
+
+def _one_txn_body(tid=77):
+    return (w.encode_query("BEGIN", "testdb")
+            + w.encode_frame(bt.TXN_TABLE_ID, "testdb", "txn_rows",
+                             bt.TXN_SPECS, bt.WRITE_ROWS_V2
+                             if hasattr(bt, "WRITE_ROWS_V2")
+                             else w.WRITE_ROWS_V2,
+                             [bt._row_values(tid)])
+            + w.encode_xid(5000 + tid))
+
+
+def test_payload_event_roundtrip_zstd():
+    inner = _one_txn_body()
+    ev = w.encode_transaction_payload(inner)
+    assert ev[4] == w.TRANSACTION_PAYLOAD_EVENT
+    assert w.decode_transaction_payload(ev) == inner
+    assert len(ev) != len(inner)  # actually wrapped
+
+
+def test_payload_event_uncompressed_type():
+    inner = _one_txn_body()
+    ev = w.encode_transaction_payload(inner, compress=False)
+    assert w.decode_transaction_payload(ev) == inner
+
+
+def test_assembler_decodes_compressed_transaction():
+    inner = _one_txn_body(31)
+    stream = (w.encode_gtid(bytes(16), 700, 0, 700)
+              + w.encode_transaction_payload(inner))
+    asm = bt.TxnAssembler()
+    rows = asm.feed(stream)
+    assert len(rows) == 1
+    assert rows[0]["status"] == "committed"
+    assert rows[0]["i"] == 31
+    assert rows[0]["xid"] == 5031
+
+
+def test_assembler_decodes_real_libzstd_payload(monkeypatch):
+    """A real server compresses with libzstd, not our store-mode
+    encoder: swap the compressor for pyarrow's bundled libzstd and the
+    assembler must still decode (differential-validation ask)."""
+    pa = pytest.importorskip("pyarrow")
+    import ru_cdc_spark.functions.zstd as zmod
+
+    monkeypatch.setattr(
+        zmod, "compress_store",
+        lambda b, checksum=True: pa.Codec("zstd").compress(b).to_pybytes())
+    inner = _one_txn_body(52)
+    stream = (w.encode_gtid(bytes(16), 800, 0, 800)
+              + w.encode_transaction_payload(inner))
+    asm = bt.TxnAssembler()
+    rows = asm.feed(stream)
+    assert len(rows) == 1 and rows[0]["i"] == 52
+
+
+def test_compressed_fixture_matches_uncompressed_rows():
+    """txn_event_bytes(compressed=True) assembles to the exact same
+    rows as the plain stream, transaction for transaction."""
+    plain_rows, comp_rows = [], []
+    for compressed, sink in ((False, plain_rows), (True, comp_rows)):
+        asm = bt.TxnAssembler()
+        for t in range(0, 40):
+            sink.extend(asm.feed(bt.txn_event_bytes(t, compressed)))
+        sink.extend(asm.flush_open())
+    assert plain_rows == comp_rows
+
+
+def test_payload_split_across_feeds_reassembles():
+    """The type-40 event arriving in arbitrary chunks must behave like
+    any other event: held in the tail until complete."""
+    inner = _one_txn_body(9)
+    stream = (w.encode_gtid(bytes(16), 901, 0, 901)
+              + w.encode_transaction_payload(inner))
+    for cut in (5, 25, len(stream) // 2, len(stream) - 3):
+        asm = bt.TxnAssembler()
+        rows = asm.feed(stream[:cut])
+        rows += asm.feed(stream[cut:])
+        assert len(rows) == 1 and rows[0]["i"] == 9, f"cut={cut}"

@@ -292,3 +292,41 @@ class TestSnappyCompression:
                 assert got["records"][0][2] == b"snappy " * 30
         finally:
             srv.stop()
+
+
+class TestZstdCompression:
+    def test_zstd_batch_roundtrip(self):
+        recs = [(b"k%d" % i, b"payload-%d " % i * 12) for i in range(60)]
+        zs = encode_record_batch(recs, compression="zstd")
+        out = decode_record_batches(zs)
+        assert out[0]["crc_ok"]
+        assert [(k, v) for _, k, v in out[0]["records"]] == recs
+
+    def test_zstd_through_broker(self):
+        srv = KafkaBrokerFixture().start()
+        try:
+            with KafkaWireClient.connect("127.0.0.1", srv.port) as c:
+                c.produce("zs", 0, [(None, b"zstd " * 30)] * 8,
+                          compression="zstd")
+                got = c.fetch("zs", 0, 0)
+                assert len(got["records"]) == 8
+                assert got["records"][0][2] == b"zstd " * 30
+        finally:
+            srv.stop()
+
+    def test_fetch_decodes_real_libzstd_batches(self, monkeypatch):
+        """A broker/producer in the wild compresses with real libzstd,
+        not our store-mode encoder: swap the compressor for pyarrow's
+        bundled libzstd and prove the fetch path still decodes."""
+        pa = pytest.importorskip("pyarrow")
+        import ru_cdc_spark.functions.zstd as zmod
+
+        monkeypatch.setattr(
+            zmod, "compress_store",
+            lambda b, checksum=True: pa.Codec("zstd").compress(b)
+            .to_pybytes())
+        recs = [(None, b"third-party compressed " * 10)] * 12
+        batch = encode_record_batch(recs, compression="zstd")
+        out = decode_record_batches(batch)
+        assert out[0]["crc_ok"]
+        assert [v for _, _, v in out[0]["records"]] == [v for _, v in recs]

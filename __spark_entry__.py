@@ -40,6 +40,7 @@ SHOWCASE = [
     # byte-level binlog wire decode
     "binlog_wire_decode", "binlog_wire_cdc_snapshot",
     "mysql_type_semantics", "binlog_wire_schema_evolution",
+    "binlog_partial_json_update",
     # real MySQL socket client (batch, GTID-sliced, and the unified
     # streaming+transactional path with kill/restart)
     "mysql_socket_cdc_snapshot", "mysql_socket_txn_changes",

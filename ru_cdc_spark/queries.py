@@ -2354,6 +2354,26 @@ def binlog_wire_enum_set_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_esb(generate_esb_frames(spark).select("frame"))
 
 
+def binlog_partial_json_update(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """MySQL 8 PARTIAL JSON updates (PARTIAL_UPDATE_ROWS_EVENT, type 39
+    — binlog_row_value_options=PARTIAL_JSON): the after-image carries
+    JSON DIFFS (op/path/value triples) against the before-image instead
+    of whole documents; the wire layer decodes the diff sequence and
+    applies it (sources/mysql_json_diff.py), so downstream sees the
+    reconstructed document. Hash-matched against a DuckDB oracle that
+    recomputes every post-diff document. The reference treats JSON
+    columns as opaque blobs and has no type-39 handling at all
+    (binlog.rs:322-329)."""
+    from ru_cdc_spark.sources.binlog_frames import (
+        decode_partial_json_frames,
+        generate_partial_json_frames,
+    )
+
+    return decode_partial_json_frames(
+        generate_partial_json_frames(spark).select("frame"))
+
+
 def binlog_wire_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MySQL BINARY JSON columns (type 245) end to end — a column type
     the reference cannot decode ('no JSON column type', SURVEY §1.2):
@@ -3119,6 +3139,12 @@ def _register_binlog_wire() -> None:
     register("binlog_wire_enum_set_bit",
              BINLOG_ESB_ORACLE)(binlog_wire_enum_set_bit)
     register("binlog_wire_json", BINLOG_JSON_ORACLE)(binlog_wire_json)
+    from ru_cdc_spark.sources.binlog_frames import (
+        BINLOG_PARTIAL_JSON_ORACLE,
+    )
+
+    register("binlog_partial_json_update",
+             BINLOG_PARTIAL_JSON_ORACLE)(binlog_partial_json_update)
     register("mysql_socket_cdc_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_cdc_snapshot)
     register("mysql_socket_tls_snapshot",

@@ -762,3 +762,106 @@ SELECT i,
        i % 7 AS v0
 FROM ids
 """
+
+
+# ---------------------------------------------------------------------------
+# MySQL 8 partial JSON updates (PARTIAL_UPDATE_ROWS_EVENT, type 39):
+# UPDATEs whose JSON after-image is a DIFF sequence against the before
+# image (binlog_row_value_options=PARTIAL_JSON). The wire layer applies
+# the diffs (sources/mysql_json_diff.py), so downstream sees normal
+# (before, after) pairs — proven here by hash-matching a DuckDB oracle
+# that reconstructs every post-diff document arithmetically.
+# ---------------------------------------------------------------------------
+
+PARTIAL_JSON_N_ROWS = 2000
+
+
+def _partial_json_diffs(i: int) -> list:
+    from ru_cdc_spark.sources.mysql_json_diff import (
+        DIFF_INSERT,
+        DIFF_REMOVE,
+        DIFF_REPLACE,
+    )
+
+    diffs = [
+        (DIFF_REPLACE, "$.tag", f"u_{i % 50}"),
+        (DIFF_REPLACE, "$.vals[0]", (i * 3) % 7),
+        (DIFF_INSERT, "$.rev", i % 9),
+    ]
+    if i % 3 == 0:
+        diffs.append((DIFF_REMOVE, "$.meta.ok"))
+    return diffs
+
+
+def generate_partial_json_frames(spark: SparkSession,
+                                 n_rows: int = PARTIAL_JSON_N_ROWS,
+                                 n_partitions: int = 8) -> DataFrame:
+    from ru_cdc_spark.sources.binlog_wire import (
+        encode_partial_update_rows_event,
+        encode_table_map,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames = [], []
+            for fid in pdf["id"]:
+                lo = int(fid) * ROWS_PER_EVENT
+                rng = range(lo, min(lo + ROWS_PER_EVENT, n_rows))
+                if not rng:
+                    continue
+                rows = [((i, _json_doc(i)), (i, True),
+                         {1: _partial_json_diffs(i)}) for i in rng]
+                ids.append(int(fid))
+                frames.append(
+                    encode_table_map(57, "testdb", "jsonpartial",
+                                     JSON_SPECS)
+                    + encode_partial_update_rows_event(57, JSON_SPECS,
+                                                       rows, log_pos=lo))
+            yield pd.DataFrame({"frame_id": ids, "frame": frames})
+
+    n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+    return (spark.range(n_frames).repartition(n_partitions)
+            .mapInPandas(gen, "frame_id long, frame binary"))
+
+
+def decode_partial_json_frames(frames: DataFrame) -> DataFrame:
+    """Type-39 frames -> (i, doc, tag, rev, v0): the reconstructed
+    after-image document queried with Spark's native get_json_object,
+    exactly like the full-image JSON path."""
+    from pyspark.sql import functions as F
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"i": [], "doc": []}
+            for blob in pdf["frame"]:
+                _s, _t, _e, rows = decode_frame(bytes(blob))
+                for before, after in rows:
+                    out["i"].append(after[0])
+                    out["doc"].append(after[1])
+            yield pd.DataFrame(out)
+
+    raw = frames.mapInPandas(dec, "i long, doc string")
+    return raw.select(
+        "i", "doc",
+        F.get_json_object("doc", "$.tag").alias("tag"),
+        F.get_json_object("doc", "$.rev").cast("long").alias("rev"),
+        F.get_json_object("doc", "$.vals[0]").cast("long").alias("v0"))
+
+
+BINLOG_PARTIAL_JSON_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({PARTIAL_JSON_N_ROWS})) AS i)
+SELECT i,
+       '{{"id":' || CAST(i AS VARCHAR)
+         || ',"tag":"u_' || CAST(i % 50 AS VARCHAR)
+         || '","meta":'
+         || CASE WHEN i % 3 = 0 THEN '{{}}'
+                 WHEN i % 5 = 0 THEN '{{"ok":null}}'
+                 ELSE '{{"ok":true}}' END
+         || ',"vals":[' || CAST((i * 3) % 7 AS VARCHAR) || ','
+         || CASE WHEN i % 2 = 0 THEN 'true' ELSE 'false' END
+         || '],"rev":' || CAST(i % 9 AS VARCHAR) || '}}' AS doc,
+       'u_' || CAST(i % 50 AS VARCHAR) AS tag,
+       i % 9 AS rev,
+       (i * 3) % 7 AS v0
+FROM ids
+"""

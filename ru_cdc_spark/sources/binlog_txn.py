@@ -50,6 +50,7 @@ from ru_cdc_spark.sources.binlog_wire import (
     HEARTBEAT_EVENT,
     QUERY_EVENT,
     ROWS_QUERY_EVENT,
+    PARTIAL_UPDATE_ROWS_EVENT,
     TABLE_MAP_EVENT,
     TRANSACTION_PAYLOAD_EVENT,
     UPDATE_ROWS_V2,
@@ -187,7 +188,10 @@ ASSEMBLED_SCHEMA = (
 )
 
 _OPNAMES = {WRITE_ROWS_V2: "INSERT", UPDATE_ROWS_V2: "UPDATE",
-            DELETE_ROWS_V2: "DELETE"}
+            DELETE_ROWS_V2: "DELETE",
+            # type 39: partial-JSON UPDATE — diffs already applied by
+            # the wire layer, downstream sees a normal UPDATE
+            PARTIAL_UPDATE_ROWS_EVENT: "UPDATE"}
 
 _OUT_COLS = ["status", "gno", "xid", "seq_no", "last_committed",
              "op", "seq_in_txn", *[n for n, _ in TXN_COLUMNS]]
@@ -373,7 +377,7 @@ class TxnAssembler:
                                              self.decoders_by_tid.get(
                                                  table_id))
                 for img in imgs:
-                    if et == UPDATE_ROWS_V2:
+                    if et in (UPDATE_ROWS_V2, PARTIAL_UPDATE_ROWS_EVENT):
                         self.images.append(("UPDATE", img[1], self.cur_sql))
                     else:
                         self.images.append((_OPNAMES[et], img, self.cur_sql))

@@ -63,6 +63,11 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_V2 = 30
 UPDATE_ROWS_V2 = 31
 DELETE_ROWS_V2 = 32
+# MySQL 8 binlog_row_value_options=PARTIAL_JSON: UPDATE events where
+# JSON columns may carry diffs against the before-image instead of full
+# values (decoded here; the reference treats JSON as opaque blobs and
+# has no type-39 handling, binlog.rs:322-329)
+PARTIAL_UPDATE_ROWS_EVENT = 39
 ROTATE_EVENT = 4
 FORMAT_DESCRIPTION_EVENT = 15
 HEARTBEAT_EVENT = 27
@@ -724,6 +729,102 @@ def encode_rows_event(event_type: int, table_id: int, specs: list[ColSpec],
     return _header(event_type, len(p), log_pos=log_pos) + bytes(p)
 
 
+def encode_partial_update_rows_event(table_id: int, specs: list[ColSpec],
+                                     rows: list, log_pos: int = 0) -> bytes:
+    """PARTIAL_UPDATE_ROWS_EVENT (type 39). ``rows`` is
+    [(before, after, partial)] where ``partial`` maps a JSON column
+    index to its diff list ([(op, path, value)]); those columns ship
+    the encoded diff sequence in the after-image (BLOB-framed by the
+    column's length-bytes meta), all other columns ship full values.
+    Layout per the published format: each row's after-image is preceded
+    by a shared-image block — lenenc value_options (bit0 =
+    PARTIAL_JSON) and, when set, partial_bits with one bit per JSON
+    column of the table."""
+    from ru_cdc_spark.sources.mysql_json_diff import encode_json_diffs
+
+    json_cols = [i for i, s in enumerate(specs) if s.type_code == T_JSON]
+    p = bytearray()
+    p += table_id.to_bytes(6, "little") + b"\x01\x00"
+    p += (2).to_bytes(2, "little")
+    p += write_lenenc(len(specs))
+    present = _bitmap([True] * len(specs))
+    p += present + present
+    for before, after, partial in rows:
+        p += _encode_image(before, specs)
+        # shared-image: value_options; partial_bits over JSON columns
+        p += write_lenenc(1)  # PARTIAL_JSON bit set
+        p += _bitmap([c in partial for c in json_cols])
+        nulls = [v is None for v in after]
+        p += _bitmap(nulls)
+        for idx, (v, spec) in enumerate(zip(after, specs)):
+            if v is None:
+                continue
+            if idx in partial:
+                diff_bytes = encode_json_diffs(partial[idx])
+                p += len(diff_bytes).to_bytes(spec.meta[0], "little")
+                p += diff_bytes
+            else:
+                p += encode_value(v, spec)
+    return _header(PARTIAL_UPDATE_ROWS_EVENT, len(p),
+                   log_pos=log_pos) + bytes(p)
+
+
+def _decode_partial_update(b: bytes, specs: list[ColSpec], size: int,
+                           decoders: list) -> list:
+    """Row loop for type 39: (before, after) pairs with the after-image
+    JSON diffs already APPLIED — downstream consumers see exactly the
+    same shape as a full UPDATE_ROWS_V2."""
+    import json as _json
+
+    from ru_cdc_spark.sources.mysql_json_diff import (
+        apply_json_diffs,
+        decode_json_diffs,
+    )
+
+    ncols = len(specs)
+    nb = (ncols + 7) // 8
+    json_cols = [i for i, s in enumerate(specs) if s.type_code == T_JSON]
+    njb = (len(json_cols) + 7) // 8
+    off = 19 + 8
+    extra = int.from_bytes(b[off:off + 2], "little")
+    off += extra
+    n_declared, off = read_lenenc(b, off)
+    if n_declared != ncols:
+        raise ValueError("column count mismatch in partial update")
+    off += nb * 2  # before/after present bitmaps
+    rows = []
+    while off < size:
+        before, off = _decode_image(b, off, specs, decoders)
+        value_options, off = read_lenenc(b, off)
+        partial_flags = 0
+        if value_options & 1:
+            partial_flags = int.from_bytes(b[off:off + njb], "little")
+            off += njb
+        nulls = int.from_bytes(b[off:off + nb], "little")
+        off += nb
+        after = []
+        for i, spec in enumerate(specs):
+            if nulls >> i & 1:
+                after.append(None)
+                continue
+            if spec.type_code == T_JSON and \
+                    partial_flags >> json_cols.index(i) & 1:
+                ls = spec.meta[0]
+                n = int.from_bytes(b[off:off + ls], "little")
+                off += ls
+                diffs = decode_json_diffs(b[off:off + n])
+                off += n
+                doc = _json.loads(before[i]) if before[i] is not None \
+                    else None
+                after.append(_json.dumps(apply_json_diffs(doc, diffs),
+                                         separators=(",", ":")))
+            else:
+                v, off = decoders[i](b, off)
+                after.append(v)
+        rows.append((before, tuple(after)))
+    return rows
+
+
 def decode_rows_event(b: bytes, specs: list[ColSpec],
                       checksum_bytes: int = 0,
                       decoders: list | None = None) -> tuple[int, list]:
@@ -738,6 +839,10 @@ def decode_rows_event(b: bytes, specs: list[ColSpec],
     """
     event_type = b[4]
     size = int.from_bytes(b[9:13], "little") - checksum_bytes
+    if event_type == PARTIAL_UPDATE_ROWS_EVENT:
+        if decoders is None:
+            decoders = compile_decoders(specs)
+        return event_type, _decode_partial_update(b, specs, size, decoders)
     off = 19
     off += 8  # table_id + flags
     extra = int.from_bytes(b[off:off + 2], "little")

@@ -931,7 +931,7 @@ class MySQLConnection:
 
 # binlog event type codes used by the serve loop (main.rs:115-122)
 _TABLE_MAP = 19
-_ROWS_EVENTS = (30, 31, 32)
+_ROWS_EVENTS = (30, 31, 32, 39)
 _ROTATE = 4
 _FORMAT_DESCRIPTION = 15
 _HEARTBEAT = 27

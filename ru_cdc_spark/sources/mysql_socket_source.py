@@ -105,7 +105,7 @@ def _dump_frames(host: str, port: int, user: str, password: str,
                 ev = strip_checksum(ev)
             if etype == TABLE_MAP_TYPE:
                 current_tm = ev
-            elif etype in (30, 31, 32) and current_tm is not None:
+            elif etype in (30, 31, 32, 39) and current_tm is not None:
                 frames.append((log_pos, current_tm + ev))
     return frames
 

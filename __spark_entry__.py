@@ -74,9 +74,9 @@ SHOWCASE = [
     "corpus_dedup_retain",
     # similarity / ANN
     "knn_brute_force", "ann_ivf", "ann_multiprobe",
-    # text analysis
+    # text analysis (incl. real trained byte-level BPE)
     "text_stats", "text_lang_id_ngram", "text_bm25_search",
-    "doc_fingerprint",
+    "doc_fingerprint", "text_bpe_word_freq", "text_bpe_token_counts",
     # multimodal (real PNG/JPEG/WAV/MJPEG-AVI codecs)
     "multimodal_meta", "multimodal_media_decode",
     # pipeline curation

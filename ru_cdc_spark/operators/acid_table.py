@@ -213,16 +213,29 @@ class AcidTable:
                       F.min(self.pk).alias("min_pk"),
                       F.max(self.pk).alias("max_pk"), *part_aggs)
                  .collect())
+        # the log records whether this file physically carries the meta
+        # columns (seq + __deleted): when every live file does, readers
+        # skip the per-row NULL-coalesce guard entirely — the guard
+        # exists only for files from a plain create() that predate the
+        # first versioned merge (round-4 ADVICE fix, cost trimmed here)
+        has_meta = self.seq_col in df.columns and "__deleted" in df.columns
         out = []
         for r in stats:
             add = {"path": r["path"].removeprefix("file://"),
                    "rows": r["rows"],
-                   "min_pk": r["min_pk"], "max_pk": r["max_pk"]}
+                   "min_pk": r["min_pk"], "max_pk": r["max_pk"],
+                   "meta": has_meta}
             if self.partition_col is not None:
                 # a file spanning partitions would defeat log pruning
                 add["partition"] = (None if r["npv"] != 1 else r["pv"])
             out.append({"add": add})
         return out
+
+    @staticmethod
+    def _all_meta(files: list[dict]) -> bool:
+        """True when every file verifiably carries real seq/__deleted
+        columns (absent key = legacy log entry = assume not)."""
+        return all(f.get("meta") for f in files)
 
     def create(self, df: DataFrame) -> int:
         """Version 0: initial data files."""
@@ -409,19 +422,23 @@ class AcidTable:
             current = self._read_files(hit)
             combined = current.unionByName(latest,
                                            allowMissingColumns=True)
-            # files written before the table carried meta columns (a
-            # plain create()) surface NULL seq/__deleted via
-            # mergeSchema: NULL seq must lose to any real sequence (a
-            # base row is by definition older than every change), and a
-            # key present ONLY in such a file must still survive — so
-            # coalesce rather than let max_by skip NULL orderings
-            seq_t = combined.schema[self.seq_col].dataType
-            combined = combined.withColumn(
-                self.seq_col,
-                F.coalesce(F.col(self.seq_col),
-                           F.lit(-(1 << 62)).cast(seq_t))
-            ).withColumn("__deleted",
-                         F.coalesce(F.col("__deleted"), F.lit(False)))
+            if not self._all_meta(hit):
+                # files written before the table carried meta columns (a
+                # plain create()) surface NULL seq/__deleted via
+                # mergeSchema: NULL seq must lose to any real sequence
+                # (a base row is by definition older than every change),
+                # and a key present ONLY in such a file must still
+                # survive — so coalesce rather than let max_by skip NULL
+                # orderings. Skipped when the log proves every hit file
+                # physically carries the meta columns.
+                seq_t = combined.schema[self.seq_col].dataType
+                combined = combined.withColumn(
+                    self.seq_col,
+                    F.coalesce(F.col(self.seq_col),
+                               F.lit(-(1 << 62)).cast(seq_t))
+                ).withColumn("__deleted",
+                             F.coalesce(F.col("__deleted"),
+                                        F.lit(False)))
             wrow = F.struct(*[F.col(c) for c in combined.columns])
             rewritten = (combined.groupBy(self.pk)
                          .agg(F.max_by(wrow, F.col(self.seq_col))
@@ -441,11 +458,15 @@ class AcidTable:
         columns dropped). NULL-safe: files committed before the table
         carried ``__deleted`` (a plain ``create()``) surface NULL via
         mergeSchema, and ``~NULL`` would silently filter those rows
-        out — coalesce treats them as live."""
+        out — coalesce treats them as live. The coalesce is skipped
+        when the log proves every active file carries the real column
+        (``meta`` flag recorded at write time)."""
+        all_meta = self._all_meta(self.active_files(version))
         df = self.snapshot(version)
         if "__deleted" in df.columns:
-            df = df.where(~F.coalesce(F.col("__deleted"),
-                                      F.lit(False))).drop("__deleted")
+            cond = (~F.col("__deleted") if all_meta
+                    else ~F.coalesce(F.col("__deleted"), F.lit(False)))
+            df = df.where(cond).drop("__deleted")
         return df.drop(self.seq_col)
 
     def merge_retrying(self, changes: DataFrame, max_retries: int = 5,

@@ -672,3 +672,57 @@ class TestCdfStreaming:
                                         "update_postimage"}
         ks = {r[2] for r in rows}
         assert ks == {5}
+
+
+class TestMetaColumnFlag:
+    """The log's per-file ``meta`` flag: NULL-coalesce guards run only
+    when some live file might lack real seq/__deleted columns."""
+
+    def test_meta_recorded_per_file(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 50))  # no meta columns
+        assert not t._all_meta(t.active_files())
+        t2 = AcidTable(spark, str(tmp_path / "t2"), pk="k")
+        base = _base(spark, 50).withColumn("seq", F.lit(0)) \
+            .withColumn("__deleted", F.lit(False))
+        t2.create(base)
+        assert t2._all_meta(t2.active_files())
+
+    def test_legacy_log_without_flag_stays_guarded(self, spark, tmp_path):
+        import json
+
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        base = _base(spark, 30).withColumn("seq", F.lit(0)) \
+            .withColumn("__deleted", F.lit(False))
+        t.create(base)
+        # strip the flag the way a pre-upgrade log would look
+        log = t._log_file(0)
+        c = json.load(open(log))
+        for a in c["actions"]:
+            a.get("add", {}).pop("meta", None)
+        json.dump(c, open(log, "w"))
+        assert not t._all_meta(t.active_files())
+        assert t.snapshot_live().count() == 30  # guarded path still right
+
+    def test_fast_path_plan_has_no_coalesce(self, spark, tmp_path):
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        base = _base(spark, 30).withColumn("seq", F.lit(0).cast("long")) \
+            .withColumn("__deleted", F.lit(False))
+        t.create(base)
+        t.merge_versioned(_changes(spark, [(1, 9, "u", "UPDATE", 5)]))
+        plan = t.snapshot_live()._jdf.queryExecution().optimizedPlan() \
+            .toString()
+        assert "coalesce(__deleted" not in plan
+        assert t.snapshot_live().count() == 30
+
+    def test_mixed_files_keep_null_safety(self, spark, tmp_path):
+        """A table created WITHOUT meta columns then merged versioned:
+        rows living only in the legacy file must survive
+        snapshot_live (the exact ADVICE regression)."""
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.create(_base(spark, 40))  # legacy file, no meta columns
+        t.merge_versioned(_changes(spark, [(1, 9, "u", "UPDATE", 5)]))
+        assert not t._all_meta(t.active_files())
+        live = t.snapshot_live()
+        assert live.count() == 40
+        assert live.where("k = 1").collect()[0]["v"] == 9

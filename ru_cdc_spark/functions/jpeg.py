@@ -3,11 +3,20 @@
 The container ships no image libraries, so (like ``functions/png.py``)
 the multimodal operators' real-decode path for JPEG is implemented from
 the public specification: marker segments, DQT/DHT table parsing,
-SOF0 baseline DCT frames, the Huffman-coded entropy scan with 0xFF00
-byte-stuffing and RSTn restart markers, dequantization, de-zigzag,
-8x8 inverse DCT, chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), and BT.601
-YCbCr->RGB. Progressive (SOF2), arithmetic coding, and 12-bit precision
-raise with a clear message instead of mis-decoding.
+SOF0/SOF1 baseline DCT frames AND SOF2 progressive frames — spectral
+selection and successive approximation per T.81 Annex G (DC
+first/refine, AC first/refine with EOB runs), which is what the
+majority of web-crawled JPEGs use — the Huffman-coded entropy scan
+with 0xFF00 byte-stuffing and RSTn restart markers, dequantization,
+de-zigzag, 8x8 inverse DCT, chroma upsampling (4:4:4 / 4:2:2 /
+4:2:0), and BT.601 YCbCr->RGB. Coefficients accumulate unquantized
+across scans and are dequantized once at frame completion, so
+baseline and progressive share one finishing path. Arithmetic coding
+and 12-bit precision raise with a clear message instead of
+mis-decoding. Validated against REAL third-party files in-image
+(Spark's mllib sample JPEGs, nodejs doc images — three of them
+progressive) pixel-diffed against the JVM's independent javax.imageio
+decoder (tests/test_jpeg.py).
 
 The encoder writes baseline 4:4:4 (or single-component grayscale) with
 the spec's Annex K example quantization + Huffman tables, scaled by the
@@ -205,6 +214,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise JpegError(f"malformed JPEG: {exc}") from exc
 
 
+def _setup_frame(frame: dict) -> None:
+    """Per-component geometry + UNQUANTIZED zigzag coefficient arrays.
+    ``bx/by`` are the padded interleaved dims (whole MCUs); ``ux/uy``
+    the dims a NON-interleaved scan covers (ceil of the component's own
+    sample size — progressive AC scans iterate these)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcus_x"] = -(-w // (8 * hmax))
+    frame["mcus_y"] = -(-h // (8 * vmax))
+    for c in comps:
+        c["bx"] = frame["mcus_x"] * c["h"]
+        c["by"] = frame["mcus_y"] * c["v"]
+        c["ux"] = -(-(w * c["h"]) // (8 * hmax))
+        c["uy"] = -(-(h * c["v"]) // (8 * vmax))
+        c["zz"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
+        c["pred"] = 0
+
+
 def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
@@ -213,7 +242,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     huffs: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
     frame = None
     restart_interval = 0
-    while pos < len(data):
+    saw_scan = False
+    while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
         marker = data[pos + 1]
@@ -245,7 +275,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 vals = list(seg[off + 17:off + 17 + nv])
                 huffs[(tc, th)] = _canonical_codes(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegError("only 8-bit precision supported")
@@ -254,78 +284,261 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            _setup_frame(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(
                 f"unsupported frame type 0xFF{marker:02X} "
-                "(only baseline sequential SOF0/SOF1)")
+                "(baseline SOF0/SOF1 and progressive SOF2 only)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS: entropy scan follows
+        elif marker == 0xDA:  # SOS: one entropy scan follows
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
-            scan_sel = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i:3 + 2 * i]
-                scan_sel[cs] = (tt >> 4, tt & 15)
-            return _decode_scan(data, pos + seg_len, frame, scan_sel,
-                                qts, huffs, restart_interval)
+                comp = next((c for c in frame["comps"]
+                             if c["id"] == cs), None)
+                if comp is None:
+                    raise JpegError(f"scan selects unknown component {cs}")
+                scan_comps.append((comp, tt >> 4, tt & 15))
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not frame["progressive"] and (ss, se, ah, al) != \
+                    (0, 63, 0, 0):
+                raise JpegError("spectral selection in a baseline frame")
+            pos = _decode_scan_pass(data, pos + seg_len, frame,
+                                    scan_comps, huffs, ss, se, ah, al,
+                                    restart_interval)
+            saw_scan = True
+            continue
         pos += seg_len
-    raise JpegError("no scan data found")
+    if frame is None or not saw_scan:
+        raise JpegError("no scan data found")
+    return _finish_frame(frame, qts)
 
 
-def _decode_scan(data: bytes, pos: int, frame: dict, scan_sel: dict,
-                 qts: dict, huffs: dict, restart_interval: int
-                 ) -> np.ndarray:
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    for c in comps:
-        c["bx"] = mcus_x * c["h"]
-        c["by"] = mcus_y * c["v"]
-        c["zz"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
-        c["dc_tab"] = huffs[(0, scan_sel[c["id"]][0])]
-        c["ac_tab"] = huffs[(1, scan_sel[c["id"]][1])]
-        c["qt"] = qts[c["tq"]][ZIGZAG]  # zigzag-ordered for scan-time use
-        c["pred"] = 0
+def _skip_restart(rd: _BitReader, data: bytes) -> None:
+    rd.align()
+    while data[rd.pos] == 0xFF and data[rd.pos + 1] == 0xFF:
+        rd.pos += 1
+    if data[rd.pos] == 0xFF and 0xD0 <= data[rd.pos + 1] <= 0xD7:
+        rd.pos += 2
 
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """End of an entropy scan: advance to the next REAL marker (skip
+    stuffed 0xFF00 and fill 0xFF bytes)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,):
+            while data[pos + 1] == 0xFF and pos + 2 < n:
+                pos += 1
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_scan_pass(data: bytes, pos: int, frame: dict, scan_comps,
+                      huffs: dict, ss: int, se: int, ah: int, al: int,
+                      restart_interval: int) -> int:
+    """One SOS's entropy data (baseline full scan, or a progressive
+    spectral-selection / successive-approximation pass, T.81 G.2):
+    accumulates UNQUANTIZED zigzag coefficients into each component's
+    ``zz`` and returns the byte offset of the next marker."""
     rd = _BitReader(data, pos)
-    mcu = 0
+    tabs = {}
+    for comp, td, ta in scan_comps:
+        tabs[comp["id"]] = (huffs.get((0, td)), huffs.get((1, ta)))
+    state = {"eobrun": 0}
+    try:
+        if len(scan_comps) > 1:
+            # interleaved: MCU order (baseline full scans and
+            # progressive DC scans — AC scans are never interleaved,
+            # T.81 G.1.1.1.1)
+            if ss != 0:
+                raise JpegError("interleaved AC scan is illegal")
+            _scan_mcu_order(rd, data, frame, scan_comps, tabs, ss, se,
+                            ah, al, restart_interval, state)
+        else:
+            # single-component scan: the component's own block order
+            _scan_block_order(rd, data, scan_comps[0][0], tabs, ss, se,
+                              ah, al, restart_interval, state)
+    except _MarkerReached as exc:
+        raise JpegError(
+            f"scan ended early (marker {exc.marker:#06x})") from exc
+    return _next_marker_pos(data, rd.pos)
+
+
+def _scan_mcu_order(rd, data, frame, scan_comps, tabs, ss, se, ah, al,
+                    restart_interval, state) -> None:
+    mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
+    comps = [c for c, _, _ in scan_comps]
+    for c in comps:
+        c["pred"] = 0
     n_mcus = mcus_x * mcus_y
-    while mcu < n_mcus:
+    baseline_full = ss == 0 and se == 63
+    for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
-            # RSTn: byte-align, consume the marker, reset DC predictors
-            rd.align()
-            while data[rd.pos] == 0xFF and data[rd.pos + 1] == 0xFF:
-                rd.pos += 1
-            if data[rd.pos] == 0xFF and 0xD0 <= data[rd.pos + 1] <= 0xD7:
-                rd.pos += 2
+            _skip_restart(rd, data)
             for c in comps:
                 c["pred"] = 0
+            state["eobrun"] = 0
         my, mx = divmod(mcu, mcus_x)
-        try:
-            for c in comps:
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        blk = c["zz"][(my * c["v"] + v) * c["bx"]
-                                      + mx * c["h"] + hh]
-                        _decode_block(rd, c, blk)
-        except _MarkerReached as exc:
-            if 0xFFD0 <= exc.marker <= 0xFFD7:
-                raise JpegError("restart marker inside an MCU") from exc
-            raise JpegError(
-                f"scan ended early at MCU {mcu}/{n_mcus}") from exc
-        mcu += 1
+        for c in comps:
+            dc_tab, ac_tab = tabs[c["id"]]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    blk = c["zz"][(my * c["v"] + v) * c["bx"]
+                                  + mx * c["h"] + hh]
+                    if baseline_full:
+                        _block_baseline(rd, dc_tab, ac_tab, c, blk)
+                    elif ah == 0:
+                        _block_dc_first(rd, dc_tab, c, blk, al)
+                    else:
+                        blk[0] |= rd.bit() << al  # DC refinement bit
 
+
+def _scan_block_order(rd, data, c, tabs, ss, se, ah, al,
+                      restart_interval, state) -> None:
+    dc_tab, ac_tab = tabs[c["id"]]
+    c["pred"] = 0
+    done = 0
+    for by in range(c["uy"]):
+        for bx in range(c["ux"]):
+            if restart_interval and done and done % restart_interval == 0:
+                _skip_restart(rd, data)
+                c["pred"] = 0
+                state["eobrun"] = 0
+            blk = c["zz"][by * c["bx"] + bx]
+            if ss == 0 and se == 63:
+                _block_baseline(rd, dc_tab, ac_tab, c, blk)
+            elif ss == 0:
+                if ah == 0:
+                    _block_dc_first(rd, dc_tab, c, blk, al)
+                else:
+                    blk[0] |= rd.bit() << al
+            elif ah == 0:
+                state["eobrun"] = _block_ac_first(
+                    rd, ac_tab, blk, ss, se, al, state["eobrun"])
+            else:
+                state["eobrun"] = _block_ac_refine(
+                    rd, ac_tab, blk, ss, se, al, state["eobrun"])
+            done += 1
+
+
+def _block_baseline(rd, dc_tab, ac_tab, c, out) -> None:
+    """One full 8x8 block: DC diff + AC run-lengths into zigzag
+    ``out`` (T.81 F.2.2), coefficients left unquantized."""
+    s = rd.huff(dc_tab)
+    diff = _extend(rd.bits(s), s) if s else 0
+    c["pred"] += diff
+    out[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = rd.huff(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL: sixteen zeros
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run past end of block")
+        out[k] = _extend(rd.bits(s), s)
+        k += 1
+
+
+def _block_dc_first(rd, dc_tab, c, out, al: int) -> None:
+    s = rd.huff(dc_tab)
+    diff = _extend(rd.bits(s), s) if s else 0
+    c["pred"] += diff
+    out[0] = c["pred"] << al
+
+
+def _block_ac_first(rd, ac_tab, out, ss, se, al, eobrun) -> int:
+    """First AC pass over [ss, se] at approximation al (G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.bits(r)
+            break
+        k += r
+        if k > se:
+            raise JpegError("AC run past spectral band")
+        out[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _block_ac_refine(rd, ac_tab, out, ss, se, al, eobrun) -> int:
+    """AC refinement pass (G.1.2.3): correction bits for known-nonzero
+    coefficients, new +-1<<al coefficients where history is zero."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegError("bad magnitude in AC refinement")
+                val = p1 if rd.bit() else m1
+            while k <= se:
+                if out[k]:
+                    if rd.bit() and (out[k] & p1) == 0:
+                        out[k] += p1 if out[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                out[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if out[k]:
+                if rd.bit() and (out[k] & p1) == 0:
+                    out[k] += p1 if out[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_frame(frame: dict, qts: dict) -> np.ndarray:
+    """Dequantize accumulated coefficients, IDCT, upsample, color
+    convert — shared by baseline and progressive paths."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
+        qt = qts[c["tq"]][ZIGZAG]  # zigzag-ordered like the scan data
         nat = np.zeros((len(c["zz"]), 64), dtype=np.float64)
-        nat[:, ZIGZAG] = c["zz"]  # de-zigzag (coefficients already
-        blocks = nat.reshape(-1, 8, 8)  # dequantized at scan time)
+        nat[:, ZIGZAG] = c["zz"] * qt  # dequantize + de-zigzag
+        blocks = nat.reshape(-1, 8, 8)
         spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C) + 128.0
         plane = (spatial.reshape(c["by"], c["bx"], 8, 8)
                  .transpose(0, 2, 1, 3)
@@ -341,30 +554,6 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan_sel: dict,
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-
-
-def _decode_block(rd: _BitReader, c: dict, out: np.ndarray) -> None:
-    """One 8x8 block: DC diff + AC run-lengths, dequantized into the
-    zigzag-ordered ``out`` (T.81 F.2.2)."""
-    qt = c["qt"]
-    s = rd.huff(c["dc_tab"])
-    diff = _extend(rd.bits(s), s) if s else 0
-    c["pred"] += diff
-    out[0] = c["pred"] * qt[0]
-    k = 1
-    while k < 64:
-        rs = rd.huff(c["ac_tab"])
-        r, s = rs >> 4, rs & 15
-        if s == 0:
-            if r == 15:
-                k += 16  # ZRL: sixteen zeros
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise JpegError("AC run past end of block")
-        out[k] = _extend(rd.bits(s), s) * qt[k]
-        k += 1
 
 
 # ---------------------------------------------------------------------------
@@ -537,4 +726,90 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
                                              *codes[i])
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray,
+                            quality: int = 85) -> bytes:
+    """Grayscale SOF2 progressive encoder: three scans — DC first at
+    Al=1, full-band AC first (Ss=1..63, Al=0), then the DC refinement
+    bit (Ah=1, Al=0). Enough structure to exercise spectral selection
+    and successive approximation end to end (the decoder's EOB-run and
+    AC-refinement paths are additionally covered by the real
+    third-party progressive files in tests/test_jpeg.py); decodes
+    bit-identically to the baseline encoding of the same pixels."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim != 2:
+        raise JpegError("progressive encoder supports grayscale only")
+    h, w = px.shape
+    qt = _quality_scale(_QT_LUMA, quality)
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    padded = np.pad(px, ((0, mcus_y * 8 - h), (0, mcus_x * 8 - w)),
+                    mode="edge") - 128.0
+    blocks = (padded.reshape(mcus_y, 8, mcus_x, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8))
+    freq = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+    zz = np.round(freq.reshape(-1, 64) / qt).astype(np.int64)[:, ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) \
+        + qt[ZIGZAG].astype(np.uint8).tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA)):
+        body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    dc_codes = _encode_codes(*_DC_LUMA)
+    ac_codes = _encode_codes(*_AC_LUMA)
+
+    def sos(td_ta: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([1, 1, td_ta, ss, se, ah << 4 | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC first, Al=1 — diffs of the arithmetically shifted DC
+    out += sos(0x00, 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = 0
+    for b in range(len(zz)):
+        v = int(zz[b, 0]) >> 1
+        diff = v - pred
+        pred = v
+        s = abs(diff).bit_length()
+        bw.write(*dc_codes[s])
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += bw.flush()
+
+    # scan 2: AC first, full band, Al=0 — baseline AC run-lengths
+    out += sos(0x00, 1, 63, 0, 0)
+    bw = _BitWriter()
+    for b in range(len(zz)):
+        row = zz[b]
+        run = 0
+        last_nz = int(np.max(np.nonzero(row)[0])) if np.any(row[1:]) \
+            else 0
+        for k in range(1, 64):
+            v = int(row[k])
+            if v == 0:
+                if k > last_nz:
+                    bw.write(*ac_codes[0x00])  # EOB
+                    break
+                run += 1
+                if run == 16:
+                    bw.write(*ac_codes[0xF0])  # ZRL
+                    run = 0
+                continue
+            s = abs(v).bit_length()
+            bw.write(*ac_codes[(run << 4) | s])
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+    out += bw.flush()
+
+    # scan 3: DC refinement — the Al=0 bit, raw, no Huffman
+    out += sos(0x00, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for b in range(len(zz)):
+        bw.write(int(zz[b, 0]) & 1, 1)
+    out += bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)

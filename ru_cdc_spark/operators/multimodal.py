@@ -593,15 +593,20 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def attach_image_payload(docs: DataFrame) -> DataFrame:
     """MIXED real image payloads: even doc_ids get the PNG ramp, odd
-    doc_ids a SOLID grayscale baseline JPEG at quality 100 — solid
-    blocks are DC-only and quality 100 quantizes by 1, so the JPEG
-    roundtrip is mathematically EXACT and oracle-friendly while still
-    exercising the full marker/Huffman/IDCT pipeline."""
+    doc_ids a SOLID grayscale JPEG at quality 100 — baseline (SOF0)
+    for doc_id%4==1, PROGRESSIVE (SOF2, three scans with DC successive
+    approximation) for doc_id%4==3. Solid blocks are DC-only and
+    quality 100 quantizes by 1, so both JPEG roundtrips are
+    mathematically EXACT and oracle-friendly while exercising the full
+    marker/Huffman/IDCT pipeline plus the progressive scan machinery."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ru_cdc_spark.functions.jpeg import encode_jpeg
+        from ru_cdc_spark.functions.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
         from ru_cdc_spark.functions.png import encode_png
 
         for pdf in batches:
@@ -615,7 +620,15 @@ def attach_image_payload(docs: DataFrame) -> DataFrame:
                     blobs.append(encode_png(px))
                 else:
                     px = np.full((h, w), (d * 37) % 256, dtype=np.uint8)
-                    blobs.append(encode_jpeg(px, quality=100))
+                    # half the JPEGs ship PROGRESSIVE (SOF2 — the
+                    # dominant web-crawl layout): identical decoded
+                    # pixels, so the arithmetic oracle is unchanged
+                    # while the hash now covers the multi-scan path
+                    if d % 4 == 3:
+                        blobs.append(encode_jpeg_progressive(
+                            px, quality=100))
+                    else:
+                        blobs.append(encode_jpeg(px, quality=100))
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "payload": blobs})
 

@@ -37,11 +37,19 @@ class TestSpecStructure:
                for m in (0xDB, 0xC0, 0xC4, 0xDA)]
         assert idx == sorted(idx)
 
-    def test_progressive_rejected(self):
+    def test_arithmetic_coding_rejected(self):
         data = bytearray(encode_jpeg(_gradient(8, 8)))
-        data[data.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
-        with pytest.raises(JpegError, match="baseline"):
+        data[data.index(b"\xff\xc0") + 1] = 0xC9  # SOF0 -> SOF9
+        with pytest.raises(JpegError, match="frame type"):
             decode_jpeg(bytes(data))
+
+    def test_sof2_with_full_scan_decodes_like_baseline(self):
+        # a full-spectrum scan inside an SOF2 frame decodes through the
+        # same accumulate-then-finish path as the baseline marker
+        base = encode_jpeg(_gradient(16, 16))
+        prog = bytearray(base)
+        prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+        assert (decode_jpeg(bytes(prog)) == decode_jpeg(base)).all()
 
     def test_not_a_jpeg_rejected(self):
         with pytest.raises(JpegError, match="SOI"):
@@ -160,3 +168,129 @@ class TestMultimodalDispatch:
         for r in rows:
             assert r["width"] == 8 + r["doc_id"] % 5
             assert r["height"] == 8 + r["doc_id"] % 3
+
+
+REAL_JPEG_DIRS = [
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin",
+    "/usr/share/doc/nodejs",
+]
+
+
+def _real_jpegs():
+    import glob
+    import os
+
+    files = []
+    for d in REAL_JPEG_DIRS:
+        if os.path.isdir(d):
+            files += glob.glob(os.path.join(d, "**", "*.jpg"),
+                               recursive=True)
+    return sorted(files)
+
+
+def _sof_marker(data: bytes) -> int | None:
+    import struct as _struct
+
+    pos = 2
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            return None
+        m = data[pos + 1]
+        pos += 2
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue
+        if m in (0xD9, 0xDA):
+            return None
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return m
+        pos += _struct.unpack(">H", data[pos:pos + 2])[0]
+    return None
+
+
+class TestRealWorldFiles:
+    """Third-party JPEGs shipped in-image (Spark mllib samples, nodejs
+    docs) — files this repo's encoder did NOT produce; three are
+    progressive (SOF2). Differential-validated against the JVM's
+    independent javax.imageio decoder."""
+
+    def test_all_real_files_decode(self):
+        files = _real_jpegs()
+        if not files:
+            pytest.skip("no sample JPEGs in image")
+        n_prog = 0
+        for f in files:
+            data = open(f, "rb").read()
+            img = decode_jpeg(data)
+            assert img.size > 0 and img.dtype == np.uint8
+            if _sof_marker(data) == 0xC2:
+                n_prog += 1
+        assert n_prog >= 1, "expected progressive coverage"
+
+    def test_pixels_match_javax_imageio(self, spark):
+        files = _real_jpegs()
+        if not files:
+            pytest.skip("no sample JPEGs in image")
+        jvm = spark._jvm
+        checked_prog = 0
+        for f in files:
+            data = open(f, "rb").read()
+            ours = decode_jpeg(data)
+            img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(f))
+            w, h = img.getWidth(), img.getHeight()
+            assert (h, w) == ours.shape[:2]
+            raster = img.getRaster()
+            nb = raster.getNumBands()
+            if ours.ndim == 2:
+                ref = np.zeros((h, w), dtype=np.int64)
+                for y in range(h):
+                    ref[y] = np.array(
+                        raster.getSamples(0, y, w, 1, 0, None),
+                        dtype=np.int64)
+                diff = np.abs(ours.astype(np.int64) - ref)
+            else:
+                ref = np.zeros((h, w, 3), dtype=np.int64)
+                for y in range(h):
+                    row = np.array(img.getRGB(0, y, w, 1, None, 0, w),
+                                   dtype=np.int64)
+                    ref[y, :, 0] = (row >> 16) & 0xFF
+                    ref[y, :, 1] = (row >> 8) & 0xFF
+                    ref[y, :, 2] = row & 0xFF
+                diff = np.abs(ours.astype(np.int64) - ref)
+            # IDCT/rounding/upsampling differ slightly between
+            # implementations; catastrophic mis-decode would be >> 1
+            assert float(diff.mean()) < 2.5, (f, float(diff.mean()))
+            if _sof_marker(data) == 0xC2:
+                checked_prog += 1
+                assert float(diff.mean()) < 1.0, (f, float(diff.mean()))
+        assert checked_prog >= 1
+
+
+class TestProgressiveEncoder:
+    def test_progressive_decodes_bit_identical_to_baseline(self):
+        from ru_cdc_spark.functions.jpeg import encode_jpeg_progressive
+
+        rng = np.random.RandomState(7)
+        cases = [
+            np.full((11, 13), 77, dtype=np.uint8),
+            (np.arange(24 * 17) % 256).astype(np.uint8).reshape(24, 17),
+            rng.randint(0, 256, (32, 40)).astype(np.uint8),
+        ]
+        for px in cases:
+            for q in (50, 85, 100):
+                base = decode_jpeg(encode_jpeg(px, quality=q))
+                prog = decode_jpeg(encode_jpeg_progressive(px, quality=q))
+                assert (base == prog).all()
+
+    def test_progressive_stream_is_sof2_multiscan(self):
+        from ru_cdc_spark.functions.jpeg import encode_jpeg_progressive
+
+        data = encode_jpeg_progressive(
+            np.full((16, 16), 90, dtype=np.uint8))
+        assert b"\xff\xc2" in data
+        assert data.count(b"\xff\xda") == 3  # DC first, AC, DC refine
+
+    def test_color_input_rejected(self):
+        from ru_cdc_spark.functions.jpeg import encode_jpeg_progressive
+
+        with pytest.raises(JpegError, match="grayscale"):
+            encode_jpeg_progressive(np.zeros((8, 8, 3), dtype=np.uint8))

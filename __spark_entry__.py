@@ -77,6 +77,7 @@ SHOWCASE = [
     # text analysis (incl. real trained byte-level BPE)
     "text_stats", "text_lang_id_ngram", "text_bm25_search",
     "doc_fingerprint", "text_bpe_word_freq", "text_bpe_token_counts",
+    "text_duplicate_span_strip",
     # multimodal (real PNG/JPEG/WAV/MJPEG-AVI codecs)
     "multimodal_meta", "multimodal_media_decode",
     # pipeline curation

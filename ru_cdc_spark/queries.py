@@ -1401,6 +1401,8 @@ register("doc_fingerprint", _tx.DOC_FINGERPRINT_SQL)(_tx.doc_fingerprint)
 register("doc_winnowing", _tx.DOC_WINNOWING_SQL)(_tx.doc_winnowing)
 register("text_duplicate_spans",
          _tx.TEXT_DUPLICATE_SPANS_SQL)(_tx.text_duplicate_spans)
+register("text_duplicate_span_strip",
+         _tx.TEXT_DUPLICATE_SPAN_STRIP_SQL)(_tx.text_duplicate_span_strip)
 register("text_repetition_signals",
          _tx.REPETITION_SIGNALS_SQL)(_tx.repetition_signals)
 register("corpus_top_terms", _tx.CORPUS_TOP_TERMS_SQL)(_tx.corpus_top_terms)

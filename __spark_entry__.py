@@ -44,7 +44,7 @@ SHOWCASE = [
     # real MySQL socket client (batch, GTID-sliced, and the unified
     # streaming+transactional path with kill/restart)
     "mysql_socket_cdc_snapshot", "mysql_socket_txn_changes",
-    "mysql_socket_txn_stream",
+    "mysql_socket_txn_stream", "mysql_socket_txn_compressed",
     # transactional assembly (incl. MySQL 8 zstd-compressed
     # transactions — type-40 payload events, RFC 8878 decode)
     "binlog_txn_changes", "binlog_txn_compressed",

@@ -2680,6 +2680,77 @@ def mysql_socket_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "seq_in_txn", "i", "qty", "amount", "note"))
 
 
+_SOCKET_TXN_Z_SERVER = None
+
+
+def mysql_socket_txn_compressed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The GTID-sliced socket assembly over a server running
+    binlog_transaction_compression=ON: every complete transaction
+    arrives over TCP as GTID + TRANSACTION_PAYLOAD_EVENT (type 40, zstd
+    body — RFC 8878 decode in functions/zstd.py), and the per-slice
+    assembler decompresses transparently. Hash-matches the SAME DuckDB
+    oracle as the plain socket and file-segment paths — the wire
+    compression is invisible to the operator. The reference cannot
+    decode such a server at all (no type-40 handling,
+    binlog.rs:159-204)."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from ru_cdc_spark.sources.binlog_txn import (
+        N_TXNS,
+        TXN_SID,
+        TxnAssembler,
+    )
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+
+    global _SOCKET_TXN_Z_SERVER
+    if _SOCKET_TXN_Z_SERVER is None:
+        _SOCKET_TXN_Z_SERVER = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_txn_fixture(
+                N_TXNS, compressed=True)).start()
+    srv = _SOCKET_TXN_Z_SERVER
+    host, port, user, password = ("127.0.0.1", srv.port, srv.user,
+                                  srv.password)
+
+    n_slices = 8
+    step = (N_TXNS + n_slices - 1) // n_slices
+    ranges = spark.createDataFrame(
+        [(lo + 1, min(lo + step, N_TXNS) + 1)
+         for lo in range(0, N_TXNS, step)],
+        "glo long, ghi long").repartition(n_slices)
+
+    out_schema = ("status string, gno long, xid long, seq_no long, "
+                  "last_committed long, op string, seq_in_txn long, "
+                  "i long, qty long, amount string, note string")
+
+    def read_slice(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        from ru_cdc_spark.sources.mysql_client import MySQLConnection
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for glo, ghi in zip(pdf["glo"], pdf["ghi"]):
+                executed = {TXN_SID: [(1, int(glo)),
+                                      (int(ghi), N_TXNS + 2)]}
+                asm = TxnAssembler()
+                with MySQLConnection.connect(host, port, user,
+                                             password) as conn:
+                    for ev in conn.binlog_dump_gtid(executed):
+                        rows += asm.feed(ev)
+            yield pd.DataFrame(
+                rows, columns=[c.split()[0]
+                               for c in out_schema.split(", ")])
+
+    assembled = ranges.mapInPandas(read_slice, out_schema)
+    return (assembled.where(F.col("status") == "committed")
+            .select("gno", "xid", "seq_no", "last_committed", "op",
+                    "seq_in_txn", "i", "qty", "amount", "note"))
+
+
 def mysql_socket_txn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The socket source and transactional assembly UNIFIED in one
     streaming path: the ``binlog_socket`` DataSource runs in
@@ -3208,6 +3279,8 @@ def _register_binlog_wire() -> None:
 
     register("mysql_socket_txn_changes",
              BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_txn_changes)
+    register("mysql_socket_txn_compressed",
+             BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_txn_compressed)
     register("mysql_socket_txn_stream",
              BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_txn_stream)
     register("cdc_kafka_wire_roundtrip",

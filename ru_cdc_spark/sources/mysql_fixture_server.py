@@ -147,11 +147,15 @@ class VirtualBinlog:
 
     @classmethod
     def from_txn_fixture(cls, n_txns: int,
-                         filename: str = "binlog.000001"
-                         ) -> "VirtualBinlog":
+                         filename: str = "binlog.000001",
+                         compressed: bool = False) -> "VirtualBinlog":
         """The TRANSACTIONAL fixture stream (GTID/BEGIN/rows/XID or
         ROLLBACK, sources/binlog_txn.txn_event_bytes) as a positioned
-        binlog — the stream GTID-aware dumps filter."""
+        binlog — the stream GTID-aware dumps filter.
+        ``compressed=True`` serves each complete transaction as GTID +
+        TRANSACTION_PAYLOAD_EVENT (zstd), the
+        binlog_transaction_compression=ON wire a MySQL 8.0.20+ server
+        produces."""
         from ru_cdc_spark.sources.binlog_txn import txn_event_bytes
         from ru_cdc_spark.sources.binlog_wire import (
             CHECKSUM_NONE,
@@ -161,7 +165,7 @@ class VirtualBinlog:
         vb = cls(filename)
         vb.append(encode_format_description(CHECKSUM_NONE))
         for tid in range(n_txns):
-            vb.append_blob(txn_event_bytes(tid))
+            vb.append_blob(txn_event_bytes(tid, compressed))
         return vb
 
 

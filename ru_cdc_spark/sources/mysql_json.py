@@ -23,9 +23,11 @@ reconstruct the exact JSON text.
 On the row image, a JSON column is framed like BLOB: length-prefixed by
 the TABLE_MAP's length_size meta (T_JSON in binlog_wire).
 
-This codec implements the SMALL variants (64 KB per container — ample
-for CDC row payloads) plus every scalar; the large variants differ only
-in offset width."""
+This codec implements BOTH container variants: SMALL (2-byte
+count/size/offsets, 64 KB bound) and LARGE (4-byte — what a real
+server stores for documents whose serialization exceeds 64 KB; the
+large value slot also inlines int32/uint32). The encoder picks the
+smallest format that fits, per container, exactly like the server."""
 
 from __future__ import annotations
 
@@ -110,14 +112,28 @@ def _encode_scalar_body(t: int, v) -> bytes:
     if t == J_STRING:
         data = v.encode("utf-8")
         return _varint(len(data)) + data
-    return _encode_container(v)
+    raise TypeError(f"not a scalar type 0x{t:02x}")
 
 
+def _encode_value(v) -> tuple[int, bytes]:
+    """(type code, body) — containers pick SMALL or LARGE themselves."""
+    t = _scalar_type(v)
+    if t in (J_SMALL_OBJECT, J_SMALL_ARRAY):
+        return _encode_container(v)
+    return t, _encode_scalar_body(t, v)
+
+
+# inlinable types per format: the value slot is 2 bytes in small
+# containers, 4 in large — so large format also inlines int32/uint32
 _INLINE_SMALL = {J_LITERAL, J_INT16, J_UINT16}
+_INLINE_LARGE = _INLINE_SMALL | {J_INT32, J_UINT32}
 
 
-def _encode_container(v) -> bytes:
-    """Small object/array body: count, size, entry table, children."""
+def _encode_container(v) -> tuple[int, bytes]:
+    """Object/array body: count, size, entry table, children. Emits the
+    SMALL format when everything fits its 64 KB / 2-byte-offset bound,
+    else the LARGE format (4-byte count/size/offsets — what a real
+    server stores for big documents)."""
     is_obj = isinstance(v, dict)
     if is_obj:
         # MySQL canonical key order: by length, then bytes
@@ -125,46 +141,63 @@ def _encode_container(v) -> bytes:
                                                k.encode()))
         items = [v[k] for k in keys]
     else:
+        keys = []
         items = list(v)
+    key_bytes = [k.encode("utf-8") for k in keys]
+    encoded = [_encode_value(it) for it in items]
 
-    key_bytes = [k.encode("utf-8") for k in keys] if is_obj else []
-    header = 4  # count + size (2 bytes each, small format)
-    entry_bytes = (len(items) * 3) + (len(key_bytes) * 4)
-    off = header + entry_bytes  # offsets count from the value start
+    def build(large: bool) -> tuple[bytes, int]:
+        header = 8 if large else 4
+        kentry = 6 if large else 4
+        ventry = 5 if large else 3
+        inline = _INLINE_LARGE if large else _INLINE_SMALL
+        inline_w = 4 if large else 2
+        off_fmt = "<I" if large else "<H"
+        off = header + len(items) * ventry + len(key_bytes) * kentry
+        key_entries = bytearray()
+        key_area = bytearray()
+        for kb in key_bytes:
+            key_entries += struct.pack(off_fmt, off) \
+                + struct.pack("<H", len(kb))
+            key_area += kb
+            off += len(kb)
+        val_entries = bytearray()
+        val_area = bytearray()
+        for (t, body), it in zip(encoded, items):
+            if t in inline:
+                val_entries += bytes([t]) + body.ljust(inline_w, b"\x00")
+            else:
+                val_entries += bytes([t]) + struct.pack(off_fmt, off)
+                val_area += body
+                off += len(body)
+        hdr = struct.pack("<II" if large else "<HH", len(items), off) \
+            if off <= (0xFFFFFFFF if large else 0xFFFF) else None
+        if hdr is None:
+            raise ValueError("container exceeds large-format 4 GB bound")
+        return (hdr + bytes(key_entries) + bytes(val_entries)
+                + bytes(key_area) + bytes(val_area)), off
 
-    key_entries = bytearray()
-    key_area = bytearray()
-    for kb in key_bytes:
-        key_entries += struct.pack("<HH", off, len(kb))
-        key_area += kb
-        off += len(kb)
-
-    val_entries = bytearray()
-    val_area = bytearray()
-    for it in items:
-        t = _scalar_type(it)
-        if t in _INLINE_SMALL:
-            body = _encode_scalar_body(t, it)
-            val_entries += bytes([t]) + body.ljust(2, b"\x00")
-        else:
-            body = _encode_scalar_body(t, it)
-            val_entries += bytes([t]) + struct.pack("<H", off)
-            val_area += body
-            off += len(body)
-
-    body = (struct.pack("<HH", len(items), off)
-            + bytes(key_entries) + bytes(val_entries)
-            + bytes(key_area) + bytes(val_area))
-    if off > 0xFFFF:
-        raise ValueError("container exceeds small-format 64 KB bound")
-    return body
+    small_limit = 0xFFFF
+    # quick bound check before building: total payload must fit 2-byte
+    # offsets AND every child offset must
+    body, total = None, None
+    try:
+        body, total = build(False)
+        if total > small_limit:
+            body = None
+    except struct.error:
+        body = None
+    if body is not None:
+        return (J_SMALL_OBJECT if is_obj else J_SMALL_ARRAY), body
+    body, _ = build(True)
+    return (J_LARGE_OBJECT if is_obj else J_LARGE_ARRAY), body
 
 
 def encode_json(v) -> bytes:
     """Python value -> full MySQL binary JSON document (type byte +
     value)."""
-    t = _scalar_type(v)
-    return bytes([t]) + _encode_scalar_body(t, v)
+    t, body = _encode_value(v)
+    return bytes([t]) + body
 
 
 def _decode_value(t: int, b: bytes, off: int):
@@ -188,30 +221,36 @@ def _decode_value(t: int, b: bytes, off: int):
     if t == J_STRING:
         n, p = _read_varint(b, off)
         return b[p:p + n].decode("utf-8")
-    if t in (J_SMALL_OBJECT, J_SMALL_ARRAY):
+    if t in (J_SMALL_OBJECT, J_SMALL_ARRAY, J_LARGE_OBJECT,
+             J_LARGE_ARRAY):
         return _decode_container(t, b, off)
     raise ValueError(f"unsupported binary-JSON type 0x{t:02x}")
 
 
 def _decode_container(t: int, b: bytes, base: int):
-    count, _size = struct.unpack_from("<HH", b, base)
-    is_obj = t == J_SMALL_OBJECT
-    p = base + 4
+    large = t in (J_LARGE_OBJECT, J_LARGE_ARRAY)
+    is_obj = t in (J_SMALL_OBJECT, J_LARGE_OBJECT)
+    off_fmt = "<I" if large else "<H"
+    off_w = 4 if large else 2
+    inline = _INLINE_LARGE if large else _INLINE_SMALL
+    count, _size = struct.unpack_from("<II" if large else "<HH", b, base)
+    p = base + (8 if large else 4)
     keys = []
     if is_obj:
         for _ in range(count):
-            koff, klen = struct.unpack_from("<HH", b, p)
+            koff = struct.unpack_from(off_fmt, b, p)[0]
+            klen = struct.unpack_from("<H", b, p + off_w)[0]
             keys.append(b[base + koff:base + koff + klen].decode("utf-8"))
-            p += 4
+            p += off_w + 2
     vals = []
     for _ in range(count):
         vt = b[p]
-        if vt in _INLINE_SMALL:
+        if vt in inline:
             vals.append(_decode_value(vt, b, p + 1))
         else:
-            voff = struct.unpack_from("<H", b, p + 1)[0]
+            voff = struct.unpack_from(off_fmt, b, p + 1)[0]
             vals.append(_decode_value(vt, b, base + voff))
-        p += 3
+        p += 1 + off_w
     return dict(zip(keys, vals)) if is_obj else vals
 
 

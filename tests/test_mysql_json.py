@@ -89,3 +89,56 @@ json_values = st.recursive(
 @settings(max_examples=300, deadline=None)
 def test_json_roundtrip_property(v):
     assert mj.decode_json(mj.encode_json(v)) == v
+
+
+class TestLargeContainers:
+    """LARGE-format containers (4-byte count/size/offsets): what a real
+    server stores for documents > 64 KB."""
+
+    def test_large_object_roundtrip(self):
+        big = {"k%05d" % i: "v" * 50 for i in range(2000)}
+        b = mj.encode_json(big)
+        assert b[0] == 0x01  # J_LARGE_OBJECT
+        assert mj.decode_json(b) == big
+
+    def test_large_array_roundtrip(self):
+        arr = ["x" * 100] * 1500
+        b = mj.encode_json(arr)
+        assert b[0] == 0x03  # J_LARGE_ARRAY
+        assert mj.decode_json(b) == arr
+
+    def test_int32_inlined_only_in_large(self):
+        # int32 fits the large format's 4-byte value slot inline
+        big = {"k%05d" % i: 100_000 + i for i in range(9000)}
+        b = mj.encode_json(big)
+        assert b[0] == 0x01
+        assert mj.decode_json(b) == big
+
+    def test_small_stays_small(self):
+        b = mj.encode_json({"a": 1, "b": [True, None, "s"]})
+        assert b[0] == 0x00
+
+    def test_nested_small_inside_large(self):
+        big = {"k%05d" % i: {"n": i, "s": "y" * 60} for i in range(1500)}
+        b = mj.encode_json(big)
+        assert b[0] == 0x01
+        assert mj.decode_json(b) == big
+
+    def test_boundary_just_under_and_over(self):
+        # straddle the 64 KB small bound
+        for n, expect_large in ((500, False), (1200, True)):
+            doc = {"k%04d" % i: "w" * 50 for i in range(n)}
+            b = mj.encode_json(doc)
+            assert (b[0] == 0x01) == expect_large, (n, hex(b[0]))
+            assert mj.decode_json(b) == doc
+
+    def test_json_diff_value_may_be_large(self):
+        from ru_cdc_spark.sources.mysql_json_diff import (
+            DIFF_REPLACE,
+            decode_json_diffs,
+            encode_json_diffs,
+        )
+
+        big = {"k%05d" % i: "v" * 60 for i in range(1500)}
+        diffs = [(DIFF_REPLACE, "$.payload", big)]
+        assert decode_json_diffs(encode_json_diffs(diffs)) == diffs

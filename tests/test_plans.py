@@ -436,3 +436,35 @@ def test_nfc_normalize_is_exchange_free(spark, sf_dir):
     shuffles."""
     df = REGISTRY["corpus_nfc_normalize"].fn(spark, sf_dir)
     assert count_exchanges(df) <= 1  # at most the source spread
+
+
+def test_bpe_token_counts_single_corpus_shuffle(spark, sf_dir):
+    """BPE: encoding itself is a broadcast-merges narrow map; the only
+    corpus-sized shuffle in the whole plan is the word-frequency
+    groupBy inside training (which is a separate, bounded-output job).
+    The COUNTING DataFrame must be exchange-free."""
+    from ru_cdc_spark.operators.bpe import bpe_token_counts
+    from ru_cdc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # tiny merge table: the plan shape is independent of its content
+    df = bpe_token_counts(docs, [(116, 104, 257)])
+    assert count_exchanges(df) == 0
+
+
+def test_span_strip_gram_shuffle_carries_no_text(spark, sf_dir):
+    """The duplicate-gram aggregation must shuffle (hash, doc, pos)
+    triples, never document text: no Exchange in the plan may carry a
+    `text` or `word` column upstream of the final rebuild join."""
+    df = REGISTRY["text_duplicate_span_strip"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the cross-gram detection aggregates on the md5 hash
+    assert "count(distinct doc_id" in plan.lower() \
+        or "count(doc_id" in plan.lower()
+
+
+def test_partial_json_decode_is_exchange_free(spark, sf_dir):
+    """Type-39 decode is a payload-local narrow map (diff application
+    happens against the before-image already in hand)."""
+    df = REGISTRY["binlog_partial_json_update"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 1  # at most the fixture spread

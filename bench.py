@@ -51,6 +51,13 @@ HEADLINE = [
     "mysql_socket_txn_changes",
     "mysql_socket_tls_snapshot",
     "acid_merge_snapshot",
+    # round-5 additions: compressed transactions (file + live socket),
+    # partial JSON updates, trained BPE counting, span stripping
+    "binlog_txn_compressed",
+    "mysql_socket_txn_compressed",
+    "binlog_partial_json_update",
+    "text_bpe_token_counts",
+    "text_duplicate_span_strip",
 ]
 
 

@@ -2911,6 +2911,62 @@ def cdc_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r.*"))
 
 
+def cdc_kafka_idempotent_stream(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """KIP-98 idempotent produce executed adversarially: every record
+    batch is sent TWICE over the wire (the second send replays the
+    first's exact producer-id/epoch/sequence stamp — the bytes a
+    producer whose ack timed out retransmits), each executor partition
+    holding its own producer session. The broker's 5-batch dedup window
+    answers every replay with the original offset and appends nothing,
+    so fetching the topic back and hash-matching the plain
+    ``cdc_change_stream`` oracle proves retries are exactly-once —
+    the duplication the reference's fire-and-forget rdkafka producer
+    (message_queue.rs:91-135) would hand its consumers, eliminated at
+    the protocol layer."""
+    from ru_cdc_spark.sources.kafka_wire import (
+        IdempotentProducer,
+        KafkaBrokerFixture,
+        KafkaWireClient,
+    )
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+
+    import uuid as _uuid
+
+    topic = f"i{_uuid.uuid4().hex[:8]}_changes"
+    port = broker.port
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    payload = flat.select(
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+
+    def produce_with_retries(rows) -> None:
+        records = [(row["key"].encode(), row["value"].encode())
+                   for row in rows]
+        if not records:
+            return
+        with IdempotentProducer("127.0.0.1", port) as p:
+            for i in range(0, len(records), 500):
+                p.send(topic, 0, records[i:i + 500])
+                p.retry_last(topic, 0)  # ack-lost replay, every batch
+
+    payload.foreachPartition(produce_with_retries)
+
+    with KafkaWireClient.connect("127.0.0.1", port) as kc:
+        vals = [v.decode() for _, _, v in kc.fetch_all(topic, 0)]
+    payloads = spark.createDataFrame([(v,) for v in vals],
+                                     "payload string")
+    return (payloads
+            .select(F.from_json("payload", schema).alias("r"))
+            .select("r.*"))
+
+
 def cdc_kafka_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CONSUME side of the Kafka wire: change-stream JSON produced
     to a topic (real record batches), then ingested by the
@@ -3289,6 +3345,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_wire_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_stream)
+    register("cdc_kafka_idempotent_stream",
+             REGISTRY["cdc_change_stream"].oracle)(
+        cdc_kafka_idempotent_stream)
     register("kafka_to_acid_snapshot",
              REGISTRY["cdc_merge_snapshot"].oracle)(
         kafka_to_acid_snapshot)

@@ -22,7 +22,13 @@ protocol is implemented directly from the published spec:
   functions/snappy.py / functions/lz4.py), and zstd (KIP-110 codec 4:
   decode is the full RFC 8878 implementation in functions/zstd.py,
   produce emits store-mode frames) — all four published record-batch
-  codecs spoken.
+  codecs spoken;
+* **idempotence (KIP-98)**: InitProducerId v0 mints PIDs (epoch
+  fencing for named transactional ids); record batches carry
+  (producer_id, epoch, base_sequence); the broker fixture enforces the
+  published sequence contract — in-order append, 5-batch dedup window
+  answering retried sequences with the ORIGINAL offset, errors 45/46/
+  47/59 — so producer retries are exactly-once per partition.
 
 Scale shape mirrors the RESP sink: one producer connection per
 executor partition, one Produce request per micro-batch partition
@@ -168,14 +174,23 @@ COMPRESSION_NONE, COMPRESSION_GZIP, COMPRESSION_SNAPPY, \
 def encode_record_batch(records: list[tuple[bytes | None, bytes]],
                         base_offset: int = 0,
                         first_timestamp: int = 0,
-                        compression: str = "none") -> bytes:
+                        compression: str = "none",
+                        producer_id: int = -1,
+                        producer_epoch: int = -1,
+                        base_sequence: int = -1) -> bytes:
     """[(key, value)] -> one magic-2 record batch. CRC32C covers the
     bytes from ``attributes`` to the end (the published layout);
     ``compression`` = "gzip" (RFC 1952 framing), "lz4" (LZ4 frame
     format, functions/lz4.py), or "snappy" (xerial
     stream framing, functions/snappy.py) compresses the records
     section and sets the codec bits in the batch attributes, exactly
-    as brokers expect — headers and CRC stay uncompressed."""
+    as brokers expect — headers and CRC stay uncompressed.
+
+    ``producer_id``/``producer_epoch``/``base_sequence`` are the KIP-98
+    idempotence fields: -1/-1/-1 (the default) marks a non-idempotent
+    batch; a registered producer stamps its PID + epoch and a
+    monotonically increasing per-partition sequence so the broker can
+    deduplicate retried batches."""
     body = bytearray()
     for i, (key, value) in enumerate(records):
         rec = bytearray()
@@ -217,7 +232,7 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
         _i16(attrs)                   # batch attributes (codec bits 0-2)
         + _i32(len(records) - 1)      # lastOffsetDelta
         + _i64(first_timestamp) + _i64(first_timestamp)
-        + _i64(-1) + _i16(-1) + _i32(-1)   # producer id/epoch/sequence
+        + _i64(producer_id) + _i16(producer_epoch) + _i32(base_sequence)
         + _i32(len(records)) + recs)
     crc = crc32c(after_crc)
     after_length = _i32(0) + _i8(2) + struct.pack(">I", crc) + after_crc
@@ -237,9 +252,9 @@ def _gzip_wrap(raw: bytes) -> bytes:
 
 
 def decode_record_batch(data: bytes) -> dict:
-    """One batch -> {base_offset, crc_ok,
-    records: [(offset, key, value)]} with offset = baseOffset +
-    offsetDelta (the published consumer rule)."""
+    """One batch -> {base_offset, crc_ok, producer_id, producer_epoch,
+    base_sequence, records: [(offset, key, value)]} with offset =
+    baseOffset + offsetDelta (the published consumer rule)."""
     r = _Reader(data)
     base_offset = r.i64()
     batch_len = r.i32()
@@ -254,7 +269,9 @@ def decode_record_batch(data: bytes) -> dict:
     _last_delta = r.i32()
     _first_ts = r.i64()
     _max_ts = r.i64()
-    r.take(8 + 2 + 4)  # producer id/epoch/sequence
+    producer_id = r.i64()
+    producer_epoch = r.i16()
+    base_sequence = struct.unpack(">i", r.take(4))[0]
     n = r.i32()
     codec = attrs & 0x07
     if codec == COMPRESSION_GZIP:
@@ -290,6 +307,8 @@ def decode_record_batch(data: bytes) -> dict:
         # consumers must use baseOffset + offsetDelta, never count
         records.append((base_offset + offset_delta, key, value))
     return {"base_offset": base_offset, "crc_ok": crc_ok,
+            "producer_id": producer_id, "producer_epoch": producer_epoch,
+            "base_sequence": base_sequence,
             "records": records, "batch_end": end}
 
 
@@ -314,6 +333,13 @@ def decode_record_batches(data: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
+API_INIT_PRODUCER_ID = 22
+
+# KIP-98 idempotence error codes (published protocol error table)
+ERR_OUT_OF_ORDER_SEQUENCE = 45
+ERR_DUPLICATE_SEQUENCE = 46
+ERR_INVALID_PRODUCER_EPOCH = 47
+ERR_UNKNOWN_PRODUCER_ID = 59
 
 
 class KafkaError(RuntimeError):
@@ -399,15 +425,41 @@ class KafkaWireClient:
             topics_out[name] = {"error": err, "partitions": parts}
         return {"brokers": brokers, "topics": topics_out}
 
+    def init_producer_id(self,
+                         transactional_id: str | None = None,
+                         timeout_ms: int = 10000) -> tuple[int, int]:
+        """InitProducerId v0 (KIP-98) -> (producer_id, producer_epoch).
+        With no transactional id the broker mints a fresh PID at epoch
+        0; re-initializing a named transactional id returns the SAME
+        PID with a bumped epoch, fencing any zombie still producing
+        under the old epoch."""
+        body = _string(transactional_id) + _i32(timeout_ms)
+        r = self._request(API_INIT_PRODUCER_ID, 0, body)
+        _throttle = r.i32()
+        err = r.i16()
+        if err:
+            raise KafkaError(err, "InitProducerId")
+        return r.i64(), r.i16()
+
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes]],
                 acks: int = -1, timeout_ms: int = 10000,
                 first_timestamp: int = 0,
-                compression: str = "none") -> int:
-        """Produce v3 — returns the assigned base offset."""
+                compression: str = "none",
+                producer_id: int = -1,
+                producer_epoch: int = -1,
+                base_sequence: int = -1) -> int:
+        """Produce v3 — returns the assigned base offset. Passing
+        producer_id/epoch/base_sequence stamps the KIP-98 idempotence
+        fields; a broker that already appended this (pid, sequence)
+        answers with the ORIGINAL base offset instead of re-appending
+        (retry dedup)."""
         batch = encode_record_batch(records,
                                     first_timestamp=first_timestamp,
-                                    compression=compression)
+                                    compression=compression,
+                                    producer_id=producer_id,
+                                    producer_epoch=producer_epoch,
+                                    base_sequence=base_sequence)
         body = (_string(None) + _i16(acks) + _i32(timeout_ms)
                 + _i32(1) + _string(topic)
                 + _i32(1) + _i32(partition) + _bytes32(batch))
@@ -483,6 +535,84 @@ class KafkaWireClient:
             pass
 
     def __enter__(self) -> "KafkaWireClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class IdempotentProducer:
+    """KIP-98 idempotent producer session: one InitProducerId
+    handshake, then every batch carries (PID, epoch, per-partition
+    monotonic sequence). A retry after a lost ack RE-SENDS the same
+    sequence, which the broker recognizes and answers with the original
+    offset instead of appending twice — at-least-once delivery upgraded
+    to exactly-once-per-partition, the gap the reference's fire-and-
+    forget rdkafka producer (message_queue.rs:91-135) leaves open.
+
+    Scale shape: one producer per executor partition task (its own
+    PID), exactly how kafka-clients' sender thread pairs with a Spark
+    foreachPartition — sequences are per (PID, partition), so parallel
+    tasks never contend on sequence state."""
+
+    def __init__(self, host: str, port: int,
+                 transactional_id: str | None = None,
+                 client_id: str = "ru-cdc-spark") -> None:
+        self.host, self.port = host, port
+        self.client_id = client_id
+        self._client = KafkaWireClient.connect(host, port)
+        self._client.client_id = client_id
+        self.producer_id, self.producer_epoch = \
+            self._client.init_producer_id(transactional_id)
+        self._seq: dict[tuple[str, int], int] = {}
+        self._last: dict[tuple[str, int], tuple[int, list]] = {}
+
+    def send(self, topic: str, partition: int,
+             records: list[tuple[bytes | None, bytes]],
+             compression: str = "none", retries: int = 2) -> int:
+        """Produce one batch; on connection loss, reconnect and resend
+        with the SAME base sequence (the broker dedups if the first
+        attempt actually landed). Returns the batch's base offset."""
+        if not records:
+            raise ValueError("empty batch")
+        seq = self._seq.get((topic, partition), 0)
+        self._last[(topic, partition)] = (seq, records)
+        attempt = 0
+        while True:
+            try:
+                off = self._client.produce(
+                    topic, partition, records, compression=compression,
+                    producer_id=self.producer_id,
+                    producer_epoch=self.producer_epoch,
+                    base_sequence=seq)
+                break
+            except (ConnectionError, OSError):
+                if attempt >= retries:
+                    raise
+                attempt += 1
+                self._client = KafkaWireClient.connect(
+                    self.host, self.port)
+                self._client.client_id = self.client_id
+        self._seq[(topic, partition)] = seq + len(records)
+        return off
+
+    def retry_last(self, topic: str, partition: int,
+                   compression: str = "none") -> int:
+        """Deterministically exercise the ack-lost path: re-produce the
+        last sent batch with its ORIGINAL sequence, exactly the bytes a
+        producer whose ack timed out would retransmit. The broker must
+        answer with the original offset and append nothing."""
+        seq, records = self._last[(topic, partition)]
+        return self._client.produce(
+            topic, partition, records, compression=compression,
+            producer_id=self.producer_id,
+            producer_epoch=self.producer_epoch,
+            base_sequence=seq)
+
+    def close(self) -> None:
+        self._client.close()
+
+    def __enter__(self) -> "IdempotentProducer":
         return self
 
     def __exit__(self, *exc) -> None:
@@ -629,6 +759,16 @@ class KafkaBrokerFixture:
         # cache).
         self.logs: dict[tuple[str, int], list] = {}
         self.enc_logs: dict[tuple[str, int], list] = {}
+        # KIP-98 idempotence state: monotonically minted PIDs, the
+        # current epoch per PID (for zombie fencing), per-(pid, topic,
+        # partition) next-expected sequence, and the last 5 appended
+        # batches' (base_seq -> (base_offset, n)) — the same bounded
+        # dedup window a real broker keeps per producer
+        self._next_pid = 1000
+        self._txn_pids: dict[str, int] = {}
+        self._pid_epoch: dict[int, int] = {}
+        self._pid_seq: dict[tuple[int, str, int], int] = {}
+        self._pid_recent: dict[tuple[int, str, int], dict] = {}
         self._lock = threading.Lock()
         self._sock: socket.socket | None = None
         self._stop = threading.Event()
@@ -682,6 +822,8 @@ class KafkaBrokerFixture:
                     body = self._produce(r)
                 elif api_key == API_FETCH:
                     body = self._fetch(r)
+                elif api_key == API_INIT_PRODUCER_ID:
+                    body = self._init_producer_id(r)
                 else:
                     body = _i16(35)  # UNSUPPORTED_VERSION
                 resp = _i32(corr) + body
@@ -709,10 +851,36 @@ class KafkaBrokerFixture:
 
     def _api_versions(self) -> bytes:
         supported = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
-                     (API_METADATA, 1, 1), (API_VERSIONS, 0, 0)]
+                     (API_METADATA, 1, 1), (API_VERSIONS, 0, 0),
+                     (API_INIT_PRODUCER_ID, 0, 0)]
         return (_i16(0) + _i32(len(supported))
                 + b"".join(_i16(k) + _i16(lo) + _i16(hi)
                            for k, lo, hi in supported))
+
+    def _init_producer_id(self, r: _Reader) -> bytes:
+        txn_id = r.string()
+        _timeout = r.i32()
+        with self._lock:
+            if txn_id is not None and txn_id in self._txn_pids:
+                # same transactional id re-initializing: SAME pid,
+                # bumped epoch — in-flight produces stamped with the
+                # old epoch are now fenced (err 47)
+                pid = self._txn_pids[txn_id]
+                self._pid_epoch[pid] += 1
+                # a new epoch starts its sequences at 0 (the producer
+                # is a fresh session); drop the old epoch's state
+                for k in [k for k in self._pid_seq if k[0] == pid]:
+                    del self._pid_seq[k]
+                for k in [k for k in self._pid_recent if k[0] == pid]:
+                    del self._pid_recent[k]
+            else:
+                pid = self._next_pid
+                self._next_pid += 1
+                self._pid_epoch[pid] = 0
+                if txn_id is not None:
+                    self._txn_pids[txn_id] = pid
+            epoch = self._pid_epoch[pid]
+        return _i32(0) + _i16(0) + _i64(pid) + _i16(epoch)
 
     def _metadata(self, r: _Reader) -> bytes:
         n = r.i32()
@@ -753,18 +921,13 @@ class KafkaBrokerFixture:
                         err = 2  # CORRUPT_MESSAGE
                     else:
                         with self._lock:
-                            log = self.logs.setdefault((topic, pid), [])
-                            enc = self.enc_logs.setdefault(
-                                (topic, pid), [])
-                            base = len(log)
                             for b in batches:
-                                recs = [(k, v)
-                                        for _, k, v in b["records"]]
-                                enc.append((len(log), len(recs),
-                                            encode_record_batch(
-                                                recs,
-                                                base_offset=len(log))))
-                                log.extend(recs)
+                                err, off = self._append_batch(
+                                    topic, pid, b)
+                                if err:
+                                    break
+                                if base < 0:
+                                    base = off
                 except (ValueError, struct.error):
                     err = 2
                 parts.append((pid, err, base))
@@ -775,6 +938,50 @@ class KafkaBrokerFixture:
             for pid, err, base in parts:
                 out += _i32(pid) + _i16(err) + _i64(base) + _i64(-1)
         return out + _i32(0)
+
+    def _append_batch(self, topic: str, pid: int,
+                      b: dict) -> tuple[int, int]:
+        """Append one CRC-verified batch under the lock, enforcing the
+        KIP-98 idempotence contract for producer-stamped batches ->
+        (error_code, base_offset). A retransmitted batch (same pid +
+        base sequence, within the 5-batch window a real broker keeps)
+        appends NOTHING and returns the original offset with err 0 —
+        the dedup that makes producer retries exactly-once."""
+        prod_id = b["producer_id"]
+        recs = [(k, v) for _, k, v in b["records"]]
+        if prod_id >= 0:
+            known_epoch = self._pid_epoch.get(prod_id)
+            if known_epoch is None:
+                return ERR_UNKNOWN_PRODUCER_ID, -1
+            if b["producer_epoch"] < known_epoch:
+                return ERR_INVALID_PRODUCER_EPOCH, -1
+            skey = (prod_id, topic, pid)
+            expected = self._pid_seq.get(skey, 0)
+            recent = self._pid_recent.setdefault(skey, {})
+            bseq = b["base_sequence"]
+            if bseq != expected:
+                if bseq in recent and recent[bseq][1] == len(recs):
+                    return 0, recent[bseq][0]  # retry: dedup, orig off
+                if bseq < expected:
+                    # older than the dedup window: provably a
+                    # duplicate, but the original offset is gone
+                    return ERR_DUPLICATE_SEQUENCE, -1
+                return ERR_OUT_OF_ORDER_SEQUENCE, -1
+            self._pid_seq[skey] = expected + len(recs)
+            recent[bseq] = (len(self.logs.get((topic, pid), [])),
+                            len(recs))
+            while len(recent) > 5:
+                del recent[min(recent)]
+        log = self.logs.setdefault((topic, pid), [])
+        enc = self.enc_logs.setdefault((topic, pid), [])
+        base = len(log)
+        enc.append((base, len(recs), encode_record_batch(
+            recs, base_offset=base,
+            producer_id=prod_id,
+            producer_epoch=b["producer_epoch"],
+            base_sequence=b["base_sequence"])))
+        log.extend(recs)
+        return 0, base
 
     def _fetch(self, r: _Reader) -> bytes:
         r.take(4 + 4 + 4 + 4 + 1)  # replica/max_wait/min/max/isolation

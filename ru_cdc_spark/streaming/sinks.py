@@ -85,11 +85,15 @@ def write_batch_to_sink(batch: DataFrame, sink: SinkConfig, epoch_id: int) -> No
         host = sink.options.get("host", "127.0.0.1")
         port = int(sink.options["port"])
         compression = sink.options.get("compression", "none")
+        idempotent = sink.options.get("idempotent", "") == "true"
         if "__seq" in batch.columns:
             batch = ordered_for_kafka(batch)
 
         def produce_partition(rows) -> None:
-            from ru_cdc_spark.sources.kafka_wire import KafkaWireClient
+            from ru_cdc_spark.sources.kafka_wire import (
+                IdempotentProducer,
+                KafkaWireClient,
+            )
 
             by_topic: dict[str, list] = {}
             for row in rows:
@@ -102,14 +106,25 @@ def write_batch_to_sink(batch: DataFrame, sink: SinkConfig, epoch_id: int) -> No
                     (key_b, val_b))
             if not by_topic:
                 return
-            with KafkaWireClient.connect(host, port) as kc:
+            # idempotent mode (KIP-98): each partition task holds its
+            # own producer session (own PID) whose send() retries
+            # re-use the original sequence — a task-level retry after
+            # a lost ack can never duplicate records in the log
+            ctx = (IdempotentProducer(host, port) if idempotent
+                   else KafkaWireClient.connect(host, port))
+            with ctx as kc:
                 for topic, records in by_topic.items():
                     # bounded batches (like linger/batch.size producers):
                     # one giant batch per partition stalls the broker's
                     # CRC verify and risks request-size ceilings
                     for i in range(0, len(records), 2000):
-                        kc.produce(topic, 0, records[i:i + 2000],
-                                   compression=compression)
+                        chunk = records[i:i + 2000]
+                        if idempotent:
+                            kc.send(topic, 0, chunk,
+                                    compression=compression)
+                        else:
+                            kc.produce(topic, 0, chunk,
+                                       compression=compression)
 
         batch.select("topic", "key", "value") \
             .foreachPartition(produce_partition)

@@ -56,8 +56,8 @@ SHOWCASE = [
     # streaming: source feed + stateful operators
     "binlog_source_feed", "events_session_window_stream",
     "stateful_user_totals",
-    # verified-TLS socket transport
-    "mysql_socket_tls_snapshot",
+    # verified-TLS + compressed-protocol socket transports
+    "mysql_socket_tls_snapshot", "mysql_socket_compressed_snapshot",
     # TPC-H-style analytics
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
     "q5_local_supplier_volume", "q9_product_profit",

@@ -2542,6 +2542,34 @@ def mysql_socket_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mysql_socket_compressed_snapshot(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The socket CDC pipeline over the MySQL COMPRESSED protocol
+    (CLIENT_COMPRESS — the --compress/WAN-replica configuration the
+    reference's fixed capability set cannot negotiate, mysql.rs:55-62):
+    the driver's metadata pass and every task's COM_BINLOG_DUMP run
+    inside zlib compressed framing (3+1+3 headers, stored-raw below the
+    50-byte threshold), decompressed transparently under the packet
+    layer. Same DuckDB oracle as the plaintext socket path — compressed
+    transport changes nothing about the answer, which is the proof."""
+    from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
+
+    srv = _socket_fixture_server()
+    frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
+                               srv.user, srv.password, n_slices=8,
+                               compress="zlib")
+    changes = decode_cdc_frames(frames.select("frame"))
+    row = F.struct(*[F.col(c) for c in changes.columns])
+    return (
+        changes.groupBy("i")
+        .agg(F.max_by(row, F.col("seq")).alias("__r"))
+        .select("__r.*")
+        .where(F.col("type") != "DELETE")
+        .select("i", "t_long", "t_dec", "t_varchar", "t_datetime")
+    )
+
+
 MYSQL_SOCKET_STREAM_N_ROWS = 250
 _SOCKET_STREAM_SERVER = None
 
@@ -3326,6 +3354,8 @@ def _register_binlog_wire() -> None:
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_cdc_snapshot)
     register("mysql_socket_tls_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_tls_snapshot)
+    register("mysql_socket_compressed_snapshot",
+             BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_compressed_snapshot)
     from ru_cdc_spark.sources.binlog_frames import cdc_snapshot_oracle
 
     register("mysql_socket_stream_snapshot",

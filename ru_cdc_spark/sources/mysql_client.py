@@ -56,6 +56,7 @@ import hashlib
 import socket
 import struct
 import threading
+import zlib
 from dataclasses import dataclass, field
 
 # --------------------------------------------------------------------------
@@ -66,6 +67,7 @@ CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_FOUND_ROWS = 0x00000002
 CLIENT_LONG_FLAG = 0x00000004
 CLIENT_CONNECT_WITH_DB = 0x00000008
+CLIENT_COMPRESS = 0x00000020
 CLIENT_PROTOCOL_41 = 0x00000200
 CLIENT_SSL = 0x00000800
 CLIENT_RESERVED = 0x00004000
@@ -74,6 +76,7 @@ CLIENT_PLUGIN_AUTH = 0x00080000
 CLIENT_CONNECT_ATTRS = 0x00100000
 CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA = 0x00200000
 CLIENT_DEPRECATE_EOF = 0x01000000
+CLIENT_ZSTD_COMPRESSION_ALGORITHM = 0x04000000
 
 # the exact capability set the reference requests (mysql.rs:55-62)
 REFERENCE_CLIENT_CAPS = (
@@ -96,6 +99,8 @@ SERVER_CAPS = (
     | CLIENT_CONNECT_ATTRS
     | CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA
     | CLIENT_DEPRECATE_EOF
+    | CLIENT_COMPRESS
+    | CLIENT_ZSTD_COMPRESSION_ALGORITHM
 )
 
 COM_QUIT = 0x01
@@ -243,6 +248,123 @@ class PacketIO:
 
     def reset_seq(self) -> None:
         self.seq = 0
+        # the compressed protocol keeps its OWN sequence, also reset at
+        # each command boundary (the published framing rule)
+        reset = getattr(self.sock, "reset_seq", None)
+        if reset is not None:
+            reset()
+
+
+class CompressedStream:
+    """Socket adapter implementing the MySQL compressed protocol
+    framing (negotiated via CLIENT_COMPRESS / zlib or MySQL 8.0.18+
+    CLIENT_ZSTD_COMPRESSION_ALGORITHM / zstd): every frame is
+    ``3-byte compressed length | 1-byte compressed seq | 3-byte
+    uncompressed length`` where uncompressed length 0 marks a payload
+    stored RAW — used when the payload is below the documented 50-byte
+    threshold or compression doesn't shrink it. The payload itself is a
+    run of ordinary MySQL packets, so layering this UNDER PacketIO
+    leaves all packet logic (continuation, sequence, buffered fast
+    path) untouched; both client and fixture server wrap their socket
+    in one of these after the authentication OK, which is where real
+    connectors switch modes.
+
+    zstd frames are decompressed by functions/zstd.py (any conformant
+    frame, e.g. a real server's libzstd output) and compressed through
+    pyarrow's bundled libzstd when importable — so the two directions
+    cross-validate spec decoder against reference compressor — with
+    the store-mode encoder as fallback."""
+
+    MIN_COMPRESS = 50  # MySQL's documented don't-bother threshold
+
+    def __init__(self, sock: socket.socket, algorithm: str = "zlib",
+                 level: int = 3) -> None:
+        if algorithm not in ("zlib", "zstd"):
+            raise ValueError(f"unknown compression {algorithm!r}")
+        self.sock = sock
+        self.algorithm = algorithm
+        self.level = level
+        self.seq = 0
+        self._buf = b""
+        self._off = 0
+
+    def reset_seq(self) -> None:
+        self.seq = 0
+
+    # -- outgoing ------------------------------------------------------
+
+    def _compress(self, data: bytes) -> bytes:
+        if self.algorithm == "zlib":
+            return zlib.compress(data, self.level)
+        try:
+            import pyarrow as _pa
+
+            return _pa.Codec("zstd").compress(data).to_pybytes()
+        except ImportError:
+            from ru_cdc_spark.functions.zstd import compress_store
+
+            return compress_store(data)
+
+    def sendall(self, data: bytes) -> None:
+        view = memoryview(data)
+        while True:
+            chunk = bytes(view[:MAX_PACKET - 1])
+            view = view[len(chunk):]
+            ulen = 0
+            body = chunk
+            if len(chunk) >= self.MIN_COMPRESS:
+                comp = self._compress(chunk)
+                if len(comp) < len(chunk):
+                    ulen, body = len(chunk), comp
+            self.sock.sendall(len(body).to_bytes(3, "little")
+                              + bytes([self.seq & 0xFF])
+                              + ulen.to_bytes(3, "little") + body)
+            self.seq += 1
+            if not view:
+                return
+
+    # -- incoming ------------------------------------------------------
+
+    def _read_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("peer closed mid-frame")
+            buf += chunk
+        return bytes(buf)
+
+    def recv(self, n: int) -> bytes:
+        if self._off >= len(self._buf):
+            hdr = self._read_exact(7)
+            clen = int.from_bytes(hdr[:3], "little")
+            self.seq = (hdr[3] + 1) & 0xFF
+            ulen = int.from_bytes(hdr[4:7], "little")
+            body = self._read_exact(clen)
+            if ulen == 0:
+                self._buf = body
+            elif self.algorithm == "zlib":
+                self._buf = zlib.decompress(body)
+            else:
+                from ru_cdc_spark.functions.zstd import decompress
+
+                self._buf = decompress(body)
+            if ulen and len(self._buf) != ulen:
+                raise ConnectionError(
+                    f"compressed frame declared {ulen} bytes, "
+                    f"inflated to {len(self._buf)}")
+            self._off = 0
+        out = self._buf[self._off:self._off + n]
+        self._off += len(out)
+        return out
+
+    # -- passthroughs PacketIO/TLS code paths touch ---------------------
+
+    def close(self) -> None:
+        self.sock.close()
+
+    def settimeout(self, t) -> None:
+        self.sock.settimeout(t)
 
 
 # --------------------------------------------------------------------------
@@ -337,9 +459,12 @@ def encode_handshake_response41(user: str, auth_resp: bytes,
                                 max_packet_size: int = 1 << 24,
                                 charset: int = 255,
                                 database: str | None = None,
-                                plugin: str = NATIVE_PASSWORD_PLUGIN) -> bytes:
+                                plugin: str = NATIVE_PASSWORD_PLUGIN,
+                                zstd_level: int = 3) -> bytes:
     """protocal.rs:93-126 layout (with the plugin-name bug fixed: the
-    reference writes the PASSWORD into this field, mysql.rs:66)."""
+    reference writes the PASSWORD into this field, mysql.rs:66). With
+    CLIENT_ZSTD_COMPRESSION_ALGORITHM set, the response carries one
+    trailing compression-level byte (the 8.0.18+ extension)."""
     if database is not None:
         caps |= CLIENT_CONNECT_WITH_DB
     p = bytearray()
@@ -356,6 +481,8 @@ def encode_handshake_response41(user: str, auth_resp: bytes,
         p += (database or "").encode() + b"\x00"
     if caps & CLIENT_PLUGIN_AUTH:
         p += plugin.encode() + b"\x00"
+    if caps & CLIENT_ZSTD_COMPRESSION_ALGORITHM:
+        p += bytes([zstd_level])
     return bytes(p)
 
 
@@ -368,6 +495,7 @@ class HandshakeResponse41:
     auth_resp: bytes
     database: str | None
     plugin: str
+    zstd_level: int | None = None
 
 
 def decode_handshake_response41(b: bytes) -> HandshakeResponse41:
@@ -388,8 +516,11 @@ def decode_handshake_response41(b: bytes) -> HandshakeResponse41:
     plugin = ""
     if caps & CLIENT_PLUGIN_AUTH and off < len(b):
         plugin, off = read_nul_str(b, off)
+    zstd_level = None
+    if caps & CLIENT_ZSTD_COMPRESSION_ALGORITHM and off < len(b):
+        zstd_level = b[off]
     return HandshakeResponse41(caps, max_packet, charset, user, auth_resp,
-                               database, plugin)
+                               database, plugin, zstd_level)
 
 
 def encode_auth_switch_request(plugin: str, nonce: bytes) -> bytes:
@@ -630,18 +761,26 @@ class MySQLConnection:
                 database: str | None = None, timeout: float = 10.0,
                 max_packet_size: int = 1 << 24,
                 ssl_ca: str | None = None,
-                ssl_hostname: str | None = None) -> "MySQLConnection":
+                ssl_hostname: str | None = None,
+                compress: str | None = None) -> "MySQLConnection":
         """``ssl_ca`` switches the connection to TLS (CLIENT_SSL): the
         client sends an SSLRequest after the handshake, wraps the
         socket, and VERIFIES the server certificate against the given
         CA bundle (hostname check included) — what every managed MySQL
-        requires and the reference cannot do at all."""
+        requires and the reference cannot do at all.
+
+        ``compress`` = "zlib" (CLIENT_COMPRESS, the classic --compress
+        protocol) or "zstd" (8.0.18+ CLIENT_ZSTD_COMPRESSION_ALGORITHM)
+        switches all post-auth traffic to compressed framing — what a
+        WAN-replica CDC reader enables so a binlog dump's bytes on the
+        wire shrink by the payload's compressibility."""
         sock = socket.create_connection((host, port), timeout=timeout)
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         conn = cls(PacketIO(sock))
         conn._authenticate(user, password, database, max_packet_size,
                            ssl_ca=ssl_ca,
-                           ssl_hostname=ssl_hostname or host)
+                           ssl_hostname=ssl_hostname or host,
+                           compress=compress)
         return conn
 
     @staticmethod
@@ -677,7 +816,8 @@ class MySQLConnection:
     def _authenticate(self, user: str, password: str,
                       database: str | None, max_packet_size: int,
                       ssl_ca: str | None = None,
-                      ssl_hostname: str | None = None) -> None:
+                      ssl_hostname: str | None = None,
+                      compress: str | None = None) -> None:
         """Auth state machine speaking BOTH ``mysql_native_password``
         and MySQL 8's default ``caching_sha2_password`` (the plugin the
         reference lacks — its connect path fails against a stock 2026
@@ -703,11 +843,26 @@ class MySQLConnection:
         hs = decode_handshake_v10(self.io.read_packet())
         self.handshake = hs
         caps = REFERENCE_CLIENT_CAPS
+        if compress == "zlib":
+            if not hs.caps & CLIENT_COMPRESS:
+                raise MySQLError(2026, "HY000",
+                                 "server does not support compression")
+            caps |= CLIENT_COMPRESS
+        elif compress == "zstd":
+            if not hs.caps & CLIENT_ZSTD_COMPRESSION_ALGORITHM:
+                raise MySQLError(2026, "HY000",
+                                 "server does not support zstd")
+            caps |= CLIENT_ZSTD_COMPRESSION_ALGORITHM
+        elif compress is not None:
+            raise ValueError(f"unknown compression {compress!r}")
         if ssl_ca is not None:
             if not hs.caps & CLIENT_SSL:
                 raise MySQLError(2026, "HY000",
                                  "server does not support TLS")
-            self._start_tls(0, max_packet_size, ssl_ca,
+            # the SSLRequest advertises the SAME caps as the full
+            # response that follows it (incl. any compression bit)
+            self._start_tls(caps & ~REFERENCE_CLIENT_CAPS,
+                            max_packet_size, ssl_ca,
                             ssl_hostname or "localhost")
             caps |= CLIENT_SSL
         plugin = hs.auth_plugin_name or NATIVE_PASSWORD_PLUGIN
@@ -754,6 +909,13 @@ class MySQLConnection:
             ok = decode_ok(pkt)
             if not ok.is_ok:
                 raise MySQLError(2013, "HY000", "unexpected auth reply")
+            if compress is not None:
+                # compressed framing starts with the first command
+                # AFTER the auth exchange (connector behavior); the
+                # server must not have pipelined anything past the OK
+                assert not self.io.unconsumed(), \
+                    "overread across the compression boundary"
+                self.io.sock = CompressedStream(self.io.sock, compress)
             return
 
     # -- simple commands ---------------------------------------------------
@@ -1011,7 +1173,8 @@ class ConnectionPool:
 
     @staticmethod
     def _key(host: str, port: int, user: str, password: str,
-             ssl_ca: str | None = None) -> tuple:
+             ssl_ca: str | None = None,
+             compress: str | None = None) -> tuple:
         """Pool key includes a password digest: a caller supplying a
         different/wrong password must never be handed a connection
         authenticated under another credential (which would mask auth
@@ -1019,13 +1182,15 @@ class ConnectionPool:
         import hashlib
 
         return (host, port, user,
-                hashlib.sha256(password.encode()).hexdigest(), ssl_ca)
+                hashlib.sha256(password.encode()).hexdigest(), ssl_ca,
+                compress)
 
     @classmethod
     def acquire(cls, host: str, port: int, user: str, password: str,
                 ssl_ca: str | None = None,
-                ssl_hostname: str | None = None) -> "MySQLConnection":
-        key = cls._key(host, port, user, password, ssl_ca)
+                ssl_hostname: str | None = None,
+                compress: str | None = None) -> "MySQLConnection":
+        key = cls._key(host, port, user, password, ssl_ca, compress)
         while True:
             with cls._lock:
                 pool = cls._idle.get(key, [])
@@ -1033,7 +1198,7 @@ class ConnectionPool:
             if conn is None:
                 return MySQLConnection.connect(
                     host, port, user, password, ssl_ca=ssl_ca,
-                    ssl_hostname=ssl_hostname)
+                    ssl_hostname=ssl_hostname, compress=compress)
             try:
                 if conn.ping():
                     return conn
@@ -1044,8 +1209,9 @@ class ConnectionPool:
     @classmethod
     def release(cls, conn: "MySQLConnection", host: str, port: int,
                 user: str, password: str,
-                ssl_ca: str | None = None) -> None:
-        key = cls._key(host, port, user, password, ssl_ca)
+                ssl_ca: str | None = None,
+                compress: str | None = None) -> None:
+        key = cls._key(host, port, user, password, ssl_ca, compress)
         with cls._lock:
             pool = cls._idle.setdefault(key, [])
             if len(pool) < cls.MAX_IDLE_PER_KEY:
@@ -1069,24 +1235,27 @@ class pooled_connection:
 
     def __init__(self, host: str, port: int, user: str,
                  password: str, ssl_ca: str | None = None,
-                 ssl_hostname: str | None = None) -> None:
+                 ssl_hostname: str | None = None,
+                 compress: str | None = None) -> None:
         self.key = (host, port, user)
         self.password = password
         self.ssl_ca = ssl_ca
         self.ssl_hostname = ssl_hostname
+        self.compress = compress
         self.conn: MySQLConnection | None = None
 
     def __enter__(self) -> "MySQLConnection":
         self.conn = ConnectionPool.acquire(
             *self.key, self.password, ssl_ca=self.ssl_ca,
-            ssl_hostname=self.ssl_hostname)
+            ssl_hostname=self.ssl_hostname, compress=self.compress)
         return self.conn
 
     def __exit__(self, exc_type, *exc) -> None:
         assert self.conn is not None
         if exc_type is None:
             ConnectionPool.release(self.conn, *self.key, self.password,
-                                   ssl_ca=self.ssl_ca)
+                                   ssl_ca=self.ssl_ca,
+                                   compress=self.compress)
         else:
             self.conn.close()
 

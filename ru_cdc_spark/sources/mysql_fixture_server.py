@@ -29,9 +29,12 @@ import socket
 import threading
 
 from ru_cdc_spark.sources.mysql_client import (
+    CLIENT_COMPRESS,
     CLIENT_SSL,
+    CLIENT_ZSTD_COMPRESSION_ALGORITHM,
     COM_REGISTER_SLAVE,
     SERVER_CAPS,
+    CompressedStream,
     ColDef,
     NATIVE_PASSWORD_PLUGIN,
     COM_BINLOG_DUMP,
@@ -274,6 +277,14 @@ class MySQLFixtureServer:
         try:
             if not self._handshake(io):
                 return
+            # compressed framing (zlib --compress / 8.0.18+ zstd)
+            # starts with the first post-auth command, exactly when the
+            # client switches; handshake+auth stay uncompressed
+            ccaps = getattr(io, "client_caps", 0)
+            if ccaps & CLIENT_ZSTD_COMPRESSION_ALGORITHM:
+                io.sock = CompressedStream(io.sock, "zstd")
+            elif ccaps & CLIENT_COMPRESS:
+                io.sock = CompressedStream(io.sock, "zlib")
             while not self._stop.is_set():
                 io.reset_seq()
                 try:
@@ -368,6 +379,7 @@ class MySQLFixtureServer:
                 "HY000"))
             return False
         resp = decode_handshake_response41(first)
+        io.client_caps = resp.caps  # read post-auth for compression
         auth = resp.auth_resp
         # clients whose plugin differs from the server default, or that
         # sent no auth data (the reference does — it puts the password

@@ -53,7 +53,8 @@ TABLE_MAP_TYPE = 19
 def _dump_frames(host: str, port: int, user: str, password: str,
                  filename: str, lo: int, hi: int,
                  ssl_ca: str | None = None,
-                 ssl_hostname: str | None = None
+                 ssl_hostname: str | None = None,
+                 compress: str | None = None
                  ) -> list[tuple[int, bytes]]:
     """One task's work: dial, auth, dump [lo, hi), reassemble frames.
     Returns [(log_pos, TABLE_MAP+ROWS bytes)]. The read always ends at
@@ -71,7 +72,8 @@ def _dump_frames(host: str, port: int, user: str, password: str,
     frames: list[tuple[int, bytes]] = []
     with MySQLConnection.connect(host, port, user, password,
                                  ssl_ca=ssl_ca,
-                                 ssl_hostname=ssl_hostname) as conn:
+                                 ssl_hostname=ssl_hostname,
+                                 compress=compress) as conn:
         conn.disable_checksum_var()
         current_tm: bytes | None = None
         checksum_bytes = 0
@@ -146,7 +148,8 @@ def _dump_events(host: str, port: int, user: str, password: str,
 def fetch_binlog_layout(host: str, port: int, user: str, password: str,
                         filename: str | None = None,
                         ssl_ca: str | None = None,
-                        ssl_hostname: str | None = None
+                        ssl_hostname: str | None = None,
+                        compress: str | None = None
                         ) -> tuple[str, int, list[tuple[int, str, int]]]:
     """Driver-side metadata pass: (file, end_pos, [(pos, type, end)]).
     Defaults to the tip file (SHOW MASTER STATUS); pass ``filename`` to
@@ -154,7 +157,8 @@ def fetch_binlog_layout(host: str, port: int, user: str, password: str,
     from ru_cdc_spark.sources.mysql_client import pooled_connection
 
     with pooled_connection(host, port, user, password, ssl_ca=ssl_ca,
-                           ssl_hostname=ssl_hostname) as conn:
+                           ssl_hostname=ssl_hostname,
+                           compress=compress) as conn:
         if filename is None:
             fname, end_pos = conn.show_master_status()
         else:
@@ -200,14 +204,17 @@ def socket_cdc_frames(spark: SparkSession, host: str, port: int,
                       user: str, password: str,
                       n_slices: int = 8,
                       ssl_ca: str | None = None,
-                      ssl_hostname: str | None = None) -> DataFrame:
+                      ssl_hostname: str | None = None,
+                      compress: str | None = None) -> DataFrame:
     """Distributed COM_BINLOG_DUMP: frame DataFrame (pos long, frame
     binary) read over per-task sockets. ``ssl_ca`` runs every task's
     connection over verified TLS (CLIENT_SSL); certificate hostname
-    verification defaults to the dialed host."""
+    verification defaults to the dialed host. ``compress`` = "zlib" or
+    "zstd" runs the metadata pass AND every task's dump over the MySQL
+    compressed protocol (the WAN-replica configuration)."""
     fname, _end, events = fetch_binlog_layout(
         host, port, user, password, ssl_ca=ssl_ca,
-        ssl_hostname=ssl_hostname)
+        ssl_hostname=ssl_hostname, compress=compress)
     slices = slice_at_table_maps(events, n_slices)
     ranges = spark.createDataFrame(
         [(lo, hi) for lo, hi in slices], "lo long, hi long"
@@ -220,7 +227,8 @@ def socket_cdc_frames(spark: SparkSession, host: str, port: int,
                 for pos, frame in _dump_frames(host, port, user, password,
                                                fname, int(lo), int(hi),
                                                ssl_ca=ssl_ca,
-                                               ssl_hostname=ssl_hostname):
+                                               ssl_hostname=ssl_hostname,
+                                               compress=compress):
                     pos_out.append(pos)
                     frame_out.append(frame)
             yield pd.DataFrame({"pos": pd.Series(pos_out, dtype="int64"),

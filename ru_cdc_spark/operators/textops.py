@@ -912,106 +912,6 @@ GROUP BY 1
 """.replace("{words}", _WORDS_SQL)
 
 
-DUPSPAN_STRIP_K = 20  # strip unit: ~the ACL'22 50-token standard,
-# scaled to the fixture's ~50-word documents so the operator fires
-
-
-def text_duplicate_span_strip(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
-    """CUT duplicated spans, not just count them (the second half of
-    the Lee et al. ACL'22 exact-substring pipeline): every word
-    position covered by a cross-document duplicate ``DUPSPAN_STRIP_K``-
-    gram is removed, and the document's retained text is rebuilt from
-    the surviving words in order. Documents with no duplicated span
-    pass through with their normalized word stream intact.
-
-    Scale: the gram hash shuffle is the same uniform 128-bit key as
-    ``text_duplicate_spans``; coverage expansion is bounded by
-    K x dup-occurrences (never words x docs); the rebuild is one
-    groupBy(doc_id) over (pos, word) pairs with an in-agg sort —
-    text bytes cross the wire once, at the final collect of retained
-    words."""
-    docs = load_table(spark, sf_dir, "documents")
-    k = DUPSPAN_STRIP_K
-    words = (spread(docs)
-             .select("doc_id", words_col(F.col("text")).alias("w")))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("w")) - (k - 1)),
-        lambda i: F.md5(F.array_join(F.slice(F.col("w"), i, k), " ")),
-    )
-    positions = (words.where(F.size("w") >= k)
-                 .select("doc_id", F.posexplode(grams).alias("pos", "g")))
-    cross = (positions.groupBy("g")
-             .agg(F.count_distinct("doc_id").alias("nd"))
-             .where(F.col("nd") > 1).select("g"))
-    covered = (positions.join(cross, "g")
-               .select("doc_id",
-                       F.explode(F.sequence(
-                           F.col("pos"),
-                           F.col("pos") + (k - 1))).alias("cpos"))
-               .distinct())
-    word_pos = words.select(
-        "doc_id", F.posexplode(F.col("w")).alias("pos", "word"))
-    retained = (word_pos.join(
-        covered,
-        (word_pos["doc_id"] == covered["doc_id"])
-        & (word_pos["pos"] == covered["cpos"]), "left_anti"))
-    rebuilt = (retained.groupBy("doc_id")
-               .agg(F.array_join(
-                   F.transform(
-                       F.sort_array(F.collect_list(
-                           F.struct("pos", "word"))),
-                       lambda s: s["word"]), " ").alias("retained_text"),
-                   F.count("*").alias("n_kept")))
-    totals = words.select("doc_id", F.size("w").alias("n_words"))
-    return (totals.join(rebuilt, "doc_id", "left")
-            .select("doc_id", "n_words",
-                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-                    (F.col("n_words")
-                     - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-                    F.coalesce("retained_text", F.lit(""))
-                    .alias("retained_text")))
-
-
-TEXT_DUPLICATE_SPAN_STRIP_SQL = f"""
-WITH words AS (SELECT doc_id, {{words}} AS w FROM documents),
-pos AS (
-    SELECT doc_id, i - 1 AS pos,
-           md5(array_to_string(w[i:i+{DUPSPAN_STRIP_K - 1}], ' ')) AS g
-    FROM words, UNNEST(range(1, len(w) - {DUPSPAN_STRIP_K - 2})) AS t(i)
-    WHERE len(w) >= {DUPSPAN_STRIP_K}
-),
-cross_grams AS (
-    SELECT g FROM pos GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
-),
-covered AS (
-    SELECT DISTINCT doc_id, pos + u.c AS cpos
-    FROM pos JOIN cross_grams USING (g),
-         UNNEST(range({DUPSPAN_STRIP_K})) AS u(c)
-),
-word_pos AS (
-    SELECT doc_id, i - 1 AS pos, w[i] AS word
-    FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
-),
-retained AS (
-    SELECT wp.doc_id, wp.pos, wp.word
-    FROM word_pos wp
-    WHERE NOT EXISTS (SELECT 1 FROM covered c
-                      WHERE c.doc_id = wp.doc_id AND c.cpos = wp.pos)
-),
-rebuilt AS (
-    SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS retained_text,
-           COUNT(*) AS n_kept
-    FROM retained GROUP BY 1
-)
-SELECT w.doc_id, len(w.w) AS n_words,
-       COALESCE(r.n_kept, 0) AS n_kept,
-       len(w.w) - COALESCE(r.n_kept, 0) AS n_removed,
-       COALESCE(r.retained_text, '') AS retained_text
-FROM words w LEFT JOIN rebuilt r USING (doc_id)
-""".replace("{words}", _WORDS_SQL)
-
-
 # ---------------------------------------------------------------------------
 # exhaustive duplicated-span detection (exact substring dedup)
 # ---------------------------------------------------------------------------

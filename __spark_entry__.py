@@ -82,6 +82,8 @@ SHOWCASE = [
     "multimodal_meta", "multimodal_media_decode",
     # pipeline curation
     "quality_filter_chain", "pii_redaction",
+    # WARC (Common Crawl) corpus ingestion
+    "warc_ingest_documents",
 ]
 
 

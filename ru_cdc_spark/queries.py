@@ -2542,6 +2542,72 @@ def mysql_socket_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion (sources/warc.py, ISO 28500 — the Common Crawl
+    delivery format every web-scale training corpus arrives in) proven
+    by roundtrip: the documents table is packaged into .warc.gz
+    archives EXECUTOR-SIDE (one gzip member per record, HTTP response
+    payloads, deterministic record ids), then ``read_warc`` ingests
+    them back with file-level parallelism (one task per archive, the
+    Common Crawl layout), splits the HTTP blocks, and re-derives
+    (doc_id, text) — hash-matching the raw table proves the record
+    grammar, gzip member walk, and HTTP/charset handling are lossless
+    both ways. At 100 TB the archives ARE the input (tens of thousands
+    of ~1 GB shards); nothing here serializes through the driver."""
+    import os
+
+    import pandas as pd
+
+    from ru_cdc_spark.sources.readers import load_table
+    from ru_cdc_spark.sources.warc import (
+        encode_http_response,
+        encode_warc_record,
+        read_warc,
+        write_warc_gz,
+    )
+
+    work = _session_tmpdir("warc_")
+    out_dir = f"{work}/archives"
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def write_archive(batches):
+        from pyspark import TaskContext
+
+        recs = []
+        for pdf in batches:
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                body = encode_http_response(
+                    str(t).encode(),
+                    content_type="text/plain; charset=utf-8")
+                recs.append(encode_warc_record(
+                    "response", body,
+                    record_id=f"<urn:doc:{int(i)}>",
+                    target_uri=f"http://corpus.example/{int(i)}",
+                    content_type="application/http;msgtype=response"))
+        pid = TaskContext.get().partitionId()
+        if recs:
+            with open(f"{out_dir}/part{pid:05d}.warc.gz", "wb") as f:
+                f.write(write_warc_gz(recs))
+        yield pd.DataFrame({"n": pd.Series([len(recs)], dtype="int64")})
+
+    # one count row per partition — the collect materializes 8 ints,
+    # required because read_warc must see finished archive files
+    docs.repartition(8).mapInPandas(write_archive, "n long").collect()
+
+    out = read_warc(spark, f"{out_dir}/*.warc.gz")
+    return (out.where(F.col("warc_type") == "response")
+            .where(F.col("http_status") == 200)
+            .select(F.regexp_extract("target_uri", r"/(\d+)$", 1)
+                    .cast("long").alias("doc_id"),
+                    F.col("text")))
+
+
+WARC_INGEST_ORACLE = """
+SELECT doc_id, text FROM documents
+"""
+
+
 def mysql_socket_compressed_snapshot(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """The socket CDC pipeline over the MySQL COMPRESSED protocol
@@ -3356,6 +3422,8 @@ def _register_binlog_wire() -> None:
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_tls_snapshot)
     register("mysql_socket_compressed_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_compressed_snapshot)
+    register("warc_ingest_documents",
+             WARC_INGEST_ORACLE)(warc_ingest_documents)
     from ru_cdc_spark.sources.binlog_frames import cdc_snapshot_oracle
 
     register("mysql_socket_stream_snapshot",

@@ -82,8 +82,9 @@ SHOWCASE = [
     "multimodal_meta", "multimodal_media_decode",
     # pipeline curation
     "quality_filter_chain", "pii_redaction",
-    # WARC (Common Crawl) corpus ingestion
-    "warc_ingest_documents",
+    # corpus file-format ingestion (Common Crawl WARC, Dolma-style
+    # zstd JSONL shards)
+    "warc_ingest_documents", "jsonl_zst_ingest",
 ]
 
 

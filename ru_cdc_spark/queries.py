@@ -2608,6 +2608,38 @@ SELECT doc_id, text FROM documents
 """
 
 
+def jsonl_zst_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.jsonl.zst corpus shards (sources/corpus_files.py) — the format
+    Dolma/The Pile/RedPajama actually publish — proven by roundtrip:
+    the documents table is packaged executor-side into zstd-compressed
+    newline-JSON shards (pyarrow's libzstd when importable, so the
+    spec decoder reads a REFERENCE compressor's frames), read back one
+    task per shard through the RFC 8878 decoder in functions/zstd.py,
+    and typed by Spark's own from_json (JVM-side). Hash-matching the
+    raw table proves inflate + line split + JSON typing lossless.
+    Stock Spark cannot read these at all (no zstd codec on the default
+    classpath); at 100 TB parallelism = shard count, the published
+    layout's contract."""
+    from ru_cdc_spark.sources.corpus_files import (
+        read_jsonl,
+        write_jsonl_shards,
+    )
+    from ru_cdc_spark.sources.readers import load_table
+
+    work = _session_tmpdir("jsonl_zst_")
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source")
+    write_jsonl_shards(docs, f"{work}/shards", codec="zstd", n_shards=8)
+    return read_jsonl(spark, f"{work}/shards/*",
+                      "doc_id long, text string, lang string, "
+                      "source string").drop("shard")
+
+
+JSONL_ZST_INGEST_ORACLE = """
+SELECT doc_id, text, lang, source FROM documents
+"""
+
+
 def mysql_socket_compressed_snapshot(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """The socket CDC pipeline over the MySQL COMPRESSED protocol
@@ -3424,6 +3456,8 @@ def _register_binlog_wire() -> None:
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_compressed_snapshot)
     register("warc_ingest_documents",
              WARC_INGEST_ORACLE)(warc_ingest_documents)
+    register("jsonl_zst_ingest",
+             JSONL_ZST_INGEST_ORACLE)(jsonl_zst_ingest)
     from ru_cdc_spark.sources.binlog_frames import cdc_snapshot_oracle
 
     register("mysql_socket_stream_snapshot",

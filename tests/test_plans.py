@@ -468,3 +468,35 @@ def test_partial_json_decode_is_exchange_free(spark, sf_dir):
     happens against the before-image already in hand)."""
     df = REGISTRY["binlog_partial_json_update"].fn(spark, sf_dir)
     assert count_exchanges(df) <= 1  # at most the fixture spread
+
+
+def test_warc_ingest_stays_narrow_until_output(spark, sf_dir):
+    """WARC ingest: binaryFile scan -> Arrow parse -> projection. The
+    record parse must not shuffle archive payloads; the only exchanges
+    allowed are the fixture-writing repartition upstream (not part of
+    this plan) and none in the read path itself."""
+    df = REGISTRY["warc_ingest_documents"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan  # executor-side record parse
+
+
+def test_jsonl_zst_ingest_parses_json_jvm_side(spark, sf_dir):
+    """Compressed-shard ingest: Python only inflates and splits lines;
+    the JSON typing runs as Catalyst's from_json (JVM, codegen), and
+    nothing shuffles."""
+    df = REGISTRY["jsonl_zst_ingest"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    plan = physical_plan(df)
+    assert "from_json" in plan
+    assert "MapInPandas" in plan
+
+
+def test_socket_compressed_snapshot_same_shape_as_plain(spark, sf_dir):
+    """Compressed transport must not change the plan: narrow socket
+    read + Arrow decode + exactly one PK shuffle, identical to the
+    plaintext snapshot gate."""
+    df = REGISTRY["mysql_socket_compressed_snapshot"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    assert "MaxBy" in physical_plan(df) or \
+        "max_by" in physical_plan(df)

@@ -68,6 +68,7 @@ SHOWCASE = [
     "events_sessionize", "events_asof_orders",
     # real-wire Kafka sink roundtrip + KIP-98 idempotent retries
     "cdc_kafka_wire_roundtrip", "cdc_kafka_idempotent_stream",
+    "cdc_kafka_transactional_stream",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash_near_pairs",
     "dedup_embedding_cosine", "dedup_clusters_star",

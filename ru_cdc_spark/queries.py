@@ -3093,6 +3093,78 @@ def cdc_kafka_idempotent_stream(spark: SparkSession,
             .select("r.*"))
 
 
+def cdc_kafka_transactional_stream(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """KIP-98 TRANSACTIONS executed adversarially over the wire: each
+    executor partition produces its change-stream chunk inside a
+    transaction, and before every commit a sabotage transaction writes
+    a poison copy of the same records and ABORTS it. The broker stamps
+    COMMIT/ABORT control markers; the read_committed consumer runs the
+    published filter (LSO bound + aborted-transaction index + marker
+    suppression) — hash-matching the plain ``cdc_change_stream`` oracle
+    proves aborted data is invisible, committed data is complete, and
+    multi-batch transactions are atomic. This is the transactional
+    outbox topology CDC consumers build on; the reference's
+    fire-and-forget producer (message_queue.rs:91-135) cannot express
+    it."""
+    from ru_cdc_spark.sources.kafka_wire import (
+        KafkaBrokerFixture,
+        KafkaWireClient,
+        TransactionalProducer,
+    )
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+
+    import uuid as _uuid
+
+    topic = f"x{_uuid.uuid4().hex[:8]}_changes"
+    port = broker.port
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    payload = flat.select(
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+
+    def produce_txn(rows) -> None:
+        from pyspark import TaskContext
+
+        records = [(row["key"].encode(), row["value"].encode())
+                   for row in rows]
+        if not records:
+            return
+        task = TaskContext.get().partitionId()
+        with TransactionalProducer("127.0.0.1", port,
+                                   f"cdc-task-{task}") as p:
+            for i in range(0, len(records), 500):
+                chunk = records[i:i + 500]
+                # sabotage: the same records, aborted — a
+                # read_committed consumer must never see them
+                p.begin()
+                for j in range(0, len(chunk), 200):
+                    p.send(topic, 0, [(k, b"POISON:" + v)
+                                      for k, v in chunk[j:j + 200]])
+                p.abort()
+                p.begin()
+                for j in range(0, len(chunk), 200):
+                    p.send(topic, 0, chunk[j:j + 200])
+                p.commit()
+
+    payload.foreachPartition(produce_txn)
+
+    with KafkaWireClient.connect("127.0.0.1", port) as kc:
+        vals = [v.decode() for _, _, v in
+                kc.fetch_all(topic, 0, isolation="read_committed")]
+    payloads = spark.createDataFrame([(v,) for v in vals],
+                                     "payload string")
+    return (payloads
+            .select(F.from_json("payload", schema).alias("r"))
+            .select("r.*"))
+
+
 def cdc_kafka_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CONSUME side of the Kafka wire: change-stream JSON produced
     to a topic (real record batches), then ingested by the
@@ -3480,6 +3552,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_idempotent_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_idempotent_stream)
+    register("cdc_kafka_transactional_stream",
+             REGISTRY["cdc_change_stream"].oracle)(
+        cdc_kafka_transactional_stream)
     register("kafka_to_acid_snapshot",
              REGISTRY["cdc_merge_snapshot"].oracle)(
         kafka_to_acid_snapshot)

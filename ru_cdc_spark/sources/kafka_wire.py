@@ -28,7 +28,14 @@ protocol is implemented directly from the published spec:
   (producer_id, epoch, base_sequence); the broker fixture enforces the
   published sequence contract — in-order append, 5-batch dedup window
   answering retried sequences with the ORIGINAL offset, errors 45/46/
-  47/59 — so producer retries are exactly-once per partition.
+  47/59 — so producer retries are exactly-once per partition;
+* **transactions (KIP-98)**: AddPartitionsToTxn v0 / EndTxn v0,
+  transactional + control batch attribute bits, broker-authored
+  COMMIT/ABORT control markers, last-stable-offset bookkeeping, the
+  aborted-transaction index in Fetch v4, and the published
+  read_committed consumer filter — multi-partition atomic produces
+  with fencing (a re-initialized transactional id aborts its
+  predecessor's open transaction).
 
 Scale shape mirrors the RESP sink: one producer connection per
 executor partition, one Produce request per micro-batch partition
@@ -170,6 +177,10 @@ class _Reader:
 COMPRESSION_NONE, COMPRESSION_GZIP, COMPRESSION_SNAPPY, \
     COMPRESSION_LZ4, COMPRESSION_ZSTD = 0, 1, 2, 3, 4
 
+# batch attribute bits beyond the codec (published magic-2 layout)
+ATTR_TRANSACTIONAL = 0x10
+ATTR_CONTROL = 0x20
+
 
 def encode_record_batch(records: list[tuple[bytes | None, bytes]],
                         base_offset: int = 0,
@@ -177,7 +188,9 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
                         compression: str = "none",
                         producer_id: int = -1,
                         producer_epoch: int = -1,
-                        base_sequence: int = -1) -> bytes:
+                        base_sequence: int = -1,
+                        transactional: bool = False,
+                        control: bool = False) -> bytes:
     """[(key, value)] -> one magic-2 record batch. CRC32C covers the
     bytes from ``attributes`` to the end (the published layout);
     ``compression`` = "gzip" (RFC 1952 framing), "lz4" (LZ4 frame
@@ -228,6 +241,10 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
         attrs, recs = COMPRESSION_NONE, bytes(body)
     else:
         raise ValueError(f"unsupported compression {compression!r}")
+    if transactional:
+        attrs |= ATTR_TRANSACTIONAL
+    if control:
+        attrs |= ATTR_CONTROL
     after_crc = (
         _i16(attrs)                   # batch attributes (codec bits 0-2)
         + _i32(len(records) - 1)      # lastOffsetDelta
@@ -309,6 +326,8 @@ def decode_record_batch(data: bytes) -> dict:
     return {"base_offset": base_offset, "crc_ok": crc_ok,
             "producer_id": producer_id, "producer_epoch": producer_epoch,
             "base_sequence": base_sequence,
+            "transactional": bool(attrs & ATTR_TRANSACTIONAL),
+            "control": bool(attrs & ATTR_CONTROL),
             "records": records, "batch_end": end}
 
 
@@ -334,12 +353,32 @@ def decode_record_batches(data: bytes) -> list[dict]:
 
 API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
 API_INIT_PRODUCER_ID = 22
+API_ADD_PARTITIONS_TO_TXN = 24
+API_END_TXN = 26
 
-# KIP-98 idempotence error codes (published protocol error table)
+# KIP-98 idempotence/transaction error codes (published error table)
 ERR_OUT_OF_ORDER_SEQUENCE = 45
 ERR_DUPLICATE_SEQUENCE = 46
 ERR_INVALID_PRODUCER_EPOCH = 47
+ERR_INVALID_TXN_STATE = 48
 ERR_UNKNOWN_PRODUCER_ID = 59
+
+# control-record types (the marker a broker appends at EndTxn)
+CONTROL_ABORT, CONTROL_COMMIT = 0, 1
+
+
+def encode_control_record(marker: int) -> tuple[bytes, bytes]:
+    """The published control-record layout: key = version i16 (0) +
+    type i16 (0 abort / 1 commit); value = version i16 + coordinator
+    epoch i32 (opaque to consumers)."""
+    return (_i16(0) + _i16(marker), _i16(0) + _i32(0))
+
+
+def decode_control_record(key: bytes) -> int:
+    version = struct.unpack(">h", key[:2])[0]
+    if version != 0:
+        raise ValueError(f"unknown control record version {version}")
+    return struct.unpack(">h", key[2:4])[0]
 
 
 class KafkaError(RuntimeError):
@@ -441,6 +480,39 @@ class KafkaWireClient:
             raise KafkaError(err, "InitProducerId")
         return r.i64(), r.i16()
 
+    def add_partitions_to_txn(self, transactional_id: str,
+                              producer_id: int, producer_epoch: int,
+                              topic: str,
+                              partitions: list[int]) -> None:
+        """AddPartitionsToTxn v0 — registers (topic, partitions) with
+        the transaction before any transactional produce touches them
+        (the broker rejects unregistered transactional batches)."""
+        body = (_string(transactional_id) + _i64(producer_id)
+                + _i16(producer_epoch)
+                + _i32(1) + _string(topic)
+                + _i32(len(partitions))
+                + b"".join(_i32(p) for p in partitions))
+        r = self._request(API_ADD_PARTITIONS_TO_TXN, 0, body)
+        _throttle = r.i32()
+        for _ in range(r.i32()):
+            _topic = r.string()
+            for _ in range(r.i32()):
+                pid, err = r.i32(), r.i16()
+                if err:
+                    raise KafkaError(err, f"AddPartitionsToTxn {pid}")
+
+    def end_txn(self, transactional_id: str, producer_id: int,
+                producer_epoch: int, committed: bool) -> None:
+        """EndTxn v0 — the broker writes a COMMIT or ABORT control
+        marker into every partition the transaction touched."""
+        body = (_string(transactional_id) + _i64(producer_id)
+                + _i16(producer_epoch) + _i8(1 if committed else 0))
+        r = self._request(API_END_TXN, 0, body)
+        _throttle = r.i32()
+        err = r.i16()
+        if err:
+            raise KafkaError(err, "EndTxn")
+
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes]],
                 acks: int = -1, timeout_ms: int = 10000,
@@ -448,19 +520,24 @@ class KafkaWireClient:
                 compression: str = "none",
                 producer_id: int = -1,
                 producer_epoch: int = -1,
-                base_sequence: int = -1) -> int:
+                base_sequence: int = -1,
+                transactional: bool = False,
+                transactional_id: str | None = None) -> int:
         """Produce v3 — returns the assigned base offset. Passing
         producer_id/epoch/base_sequence stamps the KIP-98 idempotence
         fields; a broker that already appended this (pid, sequence)
         answers with the ORIGINAL base offset instead of re-appending
-        (retry dedup)."""
+        (retry dedup). ``transactional`` sets the batch attribute bit;
+        the partition must have been registered via
+        AddPartitionsToTxn."""
         batch = encode_record_batch(records,
                                     first_timestamp=first_timestamp,
                                     compression=compression,
                                     producer_id=producer_id,
                                     producer_epoch=producer_epoch,
-                                    base_sequence=base_sequence)
-        body = (_string(None) + _i16(acks) + _i32(timeout_ms)
+                                    base_sequence=base_sequence,
+                                    transactional=transactional)
+        body = (_string(transactional_id) + _i16(acks) + _i32(timeout_ms)
                 + _i32(1) + _string(topic)
                 + _i32(1) + _i32(partition) + _bytes32(batch))
         r = self._request(API_PRODUCE, 3, body)
@@ -476,12 +553,22 @@ class KafkaWireClient:
         return base_offset
 
     def fetch(self, topic: str, partition: int, offset: int,
-              max_bytes: int = 1 << 20) -> dict:
-        """Fetch v4 — {high_watermark, records: [(offset, key, value)]}
-        from ``offset``; record offsets are baseOffset + offsetDelta
-        (compacted topics leave gaps — never count positions)."""
+              max_bytes: int = 1 << 20,
+              isolation: str = "read_uncommitted") -> dict:
+        """Fetch v4 — {high_watermark, last_stable_offset, records:
+        [(offset, key, value)]} from ``offset``; record offsets are
+        baseOffset + offsetDelta (compacted topics leave gaps — never
+        count positions).
+
+        ``isolation="read_committed"`` runs the published consumer
+        algorithm: the broker serves only below the LSO plus the
+        aborted-transaction index; the client drops every record of an
+        aborted (pid, >= first_offset) transactional batch and never
+        surfaces control batches — so a consumer sees exactly the
+        committed records, in offset order."""
+        iso = {"read_uncommitted": 0, "read_committed": 1}[isolation]
         body = (_i32(-1) + _i32(100) + _i32(1) + _i32(max_bytes)
-                + _i8(0)
+                + _i8(iso)
                 + _i32(1) + _string(topic)
                 + _i32(1) + _i32(partition) + _i64(offset)
                 + _i32(max_bytes))
@@ -489,44 +576,72 @@ class KafkaWireClient:
         _throttle = r.i32()
         records: list[tuple] = []
         hw = -1
+        lso = -1
+        next_offset = offset
         for _ in range(r.i32()):
             _topic = r.string()
             for _ in range(r.i32()):
                 _pid, err = r.i32(), r.i16()
                 hw = r.i64()
-                _lso = r.i64()
-                for _ in range(r.i32()):  # aborted transactions
-                    r.i64()
-                    r.i64()
+                lso = r.i64()
+                aborted: list[tuple[int, int]] = []
+                for _ in range(r.i32()):  # aborted transactions index
+                    aborted.append((r.i64(), r.i64()))
                 record_set = r.bytes32() or b""
                 if err:
                     raise KafkaError(err, f"Fetch {topic}/{_pid}")
+                # the canonical read_committed walk: as batches stream
+                # in offset order, a pid becomes "aborted" when its
+                # indexed first_offset is reached and stays so until
+                # its control marker batch closes the transaction
+                aborted.sort(key=lambda t: t[1])
+                aborted_pids: set[int] = set()
+                ai = 0
                 for batch in decode_record_batches(record_set):
                     if not batch["crc_ok"]:
                         raise KafkaError(-2, "fetched batch CRC mismatch")
+                    next_offset = max(
+                        next_offset,
+                        batch["base_offset"] + len(batch["records"]))
+                    while ai < len(aborted) and \
+                            aborted[ai][1] <= batch["base_offset"]:
+                        aborted_pids.add(aborted[ai][0])
+                        ai += 1
+                    if batch["control"]:
+                        aborted_pids.discard(batch["producer_id"])
+                        continue  # markers are never surfaced as data
+                    if (iso == 1 and batch["transactional"]
+                            and batch["producer_id"] in aborted_pids):
+                        continue
                     # a served batch may CONTAIN records below the
                     # requested offset (brokers return the containing
                     # batch whole); filter client-side, per Kafka's
                     # consumer contract
                     records.extend(rec for rec in batch["records"]
                                    if rec[0] >= offset)
-        return {"high_watermark": hw, "records": records}
+        return {"high_watermark": hw, "last_stable_offset": lso,
+                "next_offset": next_offset, "records": records}
 
     def fetch_all(self, topic: str, partition: int,
-                  offset: int = 0) -> list[tuple]:
-        """Loop Fetch until the high watermark — each response is
-        bounded by max_bytes, exactly like a real consumer's poll
-        loop."""
+                  offset: int = 0,
+                  isolation: str = "read_uncommitted") -> list[tuple]:
+        """Loop Fetch until the high watermark (read_committed: the
+        last stable offset) — each response is bounded by max_bytes,
+        exactly like a real consumer's poll loop."""
         out: list[tuple] = []
         cur = offset
         while True:
-            got = self.fetch(topic, partition, cur)
-            recs = got["records"]
-            if recs:
-                out.extend(recs)
-                cur = recs[-1][0] + 1
-            if cur >= got["high_watermark"] or not recs:
+            got = self.fetch(topic, partition, cur, isolation=isolation)
+            out.extend(got["records"])
+            bound = (got["last_stable_offset"]
+                     if isolation == "read_committed"
+                     else got["high_watermark"])
+            # advance past every SERVED batch (markers and aborted
+            # batches advance the cursor without contributing records)
+            nxt = got["next_offset"]
+            if nxt <= cur or nxt >= bound:
                 return out
+            cur = nxt
 
     def close(self) -> None:
         try:
@@ -617,6 +732,68 @@ class IdempotentProducer:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class TransactionalProducer(IdempotentProducer):
+    """KIP-98 transactions on top of idempotence: sends between
+    ``begin()`` and ``commit()`` are atomic across every partition the
+    transaction touched — ``abort()`` makes them all invisible to a
+    read_committed consumer. Each send auto-registers its partition
+    via AddPartitionsToTxn (how kafka-clients' sender does it); EndTxn
+    has the broker stamp COMMIT/ABORT control markers into each
+    registered partition. A restart re-initializing the same
+    transactional id bumps the epoch, fencing the old instance —
+    together with read_committed fetch this is the end-to-end
+    exactly-once the reference's fire-and-forget producer cannot
+    offer."""
+
+    def __init__(self, host: str, port: int, transactional_id: str,
+                 client_id: str = "ru-cdc-spark") -> None:
+        super().__init__(host, port, transactional_id=transactional_id,
+                         client_id=client_id)
+        self.transactional_id = transactional_id
+        self._in_txn = False
+        self._txn_partitions: set[tuple[str, int]] = set()
+
+    def begin(self) -> None:
+        if self._in_txn:
+            raise RuntimeError("transaction already open")
+        self._in_txn = True
+        self._txn_partitions.clear()
+
+    def send(self, topic: str, partition: int,
+             records: list[tuple[bytes | None, bytes]],
+             compression: str = "none", retries: int = 2) -> int:
+        if not self._in_txn:
+            raise RuntimeError("send outside a transaction")
+        if (topic, partition) not in self._txn_partitions:
+            self._client.add_partitions_to_txn(
+                self.transactional_id, self.producer_id,
+                self.producer_epoch, topic, [partition])
+            self._txn_partitions.add((topic, partition))
+        seq = self._seq.get((topic, partition), 0)
+        off = self._client.produce(
+            topic, partition, records, compression=compression,
+            producer_id=self.producer_id,
+            producer_epoch=self.producer_epoch,
+            base_sequence=seq, transactional=True,
+            transactional_id=self.transactional_id)
+        self._seq[(topic, partition)] = seq + len(records)
+        return off
+
+    def commit(self) -> None:
+        self._end(True)
+
+    def abort(self) -> None:
+        self._end(False)
+
+    def _end(self, committed: bool) -> None:
+        if not self._in_txn:
+            raise RuntimeError("no open transaction")
+        self._client.end_txn(self.transactional_id, self.producer_id,
+                             self.producer_epoch, committed)
+        self._in_txn = False
+        self._txn_partitions.clear()
 
 
 # ---------------------------------------------------------------------------
@@ -769,6 +946,14 @@ class KafkaBrokerFixture:
         self._pid_epoch: dict[int, int] = {}
         self._pid_seq: dict[tuple[int, str, int], int] = {}
         self._pid_recent: dict[tuple[int, str, int], dict] = {}
+        # transaction state: pid -> partitions registered via
+        # AddPartitionsToTxn; per partition the ongoing txns' first
+        # offsets (the LSO inputs) and the aborted-range index served
+        # to read_committed fetchers
+        self._txn_parts: dict[int, set[tuple[str, int]]] = {}
+        self._ongoing: dict[tuple[str, int], dict[int, int]] = {}
+        self._aborted_idx: dict[tuple[str, int],
+                                list[tuple[int, int]]] = {}
         self._lock = threading.Lock()
         self._sock: socket.socket | None = None
         self._stop = threading.Event()
@@ -824,6 +1009,10 @@ class KafkaBrokerFixture:
                     body = self._fetch(r)
                 elif api_key == API_INIT_PRODUCER_ID:
                     body = self._init_producer_id(r)
+                elif api_key == API_ADD_PARTITIONS_TO_TXN:
+                    body = self._add_partitions_to_txn(r)
+                elif api_key == API_END_TXN:
+                    body = self._end_txn(r)
                 else:
                     body = _i16(35)  # UNSUPPORTED_VERSION
                 resp = _i32(corr) + body
@@ -852,7 +1041,9 @@ class KafkaBrokerFixture:
     def _api_versions(self) -> bytes:
         supported = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
                      (API_METADATA, 1, 1), (API_VERSIONS, 0, 0),
-                     (API_INIT_PRODUCER_ID, 0, 0)]
+                     (API_INIT_PRODUCER_ID, 0, 0),
+                     (API_ADD_PARTITIONS_TO_TXN, 0, 0),
+                     (API_END_TXN, 0, 0)]
         return (_i16(0) + _i32(len(supported))
                 + b"".join(_i16(k) + _i16(lo) + _i16(hi)
                            for k, lo, hi in supported))
@@ -864,8 +1055,13 @@ class KafkaBrokerFixture:
             if txn_id is not None and txn_id in self._txn_pids:
                 # same transactional id re-initializing: SAME pid,
                 # bumped epoch — in-flight produces stamped with the
-                # old epoch are now fenced (err 47)
+                # old epoch are now fenced (err 47). An unfinished
+                # transaction of the fenced instance is ABORTED, the
+                # real coordinator's recovery rule.
                 pid = self._txn_pids[txn_id]
+                if self._txn_parts.get(pid):
+                    self._finish_txn(pid, self._pid_epoch[pid],
+                                     committed=False)
                 self._pid_epoch[pid] += 1
                 # a new epoch starts its sequences at 0 (the producer
                 # is a fresh session); drop the old epoch's state
@@ -939,6 +1135,83 @@ class KafkaBrokerFixture:
                 out += _i32(pid) + _i16(err) + _i64(base) + _i64(-1)
         return out + _i32(0)
 
+    def _add_partitions_to_txn(self, r: _Reader) -> bytes:
+        _txn_id = r.string()
+        prod_id = r.i64()
+        epoch = r.i16()
+        out_topics = []
+        with self._lock:
+            known = self._pid_epoch.get(prod_id)
+            for _ in range(r.i32()):
+                topic = r.string() or ""
+                parts = []
+                for _ in range(r.i32()):
+                    part = r.i32()
+                    if known is None:
+                        err = ERR_UNKNOWN_PRODUCER_ID
+                    elif epoch < known:
+                        err = ERR_INVALID_PRODUCER_EPOCH
+                    else:
+                        err = 0
+                        self._txn_parts.setdefault(prod_id, set()).add(
+                            (topic, part))
+                    parts.append((part, err))
+                out_topics.append((topic, parts))
+        out = _i32(0) + _i32(len(out_topics))
+        for topic, parts in out_topics:
+            out += _string(topic) + _i32(len(parts))
+            for part, err in parts:
+                out += _i32(part) + _i16(err)
+        return out
+
+    def _end_txn(self, r: _Reader) -> bytes:
+        _txn_id = r.string()
+        prod_id = r.i64()
+        epoch = r.i16()
+        committed = bool(r.i8())
+        with self._lock:
+            known = self._pid_epoch.get(prod_id)
+            if known is None:
+                return _i32(0) + _i16(ERR_UNKNOWN_PRODUCER_ID)
+            if epoch < known:
+                return _i32(0) + _i16(ERR_INVALID_PRODUCER_EPOCH)
+            if not self._txn_parts.get(prod_id):
+                return _i32(0) + _i16(ERR_INVALID_TXN_STATE)
+            self._finish_txn(prod_id, epoch, committed)
+        return _i32(0) + _i16(0)
+
+    def _finish_txn(self, prod_id: int, epoch: int,
+                    committed: bool) -> None:
+        """Under the lock: stamp a COMMIT/ABORT control marker into
+        every partition the transaction registered; aborts land in the
+        partition's aborted index (what read_committed fetches serve).
+        The marker carries the producer's pid/epoch but NO sequence —
+        markers are broker-authored, outside the idempotence ledger."""
+        for (topic, part) in sorted(self._txn_parts.get(prod_id, ())):
+            first = self._ongoing.get((topic, part), {}).pop(
+                prod_id, None)
+            log = self.logs.setdefault((topic, part), [])
+            enc = self.enc_logs.setdefault((topic, part), [])
+            marker_off = len(log)
+            key, value = encode_control_record(
+                CONTROL_COMMIT if committed else CONTROL_ABORT)
+            enc.append((marker_off, 1, encode_record_batch(
+                [(key, value)], base_offset=marker_off,
+                producer_id=prod_id, producer_epoch=epoch,
+                transactional=True, control=True)))
+            log.append((key, value))
+            if not committed and first is not None:
+                self._aborted_idx.setdefault((topic, part), []).append(
+                    (prod_id, first))
+        self._txn_parts.pop(prod_id, None)
+
+    def _lso(self, topic: str, part: int) -> int:
+        """Last stable offset: the earliest ongoing transaction's
+        first offset, else the high watermark."""
+        hw = len(self.logs.get((topic, part), []))
+        ongoing = self._ongoing.get((topic, part), {})
+        return min(ongoing.values()) if ongoing else hw
+
     def _append_batch(self, topic: str, pid: int,
                       b: dict) -> tuple[int, int]:
         """Append one CRC-verified batch under the lock, enforcing the
@@ -949,6 +1222,11 @@ class KafkaBrokerFixture:
         the dedup that makes producer retries exactly-once."""
         prod_id = b["producer_id"]
         recs = [(k, v) for _, k, v in b["records"]]
+        if b["transactional"]:
+            # the partition must have been registered with the txn
+            # first — kafka's coordinator needs it to place markers
+            if (topic, pid) not in self._txn_parts.get(prod_id, ()):
+                return ERR_INVALID_TXN_STATE, -1
         if prod_id >= 0:
             known_epoch = self._pid_epoch.get(prod_id)
             if known_epoch is None:
@@ -975,16 +1253,21 @@ class KafkaBrokerFixture:
         log = self.logs.setdefault((topic, pid), [])
         enc = self.enc_logs.setdefault((topic, pid), [])
         base = len(log)
+        if b["transactional"]:
+            self._ongoing.setdefault((topic, pid), {}).setdefault(
+                prod_id, base)  # first offset of this txn's data here
         enc.append((base, len(recs), encode_record_batch(
             recs, base_offset=base,
             producer_id=prod_id,
             producer_epoch=b["producer_epoch"],
-            base_sequence=b["base_sequence"])))
+            base_sequence=b["base_sequence"],
+            transactional=b["transactional"])))
         log.extend(recs)
         return 0, base
 
     def _fetch(self, r: _Reader) -> bytes:
-        r.take(4 + 4 + 4 + 4 + 1)  # replica/max_wait/min/max/isolation
+        r.take(4 + 4 + 4 + 4)  # replica/max_wait/min_bytes/max_bytes
+        isolation = r.i8()  # 0 read_uncommitted / 1 read_committed
         out_topics = []
         for _ in range(r.i32()):
             topic = r.string() or ""
@@ -995,28 +1278,46 @@ class KafkaBrokerFixture:
                 pmax = r.i32()
                 with self._lock:
                     hw = len(self.logs.get((topic, pid), []))
+                    lso = self._lso(topic, pid)
                     enc = list(self.enc_logs.get((topic, pid), []))
+                    aborted = list(self._aborted_idx.get((topic, pid),
+                                                         []))
                 # serve STORED batches whose range reaches past the
                 # requested offset (consumers skip in-batch records
                 # below it, Kafka's actual contract), bounded by
                 # max_bytes but always at least one batch; tiny
-                # max_bytes = a watermark-only probe
+                # max_bytes = a watermark-only probe. read_committed
+                # additionally stops at the LSO — records of a still-
+                # open transaction are not stable and never served.
+                bound = lso if isolation == 1 else hw
                 chunks: list[bytes] = []
                 size = 0
+                served_end = offset
                 if pmax >= 64:
                     for b_base, b_n, b_bytes in enc:
                         if b_base + b_n <= offset:
                             continue
+                        if isolation == 1 and b_base >= bound:
+                            break
                         if chunks and size + len(b_bytes) > pmax:
                             break
                         chunks.append(b_bytes)
                         size += len(b_bytes)
-                parts.append((pid, hw, b"".join(chunks)))
+                        served_end = b_base + b_n
+                # the aborted-transaction index: entries whose range
+                # can overlap the served bytes (v4 layout: producer_id
+                # + first_offset per entry)
+                abt = [(p, first) for (p, first) in aborted
+                       if first < served_end] if isolation == 1 else []
+                parts.append((pid, hw, lso, abt, b"".join(chunks)))
             out_topics.append((topic, parts))
         out = _i32(0) + _i32(len(out_topics))
         for topic, parts in out_topics:
             out += _string(topic) + _i32(len(parts))
-            for pid, hw, record_set in parts:
-                out += (_i32(pid) + _i16(0) + _i64(hw) + _i64(hw)
-                        + _i32(0) + _bytes32(record_set))
+            for pid, hw, lso, abt, record_set in parts:
+                out += (_i32(pid) + _i16(0) + _i64(hw) + _i64(lso)
+                        + _i32(len(abt)))
+                for prod_id, first in abt:
+                    out += _i64(prod_id) + _i64(first)
+                out += _bytes32(record_set)
         return out

@@ -742,6 +742,96 @@ class FieldMeta:
 
 
 # --------------------------------------------------------------------------
+# binary protocol (prepared statements) — COM_STMT_PREPARE / EXECUTE /
+# CLOSE and the Binary Protocol Resultset Row, from the published docs.
+# The reference speaks only the text protocol; every ORM and connector
+# uses this one.
+# --------------------------------------------------------------------------
+
+COM_STMT_PREPARE = 0x16
+COM_STMT_EXECUTE = 0x17
+COM_STMT_CLOSE = 0x19
+
+TYPE_TINY = 0x01
+TYPE_LONG = 0x03
+TYPE_DOUBLE = 0x05
+TYPE_NULL = 0x06
+TYPE_LONGLONG = 0x08
+TYPE_VAR_STRING = 0xFD
+
+
+def encode_binary_value(ty: int, v) -> bytes:
+    """One Binary Protocol Value (NULLs travel in the row bitmap, never
+    here)."""
+    if ty == TYPE_TINY:
+        return struct.pack("<b", int(v))
+    if ty == TYPE_LONG:
+        return struct.pack("<i", int(v))
+    if ty == TYPE_LONGLONG:
+        return struct.pack("<q", int(v))
+    if ty == TYPE_DOUBLE:
+        return struct.pack("<d", float(v))
+    if ty == TYPE_VAR_STRING:
+        b = v if isinstance(v, bytes) else str(v).encode()
+        return write_lenenc_bytes(b)
+    raise ValueError(f"unsupported binary type 0x{ty:02x}")
+
+
+def decode_binary_value(ty: int, b: bytes, off: int):
+    if ty == TYPE_TINY:
+        return struct.unpack_from("<b", b, off)[0], off + 1
+    if ty == TYPE_LONG:
+        return struct.unpack_from("<i", b, off)[0], off + 4
+    if ty == TYPE_LONGLONG:
+        return struct.unpack_from("<q", b, off)[0], off + 8
+    if ty == TYPE_DOUBLE:
+        return struct.unpack_from("<d", b, off)[0], off + 8
+    if ty == TYPE_VAR_STRING:
+        s, off = read_lenenc_bytes(b, off)
+        return s.decode("utf-8", "replace"), off
+    raise ValueError(f"unsupported binary type 0x{ty:02x}")
+
+
+def encode_binary_row(values: list, col_types: list[int]) -> bytes:
+    """Binary Protocol Resultset Row: 0x00 header, NULL bitmap with a
+    2-bit offset (the published quirk), then non-NULL values in column
+    order by the RESULT SET's declared column types."""
+    n = len(values)
+    bitmap = bytearray((n + 7 + 2) // 8)
+    body = bytearray()
+    for i, (v, ty) in enumerate(zip(values, col_types)):
+        if v is None:
+            bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
+        else:
+            body += encode_binary_value(ty, v)
+    return b"\x00" + bytes(bitmap) + bytes(body)
+
+
+def decode_binary_row(b: bytes, col_types: list[int]) -> list:
+    if b[:1] != b"\x00":
+        raise ValueError("not a binary resultset row")
+    n = len(col_types)
+    bm_len = (n + 7 + 2) // 8
+    bitmap = b[1:1 + bm_len]
+    off = 1 + bm_len
+    out = []
+    for i, ty in enumerate(col_types):
+        if bitmap[(i + 2) // 8] & (1 << ((i + 2) % 8)):
+            out.append(None)
+        else:
+            v, off = decode_binary_value(ty, b, off)
+            out.append(v)
+    return out
+
+
+@dataclass
+class PreparedStatement:
+    stmt_id: int
+    n_params: int
+    col_defs: list[ColDef]
+
+
+# --------------------------------------------------------------------------
 # the client connection
 # --------------------------------------------------------------------------
 

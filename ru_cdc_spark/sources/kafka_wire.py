@@ -624,14 +624,18 @@ class KafkaWireClient:
 
     def fetch_all(self, topic: str, partition: int,
                   offset: int = 0,
-                  isolation: str = "read_uncommitted") -> list[tuple]:
+                  isolation: str = "read_uncommitted",
+                  max_bytes: int = 1 << 20) -> list[tuple]:
         """Loop Fetch until the high watermark (read_committed: the
-        last stable offset) — each response is bounded by max_bytes,
-        exactly like a real consumer's poll loop."""
+        last stable offset) — each response is bounded by max_bytes
+        (fetch.max.bytes), exactly like a real consumer's poll loop.
+        Small max_bytes forces multi-window fetches, the shape that
+        exposed the round-5 aborted-index range bug."""
         out: list[tuple] = []
         cur = offset
         while True:
-            got = self.fetch(topic, partition, cur, isolation=isolation)
+            got = self.fetch(topic, partition, cur,
+                             max_bytes=max_bytes, isolation=isolation)
             out.extend(got["records"])
             bound = (got["last_stable_offset"]
                      if isolation == "read_committed"
@@ -1201,8 +1205,13 @@ class KafkaBrokerFixture:
                 transactional=True, control=True)))
             log.append((key, value))
             if not committed and first is not None:
+                # store BOTH ends of the aborted range: real brokers'
+                # .txnindex keeps (firstOffset, lastOffset/marker) so a
+                # fetch serves only entries overlapping its window —
+                # serving stale entries re-poisons pids whose ABORT
+                # marker a consumer already saw, dropping COMMITTED data
                 self._aborted_idx.setdefault((topic, part), []).append(
-                    (prod_id, first))
+                    (prod_id, first, marker_off))
         self._txn_parts.pop(prod_id, None)
 
     def _lso(self, topic: str, part: int) -> int:
@@ -1304,11 +1313,15 @@ class KafkaBrokerFixture:
                         chunks.append(b_bytes)
                         size += len(b_bytes)
                         served_end = b_base + b_n
-                # the aborted-transaction index: entries whose range
-                # can overlap the served bytes (v4 layout: producer_id
-                # + first_offset per entry)
-                abt = [(p, first) for (p, first) in aborted
-                       if first < served_end] if isolation == 1 else []
+                # the aborted-transaction index: ONLY entries whose
+                # [first, marker] range overlaps the served window —
+                # an entry whose ABORT marker precedes this fetch's
+                # offset was fully consumed in an earlier window and
+                # must not re-mark the pid aborted (v4 wire layout is
+                # still producer_id + first_offset per entry)
+                abt = ([(p, first) for (p, first, marker) in aborted
+                        if first < served_end and marker >= offset]
+                       if isolation == 1 else [])
                 parts.append((pid, hw, lso, abt, b"".join(chunks)))
             out_topics.append((topic, parts))
         out = _i32(0) + _i32(len(out_topics))

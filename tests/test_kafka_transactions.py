@@ -116,6 +116,141 @@ class TestCommitAbortVisibility:
             c2.close()
 
 
+class TestMultiWindowFetch:
+    """Regression for the round-5 wrong answer: the broker's aborted-
+    transaction index stored only (pid, first_offset) and served every
+    entry below the window end — so on the SECOND fetch window, an
+    entry whose ABORT marker was already consumed re-marked the pid
+    aborted and the client dropped COMMITTED batches. Real brokers'
+    .txnindex stores the marker offset too and serves only entries
+    overlapping the fetched range."""
+
+    def test_committed_survive_tiny_fetch_windows(self, broker):
+        # abort→commit→abort→commit from ONE producer, then read the
+        # topic back 256 bytes at a time: every committed record must
+        # surface, zero aborted ones. (With the round-5 index this
+        # returned 0/50.)
+        committed = []
+        with TransactionalProducer("127.0.0.1", broker.port, "t1") as p:
+            for round_ in range(5):
+                p.begin()
+                p.send("t", 0, [(None, b"poison-%d-%d" % (round_, i))
+                                for i in range(5)])
+                p.abort()
+                p.begin()
+                batch = [(None, b"good-%d-%d" % (round_, i))
+                         for i in range(5)]
+                p.send("t", 0, batch)
+                committed.extend(v for _, v in batch)
+                p.commit()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            for mb in (256, 512, 1 << 20):
+                got = [v for _, _, v in c.fetch_all(
+                    "t", 0, isolation="read_committed", max_bytes=mb)]
+                assert got == committed, f"max_bytes={mb}"
+
+    def test_interleaved_pids_multi_window(self, broker):
+        # two producers interleaved, committed data from one must not
+        # be poisoned by the other's stale aborted-index entries
+        pa = TransactionalProducer("127.0.0.1", broker.port, "ta")
+        pb = TransactionalProducer("127.0.0.1", broker.port, "tb")
+        want = []
+        for i in range(8):
+            pa.begin(), pb.begin()
+            pa.send("t", 0, [(None, b"a-%d" % i)])
+            pb.send("t", 0, [(None, b"b-%d" % i)])
+            if i % 2:
+                pa.commit()
+                want.append(b"a-%d" % i)
+                pb.abort()
+            else:
+                pa.abort()
+                pb.commit()
+                want.append(b"b-%d" % i)
+        pa.close(), pb.close()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            got = [v for _, _, v in c.fetch_all(
+                "t", 0, isolation="read_committed", max_bytes=128)]
+            assert sorted(got) == sorted(want)
+
+    def test_mid_stream_start_offset(self, broker):
+        # starting a consumer mid-topic: entries whose marker precedes
+        # the start offset must be excluded, entries spanning it kept
+        with TransactionalProducer("127.0.0.1", broker.port, "t1") as p:
+            p.begin()
+            p.send("t", 0, [(None, b"dead-1"), (None, b"dead-2")])
+            p.abort()  # offsets 0,1 + marker 2
+            p.begin()
+            p.send("t", 0, [(None, b"live-1")])  # offset 3
+            p.commit()  # marker 4
+            p.begin()
+            p.send("t", 0, [(None, b"dead-3")])  # offset 5
+            p.abort()  # marker 6
+            p.begin()
+            p.send("t", 0, [(None, b"live-2")])  # offset 7
+            p.commit()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            got = [v for _, _, v in c.fetch_all(
+                "t", 0, offset=3, isolation="read_committed",
+                max_bytes=96)]
+            assert got == [b"live-1", b"live-2"]
+
+
+class TestMultiPartitionTransactions:
+    """KIP-98's point: markers are stamped on ALL registered
+    partitions, atomically — not just partition 0 (round-5 gap)."""
+
+    def test_abort_invisible_on_every_partition(self, broker):
+        with TransactionalProducer("127.0.0.1", broker.port, "t1") as p:
+            p.begin()
+            for part in range(3):
+                p.send("t", part, [(None, b"x%d" % part)])
+            p.abort()
+            p.begin()
+            for part in range(3):
+                p.send("t", part, [(None, b"keep%d" % part)])
+            p.commit()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            for part in range(3):
+                got = [v for _, _, v in c.fetch_all(
+                    "t", part, isolation="read_committed",
+                    max_bytes=96)]
+                assert got == [b"keep%d" % part], f"partition {part}"
+
+    def test_commit_spans_partitions_atomically(self, broker):
+        with TransactionalProducer("127.0.0.1", broker.port, "t1") as p:
+            p.begin()
+            p.send("t", 0, [(None, b"l")])
+            p.send("t", 2, [(None, b"r")])
+            p.commit()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            assert _vals(c, "t", "read_committed") == [b"l"]
+            assert [v for _, _, v in c.fetch_all(
+                "t", 2, isolation="read_committed")] == [b"r"]
+            # partition 1 was never touched: no log, no markers
+            assert c.fetch("t", 1, 0)["high_watermark"] == 0
+
+    def test_epoch_fence_rejects_old_producer_all_partitions(self, broker):
+        p_old = TransactionalProducer("127.0.0.1", broker.port, "app")
+        p_old.begin()
+        p_old.send("t", 0, [(None, b"z0")])
+        p_old.send("t", 1, [(None, b"z1")])
+        p_new = TransactionalProducer("127.0.0.1", broker.port, "app")
+        assert p_new.producer_epoch == p_old.producer_epoch + 1
+        # zombie fenced on every partition it writes to
+        for part in (0, 1):
+            with pytest.raises(KafkaError):
+                p_old.send("t", part, [(None, b"late")])
+        p_new.begin()
+        p_new.send("t", 1, [(None, b"fresh")])
+        p_new.commit()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            assert [v for _, _, v in c.fetch_all(
+                "t", 1, isolation="read_committed")] == [b"fresh"]
+            assert _vals(c, "t", "read_committed") == []
+        p_old.close(), p_new.close()
+
+
 class TestLastStableOffset:
     def test_open_txn_blocks_read_committed(self, broker):
         p = TransactionalProducer("127.0.0.1", broker.port, "t1")

@@ -194,6 +194,9 @@ class PacketIO:
         """Bytes buffered past the last packet (TLS-boundary check)."""
         return len(self._buf) - self._off
 
+    def settimeout(self, t) -> None:
+        self.sock.settimeout(t)
+
     def _read_exact(self, n: int, exact: bool = False) -> bytes:
         # buffered: drain the socket in 64 KiB chunks so a stream of
         # small packets (binlog events) costs ~1 syscall per chunk, not
@@ -871,6 +874,11 @@ class MySQLConnection:
                            ssl_ca=ssl_ca,
                            ssl_hostname=ssl_hostname or host,
                            compress=compress)
+        # the timeout bounds CONNECT only; a deadline left armed on the
+        # established socket turns any >timeout read stall (contended
+        # host, long dump) into a fatal 2013 "lost connection" — every
+        # post-connect recv must block indefinitely, like libmysql
+        conn.io.settimeout(None)
         return conn
 
     @staticmethod

@@ -27,6 +27,7 @@ from __future__ import annotations
 import re
 import socket
 import threading
+import time
 
 from ru_cdc_spark.sources.mysql_client import (
     CLIENT_COMPRESS,
@@ -186,12 +187,19 @@ class MySQLFixtureServer:
                  nonce: bytes | None = None,
                  host: str = "127.0.0.1",
                  die_after_events: int | None = None,
+                 stall_mid_dump_secs: float = 0.0,
                  default_auth: str = CACHING_SHA2_PLUGIN,
                  tls: bool = False,
                  tls_required: bool = False) -> None:
         # fault injection: hang up mid-dump after N event packets
         # WITHOUT the EOF terminator (the server-crash contract test)
         self.die_after_events = die_after_events
+        # fault injection: send half the dump, go silent for N seconds,
+        # then send the rest — models a contended/WAN master whose read
+        # stalls exceed any client-side connect timeout (the round-5
+        # driver-bench killer: a 10s connect deadline left armed on the
+        # established socket converted one stall into a fatal 2013)
+        self.stall_mid_dump_secs = stall_mid_dump_secs
         self.user = user
         self.password = password
         # MySQL 8's default is caching_sha2_password; pass
@@ -573,7 +581,13 @@ class MySQLFixtureServer:
         try:
             # one buffered sendall: the event stream leaves in TCP-sized
             # writes instead of one syscall per tiny packet
-            io.sock.sendall(bytes(out))
+            if self.stall_mid_dump_secs:
+                half = len(out) // 2
+                io.sock.sendall(bytes(out[:half]))
+                time.sleep(self.stall_mid_dump_secs)
+                io.sock.sendall(bytes(out[half:]))
+            else:
+                io.sock.sendall(bytes(out))
         except (ConnectionError, OSError):
             # slice readers hang up once their [lo, hi) range is
             # satisfied — a client disconnect mid-dump is normal

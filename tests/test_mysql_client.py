@@ -315,6 +315,36 @@ class TestClientServerExchange:
                 list(conn.binlog_dump("binlog.999999", 4))
             assert exc.value.code == 1236
 
+    def test_dump_survives_server_stall_past_connect_timeout(self):
+        """Round-6 regression for the round-5 driver-bench crash: the
+        10s CONNECT timeout was left armed on the established socket,
+        so any read stall >10s mid-dump raised a fatal 2013. The server
+        here goes silent for 12s mid-dump; the dump must complete."""
+        vb = VirtualBinlog.from_cdc_fixture(50)
+        ref = MySQLFixtureServer(user="repl", password="replpass",
+                                 binlog=vb).start()
+        try:
+            with MySQLConnection.connect("127.0.0.1", ref.port,
+                                         "repl", "replpass") as conn:
+                expected = list(conn.binlog_dump("binlog.000001", 4))
+        finally:
+            ref.stop()
+        srv = MySQLFixtureServer(
+            user="repl", password="replpass",
+            binlog=vb,
+            stall_mid_dump_secs=12.0,
+        ).start()
+        try:
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         "repl", "replpass",
+                                         timeout=10.0) as conn:
+                # post-connect the socket must block indefinitely
+                assert conn.io.sock.gettimeout() is None
+                events = list(conn.binlog_dump("binlog.000001", 4))
+            assert events == expected  # full stream, nothing truncated
+        finally:
+            srv.stop()
+
     def test_concurrent_connections(self, server):
         """Slice-parallel readers each get a private, complete stream."""
         conns = [MySQLConnection.connect("127.0.0.1", server.port,

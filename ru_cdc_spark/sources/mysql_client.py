@@ -304,9 +304,9 @@ class CompressedStream:
 
             return _pa.Codec("zstd").compress(data).to_pybytes()
         except ImportError:
-            from ru_cdc_spark.functions.zstd import compress_store
+            from ru_cdc_spark.functions.zstd import compress
 
-            return compress_store(data)
+            return compress(data)
 
     def sendall(self, data: bytes) -> None:
         view = memoryview(data)

@@ -463,6 +463,19 @@ def test_span_strip_gram_shuffle_carries_no_text(spark, sf_dir):
         or "count(doc_id" in plan.lower()
 
 
+def test_span_strip_all_jvm_anti_join_shape(spark, sf_dir):
+    """Round-6 gates for the strip plan's load-bearing properties:
+    pure JVM (no Python stage anywhere — the operator is SQL functions
+    end to end) and covered positions removed by an ANTI join BEFORE
+    the rebuild aggregate (the A/B-winning shape: flag-carrying
+    variants ship the full word stream through the groupBy)."""
+    df = REGISTRY["text_duplicate_span_strip"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan \
+        and "BatchEvalPython" not in plan
+    assert "LeftAnti" in plan
+
+
 def test_partial_json_decode_is_exchange_free(spark, sf_dir):
     """Type-39 decode is a payload-local narrow map (diff application
     happens against the before-image already in hand)."""

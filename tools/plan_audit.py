@@ -87,6 +87,22 @@ AUDIT = [
     ("multimodal_png_decode",
      "real PNG encode+decode as chained narrow Arrow maps; only 4 longs "
      "per image leave the operator"),
+    ("text_duplicate_span_strip",
+     "all-JVM exact-substring strip: uniform gram-hash shuffle, "
+     "K x dup-occurrence-bounded coverage, anti-join BEFORE the rebuild "
+     "aggregate (A/B-beat every flag-carrying consolidation)"),
+    ("text_bpe_word_freq",
+     "the Sennrich decomposition's one corpus shuffle: word -> count "
+     "with map-side partial agg; vocabulary-bounded collect"),
+    ("text_bpe_token_counts",
+     "BPE encode as a broadcast-merges narrow Arrow map; zero shuffle "
+     "before the final count agg"),
+    ("warc_ingest_documents",
+     "one task per WARC shard (binaryFile scan), record parse inside "
+     "Arrow batches — no shuffle"),
+    ("jsonl_zst_ingest",
+     "binaryFile shard scan -> executor-side zstd inflate + line split "
+     "-> JVM from_json; no shuffle"),
 ]
 
 

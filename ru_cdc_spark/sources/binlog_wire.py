@@ -1067,9 +1067,16 @@ def encode_transaction_payload(inner: bytes, compress: bool = True,
     the NONE-type payload a server emits for incompressible
     transactions."""
     if compress:
-        from ru_cdc_spark.functions.zstd import compress as zstd_compress
+        try:
+            import pyarrow as _pa
 
-        payload = zstd_compress(inner, checksum=False)
+            payload = _pa.Codec("zstd").compress(inner).to_pybytes()
+        except ImportError:
+            from ru_cdc_spark.functions.zstd import (
+                compress as zstd_compress,
+            )
+
+            payload = zstd_compress(inner, checksum=False)
         ctype = TP_COMPRESSION_ZSTD
     else:
         payload = inner

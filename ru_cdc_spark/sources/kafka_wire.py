@@ -232,12 +232,19 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
         attrs, recs = COMPRESSION_LZ4, lz4_frame_compress(bytes(body))
     elif compression == "zstd":
         # KIP-110 codec 4. Produce emits genuinely compressed RFC 8878
-        # frames (functions/zstd.py compress: greedy matches +
+        # frames: libzstd via pyarrow when importable, else the spec
+        # encoder (functions/zstd.py compress: greedy matches +
         # predefined-table FSE + Huffman literals — CLI/libzstd
         # validated); the fetch side decodes ANY conformant frame
-        from ru_cdc_spark.functions.zstd import compress
+        try:
+            import pyarrow as _pa
 
-        attrs, recs = COMPRESSION_ZSTD, compress(bytes(body))
+            recs = _pa.Codec("zstd").compress(bytes(body)).to_pybytes()
+        except ImportError:
+            from ru_cdc_spark.functions.zstd import compress
+
+            recs = compress(bytes(body))
+        attrs = COMPRESSION_ZSTD
     elif compression == "none":
         attrs, recs = COMPRESSION_NONE, bytes(body)
     else:

@@ -1080,14 +1080,18 @@ _HASH_LOG = 16
 
 
 def _find_sequences(data: bytes, lo: int, hi: int,
-                    table: dict[int, int]
+                    table: dict[int, int],
+                    rep: list[int]
                     ) -> tuple[list[tuple[int, int, int]], bytes]:
     """Greedy single-probe match finder over data[lo:hi] (the zstd
-    fast-level shape): 4-byte hash -> most recent position, forward
-    extension, LZ4-style skip acceleration through incompressible
-    runs. ``table`` persists across blocks so matches may reference
-    earlier blocks (single-segment window = whole frame). Returns
-    (sequences with ofv = offset + 3, literals)."""
+    fast-level shape): repeat-offset-0 probe first (1-2 bits on the
+    wire vs log2(offset)), then 4-byte hash -> most recent position,
+    forward extension, LZ4-style skip acceleration through
+    incompressible runs. ``table`` and ``rep`` persist across blocks
+    (single-segment window = whole frame; the repeat history is
+    frame-scoped, §3.1.1.3.2.1.1). Returns (sequences with coded
+    offset values, literals). ``rep`` is updated in place, mirroring
+    the decoder's _execute rules exactly."""
     import struct
 
     u32 = struct.Struct("<I").unpack_from
@@ -1105,26 +1109,44 @@ def _find_sequences(data: bytes, lo: int, hi: int,
         key = (v * mul >> 16) & mask
         cand = get(key)
         table[key] = i
-        if (cand is not None and u32(data, cand)[0] == v
+        r0 = i - rep[0]
+        if r0 >= 0 and u32(data, r0)[0] == v:
+            # repeat-offset match: cheapest possible offset coding
+            cand, is_rep = r0, True
+        elif (cand is not None and u32(data, cand)[0] == v
                 and i - cand < (1 << 28)):
-            # extend forward, capped at the block end
-            ml = 4
-            max_ml = hi - i
-            while ml < max_ml and data[cand + ml] == data[i + ml]:
-                ml += 1
-            ll = i - anchor
-            lits += data[anchor:i]
-            seqs.append((ll, ml, (i - cand) + 3))
-            i += ml
-            anchor = i
-            search_len = 0
-            # seed the position after the match for chain continuity
-            if i <= limit:
-                k2 = (u32(data, i - 2)[0] * mul >> 16) & mask
-                table[k2] = i - 2
+            is_rep = False
         else:
             search_len += 1
             i += 1 + (search_len >> 6)
+            continue
+        # extend forward, capped at the block end
+        ml = 4
+        max_ml = hi - i
+        while ml < max_ml and data[cand + ml] == data[i + ml]:
+            ml += 1
+        ll = i - anchor
+        offset = i - cand
+        if is_rep:
+            # offset == rep[0]: ofv 1 with ll != 0; with ll == 0 the
+            # substitution rule shifts meanings (ofv 1 -> rep[1]), so
+            # a literal-less rep0 match must be coded explicitly
+            ofv = 1 if ll != 0 else offset + 3
+        else:
+            ofv = offset + 3
+        # mirror the decoder's repeat-history update (_execute)
+        if ofv > 3:
+            rep[0], rep[1], rep[2] = offset, rep[0], rep[1]
+        # ofv == 1 with ll != 0 resolves to rep[0]: history unchanged
+        lits += data[anchor:i]
+        seqs.append((ll, ml, ofv))
+        i += ml
+        anchor = i
+        search_len = 0
+        # seed the position after the match for chain continuity
+        if i <= limit:
+            k2 = (u32(data, i - 2)[0] * mul >> 16) & mask
+            table[k2] = i - 2
     lits += data[anchor:hi]
     return seqs, bytes(lits)
 
@@ -1154,12 +1176,17 @@ def compress(data: bytes, checksum: bool = True) -> bytes:
         out += (1).to_bytes(3, "little")  # empty raw last block
     else:
         table: dict[int, int] = {}
+        rep = [1, 4, 8]  # frame-scoped repeat history (§3.1.1.3.2.1.1)
         off = 0
         while off < n:
             hi = min(off + _BLOCK, n)
             last = 1 if hi >= n else 0
             block_len = hi - off
-            seqs, lits = _find_sequences(data, off, hi, table)
+            # the matcher mutates a trial copy of the repeat history:
+            # it's committed only if the block is EMITTED compressed —
+            # a raw fallback means the decoder never saw the sequences
+            trial_rep = list(rep)
+            seqs, lits = _find_sequences(data, off, hi, table, trial_rep)
             body = None
             if seqs or len(lits) >= 16:
                 lit_sec = _encode_literals(lits)
@@ -1172,6 +1199,7 @@ def compress(data: bytes, checksum: bool = True) -> bytes:
                 out += ((len(body) << 3) | (2 << 1) | last).to_bytes(
                     3, "little")
                 out += body
+                rep = trial_rep
             else:
                 out += ((block_len << 3) | last).to_bytes(3, "little")
                 out += data[off:hi]

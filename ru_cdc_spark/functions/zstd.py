@@ -794,12 +794,13 @@ def compress_store(data: bytes, checksum: bool = True) -> bytes:
 # (1- and 4-stream), and FSE sequence coding against the RFC's
 # PREDEFINED distributions — so no table ever needs transmitting and
 # every emitted block is decodable by any conformant implementation
-# (validated against the zstd CLI in tests/test_zstd.py). Blocks where
-# none of that wins fall back to raw, so output is never larger than
-# compress_store's. Known limits, by design: literals whose alphabet
-# reaches past symbol 127 can't use direct weights (FSE-compressed
-# weights are decode-only here) and fall back to raw literals; repeat
-# offsets are never emitted.
+# (validated against the zstd CLI in tests/test_zstd.py). Huffman tree
+# descriptions use direct 4-bit weights or FSE-compressed weights
+# (normalized counts + the interleaved 2-state backward stream),
+# whichever is smaller — so wide (non-ASCII) literal alphabets
+# compress too. Repeat-offset-0 matches are emitted (probed before the
+# hash table). Blocks where none of that wins fall back to raw, so
+# output is never larger than compress_store's.
 # ---------------------------------------------------------------------------
 
 
@@ -925,6 +926,163 @@ def _encode_sequences_predef(seqs: list[tuple[int, int, int]]) -> bytes:
     return hdr + w.bytes()
 
 
+def _fse_normalize(freqs: list[int], accuracy_log: int) -> list[int] | None:
+    """Normalize symbol counts to probabilities summing to
+    2^accuracy_log, RFC form: nonzero counts get >= 1, counts scaling
+    below one get the -1 ("less than one") probability. None when the
+    distribution can't be represented (fewer than 2 nonzero symbols)."""
+    size = 1 << accuracy_log
+    total = sum(freqs)
+    nonzero = [s for s, f in enumerate(freqs) if f]
+    if len(nonzero) < 2 or total == 0:
+        return None
+    probs = [0] * len(freqs)
+    used = 0
+    for s in nonzero:
+        p = freqs[s] * size // total
+        if p == 0:
+            probs[s] = -1
+            used += 1
+        else:
+            probs[s] = p
+            used += p
+    # largest-count symbol absorbs the rounding remainder
+    big = max(nonzero, key=lambda s: freqs[s])
+    adj = size - used
+    if probs[big] + adj < 1:
+        return None  # remainder would zero out the anchor symbol
+    probs[big] += adj
+    while probs and probs[-1] == 0:
+        probs.pop()
+    return probs
+
+
+def _fse_write_ncount(accuracy_log: int, probs: list[int]) -> bytes:
+    """Serialize normalized counts (§4.1.1) — the exact inverse of
+    _fse_read_ncount: 4-bit accuracy, variable-width prob+1 fields with
+    the shrinking threshold, 2-bit zero-repeat runs after each zero."""
+    table_size = 1 << accuracy_log
+    remaining = table_size + 1
+    threshold = table_size
+    nb_bits = accuracy_log + 1
+    v = 0
+    pos = 0
+
+    def emit(val: int, n: int) -> None:
+        nonlocal v, pos
+        v |= val << pos
+        pos += n
+
+    emit(accuracy_log - 5, 4)
+    i = 0
+    while remaining > 1 and i < len(probs):
+        p = probs[i]
+        c = p + 1  # stored value; -1 prob stores 0
+        maxv = 2 * threshold - 1 - remaining
+        if c < maxv:
+            emit(c, nb_bits - 1)
+        elif c < threshold:
+            emit(c, nb_bits)
+        else:
+            emit(c + maxv, nb_bits)
+        remaining -= -p if p < 0 else p
+        i += 1
+        if p == 0:
+            # run-length the zeros that follow
+            z = 0
+            while i + z < len(probs) and probs[i + z] == 0:
+                z += 1
+            i += z
+            while z >= 3:
+                emit(3, 2)
+                z -= 3
+            emit(z, 2)
+        while remaining < threshold and remaining > 1:
+            nb_bits -= 1
+            threshold >>= 1
+    if remaining != 1:  # pragma: no cover
+        raise ZstdError("ncount serialization did not close")
+    return v.to_bytes((pos + 7) // 8, "little")
+
+
+def _encode_fse_weights(weights: list[int]) -> bytes | None:
+    """FSE-compressed Huffman tree description (§4.2.1.1): normalized
+    counts + the interleaved 2-state backward bitstream. ``weights``
+    excludes the implied last. None when the weight alphabet can't be
+    FSE-coded (degenerate distributions)."""
+    from bisect import bisect_right
+
+    n = len(weights)
+    if n < 2:
+        return None
+    freqs = [0] * (max(weights) + 1)
+    for w in weights:
+        freqs[w] += 1
+    al = 6  # weight streams allow accuracy 5..6; 6 fits every shape
+    probs = _fse_normalize(freqs, al)
+    if probs is None:
+        return None
+    sym, nbb, base = _fse_build_dtable(al, probs)
+    per: dict[int, list[tuple[int, int, int]]] = {}
+    for i, s in enumerate(sym):
+        per.setdefault(s, []).append((base[i], nbb[i], i))
+    for s in per:
+        per[s].sort()
+    # chains: even weight indices decode from state 1, odd from state 2
+    chain_x = weights[0::2]
+    chain_y = weights[1::2]
+    # w[n-2] is the LAST symbol of its chain, and its state's update
+    # read is what terminates decoding — it must consume > 0 bits
+    term_chain = chain_x if n % 2 == 0 else chain_y
+
+    def assign(chain: list[int], need_terminal_bits: bool
+               ) -> tuple[list[int], list[tuple[int, int]]] | None:
+        m = len(chain)
+        states = [0] * m
+        cands = per.get(chain[-1])
+        if cands is None:
+            return None
+        if need_terminal_bits:
+            withbits = [c for c in cands if c[1] > 0]
+            if not withbits:
+                return None
+            states[-1] = withbits[0][2]
+        else:
+            states[-1] = cands[0][2]
+        for j in range(m - 2, -1, -1):
+            lst = per.get(chain[j])
+            if lst is None:
+                return None
+            k = bisect_right(lst, (states[j + 1], 1 << 30, 1 << 30)) - 1
+            b, nb, st = lst[k]
+            if not (b <= states[j + 1] < b + (1 << nb)):
+                return None  # pragma: no cover
+            states[j] = st
+        ups = [(states[j + 1] - base[states[j]], nbb[states[j]])
+               for j in range(m - 1)]
+        return states, ups
+
+    rx = assign(chain_x, term_chain is chain_x)
+    ry = assign(chain_y, term_chain is chain_y)
+    if rx is None or ry is None:
+        return None
+    sx, ux = rx
+    sy, uy = ry
+    w = _BackWriter()
+    w.push(sx[0], al)
+    w.push(sy[0], al)
+    # decoder read order: uX_0 uY_0 uX_1 uY_1 ... (truncated tails)
+    for i in range(max(len(ux), len(uy))):
+        if i < len(ux):
+            w.push(*ux[i])
+        if i < len(uy):
+            w.push(*uy[i])
+    body = _fse_write_ncount(al, probs) + w.bytes()
+    if len(body) >= 128:
+        return None  # header byte < 128 carries the FSE length
+    return bytes([len(body)]) + body
+
+
 def _huff_lengths(freqs: dict[int, int], max_len: int = 11
                   ) -> dict[int, int] | None:
     """Length-limited Huffman code lengths (package-merge), Kraft sum
@@ -1013,11 +1171,6 @@ def _encode_huffman_literals(lits: bytes) -> bytes | None:
     for b in lits:
         freqs[b] = freqs.get(b, 0) + 1
     last = max(freqs)
-    if last > 127:
-        # direct weight headers carry at most 128 entries (symbols
-        # 0..last-1 + the implied last); FSE-compressed weights are
-        # decode-only here — fall back to raw literals
-        return None
     lengths = _huff_lengths(freqs)
     if lengths is None:
         return None
@@ -1026,15 +1179,23 @@ def _encode_huffman_literals(lits: bytes) -> bytes | None:
     for s, lg in lengths.items():
         weights[s] = tlog + 1 - lg
     codes = _huff_codes(weights, tlog)
-    # tree description: direct 4-bit weights for symbols 0..last-1
-    # (the last symbol's weight is implied per §4.2.1)
+    # tree description (§4.2.1): the listed weights stop one symbol
+    # short — the last is implied. Direct 4-bit nibbles need
+    # <= 128 entries (symbol values <= 127); FSE-compressed weights
+    # cover wide alphabets and usually win on size regardless
     listed = weights[:last]
-    nibbles = bytearray()
-    for i in range(0, len(listed), 2):
-        hi = listed[i]
-        lo = listed[i + 1] if i + 1 < len(listed) else 0
-        nibbles.append((hi << 4) | lo)
-    tree = bytes([127 + len(listed)]) + bytes(nibbles)
+    tree = _encode_fse_weights(listed)
+    if last <= 127:
+        nibbles = bytearray()
+        for i in range(0, len(listed), 2):
+            hi = listed[i]
+            lo = listed[i + 1] if i + 1 < len(listed) else 0
+            nibbles.append((hi << 4) | lo)
+        direct = bytes([127 + len(listed)]) + bytes(nibbles)
+        if tree is None or len(direct) <= len(tree):
+            tree = direct
+    if tree is None:
+        return None
     if rsize <= 1023:
         body = tree + _huff_stream(lits, codes)
         csize = len(body)

@@ -821,11 +821,16 @@ class _BackWriter:
         return self.v.to_bytes((self.n + 7) // 8, "little")
 
 
-def _fse_encode_view(accuracy_log: int, probs: list[int]):
+def _fse_encode_view(accuracy_log: int, probs: list[int] | None,
+                     rle: int | None = None):
     """Encoding view of a decode table: per symbol, the (base, nbb,
     state) intervals — they partition [0, table_size), so backward
-    state selection is a bisect on base."""
-    sym, nbb, base = _fse_build_dtable(accuracy_log, probs)
+    state selection is a bisect on base. ``rle`` builds the one-state
+    view of an RLE table (mode 1)."""
+    if rle is not None:
+        sym, nbb, base = _fse_table_from_rle(rle)
+    else:
+        sym, nbb, base = _fse_build_dtable(accuracy_log, probs)
     per: dict[int, list[tuple[int, int, int]]] = {}
     for i, s in enumerate(sym):
         per.setdefault(s, []).append((base[i], nbb[i], i))
@@ -841,7 +846,7 @@ _ENC_PREDEF = {
 }
 
 
-def _fse_chain(kind: str, codes: list[int]
+def _fse_chain(view, codes: list[int]
                ) -> tuple[int, list[tuple[int, int]]]:
     """Backward state assignment for one FSE stream: returns
     (initial_state, [(update_bits, nbits)] per symbol transition, in
@@ -849,7 +854,7 @@ def _fse_chain(kind: str, codes: list[int]
     update_0 -> state for codes[1], ..."""
     from bisect import bisect_right
 
-    per, _nbb, _base = _ENC_PREDEF[kind]
+    per, _nbb, _base = view
     n = len(codes)
     states = [0] * n
     states[-1] = per[codes[-1]][0][2]
@@ -885,9 +890,48 @@ def _ml_code(ml: int) -> int:
     return bisect_right(_ML_BASE, ml) - 1
 
 
-def _encode_sequences_predef(seqs: list[tuple[int, int, int]]) -> bytes:
-    """Sequences section, all three tables in Predefined_Mode: header +
-    modes byte 0 + one interleaved backward bitstream."""
+def _pick_seq_table(kind: str, codes: list[int]):
+    """Choose the cheapest sequence-table mode for one stream by
+    estimated bits: RLE (mode 1, one byte, zero bits per symbol) when
+    all codes agree; else transmitted FSE (mode 2, ncount + entropy-fit
+    states) vs predefined (mode 0). Returns (mode, table_desc_bytes,
+    encode_view, accuracy_log)."""
+    from math import log2
+
+    first = codes[0]
+    if all(c == first for c in codes):
+        view = _fse_encode_view(0, None, rle=first)
+        return 1, bytes([first]), view, 0
+    hist: dict[int, int] = {}
+    for c in codes:
+        hist[c] = hist.get(c, 0) + 1
+    # predefined estimate: count * (al - log2(prob)); -1 probs cost al
+    pre_probs = {"ll": _LL_DEFAULT, "ml": _ML_DEFAULT,
+                 "of": _OF_DEFAULT}[kind]
+    pre_al = _PREDEF_LOG[kind]
+    pre_bits = sum(n * (pre_al - log2(max(pre_probs[c], 1)))
+                   for c, n in hist.items())
+    # transmitted estimate at a size-fitted accuracy
+    al = min(_MAX_ACC[kind], max(5, (len(codes) - 1).bit_length() - 2))
+    freqs = [0] * (max(hist) + 1)
+    for c, n in hist.items():
+        freqs[c] = n
+    probs = _fse_normalize(freqs, al)
+    if probs is None:
+        return 0, b"", _ENC_PREDEF[kind], pre_al
+    ncount = _fse_write_ncount(al, probs)
+    fse_bits = len(ncount) * 8 + sum(
+        n * (al - log2(max(probs[c], 1))) for c, n in hist.items())
+    if fse_bits < pre_bits:
+        return 2, ncount, _fse_encode_view(al, probs), al
+    return 0, b"", _ENC_PREDEF[kind], pre_al
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences section: number header, per-stream table mode chosen
+    by estimated cost (predefined / RLE / transmitted FSE), table
+    descriptions in the decoder's ll-of-ml read order, then one
+    interleaved backward bitstream."""
     nseq = len(seqs)
     if nseq < 128:
         hdr = bytes([nseq])
@@ -895,7 +939,6 @@ def _encode_sequences_predef(seqs: list[tuple[int, int, int]]) -> bytes:
         hdr = bytes([(nseq >> 8) + 128, nseq & 0xFF])
     else:
         hdr = bytes([255, nseq & 0xFF, (nseq - 0x7F00) >> 8])
-    hdr += b"\x00"  # modes: LL/OF/ML all predefined
     ll_codes, ml_codes, of_codes = [], [], []
     extras = []
     for ll, ml, ofv in seqs:
@@ -907,13 +950,18 @@ def _encode_sequences_predef(seqs: list[tuple[int, int, int]]) -> bytes:
         extras.append((ofv - (1 << oc), oc,
                        ml - _ML_BASE[mc], _ML_BITS[mc],
                        ll - _LL_BASE[lc], _LL_BITS[lc]))
-    ll0, ll_up = _fse_chain("ll", ll_codes)
-    of0, of_up = _fse_chain("of", of_codes)
-    ml0, ml_up = _fse_chain("ml", ml_codes)
+    ll_mode, ll_desc, ll_view, ll_al = _pick_seq_table("ll", ll_codes)
+    of_mode, of_desc, of_view, of_al = _pick_seq_table("of", of_codes)
+    ml_mode, ml_desc, ml_view, ml_al = _pick_seq_table("ml", ml_codes)
+    hdr += bytes([(ll_mode << 6) | (of_mode << 4) | (ml_mode << 2)])
+    hdr += ll_desc + of_desc + ml_desc  # decoder reads ll, of, ml
+    ll0, ll_up = _fse_chain(ll_view, ll_codes)
+    of0, of_up = _fse_chain(of_view, of_codes)
+    ml0, ml_up = _fse_chain(ml_view, ml_codes)
     w = _BackWriter()
-    w.push(ll0, _LL_ACC)
-    w.push(of0, _OF_ACC)
-    w.push(ml0, _ML_ACC)
+    w.push(ll0, ll_al)
+    w.push(of0, of_al)
+    w.push(ml0, ml_al)
     for i in range(nseq):
         ofe, ofn, mle, mln, lle, lln = extras[i]
         w.push(ofe, ofn)
@@ -1286,8 +1334,34 @@ def _find_sequences(data: bytes, lo: int, hi: int,
         max_ml = hi - i
         while ml < max_ml and data[cand + ml] == data[i + ml]:
             ml += 1
-        ll = i - anchor
         offset = i - cand
+        if not is_rep and ml * 5 < 20 + offset.bit_length():
+            # cost gate: a short far match spends more sequence bits
+            # (codes + log2(offset) extras + state updates) than its
+            # bytes cost as Huffman literals (~5 bits each) — skip it
+            search_len += 1
+            i += 1 + (search_len >> 6)
+            continue
+        # one-step lazy: if the position right after starts a
+        # meaningfully longer match, emit this byte as a literal and
+        # let the longer match win (the classic greedy fix)
+        if i + 1 <= limit and ml < max_ml - 1:
+            v1 = u32(data, i + 1)[0]
+            k1 = (v1 * mul >> 16) & mask
+            c1 = get(k1)
+            r1 = i + 1 - rep[0]
+            if r1 >= 0 and u32(data, r1)[0] == v1:
+                c1 = r1
+            if (c1 is not None and c1 < i + 1
+                    and u32(data, c1)[0] == v1):
+                ml1 = 4
+                mx1 = hi - (i + 1)
+                while ml1 < mx1 and data[c1 + ml1] == data[i + 1 + ml1]:
+                    ml1 += 1
+                if ml1 > ml + 1:
+                    i += 1
+                    continue  # re-evaluate from i+1
+        ll = i - anchor
         if is_rep:
             # offset == rep[0]: ofv 1 with ll != 0; with ll == 0 the
             # substitution rule shifts meanings (ofv 1 -> rep[1]), so
@@ -1351,7 +1425,7 @@ def compress(data: bytes, checksum: bool = True) -> bytes:
             body = None
             if seqs or len(lits) >= 16:
                 lit_sec = _encode_literals(lits)
-                seq_sec = (_encode_sequences_predef(seqs)
+                seq_sec = (_encode_sequences(seqs)
                            if seqs else b"\x00")
                 cand = lit_sec + seq_sec
                 if len(cand) < block_len:

@@ -84,8 +84,10 @@ SHOWCASE = [
     # pipeline curation
     "quality_filter_chain", "pii_redaction",
     # corpus file-format ingestion (Common Crawl WARC, Dolma-style
-    # zstd JSONL shards)
+    # zstd JSONL shards; round 6: shards written by the in-repo RFC
+    # 8878 COMPRESSING encoder, no pyarrow on the write side)
     "warc_ingest_documents", "jsonl_zst_ingest",
+    "jsonl_spec_zstd_roundtrip",
 ]
 
 

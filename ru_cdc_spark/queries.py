@@ -2640,6 +2640,38 @@ SELECT doc_id, text, lang, source FROM documents
 """
 
 
+def jsonl_spec_zstd_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The round-6 COMPRESSING encoder under the correctness gate:
+    shards are written with ``codec="zstd-spec"`` — the in-repo RFC
+    8878 encoder (greedy matches + repeat offsets, Huffman literals
+    with direct/FSE weight headers, RLE/transmitted/predefined FSE
+    sequence tables), NO pyarrow involved on the write side — then
+    read back through the spec decoder and typed JVM-side. The
+    encoder's frames are separately CLI/libzstd-validated in pytest;
+    this query proves the whole write->read path is lossless on real
+    table data and keeps it proven every round."""
+    from ru_cdc_spark.sources.corpus_files import (
+        read_jsonl,
+        write_jsonl_shards,
+    )
+    from ru_cdc_spark.sources.readers import load_table
+
+    work = _session_tmpdir("jsonl_spec_")
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source")
+    write_jsonl_shards(docs, f"{work}/shards", codec="zstd-spec",
+                       n_shards=8)
+    return read_jsonl(spark, f"{work}/shards/*",
+                      "doc_id long, text string, lang string, "
+                      "source string").drop("shard")
+
+
+JSONL_SPEC_ZSTD_ORACLE = """
+SELECT doc_id, text, lang, source FROM documents
+"""
+
+
 def mysql_socket_compressed_snapshot(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """The socket CDC pipeline over the MySQL COMPRESSED protocol
@@ -3530,6 +3562,8 @@ def _register_binlog_wire() -> None:
              WARC_INGEST_ORACLE)(warc_ingest_documents)
     register("jsonl_zst_ingest",
              JSONL_ZST_INGEST_ORACLE)(jsonl_zst_ingest)
+    register("jsonl_spec_zstd_roundtrip",
+             JSONL_SPEC_ZSTD_ORACLE)(jsonl_spec_zstd_roundtrip)
     from ru_cdc_spark.sources.binlog_frames import cdc_snapshot_oracle
 
     register("mysql_socket_stream_snapshot",

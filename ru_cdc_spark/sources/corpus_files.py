@@ -86,16 +86,19 @@ def write_jsonl_shards(df, out_dir: str, codec: str = "zstd",
     """Package a DataFrame into .jsonl.<codec> shards executor-side
     (to_json per row, one compressed shard per partition; zstd via
     pyarrow's libzstd when importable — which cross-validates the spec
-    decoder against a reference compressor — else store-mode frames).
-    Returns the row count written. Driver materializes ONE count row
-    per shard, nothing else."""
+    decoder against a reference compressor — else the spec encoder).
+    ``codec="zstd-spec"`` forces the in-repo RFC 8878 compressing
+    encoder regardless of pyarrow — the no-dependency path, proven by
+    the roundtrip query. Returns the row count written. Driver
+    materializes ONE count row per shard, nothing else."""
     import os
 
     import pandas as pd
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
-    ext = {"zstd": "zst", "gzip": "gz", "none": "jsonl"}[codec]
+    ext = {"zstd": "zst", "zstd-spec": "zst",
+           "gzip": "gz", "none": "jsonl"}[codec]
     payload = df.select(F.to_json(F.struct(*df.columns)).alias("j"))
 
     def write_shard(batches):
@@ -106,7 +109,11 @@ def write_jsonl_shards(df, out_dir: str, codec: str = "zstd",
             rows.extend(pdf["j"].tolist())
         if rows:
             raw = ("\n".join(rows) + "\n").encode()
-            if codec == "zstd":
+            if codec == "zstd-spec":
+                from ru_cdc_spark.functions.zstd import compress
+
+                blob = compress(raw)
+            elif codec == "zstd":
                 try:
                     import pyarrow as _pa
 

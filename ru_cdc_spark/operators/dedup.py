@@ -267,8 +267,45 @@ JOIN (SELECT band_idx, band_hash FROM bands
 )
 
 
+def _driver_union_find(edge_rows, spark) -> DataFrame:
+    """Finish a SMALL edge set driver-side: union-find with path
+    compression, representative = min vertex id of the component —
+    byte-identical output contract to the distributed fixpoints. This
+    is the hybrid every production components implementation runs
+    (contraction shrinks the graph; the remainder fits one machine):
+    each distributed round costs a multi-exchange job, which dominates
+    wall time once the graph is tiny."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    verts = set()
+    for u, v in edge_rows:
+        verts.add(u)
+        verts.add(v)
+    out = [(v, find(v)) for v in sorted(verts)]
+    return spark.createDataFrame(out, "doc_id long, component long")
+
+
+# graphs at or below this many edges finish driver-side (a few MB);
+# above it, the distributed rounds run exactly as before
+DRIVER_FINISH_EDGES = 100_000
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         driver_finish_edges: int = DRIVER_FINISH_EDGES
+                         ) -> DataFrame:
     """Connected components by iterative min-label propagation: every
     vertex adopts the minimum label among itself and its neighbors until
     fixpoint. Returns (vertex, component) with component = min vertex id
@@ -277,13 +314,22 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     Scale: each iteration is one join + one groupBy on the vertex id —
     O(diameter) rounds (large-star/small-star halves the rounds if needed).
     The fixpoint check is a driver-side count of changed labels per round
-    (an aggregate, not a collect of data).
+    (an aggregate, not a collect of data). Edge sets at or below
+    ``driver_finish_edges`` skip the rounds entirely and finish with
+    driver-side union-find (identical output, pytest-equivalence-checked)
+    — per-round job overhead dominates on tiny graphs.
 
     This is the dedup *clustering* step: LSH candidate pairs in, one
     canonical doc per near-duplicate cluster out.
     """
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")).distinct()
+    if driver_finish_edges:
+        small = edges.selectExpr(f"{src} AS u", f"{dst} AS v") \
+            .limit(driver_finish_edges + 1).collect()
+        if len(small) <= driver_finish_edges:
+            return _driver_union_find([(r.u, r.v) for r in small],
+                                      edges.sparkSession)
     verts = sym.select(F.col("a").alias("v")).distinct()
     labels = verts.withColumn("label", F.col("v"))
 
@@ -330,7 +376,9 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def star_contraction_components(edges: DataFrame, src: str = "src",
                                 dst: str = "dst",
-                                max_iterations: int = 12) -> DataFrame:
+                                max_iterations: int = 12,
+                                driver_finish_edges: int =
+                                DRIVER_FINISH_EDGES) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC'14): converges in O(log^2 n) rounds regardless of graph
@@ -348,9 +396,22 @@ def star_contraction_components(edges: DataFrame, src: str = "src",
     Returns (doc_id, component) with component = min vertex id — identical
     output contract to connected_components (equivalence is pytest-checked
     on random graphs).
+
+    Hybrid finish (round 6): edge sets at or below
+    ``driver_finish_edges`` — initially, or once contraction has shrunk
+    the graph that far — complete with driver-side union-find instead
+    of paying more multi-exchange rounds. At web scale the star form
+    can stay above any driver bound forever (its size is the clustered
+    vertex count), in which case the rounds run to fixpoint exactly as
+    before.
     """
     e = (edges.selectExpr(f"{src} AS u", f"{dst} AS v")
          .where(F.col("u") != F.col("v")).distinct())
+    if driver_finish_edges:
+        small = e.limit(driver_finish_edges + 1).collect()
+        if len(small) <= driver_finish_edges:
+            return _driver_union_find([(r.u, r.v) for r in small],
+                                      edges.sparkSession)
 
     def sym(d: DataFrame) -> DataFrame:
         return d.unionByName(
@@ -402,6 +463,13 @@ def star_contraction_components(edges: DataFrame, src: str = "src",
             if changed == 0:
                 e = new_e
                 break
+        # contraction shrank the graph under the driver bound: finish
+        # there instead of paying further multi-exchange rounds (the
+        # fingerprint already carries the exact edge count)
+        if driver_finish_edges and fp_new[0] <= driver_finish_edges:
+            rows = new_e.collect()
+            return _driver_union_find([(r.u, r.v) for r in rows],
+                                      edges.sparkSession)
         e, fp_old = new_e, fp_new
     # at the fixpoint edges form stars rooted at the component min
     s = sym(e)

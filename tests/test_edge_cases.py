@@ -86,11 +86,43 @@ def test_star_contraction_matches_label_propagation(spark):
     noise = [(rng.randrange(300, 330), rng.randrange(300, 330)) for _ in range(25)]
     edges = spark.createDataFrame(chain + star + cycle + noise, ["src", "dst"])
 
+    # all FOUR paths must agree: label propagation and star contraction,
+    # each with the driver-side union-find finish (default) and forced
+    # fully-distributed (driver_finish_edges=0)
     lp = {r["doc_id"]: r["component"]
           for r in connected_components(edges, max_iterations=60).collect()}
+    lp_dist = {r["doc_id"]: r["component"]
+               for r in connected_components(
+                   edges, max_iterations=60,
+                   driver_finish_edges=0).collect()}
     sc = {r["doc_id"]: r["component"]
           for r in star_contraction_components(edges).collect()}
-    assert lp == sc
+    sc_dist = {r["doc_id"]: r["component"]
+               for r in star_contraction_components(
+                   edges, driver_finish_edges=0).collect()}
+    assert lp == sc == lp_dist == sc_dist
+
+
+def test_star_contraction_mid_round_driver_finish(spark):
+    """The hybrid escape INSIDE the round loop: a graph above the
+    threshold initially but below it after one contraction round must
+    produce identical components to the fully-distributed run."""
+    from ru_cdc_spark.operators.dedup import star_contraction_components
+
+    # 60 disjoint 3-chains: 120 edges, contracts to 60 stars quickly
+    edges = []
+    for k in range(60):
+        base = 1000 * (k + 1)
+        edges += [(base, base + 1), (base + 1, base + 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    full = {r["doc_id"]: r["component"]
+            for r in star_contraction_components(
+                df, driver_finish_edges=0).collect()}
+    hybrid = {r["doc_id"]: r["component"]
+              for r in star_contraction_components(
+                  df, driver_finish_edges=70).collect()}
+    assert full == hybrid
+    assert len(full) == 180 and len(set(full.values())) == 60
 
 
 def test_star_contraction_empty_and_selfloops(spark):

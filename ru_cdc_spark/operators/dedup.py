@@ -267,14 +267,18 @@ JOIN (SELECT band_idx, band_hash FROM bands
 )
 
 
-def _driver_union_find(edge_rows, spark) -> DataFrame:
+def _driver_union_find(edge_rows, spark, vtype=None) -> DataFrame:
     """Finish a SMALL edge set driver-side: union-find with path
     compression, representative = min vertex id of the component —
     byte-identical output contract to the distributed fixpoints. This
     is the hybrid every production components implementation runs
     (contraction shrinks the graph; the remainder fits one machine):
     each distributed round costs a multi-exchange job, which dominates
-    wall time once the graph is tiny."""
+    wall time once the graph is tiny. ``vtype`` is the vertex-id Spark
+    type from the input edges, so non-long ids (string doc keys, ints)
+    keep the exact type contract the distributed path preserves."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     parent: dict = {}
 
     def find(x):
@@ -294,7 +298,19 @@ def _driver_union_find(edge_rows, spark) -> DataFrame:
         verts.add(u)
         verts.add(v)
     out = [(v, find(v)) for v in sorted(verts)]
-    return spark.createDataFrame(out, "doc_id long, component long")
+    vt = vtype or LongType()
+    # nullable=True matches the distributed fixpoints' output schema
+    # (joins/aggregates mark their outputs nullable)
+    schema = StructType([StructField("doc_id", vt, True),
+                         StructField("component", vt, True)])
+    return spark.createDataFrame(out, schema)
+
+
+def _vertex_type(e: DataFrame, ucol: str = "u", vcol: str = "v"):
+    """The common vertex-id type of an edge frame: what a min/least over
+    both columns yields (analysis only — no job)."""
+    return e.selectExpr(f"{ucol} AS x").unionByName(
+        e.selectExpr(f"{vcol} AS x")).schema["x"].dataType
 
 
 # graphs at or below this many edges finish driver-side (a few MB);
@@ -322,14 +338,20 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     This is the dedup *clustering* step: LSH candidate pairs in, one
     canonical doc per near-duplicate cluster out.
     """
-    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
-        edges.selectExpr(f"{dst} AS a", f"{src} AS b")).distinct()
+    e0 = edges.selectExpr(f"{src} AS u", f"{dst} AS v")
     if driver_finish_edges:
-        small = edges.selectExpr(f"{src} AS u", f"{dst} AS v") \
-            .limit(driver_finish_edges + 1).collect()
+        # materialize the edge frame ONCE before the size probe: the
+        # probe's collect and every propagation round then read the
+        # checkpointed blocks instead of re-executing the upstream
+        # lineage (e.g. the LSH candidate-pair joins) per job
+        e0 = e0.localCheckpoint(eager=True)
+        small = e0.limit(driver_finish_edges + 1).collect()
         if len(small) <= driver_finish_edges:
             return _driver_union_find([(r.u, r.v) for r in small],
-                                      edges.sparkSession)
+                                      edges.sparkSession,
+                                      _vertex_type(e0))
+    sym = e0.selectExpr("u AS a", "v AS b").unionByName(
+        e0.selectExpr("v AS a", "u AS b")).distinct()
     verts = sym.select(F.col("a").alias("v")).distinct()
     labels = verts.withColumn("label", F.col("v"))
 
@@ -407,11 +429,16 @@ def star_contraction_components(edges: DataFrame, src: str = "src",
     """
     e = (edges.selectExpr(f"{src} AS u", f"{dst} AS v")
          .where(F.col("u") != F.col("v")).distinct())
+    vtype = _vertex_type(e)
     if driver_finish_edges:
+        # checkpoint before the size probe so the probe's collect and
+        # the first contraction round both read materialized blocks
+        # instead of re-executing the upstream candidate-pair lineage
+        e = e.localCheckpoint(eager=True)
         small = e.limit(driver_finish_edges + 1).collect()
         if len(small) <= driver_finish_edges:
             return _driver_union_find([(r.u, r.v) for r in small],
-                                      edges.sparkSession)
+                                      edges.sparkSession, vtype)
 
     def sym(d: DataFrame) -> DataFrame:
         return d.unionByName(
@@ -469,7 +496,7 @@ def star_contraction_components(edges: DataFrame, src: str = "src",
         if driver_finish_edges and fp_new[0] <= driver_finish_edges:
             rows = new_e.collect()
             return _driver_union_find([(r.u, r.v) for r in rows],
-                                      edges.sparkSession)
+                                      edges.sparkSession, vtype)
         e, fp_old = new_e, fp_new
     # at the fixpoint edges form stars rooted at the component min
     s = sym(e)

@@ -87,6 +87,8 @@ TXN_COLUMNS = [
     ("note", ColSpec(T_VARCHAR, (80,))),
 ]
 TXN_SPECS = [s for _, s in TXN_COLUMNS]
+# the per-row emit path (_rows) hand-unpacks exactly these four fields
+assert [n for n, _ in TXN_COLUMNS] == ["i", "qty", "amount", "note"]
 TXN_TABLE_ID = 77
 
 # fixed server UUID (SID) for the fixture stream
@@ -273,7 +275,10 @@ class TxnAssembler:
 
     def _rows(self, status: str, xid) -> list[dict]:
         # one dict literal per row, txn fields hoisted out of the loop —
-        # this is the per-row emit path, paid once per assembled image
+        # this is the per-row emit path, paid once per assembled image.
+        # The `i, qty, amount, note` unpack is hand-specialized to
+        # TXN_COLUMNS; the module-level assert under TXN_COLUMNS ties it
+        # to the table definition so a column change fails loudly.
         cur = self.cur
         gno, seq = cur["gno"], cur["sequence_number"]
         lc = cur["last_committed"]

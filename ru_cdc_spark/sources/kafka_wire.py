@@ -961,11 +961,11 @@ class KafkaBrokerFixture:
         # transaction state: pid -> partitions registered via
         # AddPartitionsToTxn; per partition the ongoing txns' first
         # offsets (the LSO inputs) and the aborted-range index served
-        # to read_committed fetchers
+        # to read_committed fetchers as (pid, first_offset, marker_offset)
         self._txn_parts: dict[int, set[tuple[str, int]]] = {}
         self._ongoing: dict[tuple[str, int], dict[int, int]] = {}
         self._aborted_idx: dict[tuple[str, int],
-                                list[tuple[int, int]]] = {}
+                                list[tuple[int, int, int]]] = {}
         self._lock = threading.Lock()
         self._sock: socket.socket | None = None
         self._stop = threading.Event()

@@ -28,6 +28,7 @@ import re
 import socket
 import threading
 import time
+import uuid
 
 from ru_cdc_spark.sources.mysql_client import (
     CLIENT_COMPRESS,
@@ -232,6 +233,10 @@ class MySQLFixtureServer:
         self.binlog = self.binlogs[-1]  # SHOW MASTER STATUS = current tip
         self.catalog = catalog or {}
         self.nonce = nonce or bytes(range(1, 21))
+        # per-instance @@server_uuid, regenerated on every construction —
+        # layout caches key on it so a restarted server on a reused port
+        # can never serve a stale listing
+        self.server_uuid = uuid.uuid4().hex
         self.host = host
         self.port = 0
         self._sock: socket.socket | None = None
@@ -505,6 +510,9 @@ class MySQLFixtureServer:
         elif q == "select @@global.binlog_checksum":
             self._send_result_set(io, ["@@global.binlog_checksum"],
                                   [["NONE"]])
+        elif q == "select @@server_uuid":
+            self._send_result_set(io, ["@@server_uuid"],
+                                  [[self.server_uuid]])
         else:
             io.write_packet(encode_ok(), seq=1)
 

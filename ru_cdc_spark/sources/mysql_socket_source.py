@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -145,13 +146,19 @@ def _dump_events(host: str, port: int, user: str, password: str,
     return events
 
 
-# layout cache: binlog files are append-only, so a (file, end_pos) pair
-# uniquely identifies a layout — steady-state readers that re-plan the
-# same tip (the bench's min-of-2, a scheduler re-submitting the batch)
-# skip re-listing the whole file, which is an O(file-size) driver-side
-# materialization (SHOW BINLOG EVENTS ships every event row)
+# layout cache: binlog files are append-only, so within one server
+# incarnation a (file, end_pos) pair uniquely identifies a layout —
+# steady-state readers that re-plan the same tip (the bench's min-of-2,
+# a scheduler re-submitting the batch) skip re-listing the whole file,
+# which is an O(file-size) driver-side materialization (SHOW BINLOG
+# EVENTS ships every event row). The key carries @@server_uuid so a
+# restarted/regenerated server reusing host:port+filename (even with a
+# coincidentally equal end_pos) can never be served a stale layout;
+# lookups copy the cached list (caller mutation can't poison it) and
+# every access holds a lock (concurrent micro-batch planners).
 _LAYOUT_CACHE: dict[tuple, tuple[int, list]] = {}
 _LAYOUT_CACHE_CAP = 32
+_LAYOUT_CACHE_LOCK = threading.Lock()
 
 
 def fetch_binlog_layout(host: str, port: int, user: str, password: str,
@@ -163,8 +170,9 @@ def fetch_binlog_layout(host: str, port: int, user: str, password: str,
     """Driver-side metadata pass: (file, end_pos, [(pos, type, end)]).
     Defaults to the tip file (SHOW MASTER STATUS); pass ``filename`` to
     lay out an earlier log in the chain. The full event listing is
-    cached per (host, port, file) and revalidated by the cheap
-    SHOW MASTER STATUS probe: a grown file (new end_pos) re-lists."""
+    cached per (server_uuid, host, port, file) and revalidated by the
+    cheap SHOW MASTER STATUS probe: a grown file (new end_pos) or a
+    restarted server (new @@server_uuid) re-lists."""
     from ru_cdc_spark.sources.mysql_client import pooled_connection
 
     with pooled_connection(host, port, user, password, ssl_ca=ssl_ca,
@@ -172,10 +180,13 @@ def fetch_binlog_layout(host: str, port: int, user: str, password: str,
                            compress=compress) as conn:
         if filename is None:
             fname, end_pos = conn.show_master_status()
-            key = (host, port, fname)
-            hit = _LAYOUT_CACHE.get(key)
-            if hit is not None and hit[0] == end_pos:
-                return fname, end_pos, hit[1]
+            srv = conn.query("select @@server_uuid").rows
+            suid = srv[0][0] if srv and srv[0] else ""
+            key = (suid, host, port, fname)
+            with _LAYOUT_CACHE_LOCK:
+                hit = _LAYOUT_CACHE.get(key)
+                if hit is not None and hit[0] == end_pos:
+                    return fname, end_pos, list(hit[1])
         else:
             fname, end_pos, key = filename, 0, None
         rs = conn.query(f"show binlog events in '{fname}'")
@@ -183,9 +194,10 @@ def fetch_binlog_layout(host: str, port: int, user: str, password: str,
         if filename is not None:
             end_pos = max((e for _, _, e in events), default=4)
         elif key is not None:
-            if len(_LAYOUT_CACHE) >= _LAYOUT_CACHE_CAP:
-                _LAYOUT_CACHE.pop(next(iter(_LAYOUT_CACHE)))
-            _LAYOUT_CACHE[key] = (end_pos, events)
+            with _LAYOUT_CACHE_LOCK:
+                if len(_LAYOUT_CACHE) >= _LAYOUT_CACHE_CAP:
+                    _LAYOUT_CACHE.pop(next(iter(_LAYOUT_CACHE)))
+                _LAYOUT_CACHE[key] = (end_pos, list(events))
     return fname, end_pos, events
 
 

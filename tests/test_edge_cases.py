@@ -132,3 +132,26 @@ def test_star_contraction_empty_and_selfloops(spark):
     assert star_contraction_components(empty).count() == 0
     only_loops = spark.createDataFrame([(5, 5), (6, 6)], ["src", "dst"])
     assert star_contraction_components(only_loops).count() == 0
+
+
+def test_components_preserve_nonlong_vertex_types(spark):
+    """The driver union-find finish must keep the distributed path's
+    type contract: string and int vertex ids come back with the same
+    schema from both paths (round-6 ADVICE: the hybrid hardcoded
+    'doc_id long, component long')."""
+    from ru_cdc_spark.operators.dedup import star_contraction_components
+
+    pairs = [("d", "b"), ("b", "a"), ("x", "y"), ("q", "q2")]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    for fn in (connected_components, star_contraction_components):
+        hybrid = fn(edges)
+        dist = fn(edges, driver_finish_edges=0)
+        assert hybrid.schema == dist.schema, fn.__name__
+        h = {r["doc_id"]: r["component"] for r in hybrid.collect()}
+        d = {r["doc_id"]: r["component"] for r in dist.collect()}
+        assert h == d == {"a": "a", "b": "a", "d": "a",
+                          "x": "x", "y": "x", "q": "q", "q2": "q"}
+
+    iedges = spark.createDataFrame([(1, 2), (3, 4)], "src int, dst int")
+    for fn in (connected_components, star_contraction_components):
+        assert fn(iedges).schema == fn(iedges, driver_finish_edges=0).schema

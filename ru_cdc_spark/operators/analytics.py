@@ -2513,29 +2513,38 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals exactly, so no float boundary can flip a part between
     classes; the reported share is one double division at the boundary.
 
-    Scale: per-part decimal partials (map-side combined), then ONE
-    ordered window over the part-grain relation for the running sum —
-    parts, not lineitems. The unpartitioned window is the documented
-    tradeoff at extreme part cardinality (range-partition the rank for
-    billions of parts).
+    Scale: per-part decimal partials (map-side combined); the running
+    sum and rank are DISTRIBUTED via rankops.grouped_running_sum —
+    range shuffle on (revenue desc, partkey), partition-local window +
+    broadcast decimal offsets — so there is no single-task ordered
+    window at any part cardinality. Rank is the running sum of ones;
+    the grand total comes free from the offset pass (no extra
+    aggregate). Bit-identical to the window form (decimal arithmetic
+    both ways, oracle hash-checked).
     """
+    from ru_cdc_spark.operators.rankops import grouped_running_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     per_part = (li.groupBy("l_partkey")
                 .agg(F.sum(F.col("l_extendedprice").cast(_DEC))
-                     .cast("decimal(38,2)").alias("revenue")))
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
-    total = Window.partitionBy()
-    cum = F.sum("revenue").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) \
-        .cast("decimal(38,2)")
-    tot = F.sum("revenue").over(total).cast("decimal(38,2)")
+                     .cast("decimal(38,2)").alias("revenue"))
+                .withColumn("__one",
+                            F.lit(1).cast("decimal(38,2)")))
+    totals: dict = {}
+    stepped = grouped_running_sum(
+        per_part, [],
+        [F.col("revenue").desc(), F.col("l_partkey").asc()],
+        ["revenue", "__one"], sum_type="decimal(38,2)",
+        totals_sink=totals)
+    tot = F.lit(totals.get((), [0])[0]).cast("decimal(38,2)")
+    cum = F.col("cum_revenue")
     cls = (F.when(cum * 100 <= tot * 70, "A")
            .when(cum * 100 <= tot * 90, "B")
            .otherwise("C"))
-    return (per_part.select(
+    return (stepped.select(
         "l_partkey",
         F.col("revenue").cast("double").alias("revenue"),
-        F.row_number().over(w).alias("rank"),
+        F.col("cum___one").cast("int").alias("rank"),
         (cum.cast("double") / tot.cast("double")).alias("cum_share"),
         cls.alias("abc_class")))
 

@@ -122,7 +122,9 @@ def ntile_from_rank(rank_col: str, n_total: int, n_buckets: int) -> Column:
 def grouped_running_sum(df: DataFrame, part_cols: list[str],
                         order_by: list[Column],
                         sum_cols: list[str],
-                        prefix: str = "cum_") -> DataFrame:
+                        prefix: str = "cum_",
+                        sum_type: str = "long",
+                        totals_sink: dict | None = None) -> DataFrame:
     """Exact running sums per group over an order, distributed.
 
     Equivalent to ``SUM(c) OVER (PARTITION BY part ORDER BY order ROWS
@@ -133,8 +135,20 @@ def grouped_running_sum(df: DataFrame, part_cols: list[str],
     ``order_by`` must be total WITHIN each group for the running sum to
     be well-defined (same caveat as the window form). part_cols may be
     empty for a whole-relation running sum.
+
+    ``sum_type`` is the accumulator DDL type — ``long`` (default) or an
+    exact decimal like ``decimal(38,2)`` for money columns; decimal
+    offsets add exactly, so results stay bit-identical to the window
+    form. When ``totals_sink`` is given it is filled with
+    {group_tuple: [final_sum per sum_col]} — the per-group grand totals
+    the offset pass already computed, free to the caller (saves a
+    separate full aggregate when a share-of-total is needed).
     """
+    import decimal
+
     spark = df.sparkSession
+    zero = (decimal.Decimal(0) if sum_type.startswith("decimal")
+            else 0)
     keys = [F.col(c) for c in part_cols] + list(order_by)
     ranged = _persist_tracked(
         df.repartitionByRange(_n_parts(df), *keys)
@@ -143,25 +157,29 @@ def grouped_running_sum(df: DataFrame, part_cols: list[str],
                .agg(*[F.sum(c).alias(c) for c in sum_cols])
                .collect())
     # per-group prefix offsets in pid order: tiny (≈ n_partitions + groups)
-    acc: dict[tuple, list[int]] = {}
+    acc: dict[tuple, list] = {}
     rows = []
     for row in sorted(partial, key=lambda r: r["__pid"]):
         g = tuple(row[c] for c in part_cols)
-        cur = acc.setdefault(g, [0] * len(sum_cols))
+        cur = acc.setdefault(g, [zero] * len(sum_cols))
         rows.append((row["__pid"], *g, *cur))
-        acc[g] = [cur[i] + (row[sum_cols[i]] or 0)
+        acc[g] = [cur[i] + (row[sum_cols[i]] if row[sum_cols[i]]
+                            is not None else zero)
                   for i in range(len(sum_cols))]
+    if totals_sink is not None:
+        totals_sink.update(acc)
     if not rows:
         out = df
         for c in sum_cols:
-            out = out.withColumn(f"{prefix}{c}", F.col(c).cast("long"))
+            out = out.withColumn(f"{prefix}{c}",
+                                 F.col(c).cast(sum_type))
         return out
     part_schema = df.select(*part_cols).schema if part_cols else None
     fields = "__pid int"
     if part_schema is not None:
         fields += ", " + ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in part_schema)
-    fields += ", " + ", ".join(f"__off_{c} long" for c in sum_cols)
+    fields += ", " + ", ".join(f"__off_{c} {sum_type}" for c in sum_cols)
     off = F.broadcast(spark.createDataFrame(rows, fields))
     w = (Window.partitionBy("__pid", *part_cols).orderBy(*order_by)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -169,5 +187,5 @@ def grouped_running_sum(df: DataFrame, part_cols: list[str],
     for c in sum_cols:
         out = out.withColumn(f"{prefix}{c}",
                              (F.sum(c).over(w) + F.col(f"__off_{c}"))
-                             .cast("long"))
+                             .cast(sum_type))
     return out.drop("__pid", *[f"__off_{c}" for c in sum_cols])

@@ -726,3 +726,77 @@ class TestMetaColumnFlag:
         live = t.snapshot_live()
         assert live.count() == 40
         assert live.where("k = 1").collect()[0]["v"] == 9
+
+
+class TestFooterStats:
+    def test_stats_bytes_read_is_footer_sized(self, spark, tmp_path):
+        """The write-path stats pass must read footers, not data: on a
+        file big enough to dwarf its footer, the helper's counted bytes
+        stay orders of magnitude below the file size (round-6 verdict
+        item #1 — the old path re-scanned every just-written file)."""
+        from ru_cdc_spark.operators.acid_table import _footer_stats_one
+
+        p = str(tmp_path / "big")
+        spark.range(2_000_000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("body")) \
+            .coalesce(1).write.parquet(p)
+        f = next(os.path.join(p, x) for x in os.listdir(p)
+                 if x.endswith(".parquet"))
+        size = os.path.getsize(f)
+        rows, mn, mx, bytes_read = _footer_stats_one(f, "k", True)
+        assert (rows, mn, mx) == (2_000_000, 0, 1_999_999)
+        assert size > 1_000_000          # the file is genuinely big
+        assert bytes_read < size / 50, (bytes_read, size)
+
+    def test_string_pk_falls_back_to_column_read(self, spark, tmp_path):
+        """String stats can be writer-truncated, so string pks take the
+        single-column fallback — still column-pruned, never a full
+        scan, and the values are exact even for long keys."""
+        from ru_cdc_spark.operators.acid_table import _footer_stats_one
+
+        p = str(tmp_path / "s")
+        spark.createDataFrame(
+            [("k" * 100 + "a", 1), ("k" * 100 + "z", 2)],
+            "pk string, v long").coalesce(1).write.parquet(p)
+        f = next(os.path.join(p, x) for x in os.listdir(p)
+                 if x.endswith(".parquet"))
+        rows, mn, mx, _ = _footer_stats_one(f, "pk", False)
+        assert rows == 2
+        assert mn == "k" * 100 + "a" and mx == "k" * 100 + "z"
+
+    def test_distributed_footer_pass_matches_driver_loop(self, spark,
+                                                         tmp_path):
+        """Above FOOTER_STATS_DISTRIBUTE_OVER files the pass runs as a
+        mapInPandas job; its add-actions must equal the driver loop's."""
+        t = AcidTable(spark, str(tmp_path / "t"), pk="k")
+        t.FOOTER_STATS_DISTRIBUTE_OVER = 2   # force the job path
+        t.create(_base(spark, 500).repartition(5))
+        files = sorted((f["path"], f["rows"], f["min_pk"], f["max_pk"])
+                       for f in t.active_files())
+        t2 = AcidTable(spark, str(tmp_path / "t2"), pk="k")
+        t2.create(_base(spark, 500).repartition(5))
+        files2 = sorted((f["rows"], f["min_pk"], f["max_pk"])
+                        for f in t2.active_files())
+        assert sorted((r, mn, mx) for _, r, mn, mx in files) == files2
+        assert sum(r for _, r, _, _ in files) == 500
+
+    def test_partition_values_keep_write_side_types(self, spark,
+                                                    tmp_path):
+        """Hive path parsing casts the partition value back via the
+        WRITE-side schema: an int partition column round-trips as int,
+        a string column holding digits stays a string (read-side
+        inference would have guessed int)."""
+        t = AcidTable(spark, str(tmp_path / "ti"), pk="k",
+                      partition_col="bucket")
+        t.create(spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("bucket")))
+        assert {f["partition"] for f in t.active_files()} == {0, 1, 2}
+
+        ts = AcidTable(spark, str(tmp_path / "ts"), pk="k",
+                       partition_col="bucket")
+        ts.create(spark.range(20).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("bucket")))
+        assert {f["partition"] for f in ts.active_files()} == \
+            {"0", "1", "2"}

@@ -513,3 +513,14 @@ def test_socket_compressed_snapshot_same_shape_as_plain(spark, sf_dir):
     assert count_exchanges(df) <= 2
     assert "MaxBy" in physical_plan(df) or \
         "max_by" in physical_plan(df)
+
+
+def test_parts_abc_has_no_unpartitioned_window(spark, sf_dir):
+    """Round-6 verdict item #7: the ABC running sum runs as the
+    distributed two-pass scheme (range exchange + __pid-local windows +
+    broadcast decimal offsets) — no single-task ordered window left in
+    any headline-family plan."""
+    df = REGISTRY["parts_abc_analysis"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert _unpartitioned_window_count(plan) == 0, plan[:800]
+    assert "rangepartitioning" in plan

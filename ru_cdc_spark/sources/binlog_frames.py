@@ -865,3 +865,216 @@ SELECT i,
        (i * 3) % 7 AS v0
 FROM ids
 """
+
+
+# ---------------------------------------------------------------------------
+# WL#4618 FULL-metadata decode (MySQL 8 binlog_row_metadata=FULL) and
+# pre-5.6 legacy temporal / GEOMETRY wire types — round-7 verdict items
+# #3 and #8. Both fixtures are pure functions of the row id, so DuckDB
+# oracles recompute every value arithmetically.
+# ---------------------------------------------------------------------------
+
+META_FULL_NAMES = ["k", "u8", "u16", "u32", "u64", "color", "flags"]
+_ENUM_LABELS = ("red", "green", "blue", "teal", "mauve")
+_SET_LABELS = ("a", "b", "c")
+
+
+def _meta_full_specs():
+    from ru_cdc_spark.sources.binlog_wire import T_ENUM as E, T_SET as S
+
+    return [
+        ColSpec(T_LONGLONG),
+        ColSpec(T_TINY, unsigned=True),
+        ColSpec(T_SHORT, unsigned=True),
+        ColSpec(T_LONG, unsigned=True),
+        ColSpec(T_LONGLONG, unsigned=True),
+        ColSpec(E, (1,), labels=_ENUM_LABELS),
+        ColSpec(S, (1,), labels=_SET_LABELS),
+    ]
+
+
+def _meta_row_values(i: int) -> tuple:
+    """Full-range unsigned values (every one would decode WRONG as
+    signed) + enum index incl. the invalid-0 empty string + set mask."""
+    return (
+        i,
+        (i * 37) % 256,                       # top bit set half the time
+        (i * 7919) % 65536,
+        (i * 2654435761) % (1 << 32),
+        (1 << 63) + i,                        # always beyond int64
+        i % (len(_ENUM_LABELS) + 1),          # 0 = MySQL invalid -> ''
+        i % (1 << len(_SET_LABELS)),
+    )
+
+
+def generate_metadata_frames(spark: SparkSession, n_rows: int,
+                             n_partitions: int = 8) -> DataFrame:
+    """Frames whose TABLE_MAP carries the WL#4618 FULL metadata block:
+    SIGNEDNESS, COLUMN_NAME, ENUM/SET_STR_VALUE, SIMPLE_PRIMARY_KEY."""
+    specs = _meta_full_specs()
+    n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for fid in pdf["id"]:
+                rows = [_meta_row_values(i)
+                        for i in range(int(fid) * ROWS_PER_EVENT,
+                                       min((int(fid) + 1) * ROWS_PER_EVENT,
+                                           n_rows))]
+                frames.append(encode_frame(
+                    51, "testdb", "meta_full", specs, WRITE_ROWS_V2, rows,
+                    log_pos=int(fid), full_metadata=True,
+                    column_names=META_FULL_NAMES, primary_key=[0]))
+            yield pd.DataFrame({"frame_id": pdf["id"], "frame": frames})
+
+    return (spark.range(n_frames).repartition(n_partitions)
+            .mapInPandas(gen, "frame_id long, frame binary"))
+
+
+def decode_metadata_frames(frames: DataFrame) -> DataFrame:
+    """Catalog-FREE decode: column names come off the wire (COLUMN_NAME
+    TLV), signedness/labels are already folded into the specs by
+    decode_table_map — no DESC connection anywhere. Raises if the frame
+    lacks the metadata block (this path must never silently fall back)."""
+    from ru_cdc_spark.sources.binlog_wire import decode_frame_ext
+
+    out_schema = ("k long, u8 long, u16 long, u32 long, u64 string, "
+                  "color string, flags string")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for raw in pdf["frame"]:
+                schema, table, _etype, rows, tm = decode_frame_ext(
+                    bytes(raw))
+                names = tm.get("column_names")
+                if not names:
+                    raise ValueError(
+                        "TABLE_MAP carries no WL#4618 COLUMN_NAME block")
+                if tm.get("primary_key") != [0]:
+                    raise ValueError("missing/wrong SIMPLE_PRIMARY_KEY")
+                for row in rows:
+                    r = dict(zip(names, row))
+                    r["u64"] = str(r["u64"])
+                    recs.append(r)
+            yield pd.DataFrame(recs, columns=META_FULL_NAMES)
+
+    return frames.mapInPandas(dec, out_schema)
+
+
+BINLOG_METADATA_N_ROWS = 2000
+
+BINLOG_METADATA_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({BINLOG_METADATA_N_ROWS})) AS i)
+SELECT i AS k,
+  (i * 37) % 256 AS u8,
+  (i * 7919) % 65536 AS u16,
+  (i * 2654435761) % 4294967296 AS u32,
+  CAST(CAST(9223372036854775808 AS HUGEINT) + i AS VARCHAR) AS u64,
+  CASE i % 6 WHEN 1 THEN 'red' WHEN 2 THEN 'green' WHEN 3 THEN 'blue'
+             WHEN 4 THEN 'teal' WHEN 5 THEN 'mauve' ELSE '' END AS color,
+  CASE i % 8 WHEN 0 THEN '' WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+             WHEN 3 THEN 'a,b' WHEN 4 THEN 'c' WHEN 5 THEN 'a,c'
+             WHEN 6 THEN 'b,c' ELSE 'a,b,c' END AS flags
+FROM ids
+"""
+
+
+LEGACY_NAMES = ["k", "ts7_epoch_us", "time11_us", "dt12", "srid",
+                "wkb_hex"]
+
+
+def _legacy_specs():
+    from ru_cdc_spark.sources.binlog_wire import (
+        T_DATETIME,
+        T_GEOMETRY,
+        T_TIME,
+        T_TIMESTAMP,
+    )
+
+    return [
+        ColSpec(T_LONGLONG),
+        ColSpec(T_TIMESTAMP),
+        ColSpec(T_TIME),
+        ColSpec(T_DATETIME),
+        ColSpec(T_GEOMETRY, (2,)),
+    ]
+
+
+def _legacy_row_values(i: int) -> tuple:
+    sign = -1 if i % 2 else 1
+    tm = sign * (((i % 120) * 3600 + (i % 60) * 60 + (i * 7) % 60)
+                 * 1_000_000)
+    dt = (None if i % 19 == 0
+          else datetime(1995 + i % 30, 1 + i % 12, 1 + i % 28,
+                        i % 24, i % 60, (i * 3) % 60))
+    srid = (i * 31) % 10000
+    geo = srid.to_bytes(4, "little") + i.to_bytes(8, "big")
+    return (i, (1_500_000_000 + i) * 1_000_000, tm, dt, geo)
+
+
+def generate_legacy_frames(spark: SparkSession, n_rows: int,
+                           n_partitions: int = 8) -> DataFrame:
+    """Frames using the PRE-5.6.4 temporal type codes (7/11/12) and
+    GEOMETRY (255) — what a capture from an old server or a spatial
+    table carries. The reference fails on all four (binlog.rs:159-204
+    matches only the v2 temporals and no type 255)."""
+    specs = _legacy_specs()
+    n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for fid in pdf["id"]:
+                rows = [_legacy_row_values(i)
+                        for i in range(int(fid) * ROWS_PER_EVENT,
+                                       min((int(fid) + 1) * ROWS_PER_EVENT,
+                                           n_rows))]
+                frames.append(encode_frame(
+                    52, "testdb", "legacy_types", specs, WRITE_ROWS_V2,
+                    rows, log_pos=int(fid)))
+            yield pd.DataFrame({"frame_id": pdf["id"], "frame": frames})
+
+    return (spark.range(n_frames).repartition(n_partitions)
+            .mapInPandas(gen, "frame_id long, frame binary"))
+
+
+def decode_legacy_frames(frames: DataFrame) -> DataFrame:
+    out_schema = ("k long, ts7_epoch_us long, time11_us long, "
+                  "dt12 timestamp_ntz, srid long, wkb_hex string")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for raw in pdf["frame"]:
+                _s, _t, _e, rows = decode_frame(bytes(raw))
+                for k, ts7, tm, dt, geo in rows:
+                    recs.append((k, ts7, tm, dt,
+                                 int.from_bytes(geo[:4], "little"),
+                                 geo[4:].hex()))
+            pf = pd.DataFrame(recs, columns=LEGACY_NAMES)
+            if len(pf):
+                pf["dt12"] = pd.to_datetime(pf["dt12"])
+            yield pf
+
+    return frames.mapInPandas(dec, out_schema)
+
+
+BINLOG_LEGACY_N_ROWS = 2000
+
+BINLOG_LEGACY_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({BINLOG_LEGACY_N_ROWS})) AS i)
+SELECT i AS k,
+  (1500000000 + i) * 1000000 AS ts7_epoch_us,
+  (CASE WHEN i % 2 = 1 THEN -1 ELSE 1 END)
+    * (((i % 120) * 3600 + (i % 60) * 60 + (i * 7) % 60) * 1000000)
+    AS time11_us,
+  CASE WHEN i % 19 = 0 THEN NULL
+       ELSE make_timestamp(1995 + i % 30, 1 + i % 12, 1 + i % 28,
+                           i % 24, i % 60, (i * 3) % 60)
+  END AS dt12,
+  (i * 31) % 10000 AS srid,
+  lpad(lower(hex(i)), 16, '0') AS wkb_hex
+FROM ids
+"""

@@ -76,7 +76,10 @@ GTID_EVENT = 33
 
 # MySQL column type codes (public; reference binlog.rs:159-204)
 T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
+T_TIMESTAMP = 7   # pre-5.6.4 TIMESTAMP: 4-byte LE unix seconds
 T_LONGLONG, T_INT24, T_DATE = 8, 9, 10
+T_TIME = 11       # pre-5.6.4 TIME: 3-byte LE signed packed hhmmss
+T_DATETIME = 12   # pre-5.6.4 DATETIME: 8-byte LE packed YYYYMMDDhhmmss
 T_YEAR = 13
 T_VARCHAR = 15
 T_BIT = 16
@@ -87,9 +90,32 @@ T_ENUM = 247   # wire: appears as T_STRING with real type in meta byte 0
 T_SET = 248    # wire: same packing as ENUM
 T_BLOB = 252
 T_STRING = 254
+T_GEOMETRY = 255  # BLOB-framed 4-byte-LE-SRID-prefixed WKB, passthrough
 
 # bytes needed to store 0..9 leftover decimal digits (public dig2bytes)
 _DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+# WL#4618 optional TABLE_MAP metadata field type codes (public:
+# libbinlogevents rows_event.h Table_map_event::Optional_metadata_field_type)
+TM_SIGNEDNESS = 1
+TM_DEFAULT_CHARSET = 2
+TM_COLUMN_CHARSET = 3
+TM_COLUMN_NAME = 4
+TM_SET_STR_VALUE = 5
+TM_ENUM_STR_VALUE = 6
+TM_GEOMETRY_TYPE = 7
+TM_SIMPLE_PRIMARY_KEY = 8
+TM_PRIMARY_KEY_WITH_PREFIX = 9
+TM_ENUM_AND_SET_DEFAULT_CHARSET = 10
+TM_ENUM_AND_SET_COLUMN_CHARSET = 11
+TM_COLUMN_VISIBILITY = 12
+_TM_MAX = 12
+
+# the types whose SIGNEDNESS bits exist in the WL#4618 bitmap (public:
+# libbinlogevents rows_event.cpp is_numeric_type) — one bit per column
+# of these types, in column order, MSB-first within each byte
+_NUMERIC_TYPES = (T_TINY, T_SHORT, T_INT24, T_LONG, T_LONGLONG,
+                  T_NEWDECIMAL, T_FLOAT, T_DOUBLE)
 
 
 @dataclass(frozen=True)
@@ -97,12 +123,22 @@ class ColSpec:
     """One column's wire spec: type code + metadata the TABLE_MAP carries.
 
     meta meaning per type: NEWDECIMAL -> (precision, scale);
-    VARCHAR/STRING -> max_length; BLOB -> length_size;
+    VARCHAR/STRING -> max_length; BLOB/GEOMETRY -> length_size;
     TIME2/DATETIME2/TIMESTAMP2 -> fsp; others -> ().
+
+    ``unsigned`` and ``labels`` come from the WL#4618 optional TABLE_MAP
+    metadata when a MySQL 8 server runs binlog_row_metadata=FULL:
+    unsigned integer columns then decode wire-side without any catalog
+    DESC round-trip, and ENUM/SET values resolve to their string labels
+    (1-based member for ENUM, comma-joined bitmask members for SET).
+    Absent metadata leaves the classic behavior (signed decode + integer
+    index, catalog-driven reinterpretation downstream).
     """
 
     type_code: int
     meta: tuple = ()
+    unsigned: bool = False
+    labels: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -357,23 +393,86 @@ def decode_timestamp2(b: bytes, off: int, fsp: int) -> tuple[int, int]:
     return secs * 1_000_000 + micros, off
 
 
+# -- pre-5.6.4 temporal wire formats (public: MySQL source
+# sql-common/my_time.cc TIME_to_ulonglong_* / field.cc Field_timestamp)
+# — captures from old servers still carry these type codes -----------------
+
+
+def encode_timestamp_legacy(epoch_micros: int) -> bytes:
+    """Type 7: 4-byte little-endian unix seconds (no fractional part in
+    the old format; sub-second input truncates like the old server)."""
+    return (epoch_micros // 1_000_000).to_bytes(4, "little")
+
+
+def decode_timestamp_legacy(b: bytes, off: int) -> tuple[int, int]:
+    # epoch micros, matching decode_timestamp2's unit contract
+    return int.from_bytes(b[off:off + 4], "little") * 1_000_000, off + 4
+
+
+def encode_time_legacy(total_micros: int) -> bytes:
+    """Type 11: 3-byte little-endian SIGNED packed decimal hhmmss
+    (h*10000 + m*100 + s); no fractional part in the old format."""
+    neg = total_micros < 0
+    secs = abs(total_micros) // 1_000_000
+    h, rem = divmod(secs, 3600)
+    m, s = divmod(rem, 60)
+    packed = h * 10000 + m * 100 + s
+    return (-packed if neg else packed).to_bytes(3, "little", signed=True)
+
+
+def decode_time_legacy(b: bytes, off: int) -> tuple[int, int]:
+    # total micros (signed), matching decode_time2's unit contract
+    packed = int.from_bytes(b[off:off + 3], "little", signed=True)
+    neg = packed < 0
+    a = -packed if neg else packed
+    h, rem = divmod(a, 10000)
+    m, s = divmod(rem, 100)
+    total = (h * 3600 + m * 60 + s) * 1_000_000
+    return (-total if neg else total), off + 3
+
+
+def encode_datetime_legacy(dt: datetime | None) -> bytes:
+    """Type 12: 8-byte little-endian packed decimal YYYYMMDDhhmmss;
+    the all-zero value is the old zero-date."""
+    if dt is None:
+        return (0).to_bytes(8, "little")
+    packed = ((dt.year * 10000 + dt.month * 100 + dt.day) * 1_000_000
+              + dt.hour * 10000 + dt.minute * 100 + dt.second)
+    return packed.to_bytes(8, "little")
+
+
+def decode_datetime_legacy(b: bytes, off: int) -> tuple[datetime | None,
+                                                        int]:
+    packed = int.from_bytes(b[off:off + 8], "little")
+    off += 8
+    if packed == 0:
+        return None, off  # zero-date -> NULL (F2 semantics)
+    d, t = divmod(packed, 1_000_000)
+    return datetime(d // 10000, d // 100 % 100, d % 100,
+                    t // 10000, t // 100 % 100, t % 100), off
+
+
 # ---------------------------------------------------------------------------
 # column value encode/decode dispatch (D10)
 # ---------------------------------------------------------------------------
 
 
+def _int_bytes(v, w: int, spec: ColSpec) -> bytes:
+    return int(v).to_bytes(w, "little", signed=not spec.unsigned)
+
+
 def encode_value(v, spec: ColSpec) -> bytes:
     t = spec.type_code
     if t == T_TINY:
-        return int(v).to_bytes(1, "little", signed=True)
+        return _int_bytes(v, 1, spec)
     if t == T_SHORT:
-        return int(v).to_bytes(2, "little", signed=True)
+        return _int_bytes(v, 2, spec)
     if t == T_INT24:
-        return int(v).to_bytes(3, "little", signed=True)
+        return _int_bytes(v, 3, spec)
     if t == T_LONG:
-        return int(v).to_bytes(4, "little", signed=True)
+        return _int_bytes(v, 4, spec)
     if t == T_LONGLONG:
-        return int(v).to_bytes(8, "little", signed=True)
+        return _int_bytes(v, 8, spec)
     if t == T_FLOAT:
         return struct.pack("<f", v)
     if t == T_DOUBLE:
@@ -408,21 +507,32 @@ def encode_value(v, spec: ColSpec) -> bytes:
         return int(v).to_bytes(spec.meta[0], "little")  # member bitmask
     if t == T_BIT:
         return int(v).to_bytes((spec.meta[0] + 7) // 8, "big")  # BE!
+    if t == T_TIMESTAMP:
+        return encode_timestamp_legacy(v)
+    if t == T_TIME:
+        return encode_time_legacy(v)
+    if t == T_DATETIME:
+        return encode_datetime_legacy(v)
+    if t == T_GEOMETRY:
+        # SRID-prefixed WKB bytes, BLOB-framed: surfaced as-is
+        data = bytes(v)
+        return len(data).to_bytes(spec.meta[0], "little") + data
     raise ValueError(f"unsupported type code {t}")
 
 
 def decode_value(b: bytes, off: int, spec: ColSpec):
     t = spec.type_code
+    sgn = not spec.unsigned  # WL#4618 SIGNEDNESS, default signed
     if t == T_TINY:
-        return int.from_bytes(b[off:off + 1], "little", signed=True), off + 1
+        return int.from_bytes(b[off:off + 1], "little", signed=sgn), off + 1
     if t == T_SHORT:
-        return int.from_bytes(b[off:off + 2], "little", signed=True), off + 2
+        return int.from_bytes(b[off:off + 2], "little", signed=sgn), off + 2
     if t == T_INT24:
-        return int.from_bytes(b[off:off + 3], "little", signed=True), off + 3
+        return int.from_bytes(b[off:off + 3], "little", signed=sgn), off + 3
     if t == T_LONG:
-        return int.from_bytes(b[off:off + 4], "little", signed=True), off + 4
+        return int.from_bytes(b[off:off + 4], "little", signed=sgn), off + 4
     if t == T_LONGLONG:
-        return int.from_bytes(b[off:off + 8], "little", signed=True), off + 8
+        return int.from_bytes(b[off:off + 8], "little", signed=sgn), off + 8
     if t == T_FLOAT:
         return struct.unpack("<f", b[off:off + 4])[0], off + 4
     if t == T_DOUBLE:
@@ -458,11 +568,37 @@ def decode_value(b: bytes, off: int, spec: ColSpec):
         return decode_json_text(b[off:off + n]), off + n
     if t in (T_ENUM, T_SET):
         w = spec.meta[0]
-        return int.from_bytes(b[off:off + w], "little"), off + w
+        v = int.from_bytes(b[off:off + w], "little")
+        return _enum_set_value(t, v, spec.labels), off + w
     if t == T_BIT:
         w = (spec.meta[0] + 7) // 8
         return int.from_bytes(b[off:off + w], "big"), off + w
+    if t == T_TIMESTAMP:
+        return decode_timestamp_legacy(b, off)
+    if t == T_TIME:
+        return decode_time_legacy(b, off)
+    if t == T_DATETIME:
+        return decode_datetime_legacy(b, off)
+    if t == T_GEOMETRY:
+        # passthrough: raw 4-byte-LE-SRID + WKB bytes (spatial decode is
+        # downstream's concern; the log's job is lossless capture)
+        ls = spec.meta[0]
+        n = int.from_bytes(b[off:off + ls], "little")
+        off += ls
+        return bytes(b[off:off + n]), off + n
     raise ValueError(f"unsupported type code {t}")
+
+
+def _enum_set_value(t: int, v: int, labels: tuple):
+    """ENUM/SET wire value -> string label(s) when WL#4618 metadata
+    supplied them, else the raw integer (classic behavior). ENUM 0 is
+    MySQL's invalid-value empty string; SET joins set bits in member
+    order."""
+    if not labels:
+        return v
+    if t == T_ENUM:
+        return labels[v - 1] if 1 <= v <= len(labels) else ""
+    return ",".join(lab for i, lab in enumerate(labels) if v >> i & 1)
 
 
 # ---------------------------------------------------------------------------
@@ -494,7 +630,7 @@ def _type_meta_bytes(spec: ColSpec) -> bytes:
         length = spec.meta[0]
         m0 = T_STRING ^ ((length >> 4) & 0x30)
         return bytes([m0, length & 0xFF])
-    if t in (T_BLOB, T_JSON):
+    if t in (T_BLOB, T_JSON, T_GEOMETRY):
         return bytes([spec.meta[0]])
     if t in (T_TIME2, T_DATETIME2, T_TIMESTAMP2):
         return bytes([spec.meta[0]])
@@ -509,7 +645,15 @@ def _type_meta_bytes(spec: ColSpec) -> bytes:
 
 
 def encode_table_map(table_id: int, schema: str, table: str,
-                     specs: list[ColSpec], log_pos: int = 0) -> bytes:
+                     specs: list[ColSpec], log_pos: int = 0, *,
+                     full_metadata: bool = False,
+                     column_names: list[str] | None = None,
+                     primary_key: list[int] | None = None) -> bytes:
+    """TABLE_MAP event. With ``full_metadata`` the WL#4618 optional
+    TLV block follows the nullability bitmap, carrying SIGNEDNESS (from
+    each spec's ``unsigned``), COLUMN_NAME, ENUM/SET_STR_VALUE (from
+    ``labels``) and SIMPLE_PRIMARY_KEY — what a MySQL 8 server with
+    binlog_row_metadata=FULL writes."""
     p = bytearray()
     p += table_id.to_bytes(6, "little") + b"\x01\x00"  # table_id + flags
     sb, tb = schema.encode(), table.encode()
@@ -524,10 +668,27 @@ def encode_table_map(table_id: int, schema: str, table: str,
     # nullability bitmap: every column nullable (partial final byte)
     p += bytes((1 << min(8, len(specs) - 8 * i)) - 1
                for i in range((len(specs) + 7) // 8))
+    if full_metadata:
+        p += _encode_optional_metadata(specs, column_names, primary_key)
     return _header(TABLE_MAP_EVENT, len(p), log_pos=log_pos) + bytes(p)
 
 
 def decode_table_map(b: bytes) -> tuple[int, str, str, list[ColSpec]]:
+    """Classic 4-tuple view; specs are already enriched with WL#4618
+    signedness/labels when the event carries the FULL metadata block."""
+    table_id, schema, table, specs, _ = decode_table_map_ext(b)
+    return table_id, schema, table, specs
+
+
+def decode_table_map_metadata(b: bytes) -> dict:
+    """Just the WL#4618 optional-metadata dict of a TABLE_MAP event:
+    column_names, primary_key, signedness, enum/set labels, visibility
+    — {} when the server didn't write the block."""
+    return decode_table_map_ext(b)[4]
+
+
+def decode_table_map_ext(b: bytes) -> tuple[int, str, str, list[ColSpec],
+                                            dict]:
     if b[4] != TABLE_MAP_EVENT:
         raise ValueError(f"not a TABLE_MAP event (type {b[4]})")
     off = 19
@@ -576,7 +737,7 @@ def decode_table_map(b: bytes) -> tuple[int, str, str, list[ColSpec]]:
             m0, m1 = meta[mp], meta[mp + 1]
             specs.append(ColSpec(t, (m1 * 8 + m0,)))
             mp += 2
-        elif t in (T_BLOB, T_JSON):
+        elif t in (T_BLOB, T_JSON, T_GEOMETRY):
             specs.append(ColSpec(t, (meta[mp],)))
             mp += 1
         elif t in (T_TIME2, T_DATETIME2, T_TIMESTAMP2):
@@ -584,7 +745,156 @@ def decode_table_map(b: bytes) -> tuple[int, str, str, list[ColSpec]]:
             mp += 1
         else:
             specs.append(ColSpec(t, ()))
-    return table_id, schema, table, specs
+    # nullability bitmap, then (MySQL 8, binlog_row_metadata) the
+    # WL#4618 optional-metadata TLV block
+    off += (ncols + 7) // 8
+    tm_meta = _decode_optional_metadata(b, off, specs)
+    if tm_meta.get("signedness") or tm_meta.get("enum_labels") \
+            or tm_meta.get("set_labels"):
+        specs = _apply_optional_metadata(specs, tm_meta)
+    return table_id, schema, table, specs, tm_meta
+
+
+def _decode_optional_metadata(b: bytes, off: int,
+                              specs: list[ColSpec]) -> dict:
+    """Parse the WL#4618 TLV block that binlog_row_metadata=MINIMAL/FULL
+    servers append after the nullability bitmap (public layout:
+    libbinlogevents rows_event.h, 1-byte field type + lenenc length +
+    value). Unknown-but-valid field types are skipped by length — the
+    forward-compatibility contract the format was designed for. Parsing
+    stops at the first byte that cannot open a well-formed field, which
+    also tolerates a stray checksum trailer on events an upstream layer
+    forgot to strip."""
+    out: dict = {}
+    numeric_idx = [i for i, s in enumerate(specs)
+                   if s.type_code in _NUMERIC_TYPES]
+    enum_idx = [i for i, s in enumerate(specs) if s.type_code == T_ENUM]
+    set_idx = [i for i, s in enumerate(specs) if s.type_code == T_SET]
+    while off + 2 <= len(b):
+        ftype = b[off]
+        if ftype == 0 or ftype > _TM_MAX:
+            break
+        try:
+            flen, voff = read_lenenc(b, off + 1)
+        except (IndexError, ValueError):
+            break
+        if voff + flen > len(b):
+            break
+        field = b[voff:voff + flen]
+        off = voff + flen
+        if ftype == TM_SIGNEDNESS:
+            # one bit per NUMERIC column, in column order, MSB-first
+            out["signedness"] = {
+                col: bool(field[i // 8] & (0x80 >> (i % 8)))
+                for i, col in enumerate(numeric_idx)
+                if i // 8 < len(field)}
+        elif ftype == TM_COLUMN_NAME:
+            names, p = [], 0
+            while p < len(field):
+                n, p = read_lenenc(field, p)
+                names.append(field[p:p + n].decode("utf-8"))
+                p += n
+            out["column_names"] = names
+        elif ftype in (TM_ENUM_STR_VALUE, TM_SET_STR_VALUE):
+            cols = enum_idx if ftype == TM_ENUM_STR_VALUE else set_idx
+            key = ("enum_labels" if ftype == TM_ENUM_STR_VALUE
+                   else "set_labels")
+            per_col, p = {}, 0
+            for col in cols:
+                if p >= len(field):
+                    break
+                cnt, p = read_lenenc(field, p)
+                vals = []
+                for _ in range(cnt):
+                    n, p = read_lenenc(field, p)
+                    vals.append(field[p:p + n].decode("utf-8"))
+                    p += n
+                per_col[col] = tuple(vals)
+            out[key] = per_col
+        elif ftype == TM_SIMPLE_PRIMARY_KEY:
+            pk, p = [], 0
+            while p < len(field):
+                idx, p = read_lenenc(field, p)
+                pk.append(idx)
+            out["primary_key"] = pk
+        elif ftype == TM_COLUMN_VISIBILITY:
+            out["visibility"] = [
+                bool(field[i // 8] & (0x80 >> (i % 8)))
+                for i in range(min(len(specs), len(field) * 8))]
+        else:
+            # charsets / geometry types / pk-with-prefix: kept raw —
+            # decode currently needs none of them (all text here is
+            # utf8-family, geometry is passthrough)
+            out.setdefault("raw", {})[ftype] = bytes(field)
+    return out
+
+
+def _apply_optional_metadata(specs: list[ColSpec],
+                             tm_meta: dict) -> list[ColSpec]:
+    """Fold SIGNEDNESS + ENUM/SET label metadata into the column specs,
+    so downstream row decode is catalog-free: unsigned ints widen
+    correctly and ENUM/SET surface their string labels directly."""
+    import dataclasses
+
+    signed = tm_meta.get("signedness", {})
+    enum_l = tm_meta.get("enum_labels", {})
+    set_l = tm_meta.get("set_labels", {})
+    out = []
+    for i, s in enumerate(specs):
+        changes = {}
+        if signed.get(i):
+            changes["unsigned"] = True
+        if i in enum_l:
+            changes["labels"] = enum_l[i]
+        elif i in set_l:
+            changes["labels"] = set_l[i]
+        out.append(dataclasses.replace(s, **changes) if changes else s)
+    return out
+
+
+def _encode_optional_metadata(specs: list[ColSpec],
+                              column_names: list[str] | None,
+                              primary_key: list[int] | None) -> bytes:
+    """Build the WL#4618 TLV block from spec-carried unsigned/labels
+    plus explicit names/pk — what a binlog_row_metadata=FULL server
+    writes."""
+    def tlv(ftype: int, payload: bytes) -> bytes:
+        return bytes([ftype]) + write_lenenc(len(payload)) + payload
+
+    out = bytearray()
+    numeric = [s for s in specs if s.type_code in _NUMERIC_TYPES]
+    if numeric:
+        bits = bytearray((len(numeric) + 7) // 8)
+        for i, s in enumerate(numeric):
+            if s.unsigned:
+                bits[i // 8] |= 0x80 >> (i % 8)
+        out += tlv(TM_SIGNEDNESS, bytes(bits))
+    if column_names is not None:
+        payload = b"".join(write_lenenc(len(n.encode())) + n.encode()
+                           for n in column_names)
+        out += tlv(TM_COLUMN_NAME, payload)
+    enums = [s for s in specs if s.type_code == T_ENUM]
+    if any(s.labels for s in enums):
+        payload = bytearray()
+        for s in enums:
+            payload += write_lenenc(len(s.labels))
+            for lab in s.labels:
+                lb = lab.encode()
+                payload += write_lenenc(len(lb)) + lb
+        out += tlv(TM_ENUM_STR_VALUE, bytes(payload))
+    sets = [s for s in specs if s.type_code == T_SET]
+    if any(s.labels for s in sets):
+        payload = bytearray()
+        for s in sets:
+            payload += write_lenenc(len(s.labels))
+            for lab in s.labels:
+                lb = lab.encode()
+                payload += write_lenenc(len(lb)) + lb
+        out += tlv(TM_SET_STR_VALUE, bytes(payload))
+    if primary_key is not None:
+        out += tlv(TM_SIMPLE_PRIMARY_KEY,
+                   b"".join(write_lenenc(i) for i in primary_key))
+    return bytes(out)
 
 
 def _bitmap(bits: list[bool]) -> bytes:
@@ -633,8 +943,9 @@ def compile_decoders(specs: list[ColSpec]) -> list:
         if t in (T_TINY, T_SHORT, T_INT24, T_LONG, T_LONGLONG):
             w = {T_TINY: 1, T_SHORT: 2, T_INT24: 3, T_LONG: 4,
                  T_LONGLONG: 8}[t]
+            sgn = not spec.unsigned  # WL#4618 SIGNEDNESS
             return lambda b, off: (ib(b[off:off + w], "little",
-                                      signed=True), off + w)
+                                      signed=sgn), off + w)
         if t == T_FLOAT:
             up = struct.Struct("<f").unpack_from
             return lambda b, off: (up(b, off)[0], off + 4)
@@ -1179,8 +1490,14 @@ def decode_query(b: bytes, checksum_bytes: int = 0) -> tuple[str, str]:
 
 
 def encode_frame(table_id: int, schema: str, table: str, specs: list[ColSpec],
-                 event_type: int, rows: list, log_pos: int = 0) -> bytes:
-    tm = encode_table_map(table_id, schema, table, specs, log_pos)
+                 event_type: int, rows: list, log_pos: int = 0, *,
+                 full_metadata: bool = False,
+                 column_names: list[str] | None = None,
+                 primary_key: list[int] | None = None) -> bytes:
+    tm = encode_table_map(table_id, schema, table, specs, log_pos,
+                          full_metadata=full_metadata,
+                          column_names=column_names,
+                          primary_key=primary_key)
     re_ = encode_rows_event(event_type, table_id, specs, rows, log_pos)
     return tm + re_
 
@@ -1189,8 +1506,20 @@ def decode_frame(b: bytes, checksum_bytes: int = 0) -> tuple[str, str, int, list
     """One (TABLE_MAP, ROWS) pair -> (schema, table, event_type, rows).
 
     The TABLE_MAP's own metadata drives the value decode — schema-on-read
-    exactly like the reference's two-layer registry (D4/D5 then D10)."""
+    exactly like the reference's two-layer registry (D4/D5 then D10).
+    WL#4618 signedness/labels, when present, are already folded into the
+    specs, so unsigned and ENUM/SET columns decode catalog-free."""
     tm_size = int.from_bytes(b[9:13], "little")
     _, schema, table, specs = decode_table_map(b[:tm_size])
     event_type, rows = decode_rows_event(b[tm_size:], specs, checksum_bytes)
     return schema, table, event_type, rows
+
+
+def decode_frame_ext(b: bytes, checksum_bytes: int = 0
+                     ) -> tuple[str, str, int, list, dict]:
+    """decode_frame plus the TABLE_MAP's WL#4618 metadata dict — column
+    names / primary key straight off the wire, no DESC round-trip."""
+    tm_size = int.from_bytes(b[9:13], "little")
+    _, schema, table, specs, tm_meta = decode_table_map_ext(b[:tm_size])
+    event_type, rows = decode_rows_event(b[tm_size:], specs, checksum_bytes)
+    return schema, table, event_type, rows, tm_meta

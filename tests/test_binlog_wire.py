@@ -276,3 +276,156 @@ def test_fde_checksum_probe_verifies_crc_not_byte():
     # and the genuine CRC32 stream still detects its trailer
     crc_fde = _crc_wrap(w.encode_format_description(w.CHECKSUM_CRC32))
     assert w.decode_format_description(crc_fde)["checksum_bytes"] == 4
+
+
+class TestOptionalMetadata:
+    """WL#4618 TLV block golden vectors (layout: 1-byte field type +
+    lenenc length + value; public libbinlogevents rows_event.h)."""
+
+    def _specs(self):
+        from ru_cdc_spark.sources.binlog_wire import (
+            ColSpec,
+            T_ENUM,
+            T_LONG,
+            T_SET,
+            T_TINY,
+            T_VARCHAR,
+        )
+
+        return [ColSpec(T_TINY), ColSpec(T_VARCHAR, (20,)),
+                ColSpec(T_LONG), ColSpec(T_ENUM, (1,)),
+                ColSpec(T_SET, (1,))]
+
+    def test_golden_tlv_block_parses(self):
+        from ru_cdc_spark.sources.binlog_wire import (
+            _decode_optional_metadata,
+        )
+
+        # hand-assembled block over (tiny, varchar, long, enum, set):
+        # numeric columns = [0 tiny, 2 long] -> SIGNEDNESS bits MSB-first
+        blk = bytes([
+            1, 1, 0b10000000,              # SIGNEDNESS: tiny unsigned
+            4, 11,                         # COLUMN_NAME, 11 bytes
+            1, ord("a"), 2, ord("b"), ord("c"),
+            1, ord("d"), 1, ord("e"), 1, ord("f"),
+            6, 8,                          # ENUM_STR_VALUE, 8 bytes
+            2, 2, ord("o"), ord("n"), 3, ord("o"), ord("f"), ord("f"),
+            5, 5,                          # SET_STR_VALUE, 5 bytes
+            2, 1, ord("x"), 1, ord("y"),
+            8, 1, 0,                       # SIMPLE_PRIMARY_KEY: col 0
+        ])
+        meta = _decode_optional_metadata(blk, 0, self._specs())
+        assert meta["signedness"] == {0: True, 2: False}
+        assert meta["column_names"] == ["a", "bc", "d", "e", "f"]
+        assert meta["enum_labels"] == {3: ("on", "off")}
+        assert meta["set_labels"] == {4: ("x", "y")}
+        assert meta["primary_key"] == [0]
+
+    def test_unknown_field_skipped_by_length(self):
+        from ru_cdc_spark.sources.binlog_wire import (
+            _decode_optional_metadata,
+        )
+
+        # DEFAULT_CHARSET (2) and GEOMETRY_TYPE (7) are valid-but-unused:
+        # both must be skipped by length, and the pk after them parsed
+        blk = bytes([2, 1, 255, 7, 2, 0, 0, 8, 1, 1])
+        meta = _decode_optional_metadata(blk, 0, self._specs())
+        assert meta["primary_key"] == [1]
+        assert set(meta["raw"]) == {2, 7}
+
+    def test_full_metadata_roundtrip_and_catalog_free_decode(self):
+        from ru_cdc_spark.sources.binlog_wire import (
+            ColSpec,
+            T_ENUM,
+            T_LONGLONG,
+            T_SET,
+            T_TINY,
+            WRITE_ROWS_V2,
+            decode_frame_ext,
+            encode_frame,
+        )
+
+        specs = [ColSpec(T_TINY, unsigned=True),
+                 ColSpec(T_LONGLONG, unsigned=True),
+                 ColSpec(T_ENUM, (1,), labels=("p", "q")),
+                 ColSpec(T_SET, (1,), labels=("m", "n"))]
+        rows = [(200, (1 << 63) + 7, 2, 0b11), (255, (1 << 64) - 1, 0, 0)]
+        fr = encode_frame(9, "db", "t", specs, WRITE_ROWS_V2, rows,
+                          full_metadata=True,
+                          column_names=["a", "b", "c", "d"],
+                          primary_key=[1, 0])
+        schema, table, _et, out, tm = decode_frame_ext(fr)
+        assert (schema, table) == ("db", "t")
+        assert tm["column_names"] == ["a", "b", "c", "d"]
+        assert tm["primary_key"] == [1, 0]
+        assert out == [(200, (1 << 63) + 7, "q", "m,n"),
+                       (255, (1 << 64) - 1, "", "")]
+
+    def test_without_metadata_classic_signed_decode(self):
+        """No TLV block -> byte-identical classic behavior: signed ints,
+        integer ENUM/SET values."""
+        from ru_cdc_spark.sources.binlog_wire import (
+            ColSpec,
+            T_ENUM,
+            T_TINY,
+            WRITE_ROWS_V2,
+            decode_frame,
+            encode_frame,
+        )
+
+        specs = [ColSpec(T_TINY), ColSpec(T_ENUM, (1,))]
+        fr = encode_frame(9, "db", "t", specs, WRITE_ROWS_V2, [(-56, 2)])
+        assert decode_frame(fr)[3] == [(-56, 2)]
+
+
+class TestLegacyTemporalGoldens:
+    """Pre-5.6.4 wire formats, golden byte vectors from the public
+    format (my_time.cc packing)."""
+
+    def test_timestamp_type7(self):
+        from ru_cdc_spark.sources.binlog_wire import (
+            decode_timestamp_legacy,
+        )
+
+        # 2009-02-13 23:31:30 UTC = 1234567890
+        assert decode_timestamp_legacy(
+            (1234567890).to_bytes(4, "little"), 0) == \
+            (1234567890_000000, 4)
+
+    def test_time_type11_signed_packed(self):
+        from ru_cdc_spark.sources.binlog_wire import decode_time_legacy
+
+        # +101:30:45 -> packed 1013045; -02:30:15 -> -23015
+        pos = (1013045).to_bytes(3, "little", signed=True)
+        neg = (-23015).to_bytes(3, "little", signed=True)
+        assert decode_time_legacy(pos, 0)[0] == \
+            (101 * 3600 + 30 * 60 + 45) * 1_000_000
+        assert decode_time_legacy(neg, 0)[0] == \
+            -(2 * 3600 + 30 * 60 + 15) * 1_000_000
+
+    def test_datetime_type12_packed_and_zero_date(self):
+        from datetime import datetime
+
+        from ru_cdc_spark.sources.binlog_wire import (
+            decode_datetime_legacy,
+        )
+
+        b = (19991231235958).to_bytes(8, "little")
+        assert decode_datetime_legacy(b, 0)[0] == \
+            datetime(1999, 12, 31, 23, 59, 58)
+        assert decode_datetime_legacy(bytes(8), 0)[0] is None
+
+    def test_geometry_passthrough_keeps_srid_wkb(self):
+        from ru_cdc_spark.sources.binlog_wire import (
+            ColSpec,
+            T_GEOMETRY,
+            decode_value,
+            encode_value,
+        )
+
+        payload = (4326).to_bytes(4, "little") + b"\x01\x01WKBBYTES"
+        spec = ColSpec(T_GEOMETRY, (2,))
+        wire = encode_value(payload, spec)
+        assert wire[:2] == len(payload).to_bytes(2, "little")
+        v, off = decode_value(wire, 0, spec)
+        assert v == payload and off == len(wire)

@@ -3018,6 +3018,122 @@ def mysql_socket_txn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "seq_in_txn", "i", "qty", "amount", "note"))
 
 
+def mysql_socket_gtid_failover(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """GTID FAILOVER end-to-end (round-7 verdict item #5): the streaming
+    source loses its primary mid-stream and re-points at a second
+    fixture server carrying the SAME GTID history under a DIFFERENT
+    binlog file layout (other filenames, other positions, other file
+    splits) — the exact case COM_BINLOG_DUMP_GTID auto-positioning
+    exists for. In ``endpoints`` mode offsets are executed-GTID sets;
+    each micro-batch is a GTID window any endpoint can serve, and the
+    repositioning probe derives (file, pos) on the survivor from the
+    executed set alone. Server A is STOPPED after roughly a third of
+    the history has committed; the restarted query fails over to B and
+    drains the rest — and the committed rows hash-match the SAME DuckDB
+    oracle as every other transactional path: no loss, no duplication.
+
+    Scale: identical shape to mysql_socket_txn_stream; failover adds
+    one driver-side probe connection per switch, nothing per-row."""
+    from ru_cdc_spark.sources.binlog_txn import (
+        N_TXNS,
+        assemble_event_batch,
+    )
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+    from ru_cdc_spark.sources.mysql_socket_source import (
+        register_binlog_socket_source,
+    )
+
+    # fresh servers every run: A is killed mid-query by design
+    srv_a = MySQLFixtureServer(
+        binlogs=VirtualBinlog.txn_chain(N_TXNS, [250])).start()
+    srv_b = MySQLFixtureServer(
+        binlogs=VirtualBinlog.txn_chain(N_TXNS, [170, 340],
+                                        prefix="binlogB")).start()
+    register_binlog_socket_source(spark)
+    work = _session_tmpdir("gtid_failover_")
+    out = f"{work}/out"
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        committed = (assemble_event_batch(bdf)
+                     .where(F.col("status") == "committed"))
+        committed.write.mode("overwrite").parquet(
+            f"{out}/epoch={batch_id}")
+
+    def start_query():
+        stream = (spark.readStream.format("binlog_socket")
+                  .option("endpoints",
+                          f"127.0.0.1:{srv_a.port},"
+                          f"127.0.0.1:{srv_b.port}")
+                  .option("user", srv_a.user)
+                  .option("password", srv_a.password)
+                  .option("emit", "events")
+                  .option("cut_at", "gtid")
+                  .option("position_file", f"{work}/meta.json")
+                  .option("events_per_batch", 800).load())
+        return (stream.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", f"{work}/ck")
+                .trigger(processingTime="0 seconds").start())
+
+    try:
+        _drive_stream_to_gnos(start_query(), N_TXNS // 3, kill=True)
+        srv_a.stop()  # the primary dies for good
+        _drive_stream_to_gnos(start_query(), N_TXNS, kill=False)
+    finally:
+        srv_b.stop()
+        srv_a.stop()
+    return (spark.read.parquet(out)
+            .select("gno", "xid", "seq_no", "last_committed", "op",
+                    "seq_in_txn", "i", "qty", "amount", "note"))
+
+
+def _offset_json(q) -> dict:
+    """The last announced endOffset of a running query, tolerating the
+    JVM's string round-trip."""
+    import ast as _ast
+    import json as _json
+
+    p = q.lastProgress
+    if not p or not p["sources"]:
+        return {}
+    eo = p["sources"][0]["endOffset"]
+    if isinstance(eo, str):
+        try:
+            eo = _json.loads(eo)
+        except ValueError:
+            eo = _ast.literal_eval(eo)
+    return eo or {}
+
+
+def _drive_stream_to_gnos(q, target_gnos: int, kill: bool,
+                          timeout_s: float = 240.0) -> None:
+    """Run a GTID-offset streaming query until the announced executed
+    set covers ``target_gnos`` transactions (and, for a clean stop, the
+    last batch has drained), then stop it."""
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    try:
+        while _time.time() < deadline:
+            off = _offset_json(q)
+            covered = sum(hi - lo
+                          for ivs in (off.get("gtid") or {}).values()
+                          for lo, hi in ivs)
+            if covered >= target_gnos:
+                if kill:
+                    return
+                p = q.lastProgress
+                if p and p["numInputRows"] == 0:
+                    return
+            _time.sleep(0.05)
+        raise TimeoutError(f"stream never covered {target_gnos} gnos")
+    finally:
+        q.stop()
+
+
 def _drive_stream_to(q, target_pos: int, end_pos: int,
                      kill: bool, timeout_s: float = 240.0) -> None:
     """Run a continuous-trigger streaming query until its COMMITTED
@@ -3632,6 +3748,8 @@ def _register_binlog_wire() -> None:
              BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_txn_compressed)
     register("mysql_socket_txn_stream",
              BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_txn_stream)
+    register("mysql_socket_gtid_failover",
+             BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_gtid_failover)
     register("cdc_kafka_wire_roundtrip",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_roundtrip)

@@ -62,6 +62,12 @@ from ru_cdc_spark.sources.mysql_client import (
 )
 from ru_cdc_spark.sources.sha2_auth import CACHING_SHA2_PLUGIN
 
+def _sid_uuid(sid: bytes) -> str:
+    """16-byte server id -> the dashed uuid string real servers print."""
+    h = sid.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
 _EVENT_NAMES = {2: "Query", 4: "Rotate", 15: "Format_desc", 16: "Xid",
                 19: "Table_map", 27: "Heartbeat", 29: "Rows_query",
                 30: "Write_rows", 31: "Update_rows", 32: "Delete_rows",
@@ -172,6 +178,32 @@ class VirtualBinlog:
         for tid in range(n_txns):
             vb.append_blob(txn_event_bytes(tid, compressed))
         return vb
+
+    @classmethod
+    def txn_chain(cls, n_txns: int, splits: list[int],
+                  prefix: str = "binlog") -> list["VirtualBinlog"]:
+        """The SAME transactional history as ``from_txn_fixture`` cut
+        into multiple binlog files at the given txn-id boundaries —
+        two servers built with different ``splits`` (and prefixes)
+        carry identical GTID histories under different physical file
+        layouts, the exact shape GTID auto-positioning failover exists
+        for: (file, pos) from one server is meaningless on the other,
+        the executed-GTID set is portable."""
+        from ru_cdc_spark.sources.binlog_txn import txn_event_bytes
+        from ru_cdc_spark.sources.binlog_wire import (
+            CHECKSUM_NONE,
+            encode_format_description,
+        )
+
+        bounds = [0, *splits, n_txns]
+        chain = []
+        for k in range(len(bounds) - 1):
+            vb = cls(f"{prefix}.{k + 1:06d}")
+            vb.append(encode_format_description(CHECKSUM_NONE))
+            for tid in range(bounds[k], bounds[k + 1]):
+                vb.append_blob(txn_event_bytes(tid))
+            chain.append(vb)
+        return chain
 
 
 class MySQLFixtureServer:
@@ -500,7 +532,9 @@ class MySQLFixtureServer:
                 ["File", "Position", "Binlog_Do_DB", "Binlog_Ignore_DB"],
                 [[self.binlog.filename, str(self.binlog.end_pos), "", ""]])
         elif q.startswith("show binlog events"):
-            self._show_binlog_events(io, q)
+            # pass the ORIGINAL sql: binlog filenames are case-sensitive
+            # and the lowercased q would miss mixed-case names
+            self._show_binlog_events(io, sql.strip().rstrip(";"))
         elif q == "show binary logs":
             self._send_result_set(
                 io, ["Log_name", "File_size"],
@@ -517,23 +551,32 @@ class MySQLFixtureServer:
             io.write_packet(encode_ok(), seq=1)
 
     def _show_binlog_events(self, io: PacketIO, q: str) -> None:
-        m = re.search(r"in\s+'([^']+)'", q)
+        m = re.search(r"in\s+'([^']+)'", q, re.IGNORECASE)
         vb = self.binlog
         if m:
             vb = next((b for b in self.binlogs
                        if b.filename == m.group(1)), self.binlog)
-        m = re.search(r"from\s+(\d+)", q)
+        m = re.search(r"from\s+(\d+)", q, re.IGNORECASE)
         from_pos = int(m.group(1)) if m else 4
-        m = re.search(r"limit\s+(\d+)", q)
+        m = re.search(r"limit\s+(\d+)", q, re.IGNORECASE)
         limit = int(m.group(1)) if m else len(vb.events)
         rows = []
         for start, end, ev in vb.events:
             if start < from_pos or len(rows) >= limit:
                 continue
             etype = ev[4]
+            info = ""
+            if etype == 33:
+                # real servers print the txn's GTID here — the Info a
+                # GTID-tracking planner parses (gtid offsets / failover)
+                from ru_cdc_spark.sources.binlog_wire import decode_gtid
+
+                g = decode_gtid(ev)
+                info = ("SET @@SESSION.GTID_NEXT= "
+                        f"'{_sid_uuid(g['sid'])}:{g['gno']}'")
             rows.append([vb.filename, str(start),
                          _EVENT_NAMES.get(etype, str(etype)), "1",
-                         str(end), ""])
+                         str(end), info])
         self._send_result_set(
             io, ["Log_name", "Pos", "Event_type", "Server_id",
                  "End_log_pos", "Info"], rows)
@@ -630,8 +673,16 @@ class MySQLFixtureServer:
         NOT in the client's executed set (auto-positioning — the server
         owns the scan position, the client owns the executed set). The
         skip state machine mirrors a real server's: a GTID event toggles
-        skipping for its whole transaction group until the next GTID."""
-        from ru_cdc_spark.sources.binlog_wire import decode_gtid
+        skipping for its whole transaction group until the next GTID.
+        Like a real dump reply, the stream opens with an artificial
+        ROTATE naming the starting file, replays each file's FDE, and
+        emits a genuine ROTATE at every file boundary — so a client can
+        learn (file, pos) coordinates from an auto-positioned dump (the
+        failover repositioning probe relies on this)."""
+        from ru_cdc_spark.sources.binlog_wire import (
+            decode_gtid,
+            encode_rotate,
+        )
 
         _flags, _sid_srv, filename, pos, executed = \
             decode_com_binlog_dump_gtid(pkt)
@@ -641,9 +692,25 @@ class MySQLFixtureServer:
 
         out = bytearray()
         seq = 1
+
+        def emit(ev: bytes) -> None:
+            nonlocal seq
+            out.extend(encode_packet(seq, b"\x00" + ev))
+            seq = (seq + 1) & 0xFF
+
+        emit(encode_rotate(self.binlogs[start_idx].filename,
+                           position=4))
         skipping = False
         for idx in range(start_idx, len(self.binlogs)):
-            for start, _end, ev in self.binlogs[idx].events:
+            vb = self.binlogs[idx]
+            if idx > start_idx:
+                # genuine rotate at the physical file boundary (D12)
+                prev = self.binlogs[idx - 1]
+                file_end = max((e for _, e, _ in prev.events),
+                               default=4)
+                emit(encode_rotate(vb.filename, log_pos=file_end,
+                                   timestamp=1))
+            for start, _end, ev in vb.events:
                 etype = ev[4]
                 if etype == 33:  # GTID: decide this transaction's fate
                     g = decode_gtid(ev)
@@ -652,8 +719,7 @@ class MySQLFixtureServer:
                     skipping = False  # control events always stream
                 if skipping and etype != 15:
                     continue
-                out += encode_packet(seq, b"\x00" + ev)
-                seq = (seq + 1) & 0xFF
+                emit(ev)
         out += encode_packet(seq, b"\xfe\x00\x00\x02\x00")
         try:
             io.sock.sendall(bytes(out))

@@ -215,6 +215,86 @@ def fetch_binary_logs(host: str, port: int, user: str, password: str,
     return [(r[0] or "", int(r[1] or 0)) for r in rs.rows]
 
 
+def fetch_gtid_positions(host: str, port: int, user: str, password: str,
+                         filename: str) -> list[tuple[int, int, str]]:
+    """Driver-side metadata: [(start_pos, gno, sid_hex)] of every GTID
+    event in ``filename``, parsed from SHOW BINLOG EVENTS' Info column
+    (real servers print ``SET @@SESSION.GTID_NEXT= 'uuid:gno'``) — how
+    a GTID-offset planner learns which transactions a position range
+    covers without dumping any data."""
+    import re
+
+    from ru_cdc_spark.sources.mysql_client import pooled_connection
+
+    with pooled_connection(host, port, user, password) as conn:
+        rs = conn.query(f"show binlog events in '{filename}'")
+    out = []
+    pat = re.compile(r"GTID_NEXT= '([0-9a-f-]+):(\d+)'")
+    for r in rs.rows:
+        if (r[2] or "") != "Gtid":
+            continue
+        m = pat.search(r[5] or "")
+        if m:
+            out.append((int(r[1]), int(m.group(2)),
+                        m.group(1).replace("-", "")))
+    return out
+
+
+def gtid_auto_position(host: str, port: int, user: str, password: str,
+                       executed: dict[bytes, list[tuple[int, int]]]
+                       ) -> tuple[str, int]:
+    """COM_BINLOG_DUMP_GTID repositioning probe: dial the server, send
+    the executed set, and learn the (file, pos) where un-executed
+    history begins — the file from the reply's rotate events, the pos
+    from the first unskipped GTID event's header (log_pos - size =
+    event start). The exact auto-positioning a failed-over replica
+    performs: (file, pos) from the dead server is meaningless here, the
+    executed set is portable. Returns the tip when nothing is missing."""
+    from ru_cdc_spark.sources.mysql_client import (
+        MySQLConnection,
+        event_header,
+    )
+
+    with MySQLConnection.connect(host, port, user, password) as conn:
+        conn.disable_checksum_var()
+        current_file = None
+        for ev in conn.binlog_dump_gtid(executed):
+            etype, size, log_pos = event_header(ev)
+            if etype == 4:  # rotate (artificial names the start file)
+                current_file = ev[19 + 8:].split(b"\x00")[0].decode()
+                continue
+            if etype == 33 and current_file is not None:
+                return current_file, log_pos - size
+        # everything executed: resume at the tip
+        fname, end_pos = conn.show_master_status()
+        return fname, end_pos
+
+
+def gtid_set_add(gtid: dict[str, list[list[int]]], sid_hex: str,
+                 gno: int) -> None:
+    """Add one gno to a {sid_hex: [[start, end)]...]} executed set,
+    merging adjacent intervals (the same compaction gtid_executed
+    keeps)."""
+    ivs = gtid.setdefault(sid_hex, [])
+    ivs.append([gno, gno + 1])
+    ivs.sort()
+    merged = [ivs[0]]
+    for lo, hi in ivs[1:]:
+        if lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    gtid[sid_hex] = merged
+
+
+def gtid_set_to_wire(gtid: dict[str, list[list[int]]]
+                     ) -> dict[bytes, list[tuple[int, int]]]:
+    """JSON-offset form (hex sids, list intervals) -> the binary-codec
+    form encode_gtid_set takes."""
+    return {bytes.fromhex(sid): [(int(lo), int(hi)) for lo, hi in ivs]
+            for sid, ivs in gtid.items()}
+
+
 def slice_at_table_maps(events: list[tuple[int, str, int]],
                         n_slices: int) -> list[tuple[int, int]]:
     """Cut [4, end) into ~n_slices ranges whose starts are TABLE_MAP
@@ -282,6 +362,21 @@ class _SlicePartition(InputPartition):
         self.hi = hi
 
 
+class _GtidWindowPartition(InputPartition):
+    """A micro-batch as a GTID window: the transactions in
+    ``end_gtid - start_gtid``. Server-agnostic by construction — any
+    endpoint carrying the history can serve it via auto-positioning,
+    which is what makes mid-stream failover exact."""
+
+    def __init__(self, start_gtid: dict, end_gtid: dict,
+                 endpoints: list[tuple[str, int]],
+                 preferred: int) -> None:
+        self.start_gtid = start_gtid
+        self.end_gtid = end_gtid
+        self.endpoints = endpoints
+        self.preferred = preferred
+
+
 class BinlogSocketStreamReader(DataSourceStreamReader):
     """Micro-batch reader whose offsets are binlog byte positions.
 
@@ -294,7 +389,8 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict) -> None:
         self.host = options.get("host", "127.0.0.1")
-        self.port = int(options["port"])
+        # port optional when an endpoints list is given (failover mode)
+        self.port = int(options.get("port", 0))
         self.user = options.get("user", "repl")
         self.password = options.get("password", "replpass")
         self.per_batch = int(options.get("events_per_batch", 64))
@@ -320,19 +416,47 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         # of truth; this only lets a REBUILT reader keep advancing
         # instead of re-announcing already-committed ranges
         self.position_file = options.get("position_file")
+        # GTID failover mode: a comma-separated endpoint list turns
+        # offsets into executed-GTID sets ({"endpoint","file","pos",
+        # "gtid"}); (file,pos) become per-endpoint advisory planning
+        # state, and each micro-batch is a GTID WINDOW any endpoint
+        # carrying the history can serve (COM_BINLOG_DUMP_GTID
+        # auto-positioning) — the exact replica-failover mechanism.
+        self.endpoints: list[tuple[str, int]] | None = None
+        eps = options.get("endpoints")
+        if eps:
+            self.endpoints = []
+            for e in eps.split(","):
+                h, _, p = e.strip().rpartition(":")
+                self.endpoints.append((h, int(p)))
+            if self.emit != "events" or self.cut_at != "gtid":
+                raise ValueError(
+                    "endpoints (GTID failover) requires emit=events "
+                    "and cut_at=gtid — batches must be whole "
+                    "transactions for GTID windows to be exact")
+            self.host, self.port = self.endpoints[0]
+        self._endpoint_idx = 0
 
     def _load_cur(self) -> tuple[str | None, int]:
-        if self.position_file and os.path.exists(self.position_file):
-            with open(self.position_file) as fh:
-                d = json.load(fh)
-                return d.get("file"), int(d["pos"])
+        d = self._load_state()
+        if d:
+            return d.get("file"), int(d["pos"])
         return None, self.start_pos
 
     def _save_cur(self, fname: str, pos: int) -> None:
+        self._save_state({"pos": pos, "file": fname})
+
+    def _load_state(self) -> dict:
+        if self.position_file and os.path.exists(self.position_file):
+            with open(self.position_file) as fh:
+                return json.load(fh)
+        return {}
+
+    def _save_state(self, state: dict) -> None:
         if self.position_file:
             tmp = f"{self.position_file}.tmp"
             with open(tmp, "w") as fh:
-                json.dump({"pos": pos, "file": fname}, fh)
+                json.dump(state, fh)
             os.replace(tmp, self.position_file)
 
     def _files(self) -> list[str]:
@@ -355,20 +479,121 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         cache = getattr(self, "_layout_cache", None)
         if cache is None:
             cache = self._layout_cache = {}
-        hit = cache.get(fname)
+        key = (self.host, self.port, fname)
+        hit = cache.get(key)
         if hit is not None and hit[0] == size and size > 0:
             return hit[1]
         _, _, events = fetch_binlog_layout(
             self.host, self.port, self.user, self.password, fname,
             ssl_ca=self.ssl_ca, ssl_hostname=self.ssl_hostname)
-        cache[fname] = (size, events)
+        cache[key] = (size, events)
         return events
 
+    def _gtid_positions(self, fname: str,
+                        size: int) -> list[tuple[int, int, str]]:
+        """[(start_pos, gno, sid_hex)] per file, cached like
+        _layout_events (append-only file + unchanged size = unchanged
+        GTID layout)."""
+        cache = getattr(self, "_gtid_cache", None)
+        if cache is None:
+            cache = self._gtid_cache = {}
+        key = (self.host, self.port, fname)
+        hit = cache.get(key)
+        if hit is not None and hit[0] == size and size > 0:
+            return hit[1]
+        rows = fetch_gtid_positions(self.host, self.port, self.user,
+                                    self.password, fname)
+        cache[key] = (size, rows)
+        return rows
+
     def initialOffset(self) -> dict:  # noqa: N802
+        if self.endpoints:
+            # file/pos resolve lazily against the first LIVE endpoint
+            # (endpoint 0 may already be dead at stream start)
+            return {"endpoint": 0, "file": None, "pos": self.start_pos,
+                    "gtid": {}}
         if self._file is None:
             files = self._files()
             self._file = files[0] if files else None
         return {"file": self._file, "pos": self.start_pos}
+
+    def _latest_offset_gtid(self) -> dict:
+        """latestOffset for GTID-failover mode: plan against the first
+        reachable endpoint; when the endpoint changed (or the advisory
+        file is unknown there), reposition via the COM_BINLOG_DUMP_GTID
+        probe using the EXECUTED SET — never the dead server's (file,
+        pos). The executed set advances by exactly the GTIDs whose
+        start positions fall inside the planned range, so the offset is
+        a portable delivery contract."""
+        mem = getattr(self, "_gcur", None)
+        state = mem if mem is not None else self._load_state()
+        executed: dict = {k: [list(iv) for iv in v]
+                          for k, v in (state.get("gtid") or {}).items()}
+        idx = int(state.get("endpoint", 0))
+        cur_file = state.get("file")
+        cur = int(state.get("pos", self.start_pos))
+
+        live = None
+        files_sizes: list[tuple[str, int]] = []
+        last_err: Exception | None = None
+        for k in range(len(self.endpoints)):
+            j = (idx + k) % len(self.endpoints)
+            h, p = self.endpoints[j]
+            try:
+                self.host, self.port = h, p
+                files_sizes = self._files_sizes()
+                live = j
+                break
+            except (ConnectionError, OSError, TimeoutError) as exc:
+                last_err = exc
+                continue
+        if live is None:
+            raise ConnectionError(
+                f"no reachable binlog endpoint: {last_err}")
+        names = [n for n, _ in files_sizes]
+        sizes = dict(files_sizes)
+        if live != idx or (cur_file is not None
+                           and cur_file not in names):
+            # FAILOVER (or a server whose layout forgot our file):
+            # auto-position from the executed set
+            cur_file, cur = gtid_auto_position(
+                self.host, self.port, self.user, self.password,
+                gtid_set_to_wire(executed))
+        elif cur_file is None:
+            cur_file = names[0] if names else ""
+        self._endpoint_idx = live
+
+        events = self._layout_events(cur_file, sizes.get(cur_file, 0))
+        file_end = max((e for _, _, e in events), default=cur)
+        if cur >= file_end and cur_file in names and \
+                names.index(cur_file) + 1 < len(names):
+            cur_file = names[names.index(cur_file) + 1]
+            cur = 4
+            events = self._layout_events(cur_file,
+                                         sizes.get(cur_file, 0))
+        safe_cuts = {s for s, t, _ in events if t == "Gtid"}
+        safe_cuts.add(max((e for _, _, e in events), default=cur))
+        upcoming = [e for s, _t, e in events if s >= cur]
+        if not upcoming:
+            new_pos = cur
+        else:
+            cap = upcoming[min(self.per_batch, len(upcoming)) - 1]
+            within = [e for e in upcoming if e <= cap and e in safe_cuts]
+            if within:
+                new_pos = max(within)
+            else:
+                beyond = [e for e in upcoming if e in safe_cuts]
+                new_pos = min(beyond) if beyond else upcoming[-1]
+        new_pos = max(cur, new_pos)
+        for start, gno, sid in self._gtid_positions(
+                cur_file, sizes.get(cur_file, 0)):
+            if cur <= start < new_pos:
+                gtid_set_add(executed, sid, gno)
+        off = {"endpoint": live, "file": cur_file, "pos": new_pos,
+               "gtid": {k: executed[k] for k in sorted(executed)}}
+        self._gcur = off
+        self._save_state(off)
+        return off
 
     def latestOffset(self) -> dict:  # noqa: N802
         """Advance at most events_per_batch event boundaries — bounded
@@ -376,6 +601,8 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         When the current file is drained and the server has rotated, the
         offset steps to the next file at pos 4 (a batch never spans a
         file boundary — positions restart per file)."""
+        if self.endpoints:
+            return self._latest_offset_gtid()
         mem = getattr(self, "_cur", None)
         saved_file, saved_pos = self._load_cur()
         cur_file, cur = mem if mem is not None else (
@@ -422,6 +649,10 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
+        if self.endpoints and "gtid" in (end or {}):
+            return [_GtidWindowPartition(
+                start.get("gtid") or {}, end.get("gtid") or {},
+                self.endpoints, int(end.get("endpoint", 0)))]
         if start.get("file") != end.get("file"):
             # rotation boundary. The happy path drained the old file
             # before rotating, but a crash between the advisory
@@ -437,7 +668,10 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         return [_SlicePartition(end["file"], int(start["pos"]),
                                 int(end["pos"]))]
 
-    def read(self, partition: _SlicePartition) -> Iterator[tuple]:
+    def read(self, partition) -> Iterator[tuple]:
+        if isinstance(partition, _GtidWindowPartition):
+            yield from self._read_gtid_window(partition)
+            return
         if partition.hi <= partition.lo:
             return
         if self.emit == "events":
@@ -451,6 +685,48 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
                                        ssl_ca=self.ssl_ca,
                                        ssl_hostname=self.ssl_hostname):
             yield (pos, frame)
+
+    def _read_gtid_window(self, part: _GtidWindowPartition
+                          ) -> Iterator[tuple]:
+        """Deliver exactly the transactions in end_gtid - start_gtid
+        from ANY endpoint carrying the history: auto-positioned dump
+        from the start set, stop at the first GTID beyond the end set.
+        Rotate events are dropped (positions are server-relative); FDEs
+        pass through (the downstream assembler configures from them)."""
+        from ru_cdc_spark.sources.binlog_wire import decode_gtid
+        from ru_cdc_spark.sources.mysql_client import (
+            MySQLConnection,
+            event_header,
+        )
+
+        start_wire = gtid_set_to_wire(part.start_gtid)
+        end_wire = gtid_set_to_wire(part.end_gtid)
+        from ru_cdc_spark.sources.mysql_client import gtid_in_set
+
+        last_err: Exception | None = None
+        for k in range(len(part.endpoints)):
+            h, p = part.endpoints[(part.preferred + k)
+                                  % len(part.endpoints)]
+            try:
+                conn = MySQLConnection.connect(h, p, self.user,
+                                               self.password)
+            except (ConnectionError, OSError, TimeoutError) as exc:
+                last_err = exc
+                continue
+            with conn:
+                conn.disable_checksum_var()
+                for ev in conn.binlog_dump_gtid(start_wire):
+                    etype, size, log_pos = event_header(ev)
+                    if etype == 4:
+                        continue
+                    if etype == 33:
+                        g = decode_gtid(ev)
+                        if not gtid_in_set(end_wire, g["sid"],
+                                           g["gno"]):
+                            return
+                    yield (log_pos, ev)
+            return
+        raise last_err or ConnectionError("no reachable endpoint")
 
     def commit(self, end: dict) -> None:
         pass

@@ -3419,6 +3419,117 @@ def cdc_kafka_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r.*"))
 
 
+def cdc_kafka_group_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-group interop (round-7 verdict item #6): the streaming
+    consumer runs with a ``group_id``, so every completed batch's end
+    offset is committed to the BROKER via FindCoordinator +
+    OffsetCommit v2 — the position standard Kafka tooling monitors lag
+    with. Adversarially: after the first drain leg, the Spark
+    CHECKPOINT IS DELETED; the second leg can only resume from the
+    broker-committed offset (OffsetFetch v1). Broker commits are
+    delivered one batch behind (Spark hands source.commit to the next
+    batch), so the replayed tail is deduplicated by Kafka offset — and
+    the result hash-matches the plain ``cdc_change_stream`` oracle:
+    nothing lost across a checkpoint-loss restart, nothing duplicated
+    after offset dedup.
+
+    Scale: same shape as cdc_kafka_wire_stream plus one OffsetCommit
+    round-trip per batch — O(batches), nothing per-row."""
+    from ru_cdc_spark.config import SinkConfig
+    from ru_cdc_spark.sources.kafka_wire import (
+        KafkaBrokerFixture,
+        register_kafka_wire_source,
+    )
+    from ru_cdc_spark.streaming.sinks import write_batch_to_sink
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+
+    import shutil as _shutil
+    import uuid as _uuid
+
+    topic = f"g{_uuid.uuid4().hex[:8]}_changes"
+    group = f"grp_{topic}"
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    batch = flat.select(
+        F.lit("k").alias("mq"), F.lit(topic).alias("topic"),
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+    write_batch_to_sink(batch, SinkConfig(
+        name="k", kind="kafka_wire",
+        options={"host": "127.0.0.1", "port": str(broker.port)}), 0)
+
+    register_kafka_wire_source(spark)
+    work = _session_tmpdir("kafka_group_")
+    n_records = flat.count()
+    per_batch = max(1, (n_records + 7) // 8)
+
+    def drain(leg: int, commit_target: int,
+              drain_to: int | None) -> None:
+        # NO advisory position file: between legs the checkpoint is
+        # deleted, so the broker-committed group offset is the ONLY
+        # state the second leg can resume from
+        import time as _time
+
+        stream = (spark.readStream.format("kafka_wire")
+                  .option("host", "127.0.0.1")
+                  .option("port", broker.port)
+                  .option("topic", topic)
+                  .option("group_id", group)
+                  .option("max_records_per_batch", per_batch).load())
+        q = (stream.writeStream.format("parquet")
+             .option("path", f"{work}/out{leg}")
+             .option("checkpointLocation", f"{work}/ck{leg}")
+             .trigger(processingTime="0 seconds").start())
+        deadline = _time.time() + 240
+        try:
+            while _time.time() < deadline:
+                from ru_cdc_spark.sources.kafka_wire import (
+                    KafkaWireClient,
+                )
+
+                with KafkaWireClient.connect("127.0.0.1",
+                                             broker.port) as c:
+                    off, _m = c.offset_fetch(group, topic, [0])[0]
+                if off >= commit_target:
+                    if drain_to is None:
+                        return
+                    p = q.lastProgress
+                    eo = _offset_json(q)
+                    if (p and p["numInputRows"] == 0
+                            and int(eo.get("offset", 0)) >= drain_to):
+                        return
+                _time.sleep(0.05)
+            raise TimeoutError(
+                f"leg {leg} never committed past {commit_target}")
+        finally:
+            q.stop()
+
+    # leg 1: commit roughly a quarter to the broker, then lose the
+    # Spark checkpoint entirely
+    drain(1, commit_target=n_records // 4, drain_to=None)
+    _shutil.rmtree(f"{work}/ck1", ignore_errors=True)  # checkpoint LOST
+    # leg 2: resumes from the broker offset alone; drain the topic
+    # (the broker commit settles one batch behind on idle — poll until
+    # the announced offset covers everything and input has drained)
+    drain(2, commit_target=n_records - per_batch, drain_to=n_records)
+    out1 = spark.read.parquet(f"{work}/out1")
+    out2 = spark.read.parquet(f"{work}/out2")
+    merged = out1.unionByName(out2)
+    # offset-keyed dedup collapses the one-batch replay tail
+    deduped = (merged.groupBy("offset")
+               .agg(F.max_by(F.col("value"), F.col("offset"))
+                    .alias("value")))
+    return (deduped
+            .select(F.from_json(F.col("value").cast("string"),
+                                schema).alias("r"))
+            .select("r.*"))
+
+
 def kafka_to_acid_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole north-star topology over REAL wires in one query:
     Canal envelopes PRODUCED to a Kafka topic (wire-protocol record
@@ -3756,6 +3867,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_wire_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_stream)
+    register("cdc_kafka_group_resume",
+             REGISTRY["cdc_change_stream"].oracle)(
+        cdc_kafka_group_resume)
     register("cdc_kafka_idempotent_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_idempotent_stream)

@@ -360,6 +360,9 @@ def decode_record_batches(data: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
+API_FIND_COORDINATOR = 10
 API_INIT_PRODUCER_ID = 22
 API_ADD_PARTITIONS_TO_TXN = 24
 API_END_TXN = 26
@@ -520,6 +523,63 @@ class KafkaWireClient:
         err = r.i16()
         if err:
             raise KafkaError(err, "EndTxn")
+
+    def find_coordinator(self, group_id: str) -> tuple[int, str, int]:
+        """FindCoordinator v0 (group mode) -> (node_id, host, port):
+        which broker owns the group's offsets — the routing step every
+        consumer performs before committing (single-node fixture: the
+        answer is always this broker, but the API is the real one)."""
+        r = self._request(API_FIND_COORDINATOR, 0, _string(group_id))
+        err = r.i16()
+        if err:
+            raise KafkaError(err, "FindCoordinator")
+        return r.i32(), r.string(), r.i32()
+
+    def offset_commit(self, group_id: str, topic: str,
+                      offsets: dict[int, int],
+                      metadata: str | None = None,
+                      generation_id: int = -1,
+                      member_id: str = "") -> None:
+        """OffsetCommit v2 — durably store {partition: offset} for the
+        group on the broker. generation_id=-1 / empty member is the
+        'simple consumer' form (no group membership protocol), exactly
+        what an engine with its own partition assignment commits."""
+        body = (_string(group_id) + _i32(generation_id)
+                + _string(member_id) + _i64(-1)   # retention: broker default
+                + _i32(1) + _string(topic) + _i32(len(offsets)))
+        for p, off in sorted(offsets.items()):
+            body += _i32(p) + _i64(off) + _string(metadata)
+        r = self._request(API_OFFSET_COMMIT, 2, body)
+        for _ in range(r.i32()):
+            _topic = r.string()
+            for _ in range(r.i32()):
+                pid, err = r.i32(), r.i16()
+                if err:
+                    raise KafkaError(err, f"OffsetCommit p{pid}")
+
+    def offset_fetch(self, group_id: str, topic: str,
+                     partitions: list[int]
+                     ) -> dict[int, tuple[int, str | None]]:
+        """OffsetFetch v1 (broker-stored offsets) -> {partition:
+        (offset, metadata)}; offset -1 = nothing committed — the read
+        side of the lag-monitoring interop standard Kafka tooling
+        expects."""
+        body = (_string(group_id) + _i32(1) + _string(topic)
+                + _i32(len(partitions))
+                + b"".join(_i32(p) for p in partitions))
+        r = self._request(API_OFFSET_FETCH, 1, body)
+        out: dict[int, tuple[int, str | None]] = {}
+        for _ in range(r.i32()):
+            _topic = r.string()
+            for _ in range(r.i32()):
+                pid = r.i32()
+                off = r.i64()
+                meta = r.string()
+                err = r.i16()
+                if err:
+                    raise KafkaError(err, f"OffsetFetch p{pid}")
+                out[pid] = (off, meta)
+        return out
 
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes]],
@@ -850,6 +910,19 @@ def register_kafka_wire_source(spark) -> None:
             # a REBUILT reader keep advancing instead of re-announcing
             # already-committed ranges under single-batch triggers
             self.position_file = options.get("position_file")
+            # consumer-group interop (round-7 verdict item #6): with a
+            # group_id, every completed batch's end offset is committed
+            # to the BROKER (OffsetCommit v2), making the engine's
+            # position visible to standard Kafka lag tooling — and a
+            # query restarted WITHOUT its Spark checkpoint resumes from
+            # the broker-committed offset (OffsetFetch v1) instead of
+            # from scratch.
+            self.group_id = options.get("group_id")
+            # the initial position is snapshotted NOW: initialOffset
+            # may be evaluated after latestOffset has already advanced
+            # the advisory file within this run, and reading it then
+            # would skip the first batch
+            self._initial = self._load_cur()
 
         def _load_cur(self) -> int:
             import json as _json
@@ -859,6 +932,13 @@ def register_kafka_wire_source(spark) -> None:
                     self.position_file):
                 with open(self.position_file) as fh:
                     return int(_json.load(fh)["offset"])
+            if self.group_id:
+                with KafkaWireClient.connect(self.host, self.port) as c:
+                    off, _meta = c.offset_fetch(
+                        self.group_id, self.topic,
+                        [self.partition])[self.partition]
+                if off >= 0:
+                    return off
             return self.start
 
         def _save_cur(self, offset: int) -> None:
@@ -872,7 +952,11 @@ def register_kafka_wire_source(spark) -> None:
                 _os.replace(tmp, self.position_file)
 
         def initialOffset(self) -> dict:  # noqa: N802
-            return {"offset": self.start}
+            # a FRESH checkpoint starts from the best position known AT
+            # READER CONSTRUCTION: advisory file, then the group's
+            # broker-committed offset (consumer-group resume), then
+            # start_offset
+            return {"offset": self._initial}
 
         def latestOffset(self) -> dict:  # noqa: N802
             cur = max(getattr(self, "_cur", self.start),
@@ -908,7 +992,16 @@ def register_kafka_wire_source(spark) -> None:
                     cur = recs[-1][0] + 1
 
         def commit(self, end: dict) -> None:
-            pass
+            if not self.group_id:
+                return
+            # the batch is durably complete: publish our position the
+            # way every Kafka consumer does, so external tooling can
+            # monitor lag and a checkpoint-less restart can resume
+            with KafkaWireClient.connect(self.host, self.port) as c:
+                c.find_coordinator(self.group_id)
+                c.offset_commit(self.group_id, self.topic,
+                                {self.partition: int(end["offset"])},
+                                metadata="ru-cdc-spark")
 
     class KafkaWireDataSource(DataSource):
         @classmethod
@@ -966,6 +1059,10 @@ class KafkaBrokerFixture:
         self._ongoing: dict[tuple[str, int], dict[int, int]] = {}
         self._aborted_idx: dict[tuple[str, int],
                                 list[tuple[int, int, int]]] = {}
+        # consumer-group coordination (__consumer_offsets analog):
+        # (group, topic, partition) -> (offset, metadata)
+        self._group_offsets: dict[tuple[str, str, int],
+                                  tuple[int, str | None]] = {}
         self._lock = threading.Lock()
         self._sock: socket.socket | None = None
         self._stop = threading.Event()
@@ -1025,6 +1122,12 @@ class KafkaBrokerFixture:
                     body = self._add_partitions_to_txn(r)
                 elif api_key == API_END_TXN:
                     body = self._end_txn(r)
+                elif api_key == API_FIND_COORDINATOR:
+                    body = self._find_coordinator(r)
+                elif api_key == API_OFFSET_COMMIT:
+                    body = self._offset_commit(r)
+                elif api_key == API_OFFSET_FETCH:
+                    body = self._offset_fetch(r)
                 else:
                     body = _i16(35)  # UNSUPPORTED_VERSION
                 resp = _i32(corr) + body
@@ -1055,7 +1158,10 @@ class KafkaBrokerFixture:
                      (API_METADATA, 1, 1), (API_VERSIONS, 0, 0),
                      (API_INIT_PRODUCER_ID, 0, 0),
                      (API_ADD_PARTITIONS_TO_TXN, 0, 0),
-                     (API_END_TXN, 0, 0)]
+                     (API_END_TXN, 0, 0),
+                     (API_OFFSET_COMMIT, 2, 2),
+                     (API_OFFSET_FETCH, 1, 1),
+                     (API_FIND_COORDINATOR, 0, 0)]
         return (_i16(0) + _i32(len(supported))
                 + b"".join(_i16(k) + _i16(lo) + _i16(hi)
                            for k, lo, hi in supported))
@@ -1089,6 +1195,54 @@ class KafkaBrokerFixture:
                     self._txn_pids[txn_id] = pid
             epoch = self._pid_epoch[pid]
         return _i32(0) + _i16(0) + _i64(pid) + _i16(epoch)
+
+    def _find_coordinator(self, r: _Reader) -> bytes:
+        _group = r.string()
+        # single-node fixture: this broker coordinates every group
+        return (_i16(0) + _i32(self.NODE_ID) + _string(self.host)
+                + _i32(self.port))
+
+    def _offset_commit(self, r: _Reader) -> bytes:
+        group = r.string()
+        _generation = r.i32()
+        _member = r.string()
+        _retention = r.i64()
+        out_topics = []
+        with self._lock:
+            for _ in range(r.i32()):
+                topic = r.string()
+                parts = []
+                for _ in range(r.i32()):
+                    pid = r.i32()
+                    off = r.i64()
+                    meta = r.string()
+                    self._group_offsets[(group, topic, pid)] = (off,
+                                                                meta)
+                    parts.append(pid)
+                out_topics.append((topic, parts))
+        body = _i32(len(out_topics))
+        for topic, parts in out_topics:
+            body += _string(topic) + _i32(len(parts))
+            for pid in parts:
+                body += _i32(pid) + _i16(0)
+        return body
+
+    def _offset_fetch(self, r: _Reader) -> bytes:
+        group = r.string()
+        req = []
+        for _ in range(r.i32()):
+            topic = r.string()
+            req.append((topic, [r.i32() for _ in range(r.i32())]))
+        body = _i32(len(req))
+        with self._lock:
+            for topic, parts in req:
+                body += _string(topic) + _i32(len(parts))
+                for pid in parts:
+                    off, meta = self._group_offsets.get(
+                        (group, topic, pid), (-1, None))
+                    body += _i32(pid) + _i64(off) + _string(meta) \
+                        + _i16(0)
+        return body
 
     def _metadata(self, r: _Reader) -> bytes:
         n = r.i32()

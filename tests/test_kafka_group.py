@@ -1,0 +1,195 @@
+"""Kafka consumer-group coordination (round-7 verdict item #6):
+FindCoordinator / OffsetCommit v2 / OffsetFetch v1 on both wire ends.
+Engine-committed offsets must be readable by an INDEPENDENTLY-written
+client (hand-rolled request bytes below, no KafkaWireClient), and a
+query restarted without its Spark checkpoint must resume from the
+broker-committed offset."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import time
+
+import pytest
+
+from ru_cdc_spark.sources.kafka_wire import (
+    KafkaBrokerFixture,
+    KafkaWireClient,
+)
+
+
+@pytest.fixture
+def broker():
+    b = KafkaBrokerFixture().start()
+    yield b
+    b.stop()
+
+
+def _raw_offset_fetch(host: str, port: int, group: str, topic: str,
+                      partition: int) -> tuple[int, str | None]:
+    """A second, independently-written client path: OffsetFetch v1
+    request assembled from the public wire layout with struct alone."""
+    def s16(x: str | None) -> bytes:
+        if x is None:
+            return struct.pack(">h", -1)
+        b = x.encode()
+        return struct.pack(">h", len(b)) + b
+
+    body = (s16(group) + struct.pack(">i", 1) + s16(topic)
+            + struct.pack(">ii", 1, partition))
+    header = struct.pack(">hhi", 9, 1, 777) + s16("raw-client")
+    msg = header + body
+    with socket.create_connection((host, port), timeout=10) as sock:
+        sock.sendall(struct.pack(">i", len(msg)) + msg)
+
+        def recv(n: int) -> bytes:
+            buf = b""
+            while len(buf) < n:
+                chunk = sock.recv(n - len(buf))
+                assert chunk, "broker closed"
+                buf += chunk
+            return buf
+
+        size = struct.unpack(">i", recv(4))[0]
+        resp = recv(size)
+    corr, n_topics = struct.unpack_from(">ii", resp, 0)
+    assert corr == 777 and n_topics == 1
+    off = 8
+    tlen = struct.unpack_from(">h", resp, off)[0]
+    off += 2 + tlen
+    n_parts = struct.unpack_from(">i", resp, off)[0]
+    assert n_parts == 1
+    off += 4
+    pid, offset = struct.unpack_from(">iq", resp, off)
+    assert pid == partition
+    off += 12
+    mlen = struct.unpack_from(">h", resp, off)[0]
+    off += 2
+    meta = None if mlen < 0 else resp[off:off + mlen].decode()
+    off += max(mlen, 0)
+    err = struct.unpack_from(">h", resp, off)[0]
+    assert err == 0
+    return offset, meta
+
+
+class TestCoordinationApis:
+    def test_find_coordinator_names_this_broker(self, broker):
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            node, host, port = c.find_coordinator("g1")
+        assert (node, port) == (broker.NODE_ID, broker.port)
+
+    def test_commit_then_fetch_roundtrip(self, broker):
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            assert c.offset_fetch("g1", "t", [0])[0] == (-1, None)
+            c.offset_commit("g1", "t", {0: 42}, metadata="m1")
+            assert c.offset_fetch("g1", "t", [0])[0] == (42, "m1")
+            # re-commit overwrites; groups are independent
+            c.offset_commit("g1", "t", {0: 99})
+            assert c.offset_fetch("g1", "t", [0])[0][0] == 99
+            assert c.offset_fetch("g2", "t", [0])[0] == (-1, None)
+
+    def test_engine_commit_readable_by_independent_client(self, broker):
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            c.offset_commit("engine-group", "orders", {0: 1234},
+                            metadata="ru-cdc-spark")
+        offset, meta = _raw_offset_fetch("127.0.0.1", broker.port,
+                                         "engine-group", "orders", 0)
+        assert (offset, meta) == (1234, "ru-cdc-spark")
+
+    def test_advertised_in_api_versions(self, broker):
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            vs = c.api_versions()
+        assert vs[8] == (2, 2) and vs[9] == (1, 1) and vs[10] == (0, 0)
+
+
+class TestGroupResume:
+    def test_checkpointless_restart_resumes_from_broker(self, spark,
+                                                        broker,
+                                                        tmp_path):
+        """Kill the query, DELETE its checkpoint, restart with only the
+        group id: the stream resumes from the broker-committed offset —
+        no re-read from zero, no gap."""
+        topic, n = "resume_topic", 400
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            for i in range(0, n, 100):
+                c.produce(topic, 0,
+                          [(str(k).encode(), f"v{k}".encode())
+                           for k in range(i, i + 100)])
+        from ru_cdc_spark.sources.kafka_wire import (
+            register_kafka_wire_source,
+        )
+
+        register_kafka_wire_source(spark)
+
+        def run_phase(ck: str, out: str, stop_at: int,
+                      drain_to: int | None = None) -> None:
+            # per-phase output dir: the parquet FileStreamSink keys its
+            # _spark_metadata log by batch id, and a fresh checkpoint
+            # restarts ids at 0 — a shared dir would skip-commit them
+            stream = (spark.readStream.format("kafka_wire")
+                      .option("port", broker.port)
+                      .option("topic", topic)
+                      .option("group_id", "resume-group")
+                      .option("max_records_per_batch", 50).load())
+            q = (stream.writeStream.format("parquet")
+                 .option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(processingTime="0 seconds").start())
+            deadline = time.time() + 120
+            try:
+                while time.time() < deadline:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    with KafkaWireClient.connect(
+                            "127.0.0.1", broker.port) as c:
+                        off, _ = c.offset_fetch("resume-group", topic,
+                                                [0])[0]
+                    if off >= stop_at:
+                        if drain_to is None:
+                            return
+                        p = q.lastProgress
+                        eo = ((p or {}).get("sources") or [{}])[0] \
+                            .get("endOffset")
+                        if isinstance(eo, str):
+                            import ast as _ast
+                            import json as _json
+
+                            try:
+                                eo = _json.loads(eo)
+                            except ValueError:
+                                eo = _ast.literal_eval(eo)
+                        if (p and p["numInputRows"] == 0
+                                and (eo or {}).get("offset",
+                                                   0) >= drain_to):
+                            return
+                    time.sleep(0.05)
+                raise TimeoutError(f"never committed past {stop_at}")
+            finally:
+                q.stop()
+
+        run_phase(str(tmp_path / "ck1"), str(tmp_path / "out1"),
+                  stop_at=100)
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            mid, meta = c.offset_fetch("resume-group", topic, [0])[0]
+        assert 100 <= mid < n and meta == "ru-cdc-spark"
+
+        # checkpoint gone; only the broker knows where we were. Spark
+        # delivers source.commit() when the NEXT batch starts, so on a
+        # drained topic the broker offset settles one batch (50) behind
+        # the sink — the classic async-commit lag; completeness is
+        # asserted on the data below.
+        run_phase(str(tmp_path / "ck2"), str(tmp_path / "out2"),
+                  stop_at=n - 50, drain_to=n)
+
+        rows = (spark.read.parquet(str(tmp_path / "out1"))
+                .unionByName(spark.read.parquet(str(tmp_path / "out2")))
+                .collect())
+        got = {}
+        for r in rows:
+            got[r["offset"]] = bytes(r["value"]).decode()
+        # the in-flight batch at the phase-1 kill may replay (classic
+        # consumer at-least-once); offset-keyed dedup must reconstruct
+        # the topic exactly, with nothing lost and nothing foreign
+        assert sorted(got) == list(range(n))
+        assert all(got[k] == f"v{k}" for k in range(n))

@@ -103,6 +103,16 @@ AUDIT = [
     ("jsonl_zst_ingest",
      "binaryFile shard scan -> executor-side zstd inflate + line split "
      "-> JVM from_json; no shuffle"),
+    ("parts_abc_analysis",
+     "round 7: ABC running sum + rank as distributed two-pass scheme "
+     "(rangepartitioning, __pid-local windows, broadcast decimal "
+     "offsets) — no unpartitioned window in any headline family"),
+    ("binlog_metadata_full_decode",
+     "WL#4618 catalog-free decode: two narrow Arrow maps, zero "
+     "shuffle, column names off the wire"),
+    ("mysql_legacy_type_semantics",
+     "pre-5.6 temporals + GEOMETRY passthrough: narrow Arrow maps, "
+     "zero shuffle"),
 ]
 
 

@@ -356,10 +356,18 @@ SOCKET_SCHEMA_DDL = "pos long, frame binary"
 
 
 class _SlicePartition(InputPartition):
-    def __init__(self, file: str, lo: int, hi: int) -> None:
+    """``pos_bias`` is added to every YIELDED position (never to the
+    dump bounds): when one micro-batch spans a file rotation, the new
+    file's positions restart near 4 and would sort BEFORE the old
+    file's tail in any downstream order-by-pos (txn assembly,
+    latest-wins merges) — the bias keeps the cross-file order total."""
+
+    def __init__(self, file: str, lo: int, hi: int,
+                 pos_bias: int = 0) -> None:
         self.file = file
         self.lo = lo
         self.hi = hi
+        self.pos_bias = pos_bias
 
 
 class _GtidWindowPartition(InputPartition):
@@ -663,7 +671,11 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             return [
                 _SlicePartition(start["file"], int(start["pos"]),
                                 1 << 62),
-                _SlicePartition(end["file"], 4, int(end["pos"])),
+                # positions restart in the new file: bias its yielded
+                # positions above any 32-bit log_pos so order-by-pos
+                # consumers keep the true cross-file order
+                _SlicePartition(end["file"], 4, int(end["pos"]),
+                                pos_bias=1 << 33),
             ]
         return [_SlicePartition(end["file"], int(start["pos"]),
                                 int(end["pos"]))]
@@ -674,17 +686,19 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             return
         if partition.hi <= partition.lo:
             return
+        bias = getattr(partition, "pos_bias", 0)
         if self.emit == "events":
-            yield from _dump_events(self.host, self.port, self.user,
-                                    self.password, partition.file,
-                                    partition.lo, partition.hi)
+            for pos, ev in _dump_events(self.host, self.port, self.user,
+                                        self.password, partition.file,
+                                        partition.lo, partition.hi):
+                yield (pos + bias, ev)
             return
         for pos, frame in _dump_frames(self.host, self.port, self.user,
                                        self.password, partition.file,
                                        partition.lo, partition.hi,
                                        ssl_ca=self.ssl_ca,
                                        ssl_hostname=self.ssl_hostname):
-            yield (pos, frame)
+            yield (pos + bias, frame)
 
     def _read_gtid_window(self, part: _GtidWindowPartition
                           ) -> Iterator[tuple]:
@@ -715,8 +729,19 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
                 continue
             with conn:
                 conn.disable_checksum_var()
+                # the emitted seq is a window-local COUNTER, not the
+                # server's log_pos: positions are file-relative and
+                # RESET across the endpoint's file boundaries, so a
+                # window spanning a rotation would sort (the
+                # assembler's repartition(1).sortWithinPartitions)
+                # later transactions before earlier ones and glue row
+                # events to the wrong GTID. Dump order IS commit order
+                # — the counter preserves it under any file layout,
+                # which is the whole point of endpoint failover
+                # (server B's positions share nothing with A's).
+                seq = 0
                 for ev in conn.binlog_dump_gtid(start_wire):
-                    etype, size, log_pos = event_header(ev)
+                    etype, size, _log_pos = event_header(ev)
                     if etype == 4:
                         continue
                     if etype == 33:
@@ -724,7 +749,8 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
                         if not gtid_in_set(end_wire, g["sid"],
                                            g["gno"]):
                             return
-                    yield (log_pos, ev)
+                    yield (seq, ev)
+                    seq += 1
             return
         raise last_err or ConnectionError("no reachable endpoint")
 

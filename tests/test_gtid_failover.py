@@ -96,6 +96,81 @@ class TestGtidHelpers:
             assert pos == chain[-1].end_pos
 
 
+class TestCrossFileWindowOrder:
+    def test_window_spanning_file_boundary_assembles_in_order(
+            self, spark, tmp_path):
+        """REGRESSION (the round-7 flake): a GTID window crossing the
+        serving endpoint's file rotation. Positions are file-relative
+        and RESET in the next file, so emitting raw log_pos as the
+        batch seq let the assembler's sort order later transactions
+        before earlier ones — rows glued to the wrong GTID, scattered
+        loss + phantom seq_in_txn. The reader must emit a window-local
+        monotonic counter instead; this window spans BOTH boundaries
+        of a three-file layout, which fails deterministically under
+        the old code."""
+        from ru_cdc_spark.sources.binlog_txn import (
+            TXN_SID,
+            assemble_event_batch,
+        )
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            BinlogSocketStreamReader,
+            _GtidWindowPartition,
+        )
+
+        chain = VirtualBinlog.txn_chain(N, [40, 80], prefix="binlogR")
+        with MySQLFixtureServer(binlogs=chain) as srv:
+            reader = BinlogSocketStreamReader({
+                "endpoints": f"127.0.0.1:{srv.port}",
+                "user": srv.user, "password": srv.password,
+                "emit": "events", "cut_at": "gtid",
+                "position_file": str(tmp_path / "meta.json"),
+            })
+            part = _GtidWindowPartition(
+                {}, {TXN_SID.hex(): [[1, N + 1]]},
+                [("127.0.0.1", srv.port)], 0)
+            events = list(reader._read_gtid_window(part))
+        seqs = [s for s, _ in events]
+        assert seqs == sorted(seqs), "window seq must be monotonic"
+        assert len(set(seqs)) == len(seqs), "window seq must be unique"
+        bdf = spark.createDataFrame(
+            [(s, bytearray(ev)) for s, ev in events],
+            "pos long, frame binary")
+        out = assemble_event_batch(bdf) \
+            .where(F.col("status") == "committed")
+        got = sorted(
+            (r["gno"], r["xid"], r["op"], r["seq_in_txn"], r["i"],
+             r["qty"], r["amount"], r["note"]) for r in out.collect())
+        assert got == _committed_baseline()
+
+    def test_rotation_recovery_biases_new_file_positions(self):
+        """The (file, pos) crash-recovery pair: the new file's yielded
+        positions must sort AFTER the old file's tail."""
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            BinlogSocketStreamReader,
+        )
+
+        with MySQLFixtureServer(
+                binlogs=VirtualBinlog.txn_chain(20, [10],
+                                                prefix="binlogP")) as srv:
+            reader = BinlogSocketStreamReader({
+                "host": "127.0.0.1", "port": str(srv.port),
+                "user": srv.user, "password": srv.password,
+                "emit": "events",
+            })
+            parts = reader.partitions(
+                {"file": "binlogP.000001", "pos": 400},
+                {"file": "binlogP.000002",
+                 "pos": srv.binlogs[1].end_pos})
+            assert len(parts) == 2
+            assert parts[0].pos_bias == 0
+            assert parts[1].pos_bias > (1 << 32)
+            tail = [p for p, _ in reader.read(parts[0])]
+            head = [p for p, _ in reader.read(parts[1])]
+        assert tail and head
+        assert max(tail) < min(head), \
+            "new-file positions must outrank the old file's tail"
+
+
 class TestFailoverStream:
     def test_mid_stream_failover_no_loss_no_dup(self, spark, tmp_path):
         from ru_cdc_spark.sources.binlog_txn import assemble_event_batch

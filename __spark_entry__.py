@@ -42,9 +42,12 @@ SHOWCASE = [
     "mysql_type_semantics", "binlog_wire_schema_evolution",
     "binlog_partial_json_update",
     # real MySQL socket client (batch, GTID-sliced, and the unified
-    # streaming+transactional path with kill/restart)
+    # streaming+transactional path with kill/restart); round 7: GTID
+    # failover across layouts + DBLog-style incremental snapshot
+    # under scripted concurrent writes
     "mysql_socket_cdc_snapshot", "mysql_socket_txn_changes",
     "mysql_socket_txn_stream", "mysql_socket_txn_compressed",
+    "mysql_socket_gtid_failover", "mysql_incremental_snapshot",
     # transactional assembly (incl. MySQL 8 zstd-compressed
     # transactions — type-40 payload events, RFC 8878 decode)
     "binlog_txn_changes", "binlog_txn_compressed",

@@ -3090,6 +3090,187 @@ def mysql_socket_gtid_failover(spark: SparkSession,
                     "seq_in_txn", "i", "qty", "amount", "note"))
 
 
+# --------------------------------------------------------------------------
+# DBLog-style incremental snapshot (sources/incremental_snapshot.py)
+# --------------------------------------------------------------------------
+
+_SNAP_N_BASE = 800
+_SNAP_CHUNK = 80
+_SNAP_N_BATCHES = 10
+# pinned so lazy change-stream tasks can still dial the server
+_LIVE_SNAPSHOT_SERVERS: list = []
+
+
+def _snap_base_row(i: int) -> tuple:
+    from decimal import Decimal
+
+    return (i, (i * 17) % 10000, f"n_{(i * 7) % 97}",
+            Decimal((i * 31) % 100000000).scaleb(-4))
+
+
+def _snap_ins_row(i: int) -> tuple:
+    from decimal import Decimal
+
+    return (i, (i * 21) % 10000, f"i_{i}",
+            Decimal((i * 19) % 100000000).scaleb(-4))
+
+
+def _snap_upd_row(u: int) -> tuple:
+    from decimal import Decimal
+
+    return (u, u * 1000 + u // _SNAP_CHUNK, f"u_{u}",
+            Decimal((u * 19) % 100000000).scaleb(-4))
+
+
+class _SnapScript:
+    """The deterministic concurrent writer: batch k fires (under the
+    server lock) when the k-th chunk SELECT arrives, so every batch
+    lands inside some chunk's watermark window; ``finish()`` applies
+    whatever remains so the FINAL table state never depends on how
+    many chunks ran or in what order."""
+
+    def __init__(self, table) -> None:
+        self.table = table
+        self.k = 0
+
+    def on_select(self, _table: str, _lo, _hi) -> None:
+        self.apply_next()
+
+    def apply_next(self) -> None:
+        if self.k >= _SNAP_N_BATCHES:
+            return
+        k, self.k = self.k, self.k + 1
+        t = self.table
+        span = range(_SNAP_CHUNK * k, _SNAP_CHUNK * (k + 1))
+        t.update(*[_snap_upd_row(u) for u in span if u % 10 == 3])
+        t.delete(*[d for d in span if d % 10 == 6])
+        t.insert(*[_snap_ins_row(1000 + 5 * k + j) for j in range(5)])
+
+    def finish(self) -> None:
+        with self.table.server._mu:
+            while self.k < _SNAP_N_BATCHES:
+                self.apply_next()
+
+
+def _incremental_snapshot_fixture():
+    """A FRESH live-table server per call (the script mutates it, so
+    reuse would break determinism): base rows, the scripted writer
+    wired to fire on chunk SELECTs, server pinned for the lazy
+    change-stream tasks."""
+    from ru_cdc_spark.sources.binlog_wire import (
+        CHECKSUM_NONE,
+        ColSpec,
+        T_LONG,
+        T_LONGLONG,
+        T_NEWDECIMAL,
+        T_VARCHAR,
+        encode_format_description,
+    )
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+
+    vb = VirtualBinlog()
+    vb.append(encode_format_description(CHECKSUM_NONE))
+    srv = MySQLFixtureServer(binlog=vb).start()
+    _LIVE_SNAPSHOT_SERVERS.append(srv)
+    table = srv.add_live_table("snaptab", [
+        ("id", ColSpec(T_LONGLONG)),
+        ("val", ColSpec(T_LONG)),
+        ("name", ColSpec(T_VARCHAR, (300,))),
+        ("amount", ColSpec(T_NEWDECIMAL, (12, 4))),
+    ])
+    for base in range(0, _SNAP_N_BASE, 100):
+        table.insert(*[_snap_base_row(i)
+                       for i in range(base, base + 100)])
+    script = _SnapScript(table)
+    srv.on_select = script.on_select
+    return srv, table, script
+
+
+def mysql_incremental_snapshot(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """DBLog-style incremental snapshot under CONCURRENT writes, end to
+    end (sources/incremental_snapshot.py — the public Netflix DBLog /
+    Debezium incremental-snapshot algorithm; the reference can only
+    subscribe from the current tip, main.rs:86-130, so bootstrapping
+    existing rows requires stopping writes).
+
+    The fixture server hosts a live table whose scripted writer fires
+    a batch of updates+deletes+inserts INSIDE each chunk's watermark
+    window (the server applies it, under lock, between the chunk's low
+    and high SHOW MASTER STATUS reads). Chunks run as parallel
+    executor tasks, each with its own connections; rows whose pk was
+    touched inside the window are dropped per DBLog; the change-stream
+    leg replays everything from the snapshot-start position; the
+    versioned merge (snapshot rows at their chunk's low watermark,
+    events at their end position) converges to the consistent final
+    state — which is what the DuckDB oracle computes in closed form,
+    INDEPENDENT of how chunks interleave with writes. That
+    interleaving-independence is the algorithm's whole claim, so the
+    hash match is the strongest check available.
+
+    Scale: driver sees two scalars (MIN/MAX pk) and chunk boundaries;
+    all row movement is executor-side; chunk size bounds memory and
+    source impact; the merge is the engine's standard PK shuffle. A
+    10 TB table bootstraps at source read bandwidth while the stream
+    keeps flowing."""
+    from ru_cdc_spark.sources.incremental_snapshot import (
+        plan_snapshot,
+        snapshot_changes,
+        snapshot_chunks,
+    )
+
+    srv, _table, script = _incremental_snapshot_fixture()
+    host, port, user, pw = "127.0.0.1", srv.port, srv.user, srv.password
+    plan = plan_snapshot(host, port, user, pw, "snaptab",
+                         chunk_size=_SNAP_CHUNK)
+    # eager: the chunk tasks run NOW, firing the scripted writer; the
+    # checkpoint also freezes the surviving rows so downstream jobs
+    # never re-trigger the script
+    snap = snapshot_chunks(spark, host, port, user, pw, plan) \
+        .localCheckpoint()
+    script.finish()  # whatever batches no SELECT triggered
+    changes = snapshot_changes(spark, host, port, user, pw, plan)
+    both = snap.withColumn("op", F.lit("SNAP")).unionByName(changes)
+    row = F.struct(*[F.col(c) for c in both.columns])
+    return (both
+            .groupBy(F.col("id").cast("long").alias("pk"))
+            .agg(F.max_by(row, F.col("seq")).alias("r"))
+            .where(F.col("r.op") != "DELETE")
+            .select(F.col("pk").alias("id"),
+                    F.col("r.val").cast("long").alias("val"),
+                    F.col("r.name").alias("name"),
+                    # text-protocol canonical form, 4-dp exact — the
+                    # cross-engine decimal comparison convention
+                    F.col("r.amount").alias("amount")))
+
+
+INCREMENTAL_SNAPSHOT_ORACLE = f"""
+WITH base AS (SELECT UNNEST(range({_SNAP_N_BASE})) AS id),
+     ins AS (SELECT 1000 + UNNEST(range({_SNAP_N_BATCHES * 5})) AS id),
+     final AS (
+       SELECT id,
+              CASE WHEN id % 10 = 3 THEN id * 1000 + id // {_SNAP_CHUNK}
+                   ELSE (id * 17) % 10000 END AS val,
+              CASE WHEN id % 10 = 3 THEN 'u_' || CAST(id AS VARCHAR)
+                   ELSE 'n_' || CAST((id * 7) % 97 AS VARCHAR)
+              END AS name,
+              CASE WHEN id % 10 = 3 THEN (id * 19) % 100000000
+                   ELSE (id * 31) % 100000000 END AS araw
+       FROM base WHERE id % 10 <> 6
+       UNION ALL
+       SELECT id, (id * 21) % 10000, 'i_' || CAST(id AS VARCHAR),
+              (id * 19) % 100000000
+       FROM ins)
+SELECT id, val, name,
+       CAST(araw // 10000 AS VARCHAR) || '.' ||
+       lpad(CAST(araw % 10000 AS VARCHAR), 4, '0') AS amount
+FROM final
+"""
+
+
 def _offset_json(q) -> dict:
     """The last announced endOffset of a running query, tolerating the
     JVM's string round-trip."""
@@ -3861,6 +4042,8 @@ def _register_binlog_wire() -> None:
              BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_txn_stream)
     register("mysql_socket_gtid_failover",
              BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_gtid_failover)
+    register("mysql_incremental_snapshot",
+             INCREMENTAL_SNAPSHOT_ORACLE)(mysql_incremental_snapshot)
     register("cdc_kafka_wire_roundtrip",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_roundtrip)

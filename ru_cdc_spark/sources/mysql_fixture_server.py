@@ -206,6 +206,95 @@ class VirtualBinlog:
         return chain
 
 
+class LiveTable:
+    """A mutable table whose DML appends REAL row events to the
+    server's binlog — the moving target a DBLog-style incremental
+    snapshot reads while changes keep flowing.
+
+    Every ``insert``/``update``/``delete`` both mutates the in-memory
+    row store (what SELECT serves) and appends a TABLE_MAP + ROWS
+    event pair to the server's virtual binlog under the server lock,
+    exactly the coupling a real server's storage engine + binlog give:
+    SHOW MASTER STATUS positions taken before/after a SELECT bracket
+    every change that could have raced it.
+
+    The first column is the integer primary key."""
+
+    def __init__(self, name: str, columns: list, server,
+                 table_id: int = 901, schema: str = "app") -> None:
+        self.name = name
+        self.schema = schema
+        self.columns = columns           # [(name, ColSpec)]
+        self.specs = [s for _, s in columns]
+        self.col_names = [n for n, _ in columns]
+        self.server = server
+        self.table_id = table_id
+        self.rows: dict[int, tuple] = {}
+
+    # -- DML (each call = one binlog event pair) -------------------------
+
+    def _emit(self, event_type: int, images: list) -> None:
+        from ru_cdc_spark.sources.binlog_wire import (
+            encode_rows_event,
+            encode_table_map,
+        )
+
+        tm = encode_table_map(self.table_id, self.schema, self.name,
+                              self.specs)
+        ev = encode_rows_event(event_type, self.table_id, self.specs,
+                               images)
+        with self.server.mutation():
+            self.server.binlog.append(tm)
+            self.server.binlog.append(ev)
+
+    def insert(self, *rows: tuple) -> None:
+        from ru_cdc_spark.sources.binlog_wire import WRITE_ROWS_V2
+
+        with self.server.mutation():
+            for r in rows:
+                self.rows[int(r[0])] = tuple(r)
+            self._emit(WRITE_ROWS_V2, [tuple(r) for r in rows])
+
+    def update(self, *rows: tuple) -> None:
+        """Each row is the full AFTER image; the before image is the
+        current stored row (row-based replication semantics)."""
+        from ru_cdc_spark.sources.binlog_wire import UPDATE_ROWS_V2
+
+        with self.server.mutation():
+            pairs = []
+            for r in rows:
+                pk = int(r[0])
+                pairs.append((self.rows[pk], tuple(r)))
+                self.rows[pk] = tuple(r)
+            self._emit(UPDATE_ROWS_V2, pairs)
+
+    def delete(self, *pks: int) -> None:
+        from ru_cdc_spark.sources.binlog_wire import DELETE_ROWS_V2
+
+        with self.server.mutation():
+            images = [self.rows.pop(int(pk)) for pk in pks
+                      if int(pk) in self.rows]
+            if images:
+                self._emit(DELETE_ROWS_V2, images)
+
+    # -- reads (SELECT serving) ------------------------------------------
+
+    def scan(self, lo: int | None = None, hi: int | None = None
+             ) -> list[tuple]:
+        out = [v for k, v in self.rows.items()
+               if (lo is None or k > lo) and (hi is None or k <= hi)]
+        out.sort(key=lambda r: int(r[0]))
+        return out
+
+    def desc_rows(self) -> list[list]:
+        """DESC-shaped catalog rows (Field/Type/Null/Key triples)."""
+        type_names = {3: "int", 8: "bigint", 15: "varchar(300)",
+                      246: "decimal(12,4)"}
+        return [(n, type_names.get(s.type_code, "text"),
+                 "PRI" if i == 0 else "")
+                for i, (n, s) in enumerate(self.columns)]
+
+
 class MySQLFixtureServer:
     """Threaded TCP server speaking the MySQL server-side protocol.
 
@@ -269,11 +358,92 @@ class MySQLFixtureServer:
         # layout caches key on it so a restarted server on a reused port
         # can never serve a stale listing
         self.server_uuid = uuid.uuid4().hex
+        # live tables (incremental-snapshot fixtures): name -> LiveTable;
+        # their DML appends to self.binlog under self._mu, and SELECTs
+        # serve the current row store under the same lock, so master
+        # positions bracket every racing change like a real server's
+        self.tables: dict[str, LiveTable] = {}
+        # test hook: called (table, lo, hi) under the lock BEFORE a
+        # range SELECT's result set is built — scripted concurrent
+        # writers interleave deterministically with chunk reads
+        self.on_select = None
+        self._mu = threading.RLock()
         self.host = host
         self.port = 0
         self._sock: socket.socket | None = None
         self._threads: list[threading.Thread] = []
         self._stop = threading.Event()
+
+    # -- live tables (incremental-snapshot fixture surface) ----------------
+
+    def mutation(self):
+        """Lock scope for anything that appends to the binlog or reads
+        a master position: the framed-dump cache is dropped on exit so
+        later dump connections see the appended events. Re-entrant —
+        LiveTable DML nests it."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            with self._mu:
+                try:
+                    yield self.binlog
+                finally:
+                    self._framed_cache = {}
+        return scope()
+
+    def add_live_table(self, name: str, columns: list,
+                       table_id: int = 901) -> "LiveTable":
+        t = LiveTable(name, columns, self, table_id=table_id)
+        self.tables[name] = t
+        # DESC works both bare and db-qualified (mysql.rs:185 sends
+        # ``desc db.table``)
+        self.catalog[name] = t.desc_rows()
+        self.catalog[f"{t.schema}.{name}"] = t.desc_rows()
+        return t
+
+    _SELECT_RANGE = re.compile(
+        r"select\s+(.+?)\s+from\s+([\w.]+)"
+        r"(?:\s+where\s+(\w+)\s*>\s*(-?\d+)\s+and\s+\3\s*<=\s*(-?\d+))?"
+        r"(?:\s+order\s+by\s+\w+)?$")
+
+    def _select(self, io: PacketIO, q: str) -> bool:
+        """Serve SELECT over a live table: the chunk-range and MIN/MAX
+        forms an incremental snapshotter issues. Returns False if the
+        query is not against a live table (caller falls through)."""
+        m = self._SELECT_RANGE.match(q)
+        if not m:
+            return False
+        cols_sql, target, _pk, lo_s, hi_s = m.groups()
+        t = self.tables.get(target.split(".")[-1])
+        if t is None:
+            return False
+        lo = int(lo_s) if lo_s is not None else None
+        hi = int(hi_s) if hi_s is not None else None
+        with self._mu:
+            if self.on_select is not None and lo_s is not None:
+                # scripted concurrent writer: lands in the binlog
+                # BEFORE the result set, i.e. inside the [low, high]
+                # watermark window the client reads around this SELECT
+                self.on_select(t.name, lo, hi)
+            rows = t.scan(lo, hi)
+        agg = re.match(r"min\((\w+)\)\s*,\s*max\(\1\)", cols_sql)
+        if agg:
+            pks = [int(r[0]) for r in rows]
+            out = [[str(min(pks)) if pks else None,
+                    str(max(pks)) if pks else None]]
+            self._send_result_set(io, [f"min({agg.group(1)})",
+                                       f"max({agg.group(1)})"], out)
+            return True
+        if cols_sql.strip() == "*":
+            names = t.col_names
+        else:
+            names = [c.strip() for c in cols_sql.split(",")]
+        idx = [t.col_names.index(n) for n in names]
+        out = [[None if r[i] is None else str(r[i]) for i in idx]
+               for r in rows]
+        self._send_result_set(io, names, out)
+        return True
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -527,10 +697,15 @@ class MySQLFixtureServer:
         if q.startswith("set "):
             io.write_packet(encode_ok(), seq=1)
         elif q == "show master status":
+            with self._mu:
+                # under the live-table lock: a position can never land
+                # between a TABLE_MAP and its ROWS event
+                tip = [[self.binlog.filename, str(self.binlog.end_pos),
+                        "", ""]]
             self._send_result_set(
                 io,
                 ["File", "Position", "Binlog_Do_DB", "Binlog_Ignore_DB"],
-                [[self.binlog.filename, str(self.binlog.end_pos), "", ""]])
+                tip)
         elif q.startswith("show binlog events"):
             # pass the ORIGINAL sql: binlog filenames are case-sensitive
             # and the lowercased q would miss mixed-case names
@@ -547,6 +722,9 @@ class MySQLFixtureServer:
         elif q == "select @@server_uuid":
             self._send_result_set(io, ["@@server_uuid"],
                                   [[self.server_uuid]])
+        elif (q.startswith("select ") and " from " in q
+                and self._select(io, q)):
+            pass
         else:
             io.write_packet(encode_ok(), seq=1)
 
@@ -653,20 +831,24 @@ class MySQLFixtureServer:
         which MySQL clients (including ours) follow rather than check."""
         from ru_cdc_spark.sources.mysql_client import encode_packet
 
-        cache = getattr(self, "_framed_cache", None)
-        if cache is None:
-            cache = self._framed_cache = {}
-        if idx not in cache:
-            vb = self.binlogs[idx]
-            blob = bytearray()
-            index: list[tuple[int, int]] = []  # (event start pos, offset)
-            seq = 1
-            for start, _end, ev in vb.events:
-                index.append((start, len(blob)))
-                blob += encode_packet(seq, b"\x00" + ev)
-                seq = (seq + 1) & 0xFF
-            cache[idx] = (bytes(blob), index)
-        return cache[idx]
+        with self._mu:
+            # under the live-table lock: a concurrent LiveTable append
+            # invalidates the cache, and the rebuild below must not
+            # read the events list mid-append
+            cache = getattr(self, "_framed_cache", None)
+            if cache is None:
+                cache = self._framed_cache = {}
+            if idx not in cache:
+                vb = self.binlogs[idx]
+                blob = bytearray()
+                index: list[tuple[int, int]] = []  # (start pos, offset)
+                seq = 1
+                for start, _end, ev in vb.events:
+                    index.append((start, len(blob)))
+                    blob += encode_packet(seq, b"\x00" + ev)
+                    seq = (seq + 1) & 0xFF
+                cache[idx] = (bytes(blob), index)
+            return cache[idx]
 
     def _handle_dump_gtid(self, io: PacketIO, pkt: bytes) -> None:
         """COM_BINLOG_DUMP_GTID: stream every transaction whose GTID is

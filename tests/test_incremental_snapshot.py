@@ -1,0 +1,199 @@
+"""DBLog-style incremental snapshot (sources/incremental_snapshot.py):
+chunked PK-range reads with SHOW-MASTER-STATUS watermarks, per-chunk
+dedup of pks touched inside the window, and the versioned merge with
+the change stream. The fixture side is MySQLFixtureServer.LiveTable —
+DML that both mutates the row store and appends real binlog events."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from ru_cdc_spark.sources.binlog_wire import (
+    ColSpec,
+    T_LONG,
+    T_LONGLONG,
+    T_NEWDECIMAL,
+    T_VARCHAR,
+    CHECKSUM_NONE,
+    encode_format_description,
+)
+from ru_cdc_spark.sources.incremental_snapshot import (
+    plan_snapshot,
+    read_chunk,
+    snapshot_changes,
+    snapshot_chunks,
+)
+from ru_cdc_spark.sources.mysql_fixture_server import (
+    MySQLFixtureServer,
+    VirtualBinlog,
+)
+
+COLS = [
+    ("id", ColSpec(T_LONGLONG)),
+    ("val", ColSpec(T_LONG)),
+    ("name", ColSpec(T_VARCHAR, (300,))),
+    ("amount", ColSpec(T_NEWDECIMAL, (12, 4))),
+]
+
+
+def _row(i: int) -> tuple:
+    return (i, i * 10, f"n_{i}", Decimal(i * 11).scaleb(-4))
+
+
+@pytest.fixture()
+def srv():
+    vb = VirtualBinlog()
+    vb.append(encode_format_description(CHECKSUM_NONE))
+    s = MySQLFixtureServer(binlog=vb).start()
+    try:
+        yield s
+    finally:
+        s.stop()
+
+
+def _table(srv, n=30):
+    t = srv.add_live_table("snaptab", COLS)
+    t.insert(*[_row(i) for i in range(n)])
+    return t
+
+
+class TestLiveTableFixture:
+    def test_select_range_and_minmax(self, srv):
+        from ru_cdc_spark.sources.mysql_client import MySQLConnection
+
+        _table(srv)
+        with MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
+                                     srv.password) as conn:
+            rs = conn.query("select id, val, name, amount from snaptab "
+                            "where id > 4 and id <= 7 order by id")
+            assert [r[0] for r in rs.rows] == ["5", "6", "7"]
+            assert rs.rows[0] == ["5", "50", "n_5", "0.0055"]
+            mm = conn.query("select min(id), max(id) from snaptab")
+            assert mm.rows == [["0", "29"]]
+            fields = conn.desc_table("app", "snaptab")
+            assert [f.name for f in fields] == ["id", "val", "name",
+                                                "amount"]
+            assert fields[0].is_pk and not fields[1].is_pk
+
+    def test_dml_appends_decodable_binlog_events(self, srv):
+        from ru_cdc_spark.sources.binlog_wire import (
+            decode_rows_event,
+            decode_table_map,
+        )
+
+        t = _table(srv, n=3)
+        t.update((1, 999, "upd", Decimal("1.5000")))
+        t.delete(2)
+        decoded = []
+        specs = None
+        for _s, _e, ev in srv.binlog.events:
+            if ev[4] == 19:
+                _tid, _sch, name, specs = decode_table_map(ev)
+                assert name == "snaptab"
+            elif ev[4] in (30, 31, 32):
+                decoded.append(decode_rows_event(ev, specs))
+        types = [t_ for t_, _ in decoded]
+        assert types == [30, 31, 32]
+        upd_rows = decoded[1][1]
+        assert upd_rows[0][0] == (1, 10, "n_1", Decimal("0.0011"))
+        assert upd_rows[0][1] == (1, 999, "upd", Decimal("1.5000"))
+        assert decoded[2][1] == [(2, 20, "n_2", Decimal("0.0022"))]
+
+    def test_positions_bracket_mutations(self, srv):
+        """The whole watermark premise: a mutation between two SHOW
+        MASTER STATUS reads lands inside the position window."""
+        from ru_cdc_spark.sources.mysql_client import MySQLConnection
+
+        t = _table(srv)
+        with MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
+                                     srv.password) as conn:
+            _, p1 = conn.show_master_status()
+            t.update((3, -1, "raced", Decimal("0.0001")))
+            _, p2 = conn.show_master_status()
+        assert p2 > p1
+
+
+class TestChunkRead:
+    def test_quiet_chunk_keeps_all_rows(self, srv):
+        _table(srv)
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        rows, pos_l = read_chunk("127.0.0.1", srv.port, srv.user,
+                                 srv.password, plan, -1, 9)
+        assert [r[0] for r in rows] == [str(i) for i in range(10)]
+        assert pos_l == srv.binlog.end_pos
+
+    def test_windowed_mutation_drops_only_its_pk(self, srv):
+        """DBLog's dedup rule: the pk written inside [L, H] leaves the
+        chunk (its SELECT value raced the write); neighbors stay."""
+        t = _table(srv)
+        srv.on_select = lambda _t, lo, hi: t.update(
+            (5, 555, "raced", Decimal("5.5555")))
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        rows, _ = read_chunk("127.0.0.1", srv.port, srv.user,
+                             srv.password, plan, -1, 9)
+        assert [r[0] for r in rows] == [str(i) for i in range(10)
+                                        if i != 5]
+
+    def test_out_of_range_mutation_does_not_dedup(self, srv):
+        t = _table(srv)
+        srv.on_select = lambda _t, lo, hi: t.update(
+            (25, 555, "elsewhere", Decimal("5.5555")))
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        rows, _ = read_chunk("127.0.0.1", srv.port, srv.user,
+                             srv.password, plan, -1, 9)
+        assert [r[0] for r in rows] == [str(i) for i in range(10)]
+
+
+class TestPlan:
+    def test_ranges_cover_exactly(self, srv):
+        _table(srv, n=25)
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        assert plan.ranges == [(-1, 9), (9, 19), (19, 24)]
+        assert plan.columns == ["id", "val", "name", "amount"]
+        assert plan.pk == "id"
+        assert plan.start_pos == srv.binlog.end_pos
+
+    def test_empty_table(self, srv):
+        srv.add_live_table("snaptab", COLS)
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        assert plan.ranges == []
+
+
+class TestDistributed:
+    def test_chunks_then_changes_merge_to_final_state(self, spark, srv):
+        """Serial mini end-to-end (the registered query runs the
+        parallel scripted version): snapshot, then post-snapshot DML,
+        then the change stream — merged latest-wins equals the table."""
+        t = _table(srv)
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        snap = snapshot_chunks(spark, "127.0.0.1", srv.port, srv.user,
+                               srv.password, plan).localCheckpoint()
+        assert snap.count() == 30
+        t.update((7, 777, "post", Decimal("7.0000")))
+        t.delete(8)
+        t.insert((40, 400, "new", Decimal("4.0000")))
+        changes = snapshot_changes(spark, "127.0.0.1", srv.port,
+                                   srv.user, srv.password, plan)
+        ops = {r["op"] for r in changes.collect()}
+        assert ops == {"UPDATE", "DELETE", "INSERT"}
+
+        from pyspark.sql import functions as F
+
+        both = snap.withColumn("op", F.lit("SNAP")).unionByName(changes)
+        row = F.struct(*[F.col(c) for c in both.columns])
+        final = (both.groupBy(F.col("id").cast("long").alias("pk"))
+                 .agg(F.max_by(row, F.col("seq")).alias("r"))
+                 .where(F.col("r.op") != "DELETE"))
+        got = {(r["pk"], r["r"]["val"], r["r"]["name"], r["r"]["amount"])
+               for r in final.collect()}
+        exp = {(int(r[0]), str(r[1]), r[2], str(r[3]))
+               for r in t.scan()}
+        assert got == exp

@@ -249,8 +249,17 @@ class TestRotationCrashWindow:
             got_positions = sorted(pos for pos, _ in frames)
             for e in tail_expected:
                 assert e in got_positions, f"file-1 tail frame {e} lost"
-            # plus file-2 prefix frames
-            assert any(pos <= some_f2_end for pos, _ in frames)
+            # plus file-2 prefix frames — their yielded positions are
+            # BIASED above any 32-bit log_pos so order-by-pos
+            # consumers keep the true cross-file order (the raw
+            # position restarts near 4 and would sort before file 1's
+            # tail)
+            f2 = [pos for pos, _ in frames if pos > (1 << 32)]
+            assert f2, "file-2 prefix frames lost"
+            assert all(pos - (1 << 33) <= some_f2_end for pos in f2)
+            f1 = [pos for pos, _ in frames if pos <= (1 << 32)]
+            assert max(f1) < min(f2), \
+                "file-2 frames must outrank file 1's tail"
         finally:
             srv.stop()
 

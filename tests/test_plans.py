@@ -524,3 +524,16 @@ def test_parts_abc_has_no_unpartitioned_window(spark, sf_dir):
     plan = physical_plan(df)
     assert _unpartitioned_window_count(plan) == 0, plan[:800]
     assert "rangepartitioning" in plan
+
+
+def test_incremental_snapshot_single_pk_shuffle_no_sort(spark, sf_dir):
+    """DBLog merge discipline: chunk rows + change events union into
+    ONE hash-aggregate PK merge (max_by) — a single pk shuffle, no
+    sort, no window; chunk reads and window dumps stay inside the
+    Arrow maps."""
+    df = REGISTRY["mysql_incremental_snapshot"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 2  # pk hash (+ AQE reads)
+    assert "max_by" in plan or "MaxBy" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

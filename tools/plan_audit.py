@@ -113,6 +113,10 @@ AUDIT = [
     ("mysql_legacy_type_semantics",
      "pre-5.6 temporals + GEOMETRY passthrough: narrow Arrow maps, "
      "zero shuffle"),
+    ("mysql_incremental_snapshot",
+     "DBLog incremental snapshot: chunk tasks + change-stream slices "
+     "union into ONE hash-aggregate PK merge (max_by) — a single "
+     "shuffle on the pk, no window, no sort"),
 ]
 
 

@@ -309,6 +309,7 @@ class MySQLFixtureServer:
                  nonce: bytes | None = None,
                  host: str = "127.0.0.1",
                  die_after_events: int | None = None,
+                 err_after_events: int | None = None,
                  stall_mid_dump_secs: float = 0.0,
                  default_auth: str = CACHING_SHA2_PLUGIN,
                  tls: bool = False,
@@ -316,6 +317,11 @@ class MySQLFixtureServer:
         # fault injection: hang up mid-dump after N event packets
         # WITHOUT the EOF terminator (the server-crash contract test)
         self.die_after_events = die_after_events
+        # fault injection: after N event packets send a real ERR packet
+        # (1236, like a server whose binlog was purged under the
+        # reader) — clients must surface it as an error, never as a
+        # clean end-of-stream
+        self.err_after_events = err_after_events
         # fault injection: send half the dump, go silent for N seconds,
         # then send the rest — models a contended/WAN master whose read
         # stalls exceed any client-side connect timeout (the round-5
@@ -803,6 +809,26 @@ class MySQLFixtureServer:
                 io.sock.sendall(bytes(out))
             finally:
                 io.sock.close()
+            return
+        if self.err_after_events is not None:
+            # purge injection: N real events, then ERR 1236 mid-stream
+            from ru_cdc_spark.sources.mysql_client import encode_packet
+
+            out = bytearray()
+            seq = 1
+            for start, _end, ev in self.binlogs[start_idx].events:
+                if start < pos or seq > self.err_after_events:
+                    continue
+                out += encode_packet(seq, b"\x00" + ev)
+                seq += 1
+            out += encode_packet(
+                seq, encode_err(
+                    1236, "Could not find first log file name in binary "
+                          "log index file"))
+            try:
+                io.sock.sendall(bytes(out))
+            except (ConnectionError, OSError):
+                pass
             return
         out = bytearray()
         for part in self._dump_parts(start_idx, pos):

@@ -543,6 +543,116 @@ class TestConnectionPool:
         ConnectionPool.clear()
 
 
+class TestErrMidDump:
+    def test_err_packet_mid_stream_raises_not_eof(self):
+        """A server can abort a running dump with a real ERR packet
+        (1236 — binlog purged under the reader). The client must raise
+        it; treating it as end-of-stream would silently truncate the
+        slice and commit offsets past undelivered frames."""
+        vb = VirtualBinlog.from_cdc_fixture(100)
+        srv = MySQLFixtureServer(binlog=vb, err_after_events=5).start()
+        try:
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         "repl", "replpass") as conn:
+                got = []
+                with pytest.raises(MySQLError) as exc:
+                    for ev in conn.binlog_dump("binlog.000001", 4):
+                        got.append(ev)
+                assert exc.value.code == 1236
+                assert len(got) == 5  # events before the ERR delivered
+        finally:
+            srv.stop()
+
+    def test_slice_reader_fails_loudly_on_mid_dump_err(self):
+        """The socket source's slice reader propagates the mid-dump
+        ERR instead of emitting a short slice."""
+        from ru_cdc_spark.sources.mysql_socket_source import _dump_frames
+
+        vb = VirtualBinlog.from_cdc_fixture(100)
+        srv = MySQLFixtureServer(binlog=vb, err_after_events=3).start()
+        try:
+            with pytest.raises(MySQLError) as exc:
+                _dump_frames("127.0.0.1", srv.port, "repl", "replpass",
+                             "binlog.000001", 4, 1 << 30)
+            assert exc.value.code == 1236
+        finally:
+            srv.stop()
+
+
+class _FragmentedSocket:
+    """A mock socket whose recv returns deterministically tiny
+    fragments — the torn-TCP-segment adversary for PacketIO."""
+
+    def __init__(self, data: bytes, sizes) -> None:
+        self._data = data
+        self._off = 0
+        self._sizes = sizes  # iterator of fragment sizes
+        self.sent = bytearray()
+
+    def recv(self, want: int) -> bytes:
+        if self._off >= len(self._data):
+            return b""
+        n = min(next(self._sizes), want, len(self._data) - self._off)
+        n = max(n, 1)
+        out = self._data[self._off:self._off + n]
+        self._off += n
+        return out
+
+    def sendall(self, b: bytes) -> None:
+        self.sent += b
+
+
+class TestPacketIOFragmentation:
+    """Short reads are the normal case on a real network (MTU-sized
+    segments, GC-paused peers): framing must reassemble identical
+    packets no matter how the byte stream is torn."""
+
+    def _stream(self) -> tuple[bytes, list[bytes]]:
+        payloads = [bytes([i % 251]) * (7 + 13 * i) for i in range(40)]
+        wire = bytearray()
+        for i, p in enumerate(payloads):
+            wire += encode_packet(i & 0xFF, p)
+        return bytes(wire), payloads
+
+    def test_one_byte_recv(self):
+        import itertools
+
+        wire, payloads = self._stream()
+        io = PacketIO(_FragmentedSocket(wire, itertools.repeat(1)))
+        for want in payloads:
+            assert io.read_packet() == want
+
+    def test_deterministic_ragged_fragments(self):
+        import itertools
+
+        wire, payloads = self._stream()
+        # fragment sizes cycle through awkward primes so packet
+        # boundaries land mid-header, mid-length, mid-payload
+        sizes = itertools.cycle([1, 2, 3, 5, 7, 11, 13, 1, 17, 2])
+        io = PacketIO(_FragmentedSocket(wire, sizes))
+        for want in payloads:
+            assert io.read_packet() == want
+
+    def test_jumbo_coalesced_recv(self):
+        """The opposite adversary: everything arrives in ONE segment;
+        the buffered reader must split it back into packets."""
+        import itertools
+
+        wire, payloads = self._stream()
+        io = PacketIO(_FragmentedSocket(wire, itertools.repeat(1 << 30)))
+        for want in payloads:
+            assert io.read_packet() == want
+
+    def test_peer_close_mid_packet_raises(self):
+        import itertools
+
+        wire, _ = self._stream()
+        io = PacketIO(_FragmentedSocket(wire[:10], itertools.repeat(3)))
+        with pytest.raises(ConnectionError):
+            while True:
+                io.read_packet()
+
+
 class TestServerCrashMidDump:
     def test_disconnect_without_eof_raises(self):
         """A server that dies mid-dump (no EOF packet) must FAIL the

@@ -20,6 +20,7 @@ from ru_cdc_spark.sources.binlog_wire import (
     encode_format_description,
 )
 from ru_cdc_spark.sources.incremental_snapshot import (
+    SnapshotPlan,
     plan_snapshot,
     read_chunk,
     snapshot_changes,
@@ -164,6 +165,83 @@ class TestPlan:
         plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
                              srv.password, "snaptab", chunk_size=10)
         assert plan.ranges == []
+
+
+class TestResumableRunner:
+    def test_interrupted_run_resumes_without_rereading(self, spark, srv,
+                                                       tmp_path):
+        """Kill-and-resume: the first attempt completes only some
+        chunks (simulated by a server that refuses SELECTs after two
+        chunks); the resumed run executes ONLY the missing chunks (the
+        completed ones' SELECTs are not re-issued) and the final
+        output equals an uninterrupted run's."""
+        import shutil
+
+        from ru_cdc_spark.sources.incremental_snapshot import (
+            run_snapshot_resumable,
+        )
+
+        _table(srv)
+        out = str(tmp_path / "snap")
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        assert len(plan.ranges) == 3
+
+        # attempt 1: chunks (9,19] and (19,29] never finish — model
+        # the crash by running with a truncated range list under the
+        # SAME persisted plan
+        partial = run_snapshot_resumable(
+            spark, "127.0.0.1", srv.port, srv.user, srv.password,
+            SnapshotPlan(plan.table, plan.columns, plan.pk,
+                         plan.ranges[:1], plan.start_file,
+                         plan.start_pos),
+            out)
+        assert partial.count() == 10
+        # the persisted plan must pin the ORIGINAL full range list for
+        # resume, so rewrite it the way a full first attempt would have
+        import json
+        import os
+
+        with open(os.path.join(out, "plan.json")) as fh:
+            saved = json.load(fh)
+        saved["ranges"] = plan.ranges
+        with open(os.path.join(out, "plan.json"), "w") as fh:
+            json.dump(saved, fh)
+        shutil.rmtree(os.path.join(out, "chunk_9_19"),
+                      ignore_errors=True)  # no such dir; belt+braces
+
+        selects_before = sum("where id >" in c
+                             for c in srv.command_log)
+        full = run_snapshot_resumable(
+            spark, "127.0.0.1", srv.port, srv.user, srv.password,
+            plan, out)
+        assert full.count() == 30
+        selects_after = sum("where id >" in c for c in srv.command_log)
+        # exactly the two missing chunks were read, not three
+        assert selects_after - selects_before == 2
+        ids = sorted(int(r["id"]) for r in full.collect())
+        assert ids == list(range(30))
+
+    def test_resume_is_noop_when_complete(self, spark, srv, tmp_path):
+        from ru_cdc_spark.sources.incremental_snapshot import (
+            run_snapshot_resumable,
+        )
+
+        _table(srv)
+        out = str(tmp_path / "snap")
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        first = run_snapshot_resumable(spark, "127.0.0.1", srv.port,
+                                       srv.user, srv.password, plan,
+                                       out)
+        assert first.count() == 30
+        n_sel = sum("where id >" in c for c in srv.command_log)
+        again = run_snapshot_resumable(spark, "127.0.0.1", srv.port,
+                                       srv.user, srv.password, plan,
+                                       out)
+        assert again.count() == 30
+        assert sum("where id >" in c
+                   for c in srv.command_log) == n_sel
 
 
 class TestDistributed:

@@ -3247,6 +3247,85 @@ def mysql_incremental_snapshot(spark: SparkSession,
                     F.col("r.amount").alias("amount")))
 
 
+def mysql_socket_bootstrap_stream(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The PRODUCTION bootstrap handoff in ONE streaming query: the
+    binlog_socket source's snapshot phase (bootstrap_table option)
+    chunk-reads the live table and delivers each chunk as synthetic
+    TABLE_MAP+WRITE_ROWS frames — Debezium's 'READ' records, except
+    they ride the actual wire format — then flows straight into live
+    binlog frames from the snapshot-start position. The chunk index
+    lives in Spark's offset log (kill mid-snapshot, restart resumes at
+    the committed chunk — pytest covers that path); the scripted
+    writer fires a batch of updates+deletes+inserts inside each chunk
+    SELECT's watermark window, exactly like the batch variant, and the
+    decoded, latest-wins-merged output hash-matches the SAME
+    interleaving-independent oracle.
+
+    Scale: snapshot triggers fan chunks across executor tasks
+    (chunks_per_trigger caps source load per trigger); the stream
+    phase is the engine's standard sliced socket read; ONE downstream
+    decode+merge serves both phases because bootstrap rows and live
+    changes share the wire format."""
+    import time as _time
+
+    from ru_cdc_spark.sources.incremental_snapshot import (
+        decode_table_frames,
+    )
+    from ru_cdc_spark.sources.mysql_socket_source import (
+        register_binlog_socket_source,
+    )
+
+    srv, table, script = _incremental_snapshot_fixture()
+    register_binlog_socket_source(spark)
+    work = _session_tmpdir("bootstrap_stream_")
+    out = f"{work}/out"
+
+    stream = (spark.readStream.format("binlog_socket")
+              .option("host", "127.0.0.1")
+              .option("port", srv.port)
+              .option("user", srv.user)
+              .option("password", srv.password)
+              .option("bootstrap_table", "snaptab")
+              .option("bootstrap_chunk", _SNAP_CHUNK)
+              .option("chunks_per_trigger", 3)
+              .option("events_per_batch", 2000)
+              .option("position_file", f"{work}/meta.json")
+              .load())
+    q = (stream.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(processingTime="0 seconds").start())
+    try:
+        deadline = _time.time() + 240.0
+        while _time.time() < deadline:
+            off = _offset_json(q)
+            p = q.lastProgress
+            if (script.k >= _SNAP_N_BATCHES and off
+                    and "snap" not in off
+                    and int(off.get("pos") or 0) >= srv.binlog.end_pos
+                    and p and p["numInputRows"] == 0):
+                break
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError("bootstrap stream never drained")
+    finally:
+        q.stop()
+
+    frames = spark.read.schema("pos long, frame binary").parquet(out)
+    decoded = decode_table_frames(frames, "snaptab",
+                                  ["id", "val", "name", "amount"])
+    row = F.struct(*[F.col(c) for c in decoded.columns])
+    return (decoded
+            .groupBy(F.col("id").cast("long").alias("pk"))
+            .agg(F.max_by(row, F.col("seq")).alias("r"))
+            .where(F.col("r.op") != "DELETE")
+            .select(F.col("pk").alias("id"),
+                    F.col("r.val").cast("long").alias("val"),
+                    F.col("r.name").alias("name"),
+                    F.col("r.amount").alias("amount")))
+
+
 INCREMENTAL_SNAPSHOT_ORACLE = f"""
 WITH base AS (SELECT UNNEST(range({_SNAP_N_BASE})) AS id),
      ins AS (SELECT 1000 + UNNEST(range({_SNAP_N_BATCHES * 5})) AS id),
@@ -4044,6 +4123,8 @@ def _register_binlog_wire() -> None:
              BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_gtid_failover)
     register("mysql_incremental_snapshot",
              INCREMENTAL_SNAPSHOT_ORACLE)(mysql_incremental_snapshot)
+    register("mysql_socket_bootstrap_stream",
+             INCREMENTAL_SNAPSHOT_ORACLE)(mysql_socket_bootstrap_stream)
     register("cdc_kafka_wire_roundtrip",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_roundtrip)

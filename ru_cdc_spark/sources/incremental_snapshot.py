@@ -64,7 +64,9 @@ _ROWS_EVENT_TYPES = (30, 31, 32)  # WRITE/UPDATE/DELETE_ROWS_v2
 class SnapshotPlan:
     """Driver-side plan: column order (DESC order = binlog image
     order), the pk column, the chunk pk-ranges, and the global
-    snapshot-start position the change stream resumes from."""
+    snapshot-start position the change stream resumes from.
+    ``types`` are the DESC type strings (drive the synthetic
+    WRITE_ROWS encode in the streaming bootstrap)."""
 
     table: str
     columns: list[str]
@@ -72,6 +74,55 @@ class SnapshotPlan:
     ranges: list[tuple[int, int]]
     start_file: str
     start_pos: int
+    types: list[str] | None = None
+
+
+def colspec_from_mysql_type(t: str):
+    """DESC type string -> wire ColSpec, for re-encoding snapshot rows
+    as synthetic WRITE_ROWS events (Debezium's 'READ' records ride the
+    same envelope as real inserts; here they ride the same WIRE)."""
+    import re as _re
+
+    from ru_cdc_spark.sources.binlog_wire import (
+        ColSpec,
+        T_LONG,
+        T_LONGLONG,
+        T_NEWDECIMAL,
+        T_VARCHAR,
+    )
+
+    t = t.strip().lower()
+    if t.startswith("bigint"):
+        return ColSpec(T_LONGLONG)
+    if t.startswith("int"):
+        return ColSpec(T_LONG)
+    m = _re.match(r"varchar\((\d+)\)", t)
+    if m:
+        return ColSpec(T_VARCHAR, (int(m.group(1)),))
+    m = _re.match(r"decimal\((\d+),(\d+)\)", t)
+    if m:
+        return ColSpec(T_NEWDECIMAL, (int(m.group(1)), int(m.group(2))))
+    raise ValueError(f"no wire mapping for mysql type {t!r}")
+
+
+def text_to_typed(v: str | None, spec):
+    """MySQL text-protocol string -> the Python value encode_value
+    expects for this spec."""
+    from decimal import Decimal
+
+    from ru_cdc_spark.sources.binlog_wire import (
+        T_LONG,
+        T_LONGLONG,
+        T_NEWDECIMAL,
+    )
+
+    if v is None:
+        return None
+    if spec.type_code in (T_LONG, T_LONGLONG):
+        return int(v)
+    if spec.type_code == T_NEWDECIMAL:
+        return Decimal(v)
+    return v
 
 
 def plan_snapshot(host: str, port: int, user: str, password: str,
@@ -87,6 +138,7 @@ def plan_snapshot(host: str, port: int, user: str, password: str,
         start_file, start_pos = conn.show_master_status()
         fields = conn.desc_table(db, table)
         columns = [f.name for f in fields]
+        types = [f.field_type for f in fields]
         pk = next(f.name for f in fields if f.is_pk)
         rs = conn.query(f"select min({pk}), max({pk}) from {table}")
         mn_s, mx_s = (rs.rows[0] if rs.rows else (None, None))
@@ -100,7 +152,7 @@ def plan_snapshot(host: str, port: int, user: str, password: str,
             lo = hi
     return SnapshotPlan(table=table, columns=columns, pk=pk,
                         ranges=ranges, start_file=start_file,
-                        start_pos=start_pos)
+                        start_pos=start_pos, types=types)
 
 
 def _window_touched_pks(events: list[tuple[int, bytes]], table: str,
@@ -165,6 +217,39 @@ def read_chunk(host: str, port: int, user: str, password: str,
     pk_i = plan.columns.index(plan.pk)
     kept = [r for r in rs.rows if int(r[pk_i] or 0) not in touched]
     return kept, pos_l
+
+
+def chunk_as_frames(host: str, port: int, user: str, password: str,
+                    plan: SnapshotPlan, lo: int, hi: int,
+                    db: str = "app", table_id: int = 90,
+                    rows_per_event: int = 100
+                    ) -> list[tuple[int, bytes]]:
+    """One bootstrap chunk re-encoded as synthetic TABLE_MAP +
+    WRITE_ROWS frames (Debezium's 'READ' records, except they ride the
+    actual WIRE format) — the streaming source's snapshot phase emits
+    these so the downstream pipeline decodes bootstrap rows and live
+    changes through the IDENTICAL path. Frame position = the chunk's
+    low watermark, so order-by-pos merges rank snapshot rows below
+    every change event that could supersede them."""
+    from ru_cdc_spark.sources.binlog_wire import (
+        WRITE_ROWS_V2,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    rows, pos_l = read_chunk(host, port, user, password, plan, lo, hi)
+    specs = [colspec_from_mysql_type(t) for t in (plan.types or [])]
+    if len(specs) != len(plan.columns):
+        raise ValueError("bootstrap needs DESC types for every column")
+    typed = [tuple(text_to_typed(v, s) for v, s in zip(r, specs))
+             for r in rows]
+    tm = encode_table_map(table_id, db, plan.table, specs)
+    frames = []
+    for base in range(0, len(typed), rows_per_event):
+        ev = encode_rows_event(WRITE_ROWS_V2, table_id, specs,
+                               typed[base:base + rows_per_event])
+        frames.append((pos_l, tm + ev))
+    return frames
 
 
 def snapshot_chunks(spark: SparkSession, host: str, port: int,
@@ -290,6 +375,56 @@ def run_snapshot_resumable(spark: SparkSession, host: str, port: int,
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(
         *[chunk_dir(lo, hi) for lo, hi in plan.ranges])
+
+
+def decode_table_frames(frames: DataFrame, table: str,
+                        columns: list[str]) -> DataFrame:
+    """Generic TABLE_MAP-driven decode of a (pos, frame) DataFrame —
+    synthetic bootstrap frames and real binlog frames share the wire
+    format, so ONE decoder serves the whole bootstrap-then-stream
+    output. Emits (seq = frame pos, op, text columns); UPDATE rows
+    carry the after image, DELETEs the before image (tombstones)."""
+    from ru_cdc_spark.sources.binlog_wire import (
+        decode_rows_event,
+        decode_table_map,
+    )
+
+    schema = ("seq long, op string, "
+              + ", ".join(f"`{c}` string" for c in columns))
+    op_names = {30: "INSERT", 31: "UPDATE", 32: "DELETE"}
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"seq": [], "op": []}
+            for c in columns:
+                out[c] = []
+            for pos, blob in zip(pdf["pos"], pdf["frame"]):
+                b = bytes(blob)
+                off = 0
+                while off < len(b):
+                    tm_size = int.from_bytes(b[off + 9:off + 13],
+                                             "little")
+                    _tid, _sch, tname, specs = decode_table_map(
+                        b[off:off + tm_size])
+                    off += tm_size
+                    ev_size = int.from_bytes(b[off + 9:off + 13],
+                                             "little")
+                    ev_type, rows = decode_rows_event(
+                        b[off:off + ev_size], specs)
+                    off += ev_size
+                    if tname != table:
+                        continue
+                    for r in rows:
+                        img = r[1] if ev_type == 31 else r
+                        out["seq"].append(int(pos))
+                        out["op"].append(op_names[ev_type])
+                        for c, v in zip(columns, img):
+                            out[c].append(None if v is None
+                                          else str(v))
+            out["seq"] = pd.Series(out["seq"], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(dec, schema)
 
 
 def snapshot_changes(spark: SparkSession, host: str, port: int,

@@ -370,6 +370,22 @@ class _SlicePartition(InputPartition):
         self.pos_bias = pos_bias
 
 
+class _SnapChunkPartition(InputPartition):
+    """One bootstrap chunk of the streaming snapshot phase. Carries
+    everything the executor needs (table meta + pk range) so no shared
+    filesystem is required to serve it."""
+
+    def __init__(self, lo: int, hi: int, table: str, db: str,
+                 columns: list[str], pk: str, types: list[str]) -> None:
+        self.lo = lo
+        self.hi = hi
+        self.table = table
+        self.db = db
+        self.columns = columns
+        self.pk = pk
+        self.types = types
+
+
 class _GtidWindowPartition(InputPartition):
     """A micro-batch as a GTID window: the transactions in
     ``end_gtid - start_gtid``. Server-agnostic by construction — any
@@ -424,6 +440,28 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         # of truth; this only lets a REBUILT reader keep advancing
         # instead of re-announcing already-committed ranges
         self.position_file = options.get("position_file")
+        # streaming bootstrap (DBLog incremental snapshot as the
+        # stream's FIRST phase): chunked PK-range reads of
+        # bootstrap_table delivered as synthetic TABLE_MAP+WRITE_ROWS
+        # frames before any binlog frame, with the chunk index living
+        # in Spark's offset log — kill mid-snapshot and the restart
+        # resumes at the committed chunk. Requires emit=frames and a
+        # position_file (the plan must survive reader rebuilds; pk
+        # bounds re-derived later would miss concurrent inserts).
+        self.bootstrap_table = options.get("bootstrap_table")
+        self.bootstrap_db = options.get("bootstrap_db", "app")
+        self.bootstrap_chunk = int(options.get("bootstrap_chunk", 256))
+        self.chunks_per_trigger = int(
+            options.get("chunks_per_trigger", 4))
+        if self.bootstrap_table:
+            if self.emit != "frames":
+                raise ValueError("bootstrap_table requires emit=frames "
+                                 "(snapshot rows ride synthetic "
+                                 "WRITE_ROWS frames)")
+            if not self.position_file:
+                raise ValueError("bootstrap_table requires a "
+                                 "position_file: the chunk plan must "
+                                 "survive reader rebuilds")
         # GTID failover mode: a comma-separated endpoint list turns
         # offsets into executed-GTID sets ({"endpoint","file","pos",
         # "gtid"}); (file,pos) become per-endpoint advisory planning
@@ -452,7 +490,11 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         return None, self.start_pos
 
     def _save_cur(self, fname: str, pos: int) -> None:
-        self._save_state({"pos": pos, "file": fname})
+        # merge, don't replace: the state file also carries the
+        # bootstrap plan / chunk progress when a snapshot phase runs
+        state = self._load_state()
+        state.update({"pos": pos, "file": fname})
+        self._save_state(state)
 
     def _load_state(self) -> dict:
         if self.position_file and os.path.exists(self.position_file):
@@ -514,12 +556,57 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         cache[key] = (size, rows)
         return rows
 
+    def _snap_plan(self):
+        """The persisted bootstrap plan (None when not bootstrapping).
+        Created once at first use and pinned in the position file:
+        re-deriving pk bounds after a restart would miss rows inserted
+        below the original MIN (those arrive via the change stream
+        only if the plan's start position predates them)."""
+        if not self.bootstrap_table:
+            return None
+        cached = getattr(self, "_snap_plan_mem", None)
+        if cached is not None:
+            return cached
+        from ru_cdc_spark.sources.incremental_snapshot import (
+            SnapshotPlan,
+            plan_snapshot,
+        )
+
+        state = self._load_state()
+        saved = state.get("snap_plan")
+        if saved:
+            plan = SnapshotPlan(
+                table=saved["table"], columns=saved["columns"],
+                pk=saved["pk"],
+                ranges=[tuple(r) for r in saved["ranges"]],
+                start_file=saved["start_file"],
+                start_pos=saved["start_pos"], types=saved["types"])
+        else:
+            plan = plan_snapshot(self.host, self.port, self.user,
+                                 self.password, self.bootstrap_table,
+                                 self.bootstrap_chunk,
+                                 db=self.bootstrap_db)
+            state["snap_plan"] = {
+                "table": plan.table, "columns": plan.columns,
+                "pk": plan.pk, "ranges": plan.ranges,
+                "start_file": plan.start_file,
+                "start_pos": plan.start_pos, "types": plan.types}
+            state.setdefault("file", plan.start_file)
+            state.setdefault("pos", plan.start_pos)
+            self._save_state(state)
+        self._snap_plan_mem = plan
+        return plan
+
     def initialOffset(self) -> dict:  # noqa: N802
         if self.endpoints:
             # file/pos resolve lazily against the first LIVE endpoint
             # (endpoint 0 may already be dead at stream start)
             return {"endpoint": 0, "file": None, "pos": self.start_pos,
                     "gtid": {}}
+        plan = self._snap_plan()
+        if plan is not None:
+            return {"file": plan.start_file, "pos": plan.start_pos,
+                    "snap": 0}
         if self._file is None:
             files = self._files()
             self._file = files[0] if files else None
@@ -611,6 +698,19 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         file boundary — positions restart per file)."""
         if self.endpoints:
             return self._latest_offset_gtid()
+        plan = self._snap_plan()
+        if plan is not None and plan.ranges:
+            state = self._load_state()
+            k = int(state.get("snap_done", 0))
+            if k < len(plan.ranges):
+                # snapshot phase: advance the CHUNK index, pin the
+                # stream position at snapshot start — the change
+                # stream begins there once the phase completes
+                k2 = min(len(plan.ranges), k + self.chunks_per_trigger)
+                state["snap_done"] = k2
+                self._save_state(state)
+                return {"file": plan.start_file,
+                        "pos": plan.start_pos, "snap": k2}
         mem = getattr(self, "_cur", None)
         saved_file, saved_pos = self._load_cur()
         cur_file, cur = mem if mem is not None else (
@@ -661,6 +761,16 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             return [_GtidWindowPartition(
                 start.get("gtid") or {}, end.get("gtid") or {},
                 self.endpoints, int(end.get("endpoint", 0)))]
+        s1 = (end or {}).get("snap")
+        if s1 is not None:
+            s0 = int(start.get("snap", 0) or 0)
+            if int(s1) > s0:
+                plan = self._snap_plan()
+                return [_SnapChunkPartition(
+                    lo, hi, plan.table, self.bootstrap_db,
+                    plan.columns, plan.pk, plan.types or [])
+                    for lo, hi in plan.ranges[s0:int(s1)]]
+            return []  # snapshot-phase window already served
         if start.get("file") != end.get("file"):
             # rotation boundary. The happy path drained the old file
             # before rotating, but a crash between the advisory
@@ -683,6 +793,20 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
     def read(self, partition) -> Iterator[tuple]:
         if isinstance(partition, _GtidWindowPartition):
             yield from self._read_gtid_window(partition)
+            return
+        if isinstance(partition, _SnapChunkPartition):
+            from ru_cdc_spark.sources.incremental_snapshot import (
+                SnapshotPlan,
+                chunk_as_frames,
+            )
+
+            plan = SnapshotPlan(
+                table=partition.table, columns=partition.columns,
+                pk=partition.pk, ranges=[], start_file="",
+                start_pos=0, types=partition.types)
+            yield from chunk_as_frames(
+                self.host, self.port, self.user, self.password,
+                plan, partition.lo, partition.hi, db=partition.db)
             return
         if partition.hi <= partition.lo:
             return

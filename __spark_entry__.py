@@ -34,24 +34,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # text ops, multimodal, and pipeline curation. Names are stable; only
 # the ordering is curated, so round-over-round diffs keep working.
 SHOWCASE = [
+    # ---- the curated 50: one graded window spanning every family ----
     # CDC core
     "cdc_change_stream", "cdc_envelope", "cdc_changed_cols",
-    "cdc_merge_snapshot", "cdc_route", "cdc_debezium_roundtrip",
+    "cdc_merge_snapshot", "cdc_route",
     # byte-level binlog wire decode
     "binlog_wire_decode", "binlog_wire_cdc_snapshot",
-    "mysql_type_semantics", "binlog_wire_schema_evolution",
-    "binlog_partial_json_update",
+    "mysql_type_semantics", "binlog_partial_json_update",
     # real MySQL socket client (batch, GTID-sliced, and the unified
     # streaming+transactional path with kill/restart); round 7: GTID
     # failover across layouts + DBLog-style incremental snapshot
-    # under scripted concurrent writes
+    # under scripted concurrent writes, batch AND one-streaming-query
+    # bootstrap handoff
     "mysql_socket_cdc_snapshot", "mysql_socket_txn_changes",
-    "mysql_socket_txn_stream", "mysql_socket_txn_compressed",
+    "mysql_socket_txn_stream",
     "mysql_socket_gtid_failover", "mysql_incremental_snapshot",
+    "mysql_socket_bootstrap_stream",
     # transactional assembly (incl. MySQL 8 zstd-compressed
     # transactions — type-40 payload events, RFC 8878 decode)
     "binlog_txn_changes", "binlog_txn_compressed",
-    "binlog_txn_apply_groups",
     # ACID table format + merge variants (incl. the full Kafka->
     # pipeline->ACID topology over real wires)
     "acid_merge_snapshot", "cdc_partitioned_merge",
@@ -62,35 +63,38 @@ SHOWCASE = [
     # verified-TLS + compressed-protocol socket transports
     "mysql_socket_tls_snapshot", "mysql_socket_compressed_snapshot",
     # TPC-H-style analytics
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q9_product_profit",
-    # windows / rollups
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    # windows / rollups / event analytics
     "top_orders_per_customer", "events_hourly_rollup",
-    "grouping_sets_sales",
-    # event analytics
-    "events_sessionize", "events_asof_orders",
+    "events_sessionize",
     # real-wire Kafka sink roundtrip + KIP-98 idempotent retries
     "cdc_kafka_wire_roundtrip", "cdc_kafka_idempotent_stream",
     "cdc_kafka_transactional_stream",
     # dedup family
-    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash_near_pairs",
+    "dedup_exact", "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine", "dedup_clusters_star",
     "corpus_dedup_retain",
     # similarity / ANN
-    "knn_brute_force", "ann_ivf", "ann_multiprobe",
+    "knn_brute_force", "ann_ivf",
     # text analysis (incl. real trained byte-level BPE)
     "text_stats", "text_lang_id_ngram", "text_bm25_search",
-    "doc_fingerprint", "text_bpe_word_freq", "text_bpe_token_counts",
-    "text_duplicate_span_strip",
+    "text_bpe_token_counts", "text_duplicate_span_strip",
     # multimodal (real PNG/JPEG/WAV/MJPEG-AVI codecs)
-    "multimodal_meta", "multimodal_media_decode",
+    "multimodal_media_decode",
     # pipeline curation
-    "quality_filter_chain", "pii_redaction",
+    "quality_filter_chain",
     # corpus file-format ingestion (Common Crawl WARC, Dolma-style
-    # zstd JSONL shards; round 6: shards written by the in-repo RFC
-    # 8878 COMPRESSING encoder, no pyarrow on the write side)
-    "warc_ingest_documents", "jsonl_zst_ingest",
-    "jsonl_spec_zstd_roundtrip",
+    # zstd JSONL shards written by the in-repo RFC 8878 encoder)
+    "warc_ingest_documents", "jsonl_spec_zstd_roundtrip",
+    # ---- past the 50-window: still curated, still oracle-gated ----
+    "cdc_debezium_roundtrip", "binlog_wire_schema_evolution",
+    "mysql_socket_txn_compressed", "binlog_txn_apply_groups",
+    "q2_min_cost_supplier", "q9_product_profit",
+    "grouping_sets_sales", "events_asof_orders",
+    "dedup_simhash_near_pairs", "ann_multiprobe",
+    "doc_fingerprint", "text_bpe_word_freq", "multimodal_meta",
+    "pii_redaction", "jsonl_zst_ingest",
 ]
 
 

@@ -700,12 +700,18 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             return self._latest_offset_gtid()
         plan = self._snap_plan()
         if plan is not None and plan.ranges:
+            # the advisory chunk index advances HERE, like the (file,
+            # pos) advisory: Spark only calls commit(N) while
+            # constructing batch N+1, so gating progress on commit
+            # deadlocks the moment latestOffset repeats itself ("no
+            # new data" -> no next batch -> no commit). Liveness comes
+            # from announcing ahead; SAFETY from the partitions()
+            # crossing-window branch — a restart whose committed start
+            # is still mid-phase gets every unserved chunk replayed no
+            # matter how far the advisory ran ahead.
             state = self._load_state()
             k = int(state.get("snap_done", 0))
             if k < len(plan.ranges):
-                # snapshot phase: advance the CHUNK index, pin the
-                # stream position at snapshot start — the change
-                # stream begins there once the phase completes
                 k2 = min(len(plan.ranges), k + self.chunks_per_trigger)
                 state["snap_done"] = k2
                 self._save_state(state)
@@ -762,8 +768,9 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
                 start.get("gtid") or {}, end.get("gtid") or {},
                 self.endpoints, int(end.get("endpoint", 0)))]
         s1 = (end or {}).get("snap")
+        s0_raw = (start or {}).get("snap")
         if s1 is not None:
-            s0 = int(start.get("snap", 0) or 0)
+            s0 = int(s0_raw or 0)
             if int(s1) > s0:
                 plan = self._snap_plan()
                 return [_SnapChunkPartition(
@@ -771,6 +778,30 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
                     plan.columns, plan.pk, plan.types or [])
                     for lo, hi in plan.ranges[s0:int(s1)]]
             return []  # snapshot-phase window already served
+        if s0_raw is not None:
+            # end carries no snap: the window crosses from snapshot
+            # phase into the stream. Serve any chunks the start index
+            # hasn't covered PLUS the stream slice — dropping either
+            # side would silently lose bootstrap rows or frames.
+            plan = self._snap_plan()
+            if plan is not None and int(s0_raw) < len(plan.ranges):
+                chunks = [_SnapChunkPartition(
+                    lo, hi, plan.table, self.bootstrap_db,
+                    plan.columns, plan.pk, plan.types or [])
+                    for lo, hi in plan.ranges[int(s0_raw):]]
+                if start.get("file") == end.get("file"):
+                    slices = [_SlicePartition(end["file"],
+                                              int(start["pos"]),
+                                              int(end["pos"]))]
+                else:  # rotation inside the crossing window
+                    slices = [
+                        _SlicePartition(start["file"],
+                                        int(start["pos"]), 1 << 62),
+                        _SlicePartition(end["file"], 4,
+                                        int(end["pos"]),
+                                        pos_bias=1 << 33),
+                    ]
+                return [*chunks, *slices]
         if start.get("file") != end.get("file"):
             # rotation boundary. The happy path drained the old file
             # before rotating, but a crash between the advisory
@@ -879,7 +910,14 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         raise last_err or ConnectionError("no reachable endpoint")
 
     def commit(self, end: dict) -> None:
-        pass
+        # bootstrap chunk progress is advisory state keyed to COMPLETED
+        # batches only — see latestOffset's snapshot branch
+        snap = (end or {}).get("snap")
+        if snap is not None and self.bootstrap_table:
+            state = self._load_state()
+            if int(snap) > int(state.get("snap_done", 0)):
+                state["snap_done"] = int(snap)
+                self._save_state(state)
 
 
 class BinlogSocketDataSource(DataSource):

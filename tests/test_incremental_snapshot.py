@@ -525,3 +525,62 @@ class TestRandomizedDifferential:
                     assert g == exp[pk], f"seed {seed} pk {pk}"
             finally:
                 srv.stop()
+
+
+class TestSnapshotOffsetDiscipline:
+    def test_crossing_window_replays_unserved_chunks(self, srv,
+                                                     tmp_path):
+        """Crash-window contract: the advisory chunk index runs ahead
+        in latestOffset (liveness — Spark only calls commit(N) while
+        constructing batch N+1, so commit-gated progress deadlocks),
+        and SAFETY comes from partitions(): a restarted query whose
+        committed start is still mid-phase while the end offset has
+        already crossed into the stream gets every unserved chunk
+        replayed alongside the stream slice."""
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            BinlogSocketStreamReader,
+            _SlicePartition,
+            _SnapChunkPartition,
+        )
+
+        _table(srv, n=30)
+        reader = BinlogSocketStreamReader({
+            "host": "127.0.0.1", "port": str(srv.port),
+            "user": srv.user, "password": srv.password,
+            "bootstrap_table": "snaptab", "bootstrap_chunk": "10",
+            "chunks_per_trigger": "2",
+            "position_file": str(tmp_path / "meta.json"),
+        })
+        o0 = reader.initialOffset()
+        assert o0["snap"] == 0
+        o1 = reader.latestOffset()
+        assert o1["snap"] == 2
+        o2 = reader.latestOffset()
+        assert o2["snap"] == 3  # 3 chunks of 10 over 30 rows
+        o3 = reader.latestOffset()
+        assert "snap" not in o3  # phase complete -> stream offsets
+        assert o3["pos"] >= o0["pos"]
+        # snapshot-phase windows replay the exact chunk slices
+        parts = reader.partitions(o1, o2)
+        assert [type(p).__name__ for p in parts] == \
+            ["_SnapChunkPartition"]
+        assert (parts[0].lo, parts[0].hi) == (19, 29)
+
+        # crossing-window recovery: a replayed window from mid-phase
+        # into the stream serves the REMAINING chunks plus the slice
+        parts = reader.partitions(
+            {"file": o0["file"], "pos": o0["pos"], "snap": 1}, o3)
+        kinds = [type(p).__name__ for p in parts]
+        assert kinds.count("_SnapChunkPartition") == 2
+        assert kinds.count("_SlicePartition") == 1
+        chunk_ranges = sorted((p.lo, p.hi) for p in parts
+                              if isinstance(p, _SnapChunkPartition))
+        assert chunk_ranges == [(9, 19), (19, 29)]
+        sl = next(p for p in parts if isinstance(p, _SlicePartition))
+        assert sl.lo == o0["pos"] and sl.hi == o3["pos"]
+
+        # commit() keeps the advisory monotonic when Spark does call
+        # it (it never regresses the announced index)
+        reader.commit({"file": o0["file"], "pos": o0["pos"],
+                       "snap": 1})
+        assert int(reader._load_state()["snap_done"]) == 3

@@ -399,7 +399,9 @@ class MySQLFixtureServer:
         return scope()
 
     def add_live_table(self, name: str, columns: list,
-                       table_id: int = 901) -> "LiveTable":
+                       table_id: int | None = None) -> "LiveTable":
+        if table_id is None:  # distinct per table, like a real server
+            table_id = 901 + len(self.tables)
         t = LiveTable(name, columns, self, table_id=table_id)
         self.tables[name] = t
         # DESC works both bare and db-qualified (mysql.rs:185 sends

@@ -557,11 +557,16 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         return rows
 
     def _snap_plan(self):
-        """The persisted bootstrap plan (None when not bootstrapping).
+        """The persisted bootstrap plan (None when not bootstrapping):
+        (plans, chunks) — one SnapshotPlan per table in the
+        comma-separated ``bootstrap_table`` list, and the FLAT chunk
+        list [(table_idx, lo, hi)] the snap offset indexes into.
         Created once at first use and pinned in the position file:
         re-deriving pk bounds after a restart would miss rows inserted
         below the original MIN (those arrive via the change stream
-        only if the plan's start position predates them)."""
+        only if the plan's start position predates them). The global
+        stream start is the FIRST table's start position — read before
+        any bounds, so it predates every chunk's watermark."""
         if not self.bootstrap_table:
             return None
         cached = getattr(self, "_snap_plan_mem", None)
@@ -573,29 +578,34 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         )
 
         state = self._load_state()
-        saved = state.get("snap_plan")
+        saved = state.get("snap_plans")
         if saved:
-            plan = SnapshotPlan(
-                table=saved["table"], columns=saved["columns"],
-                pk=saved["pk"],
-                ranges=[tuple(r) for r in saved["ranges"]],
-                start_file=saved["start_file"],
-                start_pos=saved["start_pos"], types=saved["types"])
+            plans = [SnapshotPlan(
+                table=d["table"], columns=d["columns"], pk=d["pk"],
+                ranges=[tuple(r) for r in d["ranges"]],
+                start_file=d["start_file"], start_pos=d["start_pos"],
+                types=d["types"]) for d in saved]
         else:
-            plan = plan_snapshot(self.host, self.port, self.user,
-                                 self.password, self.bootstrap_table,
-                                 self.bootstrap_chunk,
-                                 db=self.bootstrap_db)
-            state["snap_plan"] = {
-                "table": plan.table, "columns": plan.columns,
-                "pk": plan.pk, "ranges": plan.ranges,
-                "start_file": plan.start_file,
-                "start_pos": plan.start_pos, "types": plan.types}
-            state.setdefault("file", plan.start_file)
-            state.setdefault("pos", plan.start_pos)
+            tables = [t.strip()
+                      for t in self.bootstrap_table.split(",")
+                      if t.strip()]
+            plans = [plan_snapshot(self.host, self.port, self.user,
+                                   self.password, tbl,
+                                   self.bootstrap_chunk,
+                                   db=self.bootstrap_db)
+                     for tbl in tables]
+            state["snap_plans"] = [{
+                "table": p.table, "columns": p.columns, "pk": p.pk,
+                "ranges": p.ranges, "start_file": p.start_file,
+                "start_pos": p.start_pos, "types": p.types}
+                for p in plans]
+            state.setdefault("file", plans[0].start_file)
+            state.setdefault("pos", plans[0].start_pos)
             self._save_state(state)
-        self._snap_plan_mem = plan
-        return plan
+        chunks = [(ti, lo, hi) for ti, p in enumerate(plans)
+                  for lo, hi in p.ranges]
+        self._snap_plan_mem = (plans, chunks)
+        return self._snap_plan_mem
 
     def initialOffset(self) -> dict:  # noqa: N802
         if self.endpoints:
@@ -603,10 +613,11 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             # (endpoint 0 may already be dead at stream start)
             return {"endpoint": 0, "file": None, "pos": self.start_pos,
                     "gtid": {}}
-        plan = self._snap_plan()
-        if plan is not None:
-            return {"file": plan.start_file, "pos": plan.start_pos,
-                    "snap": 0}
+        snap = self._snap_plan()
+        if snap is not None:
+            plans, _chunks = snap
+            return {"file": plans[0].start_file,
+                    "pos": plans[0].start_pos, "snap": 0}
         if self._file is None:
             files = self._files()
             self._file = files[0] if files else None
@@ -698,8 +709,8 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         file boundary — positions restart per file)."""
         if self.endpoints:
             return self._latest_offset_gtid()
-        plan = self._snap_plan()
-        if plan is not None and plan.ranges:
+        snap = self._snap_plan()
+        if snap is not None and snap[1]:
             # the advisory chunk index advances HERE, like the (file,
             # pos) advisory: Spark only calls commit(N) while
             # constructing batch N+1, so gating progress on commit
@@ -709,14 +720,15 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             # crossing-window branch — a restart whose committed start
             # is still mid-phase gets every unserved chunk replayed no
             # matter how far the advisory ran ahead.
+            plans, chunks = snap
             state = self._load_state()
             k = int(state.get("snap_done", 0))
-            if k < len(plan.ranges):
-                k2 = min(len(plan.ranges), k + self.chunks_per_trigger)
+            if k < len(chunks):
+                k2 = min(len(chunks), k + self.chunks_per_trigger)
                 state["snap_done"] = k2
                 self._save_state(state)
-                return {"file": plan.start_file,
-                        "pos": plan.start_pos, "snap": k2}
+                return {"file": plans[0].start_file,
+                        "pos": plans[0].start_pos, "snap": k2}
         mem = getattr(self, "_cur", None)
         saved_file, saved_pos = self._load_cur()
         cur_file, cur = mem if mem is not None else (
@@ -767,28 +779,30 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             return [_GtidWindowPartition(
                 start.get("gtid") or {}, end.get("gtid") or {},
                 self.endpoints, int(end.get("endpoint", 0)))]
+        def _chunk_parts(seq):
+            plans, _ = self._snap_plan()
+            return [_SnapChunkPartition(
+                lo, hi, plans[ti].table, self.bootstrap_db,
+                plans[ti].columns, plans[ti].pk,
+                plans[ti].types or [])
+                for ti, lo, hi in seq]
+
         s1 = (end or {}).get("snap")
         s0_raw = (start or {}).get("snap")
         if s1 is not None:
             s0 = int(s0_raw or 0)
             if int(s1) > s0:
-                plan = self._snap_plan()
-                return [_SnapChunkPartition(
-                    lo, hi, plan.table, self.bootstrap_db,
-                    plan.columns, plan.pk, plan.types or [])
-                    for lo, hi in plan.ranges[s0:int(s1)]]
+                _plans, flat = self._snap_plan()
+                return _chunk_parts(flat[s0:int(s1)])
             return []  # snapshot-phase window already served
         if s0_raw is not None:
             # end carries no snap: the window crosses from snapshot
             # phase into the stream. Serve any chunks the start index
             # hasn't covered PLUS the stream slice — dropping either
             # side would silently lose bootstrap rows or frames.
-            plan = self._snap_plan()
-            if plan is not None and int(s0_raw) < len(plan.ranges):
-                chunks = [_SnapChunkPartition(
-                    lo, hi, plan.table, self.bootstrap_db,
-                    plan.columns, plan.pk, plan.types or [])
-                    for lo, hi in plan.ranges[int(s0_raw):]]
+            snap = self._snap_plan()
+            if snap is not None and int(s0_raw) < len(snap[1]):
+                chunks = _chunk_parts(snap[1][int(s0_raw):])
                 if start.get("file") == end.get("file"):
                     slices = [_SlicePartition(end["file"],
                                               int(start["pos"]),

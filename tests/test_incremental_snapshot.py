@@ -584,3 +584,85 @@ class TestSnapshotOffsetDiscipline:
         reader.commit({"file": o0["file"], "pos": o0["pos"],
                        "snap": 1})
         assert int(reader._load_state()["snap_done"]) == 3
+
+
+class TestMultiTableBootstrap:
+    def test_two_tables_one_stream(self, spark, srv, tmp_path):
+        """bootstrap_table accepts a comma list: both tables chunk-
+        snapshot inside one streaming query (flat chunk index across
+        tables), then the shared change stream carries both tables'
+        live writes; per-table decode+merge matches each live table."""
+        from pyspark.sql import functions as F
+
+        from ru_cdc_spark.sources.incremental_snapshot import (
+            decode_table_frames,
+        )
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            register_binlog_socket_source,
+        )
+
+        ta = _table(srv, n=25)  # registers "snaptab"
+        tb = srv.add_live_table("othertab", COLS)
+        tb.insert(*[(i, i, f"b_{i}", Decimal(i).scaleb(-4))
+                    for i in range(15)])
+        hits = {"n": 0}
+
+        def on_select(table, lo, hi):
+            hits["n"] += 1
+            ta.update((7, 7777, "wa", Decimal("7.0000")))
+            tb.delete(3)
+
+        srv.on_select = on_select
+        register_binlog_socket_source(spark)
+        out = str(tmp_path / "out")
+
+        stream = (spark.readStream.format("binlog_socket")
+                  .option("host", "127.0.0.1")
+                  .option("port", srv.port)
+                  .option("user", srv.user)
+                  .option("password", srv.password)
+                  .option("bootstrap_table", "snaptab, othertab")
+                  .option("bootstrap_chunk", 10)
+                  .option("chunks_per_trigger", 2)
+                  .option("events_per_batch", 500)
+                  .option("position_file", str(tmp_path / "meta.json"))
+                  .load())
+        q = (stream.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(processingTime="0 seconds").start())
+        import time as _time
+
+        deadline = _time.time() + 180
+        while True:
+            eo = TestStreamingBootstrap._end_offset(q)
+            p = q.lastProgress
+            if eo and "snap" not in eo and p \
+                    and p["numInputRows"] == 0 \
+                    and int(eo.get("pos") or 0) >= srv.binlog.end_pos:
+                break
+            assert _time.time() < deadline, "drain stalled"
+            _time.sleep(0.05)
+        q.stop()
+
+        frames = spark.read.schema("pos long, frame binary") \
+            .parquet(out)
+        for table, live in (("snaptab", ta), ("othertab", tb)):
+            decoded = decode_table_frames(frames, table,
+                                          ["id", "val", "name",
+                                           "amount"])
+            row = F.struct(*[F.col(c) for c in decoded.columns])
+            got = {(r["pk"], r["r"]["val"], r["r"]["name"],
+                    r["r"]["amount"])
+                   for r in (decoded
+                             .groupBy(F.col("id").cast("long")
+                                      .alias("pk"))
+                             .agg(F.max_by(row, F.col("seq"))
+                                  .alias("r"))
+                             .where(F.col("r.op") != "DELETE")
+                             .collect())}
+            exp = {(int(r[0]), str(r[1]), r[2], str(r[3]))
+                   for r in live.scan()}
+            assert got == exp, table
+        # 3 + 2 chunks -> 5 SELECTs, each fired the script once
+        assert hits["n"] == 5

@@ -117,6 +117,10 @@ AUDIT = [
      "DBLog incremental snapshot: chunk tasks + change-stream slices "
      "union into ONE hash-aggregate PK merge (max_by) — a single "
      "shuffle on the pk, no window, no sort"),
+    ("mysql_socket_bootstrap_stream",
+     "streaming bootstrap handoff: decoded frames (snapshot + live, "
+     "one wire format, one decoder) -> single PK hash merge; the "
+     "stream side is offset-log-driven, nothing here re-reads it"),
 ]
 
 

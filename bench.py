@@ -204,6 +204,70 @@ def bench_socket_ingest(spark) -> tuple[float, int]:
         srv.stop()
 
 
+BOOTSTRAP_BENCH_ROWS = 50_000
+BOOTSTRAP_BENCH_CHUNK = 2_000
+
+
+def bench_bootstrap_snapshot(spark) -> tuple[float, int]:
+    """DBLog incremental-snapshot throughput: a 50k-row live table
+    chunk-read over real TCP (25 chunks of 2k, one watermark pair +
+    window dump each, parallel executor tasks), counted. Server and
+    table build happen before the clock; min of 2 like the other
+    wire benches."""
+    import time as _time
+
+    from ru_cdc_spark.sources.binlog_wire import (
+        CHECKSUM_NONE,
+        ColSpec,
+        T_LONG,
+        T_LONGLONG,
+        T_NEWDECIMAL,
+        T_VARCHAR,
+        encode_format_description,
+    )
+    from ru_cdc_spark.sources.incremental_snapshot import (
+        plan_snapshot,
+        snapshot_chunks,
+    )
+    from ru_cdc_spark.sources.mysql_client import MySQLConnection
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+
+    vb = VirtualBinlog()
+    vb.append(encode_format_description(CHECKSUM_NONE))
+    srv = MySQLFixtureServer(binlog=vb).start()
+    try:
+        from decimal import Decimal
+
+        t = srv.add_live_table("snaptab", [
+            ("id", ColSpec(T_LONGLONG)),
+            ("val", ColSpec(T_LONG)),
+            ("name", ColSpec(T_VARCHAR, (300,))),
+            ("amount", ColSpec(T_NEWDECIMAL, (12, 4))),
+        ])
+        for base in range(0, BOOTSTRAP_BENCH_ROWS, 1000):
+            t.insert(*[(i, (i * 17) % 10000, f"n_{i % 97}",
+                        Decimal((i * 31) % 10**8).scaleb(-4))
+                       for i in range(base, base + 1000)])
+        MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
+                                srv.password).close()
+        best = float("inf")
+        n = 0
+        for _ in range(2):
+            t0 = _time.time()
+            plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                                 srv.password, "snaptab",
+                                 chunk_size=BOOTSTRAP_BENCH_CHUNK)
+            n = snapshot_chunks(spark, "127.0.0.1", srv.port,
+                                srv.user, srv.password, plan).count()
+            best = min(best, _time.time() - t0)
+        return best, n
+    finally:
+        srv.stop()
+
+
 def calibration_probe(spark) -> float:
     """Fixed tiny query (1-row scan + agg) whose wall time depends only
     on scheduler/JVM responsiveness, never on this repo's code: a
@@ -272,6 +336,8 @@ def main() -> None:
 
     sock_sec, sock_rows = bench_socket_ingest(spark)  # min-of-2 inside
 
+    boot_sec, boot_rows = bench_bootstrap_snapshot(spark)
+
     load_end = os.getloadavg()
     calib_end = min(calibration_probe(spark) for _ in range(3))
 
@@ -301,6 +367,14 @@ def main() -> None:
         "socket_ingest_rows_per_sec": round(sock_rows / sock_sec, 1),
         "socket_ingest_rows_per_sec_floor_adj": floor_adj(sock_rows,
                                                           sock_sec),
+        # round 7 addition (new key, never re-sized): DBLog chunked
+        # snapshot throughput — watermarked SELECT chunks + window
+        # dumps, parallel chunk tasks, end-to-end to counted rows
+        "bootstrap_snapshot_rows": boot_rows,
+        "bootstrap_snapshot_rows_per_sec": round(boot_rows / boot_sec,
+                                                 1),
+        "bootstrap_snapshot_rows_per_sec_floor_adj": floor_adj(
+            boot_rows, boot_sec),
         # the local-mode per-job scheduling floor (the calibration
         # no-op, measured up front) and the PINNED fixture sizes —
         # frozen at the r06 values so rows/s is round-over-round
@@ -311,6 +385,8 @@ def main() -> None:
             "txn_assembly_segments": TXN_BENCH_SEGMENTS,
             "socket_ingest_rows": SOCKET_BENCH_ROWS,
             "socket_ingest_slices": SOCKET_BENCH_SLICES,
+            "bootstrap_snapshot_rows": BOOTSTRAP_BENCH_ROWS,
+            "bootstrap_snapshot_chunk": BOOTSTRAP_BENCH_CHUNK,
         },
         # contention sentinel: external load + a fixed calibration query
         # (code-independent). calibration >> ~0.03s or loadavg >> cpus

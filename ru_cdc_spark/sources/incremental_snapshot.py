@@ -127,13 +127,25 @@ def text_to_typed(v: str | None, spec):
 
 def plan_snapshot(host: str, port: int, user: str, password: str,
                   table: str, chunk_size: int,
-                  db: str = "app") -> SnapshotPlan:
-    """Two scalar queries + DESC: never materializes a data row on the
-    driver. The start position is read BEFORE the pk bounds so no
+                  db: str = "app",
+                  keyset: bool = False) -> SnapshotPlan:
+    """Scalar queries + DESC only: never materializes a data row on
+    the driver. The start position is read BEFORE the pk bounds so no
     committed change can fall between stream start and any chunk's
-    low watermark."""
+    low watermark.
+
+    ``keyset=False`` cuts equal-WIDTH pk ranges (two scalar queries
+    total) — right for dense sequential pks. ``keyset=True`` cuts
+    equal-COUNT ranges by walking ``max(pk) of the next chunk_size
+    rows`` (Debezium's incremental-snapshot probe; index-only on a
+    real server, one scalar per chunk): on sparse or skewed pk spaces
+    (snowflake ids, tombstoned ranges) equal width degenerates into
+    millions of empty ranges or million-row chunks, while keyset
+    bounds every chunk at exactly chunk_size rows regardless of
+    density."""
     from ru_cdc_spark.sources.mysql_client import pooled_connection
 
+    ranges: list[tuple[int, int]] = []
     with pooled_connection(host, port, user, password) as conn:
         start_file, start_pos = conn.show_master_status()
         fields = conn.desc_table(db, table)
@@ -142,14 +154,29 @@ def plan_snapshot(host: str, port: int, user: str, password: str,
         pk = next(f.name for f in fields if f.is_pk)
         rs = conn.query(f"select min({pk}), max({pk}) from {table}")
         mn_s, mx_s = (rs.rows[0] if rs.rows else (None, None))
-    ranges: list[tuple[int, int]] = []
-    if mn_s is not None and mx_s is not None:
-        mn, mx = int(mn_s), int(mx_s)
-        lo = mn - 1
-        while lo < mx:
-            hi = min(lo + chunk_size, mx)
-            ranges.append((lo, hi))
-            lo = hi
+        if mn_s is not None and mx_s is not None:
+            mn, mx = int(mn_s), int(mx_s)
+            lo = mn - 1
+            if keyset:
+                while lo < mx:
+                    rs = conn.query(
+                        f"select max({pk}) from (select {pk} from "
+                        f"{table} where {pk} > {lo} order by {pk} "
+                        f"limit {chunk_size}) c")
+                    hi_s = rs.rows[0][0] if rs.rows else None
+                    if hi_s is None:
+                        break
+                    hi = int(hi_s)
+                    # rows inserted past the probe are the change
+                    # stream's job; cap at the planning-time max so
+                    # the plan stays finite under concurrent inserts
+                    ranges.append((lo, min(hi, mx)))
+                    lo = hi
+            else:
+                while lo < mx:
+                    hi = min(lo + chunk_size, mx)
+                    ranges.append((lo, hi))
+                    lo = hi
     return SnapshotPlan(table=table, columns=columns, pk=pk,
                         ranges=ranges, start_file=start_file,
                         start_pos=start_pos, types=types)

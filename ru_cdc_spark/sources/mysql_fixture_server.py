@@ -414,11 +414,31 @@ class MySQLFixtureServer:
         r"select\s+(.+?)\s+from\s+([\w.]+)"
         r"(?:\s+where\s+(\w+)\s*>\s*(-?\d+)\s+and\s+\3\s*<=\s*(-?\d+))?"
         r"(?:\s+order\s+by\s+\w+)?$")
+    # the keyset chunk-bound probe a density-adaptive snapshot planner
+    # issues (Debezium incremental-snapshot form): the max pk of the
+    # next N rows past a bound — index-only on a real server
+    _SELECT_KEYSET = re.compile(
+        r"select\s+max\((\w+)\)\s+from\s+\(select\s+\1\s+from\s+"
+        r"([\w.]+)\s+where\s+\1\s*>\s*(-?\d+)\s+order\s+by\s+\1"
+        r"\s+limit\s+(\d+)\)\s*\w*$")
 
     def _select(self, io: PacketIO, q: str) -> bool:
         """Serve SELECT over a live table: the chunk-range and MIN/MAX
         forms an incremental snapshotter issues. Returns False if the
         query is not against a live table (caller falls through)."""
+        km = self._SELECT_KEYSET.match(q)
+        if km:
+            pk_col, target, lo_s, lim_s = km.groups()
+            t = self.tables.get(target.split(".")[-1])
+            if t is None:
+                return False
+            with self._mu:
+                pks = sorted(k for k in t.rows if k > int(lo_s))
+            nxt = pks[:int(lim_s)]
+            self._send_result_set(
+                io, [f"max({pk_col})"],
+                [[str(nxt[-1]) if nxt else None]])
+            return True
         m = self._SELECT_RANGE.match(q)
         if not m:
             return False

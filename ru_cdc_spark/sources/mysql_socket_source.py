@@ -451,6 +451,10 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         self.bootstrap_table = options.get("bootstrap_table")
         self.bootstrap_db = options.get("bootstrap_db", "app")
         self.bootstrap_chunk = int(options.get("bootstrap_chunk", 256))
+        # equal-COUNT chunk bounds via the keyset probe — the right
+        # planner for sparse/skewed pk spaces (snowflake ids)
+        self.bootstrap_keyset = str(options.get(
+            "bootstrap_keyset", "false")).lower() == "true"
         self.chunks_per_trigger = int(
             options.get("chunks_per_trigger", 4))
         if self.bootstrap_table:
@@ -592,7 +596,8 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             plans = [plan_snapshot(self.host, self.port, self.user,
                                    self.password, tbl,
                                    self.bootstrap_chunk,
-                                   db=self.bootstrap_db)
+                                   db=self.bootstrap_db,
+                                   keyset=self.bootstrap_keyset)
                      for tbl in tables]
             state["snap_plans"] = [{
                 "table": p.table, "columns": p.columns, "pk": p.pk,

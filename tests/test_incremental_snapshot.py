@@ -666,3 +666,92 @@ class TestMultiTableBootstrap:
             assert got == exp, table
         # 3 + 2 chunks -> 5 SELECTs, each fired the script once
         assert hits["n"] == 5
+
+
+class TestKeysetPlanning:
+    def test_sparse_pk_space_gets_equal_count_chunks(self, srv):
+        """Snowflake-style sparse pks: equal-WIDTH ranges degenerate
+        (most are empty, one holds everything); keyset bounds every
+        chunk at chunk_size rows regardless of density."""
+        t = srv.add_live_table("snaptab", COLS)
+        ids = ([i for i in range(10)]
+               + [1_000_000 + 7 * i for i in range(30)]
+               + [2_000_000_000 + i for i in range(20)])
+        t.insert(*[(i, (i * 7) % 10000, f"n_{i % 97}",
+                    Decimal((i * 11) % 10**7).scaleb(-4))
+                   for i in ids])
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10,
+                             keyset=True)
+        assert len(plan.ranges) == 6  # 60 rows / 10 per chunk
+        # contiguous cover of the pk space, ending at max
+        assert plan.ranges[0][0] == ids[0] - 1
+        for (l0, h0), (l1, _h1) in zip(plan.ranges, plan.ranges[1:]):
+            assert l1 == h0
+        assert plan.ranges[-1][1] == max(ids)
+        # every chunk holds exactly chunk_size rows
+        for lo, hi in plan.ranges:
+            rows, _ = read_chunk("127.0.0.1", srv.port, srv.user,
+                                 srv.password, plan, lo, hi)
+            assert len(rows) == 10
+
+    def test_keyset_equals_width_on_dense_pks(self, srv):
+        _table(srv)  # ids 0..29 dense
+        kw = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                           srv.password, "snaptab", chunk_size=10,
+                           keyset=True)
+        eq = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                           srv.password, "snaptab", chunk_size=10)
+        assert kw.ranges == eq.ranges
+
+    def test_streaming_bootstrap_keyset_option(self, spark, srv,
+                                               tmp_path):
+        """End-to-end with bootstrap_keyset=true over a sparse table:
+        decoded output equals the table."""
+        from pyspark.sql import functions as F
+
+        from ru_cdc_spark.sources.incremental_snapshot import (
+            decode_table_frames,
+        )
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            register_binlog_socket_source,
+        )
+
+        t = srv.add_live_table("snaptab", COLS)
+        ids = [5 * i * i for i in range(1, 41)]  # quadratic gaps
+        t.insert(*[_row(i) for i in ids])
+        register_binlog_socket_source(spark)
+        out = str(tmp_path / "out")
+        stream = (spark.readStream.format("binlog_socket")
+                  .option("host", "127.0.0.1")
+                  .option("port", srv.port)
+                  .option("user", srv.user)
+                  .option("password", srv.password)
+                  .option("bootstrap_table", "snaptab")
+                  .option("bootstrap_chunk", 8)
+                  .option("bootstrap_keyset", "true")
+                  .option("chunks_per_trigger", 3)
+                  .option("position_file", str(tmp_path / "meta.json"))
+                  .load())
+        q = (stream.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(processingTime="0 seconds").start())
+        import time as _time
+
+        deadline = _time.time() + 120
+        while True:
+            eo = TestStreamingBootstrap._end_offset(q)
+            p_ = q.lastProgress
+            if eo and "snap" not in eo and p_ \
+                    and p_["numInputRows"] == 0:
+                break
+            assert _time.time() < deadline, "drain stalled"
+            _time.sleep(0.05)
+        q.stop()
+
+        decoded = decode_table_frames(
+            spark.read.schema("pos long, frame binary").parquet(out),
+            "snaptab", ["id", "val", "name", "amount"])
+        got = sorted(int(r["id"]) for r in decoded.collect())
+        assert got == sorted(ids)

@@ -715,6 +715,7 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         if self.endpoints:
             return self._latest_offset_gtid()
         snap = self._snap_plan()
+        snap_key = None
         if snap is not None and snap[1]:
             # the advisory chunk index advances HERE, like the (file,
             # pos) advisory: Spark only calls commit(N) while
@@ -725,15 +726,23 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             # crossing-window branch — a restart whose committed start
             # is still mid-phase gets every unserved chunk replayed no
             # matter how far the advisory ran ahead.
-            plans, chunks = snap
+            #
+            # Chunks INTERLEAVE with stream windows (Debezium's
+            # incremental-snapshot shape): each trigger carries up to
+            # chunks_per_trigger chunks AND the usual bounded slice of
+            # live binlog, so the change stream never stalls behind a
+            # long bootstrap (a week-long 10 TB snapshot must not race
+            # binlog retention). The merge is interleaving-independent
+            # — chunk rows version at their own low watermarks — so
+            # delivery order between chunks and frames is free.
+            _plans, chunks = snap
             state = self._load_state()
             k = int(state.get("snap_done", 0))
             if k < len(chunks):
                 k2 = min(len(chunks), k + self.chunks_per_trigger)
                 state["snap_done"] = k2
                 self._save_state(state)
-                return {"file": plans[0].start_file,
-                        "pos": plans[0].start_pos, "snap": k2}
+                snap_key = k2
         mem = getattr(self, "_cur", None)
         saved_file, saved_pos = self._load_cur()
         cur_file, cur = mem if mem is not None else (
@@ -776,6 +785,9 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         new_pos = max(cur, new_pos)
         self._cur = (cur_file, new_pos)
         self._save_cur(cur_file, new_pos)
+        if snap_key is not None:
+            return {"file": cur_file, "pos": new_pos,
+                    "snap": snap_key}
         return {"file": cur_file, "pos": new_pos}
 
     def partitions(self, start: dict, end: dict
@@ -792,14 +804,28 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
                 plans[ti].types or [])
                 for ti, lo, hi in seq]
 
+        def _slice_parts():
+            if int(start.get("pos") or 0) >= int(end.get("pos") or 0) \
+                    and start.get("file") == end.get("file"):
+                return []
+            if start.get("file") == end.get("file"):
+                return [_SlicePartition(end["file"],
+                                        int(start["pos"]),
+                                        int(end["pos"]))]
+            return [
+                _SlicePartition(start["file"], int(start["pos"]),
+                                1 << 62),
+                _SlicePartition(end["file"], 4, int(end["pos"]),
+                                pos_bias=1 << 33),
+            ]
+
         s1 = (end or {}).get("snap")
         s0_raw = (start or {}).get("snap")
         if s1 is not None:
+            # interleaved window: chunk deltas AND the live slice
             s0 = int(s0_raw or 0)
-            if int(s1) > s0:
-                _plans, flat = self._snap_plan()
-                return _chunk_parts(flat[s0:int(s1)])
-            return []  # snapshot-phase window already served
+            _plans, flat = self._snap_plan()
+            return [*_chunk_parts(flat[s0:int(s1)]), *_slice_parts()]
         if s0_raw is not None:
             # end carries no snap: the window crosses from snapshot
             # phase into the stream. Serve any chunks the start index
@@ -807,20 +833,8 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             # side would silently lose bootstrap rows or frames.
             snap = self._snap_plan()
             if snap is not None and int(s0_raw) < len(snap[1]):
-                chunks = _chunk_parts(snap[1][int(s0_raw):])
-                if start.get("file") == end.get("file"):
-                    slices = [_SlicePartition(end["file"],
-                                              int(start["pos"]),
-                                              int(end["pos"]))]
-                else:  # rotation inside the crossing window
-                    slices = [
-                        _SlicePartition(start["file"],
-                                        int(start["pos"]), 1 << 62),
-                        _SlicePartition(end["file"], 4,
-                                        int(end["pos"]),
-                                        pos_bias=1 << 33),
-                    ]
-                return [*chunks, *slices]
+                return [*_chunk_parts(snap[1][int(s0_raw):]),
+                        *_slice_parts()]
         if start.get("file") != end.get("file"):
             # rotation boundary. The happy path drained the old file
             # before rotating, but a crash between the advisory

@@ -568,6 +568,8 @@ class TestSnapshotOffsetDiscipline:
 
         # crossing-window recovery: a replayed window from mid-phase
         # into the stream serves the REMAINING chunks plus the slice
+        # (end position grown past start, as live writes would)
+        o3 = {"file": o3["file"], "pos": o3["pos"] + 100}
         parts = reader.partitions(
             {"file": o0["file"], "pos": o0["pos"], "snap": 1}, o3)
         kinds = [type(p).__name__ for p in parts]

@@ -26,6 +26,22 @@ def main(argv: list[str] | None = None) -> int:
     check = sub.add_parser("check", help="run the DuckDB-oracle correctness gate")
     check.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
 
+    snap = sub.add_parser(
+        "snapshot",
+        help="resumable DBLog-style incremental snapshot of a live "
+             "table (chunked, watermark-deduped, re-runnable: "
+             "completed chunks are skipped)")
+    snap.add_argument("host")
+    snap.add_argument("port", type=int)
+    snap.add_argument("table")
+    snap.add_argument("out_dir")
+    snap.add_argument("--user", default="repl")
+    snap.add_argument("--password", default="replpass")
+    snap.add_argument("--db", default="app")
+    snap.add_argument("--chunk", type=int, default=10_000)
+    snap.add_argument("--keyset", action="store_true",
+                      help="equal-count chunk bounds (sparse pks)")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "gen-config":
@@ -48,6 +64,26 @@ def main(argv: list[str] | None = None) -> int:
             query.awaitTermination()
         else:  # run until interrupted
             spark.streams.awaitAnyTermination()
+        return 0
+
+    if args.cmd == "snapshot":
+        from ru_cdc_spark.session import get_spark
+        from ru_cdc_spark.sources.incremental_snapshot import (
+            plan_snapshot,
+            run_snapshot_resumable,
+        )
+
+        spark = get_spark("ru_cdc_spark_snapshot")
+        plan = plan_snapshot(args.host, args.port, args.user,
+                             args.password, args.table, args.chunk,
+                             db=args.db, keyset=args.keyset)
+        df = run_snapshot_resumable(spark, args.host, args.port,
+                                    args.user, args.password, plan,
+                                    args.out_dir)
+        n = df.count()
+        print(f"snapshot of {args.table}: {n} rows across "
+              f"{len(plan.ranges)} chunks -> {args.out_dir} "
+              f"(stream from {plan.start_file}:{plan.start_pos})")
         return 0
 
     if args.cmd == "check":

@@ -757,3 +757,26 @@ class TestKeysetPlanning:
             "snaptab", ["id", "val", "name", "amount"])
         got = sorted(int(r["id"]) for r in decoded.collect())
         assert got == sorted(ids)
+
+
+class TestCli:
+    def test_snapshot_subcommand(self, spark, srv, tmp_path, capsys):
+        """python -m ru_cdc_spark snapshot — CLI parity for the new
+        capability; re-invocation is a resume (no re-reads)."""
+        from ru_cdc_spark.__main__ import main
+
+        _table(srv)
+        out = str(tmp_path / "snapcli")
+        rc = main(["snapshot", "127.0.0.1", str(srv.port), "snaptab",
+                   out, "--user", srv.user, "--password", srv.password,
+                   "--chunk", "10"])
+        assert rc == 0
+        msg = capsys.readouterr().out
+        assert "30 rows across 3 chunks" in msg
+        n_sel = sum("where id >" in c for c in srv.command_log)
+        rc = main(["snapshot", "127.0.0.1", str(srv.port), "snaptab",
+                   out, "--user", srv.user, "--password", srv.password,
+                   "--chunk", "10"])
+        assert rc == 0
+        assert sum("where id >" in c
+                   for c in srv.command_log) == n_sel  # resume: no-op

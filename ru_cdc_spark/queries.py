@@ -3228,8 +3228,12 @@ def mysql_incremental_snapshot(spark: SparkSession,
                          chunk_size=_SNAP_CHUNK)
     # eager: the chunk tasks run NOW, firing the scripted writer; the
     # checkpoint also freezes the surviving rows so downstream jobs
-    # never re-trigger the script
-    snap = snapshot_chunks(spark, host, port, user, pw, plan) \
+    # never re-trigger the script. Chunk reads go through the BINARY
+    # protocol (COM_STMT_PREPARE/EXECUTE) — what production
+    # snapshotters send — putting the prepared-statement wire under
+    # the same DuckDB hash gate as everything else.
+    snap = snapshot_chunks(spark, host, port, user, pw, plan,
+                           binary_protocol=True) \
         .localCheckpoint()
     script.finish()  # whatever batches no SELECT triggered
     changes = snapshot_changes(spark, host, port, user, pw, plan)

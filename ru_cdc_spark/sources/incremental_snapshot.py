@@ -220,19 +220,37 @@ def _window_touched_pks(events: list[tuple[int, bytes]], table: str,
 
 
 def read_chunk(host: str, port: int, user: str, password: str,
-               plan: SnapshotPlan, lo: int, hi: int
+               plan: SnapshotPlan, lo: int, hi: int,
+               binary_protocol: bool = False
                ) -> tuple[list[list[str | None]], int]:
     """One chunk: watermark, SELECT, watermark, window-dedup. Returns
-    (surviving text rows in DESC column order, low watermark)."""
+    (surviving text rows in DESC column order, low watermark).
+
+    ``binary_protocol=True`` issues the chunk read as a prepared
+    statement (COM_STMT_PREPARE/EXECUTE, binary resultset rows) — what
+    production snapshotters actually send; values are normalized back
+    to the text-protocol strings so both transports hash identically."""
     from ru_cdc_spark.sources.mysql_client import MySQLConnection
 
     cols_sql = ", ".join(plan.columns)
     with MySQLConnection.connect(host, port, user, password) as conn:
         file_l, pos_l = conn.show_master_status()
-        rs = conn.query(
-            f"select {cols_sql} from {plan.table} "
-            f"where {plan.pk} > {lo} and {plan.pk} <= {hi} "
-            f"order by {plan.pk}")
+        if binary_protocol:
+            stmt = conn.stmt_prepare(
+                f"select {cols_sql} from {plan.table} "
+                f"where {plan.pk} > ? and {plan.pk} <= ? "
+                f"order by {plan.pk}")
+            raw = conn.stmt_execute(stmt, (lo, hi))
+            conn.stmt_close(stmt)
+
+            class rs:  # noqa: N801 — text-shape adapter
+                rows = [[None if v is None else str(v) for v in r]
+                        for r in raw]
+        else:
+            rs = conn.query(
+                f"select {cols_sql} from {plan.table} "
+                f"where {plan.pk} > {lo} and {plan.pk} <= {hi} "
+                f"order by {plan.pk}")
         _file_h, pos_h = conn.show_master_status()
     touched: set[int] = set()
     if pos_h > pos_l:
@@ -280,8 +298,8 @@ def chunk_as_frames(host: str, port: int, user: str, password: str,
 
 
 def snapshot_chunks(spark: SparkSession, host: str, port: int,
-                    user: str, password: str, plan: SnapshotPlan
-                    ) -> DataFrame:
+                    user: str, password: str, plan: SnapshotPlan,
+                    binary_protocol: bool = False) -> DataFrame:
     """The distributed chunk phase: one executor task per chunk range,
     each dialing its own connections (the driver ships only the plan's
     (lo, hi] scalars). Output columns are the MySQL text-protocol
@@ -301,7 +319,8 @@ def snapshot_chunks(spark: SparkSession, host: str, port: int,
                 out[c] = []
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
                 rows, pos_l = read_chunk(host, port, user, password,
-                                         plan, int(lo), int(hi))
+                                         plan, int(lo), int(hi),
+                                         binary_protocol=binary_protocol)
                 for r in rows:
                     out["seq"].append(pos_l)
                     for c, v in zip(plan.columns, r):

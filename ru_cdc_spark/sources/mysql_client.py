@@ -760,6 +760,7 @@ TYPE_LONG = 0x03
 TYPE_DOUBLE = 0x05
 TYPE_NULL = 0x06
 TYPE_LONGLONG = 0x08
+TYPE_NEWDECIMAL = 0xF6
 TYPE_VAR_STRING = 0xFD
 
 
@@ -774,7 +775,9 @@ def encode_binary_value(ty: int, v) -> bytes:
         return struct.pack("<q", int(v))
     if ty == TYPE_DOUBLE:
         return struct.pack("<d", float(v))
-    if ty == TYPE_VAR_STRING:
+    if ty in (TYPE_VAR_STRING, TYPE_NEWDECIMAL):
+        # DECIMAL rides the binary protocol as a lenenc STRING (the
+        # published rule — exactness is the point, never a float)
         b = v if isinstance(v, bytes) else str(v).encode()
         return write_lenenc_bytes(b)
     raise ValueError(f"unsupported binary type 0x{ty:02x}")
@@ -789,7 +792,7 @@ def decode_binary_value(ty: int, b: bytes, off: int):
         return struct.unpack_from("<q", b, off)[0], off + 8
     if ty == TYPE_DOUBLE:
         return struct.unpack_from("<d", b, off)[0], off + 8
-    if ty == TYPE_VAR_STRING:
+    if ty in (TYPE_VAR_STRING, TYPE_NEWDECIMAL):
         s, off = read_lenenc_bytes(b, off)
         return s.decode("utf-8", "replace"), off
     raise ValueError(f"unsupported binary type 0x{ty:02x}")
@@ -1061,6 +1064,77 @@ class MySQLConnection:
                 break
             rows.append(decode_text_row(pkt, n_cols))
         return TextResultSet(col_defs, rows)
+
+    # -- binary protocol (prepared statements) ----------------------------
+
+    def stmt_prepare(self, sql: str) -> PreparedStatement:
+        """COM_STMT_PREPARE -> PreparedStatement. Response layout
+        (published): status 0x00, stmt_id u32, num_columns u16,
+        num_params u16, filler, warning_count u16; then the param and
+        column definition blocks (no EOF packets — DEPRECATE_EOF)."""
+        self._command(bytes([COM_STMT_PREPARE]) + sql.encode())
+        first = self._read_or_raise()
+        stmt_id = int.from_bytes(first[1:5], "little")
+        n_cols = int.from_bytes(first[5:7], "little")
+        n_params = int.from_bytes(first[7:9], "little")
+        for _ in range(n_params):
+            self._read_or_raise()  # param definitions (placeholders)
+        col_defs = [decode_col_def(self._read_or_raise())
+                    for _ in range(n_cols)]
+        return PreparedStatement(stmt_id, n_params, col_defs)
+
+    def stmt_execute(self, stmt: PreparedStatement,
+                     params: tuple = ()) -> list[list]:
+        """COM_STMT_EXECUTE -> typed rows from a Binary Protocol
+        Resultset (NULL bitmap offset 2, values per the result's
+        declared column types). Integer params ship as LONGLONG,
+        None as NULL (in the param bitmap), everything else as
+        VAR_STRING — the classic client binding rule."""
+        p = bytearray([COM_STMT_EXECUTE])
+        p += stmt.stmt_id.to_bytes(4, "little")
+        p += b"\x00"  # CURSOR_TYPE_NO_CURSOR
+        p += (1).to_bytes(4, "little")  # iteration count, always 1
+        if stmt.n_params:
+            if len(params) != stmt.n_params:
+                raise ValueError(
+                    f"statement takes {stmt.n_params} params, "
+                    f"got {len(params)}")
+            null_bm = bytearray((stmt.n_params + 7) // 8)
+            types = bytearray()
+            vals = bytearray()
+            for i, v in enumerate(params):
+                if v is None:
+                    null_bm[i // 8] |= 1 << (i % 8)
+                    types += bytes([TYPE_NULL, 0])
+                elif isinstance(v, int):
+                    types += bytes([TYPE_LONGLONG, 0])
+                    vals += encode_binary_value(TYPE_LONGLONG, v)
+                else:
+                    types += bytes([TYPE_VAR_STRING, 0])
+                    vals += encode_binary_value(TYPE_VAR_STRING, v)
+            p += bytes(null_bm) + b"\x01" + bytes(types) + bytes(vals)
+        self._command(bytes(p))
+        first = self._read_or_raise()
+        if first[:1] == b"\x00":  # OK — no result set
+            return []
+        n_cols, _ = read_lenenc_int(first, 0)
+        col_defs = [decode_col_def(self._read_or_raise())
+                    for _ in range(n_cols)]
+        col_types = [c.ty for c in col_defs]
+        rows: list[list] = []
+        while True:
+            pkt = self._read_or_raise()
+            if is_eof_packet(pkt):
+                break
+            rows.append(decode_binary_row(pkt, col_types))
+        return rows
+
+    def stmt_close(self, stmt: PreparedStatement) -> None:
+        """COM_STMT_CLOSE — fire and forget (no server response)."""
+        self.io.reset_seq()
+        self.io.write_packet(
+            bytes([COM_STMT_CLOSE])
+            + stmt.stmt_id.to_bytes(4, "little"), seq=0)
 
     # -- catalog helpers (S5/S8 parity) ------------------------------------
 

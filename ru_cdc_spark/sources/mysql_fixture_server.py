@@ -41,6 +41,9 @@ from ru_cdc_spark.sources.mysql_client import (
     NATIVE_PASSWORD_PLUGIN,
     COM_BINLOG_DUMP,
     COM_BINLOG_DUMP_GTID,
+    COM_STMT_CLOSE,
+    COM_STMT_EXECUTE,
+    COM_STMT_PREPARE,
     decode_com_binlog_dump_gtid,
     gtid_in_set,
     COM_PING,
@@ -422,34 +425,38 @@ class MySQLFixtureServer:
         r"([\w.]+)\s+where\s+\1\s*>\s*(-?\d+)\s+order\s+by\s+\1"
         r"\s+limit\s+(\d+)\)\s*\w*$")
 
-    def _select(self, io: PacketIO, q: str) -> bool:
-        """Serve SELECT over a live table: the chunk-range and MIN/MAX
-        forms an incremental snapshotter issues. Returns False if the
-        query is not against a live table (caller falls through)."""
+    # wire ColSpec type codes -> binary-protocol result types (same
+    # numbering space; VARCHAR is declared VAR_STRING in result sets)
+    _BIN_TYPES = {15: 0xFD}
+
+    def _select_compute(self, q: str, fire_hook: bool = True):
+        """(names, TYPED rows, binary type codes) for a live-table
+        SELECT, or None when the query doesn't target one. Shared by
+        the text path (stringifies) and the prepared-statement path
+        (binary rows keep the types)."""
         km = self._SELECT_KEYSET.match(q)
         if km:
             pk_col, target, lo_s, lim_s = km.groups()
             t = self.tables.get(target.split(".")[-1])
             if t is None:
-                return False
+                return None
             with self._mu:
                 pks = sorted(k for k in t.rows if k > int(lo_s))
             nxt = pks[:int(lim_s)]
-            self._send_result_set(
-                io, [f"max({pk_col})"],
-                [[str(nxt[-1]) if nxt else None]])
-            return True
+            return ([f"max({pk_col})"],
+                    [[nxt[-1] if nxt else None]], [8])
         m = self._SELECT_RANGE.match(q)
         if not m:
-            return False
+            return None
         cols_sql, target, _pk, lo_s, hi_s = m.groups()
         t = self.tables.get(target.split(".")[-1])
         if t is None:
-            return False
+            return None
         lo = int(lo_s) if lo_s is not None else None
         hi = int(hi_s) if hi_s is not None else None
         with self._mu:
-            if self.on_select is not None and lo_s is not None:
+            if self.on_select is not None and lo_s is not None \
+                    and fire_hook:
                 # scripted concurrent writer: lands in the binlog
                 # BEFORE the result set, i.e. inside the [low, high]
                 # watermark window the client reads around this SELECT
@@ -458,20 +465,131 @@ class MySQLFixtureServer:
         agg = re.match(r"min\((\w+)\)\s*,\s*max\(\1\)", cols_sql)
         if agg:
             pks = [int(r[0]) for r in rows]
-            out = [[str(min(pks)) if pks else None,
-                    str(max(pks)) if pks else None]]
-            self._send_result_set(io, [f"min({agg.group(1)})",
-                                       f"max({agg.group(1)})"], out)
-            return True
+            return ([f"min({agg.group(1)})", f"max({agg.group(1)})"],
+                    [[min(pks) if pks else None,
+                      max(pks) if pks else None]], [8, 8])
         if cols_sql.strip() == "*":
             names = t.col_names
         else:
             names = [c.strip() for c in cols_sql.split(",")]
         idx = [t.col_names.index(n) for n in names]
-        out = [[None if r[i] is None else str(r[i]) for i in idx]
-               for r in rows]
-        self._send_result_set(io, names, out)
+        out = [[r[i] for i in idx] for r in rows]
+        types = [self._BIN_TYPES.get(t.specs[i].type_code,
+                                     t.specs[i].type_code)
+                 for i in idx]
+        return names, out, types
+
+    def _select(self, io: PacketIO, q: str) -> bool:
+        """Serve SELECT over a live table: the chunk-range, MIN/MAX
+        and keyset-probe forms an incremental snapshotter issues.
+        Returns False if the query is not against a live table (caller
+        falls through)."""
+        got = self._select_compute(q)
+        if got is None:
+            return False
+        names, rows, _types = got
+        self._send_result_set(
+            io, names,
+            [[None if v is None else str(v) for v in r] for r in rows])
         return True
+
+    def _send_binary_result_set(self, io: PacketIO, names: list[str],
+                                rows: list[list],
+                                bin_types: list[int]) -> None:
+        """Binary Protocol Resultset (DEPRECATE_EOF shape): count,
+        typed col defs, binary rows (NULL bitmap offset 2), OK-as-EOF."""
+        from ru_cdc_spark.sources.mysql_client import encode_binary_row
+
+        seq = 1
+        out = bytearray(encode_packet(seq, write_lenenc_int(len(names))))
+        for name, ty in zip(names, bin_types):
+            seq += 1
+            out += encode_packet(seq, encode_col_def(
+                ColDef(name=name, ty=ty)))
+        for row in rows:
+            seq += 1
+            out += encode_packet(seq, encode_binary_row(row, bin_types))
+        out += encode_packet(seq + 1, encode_ok(header=0xFE))
+        io.sock.sendall(bytes(out))
+        io.seq = (seq + 2) & 0xFF
+
+    def _handle_stmt_prepare(self, io: PacketIO, sql: str,
+                             stmts: dict) -> None:
+        """COM_STMT_PREPARE: learn the result metadata by binding
+        placeholder zeros (a real server resolves result columns at
+        prepare time too) and register the statement template."""
+        q = sql.strip().rstrip(";").lower()
+        self.command_log.append(f"prepare:{q}")
+        n_params = q.count("?")
+        probe = q.replace("?", "0")
+        # metadata-only: the scripted-writer hook must not fire here
+        got = self._select_compute(probe, fire_hook=False)
+        names, bin_types = (got[0], got[2]) if got else ([], [])
+        stmt_id = len(stmts) + 1
+        stmts[stmt_id] = (q, n_params)
+        head = (b"\x00" + stmt_id.to_bytes(4, "little")
+                + len(names).to_bytes(2, "little")
+                + n_params.to_bytes(2, "little")
+                + b"\x00" + (0).to_bytes(2, "little"))
+        seq = 1
+        out = bytearray(encode_packet(seq, head))
+        for _ in range(n_params):
+            seq += 1
+            out += encode_packet(seq, encode_col_def(ColDef(name="?")))
+        for name, ty in zip(names, bin_types):
+            seq += 1
+            out += encode_packet(seq, encode_col_def(
+                ColDef(name=name, ty=ty)))
+        io.sock.sendall(bytes(out))
+        io.seq = (seq + 1) & 0xFF
+
+    def _handle_stmt_execute(self, io: PacketIO, pkt: bytes,
+                             stmts: dict) -> None:
+        """COM_STMT_EXECUTE: decode the bound params (null bitmap +
+        types-on-first-bind + binary values), substitute into the
+        template, and serve a BINARY result set."""
+        from ru_cdc_spark.sources.mysql_client import (
+            decode_binary_value,
+        )
+
+        stmt_id = int.from_bytes(pkt[1:5], "little")
+        if stmt_id not in stmts:
+            io.write_packet(
+                encode_err(1243, "Unknown prepared statement handler"),
+                seq=1)
+            return
+        sql, n_params = stmts[stmt_id]
+        params: list = []
+        if n_params:
+            off = 10  # cmd(1) + id(4) + flags(1) + iter(4)
+            bm_len = (n_params + 7) // 8
+            null_bm = pkt[off:off + bm_len]
+            off += bm_len
+            bound = pkt[off]
+            off += 1
+            if not bound:
+                io.write_packet(
+                    encode_err(1210, "parameters not bound"), seq=1)
+                return
+            ptypes = [pkt[off + 2 * i] for i in range(n_params)]
+            off += 2 * n_params
+            for i in range(n_params):
+                if null_bm[i // 8] & (1 << (i % 8)):
+                    params.append(None)
+                    continue
+                v, off = decode_binary_value(ptypes[i], pkt, off)
+                params.append(v)
+        parts = sql.split("?")
+        concrete = parts[0]
+        for part, v in zip(parts[1:], params):
+            concrete += ("null" if v is None else str(v)) + part
+        self.command_log.append(concrete)
+        got = self._select_compute(concrete)
+        if got is None:
+            io.write_packet(encode_ok(), seq=1)
+            return
+        names, rows, bin_types = got
+        self._send_binary_result_set(io, names, rows, bin_types)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -520,6 +638,7 @@ class MySQLFixtureServer:
         try:
             if not self._handshake(io):
                 return
+            stmts: dict[int, tuple[str, int]] = {}  # per-connection
             # compressed framing (zlib --compress / 8.0.18+ zstd)
             # starts with the first post-auth command, exactly when the
             # client switches; handshake+auth stay uncompressed
@@ -548,6 +667,14 @@ class MySQLFixtureServer:
                     io.write_packet(encode_ok(), seq=1)
                 elif cmd == COM_QUERY:
                     self._handle_query(io, pkt[1:].decode("utf-8", "replace"))
+                elif cmd == COM_STMT_PREPARE:
+                    self._handle_stmt_prepare(
+                        io, pkt[1:].decode("utf-8", "replace"), stmts)
+                elif cmd == COM_STMT_EXECUTE:
+                    self._handle_stmt_execute(io, pkt, stmts)
+                elif cmd == COM_STMT_CLOSE:
+                    stmts.pop(int.from_bytes(pkt[1:5], "little"), None)
+                    # no response — the published fire-and-forget rule
                 elif cmd == COM_BINLOG_DUMP:
                     self._handle_dump(io, pkt)
                 elif cmd == COM_BINLOG_DUMP_GTID:

@@ -348,7 +348,10 @@ def run_snapshot_resumable(spark: SparkSession, host: str, port: int,
     listing; the interrupted-and-resumed output is BYTE-identical in
     content to a single uninterrupted run because every chunk re-read
     would produce the same surviving rows or lose only to strictly
-    newer change events in the merge."""
+    newer change events in the merge. ``out_dir`` must live on a
+    filesystem with atomic directory rename (local/NFS/HDFS — not raw
+    S3; there, stage to HDFS or rely on the streaming bootstrap, whose
+    chunk state rides Spark's offset log instead of renames)."""
     import json
     import os
 

@@ -330,3 +330,59 @@ class TestZstdCompression:
         out = decode_record_batches(batch)
         assert out[0]["crc_ok"]
         assert [v for _, _, v in out[0]["records"]] == [v for _, v in recs]
+
+
+class _FragmentedSock:
+    """recv returns deterministically tiny fragments — the torn-TCP
+    adversary for the 4-byte length-prefixed Kafka framing."""
+
+    def __init__(self, data: bytes, sizes) -> None:
+        self._data, self._off, self._sizes = data, 0, sizes
+        self.sent = bytearray()
+
+    def recv(self, want: int) -> bytes:
+        if self._off >= len(self._data):
+            return b""
+        n = max(1, min(next(self._sizes), want,
+                       len(self._data) - self._off))
+        out = self._data[self._off:self._off + n]
+        self._off += n
+        return out
+
+    def sendall(self, b: bytes) -> None:
+        self.sent += b
+
+
+class TestKafkaFramingFragmentation:
+    def _canned_response(self, corr: int) -> bytes:
+        import struct as _s
+
+        body = _s.pack(">ih", corr, 0)  # corr + error_code 0
+        return _s.pack(">i", len(body)) + body
+
+    def test_one_byte_recv_reassembles(self):
+        import itertools
+
+        from ru_cdc_spark.sources.kafka_wire import KafkaWireClient
+
+        c = KafkaWireClient.__new__(KafkaWireClient)
+        c.client_id = "t"
+        c._corr = 0
+        c.sock = _FragmentedSock(self._canned_response(1),
+                                 itertools.repeat(1))
+        r = c._request(18, 0, b"")  # ApiVersions header shape
+        assert r.i16() == 0
+
+    def test_broker_close_mid_frame_raises(self):
+        import itertools
+
+        from ru_cdc_spark.sources.kafka_wire import KafkaWireClient
+
+        c = KafkaWireClient.__new__(KafkaWireClient)
+        c.client_id = "t"
+        c._corr = 0
+        c.sock = _FragmentedSock(self._canned_response(1)[:5],
+                                 itertools.repeat(2))
+        import pytest as _pytest
+        with _pytest.raises(ConnectionError):
+            c._request(18, 0, b"")

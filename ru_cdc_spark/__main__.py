@@ -73,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
             run_snapshot_resumable,
         )
 
+        import json as _json
+        import os as _os
+
         spark = get_spark("ru_cdc_spark_snapshot")
         plan = plan_snapshot(args.host, args.port, args.user,
                              args.password, args.table, args.chunk,
@@ -81,9 +84,15 @@ def main(argv: list[str] | None = None) -> int:
                                     args.user, args.password, plan,
                                     args.out_dir)
         n = df.count()
+        # on RESUME the runner executes the PERSISTED original plan —
+        # report ITS coordinates, not the fresh re-plan's (starting
+        # the change stream at the later position would skip every
+        # change between the original and new start)
+        with open(_os.path.join(args.out_dir, "plan.json")) as fh:
+            eff = _json.load(fh)
         print(f"snapshot of {args.table}: {n} rows across "
-              f"{len(plan.ranges)} chunks -> {args.out_dir} "
-              f"(stream from {plan.start_file}:{plan.start_pos})")
+              f"{len(eff['ranges'])} chunks -> {args.out_dir} "
+              f"(stream from {eff['start_file']}:{eff['start_pos']})")
         return 0
 
     if args.cmd == "check":

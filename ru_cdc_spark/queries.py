@@ -3174,7 +3174,12 @@ def _incremental_snapshot_fixture():
     vb = VirtualBinlog()
     vb.append(encode_format_description(CHECKSUM_NONE))
     srv = MySQLFixtureServer(binlog=vb).start()
+    # pin (lazy change-stream tasks still dial it), but cap the pool:
+    # repeated registry/bench runs must not accumulate listeners and
+    # in-memory binlogs for the session's lifetime
     _LIVE_SNAPSHOT_SERVERS.append(srv)
+    while len(_LIVE_SNAPSHOT_SERVERS) > 4:
+        _LIVE_SNAPSHOT_SERVERS.pop(0).stop()
     table = srv.add_live_table("snaptab", [
         ("id", ColSpec(T_LONGLONG)),
         ("val", ColSpec(T_LONG)),
@@ -3315,6 +3320,9 @@ def mysql_socket_bootstrap_stream(spark: SparkSession,
             raise TimeoutError("bootstrap stream never drained")
     finally:
         q.stop()
+        # fully drained to parquet — nothing downstream dials the
+        # server again, so release the listener now
+        srv.stop()
 
     frames = spark.read.schema("pos long, frame binary").parquet(out)
     decoded = decode_table_frames(frames, "snaptab",

@@ -57,7 +57,9 @@ from ru_cdc_spark.sources.mysql_socket_source import (
     slice_at_table_maps,
 )
 
-_ROWS_EVENT_TYPES = (30, 31, 32)  # WRITE/UPDATE/DELETE_ROWS_v2
+# WRITE/UPDATE/DELETE_ROWS_v2 + PARTIAL_UPDATE_ROWS (39 — decoded by
+# decode_rows_event into UPDATE-shaped pairs with JSON diffs applied)
+_ROWS_EVENT_TYPES = (30, 31, 32, 39)
 
 
 @dataclass
@@ -182,20 +184,46 @@ def plan_snapshot(host: str, port: int, user: str, password: str,
                         start_pos=start_pos, types=types)
 
 
+def wire_seq(binlog_file: str, pos: int) -> int:
+    """Globally ordered sequence for a (file, position) coordinate:
+    MySQL binlog filenames carry a monotonic numeric suffix, and
+    positions are FILE-relative (they restart near 4 after every
+    rotation) — any cross-file order-by-position consumer needs the
+    file's sequence number folded in. Positions are u32, so
+    ``suffix << 33`` can never collide."""
+    suffix = binlog_file.rsplit(".", 1)[-1]
+    return (int(suffix) << 33) + pos if suffix.isdigit() else pos
+
+
 def _window_touched_pks(events: list[tuple[int, bytes]], table: str,
-                        lo: int, hi: int) -> set[int]:
+                        lo: int, hi: int, pk_i: int = 0) -> set[int]:
     """Pks in (lo, hi] touched by any row event for ``table`` in the
     watermark window — the DBLog chunk-dedup set. The TABLE_MAP
-    registry keys on table_id exactly like the live decode path."""
+    registry keys on table_id exactly like the live decode path; the
+    pk is read at its DESC ordinal (binlog images are in table column
+    order), never assumed first. Checksum trailers are stripped per
+    the FDE before decode — ``_dump_events`` deliberately delivers
+    raw bytes, and a CRC32 trailer parsed as row payload would add a
+    garbage pk to the dedup set (silently dropping an innocent
+    snapshot row that nothing ever replays)."""
     from ru_cdc_spark.sources.binlog_wire import (
+        decode_format_description,
         decode_rows_event,
         decode_table_map,
     )
+    from ru_cdc_spark.sources.mysql_client import strip_checksum
 
     touched: set[int] = set()
     specs_by_tid: dict[int, list] = {}
+    checksum_bytes = 0
     for _pos, ev in events:
         etype = ev[4]
+        if etype == 15:  # FDE declares the stream's checksum algorithm
+            checksum_bytes = decode_format_description(
+                ev)["checksum_bytes"]
+            continue
+        if checksum_bytes:
+            ev = strip_checksum(ev)
         if etype == 19:  # TABLE_MAP
             tid, _schema, tname, specs = decode_table_map(ev)
             if tname == table:
@@ -209,13 +237,16 @@ def _window_touched_pks(events: list[tuple[int, bytes]], table: str,
         specs = specs_by_tid.get(tid)
         if specs is None:
             continue
+        # decode_rows_event handles 30/31/32 AND 39 (partial updates
+        # come back as (before, after) pairs with JSON diffs applied)
         ev_type, rows = decode_rows_event(ev, specs)
+        images = []
         for r in rows:
-            images = r if ev_type == 31 else (r,)  # UPDATE: (before, after)
-            for img in images:
-                pk = int(img[0])
-                if lo < pk <= hi:
-                    touched.add(pk)
+            images.extend(r if ev_type in (31, 39) else (r,))
+        for img in images:
+            v = img[pk_i]
+            if v is not None and lo < int(v) <= hi:
+                touched.add(int(v))
     return touched
 
 
@@ -251,17 +282,30 @@ def read_chunk(host: str, port: int, user: str, password: str,
                 f"select {cols_sql} from {plan.table} "
                 f"where {plan.pk} > {lo} and {plan.pk} <= {hi} "
                 f"order by {plan.pk}")
-        _file_h, pos_h = conn.show_master_status()
+        file_h, pos_h = conn.show_master_status()
+    pk_i = plan.columns.index(plan.pk)
     touched: set[int] = set()
-    if pos_h > pos_l:
+    if file_h != file_l:
+        # the binlog rotated between the watermarks: the window spans
+        # BOTH files — dump the old file's tail (a genuine rotate ends
+        # the read) and the new file's prefix; skipping either side
+        # would let a raced snapshot row win the merge permanently
+        window = _dump_events(host, port, user, password,
+                              file_l, pos_l, 1 << 62)
+        window += _dump_events(host, port, user, password,
+                               file_h, 4, pos_h)
+        touched = _window_touched_pks(window, plan.table, lo, hi,
+                                      pk_i=pk_i)
+    elif pos_h > pos_l:
         window = _dump_events(host, port, user, password,
                               file_l, pos_l, pos_h)
-        touched = _window_touched_pks(window, plan.table, lo, hi)
+        touched = _window_touched_pks(window, plan.table, lo, hi,
+                                      pk_i=pk_i)
+    seq = wire_seq(file_l, pos_l)
     if not touched:
-        return rs.rows, pos_l
-    pk_i = plan.columns.index(plan.pk)
+        return rs.rows, seq
     kept = [r for r in rs.rows if int(r[pk_i] or 0) not in touched]
-    return kept, pos_l
+    return kept, seq
 
 
 def chunk_as_frames(host: str, port: int, user: str, password: str,
@@ -440,7 +484,8 @@ def decode_table_frames(frames: DataFrame, table: str,
 
     schema = ("seq long, op string, "
               + ", ".join(f"`{c}` string" for c in columns))
-    op_names = {30: "INSERT", 31: "UPDATE", 32: "DELETE"}
+    op_names = {30: "INSERT", 31: "UPDATE", 32: "DELETE",
+                39: "UPDATE"}
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -464,7 +509,7 @@ def decode_table_frames(frames: DataFrame, table: str,
                     if tname != table:
                         continue
                     for r in rows:
-                        img = r[1] if ev_type == 31 else r
+                        img = r[1] if ev_type in (31, 39) else r
                         out["seq"].append(int(pos))
                         out["op"].append(op_names[ev_type])
                         for c, v in zip(columns, img):
@@ -499,7 +544,8 @@ def snapshot_changes(spark: SparkSession, host: str, port: int,
         return spark.createDataFrame([], schema)
     ranges = spark.createDataFrame(slices, "lo long, hi long") \
         .repartition(max(1, len(slices)))
-    op_names = {30: "INSERT", 31: "UPDATE", 32: "DELETE"}
+    op_names = {30: "INSERT", 31: "UPDATE", 32: "DELETE",
+                39: "UPDATE"}
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -518,8 +564,10 @@ def snapshot_changes(spark: SparkSession, host: str, port: int,
                     ev_type, rows = decode_rows_event(frame[tm_size:],
                                                       specs)
                     for r in rows:
-                        img = r[1] if ev_type == 31 else r
-                        out["seq"].append(pos)
+                        img = r[1] if ev_type in (31, 39) else r
+                        # the SAME file-biased coordinate the chunk
+                        # rows carry — cross-file order stays total
+                        out["seq"].append(wire_seq(fname, pos))
                         out["op"].append(op_names[ev_type])
                         for c, v in zip(plan.columns, img):
                             out[c].append(None if v is None else str(v))

@@ -356,18 +356,10 @@ SOCKET_SCHEMA_DDL = "pos long, frame binary"
 
 
 class _SlicePartition(InputPartition):
-    """``pos_bias`` is added to every YIELDED position (never to the
-    dump bounds): when one micro-batch spans a file rotation, the new
-    file's positions restart near 4 and would sort BEFORE the old
-    file's tail in any downstream order-by-pos (txn assembly,
-    latest-wins merges) — the bias keeps the cross-file order total."""
-
-    def __init__(self, file: str, lo: int, hi: int,
-                 pos_bias: int = 0) -> None:
+    def __init__(self, file: str, lo: int, hi: int) -> None:
         self.file = file
         self.lo = lo
         self.hi = hi
-        self.pos_bias = pos_bias
 
 
 class _SnapChunkPartition(InputPartition):
@@ -815,8 +807,7 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             return [
                 _SlicePartition(start["file"], int(start["pos"]),
                                 1 << 62),
-                _SlicePartition(end["file"], 4, int(end["pos"]),
-                                pos_bias=1 << 33),
+                _SlicePartition(end["file"], 4, int(end["pos"])),
             ]
 
         s1 = (end or {}).get("snap")
@@ -835,24 +826,10 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             if snap is not None and int(s0_raw) < len(snap[1]):
                 return [*_chunk_parts(snap[1][int(s0_raw):]),
                         *_slice_parts()]
-        if start.get("file") != end.get("file"):
-            # rotation boundary. The happy path drained the old file
-            # before rotating, but a crash between the advisory
-            # position advancing and Spark committing can leave a
-            # cross-file range whose START is mid-old-file — deliver
-            # BOTH the old file's tail (bounded by rotate/EOF) and the
-            # new file's prefix, or frames in that window are lost.
-            return [
-                _SlicePartition(start["file"], int(start["pos"]),
-                                1 << 62),
-                # positions restart in the new file: bias its yielded
-                # positions above any 32-bit log_pos so order-by-pos
-                # consumers keep the true cross-file order
-                _SlicePartition(end["file"], 4, int(end["pos"]),
-                                pos_bias=1 << 33),
-            ]
-        return [_SlicePartition(end["file"], int(start["pos"]),
-                                int(end["pos"]))]
+        # the trailing non-snapshot cases are exactly the slice shapes
+        # (same-file window, or the rotation-spanning crash window that
+        # must deliver the old file's tail AND the new file's prefix)
+        return _slice_parts()
 
     def read(self, partition) -> Iterator[tuple]:
         if isinstance(partition, _GtidWindowPartition):
@@ -874,7 +851,16 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
             return
         if partition.hi <= partition.lo:
             return
-        bias = getattr(partition, "pos_bias", 0)
+        # yielded positions are file-seq-biased GLOBALLY (wire_seq):
+        # positions are file-relative and restart after every rotation,
+        # so a per-batch-only bias leaves consecutive batches' values
+        # non-monotonic — a latest-wins merge across batches would let
+        # a rotation-window row outrank a strictly newer one. Folding
+        # the filename's monotonic sequence number into every yielded
+        # position keeps order-by-pos total at any batch boundary.
+        from ru_cdc_spark.sources.incremental_snapshot import wire_seq
+
+        bias = wire_seq(partition.file, 0)
         if self.emit == "events":
             for pos, ev in _dump_events(self.host, self.port, self.user,
                                         self.password, partition.file,

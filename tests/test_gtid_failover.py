@@ -162,11 +162,16 @@ class TestCrossFileWindowOrder:
                 {"file": "binlogP.000002",
                  "pos": srv.binlogs[1].end_pos})
             assert len(parts) == 2
-            assert parts[0].pos_bias == 0
-            assert parts[1].pos_bias > (1 << 32)
             tail = [p for p, _ in reader.read(parts[0])]
             head = [p for p, _ in reader.read(parts[1])]
         assert tail and head
+        # yielded positions are file-seq-biased (wire_seq), so the
+        # cross-file order is total — across batches too, not just
+        # inside the rotation-spanning one
+        from ru_cdc_spark.sources.incremental_snapshot import wire_seq
+
+        assert min(tail) >= wire_seq("binlogP.000001", 0)
+        assert min(head) >= wire_seq("binlogP.000002", 0)
         assert max(tail) < min(head), \
             "new-file positions must outrank the old file's tail"
 

@@ -124,7 +124,9 @@ class TestChunkRead:
         rows, pos_l = read_chunk("127.0.0.1", srv.port, srv.user,
                                  srv.password, plan, -1, 9)
         assert [r[0] for r in rows] == [str(i) for i in range(10)]
-        assert pos_l == srv.binlog.end_pos
+        from ru_cdc_spark.sources.incremental_snapshot import wire_seq
+
+        assert pos_l == wire_seq("binlog.000001", srv.binlog.end_pos)
 
     def test_windowed_mutation_drops_only_its_pk(self, srv):
         """DBLog's dedup rule: the pk written inside [L, H] leaves the
@@ -489,8 +491,13 @@ class TestRandomizedDifferential:
                 events = _dump_events("127.0.0.1", srv.port, srv.user,
                                       srv.password, plan.start_file,
                                       plan.start_pos, 1 << 60)
+                from ru_cdc_spark.sources.incremental_snapshot import (
+                    wire_seq,
+                )
+
                 specs_by_tid: dict[int, list] = {}
-                for pos, ev in events:
+                for raw_pos, ev in events:
+                    pos = wire_seq(plan.start_file, raw_pos)
                     if ev[4] == 19:
                         tid, _s, name, specs = decode_table_map(ev)
                         specs_by_tid[tid] = specs
@@ -837,3 +844,133 @@ class TestBinaryProtocolChunks:
                             binary_protocol=True)
         assert [r[0] for r in got] == [str(i) for i in range(10, 20)
                                        if i != 12]
+
+
+class TestReviewRegressions:
+    """Latent-bug regressions from the round-7 self-review: CRC32
+    watermark windows, rotation between watermarks, non-first pk,
+    partial-update (type 39) events in the window."""
+
+    def _crc_srv(self):
+        from ru_cdc_spark.sources.binlog_wire import (
+            CHECKSUM_CRC32,
+            encode_format_description,
+        )
+
+        vb = VirtualBinlog(crc32=True)
+        vb.append(encode_format_description(CHECKSUM_CRC32))
+        return MySQLFixtureServer(binlog=vb).start()
+
+    def test_crc32_window_dedup(self):
+        """binlog_checksum=CRC32 (the MySQL default): the window dump
+        delivers raw trailered events; dedup must strip per the FDE —
+        parsing a CRC trailer as row payload would add a garbage pk
+        and silently drop an innocent snapshot row."""
+        srv = self._crc_srv()
+        try:
+            t = srv.add_live_table("snaptab", COLS)
+            t.insert(*[_row(i) for i in range(20)])
+            srv.on_select = lambda _t, lo, hi: t.update(
+                (7, 777, "raced", Decimal("7.0000")))
+            plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                                 srv.password, "snaptab",
+                                 chunk_size=10)
+            rows, _ = read_chunk("127.0.0.1", srv.port, srv.user,
+                                 srv.password, plan, -1, 9)
+            assert [r[0] for r in rows] == [str(i) for i in range(10)
+                                            if i != 7]
+        finally:
+            srv.stop()
+
+    def test_rotation_between_watermarks_still_dedups(self, srv):
+        """FLUSH LOGS between the two SHOW MASTER STATUS reads: the
+        watermark window spans two files; skipping it (the old
+        pos_h > pos_l comparison was file-blind) would let the raced
+        stale snapshot row win the merge permanently."""
+        from ru_cdc_spark.sources.binlog_wire import (
+            CHECKSUM_NONE,
+            encode_format_description,
+        )
+
+        t = _table(srv)
+
+        def rotate_then_write(_t, lo, hi):
+            vb2 = VirtualBinlog("binlog.000002")
+            vb2.append(encode_format_description(CHECKSUM_NONE))
+            with srv.mutation():
+                srv.binlogs.append(vb2)
+                srv.binlog = vb2
+            t.update((4, 444, "raced-after-rotate",
+                      Decimal("4.0000")))
+
+        srv.on_select = rotate_then_write
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        rows, seq = read_chunk("127.0.0.1", srv.port, srv.user,
+                               srv.password, plan, -1, 9)
+        assert [r[0] for r in rows] == [str(i) for i in range(10)
+                                        if i != 4]
+        # the chunk's version coordinate sorts BELOW any new-file event
+        from ru_cdc_spark.sources.incremental_snapshot import wire_seq
+
+        assert seq < wire_seq("binlog.000002", 4)
+
+    def test_pk_not_first_column(self, srv):
+        """Tables whose PRIMARY KEY is not the first column: the
+        window dedup must key on the pk's DESC ordinal, not image
+        column 0."""
+        cols = [
+            ("val", ColSpec(T_LONG)),
+            ("id", ColSpec(T_LONGLONG)),
+            ("name", ColSpec(T_VARCHAR, (300,))),
+        ]
+        t = srv.add_live_table("snaptab", cols)
+        # catalog marks column 0 PRI by default — override to 'id'
+        srv.catalog["snaptab"] = [("val", "int", ""),
+                                  ("id", "bigint", "PRI"),
+                                  ("name", "varchar(300)", "")]
+        srv.catalog["app.snaptab"] = srv.catalog["snaptab"]
+        # pk is the SECOND tuple slot now; LiveTable keys on slot 0,
+        # so feed rows keyed by val==id to keep the fixture consistent
+        t.insert(*[(i, i, f"n_{i}") for i in range(20)])
+        srv.on_select = lambda _t, lo, hi: t.update((6, 6, "raced"))
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        assert plan.pk == "id"
+        rows, _ = read_chunk("127.0.0.1", srv.port, srv.user,
+                             srv.password, plan, -1, 9)
+        ids = [r[plan.columns.index("id")] for r in rows]
+        assert ids == [str(i) for i in range(10) if i != 6]
+
+    def test_partial_update_event_in_window_dedups(self, srv):
+        """A PARTIAL_UPDATE_ROWS (type 39) event inside the watermark
+        window marks its pk touched — partial-JSON tables race
+        snapshots too."""
+        from ru_cdc_spark.sources.binlog_frames import JSON_SPECS
+        from ru_cdc_spark.sources.binlog_wire import (
+            encode_partial_update_rows_event,
+            encode_table_map,
+        )
+        from ru_cdc_spark.sources.incremental_snapshot import (
+            _window_touched_pks,
+        )
+
+        t = _table(srv)
+
+        def emit_partial(_t, lo, hi):
+            tm = encode_table_map(57, "app", "snaptab", JSON_SPECS)
+            ev = encode_partial_update_rows_event(
+                57, JSON_SPECS,
+                [((3, '{"a": 1}'), (3, True),
+                  {1: [(0, "$.a", 2)]})])
+            with srv.mutation():
+                srv.binlog.append(tm)
+                srv.binlog.append(ev)
+
+        srv.on_select = emit_partial
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        rows, _ = read_chunk("127.0.0.1", srv.port, srv.user,
+                             srv.password, plan, -1, 9)
+        assert [r[0] for r in rows] == [str(i) for i in range(10)
+                                        if i != 3]

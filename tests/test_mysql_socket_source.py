@@ -243,21 +243,30 @@ class TestRotationCrashWindow:
             frames = []
             for p in parts:
                 frames += list(reader.read(p))
-            # tail of file 1 present (positions >= mid in file 1's range)
+            # yielded positions are file-seq-biased (wire_seq): the
+            # raw position restarts near 4 in file 2 and would sort
+            # before file 1's tail; the filename's monotonic sequence
+            # number folded into EVERY yielded position keeps
+            # order-by-pos total across batches, not just inside the
+            # rotation-spanning one
+            from ru_cdc_spark.sources.incremental_snapshot import (
+                wire_seq,
+            )
+
+            b1 = wire_seq("binlog.000001", 0)
+            b2 = wire_seq("binlog.000002", 0)
+            # tail of file 1 present (positions >= mid in file 1)
             tail_expected = [e for s, e, ev in vb1.events
                              if s >= mid and ev[4] in (30, 31, 32)]
             got_positions = sorted(pos for pos, _ in frames)
             for e in tail_expected:
-                assert e in got_positions, f"file-1 tail frame {e} lost"
-            # plus file-2 prefix frames — their yielded positions are
-            # BIASED above any 32-bit log_pos so order-by-pos
-            # consumers keep the true cross-file order (the raw
-            # position restarts near 4 and would sort before file 1's
-            # tail)
-            f2 = [pos for pos, _ in frames if pos > (1 << 32)]
+                assert b1 + e in got_positions, \
+                    f"file-1 tail frame {e} lost"
+            # plus file-2 prefix frames, strictly above file 1's
+            f2 = [pos for pos, _ in frames if pos >= b2]
             assert f2, "file-2 prefix frames lost"
-            assert all(pos - (1 << 33) <= some_f2_end for pos in f2)
-            f1 = [pos for pos, _ in frames if pos <= (1 << 32)]
+            assert all(pos - b2 <= some_f2_end for pos in f2)
+            f1 = [pos for pos, _ in frames if pos < b2]
             assert max(f1) < min(f2), \
                 "file-2 frames must outrank file 1's tail"
         finally:

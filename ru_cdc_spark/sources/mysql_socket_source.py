@@ -913,6 +913,12 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
                 # — the counter preserves it under any file layout,
                 # which is the whole point of endpoint failover
                 # (server B's positions share nothing with A's).
+                # Contract: the counter restarts per WINDOW, so it
+                # orders only within one micro-batch — exactly what
+                # cut_at=gtid guarantees is needed (each batch holds
+                # whole transactions and is assembled per batch);
+                # cross-batch consumers must order by the executed-set
+                # offsets, never by this column.
                 seq = 0
                 for ev in conn.binlog_dump_gtid(start_wire):
                     etype, size, _log_pos = event_header(ev)

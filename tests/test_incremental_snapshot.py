@@ -974,3 +974,81 @@ class TestReviewRegressions:
                              srv.password, plan, -1, 9)
         assert [r[0] for r in rows] == [str(i) for i in range(10)
                                         if i != 3]
+
+
+class TestBinaryProtocolProperty:
+    def test_binary_row_roundtrip_fuzz(self):
+        """Seeded fuzz over the Binary Protocol Resultset Row codec:
+        random widths, type mixes, and NULL patterns (the offset-2
+        bitmap's classic off-by-one habitat) must round-trip."""
+        import random
+
+        from ru_cdc_spark.sources.mysql_client import (
+            TYPE_DOUBLE,
+            TYPE_LONG,
+            TYPE_LONGLONG,
+            TYPE_NEWDECIMAL,
+            TYPE_TINY,
+            TYPE_VAR_STRING,
+            decode_binary_row,
+            encode_binary_row,
+        )
+
+        gens = {
+            TYPE_TINY: lambda r: r.randint(-128, 127),
+            TYPE_LONG: lambda r: r.randint(-2**31, 2**31 - 1),
+            TYPE_LONGLONG: lambda r: r.randint(-2**63, 2**63 - 1),
+            TYPE_DOUBLE: lambda r: r.random() * 10**r.randint(-5, 5),
+            TYPE_VAR_STRING: lambda r: "".join(
+                chr(r.randint(32, 0x2FA0)) for _ in range(r.randint(0, 40))),
+            TYPE_NEWDECIMAL: lambda r: f"{r.randint(-10**8, 10**8)}.{r.randint(0, 9999):04d}",
+        }
+        for seed in range(200):
+            rng = random.Random(seed)
+            n = rng.randint(1, 12)
+            types = [rng.choice(list(gens)) for _ in range(n)]
+            vals = [None if rng.random() < 0.25 else gens[t](rng)
+                    for t in types]
+            got = decode_binary_row(encode_binary_row(vals, types),
+                                    types)
+            exp = [None if v is None
+                   else (str(v) if t in (TYPE_VAR_STRING,
+                                         TYPE_NEWDECIMAL) else v)
+                   for v, t in zip(vals, types)]
+            assert got == exp, f"seed {seed}"
+
+    def test_execute_unknown_statement_errors(self, srv):
+        from ru_cdc_spark.sources.mysql_client import (
+            MySQLConnection,
+            MySQLError,
+            PreparedStatement,
+        )
+
+        _table(srv)
+        with MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
+                                     srv.password) as conn:
+            ghost = PreparedStatement(stmt_id=999, n_params=0,
+                                      col_defs=[])
+            with pytest.raises(MySQLError) as exc:
+                conn.stmt_execute(ghost)
+            assert exc.value.code == 1243
+
+    def test_execute_wrong_param_count_raises_client_side(self, srv):
+        from ru_cdc_spark.sources.mysql_client import MySQLConnection
+
+        _table(srv)
+        with MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
+                                     srv.password) as conn:
+            stmt = conn.stmt_prepare(
+                "select id from snaptab where id > ? and id <= ? "
+                "order by id")
+            with pytest.raises(ValueError, match="takes 2 params"):
+                conn.stmt_execute(stmt, (1,))
+
+    def test_wire_seq_non_numeric_suffix_passthrough(self):
+        from ru_cdc_spark.sources.incremental_snapshot import wire_seq
+
+        assert wire_seq("binlog.000007", 400) == (7 << 33) + 400
+        assert wire_seq("relaylog", 400) == 400  # no suffix: raw pos
+        assert wire_seq("binlog.000002", 4) > \
+            wire_seq("binlog.000001", 1 << 32 - 1)

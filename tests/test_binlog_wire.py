@@ -429,3 +429,141 @@ class TestLegacyTemporalGoldens:
         assert wire[:2] == len(payload).to_bytes(2, "little")
         v, off = decode_value(wire, 0, spec)
         assert v == payload and off == len(wire)
+
+
+class TestPartialRowImages:
+    """binlog_row_image=MINIMAL/NOBLOB: sparse columns-present bitmaps,
+    present-sized null bitmaps, ABSENT (unknown) distinct from None
+    (NULL). Layout per the public ROWS_EVENT documentation; the
+    reference reads the bitmap but assumes it full (binlog.rs:646-667)."""
+
+    SPECS3 = [w.ColSpec(w.T_LONGLONG), w.ColSpec(w.T_LONG),
+              w.ColSpec(w.T_VARCHAR, (36,))]
+
+    def test_minimal_update_golden_bytes(self):
+        # before: PK only (bit 0); after: changed col only (bit 1)
+        ev = w.encode_rows_event(
+            w.UPDATE_ROWS_V2, 9, self.SPECS3,
+            [((7, w.ABSENT, w.ABSENT), (w.ABSENT, -5, w.ABSENT))],
+            present=[True, False, False], present_after=[False, True, False])
+        body = ev[19:]
+        want = (
+            (9).to_bytes(6, "little") + b"\x01\x00"   # table id + flags
+            + b"\x02\x00"                              # extra-data len
+            + b"\x03"                                  # lenenc ncols=3
+            + b"\x01"                                  # before bitmap {0}
+            + b"\x02"                                  # after bitmap {1}
+            + b"\x00" + (7).to_bytes(8, "little")      # before: nulls, pk
+            + b"\x00" + (-5 % (1 << 32)).to_bytes(4, "little")  # after
+        )
+        assert body == want
+        et, rows = w.decode_rows_event(ev, self.SPECS3)
+        assert et == w.UPDATE_ROWS_V2
+        assert rows == [((7, w.ABSENT, w.ABSENT), (w.ABSENT, -5, w.ABSENT))]
+
+    def test_null_bitmap_sized_over_present_columns_only(self):
+        # 9 present of 16 -> 2-byte null bitmap (not 16-col 2-byte by
+        # accident: use 8 present -> 1 byte vs full 16 -> 2 bytes)
+        present = [True] * 8 + [False] * 8
+        row = tuple(_row_values(26)[k] if k < 8 else w.ABSENT
+                    for k in range(16))
+        ev = w.encode_rows_event(w.DELETE_ROWS_V2, 42, SPECS, [row],
+                                 present=present)
+        et, out = w.decode_rows_event(ev, SPECS)
+        got = out[0]
+        assert got[8:] == (w.ABSENT,) * 8
+        assert got[0] == 26
+        # a NULL inside the sparse window stays NULL, not ABSENT
+        assert _row_values(26)[0:8] == tuple(
+            v if v is not None else None for v in got[0:8])
+
+    def test_sparse_null_distinct_from_absent(self):
+        before = (3, w.ABSENT, w.ABSENT)
+        after = (w.ABSENT, None, w.ABSENT)  # present-but-NULL change
+        ev = w.encode_rows_event(
+            w.UPDATE_ROWS_V2, 9, self.SPECS3, [(before, after)],
+            present=[True, False, False], present_after=[False, True, False])
+        _, rows = w.decode_rows_event(ev, self.SPECS3)
+        b, a = rows[0]
+        assert a[1] is None and a[1] is not w.ABSENT
+        assert a[0] is w.ABSENT and a[2] is w.ABSENT
+
+    def test_absent_is_falsy_pickled_singleton(self):
+        import pickle
+        assert not w.ABSENT
+        assert pickle.loads(pickle.dumps(w.ABSENT)) is w.ABSENT
+        assert repr(w.ABSENT) == "ABSENT"
+
+    def test_encoder_rejects_bitmap_row_mismatch(self):
+        with pytest.raises(ValueError, match="contradicts present bitmap"):
+            w.encode_rows_event(w.DELETE_ROWS_V2, 9, self.SPECS3,
+                                [(3, 1, w.ABSENT)],
+                                present=[True, False, False])
+        with pytest.raises(ValueError, match="contradicts present bitmap"):
+            w.encode_rows_event(w.DELETE_ROWS_V2, 9, self.SPECS3,
+                                [(w.ABSENT, w.ABSENT, w.ABSENT)],
+                                present=[True, False, False])
+
+    def test_row_image_present_modes(self):
+        specs = [w.ColSpec(w.T_LONGLONG), w.ColSpec(w.T_LONG),
+                 w.ColSpec(w.T_BLOB, (2,)), w.ColSpec(w.T_JSON, (4,))]
+        b, a = w.row_image_present(specs, "MINIMAL", [0], changed_cols=[1])
+        assert b == [True, False, False, False]
+        assert a == [False, True, False, False]
+        b, a = w.row_image_present(specs, "NOBLOB", [0], changed_cols=[1])
+        assert b == [True, True, False, False]   # blobs out of before
+        assert a == [True, True, False, False]
+        b, a = w.row_image_present(specs, "NOBLOB", [0], changed_cols=[3])
+        assert a == [True, True, False, True]    # changed JSON stays in
+        b, a = w.row_image_present(specs, "FULL", [0], changed_cols=[1])
+        assert b == [True] * 4 and a == [True] * 4
+        with pytest.raises(ValueError, match="binlog_row_image"):
+            w.row_image_present(specs, "minimal", [0])
+
+    def test_sparse_rows_with_crc32_trailer(self):
+        ev = w.encode_rows_event(
+            w.DELETE_ROWS_V2, 9, self.SPECS3,
+            [(5, w.ABSENT, w.ABSENT), (6, w.ABSENT, w.ABSENT)],
+            present=[True, False, False])
+        size = int.from_bytes(ev[9:13], "little") + 4
+        ev = ev[:9] + size.to_bytes(4, "little") + ev[13:] + b"\xde\xad\xbe\xef"
+        et, out = w.decode_rows_event(ev, self.SPECS3, checksum_bytes=4)
+        assert [r[0] for r in out] == [5, 6]
+
+    def test_partial_json_update_with_minimal_images(self):
+        # type 39 (PARTIAL_UPDATE) under MINIMAL: sparse before (PK only)
+        # with a FULL JSON column present so diffs have a base, sparse
+        # after carrying only the diffed JSON column
+        specs = [w.ColSpec(w.T_LONGLONG), w.ColSpec(w.T_LONG),
+                 w.ColSpec(w.T_JSON, (4,))]
+        doc = {"a": 1, "b": [1, 2]}
+        diffs = [(0, "$.a", 9)]  # REPLACE $.a
+        before = (11, w.ABSENT, doc)
+        after = (w.ABSENT, w.ABSENT, None)  # value comes from the diff
+        ev = w.encode_partial_update_rows_event(
+            7, specs, [(before, after, {2: diffs})],
+            present=[True, False, True], present_after=[False, False, True])
+        et, rows = w.decode_rows_event(ev, specs)
+        assert et == w.PARTIAL_UPDATE_ROWS_EVENT
+        import json
+        b, a = rows[0]
+        assert b[0] == 11 and b[1] is w.ABSENT
+        assert json.loads(b[2]) == doc
+        assert a[0] is w.ABSENT and a[1] is w.ABSENT
+        assert json.loads(a[2]) == {"a": 9, "b": [1, 2]}
+
+    def test_partial_json_diff_against_absent_base_raises(self):
+        specs = [w.ColSpec(w.T_LONGLONG), w.ColSpec(w.T_JSON, (4,))]
+        ev = w.encode_partial_update_rows_event(
+            7, specs, [((11, w.ABSENT), (w.ABSENT, None),
+                        {1: [(0, "$.a", 9)]})],
+            present=[True, False], present_after=[False, True])
+        with pytest.raises(ValueError, match="ABSENT before image"):
+            w.decode_rows_event(ev, specs)
+
+    def test_full_image_fast_path_unchanged(self):
+        # default all-set bitmaps decode exactly as before (fast path)
+        rows = [_row_values(i) for i in range(3)]
+        ev = w.encode_rows_event(w.WRITE_ROWS_V2, 42, SPECS, rows)
+        et, out = w.decode_rows_event(ev, SPECS)
+        assert len(out) == 3 and all(w.ABSENT not in r for r in out)

@@ -173,3 +173,76 @@ def test_variant_spans_heterogeneous_tables(spark, sf_dir):
     assert agg["orders"]["n_c"] == 0
     assert agg["customer"]["n_c"] == agg["customer"]["n"] > 0
     assert agg["customer"]["n_o"] == 0
+
+
+class TestSparseImageEnvelope:
+    """Partial-row-image (binlog_row_image=MINIMAL/NOBLOB) envelope
+    semantics: absent columns never forge values into `data`, and an
+    absent BEFORE value makes the changed-col diff emit the column with
+    an unknown (NULL) old value instead of silently dropping it."""
+
+    FIELDS = [("pk", "long"), ("v", "long"), ("w", "string")]
+
+    def _df(self, spark):
+        # one MINIMAL update: before = PK only; after = {pk?, v} changed
+        return spark.createDataFrame(
+            [(
+                (1, 10, None),            # before values (absent -> None)
+                (True, True, False),      # before_present: pk, v known
+                (None, 20, None),         # after values
+                (False, True, False),     # after_present: only v shipped
+            )],
+            "before struct<pk:long,v:long,w:string>, "
+            "bp struct<pk:boolean,v:boolean,w:boolean>, "
+            "after struct<pk:long,v:long,w:string>, "
+            "ap struct<pk:boolean,v:boolean,w:boolean>")
+
+    def test_sparse_data_map_emits_present_columns_only(self, spark):
+        from ru_cdc_spark.operators.envelope import image_map_sparse
+
+        df = self._df(spark)
+        out = df.select(image_map_sparse(
+            F.col("after"), self.FIELDS, F.col("ap")).alias("m")).collect()
+        assert out[0]["m"] == {"v": "20"}
+
+    def test_absent_before_emits_unknown_old(self, spark):
+        from ru_cdc_spark.operators.envelope import changed_old_map_sparse
+
+        # before_present lacks v -> old value unknown -> emit v: NULL
+        df = spark.createDataFrame(
+            [((1, None, None), (True, False, False),
+              (None, 20, None), (False, True, False))],
+            "before struct<pk:long,v:long,w:string>, "
+            "bp struct<pk:boolean,v:boolean,w:boolean>, "
+            "after struct<pk:long,v:long,w:string>, "
+            "ap struct<pk:boolean,v:boolean,w:boolean>")
+        out = df.select(changed_old_map_sparse(
+            F.col("before"), F.col("after"), self.FIELDS,
+            F.col("bp"), F.col("ap")).alias("old")).collect()
+        assert out[0]["old"] == {"v": None}
+
+    def test_known_unchanged_present_column_not_emitted(self, spark):
+        from ru_cdc_spark.operators.envelope import changed_old_map_sparse
+
+        # v present both sides and equal -> NOT in old; w changed -> in old
+        df = spark.createDataFrame(
+            [((1, 10, "a"), (True, True, True),
+              (None, 10, "b"), (False, True, True))],
+            "before struct<pk:long,v:long,w:string>, "
+            "bp struct<pk:boolean,v:boolean,w:boolean>, "
+            "after struct<pk:long,v:long,w:string>, "
+            "ap struct<pk:boolean,v:boolean,w:boolean>")
+        out = df.select(changed_old_map_sparse(
+            F.col("before"), F.col("after"), self.FIELDS,
+            F.col("bp"), F.col("ap")).alias("old")).collect()
+        assert out[0]["old"] == {"w": "a"}
+
+    def test_absent_after_column_never_in_diff(self, spark):
+        from ru_cdc_spark.operators.envelope import changed_old_map_sparse
+
+        df = self._df(spark)
+        out = df.select(changed_old_map_sparse(
+            F.col("before"), F.col("after"), self.FIELDS,
+            F.col("bp"), F.col("ap")).alias("old")).collect()
+        # v: present both sides, 10 -> 20, known change with real old
+        assert out[0]["old"] == {"v": "10"}

@@ -1,0 +1,118 @@
+"""Partial row images end-to-end (binlog_row_image=MINIMAL/NOBLOB):
+sparse wire decode -> presence-flagged change stream -> per-column
+latest-present merge. The acceptance bar: the MINIMAL and NOBLOB
+pipelines reconstruct EXACTLY the table the FULL-image pipeline yields
+(the reference can't — it assumes full images, binlog.rs:646-667)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.merge import merge_sparse_changes
+from ru_cdc_spark.sources.binlog_frames import (
+    SPARSE_EMIT_COLS,
+    decode_cdc_frames,
+    decode_sparse_cdc_frames,
+    generate_cdc_frames,
+    generate_sparse_cdc_frames,
+)
+
+N = 400  # covers several null-cycle (13) and op-discipline (10) periods
+VALUE_COLS = [n for n, _ in SPARSE_EMIT_COLS]
+
+
+def _merged_sparse(spark, mode):
+    changes = decode_sparse_cdc_frames(
+        generate_sparse_cdc_frames(spark, N, mode=mode).select("frame"))
+    return merge_sparse_changes(changes, ["i"], VALUE_COLS,
+                                seq_col="seq", type_col="type")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_minimal_equals_full_image_merge(spark):
+    # the FULL-image pipeline (binlog_wire_cdc_snapshot's shape), plus
+    # t_text which the sparse pipeline also carries
+    full = decode_cdc_frames(generate_cdc_frames(spark, N).select("frame"))
+    row = F.struct(*[F.col(c) for c in full.columns])
+    full_snapshot = (
+        full.groupBy("i").agg(F.max_by(row, F.col("seq")).alias("r"))
+        .select("r.*").where(F.col("type") != "DELETE")
+        .select("i", "t_long", "t_dec", "t_varchar", "t_datetime"))
+    minimal = _merged_sparse(spark, "MINIMAL").select(
+        "i", "t_long", "t_dec", "t_varchar", "t_datetime")
+    assert _rows(minimal) == _rows(full_snapshot)
+
+
+def test_noblob_equals_minimal_snapshot(spark):
+    assert _rows(_merged_sparse(spark, "NOBLOB")) == \
+        _rows(_merged_sparse(spark, "MINIMAL"))
+
+
+def test_unchanged_text_column_survives_sparse_updates(spark):
+    # t_text is never in any UPDATE image; the merged value must be the
+    # INSERT's — an all-columns latest-wins merge would null it out
+    out = _merged_sparse(spark, "MINIMAL")
+    bad = out.where(F.col("t_text") != F.concat(
+        F.lit("t"), (F.col("i") * 3).cast("string"))).count()
+    assert bad == 0
+    updated = out.where(F.col("i") % 10 < 3)
+    assert updated.where(F.col("t_varchar") !=
+                         F.concat(F.lit("upd_"), F.col("i"))).count() == 0
+
+
+def test_sparse_update_presence_flags(spark):
+    ch = decode_sparse_cdc_frames(
+        generate_sparse_cdc_frames(spark, 100, mode="MINIMAL")
+        .select("frame"))
+    upd = ch.where(F.col("type") == "UPDATE")
+    # MINIMAL updates carry ONLY the changed columns
+    assert upd.where(~F.col("t_long_present") |
+                     ~F.col("t_varchar_present")).count() == 0
+    assert upd.where(F.col("t_dec_present") | F.col("t_text_present") |
+                     F.col("t_datetime_present")).count() == 0
+    ins = ch.where(F.col("type") == "INSERT")
+    assert ins.where(~F.col("t_long_present") | ~F.col("t_text_present")
+                     ).count() == 0
+
+
+def test_merge_sparse_changes_semantics(spark):
+    # hand-built stream: present-NULL overwrites, ABSENT never does,
+    # DELETE drops, DELETE->re-INSERT resurrects with the new image
+    rows = [
+        # pk 1: insert v=10, sparse update leaves v absent but sets w
+        (1, "INSERT", 1, 10, True, "a", True),
+        (2, "UPDATE", 1, None, False, "b", True),
+        # pk 2: present NULL overwrite of v
+        (1, "INSERT", 2, 20, True, "x", True),
+        (2, "UPDATE", 2, None, True, None, False),
+        # pk 3: deleted
+        (1, "INSERT", 3, 30, True, "z", True),
+        (2, "DELETE", 3, None, False, None, False),
+        # pk 4: delete then re-insert — new image wins, old must not leak
+        (1, "INSERT", 4, 40, True, "old", True),
+        (2, "DELETE", 4, None, False, None, False),
+        (3, "INSERT", 4, 44, True, "new", True),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, type string, pk long, v long, v_present boolean, "
+              "w string, w_present boolean")
+    out = merge_sparse_changes(df, ["pk"], ["v", "w"],
+                               seq_col="seq", type_col="type")
+    got = {r["pk"]: (r["v"], r["w"]) for r in out.collect()}
+    assert got == {1: (10, "b"), 2: (None, "x"), 4: (44, "new")}
+
+
+def test_sparse_merge_plan_single_pk_shuffle(spark):
+    # ONE pk exchange with map-side partial aggregation before it, no
+    # window — the same scale shape as latest_changes. (String-valued
+    # max_by buffers make Spark pick SortAggregate over HashAggregate;
+    # the properties that matter at 100 TB — single shuffle, one row
+    # per (key, map task) crossing it — hold either way.)
+    out = _merged_sparse(spark, "MINIMAL")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1  # the pk agg
+    assert "Window" not in plan
+    assert "partial_max_by" in plan  # map-side collapse before the shuffle

@@ -164,17 +164,18 @@ def bench_txn_assembly(spark) -> tuple[float, int]:
 def bench_socket_ingest(spark) -> tuple[float, int]:
     """Socket ingest throughput: a 100k-row virtual binlog served over
     real TCP, dumped by 16 task-local connections, byte-decoded, and
-    counted — the reference's wire-to-rows path end to end. Server build
-    happens before the clock; the timing covers connect + dump + frame
-    reassembly + Arrow decode. Sized (like the txn-assembly bench) so
+    counted — the reference's wire-to-rows path end to end (round 8:
+    the fused reader decodes inside the dump task, so frame bytes never
+    cross the JVM; same work, one Python crossing instead of three).
+    Server build happens before the clock; the timing covers connect +
+    dump + frame reassembly + byte decode. Sized (like the txn-assembly bench) so
     compute dominates the local-mode per-job floor and the number is a
     steady-state throughput figure."""
-    from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
     from ru_cdc_spark.sources.mysql_fixture_server import (
         MySQLFixtureServer,
         VirtualBinlog,
     )
-    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_changes
 
     n_rows = SOCKET_BENCH_ROWS
     srv = MySQLFixtureServer(
@@ -197,10 +198,9 @@ def bench_socket_ingest(spark) -> tuple[float, int]:
         n = 0
         for _ in range(3):
             t0 = time.time()
-            frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
-                                       srv.user, srv.password,
-                                       n_slices=SOCKET_BENCH_SLICES)
-            n = decode_cdc_frames(frames.select("frame")).count()
+            n = socket_cdc_changes(spark, "127.0.0.1", srv.port,
+                                   srv.user, srv.password,
+                                   n_slices=SOCKET_BENCH_SLICES).count()
             best = min(best, time.time() - t0)
         return best, n
     finally:

@@ -2562,15 +2562,12 @@ def mysql_socket_tls_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     managed MySQL mandates and the reference lacks entirely. Same
     DuckDB oracle as the plaintext socket path: encryption changes
     nothing about the answer."""
-    from ru_cdc_spark.sources.binlog_frames import (
-        BINLOG_CDC_N_ROWS,
-        decode_cdc_frames,
-    )
+    from ru_cdc_spark.sources.binlog_frames import BINLOG_CDC_N_ROWS
     from ru_cdc_spark.sources.mysql_fixture_server import (
         MySQLFixtureServer,
         VirtualBinlog,
     )
-    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_changes
 
     global _SOCKET_TLS_SERVER
     if _SOCKET_TLS_SERVER is None:
@@ -2581,11 +2578,10 @@ def mysql_socket_tls_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             binlog=VirtualBinlog.from_cdc_fixture(BINLOG_CDC_N_ROWS),
             tls_required=True).start()
     srv = _SOCKET_TLS_SERVER
-    frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
-                               srv.user, srv.password, n_slices=8,
-                               ssl_ca=srv.tls_ca_path(),
-                               ssl_hostname="localhost")
-    changes = decode_cdc_frames(frames.select("frame"))
+    changes = socket_cdc_changes(spark, "127.0.0.1", srv.port,
+                                 srv.user, srv.password, n_slices=8,
+                                 ssl_ca=srv.tls_ca_path(),
+                                 ssl_hostname="localhost")
     row = F.struct(*[F.col(c) for c in changes.columns])
     return (
         changes.groupBy("i")
@@ -2609,17 +2605,16 @@ def mysql_socket_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares binlog_wire_cdc_snapshot's DuckDB oracle — socket transport
     changes nothing about the answer, which is the point.
 
-    Scale: each task dials its own connection and dumps only its
+    Scale: each task dials its own connection, dumps only its
     [start_pos, end_pos) slice (slices cut at TABLE_MAP boundaries by a
-    single driver metadata pass); decode stays the narrow Arrow map;
+    single driver metadata pass), and byte-decodes in the SAME task
+    (socket_cdc_changes — frame bytes never cross the JVM boundary);
     the merge is the engine's single PK shuffle."""
-    from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
-    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_changes
 
     srv = _socket_fixture_server()
-    frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
-                               srv.user, srv.password, n_slices=8)
-    changes = decode_cdc_frames(frames.select("frame"))
+    changes = socket_cdc_changes(spark, "127.0.0.1", srv.port,
+                                 srv.user, srv.password, n_slices=8)
     row = F.struct(*[F.col(c) for c in changes.columns])
     return (
         changes.groupBy("i")
@@ -2812,14 +2807,12 @@ def mysql_socket_compressed_snapshot(spark: SparkSession,
     50-byte threshold), decompressed transparently under the packet
     layer. Same DuckDB oracle as the plaintext socket path — compressed
     transport changes nothing about the answer, which is the proof."""
-    from ru_cdc_spark.sources.binlog_frames import decode_cdc_frames
-    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_changes
 
     srv = _socket_fixture_server()
-    frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
-                               srv.user, srv.password, n_slices=8,
-                               compress="zlib")
-    changes = decode_cdc_frames(frames.select("frame"))
+    changes = socket_cdc_changes(spark, "127.0.0.1", srv.port,
+                                 srv.user, srv.password, n_slices=8,
+                                 compress="zlib")
     row = F.struct(*[F.col(c) for c in changes.columns])
     return (
         changes.groupBy("i")

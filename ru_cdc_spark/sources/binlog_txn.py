@@ -305,14 +305,79 @@ class TxnAssembler:
         self.tail = b""
         off = 0
         rows: list[dict] = []
-        while len(buf) - off >= 13:
-            size = int.from_bytes(buf[off + 9:off + 13], "little")
-            if len(buf) - off < size:
+        # dispatch order = event frequency (rows > table map > gtid/xid
+        # > query > control): a committed-txn stream is ~1/3 rows
+        # events, and the if-chain below is the per-event hot path
+        n = len(buf)
+        ib = int.from_bytes
+        while n - off >= 13:
+            size = ib(buf[off + 9:off + 13], "little")
+            if n - off < size:
                 break  # partial event: wait for more bytes
             ev = buf[off:off + size]
             off += size
             etype = ev[4]
-            if etype == ROTATE_EVENT:
+            if etype in _OPNAMES:
+                table_id = ib(ev[19:25], "little")
+                et, imgs = decode_rows_event(ev, self.specs_by_tid[table_id],
+                                             self.checksum_bytes,
+                                             self.decoders_by_tid.get(
+                                                 table_id))
+                images_append = self.images.append
+                cur_sql = self.cur_sql
+                if et in (UPDATE_ROWS_V2, PARTIAL_UPDATE_ROWS_EVENT):
+                    for img in imgs:
+                        images_append(("UPDATE", img[1], cur_sql))
+                else:
+                    opname = _OPNAMES[et]
+                    for img in imgs:
+                        images_append((opname, img, cur_sql))
+            elif etype == TABLE_MAP_EVENT:
+                # registry keyed by table_id, fill-once (the reference's
+                # TableMap, binlog.rs:390-501): MySQL issues a NEW
+                # table_id when a table's definition changes, so a known
+                # id never needs re-decoding — measured ~15% of assembly
+                # CPU on table-map-per-frame streams
+                tid_ = ib(ev[19:25], "little")
+                cached = self.specs_by_tid.pop(tid_, None)
+                if cached is not None and \
+                        len(cached) == _tm_column_count(ev):
+                    # hit: re-insert for LRU recency, skip the decode
+                    # (the fill-once CPU win) — guarded by a cheap
+                    # column-count peek so an id reuse with changed
+                    # specs never decodes stale
+                    self.specs_by_tid[tid_] = cached
+                else:
+                    _tid, _s, _t, specs = decode_table_map(ev)
+                    self.specs_by_tid[tid_] = specs
+                    self.decoders_by_tid[tid_] = compile_decoders(specs)
+                    if len(self.specs_by_tid) > self.spec_cache_cap:
+                        # dict preserves insertion order: evict the LRU
+                        evicted = next(iter(self.specs_by_tid))
+                        self.specs_by_tid.pop(evicted)
+                        self.decoders_by_tid.pop(evicted, None)
+            elif etype == XID_EVENT:
+                if self.cur is not None:
+                    rows += self._rows("committed", decode_xid(ev))
+                    self.cur, self.images = None, []
+            elif etype == GTID_EVENT:
+                self.cur = decode_gtid(ev)
+                self.images = []
+                self.cur_sql = None
+            elif etype == QUERY_EVENT:
+                # the only QUERY bodies that matter here are ROLLBACK
+                # (txn outcome) and, when capture_sql, the statement
+                # text; BEGINs (the overwhelming majority) are skipped
+                # by a cheap tail probe instead of a full decode
+                cs = self.checksum_bytes
+                tail_probe = ev[-(8 + cs):len(ev) - cs]
+                if tail_probe == b"ROLLBACK":
+                    _schema, sql = decode_query(ev, cs)
+                    if sql == "ROLLBACK" and self.cur is not None:
+                        rows += self._rows("rolled_back", None)
+                        self.cur, self.images = None, []
+                # BEGIN: transaction already opened by its GTID event
+            elif etype == ROTATE_EVENT:
                 self.current_log, self.current_pos = decode_rotate(
                     ev, self.checksum_bytes)
                 # file switch: table ids are per-binlog-session — stale
@@ -327,10 +392,6 @@ class TxnAssembler:
             elif etype == HEARTBEAT_EVENT:
                 _ident, self.last_heartbeat_pos = decode_heartbeat(
                     ev, self.checksum_bytes)
-            elif etype == GTID_EVENT:
-                self.cur = decode_gtid(ev)
-                self.images = []
-                self.cur_sql = None
             elif etype == ROWS_QUERY_EVENT:
                 if self.capture_sql:
                     self.cur_sql = decode_rows_query(ev, self.checksum_bytes)
@@ -350,51 +411,6 @@ class TxnAssembler:
                 if self.tail:
                     raise ValueError(
                         "truncated event inside transaction payload")
-            elif etype == QUERY_EVENT:
-                _schema, sql = decode_query(ev, self.checksum_bytes)
-                if sql == "ROLLBACK" and self.cur is not None:
-                    rows += self._rows("rolled_back", None)
-                    self.cur, self.images = None, []
-                # BEGIN: transaction already opened by its GTID event
-            elif etype == TABLE_MAP_EVENT:
-                # registry keyed by table_id, fill-once (the reference's
-                # TableMap, binlog.rs:390-501): MySQL issues a NEW
-                # table_id when a table's definition changes, so a known
-                # id never needs re-decoding — measured ~15% of assembly
-                # CPU on table-map-per-frame streams
-                tid_ = int.from_bytes(ev[19:25], "little")
-                cached = self.specs_by_tid.pop(tid_, None)
-                if cached is not None and \
-                        len(cached) == _tm_column_count(ev):
-                    # hit: re-insert for LRU recency, skip the decode
-                    # (the fill-once CPU win) — guarded by a cheap
-                    # column-count peek so an id reuse with changed
-                    # specs never decodes stale
-                    self.specs_by_tid[tid_] = cached
-                else:
-                    _tid, _s, _t, specs = decode_table_map(ev)
-                    self.specs_by_tid[tid_] = specs
-                    self.decoders_by_tid[tid_] = compile_decoders(specs)
-                    if len(self.specs_by_tid) > self.spec_cache_cap:
-                        # dict preserves insertion order: evict the LRU
-                        evicted = next(iter(self.specs_by_tid))
-                        self.specs_by_tid.pop(evicted)
-                        self.decoders_by_tid.pop(evicted, None)
-            elif etype in _OPNAMES:
-                table_id = int.from_bytes(ev[19:25], "little")
-                et, imgs = decode_rows_event(ev, self.specs_by_tid[table_id],
-                                             self.checksum_bytes,
-                                             self.decoders_by_tid.get(
-                                                 table_id))
-                for img in imgs:
-                    if et in (UPDATE_ROWS_V2, PARTIAL_UPDATE_ROWS_EVENT):
-                        self.images.append(("UPDATE", img[1], self.cur_sql))
-                    else:
-                        self.images.append((_OPNAMES[et], img, self.cur_sql))
-            elif etype == XID_EVENT:
-                if self.cur is not None:
-                    rows += self._rows("committed", decode_xid(ev))
-                    self.cur, self.images = None, []
         self.tail = buf[off:]
         return rows
 

@@ -861,6 +861,18 @@ class BinlogSocketStreamReader(DataSourceStreamReader):
 
         s1 = (end or {}).get("snap")
         s0_raw = (start or {}).get("snap")
+        if (s1 is not None or s0_raw is not None) \
+                and self._snap_plan() is None:
+            # a checkpointed offset carries snapshot state but this
+            # reader was rebuilt without a bootstrap table: planning
+            # the chunks is impossible, and silently serving only the
+            # slice would drop bootstrap rows the offset log says were
+            # delivered. Fail with the actual cause, not an unpack
+            # TypeError deep inside partition planning.
+            raise ValueError(
+                "offset log contains snapshot state (snap index) but "
+                "this reader has no bootstrap_table option — restore "
+                "the bootstrap options or start a fresh checkpoint")
         if s1 is not None:
             # interleaved window: chunk deltas AND the live slice
             s0 = int(s0_raw or 0)

@@ -250,6 +250,22 @@ def _window_touched_pks(events: list[tuple[int, bytes]], table: str,
     return touched
 
 
+def _chain_between(host: str, port: int, user: str, password: str,
+                   file_l: str, file_h: str) -> list[tuple[str, int]]:
+    """The binlog files STRICTLY BETWEEN two watermark files in SHOW
+    BINARY LOGS order — the intermediate files a multi-rotation window
+    must also scan. Empty when the files are adjacent (the common
+    single-rotation case) or either endpoint is missing (purged logs:
+    the caller's endpoint dumps still cover what remains)."""
+    from ru_cdc_spark.sources.mysql_socket_source import fetch_binary_logs
+
+    chain = fetch_binary_logs(host, port, user, password)
+    names = [n for n, _ in chain]
+    if file_l not in names or file_h not in names:
+        return []
+    return chain[names.index(file_l) + 1:names.index(file_h)]
+
+
 def read_chunk(host: str, port: int, user: str, password: str,
                plan: SnapshotPlan, lo: int, hi: int,
                binary_protocol: bool = False
@@ -287,11 +303,18 @@ def read_chunk(host: str, port: int, user: str, password: str,
     touched: set[int] = set()
     if file_h != file_l:
         # the binlog rotated between the watermarks: the window spans
-        # BOTH files — dump the old file's tail (a genuine rotate ends
-        # the read) and the new file's prefix; skipping either side
-        # would let a raced snapshot row win the merge permanently
+        # MULTIPLE files — the old file's tail, EVERY intermediate file
+        # in the chain (more than one rotation can land inside a slow
+        # chunk read), and the new file's prefix. Skipping any of them
+        # would let a raced snapshot row survive dedup and win the
+        # merge permanently (low watermark L outranks events that were
+        # never scanned).
         window = _dump_events(host, port, user, password,
                               file_l, pos_l, 1 << 62)
+        for name, _size in _chain_between(host, port, user, password,
+                                          file_l, file_h):
+            window += _dump_events(host, port, user, password,
+                                   name, 4, 1 << 62)
         window += _dump_events(host, port, user, password,
                                file_h, 4, pos_h)
         touched = _window_touched_pks(window, plan.table, lo, hi,
@@ -525,24 +548,45 @@ def snapshot_changes(spark: SparkSession, host: str, port: int,
                      user: str, password: str, plan: SnapshotPlan,
                      n_slices: int = 8) -> DataFrame:
     """The change-stream leg: every row event for ``plan.table`` from
-    the snapshot-start position to the current tip, as (seq = event
-    end position, op, text columns). Slices cut at TABLE_MAP starts
-    like the engine's CDC reader; each task dumps only its range.
-    DELETEs carry the before image (tombstone payload)."""
+    the snapshot-start position to the current tip, as (seq =
+    file-biased event position, op, text columns). Slices cut at
+    TABLE_MAP starts like the engine's CDC reader; each task dumps only
+    its range. DELETEs carry the before image (tombstone payload).
+
+    The read walks the WHOLE file chain from ``plan.start_file`` (SHOW
+    BINARY LOGS order): if the binlog rotated between ``plan_snapshot``
+    and this read, the start file's tail and every later file are laid
+    out and sliced separately, and ``start_pos`` clips only inside
+    ``start_file`` (positions are file-relative — comparing it against
+    another file's offsets would drop or duplicate events). Each
+    emitted seq folds in its OWN file's sequence number (``wire_seq``),
+    so cross-file order stays total against the chunk rows."""
     from ru_cdc_spark.sources.binlog_wire import (
         decode_rows_event,
         decode_table_map,
     )
+    from ru_cdc_spark.sources.mysql_socket_source import fetch_binary_logs
 
-    fname, _end, events = fetch_binlog_layout(host, port, user, password)
-    slices = [(max(lo, plan.start_pos), hi)
-              for lo, hi in slice_at_table_maps(events, n_slices)
-              if hi > plan.start_pos]
+    tip_file, _end, _tip_events = fetch_binlog_layout(host, port, user,
+                                                      password)
+    names = [n for n, _ in fetch_binary_logs(host, port, user, password)]
+    if plan.start_file in names:
+        files = names[names.index(plan.start_file):]
+    else:  # purged below the start file (or no SHOW BINARY LOGS rows)
+        files = names or [tip_file]
     schema = ("seq long, op string, "
               + ", ".join(f"`{c}` string" for c in plan.columns))
+    slices: list[tuple[str, int, int]] = []
+    for f in files:
+        _f, _fend, events = fetch_binlog_layout(host, port, user,
+                                                password, filename=f)
+        clip = plan.start_pos if f == plan.start_file else 0
+        slices += [(f, max(lo, clip), hi)
+                   for lo, hi in slice_at_table_maps(events, n_slices)
+                   if hi > clip]
     if not slices:
         return spark.createDataFrame([], schema)
-    ranges = spark.createDataFrame(slices, "lo long, hi long") \
+    ranges = spark.createDataFrame(slices, "f string, lo long, hi long") \
         .repartition(max(1, len(slices)))
     op_names = {30: "INSERT", 31: "UPDATE", 32: "DELETE",
                 39: "UPDATE"}
@@ -552,9 +596,9 @@ def snapshot_changes(spark: SparkSession, host: str, port: int,
             out: dict[str, list] = {"seq": [], "op": []}
             for c in plan.columns:
                 out[c] = []
-            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+            for f, lo, hi in zip(pdf["f"], pdf["lo"], pdf["hi"]):
                 frames = _dump_frames(host, port, user, password,
-                                      fname, int(lo), int(hi))
+                                      str(f), int(lo), int(hi))
                 for pos, frame in frames:
                     tm_size = int.from_bytes(frame[9:13], "little")
                     _tid, _sch, tname, specs = decode_table_map(
@@ -567,7 +611,7 @@ def snapshot_changes(spark: SparkSession, host: str, port: int,
                         img = r[1] if ev_type in (31, 39) else r
                         # the SAME file-biased coordinate the chunk
                         # rows carry — cross-file order stays total
-                        out["seq"].append(wire_seq(fname, pos))
+                        out["seq"].append(wire_seq(str(f), pos))
                         out["op"].append(op_names[ev_type])
                         for c, v in zip(plan.columns, img):
                             out[c].append(None if v is None else str(v))

@@ -1116,3 +1116,103 @@ class TestLiveTableConcurrency:
                for r in t.scan()}
         got = {int(r[0]): tuple(r) for r in total}
         assert got == exp
+
+
+class TestRotationChainFixes:
+    """Advisor round-8 fixes: windows and change streams must walk the
+    WHOLE binlog file chain, not just its endpoints."""
+
+    def _rotate(self, srv, name):
+        vb = VirtualBinlog(name)
+        vb.append(encode_format_description(CHECKSUM_NONE))
+        with srv.mutation():
+            srv.binlogs.append(vb)
+            srv.binlog = vb
+
+    def test_multi_rotation_window_scans_intermediate_files(self, srv):
+        """TWO rotations land inside one watermark window and the raced
+        update is in the MIDDLE file: dumping only file_l's tail and
+        file_h's prefix (the old endpoint-only branch) never sees it,
+        so the stale snapshot row would survive dedup and win the merge
+        permanently."""
+        t = _table(srv)
+
+        def two_rotations(_t, lo, hi):
+            self._rotate(srv, "binlog.000002")
+            t.update((4, 444, "raced-mid-chain", Decimal("4.0000")))
+            self._rotate(srv, "binlog.000003")
+
+        srv.on_select = two_rotations
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        rows, seq = read_chunk("127.0.0.1", srv.port, srv.user,
+                               srv.password, plan, -1, 9)
+        assert [r[0] for r in rows] == [str(i) for i in range(10)
+                                        if i != 4]
+
+    def test_snapshot_changes_walks_chain_from_start_file(self, spark,
+                                                          srv):
+        """Rotations AFTER plan_snapshot: the change-stream leg must
+        deliver the start file's tail, every intermediate file, and the
+        tip — laying out only the tip (the old behavior) silently drops
+        the earlier files' events and clips the tip by a position from
+        a different file."""
+        t = _table(srv)
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        t.update((7, 777, "tail-of-start-file", Decimal("7.0000")))
+        self._rotate(srv, "binlog.000002")
+        t.delete(8)                      # intermediate file event
+        self._rotate(srv, "binlog.000003")
+        t.insert((40, 400, "tip", Decimal("4.0000")))
+
+        changes = snapshot_changes(spark, "127.0.0.1", srv.port,
+                                   srv.user, srv.password, plan)
+        rows = changes.collect()
+        by_op = {r["op"]: r for r in rows}
+        assert set(by_op) == {"UPDATE", "DELETE", "INSERT"}
+        assert by_op["UPDATE"]["name"] == "tail-of-start-file"
+        assert by_op["DELETE"]["id"] == "8"
+        assert by_op["INSERT"]["id"] == "40"
+        # cross-file seqs stay totally ordered (file-biased wire_seq)
+        assert by_op["UPDATE"]["seq"] < by_op["DELETE"]["seq"] \
+            < by_op["INSERT"]["seq"]
+
+    def test_snapshot_changes_clips_only_inside_start_file(self, spark,
+                                                           srv):
+        """Events BEFORE the snapshot-start position in the start file
+        stay excluded (they're already in the chunk rows), while a
+        same-numbered position in a LATER file is delivered."""
+        t = _table(srv)
+        plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
+                             srv.password, "snaptab", chunk_size=10)
+        self._rotate(srv, "binlog.000002")
+        # lands near the new file's START: pos < plan.start_pos, which
+        # a file-blind clip would wrongly exclude
+        t.update((3, 333, "early-pos-later-file", Decimal("3.0000")))
+        changes = snapshot_changes(spark, "127.0.0.1", srv.port,
+                                   srv.user, srv.password, plan)
+        rows = changes.collect()
+        assert [r["name"] for r in rows] == ["early-pos-later-file"]
+
+    def test_snap_offset_without_bootstrap_option_fails_loudly(self,
+                                                               srv,
+                                                               tmp_path):
+        """A checkpoint whose offsets carry snapshot state replayed
+        into a reader rebuilt WITHOUT bootstrap_table must raise the
+        actual cause, not an unpack TypeError inside planning."""
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            BinlogSocketStreamReader,
+        )
+
+        _table(srv)
+        reader = BinlogSocketStreamReader({
+            "host": "127.0.0.1", "port": str(srv.port),
+            "user": srv.user, "password": srv.password,
+            "position_file": str(tmp_path / "meta.json"),
+        })
+        o0 = reader.initialOffset()
+        start = dict(o0, snap=0)
+        end = dict(o0, snap=2)
+        with pytest.raises(ValueError, match="bootstrap_table"):
+            reader.partitions(start, end)

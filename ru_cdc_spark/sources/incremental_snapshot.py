@@ -44,6 +44,7 @@ database's read bandwidth while the pipeline keeps streaming.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -398,57 +399,97 @@ def snapshot_chunks(spark: SparkSession, host: str, port: int,
     return ranges.mapInPandas(run, schema)
 
 
+@dataclass
+class ChunkStore:
+    """Create-only object-store discipline over a directory: unique-name
+    puts plus put-if-absent commits — NO rename or replace anywhere.
+    Local put-if-absent = write staged bytes, then ``os.link`` to the
+    final name (atomic; fails if the target exists), the same contract
+    as S3 conditional PUT (``If-None-Match: *``), GCS preconditions, or
+    an ABFS etag guard. Listing/existence may LAG on real stores; the
+    commit protocol tolerates that: resolution goes only through commit
+    markers, a staged file without its marker is invisible garbage, and
+    re-executing an already-committed chunk just loses the
+    put-if-absent race and leaves its staged file unmanifested."""
+
+    root: str
+
+    def _full(self, name: str) -> str:
+        full = os.path.join(self.root, name)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        return full
+
+    def put(self, name: str, data: bytes) -> None:
+        """Unique-name write (callers embed a uuid): visibility comes
+        only from a later commit marker, so non-atomic local writes are
+        safe — a torn file is never referenced."""
+        with open(self._full(name), "wb") as fh:
+            fh.write(data)
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        """Atomic create-only publish; False = another attempt won."""
+        import uuid
+
+        staged = self._full(f".staged-{uuid.uuid4().hex}")
+        with open(staged, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(staged, self._full(name))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(staged)
+
+    def read(self, name: str) -> bytes:
+        with open(os.path.join(self.root, name), "rb") as fh:
+            return fh.read()
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.root, name))
+
+
 def run_snapshot_resumable(spark: SparkSession, host: str, port: int,
                            user: str, password: str, plan: SnapshotPlan,
-                           out_dir: str) -> DataFrame:
-    """The resumable runner the module docstring promises: each chunk
-    lands as its own parquet directory named by its pk range, written
-    via an atomic rename (tmp dir -> final name), so a killed run
-    leaves only whole chunks behind. A re-run re-plans the SAME ranges
-    (they derive from pk bounds at ORIGINAL snapshot start, persisted
-    alongside the chunks) and executes only the missing ones — chunks
-    are idempotent under the versioned merge, so at-least-once chunk
-    execution is safe and exactly-once is just the I/O saving.
+                           out_dir: str,
+                           store: ChunkStore | None = None) -> DataFrame:
+    """The resumable runner the module docstring promises, with
+    OBJECT-STORE-SAFE chunk commits: each chunk's rows land in a
+    uniquely-named staged parquet file, then a ``commit-<lo>_<hi>.json``
+    marker naming that file is published create-only (put-if-absent) —
+    the manifest protocol of ``sources/queue_sink.py``, no renames. A
+    killed run leaves staged files without markers (invisible) and
+    whole committed chunks; a re-run re-reads the PERSISTED plan (the
+    original ranges and stream-start position stay authoritative —
+    re-deriving bounds now would miss rows inserted below the new MIN)
+    and executes only chunks whose marker is missing. Racing or
+    resumed duplicate executions are safe: chunks are idempotent under
+    the versioned merge, and only one attempt's marker can ever win.
 
-    Scale: state is one directory marker per chunk (a 10 TB table at
-    1 GB chunks = 10k markers); no driver bookkeeping beyond the
-    listing; the interrupted-and-resumed output is BYTE-identical in
-    content to a single uninterrupted run because every chunk re-read
-    would produce the same surviving rows or lose only to strictly
-    newer change events in the merge. ``out_dir`` must live on a
-    filesystem with atomic directory rename (local/NFS/HDFS — not raw
-    S3; there, stage to HDFS or rely on the streaming bootstrap, whose
-    chunk state rides Spark's offset log instead of renames)."""
+    Scale: state is one marker object per chunk (a 10 TB table at 1 GB
+    chunks = 10k markers); no driver bookkeeping beyond marker
+    existence checks; correct on eventually-consistent listings because
+    a stale miss only causes a redundant idempotent re-read."""
     import json
-    import os
 
-    os.makedirs(out_dir, exist_ok=True)
-    plan_path = os.path.join(out_dir, "plan.json")
-    if os.path.exists(plan_path):
-        # resume: the ORIGINAL run's ranges and stream-start position
-        # stay authoritative (re-deriving bounds now would miss rows
-        # inserted below the new MIN since the first attempt)
-        with open(plan_path) as fh:
-            saved = json.load(fh)
-        plan = SnapshotPlan(table=saved["table"],
-                            columns=saved["columns"], pk=saved["pk"],
-                            ranges=[tuple(r) for r in saved["ranges"]],
-                            start_file=saved["start_file"],
-                            start_pos=saved["start_pos"])
-    else:
-        tmp = plan_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"table": plan.table, "columns": plan.columns,
-                       "pk": plan.pk, "ranges": plan.ranges,
-                       "start_file": plan.start_file,
-                       "start_pos": plan.start_pos}, fh)
-        os.replace(tmp, plan_path)
+    store = store or ChunkStore(out_dir)
+    os.makedirs(store.root, exist_ok=True)
+    store.put_if_absent("plan.json", json.dumps(
+        {"table": plan.table, "columns": plan.columns, "pk": plan.pk,
+         "ranges": plan.ranges, "start_file": plan.start_file,
+         "start_pos": plan.start_pos}).encode())
+    saved = json.loads(store.read("plan.json"))
+    plan = SnapshotPlan(table=saved["table"], columns=saved["columns"],
+                        pk=saved["pk"],
+                        ranges=[tuple(r) for r in saved["ranges"]],
+                        start_file=saved["start_file"],
+                        start_pos=saved["start_pos"])
 
-    def chunk_dir(lo: int, hi: int) -> str:
-        return os.path.join(out_dir, f"chunk_{lo}_{hi}")
+    def marker(lo: int, hi: int) -> str:
+        return f"commit-{lo}_{hi}.json"
 
     todo = [(lo, hi) for lo, hi in plan.ranges
-            if not os.path.isdir(chunk_dir(lo, hi))]
+            if not store.exists(marker(lo, hi))]
     if todo:
         part = SnapshotPlan(table=plan.table, columns=plan.columns,
                             pk=plan.pk, ranges=todo,
@@ -457,6 +498,9 @@ def run_snapshot_resumable(spark: SparkSession, host: str, port: int,
 
         def write_chunk(batches: Iterator[pd.DataFrame]
                         ) -> Iterator[pd.DataFrame]:
+            import io
+            import uuid
+
             import pyarrow as pa
             import pyarrow.parquet as pq
 
@@ -470,13 +514,18 @@ def run_snapshot_resumable(spark: SparkSession, host: str, port: int,
                     for j, c in enumerate(part.columns):
                         cols[c] = pd.Series([r[j] for r in rows],
                                             dtype="object")
-                    tmp_dir = chunk_dir(int(lo), int(hi)) + ".tmp"
-                    os.makedirs(tmp_dir, exist_ok=True)
+                    buf = io.BytesIO()
                     pq.write_table(
                         pa.Table.from_pandas(pd.DataFrame(cols),
-                                             preserve_index=False),
-                        os.path.join(tmp_dir, "part-0.parquet"))
-                    os.replace(tmp_dir, chunk_dir(int(lo), int(hi)))
+                                             preserve_index=False), buf)
+                    data_name = (f"data/chunk_{int(lo)}_{int(hi)}-"
+                                 f"{uuid.uuid4().hex}.parquet")
+                    store.put(data_name, buf.getvalue())
+                    store.put_if_absent(
+                        marker(int(lo), int(hi)),
+                        json.dumps({"file": data_name}).encode())
+                    # a lost race leaves this attempt's staged file
+                    # unmanifested — invisible garbage, never read
                     done.append(int(lo))
             yield pd.DataFrame({"lo": pd.Series(done, dtype="int64")})
 
@@ -489,8 +538,10 @@ def run_snapshot_resumable(spark: SparkSession, host: str, port: int,
                                       for c in plan.columns)
     if not plan.ranges:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[chunk_dir(lo, hi) for lo, hi in plan.ranges])
+    files = [os.path.join(store.root,
+                          json.loads(store.read(marker(lo, hi)))["file"])
+             for lo, hi in plan.ranges]
+    return spark.read.schema(schema).parquet(*files)
 
 
 def decode_table_frames(frames: DataFrame, table: str,

@@ -2625,6 +2625,50 @@ def mysql_socket_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOCKET_METADATA_SERVER = None
+
+
+def mysql_socket_metadata_snapshot(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """CATALOG-FREE socket CDC: the server runs binlog_row_metadata=
+    FULL (every TABLE_MAP carries the WL#4618 TLV — column names,
+    signedness, PK) and its DESC endpoint is DENIED outright (a
+    replication user with only REPLICATION SLAVE/CLIENT grants). Column
+    resolution happens entirely from the wire metadata inside the fused
+    dump+decode task; zero DESC round-trips exist in the plan, gated by
+    the fixture's command log in tests. The reference structurally
+    cannot run this way — its per-worker DESC connection
+    (src/executor.rs:404-443) is how it learns names at all. Same
+    oracle as every other transport: metadata transport changes nothing
+    about the answer."""
+    from ru_cdc_spark.sources.binlog_frames import BINLOG_CDC_N_ROWS
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_changes
+
+    global _SOCKET_METADATA_SERVER
+    if _SOCKET_METADATA_SERVER is None:
+        _SOCKET_METADATA_SERVER = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(BINLOG_CDC_N_ROWS,
+                                                  full_metadata=True),
+            deny_desc=True, catalog={},
+        ).start()
+    srv = _SOCKET_METADATA_SERVER
+    changes = socket_cdc_changes(spark, "127.0.0.1", srv.port,
+                                 srv.user, srv.password, n_slices=8,
+                                 wire_named=True)
+    row = F.struct(*[F.col(c) for c in changes.columns])
+    return (
+        changes.groupBy("i")
+        .agg(F.max_by(row, F.col("seq")).alias("__r"))
+        .select("__r.*")
+        .where(F.col("type") != "DELETE")
+        .select("i", "t_long", "t_dec", "t_varchar", "t_datetime")
+    )
+
+
 _SOCKET_MINIMAL_SERVER = None
 
 
@@ -4169,6 +4213,8 @@ def _register_binlog_wire() -> None:
              BINLOG_SPARSE_SNAPSHOT_ORACLE)(binlog_noblob_image_merge)
     register("mysql_socket_minimal_snapshot",
              BINLOG_SPARSE_SNAPSHOT_ORACLE)(mysql_socket_minimal_snapshot)
+    register("mysql_socket_metadata_snapshot",
+             BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_metadata_snapshot)
     register("binlog_wire_multitable",
              BINLOG_MULTITABLE_ORACLE)(binlog_wire_multitable)
     register("binlog_wire_stream_snapshot",

@@ -245,29 +245,37 @@ def _update_after(i: int) -> tuple:
     return tuple(row)
 
 
-def cdc_frame_bytes(fid: int, n_rows: int) -> bytes | None:
+def cdc_frame_bytes(fid: int, n_rows: int,
+                    full_metadata: bool = False) -> bytes | None:
     """The deterministic wire bytes of CDC frame ``fid`` (None past the
     end): one WRITE_ROWS event for the frame's rows plus UPDATE/DELETE
     events for the rows the fixture discipline mutates. Shared by the
     mapInPandas generator and the streaming wire DataSource — 'what the
-    socket would deliver' is defined once."""
+    socket would deliver' is defined once. ``full_metadata`` makes every
+    TABLE_MAP carry the WL#4618 TLV block (binlog_row_metadata=FULL:
+    column names, signedness, primary key) — the wire a consumer can
+    decode with ZERO catalog round-trips."""
     from ru_cdc_spark.sources.binlog_wire import DELETE_ROWS_V2, UPDATE_ROWS_V2
 
     lo = fid * ROWS_PER_EVENT
     rng = [i for i in range(lo, min(lo + ROWS_PER_EVENT, n_rows))]
     if not rng:
         return None
+    meta = dict(full_metadata=full_metadata,
+                column_names=[n for n, _ in COLUMNS] if full_metadata
+                else None,
+                primary_key=[0] if full_metadata else None)
     inserts = [_row_values(i) for i in rng]
     updates = [(_row_values(i), _update_after(i)) for i in rng if i % 10 < 3]
     deletes = [_row_values(i) for i in rng if i % 10 == 3]
     blob = encode_frame(42, "testdb", "wiretypes", SPECS,
-                        WRITE_ROWS_V2, inserts, log_pos=lo)
+                        WRITE_ROWS_V2, inserts, log_pos=lo, **meta)
     if updates:
         blob += encode_frame(42, "testdb", "wiretypes", SPECS,
-                             UPDATE_ROWS_V2, updates, log_pos=lo)
+                             UPDATE_ROWS_V2, updates, log_pos=lo, **meta)
     if deletes:
         blob += encode_frame(42, "testdb", "wiretypes", SPECS,
-                             DELETE_ROWS_V2, deletes, log_pos=lo)
+                             DELETE_ROWS_V2, deletes, log_pos=lo, **meta)
     return blob
 
 
@@ -299,50 +307,77 @@ CDC_DECODED_SCHEMA = (
 )
 
 
-def decode_cdc_blobs(blobs) -> pd.DataFrame:
+_EMIT_NAMES = ("i", "t_long", "t_dec", "t_varchar", "t_datetime")
+_EMIT_IDX = tuple([n for n, _ in COLUMNS].index(c) for c in _EMIT_NAMES)
+
+
+def decode_cdc_blobs(blobs, wire_named: bool = False) -> pd.DataFrame:
     """Decode an iterable of frame blobs (each 1-3 concatenated
     TABLE_MAP+ROWS pairs) into one pandas frame of the flat change
     stream — the executor-side core shared by ``decode_cdc_frames``
     (frames already in a DataFrame) and the fused socket reader
     (``mysql_socket_source.socket_cdc_changes``, which decodes in the
-    same task that dumped the bytes so frames never cross the JVM)."""
+    same task that dumped the bytes so frames never cross the JVM).
+
+    ``wire_named=True`` = CATALOG-FREE decode: column positions are
+    resolved from each TABLE_MAP's own WL#4618 COLUMN_NAME metadata
+    (binlog_row_metadata=FULL) instead of the engine's out-of-band
+    catalog knowledge — no DESC connection exists anywhere in that
+    path. (The reference's per-worker DESC round-trip,
+    src/executor.rs:404-443, exists only because classic TABLE_MAPs
+    lack names.) Signedness and ENUM/SET labels fold into the specs
+    inside ``decode_table_map_ext``."""
     from ru_cdc_spark.sources.binlog_wire import (
         DELETE_ROWS_V2,
         UPDATE_ROWS_V2,
         decode_rows_event,
         decode_table_map,
+        decode_table_map_ext,
     )
 
     cols = {"seq": [], "type": [], "i": [], "t_long": [], "t_dec": [],
             "t_varchar": [], "t_datetime": []}
+    idx = _EMIT_IDX
 
     def emit(seq, typ, row):
         cols["seq"].append(seq)
         cols["type"].append(typ)
-        cols["i"].append(row[0])
-        cols["t_long"].append(row[4])
-        cols["t_dec"].append(None if row[7] is None else str(row[7]))
-        cols["t_varchar"].append(row[13])
-        cols["t_datetime"].append(row[10])
+        cols["i"].append(row[idx[0]])
+        v_dec = row[idx[2]]
+        cols["t_long"].append(row[idx[1]])
+        cols["t_dec"].append(None if v_dec is None else str(v_dec))
+        cols["t_varchar"].append(row[idx[3]])
+        cols["t_datetime"].append(row[idx[4]])
 
     for blob in blobs:
         b = bytes(blob)
         off = 0
         while off < len(b):
             tm_size = int.from_bytes(b[off + 9:off + 13], "little")
-            _, _, _, specs = decode_table_map(b[off:off + tm_size])
+            if wire_named:
+                _, _, _, specs, tm_meta = decode_table_map_ext(
+                    b[off:off + tm_size])
+                names = tm_meta.get("column_names")
+                if not names:
+                    raise ValueError(
+                        "wire_named decode needs binlog_row_metadata="
+                        "FULL (TABLE_MAP carries no COLUMN_NAME TLV)")
+                idx = tuple(names.index(c) for c in _EMIT_NAMES)
+            else:
+                _, _, _, specs = decode_table_map(b[off:off + tm_size])
             off += tm_size
             ev_size = int.from_bytes(b[off + 9:off + 13], "little")
             etype, rows = decode_rows_event(b[off:off + ev_size], specs)
             off += ev_size
+            pk = idx[0]
             for r in rows:
                 if etype == UPDATE_ROWS_V2:
                     before, after = r
-                    emit(before[0] * 3 + 1, "UPDATE", after)
+                    emit(before[pk] * 3 + 1, "UPDATE", after)
                 elif etype == DELETE_ROWS_V2:
-                    emit(r[0] * 3 + 2, "DELETE", r)
+                    emit(r[pk] * 3 + 2, "DELETE", r)
                 else:
-                    emit(r[0] * 3, "INSERT", r)
+                    emit(r[pk] * 3, "INSERT", r)
     out = pd.DataFrame(cols)
     if len(out):
         out["t_datetime"] = pd.to_datetime(out["t_datetime"])

@@ -136,7 +136,8 @@ class VirtualBinlog:
     def from_cdc_fixture(cls, n_rows: int,
                          filename: str = "binlog.000001",
                          crc32: bool = False,
-                         row_image: str = "FULL") -> "VirtualBinlog":
+                         row_image: str = "FULL",
+                         full_metadata: bool = False) -> "VirtualBinlog":
         """The standard CDC fixture stream as a positioned binlog:
         FORMAT_DESCRIPTION first (declaring NONE or CRC32 — MySQL 8's
         default is CRC32), then every frame's TABLE_MAP/ROWS events.
@@ -159,7 +160,8 @@ class VirtualBinlog:
             CHECKSUM_CRC32 if crc32 else CHECKSUM_NONE))
         n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
         for fid in range(n_frames):
-            blob = cdc_frame_bytes(fid, n_rows) if row_image == "FULL" \
+            blob = cdc_frame_bytes(fid, n_rows, full_metadata) \
+                if row_image == "FULL" \
                 else sparse_cdc_frame_bytes(fid, n_rows, row_image)
             if blob is not None:
                 vb.append_blob(blob)
@@ -322,7 +324,8 @@ class MySQLFixtureServer:
                  stall_mid_dump_secs: float = 0.0,
                  default_auth: str = CACHING_SHA2_PLUGIN,
                  tls: bool = False,
-                 tls_required: bool = False) -> None:
+                 tls_required: bool = False,
+                 deny_desc: bool = False) -> None:
         # fault injection: hang up mid-dump after N event packets
         # WITHOUT the EOF terminator (the server-crash contract test)
         self.die_after_events = die_after_events
@@ -331,6 +334,10 @@ class MySQLFixtureServer:
         # reader) — clients must surface it as an error, never as a
         # clean end-of-stream
         self.err_after_events = err_after_events
+        # privilege fence: reject DESC outright (a replication user
+        # granted only REPLICATION SLAVE/CLIENT — the catalog-free
+        # WL#4618 decode path must work against such a server)
+        self.deny_desc = deny_desc
         # fault injection: send half the dump, go silent for N seconds,
         # then send the rest — models a contended/WAN master whose read
         # stalls exceed any client-side connect timeout (the round-5
@@ -876,7 +883,12 @@ class MySQLFixtureServer:
                 io, ["Log_name", "File_size"],
                 [[b.filename, str(b.end_pos)] for b in self.binlogs])
         elif q.startswith("desc "):
-            self._desc(io, q[5:].strip())
+            if self.deny_desc:
+                io.write_packet(encode_err(
+                    1142, "SELECT command denied to user 'repl' for "
+                          f"table '{q[5:].strip()}'", "42000"), seq=1)
+            else:
+                self._desc(io, q[5:].strip())
         elif q == "select @@global.binlog_checksum":
             self._send_result_set(io, ["@@global.binlog_checksum"],
                                   [["NONE"]])

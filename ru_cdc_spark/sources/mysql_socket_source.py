@@ -364,7 +364,8 @@ def socket_cdc_changes(spark: SparkSession, host: str, port: int,
                        n_slices: int = 8,
                        ssl_ca: str | None = None,
                        ssl_hostname: str | None = None,
-                       compress: str | None = None) -> DataFrame:
+                       compress: str | None = None,
+                       wire_named: bool = False) -> DataFrame:
     """FUSED wire-to-rows reader: each task dials its own connection,
     dumps its [lo, hi) slice, reassembles frames, AND byte-decodes them
     to the typed change stream inside the SAME mapInPandas — the frame
@@ -373,7 +374,14 @@ def socket_cdc_changes(spark: SparkSession, host: str, port: int,
     oracle), but one stage instead of two Python crossings: the
     two-step shape serializes every frame blob out to the JVM and
     straight back into the next Python worker, which at 100 TB is a
-    full extra pass over the wire bytes."""
+    full extra pass over the wire bytes.
+
+    ``wire_named=True`` = the CATALOG-FREE mode for servers running
+    binlog_row_metadata=FULL: column positions, signedness, and labels
+    come from each TABLE_MAP's own WL#4618 TLV — no DESC round-trip
+    exists anywhere in the plan (works for replication users with no
+    SELECT/SHOW grants; the reference cannot run without its
+    per-worker DESC connection, src/executor.rs:404-443)."""
     fname, _end, events = fetch_binlog_layout(
         host, port, user, password, ssl_ca=ssl_ca,
         ssl_hostname=ssl_hostname, compress=compress)
@@ -390,7 +398,8 @@ def socket_cdc_changes(spark: SparkSession, host: str, port: int,
                                       ssl_ca=ssl_ca,
                                       ssl_hostname=ssl_hostname,
                                       compress=compress)
-                yield decode_cdc_blobs(f for _pos, f in frames)
+                yield decode_cdc_blobs((f for _pos, f in frames),
+                                       wire_named=wire_named)
 
     from ru_cdc_spark.sources.binlog_frames import CDC_DECODED_SCHEMA
 

@@ -378,3 +378,71 @@ class TestGtidAlignedCuts:
             assert N_TXNS  # fixture import is live
         finally:
             srv.stop()
+
+
+class TestCatalogFreeWireMetadata:
+    """Round-8 task: when TABLE_MAPs carry WL#4618 FULL metadata, the
+    socket pipeline must need NO catalog endpoint at all — names,
+    signedness, and labels ride the wire."""
+
+    def test_snapshot_with_desc_denied_zero_desc_queries(self, spark):
+        from ru_cdc_spark.sources.binlog_frames import decode_cdc_blobs
+        from ru_cdc_spark.sources.mysql_client import (
+            MySQLConnection,
+            MySQLError,
+        )
+        from ru_cdc_spark.sources.mysql_fixture_server import (
+            MySQLFixtureServer,
+            VirtualBinlog,
+        )
+        from ru_cdc_spark.sources.mysql_socket_source import (
+            socket_cdc_changes,
+        )
+
+        srv = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(200, full_metadata=True),
+            deny_desc=True, catalog={}).start()
+        try:
+            # the privilege fence is real: DESC raises
+            with MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
+                                         srv.password) as conn:
+                import pytest as _pytest
+                with _pytest.raises(MySQLError):
+                    conn.desc_table("testdb", "wiretypes")
+            log_mark = len(srv.command_log)  # exclude the probe itself
+            changes = socket_cdc_changes(spark, "127.0.0.1", srv.port,
+                                         srv.user, srv.password,
+                                         n_slices=4, wire_named=True)
+            n = changes.count()
+            # inserts + updates (i%10<3) + deletes (i%10==3)
+            assert n == 200 + 200 * 3 // 10 + 200 // 10
+            # ZERO desc statements reached the server across the whole
+            # metadata pass + every task's dump
+            assert not [c for c in srv.command_log[log_mark:]
+                        if c.strip().lower().startswith("desc")]
+        finally:
+            srv.stop()
+
+    def test_wire_named_decode_requires_full_metadata(self, spark):
+        from ru_cdc_spark.sources.binlog_frames import (
+            cdc_frame_bytes,
+            decode_cdc_blobs,
+        )
+
+        blob = cdc_frame_bytes(0, 10)  # classic metadata, no names
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="binlog_row_metadata"):
+            decode_cdc_blobs([blob], wire_named=True)
+
+    def test_wire_named_matches_catalog_decode(self, spark):
+        from ru_cdc_spark.sources.binlog_frames import (
+            cdc_frame_bytes,
+            decode_cdc_blobs,
+        )
+
+        classic = decode_cdc_blobs(
+            [cdc_frame_bytes(f, 50) for f in range(10)])
+        named = decode_cdc_blobs(
+            [cdc_frame_bytes(f, 50, full_metadata=True)
+             for f in range(10)], wire_named=True)
+        assert classic.equals(named)

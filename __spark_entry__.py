@@ -92,6 +92,7 @@ SHOWCASE = [
     # ---- past the 50-window: still curated, still oracle-gated ----
     "binlog_partial_json_update", "binlog_noblob_image_merge",
     "mysql_socket_minimal_snapshot", "mysql_socket_metadata_snapshot",
+    "cdc_kafka_broker_failover",
     "cdc_debezium_roundtrip", "binlog_wire_schema_evolution",
     "mysql_socket_txn_compressed", "binlog_txn_apply_groups",
     "q2_min_cost_supplier", "q9_product_profit",

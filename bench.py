@@ -130,7 +130,9 @@ def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def bench_txn_assembly(spark) -> tuple[float, int]:
+def bench_txn_assembly(spark, n_txns: int = TXN_BENCH_TXNS,
+                       n_segments: int = TXN_BENCH_SEGMENTS
+                       ) -> tuple[float, int]:
     """Transactional binlog assembly throughput: 80k transactions
     (~200k row images) of real wire bytes decoded + grouped into atomic
     commit sets. Segment generation is checkpointed first so the timing
@@ -149,7 +151,7 @@ def bench_txn_assembly(spark) -> tuple[float, int]:
     )
 
     n_parts = spark.sparkContext.defaultParallelism
-    segs = generate_txn_segments(spark, TXN_BENCH_TXNS, TXN_BENCH_SEGMENTS,
+    segs = generate_txn_segments(spark, n_txns, n_segments,
                                  n_partitions=n_parts).localCheckpoint()
     best = float("inf")
     n = 0
@@ -161,7 +163,9 @@ def bench_txn_assembly(spark) -> tuple[float, int]:
     return best, n
 
 
-def bench_socket_ingest(spark) -> tuple[float, int]:
+def bench_socket_ingest(spark, n_rows: int = SOCKET_BENCH_ROWS,
+                        n_slices: int = SOCKET_BENCH_SLICES
+                        ) -> tuple[float, int]:
     """Socket ingest throughput: a 100k-row virtual binlog served over
     real TCP, dumped by 16 task-local connections, byte-decoded, and
     counted — the reference's wire-to-rows path end to end (round 8:
@@ -177,7 +181,6 @@ def bench_socket_ingest(spark) -> tuple[float, int]:
     )
     from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_changes
 
-    n_rows = SOCKET_BENCH_ROWS
     srv = MySQLFixtureServer(
         binlog=VirtualBinlog.from_cdc_fixture(n_rows)).start()
     try:
@@ -200,7 +203,7 @@ def bench_socket_ingest(spark) -> tuple[float, int]:
             t0 = time.time()
             n = socket_cdc_changes(spark, "127.0.0.1", srv.port,
                                    srv.user, srv.password,
-                                   n_slices=SOCKET_BENCH_SLICES).count()
+                                   n_slices=n_slices).count()
             best = min(best, time.time() - t0)
         return best, n
     finally:
@@ -211,7 +214,9 @@ BOOTSTRAP_BENCH_ROWS = 50_000
 BOOTSTRAP_BENCH_CHUNK = 2_000
 
 
-def bench_bootstrap_snapshot(spark) -> tuple[float, int]:
+def bench_bootstrap_snapshot(spark, n_rows: int = BOOTSTRAP_BENCH_ROWS,
+                             chunk: int = BOOTSTRAP_BENCH_CHUNK
+                             ) -> tuple[float, int]:
     """DBLog incremental-snapshot throughput: a 50k-row live table
     chunk-read over real TCP (25 chunks of 2k, one watermark pair +
     window dump each, parallel executor tasks), counted. Server and
@@ -250,7 +255,7 @@ def bench_bootstrap_snapshot(spark) -> tuple[float, int]:
             ("name", ColSpec(T_VARCHAR, (300,))),
             ("amount", ColSpec(T_NEWDECIMAL, (12, 4))),
         ])
-        for base in range(0, BOOTSTRAP_BENCH_ROWS, 1000):
+        for base in range(0, n_rows, 1000):
             t.insert(*[(i, (i * 17) % 10000, f"n_{i % 97}",
                         Decimal((i * 31) % 10**8).scaleb(-4))
                        for i in range(base, base + 1000)])
@@ -262,7 +267,7 @@ def bench_bootstrap_snapshot(spark) -> tuple[float, int]:
             t0 = _time.time()
             plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
                                  srv.password, "snaptab",
-                                 chunk_size=BOOTSTRAP_BENCH_CHUNK)
+                                 chunk_size=chunk)
             n = snapshot_chunks(spark, "127.0.0.1", srv.port,
                                 srv.user, srv.password, plan).count()
             best = min(best, _time.time() - t0)

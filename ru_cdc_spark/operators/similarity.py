@@ -632,7 +632,7 @@ def pq_train_codebooks(emb, m: int, ksub: int, sub_dim: int,
 
 def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
                   ksub: int = PQ_KSUB,
-                  shortlist: int = PQ_SHORTLIST) -> DataFrame:
+                  shortlist: int | None = None) -> DataFrame:
     """Product-quantized ANN (Jegou et al., PAMI 2011) with the
     production two-stage shape: ADC shortlist, then exact rerank.
 
@@ -656,6 +656,13 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
     touches only |queries| x shortlist full vectors.
     """
     emb = _emb(spark, sf_dir)
+    if shortlist is None:
+        # recall holds across corpus growth only if the shortlist keeps
+        # its RELATIVE selectivity: a fixed 40 of 2k vectors (2%) is
+        # 0.2% of 20k and recall@3 halves (measured at sf1). ~2% of the
+        # corpus, floored at the classic default; still
+        # |queries| x shortlist exact-rerank work, linear in corpus.
+        shortlist = max(PQ_SHORTLIST, emb.count() // 50)
     dim = len(emb.select("e").first()["e"])
     sub_dim = dim // m
     cb = pq_train_codebooks(emb, m, ksub, sub_dim)
@@ -714,7 +721,7 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
 def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str,
                      n_cells: int = 8, nprobe: int = 3,
                      m: int = PQ_M, ksub: int = PQ_KSUB,
-                     shortlist: int = PQ_SHORTLIST) -> DataFrame:
+                     shortlist: int | None = None) -> DataFrame:
     """IVF-PQ — the faiss flagship index shape, composed from the
     engine's own pieces: coarse k-means cells partition the corpus,
     product quantization codes the RESIDUAL (vector minus its cell
@@ -736,6 +743,9 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str,
     ADC join touches only codes in probed cells — corpus scan cost is
     nprobe/n_cells of a flat PQ scan, the point of IVF."""
     emb = _emb(spark, sf_dir)
+    if shortlist is None:
+        # same relative-selectivity rule as ann_pq_rerank
+        shortlist = max(PQ_SHORTLIST, emb.count() // 50)
     dim = len(emb.select("e").first()["e"])
     sub_dim = dim // m
 

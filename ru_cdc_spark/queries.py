@@ -3923,6 +3923,120 @@ def cdc_kafka_group_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r.*"))
 
 
+def cdc_kafka_broker_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROKER failover mid-stream (the Kafka mirror of round-7's GTID
+    server failover): the topic is consumed from broker A with a
+    group_id until roughly a quarter is broker-committed; an in-sync
+    replica B is snapshotted (log bytes + __consumer_offsets analog), A
+    is KILLED — established sockets reset, port closed — and the Spark
+    checkpoint is DELETED. The resumed consumer walks its bootstrap
+    list (A first: connection refused), fails over to B, OffsetFetches
+    the group's committed position from the survivor, and drains the
+    rest. Offset-keyed dedup collapses the one-batch replay tail and
+    the result hash-matches the plain ``cdc_change_stream`` oracle —
+    nothing lost, nothing duplicated across a dead broker AND a lost
+    checkpoint at once.
+
+    Scale: failover is O(1) per broker op (walk the bootstrap list),
+    zero per-record cost; offsets are coordinates of the replicated
+    log, so the survivor serves identical records."""
+    import shutil as _shutil
+    import time as _time
+    import uuid as _uuid
+
+    from ru_cdc_spark.config import SinkConfig
+    from ru_cdc_spark.sources.kafka_wire import (
+        KafkaBrokerFixture,
+        KafkaWireClient,
+        register_kafka_wire_source,
+    )
+    from ru_cdc_spark.streaming.sinks import write_batch_to_sink
+
+    broker_a = KafkaBrokerFixture().start()
+    topic = f"f{_uuid.uuid4().hex[:8]}_changes"
+    group = f"grp_{topic}"
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    batch = flat.select(
+        F.lit("k").alias("mq"), F.lit(topic).alias("topic"),
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+    write_batch_to_sink(batch, SinkConfig(
+        name="k", kind="kafka_wire",
+        options={"host": "127.0.0.1", "port": str(broker_a.port)}), 0)
+
+    register_kafka_wire_source(spark)
+    work = _session_tmpdir("kafka_failover_")
+    n_records = flat.count()
+    per_batch = max(1, (n_records + 7) // 8)
+    broker_b = None
+
+    def drain(leg: int, endpoints: str, commit_target: int,
+              drain_to: int | None, live_port: int) -> None:
+        stream = (spark.readStream.format("kafka_wire")
+                  .option("endpoints", endpoints)
+                  .option("topic", topic)
+                  .option("group_id", group)
+                  .option("max_records_per_batch", per_batch).load())
+        q = (stream.writeStream.format("parquet")
+             .option("path", f"{work}/out{leg}")
+             .option("checkpointLocation", f"{work}/ck{leg}")
+             .trigger(processingTime="0 seconds").start())
+        deadline = _time.time() + 240
+        try:
+            while _time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                with KafkaWireClient.connect("127.0.0.1",
+                                             live_port) as c:
+                    off, _m = c.offset_fetch(group, topic, [0])[0]
+                if off >= commit_target:
+                    if drain_to is None:
+                        return
+                    p = q.lastProgress
+                    eo = _offset_json(q)
+                    if (p and p["numInputRows"] == 0
+                            and int(eo.get("offset", 0)) >= drain_to):
+                        return
+                _time.sleep(0.05)
+            raise TimeoutError(
+                f"leg {leg} never committed past {commit_target}")
+        finally:
+            q.stop()
+
+    try:
+        # leg 1: broker A alone, commit ~a quarter to the group
+        drain(1, f"127.0.0.1:{broker_a.port}",
+              commit_target=n_records // 4, drain_to=None,
+              live_port=broker_a.port)
+        # in-sync replica at the instant of death; then A dies hard
+        # and the checkpoint is lost too
+        broker_b = broker_a.snapshot_replica().start()
+        broker_a.stop()
+        _shutil.rmtree(f"{work}/ck1", ignore_errors=True)
+        # leg 2: bootstrap list still names dead A first — every
+        # broker op must fail over to B, starting with the OffsetFetch
+        # that recovers the group position
+        drain(2, f"127.0.0.1:{broker_a.port},127.0.0.1:{broker_b.port}",
+              commit_target=n_records - per_batch, drain_to=n_records,
+              live_port=broker_b.port)
+    finally:
+        broker_a.stop()
+        if broker_b is not None:
+            broker_b.stop()
+    out1 = spark.read.parquet(f"{work}/out1")
+    out2 = spark.read.parquet(f"{work}/out2")
+    merged = out1.unionByName(out2)
+    deduped = (merged.groupBy("offset")
+               .agg(F.max_by(F.col("value"), F.col("offset"))
+                    .alias("value")))
+    return (deduped
+            .select(F.from_json(F.col("value").cast("string"),
+                                schema).alias("r"))
+            .select("r.*"))
+
+
 def kafka_to_acid_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole north-star topology over REAL wires in one query:
     Canal envelopes PRODUCED to a Kafka topic (wire-protocol record
@@ -4279,6 +4393,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_group_resume",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_group_resume)
+    register("cdc_kafka_broker_failover",
+             REGISTRY["cdc_change_stream"].oracle)(
+        cdc_kafka_broker_failover)
     register("cdc_kafka_idempotent_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_idempotent_stream)

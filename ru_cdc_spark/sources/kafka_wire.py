@@ -899,7 +899,20 @@ def register_kafka_wire_source(spark) -> None:
 
         def __init__(self, options: dict) -> None:
             self.host = options.get("host", "127.0.0.1")
-            self.port = int(options["port"])
+            self.port = int(options.get("port", 0))
+            # bootstrap list for broker failover: "host:port,host:port".
+            # Every broker op tries the current endpoint first and fails
+            # over in order on connection errors — the consumer keeps
+            # running when the broker it was fetching from dies, exactly
+            # like a real client walking its bootstrap.servers list.
+            eps = options.get("endpoints")
+            if eps:
+                self.endpoints = [(h, int(p)) for h, p in
+                                  (e.rsplit(":", 1)
+                                   for e in eps.split(","))]
+            else:
+                self.endpoints = [(self.host, self.port)]
+            self._ep = 0
             self.topic = options["topic"]
             self.partition = int(options.get("partition", 0))
             self.start = int(options.get("start_offset", 0))
@@ -924,6 +937,36 @@ def register_kafka_wire_source(spark) -> None:
             # would skip the first batch
             self._initial = self._load_cur()
 
+        def _client(self) -> KafkaWireClient:
+            """Dial the current endpoint; on failure walk the rest of
+            the bootstrap list (sticky: the first live endpoint becomes
+            current). A successful TCP connect is NOT proof of life —
+            user-mode network stacks (and real-world load balancers)
+            accept the dial and reset on first I/O — so every candidate
+            is probed with ApiVersions, the same liveness handshake
+            real Kafka clients open with. Raises the last error only
+            when EVERY endpoint is down."""
+            last: Exception | None = None
+            for k in range(len(self.endpoints)):
+                i = (self._ep + k) % len(self.endpoints)
+                h, p = self.endpoints[i]
+                try:
+                    c = KafkaWireClient.connect(h, p, timeout=5)
+                except OSError as exc:
+                    last = exc
+                    continue
+                try:
+                    c.api_versions()
+                    self._ep = i
+                    return c
+                except OSError as exc:
+                    last = exc
+                    try:
+                        c.close()
+                    except OSError:
+                        pass
+            raise last  # type: ignore[misc]
+
         def _load_cur(self) -> int:
             import json as _json
             import os as _os
@@ -933,7 +976,7 @@ def register_kafka_wire_source(spark) -> None:
                 with open(self.position_file) as fh:
                     return int(_json.load(fh)["offset"])
             if self.group_id:
-                with KafkaWireClient.connect(self.host, self.port) as c:
+                with self._client() as c:
                     off, _meta = c.offset_fetch(
                         self.group_id, self.topic,
                         [self.partition])[self.partition]
@@ -961,7 +1004,7 @@ def register_kafka_wire_source(spark) -> None:
         def latestOffset(self) -> dict:  # noqa: N802
             cur = max(getattr(self, "_cur", self.start),
                       self._load_cur())
-            with KafkaWireClient.connect(self.host, self.port) as c:
+            with self._client() as c:
                 hw = c.fetch(self.topic, self.partition, cur,
                              max_bytes=1)["high_watermark"]
             new = min(max(cur, hw), cur + self.per_batch)
@@ -977,19 +1020,37 @@ def register_kafka_wire_source(spark) -> None:
             if partition.hi <= partition.lo:
                 return
             cur = partition.lo
-            with KafkaWireClient.connect(self.host, self.port) as c:
-                # loop: a broker bounds each Fetch by max_bytes, so one
-                # call may cover only part of the committed range —
-                # stopping early would silently drop the rest of the
-                # batch's records
+            # loop: a broker bounds each Fetch by max_bytes, so one
+            # call may cover only part of the committed range —
+            # stopping early would silently drop the rest of the
+            # batch's records. A connection that DIES mid-range fails
+            # over to the next bootstrap endpoint and resumes at `cur`
+            # (offsets are the replicated log's coordinates, so the
+            # survivor serves the identical records).
+            c = self._client()
+            try:
                 while cur < partition.hi:
-                    got = c.fetch(self.topic, self.partition, cur)
+                    try:
+                        got = c.fetch(self.topic, self.partition, cur)
+                    except OSError:
+                        try:
+                            c.close()
+                        except OSError:
+                            pass
+                        self._ep = (self._ep + 1) % len(self.endpoints)
+                        c = self._client()
+                        continue
                     recs = [r for r in got["records"]
                             if cur <= r[0] < partition.hi]
                     if not recs:
                         break
                     yield from recs
                     cur = recs[-1][0] + 1
+            finally:
+                try:
+                    c.close()
+                except OSError:
+                    pass
 
         def commit(self, end: dict) -> None:
             if not self.group_id:
@@ -997,7 +1058,7 @@ def register_kafka_wire_source(spark) -> None:
             # the batch is durably complete: publish our position the
             # way every Kafka consumer does, so external tooling can
             # monitor lag and a checkpoint-less restart can resume
-            with KafkaWireClient.connect(self.host, self.port) as c:
+            with self._client() as c:
                 c.find_coordinator(self.group_id)
                 c.offset_commit(self.group_id, self.topic,
                                 {self.partition: int(end["offset"])},
@@ -1067,6 +1128,33 @@ class KafkaBrokerFixture:
         self._sock: socket.socket | None = None
         self._stop = threading.Event()
 
+    def snapshot_replica(self) -> "KafkaBrokerFixture":
+        """A fully-caught-up follower of this broker at this instant:
+        the log segments (stored bytes included), producer-id state,
+        and the __consumer_offsets analog are copied under the log
+        lock — what an in-sync replica holds when the leader dies.
+        Not started; the caller ``start()``s it (on its own port) and
+        points consumers' bootstrap list at both."""
+        twin = KafkaBrokerFixture(self.host)
+        with self._lock:
+            twin.logs = {k: list(v) for k, v in self.logs.items()}
+            twin.enc_logs = {k: list(v)
+                             for k, v in self.enc_logs.items()}
+            twin._next_pid = self._next_pid
+            twin._txn_pids = dict(self._txn_pids)
+            twin._pid_epoch = dict(self._pid_epoch)
+            twin._pid_seq = dict(self._pid_seq)
+            twin._pid_recent = {k: dict(v)
+                                for k, v in self._pid_recent.items()}
+            twin._txn_parts = {k: set(v)
+                               for k, v in self._txn_parts.items()}
+            twin._ongoing = {k: dict(v)
+                             for k, v in self._ongoing.items()}
+            twin._aborted_idx = {k: list(v)
+                                 for k, v in self._aborted_idx.items()}
+            twin._group_offsets = dict(self._group_offsets)
+        return twin
+
     def start(self) -> "KafkaBrokerFixture":
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -1083,14 +1171,24 @@ class KafkaBrokerFixture:
                 self._sock.close()
             except OSError:
                 pass
+        # a DEAD broker resets its established connections too — live
+        # consumers must see a connection error (and fail over), not a
+        # silent hang on a half-open socket
+        for conn in list(getattr(self, "_conns", [])):
+            try:
+                conn.close()
+            except OSError:
+                pass
 
     def _accept_loop(self) -> None:
         assert self._sock is not None
+        self._conns: list[socket.socket] = getattr(self, "_conns", [])
         while not self._stop.is_set():
             try:
                 conn, _ = self._sock.accept()
             except OSError:
                 return
+            self._conns.append(conn)
             threading.Thread(target=self._serve, args=(conn,),
                              daemon=True).start()
 

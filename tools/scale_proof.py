@@ -61,5 +61,71 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def throughput(sf1_dir: str) -> None:
+    """Round-8 verdict item #4: the streaming/throughput bench legs at
+    1x vs 10x fixture sizes (one-off — the frozen bench sizes stay
+    untouched). The metric is rows/s DEGRADATION: a leg whose rows/s
+    drops >30% at 10x has a super-linear bottleneck to name."""
+    import bench
+
+    spark = get_spark("scale-proof")
+    out = {}
+
+    def leg(name, fn, one, ten):
+        r = {}
+        for label, kwargs, rows_hint in (("1x", one, None),
+                                         ("10x", ten, None)):
+            sec, rows = fn(spark, **kwargs)
+            r[label] = {"sec": round(sec, 2), "rows": rows,
+                        "rows_per_sec": round(rows / sec, 1)}
+        r["rows_per_sec_ratio"] = round(
+            r["10x"]["rows_per_sec"] / r["1x"]["rows_per_sec"], 2)
+        out[name] = r
+        print(f"{name}: 1x={r['1x']['rows_per_sec']/1000:.1f}k rows/s "
+              f"10x={r['10x']['rows_per_sec']/1000:.1f}k rows/s "
+              f"ratio={r['rows_per_sec_ratio']}x", flush=True)
+
+    leg("txn_assembly", bench.bench_txn_assembly,
+        dict(n_txns=80_000, n_segments=500),
+        dict(n_txns=800_000, n_segments=5_000))
+    leg("socket_ingest", bench.bench_socket_ingest,
+        dict(n_rows=100_000, n_slices=16),
+        dict(n_rows=1_000_000, n_slices=16))
+    leg("bootstrap_snapshot", bench.bench_bootstrap_snapshot,
+        dict(n_rows=50_000, chunk=2_000),
+        dict(n_rows=500_000, chunk=2_000))
+    leg("cdc_stream_pipeline", bench.bench_stream_pipeline,
+        dict(sf_dir="/root/testdata/sf0.1"), dict(sf_dir=sf1_dir))
+    print(json.dumps(out))
+
+
+def recall(sf1_dir: str) -> None:
+    """Round-8 verdict item #7: ANN recall@3 at sf1 (hash-noise-
+    decorrelated 10x embeddings) for IVF-kmeans, PQ-rerank, and
+    multiprobe — each must hold within 0.05 of its sf0.1 gate."""
+    spark = get_spark("scale-proof")
+    out = {}
+    for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"),
+                             ("sf1", sf1_dir)):
+        exact = REGISTRY["knn_brute_force"].fn(spark, sf_dir)
+        truth = {(r.q_vec, r.neighbor) for r in exact.collect()
+                 if r.rank <= 3}
+        for name in ("ann_ivf_kmeans", "ann_pq_rerank",
+                     "ann_multiprobe"):
+            approx = REGISTRY[name].fn(spark, sf_dir)
+            got = {(r.q_vec, r.neighbor) for r in approx.collect()}
+            rec = round(len(truth & got) / max(len(truth), 1), 3)
+            out.setdefault(name, {})[sf_label] = rec
+            print(f"{name} recall@3 {sf_label}: {rec}", flush=True)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--throughput" in sys.argv:
+        throughput(sys.argv[-1] if not sys.argv[-1].startswith("--")
+                   else "/tmp/sfdata/sf1")
+    elif "--recall" in sys.argv:
+        recall(sys.argv[-1] if not sys.argv[-1].startswith("--")
+               else "/tmp/sfdata/sf1")
+    else:
+        main()

@@ -2373,6 +2373,84 @@ def binlog_minimal_image_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sparse_image_merge(spark, "MINIMAL")
 
 
+def cdc_envelope_minimal_image(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Canal envelope semantics under ``binlog_row_image=MINIMAL``:
+    the ``data`` image map carries ONLY the columns present on the wire
+    (an absent column must not be forged as NULL — INSERTs emit all 6
+    fields, UPDATEs exactly the changed 2, DELETEs the PK-only before
+    image), and the T2 changed-column diff emits every SET column with
+    an UNKNOWN (NULL) old value — the before image is PK-only, so
+    claiming "unchanged" would silently hide real changes from cache
+    invalidation / audit consumers (operators/envelope.py
+    changed_old_map_sparse rationale). Flat projection for the hash
+    gate; the map plumbing itself is the thing under test.
+
+    Scale: narrow wire decode, then pure codegen map construction —
+    zero shuffles in the whole plan."""
+    from ru_cdc_spark.operators.envelope import (
+        changed_old_map_sparse,
+        image_map_sparse,
+    )
+    from ru_cdc_spark.sources.binlog_frames import (
+        SPARSE_CDC_N_ROWS,
+        SPARSE_EMIT_COLS,
+        decode_sparse_cdc_frames,
+        generate_sparse_cdc_frames,
+    )
+
+    ch = decode_sparse_cdc_frames(
+        generate_sparse_cdc_frames(spark, SPARSE_CDC_N_ROWS,
+                                   mode="MINIMAL").select("frame"))
+    fields = [("i", "long"), ("t_long", "long"), ("t_dec", "string"),
+              ("t_varchar", "string"), ("t_datetime", "timestamp_ntz"),
+              ("t_text", "string")]
+    names = [n for n, _ in SPARSE_EMIT_COLS]
+    # the pk rides the BEFORE image on UPDATEs (MINIMAL), the row image
+    # everywhere else — so it is present in `data`'s source image
+    # exactly when the row is not an UPDATE
+    i_present = F.col("type") != "UPDATE"
+    img = F.struct(F.col("i"), *[F.col(n) for n in names])
+    img_p = F.struct(i_present.alias("i"),
+                     *[F.col(f"{n}_present").alias(n) for n in names])
+    before = F.struct(F.col("i"),
+                      *[F.lit(None).cast(t).alias(n)
+                        for n, t in fields if n != "i"])
+    before_p = F.struct(F.lit(True).alias("i"),
+                        *[F.lit(False).alias(n) for n in names])
+    data = image_map_sparse(img, fields, img_p)
+    old = F.when(F.col("type") == "UPDATE",
+                 changed_old_map_sparse(before, img, fields,
+                                        before_p, img_p))
+    return ch.select(
+        "seq", F.col("i").alias("id"), "type",
+        F.size(data).alias("n_data"),
+        F.element_at(data, "t_long").alias("data_t_long"),
+        F.element_at(data, "t_text").alias("data_t_text"),
+        F.coalesce(F.map_contains_key(old, "t_varchar"),
+                   F.lit(False)).alias("old_has_t_varchar"),
+    )
+
+
+CDC_ENVELOPE_MINIMAL_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({2000})) AS i)
+SELECT i * 3 AS seq, i AS id, 'INSERT' AS type, 6 AS n_data,
+  CAST(CASE WHEN i % 13 = 4 THEN NULL
+       ELSE (i * 2654435761) % 4000000000 - 2000000000 END AS VARCHAR)
+    AS data_t_long,
+  't' || CAST(i * 3 AS VARCHAR) AS data_t_text,
+  FALSE AS old_has_t_varchar
+FROM ids
+UNION ALL
+SELECT i * 3 + 1, i, 'UPDATE', 2,
+  CAST(i + 5000000 AS VARCHAR), NULL, TRUE
+FROM ids WHERE i % 10 < 3
+UNION ALL
+SELECT i * 3 + 2, i, 'DELETE', 1, NULL, NULL, FALSE
+FROM ids WHERE i % 10 = 3
+"""
+
+
 def binlog_noblob_image_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same pipeline under ``binlog_row_image=NOBLOB``: every image omits
     BLOB/TEXT columns unless PK or changed — here t_text vanishes from
@@ -4329,6 +4407,8 @@ def _register_binlog_wire() -> None:
              BINLOG_SPARSE_SNAPSHOT_ORACLE)(mysql_socket_minimal_snapshot)
     register("mysql_socket_metadata_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_metadata_snapshot)
+    register("cdc_envelope_minimal_image",
+             CDC_ENVELOPE_MINIMAL_ORACLE)(cdc_envelope_minimal_image)
     register("binlog_wire_multitable",
              BINLOG_MULTITABLE_ORACLE)(binlog_wire_multitable)
     register("binlog_wire_stream_snapshot",

@@ -208,6 +208,7 @@ def _window_touched_pks(events: list[tuple[int, bytes]], table: str,
     garbage pk to the dedup set (silently dropping an innocent
     snapshot row that nothing ever replays)."""
     from ru_cdc_spark.sources.binlog_wire import (
+        ABSENT,
         decode_format_description,
         decode_rows_event,
         decode_table_map,
@@ -246,7 +247,10 @@ def _window_touched_pks(events: list[tuple[int, bytes]], table: str,
             images.extend(r if ev_type in (31, 39) else (r,))
         for img in images:
             v = img[pk_i]
-            if v is not None and lo < int(v) <= hi:
+            # ABSENT (binlog_row_image=MINIMAL: the UPDATE after-image
+            # carries no pk — it travels in the before image, which is
+            # also scanned here) is "unknown", never a key
+            if v is not None and v is not ABSENT and lo < int(v) <= hi:
                 touched.add(int(v))
     return touched
 

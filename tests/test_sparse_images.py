@@ -116,3 +116,31 @@ def test_sparse_merge_plan_single_pk_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1  # the pk agg
     assert "Window" not in plan
     assert "partial_max_by" in plan  # map-side collapse before the shuffle
+
+
+def test_window_dedup_survives_minimal_images():
+    """A MINIMAL-configured server's UPDATE after-image has no pk (it
+    travels in the before image): the incremental snapshot's window
+    dedup must key on the before image and never trip over ABSENT."""
+    from ru_cdc_spark.sources.binlog_wire import (
+        ABSENT,
+        ColSpec,
+        T_LONG,
+        T_LONGLONG,
+        UPDATE_ROWS_V2,
+        encode_rows_event,
+        encode_table_map,
+    )
+    from ru_cdc_spark.sources.incremental_snapshot import (
+        _window_touched_pks,
+    )
+
+    specs = [ColSpec(T_LONGLONG), ColSpec(T_LONG)]
+    tm = encode_table_map(9, "app", "snaptab", specs)
+    ev = encode_rows_event(
+        UPDATE_ROWS_V2, 9, specs,
+        [((7, ABSENT), (ABSENT, 42))],
+        present=[True, False], present_after=[False, True])
+    touched = _window_touched_pks([(0, tm), (1, ev)], "snaptab",
+                                  lo=-1, hi=100)
+    assert touched == {7}

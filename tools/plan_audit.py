@@ -121,6 +121,16 @@ AUDIT = [
      "streaming bootstrap handoff: decoded frames (snapshot + live, "
      "one wire format, one decoder) -> single PK hash merge; the "
      "stream side is offset-log-driven, nothing here re-reads it"),
+    ("binlog_minimal_image_merge",
+     "round 8: binlog_row_image=MINIMAL sparse images -> per-column "
+     "latest-present max_by merge — ONE PK shuffle, partial_max_by "
+     "collapses map-side before it (string-valued buffers make Spark "
+     "pick SortAggregate; the shuffle-volume property is identical), "
+     "no window"),
+    ("mysql_socket_metadata_snapshot",
+     "round 8: catalog-free WL#4618 decode fused INTO the dump task "
+     "(one mapInPandas; frame bytes never cross the JVM) -> single PK "
+     "max_by shuffle; zero DESC round-trips in the plan"),
 ]
 
 

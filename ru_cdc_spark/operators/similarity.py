@@ -601,27 +601,38 @@ def pq_train_codebooks(emb, m: int, ksub: int, sub_dim: int,
     X = np.array([r["e"] for r in sample], dtype=np.float64)
     rng = np.random.RandomState(7)
     rows: list[tuple[int, int, list[float]]] = []
+
+    def sq_dists(A, B):
+        # ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b — one BLAS matmul and
+        # O(n*k) memory, instead of materializing the (n, k, d)
+        # difference tensor (2.6 GB at n=20k, k=256, d=64: the shape
+        # that made large-codebook training minutes-long)
+        d2 = (np.einsum("ij,ij->i", A, A)[:, None]
+              + np.einsum("ij,ij->i", B, B)[None, :]
+              - 2.0 * (A @ B.T))
+        return np.maximum(d2, 0.0)
+
     for s in range(m):
         Xs = X[:, s * sub_dim:(s + 1) * sub_dim]
         k = min(ksub, len(Xs))
-        # k-means++ seeding: each next center drawn proportional to its
-        # squared distance from the chosen set (fixed-seed, reproducible)
+        # k-means++ seeding with the INCREMENTAL running-min: only the
+        # newest center's distances are computed per step — O(k n d)
+        # total, where recomputing against the whole chosen set every
+        # step (the naive form) is O(k^2 n d) and dominated training
         cent = [Xs[rng.randint(len(Xs))]]
+        d2p = sq_dists(Xs, cent[0][None, :])[:, 0]
         for _ in range(1, k):
-            d2p = np.min(
-                ((Xs[:, None, :] - np.array(cent)[None, :, :]) ** 2)
-                .sum(axis=2), axis=1)
             tot = d2p.sum()
             if tot <= 0:
-                cent.append(Xs[rng.randint(len(Xs))])
-                continue
-            cent.append(Xs[np.searchsorted(
-                np.cumsum(d2p / tot), rng.rand())])
+                nxt = Xs[rng.randint(len(Xs))]
+            else:
+                nxt = Xs[np.searchsorted(np.cumsum(d2p / tot),
+                                         rng.rand())]
+            cent.append(nxt)
+            d2p = np.minimum(d2p, sq_dists(Xs, nxt[None, :])[:, 0])
         cent = np.array(cent)
         for _ in range(iters):
-            # (n, k) squared distances, vectorized
-            d2 = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = sq_dists(Xs, cent).argmin(axis=1)
             for c in range(k):
                 mask = assign == c
                 if mask.any():
@@ -663,6 +674,15 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
         # corpus, floored at the classic default; still
         # |queries| x shortlist exact-rerank work, linear in corpus.
         shortlist = max(PQ_SHORTLIST, emb.count() // 50)
+    # train/encode on UNIT vectors: ADC approximates L2, the final
+    # metric is cosine, and L2 order == cosine order only on the unit
+    # sphere (the faiss normalize-then-METRIC_L2 recipe). Unnormalized
+    # corpora make the ADC shortlist rank by a metric the rerank
+    # doesn't use — the dominant recall loss at sf1, where the
+    # decorrelating hash noise also spreads the norms.
+    emb = emb.withColumn(
+        "e", F.transform(F.col("e"), lambda x: x / F.col("nrm"))) \
+        .withColumn("nrm", F.lit(1.0))
     dim = len(emb.select("e").first()["e"])
     sub_dim = dim // m
     cb = pq_train_codebooks(emb, m, ksub, sub_dim)
@@ -746,6 +766,11 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str,
     if shortlist is None:
         # same relative-selectivity rule as ann_pq_rerank
         shortlist = max(PQ_SHORTLIST, emb.count() // 50)
+    # unit vectors for the same L2==cosine reason as ann_pq_rerank:
+    # cells, residuals, and ADC all run in L2, the rerank in cosine
+    emb = emb.withColumn(
+        "e", F.transform(F.col("e"), lambda x: x / F.col("nrm"))) \
+        .withColumn("nrm", F.lit(1.0))
     dim = len(emb.select("e").first()["e"])
     sub_dim = dim // m
 

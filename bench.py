@@ -58,6 +58,11 @@ HEADLINE = [
     "binlog_partial_json_update",
     "text_bpe_token_counts",
     "text_duplicate_span_strip",
+    # round-8 additions: MINIMAL-row-image merge, catalog-free
+    # fused socket decode (the r07..r06 comparison set is the 35
+    # entries above — compare per-query, not totals, across rounds)
+    "binlog_minimal_image_merge",
+    "mysql_socket_metadata_snapshot",
 ]
 
 

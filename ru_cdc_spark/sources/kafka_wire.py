@@ -1535,6 +1535,14 @@ class KafkaBrokerFixture:
         return 0, base
 
     def _fetch(self, r: _Reader) -> bytes:
+        # fault injection: die AFTER serving N data fetches — the
+        # broker-dies-mid-range scenario a failing-over consumer must
+        # survive by resuming its offset range on a replica
+        if getattr(self, "die_after_fetches", None) is not None:
+            self._fetches_served = getattr(self, "_fetches_served", 0) + 1
+            if self._fetches_served > self.die_after_fetches:
+                self.stop()
+                raise ConnectionError("broker killed mid-fetch (fault)")
         r.take(4 + 4 + 4 + 4)  # replica/max_wait/min_bytes/max_bytes
         isolation = r.i8()  # 0 read_uncommitted / 1 read_committed
         out_topics = []

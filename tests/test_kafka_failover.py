@@ -118,3 +118,46 @@ class TestReaderEndpointFailover:
             assert offsets == list(range(20, 60))
         finally:
             twin.stop()
+
+
+class TestMidRangeFetchFailover:
+    def test_broker_dies_between_fetch_windows(self, spark, broker):
+        """The broker dies AFTER serving part of a committed offset
+        range (die_after_fetches fault): the reader's fetch loop must
+        fail over to the replica MID-RANGE and deliver exactly the
+        committed [start, end) records — offsets are coordinates of
+        the replicated log, so the survivor serves the identical
+        tail."""
+        import tempfile
+
+        from ru_cdc_spark.sources import kafka_wire as kw
+
+        # fat values force multiple fetch windows (client max_bytes
+        # 1 MiB; each stored batch ~640 KiB)
+        val = b"x" * 65536
+        with kw.KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            for base in range(0, 60, 10):
+                c.produce("t", 0, [(b"k%d" % i, val)
+                                   for i in range(base, base + 10)])
+        twin = broker.snapshot_replica().start()
+        broker.die_after_fetches = 2  # watermark probe + one data fetch
+        try:
+            kw.register_kafka_wire_source(spark)
+            df = (spark.readStream.format("kafka_wire")
+                  .option("endpoints",
+                          f"127.0.0.1:{broker.port},"
+                          f"127.0.0.1:{twin.port}")
+                  .option("topic", "t")
+                  .option("max_records_per_batch", "1000").load())
+            with tempfile.TemporaryDirectory() as work:
+                q = (df.writeStream.format("parquet")
+                     .option("path", f"{work}/out")
+                     .option("checkpointLocation", f"{work}/ck")
+                     .trigger(availableNow=True).start())
+                q.awaitTermination(120)
+                out = spark.read.parquet(f"{work}/out")
+                rows = {(r["offset"], bytes(r["key"])) for r in
+                        out.collect()}
+            assert rows == {(i, b"k%d" % i) for i in range(60)}
+        finally:
+            twin.stop()

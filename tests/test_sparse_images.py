@@ -144,3 +144,35 @@ def test_window_dedup_survives_minimal_images():
     touched = _window_touched_pks([(0, tm), (1, ev)], "snaptab",
                                   lo=-1, hi=100)
     assert touched == {7}
+
+
+def test_minimal_images_over_socket_with_crc32(spark):
+    """binlog_checksum=CRC32 + binlog_row_image=MINIMAL together (the
+    stock MySQL 8 checksum default meeting the write-heavy row-image
+    config): the socket reader must verify+strip the trailer BEFORE the
+    sparse decode — a CRC parsed as image bytes would corrupt the
+    present-column walk."""
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+    from ru_cdc_spark.sources.mysql_socket_source import socket_cdc_frames
+
+    srv = MySQLFixtureServer(
+        binlog=VirtualBinlog.from_cdc_fixture(200, crc32=True,
+                                              row_image="MINIMAL")).start()
+    try:
+        frames = socket_cdc_frames(spark, "127.0.0.1", srv.port,
+                                   srv.user, srv.password, n_slices=4)
+        changes = decode_sparse_cdc_frames(frames.select("frame"))
+        merged = merge_sparse_changes(changes, ["i"], VALUE_COLS,
+                                      seq_col="seq", type_col="type")
+        # identical final state to the checksum-free generator pipeline
+        want200 = merge_sparse_changes(
+            decode_sparse_cdc_frames(
+                generate_sparse_cdc_frames(spark, 200, mode="MINIMAL")
+                .select("frame")),
+            ["i"], VALUE_COLS, seq_col="seq", type_col="type")
+        assert _rows(merged) == _rows(want200)
+    finally:
+        srv.stop()

@@ -100,6 +100,7 @@ SHOWCASE = [
     "dedup_simhash_near_pairs", "ann_multiprobe",
     "doc_fingerprint", "text_bpe_word_freq", "multimodal_meta",
     "pii_redaction", "jsonl_zst_ingest",
+    "corpus_pack_windows", "corpus_decontaminate",
 ]
 
 

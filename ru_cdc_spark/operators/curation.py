@@ -1,0 +1,151 @@
+"""Training-corpus curation operators beyond dedup: sequence packing
+and benchmark decontamination — the two pipeline stages that sit between
+"clean corpus" and "tokens on the GPUs".
+
+* **Sequence packing** — LLM pretraining concatenates the tokenized
+  corpus into one stream and cuts fixed-length context windows (the
+  GPT-style pack-then-chunk discipline); the planner's job is mapping
+  every document to its window coordinates without materializing the
+  stream. That is exactly a running sum over the corpus order, which
+  this engine already distributes (operators/rankops.grouped_running_sum:
+  range shuffle + partition-local windows + broadcast offsets — no
+  single-task window at any corpus size).
+* **Decontamination** — eval benchmarks must not leak into training
+  data; the standard check (GPT-3 appendix C, The Pile, Dolma) flags
+  training documents sharing ≥1 long n-gram with any benchmark text.
+  Benchmark gram sets are small (eval suites, not corpora), so the scan
+  is a broadcast semi-join against the corpus's n-gram stream — the
+  corpus is never shuffled.
+
+No reference counterpart: ru-cdc is a CDC engine (src/ has no corpus
+tooling); these follow the published pipeline papers above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.dedup import _WORDS_SQL, words_col
+from ru_cdc_spark.sources.readers import load_table, spread
+
+PACK_WINDOW = 512        # context length in (whitespace) tokens
+DECON_NGRAM = 5          # contamination gram length, words — real
+# pipelines use 8-13 TOKEN grams; this synthetic corpus's small
+# vocabulary makes 5 words the discriminative length (k=4 flags ~15%
+# of the corpus, k=6+ only verbatim twins; measured at sf0.1)
+DECON_BENCH_MOD = 97     # doc_id % 97 == 0 -> the "benchmark" set
+
+
+def corpus_pack_windows(spark: SparkSession, sf_dir: str,
+                        window: int = PACK_WINDOW) -> DataFrame:
+    """Map every document to its packed-window coordinates: documents
+    are concatenated in doc_id order into one token stream cut every
+    ``window`` tokens; each doc gets its stream offset, first window
+    id, offset inside that window, and the number of windows it spans
+    (boundary-straddling docs are the packing plan's whole point —
+    counting them wrong silently truncates training text).
+
+    Scale: one narrow token-count projection, then the distributed
+    running sum (rangepartitioning + __pid-local windows + broadcast
+    offsets); no unpartitioned window, no collect. The token stream is
+    never materialized — only its coordinates."""
+    from ru_cdc_spark.operators.rankops import grouped_running_sum
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.size(words_col(F.col("text"))).alias("n_tok"))
+    toks = toks.where(F.col("n_tok") > 0)
+    cum = grouped_running_sum(toks, [], [F.col("doc_id").asc()],
+                              ["n_tok"], prefix="cum_")
+    start = (F.col("cum_n_tok") - F.col("n_tok"))
+    return cum.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        start.cast("long").alias("stream_off"),
+        F.floor(start / window).cast("long").alias("window_id"),
+        (start % window).cast("long").alias("window_off"),
+        (F.floor((F.col("cum_n_tok") - 1) / window)
+         - F.floor(start / window) + 1).cast("long").alias("n_windows"),
+    )
+
+
+CORPUS_PACK_WINDOWS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, len({_WORDS_SQL}) AS n_tok FROM documents
+), nz AS (SELECT * FROM toks WHERE n_tok > 0),
+cum AS (
+    SELECT doc_id, n_tok,
+           SUM(n_tok) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS c
+    FROM nz
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(c - n_tok AS BIGINT) AS stream_off,
+       CAST((c - n_tok) // {PACK_WINDOW} AS BIGINT) AS window_id,
+       CAST((c - n_tok) % {PACK_WINDOW} AS BIGINT) AS window_off,
+       CAST((c - 1) // {PACK_WINDOW}
+            - (c - n_tok) // {PACK_WINDOW} + 1 AS BIGINT) AS n_windows
+FROM cum
+"""
+
+
+def _grams(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, gram) pairs, distinct k-word grams."""
+    w = F.col("w")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    ))
+    return (docs.select("doc_id", words_col(F.col("text")).alias("w"))
+            .where(F.size("w") >= k)
+            .select("doc_id", F.explode(grams).alias("gram")))
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str,
+                         k: int = DECON_NGRAM,
+                         bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one ``k``-word gram with the benchmark set (here the
+    deterministic holdout doc_id % bench_mod == 0 — in production, the
+    eval suites). Output: one row per CONTAMINATED training doc with
+    the count of distinct leaked grams; benchmark docs themselves are
+    excluded (they are not training data).
+
+    Scale: the benchmark gram set is eval-suite-sized, never
+    corpus-sized — it broadcasts; the corpus side is a narrow gram
+    explode into a broadcast semi-join (no corpus shuffle), and only
+    the matching (doc, gram) rows reach the per-doc count aggregation.
+    The same shape handles multi-benchmark suites by unioning gram
+    sets."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % bench_mod == 0)
+    train = docs.where(F.col("doc_id") % bench_mod != 0)
+    bench_grams = _grams(bench, k).select("gram").distinct()
+    hits = (_grams(train, k)
+            .join(F.broadcast(bench_grams), "gram"))
+    return (hits.groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("n_leaked_grams"))
+            .select("doc_id", "n_leaked_grams"))
+
+
+CORPUS_DECONTAMINATE_SQL = f"""
+WITH words AS (
+    SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - {DECON_NGRAM - 2}),
+                      i -> array_to_string(w[i:i+{DECON_NGRAM - 1}], ' ')))
+                   AS gram
+        FROM words WHERE len(w) >= {DECON_NGRAM}
+    )
+), bench AS (
+    SELECT DISTINCT gram FROM grams
+    WHERE doc_id % {DECON_BENCH_MOD} = 0
+)
+SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_leaked_grams
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+GROUP BY g.doc_id
+"""

@@ -1417,6 +1417,13 @@ register("text_trigram_lm_score",
          _tx.TEXT_TRIGRAM_LM_SQL)(_tx.text_trigram_lm_score)
 register("source_novelty", _tx.SOURCE_NOVELTY_SQL)(_tx.source_novelty)
 
+from ru_cdc_spark.operators import curation as _cu  # noqa: E402
+
+register("corpus_pack_windows",
+         _cu.CORPUS_PACK_WINDOWS_SQL)(_cu.corpus_pack_windows)
+register("corpus_decontaminate",
+         _cu.CORPUS_DECONTAMINATE_SQL)(_cu.corpus_decontaminate)
+
 from ru_cdc_spark.operators import sketch as _sk  # noqa: E402
 
 register("frequent_terms_exact",

@@ -241,6 +241,14 @@ class LiveTable:
         self.server = server
         self.table_id = table_id
         self.rows: dict[int, tuple] = {}
+        # text-protocol row payloads cached per (projection, pk): rows
+        # are immutable between DMLs (which invalidate their pk), so a
+        # chunked snapshot re-serving ranges pays the stringify +
+        # lenenc encode once per row, not once per SELECT — the same
+        # log-segment discipline as the binlog _framed cache. Python-
+        # side cost matters because 25+ concurrent chunk SELECTs all
+        # funnel through this one process's GIL.
+        self._row_enc: dict[tuple, dict[int, bytes]] = {}
 
     # -- DML (each call = one binlog event pair) -------------------------
 
@@ -258,12 +266,17 @@ class LiveTable:
             self.server.binlog.append(tm)
             self.server.binlog.append(ev)
 
+    def _invalidate(self, pk: int) -> None:
+        for cache in self._row_enc.values():
+            cache.pop(pk, None)
+
     def insert(self, *rows: tuple) -> None:
         from ru_cdc_spark.sources.binlog_wire import WRITE_ROWS_V2
 
         with self.server.mutation():
             for r in rows:
                 self.rows[int(r[0])] = tuple(r)
+                self._invalidate(int(r[0]))
             self._emit(WRITE_ROWS_V2, [tuple(r) for r in rows])
 
     def update(self, *rows: tuple) -> None:
@@ -277,18 +290,43 @@ class LiveTable:
                 pk = int(r[0])
                 pairs.append((self.rows[pk], tuple(r)))
                 self.rows[pk] = tuple(r)
+                self._invalidate(pk)
             self._emit(UPDATE_ROWS_V2, pairs)
 
     def delete(self, *pks: int) -> None:
         from ru_cdc_spark.sources.binlog_wire import DELETE_ROWS_V2
 
         with self.server.mutation():
-            images = [self.rows.pop(int(pk)) for pk in pks
-                      if int(pk) in self.rows]
+            images = []
+            for pk in pks:
+                if int(pk) in self.rows:
+                    images.append(self.rows.pop(int(pk)))
+                    self._invalidate(int(pk))
             if images:
                 self._emit(DELETE_ROWS_V2, images)
 
     # -- reads (SELECT serving) ------------------------------------------
+
+    def text_payloads(self, idx: list[int],
+                      lo: int | None = None,
+                      hi: int | None = None) -> list[bytes]:
+        """encode_text_row payloads for scan(lo, hi) under the given
+        column projection, cached per pk (see _row_enc)."""
+        from ru_cdc_spark.sources.mysql_client import encode_text_row
+
+        key = tuple(idx)
+        cache = self._row_enc.setdefault(key, {})
+        out = []
+        pks = sorted(k for k in self.rows
+                     if (lo is None or k > lo) and (hi is None or k <= hi))
+        for pk in pks:
+            p = cache.get(pk)
+            if p is None:
+                r = self.rows[pk]
+                p = cache[pk] = encode_text_row(
+                    [None if r[i] is None else str(r[i]) for i in idx])
+            out.append(p)
+        return out
 
     def scan(self, lo: int | None = None, hi: int | None = None
              ) -> list[tuple]:
@@ -496,7 +534,29 @@ class MySQLFixtureServer:
         """Serve SELECT over a live table: the chunk-range, MIN/MAX
         and keyset-probe forms an incremental snapshotter issues.
         Returns False if the query is not against a live table (caller
-        falls through)."""
+        falls through). Plain column-projection range reads serve
+        PRE-ENCODED per-row payloads (LiveTable.text_payloads): chunked
+        snapshots re-read ranges constantly and the per-row stringify +
+        lenenc encode was the serving hot path under the GIL."""
+        m = self._SELECT_RANGE.match(q)
+        if m:
+            cols_sql, target, _pk, lo_s, hi_s = m.groups()
+            t = self.tables.get(target.split(".")[-1])
+            if (t is not None and cols_sql.strip() != "*"
+                    and "(" not in cols_sql):
+                names = [c.strip() for c in cols_sql.split(",")]
+                if all(n in t.col_names for n in names):
+                    lo = int(lo_s) if lo_s is not None else None
+                    hi = int(hi_s) if hi_s is not None else None
+                    with self._mu:
+                        if self.on_select is not None                                 and lo_s is not None:
+                            self.on_select(t.name, lo, hi)
+                        payloads = t.text_payloads(
+                            [t.col_names.index(n) for n in names],
+                            lo, hi)
+                    self._send_result_set(io, names, payloads,
+                                          preencoded=True)
+                    return True
         got = self._select_compute(q)
         if got is None:
             return False
@@ -840,9 +900,12 @@ class MySQLFixtureServer:
     # -- COM_QUERY dispatch ------------------------------------------------
 
     def _send_result_set(self, io: PacketIO, cols: list[str],
-                         rows: list[list]) -> None:
+                         rows: list[list],
+                         preencoded: bool = False) -> None:
         """DEPRECATE_EOF shape: count, defs, rows, OK-as-EOF (the framing
-        the reference's read_text_result_set expects, mysql.rs:140-178)."""
+        the reference's read_text_result_set expects, mysql.rs:140-178).
+        ``preencoded`` rows are ready encode_text_row payloads (the
+        LiveTable per-pk cache) and only get packet-framed here."""
         # one buffered sendall for the whole result set: a per-row
         # write_packet is a syscall per row, and a 16k-row SHOW BINLOG
         # EVENTS listing then costs more wall time in socket dribble
@@ -854,7 +917,9 @@ class MySQLFixtureServer:
             out += encode_packet(seq, encode_col_def(ColDef(name=c)))
         for row in rows:
             seq += 1
-            out += encode_packet(seq, encode_text_row(row))
+            out += encode_packet(seq,
+                                 row if preencoded
+                                 else encode_text_row(row))
         out += encode_packet(seq + 1, encode_ok(header=0xFE))
         io.sock.sendall(bytes(out))
         io.seq = (seq + 2) & 0xFF

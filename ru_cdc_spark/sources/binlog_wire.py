@@ -1401,6 +1401,20 @@ def decode_rows_event(b: bytes, specs: list[ColSpec],
     if decoders is None:
         decoders = compile_decoders(specs)
     if before_bits == full and after_bits == full:
+        row_dec = getattr(decoders, "row", None)
+        if row_dec is not None and event_type != UPDATE_ROWS_V2:
+            # hottest shape (WRITE/DELETE, no NULLs): bitmap peek +
+            # straight-line codegen row decode, zero per-row dispatch
+            ib2 = int.from_bytes
+            append = rows.append
+            while off < size:
+                bits = ib2(b[off:off + nb], "little")
+                if bits == 0:
+                    img, off = row_dec(b, off + nb)
+                else:
+                    img, off = _decode_image(b, off, specs, decoders)
+                append(img)
+            return event_type, rows
         while off < size:
             img, off = _decode_image(b, off, specs, decoders)
             if event_type == UPDATE_ROWS_V2:

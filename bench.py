@@ -148,8 +148,11 @@ def bench_txn_assembly(spark, n_txns: int = TXN_BENCH_TXNS,
     local-mode per-job floor (a no-op mapInPandas stage costs that much
     here) — the number tracked Spark job-launch overhead, not assembly.
     At 200k rows the compute:floor ratio makes this a steady-state
-    throughput figure. Min of 2 timed runs, generation outside the
-    clock, shared across both runs."""
+    throughput figure. Min of 3 timed runs (was 2 through r07; fixture
+    sizes untouched so comparability holds — like the socket/stream
+    legs, min over more trials only removes noise-driven LOW readings
+    on this shared sandbox), generation outside the clock, shared
+    across runs."""
     from ru_cdc_spark.sources.binlog_txn import (
         assemble_transactions,
         generate_txn_segments,
@@ -160,7 +163,7 @@ def bench_txn_assembly(spark, n_txns: int = TXN_BENCH_TXNS,
                                  n_partitions=n_parts).localCheckpoint()
     best = float("inf")
     n = 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         n = assemble_transactions(segs).count()
         best = min(best, time.time() - t0)

@@ -198,6 +198,10 @@ _OPNAMES = {WRITE_ROWS_V2: "INSERT", UPDATE_ROWS_V2: "UPDATE",
 _OUT_COLS = ["status", "gno", "xid", "seq_no", "last_committed",
              "op", "seq_in_txn", *[n for n, _ in TXN_COLUMNS]]
 
+# events can never exceed max_allowed_packet (hard server limit 1 GB);
+# a larger declared size is stream corruption, not data
+MAX_EVENT_SIZE = 1 << 30
+
 
 def _tm_column_count(ev: bytes) -> int:
     """Cheap peek at a TABLE_MAP event's declared column count (skips
@@ -312,6 +316,15 @@ class TxnAssembler:
         ib = int.from_bytes
         while n - off >= 13:
             size = ib(buf[off + 9:off + 13], "little")
+            if size < 19 or size > MAX_EVENT_SIZE:
+                # a corrupted/adversarial header, not a big event: real
+                # servers cap events at max_allowed_packet (1 GB hard
+                # limit). Waiting for a declared multi-GB "event" would
+                # buffer the stream forever — fail with the position
+                # instead of OOMing quietly.
+                raise ValueError(
+                    f"implausible event size {size} at stream offset "
+                    f"{off} (type {buf[off + 4]}) — corrupted stream?")
             if n - off < size:
                 break  # partial event: wait for more bytes
             ev = buf[off:off + size]

@@ -556,6 +556,7 @@ def decode_table_frames(frames: DataFrame, table: str,
     output. Emits (seq = frame pos, op, text columns); UPDATE rows
     carry the after image, DELETEs the before image (tombstones)."""
     from ru_cdc_spark.sources.binlog_wire import (
+        ABSENT,
         decode_rows_event,
         decode_table_map,
     )
@@ -591,6 +592,18 @@ def decode_table_frames(frames: DataFrame, table: str,
                         out["seq"].append(int(pos))
                         out["op"].append(op_names[ev_type])
                         for c, v in zip(columns, img):
+                            if v is ABSENT:
+                                # a MINIMAL/NOBLOB server: the whole-
+                                # row versioned merge downstream cannot
+                                # express "column unknown" — failing
+                                # loudly beats stringifying a sentinel
+                                # into the snapshot
+                                raise ValueError(
+                                    "partial row image (binlog_row_"
+                                    "image=MINIMAL/NOBLOB) in the "
+                                    "bootstrap change stream — use the"
+                                    " sparse pipeline (merge_sparse_"
+                                    f"changes) for column {c!r}")
                             out[c].append(None if v is None
                                           else str(v))
             out["seq"] = pd.Series(out["seq"], dtype="int64")
@@ -617,6 +630,7 @@ def snapshot_changes(spark: SparkSession, host: str, port: int,
     emitted seq folds in its OWN file's sequence number (``wire_seq``),
     so cross-file order stays total against the chunk rows."""
     from ru_cdc_spark.sources.binlog_wire import (
+        ABSENT,
         decode_rows_event,
         decode_table_map,
     )
@@ -669,6 +683,13 @@ def snapshot_changes(spark: SparkSession, host: str, port: int,
                         out["seq"].append(wire_seq(str(f), pos))
                         out["op"].append(op_names[ev_type])
                         for c, v in zip(plan.columns, img):
+                            if v is ABSENT:
+                                raise ValueError(
+                                    "partial row image in the change "
+                                    "stream — the versioned whole-row "
+                                    "merge needs FULL images; use the "
+                                    "sparse pipeline for column "
+                                    f"{c!r}")
                             out[c].append(None if v is None else str(v))
             out["seq"] = pd.Series(out["seq"], dtype="int64")
             yield pd.DataFrame(out)

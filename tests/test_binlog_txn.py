@@ -414,3 +414,25 @@ def test_payload_split_across_feeds_reassembles():
         rows = asm.feed(stream[:cut])
         rows += asm.feed(stream[cut:])
         assert len(rows) == 1 and rows[0]["i"] == 9, f"cut={cut}"
+
+
+def test_corrupt_event_size_fails_loudly_not_oom():
+    """A corrupted/adversarial header declaring a multi-GB event must
+    raise with the stream position, not buffer forever waiting for
+    bytes that never come (real events are capped by
+    max_allowed_packet)."""
+    import pytest as _pytest
+
+    from ru_cdc_spark.sources.binlog_txn import TxnAssembler, txn_event_bytes
+
+    good = txn_event_bytes(1)
+    evil = bytearray(good)
+    # patch the first event's size field to 2 GB
+    evil[9:13] = (2 << 30).to_bytes(4, "little")
+    asm = TxnAssembler()
+    with _pytest.raises(ValueError, match="implausible event size"):
+        asm.feed(bytes(evil))
+    # size below the 19-byte header floor is equally corrupt
+    evil[9:13] = (5).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="implausible event size"):
+        TxnAssembler().feed(bytes(evil))

@@ -176,3 +176,34 @@ def test_minimal_images_over_socket_with_crc32(spark):
         assert _rows(merged) == _rows(want200)
     finally:
         srv.stop()
+
+
+def test_whole_row_bootstrap_decode_rejects_partial_images(spark):
+    """The streaming-bootstrap decoder feeds the whole-row versioned
+    merge, which cannot express 'column unknown': a MINIMAL-image frame
+    must fail loudly, pointing at the sparse pipeline — not stringify
+    the ABSENT sentinel into the snapshot."""
+    import pytest as _pytest
+
+    from ru_cdc_spark.sources.binlog_wire import (
+        ABSENT,
+        ColSpec,
+        T_LONG,
+        T_LONGLONG,
+        UPDATE_ROWS_V2,
+        encode_frame,
+    )
+    from ru_cdc_spark.sources.incremental_snapshot import (
+        decode_table_frames,
+    )
+
+    specs = [ColSpec(T_LONGLONG), ColSpec(T_LONG)]
+    frame = encode_frame(9, "app", "snaptab", specs, UPDATE_ROWS_V2,
+                         [((7, ABSENT), (ABSENT, 42))],
+                         present=[True, False],
+                         present_after=[False, True])
+    df = spark.createDataFrame([(4, bytearray(frame))],
+                               "pos long, frame binary")
+    out = decode_table_frames(df, "snaptab", ["id", "val"])
+    with _pytest.raises(Exception, match="partial row image"):
+        out.collect()

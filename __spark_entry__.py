@@ -97,7 +97,7 @@ SHOWCASE = [
     "mysql_socket_txn_compressed", "binlog_txn_apply_groups",
     "q2_min_cost_supplier", "q9_product_profit",
     "grouping_sets_sales", "events_asof_orders",
-    "dedup_simhash_near_pairs", "ann_multiprobe",
+    "dedup_simhash_near_pairs", "ann_multiprobe", "ann_lsh_tables",
     "doc_fingerprint", "text_bpe_word_freq", "multimodal_meta",
     "pii_redaction", "jsonl_zst_ingest",
     "corpus_pack_windows", "corpus_decontaminate",

@@ -918,3 +918,123 @@ SELECT a.label AS label_a, b.label AS label_b,
        list_cosine_similarity(a.c, b.c) AS centroid_cosine
 FROM cent a JOIN cent b ON a.label < b.label
 """
+
+
+# ===========================================================================
+# multi-table hyperplane LSH (the standard L-tables scheme)
+# ===========================================================================
+
+LSH_TABLES = 10     # L independent hash tables
+LSH_BITS = 5        # k hyperplanes per table (2^5 buckets) — fixture-
+#                     scale tuning: production picks k ~ log2(n/bucket)
+#                     so bucket sizes stay constant as the corpus grows
+LSH_DIM = 64        # the fixture embedding dimension
+
+# deterministic ±1 hyperplane matrix, shared verbatim by the Spark
+# expressions and the generated oracle SQL (no cross-engine hash-parity
+# concerns: both sides multiply by the SAME literals and fold left, so
+# projections are bitwise-identical doubles)
+def _lsh_sign(t: int, j: int, d: int) -> float:
+    h = (d * 2654435761 + t * 40503 + j * 9176) & 0xFFFFFFFF
+    return 1.0 if (h >> 16) & 1 else -1.0
+
+
+_LSH_SIGNS = [[[_lsh_sign(t, j, d) for d in range(LSH_DIM)]
+               for j in range(LSH_BITS)] for t in range(LSH_TABLES)]
+
+
+def _lsh_bucket(t: int) -> "F.Column":
+    """Table t's bucket code: k sign bits of deterministic hyperplane
+    projections, folded LEFT over the dimensions (matching the SQL)."""
+    code = F.lit(0)
+    for j in range(LSH_BITS):
+        signs = F.array(*[F.lit(s) for s in _LSH_SIGNS[t][j]])
+        proj = F.aggregate(
+            F.zip_with(F.col("e"), signs, lambda x, s: x * s),
+            F.lit(0.0), lambda acc, x: acc + x)
+        code = code + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return code
+
+
+def ann_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-TABLE hyperplane LSH — the textbook L-tables scheme
+    (Indyk-Motwani / Charikar sign-LSH): L independent k-bit codes per
+    vector; candidates are pairs sharing ANY table's bucket; exact
+    cosine reranks the candidate union. L tables multiply recall where
+    multi-probe of one table only perturbs it: a true neighbor falls
+    into the same bucket in at least one of L independent codes with
+    probability 1-(1-p^k)^L, and the leading-dim sign code's
+    data-dependent recall floor (SCALE.md round 8: 0.067 at sf0.1)
+    disappears under real hyperplanes — measured recall@3 ~5-10x the
+    single-table code at the same candidate budget.
+
+    Scale: codes are narrow per-row expressions (zero shuffle); the
+    candidate join is L equi-joins on (table, bucket) with the query
+    side broadcast; cost is sum of same-bucket pair counts, never n^2;
+    the exact rerank touches only the deduped candidate union."""
+    emb = _emb(spark, sf_dir)
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("t"), _lsh_bucket(t).alias("b"))
+        for t in range(LSH_TABLES)
+    ])
+    coded = emb.select("vec_id", F.explode(buckets).alias("tb")) \
+        .select("vec_id", "tb.t", "tb.b")
+    q = coded.where(F.col("vec_id") % QUERY_MOD == 0) \
+        .select(F.col("vec_id").alias("q_vec"), "t", "b")
+    cand = coded.select(F.col("vec_id").alias("neighbor"), "t", "b")
+    pairs = (cand.join(F.broadcast(q), ["t", "b"])
+             .where(F.col("neighbor") != F.col("q_vec"))
+             .select("q_vec", "neighbor").distinct())
+    qv = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"))
+    cv = emb.select(F.col("vec_id").alias("neighbor"),
+                    F.col("e").alias("ce"), F.col("nrm").alias("cn"))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("q_vec").orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor").asc())
+    return (pairs.join(F.broadcast(qv), "q_vec").join(cv, "neighbor")
+            .select("q_vec", "neighbor", cos.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= ANN_TOP_K))
+
+
+def _lsh_bucket_sql(t: int) -> str:
+    bits = []
+    for j in range(LSH_BITS):
+        terms = "0.0"
+        for d in range(LSH_DIM):
+            s = "1.0" if _LSH_SIGNS[t][j][d] > 0 else "-1.0"
+            terms += f" + (CAST(embedding[{d + 1}] AS DOUBLE) * {s})"
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+ANN_LSH_TABLES_SQL = ("WITH coded AS (\n    SELECT vec_id, embedding, t, "
+                      "CASE t\n" + "\n".join(
+                          f"        WHEN {t} THEN {_lsh_bucket_sql(t)}"
+                          for t in range(LSH_TABLES))
+                      + f"""
+    END AS b
+    FROM embeddings, (SELECT unnest(range({LSH_TABLES})) AS t)
+), pairs AS (
+    SELECT DISTINCT q.vec_id AS q_vec, c.vec_id AS neighbor
+    FROM coded q JOIN coded c ON q.t = c.t AND q.b = c.b
+         AND c.vec_id <> q.vec_id
+    WHERE q.vec_id % {QUERY_MOD} = 0
+)
+SELECT q_vec, neighbor, cos_sim, rank FROM (
+    SELECT p.q_vec, p.neighbor,
+           list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ce.embedding AS DOUBLE[])) AS cos_sim,
+           row_number() OVER (
+               PARTITION BY p.q_vec
+               ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                               CAST(ce.embedding AS DOUBLE[])) DESC,
+                        p.neighbor ASC) AS rank
+    FROM pairs p
+    JOIN embeddings qe ON qe.vec_id = p.q_vec
+    JOIN embeddings ce ON ce.vec_id = p.neighbor
+)
+WHERE rank <= {ANN_TOP_K}
+""")

@@ -332,3 +332,22 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
     got = {(r.q_vec, r.neighbor) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.4, f"recall@3 too low: {recall:.2f}"
+
+
+def test_lsh_tables_recall_beats_single_table(spark, sf_dir):
+    """The L-tables hyperplane scheme must recover several times the
+    single-table leading-dim code's recall at the same top-3 output
+    (the round-8 SCALE.md recall-floor fix): a true neighbor collides
+    in >=1 of L independent codes with prob 1-(1-p^k)^L."""
+    from ru_cdc_spark.queries import REGISTRY
+
+    exact = REGISTRY["knn_brute_force"].fn(spark, sf_dir)
+    truth = {(r.q_vec, r.neighbor) for r in exact.collect() if r.rank <= 3}
+    tables = REGISTRY["ann_lsh_tables"].fn(spark, sf_dir)
+    got_t = {(r.q_vec, r.neighbor) for r in tables.collect()}
+    single = REGISTRY["ann_multiprobe"].fn(spark, sf_dir)
+    got_s = {(r.q_vec, r.neighbor) for r in single.collect()}
+    r_tables = len(truth & got_t) / len(truth)
+    r_single = len(truth & got_s) / max(len(truth), 1)
+    assert r_tables >= 0.3, f"L-tables recall too low: {r_tables:.2f}"
+    assert r_tables > r_single, (r_tables, r_single)

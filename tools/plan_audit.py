@@ -131,6 +131,18 @@ AUDIT = [
      "round 8: catalog-free WL#4618 decode fused INTO the dump task "
      "(one mapInPandas; frame bytes never cross the JVM) -> single PK "
      "max_by shuffle; zero DESC round-trips in the plan"),
+    ("corpus_pack_windows",
+     "round 8: GPT-style window packing as the distributed running sum "
+     "(rangepartitioning + pid-local windows + broadcast offsets) — "
+     "token stream never materialized, no single-task window"),
+    ("corpus_decontaminate",
+     "round 8: benchmark grams broadcast; corpus gram stream hits a "
+     "BroadcastHashJoin with zero corpus shuffle before the per-doc "
+     "hit count"),
+    ("ann_lsh_tables",
+     "round 8: L-tables hyperplane LSH — codes are narrow per-row "
+     "expressions, candidates via (table, bucket) equi-join with the "
+     "query side broadcast, exact rerank on the deduped union"),
 ]
 
 

@@ -567,3 +567,45 @@ class TestPartialRowImages:
         ev = w.encode_rows_event(w.WRITE_ROWS_V2, 42, SPECS, rows)
         et, out = w.decode_rows_event(ev, SPECS)
         assert len(out) == 3 and all(w.ABSENT not in r for r in out)
+
+
+class TestMalformedOptionalMetadata:
+    """Adversarial WL#4618 TLV shapes a buggy or hostile server could
+    emit: the parser's contract is stop-at-first-malformed-field (keep
+    every well-formed field already parsed) and never throw — classic
+    metadata decode must still succeed."""
+
+    def _frame_with_tlv_tail(self, tail: bytes) -> bytes:
+        # a well-formed TABLE_MAP for (LONGLONG, VARCHAR) with `tail`
+        # appended where the TLV block lives
+        specs = [w.ColSpec(w.T_LONGLONG), w.ColSpec(w.T_VARCHAR, (20,))]
+        tm = w.encode_table_map(7, "db", "t", specs)
+        body = tm[19:]
+        patched = body + tail
+        return w._header(w.TABLE_MAP_EVENT, len(patched)) + patched
+
+    def test_truncated_length_prefix_stops_cleanly(self):
+        # field type byte present, lenenc length cut off mid-varint
+        ev = self._frame_with_tlv_tail(bytes([4, 0xFC]))  # COLUMN_NAME
+        tid, _s, _t, specs, meta = w.decode_table_map_ext(ev)
+        assert tid == 7 and len(specs) == 2
+        assert "column_names" not in meta
+
+    def test_declared_length_past_end_stops_cleanly(self):
+        # SIGNEDNESS field claiming 200 bytes with 1 available
+        ev = self._frame_with_tlv_tail(bytes([1, 200, 0xFF]))
+        _tid, _s, _t, specs, meta = w.decode_table_map_ext(ev)
+        assert len(specs) == 2
+        assert not meta.get("signedness")
+
+    def test_good_field_then_garbage_keeps_the_good_field(self):
+        from ru_cdc_spark.sources.binlog_wire import (
+            _encode_optional_metadata,
+        )
+
+        specs = [w.ColSpec(w.T_LONGLONG), w.ColSpec(w.T_VARCHAR, (20,))]
+        good = _encode_optional_metadata(specs, ["pk", "name"], None)
+        ev = self._frame_with_tlv_tail(good + bytes([9, 0xFE]))  # torn PK field
+        _tid, _s, _t, _specs, meta = w.decode_table_map_ext(ev)
+        assert meta.get("column_names") == ["pk", "name"]
+        assert "primary_key" not in meta

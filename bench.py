@@ -371,7 +371,7 @@ def main() -> None:
         return round(rows / (sec - job_floor), 1)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -419,7 +419,29 @@ def main() -> None:
             "calibration_sec_start": calib_start,
             "calibration_sec_end": calib_end,
         },
-    }))
+    }
+    # Full detail (fixture sizes, contention sentinel, floor-adjusted
+    # throughput) on its own line for humans and archaeology...
+    print(json.dumps(payload))
+    # ...then a compact totals-first CORE line as the FINAL stdout line.
+    # The driver records only the last ~2000 bytes of stdout and parses
+    # the JSON it finds there; BENCH_r08's single verbose line outgrew
+    # that window ("parsed": null — the {"metric": ... prefix was cut
+    # off). The core line carries the contract fields (metric, value,
+    # unit, sf, per-query seconds) plus the raw throughput legs, minified
+    # and size-guarded so it always parses.
+    core: dict = {"metric": payload["metric"], "value": payload["value"],
+                  "unit": payload["unit"], "sf": payload["sf"],
+                  "queries": {k: round(v, 2) for k, v in timings.items()}}
+    for k in ("cdc_stream_rows_per_sec", "txn_assembly_rows_per_sec",
+              "socket_ingest_rows_per_sec",
+              "bootstrap_snapshot_rows_per_sec", "job_floor_sec"):
+        core[k] = payload[k]
+    line = json.dumps(core, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never overflow the window
+        core.pop("queries")
+        line = json.dumps(core, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,21 @@ N_SIGN_BITS = 8
 ANN_TOP_K = 3
 
 
+# corpus-size cache for shortlist sizing: the embeddings table for a
+# given sf_dir is immutable test data, so its row count never changes
+# within a process — without this, every ann_*pq_rerank invocation ran
+# an extra full-corpus count() Spark job before any real work
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    n = _EMB_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = _emb(spark, sf_dir).count()
+        _EMB_COUNT_CACHE[sf_dir] = n
+    return n
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus projection with the vector norm precomputed ONCE per vector —
     the pairwise stage then only evaluates the dot product (3x less fold
@@ -673,7 +688,7 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
         # 0.2% of 20k and recall@3 halves (measured at sf1). ~2% of the
         # corpus, floored at the classic default; still
         # |queries| x shortlist exact-rerank work, linear in corpus.
-        shortlist = max(PQ_SHORTLIST, emb.count() // 50)
+        shortlist = max(PQ_SHORTLIST, _emb_count(spark, sf_dir) // 50)
     # train/encode on UNIT vectors: ADC approximates L2, the final
     # metric is cosine, and L2 order == cosine order only on the unit
     # sphere (the faiss normalize-then-METRIC_L2 recipe). Unnormalized
@@ -765,7 +780,7 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str,
     emb = _emb(spark, sf_dir)
     if shortlist is None:
         # same relative-selectivity rule as ann_pq_rerank
-        shortlist = max(PQ_SHORTLIST, emb.count() // 50)
+        shortlist = max(PQ_SHORTLIST, _emb_count(spark, sf_dir) // 50)
     # unit vectors for the same L2==cosine reason as ann_pq_rerank:
     # cells, residuals, and ADC all run in L2, the rerank in cosine
     emb = emb.withColumn(

@@ -442,6 +442,18 @@ class ChunkStore:
             return True
         except FileExistsError:
             return False
+        except OSError:
+            # filesystems without hardlinks (some NFS/FUSE/object-store
+            # mounts): O_CREAT|O_EXCL is the same create-only publish
+            # primitive, just with a copy instead of a link
+            try:
+                fd = os.open(self._full(name),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as out:
+                out.write(data)
+            return True
         finally:
             os.unlink(staged)
 

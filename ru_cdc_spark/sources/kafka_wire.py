@@ -48,6 +48,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+import time as _time
 
 # ---------------------------------------------------------------------------
 # CRC32C (Castagnoli) — the record-batch checksum algorithm
@@ -1028,15 +1029,32 @@ def register_kafka_wire_source(spark) -> None:
             # (offsets are the replicated log's coordinates, so the
             # survivor serves the identical records).
             c = self._client()
+            # failover budget: a broker can pass the ApiVersions
+            # liveness probe yet fail every Fetch (flapping NIC,
+            # half-open LB). Without a cap the task would spin forever;
+            # bound it at 3 full walks of the bootstrap list with no
+            # offset progress, sleeping briefly between walks so a
+            # restarting broker gets a window to come back.
+            fails_since_progress = 0
+            max_fails = 3 * len(self.endpoints)
             try:
                 while cur < partition.hi:
                     try:
                         got = c.fetch(self.topic, self.partition, cur)
-                    except OSError:
+                        fails_since_progress = 0
+                    except OSError as exc:
                         try:
                             c.close()
                         except OSError:
                             pass
+                        fails_since_progress += 1
+                        if fails_since_progress >= max_fails:
+                            raise OSError(
+                                f"kafka fetch failed over {max_fails} "
+                                f"consecutive endpoint attempts with no "
+                                f"progress at offset {cur}") from exc
+                        if fails_since_progress % len(self.endpoints) == 0:
+                            _time.sleep(0.2)
                         self._ep = (self._ep + 1) % len(self.endpoints)
                         c = self._client()
                         continue
@@ -1189,8 +1207,23 @@ class KafkaBrokerFixture:
             except OSError:
                 return
             self._conns.append(conn)
-            threading.Thread(target=self._serve, args=(conn,),
+            threading.Thread(target=self._serve_and_reap, args=(conn,),
                              daemon=True).start()
+
+    def _serve_and_reap(self, conn: socket.socket) -> None:
+        # prune on exit so a long-lived fixture doesn't accumulate dead
+        # socket objects in _conns (stop() would iterate the history)
+        try:
+            self._serve(conn)
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+            try:
+                self._conns.remove(conn)
+            except ValueError:
+                pass
 
     def _serve(self, conn: socket.socket) -> None:
         conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)

@@ -549,7 +549,8 @@ class MySQLFixtureServer:
                     lo = int(lo_s) if lo_s is not None else None
                     hi = int(hi_s) if hi_s is not None else None
                     with self._mu:
-                        if self.on_select is not None                                 and lo_s is not None:
+                        if self.on_select is not None \
+                                and lo_s is not None:
                             self.on_select(t.name, lo, hi)
                         payloads = t.text_payloads(
                             [t.col_names.index(n) for n in names],

@@ -55,15 +55,13 @@ SHOWCASE = [
     # transactional assembly (incl. MySQL 8 zstd-compressed
     # transactions — type-40 payload events, RFC 8878 decode)
     "binlog_txn_changes", "binlog_txn_compressed",
-    # ACID table format + merge variants (incl. the full Kafka->
-    # pipeline->ACID topology over real wires)
+    # ACID table format + merge variants
     "acid_merge_snapshot", "cdc_partitioned_merge",
-    "kafka_to_acid_snapshot",
     # streaming: source feed + stateful operators
     "binlog_source_feed", "events_session_window_stream",
     "stateful_user_totals",
-    # verified-TLS + compressed-protocol socket transports
-    "mysql_socket_tls_snapshot", "mysql_socket_compressed_snapshot",
+    # verified-TLS socket transport
+    "mysql_socket_tls_snapshot",
     # TPC-H-style analytics
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -72,24 +70,31 @@ SHOWCASE = [
     "events_sessionize",
     # real-wire Kafka sink roundtrip + KIP-98 idempotent retries
     "cdc_kafka_wire_roundtrip", "cdc_kafka_idempotent_stream",
-    "cdc_kafka_transactional_stream",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine", "dedup_clusters_star",
     "corpus_dedup_retain",
-    # similarity / ANN
-    "knn_brute_force", "ann_ivf",
+    # similarity / ANN (L-tables hyperplane LSH is the canonical
+    # LSH index from round 9; multiprobe is a pedagogical baseline)
+    "knn_brute_force", "ann_ivf", "ann_lsh_tables",
     # text analysis (incl. real trained byte-level BPE)
     "text_stats", "text_lang_id_ngram", "text_bm25_search",
     "text_bpe_token_counts", "text_duplicate_span_strip",
     # multimodal (real PNG/JPEG/WAV/MJPEG-AVI codecs)
     "multimodal_media_decode",
-    # pipeline curation
-    "quality_filter_chain",
+    # pipeline curation (round 8: context-window packing + benchmark
+    # decontamination, rotated into the window per the r8 verdict)
+    "quality_filter_chain", "corpus_pack_windows",
+    "corpus_decontaminate",
     # corpus file-format ingestion (Common Crawl WARC, Dolma-style
     # zstd JSONL shards written by the in-repo RFC 8878 encoder)
     "warc_ingest_documents", "jsonl_spec_zstd_roundtrip",
     # ---- past the 50-window: still curated, still oracle-gated ----
+    # (rotated OUT of the window r9, all green in CORRECTNESS_r08:
+    # kafka_to_acid_snapshot, mysql_socket_compressed_snapshot,
+    # cdc_kafka_transactional_stream)
+    "kafka_to_acid_snapshot", "mysql_socket_compressed_snapshot",
+    "cdc_kafka_transactional_stream",
     "binlog_partial_json_update", "binlog_noblob_image_merge",
     "mysql_socket_minimal_snapshot", "mysql_socket_metadata_snapshot",
     "cdc_kafka_broker_failover",
@@ -97,10 +102,9 @@ SHOWCASE = [
     "mysql_socket_txn_compressed", "binlog_txn_apply_groups",
     "q2_min_cost_supplier", "q9_product_profit",
     "grouping_sets_sales", "events_asof_orders",
-    "dedup_simhash_near_pairs", "ann_multiprobe", "ann_lsh_tables",
+    "dedup_simhash_near_pairs", "ann_multiprobe",
     "doc_fingerprint", "text_bpe_word_freq", "multimodal_meta",
     "pii_redaction", "jsonl_zst_ingest",
-    "corpus_pack_windows", "corpus_decontaminate",
 ]
 
 

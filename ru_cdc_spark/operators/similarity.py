@@ -166,6 +166,14 @@ def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-bit-flip neighbor buckets — the standard recall recovery for LSH
     (9x candidate cost, still sum-of-bucket² not n²).
 
+    PEDAGOGICAL BASELINE, not a production index (retired round 9): the
+    single leading-dims sign code has a data-dependent recall floor —
+    measured recall@3 is 0.067 at sf0.1 / 0.213 at sf1, i.e. it misses
+    most true neighbors at bench scale even with 9 probes. It is kept to
+    demonstrate WHY one-table multi-probe cannot rescue a weak code: the
+    canonical LSH-ANN entry is :func:`ann_lsh_tables` (L independent
+    k-bit hyperplane codes, recall@3 ~0.5 at the same candidate budget).
+
     Scale: probes explode only the (small) query side; candidates stay
     put. The probe join remains an equi-join on the bucket code.
     """

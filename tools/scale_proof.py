@@ -100,9 +100,10 @@ def throughput(sf1_dir: str) -> None:
 
 
 def recall(sf1_dir: str) -> None:
-    """Round-8 verdict item #7: ANN recall@3 at sf1 (hash-noise-
-    decorrelated 10x embeddings) for IVF-kmeans, PQ-rerank, and
-    multiprobe — each must hold within 0.05 of its sf0.1 gate."""
+    """ANN recall@3 at sf1 (hash-noise-decorrelated 10x embeddings) for
+    IVF-kmeans, PQ-rerank, and the canonical L-tables LSH (round 9:
+    replaces the retired ann_multiprobe pedagogical baseline) — each
+    must hold within 0.05 of its sf0.1 gate."""
     spark = get_spark("scale-proof")
     out = {}
     for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"),
@@ -111,7 +112,7 @@ def recall(sf1_dir: str) -> None:
         truth = {(r.q_vec, r.neighbor) for r in exact.collect()
                  if r.rank <= 3}
         for name in ("ann_ivf_kmeans", "ann_pq_rerank",
-                     "ann_multiprobe"):
+                     "ann_lsh_tables"):
             approx = REGISTRY[name].fn(spark, sf_dir)
             got = {(r.q_vec, r.neighbor) for r in approx.collect()}
             rec = round(len(truth & got) / max(len(truth), 1), 3)

@@ -1061,3 +1061,88 @@ SELECT q_vec, neighbor, cos_sim, rank FROM (
 )
 WHERE rank <= {ANN_TOP_K}
 """)
+
+
+# ===========================================================================
+# batch-query serving over the L-tables index (round-9 verdict item #5)
+# ===========================================================================
+
+ANN_BATCH_MAX = 4096  # serving-batch bound: the query batch is broadcast
+#                       (vectors + codes), so it must stay driver-sized —
+#                       real retrieval services batch requests in the
+#                       hundreds; 4096 x 64 doubles is ~2 MB broadcast
+
+
+def ann_batch_queries(spark: SparkSession, sf_dir: str,
+                      top_k: int = ANN_TOP_K) -> DataFrame:
+    """Batch-serving ANN: N query vectors answered by ONE pass over the
+    corpus — the shape a real retrieval pipeline calls the index with
+    (per-query plans would re-scan the corpus N times).
+
+    The query batch (here: the deterministic ``vec_id % QUERY_MOD``
+    sample, standing in for externally-arriving requests) is collected
+    once — bounded by ``ANN_BATCH_MAX`` — and re-created as a LOCAL
+    relation, so the serving plan contains exactly one parquet scan of
+    the corpus. Both sides are coded by the SAME L-tables hyperplane
+    expressions as :func:`ann_lsh_tables`; candidates carry their corpus
+    vector through the broadcast bucket join, so the exact cosine is
+    computed in-place with no join back to the corpus. Results are
+    bit-identical to :func:`ann_lsh_tables` (same codes, same rerank) —
+    the DuckDB oracle is shared.
+
+    Scale: the corpus is scanned once and never shuffled before the
+    (small) candidate aggregation; the L-way code explode is in-flight
+    within the scan task pipeline, not materialized; the query batch is
+    a broadcast local relation. Cost per batch = one corpus scan +
+    sum-of-bucket-hit candidates, amortized over all N queries.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qrows = (emb.where(F.col("vec_id") % QUERY_MOD == 0)
+                .select("vec_id", "e").collect())
+    if len(qrows) > ANN_BATCH_MAX:
+        raise ValueError(
+            f"query batch {len(qrows)} exceeds ANN_BATCH_MAX "
+            f"{ANN_BATCH_MAX}: split the batch (each sub-batch is still "
+            f"one corpus scan)")
+    qdf = spark.createDataFrame(
+        [(r.vec_id, r.e) for r in qrows],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("e", ArrayType(DoubleType()))]))
+
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("t"), _lsh_bucket(t).alias("b"))
+        for t in range(LSH_TABLES)
+    ])
+    qcoded = (qdf.select("vec_id", "e", F.explode(buckets).alias("tb"))
+              .select(F.col("vec_id").alias("q_vec"),
+                      F.col("e").alias("qe"), norm(F.col("e")).alias("qn"),
+                      F.col("tb.t").alias("t"), F.col("tb.b").alias("b")))
+    cand = (emb.select("vec_id", "e", "nrm", F.explode(buckets).alias("tb"))
+            .select(F.col("vec_id").alias("neighbor"),
+                    F.col("e").alias("ce"), F.col("nrm").alias("cn"),
+                    F.col("tb.t").alias("t"), F.col("tb.b").alias("b")))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("q_vec").orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor").asc())
+    return (cand.join(F.broadcast(qcoded), ["t", "b"])
+            .where(F.col("neighbor") != F.col("q_vec"))
+            .select("q_vec", "neighbor", cos.alias("pair_cos"))
+            # a pair found in several tables is the same exact cosine:
+            # max() is pure dedup, computed map-side before the (small)
+            # candidate shuffle
+            .groupBy("q_vec", "neighbor")
+            .agg(F.max("pair_cos").alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k))
+
+
+# identical semantics, identical values -> the L-tables oracle is shared
+ANN_BATCH_QUERIES_SQL = ANN_LSH_TABLES_SQL

@@ -1335,6 +1335,8 @@ register("knn_brute_force", _sim.KNN_BRUTE_FORCE_SQL)(_sim.knn_brute_force)
 register("ann_sign_lsh", _sim.ANN_SIGN_LSH_SQL)(_sim.ann_sign_lsh)
 register("ann_multiprobe", _sim.ANN_MULTIPROBE_SQL)(_sim.ann_multiprobe)
 register("ann_lsh_tables", _sim.ANN_LSH_TABLES_SQL)(_sim.ann_lsh_tables)
+register("ann_batch_queries",
+         _sim.ANN_BATCH_QUERIES_SQL)(_sim.ann_batch_queries)
 register("centroid_per_label", _sim.CENTROID_PER_LABEL_SQL)(_sim.centroid_per_label)
 register("emb_quantize_int8", _sim.EMB_QUANTIZE_INT8_SQL)(_sim.emb_quantize_int8)
 register("knn_quantized", _sim.KNN_QUANTIZED_SQL)(_sim.knn_quantized)

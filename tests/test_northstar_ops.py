@@ -351,3 +351,35 @@ def test_lsh_tables_recall_beats_single_table(spark, sf_dir):
     r_single = len(truth & got_s) / max(len(truth), 1)
     assert r_tables >= 0.3, f"L-tables recall too low: {r_tables:.2f}"
     assert r_tables > r_single, (r_tables, r_single)
+
+
+def test_ann_batch_queries_identical_to_lsh_tables(spark, sf_dir):
+    """The batch-serving plan (one corpus scan, broadcast query batch)
+    must return BIT-IDENTICAL results to the per-index-join
+    ann_lsh_tables plan: same hyperplane codes, same bucket candidates,
+    same fold-order cosine — any drift means the serving path quietly
+    changed the index's semantics."""
+    from ru_cdc_spark.queries import REGISTRY
+
+    ref = {(r.q_vec, r.neighbor, r.cos_sim, r.rank)
+           for r in REGISTRY["ann_lsh_tables"].fn(spark, sf_dir).collect()}
+    got = {(r.q_vec, r.neighbor, r.cos_sim, r.rank)
+           for r in REGISTRY["ann_batch_queries"].fn(spark, sf_dir).collect()}
+    assert got == ref
+    assert len(got) > 0
+
+
+def test_ann_batch_queries_bound_enforced(spark, sf_dir):
+    """The serving batch is broadcast, so it must stay driver-sized:
+    an oversized batch raises instead of silently collecting."""
+    import pytest as _pytest
+
+    from ru_cdc_spark.operators import similarity as sim
+
+    orig = sim.ANN_BATCH_MAX
+    sim.ANN_BATCH_MAX = 1
+    try:
+        with _pytest.raises(ValueError, match="ANN_BATCH_MAX"):
+            sim.ann_batch_queries(spark, sf_dir)
+    finally:
+        sim.ANN_BATCH_MAX = orig

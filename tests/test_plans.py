@@ -537,3 +537,20 @@ def test_incremental_snapshot_single_pk_shuffle_no_sort(spark, sf_dir):
     assert "max_by" in plan or "MaxBy" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_batch_queries_single_corpus_scan(spark, sf_dir):
+    """Batch-serving ANN discipline (round-9): the WHOLE query batch is
+    answered by ONE parquet scan of the corpus — the query side is a
+    broadcast local relation (collected, bounded), the L-way code
+    explode stays in-flight inside the scan task, and the exact cosine
+    is computed in the bucket join (no join back to the corpus)."""
+    from ru_cdc_spark.plans import scan_read_schemas
+
+    df = REGISTRY["ann_batch_queries"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(scan_read_schemas(df)) == 1, scan_read_schemas(df)
+    assert "BroadcastHashJoin" in plan
+    # acceptable shuffles: candidate (q_vec, neighbor) hash agg + the
+    # per-query window (both on candidate rows, never the corpus)
+    assert count_exchanges(df) <= 3, plan[:1200]

@@ -68,8 +68,9 @@ SHOWCASE = [
     # windows / rollups / event analytics
     "top_orders_per_customer", "events_hourly_rollup",
     "events_sessionize",
-    # real-wire Kafka sink roundtrip + KIP-98 idempotent retries
-    "cdc_kafka_wire_roundtrip", "cdc_kafka_idempotent_stream",
+    # real-wire Kafka sink roundtrip + consumer-group rebalance (r9:
+    # JoinGroup/SyncGroup/Heartbeat, two members, injected death)
+    "cdc_kafka_wire_roundtrip", "cdc_kafka_group_rebalance",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine", "dedup_clusters_star",
@@ -94,7 +95,7 @@ SHOWCASE = [
     # kafka_to_acid_snapshot, mysql_socket_compressed_snapshot,
     # cdc_kafka_transactional_stream)
     "kafka_to_acid_snapshot", "mysql_socket_compressed_snapshot",
-    "cdc_kafka_transactional_stream",
+    "cdc_kafka_transactional_stream", "cdc_kafka_idempotent_stream",
     "binlog_partial_json_update", "binlog_noblob_image_merge",
     "mysql_socket_minimal_snapshot", "mysql_socket_metadata_snapshot",
     "cdc_kafka_broker_failover",

@@ -4011,6 +4011,160 @@ def cdc_kafka_group_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r.*"))
 
 
+def cdc_kafka_group_rebalance(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Consumer-GROUP rebalance over the real membership protocol
+    (round-9 verdict item #6): the change stream is produced across a
+    4-partition topic; TWO consumers — each a concurrent Spark task —
+    join one group via JoinGroup v0, the leader computes the range
+    assignment client-side and distributes it via SyncGroup v0, and
+    each member fetches ONLY its 2 assigned partitions, committing
+    per-partition offsets as it goes. Mid-stream one member is KILLED
+    (socket closed, no LeaveGroup, its last fetch consumed but never
+    committed). The survivor's heartbeat hits the session-timeout
+    eviction (REBALANCE_IN_PROGRESS), re-joins, is handed ALL four
+    partitions, resumes each reclaimed partition from the group's last
+    committed offset, and drains the topic. The union of both members'
+    records, deduplicated by (partition, offset) — the replayed
+    uncommitted tail collapses — hash-matches the plain
+    ``cdc_change_stream`` oracle: a member death loses nothing and
+    (after offset dedup) duplicates nothing.
+
+    Scale: membership traffic is O(heartbeats + rebalances), never
+    per-record; consumers are executor tasks (the engine's partition
+    parallelism IS the consumer group); reassignment cost is one
+    join/sync round trip, independent of log size. Extends K2
+    (reference ``src/message_queue.rs:91-135``, a fire-and-forget
+    single producer with no consumer side at all) to real deployment
+    topology."""
+    import uuid as _uuid
+
+    from ru_cdc_spark.sources.kafka_wire import KafkaBrokerFixture
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+    n_parts = 4
+    topic = f"rb{_uuid.uuid4().hex[:8]}_changes"
+    broker.create_topic(topic, n_parts)
+
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    n_records = flat.count()
+    host, port = "127.0.0.1", broker.port
+
+    payloads = flat.select(
+        (F.col("id") % n_parts).cast("int").alias("kpart"),
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+
+    def produce_rows(rows) -> None:
+        from ru_cdc_spark.sources.kafka_wire import KafkaWireClient
+
+        by_part: dict[int, list] = {}
+        for row in rows:
+            by_part.setdefault(int(row["kpart"]), []).append(
+                (row["key"].encode(), row["value"].encode()))
+        if not by_part:
+            return
+        with KafkaWireClient.connect(host, port) as kc:
+            for p, recs in by_part.items():
+                for i in range(0, len(recs), 2000):
+                    kc.produce(topic, p, recs[i:i + 2000])
+
+    payloads.foreachPartition(produce_rows)
+
+    group = f"grp_{topic}"
+    # the doomed member dies after ~1/6 of the stream: enough to have
+    # committed some batches (resume path) and to hold an uncommitted
+    # in-flight fetch (replay + dedup path)
+    kill_after = max(1, n_records // 6)
+
+    def consume(batches):
+        import time as _t
+
+        import pandas as pd
+
+        from ru_cdc_spark.sources.kafka_wire import GroupConsumer
+
+        idx = None
+        for pdf in batches:
+            for v in pdf["consumer"]:
+                idx = int(v)
+        if idx is None:
+            return
+        dying = idx == 1
+        gc = GroupConsumer(host, port, group, [topic],
+                           session_timeout_s=2.0)
+        out_p: list[int] = []
+        out_o: list[int] = []
+        out_v: list[str] = []
+        positions: dict[int, int] = {}
+        try:
+            gc.join()
+            consumed = 0
+            deadline = _t.time() + 120
+            while True:
+                if _t.time() > deadline:
+                    raise TimeoutError(
+                        f"consumer {idx}: drain never completed")
+                assignment = gc.ensure_active()
+                parts = assignment.get(topic, [])
+                for p in parts:
+                    if p not in positions:
+                        # (re)claimed partition: resume from the
+                        # group's broker-committed offset
+                        positions[p] = gc.committed(topic, [p])[p]
+                drained = bool(parts)
+                for p in parts:
+                    got = gc.fetch(topic, p, positions[p])
+                    recs = [r for r in got["records"]
+                            if r[0] >= positions[p]]
+                    for off, _k, val in recs:
+                        out_p.append(p)
+                        out_o.append(off)
+                        out_v.append(val.decode())
+                    if recs:
+                        positions[p] = recs[-1][0] + 1
+                        consumed += len(recs)
+                        if dying and consumed >= kill_after:
+                            # die mid-flight: the fetch above is in
+                            # the output but NEVER committed, and no
+                            # LeaveGroup is sent — the coordinator
+                            # only learns via session timeout
+                            gc.close()
+                            yield pd.DataFrame(
+                                {"partition": out_p, "offset": out_o,
+                                 "value": out_v})
+                            return
+                        gc.commit(topic, p, positions[p])
+                    if positions[p] < got["high_watermark"]:
+                        drained = False
+                if not dying and drained and len(parts) == n_parts:
+                    break
+                _t.sleep(0.05)
+            gc.leave()
+        finally:
+            try:
+                gc.close()
+            except OSError:
+                pass
+        yield pd.DataFrame({"partition": out_p, "offset": out_o,
+                            "value": out_v})
+
+    consumers = spark.createDataFrame([(0,), (1,)], "consumer int") \
+        .repartition(2)
+    raw = consumers.mapInPandas(
+        consume, "partition int, offset bigint, value string")
+    deduped = (raw.groupBy("partition", "offset")
+               .agg(F.max("value").alias("value")))
+    return (deduped
+            .select(F.from_json(F.col("value"), schema).alias("r"))
+            .select("r.*"))
+
+
 def cdc_kafka_broker_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BROKER failover mid-stream (the Kafka mirror of round-7's GTID
     server failover): the topic is consumed from broker A with a
@@ -4483,6 +4637,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_group_resume",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_group_resume)
+    register("cdc_kafka_group_rebalance",
+             REGISTRY["cdc_change_stream"].oracle)(
+        cdc_kafka_group_rebalance)
     register("cdc_kafka_broker_failover",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_broker_failover)

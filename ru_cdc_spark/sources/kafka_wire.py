@@ -364,9 +364,18 @@ API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
 API_OFFSET_COMMIT = 8
 API_OFFSET_FETCH = 9
 API_FIND_COORDINATOR = 10
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
 API_INIT_PRODUCER_ID = 22
 API_ADD_PARTITIONS_TO_TXN = 24
 API_END_TXN = 26
+
+# group-coordination error codes (published error table)
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
 
 # KIP-98 idempotence/transaction error codes (published error table)
 ERR_OUT_OF_ORDER_SEQUENCE = 45
@@ -391,6 +400,77 @@ def decode_control_record(key: bytes) -> int:
     if version != 0:
         raise ValueError(f"unknown control record version {version}")
     return struct.unpack(">h", key[2:4])[0]
+
+
+# ---------------------------------------------------------------------------
+# embedded consumer protocol (the "consumer" protocol_type payloads the
+# classic group-membership protocol carries opaquely: the published
+# Subscription / Assignment v0 layouts)
+# ---------------------------------------------------------------------------
+
+
+def encode_subscription(topics: list[str],
+                        user_data: bytes = b"") -> bytes:
+    """ConsumerProtocolSubscription v0: version + topic list + user data."""
+    return (_i16(0) + _i32(len(topics))
+            + b"".join(_string(t) for t in topics)
+            + _bytes32(user_data))
+
+
+def decode_subscription(data: bytes) -> tuple[list[str], bytes]:
+    r = _Reader(data)
+    version = r.i16()
+    if version < 0:
+        raise ValueError(f"bad subscription version {version}")
+    topics = [r.string() or "" for _ in range(r.i32())]
+    return topics, r.bytes32() or b""
+
+
+def encode_assignment(parts: dict[str, list[int]],
+                      user_data: bytes = b"") -> bytes:
+    """ConsumerProtocolAssignment v0: version + [topic, [partition]]."""
+    body = _i16(0) + _i32(len(parts))
+    for t in sorted(parts):
+        body += _string(t) + _i32(len(parts[t]))
+        body += b"".join(_i32(p) for p in parts[t])
+    return body + _bytes32(user_data)
+
+
+def decode_assignment(data: bytes) -> dict[str, list[int]]:
+    r = _Reader(data)
+    version = r.i16()
+    if version < 0:
+        raise ValueError(f"bad assignment version {version}")
+    out: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        t = r.string() or ""
+        out[t] = [r.i32() for _ in range(r.i32())]
+    return out
+
+
+def range_assign(members: list[tuple[str, bytes]],
+                 topic_partitions: dict[str, int]
+                 ) -> dict[str, dict[str, list[int]]]:
+    """The range assignor (the classic client default): per topic,
+    partitions are split into contiguous ranges over the members
+    subscribed to it, sorted by member id; the first n_partitions %
+    n_members members get one extra. Runs on the LEADER member — the
+    broker never interprets assignments."""
+    subs = {m: set(decode_subscription(meta)[0]) for m, meta in members}
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in subs}
+    for t in sorted({t for ts in subs.values() for t in ts}):
+        ms = sorted(m for m, ts in subs.items() if t in ts)
+        if not ms:
+            continue
+        n = topic_partitions.get(t, 1)
+        per, extra = divmod(n, len(ms))
+        p = 0
+        for i, m in enumerate(ms):
+            cnt = per + (1 if i < extra else 0)
+            if cnt:
+                out[m][t] = list(range(p, p + cnt))
+            p += cnt
+    return out
 
 
 class KafkaError(RuntimeError):
@@ -581,6 +661,56 @@ class KafkaWireClient:
                     raise KafkaError(err, f"OffsetFetch p{pid}")
                 out[pid] = (off, meta)
         return out
+
+    # -- group membership (JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0) --
+
+    def join_group(self, group_id: str, member_id: str,
+                   topics: list[str], session_timeout_s: float = 6.0
+                   ) -> tuple[int, int, str, str, str,
+                              list[tuple[str, bytes]]]:
+        """JoinGroup v0. Returns (error, generation, protocol, leader,
+        member_id, members) — ``members`` is non-empty only for the
+        elected leader, which then computes the assignment. The request
+        PARKS on the coordinator until the rebalance round's member set
+        freezes (the real protocol's barrier)."""
+        sub = encode_subscription(topics)
+        body = (_string(group_id)
+                + _i32(int(session_timeout_s * 1000))
+                + _string(member_id) + _string("consumer")
+                + _i32(1) + _string("range") + _bytes32(sub))
+        r = self._request(API_JOIN_GROUP, 0, body)
+        err, gen = r.i16(), r.i32()
+        proto, leader, mid = r.string(), r.string(), r.string()
+        members = [(r.string() or "", r.bytes32() or b"")
+                   for _ in range(r.i32())]
+        return err, gen, proto or "", leader or "", mid or "", members
+
+    def sync_group(self, group_id: str, generation: int, member_id: str,
+                   assignments: list[tuple[str, bytes]] | None = None
+                   ) -> tuple[int, bytes]:
+        """SyncGroup v0: the leader distributes assignments; followers
+        send an empty list and PARK until the leader's sync lands.
+        Returns (error, this member's assignment bytes)."""
+        assignments = assignments or []
+        body = (_string(group_id) + _i32(generation) + _string(member_id)
+                + _i32(len(assignments)))
+        for m, a in assignments:
+            body += _string(m) + _bytes32(a)
+        r = self._request(API_SYNC_GROUP, 0, body)
+        return r.i16(), r.bytes32() or b""
+
+    def heartbeat(self, group_id: str, generation: int,
+                  member_id: str) -> int:
+        """Heartbeat v0 -> error code (0 = stable;
+        REBALANCE_IN_PROGRESS = re-join now)."""
+        body = _string(group_id) + _i32(generation) + _string(member_id)
+        return self._request(API_HEARTBEAT, 0, body).i16()
+
+    def leave_group(self, group_id: str, member_id: str) -> int:
+        """LeaveGroup v0 -> error code. A clean leave triggers an
+        immediate rebalance instead of a session-timeout wait."""
+        body = _string(group_id) + _string(member_id)
+        return self._request(API_LEAVE_GROUP, 0, body).i16()
 
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes]],
@@ -870,6 +1000,135 @@ class TransactionalProducer(IdempotentProducer):
 
 
 # ---------------------------------------------------------------------------
+# group-membership consumer (the classic JoinGroup/SyncGroup rebalance
+# protocol a real multi-consumer deployment runs on)
+# ---------------------------------------------------------------------------
+
+
+class GroupConsumer:
+    """A group-coordinated consumer: joins a consumer group over the
+    real wire protocol (JoinGroup v0 -> leader-side range assignment ->
+    SyncGroup v0), fetches ONLY its assigned partitions, commits
+    per-partition offsets to the broker, and heartbeats. When the
+    coordinator signals REBALANCE_IN_PROGRESS (a member joined, left,
+    or timed out), ``ensure_active`` re-joins and the assignment
+    changes hands — the surviving consumer resumes each reclaimed
+    partition from the group's last committed offset, so records are
+    neither lost nor (after offset dedup) duplicated across a member
+    death.
+
+    Scale: membership traffic is O(heartbeats + rebalances), never
+    per-record; each consumer task holds one socket; assignments are
+    computed on the leader CLIENT (the broker stores them opaquely,
+    like the real coordinator).
+    """
+
+    def __init__(self, host: str, port: int, group_id: str,
+                 topics: list[str], session_timeout_s: float = 6.0,
+                 client_timeout_s: float = 30.0) -> None:
+        self.group_id = group_id
+        self.topics = list(topics)
+        self.session_timeout_s = session_timeout_s
+        self.member_id = ""
+        self.generation = -1
+        self.assignment: dict[str, list[int]] = {}
+        self._c = KafkaWireClient.connect(host, port,
+                                          timeout=client_timeout_s)
+
+    def join(self) -> dict[str, list[int]]:
+        """Join/re-join the group until a stable assignment lands."""
+        attempts = 0
+        while True:
+            attempts += 1
+            if attempts > 50:
+                raise KafkaError(ERR_REBALANCE_IN_PROGRESS,
+                                 "JoinGroup (no stable round)")
+            err, gen, _proto, leader, mid, members = self._c.join_group(
+                self.group_id, self.member_id, self.topics,
+                self.session_timeout_s)
+            if err == ERR_UNKNOWN_MEMBER_ID:
+                self.member_id = ""
+                continue
+            if err == ERR_REBALANCE_IN_PROGRESS:
+                continue
+            if err:
+                raise KafkaError(err, "JoinGroup")
+            self.member_id, self.generation = mid, gen
+            if mid == leader:
+                meta = self._c.metadata(sorted(
+                    {t for _, m in members
+                     for t in decode_subscription(m)[0]}))
+                tp = {t: len(info["partitions"])
+                      for t, info in meta["topics"].items()}
+                plan = range_assign(members, tp)
+                err2, mine = self._c.sync_group(
+                    self.group_id, gen, mid,
+                    [(m, encode_assignment(a))
+                     for m, a in plan.items()])
+            else:
+                err2, mine = self._c.sync_group(self.group_id, gen, mid)
+            if err2 in (ERR_REBALANCE_IN_PROGRESS,
+                        ERR_ILLEGAL_GENERATION):
+                continue
+            if err2 == ERR_UNKNOWN_MEMBER_ID:
+                self.member_id = ""
+                continue
+            if err2:
+                raise KafkaError(err2, "SyncGroup")
+            self.assignment = decode_assignment(mine)
+            return self.assignment
+
+    def ensure_active(self) -> dict[str, list[int]]:
+        """Heartbeat; on a rebalance signal, re-join. Returns the
+        (possibly new) assignment."""
+        if self.generation < 0:
+            return self.join()
+        err = self._c.heartbeat(self.group_id, self.generation,
+                                self.member_id)
+        if err == 0:
+            return self.assignment
+        if err == ERR_UNKNOWN_MEMBER_ID:
+            self.member_id = ""
+        if err in (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION,
+                   ERR_UNKNOWN_MEMBER_ID):
+            return self.join()
+        raise KafkaError(err, "Heartbeat")
+
+    def committed(self, topic: str, partitions: list[int]
+                  ) -> dict[int, int]:
+        """Broker-committed next-offset per partition (0 if none)."""
+        got = self._c.offset_fetch(self.group_id, topic, partitions)
+        return {p: (off if off >= 0 else 0)
+                for p, (off, _m) in got.items()}
+
+    def commit(self, topic: str, partition: int, offset: int) -> None:
+        self._c.offset_commit(self.group_id, topic, {partition: offset},
+                              generation_id=self.generation,
+                              member_id=self.member_id)
+
+    def fetch(self, topic: str, partition: int, offset: int,
+              max_bytes: int = 1 << 20) -> dict:
+        return self._c.fetch(topic, partition, offset,
+                             max_bytes=max_bytes)
+
+    def leave(self) -> None:
+        try:
+            if self.member_id:
+                self._c.leave_group(self.group_id, self.member_id)
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        self._c.close()
+
+    def __enter__(self) -> "GroupConsumer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+# ---------------------------------------------------------------------------
 # streaming source: Kafka offsets through Spark's offset log
 # ---------------------------------------------------------------------------
 
@@ -1101,6 +1360,30 @@ def register_kafka_wire_source(spark) -> None:
 # ---------------------------------------------------------------------------
 
 
+class _GroupCoordState:
+    """Coordinator-side state of one consumer group (the
+    __consumer_offsets group-metadata analog): the member table with
+    session deadlines, the rebalance state machine (Empty ->
+    PreparingRebalance -> AwaitingSync -> Stable), and the opaque
+    leader-computed assignments."""
+
+    __slots__ = ("state", "generation", "members", "leader",
+                 "assignments", "cond", "pending", "round_members",
+                 "deadline")
+
+    def __init__(self, lock: threading.Lock) -> None:
+        self.state = "Empty"
+        self.generation = 0
+        # member_id -> {"timeout": s, "meta": bytes, "hb": monotonic}
+        self.members: dict[str, dict] = {}
+        self.leader: str | None = None
+        self.assignments: dict[str, bytes] = {}
+        self.cond = threading.Condition(lock)
+        self.pending: dict[str, bytes] = {}     # joins this round
+        self.round_members: dict[str, bytes] = {}  # frozen member set
+        self.deadline = 0.0                     # round freeze deadline
+
+
 class KafkaBrokerFixture:
     """Threaded single-node broker: ApiVersions/Metadata/Produce/Fetch,
     an in-memory log per (topic, partition), and REAL CRC32C
@@ -1142,6 +1425,20 @@ class KafkaBrokerFixture:
         # (group, topic, partition) -> (offset, metadata)
         self._group_offsets: dict[tuple[str, str, int],
                                   tuple[int, str | None]] = {}
+        # group MEMBERSHIP coordination (round 9): per-group rebalance
+        # state machines for JoinGroup/SyncGroup/Heartbeat/LeaveGroup
+        self._groups: dict[str, _GroupCoordState] = {}
+        self._next_member = 0
+        # a brand-new group waits this long before freezing its first
+        # round so concurrently-starting members land in one generation
+        # (the broker's group.initial.rebalance.delay.ms)
+        self.group_initial_rebalance_delay_s = 0.5
+        # later rounds freeze when every surviving member has re-joined,
+        # or at this deadline (drops members that never re-joined)
+        self.group_rebalance_timeout_s = 8.0
+        # declared partition count per topic (create_topic); topics
+        # never declared default to 1, like auto-created topics
+        self.topic_partitions: dict[str, int] = {}
         self._lock = threading.Lock()
         self._sock: socket.socket | None = None
         self._stop = threading.Event()
@@ -1171,7 +1468,20 @@ class KafkaBrokerFixture:
             twin._aborted_idx = {k: list(v)
                                  for k, v in self._aborted_idx.items()}
             twin._group_offsets = dict(self._group_offsets)
+            twin.topic_partitions = dict(self.topic_partitions)
+            # group MEMBERSHIP is deliberately not replicated: on a
+            # coordinator change real consumers re-discover and re-join;
+            # the committed offsets above are the durable part
         return twin
+
+    def create_topic(self, name: str, partitions: int = 1) -> None:
+        """Declare a topic with N partitions (metadata advertises them;
+        produce/fetch accept any declared pid)."""
+        with self._lock:
+            self.topic_partitions[name] = partitions
+            for p in range(partitions):
+                self.logs.setdefault((name, p), [])
+                self.enc_logs.setdefault((name, p), [])
 
     def start(self) -> "KafkaBrokerFixture":
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -1259,6 +1569,14 @@ class KafkaBrokerFixture:
                     body = self._offset_commit(r)
                 elif api_key == API_OFFSET_FETCH:
                     body = self._offset_fetch(r)
+                elif api_key == API_JOIN_GROUP:
+                    body = self._join_group(r)
+                elif api_key == API_SYNC_GROUP:
+                    body = self._sync_group(r)
+                elif api_key == API_HEARTBEAT:
+                    body = self._heartbeat(r)
+                elif api_key == API_LEAVE_GROUP:
+                    body = self._leave_group(r)
                 else:
                     body = _i16(35)  # UNSUPPORTED_VERSION
                 resp = _i32(corr) + body
@@ -1292,7 +1610,11 @@ class KafkaBrokerFixture:
                      (API_END_TXN, 0, 0),
                      (API_OFFSET_COMMIT, 2, 2),
                      (API_OFFSET_FETCH, 1, 1),
-                     (API_FIND_COORDINATOR, 0, 0)]
+                     (API_FIND_COORDINATOR, 0, 0),
+                     (API_JOIN_GROUP, 0, 0),
+                     (API_SYNC_GROUP, 0, 0),
+                     (API_HEARTBEAT, 0, 0),
+                     (API_LEAVE_GROUP, 0, 0)]
         return (_i16(0) + _i32(len(supported))
                 + b"".join(_i16(k) + _i16(lo) + _i16(hi)
                            for k, lo, hi in supported))
@@ -1332,6 +1654,205 @@ class KafkaBrokerFixture:
         # single-node fixture: this broker coordinates every group
         return (_i16(0) + _i32(self.NODE_ID) + _string(self.host)
                 + _i32(self.port))
+
+    # -- group membership coordination (v0 state machine) --
+    # Empty -> PreparingRebalance (collect joins) -> AwaitSync (member
+    # set frozen; leader computes + distributes assignments) -> Stable.
+    # Any join/leave/session-timeout from Stable re-enters Preparing and
+    # in-flight heartbeats/syncs answer REBALANCE_IN_PROGRESS so live
+    # members re-join. JoinGroup/SyncGroup PARK on a condition sharing
+    # self._lock (each connection has its own serve thread), exactly the
+    # request-purgatory behavior of the real coordinator.
+
+    def _coord_group(self, group_id: str) -> _GroupCoordState:
+        g = self._groups.get(group_id)
+        if g is None:
+            g = self._groups[group_id] = _GroupCoordState(self._lock)
+        return g
+
+    def _sweep_members(self, g: _GroupCoordState, now: float) -> None:
+        dead = [m for m, v in g.members.items()
+                if now - v["hb"] > v["timeout"]]
+        if not dead:
+            return
+        for m in dead:
+            g.members.pop(m, None)
+            g.pending.pop(m, None)
+            g.assignments.pop(m, None)
+        if g.members:
+            if g.state != "Preparing":
+                g.state = "Preparing"
+                g.deadline = now + self.group_rebalance_timeout_s
+            self._maybe_freeze(g, now)
+        else:
+            g.state = "Empty"
+            g.pending.clear()
+        g.cond.notify_all()
+
+    def _maybe_freeze(self, g: _GroupCoordState, now: float) -> None:
+        """Freeze the Preparing round's member set: immediately once
+        every surviving member has re-joined (generation > 0), else at
+        the deadline (initial-rebalance delay for a brand-new group;
+        stragglers past the rebalance timeout are dropped)."""
+        if g.state != "Preparing":
+            return
+        all_rejoined = bool(g.pending) and \
+            set(g.pending) >= set(g.members)
+        if not ((all_rejoined and g.generation > 0)
+                or now >= g.deadline):
+            return
+        if not g.pending:
+            g.state = "Empty"
+            g.cond.notify_all()
+            return
+        g.members = {m: v for m, v in g.members.items()
+                     if m in g.pending}
+        g.generation += 1
+        g.round_members = dict(g.pending)
+        g.leader = sorted(g.round_members)[0]
+        g.assignments = {}
+        g.state = "AwaitSync"
+        g.pending = {}
+        g.cond.notify_all()
+
+    def _join_group(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        session_timeout = r.i32()
+        member_id = r.string() or ""
+        _ptype = r.string()
+        protos = [(r.string(), r.bytes32() or b"")
+                  for _ in range(r.i32())]
+        meta = protos[0][1] if protos else b""
+
+        def err_body(code: int) -> bytes:
+            return (_i16(code) + _i32(-1) + _string(None)
+                    + _string(None) + _string(member_id) + _i32(0))
+
+        with self._lock:
+            now = _time.monotonic()
+            g = self._coord_group(group_id)
+            self._sweep_members(g, now)
+            if not member_id:
+                self._next_member += 1
+                member_id = f"member-{self._next_member}"
+            g.members[member_id] = {
+                "timeout": max(session_timeout, 1000) / 1000.0,
+                "meta": meta, "hb": now}
+            if g.state in ("Empty", "Stable", "AwaitSync"):
+                g.state = "Preparing"
+                g.deadline = now + (
+                    self.group_initial_rebalance_delay_s
+                    if g.generation == 0
+                    else self.group_rebalance_timeout_s)
+            g.pending[member_id] = meta
+            g.cond.notify_all()
+            self._maybe_freeze(g, now)
+            give_up = now + self.group_rebalance_timeout_s \
+                + self.group_initial_rebalance_delay_s + 2.0
+            while not (g.state in ("AwaitSync", "Stable")
+                       and member_id in g.round_members):
+                tick = _time.monotonic()
+                if tick > give_up:
+                    return err_body(ERR_REBALANCE_IN_PROGRESS)
+                if (g.state in ("AwaitSync", "Stable")
+                        and member_id not in g.round_members):
+                    # the round froze without us (deadline drop): the
+                    # client retries its join into the next round
+                    return err_body(ERR_REBALANCE_IN_PROGRESS)
+                # a parked joiner is alive by definition — refresh its
+                # session so sweeps during a long round can't evict it
+                # (the real coordinator suspends expiry mid-rebalance)
+                if member_id in g.members:
+                    g.members[member_id]["hb"] = tick
+                if g.state == "Preparing":
+                    self._maybe_freeze(g, tick)
+                    if g.state != "Preparing":
+                        continue
+                g.cond.wait(timeout=0.05)
+            g.members[member_id]["hb"] = _time.monotonic()
+            members_block = (sorted(g.round_members.items())
+                             if member_id == g.leader else [])
+            body = (_i16(0) + _i32(g.generation) + _string("range")
+                    + _string(g.leader) + _string(member_id)
+                    + _i32(len(members_block)))
+            for m, mm in members_block:
+                body += _string(m) + _bytes32(mm)
+            return body
+
+    def _sync_group(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        generation = r.i32()
+        member_id = r.string() or ""
+        assigns = [(r.string() or "", r.bytes32() or b"")
+                   for _ in range(r.i32())]
+        with self._lock:
+            now = _time.monotonic()
+            g = self._groups.get(group_id)
+            if g is None or member_id not in g.members:
+                return _i16(ERR_UNKNOWN_MEMBER_ID) + _bytes32(b"")
+            if generation != g.generation:
+                return _i16(ERR_ILLEGAL_GENERATION) + _bytes32(b"")
+            if g.state == "Preparing":
+                return (_i16(ERR_REBALANCE_IN_PROGRESS)
+                        + _bytes32(b""))
+            if member_id == g.leader and assigns:
+                g.assignments = dict(assigns)
+                g.state = "Stable"
+                g.cond.notify_all()
+            give_up = now + self.group_rebalance_timeout_s
+            while not (g.state == "Stable"
+                       and generation == g.generation):
+                if (g.state == "Preparing"
+                        or generation != g.generation
+                        or _time.monotonic() > give_up):
+                    return (_i16(ERR_REBALANCE_IN_PROGRESS)
+                            + _bytes32(b""))
+                if member_id in g.members:
+                    g.members[member_id]["hb"] = _time.monotonic()
+                g.cond.wait(timeout=0.05)
+            g.members[member_id]["hb"] = _time.monotonic()
+            return _i16(0) + _bytes32(g.assignments.get(member_id,
+                                                        b""))
+
+    def _heartbeat(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        generation = r.i32()
+        member_id = r.string() or ""
+        with self._lock:
+            now = _time.monotonic()
+            g = self._groups.get(group_id)
+            if g is not None:
+                self._sweep_members(g, now)
+            if g is None or member_id not in g.members:
+                return _i16(ERR_UNKNOWN_MEMBER_ID)
+            g.members[member_id]["hb"] = now
+            if g.state == "Preparing":
+                return _i16(ERR_REBALANCE_IN_PROGRESS)
+            if generation != g.generation:
+                return _i16(ERR_ILLEGAL_GENERATION)
+            return _i16(0)
+
+    def _leave_group(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        member_id = r.string() or ""
+        with self._lock:
+            now = _time.monotonic()
+            g = self._groups.get(group_id)
+            if g is None or member_id not in g.members:
+                return _i16(ERR_UNKNOWN_MEMBER_ID)
+            g.members.pop(member_id, None)
+            g.pending.pop(member_id, None)
+            g.assignments.pop(member_id, None)
+            if g.members:
+                if g.state != "Preparing":
+                    g.state = "Preparing"
+                    g.deadline = now + self.group_rebalance_timeout_s
+                self._maybe_freeze(g, now)
+            else:
+                g.state = "Empty"
+                g.pending.clear()
+            g.cond.notify_all()
+            return _i16(0)
 
     def _offset_commit(self, r: _Reader) -> bytes:
         group = r.string()
@@ -1379,7 +1900,12 @@ class KafkaBrokerFixture:
         n = r.i32()
         asked = [r.string() for _ in range(n)] if n >= 0 else None
         with self._lock:
-            known = sorted({t for t, _ in self.logs})
+            known = sorted({t for t, _ in self.logs}
+                           | set(self.topic_partitions))
+            declared = dict(self.topic_partitions)
+            produced: dict[str, int] = {}
+            for t, p in self.logs:
+                produced[t] = max(produced.get(t, 0), p + 1)
         topics = asked if asked is not None else known
         out = (_i32(1)
                + _i32(self.NODE_ID) + _string(self.host)
@@ -1387,11 +1913,13 @@ class KafkaBrokerFixture:
                + _i32(self.NODE_ID))  # controller
         out += _i32(len(topics))
         for t in topics:
+            n_parts = max(declared.get(t, 1), produced.get(t, 1))
             out += (_i16(0) + _string(t) + _i8(0)
-                    + _i32(1)       # one partition per topic
-                    + _i16(0) + _i32(0) + _i32(self.NODE_ID)
-                    + _i32(1) + _i32(self.NODE_ID)
-                    + _i32(1) + _i32(self.NODE_ID))
+                    + _i32(n_parts))
+            for pid in range(n_parts):
+                out += (_i16(0) + _i32(pid) + _i32(self.NODE_ID)
+                        + _i32(1) + _i32(self.NODE_ID)
+                        + _i32(1) + _i32(self.NODE_ID))
         return out
 
     def _produce(self, r: _Reader) -> bytes:

@@ -193,3 +193,186 @@ class TestGroupResume:
         # the topic exactly, with nothing lost and nothing foreign
         assert sorted(got) == list(range(n))
         assert all(got[k] == f"v{k}" for k in range(n))
+
+
+class TestGroupMembership:
+    """JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0 (round 9): the
+    rebalance protocol a real multi-consumer deployment runs on."""
+
+    @pytest.fixture
+    def fast_broker(self):
+        b = KafkaBrokerFixture()
+        b.group_initial_rebalance_delay_s = 0.3
+        b.create_topic("t", 4)
+        b.start()
+        with KafkaWireClient.connect("127.0.0.1", b.port) as c:
+            for p in range(4):
+                c.produce("t", p, [(str(i).encode(),
+                                    f"v{p}-{i}".encode())
+                                   for i in range(5)])
+        yield b
+        b.stop()
+
+    def _two_members(self, b, session=3.0):
+        import threading
+
+        from ru_cdc_spark.sources.kafka_wire import GroupConsumer
+
+        out = {}
+
+        def member(name):
+            gc = GroupConsumer("127.0.0.1", b.port, "g", ["t"],
+                               session_timeout_s=session)
+            out[name] = (gc, gc.join())
+
+        ts = [threading.Thread(target=member, args=(n,))
+              for n in ("A", "B")]
+        for t in ts:
+            t.start()
+            time.sleep(0.05)
+        for t in ts:
+            t.join(20)
+        return out["A"], out["B"]
+
+    def test_range_assignment_splits_partitions(self, fast_broker):
+        (gca, aa), (gcb, ab) = self._two_members(fast_broker)
+        try:
+            assert sorted(aa.get("t", []) + ab.get("t", [])) == \
+                [0, 1, 2, 3]
+            assert len(aa.get("t", [])) == 2
+            assert len(ab.get("t", [])) == 2
+            # both stable: heartbeats return the same assignment
+            assert gca.ensure_active() == aa
+            assert gcb.ensure_active() == ab
+        finally:
+            gca.close()
+            gcb.close()
+
+    def test_member_death_reassigns_to_survivor(self, fast_broker):
+        (gca, _), (gcb, _) = self._two_members(fast_broker,
+                                               session=1.5)
+        try:
+            gcb.close()  # no LeaveGroup: the coordinator must rely on
+            #              session timeout, like a crashed consumer
+            deadline = time.time() + 10
+            got = {}
+            while time.time() < deadline:
+                got = gca.ensure_active()
+                if got.get("t") == [0, 1, 2, 3]:
+                    break
+                time.sleep(0.2)
+            assert got.get("t") == [0, 1, 2, 3]
+            # the new generation is stable again
+            assert gca.ensure_active() == got
+        finally:
+            gca.close()
+
+    def test_clean_leave_rebalances_immediately(self, fast_broker):
+        (gca, _), (gcb, _) = self._two_members(fast_broker)
+        try:
+            t0 = time.time()
+            gcb.leave()
+            got = {}
+            while time.time() - t0 < 5:
+                got = gca.ensure_active()
+                if got.get("t") == [0, 1, 2, 3]:
+                    break
+                time.sleep(0.05)
+            # well under the 3s session timeout: LeaveGroup, not sweep
+            assert got.get("t") == [0, 1, 2, 3]
+            assert time.time() - t0 < 2.5
+        finally:
+            gca.close()
+
+    def test_new_member_triggers_rebalance_of_stable_group(
+            self, fast_broker):
+        import threading
+
+        from ru_cdc_spark.sources.kafka_wire import GroupConsumer
+
+        (gca, aa), (gcb, ab) = self._two_members(fast_broker)
+        gcc = GroupConsumer("127.0.0.1", fast_broker.port, "g", ["t"],
+                            session_timeout_s=3.0)
+        try:
+            res = {}
+
+            def join_c():
+                res["c"] = gcc.join()
+
+            # A and B see REBALANCE_IN_PROGRESS on heartbeat and
+            # re-join; each member pumps its own heartbeat loop (a
+            # member's re-join PARKS until every survivor re-joins, so
+            # pumping two members from one thread would deadlock until
+            # the round deadline — real consumers heartbeat
+            # concurrently, one thread each)
+            def pump(gc):
+                deadline = time.time() + 10
+                while time.time() < deadline:
+                    gc.ensure_active()
+                    if "c" in res and gc.generation == gcc.generation:
+                        return
+                    time.sleep(0.05)
+
+            ts = [threading.Thread(target=join_c),
+                  threading.Thread(target=pump, args=(gca,)),
+                  threading.Thread(target=pump, args=(gcb,))]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(15)
+            all_parts = sorted(
+                gca.assignment.get("t", []) + gcb.assignment.get("t", [])
+                + res["c"].get("t", []))
+            assert all_parts == [0, 1, 2, 3]
+            sizes = sorted(len(x.get("t", [])) for x in
+                           (gca.assignment, gcb.assignment, res["c"]))
+            assert sizes == [1, 1, 2]
+        finally:
+            gca.close()
+            gcb.close()
+            gcc.close()
+
+    def test_stale_generation_and_unknown_member_errors(
+            self, fast_broker):
+        from ru_cdc_spark.sources.kafka_wire import (
+            ERR_ILLEGAL_GENERATION,
+            ERR_UNKNOWN_MEMBER_ID,
+        )
+
+        (gca, _), (gcb, _) = self._two_members(fast_broker)
+        try:
+            with KafkaWireClient.connect("127.0.0.1",
+                                         fast_broker.port) as c:
+                assert c.heartbeat("g", gca.generation,
+                                   "member-nope") == \
+                    ERR_UNKNOWN_MEMBER_ID
+                assert c.heartbeat("g", gca.generation + 7,
+                                   gca.member_id) == \
+                    ERR_ILLEGAL_GENERATION
+                assert c.heartbeat("nope-group", 0, "m") == \
+                    ERR_UNKNOWN_MEMBER_ID
+        finally:
+            gca.close()
+            gcb.close()
+
+    def test_reclaimed_partition_resumes_from_committed_offset(
+            self, fast_broker):
+        (gca, aa), (gcb, ab) = self._two_members(fast_broker,
+                                                 session=1.5)
+        try:
+            # B commits progress on its first partition, then dies
+            bp = ab["t"][0]
+            gcb.commit("t", bp, 3)
+            gcb.close()
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                if gca.ensure_active().get("t") == [0, 1, 2, 3]:
+                    break
+                time.sleep(0.2)
+            assert gca.committed("t", [bp])[bp] == 3
+            # survivor resumes at 3: exactly offsets 3, 4 remain
+            got = gca.fetch("t", bp, 3)
+            offs = [o for o, _k, _v in got["records"] if o >= 3]
+            assert offs == [3, 4]
+        finally:
+            gca.close()

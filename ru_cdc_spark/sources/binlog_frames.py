@@ -1295,3 +1295,130 @@ SELECT i AS k,
   lpad(lower(hex(i)), 16, '0') AS wkb_hex
 FROM ids
 """
+
+
+# ---------------------------------------------------------------------------
+# GEOMETRY decode beyond passthrough (round-9 verdict item #7): REAL
+# OGC WKB bodies (point / linestring / polygon, BOTH byte orders)
+# carried through the binlog type-255 BLOB framing, decoded by the
+# spec-built functions/wkb.py parser into queryable typed columns.
+# The fixture is a pure function of the row id, so the DuckDB oracle
+# recomputes SRID, type, point count, and the exact WKT string
+# arithmetically — no spatial extension needed.
+# ---------------------------------------------------------------------------
+
+GEOMETRY_NAMES = ["k", "srid", "geom_type", "n_points", "wkt"]
+
+
+def _geometry_specs():
+    from ru_cdc_spark.sources.binlog_wire import T_GEOMETRY
+
+    return [ColSpec(T_LONGLONG), ColSpec(T_GEOMETRY, (2,))]
+
+
+def _geometry_row_values(i: int) -> tuple:
+    from ru_cdc_spark.functions.wkb import (
+        encode_wkb_linestring,
+        encode_wkb_point,
+        encode_wkb_polygon,
+    )
+
+    srid = (i * 31) % 10000
+    little = i % 2 == 1  # alternate byte orders: both must decode
+    t = i % 3
+    if t == 0:
+        wkb = encode_wkb_point(float(i % 181), float((i * 7) % 293),
+                               little)
+    elif t == 1:
+        lx, ly = i % 50, i % 60
+        wkb = encode_wkb_linestring(
+            [(float(lx), float(ly)), (float(lx + 5), float(ly + 3)),
+             (float(lx + 9), float(ly + 11))], little)
+    else:
+        ax, ay = i % 40, (i * 3) % 50
+        ring = [(float(ax), float(ay)), (float(ax + 4), float(ay)),
+                (float(ax + 4), float(ay + 4)),
+                (float(ax), float(ay + 4)), (float(ax), float(ay))]
+        wkb = encode_wkb_polygon([ring], little)
+    return (i, srid.to_bytes(4, "little") + wkb)
+
+
+def generate_geometry_frames(spark: SparkSession, n_rows: int,
+                             n_partitions: int = 8) -> DataFrame:
+    """WRITE_ROWS_v2 frames whose type-255 column carries real
+    SRID-prefixed WKB (what a spatial table's binlog rows hold)."""
+    specs = _geometry_specs()
+    n_frames = (n_rows + ROWS_PER_EVENT - 1) // ROWS_PER_EVENT
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for fid in pdf["id"]:
+                rows = [_geometry_row_values(i)
+                        for i in range(int(fid) * ROWS_PER_EVENT,
+                                       min((int(fid) + 1) * ROWS_PER_EVENT,
+                                           n_rows))]
+                frames.append(encode_frame(
+                    53, "testdb", "spatial", specs, WRITE_ROWS_V2,
+                    rows, log_pos=int(fid)))
+            yield pd.DataFrame({"frame_id": pdf["id"], "frame": frames})
+
+    return (spark.range(n_frames).repartition(n_partitions)
+            .mapInPandas(gen, "frame_id long, frame binary"))
+
+
+def decode_geometry_frames(frames: DataFrame) -> DataFrame:
+    """Wire passthrough -> typed spatial columns: SRID off the 4-byte
+    LE prefix, the WKB body STRICTLY parsed (unknown type / truncation
+    / trailing bytes raise), point count and canonical WKT emitted."""
+    out_schema = ("k long, srid long, geom_type string, "
+                  "n_points int, wkt string")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ru_cdc_spark.functions.wkb import (
+            decode_mysql_geometry,
+            n_points,
+            wkt,
+        )
+
+        for pdf in batches:
+            recs = []
+            for raw in pdf["frame"]:
+                _s, _t, _e, rows = decode_frame(bytes(raw))
+                for k, geo in rows:
+                    srid, geom = decode_mysql_geometry(bytes(geo))
+                    recs.append((k, srid, geom["type"],
+                                 n_points(geom), wkt(geom)))
+            yield pd.DataFrame(recs, columns=GEOMETRY_NAMES)
+
+    return frames.mapInPandas(dec, out_schema)
+
+
+BINLOG_GEOMETRY_N_ROWS = 2000
+
+BINLOG_GEOMETRY_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({BINLOG_GEOMETRY_N_ROWS})) AS i),
+g AS (
+    SELECT i, (i * 31) % 10000 AS srid, i % 3 AS t,
+           i % 181 AS px, (i * 7) % 293 AS py,
+           i % 50 AS lx, i % 60 AS ly,
+           i % 40 AS ax, (i * 3) % 50 AS ay
+    FROM ids)
+SELECT i AS k, srid,
+  CASE t WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
+         ELSE 'POLYGON' END AS geom_type,
+  CAST(CASE t WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 5 END AS INT)
+      AS n_points,
+  CASE t
+    WHEN 0 THEN 'POINT(' || px || ' ' || py || ')'
+    WHEN 1 THEN 'LINESTRING(' || lx || ' ' || ly || ','
+                || (lx + 5) || ' ' || (ly + 3) || ','
+                || (lx + 9) || ' ' || (ly + 11) || ')'
+    ELSE 'POLYGON((' || ax || ' ' || ay || ','
+         || (ax + 4) || ' ' || ay || ','
+         || (ax + 4) || ' ' || (ay + 4) || ','
+         || ax || ' ' || (ay + 4) || ','
+         || ax || ' ' || ay || '))'
+  END AS wkt
+FROM g
+"""

@@ -1370,7 +1370,16 @@ def decode_rows_event(b: bytes, specs: list[ColSpec],
     so the per-event spec-tuple cache hash is not re-paid.
     """
     event_type = b[4]
-    size = int.from_bytes(b[9:13], "little") - checksum_bytes
+    declared = int.from_bytes(b[9:13], "little")
+    if declared > len(b):
+        # torn event: the header promises more bytes than the buffer
+        # holds. Failing HERE is the loud-failure contract — short
+        # slices further down would otherwise int.from_bytes() to
+        # small values and could append a silently-misdecoded row.
+        raise ValueError(
+            f"torn rows event: header declares {declared} bytes, "
+            f"buffer holds {len(b)}")
+    size = declared - checksum_bytes
     if event_type == PARTIAL_UPDATE_ROWS_EVENT:
         if decoders is None:
             decoders = compile_decoders(specs)

@@ -7,6 +7,9 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 from decimal import Decimal
 
+import struct
+
+import pytest
 from hypothesis import given, settings, strategies as st
 
 import ru_cdc_spark.sources.binlog_wire as w
@@ -187,3 +190,126 @@ def test_binary_json_roundtrip(v):
     from ru_cdc_spark.sources.mysql_json import decode_json, encode_json
 
     assert decode_json(encode_json(v)) == v
+
+
+# ---------------------------------------------------------------------------
+# adversarial MINIMAL/NOBLOB sparse-image fuzz (round-9 verdict item #8):
+# random present/null bitmap combinations must round-trip exactly;
+# truncated sparse payloads and bitmap/column-count mismatches must fail
+# LOUD (the torn-frame contract), never silently misdecode.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def sparse_schema_and_pairs(draw):
+    """Random schema + random (before, after) pairs with independent
+    random present bitmaps (each at least one column, like any real
+    row image)."""
+    specs, rows = draw(schema_and_rows())
+    n = len(specs)
+    mask = st.lists(st.booleans(), min_size=n, max_size=n).filter(any)
+    pb = draw(mask)
+    pa = draw(mask)
+    pairs = [
+        (tuple(v if keep else w.ABSENT for v, keep in zip(row, pb)),
+         tuple(v if keep else w.ABSENT for v, keep in zip(row, pa)))
+        for row in rows
+    ]
+    return specs, pairs, pb, pa
+
+
+@given(sp=sparse_schema_and_pairs())
+@settings(max_examples=150, deadline=None)
+def test_sparse_update_random_bitmaps_roundtrip(sp):
+    """UPDATE_ROWS_V2 under arbitrary present bitmaps: absent slots
+    come back ABSENT (never None), present slots keep value/NULL
+    exactly — across every random present/null combination."""
+    specs, pairs, pb, pa = sp
+    ev = w.encode_rows_event(w.UPDATE_ROWS_V2, 7, specs, pairs,
+                             present=pb, present_after=pa)
+    etype, got = w.decode_rows_event(ev, specs)
+    assert etype == w.UPDATE_ROWS_V2
+    assert got == pairs
+
+
+@given(sp=sparse_schema_and_pairs())
+@settings(max_examples=100, deadline=None)
+def test_sparse_write_random_bitmaps_roundtrip(sp):
+    specs, pairs, pb, _pa = sp
+    images = [before for before, _ in pairs]
+    ev = w.encode_rows_event(w.WRITE_ROWS_V2, 7, specs, images,
+                             present=pb)
+    _et, got = w.decode_rows_event(ev, specs)
+    assert got == images
+
+
+@given(sp=sparse_schema_and_pairs(), data=st.data())
+@settings(max_examples=150, deadline=None)
+def test_truncated_sparse_event_raises(sp, data):
+    """Any truncation of a sparse rows event — mid-bitmap, mid-null-
+    bitmap, mid-value, even one byte short — must raise, not decode:
+    short slices silently int.from_bytes() to zeros otherwise."""
+    specs, pairs, pb, pa = sp
+    ev = w.encode_rows_event(w.UPDATE_ROWS_V2, 7, specs, pairs,
+                             present=pb, present_after=pa)
+    cut = data.draw(st.integers(min_value=0, max_value=len(ev) - 1),
+                    label="cut")
+    with pytest.raises((ValueError, IndexError, struct.error)):
+        w.decode_rows_event(ev[:cut], specs)
+
+
+@given(sp=sparse_schema_and_pairs(), extra=st.integers(1, 4))
+@settings(max_examples=50, deadline=None)
+def test_column_count_mismatch_raises(sp, extra):
+    """A rows event whose lenenc column count disagrees with the
+    TABLE_MAP's specs (catalog drift / corrupted frame) raises the
+    drift error instead of shifting every bitmap and value."""
+    specs, pairs, pb, pa = sp
+    ev = w.encode_rows_event(w.UPDATE_ROWS_V2, 7, specs, pairs,
+                             present=pb, present_after=pa)
+    wrong = specs + [w.ColSpec(w.T_LONG)] * extra
+    with pytest.raises(ValueError, match="columns"):
+        w.decode_rows_event(ev, wrong)
+
+
+@given(sp=sparse_schema_and_pairs())
+@settings(max_examples=50, deadline=None)
+def test_encoder_rejects_value_in_absent_slot(sp):
+    """Encode-side contract: a row carrying a real value where the
+    present bitmap says ABSENT is a caller bug and must raise (a
+    silent drop would fabricate a sparse image that lies)."""
+    specs, pairs, pb, pa = sp
+    if all(pb):
+        pb = pb[:-1] + [False]
+    absent_at = pb.index(False)
+    bad_before = tuple(
+        0 if i == absent_at else v
+        for i, v in enumerate(pairs[0][0]))
+    with pytest.raises(ValueError, match="present bitmap"):
+        w.encode_rows_event(
+            w.UPDATE_ROWS_V2, 7, specs, [(bad_before, pairs[0][1])],
+            present=pb, present_after=pa)
+
+
+@given(sr=schema_and_rows())
+@settings(max_examples=50, deadline=None)
+def test_minimal_noblob_helper_masks_roundtrip(sr):
+    """The real server-shaped masks (row_image_present MINIMAL/NOBLOB)
+    round-trip through the same path as the random ones."""
+    specs, rows = sr
+    pk = [0]
+    changed = [len(specs) - 1]
+    for mode in ("MINIMAL", "NOBLOB"):
+        pb, pa = w.row_image_present(specs, mode, pk,
+                                     changed_cols=changed)
+        masked = [
+            (tuple(v if keep else w.ABSENT
+                   for v, keep in zip(row, pb)),
+             tuple(v if keep else w.ABSENT
+                   for v, keep in zip(row, pa)))
+            for row in rows
+        ]
+        ev = w.encode_rows_event(w.UPDATE_ROWS_V2, 7, specs, masked,
+                                 present=pb, present_after=pa)
+        _et, got = w.decode_rows_event(ev, specs)
+        assert got == masked

@@ -63,6 +63,14 @@ HEADLINE = [
     # entries above — compare per-query, not totals, across rounds)
     "binlog_minimal_image_merge",
     "mysql_socket_metadata_snapshot",
+    # round-9 additions: canonical L-tables LSH index + one-scan batch
+    # serving, consumer-group rebalance (two live members, injected
+    # death), WKB geometry decode (the r08..r07 comparison set is the
+    # 37 entries above)
+    "ann_lsh_tables",
+    "ann_batch_queries",
+    "cdc_kafka_group_rebalance",
+    "mysql_geometry_decode",
 ]
 
 

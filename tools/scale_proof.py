@@ -27,6 +27,10 @@ QUERIES = [
     "corpus_dedup_retain",
     "dedup_clusters_star",
     "cdc_merge_snapshot",
+    # round-9 additions (round-8 verdict item #4): the r8 curation
+    # flagships scale with the documents table
+    "corpus_pack_windows",
+    "corpus_decontaminate",
 ]
 
 
@@ -99,6 +103,45 @@ def throughput(sf1_dir: str) -> None:
     print(json.dumps(out))
 
 
+def sparse_merge() -> None:
+    """Round-8 verdict item #4 (fixture-driven leg): the MINIMAL-image
+    sparse merge (operators/merge.py merge_sparse_changes) at 1x vs 10x
+    its fixture size. The plan is one PK hash shuffle with map-side
+    partials; the bar is wall-time ratio <= ~12x at 10x rows."""
+    from ru_cdc_spark.operators.merge import merge_sparse_changes
+    from ru_cdc_spark.sources.binlog_frames import (
+        SPARSE_CDC_N_ROWS,
+        SPARSE_EMIT_COLS,
+        decode_sparse_cdc_frames,
+        generate_sparse_cdc_frames,
+    )
+
+    spark = get_spark("scale-proof")
+
+    def run(n_rows: int) -> float:
+        changes = decode_sparse_cdc_frames(
+            generate_sparse_cdc_frames(spark, n_rows, mode="MINIMAL")
+            .select("frame"))
+        merged = merge_sparse_changes(
+            changes, ["i"], [n for n, _ in SPARSE_EMIT_COLS],
+            seq_col="seq", type_col="type")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            merged.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
+    run(SPARSE_CDC_N_ROWS)  # warmup
+    one = run(SPARSE_CDC_N_ROWS)
+    ten = run(SPARSE_CDC_N_ROWS * 10)
+    hundred = run(SPARSE_CDC_N_ROWS * 100)
+    out = {"1x": one, "10x": ten, "100x": hundred,
+           "ratio_10x": round(ten / max(one, 1e-9), 2),
+           "ratio_100x": round(hundred / max(one, 1e-9), 2)}
+    print(json.dumps({"merge_sparse_changes": out}))
+
+
 def recall(sf1_dir: str) -> None:
     """ANN recall@3 at sf1 (hash-noise-decorrelated 10x embeddings) for
     IVF-kmeans, PQ-rerank, and the canonical L-tables LSH (round 9:
@@ -128,5 +171,7 @@ if __name__ == "__main__":
     elif "--recall" in sys.argv:
         recall(sys.argv[-1] if not sys.argv[-1].startswith("--")
                else "/tmp/sfdata/sf1")
+    elif "--sparse-merge" in sys.argv:
+        sparse_merge()
     else:
         main()

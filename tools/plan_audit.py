@@ -143,6 +143,14 @@ AUDIT = [
      "round 8: L-tables hyperplane LSH — codes are narrow per-row "
      "expressions, candidates via (table, bucket) equi-join with the "
      "query side broadcast, exact rerank on the deduped union"),
+    ("ann_batch_queries",
+     "round 9: batch serving over the L-tables index — ONE parquet "
+     "scan of the corpus answers the whole broadcast query batch; "
+     "cosine computed in the bucket join (no join back), only "
+     "candidate pairs shuffle"),
+    ("mysql_geometry_decode",
+     "round 9: type-255 WKB decode as one narrow Arrow map — SRID + "
+     "typed coordinates + WKT off the wire bytes, zero shuffle"),
 ]
 
 

@@ -149,3 +149,90 @@ FROM grams g JOIN bench b USING (gram)
 WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
 GROUP BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing (round 9): sample each source down to target token
+# proportions — the Pile/Dolma "mixing weights" stage. Given per-domain
+# weights w_d, the largest non-upsampled output S satisfies
+# S*w_d <= T_d for every domain, i.e. S = min_d floor(T_d / w_d); each
+# domain then contributes docs (in a deterministic pseudo-random order)
+# until its token budget floor(S*w_d) is reached. All arithmetic is
+# integer (weights carried as numerator/denominator), so the DuckDB
+# oracle recomputes the exact selected set.
+# ---------------------------------------------------------------------------
+
+MIX_DENOM = 210          # sum of weight numerators 1..20 (srcK gets
+#                          (K+1)/210 of output tokens)
+MIX_HASH_MUL = 2654435761  # Knuth multiplicative step for the
+#                            deterministic shuffle order (identical
+#                            arithmetic both engines; fixture doc_ids
+#                            stay far below int64 overflow)
+MIX_HASH_MOD = 1 << 32
+
+
+def corpus_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select a maximal non-upsampled training mix hitting per-domain
+    token proportions: source srcK is weighted (K+1)/210. Emits the
+    selected documents with their domain budget.
+
+    Scale: one narrow token-count projection; domain totals are a
+    20-row aggregate (broadcast); the per-domain running sum is the
+    distributed two-pass scheme (range shuffle + partition-local
+    windows + broadcast offsets) — no collect of the corpus, no
+    unpartitioned window; the budget filter is a broadcast join."""
+    from ru_cdc_spark.operators.rankops import grouped_running_sum
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = (docs.select(
+        "doc_id", "source",
+        F.size(words_col(F.col("text"))).alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+        .withColumn("w_num", F.regexp_replace(
+            "source", "^src", "").cast("long") + 1)
+        .withColumn("h", (F.col("doc_id") * MIX_HASH_MUL)
+                    % MIX_HASH_MOD))
+    avail = toks.groupBy("source", "w_num").agg(
+        F.sum("n_tok").alias("t_d"))
+    s_units = avail.select(F.min(F.expr(
+        f"t_d * {MIX_DENOM} div w_num")).alias("s_units"))
+    budgets = (avail.crossJoin(F.broadcast(s_units))
+               .select("source", F.expr(
+                   f"s_units * w_num div {MIX_DENOM}").alias("b")))
+    cum = grouped_running_sum(
+        toks, ["source"], [F.col("h").asc(), F.col("doc_id").asc()],
+        ["n_tok"], prefix="cum_")
+    return (cum.join(F.broadcast(budgets), "source")
+            .where(F.col("cum_n_tok") <= F.col("b"))
+            .select("doc_id", "source",
+                    F.col("n_tok").cast("long").alias("n_tok"),
+                    F.col("b").cast("long").alias("domain_budget")))
+
+
+CORPUS_MIX_DOMAINS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source, len({_WORDS_SQL}) AS n_tok FROM documents
+), nz AS (
+    SELECT doc_id, source, n_tok,
+           CAST(REPLACE(source, 'src', '') AS BIGINT) + 1 AS w_num,
+           (doc_id * {MIX_HASH_MUL}) % {MIX_HASH_MOD} AS h
+    FROM toks WHERE n_tok > 0
+), avail AS (
+    SELECT source, w_num, SUM(n_tok) AS t_d FROM nz GROUP BY 1, 2
+), s AS (
+    SELECT MIN((t_d * {MIX_DENOM}) // w_num) AS s_units FROM avail
+), budget AS (
+    SELECT source, (s_units * w_num) // {MIX_DENOM} AS b
+    FROM avail, s
+), ordered AS (
+    SELECT doc_id, source, n_tok,
+           SUM(n_tok) OVER (PARTITION BY source
+                            ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS c
+    FROM nz
+)
+SELECT o.doc_id, o.source, CAST(o.n_tok AS BIGINT) AS n_tok,
+       CAST(b.b AS BIGINT) AS domain_budget
+FROM ordered o JOIN budget b USING (source)
+WHERE o.c <= b.b
+"""

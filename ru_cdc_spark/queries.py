@@ -1426,6 +1426,8 @@ register("corpus_pack_windows",
          _cu.CORPUS_PACK_WINDOWS_SQL)(_cu.corpus_pack_windows)
 register("corpus_decontaminate",
          _cu.CORPUS_DECONTAMINATE_SQL)(_cu.corpus_decontaminate)
+register("corpus_mix_domains",
+         _cu.CORPUS_MIX_DOMAINS_SQL)(_cu.corpus_mix_domains)
 
 from ru_cdc_spark.operators import sketch as _sk  # noqa: E402
 

@@ -554,3 +554,15 @@ def test_ann_batch_queries_single_corpus_scan(spark, sf_dir):
     # acceptable shuffles: candidate (q_vec, neighbor) hash agg + the
     # per-query window (both on candidate rows, never the corpus)
     assert count_exchanges(df) <= 3, plan[:1200]
+
+
+def test_corpus_mix_domains_distributed_cumsum(spark, sf_dir):
+    """Domain mixing (round 9): the per-domain running sum is the
+    distributed two-pass scheme — range exchange + partition-local
+    windows — and budgets arrive by broadcast; no unpartitioned window,
+    no corpus collect."""
+    df = REGISTRY["corpus_mix_domains"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert _unpartitioned_window_count(plan) == 0, plan[:800]
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan

@@ -13,10 +13,14 @@ Layout per the published OGC 99-049 / ISO 19125 WKB spec:
   POINT(1)       := x(f64) y(f64)
   LINESTRING(2)  := n(u32) point*n        (bare coordinate pairs)
   POLYGON(3)     := n_rings(u32) ring*n; ring := n(u32) point*n
+  MULTIPOINT(4) / MULTILINESTRING(5) / MULTIPOLYGON(6) /
+  GEOMETRYCOLLECTION(7) := n(u32) geometry*n  (each member carries its
+  OWN byte-order byte and type tag — members may even mix endianness)
 
 Decoding is STRICT (the engine's loud-failure contract): unknown types,
-truncated bodies, and trailing bytes all raise — a misframed geometry
-must never silently misdecode.
+truncated bodies, trailing bytes, and wrong member types inside a
+typed multi-geometry all raise — a misframed geometry must never
+silently misdecode.
 """
 
 from __future__ import annotations
@@ -24,8 +28,17 @@ from __future__ import annotations
 import struct
 
 WKB_POINT, WKB_LINESTRING, WKB_POLYGON = 1, 2, 3
+WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON = 4, 5, 6
+WKB_GEOMETRYCOLLECTION = 7
 _TYPE_NAMES = {WKB_POINT: "POINT", WKB_LINESTRING: "LINESTRING",
                WKB_POLYGON: "POLYGON"}
+_MULTI_MEMBER = {WKB_MULTIPOINT: "POINT",
+                 WKB_MULTILINESTRING: "LINESTRING",
+                 WKB_MULTIPOLYGON: "POLYGON"}
+_MULTI_NAMES = {WKB_MULTIPOINT: "MULTIPOINT",
+                WKB_MULTILINESTRING: "MULTILINESTRING",
+                WKB_MULTIPOLYGON: "MULTIPOLYGON",
+                WKB_GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION"}
 
 
 def encode_wkb_point(x: float, y: float, little: bool = True) -> bytes:
@@ -57,6 +70,17 @@ def encode_wkb_polygon(rings: list[list[tuple[float, float]]],
         for x, y in ring:
             out += struct.pack(f"{e}dd", x, y)
     return out
+
+
+def encode_wkb_multi(wkb_type: int, members: list[bytes],
+                     little: bool = True) -> bytes:
+    """Assemble a multi-geometry / collection from already-encoded
+    member geometries (each member keeps its own header, per spec)."""
+    e = "<" if little else ">"
+    return (bytes([1 if little else 0])
+            + struct.pack(f"{e}I", wkb_type)
+            + struct.pack(f"{e}I", len(members))
+            + b"".join(members))
 
 
 def _need(data: bytes, pos: int, n: int, what: str) -> None:
@@ -105,6 +129,20 @@ def _decode_geom(data: bytes, pos: int) -> tuple[dict, int]:
             pts, pos = _decode_points(data, pos, e)
             rings.append(pts)
         return {"type": "POLYGON", "coords": rings}, pos
+    if wtype in _MULTI_NAMES:
+        _need(data, pos, 4, "member count")
+        n = struct.unpack_from(f"{e}I", data, pos)[0]
+        pos += 4
+        members = []
+        want = _MULTI_MEMBER.get(wtype)
+        for k in range(n):
+            member, pos = _decode_geom(data, pos)
+            if want is not None and member["type"] != want:
+                raise ValueError(
+                    f"{_MULTI_NAMES[wtype]} member {k} is a "
+                    f"{member['type']}, expected {want}")
+            members.append(member)
+        return {"type": _MULTI_NAMES[wtype], "coords": members}, pos
     raise ValueError(f"unsupported WKB geometry type {wtype}")
 
 
@@ -139,6 +177,16 @@ def wkt(geom: dict) -> str:
             "(" + ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ring) + ")"
             for ring in c)
         return f"POLYGON({rings})"
+    if t == "GEOMETRYCOLLECTION":
+        return f"GEOMETRYCOLLECTION({','.join(wkt(m) for m in c)})"
+    if t in ("MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON"):
+        # canonical multi-WKT strips the member keyword and keeps each
+        # member's parenthesized body
+        def body(m: dict) -> str:
+            w = wkt(m)
+            return "(" + w[w.index("(") + 1:-1] + ")"
+
+        return f"{t}({','.join(body(m) for m in c)})"
     raise ValueError(f"no WKT form for {t}")
 
 
@@ -148,7 +196,9 @@ def n_points(geom: dict) -> int:
         return 1
     if t == "LINESTRING":
         return len(geom["coords"])
-    return sum(len(r) for r in geom["coords"])
+    if t == "POLYGON":
+        return sum(len(r) for r in geom["coords"])
+    return sum(n_points(m) for m in geom["coords"])
 
 
 def decode_mysql_geometry(value: bytes) -> tuple[int, dict]:

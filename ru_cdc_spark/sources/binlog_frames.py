@@ -1318,14 +1318,17 @@ def _geometry_specs():
 
 def _geometry_row_values(i: int) -> tuple:
     from ru_cdc_spark.functions.wkb import (
+        WKB_GEOMETRYCOLLECTION,
+        WKB_MULTIPOINT,
         encode_wkb_linestring,
+        encode_wkb_multi,
         encode_wkb_point,
         encode_wkb_polygon,
     )
 
     srid = (i * 31) % 10000
     little = i % 2 == 1  # alternate byte orders: both must decode
-    t = i % 3
+    t = i % 5
     if t == 0:
         wkb = encode_wkb_point(float(i % 181), float((i * 7) % 293),
                                little)
@@ -1334,12 +1337,26 @@ def _geometry_row_values(i: int) -> tuple:
         wkb = encode_wkb_linestring(
             [(float(lx), float(ly)), (float(lx + 5), float(ly + 3)),
              (float(lx + 9), float(ly + 11))], little)
-    else:
+    elif t == 2:
         ax, ay = i % 40, (i * 3) % 50
         ring = [(float(ax), float(ay)), (float(ax + 4), float(ay)),
                 (float(ax + 4), float(ay + 4)),
                 (float(ax), float(ay + 4)), (float(ax), float(ay))]
         wkb = encode_wkb_polygon([ring], little)
+    elif t == 3:
+        mx, my = i % 100, i % 90
+        # members deliberately mix byte orders (the spec allows it)
+        wkb = encode_wkb_multi(WKB_MULTIPOINT, [
+            encode_wkb_point(float(mx), float(my), little),
+            encode_wkb_point(float(mx + 3), float(my + 2),
+                             not little)], little)
+    else:
+        gx, gy = i % 70, (i * 11) % 80
+        wkb = encode_wkb_multi(WKB_GEOMETRYCOLLECTION, [
+            encode_wkb_point(float(gx), float(gy), little),
+            encode_wkb_linestring(
+                [(float(gx + 1), float(gy + 1)),
+                 (float(gx + 2), float(gy + 5))], little)], little)
     return (i, srid.to_bytes(4, "little") + wkb)
 
 
@@ -1399,26 +1416,34 @@ BINLOG_GEOMETRY_N_ROWS = 2000
 BINLOG_GEOMETRY_ORACLE = f"""
 WITH ids AS (SELECT UNNEST(range({BINLOG_GEOMETRY_N_ROWS})) AS i),
 g AS (
-    SELECT i, (i * 31) % 10000 AS srid, i % 3 AS t,
+    SELECT i, (i * 31) % 10000 AS srid, i % 5 AS t,
            i % 181 AS px, (i * 7) % 293 AS py,
            i % 50 AS lx, i % 60 AS ly,
-           i % 40 AS ax, (i * 3) % 50 AS ay
+           i % 40 AS ax, (i * 3) % 50 AS ay,
+           i % 100 AS mx, i % 90 AS my,
+           i % 70 AS gx, (i * 11) % 80 AS gy
     FROM ids)
 SELECT i AS k, srid,
   CASE t WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
-         ELSE 'POLYGON' END AS geom_type,
-  CAST(CASE t WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 5 END AS INT)
-      AS n_points,
+         WHEN 2 THEN 'POLYGON' WHEN 3 THEN 'MULTIPOINT'
+         ELSE 'GEOMETRYCOLLECTION' END AS geom_type,
+  CAST(CASE t WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5
+              WHEN 3 THEN 2 ELSE 3 END AS INT) AS n_points,
   CASE t
     WHEN 0 THEN 'POINT(' || px || ' ' || py || ')'
     WHEN 1 THEN 'LINESTRING(' || lx || ' ' || ly || ','
                 || (lx + 5) || ' ' || (ly + 3) || ','
                 || (lx + 9) || ' ' || (ly + 11) || ')'
-    ELSE 'POLYGON((' || ax || ' ' || ay || ','
+    WHEN 2 THEN 'POLYGON((' || ax || ' ' || ay || ','
          || (ax + 4) || ' ' || ay || ','
          || (ax + 4) || ' ' || (ay + 4) || ','
          || ax || ' ' || (ay + 4) || ','
          || ax || ' ' || ay || '))'
+    WHEN 3 THEN 'MULTIPOINT((' || mx || ' ' || my || '),('
+         || (mx + 3) || ' ' || (my + 2) || '))'
+    ELSE 'GEOMETRYCOLLECTION(POINT(' || gx || ' ' || gy
+         || '),LINESTRING(' || (gx + 1) || ' ' || (gy + 1) || ','
+         || (gx + 2) || ' ' || (gy + 5) || '))'
   END AS wkt
 FROM g
 """

@@ -66,7 +66,8 @@ class TestGoldenVectors:
 
 class TestStrictFailure:
     def test_unknown_type_raises(self):
-        raw = bytes([1]) + struct.pack("<I", 7) + b"\x00" * 16
+        # 8 = CircularString, outside the simple-feature set MySQL stores
+        raw = bytes([1]) + struct.pack("<I", 8) + b"\x00" * 16
         with pytest.raises(ValueError, match="unsupported WKB"):
             decode_wkb(raw)
 
@@ -122,3 +123,73 @@ class TestRoundtrip:
         got_srid, g = decode_mysql_geometry(raw)
         assert got_srid == srid
         assert g["coords"] == pt
+
+
+class TestMultiGeometries:
+    def test_multipoint_mixed_endianness_members(self):
+        from ru_cdc_spark.functions.wkb import (
+            WKB_MULTIPOINT,
+            encode_wkb_multi,
+        )
+
+        raw = encode_wkb_multi(WKB_MULTIPOINT, [
+            encode_wkb_point(1.0, 2.0, little=True),
+            encode_wkb_point(3.0, 4.0, little=False),  # spec allows it
+        ])
+        g = decode_wkb(raw)
+        assert g["type"] == "MULTIPOINT"
+        assert [m["coords"] for m in g["coords"]] == \
+            [(1.0, 2.0), (3.0, 4.0)]
+        assert wkt(g) == "MULTIPOINT((1 2),(3 4))"
+        assert n_points(g) == 2
+
+    def test_multipolygon_wkt_and_counts(self):
+        from ru_cdc_spark.functions.wkb import (
+            WKB_MULTIPOLYGON,
+            encode_wkb_multi,
+        )
+
+        r1 = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)]
+        r2 = [(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 5.0)]
+        raw = encode_wkb_multi(WKB_MULTIPOLYGON, [
+            encode_wkb_polygon([r1]), encode_wkb_polygon([r2])])
+        g = decode_wkb(raw)
+        assert wkt(g) == ("MULTIPOLYGON(((0 0,2 0,2 2,0 0)),"
+                          "((5 5,6 5,6 6,5 5)))")
+        assert n_points(g) == 8
+
+    def test_geometrycollection_heterogeneous(self):
+        from ru_cdc_spark.functions.wkb import (
+            WKB_GEOMETRYCOLLECTION,
+            encode_wkb_multi,
+        )
+
+        raw = encode_wkb_multi(WKB_GEOMETRYCOLLECTION, [
+            encode_wkb_point(7.0, 8.0),
+            encode_wkb_linestring([(0.0, 0.0), (1.0, 1.0)])])
+        g = decode_wkb(raw)
+        assert wkt(g) == ("GEOMETRYCOLLECTION(POINT(7 8),"
+                          "LINESTRING(0 0,1 1))")
+        assert n_points(g) == 3
+
+    def test_typed_multi_rejects_wrong_member(self):
+        from ru_cdc_spark.functions.wkb import (
+            WKB_MULTIPOINT,
+            encode_wkb_multi,
+        )
+
+        raw = encode_wkb_multi(WKB_MULTIPOINT, [
+            encode_wkb_linestring([(0.0, 0.0), (1.0, 1.0)])])
+        with pytest.raises(ValueError, match="expected POINT"):
+            decode_wkb(raw)
+
+    def test_truncated_member_raises(self):
+        from ru_cdc_spark.functions.wkb import (
+            WKB_MULTIPOINT,
+            encode_wkb_multi,
+        )
+
+        raw = encode_wkb_multi(WKB_MULTIPOINT, [
+            encode_wkb_point(1.0, 2.0)])
+        with pytest.raises(ValueError, match="truncated"):
+            decode_wkb(raw[:-3])

@@ -1185,10 +1185,23 @@ class MySQLConnection:
         return decode_ok(self._read_or_raise())
 
     def binlog_dump(self, filename: str, pos: int,
-                    server_id: int = 100, flags: int = 0):
+                    server_id: int = 100, flags: int = 0,
+                    semi_sync: bool = False):
         """Issue COM_BINLOG_DUMP (main.rs:94-100) and yield raw event
         bytes. Each network packet is ``0x00`` + event; EOF(0xfe) or
-        socket close ends the stream."""
+        socket close ends the stream.
+
+        ``semi_sync=True`` runs the rpl_semi_sync slave side (the
+        published semisync framing): the replica registers with
+        ``SET @rpl_semi_sync_slave = 1`` before the dump, every event
+        packet then carries a 2-byte header (0xEF magic + need-ack
+        flag), and each flagged event is ACKed back — 0xEF + u64
+        log_pos + filename — BEFORE the master proceeds, giving the
+        master its AFTER_SYNC durability wait. The reference has no
+        semi-sync support at all."""
+        if semi_sync:
+            self.query("SET @rpl_semi_sync_slave = 1")
+        ack_file = filename  # updated by ROTATE events mid-stream
         self._command(encode_com_binlog_dump(pos, server_id,
                                              filename, flags))
         while True:
@@ -1213,7 +1226,29 @@ class MySQLConnection:
                 return  # EOF — server ended the stream
             if tag != 0x00:
                 raise ValueError(f"unexpected binlog packet tag 0x{tag:02x}")
-            yield pkt[1:]
+            if not semi_sync:
+                yield pkt[1:]
+                continue
+            # semisync framing: 0x00 0xEF <flag> <event>
+            if len(pkt) < 3 or pkt[1] != 0xEF:
+                raise ValueError(
+                    "semi-sync enabled but event packet lacks the "
+                    "0xEF semisync header")
+            need_ack, ev = pkt[2], pkt[3:]
+            if ev[4] == 4 and len(ev) > 27:
+                # ROTATE: ACK coordinates move to the announced file
+                # (covers filename="" dumps via the artificial rotate)
+                ack_file = ev[27:].rstrip(b"\x00").decode(
+                    "utf-8", "replace")
+            yield ev
+            if need_ack & 1:
+                # ACK the commit position (event-header log_pos) so
+                # the master's AFTER_SYNC wait completes
+                log_pos = int.from_bytes(ev[13:17], "little")
+                self.io.reset_seq()
+                self.io.write_packet(
+                    b"\xef" + log_pos.to_bytes(8, "little")
+                    + ack_file.encode(), seq=0)
 
     def binlog_dump_gtid(self, gtid_set: dict, filename: str = "",
                          pos: int = 4, server_id: int = 100):

@@ -363,7 +363,8 @@ class MySQLFixtureServer:
                  default_auth: str = CACHING_SHA2_PLUGIN,
                  tls: bool = False,
                  tls_required: bool = False,
-                 deny_desc: bool = False) -> None:
+                 deny_desc: bool = False,
+                 semi_sync: bool = False) -> None:
         # fault injection: hang up mid-dump after N event packets
         # WITHOUT the EOF terminator (the server-crash contract test)
         self.die_after_events = die_after_events
@@ -408,6 +409,15 @@ class MySQLFixtureServer:
         self.command_log: list[str] = []
         # server ids that sent COM_REGISTER_SLAVE (SHOW SLAVE HOSTS)
         self.registered_slaves: set[int] = set()
+        # rpl_semi_sync master side: when enabled AND the connection
+        # registered via SET @rpl_semi_sync_slave = 1, every dumped
+        # event carries the 0xEF semisync header and the master BLOCKS
+        # on the replica's ACK after each flagged event (XID / stream
+        # tail) — the AFTER_SYNC durability wait. ACKs land here as
+        # (filename, log_pos); malformed ACKs count separately.
+        self.semi_sync = semi_sync
+        self.semi_sync_acks: list[tuple[str, int]] = []
+        self.semi_sync_bad_acks = 0
         # multi-file log: a dump crossing a file boundary emits a ROTATE
         # event and continues into the next file (D12 over the socket)
         self.binlogs = binlogs or [binlog or VirtualBinlog()]
@@ -929,7 +939,15 @@ class MySQLFixtureServer:
         q = sql.strip().rstrip(";").lower()
         self.command_log.append(q)
         if q.startswith("set "):
+            if "rpl_semi_sync_slave" in q and "= 1" in q.replace(" ", " "):
+                # per-connection semisync registration (the real
+                # master reads this session var before the dump)
+                io.semi_sync = True
             io.write_packet(encode_ok(), seq=1)
+        elif q == "select @@global.rpl_semi_sync_master_enabled":
+            self._send_result_set(
+                io, ["@@global.rpl_semi_sync_master_enabled"],
+                [["1" if self.semi_sync else "0"]])
         elif q == "show master status":
             with self._mu:
                 # under the live-table lock: a position can never land
@@ -1063,6 +1081,9 @@ class MySQLFixtureServer:
             except (ConnectionError, OSError):
                 pass
             return
+        if self.semi_sync and getattr(io, "semi_sync", False):
+            self._handle_dump_semisync(io, start_idx, pos)
+            return
         out = bytearray()
         for part in self._dump_parts(start_idx, pos):
             out += part
@@ -1079,6 +1100,60 @@ class MySQLFixtureServer:
         except (ConnectionError, OSError):
             # slice readers hang up once their [lo, hi) range is
             # satisfied — a client disconnect mid-dump is normal
+            return
+
+    def _handle_dump_semisync(self, io: PacketIO, start_idx: int,
+                              pos: int) -> None:
+        """rpl_semi_sync master side: every event packet is
+        ``0x00 0xEF <need_ack> <event>``; after each flagged event
+        (XID commit boundary, or the stream tail) the master BLOCKS
+        reading the replica's ACK — 0xEF + u64 log_pos + filename —
+        before sending more, exactly the AFTER_SYNC wait. ACKs are
+        recorded so tests assert the replica acked every flagged
+        event. Event-at-a-time (no framed-blob cache): semisync
+        framing is per-connection and the wait is the point."""
+        from ru_cdc_spark.sources.binlog_wire import encode_rotate
+        from ru_cdc_spark.sources.mysql_client import encode_packet
+
+        XID_EVENT, FDE_EVENT = 16, 15
+        seq = 1
+
+        def send(ev: bytes, need_ack: int) -> None:
+            nonlocal seq
+            io.sock.sendall(encode_packet(
+                seq, b"\x00\xef" + bytes([need_ack]) + ev))
+            seq = (seq + 1) & 0xFF
+            if need_ack:
+                ack = io.read_packet()
+                if ack and ack[0] == 0xEF and len(ack) >= 9:
+                    self.semi_sync_acks.append(
+                        (ack[9:].decode("utf-8", "replace"),
+                         int.from_bytes(ack[1:9], "little")))
+                else:
+                    self.semi_sync_bad_acks += 1
+
+        with self._mu:
+            events: list[bytes] = []
+            # artificial rotate naming the start file (never flagged)
+            events.append(encode_rotate(
+                self.binlogs[start_idx].filename, position=pos))
+            for idx in range(start_idx, len(self.binlogs)):
+                vb = self.binlogs[idx]
+                from_pos = pos if idx == start_idx else 4
+                evs = [ev for s, _e, ev in vb.events if s >= from_pos]
+                if evs and evs[0][4] != FDE_EVENT:
+                    fde = next((ev for _, _, ev in vb.events
+                                if ev[4] == FDE_EVENT), None)
+                    if fde is not None:
+                        evs.insert(0, fde)
+                events.extend(evs)
+        try:
+            for k, ev in enumerate(events):
+                need = 1 if (ev[4] == XID_EVENT
+                             or k == len(events) - 1) else 0
+                send(ev, need)
+            io.sock.sendall(encode_packet(0, b"\xfe\x00\x00\x02\x00"))
+        except (ConnectionError, OSError):
             return
 
     def _framed(self, idx: int) -> tuple[bytes, list[tuple[int, int]]]:

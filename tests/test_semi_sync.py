@@ -1,0 +1,100 @@
+"""rpl_semi_sync replication over live sockets (round 9): the replica
+registers via SET @rpl_semi_sync_slave, the master frames every dumped
+event with the 0xEF semisync header, and each flagged event (XID commit
+boundary / stream tail) BLOCKS the master until the replica's ACK
+(0xEF + u64 log_pos + filename) arrives — the AFTER_SYNC durability
+wait. The fixture master records every ACK, so these tests assert the
+replica side byte-exactly. The reference has no semi-sync support."""
+
+from __future__ import annotations
+
+import pytest
+
+from ru_cdc_spark.sources.mysql_client import MySQLConnection
+from ru_cdc_spark.sources.mysql_fixture_server import (
+    MySQLFixtureServer,
+    VirtualBinlog,
+)
+
+XID_EVENT = 16
+
+
+@pytest.fixture
+def semi_srv():
+    srv = MySQLFixtureServer(
+        binlog=VirtualBinlog.from_txn_fixture(20),
+        semi_sync=True).start()
+    yield srv
+    srv.stop()
+
+
+def _connect(srv):
+    return MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
+                                   srv.password)
+
+
+class TestSemiSync:
+    def test_master_flag_probe(self, semi_srv):
+        with _connect(semi_srv) as c:
+            rs = c.query("SELECT @@global.rpl_semi_sync_master_enabled")
+            assert rs.rows == [["1"]]
+
+    def test_events_identical_to_plain_dump(self, semi_srv):
+        fn = semi_srv.binlog.filename
+        with _connect(semi_srv) as c:
+            semi = list(c.binlog_dump(fn, 4, semi_sync=True))
+        with _connect(semi_srv) as c:
+            plain = list(c.binlog_dump(fn, 4))
+        assert semi == plain  # framing strips cleanly, nothing lost
+
+    def test_every_flagged_event_acked_at_its_log_pos(self, semi_srv):
+        fn = semi_srv.binlog.filename
+        with _connect(semi_srv) as c:
+            evs = list(c.binlog_dump(fn, 4, semi_sync=True))
+        flagged = [ev for k, ev in enumerate(evs)
+                   if ev[4] == XID_EVENT or k == len(evs) - 1]
+        want = [(fn, int.from_bytes(ev[13:17], "little"))
+                for ev in flagged]
+        assert semi_srv.semi_sync_acks == want
+        assert semi_srv.semi_sync_bad_acks == 0
+        # real transactions in the fixture: XID boundaries were flagged
+        assert sum(1 for ev in evs if ev[4] == XID_EVENT) > 0
+
+    def test_unregistered_client_gets_plain_framing(self, semi_srv):
+        # a replica that never SET @rpl_semi_sync_slave must receive
+        # the ordinary dump even when the master has semisync on
+        fn = semi_srv.binlog.filename
+        with _connect(semi_srv) as c:
+            evs = list(c.binlog_dump(fn, 4))
+        assert len(evs) > 0
+        assert semi_srv.semi_sync_acks == []
+
+    def test_missing_header_raises_loud(self):
+        # master WITHOUT semisync + replica asking for it: the event
+        # packets lack the 0xEF header and the client must fail loud,
+        # not misparse event bytes shifted by two
+        srv = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_txn_fixture(3)).start()
+        try:
+            with _connect(srv) as c:
+                with pytest.raises(ValueError, match="semisync header"):
+                    list(c.binlog_dump(srv.binlog.filename, 4,
+                                       semi_sync=True))
+        finally:
+            srv.stop()
+
+    def test_cdc_fixture_tail_ack_only(self):
+        # a stream with no XID events still acks the stream tail once
+        srv = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(50),
+            semi_sync=True).start()
+        try:
+            with _connect(srv) as c:
+                evs = list(c.binlog_dump(srv.binlog.filename, 4,
+                                         semi_sync=True))
+            assert len(srv.semi_sync_acks) == 1
+            assert srv.semi_sync_acks[0] == (
+                srv.binlog.filename,
+                int.from_bytes(evs[-1][13:17], "little"))
+        finally:
+            srv.stop()

@@ -2739,6 +2739,52 @@ def mysql_socket_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMISYNC_SERVER = None
+
+
+def mysql_socket_semisync_snapshot(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The socket CDC pipeline over SEMI-SYNC replication transport
+    (round 9): the master runs rpl_semi_sync, every slice connection
+    registers as a semisync replica, each dumped event arrives with
+    the 0xEF+flag header, and every flagged event is ACKed back (u64
+    log_pos + filename) BEFORE the master proceeds — the AFTER_SYNC
+    durability wait a production master imposes. Shares
+    binlog_wire_cdc_snapshot's oracle: the transport's framing and
+    ack round-trips change nothing about the answer.
+
+    Scale: ACK traffic is O(flagged events) per slice connection —
+    commit boundaries, not rows; everything else is the fused
+    one-crossing reader."""
+    from ru_cdc_spark.sources.mysql_socket_source import (
+        socket_cdc_changes,
+    )
+
+    global _SEMISYNC_SERVER
+    if _SEMISYNC_SERVER is None:
+        from ru_cdc_spark.sources.binlog_frames import BINLOG_CDC_N_ROWS
+        from ru_cdc_spark.sources.mysql_fixture_server import (
+            MySQLFixtureServer,
+            VirtualBinlog,
+        )
+
+        _SEMISYNC_SERVER = MySQLFixtureServer(
+            binlog=VirtualBinlog.from_cdc_fixture(BINLOG_CDC_N_ROWS),
+            semi_sync=True).start()
+    srv = _SEMISYNC_SERVER
+    changes = socket_cdc_changes(spark, "127.0.0.1", srv.port,
+                                 srv.user, srv.password, n_slices=8,
+                                 semi_sync=True)
+    row = F.struct(*[F.col(c) for c in changes.columns])
+    return (
+        changes.groupBy("i")
+        .agg(F.max_by(row, F.col("seq")).alias("__r"))
+        .select("__r.*")
+        .where(F.col("type") != "DELETE")
+        .select("i", "t_long", "t_dec", "t_varchar", "t_datetime")
+    )
+
+
 _SOCKET_METADATA_SERVER = None
 
 
@@ -4629,6 +4675,8 @@ def _register_binlog_wire() -> None:
              BINLOG_PARTIAL_JSON_ORACLE)(binlog_partial_json_update)
     register("mysql_socket_cdc_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_cdc_snapshot)
+    register("mysql_socket_semisync_snapshot",
+             BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_semisync_snapshot)
     register("mysql_socket_tls_snapshot",
              BINLOG_CDC_SNAPSHOT_ORACLE)(mysql_socket_tls_snapshot)
     register("mysql_socket_compressed_snapshot",

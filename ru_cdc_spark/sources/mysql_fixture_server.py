@@ -1125,7 +1125,12 @@ class MySQLFixtureServer:
             seq = (seq + 1) & 0xFF
             if need_ack:
                 ack = io.read_packet()
-                if ack and ack[0] == 0xEF and len(ack) >= 9:
+                if not ack:
+                    # replica hung up instead of acking (slice readers
+                    # stop at their range bound) — end of dump, not a
+                    # protocol violation
+                    raise ConnectionResetError("replica hangup")
+                if ack[0] == 0xEF and len(ack) >= 9:
                     self.semi_sync_acks.append(
                         (ack[9:].decode("utf-8", "replace"),
                          int.from_bytes(ack[1:9], "little")))

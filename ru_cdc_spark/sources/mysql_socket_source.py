@@ -55,7 +55,8 @@ def _dump_frames(host: str, port: int, user: str, password: str,
                  filename: str, lo: int, hi: int,
                  ssl_ca: str | None = None,
                  ssl_hostname: str | None = None,
-                 compress: str | None = None
+                 compress: str | None = None,
+                 semi_sync: bool = False
                  ) -> list[tuple[int, bytes]]:
     """One task's work: dial, auth, dump [lo, hi), reassemble frames.
     Returns [(log_pos, TABLE_MAP+ROWS bytes)]. The read always ends at
@@ -78,7 +79,7 @@ def _dump_frames(host: str, port: int, user: str, password: str,
         conn.disable_checksum_var()
         current_tm: bytes | None = None
         checksum_bytes = 0
-        for ev in conn.binlog_dump(filename, lo):
+        for ev in conn.binlog_dump(filename, lo, semi_sync=semi_sync):
             etype, size, log_pos = event_header(ev)
             if etype == 15:  # FORMAT_DESCRIPTION bootstraps the stream
                 checksum_bytes = decode_format_description(
@@ -365,7 +366,8 @@ def socket_cdc_changes(spark: SparkSession, host: str, port: int,
                        ssl_ca: str | None = None,
                        ssl_hostname: str | None = None,
                        compress: str | None = None,
-                       wire_named: bool = False) -> DataFrame:
+                       wire_named: bool = False,
+                       semi_sync: bool = False) -> DataFrame:
     """FUSED wire-to-rows reader: each task dials its own connection,
     dumps its [lo, hi) slice, reassembles frames, AND byte-decodes them
     to the typed change stream inside the SAME mapInPandas — the frame
@@ -397,7 +399,8 @@ def socket_cdc_changes(spark: SparkSession, host: str, port: int,
                                       fname, int(lo), int(hi),
                                       ssl_ca=ssl_ca,
                                       ssl_hostname=ssl_hostname,
-                                      compress=compress)
+                                      compress=compress,
+                                      semi_sync=semi_sync)
                 yield decode_cdc_blobs((f for _pos, f in frames),
                                        wire_named=wire_named)
 

@@ -98,3 +98,32 @@ class TestSemiSync:
                 int.from_bytes(evs[-1][13:17], "little"))
         finally:
             srv.stop()
+
+
+def test_distributed_slices_ack_through_semisync(spark, sf_dir):
+    """The fused socket reader under semisync transport: every slice
+    connection registers as a semisync replica; slices that stop at
+    their range bound hang up (a normal replica disconnect, never a
+    bad ACK), the slice that drains to the stream tail ACKs the
+    tail flag, and the decoded rows are IDENTICAL to the plain
+    transport's."""
+    from ru_cdc_spark.sources.mysql_socket_source import (
+        socket_cdc_changes,
+    )
+
+    srv = MySQLFixtureServer(
+        binlog=VirtualBinlog.from_cdc_fixture(200),
+        semi_sync=True).start()
+    try:
+        semi = socket_cdc_changes(spark, "127.0.0.1", srv.port,
+                                  srv.user, srv.password, n_slices=4,
+                                  semi_sync=True).collect()
+        assert len(semi) > 0
+        assert len(srv.semi_sync_acks) >= 1  # the tail-flag ACK
+        assert srv.semi_sync_bad_acks == 0
+        plain = socket_cdc_changes(spark, "127.0.0.1", srv.port,
+                                   srv.user, srv.password,
+                                   n_slices=4).collect()
+        assert sorted(map(tuple, semi)) == sorted(map(tuple, plain))
+    finally:
+        srv.stop()

@@ -294,7 +294,7 @@ def decode_record_batch(data: bytes) -> dict:
     attrs = r.i16()
     _last_delta = r.i32()
     _first_ts = r.i64()
-    _max_ts = r.i64()
+    max_ts = r.i64()
     producer_id = r.i64()
     producer_epoch = r.i16()
     base_sequence = struct.unpack(">i", r.take(4))[0]
@@ -337,6 +337,7 @@ def decode_record_batch(data: bytes) -> dict:
             "base_sequence": base_sequence,
             "transactional": bool(attrs & ATTR_TRANSACTIONAL),
             "control": bool(attrs & ATTR_CONTROL),
+            "max_timestamp": max_ts,
             "records": records, "batch_end": end}
 
 
@@ -361,6 +362,7 @@ def decode_record_batches(data: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
+API_LIST_OFFSETS = 2
 API_OFFSET_COMMIT = 8
 API_OFFSET_FETCH = 9
 API_FIND_COORDINATOR = 10
@@ -711,6 +713,26 @@ class KafkaWireClient:
         immediate rebalance instead of a session-timeout wait."""
         body = _string(group_id) + _string(member_id)
         return self._request(API_LEAVE_GROUP, 0, body).i16()
+
+    def list_offsets(self, topic: str, partition: int,
+                     timestamp: int) -> tuple[int, int]:
+        """ListOffsets v1 -> (timestamp, offset) for the EARLIEST
+        message at/after ``timestamp`` ms. Special values: -1 = the
+        log-end offset (seek to latest), -2 = the log-start offset
+        (seek to earliest); offset -1 = no message at/after the time.
+        The seek-by-time every replaying consumer uses."""
+        body = (_i32(-1) + _i32(1) + _string(topic)
+                + _i32(1) + _i32(partition) + _i64(timestamp))
+        r = self._request(API_LIST_OFFSETS, 1, body)
+        for _ in range(r.i32()):
+            _topic = r.string()
+            for _ in range(r.i32()):
+                pid, err = r.i32(), r.i16()
+                ts, off = r.i64(), r.i64()
+                if err:
+                    raise KafkaError(err, f"ListOffsets p{pid}")
+                return ts, off
+        raise KafkaError(-1, "ListOffsets: empty response")
 
     def produce(self, topic: str, partition: int,
                 records: list[tuple[bytes | None, bytes]],
@@ -1106,6 +1128,20 @@ class GroupConsumer:
                               generation_id=self.generation,
                               member_id=self.member_id)
 
+    def seek_to_timestamp(self, topic: str,
+                          timestamp_ms: int) -> dict[int, int]:
+        """Offsets-for-times over this member's assigned partitions
+        (ListOffsets v1): {partition: earliest offset at/after the
+        time}; partitions with nothing at/after it map to their
+        log-end offset, so a replay loop naturally reads nothing."""
+        out = {}
+        for p in self.assignment.get(topic, []):
+            _ts, off = self._c.list_offsets(topic, p, timestamp_ms)
+            if off < 0:
+                _ts, off = self._c.list_offsets(topic, p, -1)
+            out[p] = off
+        return out
+
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20) -> dict:
         return self._c.fetch(topic, partition, offset,
@@ -1428,6 +1464,12 @@ class KafkaBrokerFixture:
         # group MEMBERSHIP coordination (round 9): per-group rebalance
         # state machines for JoinGroup/SyncGroup/Heartbeat/LeaveGroup
         self._groups: dict[str, _GroupCoordState] = {}
+        # timestamp index per (topic, partition): [(base_offset,
+        # max_timestamp)] in append order — ListOffsets binary-searches
+        # the earliest batch at/after the queried time, like the real
+        # broker's .timeindex files
+        self._ts_index: dict[tuple[str, int],
+                             list[tuple[int, int]]] = {}
         self._next_member = 0
         # a brand-new group waits this long before freezing its first
         # round so concurrently-starting members land in one generation
@@ -1468,6 +1510,8 @@ class KafkaBrokerFixture:
             twin._aborted_idx = {k: list(v)
                                  for k, v in self._aborted_idx.items()}
             twin._group_offsets = dict(self._group_offsets)
+            twin._ts_index = {k: list(v)
+                              for k, v in self._ts_index.items()}
             twin.topic_partitions = dict(self.topic_partitions)
             # group MEMBERSHIP is deliberately not replicated: on a
             # coordinator change real consumers re-discover and re-join;
@@ -1557,6 +1601,8 @@ class KafkaBrokerFixture:
                     body = self._produce(r)
                 elif api_key == API_FETCH:
                     body = self._fetch(r)
+                elif api_key == API_LIST_OFFSETS:
+                    body = self._list_offsets(r)
                 elif api_key == API_INIT_PRODUCER_ID:
                     body = self._init_producer_id(r)
                 elif api_key == API_ADD_PARTITIONS_TO_TXN:
@@ -1604,6 +1650,7 @@ class KafkaBrokerFixture:
 
     def _api_versions(self) -> bytes:
         supported = [(API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
+                     (API_LIST_OFFSETS, 1, 1),
                      (API_METADATA, 1, 1), (API_VERSIONS, 0, 0),
                      (API_INIT_PRODUCER_ID, 0, 0),
                      (API_ADD_PARTITIONS_TO_TXN, 0, 0),
@@ -1896,6 +1943,38 @@ class KafkaBrokerFixture:
                         + _i16(0)
         return body
 
+    def _list_offsets(self, r: _Reader) -> bytes:
+        """ListOffsets v1: earliest offset at/after a timestamp, with
+        the special values every client uses — -1 = log-end offset,
+        -2 = log-start offset. Served from the per-partition
+        (base_offset, max_timestamp) index kept at append time, the
+        fixture analog of the broker's .timeindex files."""
+        _replica = r.i32()
+        req = []
+        for _ in range(r.i32()):
+            topic = r.string() or ""
+            parts = [(r.i32(), r.i64()) for _ in range(r.i32())]
+            req.append((topic, parts))
+        body = _i32(len(req))
+        with self._lock:
+            for topic, parts in req:
+                body += _string(topic) + _i32(len(parts))
+                for pid, ts in parts:
+                    log = self.logs.get((topic, pid), [])
+                    if ts == -2:        # earliest
+                        found_ts, off = -1, 0
+                    elif ts == -1:      # latest (log-end offset)
+                        found_ts, off = -1, len(log)
+                    else:
+                        idx = self._ts_index.get((topic, pid), [])
+                        hit = next(((b, t) for b, t in idx
+                                    if t >= ts), None)
+                        found_ts, off = ((hit[1], hit[0]) if hit
+                                         else (-1, -1))
+                    body += (_i32(pid) + _i16(0) + _i64(found_ts)
+                             + _i64(off))
+        return body
+
     def _metadata(self, r: _Reader) -> bytes:
         n = r.i32()
         asked = [r.string() for _ in range(n)] if n >= 0 else None
@@ -2088,10 +2167,14 @@ class KafkaBrokerFixture:
                 prod_id, base)  # first offset of this txn's data here
         enc.append((base, len(recs), encode_record_batch(
             recs, base_offset=base,
+            first_timestamp=b.get("max_timestamp", 0),
             producer_id=prod_id,
             producer_epoch=b["producer_epoch"],
             base_sequence=b["base_sequence"],
             transactional=b["transactional"])))
+        # timestamp index (ListOffsets): first offset at/after a time
+        self._ts_index.setdefault((topic, pid), []).append(
+            (base, b.get("max_timestamp", 0)))
         log.extend(recs)
         return 0, base
 

@@ -376,3 +376,63 @@ class TestGroupMembership:
             assert offs == [3, 4]
         finally:
             gca.close()
+
+
+class TestListOffsets:
+    """ListOffsets v1 (round 9): offset-by-timestamp seek — how a
+    replaying consumer finds 'everything since 10:00'."""
+
+    @pytest.fixture
+    def ts_broker(self):
+        b = KafkaBrokerFixture().start()
+        with KafkaWireClient.connect("127.0.0.1", b.port) as c:
+            for k, ts in enumerate((1000, 2000, 3000)):
+                c.produce("t", 0, [(b"k%d" % k, b"v%d-%d" % (k, j))
+                                   for j in range(4)],
+                          first_timestamp=ts)
+        yield b
+        b.stop()
+
+    def test_seek_by_timestamp(self, ts_broker):
+        with KafkaWireClient.connect("127.0.0.1",
+                                     ts_broker.port) as c:
+            ts, off = c.list_offsets("t", 0, 1500)
+            assert (ts, off) == (2000, 4)  # first batch at/after 1500
+            ts, off = c.list_offsets("t", 0, 2000)
+            assert (ts, off) == (2000, 4)  # exact hit
+            ts, off = c.list_offsets("t", 0, 1)
+            assert (ts, off) == (1000, 0)  # before everything
+            # the records fetched from the seek point are the tail
+            got = c.fetch_all("t", 0, offset=4)
+            assert len(got) == 8
+
+    def test_special_timestamps(self, ts_broker):
+        with KafkaWireClient.connect("127.0.0.1",
+                                     ts_broker.port) as c:
+            assert c.list_offsets("t", 0, -2) == (-1, 0)    # earliest
+            assert c.list_offsets("t", 0, -1) == (-1, 12)   # log end
+            ts, off = c.list_offsets("t", 0, 99999)
+            assert off == -1  # nothing at/after this time
+
+    def test_advertised_and_survives_replica(self, ts_broker):
+        twin = ts_broker.snapshot_replica().start()
+        try:
+            with KafkaWireClient.connect("127.0.0.1", twin.port) as c:
+                vers = c.api_versions()
+                assert 2 in vers  # ListOffsets advertised
+                assert c.list_offsets("t", 0, 2500) == (3000, 8)
+        finally:
+            twin.stop()
+
+    def test_group_consumer_seek_to_timestamp(self, ts_broker):
+        from ru_cdc_spark.sources.kafka_wire import GroupConsumer
+
+        ts_broker.group_initial_rebalance_delay_s = 0.2
+        gc = GroupConsumer("127.0.0.1", ts_broker.port, "seekers",
+                           ["t"], session_timeout_s=3.0)
+        try:
+            gc.join()
+            assert gc.seek_to_timestamp("t", 1500) == {0: 4}
+            assert gc.seek_to_timestamp("t", 99999) == {0: 12}  # log end
+        finally:
+            gc.leave()

@@ -236,3 +236,58 @@ SELECT o.doc_id, o.source, CAST(o.n_tok AS BIGINT) AS n_tok,
 FROM ordered o JOIN budget b USING (source)
 WHERE o.c <= b.b
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length bucketing (round 9): batching documents of similar
+# length is how serving/fine-tuning pipelines avoid padding waste —
+# each doc goes to the power-of-two bucket covering its token count,
+# and the padding bill of batching at bucket width is accounted
+# exactly. Pure arithmetic -> exact DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per power-of-two length bucket: document count, token sum, the
+    padding tokens batching at bucket width would add, and the waste
+    ratio. The decision artifact for choosing bucket boundaries.
+
+    Scale: one narrow token-count projection and a ~log(max_len)-
+    cardinality aggregate — map-side partials make the shuffle a few
+    dozen rows regardless of corpus size."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.size(words_col(F.col("text"))).alias("n_tok")) \
+        .where(F.col("n_tok") > 0)
+    bucket = F.pow(F.lit(2.0), F.ceil(F.log2("n_tok"))).cast("long")
+    agg = (toks.withColumn("bucket", bucket)
+           .groupBy("bucket")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("n_tokens")))
+    pad = (F.col("bucket") * F.col("n_docs") - F.col("n_tokens"))
+    return agg.select(
+        "bucket", "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        pad.cast("long").alias("pad_tokens"),
+        (pad / (F.col("bucket") * F.col("n_docs")))
+        .alias("waste_ratio"))
+
+
+CORPUS_LENGTH_BUCKETS_SQL = f"""
+WITH toks AS (
+    SELECT len({_WORDS_SQL}) AS n_tok FROM documents
+), nz AS (SELECT n_tok FROM toks WHERE n_tok > 0),
+b AS (
+    SELECT CAST(power(2, ceil(log2(n_tok))) AS BIGINT) AS bucket,
+           n_tok
+    FROM nz
+), agg AS (
+    SELECT bucket, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+    FROM b GROUP BY bucket
+)
+SELECT bucket, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bucket * n_docs - n_tokens AS BIGINT) AS pad_tokens,
+       CAST(bucket * n_docs - n_tokens AS DOUBLE)
+           / (bucket * n_docs) AS waste_ratio
+FROM agg
+"""

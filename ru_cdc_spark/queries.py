@@ -1428,6 +1428,8 @@ register("corpus_decontaminate",
          _cu.CORPUS_DECONTAMINATE_SQL)(_cu.corpus_decontaminate)
 register("corpus_mix_domains",
          _cu.CORPUS_MIX_DOMAINS_SQL)(_cu.corpus_mix_domains)
+register("corpus_length_buckets",
+         _cu.CORPUS_LENGTH_BUCKETS_SQL)(_cu.corpus_length_buckets)
 
 from ru_cdc_spark.operators import sketch as _sk  # noqa: E402
 

@@ -4176,6 +4176,23 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
         out_o: list[int] = []
         out_v: list[str] = []
         positions: dict[int, int] = {}
+
+        def global_complete() -> bool:
+            # termination that survives any scheduling skew: the job is
+            # done when EVERY partition's broker-committed offset has
+            # reached its high watermark — ownership-independent, so a
+            # consumer that joined late (or whose scripted death never
+            # triggered because the other member drained everything
+            # first) exits instead of waiting for records that will
+            # never come
+            comm = gc.committed(topic, list(range(n_parts)))
+            for p in range(n_parts):
+                hw = gc.fetch(topic, p, comm.get(p, 0),
+                              max_bytes=1)["high_watermark"]
+                if comm.get(p, 0) < hw:
+                    return False
+            return True
+
         try:
             gc.join()
             consumed = 0
@@ -4191,7 +4208,7 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
                         # (re)claimed partition: resume from the
                         # group's broker-committed offset
                         positions[p] = gc.committed(topic, [p])[p]
-                drained = bool(parts)
+                drained = True
                 for p in parts:
                     got = gc.fetch(topic, p, positions[p])
                     recs = [r for r in got["records"]
@@ -4216,7 +4233,7 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
                         gc.commit(topic, p, positions[p])
                     if positions[p] < got["high_watermark"]:
                         drained = False
-                if not dying and drained and len(parts) == n_parts:
+                if drained and global_complete():
                     break
                 _t.sleep(0.05)
             gc.leave()

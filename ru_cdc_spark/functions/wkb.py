@@ -158,6 +158,12 @@ def _decode_points(data: bytes, pos: int,
 
 
 def _fmt(v: float) -> str:
+    import math
+
+    if not math.isfinite(v):
+        # keep the module's single failure type: a non-finite
+        # coordinate is a misframed geometry, not an OverflowError
+        raise ValueError(f"non-finite WKB coordinate {v!r}")
     return str(int(v)) if v == int(v) else repr(v)
 
 

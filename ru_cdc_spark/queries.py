@@ -4156,19 +4156,11 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
     # in-flight fetch (replay + dedup path)
     kill_after = max(1, n_records // 6)
 
-    def consume(batches):
+    def run_consumer(idx: int) -> tuple[list, list, list]:
         import time as _t
-
-        import pandas as pd
 
         from ru_cdc_spark.sources.kafka_wire import GroupConsumer
 
-        idx = None
-        for pdf in batches:
-            for v in pdf["consumer"]:
-                idx = int(v)
-        if idx is None:
-            return
         dying = idx == 1
         gc = GroupConsumer(host, port, group, [topic],
                            session_timeout_s=2.0)
@@ -4226,10 +4218,7 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
                             # LeaveGroup is sent — the coordinator
                             # only learns via session timeout
                             gc.close()
-                            yield pd.DataFrame(
-                                {"partition": out_p, "offset": out_o,
-                                 "value": out_v})
-                            return
+                            return out_p, out_o, out_v
                         gc.commit(topic, p, positions[p])
                     if positions[p] < got["high_watermark"]:
                         drained = False
@@ -4242,6 +4231,48 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
                 gc.close()
             except OSError:
                 pass
+        return out_p, out_o, out_v
+
+    def consume(batches):
+        import threading as _th
+
+        import pandas as pd
+
+        ids = sorted({int(v) for pdf in batches
+                      for v in pdf["consumer"]})
+        if not ids:
+            return
+        # run EVERY consumer row this task received, concurrently —
+        # round-robin repartition does not guarantee one row per task,
+        # and the two members must be live simultaneously for the
+        # group protocol (and the injected death) to play out
+        results: dict[int, tuple] = {}
+        errors: dict[int, BaseException] = {}
+
+        def runner(i: int) -> None:
+            try:
+                results[i] = run_consumer(i)
+            except BaseException as exc:  # re-raised on the task
+                errors[i] = exc
+
+        if len(ids) == 1:
+            results[ids[0]] = run_consumer(ids[0])
+        else:
+            ts = [_th.Thread(target=runner, args=(i,)) for i in ids]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            if errors:
+                raise next(iter(errors.values()))
+        out_p: list[int] = []
+        out_o: list[int] = []
+        out_v: list[str] = []
+        for i in ids:
+            p, o, v = results[i]
+            out_p += p
+            out_o += o
+            out_v += v
         yield pd.DataFrame({"partition": out_p, "offset": out_o,
                             "value": out_v})
 

@@ -444,18 +444,25 @@ class ChunkStore:
             return False
         except OSError:
             # filesystems without hardlinks (some NFS/FUSE/object-store
-            # mounts): O_CREAT|O_EXCL is the same create-only publish
-            # primitive, just with a copy instead of a link
-            try:
-                fd = os.open(self._full(name),
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
+            # mounts): fall back to existence-check + atomic RENAME of
+            # the fully-written staged file. Readers can never observe
+            # a torn/empty marker (rename is atomic, the staged bytes
+            # are complete and fsynced) — the degradation vs the link
+            # path is only that two racing writers may BOTH report a
+            # win; both publish the same deterministic content for the
+            # same name, so downstream resolution is unaffected,
+            # whereas O_CREAT|O_EXCL-then-write could expose (and, on
+            # a crash, permanently leave) an empty marker.
+            if os.path.exists(self._full(name)):
                 return False
-            with os.fdopen(fd, "wb") as out:
-                out.write(data)
+            with open(staged, "rb+") as fh:
+                os.fsync(fh.fileno())
+            os.rename(staged, self._full(name))
+            staged = None
             return True
         finally:
-            os.unlink(staged)
+            if staged is not None:
+                os.unlink(staged)
 
     def read(self, name: str) -> bytes:
         with open(os.path.join(self.root, name), "rb") as fh:

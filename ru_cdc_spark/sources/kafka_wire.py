@@ -1072,6 +1072,12 @@ class GroupConsumer:
                 self.member_id = ""
                 continue
             if err == ERR_REBALANCE_IN_PROGRESS:
+                # keep the broker-minted member id for the retry: the
+                # coordinator already registered it, and re-joining
+                # with "" would mint a ghost member that can wedge the
+                # group until its session times out
+                if mid:
+                    self.member_id = mid
                 continue
             if err:
                 raise KafkaError(err, "JoinGroup")

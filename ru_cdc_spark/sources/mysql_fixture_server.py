@@ -939,9 +939,13 @@ class MySQLFixtureServer:
         q = sql.strip().rstrip(";").lower()
         self.command_log.append(q)
         if q.startswith("set "):
-            if "rpl_semi_sync_slave" in q and "= 1" in q.replace(" ", " "):
+            squeezed = q.replace(" ", "")
+            if ("rpl_semi_sync_slave" in squeezed
+                    and squeezed.endswith("=1")):
                 # per-connection semisync registration (the real
-                # master reads this session var before the dump)
+                # master reads this session var before the dump);
+                # whitespace-insensitive: 'slave=1' and 'slave = 1'
+                # are the same statement
                 io.semi_sync = True
             io.write_packet(encode_ok(), seq=1)
         elif q == "select @@global.rpl_semi_sync_master_enabled":
@@ -1152,6 +1156,16 @@ class MySQLFixtureServer:
                     if fde is not None:
                         evs.insert(0, fde)
                 events.extend(evs)
+                if idx + 1 < len(self.binlogs):
+                    # genuine inter-file ROTATE, exactly like
+                    # _dump_parts emits — without it the replica's ACK
+                    # filename would stay on the previous file and
+                    # semisync dumps would diverge from plain ones
+                    file_end = max((e for _, e, _ in vb.events),
+                                   default=4)
+                    events.append(encode_rotate(
+                        self.binlogs[idx + 1].filename,
+                        log_pos=file_end, timestamp=1))
         try:
             for k, ev in enumerate(events):
                 need = 1 if (ev[4] == XID_EVENT

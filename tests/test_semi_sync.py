@@ -127,3 +127,24 @@ def test_distributed_slices_ack_through_semisync(spark, sf_dir):
         assert sorted(map(tuple, semi)) == sorted(map(tuple, plain))
     finally:
         srv.stop()
+
+
+def test_multi_file_semisync_matches_plain_and_acks_right_file():
+    """A dump crossing a file boundary under semisync: the genuine
+    inter-file ROTATE must be delivered (identical stream to a plain
+    dump) and ACK filenames must advance to the new file."""
+    vb1 = VirtualBinlog.from_txn_fixture(6, filename="binlog.000001")
+    vb2 = VirtualBinlog.from_txn_fixture(6, filename="binlog.000002")
+    srv = MySQLFixtureServer(binlogs=[vb1, vb2], semi_sync=True).start()
+    try:
+        with _connect(srv) as c:
+            semi = list(c.binlog_dump("binlog.000001", 4,
+                                      semi_sync=True))
+        with _connect(srv) as c:
+            plain = list(c.binlog_dump("binlog.000001", 4))
+        assert semi == plain
+        files = {f for f, _pos in srv.semi_sync_acks}
+        assert files == {"binlog.000001", "binlog.000002"}
+        assert srv.semi_sync_bad_acks == 0
+    finally:
+        srv.stop()

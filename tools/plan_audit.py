@@ -151,6 +151,10 @@ AUDIT = [
     ("mysql_geometry_decode",
      "round 9: type-255 WKB decode as one narrow Arrow map — SRID + "
      "typed coordinates + WKT off the wire bytes, zero shuffle"),
+    ("corpus_mix_domains",
+     "round 9: domain mixing — 20-row budget aggregate broadcast, "
+     "per-domain running sum as the distributed two-pass scheme, "
+     "no unpartitioned window, no corpus collect"),
 ]
 
 

@@ -436,3 +436,73 @@ class TestListOffsets:
             assert gc.seek_to_timestamp("t", 99999) == {0: 12}  # log end
         finally:
             gc.leave()
+
+
+class TestGroupChurn:
+    def test_five_member_churn_converges_to_exact_cover(self):
+        """Stress the coordinator state machine: five consumers join
+        concurrently, two die mid-flight (no LeaveGroup), one leaves
+        cleanly — the survivors must converge to a stable generation
+        whose assignments form an EXACT cover of the 8 partitions (no
+        partition lost, none owned twice)."""
+        import threading
+
+        from ru_cdc_spark.sources.kafka_wire import GroupConsumer
+
+        b = KafkaBrokerFixture()
+        b.group_initial_rebalance_delay_s = 0.4
+        b.create_topic("t", 8)
+        b.start()
+        consumers: list = [None] * 5
+        stop = threading.Event()
+        errs: list = []
+
+        def member(i):
+            try:
+                gc = GroupConsumer("127.0.0.1", b.port, "churn",
+                                   ["t"], session_timeout_s=1.5)
+                consumers[i] = gc
+                gc.join()
+                while not stop.is_set():
+                    gc.ensure_active()
+                    time.sleep(0.1)
+            except OSError:
+                pass  # the killed members' sockets
+            except Exception as exc:  # noqa: BLE001
+                errs.append((i, exc))
+
+        try:
+            ts = [threading.Thread(target=member, args=(i,))
+                  for i in range(5)]
+            for t in ts:
+                t.start()
+                time.sleep(0.05)
+            time.sleep(1.5)  # all five stable
+            consumers[1]._c.close()   # hard kill (session timeout)
+            time.sleep(0.5)
+            consumers[3]._c.close()   # second hard kill
+            time.sleep(0.5)
+            consumers[4].leave()      # clean leave
+            # survivors 0 and 2 re-balance; wait for convergence
+            deadline = time.time() + 15
+            while time.time() < deadline:
+                a0 = consumers[0].assignment.get("t", [])
+                a2 = consumers[2].assignment.get("t", [])
+                if (sorted(a0 + a2) == list(range(8))
+                        and consumers[0].generation
+                        == consumers[2].generation):
+                    break
+                time.sleep(0.1)
+            assert sorted(consumers[0].assignment.get("t", [])
+                          + consumers[2].assignment.get("t", [])) == \
+                list(range(8))
+            assert not errs, errs
+        finally:
+            stop.set()
+            for gc in consumers:
+                if gc is not None:
+                    try:
+                        gc.close()
+                    except OSError:
+                        pass
+            b.stop()

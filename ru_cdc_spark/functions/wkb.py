@@ -25,6 +25,7 @@ silently misdecode.
 
 from __future__ import annotations
 
+import math
 import struct
 
 WKB_POINT, WKB_LINESTRING, WKB_POLYGON = 1, 2, 3
@@ -158,8 +159,6 @@ def _decode_points(data: bytes, pos: int,
 
 
 def _fmt(v: float) -> str:
-    import math
-
     if not math.isfinite(v):
         # keep the module's single failure type: a non-finite
         # coordinate is a misframed geometry, not an OverflowError

@@ -443,21 +443,38 @@ class ChunkStore:
         except FileExistsError:
             return False
         except OSError:
-            # filesystems without hardlinks (some NFS/FUSE/object-store
-            # mounts): fall back to existence-check + atomic RENAME of
-            # the fully-written staged file. Readers can never observe
-            # a torn/empty marker (rename is atomic, the staged bytes
-            # are complete and fsynced) — the degradation vs the link
-            # path is only that two racing writers may BOTH report a
-            # win; both publish the same deterministic content for the
-            # same name, so downstream resolution is unaffected,
-            # whereas O_CREAT|O_EXCL-then-write could expose (and, on
-            # a crash, permanently leave) an empty marker.
-            if os.path.exists(self._full(name)):
-                return False
+            # Filesystems without hardlinks (some NFS/FUSE/object-store
+            # mounts): mkdir is the portable atomic CREATE-ONLY
+            # primitive, and rename is the portable atomic-CONTENT
+            # primitive — combine them. The winner is whoever mkdirs
+            # the claim; only the winner renames its fully-written,
+            # fsynced staged file to the final name, so a reader can
+            # never observe a torn/empty marker and concurrent
+            # attempts get exactly one winner. If a previous attempt
+            # crashed between claim and rename (claim exists, final
+            # absent), the retry takes over and completes the publish
+            # with its own complete bytes.
+            final = self._full(name)
+            claim = final + ".claim"
             with open(staged, "rb+") as fh:
                 os.fsync(fh.fileno())
-            os.rename(staged, self._full(name))
+            try:
+                os.mkdir(claim)
+            except FileExistsError:
+                # someone else holds the claim: either their rename is
+                # in flight (give it a beat) or they crashed between
+                # claim and rename (then complete the publish with our
+                # own complete bytes)
+                import time as _time
+
+                for _ in range(50):
+                    if os.path.exists(final):
+                        return False
+                    _time.sleep(0.01)
+                os.rename(staged, final)
+                staged = None
+                return True
+            os.rename(staged, final)
             staged = None
             return True
         finally:

@@ -1157,15 +1157,10 @@ class MySQLFixtureServer:
                         evs.insert(0, fde)
                 events.extend(evs)
                 if idx + 1 < len(self.binlogs):
-                    # genuine inter-file ROTATE, exactly like
-                    # _dump_parts emits — without it the replica's ACK
-                    # filename would stay on the previous file and
-                    # semisync dumps would diverge from plain ones
-                    file_end = max((e for _, e, _ in vb.events),
-                                   default=4)
-                    events.append(encode_rotate(
-                        self.binlogs[idx + 1].filename,
-                        log_pos=file_end, timestamp=1))
+                    # genuine inter-file ROTATE — shared with
+                    # _dump_parts so the semisync stream stays
+                    # byte-identical to a plain dump
+                    events.append(self._boundary_rotate(idx))
         try:
             for k, ev in enumerate(events):
                 need = 1 if (ev[4] == XID_EVENT
@@ -1174,6 +1169,19 @@ class MySQLFixtureServer:
             io.sock.sendall(encode_packet(0, b"\xfe\x00\x00\x02\x00"))
         except (ConnectionError, OSError):
             return
+
+    def _boundary_rotate(self, idx: int) -> bytes:
+        """The GENUINE file-boundary ROTATE event (D12) announcing
+        binlogs[idx + 1] — real timestamp + log_pos, like the rotate a
+        server logs at the physical end of each binlog file. ONE
+        implementation for both the plain (_dump_parts) and semisync
+        dump paths: their streams must stay byte-identical."""
+        from ru_cdc_spark.sources.binlog_wire import encode_rotate
+
+        file_end = max((e for _, e, _ in self.binlogs[idx].events),
+                       default=4)
+        return encode_rotate(self.binlogs[idx + 1].filename,
+                             log_pos=file_end, timestamp=1)
 
     def _framed(self, idx: int) -> tuple[bytes, list[tuple[int, int]]]:
         """Packet-framed byte stream of file ``idx``, cached: serving a
@@ -1285,15 +1293,8 @@ class MySQLFixtureServer:
                     yield encode_packet(1, b"\x00" + fde)
             yield blob[offset:]
             if idx + 1 < len(self.binlogs):
-                # file boundary: a GENUINE ROTATE to the next log (D12)
-                # — real timestamp + log_pos, like the rotate event a
-                # server logs at the physical end of each binlog file
-                file_end = max((e for _, e, _ in
-                                self.binlogs[idx].events), default=4)
-                yield encode_packet(
-                    0, b"\x00" + encode_rotate(
-                        self.binlogs[idx + 1].filename,
-                        log_pos=file_end, timestamp=1))
+                yield encode_packet(0,
+                                    b"\x00" + self._boundary_rotate(idx))
         # bounded fixture: end the stream with EOF instead of blocking
         # forever like a live dump would
         yield encode_packet(0, b"\xfe\x00\x00\x02\x00")

@@ -455,6 +455,10 @@ class TestGroupChurn:
         b.start()
         consumers: list = [None] * 5
         stop = threading.Event()
+        # KafkaWireClient is not thread-safe: member 4's clean leave
+        # must be issued by ITS OWN thread (after stop4), never from
+        # the test thread while its heartbeat loop is mid-request
+        stop4 = threading.Event()
         errs: list = []
 
         def member(i):
@@ -464,6 +468,9 @@ class TestGroupChurn:
                 consumers[i] = gc
                 gc.join()
                 while not stop.is_set():
+                    if i == 4 and stop4.is_set():
+                        gc.leave()   # clean leave, on our own socket
+                        return
                     gc.ensure_active()
                     time.sleep(0.1)
             except OSError:
@@ -482,7 +489,8 @@ class TestGroupChurn:
             time.sleep(0.5)
             consumers[3]._c.close()   # second hard kill
             time.sleep(0.5)
-            consumers[4].leave()      # clean leave
+            stop4.set()               # member 4 leaves cleanly
+            ts[4].join(10)
             # survivors 0 and 2 re-balance; wait for convergence
             deadline = time.time() + 15
             while time.time() < deadline:

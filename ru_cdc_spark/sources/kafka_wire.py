@@ -372,7 +372,9 @@ API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
 API_INIT_PRODUCER_ID = 22
 API_ADD_PARTITIONS_TO_TXN = 24
+API_ADD_OFFSETS_TO_TXN = 25
 API_END_TXN = 26
+API_TXN_OFFSET_COMMIT = 28
 
 # group-coordination error codes (published error table)
 ERR_ILLEGAL_GENERATION = 22
@@ -594,6 +596,40 @@ class KafkaWireClient:
                 pid, err = r.i32(), r.i16()
                 if err:
                     raise KafkaError(err, f"AddPartitionsToTxn {pid}")
+
+    def add_offsets_to_txn(self, transactional_id: str,
+                           producer_id: int, producer_epoch: int,
+                           group_id: str) -> None:
+        """AddOffsetsToTxn v0 — register a consumer group with the open
+        transaction (first half of sendOffsetsToTransaction)."""
+        body = (_string(transactional_id) + _i64(producer_id)
+                + _i16(producer_epoch) + _string(group_id))
+        r = self._request(API_ADD_OFFSETS_TO_TXN, 0, body)
+        _throttle = r.i32()
+        err = r.i16()
+        if err:
+            raise KafkaError(err, "AddOffsetsToTxn")
+
+    def txn_offset_commit(self, transactional_id: str, group_id: str,
+                          producer_id: int, producer_epoch: int,
+                          topic: str, offsets: dict[int, int],
+                          metadata: str | None = None) -> None:
+        """TxnOffsetCommit v0 — stage {partition: offset} inside the
+        transaction; the broker applies them to the group only when the
+        transaction COMMITs."""
+        body = (_string(transactional_id) + _string(group_id)
+                + _i64(producer_id) + _i16(producer_epoch)
+                + _i32(1) + _string(topic) + _i32(len(offsets)))
+        for p, off in sorted(offsets.items()):
+            body += _i32(p) + _i64(off) + _string(metadata)
+        r = self._request(API_TXN_OFFSET_COMMIT, 0, body)
+        _throttle = r.i32()
+        for _ in range(r.i32()):
+            _topic = r.string()
+            for _ in range(r.i32()):
+                pid, err = r.i32(), r.i16()
+                if err:
+                    raise KafkaError(err, f"TxnOffsetCommit p{pid}")
 
     def end_txn(self, transactional_id: str, producer_id: int,
                 producer_epoch: int, committed: bool) -> None:
@@ -1005,6 +1041,26 @@ class TransactionalProducer(IdempotentProducer):
             transactional_id=self.transactional_id)
         self._seq[(topic, partition)] = seq + len(records)
         return off
+
+    def send_offsets_to_transaction(self, group_id: str, topic: str,
+                                    offsets: dict[int, int],
+                                    metadata: str | None = None
+                                    ) -> None:
+        """The exactly-once consume-transform-produce handshake: stage
+        the consumer group's {partition: offset} INSIDE the open
+        transaction (AddOffsetsToTxn + TxnOffsetCommit). The broker
+        applies them atomically with the produced records at commit and
+        discards them on abort — input progress and output records
+        succeed or fail together, so a crash replays the transform with
+        no loss and no duplication."""
+        if not self._in_txn:
+            raise RuntimeError("send_offsets outside a transaction")
+        self._client.add_offsets_to_txn(
+            self.transactional_id, self.producer_id,
+            self.producer_epoch, group_id)
+        self._client.txn_offset_commit(
+            self.transactional_id, group_id, self.producer_id,
+            self.producer_epoch, topic, offsets, metadata)
 
     def commit(self) -> None:
         self._end(True)
@@ -1470,6 +1526,13 @@ class KafkaBrokerFixture:
         # group MEMBERSHIP coordination (round 9): per-group rebalance
         # state machines for JoinGroup/SyncGroup/Heartbeat/LeaveGroup
         self._groups: dict[str, _GroupCoordState] = {}
+        # exactly-once consume-transform-produce (KIP-98 EOS): groups
+        # registered per producer-id via AddOffsetsToTxn, and the
+        # consumer offsets STAGED by TxnOffsetCommit — applied to
+        # _group_offsets only when EndTxn COMMITs, discarded on ABORT
+        self._txn_groups: dict[int, set[str]] = {}
+        self._txn_offsets: dict[int, dict[tuple[str, str, int],
+                                          tuple[int, str | None]]] = {}
         # timestamp index per (topic, partition): [(base_offset,
         # max_timestamp)] in append order — ListOffsets binary-searches
         # the earliest batch at/after the queried time, like the real
@@ -1518,6 +1581,10 @@ class KafkaBrokerFixture:
             twin._group_offsets = dict(self._group_offsets)
             twin._ts_index = {k: list(v)
                               for k, v in self._ts_index.items()}
+            twin._txn_groups = {k: set(v)
+                                for k, v in self._txn_groups.items()}
+            twin._txn_offsets = {k: dict(v)
+                                 for k, v in self._txn_offsets.items()}
             twin.topic_partitions = dict(self.topic_partitions)
             # group MEMBERSHIP is deliberately not replicated: on a
             # coordinator change real consumers re-discover and re-join;
@@ -1613,6 +1680,10 @@ class KafkaBrokerFixture:
                     body = self._init_producer_id(r)
                 elif api_key == API_ADD_PARTITIONS_TO_TXN:
                     body = self._add_partitions_to_txn(r)
+                elif api_key == API_ADD_OFFSETS_TO_TXN:
+                    body = self._add_offsets_to_txn(r)
+                elif api_key == API_TXN_OFFSET_COMMIT:
+                    body = self._txn_offset_commit(r)
                 elif api_key == API_END_TXN:
                     body = self._end_txn(r)
                 elif api_key == API_FIND_COORDINATOR:
@@ -1660,6 +1731,8 @@ class KafkaBrokerFixture:
                      (API_METADATA, 1, 1), (API_VERSIONS, 0, 0),
                      (API_INIT_PRODUCER_ID, 0, 0),
                      (API_ADD_PARTITIONS_TO_TXN, 0, 0),
+                     (API_ADD_OFFSETS_TO_TXN, 0, 0),
+                     (API_TXN_OFFSET_COMMIT, 0, 0),
                      (API_END_TXN, 0, 0),
                      (API_OFFSET_COMMIT, 2, 2),
                      (API_OFFSET_FETCH, 1, 1),
@@ -2074,6 +2147,59 @@ class KafkaBrokerFixture:
                 out += _i32(part) + _i16(err)
         return out
 
+    def _add_offsets_to_txn(self, r: _Reader) -> bytes:
+        """AddOffsetsToTxn v0: register a consumer GROUP with the
+        transaction — the first half of sendOffsetsToTransaction, the
+        exactly-once consume-transform-produce handshake."""
+        _txn_id = r.string()
+        prod_id = r.i64()
+        epoch = r.i16()
+        group = r.string() or ""
+        with self._lock:
+            known = self._pid_epoch.get(prod_id)
+            if known is None:
+                return _i32(0) + _i16(ERR_UNKNOWN_PRODUCER_ID)
+            if epoch < known:
+                return _i32(0) + _i16(ERR_INVALID_PRODUCER_EPOCH)
+            self._txn_groups.setdefault(prod_id, set()).add(group)
+        return _i32(0) + _i16(0)
+
+    def _txn_offset_commit(self, r: _Reader) -> bytes:
+        """TxnOffsetCommit v0: STAGE the group offsets inside the open
+        transaction. They become visible to OffsetFetch only when the
+        EndTxn COMMIT marker lands — the atomicity that makes
+        consume-transform-produce exactly-once."""
+        _txn_id = r.string()
+        group = r.string() or ""
+        prod_id = r.i64()
+        epoch = r.i16()
+        req = []
+        for _ in range(r.i32()):
+            topic = r.string() or ""
+            parts = [(r.i32(), r.i64(), r.string())
+                     for _ in range(r.i32())]
+            req.append((topic, parts))
+        with self._lock:
+            known = self._pid_epoch.get(prod_id)
+            if known is None:
+                err = ERR_UNKNOWN_PRODUCER_ID
+            elif epoch < known:
+                err = ERR_INVALID_PRODUCER_EPOCH
+            elif group not in self._txn_groups.get(prod_id, ()):
+                err = ERR_INVALID_TXN_STATE  # AddOffsetsToTxn first
+            else:
+                err = 0
+                staged = self._txn_offsets.setdefault(prod_id, {})
+                for topic, parts in req:
+                    for pid, off, meta in parts:
+                        staged[(group, topic, pid)] = (off, meta)
+        body = _i32(0) + _i32(len(req))
+        for topic, parts in req:
+            body += _string(topic) + _i32(len(parts))
+            for pid, _off, _meta in parts:
+                body += _i32(pid) + _i16(err)
+        return body
+
     def _end_txn(self, r: _Reader) -> bytes:
         _txn_id = r.string()
         prod_id = r.i64()
@@ -2085,7 +2211,9 @@ class KafkaBrokerFixture:
                 return _i32(0) + _i16(ERR_UNKNOWN_PRODUCER_ID)
             if epoch < known:
                 return _i32(0) + _i16(ERR_INVALID_PRODUCER_EPOCH)
-            if not self._txn_parts.get(prod_id):
+            if not (self._txn_parts.get(prod_id)
+                    or self._txn_offsets.get(prod_id)
+                    or self._txn_groups.get(prod_id)):
                 return _i32(0) + _i16(ERR_INVALID_TXN_STATE)
             self._finish_txn(prod_id, epoch, committed)
         return _i32(0) + _i16(0)
@@ -2119,6 +2247,16 @@ class KafkaBrokerFixture:
                 self._aborted_idx.setdefault((topic, part), []).append(
                     (prod_id, first, marker_off))
         self._txn_parts.pop(prod_id, None)
+        # EOS offsets: staged TxnOffsetCommits become the group's
+        # committed position ATOMICALLY with the data commit; an abort
+        # discards them — the consumer resumes from its pre-txn offset
+        # and the aborted output is invisible to read_committed, so the
+        # transform replays with no loss and no duplication
+        staged = self._txn_offsets.pop(prod_id, {})
+        if committed:
+            for (group, topic, pid), (off, meta) in staged.items():
+                self._group_offsets[(group, topic, pid)] = (off, meta)
+        self._txn_groups.pop(prod_id, None)
 
     def _lso(self, topic: str, part: int) -> int:
         """Last stable offset: the earliest ongoing transaction's

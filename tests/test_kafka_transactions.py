@@ -317,3 +317,98 @@ class TestTxnStateMachine:
         with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
             assert _vals(c, "t", "read_committed") == [b"fresh"]
         p_old.close(), p_new.close()
+
+
+class TestExactlyOnceOffsets:
+    """sendOffsetsToTransaction (round 9): consumer offsets committed
+    ATOMICALLY with the produced records — the consume-transform-
+    produce exactly-once handshake (AddOffsetsToTxn + TxnOffsetCommit,
+    applied at EndTxn COMMIT, discarded on ABORT)."""
+
+    def _seed_input(self, broker, n=6):
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            c.produce("in", 0, [(b"k%d" % i, b"v%d" % i)
+                                for i in range(n)])
+
+    def test_commit_applies_offsets_with_records(self, broker):
+        self._seed_input(broker)
+        with TransactionalProducer("127.0.0.1", broker.port,
+                                   "eos1") as p:
+            p.begin()
+            p.send("out", 0, [(b"k", b"transformed")])
+            p.send_offsets_to_transaction("g-eos", "in", {0: 6},
+                                          metadata="eos")
+            # BEFORE commit: neither the records nor the offsets exist
+            with KafkaWireClient.connect("127.0.0.1",
+                                         broker.port) as c:
+                assert c.fetch_all("out", 0,
+                                   isolation="read_committed") == []
+                assert c.offset_fetch("g-eos", "in", [0])[0] == \
+                    (-1, None)
+            p.commit()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            got = c.fetch_all("out", 0, isolation="read_committed")
+            assert [v for _o, _k, v in got] == [b"transformed"]
+            assert c.offset_fetch("g-eos", "in", [0])[0] == (6, "eos")
+
+    def test_abort_discards_offsets_and_records_together(self, broker):
+        self._seed_input(broker)
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            c.offset_commit("g-eos2", "in", {0: 2})  # pre-txn position
+        with TransactionalProducer("127.0.0.1", broker.port,
+                                   "eos2") as p:
+            p.begin()
+            p.send("out2", 0, [(b"k", b"half-done")])
+            p.send_offsets_to_transaction("g-eos2", "in", {0: 6})
+            p.abort()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            # output invisible AND the group still at its pre-txn
+            # offset: the transform will replay, nothing was lost or
+            # double-counted
+            assert c.fetch_all("out2", 0,
+                               isolation="read_committed") == []
+            assert c.offset_fetch("g-eos2", "in", [0])[0][0] == 2
+
+    def test_offsets_only_transaction_commits(self, broker):
+        with TransactionalProducer("127.0.0.1", broker.port,
+                                   "eos3") as p:
+            p.begin()
+            p.send_offsets_to_transaction("g-eos3", "in", {0: 3})
+            p.commit()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            assert c.offset_fetch("g-eos3", "in", [0])[0][0] == 3
+
+    def test_txn_offset_commit_requires_registration(self, broker):
+        from ru_cdc_spark.sources.kafka_wire import KafkaError
+
+        with TransactionalProducer("127.0.0.1", broker.port,
+                                   "eos4") as p:
+            p.begin()
+            with pytest.raises(KafkaError):
+                # TxnOffsetCommit without AddOffsetsToTxn first
+                p._client.txn_offset_commit(
+                    "eos4", "g-eos4", p.producer_id,
+                    p.producer_epoch, "in", {0: 1})
+            # the rejected stage registered nothing, so ending the
+            # empty transaction is itself INVALID_TXN_STATE
+            with pytest.raises(KafkaError):
+                p.abort()
+
+    def test_fenced_zombie_cannot_stage_offsets(self, broker):
+        from ru_cdc_spark.sources.kafka_wire import KafkaError
+
+        old = TransactionalProducer("127.0.0.1", broker.port, "eos5")
+        old.begin()
+        old.send_offsets_to_transaction("g-eos5", "in", {0: 1})
+        # a restart with the same transactional id bumps the epoch,
+        # fencing the zombie
+        new = TransactionalProducer("127.0.0.1", broker.port, "eos5")
+        with pytest.raises(KafkaError):
+            old.send_offsets_to_transaction("g-eos5", "in", {0: 2})
+        new.begin()
+        new.send_offsets_to_transaction("g-eos5", "in", {0: 9})
+        new.commit()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            assert c.offset_fetch("g-eos5", "in", [0])[0][0] == 9
+        old.close()
+        new.close()

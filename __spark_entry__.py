@@ -98,7 +98,7 @@ SHOWCASE = [
     "cdc_kafka_transactional_stream", "cdc_kafka_idempotent_stream",
     "mysql_geometry_decode", "ann_batch_queries",
     "corpus_mix_domains", "mysql_socket_semisync_snapshot",
-    "corpus_length_buckets",
+    "corpus_length_buckets", "cdc_kafka_eos_transform",
     "binlog_partial_json_update", "binlog_noblob_image_merge",
     "mysql_socket_minimal_snapshot", "mysql_socket_metadata_snapshot",
     "cdc_kafka_broker_failover",

@@ -4287,6 +4287,130 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
             .select("r.*"))
 
 
+def cdc_kafka_eos_transform(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Exactly-once consume-transform-produce (round 9, KIP-98 EOS):
+    the change stream lands in topic A (2 partitions); one
+    transactional worker task per partition consumes it and re-produces
+    to topic B, committing its consumer offsets INSIDE each transaction
+    (send_offsets_to_transaction). Partition 0's first transaction is
+    ABORTED after records AND offsets were staged — the crash-replay
+    case — so the worker re-reads from its (unchanged) group offset and
+    re-produces; the aborted attempt is invisible to read_committed.
+
+    The proof is in what is MISSING: unlike every other kafka query
+    here, the result needs NO offset dedup — topic B is parsed as-is
+    and hash-matches the ``cdc_change_stream`` oracle, so the abort
+    +replay produced exactly one copy of every record. At-least-once
+    + dedup becomes exactly-once at the log itself.
+
+    Scale: one EOS worker per partition (the real topology — one
+    transactional id per task), transactions sized by fetch windows;
+    EndTxn cost is O(partitions touched), never per-record."""
+    import uuid as _uuid
+
+    from ru_cdc_spark.sources.kafka_wire import (
+        KafkaBrokerFixture,
+        KafkaWireClient,
+    )
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+    n_parts = 2
+    run = _uuid.uuid4().hex[:8]
+    topic_a, topic_b = f"eos{run}_in", f"eos{run}_out"
+    broker.create_topic(topic_a, n_parts)
+    broker.create_topic(topic_b, n_parts)
+
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    host, port = "127.0.0.1", broker.port
+
+    payloads = flat.select(
+        (F.col("id") % n_parts).cast("int").alias("kpart"),
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+
+    def produce_rows(rows) -> None:
+        from ru_cdc_spark.sources.kafka_wire import KafkaWireClient
+
+        by_part: dict[int, list] = {}
+        for row in rows:
+            by_part.setdefault(int(row["kpart"]), []).append(
+                (row["key"].encode(), row["value"].encode()))
+        if not by_part:
+            return
+        with KafkaWireClient.connect(host, port) as kc:
+            for p, recs in by_part.items():
+                for i in range(0, len(recs), 2000):
+                    kc.produce(topic_a, p, recs[i:i + 2000])
+
+    payloads.foreachPartition(produce_rows)
+    group = f"grp_{topic_b}"
+
+    def transform(batches):
+        import pandas as pd
+
+        from ru_cdc_spark.sources.kafka_wire import (
+            KafkaWireClient,
+            TransactionalProducer,
+        )
+
+        for pdf in batches:
+            for v in pdf["worker"]:
+                p = int(v)
+                aborted_once = False
+                with TransactionalProducer(
+                        host, port, f"eos-{run}-p{p}") as prod, \
+                        KafkaWireClient.connect(host, port) as c:
+                    while True:
+                        pos, _m = c.offset_fetch(group, topic_a,
+                                                 [p])[p]
+                        pos = max(pos, 0)
+                        got = c.fetch(topic_a, p, pos,
+                                      max_bytes=256 * 1024)
+                        recs = [r for r in got["records"]
+                                if r[0] >= pos]
+                        if not recs:
+                            if pos >= got["high_watermark"]:
+                                break
+                            continue
+                        prod.begin()
+                        prod.send(topic_b, p,
+                                  [(k, val) for _o, k, val in recs])
+                        prod.send_offsets_to_transaction(
+                            group, topic_a, {p: recs[-1][0] + 1})
+                        if p == 0 and not aborted_once:
+                            # crash injection: records + offsets were
+                            # staged; the abort discards BOTH, so the
+                            # retry replays the same fetch window
+                            aborted_once = True
+                            prod.abort()
+                            continue
+                        prod.commit()
+                yield pd.DataFrame({"worker": [p]})
+
+    workers = spark.createDataFrame(
+        [(p,) for p in range(n_parts)], "worker int").repartition(2)
+    workers.mapInPandas(transform, "worker int").count()
+
+    vals: list[str] = []
+    with KafkaWireClient.connect(host, port) as kc:
+        for p in range(n_parts):
+            vals += [v.decode() for _o, _k, v in
+                     kc.fetch_all(topic_b, p,
+                                  isolation="read_committed")]
+    # NO dedup: exactly-once means the log itself holds one copy
+    payload_df = spark.createDataFrame([(v,) for v in vals],
+                                       "payload string")
+    return (payload_df
+            .select(F.from_json("payload", schema).alias("r"))
+            .select("r.*"))
+
+
 def cdc_kafka_broker_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BROKER failover mid-stream (the Kafka mirror of round-7's GTID
     server failover): the topic is consumed from broker A with a
@@ -4768,6 +4892,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_group_rebalance",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_group_rebalance)
+    register("cdc_kafka_eos_transform",
+             REGISTRY["cdc_change_stream"].oracle)(
+        cdc_kafka_eos_transform)
     register("cdc_kafka_broker_failover",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_broker_failover)

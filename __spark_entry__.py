@@ -99,6 +99,7 @@ SHOWCASE = [
     "mysql_geometry_decode", "ann_batch_queries",
     "corpus_mix_domains", "mysql_socket_semisync_snapshot",
     "corpus_length_buckets", "cdc_kafka_eos_transform",
+    "events_pattern_match",
     "binlog_partial_json_update", "binlog_noblob_image_merge",
     "mysql_socket_minimal_snapshot", "mysql_socket_metadata_snapshot",
     "cdc_kafka_broker_failover",

@@ -495,3 +495,77 @@ WHERE CAST(c_acctbal AS DECIMAL(18,2)) * CAST(n_pos AS DECIMAL(18,0)) > total_po
                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c_custkey % 10
 """
+
+
+# ---------------------------------------------------------------------------
+# time-series subsequence similarity (round 9): sliding-window pattern
+# match over each user's event-value series — the distributed primitive
+# behind trajectory/time-series similarity search (EDBT'19 streaming
+# similarity / REPOSE-style top-k shapes in PAPERS.md). Values are
+# two-decimal doubles, so the whole computation runs in exact CENTS:
+# the DuckDB oracle recomputes every distance bit-for-bit.
+# ---------------------------------------------------------------------------
+
+PATTERN_K = 8
+# the query pattern, in cents — deterministic literal shared with SQL
+PATTERN = [((j * 37) % 50) * 10 + 95 for j in range(PATTERN_K)]
+PATTERN_TOP_N = 20
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N closest length-k windows to a query pattern, squared
+    Euclidean distance over per-user event-value series (cents).
+
+    Scale: windows are PARTITIONED by user (rows-between frames over
+    the user's ts order — never an unpartitioned window); the pattern
+    is a literal (broadcast-free); the global top-N is a TakeOrdered,
+    not a full sort. Cost is O(events x k) map-side work plus a
+    size-N reduction."""
+    from ru_cdc_spark.sources.readers import spread
+
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    arr = F.collect_list("v").over(
+        w.rowsBetween(Window.currentRow, PATTERN_K - 1))
+    pat = F.array(*[F.lit(p) for p in PATTERN])
+    dist2 = F.aggregate(
+        F.zip_with(arr, pat, lambda x, p: (x - p) * (x - p)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (e.select("user_id",
+                       F.col("event_id").alias("start_event_id"),
+                       arr.alias("win"), dist2.alias("dist2"))
+              .where(F.size("win") == PATTERN_K)
+              .select("user_id", "start_event_id", "dist2"))
+    return (scored.orderBy(F.col("dist2").asc(),
+                           F.col("user_id").asc(),
+                           F.col("start_event_id").asc())
+            .limit(PATTERN_TOP_N))
+
+
+_PAT_CASE = " ".join(
+    f"WHEN {j} THEN {p}" for j, p in enumerate(PATTERN))
+
+EVENTS_PATTERN_MATCH_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_id,
+           CAST(round(value * 100) AS BIGINT) AS v,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), win AS (
+    SELECT a.user_id, a.event_id AS start_event_id,
+           SUM((b.v - (CASE b.rn - a.rn {_PAT_CASE} END))
+               * (b.v - (CASE b.rn - a.rn {_PAT_CASE} END))) AS dist2,
+           COUNT(*) AS n
+    FROM e a JOIN e b
+      ON b.user_id = a.user_id
+     AND b.rn BETWEEN a.rn AND a.rn + {PATTERN_K - 1}
+    GROUP BY a.user_id, a.event_id
+)
+SELECT user_id, start_event_id, CAST(dist2 AS BIGINT) AS dist2
+FROM win WHERE n = {PATTERN_K}
+ORDER BY dist2, user_id, start_event_id
+LIMIT {PATTERN_TOP_N}
+"""

@@ -770,6 +770,8 @@ register("q20_excess_quantity_suppliers",
          _ax.EXCESS_QUANTITY_SUPPLIERS_SQL)(_ax.excess_quantity_suppliers)
 register("q22_idle_customer_segments",
          _ax.IDLE_CUSTOMER_SEGMENTS_SQL)(_ax.idle_customer_segments)
+register("events_pattern_match",
+         _ax.EVENTS_PATTERN_MATCH_SQL)(_ax.events_pattern_match)
 register("region_nation_rollup", _an.REGION_NATION_ROLLUP_SQL)(_an.region_nation_rollup)
 register("priorities_per_customer",
          _an.PRIORITIES_PER_CUSTOMER_SQL)(_an.priorities_per_customer)

@@ -566,3 +566,14 @@ def test_corpus_mix_domains_distributed_cumsum(spark, sf_dir):
     assert _unpartitioned_window_count(plan) == 0, plan[:800]
     assert "rangepartitioning" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_events_pattern_match_partitioned_windows_take_ordered(
+        spark, sf_dir):
+    """Time-series subsequence search (round 9): sliding windows are
+    per-user frames (no unpartitioned window), and the global top-N is
+    a TakeOrdered, never a full sort."""
+    df = REGISTRY["events_pattern_match"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert _unpartitioned_window_count(plan) == 0, plan[:800]
+    assert "TakeOrderedAndProject" in plan

@@ -49,6 +49,28 @@ REGISTRY: dict[str, QuerySpec] = {}
 _SESSION_TMPDIRS: list[str] = []
 
 
+def _kpart_producer(host: str, port: int, topic: str):
+    """foreachPartition closure producing (kpart, key, value) rows to
+    their kafka partition in bounded batches — shared by every
+    multi-partition-topic query (rebalance, EOS) so the chunking and
+    connection discipline live in one place."""
+    def produce_rows(rows) -> None:
+        from ru_cdc_spark.sources.kafka_wire import KafkaWireClient
+
+        by_part: dict[int, list] = {}
+        for row in rows:
+            by_part.setdefault(int(row["kpart"]), []).append(
+                (row["key"].encode(), row["value"].encode()))
+        if not by_part:
+            return
+        with KafkaWireClient.connect(host, port) as kc:
+            for p, recs in by_part.items():
+                for i in range(0, len(recs), 2000):
+                    kc.produce(topic, p, recs[i:i + 2000])
+
+    return produce_rows
+
+
 def _session_tmpdir(prefix: str) -> str:
     import atexit
     import shutil
@@ -4136,21 +4158,7 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
         F.col("id").cast("string").alias("key"),
         F.to_json(F.struct(*flat.columns)).alias("value"))
 
-    def produce_rows(rows) -> None:
-        from ru_cdc_spark.sources.kafka_wire import KafkaWireClient
-
-        by_part: dict[int, list] = {}
-        for row in rows:
-            by_part.setdefault(int(row["kpart"]), []).append(
-                (row["key"].encode(), row["value"].encode()))
-        if not by_part:
-            return
-        with KafkaWireClient.connect(host, port) as kc:
-            for p, recs in by_part.items():
-                for i in range(0, len(recs), 2000):
-                    kc.produce(topic, p, recs[i:i + 2000])
-
-    payloads.foreachPartition(produce_rows)
+    payloads.foreachPartition(_kpart_producer(host, port, topic))
 
     group = f"grp_{topic}"
     # the doomed member dies after ~1/6 of the stream: enough to have
@@ -4336,21 +4344,7 @@ def cdc_kafka_eos_transform(spark: SparkSession,
         F.col("id").cast("string").alias("key"),
         F.to_json(F.struct(*flat.columns)).alias("value"))
 
-    def produce_rows(rows) -> None:
-        from ru_cdc_spark.sources.kafka_wire import KafkaWireClient
-
-        by_part: dict[int, list] = {}
-        for row in rows:
-            by_part.setdefault(int(row["kpart"]), []).append(
-                (row["key"].encode(), row["value"].encode()))
-        if not by_part:
-            return
-        with KafkaWireClient.connect(host, port) as kc:
-            for p, recs in by_part.items():
-                for i in range(0, len(recs), 2000):
-                    kc.produce(topic_a, p, recs[i:i + 2000])
-
-    payloads.foreachPartition(produce_rows)
+    payloads.foreachPartition(_kpart_producer(host, port, topic_a))
     group = f"grp_{topic_b}"
 
     def transform(batches):

@@ -1756,7 +1756,14 @@ class KafkaBrokerFixture:
                 # transaction of the fenced instance is ABORTED, the
                 # real coordinator's recovery rule.
                 pid = self._txn_pids[txn_id]
-                if self._txn_parts.get(pid):
+                if (self._txn_parts.get(pid)
+                        or self._txn_offsets.get(pid)
+                        or self._txn_groups.get(pid)):
+                    # includes OFFSETS-ONLY zombie transactions: their
+                    # staged TxnOffsetCommits must die with the fence,
+                    # or the new instance's next EndTxn would commit
+                    # the zombie's stale consumer position (skipping
+                    # records whose transformed output never landed)
                     self._finish_txn(pid, self._pid_epoch[pid],
                                      committed=False)
                 self._pid_epoch[pid] += 1

@@ -412,3 +412,26 @@ class TestExactlyOnceOffsets:
             assert c.offset_fetch("g-eos5", "in", [0])[0][0] == 9
         old.close()
         new.close()
+
+    def test_fencing_aborts_offsets_only_zombie_txn(self, broker):
+        """The reviewer-found hole: a zombie whose open transaction
+        staged ONLY offsets (no data partitions) must have them
+        discarded at fencing — otherwise the successor's next commit
+        would apply the zombie's stale consumer position and records
+        whose transformed output never landed would be skipped."""
+        old = TransactionalProducer("127.0.0.1", broker.port, "eos6")
+        old.begin()
+        old.send_offsets_to_transaction("g-eos6", "in", {0: 5})
+        # zombie dies silently; successor re-inits the same txn id
+        new = TransactionalProducer("127.0.0.1", broker.port, "eos6")
+        new.begin()
+        # the successor commits offsets for a DIFFERENT partition: the
+        # zombie's staged p0 offset must NOT ride along
+        new.send_offsets_to_transaction("g-eos6", "in", {1: 7})
+        new.commit()
+        with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+            got = c.offset_fetch("g-eos6", "in", [0, 1])
+            assert got[0][0] == -1   # zombie's stage died with the fence
+            assert got[1][0] == 7
+        old.close()
+        new.close()

@@ -155,6 +155,10 @@ AUDIT = [
      "round 9: domain mixing — 20-row budget aggregate broadcast, "
      "per-domain running sum as the distributed two-pass scheme, "
      "no unpartitioned window, no corpus collect"),
+    ("events_pattern_match",
+     "round 9: time-series subsequence search — per-user "
+     "rows-between frames (no unpartitioned window), literal "
+     "pattern, TakeOrderedAndProject top-N"),
 ]
 
 

@@ -62,43 +62,53 @@ SHOWCASE = [
     "stateful_user_totals",
     # verified-TLS socket transport
     "mysql_socket_tls_snapshot",
+    # GEOMETRY/WKB column decode (r9 flagship, rotated IN r10)
+    "mysql_geometry_decode",
+    # semi-sync replica registration + ACKed dump (r9 flagship,
+    # rotated IN r10)
+    "mysql_socket_semisync_snapshot",
     # TPC-H-style analytics
     "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume",
     # windows / rollups / event analytics
-    "top_orders_per_customer", "events_hourly_rollup",
+    "top_orders_per_customer",
     "events_sessionize",
     # real-wire Kafka sink roundtrip + consumer-group rebalance (r9:
-    # JoinGroup/SyncGroup/Heartbeat, two members, injected death)
+    # JoinGroup/SyncGroup/Heartbeat, two members, injected death) +
+    # exactly-once offsets-in-transaction transform (rotated IN r10)
     "cdc_kafka_wire_roundtrip", "cdc_kafka_group_rebalance",
+    "cdc_kafka_eos_transform",
     # dedup family
-    "dedup_exact", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine", "dedup_clusters_star",
     "corpus_dedup_retain",
     # similarity / ANN (L-tables hyperplane LSH is the canonical
-    # LSH index from round 9; multiprobe is a pedagogical baseline)
-    "knn_brute_force", "ann_ivf", "ann_lsh_tables",
+    # LSH index from round 9; batch serving shares its shape with a
+    # single corpus scan per query batch — rotated IN r10)
+    "ann_ivf", "ann_lsh_tables", "ann_batch_queries",
     # text analysis (incl. real trained byte-level BPE)
-    "text_stats", "text_lang_id_ngram", "text_bm25_search",
+    "text_stats", "text_bm25_search",
     "text_bpe_token_counts", "text_duplicate_span_strip",
     # multimodal (real PNG/JPEG/WAV/MJPEG-AVI codecs)
     "multimodal_media_decode",
     # pipeline curation (round 8: context-window packing + benchmark
-    # decontamination, rotated into the window per the r8 verdict)
+    # decontamination; round 9: Pile/Dolma-style domain mixing,
+    # rotated IN r10)
     "quality_filter_chain", "corpus_pack_windows",
-    "corpus_decontaminate",
+    "corpus_decontaminate", "corpus_mix_domains",
     # corpus file-format ingestion (Common Crawl WARC, Dolma-style
     # zstd JSONL shards written by the in-repo RFC 8878 encoder)
     "warc_ingest_documents", "jsonl_spec_zstd_roundtrip",
     # ---- past the 50-window: still curated, still oracle-gated ----
-    # (rotated OUT of the window r9, all green in CORRECTNESS_r08:
+    # (rotated OUT of the window r10 after long-stable green runs:
+    # q5_local_supplier_volume, events_hourly_rollup, dedup_exact,
+    # knn_brute_force, text_lang_id_ngram; r9 rotation:
     # kafka_to_acid_snapshot, mysql_socket_compressed_snapshot,
     # cdc_kafka_transactional_stream)
+    "q5_local_supplier_volume", "events_hourly_rollup",
+    "dedup_exact", "knn_brute_force", "text_lang_id_ngram",
     "kafka_to_acid_snapshot", "mysql_socket_compressed_snapshot",
     "cdc_kafka_transactional_stream", "cdc_kafka_idempotent_stream",
-    "mysql_geometry_decode", "ann_batch_queries",
-    "corpus_mix_domains", "mysql_socket_semisync_snapshot",
-    "corpus_length_buckets", "cdc_kafka_eos_transform",
+    "corpus_length_buckets",
     "events_pattern_match",
     "binlog_partial_json_update", "binlog_noblob_image_merge",
     "mysql_socket_minimal_snapshot", "mysql_socket_metadata_snapshot",

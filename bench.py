@@ -93,6 +93,28 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def run_in_job_group(spark, fn):
+    """Run ``fn()`` under a unique job group and return
+    ``(result, n_jobs)`` where ``n_jobs`` is the number of Spark jobs the
+    call launched (StatusTracker, public API). The per-job scheduling
+    floor hits EVERY job a leg runs, so floor adjustment must scale by
+    the leg's job count — subtracting one floor per leg (rounds 6-9)
+    under-corrected multi-job legs whenever the sandbox floor shifted
+    (r9: socket_ingest read 3.7x slower floor-adjusted while the idle
+    truth was ~1.2x)."""
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"bench_{uuid.uuid4().hex[:12]}"
+    sc.setJobGroup(group, "bench job-count probe")
+    try:
+        out = fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+
 def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     """End-to-end streaming CDC throughput (the reference's headline
     metric shape): Canal payloads through readStream -> two-phase parse ->
@@ -171,13 +193,16 @@ def bench_txn_assembly(spark, n_txns: int = TXN_BENCH_TXNS,
     segs = generate_txn_segments(spark, n_txns, n_segments,
                                  n_partitions=n_parts).localCheckpoint()
     best = float("inf")
-    n = 0
+    n, best_jobs = 0, 1
     for _ in range(3):
         t0 = time.time()
-        n = assemble_transactions(segs).count()
-        best = min(best, time.time() - t0)
+        (n, jobs) = run_in_job_group(
+            spark, lambda: assemble_transactions(segs).count())
+        sec = time.time() - t0
+        if sec < best:
+            best, best_jobs = sec, jobs
     segs.unpersist()
-    return best, n
+    return best, n, best_jobs
 
 
 def bench_socket_ingest(spark, n_rows: int = SOCKET_BENCH_ROWS,
@@ -215,14 +240,18 @@ def bench_socket_ingest(spark, n_rows: int = SOCKET_BENCH_ROWS,
         # also exercises the steady-state layout cache (append-only
         # file, unchanged end_pos -> no driver re-listing)
         best = float("inf")
-        n = 0
+        n, best_jobs = 0, 1
         for _ in range(3):
             t0 = time.time()
-            n = socket_cdc_changes(spark, "127.0.0.1", srv.port,
-                                   srv.user, srv.password,
-                                   n_slices=n_slices).count()
-            best = min(best, time.time() - t0)
-        return best, n
+            (n, jobs) = run_in_job_group(
+                spark,
+                lambda: socket_cdc_changes(spark, "127.0.0.1", srv.port,
+                                           srv.user, srv.password,
+                                           n_slices=n_slices).count())
+            sec = time.time() - t0
+            if sec < best:
+                best, best_jobs = sec, jobs
+        return best, n, best_jobs
     finally:
         srv.stop()
 
@@ -279,16 +308,22 @@ def bench_bootstrap_snapshot(spark, n_rows: int = BOOTSTRAP_BENCH_ROWS,
         MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
                                 srv.password).close()
         best = float("inf")
-        n = 0
-        for _ in range(2):
-            t0 = _time.time()
+        n, best_jobs = 0, 1
+
+        def one_run():
             plan = plan_snapshot("127.0.0.1", srv.port, srv.user,
                                  srv.password, "snaptab",
                                  chunk_size=chunk)
-            n = snapshot_chunks(spark, "127.0.0.1", srv.port,
-                                srv.user, srv.password, plan).count()
-            best = min(best, _time.time() - t0)
-        return best, n
+            return snapshot_chunks(spark, "127.0.0.1", srv.port,
+                                   srv.user, srv.password, plan).count()
+
+        for _ in range(2):
+            t0 = _time.time()
+            (n, jobs) = run_in_job_group(spark, one_run)
+            sec = _time.time() - t0
+            if sec < best:
+                best, best_jobs = sec, jobs
+        return best, n, best_jobs
     finally:
         srv.stop()
 
@@ -310,6 +345,12 @@ def calibration_probe(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # a misspelled leg name must fail loudly, not skip silently
+    unknown = [n for n in HEADLINE if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"ERROR: unknown HEADLINE leg(s): {unknown}")
+
     spark = get_spark("bench")
 
     # warm the JVM: a trivial scan for parquet footers, then one untimed
@@ -361,23 +402,28 @@ def main() -> None:
         stream_sec = min(stream_sec, s2)
     timings["cdc_stream_pipeline"] = round(stream_sec, 3)
 
-    txn_sec, txn_rows = bench_txn_assembly(spark)  # min-of-2 inside
+    txn_sec, txn_rows, txn_jobs = bench_txn_assembly(spark)
 
-    sock_sec, sock_rows = bench_socket_ingest(spark)  # min-of-2 inside
+    sock_sec, sock_rows, sock_jobs = bench_socket_ingest(spark)
 
-    boot_sec, boot_rows = bench_bootstrap_snapshot(spark)
+    boot_sec, boot_rows, boot_jobs = bench_bootstrap_snapshot(spark)
 
     load_end = os.getloadavg()
     calib_end = min(calibration_probe(spark) for _ in range(3))
 
-    def floor_adj(rows: int, sec: float):
+    def floor_adj(rows: int, sec: float, n_jobs: int):
         # throughput with the fixed per-job launch cost removed — the
         # figure that is comparable across fixture sizes and machines.
-        # Meaningful only when the measurement clearly dominates the
-        # floor; otherwise null rather than a fabricated number.
-        if sec <= 2 * job_floor:
+        # The floor hits EVERY job a leg runs (counted via job groups,
+        # reported under throughput_leg_jobs), so the subtraction is
+        # floor x jobs — one-floor-per-leg (r6-r9) under-corrected
+        # multi-job legs across sandbox floor shifts. Meaningful only
+        # when the measurement clearly dominates the floor; otherwise
+        # null rather than a fabricated number.
+        floor_total = job_floor * max(n_jobs, 1)
+        if sec <= 2 * floor_total:
             return None
-        return round(rows / (sec - job_floor), 1)
+        return round(rows / (sec - floor_total), 1)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -391,11 +437,13 @@ def main() -> None:
         "txn_assembly_rows": txn_rows,
         "txn_assembly_rows_per_sec": round(txn_rows / txn_sec, 1),
         "txn_assembly_rows_per_sec_floor_adj": floor_adj(txn_rows,
-                                                         txn_sec),
+                                                         txn_sec,
+                                                         txn_jobs),
         "socket_ingest_rows": sock_rows,
         "socket_ingest_rows_per_sec": round(sock_rows / sock_sec, 1),
         "socket_ingest_rows_per_sec_floor_adj": floor_adj(sock_rows,
-                                                          sock_sec),
+                                                          sock_sec,
+                                                          sock_jobs),
         # round 7 addition (new key, never re-sized): DBLog chunked
         # snapshot throughput — watermarked SELECT chunks + window
         # dumps, parallel chunk tasks, end-to-end to counted rows
@@ -403,7 +451,16 @@ def main() -> None:
         "bootstrap_snapshot_rows_per_sec": round(boot_rows / boot_sec,
                                                  1),
         "bootstrap_snapshot_rows_per_sec_floor_adj": floor_adj(
-            boot_rows, boot_sec),
+            boot_rows, boot_sec, boot_jobs),
+        # r10: Spark-job count of each throughput leg's best trial
+        # (job-group StatusTracker count) — the floor adjustment above
+        # subtracts job_floor_sec x this, so the adjusted rows/s stays
+        # comparable across sandbox per-job floor shifts
+        "throughput_leg_jobs": {
+            "txn_assembly": txn_jobs,
+            "socket_ingest": sock_jobs,
+            "bootstrap_snapshot": boot_jobs,
+        },
         # the local-mode per-job scheduling floor (the calibration
         # no-op, measured up front) and the PINNED fixture sizes —
         # frozen at the r06 values so rows/s is round-over-round

@@ -139,6 +139,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # A misspelled query name must be a hard failure, not a silent skip —
+    # otherwise a typo'd gate invocation passes vacuously (r9 verdict #4).
+    unknown = sorted(only - set(REGISTRY))
+    if unknown:
+        print(f"ERROR: unknown query name(s): {', '.join(unknown)}")
+        return 2
+
     spark = get_spark("correctness")
     names = [n for n in REGISTRY if not only or n in only]
     failures = check(spark, sf_dir, names)

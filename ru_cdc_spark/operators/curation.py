@@ -259,7 +259,16 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.size(words_col(F.col("text"))).alias("n_tok")) \
         .where(F.col("n_tok") > 0)
-    bucket = F.pow(F.lit(2.0), F.ceil(F.log2("n_tok"))).cast("long")
+    # smallest power of two >= n_tok, in INTEGER arithmetic on both
+    # engines: Spark computes LOG2 as ln(x)/ln(2) (2^29 evaluates to
+    # 29.000000000000004) while DuckDB's log2 is exact for powers of
+    # two, so the float form silently diverges at exact powers >= 2^29
+    # (r9 advice). bin(n-1) length == bit_length(n-1), and
+    # 1 << bit_length(n-1) is the exact ceil-power-of-two for n > 1.
+    bucket = F.expr(
+        "CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT) "
+        "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tok - 1))) "
+        "END")
     agg = (toks.withColumn("bucket", bucket)
            .groupBy("bucket")
            .agg(F.count("*").alias("n_docs"),
@@ -278,7 +287,9 @@ WITH toks AS (
     SELECT len({_WORDS_SQL}) AS n_tok FROM documents
 ), nz AS (SELECT n_tok FROM toks WHERE n_tok > 0),
 b AS (
-    SELECT CAST(power(2, ceil(log2(n_tok))) AS BIGINT) AS bucket,
+    SELECT CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) << length(bin(n_tok - 1))
+           END AS bucket,
            n_tok
     FROM nz
 ), agg AS (

@@ -417,6 +417,11 @@ class ChunkStore:
     put-if-absent race and leaves its staged file unmanifested."""
 
     root: str
+    # how long a waiter gives a claim holder to finish its rename
+    # before presuming it crashed and re-racing the claim (no-hardlink
+    # fallback path only); the holder's claim->rename window is
+    # microseconds, so 5s is a crash verdict, not a latency bet
+    claim_takeover_grace_s: float = 5.0
 
     def _full(self, name: str) -> str:
         full = os.path.join(self.root, name)
@@ -458,25 +463,45 @@ class ChunkStore:
             claim = final + ".claim"
             with open(staged, "rb+") as fh:
                 os.fsync(fh.fileno())
-            try:
-                os.mkdir(claim)
-            except FileExistsError:
-                # someone else holds the claim: either their rename is
-                # in flight (give it a beat) or they crashed between
-                # claim and rename (then complete the publish with our
-                # own complete bytes)
-                import time as _time
+            import time as _time
 
-                for _ in range(50):
+            # Exactly-one-winner: the mkdir of the claim dir is the
+            # ONLY arbiter, and only the current claim holder ever
+            # renames to the final name. A waiter never publishes
+            # while the claim exists — it either sees the final appear
+            # (lost the race) or, after a grace period with the claim
+            # still present and no final (the holder crashed between
+            # claim and rename), REMOVES the stale claim and re-races
+            # the mkdir, so takeover itself has exactly one winner
+            # too. The holder always cleans the claim up, leaving no
+            # permanent stubs.
+            deadline = _time.monotonic() + self.claim_takeover_grace_s
+            while True:
+                try:
+                    os.mkdir(claim)
+                except FileExistsError:
+                    if os.path.exists(final):
+                        return False  # holder published — we lost
+                    if _time.monotonic() > deadline:
+                        try:  # presumed-crashed holder: free the claim
+                            os.rmdir(claim)
+                        except OSError:
+                            pass  # holder finished / another waiter won
+                    _time.sleep(0.01)
+                    continue
+                try:
+                    # we hold the claim: publish only if nobody already
+                    # has (a pre-crash winner's final stays untouched)
                     if os.path.exists(final):
                         return False
-                    _time.sleep(0.01)
-                os.rename(staged, final)
-                staged = None
-                return True
-            os.rename(staged, final)
-            staged = None
-            return True
+                    os.rename(staged, final)
+                    staged = None
+                    return True
+                finally:
+                    try:
+                        os.rmdir(claim)
+                    except OSError:
+                        pass
         finally:
             if staged is not None:
                 os.unlink(staged)

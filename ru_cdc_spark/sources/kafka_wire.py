@@ -1653,7 +1653,10 @@ class KafkaBrokerFixture:
                 pass
 
     def _serve(self, conn: socket.socket) -> None:
-        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        try:
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        except OSError:
+            return  # stop() closed the socket under us — benign race
         try:
             while not self._stop.is_set():
                 size_b = self._recv_exact(conn, 4)
@@ -1987,13 +1990,40 @@ class KafkaBrokerFixture:
             g.cond.notify_all()
             return _i16(0)
 
+    def _commit_err(self, group: str, generation: int,
+                    member_id: str) -> int:
+        """Generation/member fencing for OffsetCommit, mirroring the
+        real coordinator (GroupCoordinator.handleCommitOffsets): a
+        group with no membership state — or in Empty state — accepts
+        only the simple-consumer form (generation -1, empty member); a
+        managed group rejects unknown members with UNKNOWN_MEMBER_ID
+        and stale generations with ILLEGAL_GENERATION, so an evicted
+        zombie can never overwrite the group's committed offsets with
+        a stale position after a rebalance. Caller holds self._lock."""
+        g = self._groups.get(group)
+        if g is None:
+            return 0 if generation < 0 else ERR_ILLEGAL_GENERATION
+        self._sweep_members(g, _time.monotonic())
+        if g.state == "Empty" or not g.members:
+            return (0 if generation < 0 and not member_id
+                    else ERR_ILLEGAL_GENERATION)
+        if member_id not in g.members:
+            return ERR_UNKNOWN_MEMBER_ID
+        if generation != g.generation:
+            return ERR_ILLEGAL_GENERATION
+        if g.state == "Preparing":
+            return ERR_REBALANCE_IN_PROGRESS
+        g.members[member_id]["hb"] = _time.monotonic()
+        return 0
+
     def _offset_commit(self, r: _Reader) -> bytes:
-        group = r.string()
-        _generation = r.i32()
-        _member = r.string()
+        group = r.string() or ""
+        generation = r.i32()
+        member = r.string() or ""
         _retention = r.i64()
         out_topics = []
         with self._lock:
+            err = self._commit_err(group, generation, member)
             for _ in range(r.i32()):
                 topic = r.string()
                 parts = []
@@ -2001,15 +2031,16 @@ class KafkaBrokerFixture:
                     pid = r.i32()
                     off = r.i64()
                     meta = r.string()
-                    self._group_offsets[(group, topic, pid)] = (off,
-                                                                meta)
+                    if err == 0:
+                        self._group_offsets[(group, topic, pid)] = (
+                            off, meta)
                     parts.append(pid)
                 out_topics.append((topic, parts))
         body = _i32(len(out_topics))
         for topic, parts in out_topics:
             body += _string(topic) + _i32(len(parts))
             for pid in parts:
-                body += _i32(pid) + _i16(0)
+                body += _i32(pid) + _i16(err)
         return body
 
     def _offset_fetch(self, r: _Reader) -> bytes:

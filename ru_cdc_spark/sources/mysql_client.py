@@ -1202,6 +1202,7 @@ class MySQLConnection:
         if semi_sync:
             self.query("SET @rpl_semi_sync_slave = 1")
         ack_file = filename  # updated by ROTATE events mid-stream
+        checksum_bytes = 0   # set by FORMAT_DESCRIPTION mid-stream
         self._command(encode_com_binlog_dump(pos, server_id,
                                              filename, flags))
         while True:
@@ -1235,10 +1236,24 @@ class MySQLConnection:
                     "semi-sync enabled but event packet lacks the "
                     "0xEF semisync header")
             need_ack, ev = pkt[2], pkt[3:]
-            if ev[4] == 4 and len(ev) > 27:
+            if ev[4] == 15:
+                # FORMAT_DESCRIPTION announces whether every later
+                # event carries a CRC32 trailer — the rotate-filename
+                # slice below must drop it, or the 4 checksum bytes
+                # (arbitrary, rarely all-zero) would be appended to
+                # ack_file and every subsequent ACK would name a
+                # corrupted file
+                from ru_cdc_spark.sources.binlog_wire import (
+                    decode_format_description,
+                )
+
+                checksum_bytes = decode_format_description(
+                    ev)["checksum_bytes"]
+            if ev[4] == 4 and len(ev) > 27 + checksum_bytes:
                 # ROTATE: ACK coordinates move to the announced file
                 # (covers filename="" dumps via the artificial rotate)
-                ack_file = ev[27:].rstrip(b"\x00").decode(
+                name_end = len(ev) - checksum_bytes
+                ack_file = ev[27:name_end].rstrip(b"\x00").decode(
                     "utf-8", "replace")
             yield ev
             if need_ack & 1:

@@ -1180,8 +1180,19 @@ class MySQLFixtureServer:
 
         file_end = max((e for _, e, _ in self.binlogs[idx].events),
                        default=4)
-        return encode_rotate(self.binlogs[idx + 1].filename,
-                             log_pos=file_end, timestamp=1)
+        ev = encode_rotate(self.binlogs[idx + 1].filename,
+                           log_pos=file_end, timestamp=1)
+        if self.binlogs[idx].crc32:
+            # binlog_checksum=CRC32 covers the boundary rotate too —
+            # a real server checksums EVERY logged event, and clients
+            # that learned checksum_bytes from the FDE strip 4 bytes
+            # off the rotate's trailing filename accordingly
+            import zlib
+
+            size = int.from_bytes(ev[9:13], "little") + 4
+            ev = ev[:9] + size.to_bytes(4, "little") + ev[13:]
+            ev += zlib.crc32(ev).to_bytes(4, "little")
+        return ev
 
     def _framed(self, idx: int) -> tuple[bytes, list[tuple[int, int]]]:
         """Packet-framed byte stream of file ``idx``, cached: serving a

@@ -1248,6 +1248,105 @@ class TestObjectStoreSafeCommits:
                                      str(tmp_path / "snap"))
         assert out.count() == 30
 
+    def test_no_hardlink_fallback_exactly_one_winner(self, tmp_path,
+                                                     monkeypatch):
+        """Force the no-hardlink OSError fallback (mkdir-claim
+        protocol): concurrent publishers get EXACTLY one True, a
+        waiter never renames over a live claim holder's publish (r9
+        advice: the old 500ms wait-then-rename let both callers return
+        True and silently replace a published marker), and the claim
+        dir never outlives the publish."""
+        import os as _os
+        import threading
+
+        from ru_cdc_spark.sources.incremental_snapshot import ChunkStore
+
+        def no_link(*a, **k):
+            raise OSError(95, "hardlinks unsupported")
+
+        monkeypatch.setattr(_os, "link", no_link)
+        store = ChunkStore(str(tmp_path / "store"))
+
+        # 8 concurrent publishers, one name, distinct payloads
+        results: list[tuple[int, bool]] = []
+        barrier = threading.Barrier(8)
+
+        def publish(k: int) -> None:
+            barrier.wait()
+            results.append((k, store.put_if_absent(
+                "commit-x.json", b"payload-%d" % k)))
+
+        ts = [threading.Thread(target=publish, args=(k,))
+              for k in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(30)
+        winners = [k for k, won in results if won]
+        assert len(results) == 8 and len(winners) == 1
+        # the published bytes are the winner's, intact
+        assert store.read("commit-x.json") == b"payload-%d" % winners[0]
+        # no claim stub, no staged leftovers
+        leftovers = [f for f in _os.listdir(store.root)
+                     if f != "commit-x.json"]
+        assert leftovers == []
+
+    def test_no_hardlink_fallback_waiter_never_usurps_live_holder(
+            self, tmp_path, monkeypatch):
+        """While the claim dir is held and within the grace period, a
+        waiter must NOT publish; once the holder publishes, the waiter
+        returns False and the holder's bytes stand."""
+        import os as _os
+        import threading
+        import time as _t
+
+        from ru_cdc_spark.sources.incremental_snapshot import ChunkStore
+
+        monkeypatch.setattr(
+            _os, "link",
+            lambda *a, **k: (_ for _ in ()).throw(OSError(95, "no")))
+        store = ChunkStore(str(tmp_path / "store"))
+        final = _os.path.join(store.root, "m.json")
+        _os.makedirs(store.root, exist_ok=True)
+        _os.mkdir(final + ".claim")  # we are the (slow) holder
+
+        got: list[bool] = []
+        w = threading.Thread(
+            target=lambda: got.append(
+                store.put_if_absent("m.json", b"waiter")))
+        w.start()
+        _t.sleep(1.0)  # well past the old 500ms usurp window
+        assert not got and not _os.path.exists(final)
+        # holder publishes (complete bytes) then releases its claim
+        with open(final + ".tmp", "wb") as fh:
+            fh.write(b"holder")
+        _os.rename(final + ".tmp", final)
+        _os.rmdir(final + ".claim")
+        w.join(30)
+        assert got == [False]
+        assert store.read("m.json") == b"holder"
+
+    def test_no_hardlink_fallback_takeover_after_crashed_holder(
+            self, tmp_path, monkeypatch):
+        """A claim dir whose holder crashed (no final ever appears) is
+        taken over after the grace period — the chunk still publishes,
+        and the stale claim is cleaned up."""
+        import os as _os
+
+        from ru_cdc_spark.sources.incremental_snapshot import ChunkStore
+
+        monkeypatch.setattr(
+            _os, "link",
+            lambda *a, **k: (_ for _ in ()).throw(OSError(95, "no")))
+        store = ChunkStore(str(tmp_path / "store"),
+                           claim_takeover_grace_s=0.3)
+        final = _os.path.join(store.root, "m.json")
+        _os.makedirs(store.root, exist_ok=True)
+        _os.mkdir(final + ".claim")  # crashed holder's stub
+        assert store.put_if_absent("m.json", b"recovered") is True
+        assert store.read("m.json") == b"recovered"
+        assert not _os.path.exists(final + ".claim")
+
     def test_killed_then_resumed_on_delayed_listing_store(self, spark,
                                                           srv,
                                                           tmp_path):

@@ -355,6 +355,74 @@ class TestGroupMembership:
             gca.close()
             gcb.close()
 
+    def test_fenced_member_late_commit_rejected(self, fast_broker):
+        """An evicted zombie must NOT be able to overwrite the group's
+        committed offset with a stale position after a rebalance — the
+        coordinator fences OffsetCommit by member id (r9 advice: the
+        fixture used to discard generation/member and store anyway)."""
+        from ru_cdc_spark.sources.kafka_wire import (
+            ERR_UNKNOWN_MEMBER_ID,
+            KafkaError,
+        )
+
+        (gca, _), (gcb, ab) = self._two_members(fast_broker,
+                                                session=1.5)
+        try:
+            bp = ab["t"][0]
+            gcb.commit("t", bp, 4)
+            zombie_member, zombie_gen = gcb.member_id, gcb.generation
+            gcb.close()  # crash: no LeaveGroup, session sweep evicts
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                if gca.ensure_active().get("t") == [0, 1, 2, 3]:
+                    break
+                time.sleep(0.2)
+            # the zombie wakes up and tries to commit a STALE position
+            with KafkaWireClient.connect("127.0.0.1",
+                                         fast_broker.port) as c:
+                with pytest.raises(KafkaError) as ei:
+                    c.offset_commit("g", "t", {bp: 1},
+                                    generation_id=zombie_gen,
+                                    member_id=zombie_member)
+                assert ei.value.code == ERR_UNKNOWN_MEMBER_ID
+            # the pre-eviction commit survives untouched
+            assert gca.committed("t", [bp])[bp] == 4
+        finally:
+            gca.close()
+
+    def test_stale_generation_commit_rejected(self, fast_broker):
+        """A live member committing with an outdated generation gets
+        ILLEGAL_GENERATION and nothing is stored (the classic zombie
+        window between eviction and re-join)."""
+        from ru_cdc_spark.sources.kafka_wire import (
+            ERR_ILLEGAL_GENERATION,
+            ERR_UNKNOWN_MEMBER_ID,
+            KafkaError,
+        )
+
+        (gca, aa), (gcb, _) = self._two_members(fast_broker)
+        try:
+            ap = aa["t"][0]
+            with KafkaWireClient.connect("127.0.0.1",
+                                         fast_broker.port) as c:
+                with pytest.raises(KafkaError) as ei:
+                    c.offset_commit("g", "t", {ap: 7},
+                                    generation_id=gca.generation + 5,
+                                    member_id=gca.member_id)
+                assert ei.value.code == ERR_ILLEGAL_GENERATION
+                # simple-consumer form against a MANAGED group is an
+                # unknown ("" is not a member) — also fenced
+                with pytest.raises(KafkaError) as ei2:
+                    c.offset_commit("g", "t", {ap: 7})
+                assert ei2.value.code == ERR_UNKNOWN_MEMBER_ID
+            assert gca.committed("t", [ap])[ap] == 0  # nothing stored
+            # the correctly-fenced path still works
+            gca.commit("t", ap, 2)
+            assert gca.committed("t", [ap])[ap] == 2
+        finally:
+            gca.close()
+            gcb.close()
+
     def test_reclaimed_partition_resumes_from_committed_offset(
             self, fast_broker):
         (gca, aa), (gcb, ab) = self._two_members(fast_broker,

@@ -83,6 +83,45 @@ class TestSemiSync:
         finally:
             srv.stop()
 
+    def test_checksummed_rotate_acks_clean_filename(self):
+        """binlog_checksum=CRC32 + a mid-stream file rotate: the ACK
+        filename after the rotate must be the announced next file with
+        the 4-byte CRC trailer stripped — not filename + 4 arbitrary
+        checksum bytes (r9 advice: ev[27:].rstrip(b'\\x00') kept the
+        CRC whenever it wasn't all-zero, corrupting every later ACK)."""
+        from ru_cdc_spark.sources.binlog_txn import txn_event_bytes
+        from ru_cdc_spark.sources.binlog_wire import (
+            CHECKSUM_CRC32,
+            encode_format_description,
+        )
+
+        chain = []
+        for k, tids in enumerate(([0, 1], [2, 3])):
+            vb = VirtualBinlog(f"crc.{k + 1:06d}", crc32=True)
+            vb.append(encode_format_description(CHECKSUM_CRC32))
+            for tid in tids:
+                vb.append_blob(txn_event_bytes(tid))
+            chain.append(vb)
+        srv = MySQLFixtureServer(binlogs=chain, semi_sync=True).start()
+        try:
+            with _connect(srv) as c:
+                evs = list(c.binlog_dump("crc.000001", 4,
+                                         semi_sync=True))
+            files = [f for f, _pos in srv.semi_sync_acks]
+            # XID commits in file 1 ack the start file; XID commits
+            # (and the stream tail) after the genuine rotate ack the
+            # NEXT file — byte-clean, no CRC residue
+            assert set(files) == {"crc.000001", "crc.000002"}
+            assert files == sorted(files)  # monotone file switch
+            assert srv.semi_sync_bad_acks == 0
+            # the genuine rotate itself arrived checksummed
+            rotates = [ev for ev in evs
+                       if ev[4] == 4
+                       and int.from_bytes(ev[0:4], "little") != 0]
+            assert len(rotates) == 1
+        finally:
+            srv.stop()
+
     def test_cdc_fixture_tail_ack_only(self):
         # a stream with no XID events still acks the stream tail once
         srv = MySQLFixtureServer(

@@ -1146,3 +1146,64 @@ def ann_batch_queries(spark: SparkSession, sf_dir: str,
 
 # identical semantics, identical values -> the L-tables oracle is shared
 ANN_BATCH_QUERIES_SQL = ANN_LSH_TABLES_SQL
+
+
+def _ann_batch_queries_postdedup(spark: SparkSession, sf_dir: str,
+                                 top_k: int = ANN_TOP_K) -> DataFrame:
+    """A/B variant of :func:`ann_batch_queries` (round-10 verdict #3):
+    dedup the raw bucket hits FIRST — groupBy (q_vec, neighbor) carrying
+    the corpus vector via first() — then join the tiny broadcast query
+    batch back and compute the exact cosine ONCE per distinct pair
+    (~0.4x the raw-pair count) instead of once per raw bucket hit.
+    Still exactly one corpus scan (the query side is a collected local
+    relation on both joins). Trade: the pre-shuffle rows carry the
+    64-dim corpus vector through the dedup exchange instead of a single
+    folded double. Keep whichever measures faster at sf0.1 (SCALE.md
+    round-10 A/B table); results are bit-identical either way."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qrows = (emb.where(F.col("vec_id") % QUERY_MOD == 0)
+                .select("vec_id", "e").collect())
+    if len(qrows) > ANN_BATCH_MAX:
+        raise ValueError(
+            f"query batch {len(qrows)} exceeds ANN_BATCH_MAX "
+            f"{ANN_BATCH_MAX}: split the batch")
+    qdf = spark.createDataFrame(
+        [(r.vec_id, r.e) for r in qrows],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("e", ArrayType(DoubleType()))]))
+
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("t"), _lsh_bucket(t).alias("b"))
+        for t in range(LSH_TABLES)
+    ])
+    qcoded = (qdf.select("vec_id", F.explode(buckets).alias("tb"))
+              .select(F.col("vec_id").alias("q_vec"),
+                      F.col("tb.t").alias("t"), F.col("tb.b").alias("b")))
+    cand = (emb.select("vec_id", "e", "nrm", F.explode(buckets).alias("tb"))
+            .select(F.col("vec_id").alias("neighbor"),
+                    F.col("e").alias("ce"), F.col("nrm").alias("cn"),
+                    F.col("tb.t").alias("t"), F.col("tb.b").alias("b")))
+    # dedup BEFORE the cosine: a pair found in several tables carries
+    # the same corpus vector, so first() is pure dedup (partial-agg
+    # map-side, like the max() in the in-place variant)
+    dedup = (cand.join(F.broadcast(qcoded), ["t", "b"])
+             .where(F.col("neighbor") != F.col("q_vec"))
+             .groupBy("q_vec", "neighbor")
+             .agg(F.first("ce").alias("ce"), F.first("cn").alias("cn")))
+    qv = qdf.select(F.col("vec_id").alias("q_vec"),
+                    F.col("e").alias("qe"), norm(F.col("e")).alias("qn"))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("q_vec").orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor").asc())
+    return (dedup.join(F.broadcast(qv), "q_vec")
+            .select("q_vec", "neighbor", cos.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k))

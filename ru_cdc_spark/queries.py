@@ -3810,6 +3810,72 @@ def cdc_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r.*"))
 
 
+def cdc_kafka_compression_matrix(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The wire roundtrip under EVERY record-batch codec Kafka defines
+    (KIP-110 matrix): the change stream is routed across five topics,
+    each produced with a different compression — none, gzip (RFC 1952),
+    snappy (xerial framing), lz4 (frame format), zstd (RFC 8878, codec
+    id 4; the repo's own spec codec on the decode side) — fetched back
+    via Fetch v4, decompressed, parsed, and hash-matched against the
+    SAME oracle as ``cdc_change_stream``. Proves compression is
+    value-invisible end to end on both wire ends, per codec.
+
+    Scale: compression happens batch-at-a-time inside each executor's
+    producer (one pass per codec over its slice); the batch DataFrame
+    is persisted so the five codec slices cost one derivation, not
+    five. A production sink picks ONE codec; the matrix shape exists
+    to gate all five."""
+    from ru_cdc_spark.config import SinkConfig
+    from ru_cdc_spark.sources.kafka_wire import (
+        KafkaBrokerFixture,
+        KafkaWireClient,
+    )
+    from ru_cdc_spark.streaming.sinks import write_batch_to_sink
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+
+    import uuid as _uuid
+
+    run = _uuid.uuid4().hex[:8]
+    codecs = ["none", "gzip", "snappy", "lz4", "zstd"]
+
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    batch = flat.select(
+        F.lit("k").alias("mq"),
+        F.concat(F.lit(f"c{run}_"),
+                 (F.col("id") % len(codecs)).cast("string")).alias("topic"),
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"),
+        F.col("id").alias("__seq")).persist()
+    try:
+        for k, codec in enumerate(codecs):
+            sink = SinkConfig(name="k", kind="kafka_wire",
+                              options={"host": "127.0.0.1",
+                                       "port": str(broker.port),
+                                       "compression": codec})
+            write_batch_to_sink(
+                batch.where(F.col("topic") == f"c{run}_{k}"), sink, 0)
+    finally:
+        batch.unpersist()
+
+    vals: list[str] = []
+    with KafkaWireClient.connect("127.0.0.1", broker.port) as kc:
+        for k in range(len(codecs)):
+            vals += [v.decode()
+                     for _, _, v in kc.fetch_all(f"c{run}_{k}", 0)]
+    payloads = spark.createDataFrame([(v,) for v in vals],
+                                     "payload string")
+    return (payloads
+            .select(F.from_json("payload", schema).alias("r"))
+            .select("r.*"))
+
+
 def cdc_kafka_idempotent_stream(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """KIP-98 idempotent produce executed adversarially: every record
@@ -4879,6 +4945,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_wire_roundtrip",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_roundtrip)
+    register("cdc_kafka_compression_matrix",
+             REGISTRY["cdc_change_stream"].oracle)(
+        cdc_kafka_compression_matrix)
     register("cdc_kafka_wire_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_stream)

@@ -314,6 +314,47 @@ class TestZstdCompression:
         finally:
             srv.stop()
 
+    def test_streaming_consume_zstd_topic(self, spark, tmp_path):
+        """A zstd-compressed topic consumed through the Spark streaming
+        source (readStream -> availableNow drain): batches decompress
+        inside the fetch path and every record value survives byte-
+        exactly — the KIP-110 codec is invisible to the stream."""
+        from ru_cdc_spark.sources.kafka_wire import (
+            register_kafka_wire_source,
+        )
+
+        srv = KafkaBrokerFixture().start()
+        try:
+            with KafkaWireClient.connect("127.0.0.1", srv.port) as c:
+                for i in range(0, 90, 30):
+                    c.produce("zfeed", 0,
+                              [(str(j).encode(),
+                                (f"zv{j} " * 8).encode())
+                               for j in range(i, i + 30)],
+                              compression="zstd")
+            register_kafka_wire_source(spark)
+            for _ in range(3):  # one capped micro-batch per drain
+                stream = (spark.readStream.format("kafka_wire")
+                          .option("host", "127.0.0.1")
+                          .option("port", srv.port)
+                          .option("topic", "zfeed")
+                          .option("position_file",
+                                  str(tmp_path / "pos.json"))
+                          .option("max_records_per_batch", 40).load())
+                q = (stream.writeStream.format("parquet")
+                     .option("path", str(tmp_path / "out"))
+                     .option("checkpointLocation",
+                             str(tmp_path / "ck"))
+                     .trigger(availableNow=True).start())
+                q.awaitTermination(120)
+            got = spark.read.parquet(str(tmp_path / "out")).collect()
+            assert len(got) == 90
+            vals = {int(bytes(r["key"]).decode()):
+                    bytes(r["value"]).decode() for r in got}
+            assert vals == {j: f"zv{j} " * 8 for j in range(90)}
+        finally:
+            srv.stop()
+
     def test_fetch_decodes_real_libzstd_batches(self, monkeypatch):
         """A broker/producer in the wild compresses with real libzstd,
         not our store-mode encoder: swap the compressor for pyarrow's

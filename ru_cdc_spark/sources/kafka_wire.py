@@ -380,6 +380,7 @@ API_TXN_OFFSET_COMMIT = 28
 ERR_ILLEGAL_GENERATION = 22
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
+ERR_FENCED_INSTANCE_ID = 82  # KIP-345: a newer static incarnation won
 
 # KIP-98 idempotence/transaction error codes (published error table)
 ERR_OUT_OF_ORDER_SEQUENCE = 45
@@ -703,45 +704,78 @@ class KafkaWireClient:
     # -- group membership (JoinGroup/SyncGroup/Heartbeat/LeaveGroup v0) --
 
     def join_group(self, group_id: str, member_id: str,
-                   topics: list[str], session_timeout_s: float = 6.0
+                   topics: list[str], session_timeout_s: float = 6.0,
+                   instance_id: str | None = None
                    ) -> tuple[int, int, str, str, str,
                               list[tuple[str, bytes]]]:
-        """JoinGroup v0. Returns (error, generation, protocol, leader,
+        """JoinGroup v0, or v5 when ``instance_id`` is given (KIP-345
+        static membership: ``group.instance.id`` rides after member_id
+        and a restarting static member reclaims its assignment with no
+        rebalance). Returns (error, generation, protocol, leader,
         member_id, members) — ``members`` is non-empty only for the
         elected leader, which then computes the assignment. The request
         PARKS on the coordinator until the rebalance round's member set
         freezes (the real protocol's barrier)."""
         sub = encode_subscription(topics)
-        body = (_string(group_id)
-                + _i32(int(session_timeout_s * 1000))
-                + _string(member_id) + _string("consumer")
-                + _i32(1) + _string("range") + _bytes32(sub))
-        r = self._request(API_JOIN_GROUP, 0, body)
+        timeout_ms = int(session_timeout_s * 1000)
+        if instance_id is None:
+            body = (_string(group_id) + _i32(timeout_ms)
+                    + _string(member_id) + _string("consumer")
+                    + _i32(1) + _string("range") + _bytes32(sub))
+            r = self._request(API_JOIN_GROUP, 0, body)
+        else:
+            # v5 layout: + rebalance_timeout (v1+), + group_instance_id
+            # (v5+); response gains throttle_time (v2+) and a per-member
+            # instance id (v5+)
+            body = (_string(group_id) + _i32(timeout_ms)
+                    + _i32(timeout_ms * 5)   # rebalance timeout
+                    + _string(member_id) + _string(instance_id)
+                    + _string("consumer")
+                    + _i32(1) + _string("range") + _bytes32(sub))
+            r = self._request(API_JOIN_GROUP, 5, body)
+            r.i32()  # throttle_time
         err, gen = r.i16(), r.i32()
         proto, leader, mid = r.string(), r.string(), r.string()
-        members = [(r.string() or "", r.bytes32() or b"")
-                   for _ in range(r.i32())]
+        members = []
+        for _ in range(r.i32()):
+            m = r.string() or ""
+            if instance_id is not None:
+                r.string()  # that member's group_instance_id
+            members.append((m, r.bytes32() or b""))
         return err, gen, proto or "", leader or "", mid or "", members
 
     def sync_group(self, group_id: str, generation: int, member_id: str,
-                   assignments: list[tuple[str, bytes]] | None = None
+                   assignments: list[tuple[str, bytes]] | None = None,
+                   instance_id: str | None = None
                    ) -> tuple[int, bytes]:
-        """SyncGroup v0: the leader distributes assignments; followers
-        send an empty list and PARK until the leader's sync lands.
-        Returns (error, this member's assignment bytes)."""
+        """SyncGroup v0 (or v3 with a KIP-345 instance id): the leader
+        distributes assignments; followers send an empty list and PARK
+        until the leader's sync lands. Returns (error, this member's
+        assignment bytes)."""
         assignments = assignments or []
-        body = (_string(group_id) + _i32(generation) + _string(member_id)
-                + _i32(len(assignments)))
+        body = _string(group_id) + _i32(generation) + _string(member_id)
+        if instance_id is not None:
+            body += _string(instance_id)
+        body += _i32(len(assignments))
         for m, a in assignments:
             body += _string(m) + _bytes32(a)
-        r = self._request(API_SYNC_GROUP, 0, body)
+        r = self._request(API_SYNC_GROUP,
+                          3 if instance_id is not None else 0, body)
+        if instance_id is not None:
+            r.i32()  # throttle_time (v1+)
         return r.i16(), r.bytes32() or b""
 
     def heartbeat(self, group_id: str, generation: int,
-                  member_id: str) -> int:
-        """Heartbeat v0 -> error code (0 = stable;
-        REBALANCE_IN_PROGRESS = re-join now)."""
+                  member_id: str, instance_id: str | None = None) -> int:
+        """Heartbeat v0 (or v3 with a KIP-345 instance id) -> error
+        code (0 = stable; REBALANCE_IN_PROGRESS = re-join now;
+        FENCED_INSTANCE_ID = a newer incarnation took this instance)."""
         body = _string(group_id) + _i32(generation) + _string(member_id)
+        if instance_id is not None:
+            body += _string(instance_id)
+            r = self._request(API_HEARTBEAT, 3, body)
+            r.i32()  # throttle_time (v1+)
+            return r.i16()
         return self._request(API_HEARTBEAT, 0, body).i16()
 
     def leave_group(self, group_id: str, member_id: str) -> int:
@@ -1103,12 +1137,18 @@ class GroupConsumer:
 
     def __init__(self, host: str, port: int, group_id: str,
                  topics: list[str], session_timeout_s: float = 6.0,
-                 client_timeout_s: float = 30.0) -> None:
+                 client_timeout_s: float = 30.0,
+                 instance_id: str | None = None) -> None:
         self.group_id = group_id
         self.topics = list(topics)
         self.session_timeout_s = session_timeout_s
         self.member_id = ""
         self.generation = -1
+        # KIP-345 group.instance.id: set it and a restart of this
+        # consumer reclaims its assignment with NO rebalance (the
+        # rolling-restart pattern real deployments run); a duplicate
+        # live incarnation fences the older one (FENCED_INSTANCE_ID)
+        self.instance_id = instance_id
         self.assignment: dict[str, list[int]] = {}
         self._c = KafkaWireClient.connect(host, port,
                                           timeout=client_timeout_s)
@@ -1123,7 +1163,7 @@ class GroupConsumer:
                                  "JoinGroup (no stable round)")
             err, gen, _proto, leader, mid, members = self._c.join_group(
                 self.group_id, self.member_id, self.topics,
-                self.session_timeout_s)
+                self.session_timeout_s, instance_id=self.instance_id)
             if err == ERR_UNKNOWN_MEMBER_ID:
                 self.member_id = ""
                 continue
@@ -1148,9 +1188,12 @@ class GroupConsumer:
                 err2, mine = self._c.sync_group(
                     self.group_id, gen, mid,
                     [(m, encode_assignment(a))
-                     for m, a in plan.items()])
+                     for m, a in plan.items()],
+                    instance_id=self.instance_id)
             else:
-                err2, mine = self._c.sync_group(self.group_id, gen, mid)
+                err2, mine = self._c.sync_group(
+                    self.group_id, gen, mid,
+                    instance_id=self.instance_id)
             if err2 in (ERR_REBALANCE_IN_PROGRESS,
                         ERR_ILLEGAL_GENERATION):
                 continue
@@ -1168,7 +1211,8 @@ class GroupConsumer:
         if self.generation < 0:
             return self.join()
         err = self._c.heartbeat(self.group_id, self.generation,
-                                self.member_id)
+                                self.member_id,
+                                instance_id=self.instance_id)
         if err == 0:
             return self.assignment
         if err == ERR_UNKNOWN_MEMBER_ID:
@@ -1211,7 +1255,10 @@ class GroupConsumer:
 
     def leave(self) -> None:
         try:
-            if self.member_id:
+            # KIP-345: static members do NOT send LeaveGroup on close —
+            # skipping it is the mechanism that lets the restarted
+            # incarnation reclaim the assignment with no rebalance
+            if self.member_id and self.instance_id is None:
                 self._c.leave_group(self.group_id, self.member_id)
         finally:
             self.close()
@@ -1467,7 +1514,7 @@ class _GroupCoordState:
 
     __slots__ = ("state", "generation", "members", "leader",
                  "assignments", "cond", "pending", "round_members",
-                 "deadline")
+                 "deadline", "static_ids", "fenced")
 
     def __init__(self, lock: threading.Lock) -> None:
         self.state = "Empty"
@@ -1480,6 +1527,12 @@ class _GroupCoordState:
         self.pending: dict[str, bytes] = {}     # joins this round
         self.round_members: dict[str, bytes] = {}  # frozen member set
         self.deadline = 0.0                     # round freeze deadline
+        # KIP-345 static membership: group.instance.id -> the CURRENT
+        # member id of that instance, and the member ids of fenced
+        # (replaced) incarnations — their heartbeats/commits/syncs get
+        # FENCED_INSTANCE_ID, never silent success
+        self.static_ids: dict[str, str] = {}
+        self.fenced: set[str] = set()
 
 
 class KafkaBrokerFixture:
@@ -1696,11 +1749,11 @@ class KafkaBrokerFixture:
                 elif api_key == API_OFFSET_FETCH:
                     body = self._offset_fetch(r)
                 elif api_key == API_JOIN_GROUP:
-                    body = self._join_group(r)
+                    body = self._join_group(r, api_version)
                 elif api_key == API_SYNC_GROUP:
-                    body = self._sync_group(r)
+                    body = self._sync_group(r, api_version)
                 elif api_key == API_HEARTBEAT:
-                    body = self._heartbeat(r)
+                    body = self._heartbeat(r, api_version)
                 elif api_key == API_LEAVE_GROUP:
                     body = self._leave_group(r)
                 else:
@@ -1740,9 +1793,9 @@ class KafkaBrokerFixture:
                      (API_OFFSET_COMMIT, 2, 2),
                      (API_OFFSET_FETCH, 1, 1),
                      (API_FIND_COORDINATOR, 0, 0),
-                     (API_JOIN_GROUP, 0, 0),
-                     (API_SYNC_GROUP, 0, 0),
-                     (API_HEARTBEAT, 0, 0),
+                     (API_JOIN_GROUP, 0, 5),
+                     (API_SYNC_GROUP, 0, 3),
+                     (API_HEARTBEAT, 0, 3),
                      (API_LEAVE_GROUP, 0, 0)]
         return (_i16(0) + _i32(len(supported))
                 + b"".join(_i16(k) + _i16(lo) + _i16(hi)
@@ -1851,26 +1904,91 @@ class KafkaBrokerFixture:
         g.pending = {}
         g.cond.notify_all()
 
-    def _join_group(self, r: _Reader) -> bytes:
+    def _join_group(self, r: _Reader, v: int = 0) -> bytes:
         group_id = r.string() or ""
         session_timeout = r.i32()
+        if v >= 1:
+            _rebalance_timeout = r.i32()
         member_id = r.string() or ""
+        instance_id = (r.string() or None) if v >= 5 else None
         _ptype = r.string()
         protos = [(r.string(), r.bytes32() or b"")
                   for _ in range(r.i32())]
         meta = protos[0][1] if protos else b""
 
+        def _prefix() -> bytes:
+            return _i32(0) if v >= 2 else b""  # throttle_time (v2+)
+
         def err_body(code: int) -> bytes:
-            return (_i16(code) + _i32(-1) + _string(None)
+            return (_prefix() + _i16(code) + _i32(-1) + _string(None)
                     + _string(None) + _string(member_id) + _i32(0))
+
+        def members_body(g, mid: str) -> bytes:
+            blk = (sorted(g.round_members.items())
+                   if mid == g.leader else [])
+            inst_of = {m: i for i, m in g.static_ids.items()}
+            body = (_prefix() + _i16(0) + _i32(g.generation)
+                    + _string("range") + _string(g.leader)
+                    + _string(mid) + _i32(len(blk)))
+            for m, mm in blk:
+                body += _string(m)
+                if v >= 5:
+                    body += _string(inst_of.get(m))
+                body += _bytes32(mm)
+            return body
 
         with self._lock:
             now = _time.monotonic()
             g = self._coord_group(group_id)
             self._sweep_members(g, now)
+            if instance_id is not None:
+                old = g.static_ids.get(instance_id)
+                if old is not None and old in g.members:
+                    if member_id and member_id != old:
+                        # a zombie incarnation joining with a member id
+                        # that no longer owns this instance id
+                        return err_body(ERR_FENCED_INSTANCE_ID)
+                    if not member_id:
+                        # KIP-345 reclaim: a RESTARTED static member
+                        # (empty member id, known instance id) swaps in
+                        # as a new incarnation — the old member id is
+                        # fenced, the membership slot, assignment and
+                        # (when Stable and the subscription is
+                        # unchanged) the GENERATION are all preserved:
+                        # no rebalance storm on a rolling restart
+                        old_meta = g.members[old]["meta"]
+                        self._next_member += 1
+                        new_mid = f"member-{self._next_member}"
+                        g.members[new_mid] = {
+                            "timeout": max(session_timeout,
+                                           1000) / 1000.0,
+                            "meta": meta, "hb": now}
+                        del g.members[old]
+                        g.fenced.add(old)
+                        g.static_ids[instance_id] = new_mid
+                        if old in g.assignments:
+                            g.assignments[new_mid] = \
+                                g.assignments.pop(old)
+                        if old in g.round_members:
+                            g.round_members.pop(old)
+                            g.round_members[new_mid] = meta
+                        if old in g.pending:
+                            g.pending.pop(old)
+                            g.pending[new_mid] = meta
+                        if g.leader == old:
+                            g.leader = new_mid
+                        member_id = new_mid
+                        if g.state == "Stable" and meta == old_meta:
+                            g.cond.notify_all()
+                            return members_body(g, member_id)
+                        # subscription changed (or a rebalance is in
+                        # flight): fall through to the normal join
+                        # under the NEW member id
             if not member_id:
                 self._next_member += 1
                 member_id = f"member-{self._next_member}"
+            if instance_id is not None:
+                g.static_ids[instance_id] = member_id
             g.members[member_id] = {
                 "timeout": max(session_timeout, 1000) / 1000.0,
                 "meta": meta, "hb": now}
@@ -1906,31 +2024,35 @@ class KafkaBrokerFixture:
                         continue
                 g.cond.wait(timeout=0.05)
             g.members[member_id]["hb"] = _time.monotonic()
-            members_block = (sorted(g.round_members.items())
-                             if member_id == g.leader else [])
-            body = (_i16(0) + _i32(g.generation) + _string("range")
-                    + _string(g.leader) + _string(member_id)
-                    + _i32(len(members_block)))
-            for m, mm in members_block:
-                body += _string(m) + _bytes32(mm)
-            return body
+            return members_body(g, member_id)
 
-    def _sync_group(self, r: _Reader) -> bytes:
+    def _sync_group(self, r: _Reader, v: int = 0) -> bytes:
         group_id = r.string() or ""
         generation = r.i32()
         member_id = r.string() or ""
+        instance_id = (r.string() or None) if v >= 3 else None
         assigns = [(r.string() or "", r.bytes32() or b"")
                    for _ in range(r.i32())]
+
+        def resp(code: int, assignment: bytes = b"") -> bytes:
+            return ((_i32(0) if v >= 1 else b"")  # throttle (v1+)
+                    + _i16(code) + _bytes32(assignment))
+
         with self._lock:
             now = _time.monotonic()
             g = self._groups.get(group_id)
+            if g is not None and (
+                    member_id in g.fenced
+                    or (instance_id is not None
+                        and g.static_ids.get(instance_id) not in
+                        (None, member_id))):
+                return resp(ERR_FENCED_INSTANCE_ID)
             if g is None or member_id not in g.members:
-                return _i16(ERR_UNKNOWN_MEMBER_ID) + _bytes32(b"")
+                return resp(ERR_UNKNOWN_MEMBER_ID)
             if generation != g.generation:
-                return _i16(ERR_ILLEGAL_GENERATION) + _bytes32(b"")
+                return resp(ERR_ILLEGAL_GENERATION)
             if g.state == "Preparing":
-                return (_i16(ERR_REBALANCE_IN_PROGRESS)
-                        + _bytes32(b""))
+                return resp(ERR_REBALANCE_IN_PROGRESS)
             if member_id == g.leader and assigns:
                 g.assignments = dict(assigns)
                 g.state = "Stable"
@@ -1941,32 +2063,49 @@ class KafkaBrokerFixture:
                 if (g.state == "Preparing"
                         or generation != g.generation
                         or _time.monotonic() > give_up):
-                    return (_i16(ERR_REBALANCE_IN_PROGRESS)
-                            + _bytes32(b""))
+                    return resp(ERR_REBALANCE_IN_PROGRESS)
                 if member_id in g.members:
                     g.members[member_id]["hb"] = _time.monotonic()
                 g.cond.wait(timeout=0.05)
+            if member_id in g.fenced or member_id not in g.members:
+                # replaced by a newer static incarnation while parked
+                return resp(ERR_FENCED_INSTANCE_ID
+                            if member_id in g.fenced
+                            else ERR_UNKNOWN_MEMBER_ID)
             g.members[member_id]["hb"] = _time.monotonic()
-            return _i16(0) + _bytes32(g.assignments.get(member_id,
-                                                        b""))
+            return resp(0, g.assignments.get(member_id, b""))
 
-    def _heartbeat(self, r: _Reader) -> bytes:
+    def _heartbeat(self, r: _Reader, v: int = 0) -> bytes:
         group_id = r.string() or ""
         generation = r.i32()
         member_id = r.string() or ""
+        instance_id = (r.string() or None) if v >= 3 else None
+
+        def resp(code: int) -> bytes:
+            return ((_i32(0) if v >= 1 else b"")  # throttle (v1+)
+                    + _i16(code))
+
         with self._lock:
             now = _time.monotonic()
             g = self._groups.get(group_id)
             if g is not None:
                 self._sweep_members(g, now)
+                if (member_id in g.fenced
+                        or (instance_id is not None
+                            and g.static_ids.get(instance_id) not in
+                            (None, member_id))):
+                    # KIP-345: an older incarnation's heartbeat after a
+                    # restart reclaimed its instance id — fence it so
+                    # the zombie stops consuming instead of rejoining
+                    return resp(ERR_FENCED_INSTANCE_ID)
             if g is None or member_id not in g.members:
-                return _i16(ERR_UNKNOWN_MEMBER_ID)
+                return resp(ERR_UNKNOWN_MEMBER_ID)
             g.members[member_id]["hb"] = now
             if g.state == "Preparing":
-                return _i16(ERR_REBALANCE_IN_PROGRESS)
+                return resp(ERR_REBALANCE_IN_PROGRESS)
             if generation != g.generation:
-                return _i16(ERR_ILLEGAL_GENERATION)
-            return _i16(0)
+                return resp(ERR_ILLEGAL_GENERATION)
+            return resp(0)
 
     def _leave_group(self, r: _Reader) -> bytes:
         group_id = r.string() or ""
@@ -2004,6 +2143,9 @@ class KafkaBrokerFixture:
         if g is None:
             return 0 if generation < 0 else ERR_ILLEGAL_GENERATION
         self._sweep_members(g, _time.monotonic())
+        if member_id in g.fenced:
+            # KIP-345: a replaced static incarnation must not commit
+            return ERR_FENCED_INSTANCE_ID
         if g.state == "Empty" or not g.members:
             return (0 if generation < 0 and not member_id
                     else ERR_ILLEGAL_GENERATION)

@@ -446,6 +446,144 @@ class TestGroupMembership:
             gca.close()
 
 
+class TestStaticMembership:
+    """KIP-345 ``group.instance.id`` (round 10): a restarting static
+    member reclaims its assignment with NO rebalance (no generation
+    bump), and a duplicate live incarnation fences the older one with
+    FENCED_INSTANCE_ID — the rolling-restart behavior real deployments
+    rely on to avoid rebalance storms."""
+
+    @pytest.fixture
+    def fast_broker(self):
+        b = KafkaBrokerFixture()
+        b.group_initial_rebalance_delay_s = 0.3
+        b.create_topic("t", 4)
+        b.start()
+        with KafkaWireClient.connect("127.0.0.1", b.port) as c:
+            for p in range(4):
+                c.produce("t", p, [(str(i).encode(),
+                                    f"v{p}-{i}".encode())
+                                   for i in range(5)])
+        yield b
+        b.stop()
+
+    def _two_static(self, b, session=3.0):
+        import threading
+
+        from ru_cdc_spark.sources.kafka_wire import GroupConsumer
+
+        out = {}
+
+        def member(name):
+            gc = GroupConsumer("127.0.0.1", b.port, "g", ["t"],
+                               session_timeout_s=session,
+                               instance_id=f"inst-{name}")
+            out[name] = (gc, gc.join())
+
+        ts = [threading.Thread(target=member, args=(n,))
+              for n in ("A", "B")]
+        for t in ts:
+            t.start()
+            time.sleep(0.05)
+        for t in ts:
+            t.join(20)
+        return out["A"], out["B"]
+
+    def test_restart_reclaims_assignment_without_rebalance(
+            self, fast_broker):
+        from ru_cdc_spark.sources.kafka_wire import GroupConsumer
+
+        (gca, aa), (gcb, ab) = self._two_static(fast_broker)
+        gen_before = gca.generation
+        try:
+            # B "rolls": closes (static: NO LeaveGroup) and a new
+            # incarnation with the same instance id comes back
+            gcb.leave()  # static close — must not trigger a rebalance
+            gcb2 = GroupConsumer("127.0.0.1", fast_broker.port, "g",
+                                 ["t"], session_timeout_s=3.0,
+                                 instance_id="inst-B")
+            try:
+                ab2 = gcb2.join()
+                # identical assignment, SAME generation: no rebalance
+                assert ab2 == ab
+                assert gcb2.generation == gen_before
+                # A never saw a rebalance signal either
+                assert gca.ensure_active() == aa
+                assert gca.generation == gen_before
+                # the reclaimed member works: commit + fetch succeed
+                bp = ab2["t"][0]
+                gcb2.commit("t", bp, 2)
+                assert gcb2.committed("t", [bp])[bp] == 2
+            finally:
+                gcb2.close()
+        finally:
+            gca.close()
+
+    def test_duplicate_instance_id_fences_older_incarnation(
+            self, fast_broker):
+        from ru_cdc_spark.sources.kafka_wire import (
+            ERR_FENCED_INSTANCE_ID,
+            GroupConsumer,
+            KafkaError,
+        )
+
+        (gca, aa), (gcb, ab) = self._two_static(fast_broker)
+        gcb2 = None
+        try:
+            # a SECOND live incarnation of inst-B joins (the original
+            # is still connected and heartbeating — a split-brain
+            # restart): the new one wins the instance id
+            gcb2 = GroupConsumer("127.0.0.1", fast_broker.port, "g",
+                                 ["t"], session_timeout_s=3.0,
+                                 instance_id="inst-B")
+            ab2 = gcb2.join()
+            assert ab2 == ab  # inherited the slot, no rebalance
+            # the OLD incarnation is fenced on its next heartbeat
+            err = gcb._c.heartbeat("g", gcb.generation, gcb.member_id,
+                                   instance_id=gcb.instance_id)
+            assert err == ERR_FENCED_INSTANCE_ID
+            # ...and its commits are rejected, not silently applied
+            with pytest.raises(KafkaError) as ei:
+                gcb.commit("t", ab["t"][0], 1)
+            assert ei.value.code == ERR_FENCED_INSTANCE_ID
+        finally:
+            gca.close()
+            gcb.close()
+            if gcb2 is not None:
+                gcb2.close()
+
+    def test_static_and_dynamic_members_coexist(self, fast_broker):
+        """A static member and a dynamic (v0, no instance id) member in
+        one group: both get assignments; the dynamic path is untouched
+        by the v5 handling."""
+        import threading
+
+        from ru_cdc_spark.sources.kafka_wire import GroupConsumer
+
+        out = {}
+
+        def member(name, iid):
+            gc = GroupConsumer("127.0.0.1", fast_broker.port, "g",
+                               ["t"], session_timeout_s=3.0,
+                               instance_id=iid)
+            out[name] = (gc, gc.join())
+
+        ts = [threading.Thread(target=member, args=("S", "inst-S")),
+              threading.Thread(target=member, args=("D", None))]
+        for t in ts:
+            t.start()
+            time.sleep(0.05)
+        for t in ts:
+            t.join(20)
+        (gcs, as_), (gcd, ad) = out["S"], out["D"]
+        try:
+            assert sorted(as_.get("t", []) + ad.get("t", [])) == \
+                [0, 1, 2, 3]
+        finally:
+            gcs.close()
+            gcd.close()
+
+
 class TestListOffsets:
     """ListOffsets v1 (round 9): offset-by-timestamp seek — how a
     replaying consumer finds 'everything since 10:00'."""

@@ -3876,6 +3876,90 @@ def cdc_kafka_compression_matrix(spark: SparkSession,
             .select("r.*"))
 
 
+# replay boundary for cdc_kafka_replay_from_ts: 1995-06-01T00:00:00Z in
+# epoch millis — a fixed mid-corpus instant (TPC-H orderdates span
+# 1992..1998), identical literal in the Spark plan and the oracle SQL
+REPLAY_FROM_TS_MS = 801964800000
+
+
+def cdc_kafka_replay_from_ts(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Offset-by-timestamp replay end to end (round-10 verdict #8): the
+    change stream is produced to a 4-partition topic with REAL record
+    timestamps (es, the event's commit time — batches are produced in
+    es order, one batch per distinct es per partition, so every
+    partition's time index is exact), then a replaying consumer asks
+    ListOffsets v1 "everything since 1995-06-01", seeks each partition
+    to the returned offset, fetches to the high watermark and parses —
+    hash-matching the change-stream oracle filtered by the same instant.
+    No client-side timestamp filter anywhere: correctness comes ONLY
+    from the broker's .timeindex-analog binary search, which is the
+    point of the query.
+
+    Scale: the produce side is one executor pass (each task owns one
+    topic partition, batching runs of equal es); the seek is one RPC
+    per partition; the fetch reads only the replayed suffix."""
+    from ru_cdc_spark.sources.kafka_wire import (
+        KafkaBrokerFixture,
+        KafkaWireClient,
+    )
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+
+    import uuid as _uuid
+
+    n_parts = 4
+    topic = f"rt{_uuid.uuid4().hex[:8]}_changes"
+    broker.create_topic(topic, n_parts)
+    port = broker.port
+
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    payload = (flat.select(
+        F.col("id"), F.col("es"),
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+        .repartition(n_parts, F.col("id"))
+        .sortWithinPartitions("es", "id"))
+
+    def produce_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        p = TaskContext.get().partitionId()
+        with KafkaWireClient.connect("127.0.0.1", port) as c:
+            run_es: int | None = None
+            batch: list[tuple[bytes, bytes]] = []
+            for row in rows:
+                if run_es is not None and row["es"] != run_es:
+                    c.produce(topic, p, batch, first_timestamp=run_es)
+                    batch = []
+                run_es = row["es"]
+                batch.append((row["key"].encode(),
+                              row["value"].encode()))
+            if batch:
+                c.produce(topic, p, batch, first_timestamp=run_es)
+
+    payload.foreachPartition(produce_partition)
+
+    vals: list[str] = []
+    with KafkaWireClient.connect("127.0.0.1", port) as kc:
+        for p in range(n_parts):
+            _ts, off = kc.list_offsets(topic, p, REPLAY_FROM_TS_MS)
+            if off < 0:
+                continue  # nothing at/after the instant here
+            vals += [v.decode()
+                     for _, _, v in kc.fetch_all(topic, p, off)]
+    payloads = spark.createDataFrame([(v,) for v in vals],
+                                     "payload string")
+    return (payloads
+            .select(F.from_json("payload", schema).alias("r"))
+            .select("r.*"))
+
+
 def cdc_kafka_idempotent_stream(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """KIP-98 idempotent produce executed adversarially: every record
@@ -4948,6 +5032,10 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_compression_matrix",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_compression_matrix)
+    register("cdc_kafka_replay_from_ts",
+             REGISTRY["cdc_change_stream"].oracle
+             + f" WHERE es >= {REPLAY_FROM_TS_MS}")(
+        cdc_kafka_replay_from_ts)
     register("cdc_kafka_wire_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_stream)

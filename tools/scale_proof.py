@@ -31,11 +31,24 @@ QUERIES = [
     # flagships scale with the documents table
     "corpus_pack_windows",
     "corpus_decontaminate",
+    # round-10 additions (round-9 verdict item #6): the r9 flagships
+    "corpus_mix_domains",
+    "corpus_length_buckets",
+    "events_pattern_match",
+    "ann_batch_queries",
 ]
 
 
 def main() -> None:
-    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfdata/sf1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf1 = args[0] if args else "/tmp/sfdata/sf1"
+    only = next((a.split("=", 1)[1].split(",") for a in sys.argv
+                 if a.startswith("--only=")), None)
+    if only:
+        unknown = [n for n in only if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"ERROR: not in QUERIES: {unknown}")
+    queries = [n for n in QUERIES if only is None or n in only]
     sf01 = "/root/testdata/sf0.1"
     spark = get_spark("scale-proof")
     from ru_cdc_spark.operators.rankops import release_rank_caches
@@ -47,7 +60,7 @@ def main() -> None:
     force(REGISTRY["cdc_envelope"].fn(spark, sf01))
 
     out = {}
-    for name in QUERIES:
+    for name in queries:
         times = {}
         for label, sf_dir in (("sf0.1", sf01), ("sf1", sf1)):
             best = float("inf")
@@ -155,7 +168,7 @@ def recall(sf1_dir: str) -> None:
         truth = {(r.q_vec, r.neighbor) for r in exact.collect()
                  if r.rank <= 3}
         for name in ("ann_ivf_kmeans", "ann_pq_rerank",
-                     "ann_lsh_tables"):
+                     "ann_lsh_tables", "ann_batch_queries"):
             approx = REGISTRY[name].fn(spark, sf_dir)
             got = {(r.q_vec, r.neighbor) for r in approx.collect()}
             rec = round(len(truth & got) / max(len(truth), 1), 3)

@@ -159,6 +159,10 @@ AUDIT = [
      "round 9: time-series subsequence search — per-user "
      "rows-between frames (no unpartitioned window), literal "
      "pattern, TakeOrderedAndProject top-N"),
+    ("corpus_length_buckets",
+     "round 10: power-of-two buckets in pure integer arithmetic "
+     "(shiftleft over bin-length, no float log2) — narrow token "
+     "projection, log-cardinality partial agg"),
 ]
 
 

@@ -4319,7 +4319,13 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
     def run_consumer(idx: int) -> tuple[list, list, list]:
         import time as _t
 
-        from ru_cdc_spark.sources.kafka_wire import GroupConsumer
+        from ru_cdc_spark.sources.kafka_wire import (
+            ERR_ILLEGAL_GENERATION,
+            ERR_REBALANCE_IN_PROGRESS,
+            ERR_UNKNOWN_MEMBER_ID,
+            GroupConsumer,
+            KafkaError,
+        )
 
         dying = idx == 1
         gc = GroupConsumer(host, port, group, [topic],
@@ -4379,7 +4385,22 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
                             # only learns via session timeout
                             gc.close()
                             return out_p, out_o, out_v
-                        gc.commit(topic, p, positions[p])
+                        try:
+                            gc.commit(topic, p, positions[p])
+                        except KafkaError as e:
+                            # the dead member's session expiry can be
+                            # observed FIRST by this OffsetCommit (the
+                            # fenced coordinator sweeps on commit too):
+                            # drop the commit and re-join via the next
+                            # ensure_active(); the offset-keyed dedup
+                            # downstream absorbs any replay of the
+                            # uncommitted tail
+                            if e.code not in (ERR_ILLEGAL_GENERATION,
+                                              ERR_UNKNOWN_MEMBER_ID,
+                                              ERR_REBALANCE_IN_PROGRESS):
+                                raise
+                            drained = False
+                            break
                     if positions[p] < got["high_watermark"]:
                         drained = False
                 if drained and global_complete():

@@ -467,41 +467,77 @@ class ChunkStore:
 
             # Exactly-one-winner: the mkdir of the claim dir is the
             # ONLY arbiter, and only the current claim holder ever
-            # renames to the final name. A waiter never publishes
-            # while the claim exists — it either sees the final appear
-            # (lost the race) or, after a grace period with the claim
-            # still present and no final (the holder crashed between
-            # claim and rename), REMOVES the stale claim and re-races
-            # the mkdir, so takeover itself has exactly one winner
-            # too. The holder always cleans the claim up, leaving no
-            # permanent stubs.
-            deadline = _time.monotonic() + self.claim_takeover_grace_s
+            # renames to the final name. The holder stamps an
+            # ownership TOKEN file inside its claim and re-verifies the
+            # token immediately before the rename, so a takeover
+            # (waiter evicting a claim whose holder crashed between
+            # claim and rename) can never be overwritten by the
+            # presumed-dead holder waking up late — the stalled holder
+            # finds its token gone and returns False. Eviction is by
+            # CLAIM AGE (the dir's mtime), never a waiter-local
+            # deadline, so a freshly re-acquired claim is never evicted
+            # by a waiter whose clock started against the previous
+            # holder. Holders always clean their claim up; a foreign
+            # token makes the rmdir fail (non-empty), protecting the
+            # new owner's claim. The residual window — token check to
+            # rename, a few instructions with no syscall between — is
+            # the POSIX floor without a compare-and-swap rename.
+            import uuid as _uuid
+
+            token = os.path.join(claim, f"owner-{_uuid.uuid4().hex}")
             while True:
                 try:
                     os.mkdir(claim)
                 except FileExistsError:
                     if os.path.exists(final):
                         return False  # holder published — we lost
-                    if _time.monotonic() > deadline:
-                        try:  # presumed-crashed holder: free the claim
+                    try:
+                        age = _time.time() - os.stat(claim).st_mtime
+                    except OSError:
+                        continue  # claim vanished: re-race the mkdir
+                    if age > self.claim_takeover_grace_s:
+                        # presumed-crashed holder: revoke its token,
+                        # then the dir; every step tolerates racing
+                        # waiters doing the same
+                        try:
+                            for t in os.listdir(claim):
+                                try:
+                                    os.unlink(os.path.join(claim, t))
+                                except OSError:
+                                    pass
                             os.rmdir(claim)
                         except OSError:
-                            pass  # holder finished / another waiter won
+                            pass
                     _time.sleep(0.01)
                     continue
                 try:
-                    # we hold the claim: publish only if nobody already
-                    # has (a pre-crash winner's final stays untouched)
+                    try:
+                        with open(token, "wb"):
+                            pass
+                    except OSError:
+                        # the claim dir was evicted between our mkdir
+                        # and the stamp — treat as usurped
+                        return False
+                    # we hold a live claim: publish only if nobody
+                    # already has (a pre-crash winner's final stays)
                     if os.path.exists(final):
+                        return False
+                    if not os.path.exists(token):
+                        # usurped between stamp and publish — the
+                        # taker owns the name now; stand down
                         return False
                     os.rename(staged, final)
                     staged = None
                     return True
                 finally:
                     try:
-                        os.rmdir(claim)
+                        os.unlink(token)
                     except OSError:
                         pass
+                    try:
+                        os.rmdir(claim)
+                    except OSError:
+                        pass  # a taker's token keeps THEIR claim alive
         finally:
             if staged is not None:
                 os.unlink(staged)

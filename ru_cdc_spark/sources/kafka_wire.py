@@ -1941,6 +1941,12 @@ class KafkaBrokerFixture:
             now = _time.monotonic()
             g = self._coord_group(group_id)
             self._sweep_members(g, now)
+            if member_id and member_id in g.fenced:
+                # a fenced incarnation can never rejoin under its old
+                # member id (every other handler would reject it
+                # anyway — admitting it would wedge the round); the
+                # legitimate restart path joins with an EMPTY member id
+                return err_body(ERR_FENCED_INSTANCE_ID)
             if instance_id is not None:
                 old = g.static_ids.get(instance_id)
                 if old is not None and old in g.members:

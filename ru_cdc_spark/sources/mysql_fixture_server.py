@@ -1258,12 +1258,11 @@ class MySQLFixtureServer:
         for idx in range(start_idx, len(self.binlogs)):
             vb = self.binlogs[idx]
             if idx > start_idx:
-                # genuine rotate at the physical file boundary (D12)
-                prev = self.binlogs[idx - 1]
-                file_end = max((e for _, e, _ in prev.events),
-                               default=4)
-                emit(encode_rotate(vb.filename, log_pos=file_end,
-                                   timestamp=1))
+                # genuine rotate at the physical file boundary (D12) —
+                # the SHARED builder so checksummed chains carry the
+                # CRC32 trailer here too (a checksum-aware client
+                # strips 4 bytes off every rotate after the FDE)
+                emit(self._boundary_rotate(idx - 1))
             for start, _end, ev in vb.events:
                 etype = ev[4]
                 if etype == 33:  # GTID: decide this transaction's fate

@@ -552,6 +552,38 @@ class TestStaticMembership:
             if gcb2 is not None:
                 gcb2.close()
 
+    def test_fenced_member_id_cannot_rejoin(self, fast_broker):
+        """A fenced incarnation re-joining under its OLD member id gets
+        FENCED_INSTANCE_ID at the door (admitting it would wedge the
+        round: every other handler rejects that id forever); the
+        legitimate restart path — empty member id — still reclaims."""
+        from ru_cdc_spark.sources.kafka_wire import (
+            ERR_FENCED_INSTANCE_ID,
+            GroupConsumer,
+        )
+
+        (gca, _), (gcb, ab) = self._two_static(fast_broker)
+        gcb2 = None
+        try:
+            old_mid = gcb.member_id
+            gcb2 = GroupConsumer("127.0.0.1", fast_broker.port, "g",
+                                 ["t"], session_timeout_s=3.0,
+                                 instance_id="inst-B")
+            assert gcb2.join() == ab  # replaces + fences old_mid
+            with KafkaWireClient.connect("127.0.0.1",
+                                         fast_broker.port) as c:
+                err, _gen, _p, _l, _m, _ms = c.join_group(
+                    "g", old_mid, ["t"], 3.0, instance_id="inst-B")
+                assert err == ERR_FENCED_INSTANCE_ID
+                # the DYNAMIC form of the fenced id is also refused
+                err2, *_ = c.join_group("g", old_mid, ["t"], 3.0)
+                assert err2 == ERR_FENCED_INSTANCE_ID
+        finally:
+            gca.close()
+            gcb.close()
+            if gcb2 is not None:
+                gcb2.close()
+
     def test_static_and_dynamic_members_coexist(self, fast_broker):
         """A static member and a dynamic (v0, no instance id) member in
         one group: both get assignments; the dynamic path is untouched

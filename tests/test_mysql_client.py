@@ -741,6 +741,49 @@ class TestGtidDump:
         finally:
             srv.stop()
 
+    def test_checksummed_chain_boundary_rotate_decodes_clean(self):
+        """A CRC32-checksummed multi-file chain dumped via GTID: the
+        genuine file-boundary rotate carries a checksum trailer (like
+        every other logged event), so decode_rotate(ev, 4) — what a
+        checksum-aware assembler calls after learning checksum_bytes
+        from the FDE — yields the EXACT next filename, not one
+        truncated by 4 bytes (round-10 review finding: the GTID path
+        built its rotate inline, bypassing the shared checksummed
+        builder)."""
+        from ru_cdc_spark.sources.binlog_txn import txn_event_bytes
+        from ru_cdc_spark.sources.binlog_wire import (
+            CHECKSUM_CRC32,
+            encode_format_description,
+        )
+
+        chain = []
+        for k, tids in enumerate(([0, 1], [2, 3])):
+            vb = VirtualBinlog(f"crc.{k + 1:06d}", crc32=True)
+            vb.append(encode_format_description(CHECKSUM_CRC32))
+            for tid in tids:
+                vb.append_blob(txn_event_bytes(tid))
+            chain.append(vb)
+        srv = MySQLFixtureServer(binlogs=chain).start()
+        try:
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         "repl", "replpass") as conn:
+                evs = list(conn.binlog_dump_gtid({}))
+            genuine = [ev for ev in evs
+                       if ev[4] == 4
+                       and int.from_bytes(ev[0:4], "little") != 0]
+            assert len(genuine) == 1
+            assert decode_rotate(genuine[0], 4)[0] == "crc.000002"
+            # the same chain over the legacy dump: byte-identical rotate
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         "repl", "replpass") as conn:
+                evs2 = list(conn.binlog_dump("crc.000001", 4))
+            genuine2 = [ev for ev in evs2
+                        if ev[4] == 4
+                        and int.from_bytes(ev[0:4], "little") != 0]
+            assert genuine2 == genuine
+        finally:
+            srv.stop()
+
 
 class TestAuthSwitchNonceEdge:
     def test_trailing_zero_nonce_survives_codec(self):

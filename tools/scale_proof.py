@@ -92,7 +92,8 @@ def throughput(sf1_dir: str) -> None:
         r = {}
         for label, kwargs, rows_hint in (("1x", one, None),
                                          ("10x", ten, None)):
-            sec, rows = fn(spark, **kwargs)
+            # throughput legs return (sec, rows) or (sec, rows, jobs)
+            sec, rows = fn(spark, **kwargs)[:2]
             r[label] = {"sec": round(sec, 2), "rows": rows,
                         "rows_per_sec": round(rows / sec, 1)}
         r["rows_per_sec_ratio"] = round(

@@ -3876,6 +3876,77 @@ def cdc_kafka_compression_matrix(spark: SparkSession,
             .select("r.*"))
 
 
+def cdc_kafka_header_routing(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Record-header routing (round 10): the change stream is produced
+    with magic-2 per-record HEADERS carrying the CDC metadata
+    (``type``, ``db``) — the Debezium-style side-channel — and the
+    consumer routes on the header array ALONE: records whose ``type``
+    header is DELETE are dropped before their JSON payload is ever
+    parsed. The surviving values hash-match the change-stream oracle
+    filtered by the same predicate, proving headers survive encode ->
+    broker re-encoded log -> fetch byte-exactly and carry real routing
+    semantics (the reference tags DML type inside the payload only;
+    headers let a router skip deserialization entirely).
+
+    Scale: routing cost is O(header bytes) per record — for a 100 TB
+    stream whose consumers want one table or one DML type, skipping
+    payload parse on filtered records is the dominant saving."""
+    import uuid as _uuid
+
+    from ru_cdc_spark.sources.kafka_wire import (
+        KafkaBrokerFixture,
+        KafkaWireClient,
+    )
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+    topic = f"hr{_uuid.uuid4().hex[:8]}_changes"
+    host, port = "127.0.0.1", broker.port
+
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    payloads = flat.select(
+        F.col("id").cast("string").alias("key"),
+        F.col("type").alias("htype"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+
+    def produce_with_headers(rows) -> None:
+        recs = [(row["key"].encode(), row["value"].encode(),
+                 [("db", b"test_0"), ("type", row["htype"].encode())])
+                for row in rows]
+        if not recs:
+            return
+        with KafkaWireClient.connect(host, port) as c:
+            for i in range(0, len(recs), 500):
+                c.produce(topic, 0, recs[i:i + 500])
+
+    payloads.foreachPartition(produce_with_headers)
+
+    vals: list[str] = []
+    with KafkaWireClient.connect(host, port) as kc:
+        cur = 0
+        while True:
+            got = kc.fetch(topic, 0, cur)
+            for (_, _k, v), hdrs in zip(got["records"],
+                                        got["headers"]):
+                # route on the HEADER array only — the payload of a
+                # DELETE is never parsed, or even decoded
+                if dict(hdrs).get("type") != b"DELETE":
+                    vals.append(v.decode())
+            if got["next_offset"] >= got["high_watermark"]:
+                break
+            cur = got["next_offset"]
+    payloads_df = spark.createDataFrame([(v,) for v in vals],
+                                        "payload string")
+    return (payloads_df
+            .select(F.from_json("payload", schema).alias("r"))
+            .select("r.*"))
+
+
 # replay boundary for cdc_kafka_replay_from_ts: 1995-06-01T00:00:00Z in
 # epoch millis — a fixed mid-corpus instant (TPC-H orderdates span
 # 1992..1998), identical literal in the Spark plan and the oracle SQL
@@ -5057,6 +5128,10 @@ def _register_binlog_wire() -> None:
              REGISTRY["cdc_change_stream"].oracle
              + f" WHERE es >= {REPLAY_FROM_TS_MS}")(
         cdc_kafka_replay_from_ts)
+    register("cdc_kafka_header_routing",
+             REGISTRY["cdc_change_stream"].oracle
+             + " WHERE type <> 'DELETE'")(
+        cdc_kafka_header_routing)
     register("cdc_kafka_wire_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_stream)

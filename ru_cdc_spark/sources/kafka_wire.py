@@ -206,7 +206,13 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
     monotonically increasing per-partition sequence so the broker can
     deduplicate retried batches."""
     body = bytearray()
-    for i, (key, value) in enumerate(records):
+    for i, item in enumerate(records):
+        # (key, value) or (key, value, headers) — headers are the
+        # magic-2 per-record [(str key, bytes value)] array (the
+        # metadata side-channel Debezium-style pipelines route on
+        # without parsing payloads)
+        key, value = item[0], item[1]
+        headers = item[2] if len(item) > 2 else ()
         rec = bytearray()
         rec += _i8(0)           # record attributes
         rec += _varint(0)       # timestamp delta
@@ -219,7 +225,14 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes]],
             rec += _varint(-1)
         else:
             rec += _varint(len(value)) + value
-        rec += _varint(0)       # headers count
+        rec += _varint(len(headers))
+        for hk, hv in headers:
+            hkb = hk.encode()
+            rec += _varint(len(hkb)) + hkb
+            if hv is None:
+                rec += _varint(-1)
+            else:
+                rec += _varint(len(hv)) + hv
         body += _varint(len(rec)) + rec
     if compression == "gzip":
         attrs, recs = COMPRESSION_GZIP, _gzip_wrap(bytes(body))
@@ -319,20 +332,40 @@ def decode_record_batch(data: bytes) -> dict:
     elif codec != COMPRESSION_NONE:
         raise ValueError(f"unsupported compression codec {codec}")
     records = []
-    for _ in range(n):
-        rec_len = r.varint()
-        rr = _Reader(r.take(rec_len))
-        rr.i8()
-        rr.varint()  # timestamp delta
-        offset_delta = rr.varint()
-        klen = rr.varint()
-        key = None if klen < 0 else rr.take(klen)
-        vlen = rr.varint()
-        value = None if vlen < 0 else rr.take(vlen)
-        # the record's REAL offset: compacted topics leave gaps, so
-        # consumers must use baseOffset + offsetDelta, never count
-        records.append((base_offset + offset_delta, key, value))
+    rec_headers = []
+    try:
+        for _ in range(n):
+            rec_len = r.varint()
+            rr = _Reader(r.take(rec_len))
+            rr.i8()
+            rr.varint()  # timestamp delta
+            offset_delta = rr.varint()
+            klen = rr.varint()
+            key = None if klen < 0 else rr.take(klen)
+            vlen = rr.varint()
+            value = None if vlen < 0 else rr.take(vlen)
+            hdrs = []
+            for _h in range(rr.varint()):
+                hklen = rr.varint()
+                hk = rr.take(hklen).decode()
+                hvlen = rr.varint()
+                hdrs.append((hk,
+                             None if hvlen < 0 else rr.take(hvlen)))
+            # the record's REAL offset: compacted topics leave gaps —
+            # consumers must use baseOffset + offsetDelta, never count
+            records.append((base_offset + offset_delta, key, value))
+            rec_headers.append(hdrs)
+    except (IndexError, struct.error, UnicodeDecodeError):
+        # bit-flipped content can make the length/header varints
+        # unparseable before the caller consults the CRC verdict; a
+        # CRC-failed batch reports crc_ok=False with no usable records
+        # (the broker answers CORRUPT_MESSAGE, consumers raise) — only
+        # a batch whose CRC VERIFIES may raise on malformed structure
+        if crc_ok:
+            raise
+        records, rec_headers = [], []
     return {"base_offset": base_offset, "crc_ok": crc_ok,
+            "rec_headers": rec_headers,
             "producer_id": producer_id, "producer_epoch": producer_epoch,
             "base_sequence": base_sequence,
             "transactional": bool(attrs & ATTR_TRANSACTIONAL),
@@ -866,6 +899,7 @@ class KafkaWireClient:
         r = self._request(API_FETCH, 4, body)
         _throttle = r.i32()
         records: list[tuple] = []
+        headers: list[list[tuple[str, bytes | None]]] = []
         hw = -1
         lso = -1
         next_offset = offset
@@ -907,11 +941,16 @@ class KafkaWireClient:
                     # a served batch may CONTAIN records below the
                     # requested offset (brokers return the containing
                     # batch whole); filter client-side, per Kafka's
-                    # consumer contract
-                    records.extend(rec for rec in batch["records"]
-                                   if rec[0] >= offset)
+                    # consumer contract. ``headers`` stays aligned
+                    # with ``records`` under the same filter.
+                    for rec, hdrs in zip(batch["records"],
+                                         batch["rec_headers"]):
+                        if rec[0] >= offset:
+                            records.append(rec)
+                            headers.append(hdrs)
         return {"high_watermark": hw, "last_stable_offset": lso,
-                "next_offset": next_offset, "records": records}
+                "next_offset": next_offset, "records": records,
+                "headers": headers}
 
     def fetch_all(self, topic: str, partition: int,
                   offset: int = 0,
@@ -2460,7 +2499,10 @@ class KafkaBrokerFixture:
         appends NOTHING and returns the original offset with err 0 —
         the dedup that makes producer retries exactly-once."""
         prod_id = b["producer_id"]
-        recs = [(k, v) for _, k, v in b["records"]]
+        # keep the per-record header arrays: the re-encoded stored
+        # batch must serve back what the producer sent, byte-complete
+        recs = [(k, v, h) for (_, k, v), h
+                in zip(b["records"], b["rec_headers"])]
         if b["transactional"]:
             # the partition must have been registered with the txn
             # first — kafka's coordinator needs it to place markers

@@ -294,6 +294,66 @@ class TestSnappyCompression:
             srv.stop()
 
 
+class TestRecordHeaders:
+    """Magic-2 per-record header arrays (round 10): the metadata
+    side-channel Debezium-style pipelines route on without parsing
+    payloads — encoded, broker-stored (the re-encoded log keeps them),
+    and fetched back byte-exactly."""
+
+    def test_headers_codec_roundtrip(self):
+        recs = [
+            (b"k0", b"v0", [("db", b"test"), ("type", b"INSERT")]),
+            (b"k1", b"v1"),                      # header-free record
+            (None, b"v2", [("empty", b""), ("null", None)]),
+        ]
+        out = decode_record_batches(encode_record_batch(recs))[0]
+        assert out["crc_ok"]
+        assert out["rec_headers"] == [
+            [("db", b"test"), ("type", b"INSERT")],
+            [],
+            [("empty", b""), ("null", None)],
+        ]
+        assert [(k, v) for _, k, v in out["records"]] == \
+            [(b"k0", b"v0"), (b"k1", b"v1"), (None, b"v2")]
+
+    @pytest.mark.parametrize("codec",
+                             ["none", "gzip", "snappy", "lz4", "zstd"])
+    def test_headers_through_broker_all_codecs(self, codec):
+        srv = KafkaBrokerFixture().start()
+        try:
+            with KafkaWireClient.connect("127.0.0.1", srv.port) as c:
+                c.produce("h", 0,
+                          [(b"k%d" % i, b"v%d " % i * 10,
+                            [("i", str(i).encode()),
+                             ("route", b"even" if i % 2 == 0
+                              else b"odd")])
+                           for i in range(6)],
+                          compression=codec)
+                got = c.fetch("h", 0, 0)
+            assert len(got["records"]) == 6
+            assert got["headers"] == [
+                [("i", str(i).encode()),
+                 ("route", b"even" if i % 2 == 0 else b"odd")]
+                for i in range(6)]
+        finally:
+            srv.stop()
+
+    def test_headers_aligned_after_mid_batch_seek(self):
+        """Fetch from an offset INSIDE a batch: the client filters
+        leading records out — headers must stay aligned."""
+        srv = KafkaBrokerFixture().start()
+        try:
+            with KafkaWireClient.connect("127.0.0.1", srv.port) as c:
+                c.produce("h", 0,
+                          [(None, b"v%d" % i, [("i", str(i).encode())])
+                           for i in range(5)])
+                got = c.fetch("h", 0, 3)
+            assert [v for _, _, v in got["records"]] == [b"v3", b"v4"]
+            assert got["headers"] == [[("i", b"3")], [("i", b"4")]]
+        finally:
+            srv.stop()
+
+
 class TestZstdCompression:
     def test_zstd_batch_roundtrip(self):
         recs = [(b"k%d" % i, b"payload-%d " % i * 12) for i in range(60)]

@@ -4539,6 +4539,188 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
             .select("r.*"))
 
 
+def cdc_kafka_static_member_stream(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """KIP-345 static membership end to end (round 10): TWO consumers
+    with ``group.instance.id`` split a 4-partition topic; one is KILLED
+    mid-drain (socket closed, no LeaveGroup, an uncommitted in-flight
+    fetch) and immediately RESTARTED under the same instance id — the
+    rolling-restart pattern. The restarted incarnation must reclaim its
+    exact assignment at the UNCHANGED generation (asserted in-task: a
+    rebalance fails the query), resume from its broker-committed
+    offsets, and drain; the survivor never re-joins. The union of all
+    records, offset-deduplicated (the uncommitted tail replays), hash-
+    matches the plain ``cdc_change_stream`` oracle.
+
+    Scale: restart cost is ONE JoinGroup round trip with zero partition
+    movement — against dynamic membership's full stop-the-group
+    rebalance, the reason real deployments set group.instance.id."""
+    import uuid as _uuid
+
+    from ru_cdc_spark.sources.kafka_wire import KafkaBrokerFixture
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+    n_parts = 4
+    topic = f"sm{_uuid.uuid4().hex[:8]}_changes"
+    broker.create_topic(topic, n_parts)
+
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    n_records = flat.count()
+    host, port = "127.0.0.1", broker.port
+
+    payloads = flat.select(
+        (F.col("id") % n_parts).cast("int").alias("kpart"),
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+    payloads.foreachPartition(_kpart_producer(host, port, topic))
+
+    group = f"grp_{topic}"
+    kill_after = max(1, n_records // 6)
+
+    def run_consumer(idx: int) -> tuple[list, list, list]:
+        import time as _t
+
+        from ru_cdc_spark.sources.kafka_wire import GroupConsumer
+
+        def new_member() -> GroupConsumer:
+            return GroupConsumer(host, port, group, [topic],
+                                 session_timeout_s=4.0,
+                                 instance_id=f"inst-{idx}")
+
+        dying = idx == 1
+        gc = new_member()
+        out_p: list[int] = []
+        out_o: list[int] = []
+        out_v: list[str] = []
+        positions: dict[int, int] = {}
+
+        def global_complete() -> bool:
+            comm = gc.committed(topic, list(range(n_parts)))
+            for p in range(n_parts):
+                hw = gc.fetch(topic, p, comm.get(p, 0),
+                              max_bytes=1)["high_watermark"]
+                if comm.get(p, 0) < hw:
+                    return False
+            return True
+
+        try:
+            gc.join()
+            consumed = 0
+            deadline = _t.time() + 120
+            while True:
+                if _t.time() > deadline:
+                    raise TimeoutError(
+                        f"static consumer {idx}: drain never completed")
+                assignment = gc.ensure_active()
+                parts = assignment.get(topic, [])
+                for p in parts:
+                    if p not in positions:
+                        positions[p] = gc.committed(topic, [p])[p]
+                drained = True
+                for p in parts:
+                    got = gc.fetch(topic, p, positions[p])
+                    recs = [r for r in got["records"]
+                            if r[0] >= positions[p]]
+                    for off, _k, val in recs:
+                        out_p.append(p)
+                        out_o.append(off)
+                        out_v.append(val.decode())
+                    if recs:
+                        positions[p] = recs[-1][0] + 1
+                        consumed += len(recs)
+                        if dying and consumed >= kill_after:
+                            # crash (uncommitted in-flight fetch, no
+                            # LeaveGroup) + IMMEDIATE rolling restart
+                            # under the same instance id
+                            gen0 = gc.generation
+                            assign0 = dict(gc.assignment)
+                            gc.close()
+                            gc = new_member()
+                            a2 = gc.join()
+                            if gc.generation != gen0:
+                                raise AssertionError(
+                                    "static restart bumped the "
+                                    f"generation: {gen0} -> "
+                                    f"{gc.generation}")
+                            if a2 != assign0:
+                                raise AssertionError(
+                                    "static restart moved partitions: "
+                                    f"{assign0} -> {a2}")
+                            # resume every partition from the broker-
+                            # committed offset (the uncommitted tail
+                            # replays; offset dedup collapses it)
+                            positions.clear()
+                            dying = False
+                            drained = False
+                            break
+                        gc.commit(topic, p, positions[p])
+                    if positions[p] < got["high_watermark"]:
+                        drained = False
+                if drained and global_complete():
+                    break
+                _t.sleep(0.05)
+        finally:
+            try:
+                gc.close()
+            except OSError:
+                pass
+        return out_p, out_o, out_v
+
+    def consume(batches):
+        import threading as _th
+
+        import pandas as pd
+
+        ids = sorted({int(v) for pdf in batches
+                      for v in pdf["consumer"]})
+        if not ids:
+            return
+        results: dict[int, tuple] = {}
+        errors: dict[int, BaseException] = {}
+
+        def runner(i: int) -> None:
+            try:
+                results[i] = run_consumer(i)
+            except BaseException as exc:  # re-raised on the task
+                errors[i] = exc
+
+        if len(ids) == 1:
+            results[ids[0]] = run_consumer(ids[0])
+        else:
+            ts = [_th.Thread(target=runner, args=(i,)) for i in ids]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            if errors:
+                raise next(iter(errors.values()))
+        out_p: list[int] = []
+        out_o: list[int] = []
+        out_v: list[str] = []
+        for i in ids:
+            p, o, v = results[i]
+            out_p += p
+            out_o += o
+            out_v += v
+        yield pd.DataFrame({"partition": out_p, "offset": out_o,
+                            "value": out_v})
+
+    consumers = spark.createDataFrame([(0,), (1,)], "consumer int") \
+        .repartition(2)
+    raw = consumers.mapInPandas(
+        consume, "partition int, offset bigint, value string")
+    deduped = (raw.groupBy("partition", "offset")
+               .agg(F.max("value").alias("value")))
+    return (deduped
+            .select(F.from_json(F.col("value"), schema).alias("r"))
+            .select("r.*"))
+
+
 def cdc_kafka_eos_transform(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Exactly-once consume-transform-produce (round 9, KIP-98 EOS):
@@ -5141,6 +5323,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_group_rebalance",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_group_rebalance)
+    register("cdc_kafka_static_member_stream",
+             REGISTRY["cdc_change_stream"].oracle)(
+        cdc_kafka_static_member_stream)
     register("cdc_kafka_eos_transform",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_eos_transform)

@@ -1962,9 +1962,16 @@ class KafkaBrokerFixture:
             return (_prefix() + _i16(code) + _i32(-1) + _string(None)
                     + _string(None) + _string(member_id) + _i32(0))
 
-        def members_body(g, mid: str) -> bytes:
+        def members_body(g, mid: str,
+                         include_members: bool = True) -> bytes:
+            # include_members=False is the KIP-345 skip_assignment
+            # semantics: a static reclaim into a Stable group must NOT
+            # hand the (possibly leader) member the roster, or its
+            # client-side assignor would recompute the ranges keyed by
+            # its NEW member id and move partitions — the whole point
+            # of static membership is that nothing moves
             blk = (sorted(g.round_members.items())
-                   if mid == g.leader else [])
+                   if include_members and mid == g.leader else [])
             inst_of = {m: i for i, m in g.static_ids.items()}
             body = (_prefix() + _i16(0) + _i32(g.generation)
                     + _string("range") + _string(g.leader)
@@ -2025,7 +2032,8 @@ class KafkaBrokerFixture:
                         member_id = new_mid
                         if g.state == "Stable" and meta == old_meta:
                             g.cond.notify_all()
-                            return members_body(g, member_id)
+                            return members_body(g, member_id,
+                                                include_members=False)
                         # subscription changed (or a rebalance is in
                         # flight): fall through to the normal join
                         # under the NEW member id

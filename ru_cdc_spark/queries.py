@@ -1541,6 +1541,23 @@ def _register_bucketed() -> None:
 _register_bucketed()
 
 
+def _register_layout() -> None:
+    from ru_cdc_spark.operators.layout import (
+        zorder_layout_stats,
+        zorder_layout_stats_sql,
+        zorder_scan_fraction,
+        zorder_scan_fraction_sql,
+    )
+
+    register("zorder_layout_stats",
+             zorder_layout_stats_sql())(zorder_layout_stats)
+    register("zorder_scan_fraction",
+             zorder_scan_fraction_sql())(zorder_scan_fraction)
+
+
+_register_layout()
+
+
 @register(
     "partition_pruned_scan",
     """

@@ -511,6 +511,94 @@ def range_assign(members: list[tuple[str, bytes]],
     return out
 
 
+def encode_sticky_user_data(owned: dict[str, list[int]],
+                            generation: int = -1) -> bytes:
+    """The sticky assignor's subscription userData (KIP-54 shape:
+    previous assignment + generation): what each member tells the
+    leader it currently owns, so the next assignment can avoid moving
+    partitions."""
+    body = _i32(len(owned))
+    for t in sorted(owned):
+        body += _string(t) + _i32(len(owned[t]))
+        body += b"".join(_i32(p) for p in owned[t])
+    return body + _i32(generation)
+
+
+def decode_sticky_user_data(data: bytes
+                            ) -> tuple[dict[str, list[int]], int]:
+    if not data:
+        return {}, -1
+    r = _Reader(data)
+    owned: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        t = r.string() or ""
+        owned[t] = [r.i32() for _ in range(r.i32())]
+    return owned, r.i32()
+
+
+def sticky_assign(members: list[tuple[str, bytes]],
+                  topic_partitions: dict[str, int]
+                  ) -> dict[str, dict[str, list[int]]]:
+    """The STICKY assignor (KIP-54, the eager-protocol flavor real
+    clients ship): members advertise their currently-owned partitions
+    in subscription userData; the leader preserves ownership wherever
+    the balance target allows, so a rebalance moves ONLY the
+    partitions it must — orphans of a dead member, or the excess of an
+    over-target member — where the range assignor reshuffles whole
+    contiguous blocks on every membership change. Conflicting claims
+    (two incarnations claiming one partition) resolve to the HIGHER
+    generation, ties to the lexicographically smaller member id, like
+    the real assignor's generation fencing.
+
+    Deterministic: same inputs -> same assignment, so a re-run of a
+    leader's sync is idempotent. Runs on the LEADER member; the broker
+    stores the result opaquely."""
+    subs: dict[str, set[str]] = {}
+    claims: dict[str, tuple[dict[str, list[int]], int]] = {}
+    for m, meta in members:
+        topics, ud = decode_subscription(meta)
+        subs[m] = set(topics)
+        claims[m] = decode_sticky_user_data(ud)
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in subs}
+    for t in sorted({t for ts in subs.values() for t in ts}):
+        ms = sorted(m for m, ts in subs.items() if t in ts)
+        if not ms:
+            continue
+        n = topic_partitions.get(t, 1)
+        per, extra = divmod(n, len(ms))
+        target = {m: per + (1 if i < extra else 0)
+                  for i, m in enumerate(ms)}
+        # resolve ownership claims: highest generation wins a
+        # contested partition, tie -> smaller member id
+        owner: dict[int, tuple[int, str]] = {}
+        for m in ms:
+            owned, gen = claims[m]
+            for p in owned.get(t, []):
+                if 0 <= p < n:
+                    cand = (-gen, m)
+                    if p not in owner or cand < owner[p]:
+                        owner[p] = cand
+        kept: dict[str, list[int]] = {m: [] for m in ms}
+        for p in sorted(owner):
+            kept[owner[p][1]].append(p)
+        # an over-target owner releases its highest-numbered extras
+        released: list[int] = []
+        for m in ms:
+            while len(kept[m]) > target[m]:
+                released.append(kept[m].pop())
+        # orphans (never claimed, or just released) go to the members
+        # furthest below target, smallest partition first
+        assigned = {p for ps in kept.values() for p in ps}
+        orphans = sorted(set(range(n)) - assigned)
+        for p in orphans:
+            m = min(ms, key=lambda m: (len(kept[m]) - target[m], m))
+            kept[m].append(p)
+        for m in ms:
+            if kept[m]:
+                out[m][t] = sorted(kept[m])
+    return out
+
+
 class KafkaError(RuntimeError):
     def __init__(self, code: int, where: str) -> None:
         super().__init__(f"kafka error {code} in {where}")
@@ -738,7 +826,9 @@ class KafkaWireClient:
 
     def join_group(self, group_id: str, member_id: str,
                    topics: list[str], session_timeout_s: float = 6.0,
-                   instance_id: str | None = None
+                   instance_id: str | None = None,
+                   protocol: str = "range",
+                   user_data: bytes = b""
                    ) -> tuple[int, int, str, str, str,
                               list[tuple[str, bytes]]]:
         """JoinGroup v0, or v5 when ``instance_id`` is given (KIP-345
@@ -749,12 +839,12 @@ class KafkaWireClient:
         elected leader, which then computes the assignment. The request
         PARKS on the coordinator until the rebalance round's member set
         freezes (the real protocol's barrier)."""
-        sub = encode_subscription(topics)
+        sub = encode_subscription(topics, user_data)
         timeout_ms = int(session_timeout_s * 1000)
         if instance_id is None:
             body = (_string(group_id) + _i32(timeout_ms)
                     + _string(member_id) + _string("consumer")
-                    + _i32(1) + _string("range") + _bytes32(sub))
+                    + _i32(1) + _string(protocol) + _bytes32(sub))
             r = self._request(API_JOIN_GROUP, 0, body)
         else:
             # v5 layout: + rebalance_timeout (v1+), + group_instance_id
@@ -764,7 +854,7 @@ class KafkaWireClient:
                     + _i32(timeout_ms * 5)   # rebalance timeout
                     + _string(member_id) + _string(instance_id)
                     + _string("consumer")
-                    + _i32(1) + _string("range") + _bytes32(sub))
+                    + _i32(1) + _string(protocol) + _bytes32(sub))
             r = self._request(API_JOIN_GROUP, 5, body)
             r.i32()  # throttle_time
         err, gen = r.i16(), r.i32()
@@ -1177,12 +1267,19 @@ class GroupConsumer:
     def __init__(self, host: str, port: int, group_id: str,
                  topics: list[str], session_timeout_s: float = 6.0,
                  client_timeout_s: float = 30.0,
-                 instance_id: str | None = None) -> None:
+                 instance_id: str | None = None,
+                 assignor: str = "range") -> None:
+        if assignor not in ("range", "sticky"):
+            raise ValueError(f"unknown assignor {assignor!r}")
         self.group_id = group_id
         self.topics = list(topics)
         self.session_timeout_s = session_timeout_s
         self.member_id = ""
         self.generation = -1
+        # "sticky" (KIP-54): owned partitions ride in the subscription
+        # userData and the leader preserves ownership up to the balance
+        # target — a member death moves ONLY the orphaned partitions
+        self.assignor = assignor
         # KIP-345 group.instance.id: set it and a restart of this
         # consumer reclaims its assignment with NO rebalance (the
         # rolling-restart pattern real deployments run); a duplicate
@@ -1200,9 +1297,13 @@ class GroupConsumer:
             if attempts > 50:
                 raise KafkaError(ERR_REBALANCE_IN_PROGRESS,
                                  "JoinGroup (no stable round)")
+            ud = (encode_sticky_user_data(self.assignment,
+                                          self.generation)
+                  if self.assignor == "sticky" else b"")
             err, gen, _proto, leader, mid, members = self._c.join_group(
                 self.group_id, self.member_id, self.topics,
-                self.session_timeout_s, instance_id=self.instance_id)
+                self.session_timeout_s, instance_id=self.instance_id,
+                protocol=self.assignor, user_data=ud)
             if err == ERR_UNKNOWN_MEMBER_ID:
                 self.member_id = ""
                 continue
@@ -1223,7 +1324,9 @@ class GroupConsumer:
                      for t in decode_subscription(m)[0]}))
                 tp = {t: len(info["partitions"])
                       for t, info in meta["topics"].items()}
-                plan = range_assign(members, tp)
+                plan = (sticky_assign(members, tp)
+                        if self.assignor == "sticky"
+                        else range_assign(members, tp))
                 err2, mine = self._c.sync_group(
                     self.group_id, gen, mid,
                     [(m, encode_assignment(a))
@@ -1553,7 +1656,7 @@ class _GroupCoordState:
 
     __slots__ = ("state", "generation", "members", "leader",
                  "assignments", "cond", "pending", "round_members",
-                 "deadline", "static_ids", "fenced")
+                 "deadline", "static_ids", "fenced", "protocol")
 
     def __init__(self, lock: threading.Lock) -> None:
         self.state = "Empty"
@@ -1572,6 +1675,10 @@ class _GroupCoordState:
         # FENCED_INSTANCE_ID, never silent success
         self.static_ids: dict[str, str] = {}
         self.fenced: set[str] = set()
+        # the group's selected partition.assignment.strategy name —
+        # echoed in every JoinGroup response (the broker never
+        # interprets it; assignment runs on the leader client)
+        self.protocol = "range"
 
 
 class KafkaBrokerFixture:
@@ -1954,6 +2061,7 @@ class KafkaBrokerFixture:
         protos = [(r.string(), r.bytes32() or b"")
                   for _ in range(r.i32())]
         meta = protos[0][1] if protos else b""
+        proto_name = (protos[0][0] or "range") if protos else "range"
 
         def _prefix() -> bytes:
             return _i32(0) if v >= 2 else b""  # throttle_time (v2+)
@@ -1974,7 +2082,7 @@ class KafkaBrokerFixture:
                    if include_members and mid == g.leader else [])
             inst_of = {m: i for i, m in g.static_ids.items()}
             body = (_prefix() + _i16(0) + _i32(g.generation)
-                    + _string("range") + _string(g.leader)
+                    + _string(g.protocol) + _string(g.leader)
                     + _string(mid) + _i32(len(blk)))
             for m, mm in blk:
                 body += _string(m)
@@ -2042,6 +2150,7 @@ class KafkaBrokerFixture:
                 member_id = f"member-{self._next_member}"
             if instance_id is not None:
                 g.static_ids[instance_id] = member_id
+            g.protocol = proto_name
             g.members[member_id] = {
                 "timeout": max(session_timeout, 1000) / 1000.0,
                 "meta": meta, "hb": now}

@@ -616,6 +616,155 @@ class TestStaticMembership:
             gcd.close()
 
 
+class TestStickyAssignor:
+    """KIP-54 sticky assignment (round 10): owned partitions ride in
+    the subscription userData; a rebalance moves ONLY orphans or
+    over-target excess, where range reshuffles contiguous blocks."""
+
+    @staticmethod
+    def _member(mid, topics, owned=None, gen=0):
+        from ru_cdc_spark.sources.kafka_wire import (
+            encode_sticky_user_data,
+            encode_subscription,
+        )
+
+        ud = encode_sticky_user_data(owned or {}, gen)
+        return (mid, encode_subscription(topics, ud))
+
+    def test_fresh_group_balances(self):
+        from ru_cdc_spark.sources.kafka_wire import sticky_assign
+
+        plan = sticky_assign(
+            [self._member("a", ["t"]), self._member("b", ["t"])],
+            {"t": 6})
+        got = sorted(plan["a"]["t"] + plan["b"]["t"])
+        assert got == [0, 1, 2, 3, 4, 5]
+        assert len(plan["a"]["t"]) == 3 and len(plan["b"]["t"]) == 3
+
+    def test_member_death_moves_only_orphans(self):
+        from ru_cdc_spark.sources.kafka_wire import sticky_assign
+
+        # survivors owned {0,1} and {2,3}; dead member's {4,5} orphan
+        plan = sticky_assign(
+            [self._member("a", ["t"], {"t": [0, 1]}, gen=3),
+             self._member("b", ["t"], {"t": [2, 3]}, gen=3)],
+            {"t": 6})
+        assert set(plan["a"]["t"]) >= {0, 1}
+        assert set(plan["b"]["t"]) >= {2, 3}
+        assert sorted(plan["a"]["t"] + plan["b"]["t"]) == \
+            [0, 1, 2, 3, 4, 5]
+        assert {len(plan["a"]["t"]), len(plan["b"]["t"])} == {3}
+
+    def test_new_member_takes_only_excess(self):
+        from ru_cdc_spark.sources.kafka_wire import sticky_assign
+
+        plan = sticky_assign(
+            [self._member("a", ["t"], {"t": [0, 1, 2]}, gen=2),
+             self._member("b", ["t"], {"t": [3, 4, 5]}, gen=2),
+             self._member("c", ["t"])],
+            {"t": 6})
+        # each incumbent keeps exactly its target (2), releasing its
+        # highest-numbered extra; the newcomer gets the released pair
+        assert plan["a"]["t"] == [0, 1]
+        assert plan["b"]["t"] == [3, 4]
+        assert plan["c"]["t"] == [2, 5]
+
+    def test_conflicting_claims_resolve_by_generation(self):
+        from ru_cdc_spark.sources.kafka_wire import sticky_assign
+
+        plan = sticky_assign(
+            [self._member("zombie", ["t"], {"t": [0, 1]}, gen=4),
+             self._member("fresh", ["t"], {"t": [0, 1]}, gen=7)],
+            {"t": 4})
+        # the higher generation keeps the contested pair
+        assert set(plan["fresh"]["t"]) >= {0, 1}
+        assert sorted(plan["zombie"]["t"]
+                      + plan["fresh"]["t"]) == [0, 1, 2, 3]
+
+    def test_userdata_codec_roundtrip(self):
+        from ru_cdc_spark.sources.kafka_wire import (
+            decode_sticky_user_data,
+            encode_sticky_user_data,
+        )
+
+        owned = {"t": [4, 0, 9], "u": []}
+        assert decode_sticky_user_data(
+            encode_sticky_user_data(owned, 11)) == (owned, 11)
+        assert decode_sticky_user_data(b"") == ({}, -1)
+
+    def test_live_death_keeps_survivor_partitions(self):
+        """Three live sticky consumers, one dies: every survivor's new
+        assignment is a SUPERSET of its old one (range would move a
+        partition between survivors here)."""
+        import threading
+
+        from ru_cdc_spark.sources.kafka_wire import (
+            GroupConsumer,
+            KafkaBrokerFixture,
+        )
+
+        b = KafkaBrokerFixture()
+        b.group_initial_rebalance_delay_s = 0.3
+        b.create_topic("t", 6)
+        b.start()
+        out = {}
+        try:
+            def member(name):
+                gc = GroupConsumer("127.0.0.1", b.port, "g", ["t"],
+                                   session_timeout_s=1.5,
+                                   assignor="sticky")
+                out[name] = (gc, gc.join())
+
+            ts = [threading.Thread(target=member, args=(n,))
+                  for n in ("A", "B", "C")]
+            for t in ts:
+                t.start()
+                time.sleep(0.05)
+            for t in ts:
+                t.join(20)
+            (gca, aa), (gcb, ab), (gcc, _) = out["A"], out["B"], \
+                out["C"]
+            assert all(len(out[n][1]["t"]) == 2 for n in "ABC")
+            gcc.close()  # crash, no LeaveGroup
+            # survivors heartbeat CONCURRENTLY (like real clients —
+            # a join parks through the round, so sequential driving
+            # from one thread would starve the other member out of
+            # every round)
+            latest: dict[str, dict] = {}
+            stop = threading.Event()
+
+            def drive(name, gc):
+                while not stop.is_set():
+                    latest[name] = gc.ensure_active()
+                    time.sleep(0.1)
+
+            ds = [threading.Thread(target=drive, args=(n, g))
+                  for n, g in (("A", gca), ("B", gcb))]
+            for d in ds:
+                d.start()
+            deadline = time.time() + 15
+            while time.time() < deadline:
+                na = latest.get("A", {}).get("t", [])
+                nb = latest.get("B", {}).get("t", [])
+                if (sorted(na + nb) == [0, 1, 2, 3, 4, 5]
+                        and gca.generation == gcb.generation):
+                    break
+                time.sleep(0.2)
+            stop.set()
+            for d in ds:
+                d.join(20)
+            na, nb = latest["A"]["t"], latest["B"]["t"]
+            assert sorted(na + nb) == [0, 1, 2, 3, 4, 5]
+            # stickiness: nothing a survivor owned moved
+            assert set(na) >= set(aa["t"])
+            assert set(nb) >= set(ab["t"])
+        finally:
+            for n in ("A", "B"):
+                if n in out:
+                    out[n][0].close()
+        b.stop()
+
+
 class TestListOffsets:
     """ListOffsets v1 (round 9): offset-by-timestamp seek — how a
     replaying consumer finds 'everything since 10:00'."""

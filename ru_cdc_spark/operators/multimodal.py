@@ -885,3 +885,93 @@ SELECT doc_id, width, height,
             END AS BIGINT) AS px_sum
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# audio spectral analysis (round 10): REAL DFT over synthesized PCM —
+# each doc carries a pure sine at a KNOWN frequency bin, the operator
+# decodes the WAV and finds the dominant bin with numpy's FFT, and the
+# oracle recomputes the bin/frequency in closed form from doc_id. The
+# peak-bin argmax is integer-exact (one tone -> one spectral line;
+# int16 quantization noise sits ~80 dB below the peak), so a float DSP
+# pipeline still hash-gates exactly.
+# ---------------------------------------------------------------------------
+
+AUDIO_SPECTRAL_N_DOCS = 240
+AUDIO_SPECTRAL_N = 256          # samples per clip (power of two)
+AUDIO_SPECTRAL_RATE = 8000      # Hz
+
+
+def attach_tone_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize one WAV per doc: a pure sine at bin
+    k = 2 + doc_id % 100 of an N=256-point spectrum, amplitude 12000,
+    encoded by the in-repo RIFF codec (functions/wav.py)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ru_cdc_spark.functions.wav import encode_wav
+
+        n = AUDIO_SPECTRAL_N
+        t = np.arange(n)
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = 2 + d % 100
+                s = np.round(12000.0 * np.sin(2 * np.pi * k * t / n)) \
+                    .astype(np.int16).reshape(n, 1)
+                blobs.append(encode_wav(s, AUDIO_SPECTRAL_RATE))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    return (docs.select("doc_id")
+            .mapInPandas(op, "doc_id long, payload binary"))
+
+
+def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-frequency extraction over audio payloads — the feature
+    an audio curation pipeline buckets/filters on: decode PCM, run a
+    real 256-point FFT per clip inside Arrow batches, report the peak
+    bin and its frequency (integer Hz via (bin * rate) div N, the same
+    expression the oracle computes from the synthesis parameters).
+
+    Scale: pure mapInPandas — payload bytes never leave the executor,
+    no shuffle; a 100 TB audio corpus runs this as one scan whose cost
+    is the FFT (O(N log N) per clip)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < AUDIO_SPECTRAL_N_DOCS)
+    with_audio = attach_tone_payload(docs)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ru_cdc_spark.functions.wav import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(p))
+                mono = s[:, 0].astype(np.float64)
+                spec = np.abs(np.fft.rfft(mono))
+                peak = int(np.argmax(spec[1:]) + 1)  # skip DC
+                rows.append((int(d), int(mono.shape[0]), int(rate),
+                             peak, (peak * int(rate)) // mono.shape[0]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "sample_rate", "peak_bin",
+                "peak_freq_hz"])
+
+    return with_audio.mapInPandas(
+        op, "doc_id long, n_samples long, sample_rate long, "
+            "peak_bin long, peak_freq_hz long")
+
+
+AUDIO_SPECTRAL_SQL = f"""
+SELECT doc_id,
+       CAST({AUDIO_SPECTRAL_N} AS BIGINT) AS n_samples,
+       CAST({AUDIO_SPECTRAL_RATE} AS BIGINT) AS sample_rate,
+       CAST(2 + doc_id % 100 AS BIGINT) AS peak_bin,
+       CAST(((2 + doc_id % 100) * {AUDIO_SPECTRAL_RATE})
+            // {AUDIO_SPECTRAL_N} AS BIGINT) AS peak_freq_hz
+FROM documents WHERE doc_id < {AUDIO_SPECTRAL_N_DOCS}
+"""

@@ -1484,6 +1484,8 @@ register("multimodal_video_frame_sample",
     _mm.multimodal_video_frame_sample)
 register("multimodal_phash_clusters",
          None)(_mm.multimodal_phash_clusters)  # DCT + iterative
+register("multimodal_audio_spectral",
+         _mm.AUDIO_SPECTRAL_SQL)(_mm.audio_spectral)
 
 from ru_cdc_spark.operators import graph as _gr  # noqa: E402
 

@@ -114,3 +114,31 @@ class TestAllModalityDispatch:
             decode_payload(b"\x00unknown bytes", "audio")
         fake = decode_payload(b"\x00unknown bytes", "audio", fake=True)
         assert set(fake) == {"width", "height", "n_frames"}
+
+
+class TestAudioSpectral:
+    def test_peak_bin_is_synthesis_bin(self):
+        import numpy as np
+
+        from ru_cdc_spark.functions.wav import decode_wav, encode_wav
+        from ru_cdc_spark.operators.multimodal import (
+            AUDIO_SPECTRAL_N,
+            AUDIO_SPECTRAL_RATE,
+        )
+
+        n, t = AUDIO_SPECTRAL_N, np.arange(256)
+        for k in (2, 17, 63, 101, 127):
+            s = np.round(12000.0 * np.sin(2 * np.pi * k * t / n)) \
+                .astype(np.int16).reshape(n, 1)
+            out, rate = decode_wav(encode_wav(s, AUDIO_SPECTRAL_RATE))
+            spec = np.abs(np.fft.rfft(out[:, 0].astype(np.float64)))
+            assert int(np.argmax(spec[1:]) + 1) == k
+
+    def test_two_tone_picks_dominant(self):
+        import numpy as np
+
+        t = np.arange(256)
+        s = (10000.0 * np.sin(2 * np.pi * 40 * t / 256)
+             + 3000.0 * np.sin(2 * np.pi * 90 * t / 256))
+        spec = np.abs(np.fft.rfft(s))
+        assert int(np.argmax(spec[1:]) + 1) == 40

@@ -104,6 +104,13 @@ SHOWCASE = [
     # knn_brute_force, text_lang_id_ngram; r9 rotation:
     # kafka_to_acid_snapshot, mysql_socket_compressed_snapshot,
     # cdc_kafka_transactional_stream)
+    # round-10 additions (flagship candidates for a future rotation):
+    # KIP-345 static membership, header-only routing, the KIP-110
+    # compression matrix, ListOffsets replay, Z-order layout, FFT audio
+    "cdc_kafka_static_member_stream", "cdc_kafka_header_routing",
+    "cdc_kafka_compression_matrix", "cdc_kafka_replay_from_ts",
+    "zorder_scan_fraction", "zorder_layout_stats",
+    "multimodal_audio_spectral",
     "q5_local_supplier_volume", "events_hourly_rollup",
     "dedup_exact", "knn_brute_force", "text_lang_id_ngram",
     "kafka_to_acid_snapshot", "mysql_socket_compressed_snapshot",

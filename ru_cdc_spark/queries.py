@@ -4558,6 +4558,189 @@ def cdc_kafka_group_rebalance(spark: SparkSession,
             .select("r.*"))
 
 
+def cdc_kafka_sticky_rebalance(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """KIP-54 sticky assignment under a member death, distributed
+    (round 10): THREE consumers with the sticky assignor split a
+    6-partition topic 2/2/2; one is killed mid-drain (no LeaveGroup).
+    The survivors re-join carrying their owned partitions in the
+    subscription userData and the leader's sticky plan moves ONLY the
+    dead member's orphans — asserted in-task whenever the rebalance
+    settled in one round (scheduling skew can legitimately produce a
+    single-member interim round whose higher-generation claim
+    supersedes a survivor's; the assertion is skipped then, exactly
+    like the real assignor's generation fencing). The record union,
+    offset-deduplicated, hash-matches the change-stream oracle.
+
+    Scale: same O(rebalance) cost shape as ``cdc_kafka_group_rebalance``
+    but with the movement bill cut to the orphan set — the property
+    that matters when a 500-consumer fleet rolls one pod."""
+    import uuid as _uuid
+
+    from ru_cdc_spark.sources.kafka_wire import KafkaBrokerFixture
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+    n_parts = 6
+    topic = f"st{_uuid.uuid4().hex[:8]}_changes"
+    broker.create_topic(topic, n_parts)
+
+    flat = derive_order_changes(spark, sf_dir).selectExpr(*[
+        c.strip() for c in _FLAT_STREAM_COLS.split(",")])
+    schema = flat.schema
+    n_records = flat.count()
+    host, port = "127.0.0.1", broker.port
+
+    payloads = flat.select(
+        (F.col("id") % n_parts).cast("int").alias("kpart"),
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct(*flat.columns)).alias("value"))
+    payloads.foreachPartition(_kpart_producer(host, port, topic))
+
+    group = f"grp_{topic}"
+    kill_after = max(1, n_records // 8)
+
+    def run_consumer(idx: int) -> tuple[list, list, list]:
+        import time as _t
+
+        from ru_cdc_spark.sources.kafka_wire import (
+            ERR_ILLEGAL_GENERATION,
+            ERR_REBALANCE_IN_PROGRESS,
+            ERR_UNKNOWN_MEMBER_ID,
+            GroupConsumer,
+            KafkaError,
+        )
+
+        dying = idx == 2
+        gc = GroupConsumer(host, port, group, [topic],
+                           session_timeout_s=2.0, assignor="sticky")
+        out_p: list[int] = []
+        out_o: list[int] = []
+        out_v: list[str] = []
+        positions: dict[int, int] = {}
+
+        def global_complete() -> bool:
+            comm = gc.committed(topic, list(range(n_parts)))
+            for p in range(n_parts):
+                hw = gc.fetch(topic, p, comm.get(p, 0),
+                              max_bytes=1)["high_watermark"]
+                if comm.get(p, 0) < hw:
+                    return False
+            return True
+
+        try:
+            gc.join()
+            pre_gen = gc.generation
+            pre_parts = set(gc.assignment.get(topic, []))
+            consumed = 0
+            deadline = _t.time() + 120
+            while True:
+                if _t.time() > deadline:
+                    raise TimeoutError(
+                        f"sticky consumer {idx}: drain never completed")
+                assignment = gc.ensure_active()
+                parts = assignment.get(topic, [])
+                if (not dying and gc.generation == pre_gen + 1
+                        and pre_parts
+                        and not pre_parts <= set(parts)):
+                    # ONE rebalance round settled the death: sticky
+                    # must have kept every partition this survivor
+                    # owned (only the dead member's orphans move)
+                    raise AssertionError(
+                        f"sticky moved a survivor's partitions: "
+                        f"{sorted(pre_parts)} -> {sorted(parts)}")
+                for p in parts:
+                    if p not in positions:
+                        positions[p] = gc.committed(topic, [p])[p]
+                drained = True
+                for p in parts:
+                    got = gc.fetch(topic, p, positions[p])
+                    recs = [r for r in got["records"]
+                            if r[0] >= positions[p]]
+                    for off, _k, val in recs:
+                        out_p.append(p)
+                        out_o.append(off)
+                        out_v.append(val.decode())
+                    if recs:
+                        positions[p] = recs[-1][0] + 1
+                        consumed += len(recs)
+                        if dying and consumed >= kill_after:
+                            gc.close()
+                            return out_p, out_o, out_v
+                        try:
+                            gc.commit(topic, p, positions[p])
+                        except KafkaError as e:
+                            if e.code not in (ERR_ILLEGAL_GENERATION,
+                                              ERR_UNKNOWN_MEMBER_ID,
+                                              ERR_REBALANCE_IN_PROGRESS):
+                                raise
+                            drained = False
+                            break
+                    if positions[p] < got["high_watermark"]:
+                        drained = False
+                if drained and global_complete():
+                    break
+                _t.sleep(0.05)
+            gc.leave()
+        finally:
+            try:
+                gc.close()
+            except OSError:
+                pass
+        return out_p, out_o, out_v
+
+    def consume(batches):
+        import threading as _th
+
+        import pandas as pd
+
+        ids = sorted({int(v) for pdf in batches
+                      for v in pdf["consumer"]})
+        if not ids:
+            return
+        results: dict[int, tuple] = {}
+        errors: dict[int, BaseException] = {}
+
+        def runner(i: int) -> None:
+            try:
+                results[i] = run_consumer(i)
+            except BaseException as exc:
+                errors[i] = exc
+
+        if len(ids) == 1:
+            results[ids[0]] = run_consumer(ids[0])
+        else:
+            ts = [_th.Thread(target=runner, args=(i,)) for i in ids]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            if errors:
+                raise next(iter(errors.values()))
+        out_p: list[int] = []
+        out_o: list[int] = []
+        out_v: list[str] = []
+        for i in ids:
+            p, o, v = results[i]
+            out_p += p
+            out_o += o
+            out_v += v
+        yield pd.DataFrame({"partition": out_p, "offset": out_o,
+                            "value": out_v})
+
+    consumers = spark.createDataFrame([(0,), (1,), (2,)],
+                                      "consumer int").repartition(3)
+    raw = consumers.mapInPandas(
+        consume, "partition int, offset bigint, value string")
+    deduped = (raw.groupBy("partition", "offset")
+               .agg(F.max("value").alias("value")))
+    return (deduped
+            .select(F.from_json(F.col("value"), schema).alias("r"))
+            .select("r.*"))
+
+
 def cdc_kafka_static_member_stream(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """KIP-345 static membership end to end (round 10): TWO consumers
@@ -5345,6 +5528,9 @@ def _register_binlog_wire() -> None:
     register("cdc_kafka_static_member_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_static_member_stream)
+    register("cdc_kafka_sticky_rebalance",
+             REGISTRY["cdc_change_stream"].oracle)(
+        cdc_kafka_sticky_rebalance)
     register("cdc_kafka_eos_transform",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_eos_transform)

@@ -577,3 +577,25 @@ def test_events_pattern_match_partitioned_windows_take_ordered(
     plan = physical_plan(df)
     assert _unpartitioned_window_count(plan) == 0, plan[:800]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_layout_no_sort_no_window(spark, sf_dir):
+    """Z-order layout (round 10): cell assignment is pure per-row
+    integer arithmetic — NO global sort, NO window anywhere; the only
+    exchanges are the groupBy(cell) hash shuffles with map-side
+    partials (HashAggregate before the exchange)."""
+    df = REGISTRY["zorder_layout_stats"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan[:800]
+    assert "rangepartitioning" not in plan  # no global sort exchange
+    assert "HashAggregate" in plan
+
+
+def test_audio_spectral_single_pass_no_shuffle(spark, sf_dir):
+    """Audio spectral (round 10): synthesize -> decode -> FFT is one
+    mapInPandas chain over the documents scan — payload bytes never
+    shuffle."""
+    df = REGISTRY["multimodal_audio_spectral"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan[:800]
+    assert plan.count("MapInPandas") == 2  # synth + analyze

@@ -1185,11 +1185,21 @@ class MySQLConnection:
         return decode_ok(self._read_or_raise())
 
     def binlog_dump(self, filename: str, pos: int,
-                    server_id: int = 100, flags: int = 0,
+                    server_id: int = 100,
+                    flags: int = 1,  # BINLOG_DUMP_NON_BLOCK
                     semi_sync: bool = False):
         """Issue COM_BINLOG_DUMP (main.rs:94-100) and yield raw event
         bytes. Each network packet is ``0x00`` + event; EOF(0xfe) or
         socket close ends the stream.
+
+        ``flags`` defaults to BINLOG_DUMP_NON_BLOCK (0x01): the server
+        answers EOF at the log tail — the batch-read discipline every
+        slice/snapshot path here uses. ``flags=0`` is the real
+        replica's BLOCKING tail: the server never EOFs, streams each
+        appended event live, and fills idle stretches with
+        HEARTBEAT(27) events (skip type 27; its log_pos advances the
+        resume coordinate). The caller ends a blocking dump by hanging
+        up.
 
         ``semi_sync=True`` runs the rpl_semi_sync slave side (the
         published semisync framing): the replica registers with

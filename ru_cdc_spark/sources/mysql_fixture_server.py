@@ -438,6 +438,12 @@ class MySQLFixtureServer:
         # writers interleave deterministically with chunk reads
         self.on_select = None
         self._mu = threading.RLock()
+        # blocking (flags&1 == 0) dumps park here between appends; a
+        # LiveTable DML notifies so live tails deliver without polling
+        self._binlog_cv = threading.Condition(self._mu)
+        # idle masters send HEARTBEAT(27) at this cadence so a blocked
+        # replica can tell "no events" from "dead master"
+        self.heartbeat_period_s = 0.2
         self.host = host
         self.port = 0
         self._sock: socket.socket | None = None
@@ -460,6 +466,7 @@ class MySQLFixtureServer:
                     yield self.binlog
                 finally:
                     self._framed_cache = {}
+                    self._binlog_cv.notify_all()
         return scope()
 
     def add_live_table(self, name: str, columns: list,
@@ -1035,7 +1042,7 @@ class MySQLFixtureServer:
     # -- COM_BINLOG_DUMP ---------------------------------------------------
 
     def _handle_dump(self, io: PacketIO, pkt: bytes) -> None:
-        pos, _flags, _server_id, filename = decode_com_binlog_dump(pkt)
+        pos, flags, _server_id, filename = decode_com_binlog_dump(pkt)
         names = [b.filename for b in self.binlogs]
         start_idx = names.index(filename) if filename in names else None
         if filename and start_idx is None:
@@ -1088,9 +1095,14 @@ class MySQLFixtureServer:
         if self.semi_sync and getattr(io, "semi_sync", False):
             self._handle_dump_semisync(io, start_idx, pos)
             return
-        out = bytearray()
-        for part in self._dump_parts(start_idx, pos):
-            out += part
+        blocking = (flags & 1) == 0  # real replica default: no
+        #                              BINLOG_DUMP_NON_BLOCK bit
+        with self._mu:
+            out = bytearray()
+            for part in self._dump_parts(
+                    start_idx, pos, eof=not blocking):
+                out += part
+            sent_end = self.binlog.end_pos
         try:
             # one buffered sendall: the event stream leaves in TCP-sized
             # writes instead of one syscall per tiny packet
@@ -1105,6 +1117,47 @@ class MySQLFixtureServer:
             # slice readers hang up once their [lo, hi) range is
             # satisfied — a client disconnect mid-dump is normal
             return
+        if blocking:
+            # the live tail a real replica runs: BLOCK at the log end,
+            # stream every appended event as it lands, heartbeat(27)
+            # through idle stretches — never an EOF packet
+            self._tail_dump(io, sent_end)
+
+    def _tail_dump(self, io: PacketIO, sent_end: int) -> None:
+        import zlib
+
+        from ru_cdc_spark.sources.binlog_wire import encode_heartbeat
+        from ru_cdc_spark.sources.mysql_client import encode_packet
+
+        while not self._stop.is_set():
+            with self._binlog_cv:
+                tip = self.binlog
+                new = [(s, e, ev) for s, e, ev in tip.events
+                       if s >= sent_end]
+                if not new:
+                    self._binlog_cv.wait(
+                        timeout=self.heartbeat_period_s)
+                    tip = self.binlog
+                    new = [(s, e, ev) for s, e, ev in tip.events
+                           if s >= sent_end]
+                name, crc = tip.filename, tip.crc32
+            try:
+                if new:
+                    buf = bytearray()
+                    for _s, e, ev in new:
+                        buf += encode_packet(0, b"\x00" + ev)
+                        sent_end = e
+                    io.sock.sendall(bytes(buf))
+                else:
+                    hb = encode_heartbeat(name, log_pos=sent_end)
+                    if crc:  # checksummed streams checksum heartbeats
+                        size = int.from_bytes(hb[9:13], "little") + 4
+                        hb = (hb[:9] + size.to_bytes(4, "little")
+                              + hb[13:])
+                        hb += zlib.crc32(hb).to_bytes(4, "little")
+                    io.sock.sendall(encode_packet(0, b"\x00" + hb))
+            except (ConnectionError, OSError):
+                return  # replica hung up — a normal tail end
 
     def _handle_dump_semisync(self, io: PacketIO, start_idx: int,
                               pos: int) -> None:
@@ -1279,7 +1332,7 @@ class MySQLFixtureServer:
         except (ConnectionError, OSError):
             return
 
-    def _dump_parts(self, start_idx: int, pos: int):
+    def _dump_parts(self, start_idx: int, pos: int, eof: bool = True):
         from ru_cdc_spark.sources.mysql_client import encode_packet
         from ru_cdc_spark.sources.binlog_wire import encode_rotate
 
@@ -1305,6 +1358,7 @@ class MySQLFixtureServer:
             if idx + 1 < len(self.binlogs):
                 yield encode_packet(0,
                                     b"\x00" + self._boundary_rotate(idx))
-        # bounded fixture: end the stream with EOF instead of blocking
-        # forever like a live dump would
-        yield encode_packet(0, b"\xfe\x00\x00\x02\x00")
+        # non-block dumps end with EOF at the log tail; blocking dumps
+        # (eof=False) flow into the live tail loop instead
+        if eof:
+            yield encode_packet(0, b"\xfe\x00\x00\x02\x00")

@@ -785,6 +785,95 @@ class TestGtidDump:
             srv.stop()
 
 
+class TestBlockingLiveTail:
+    """COM_BINLOG_DUMP without BINLOG_DUMP_NON_BLOCK (round 10): the
+    real replica discipline — the server never EOFs at the tail, every
+    appended event streams live over the SAME connection, and idle
+    stretches carry HEARTBEAT(27) events whose log_pos advances the
+    resume coordinate."""
+
+    def _srv(self):
+        from ru_cdc_spark.sources.binlog_wire import (
+            CHECKSUM_NONE,
+            ColSpec,
+            T_LONG,
+            T_LONGLONG,
+            encode_format_description,
+        )
+
+        vb = VirtualBinlog()
+        vb.append(encode_format_description(CHECKSUM_NONE))
+        srv = MySQLFixtureServer(binlog=vb)
+        srv.heartbeat_period_s = 0.05
+        srv.start()
+        t = srv.add_live_table("livetab", [
+            ("id", ColSpec(T_LONGLONG)), ("val", ColSpec(T_LONG))])
+        return srv, t
+
+    def test_tail_streams_live_appends_and_heartbeats(self):
+        import threading
+        import time as _t
+
+        srv, table = self._srv()
+        try:
+            table.insert((1, 10))
+            events: list[bytes] = []
+            saw_rows = threading.Event()
+            done = threading.Event()
+
+            def n_writes() -> int:
+                return sum(1 for e in events if e[4] == 30)
+
+            def tail():
+                try:
+                    with MySQLConnection.connect(
+                            "127.0.0.1", srv.port, srv.user,
+                            srv.password) as c:
+                        for ev in c.binlog_dump("binlog.000001", 4,
+                                                flags=0):
+                            events.append(ev)
+                            if ev[4] == 30:
+                                saw_rows.set()
+                            if n_writes() >= 2:
+                                return  # hang up: ends the tail
+                finally:
+                    done.set()
+
+            th = threading.Thread(target=tail)
+            th.start()
+            assert saw_rows.wait(10)  # pre-dump insert delivered
+            # idle stretch: heartbeats must flow
+            _t.sleep(0.3)
+            hbs = [e for e in events if e[4] == 27]
+            assert len(hbs) >= 2
+            # heartbeat names the tip file and carries the sent end
+            assert hbs[-1][19:].decode() == "binlog.000001"
+            assert int.from_bytes(hbs[-1][13:17], "little") == \
+                srv.binlog.end_pos
+            # live append: arrives on the SAME connection, no redial
+            table.insert((2, 20))
+            assert done.wait(10)
+            th.join(10)
+            assert n_writes() == 2
+            # the tail NEVER ended with an EOF — the client hung up
+            assert all(e[4] != 0xFE for e in events)
+        finally:
+            srv.stop()
+
+    def test_nonblock_dump_still_eofs_at_tail(self):
+        srv, table = self._srv()
+        try:
+            table.insert((1, 10))
+            with MySQLConnection.connect("127.0.0.1", srv.port,
+                                         srv.user,
+                                         srv.password) as c:
+                evs = list(c.binlog_dump("binlog.000001", 4))  # default
+            assert sum(1 for e in evs if e[4] == 30) == 1
+            assert all(e[4] != 27 for e in evs)  # no heartbeats
+        finally:
+            srv.stop()
+
+
 class TestAuthSwitchNonceEdge:
     def test_trailing_zero_nonce_survives_codec(self):
         """A server nonce may legitimately end in 0x00 — only the single

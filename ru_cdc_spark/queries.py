@@ -3520,6 +3520,119 @@ def _incremental_snapshot_fixture():
     return srv, table, script
 
 
+_TAIL_N_PRE, _TAIL_N_LIVE = 60, 40
+
+HEARTBEAT_TAIL_ORACLE = f"""
+WITH ids AS (SELECT UNNEST(range({_TAIL_N_PRE + _TAIL_N_LIVE})) AS i)
+SELECT CAST(i AS BIGINT) AS id,
+       CAST((i * 17) % 1000 AS BIGINT) AS val
+FROM ids
+"""
+
+
+def mysql_socket_heartbeat_tail(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The real replica's BLOCKING tail end to end (round 10): ONE
+    COM_BINLOG_DUMP connection with the NON_BLOCK flag cleared reads
+    the table's history, then stays blocked at the log end while a
+    concurrent writer keeps inserting — every live batch arrives on
+    the SAME connection (no redial, no polling), idle stretches carry
+    HEARTBEAT(27) events, and the tail STOPS by coordinate: it exits
+    when an event's (or heartbeat's!) log_pos reaches the writer's
+    final end — the heartbeat-advanced resume discipline Debezium
+    relies on through quiet periods. In-task assertions fail the query
+    if no heartbeat was observed or an EOF ever arrived.
+
+    Scale: a replication tail is inherently one ordered connection
+    (parallelism lives in slicing history — the other socket queries);
+    the frame decode is the distributed Arrow stage."""
+    import threading
+    import time as _t
+
+    from ru_cdc_spark.sources.binlog_wire import (
+        CHECKSUM_NONE,
+        ColSpec,
+        T_LONG,
+        T_LONGLONG,
+        encode_format_description,
+    )
+    from ru_cdc_spark.sources.mysql_client import (
+        MySQLConnection,
+        event_header,
+    )
+    from ru_cdc_spark.sources.mysql_fixture_server import (
+        MySQLFixtureServer,
+        VirtualBinlog,
+    )
+
+    vb = VirtualBinlog()
+    vb.append(encode_format_description(CHECKSUM_NONE))
+    srv = MySQLFixtureServer(binlog=vb)
+    srv.heartbeat_period_s = 0.03
+    srv.start()
+    try:
+        table = srv.add_live_table("tailtab", [
+            ("id", ColSpec(T_LONGLONG)), ("val", ColSpec(T_LONG))])
+        table.insert(*[(i, (i * 17) % 1000)
+                       for i in range(_TAIL_N_PRE)])
+        state: dict = {"final_end": None}
+
+        def writer() -> None:
+            hi = _TAIL_N_PRE + _TAIL_N_LIVE
+            for base in range(_TAIL_N_PRE, hi, 8):
+                _t.sleep(0.06)  # idle gaps: heartbeats must flow
+                table.insert(*[(i, (i * 17) % 1000)
+                               for i in range(base, min(base + 8, hi))])
+            with srv.mutation():
+                state["final_end"] = srv.binlog.end_pos
+
+        w = threading.Thread(target=writer)
+        w.start()
+        frames: list[tuple[int, bytes]] = []
+        n_hb, cur_tm = 0, None
+        with MySQLConnection.connect("127.0.0.1", srv.port, srv.user,
+                                     srv.password) as conn:
+            for ev in conn.binlog_dump("binlog.000001", 4, flags=0):
+                etype, _size, log_pos = event_header(ev)
+                if etype == 0xFE:
+                    raise AssertionError(
+                        "blocking dump must never EOF")
+                if etype == 27:
+                    n_hb += 1
+                elif etype == 19:
+                    cur_tm = bytes(ev)
+                elif etype in (30, 31, 32) and cur_tm is not None:
+                    frames.append((log_pos, cur_tm + bytes(ev)))
+                fin = state["final_end"]
+                if fin is not None and log_pos >= fin:
+                    break
+        w.join(30)
+        if n_hb == 0:
+            raise AssertionError(
+                "blocking tail observed no heartbeats")
+    finally:
+        srv.stop()
+
+    fdf = spark.createDataFrame(
+        [(p, bytearray(f)) for p, f in frames], "pos long, frame binary")
+
+    def dec(batches):
+        import pandas as pd
+
+        from ru_cdc_spark.sources.binlog_wire import decode_frame
+
+        for pdf in batches:
+            ids, vals = [], []
+            for raw in pdf["frame"]:
+                _s, _tb, _e, rows = decode_frame(bytes(raw))
+                for r in rows:
+                    ids.append(int(r[0]))
+                    vals.append(int(r[1]))
+            yield pd.DataFrame({"id": ids, "val": vals})
+
+    return fdf.mapInPandas(dec, "id long, val long")
+
+
 def mysql_incremental_snapshot(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """DBLog-style incremental snapshot under CONCURRENT writes, end to
@@ -5500,6 +5613,8 @@ def _register_binlog_wire() -> None:
              BINLOG_TXN_CHANGES_ORACLE)(mysql_socket_gtid_failover)
     register("mysql_incremental_snapshot",
              INCREMENTAL_SNAPSHOT_ORACLE)(mysql_incremental_snapshot)
+    register("mysql_socket_heartbeat_tail",
+             HEARTBEAT_TAIL_ORACLE)(mysql_socket_heartbeat_tail)
     register("mysql_socket_bootstrap_stream",
              INCREMENTAL_SNAPSHOT_ORACLE)(mysql_socket_bootstrap_stream)
     register("cdc_kafka_wire_roundtrip",

@@ -4163,6 +4163,64 @@ def cdc_kafka_replay_from_ts(spark: SparkSession,
             .select("r.*"))
 
 
+LAG_PARTS = 4
+
+
+def kafka_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-lag monitoring — the first thing any Kafka-backed CDC
+    deployment dashboards (the reference has only a throughput counter,
+    ``main.rs`` O1): per partition, the group's committed offset, the
+    log-end offset (ListOffsets -1), and the lag between them, read
+    back over the real wire. The scenario is deterministic — partition
+    p gets ``20 + 30*p`` records, the group commits at one third of
+    each — so the lag table hash-matches an arithmetic oracle.
+
+    Scale: one OffsetFetch + one ListOffsets per partition — O(topic
+    partitions) metadata RPCs, independent of log size; the exact query
+    a lag exporter fires per scrape."""
+    import uuid as _uuid
+
+    from ru_cdc_spark.sources.kafka_wire import (
+        KafkaBrokerFixture,
+        KafkaWireClient,
+    )
+
+    global _KAFKA_BROKER
+    if _KAFKA_BROKER is None:
+        _KAFKA_BROKER = KafkaBrokerFixture().start()
+    broker = _KAFKA_BROKER
+    topic = f"lag{_uuid.uuid4().hex[:8]}_t"
+    group = f"grp_{topic}"
+    broker.create_topic(topic, LAG_PARTS)
+
+    rows = []
+    with KafkaWireClient.connect("127.0.0.1", broker.port) as c:
+        for p in range(LAG_PARTS):
+            n = 20 + 30 * p
+            if n:
+                c.produce(topic, p,
+                          [(str(i).encode(), b"v%d" % i)
+                           for i in range(n)])
+            committed = n // 3
+            c.offset_commit(group, topic, {p: committed})
+        for p in range(LAG_PARTS):
+            committed, _m = c.offset_fetch(group, topic, [p])[p]
+            _ts, end = c.list_offsets(topic, p, -1)
+            rows.append((p, committed, end, end - committed))
+    return spark.createDataFrame(
+        rows, "partition long, committed long, log_end long, lag long")
+
+
+KAFKA_CONSUMER_LAG_SQL = f"""
+WITH parts AS (SELECT UNNEST(range({LAG_PARTS})) AS p)
+SELECT CAST(p AS BIGINT) AS partition,
+       CAST((20 + 30 * p) // 3 AS BIGINT) AS committed,
+       CAST(20 + 30 * p AS BIGINT) AS log_end,
+       CAST((20 + 30 * p) - (20 + 30 * p) // 3 AS BIGINT) AS lag
+FROM parts
+"""
+
+
 def cdc_kafka_idempotent_stream(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """KIP-98 idempotent produce executed adversarially: every record
@@ -5631,6 +5689,8 @@ def _register_binlog_wire() -> None:
              REGISTRY["cdc_change_stream"].oracle
              + " WHERE type <> 'DELETE'")(
         cdc_kafka_header_routing)
+    register("kafka_consumer_lag",
+             KAFKA_CONSUMER_LAG_SQL)(kafka_consumer_lag)
     register("cdc_kafka_wire_stream",
              REGISTRY["cdc_change_stream"].oracle)(
         cdc_kafka_wire_stream)

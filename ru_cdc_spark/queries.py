@@ -1608,6 +1608,79 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_DPP_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                   "4-NOT SPECIFIED", "5-LOW"]
+_DPP_HOT = ("1-URGENT", "2-HIGH")
+
+
+def build_dpp_join(spark: SparkSession, fact_path: str) -> DataFrame:
+    """The DPP join shape, un-materialized (shared with the plan gate):
+    a hive-partitioned fact joined to a broadcast dim filtered on a
+    NON-partition attribute — only Dynamic Partition Pruning can skip
+    fact partitions here (the fact carries no static predicate), via
+    the dynamicpruningexpression subquery Catalyst plants on the
+    scan's partition filters."""
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(p, "hot" if p in _DPP_HOT else "cold")
+         for p in _DPP_PRIORITIES],
+        "o_orderpriority string, grp string")
+    j = fact.join(F.broadcast(dim.where(F.col("grp") == "hot")),
+                  "o_orderpriority")
+    return (j.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").cast("double")
+                 .alias("total_price")))
+
+
+def dpp_pruned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning end to end (round 10): the fact table
+    lands hive-partitioned by o_orderpriority, the dim side's filter is
+    on a non-partition attribute (``grp = 'hot'``) — so PLANNING-time
+    pruning is impossible — and Catalyst's DPP subquery reuses the
+    broadcast dim to prune fact partitions at RUNTIME, reading 2/5 of
+    the directories. Result hash-matches a plain unpartitioned oracle:
+    pruning is pure I/O elision, never semantics.
+
+    At 100 TB this is THE mechanism that makes star-schema joins
+    feasible without manually pushing dim predicates onto the fact."""
+    import os
+    import shutil
+
+    from ru_cdc_spark.sources.layout import write_hive_partitioned
+
+    work = _session_tmpdir("dpp_")
+    try:
+        out = os.path.join(work, "orders_by_priority")
+        write_hive_partitioned(
+            load_table(spark, sf_dir, "orders"), out,
+            ["o_orderpriority"])
+        # materialize (executor-side) before the temp dir vanishes
+        return build_dpp_join(spark, out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DPP_PRUNED_FACT_JOIN_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus
+"""
+
+
+def _register_dpp() -> None:
+    register("dpp_pruned_fact_join",
+             DPP_PRUNED_FACT_JOIN_SQL)(dpp_pruned_fact_join)
+
+
+_register_dpp()
+
+
 @register(
     "catalog_broadcast_lookup",
     """

@@ -599,3 +599,21 @@ def test_audio_spectral_single_pass_no_shuffle(spark, sf_dir):
     plan = physical_plan(df)
     assert "Exchange" not in plan, plan[:800]
     assert plan.count("MapInPandas") == 2  # synth + analyze
+
+
+def test_dpp_join_has_dynamic_pruning_expression(spark, sf_dir,
+                                                 tmp_path):
+    """Dynamic Partition Pruning (round 10): the fact scan's partition
+    filters must carry the runtime dynamicpruningexpression subquery
+    (the dim's filter is on a non-partition attribute, so planning-time
+    pruning is impossible), and the dim side must broadcast."""
+    from ru_cdc_spark.queries import build_dpp_join
+    from ru_cdc_spark.sources.layout import write_hive_partitioned
+    from ru_cdc_spark.sources.readers import load_table
+
+    out = str(tmp_path / "orders_by_priority")
+    write_hive_partitioned(load_table(spark, sf_dir, "orders"), out,
+                           ["o_orderpriority"])
+    plan = physical_plan(build_dpp_join(spark, out))
+    assert "dynamicpruning" in plan.lower(), plan[:800]
+    assert "BroadcastHashJoin" in plan

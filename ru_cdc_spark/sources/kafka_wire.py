@@ -536,6 +536,36 @@ def decode_sticky_user_data(data: bytes
     return owned, r.i32()
 
 
+def cooperative_sticky_assign(members: list[tuple[str, bytes]],
+                              topic_partitions: dict[str, int]
+                              ) -> dict[str, dict[str, list[int]]]:
+    """KIP-429 incremental cooperative rebalancing, assignor half: the
+    sticky plan, EXCEPT a partition that must MOVE between members is
+    assigned to NOBODY this round — its current owner sees it missing
+    from its new assignment (the revocation signal), revokes, and
+    re-joins; the follow-up rebalance hands the now-unowned partition
+    to its target. The safety property this buys over eager rebalances:
+    at no instant do two members own one partition, while members that
+    lose nothing keep consuming straight through the rebalance."""
+    plan = sticky_assign(members, topic_partitions)
+    owner_now: dict[tuple[str, int], str] = {}
+    for m, meta in members:
+        owned, _gen = decode_sticky_user_data(
+            decode_subscription(meta)[1])
+        for t, ps in owned.items():
+            for p in ps:
+                owner_now.setdefault((t, p), m)
+    for m, topics in plan.items():
+        for t in list(topics):
+            kept = [p for p in topics[t]
+                    if owner_now.get((t, p), m) == m]
+            if kept:
+                topics[t] = kept
+            else:
+                del topics[t]
+    return plan
+
+
 def sticky_assign(members: list[tuple[str, bytes]],
                   topic_partitions: dict[str, int]
                   ) -> dict[str, dict[str, list[int]]]:
@@ -1269,7 +1299,7 @@ class GroupConsumer:
                  client_timeout_s: float = 30.0,
                  instance_id: str | None = None,
                  assignor: str = "range") -> None:
-        if assignor not in ("range", "sticky"):
+        if assignor not in ("range", "sticky", "cooperative-sticky"):
             raise ValueError(f"unknown assignor {assignor!r}")
         self.group_id = group_id
         self.topics = list(topics)
@@ -1299,7 +1329,7 @@ class GroupConsumer:
                                  "JoinGroup (no stable round)")
             ud = (encode_sticky_user_data(self.assignment,
                                           self.generation)
-                  if self.assignor == "sticky" else b"")
+                  if self.assignor != "range" else b"")
             err, gen, _proto, leader, mid, members = self._c.join_group(
                 self.group_id, self.member_id, self.topics,
                 self.session_timeout_s, instance_id=self.instance_id,
@@ -1324,9 +1354,12 @@ class GroupConsumer:
                      for t in decode_subscription(m)[0]}))
                 tp = {t: len(info["partitions"])
                       for t, info in meta["topics"].items()}
-                plan = (sticky_assign(members, tp)
-                        if self.assignor == "sticky"
-                        else range_assign(members, tp))
+                if self.assignor == "sticky":
+                    plan = sticky_assign(members, tp)
+                elif self.assignor == "cooperative-sticky":
+                    plan = cooperative_sticky_assign(members, tp)
+                else:
+                    plan = range_assign(members, tp)
                 err2, mine = self._c.sync_group(
                     self.group_id, gen, mid,
                     [(m, encode_assignment(a))
@@ -1344,7 +1377,20 @@ class GroupConsumer:
                 continue
             if err2:
                 raise KafkaError(err2, "SyncGroup")
-            self.assignment = decode_assignment(mine)
+            new_assign = decode_assignment(mine)
+            if self.assignor == "cooperative-sticky":
+                # KIP-429: a partition missing from the new assignment
+                # is the REVOCATION signal — ack it by re-joining with
+                # the shrunk owned set; the follow-up rebalance hands
+                # the now-unowned partition to its target member
+                lost = any(p not in set(new_assign.get(t, []))
+                           for t, ps in self.assignment.items()
+                           for p in ps)
+                self.assignment = new_assign
+                if lost:
+                    continue
+                return self.assignment
+            self.assignment = new_assign
             return self.assignment
 
     def ensure_active(self) -> dict[str, list[int]]:

@@ -692,6 +692,134 @@ class TestStickyAssignor:
             encode_sticky_user_data(owned, 11)) == (owned, 11)
         assert decode_sticky_user_data(b"") == ({}, -1)
 
+    def test_cooperative_withholds_moved_partitions(self):
+        """KIP-429 assignor half: a partition moving between members is
+        assigned to NOBODY in the first round (its owner must revoke
+        first); dead members' orphans assign immediately."""
+        from ru_cdc_spark.sources.kafka_wire import (
+            cooperative_sticky_assign,
+        )
+
+        # newcomer c: a and b each over target by one — the moved
+        # partitions (2 and 5) are withheld from c this round
+        plan = cooperative_sticky_assign(
+            [self._member("a", ["t"], {"t": [0, 1, 2]}, gen=2),
+             self._member("b", ["t"], {"t": [3, 4, 5]}, gen=2),
+             self._member("c", ["t"])],
+            {"t": 6})
+        assert plan["a"]["t"] == [0, 1]
+        assert plan["b"]["t"] == [3, 4]
+        assert plan["c"] == {}  # withheld until the owners revoke
+        # follow-up round: owners re-joined with shrunk owned sets —
+        # the now-unowned partitions land on the newcomer
+        plan2 = cooperative_sticky_assign(
+            [self._member("a", ["t"], {"t": [0, 1]}, gen=3),
+             self._member("b", ["t"], {"t": [3, 4]}, gen=3),
+             self._member("c", ["t"])],
+            {"t": 6})
+        assert plan2["a"]["t"] == [0, 1]
+        assert plan2["b"]["t"] == [3, 4]
+        assert plan2["c"]["t"] == [2, 5]
+        # dead member's orphans need no revocation: assign immediately
+        plan3 = cooperative_sticky_assign(
+            [self._member("a", ["t"], {"t": [0, 1]}, gen=5),
+             self._member("b", ["t"], {"t": [2, 3]}, gen=5)],
+            {"t": 6})
+        assert sorted(plan3["a"]["t"] + plan3["b"]["t"]) == \
+            [0, 1, 2, 3, 4, 5]
+
+    def test_live_cooperative_newcomer_never_double_owns(self):
+        """Live three-way: two stable cooperative members + a newcomer.
+        Convergence = exact 2/2/2 cover; the cooperative signature =
+        incumbents only SHED partitions (their final sets are subsets
+        of their originals), and every generation's assignments are
+        disjoint (no instant of double ownership)."""
+        import threading
+
+        from ru_cdc_spark.sources.kafka_wire import (
+            GroupConsumer,
+            KafkaBrokerFixture,
+        )
+
+        b = KafkaBrokerFixture()
+        b.group_initial_rebalance_delay_s = 0.3
+        b.create_topic("t", 6)
+        b.start()
+        out = {}
+        history: list[tuple[str, int, tuple]] = []
+        hist_mu = threading.Lock()
+        try:
+            def member(name):
+                gc = GroupConsumer("127.0.0.1", b.port, "g", ["t"],
+                                   session_timeout_s=3.0,
+                                   assignor="cooperative-sticky")
+                out[name] = (gc, gc.join())
+
+            ts = [threading.Thread(target=member, args=(n,))
+                  for n in ("A", "B")]
+            for t in ts:
+                t.start()
+                time.sleep(0.05)
+            for t in ts:
+                t.join(20)
+            (gca, aa), (gcb, ab) = out["A"], out["B"]
+            assert len(aa["t"]) == 3 and len(ab["t"]) == 3
+
+            latest: dict[str, dict] = {}
+            stop = threading.Event()
+
+            def drive(name, gc):
+                while not stop.is_set():
+                    a = gc.ensure_active()
+                    with hist_mu:
+                        history.append(
+                            (name, gc.generation,
+                             tuple(a.get("t", []))))
+                    latest[name] = a
+                    time.sleep(0.05)
+
+            ds = [threading.Thread(target=drive, args=(n, g))
+                  for n, g in (("A", gca), ("B", gcb))]
+            for d in ds:
+                d.start()
+            time.sleep(0.3)
+            member("C")  # newcomer triggers the incremental rounds
+            gcc, _ = out["C"]
+            ds.append(threading.Thread(target=drive,
+                                       args=("C", gcc)))
+            ds[-1].start()
+            deadline = time.time() + 20
+            while time.time() < deadline:
+                sizes = [len(latest.get(n, {}).get("t", []))
+                         for n in "ABC"]
+                allp = sum((latest.get(n, {}).get("t", [])
+                            for n in "ABC"), [])
+                if sizes == [2, 2, 2] and sorted(allp) == \
+                        [0, 1, 2, 3, 4, 5]:
+                    break
+                time.sleep(0.1)
+            stop.set()
+            for d in ds:
+                d.join(20)
+            na, nb, nc = (latest[n]["t"] for n in "ABC")
+            assert sorted(na + nb + nc) == [0, 1, 2, 3, 4, 5]
+            # incumbents only shed — the cooperative signature
+            assert set(na) <= set(aa["t"])
+            assert set(nb) <= set(ab["t"])
+            # no generation ever had a partition owned twice
+            with hist_mu:
+                by_gen: dict[int, dict[str, tuple]] = {}
+                for name, gen, parts in history:
+                    by_gen.setdefault(gen, {})[name] = parts
+            for gen, views in by_gen.items():
+                allp = [p for ps in views.values() for p in ps]
+                assert len(allp) == len(set(allp)), (gen, views)
+        finally:
+            for n in ("A", "B", "C"):
+                if n in out:
+                    out[n][0].close()
+        b.stop()
+
     def test_live_death_keeps_survivor_partitions(self):
         """Three live sticky consumers, one dies: every survivor's new
         assignment is a SUPERSET of its old one (range would move a

@@ -17,7 +17,7 @@ Everything here is integer arithmetic with IDENTICAL expression trees
 in Spark SQL and DuckDB SQL, so the layout decision artifact —
 per-cell row counts, min/max envelopes per dimension, and the
 files-scanned fraction a box predicate would touch under the z-order
-vs the insertion order — is exactness-gated against the DuckDB oracle.
+vs the key-striped baseline — is exactness-gated against the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -54,8 +54,8 @@ def _interleave_sql(xe: str, ye: str, bits: int, spark_side: bool) -> str:
 
 def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file-cell layout decision artifact for z-ordering ``orders``
-    by (customer band, order-day band), judged against the insertion
-    order (orderkey ranges) on the SAME cell count:
+    by (customer band, order-day band), judged against a key-striped
+    baseline (orderkey modulo) on the SAME cell count:
 
     output one row per (layout, cell): the cell's row count, its
     min/max envelope in both dimensions, and whether the fixed BOX
@@ -79,12 +79,17 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_cells = base.select(
         "zx", "zy",
         F.shiftright(z, Z_CELL_SHIFT).cast("long").alias("zcell"),
-        # insertion-order strawman: same NUMBER of cells, file = a
-        # contiguous orderkey range (what a plain append produces)
+        # key-striped strawman (same NUMBER of cells): file chosen by
+        # orderkey modulo — a layout blind to both predicate
+        # dimensions, like any key-hash/round-robin writer; every cell
+        # inherits the full customer/date domain, so min/max pruning
+        # cannot skip anything. (A contiguous-range append baseline
+        # behaves identically here since orderkey is uncorrelated with
+        # both dimensions, but would need a data-dependent key bound.)
         (F.col("o_orderkey")
          % F.lit(1 << (2 * Z_BITS - Z_CELL_SHIFT))).alias("icell"))
     out = []
-    for layout, cell in (("zorder", "zcell"), ("insertion", "icell")):
+    for layout, cell in (("zorder", "zcell"), ("striped", "icell")):
         agg = (with_cells.groupBy(F.col(cell).alias("cell"))
                .agg(F.count("*").alias("n_rows"),
                     F.min("zx").alias("min_x"), F.max("zx").alias("max_x"),
@@ -115,7 +120,7 @@ WITH base AS (
 ), both_layouts AS (
     SELECT 'zorder' AS layout, zcell AS cell, zx, zy FROM cells
     UNION ALL
-    SELECT 'insertion' AS layout, icell AS cell, zx, zy FROM cells
+    SELECT 'striped' AS layout, icell AS cell, zx, zy FROM cells
 )
 SELECT layout, cell, COUNT(*) AS n_rows,
        MIN(zx) AS min_x, MAX(zx) AS max_x,
@@ -130,9 +135,9 @@ GROUP BY layout, cell
 def zorder_scan_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline number a layout decision needs: for the fixed BOX
     predicate, what fraction of files (cells) and rows must be scanned
-    under each layout. Z-order should scan a small envelope; insertion
-    order scans nearly everything because every orderkey range spans
-    the full customer/date domain."""
+    under each layout. Z-order should scan a small envelope; the
+    key-striped baseline scans nearly everything because every stripe
+    spans the full customer/date domain."""
     stats = zorder_layout_stats(spark, sf_dir)
     return (stats.groupBy("layout")
             .agg(F.count("*").alias("n_files"),

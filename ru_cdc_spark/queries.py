@@ -4888,10 +4888,13 @@ def cdc_kafka_sticky_rebalance(spark: SparkSession,
                 parts = assignment.get(topic, [])
                 if (not dying and gc.generation == pre_gen + 1
                         and pre_parts
+                        and len(parts) > len(pre_parts)
                         and not pre_parts <= set(parts)):
-                    # ONE rebalance round settled the death: sticky
-                    # must have kept every partition this survivor
-                    # owned (only the dead member's orphans move)
+                    # ONE rebalance round in which this survivor GREW
+                    # (absorbed the dead member's orphans — a shrink
+                    # is a legitimate late-joiner growth rebalance,
+                    # not the death): sticky must have kept every
+                    # partition the survivor already owned
                     raise AssertionError(
                         f"sticky moved a survivor's partitions: "
                         f"{sorted(pre_parts)} -> {sorted(parts)}")

@@ -313,27 +313,29 @@ def decode_record_batch(data: bytes) -> dict:
     base_sequence = struct.unpack(">i", r.take(4))[0]
     n = r.i32()
     codec = attrs & 0x07
-    if codec == COMPRESSION_GZIP:
-        import gzip as _gzip
-
-        r = _Reader(_gzip.decompress(r.take(end - r.pos)))
-    elif codec == COMPRESSION_SNAPPY:
-        from ru_cdc_spark.functions.snappy import xerial_decompress
-
-        r = _Reader(xerial_decompress(r.take(end - r.pos)))
-    elif codec == COMPRESSION_LZ4:
-        from ru_cdc_spark.functions.lz4 import lz4_frame_decompress
-
-        r = _Reader(lz4_frame_decompress(r.take(end - r.pos)))
-    elif codec == COMPRESSION_ZSTD:
-        from ru_cdc_spark.functions.zstd import decompress as zstd_dec
-
-        r = _Reader(zstd_dec(r.take(end - r.pos)))
-    elif codec != COMPRESSION_NONE:
-        raise ValueError(f"unsupported compression codec {codec}")
     records = []
     rec_headers = []
     try:
+        if codec == COMPRESSION_GZIP:
+            import gzip as _gzip
+
+            r = _Reader(_gzip.decompress(r.take(end - r.pos)))
+        elif codec == COMPRESSION_SNAPPY:
+            from ru_cdc_spark.functions.snappy import xerial_decompress
+
+            r = _Reader(xerial_decompress(r.take(end - r.pos)))
+        elif codec == COMPRESSION_LZ4:
+            from ru_cdc_spark.functions.lz4 import lz4_frame_decompress
+
+            r = _Reader(lz4_frame_decompress(r.take(end - r.pos)))
+        elif codec == COMPRESSION_ZSTD:
+            from ru_cdc_spark.functions.zstd import (
+                decompress as zstd_dec,
+            )
+
+            r = _Reader(zstd_dec(r.take(end - r.pos)))
+        elif codec != COMPRESSION_NONE:
+            raise ValueError(f"unsupported compression codec {codec}")
         for _ in range(n):
             rec_len = r.varint()
             rr = _Reader(r.take(rec_len))
@@ -355,12 +357,14 @@ def decode_record_batch(data: bytes) -> dict:
             # consumers must use baseOffset + offsetDelta, never count
             records.append((base_offset + offset_delta, key, value))
             rec_headers.append(hdrs)
-    except (IndexError, struct.error, UnicodeDecodeError):
-        # bit-flipped content can make the length/header varints
-        # unparseable before the caller consults the CRC verdict; a
-        # CRC-failed batch reports crc_ok=False with no usable records
-        # (the broker answers CORRUPT_MESSAGE, consumers raise) — only
-        # a batch whose CRC VERIFIES may raise on malformed structure
+    except Exception:
+        # bit-flipped content can blow up anywhere past the CRC field —
+        # the decompressor (zlib.error / BadGzipFile / codec
+        # ValueErrors) or the length/header varint parse — before the
+        # caller consults the CRC verdict; a CRC-failed batch reports
+        # crc_ok=False with no usable records (the broker answers
+        # CORRUPT_MESSAGE, consumers raise). Only a batch whose CRC
+        # VERIFIES may raise on malformed structure.
         if crc_ok:
             raise
         records, rec_headers = [], []
@@ -548,13 +552,21 @@ def cooperative_sticky_assign(members: list[tuple[str, bytes]],
     at no instant do two members own one partition, while members that
     lose nothing keep consuming straight through the rebalance."""
     plan = sticky_assign(members, topic_partitions)
-    owner_now: dict[tuple[str, int], str] = {}
+    # current owner per partition, under the SAME generation fencing
+    # sticky_assign applies (higher generation wins a contested claim,
+    # tie -> smaller member id) — first-claimer-wins would let a stale
+    # zombie claim withhold a partition from its rightful owner and
+    # force a needless extra revoke/re-join round
+    best: dict[tuple[str, int], tuple[int, str]] = {}
     for m, meta in members:
-        owned, _gen = decode_sticky_user_data(
+        owned, gen = decode_sticky_user_data(
             decode_subscription(meta)[1])
         for t, ps in owned.items():
             for p in ps:
-                owner_now.setdefault((t, p), m)
+                cand = (-gen, m)
+                if (t, p) not in best or cand < best[(t, p)]:
+                    best[(t, p)] = cand
+    owner_now = {k: v[1] for k, v in best.items()}
     for m, topics in plan.items():
         for t in list(topics):
             kept = [p for p in topics[t]

@@ -1129,17 +1129,27 @@ class MySQLFixtureServer:
         from ru_cdc_spark.sources.binlog_wire import encode_heartbeat
         from ru_cdc_spark.sources.mysql_client import encode_packet
 
+        # events are append-only and position-ordered: track an INDEX
+        # into tip.events instead of rescanning the whole list per
+        # wakeup (a busy long-lived tail would otherwise do O(E^2)
+        # total filtering work under the server lock)
+        idx = None
+        last_tip = None
         while not self._stop.is_set():
             with self._binlog_cv:
                 tip = self.binlog
-                new = [(s, e, ev) for s, e, ev in tip.events
-                       if s >= sent_end]
+                if tip is not last_tip:
+                    # first pass (or a tip swap): locate the resume
+                    # point once, then advance incrementally
+                    idx = sum(1 for s, _e, _ev in tip.events
+                              if s < sent_end)
+                    last_tip = tip
+                new = tip.events[idx:]
                 if not new:
                     self._binlog_cv.wait(
                         timeout=self.heartbeat_period_s)
-                    tip = self.binlog
-                    new = [(s, e, ev) for s, e, ev in tip.events
-                           if s >= sent_end]
+                    new = tip.events[idx:]
+                idx += len(new)
                 name, crc = tip.filename, tip.crc32
             try:
                 if new:

@@ -1,7 +1,7 @@
 """Z-order layout operator (operators/layout.py): Morton interleave
 correctness, cell assignment's locality property, and the decision
 artifact's headline claim — the z-layout scans a small envelope for a
-box predicate while insertion order scans everything."""
+box predicate while the key-striped baseline scans everything."""
 
 from __future__ import annotations
 
@@ -61,17 +61,17 @@ class TestInterleave:
 
 
 class TestScanFraction:
-    def test_zorder_beats_insertion_order(self, spark, sf_dir):
+    def test_zorder_beats_striped_baseline(self, spark, sf_dir):
         rows = {r["layout"]: r for r in
                 zorder_scan_fraction(spark, sf_dir).collect()}
-        zo, ins = rows["zorder"], rows["insertion"]
+        zo, ins = rows["zorder"], rows["striped"]
         assert zo["n_rows"] == ins["n_rows"]
-        # insertion order barely skips: orderkey ranges are blind to
+        # the striped baseline barely skips: orderkey stripes are blind to
         # the customer/date domain (at tiny fixtures a sparse cell's
         # envelope may miss the box by luck — majority, not totality)
         assert ins["files_scanned"] > ins["n_files"] / 2
         # the z-layout scans a small envelope of the box predicate —
-        # an order of magnitude under the insertion layout
+        # an order of magnitude under the striped baseline
         assert zo["files_scanned"] * 8 <= ins["files_scanned"]
         assert zo["rows_scanned"] * 8 <= ins["rows_scanned"]
         assert zo["files_scanned"] < zo["n_files"] / 8

@@ -407,6 +407,7 @@ API_JOIN_GROUP = 11
 API_HEARTBEAT = 12
 API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
+API_DESCRIBE_GROUPS = 15
 API_INIT_PRODUCER_ID = 22
 API_ADD_PARTITIONS_TO_TXN = 24
 API_ADD_OFFSETS_TO_TXN = 25
@@ -948,6 +949,35 @@ class KafkaWireClient:
         immediate rebalance instead of a session-timeout wait."""
         body = _string(group_id) + _string(member_id)
         return self._request(API_LEAVE_GROUP, 0, body).i16()
+
+    def describe_groups(self, groups: list[str]) -> dict[str, dict]:
+        """DescribeGroups v0 — the coordinator-side introspection every
+        admin/ops tool uses (kafka-consumer-groups --describe):
+        {group: {error, state, protocol_type, protocol, members:
+        {member_id: {metadata, assignment}}}}. An unknown group comes
+        back err 0 with state 'Dead', like the real coordinator."""
+        body = _i32(len(groups)) + b"".join(_string(g) for g in groups)
+        r = self._request(API_DESCRIBE_GROUPS, 0, body)
+        out: dict[str, dict] = {}
+        for _ in range(r.i32()):
+            err = r.i16()
+            gid = r.string() or ""
+            state = r.string() or ""
+            ptype = r.string() or ""
+            proto = r.string() or ""
+            members: dict[str, dict] = {}
+            for _m in range(r.i32()):
+                mid = r.string() or ""
+                _client = r.string()
+                _host = r.string()
+                meta = r.bytes32() or b""
+                assign = r.bytes32() or b""
+                members[mid] = {"metadata": meta,
+                                "assignment": assign}
+            out[gid] = {"error": err, "state": state,
+                        "protocol_type": ptype, "protocol": proto,
+                        "members": members}
+        return out
 
     def list_offsets(self, topic: str, partition: int,
                      timestamp: int) -> tuple[int, int]:
@@ -1960,6 +1990,8 @@ class KafkaBrokerFixture:
                     body = self._heartbeat(r, api_version)
                 elif api_key == API_LEAVE_GROUP:
                     body = self._leave_group(r)
+                elif api_key == API_DESCRIBE_GROUPS:
+                    body = self._describe_groups(r)
                 else:
                     body = _i16(35)  # UNSUPPORTED_VERSION
                 resp = _i32(corr) + body
@@ -2000,7 +2032,8 @@ class KafkaBrokerFixture:
                      (API_JOIN_GROUP, 0, 5),
                      (API_SYNC_GROUP, 0, 3),
                      (API_HEARTBEAT, 0, 3),
-                     (API_LEAVE_GROUP, 0, 0)]
+                     (API_LEAVE_GROUP, 0, 0),
+                     (API_DESCRIBE_GROUPS, 0, 0)]
         return (_i16(0) + _i32(len(supported))
                 + b"".join(_i16(k) + _i16(lo) + _i16(hi)
                            for k, lo, hi in supported))
@@ -2348,6 +2381,35 @@ class KafkaBrokerFixture:
                 g.pending.clear()
             g.cond.notify_all()
             return _i16(0)
+
+    def _describe_groups(self, r: _Reader) -> bytes:
+        """DescribeGroups v0: the coordinator state machine made
+        visible — state name, selected protocol, member roster with
+        subscription metadata and stored assignments. Unknown groups
+        answer state 'Dead' with err 0, like the real coordinator."""
+        asked = [r.string() or "" for _ in range(r.i32())]
+        state_names = {"Empty": "Empty", "Preparing":
+                       "PreparingRebalance", "AwaitSync":
+                       "CompletingRebalance", "Stable": "Stable"}
+        body = _i32(len(asked))
+        with self._lock:
+            for gid in asked:
+                g = self._groups.get(gid)
+                if g is None:
+                    body += (_i16(0) + _string(gid) + _string("Dead")
+                             + _string("") + _string("") + _i32(0))
+                    continue
+                self._sweep_members(g, _time.monotonic())
+                body += (_i16(0) + _string(gid)
+                         + _string(state_names.get(g.state, g.state))
+                         + _string("consumer") + _string(g.protocol)
+                         + _i32(len(g.members)))
+                for mid in sorted(g.members):
+                    body += (_string(mid) + _string("fixture")
+                             + _string("/127.0.0.1")
+                             + _bytes32(g.members[mid]["meta"])
+                             + _bytes32(g.assignments.get(mid, b"")))
+        return body
 
     def _commit_err(self, group: str, generation: int,
                     member_id: str) -> int:

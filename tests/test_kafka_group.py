@@ -893,6 +893,62 @@ class TestStickyAssignor:
         b.stop()
 
 
+class TestDescribeGroups:
+    """DescribeGroups v0 (round 10): the kafka-consumer-groups
+    --describe introspection — state, protocol, member roster with
+    subscription metadata and stored assignments."""
+
+    def test_describe_stable_group_and_unknown(self):
+        import threading
+
+        from ru_cdc_spark.sources.kafka_wire import (
+            GroupConsumer,
+            KafkaBrokerFixture,
+            decode_assignment,
+            decode_subscription,
+        )
+
+        b = KafkaBrokerFixture()
+        b.group_initial_rebalance_delay_s = 0.3
+        b.create_topic("t", 4)
+        b.start()
+        out = {}
+        try:
+            def member(name):
+                gc = GroupConsumer("127.0.0.1", b.port, "g", ["t"],
+                                   session_timeout_s=3.0)
+                out[name] = (gc, gc.join())
+
+            ts = [threading.Thread(target=member, args=(n,))
+                  for n in ("A", "B")]
+            for t in ts:
+                t.start()
+                time.sleep(0.05)
+            for t in ts:
+                t.join(20)
+            with KafkaWireClient.connect("127.0.0.1", b.port) as c:
+                got = c.describe_groups(["g", "no-such-group"])
+            g = got["g"]
+            assert g["state"] == "Stable"
+            assert (g["protocol_type"], g["protocol"]) == \
+                ("consumer", "range")
+            assert len(g["members"]) == 2
+            # the roster carries real subscriptions + assignments
+            all_parts = []
+            for m in g["members"].values():
+                topics, _ud = decode_subscription(m["metadata"])
+                assert topics == ["t"]
+                all_parts += decode_assignment(m["assignment"])["t"]
+            assert sorted(all_parts) == [0, 1, 2, 3]
+            assert got["no-such-group"]["state"] == "Dead"
+            assert got["no-such-group"]["members"] == {}
+        finally:
+            for n in ("A", "B"):
+                if n in out:
+                    out[n][0].close()
+        b.stop()
+
+
 class TestListOffsets:
     """ListOffsets v1 (round 9): offset-by-timestamp seek — how a
     replaying consumer finds 'everything since 10:00'."""

@@ -72,9 +72,11 @@ HEADLINE = [
     "ann_lsh_tables",
     "ann_batch_queries",
     "mysql_geometry_decode",
-    # round-10 additions (the r09..r08 comparison set is the 40
-    # entries above): Z-order layout stats (pure-JVM integer plan)
-    # and per-clip FFT audio analysis (Arrow batch pipeline)
+    # round-10 additions — the r09..r08 comparison set is the 39
+    # HEADLINE entries above (40 timed legs counting the
+    # cdc_stream_pipeline leg main() appends): Z-order layout stats
+    # (pure-JVM integer plan) and per-clip FFT audio analysis (Arrow
+    # batch pipeline)
     "zorder_layout_stats",
     "multimodal_audio_spectral",
 ]

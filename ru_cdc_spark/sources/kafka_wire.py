@@ -2400,15 +2400,23 @@ class KafkaBrokerFixture:
                              + _string("") + _string("") + _i32(0))
                     continue
                 self._sweep_members(g, _time.monotonic())
+                stable = g.state == "Stable"
+                # the real coordinator (GroupMetadata.summary) exposes
+                # the selected protocol and member metadata/assignment
+                # blobs ONLY for a Stable group — mid-rebalance they
+                # would be stale previous-generation data
                 body += (_i16(0) + _string(gid)
                          + _string(state_names.get(g.state, g.state))
-                         + _string("consumer") + _string(g.protocol)
+                         + _string("consumer")
+                         + _string(g.protocol if stable else "")
                          + _i32(len(g.members)))
                 for mid in sorted(g.members):
                     body += (_string(mid) + _string("fixture")
                              + _string("/127.0.0.1")
-                             + _bytes32(g.members[mid]["meta"])
-                             + _bytes32(g.assignments.get(mid, b"")))
+                             + _bytes32(g.members[mid]["meta"]
+                                        if stable else b"")
+                             + _bytes32(g.assignments.get(mid, b"")
+                                        if stable else b""))
         return body
 
     def _commit_err(self, group: str, generation: int,

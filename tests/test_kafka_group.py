@@ -946,7 +946,7 @@ class TestDescribeGroups:
             for n in ("A", "B"):
                 if n in out:
                     out[n][0].close()
-        b.stop()
+            b.stop()
 
 
 class TestListOffsets:

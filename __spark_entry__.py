@@ -111,6 +111,7 @@ SHOWCASE = [
     "cdc_kafka_compression_matrix", "cdc_kafka_replay_from_ts",
     "cdc_kafka_sticky_rebalance", "mysql_socket_heartbeat_tail",
     "kafka_consumer_lag", "dpp_pruned_fact_join",
+    "text_lang_id_confusion",
     "zorder_scan_fraction", "zorder_layout_stats",
     "multimodal_audio_spectral",
     "q5_local_supplier_volume", "events_hourly_rollup",

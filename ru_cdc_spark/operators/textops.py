@@ -210,6 +210,38 @@ FROM scored
 LANG_ID_NGRAM_SQL = _lang_id_ngram_sql()
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix over the LABELED corpus (round
+    10): the n-gram language-ID's predictions vs the documents table's
+    declared labels — one row per (declared, predicted) pair with its
+    count and the declared label's total, the drift artifact a corpus
+    pipeline tracks per ingestion batch (a labeler whose agreement
+    falls between snapshots is the first sign the source mix shifted).
+
+    Scale: the per-row scorer plus one low-cardinality (|langs|^2 max)
+    aggregate — map-side partials make the shuffle a handful of rows."""
+    scored = lang_id_ngram(spark, sf_dir)
+    totals = Window.partitionBy("declared_lang")
+    return (scored.groupBy("declared_lang", "predicted_lang")
+            .agg(F.count("*").alias("n_docs"))
+            .withColumn("declared_total",
+                        F.sum("n_docs").over(totals))
+            .select("declared_lang", "predicted_lang", "n_docs",
+                    F.col("declared_total").cast("long")
+                    .alias("declared_total")))
+
+
+LANG_ID_CONFUSION_SQL = f"""
+WITH scored AS ({LANG_ID_NGRAM_SQL})
+SELECT declared_lang, predicted_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY declared_lang)
+            AS BIGINT) AS declared_total
+FROM scored
+GROUP BY declared_lang, predicted_lang
+"""
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (Gopher/C4-style signals, simplified):
     penalize too-short/too-long docs, low distinct ratio, zero stopwords.

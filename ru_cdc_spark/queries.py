@@ -1374,6 +1374,8 @@ register("ann_mmr_diverse", None)(_sim.mmr_diverse_topk)
 register("text_stats", _tx.TEXT_STATS_SQL)(_tx.text_stats)
 register("text_lang_id", _tx.LANG_ID_SQL)(_tx.lang_id)
 register("text_lang_id_ngram", _tx.LANG_ID_NGRAM_SQL)(_tx.lang_id_ngram)
+register("text_lang_id_confusion",
+         _tx.LANG_ID_CONFUSION_SQL)(_tx.lang_id_confusion)
 register("text_quality_score", _tx.QUALITY_SCORE_SQL)(_tx.quality_score)
 register("text_token_counts", _tx.TOKEN_COUNTS_SQL)(_tx.token_counts)
 

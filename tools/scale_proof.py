@@ -36,6 +36,13 @@ QUERIES = [
     "corpus_length_buckets",
     "events_pattern_match",
     "ann_batch_queries",
+    # round-10 flagships, scale-proven the round they shipped:
+    # (multimodal_audio_spectral is sf-invariant by design — a fixed
+    # 240-clip sample — so it has no 10x leg)
+    "zorder_layout_stats",
+    "zorder_scan_fraction",
+    "dpp_pruned_fact_join",
+    "text_lang_id_confusion",
 ]
 
 

@@ -146,7 +146,10 @@ def main() -> int:
         print(f"ERROR: unknown query name(s): {', '.join(unknown)}")
         return 2
 
-    spark = get_spark("correctness")
+    # progress bars share the terminal with the OK/FAIL lines and
+    # carriage-return-clobber them in captured logs — silence them
+    spark = get_spark("correctness", extra_conf={
+        "spark.ui.showConsoleProgress": "false"})
     names = [n for n in REGISTRY if not only or n in only]
     failures = check(spark, sf_dir, names)
 

@@ -35,20 +35,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # the ordering is curated, so round-over-round diffs keep working.
 SHOWCASE = [
     # ---- the curated 50: one graded window spanning every family ----
-    # CDC core
-    "cdc_change_stream", "cdc_envelope", "cdc_changed_cols",
-    "cdc_merge_snapshot", "cdc_route",
+    # CDC core (r11: change_stream/changed_cols/route rotated OUT after
+    # 9-10 straight green gradings; envelope + merge stay as family reps)
+    "cdc_envelope", "cdc_merge_snapshot",
     # byte-level binlog wire decode; round 8: binlog_row_image=MINIMAL
     # partial images (PK-only before, changed-cols-only after, ABSENT
     # semantics + per-column latest-present merge)
-    "binlog_wire_decode", "binlog_wire_cdc_snapshot",
+    "binlog_wire_decode",
     "mysql_type_semantics", "binlog_minimal_image_merge",
     # real MySQL socket client (batch, GTID-sliced, and the unified
     # streaming+transactional path with kill/restart); round 7: GTID
     # failover across layouts + DBLog-style incremental snapshot
     # under scripted concurrent writes, batch AND one-streaming-query
     # bootstrap handoff
-    "mysql_socket_cdc_snapshot", "mysql_socket_txn_changes",
+    "mysql_socket_cdc_snapshot",
     "mysql_socket_txn_stream",
     "mysql_socket_gtid_failover", "mysql_incremental_snapshot",
     "mysql_socket_bootstrap_stream",
@@ -67,24 +67,29 @@ SHOWCASE = [
     # semi-sync replica registration + ACKed dump (r9 flagship,
     # rotated IN r10)
     "mysql_socket_semisync_snapshot",
-    # TPC-H-style analytics
+    # TPC-H-style analytics — r11 rotates IN the seven rows whose only
+    # driver grading was the r01 harness-era failure (locally green every
+    # round since; the driver has never re-confirmed them)
     "q1_pricing_summary", "q3_shipping_priority",
+    "q12_shipmode_priority", "q14_promo_revenue",
+    "customer_order_balance", "cheapest_order_per_customer",
+    "rich_customers_without_orders", "weekly_revenue_growth",
     # windows / rollups / event analytics
     "top_orders_per_customer",
-    "events_sessionize",
+    "events_sessionize", "events_value_quantile_sketch",
     # real-wire Kafka sink roundtrip + consumer-group rebalance (r9:
     # JoinGroup/SyncGroup/Heartbeat, two members, injected death) +
     # exactly-once offsets-in-transaction transform (rotated IN r10)
     "cdc_kafka_wire_roundtrip", "cdc_kafka_group_rebalance",
     "cdc_kafka_eos_transform",
-    # dedup family
-    "dedup_minhash_lsh_pairs",
-    "dedup_embedding_cosine", "dedup_clusters_star",
+    # dedup family (embedding_cosine rotated OUT r11 after 9 greens)
+    "dedup_minhash_lsh_pairs", "dedup_clusters_star",
     "corpus_dedup_retain",
     # similarity / ANN (L-tables hyperplane LSH is the canonical
     # LSH index from round 9; batch serving shares its shape with a
-    # single corpus scan per query batch — rotated IN r10)
-    "ann_ivf", "ann_lsh_tables", "ann_batch_queries",
+    # single corpus scan per query batch — rotated IN r10; ann_ivf
+    # rotated OUT r11 after 9 greens)
+    "ann_lsh_tables", "ann_batch_queries",
     # text analysis (incl. real trained byte-level BPE)
     "text_stats", "text_bm25_search",
     "text_bpe_token_counts", "text_duplicate_span_strip",
@@ -99,9 +104,13 @@ SHOWCASE = [
     # zstd JSONL shards written by the in-repo RFC 8878 encoder)
     "warc_ingest_documents", "jsonl_spec_zstd_roundtrip",
     # ---- past the 50-window: still curated, still oracle-gated ----
-    # (rotated OUT of the window r10 after long-stable green runs:
-    # q5_local_supplier_volume, events_hourly_rollup, dedup_exact,
-    # knn_brute_force, text_lang_id_ngram; r9 rotation:
+    # (rotated OUT of the window r11 after 7-10 straight green gradings,
+    # making room for the seven rows whose only driver grading was r01:)
+    "cdc_change_stream", "cdc_changed_cols", "cdc_route",
+    "binlog_wire_cdc_snapshot", "mysql_socket_txn_changes",
+    "dedup_embedding_cosine", "ann_ivf",
+    # (r10 rotation: q5_local_supplier_volume, events_hourly_rollup,
+    # dedup_exact, knn_brute_force, text_lang_id_ngram; r9 rotation:
     # kafka_to_acid_snapshot, mysql_socket_compressed_snapshot,
     # cdc_kafka_transactional_stream)
     # round-10 additions (flagship candidates for a future rotation):

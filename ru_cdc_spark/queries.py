@@ -1414,8 +1414,12 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed word-frequency pass + bounded driver merge loop), then
     counts tokens per document via broadcast-merges Arrow encode.
     Deterministic (frequency ties break lexicographically), gated by a
-    differential pytest against an independent naive implementation;
-    rows-only at the driver (BPE is not SQL-expressible)."""
+    differential pytest against an independent naive implementation AND
+    (since r11) by a golden DuckDB oracle: BPE is not SQL-expressible,
+    but its deterministic output IS freezable — tools/gen_bpe_oracle.py
+    precomputes the per-document counts with the independent merge-replay
+    encoder and embeds them as corpus-signature-keyed literal tables, so
+    the driver's hash gate covers this path like any other query."""
     from ru_cdc_spark.operators.bpe import bpe_token_counts, train_bpe
     from ru_cdc_spark.sources.readers import load_table
 
@@ -1424,8 +1428,13 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, merges)
 
 
+from ru_cdc_spark.operators.bpe_golden_sql import (  # noqa: E402
+    TEXT_BPE_TOKEN_COUNTS_SQL,
+)
+
 register("text_bpe_word_freq", TEXT_BPE_WORD_FREQ_SQL)(text_bpe_word_freq)
-register("text_bpe_token_counts", None)(text_bpe_token_counts)
+register("text_bpe_token_counts",
+         TEXT_BPE_TOKEN_COUNTS_SQL)(text_bpe_token_counts)
 register("doc_fingerprint", _tx.DOC_FINGERPRINT_SQL)(_tx.doc_fingerprint)
 register("doc_winnowing", _tx.DOC_WINNOWING_SQL)(_tx.doc_winnowing)
 register("text_duplicate_spans",

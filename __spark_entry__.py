@@ -57,8 +57,9 @@ SHOWCASE = [
     "binlog_txn_changes", "binlog_txn_compressed",
     # ACID table format + merge variants
     "acid_merge_snapshot", "cdc_partitioned_merge",
-    # streaming: source feed + stateful operators
-    "binlog_source_feed", "events_session_window_stream",
+    # streaming: stateful operators (binlog_source_feed rotated OUT r11
+    # after 9 greens to make room for the new index-maintenance entry)
+    "events_session_window_stream",
     "stateful_user_totals",
     # verified-TLS socket transport
     "mysql_socket_tls_snapshot",
@@ -88,8 +89,9 @@ SHOWCASE = [
     # similarity / ANN (L-tables hyperplane LSH is the canonical
     # LSH index from round 9; batch serving shares its shape with a
     # single corpus scan per query batch — rotated IN r10; ann_ivf
-    # rotated OUT r11 after 9 greens)
-    "ann_lsh_tables", "ann_batch_queries",
+    # rotated OUT r11 after 9 greens); r11 adds append-only index
+    # maintenance, whose oracle IS the full-rebuild equality
+    "ann_lsh_tables", "ann_batch_queries", "ann_lsh_incremental",
     # text analysis (incl. real trained byte-level BPE)
     "text_stats", "text_bm25_search",
     "text_bpe_token_counts", "text_duplicate_span_strip",
@@ -108,7 +110,7 @@ SHOWCASE = [
     # making room for the seven rows whose only driver grading was r01:)
     "cdc_change_stream", "cdc_changed_cols", "cdc_route",
     "binlog_wire_cdc_snapshot", "mysql_socket_txn_changes",
-    "dedup_embedding_cosine", "ann_ivf",
+    "dedup_embedding_cosine", "ann_ivf", "binlog_source_feed",
     # (r10 rotation: q5_local_supplier_volume, events_hourly_rollup,
     # dedup_exact, knn_brute_force, text_lang_id_ngram; r9 rotation:
     # kafka_to_acid_snapshot, mysql_socket_compressed_snapshot,

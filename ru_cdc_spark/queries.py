@@ -1361,6 +1361,24 @@ register("ann_multiprobe", _sim.ANN_MULTIPROBE_SQL)(_sim.ann_multiprobe)
 register("ann_lsh_tables", _sim.ANN_LSH_TABLES_SQL)(_sim.ann_lsh_tables)
 register("ann_batch_queries",
          _sim.ANN_BATCH_QUERIES_SQL)(_sim.ann_batch_queries)
+
+
+def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only L-tables index maintenance (round 11): build the
+    postings index from 90% of the corpus, admit the rest as an append
+    batch that only touches its own (t, b) partitions, serve queries
+    from the maintained index. The oracle is the full-corpus L-tables
+    SQL — i.e. a from-scratch rebuild — so the driver's hash gate IS
+    the append-equals-rebuild property."""
+    work = _session_tmpdir("lshidx_")
+    import os as _os
+
+    return _sim.ann_lsh_incremental(spark, sf_dir,
+                                    _os.path.join(work, "postings"))
+
+
+register("ann_lsh_incremental",
+         _sim.ANN_LSH_TABLES_SQL)(ann_lsh_incremental)
 register("centroid_per_label", _sim.CENTROID_PER_LABEL_SQL)(_sim.centroid_per_label)
 register("emb_quantize_int8", _sim.EMB_QUANTIZE_INT8_SQL)(_sim.emb_quantize_int8)
 register("knn_quantized", _sim.KNN_QUANTIZED_SQL)(_sim.knn_quantized)

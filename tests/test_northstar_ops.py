@@ -383,3 +383,70 @@ def test_ann_batch_queries_bound_enforced(spark, sf_dir):
             sim.ann_batch_queries(spark, sf_dir)
     finally:
         sim.ANN_BATCH_MAX = orig
+
+
+def _parquet_inventory(root) -> dict:
+    """{relative parquet file path: size} under an index directory."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
+
+
+def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Round-11 maintenance gate: admitting a batch into the persisted
+    L-tables index must (a) leave every pre-existing posting file
+    byte-for-byte untouched, (b) add files ONLY under the (t, b)
+    partitions the batch hashes into, (c) yield a postings set
+    row-identical to a from-scratch rebuild over the full corpus, and
+    (d) serve query results bit-identical to ann_lsh_tables."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import similarity as sim
+    from ru_cdc_spark.queries import REGISTRY
+
+    emb = sim._emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    idx = str(tmp_path / "postings")
+
+    sim.lsh_index_build(base, idx)
+    before = _parquet_inventory(idx)
+    sim.lsh_index_append(batch, idx)
+    after = _parquet_inventory(idx)
+
+    # (a) append never rewrites: every pre-append file survives unchanged
+    for path, size in before.items():
+        assert after.get(path) == size, f"append disturbed {path}"
+
+    # (b) new files land only in the batch's own (t, b) partitions
+    batch_parts = {(r.t, r.b) for r in
+                   sim.lsh_postings(batch).select("t", "b")
+                   .distinct().collect()}
+    import re
+
+    for path in set(after) - set(before):
+        m = re.search(r"t=(\d+)/b=(\d+)/", path)
+        assert m, f"new file outside partition layout: {path}"
+        assert (int(m.group(1)), int(m.group(2))) in batch_parts, path
+
+    # (c) maintained index == from-scratch rebuild, row for row
+    rebuilt = str(tmp_path / "rebuilt")
+    sim.lsh_index_build(emb, rebuilt)
+    got = {(r.t, r.b, r.vec_id)
+           for r in spark.read.parquet(idx).collect()}
+    want = {(r.t, r.b, r.vec_id)
+            for r in spark.read.parquet(rebuilt).collect()}
+    assert got == want and got
+
+    # (d) serving from the maintained index == the all-in-memory plan
+    ref = {(r.q_vec, r.neighbor, r.cos_sim, r.rank)
+           for r in REGISTRY["ann_lsh_tables"].fn(spark, sf_dir).collect()}
+    served = {(r.q_vec, r.neighbor, r.cos_sim, r.rank)
+              for r in sim.lsh_index_query(spark, emb, idx).collect()}
+    assert served == ref and served

@@ -20,6 +20,8 @@ engine-independent.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -947,8 +949,9 @@ FROM cent a JOIN cent b ON a.label < b.label
 # multi-table hyperplane LSH (the standard L-tables scheme)
 # ===========================================================================
 
-LSH_TABLES = 10     # L independent hash tables
-LSH_BITS = 5        # k hyperplanes per table (2^5 buckets) — fixture-
+LSH_TABLES = 32     # L independent hash tables (r11: 10 -> 32, adopted
+#                     from the measured L/k frontier, SCALE.md round 11)
+LSH_BITS = 6        # k hyperplanes per table (2^6 buckets) — fixture-
 #                     scale tuning: production picks k ~ log2(n/bucket)
 #                     so bucket sizes stay constant as the corpus grows
 LSH_DIM = 64        # the fixture embedding dimension
@@ -958,8 +961,24 @@ LSH_DIM = 64        # the fixture embedding dimension
 # concerns: both sides multiply by the SAME literals and fold left, so
 # projections are bitwise-identical doubles)
 def _lsh_sign(t: int, j: int, d: int) -> float:
-    h = (d * 2654435761 + t * 40503 + j * 9176) & 0xFFFFFFFF
-    return 1.0 if (h >> 16) & 1 else -1.0
+    """Avalanche-mixed sign (splitmix64 finalizer). Round-11 fix: the
+    previous linear-congruential sign — bit 16 of (d*c1 + t*c2 + j*c3),
+    the SAME stride c1 across every (t, j) — made all L*k hyperplanes
+    shifted copies of ONE periodic bit pattern, so the tables were far
+    from independent and extra tables bought almost no recall
+    (measured: L=20 lifted recall@3 only 0.513 -> 0.587 where the
+    1-(1-p^k)^L independence model predicts ~0.76). Avalanching the
+    (t, j, d) triple decorrelates the planes; the SAME budgets then
+    measure 0.667 @ L=10 and 0.887-0.913 @ 2x budget (SCALE.md r11
+    frontier table)."""
+    x = (t * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9
+         + d * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    return 1.0 if x & 1 else -1.0
 
 
 _LSH_SIGNS = [[[_lsh_sign(t, j, d) for d in range(LSH_DIM)]
@@ -968,7 +987,11 @@ _LSH_SIGNS = [[[_lsh_sign(t, j, d) for d in range(LSH_DIM)]
 
 def _lsh_bucket(t: int) -> "F.Column":
     """Table t's bucket code: k sign bits of deterministic hyperplane
-    projections, folded LEFT over the dimensions (matching the SQL)."""
+    projections, folded LEFT over the dimensions (matching the SQL).
+    Expression-form REFERENCE implementation — the hot paths use
+    :func:`lsh_codes` (Arrow-vectorized, bit-identical by the
+    differential test in tests/test_northstar_ops.py); this stays as
+    the executable spec both are gated against."""
     code = F.lit(0)
     for j in range(LSH_BITS):
         signs = F.array(*[F.lit(s) for s in _LSH_SIGNS[t][j]])
@@ -977,6 +1000,51 @@ def _lsh_bucket(t: int) -> "F.Column":
             F.lit(0.0), lambda acc, x: acc + x)
         code = code + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return code
+
+
+def _lsh_planes():
+    """(LSH_DIM, LSH_TABLES*LSH_BITS) sign matrix, (t, j)-major columns,
+    built lazily per process (executors import this module fresh)."""
+    global _LSH_PLANES
+    try:
+        return _LSH_PLANES
+    except NameError:
+        _LSH_PLANES = np.array(
+            [[_LSH_SIGNS[t][j][d]
+              for t in range(LSH_TABLES) for j in range(LSH_BITS)]
+             for d in range(LSH_DIM)], dtype=np.float64)
+        return _LSH_PLANES
+
+
+def lsh_codes(col: "F.Column") -> "F.Column":
+    """ALL L bucket codes of a vector in one Arrow-vectorized pass —
+    the hot-path form of the per-table :func:`_lsh_bucket` expressions.
+
+    The interpreted higher-order-function fold costs L*k*dim object
+    allocations per row (r11: 32*6*64 = 12k — measured 2.8x the whole
+    query's r10 wall time); here the same arithmetic is one numpy
+    accumulation per DIMENSION, vectorized across the batch's rows and
+    all L*k planes at once. Bitwise identical to the expression form
+    and the generated oracle SQL because the accumulation runs in the
+    SAME left-fold order: acc starts at 0.0 and adds e[d]*sign(d) in
+    dimension order — numpy elementwise ops are IEEE doubles, so every
+    intermediate rounding matches the fold's (differential-tested)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def codes_udf(e: pd.Series) -> pd.Series:
+        planes = _lsh_planes()
+        m = np.stack(e.values).astype(np.float64, copy=False)
+        acc = np.zeros((m.shape[0], LSH_TABLES * LSH_BITS))
+        for d in range(LSH_DIM):
+            acc = acc + m[:, d:d + 1] * planes[d]
+        bits = (acc >= 0).reshape(-1, LSH_TABLES, LSH_BITS)
+        weights = np.array([1 << j for j in range(LSH_BITS)],
+                           dtype=np.int32)
+        out = (bits * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(out))
+
+    return codes_udf(col)
 
 
 def ann_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,17 +1059,15 @@ def ann_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     disappears under real hyperplanes — measured recall@3 ~5-10x the
     single-table code at the same candidate budget.
 
-    Scale: codes are narrow per-row expressions (zero shuffle); the
-    candidate join is L equi-joins on (table, bucket) with the query
-    side broadcast; cost is sum of same-bucket pair counts, never n^2;
-    the exact rerank touches only the deduped candidate union."""
+    Scale: codes are one Arrow-vectorized map per row (zero shuffle,
+    see :func:`lsh_codes`); the candidate join is L equi-joins on
+    (table, bucket) with the query side broadcast; cost is sum of
+    same-bucket pair counts, never n^2; the exact rerank touches only
+    the deduped candidate union."""
     emb = _emb(spark, sf_dir)
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("t"), _lsh_bucket(t).alias("b"))
-        for t in range(LSH_TABLES)
-    ])
-    coded = emb.select("vec_id", F.explode(buckets).alias("tb")) \
-        .select("vec_id", "tb.t", "tb.b")
+    coded = emb.select("vec_id",
+                       F.posexplode(lsh_codes(F.col("e")))
+                       .alias("t", "b"))
     q = coded.where(F.col("vec_id") % QUERY_MOD == 0) \
         .select(F.col("vec_id").alias("q_vec"), "t", "b")
     cand = coded.select(F.col("vec_id").alias("neighbor"), "t", "b")
@@ -1117,18 +1183,18 @@ def ann_batch_queries(spark: SparkSession, sf_dir: str,
         StructType([StructField("vec_id", LongType()),
                     StructField("e", ArrayType(DoubleType()))]))
 
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("t"), _lsh_bucket(t).alias("b"))
-        for t in range(LSH_TABLES)
-    ])
-    qcoded = (qdf.select("vec_id", "e", F.explode(buckets).alias("tb"))
+    qcoded = (qdf.select("vec_id", "e",
+                         F.posexplode(lsh_codes(F.col("e")))
+                         .alias("t", "b"))
               .select(F.col("vec_id").alias("q_vec"),
                       F.col("e").alias("qe"), norm(F.col("e")).alias("qn"),
-                      F.col("tb.t").alias("t"), F.col("tb.b").alias("b")))
-    cand = (emb.select("vec_id", "e", "nrm", F.explode(buckets).alias("tb"))
+                      "t", "b"))
+    cand = (emb.select("vec_id", "e", "nrm",
+                       F.posexplode(lsh_codes(F.col("e")))
+                       .alias("t", "b"))
             .select(F.col("vec_id").alias("neighbor"),
                     F.col("e").alias("ce"), F.col("nrm").alias("cn"),
-                    F.col("tb.t").alias("t"), F.col("tb.b").alias("b")))
+                    "t", "b"))
     cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("q_vec").orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor").asc())
@@ -1180,17 +1246,16 @@ def _ann_batch_queries_postdedup(spark: SparkSession, sf_dir: str,
         StructType([StructField("vec_id", LongType()),
                     StructField("e", ArrayType(DoubleType()))]))
 
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("t"), _lsh_bucket(t).alias("b"))
-        for t in range(LSH_TABLES)
-    ])
-    qcoded = (qdf.select("vec_id", F.explode(buckets).alias("tb"))
-              .select(F.col("vec_id").alias("q_vec"),
-                      F.col("tb.t").alias("t"), F.col("tb.b").alias("b")))
-    cand = (emb.select("vec_id", "e", "nrm", F.explode(buckets).alias("tb"))
+    qcoded = (qdf.select("vec_id",
+                         F.posexplode(lsh_codes(F.col("e")))
+                         .alias("t", "b"))
+              .select(F.col("vec_id").alias("q_vec"), "t", "b"))
+    cand = (emb.select("vec_id", "e", "nrm",
+                       F.posexplode(lsh_codes(F.col("e")))
+                       .alias("t", "b"))
             .select(F.col("vec_id").alias("neighbor"),
                     F.col("e").alias("ce"), F.col("nrm").alias("cn"),
-                    F.col("tb.t").alias("t"), F.col("tb.b").alias("b")))
+                    "t", "b"))
     # dedup BEFORE the cosine: a pair found in several tables carries
     # the same corpus vector, so first() is pure dedup (partial-agg
     # map-side, like the max() in the in-place variant)
@@ -1221,45 +1286,55 @@ def lsh_postings(df: DataFrame) -> DataFrame:
     the corpus table (single copy), exactly like a real posting-list
     index; storing vectors in the postings would multiply the corpus L
     times on disk."""
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("t"), _lsh_bucket(t).alias("b"))
-        for t in range(LSH_TABLES)
-    ])
-    return (df.select("vec_id", F.explode(buckets).alias("tb"))
-            .select("tb.t", "tb.b", "vec_id"))
+    return (df.select("vec_id",
+                      F.posexplode(lsh_codes(F.col("e")))
+                      .alias("t", "b"))
+            .select("t", "b", "vec_id"))
 
 
 def lsh_index_build(emb: DataFrame, index_dir: str) -> None:
-    """Materialize the postings hive-partitioned by (t, b): every
-    bucket is its own directory, so maintenance and queries both
-    address buckets as units of I/O."""
-    lsh_postings(emb).write.mode("overwrite") \
-        .partitionBy("t", "b").parquet(index_dir)
+    """Materialize the postings hive-partitioned by TABLE with each
+    file SORTED by bucket: directory count stays L — constant as the
+    corpus grows — while bucket lookups prune via parquet min/max row-
+    group stats on the sorted ``b`` column. (A (t, b) directory scheme
+    would need L * 2^k dirs, and k grows with log(n): directory
+    explosion plus a per-partition commit round trip each; measured 3x
+    the whole query's wall time at the fixture scale.) The repartition
+    co-locates each table in one task, so a build/append writes ONE
+    b-sorted file per table."""
+    (lsh_postings(emb).repartition(F.col("t"))
+     # t leads the sort: the dynamic-partition writer requires its
+     # partition column sorted and would otherwise insert its own
+     # (unstable) sort, scrambling the b order the stats pruning needs
+     .sortWithinPartitions("t", "b", "vec_id")
+     .write.mode("overwrite").partitionBy("t").parquet(index_dir))
 
 
 def lsh_index_append(new_vecs: DataFrame, index_dir: str) -> None:
     """Admit a batch of NEW vectors into the persisted index without
-    touching what's there: each new vector appends one posting row to
-    each of the L (t, b) partitions it hashes into. Append-mode writes
-    add files only under those partitions' directories — existing
-    posting files are never read, rewritten, or moved (gated by a
-    file-inventory test), so maintenance cost scales with the BATCH,
-    never the corpus. Queries need no coordination: a posting is
-    equally visible whether it arrived at build or append time, and
-    the index after any append sequence is row-identical to a fresh
-    rebuild (the determinism gate + the shared full-corpus oracle)."""
-    lsh_postings(new_vecs).write.mode("append") \
-        .partitionBy("t", "b").parquet(index_dir)
+    touching what's there: the batch's postings land as one new
+    b-sorted file per table partition. Existing posting files are
+    never read, rewritten, or moved (gated by a file-inventory test),
+    so maintenance cost scales with the BATCH, never the corpus.
+    Queries need no coordination: a posting is equally visible whether
+    it arrived at build or append time, and the index after any append
+    sequence is row-identical to a fresh rebuild (the determinism gate
+    + the shared full-corpus oracle)."""
+    (lsh_postings(new_vecs).repartition(F.col("t"))
+     # t leads the sort: the dynamic-partition writer requires its
+     # partition column sorted and would otherwise insert its own
+     # (unstable) sort, scrambling the b order the stats pruning needs
+     .sortWithinPartitions("t", "b", "vec_id")
+     .write.mode("append").partitionBy("t").parquet(index_dir))
 
 
 def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
                     top_k: int = ANN_TOP_K) -> DataFrame:
     """Serve top-k over the PERSISTED postings: code the queries with
-    the same hyperplanes, partition-prune the postings scan to the
-    buckets the query batch actually hits (the pushed filter is over
-    the partition columns, so unmatched (t, b) directories are never
-    opened), equi-join per (t, b), then exact-rerank by joining the
-    candidate ids back to the vector store.
+    the same hyperplanes, push the hit-bucket filter into the postings
+    scan (files are b-sorted, so parquet min/max stats skip the row
+    groups of unhit buckets), equi-join per (t, b), then exact-rerank
+    by joining the candidate ids back to the vector store.
 
     Scale: the bucket filter is collected from the QUERY side — bounded
     by |queries| x L, driver-sized by the same argument as
@@ -1297,7 +1372,7 @@ def ann_lsh_incremental(spark: SparkSession, sf_dir: str,
                         index_dir: str) -> DataFrame:
     """End-to-end append-only maintenance: build the postings index
     from 90% of the corpus, admit the remaining 10% as an append batch
-    (only its own (t, b) partitions gain files), then serve the query
+    (one new b-sorted file per table, nothing rewritten), then serve the query
     batch from the maintained index. Output is row-identical to
     :func:`ann_lsh_tables` over the full corpus — the shared DuckDB
     oracle (a from-scratch full rebuild, semantically) IS the

@@ -1366,7 +1366,7 @@ register("ann_batch_queries",
 def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only L-tables index maintenance (round 11): build the
     postings index from 90% of the corpus, admit the rest as an append
-    batch that only touches its own (t, b) partitions, serve queries
+    batch that adds one b-sorted file per table partition, serve queries
     from the maintained index. The oracle is the full-corpus L-tables
     SQL — i.e. a from-scratch rebuild — so the driver's hash gate IS
     the append-equals-rebuild property."""

@@ -385,6 +385,28 @@ def test_ann_batch_queries_bound_enforced(spark, sf_dir):
         sim.ANN_BATCH_MAX = orig
 
 
+def test_lsh_codes_udf_matches_expression_form(spark, sf_dir):
+    """The Arrow-vectorized lsh_codes UDF must be BITWISE identical to
+    the expression-form _lsh_bucket fold (which the generated DuckDB
+    oracle mirrors term by term): same left-fold accumulation order,
+    same >= 0 sign rule — on every corpus vector, all L tables."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import similarity as sim
+
+    emb = sim._emb(spark, sf_dir)
+    fast = {(r.vec_id, r.t, r.b) for r in
+            emb.select("vec_id",
+                       F.posexplode(sim.lsh_codes(F.col("e")))
+                       .alias("t", "b")).collect()}
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("t"), sim._lsh_bucket(t).alias("b"))
+        for t in range(sim.LSH_TABLES)])
+    ref = {(r.vec_id, r["tb"]["t"], r["tb"]["b"]) for r in
+           emb.select("vec_id", F.explode(buckets).alias("tb")).collect()}
+    assert fast == ref and fast
+
+
 def _parquet_inventory(root) -> dict:
     """{relative parquet file path: size} under an index directory."""
     import os
@@ -401,10 +423,10 @@ def _parquet_inventory(root) -> dict:
 def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     """Round-11 maintenance gate: admitting a batch into the persisted
     L-tables index must (a) leave every pre-existing posting file
-    byte-for-byte untouched, (b) add files ONLY under the (t, b)
-    partitions the batch hashes into, (c) yield a postings set
-    row-identical to a from-scratch rebuild over the full corpus, and
-    (d) serve query results bit-identical to ann_lsh_tables."""
+    byte-for-byte untouched, (b) add exactly one b-SORTED file per
+    table partition (the stats-pruning invariant), (c) yield a postings
+    set row-identical to a from-scratch rebuild over the full corpus,
+    and (d) serve query results bit-identical to ann_lsh_tables."""
     from pyspark.sql import functions as F
 
     from ru_cdc_spark.operators import similarity as sim
@@ -424,16 +446,24 @@ def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     for path, size in before.items():
         assert after.get(path) == size, f"append disturbed {path}"
 
-    # (b) new files land only in the batch's own (t, b) partitions
-    batch_parts = {(r.t, r.b) for r in
-                   sim.lsh_postings(batch).select("t", "b")
-                   .distinct().collect()}
+    # (b) the append adds one file per table partition, each sorted by
+    # bucket (the invariant parquet row-group stats pruning rides on)
     import re
 
-    for path in set(after) - set(before):
-        m = re.search(r"t=(\d+)/b=(\d+)/", path)
+    new_files = set(after) - set(before)
+    by_table: dict = {}
+    for path in new_files:
+        m = re.search(r"t=(\d+)/", path)
         assert m, f"new file outside partition layout: {path}"
-        assert (int(m.group(1)), int(m.group(2))) in batch_parts, path
+        by_table.setdefault(int(m.group(1)), []).append(path)
+    assert set(by_table) == set(range(sim.LSH_TABLES))
+    assert all(len(v) == 1 for v in by_table.values()), by_table
+    import pyarrow.parquet as pq
+
+    for t, (path,) in by_table.items():
+        bs = pq.read_table(str(tmp_path / "postings" / path),
+                           columns=["b"])["b"].to_pylist()
+        assert bs == sorted(bs), f"unsorted appended file t={t}"
 
     # (c) maintained index == from-scratch rebuild, row for row
     rebuilt = str(tmp_path / "rebuilt")

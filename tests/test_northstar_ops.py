@@ -480,3 +480,27 @@ def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     served = {(r.q_vec, r.neighbor, r.cos_sim, r.rank)
               for r in sim.lsh_index_query(spark, emb, idx).collect()}
     assert served == ref and served
+
+    # (e) compaction: postings identical, one b-sorted file per table,
+    # and serving still bit-identical
+    import pyarrow.parquet as pq
+
+    sim.lsh_index_compact(spark, idx)
+    compacted = _parquet_inventory(idx)
+    by_table_c: dict = {}
+    for path in compacted:
+        m = re.search(r"t=(\d+)/", path)
+        assert m, path
+        by_table_c.setdefault(int(m.group(1)), []).append(path)
+    assert set(by_table_c) == set(range(sim.LSH_TABLES))
+    assert all(len(v) == 1 for v in by_table_c.values())
+    for t, (path,) in by_table_c.items():
+        bs = pq.read_table(str(tmp_path / "postings" / path),
+                           columns=["b"])["b"].to_pylist()
+        assert bs == sorted(bs), f"unsorted compacted file t={t}"
+    got_c = {(r.t, r.b, r.vec_id)
+             for r in spark.read.parquet(idx).collect()}
+    assert got_c == want
+    served_c = {(r.q_vec, r.neighbor, r.cos_sim, r.rank)
+                for r in sim.lsh_index_query(spark, emb, idx).collect()}
+    assert served_c == ref

@@ -1028,17 +1028,29 @@ def lsh_codes(col: "F.Column") -> "F.Column":
     and the generated oracle SQL because the accumulation runs in the
     SAME left-fold order: acc starts at 0.0 and adds e[d]*sign(d) in
     dimension order — numpy elementwise ops are IEEE doubles, so every
-    intermediate rounding matches the fold's (differential-tested)."""
+    intermediate rounding matches the fold's (differential-tested).
+
+    Non-finite parity: Spark SQL and DuckDB both order NaN ABOVE every
+    number, so the expression form's ``proj >= 0`` sets the bit for a
+    NaN projection where numpy's IEEE ``>=`` would not — the isnan
+    term restores engine parity (differential-tested with a NaN
+    vector). A NULL vector is rejected loudly: the expression form
+    would emit a null code and silently drop the row at the explode,
+    which is exactly the kind of divergence an index must not paper
+    over."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def codes_udf(e: pd.Series) -> pd.Series:
         planes = _lsh_planes()
+        if any(v is None for v in e.values):
+            raise ValueError("lsh_codes: null embedding vector")
         m = np.stack(e.values).astype(np.float64, copy=False)
         acc = np.zeros((m.shape[0], LSH_TABLES * LSH_BITS))
         for d in range(LSH_DIM):
             acc = acc + m[:, d:d + 1] * planes[d]
-        bits = (acc >= 0).reshape(-1, LSH_TABLES, LSH_BITS)
+        bits = ((acc >= 0) | np.isnan(acc)) \
+            .reshape(-1, LSH_TABLES, LSH_BITS)
         weights = np.array([1 << j for j in range(LSH_BITS)],
                            dtype=np.int32)
         out = (bits * weights).sum(axis=2).astype(np.int32)
@@ -1343,14 +1355,28 @@ def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
     bucket-hit pairs, never n^2; the rerank join touches only candidate
     ids."""
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
-    qcodes = lsh_postings(q).select(
-        "t", "b", F.col("vec_id").alias("q_vec"))
-    hit = qcodes.select("t", "b").distinct().collect()
-    hit_b = sorted({r.b for r in hit})
-    postings = (spark.read.parquet(index_dir)
-                # coarse partition prune (b is a partition column);
-                # the equi-join below re-applies the exact (t, b) match
-                .where(F.col("b").isin(hit_b)))
+    # code the query batch ONCE: the codes are broadcast-sized by the
+    # same |queries| x L argument as ann_batch_queries' collect, and
+    # re-created as a local relation so the join side doesn't re-run
+    # the coding UDF lineage
+    qrows = lsh_postings(q).collect()
+    if len(qrows) > ANN_BATCH_MAX * LSH_TABLES:
+        raise ValueError(
+            f"query batch codes {len(qrows)} exceed "
+            f"ANN_BATCH_MAX x L: split the batch")
+    qcodes = spark.createDataFrame(
+        [(r.t, r.b, r.vec_id) for r in qrows],
+        "t int, b int, q_vec long")
+    hit_b = sorted({r.b for r in qrows})
+    postings = spark.read.parquet(index_dir)
+    if len(hit_b) < (1 << LSH_BITS):
+        # bucket prune via parquet min/max stats on the SORTED b
+        # column (b is NOT a partition column — t is; the sorts in
+        # build/append/compact exist precisely for this filter). At
+        # fixture scale a few hundred queries usually hit all 2^k
+        # buckets, so skip the no-op filter; at production k the hit
+        # set is sparse and this skips most row groups.
+        postings = postings.where(F.col("b").isin(hit_b))
     pairs = (postings.join(F.broadcast(qcodes), ["t", "b"])
              .where(F.col("vec_id") != F.col("q_vec"))
              .select("q_vec", F.col("vec_id").alias("neighbor"))
@@ -1395,8 +1421,17 @@ def lsh_index_compact(spark: SparkSession, index_dir: str) -> None:
     each one fragments the b-sort (stats pruning degrades to per-FILE
     instead of per-row-group). Compaction rewrites each table partition
     into one globally b-sorted file and swaps it in with a staged
-    directory rename — readers see either the old file set or the new
-    one, never a mix.
+    directory rename.
+
+    Crash posture (plain directories have no atomic two-way swap): the
+    swap is two renames; a crash between them parks the index at
+    ``<dir>.old``, and the next call (or reader setup) recovers it by
+    renaming back — compaction is idempotent and re-runnable, and
+    leftover ``.compact``/``.old`` staging from any earlier crash is
+    swept before a new attempt. A reader racing the swap window itself
+    can observe a missing directory and should retry; a table format
+    with manifest commits (operators/acid_table.py) is the
+    reader-transactional upgrade when that window matters.
 
     Scale: compaction is per-TABLE (L independent rewrites, each a sort
     of that table's postings — parallel, bounded by the largest table,
@@ -1409,13 +1444,19 @@ def lsh_index_compact(spark: SparkSession, index_dir: str) -> None:
     import shutil
 
     staged = index_dir.rstrip("/") + ".compact"
+    old = index_dir.rstrip("/") + ".old"
+    if not os.path.isdir(index_dir) and os.path.isdir(old):
+        # a previous compact crashed between its two renames: the
+        # intact pre-compaction index is parked at .old — restore it
+        os.rename(old, index_dir)
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     (spark.read.parquet(index_dir)
      .select("t", "b", "vec_id")
      .repartition(F.col("t"))
      # t leads for the dynamic-partition writer, as in build/append
      .sortWithinPartitions("t", "b", "vec_id")
      .write.mode("overwrite").partitionBy("t").parquet(staged))
-    old = index_dir.rstrip("/") + ".old"
     os.rename(index_dir, old)
     os.rename(staged, index_dir)
     shutil.rmtree(old)

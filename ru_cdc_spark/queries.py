@@ -1363,16 +1363,25 @@ register("ann_batch_queries",
          _sim.ANN_BATCH_QUERIES_SQL)(_sim.ann_batch_queries)
 
 
+_LSH_INDEX_DIRS: dict[str, str] = {}
+
+
 def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only L-tables index maintenance (round 11): build the
     postings index from 90% of the corpus, admit the rest as an append
-    batch that adds one b-sorted file per table partition, serve queries
-    from the maintained index. The oracle is the full-corpus L-tables
-    SQL — i.e. a from-scratch rebuild — so the driver's hash gate IS
-    the append-equals-rebuild property."""
-    work = _session_tmpdir("lshidx_")
+    batch that adds one b-sorted file per table partition, compact,
+    serve queries from the maintained index. The oracle is the
+    full-corpus L-tables SQL — i.e. a from-scratch rebuild — so the
+    driver's hash gate IS the append-equals-rebuild property.
+
+    One workdir per sf_dir for the whole session (lsh_index_build
+    overwrites): repeated bench/gate invocations must not accumulate
+    full index copies under /tmp until process exit."""
     import os as _os
 
+    work = _LSH_INDEX_DIRS.get(sf_dir)
+    if work is None:
+        work = _LSH_INDEX_DIRS[sf_dir] = _session_tmpdir("lshidx_")
     return _sim.ann_lsh_incremental(spark, sf_dir,
                                     _os.path.join(work, "postings"))
 
@@ -1442,7 +1451,13 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ru_cdc_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(spark, docs, n_merges=200, max_words=50_000)
+    # n_merges=40, NOT enough to collapse the fixture vocabulary to
+    # one token per word: at 200 merges every word became a single
+    # token and bpe_tokens == ws_tokens on every row, so the golden
+    # oracle couldn't distinguish real BPE from whitespace counting
+    # (r11 self-review finding). At 40, 23/31 words stay multi-token
+    # and the counts genuinely pin merge order + encode correctness.
+    merges = train_bpe(spark, docs, n_merges=40, max_words=50_000)
     return bpe_token_counts(docs, merges)
 
 

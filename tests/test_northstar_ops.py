@@ -407,6 +407,67 @@ def test_lsh_codes_udf_matches_expression_form(spark, sf_dir):
     assert fast == ref and fast
 
 
+def test_lsh_codes_nan_parity_with_expression_form(spark):
+    """Spark SQL orders NaN above every number, so the expression
+    form's proj >= 0 sets the bit for a NaN projection; the vectorized
+    UDF must agree (numpy's IEEE >= alone would not)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ru_cdc_spark.operators import similarity as sim
+
+    vecs = [
+        [float("nan")] * sim.LSH_DIM,                      # all-NaN
+        [1.0] + [float("nan")] + [0.5] * (sim.LSH_DIM - 2),
+        [-1.0] * sim.LSH_DIM,                              # finite ref
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("e", ArrayType(DoubleType()))]))
+    fast = {(r.vec_id, r.t, r.b) for r in
+            df.select("vec_id",
+                      F.posexplode(sim.lsh_codes(F.col("e")))
+                      .alias("t", "b")).collect()}
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("t"), sim._lsh_bucket(t).alias("b"))
+        for t in range(sim.LSH_TABLES)])
+    ref = {(r.vec_id, r["tb"]["t"], r["tb"]["b"]) for r in
+           df.select("vec_id", F.explode(buckets).alias("tb")).collect()}
+    assert fast == ref and fast
+
+
+def test_lsh_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
+    """A compact killed between its two renames parks the intact index
+    at <dir>.old; the next compact must restore and proceed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import similarity as sim
+
+    emb = sim._emb(spark, sf_dir)
+    idx = str(tmp_path / "postings")
+    sim.lsh_index_build(emb, idx)
+    want = {(r.t, r.b, r.vec_id) for r in spark.read.parquet(idx).collect()}
+
+    # simulate the crash window: index renamed away, staging leftover
+    os.rename(idx, idx + ".old")
+    os.mkdir(idx + ".compact")
+    sim.lsh_index_compact(spark, idx)
+
+    assert not os.path.exists(idx + ".old")
+    assert not os.path.exists(idx + ".compact")
+    got = {(r.t, r.b, r.vec_id) for r in spark.read.parquet(idx).collect()}
+    assert got == want and got
+
+
 def _parquet_inventory(root) -> dict:
     """{relative parquet file path: size} under an index directory."""
     import os

@@ -39,7 +39,11 @@ from ru_cdc_spark.operators.bpe import EOW, train_merges  # noqa: E402
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "ru_cdc_spark", "operators", "bpe_golden_sql.py")
-N_MERGES = 200
+# must match queries.text_bpe_token_counts — and stay SMALL enough that
+# the fixture vocabulary does NOT collapse to one token per word, else
+# bpe_tokens == ws_tokens everywhere and the golden is vacuous (the
+# generator asserts this below)
+N_MERGES = 40
 MAX_WORDS = 50_000
 
 
@@ -72,6 +76,19 @@ def golden_for(sf_dir: str) -> tuple[str, list[tuple[int, int, int]]]:
     docs = con.execute(
         "SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
 
+    # this single-node pass tokenizes with Python str.split()/.lower();
+    # the engine uses Java regex \s+ / F.lower. Identical on ASCII, but
+    # Python splits on Unicode whitespace (U+00A0, U+2028, ...) where
+    # Java \s+ does not — so refuse to freeze goldens for a corpus
+    # where the two tokenizations could diverge
+    for _, text in docs:
+        if any(ord(ch) > 127 for ch in text):
+            raise SystemExit(
+                f"{sf_dir}: non-ASCII text in documents — the generator's "
+                "str.split() tokenization is only provably identical to "
+                "the engine's Java-regex \\s+ split on ASCII; teach both "
+                "sides the same Unicode rules before regenerating")
+
     wc: Counter = Counter()
     for _, text in docs:
         wc.update(text.lower().split())
@@ -89,6 +106,16 @@ def golden_for(sf_dir: str) -> tuple[str, list[tuple[int, int, int]]]:
                 n = memo[w] = naive_encode_len(w, merges)
             total += n
         rows.append((int(doc_id), total, len(ws)))
+
+    # non-vacuousness: if BPE collapsed every word to one token, the
+    # golden degenerates to whitespace counting and pins nothing about
+    # the merge loop or the encoder — lower N_MERGES instead
+    differing = sum(1 for _, b, w in rows if b != w)
+    if differing < len(rows) // 2:
+        raise SystemExit(
+            f"{sf_dir}: only {differing}/{len(rows)} golden rows have "
+            "bpe_tokens != ws_tokens — the oracle would be (nearly) "
+            "vacuous for BPE regressions; lower N_MERGES")
     return sig, rows
 
 

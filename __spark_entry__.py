@@ -57,10 +57,10 @@ SHOWCASE = [
     "binlog_txn_changes", "binlog_txn_compressed",
     # ACID table format + merge variants
     "acid_merge_snapshot", "cdc_partitioned_merge",
-    # streaming: stateful operators (binlog_source_feed rotated OUT r11
-    # after 9 greens to make room for the new index-maintenance entry)
+    # streaming: stateful operators (binlog_source_feed and
+    # stateful_user_totals rotated OUT r11 after 9 greens each, making
+    # room for the new index-maintenance flagships)
     "events_session_window_stream",
-    "stateful_user_totals",
     # verified-TLS socket transport
     "mysql_socket_tls_snapshot",
     # GEOMETRY/WKB column decode (r9 flagship, rotated IN r10)
@@ -75,9 +75,10 @@ SHOWCASE = [
     "q12_shipmode_priority", "q14_promo_revenue",
     "customer_order_balance", "cheapest_order_per_customer",
     "rich_customers_without_orders", "weekly_revenue_growth",
-    # windows / rollups / event analytics
+    # windows / rollups / event analytics (events_sessionize rotated
+    # OUT r11 after 9 greens)
     "top_orders_per_customer",
-    "events_sessionize", "events_value_quantile_sketch",
+    "events_value_quantile_sketch",
     # real-wire Kafka sink roundtrip + consumer-group rebalance (r9:
     # JoinGroup/SyncGroup/Heartbeat, two members, injected death) +
     # exactly-once offsets-in-transaction transform (rotated IN r10)
@@ -89,9 +90,12 @@ SHOWCASE = [
     # similarity / ANN (L-tables hyperplane LSH is the canonical
     # LSH index from round 9; batch serving shares its shape with a
     # single corpus scan per query batch — rotated IN r10; ann_ivf
-    # rotated OUT r11 after 9 greens); r11 adds append-only index
-    # maintenance, whose oracle IS the full-rebuild equality
+    # rotated OUT r11 after 9 greens); r11 adds the index LIFECYCLE:
+    # append-only maintenance + compaction (oracle IS the full-rebuild
+    # equality), STREAMING micro-batch ingestion into the same index,
+    # and BM25+vector hybrid retrieval fused by reciprocal rank
     "ann_lsh_tables", "ann_batch_queries", "ann_lsh_incremental",
+    "ann_lsh_stream_ingest", "hybrid_rrf_search",
     # text analysis (incl. real trained byte-level BPE)
     "text_stats", "text_bm25_search",
     "text_bpe_token_counts", "text_duplicate_span_strip",
@@ -111,6 +115,7 @@ SHOWCASE = [
     "cdc_change_stream", "cdc_changed_cols", "cdc_route",
     "binlog_wire_cdc_snapshot", "mysql_socket_txn_changes",
     "dedup_embedding_cosine", "ann_ivf", "binlog_source_feed",
+    "stateful_user_totals", "events_sessionize",
     # (r10 rotation: q5_local_supplier_volume, events_hourly_rollup,
     # dedup_exact, knn_brute_force, text_lang_id_ngram; r9 rotation:
     # kafka_to_acid_snapshot, mysql_socket_compressed_snapshot,

@@ -1388,6 +1388,148 @@ def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("ann_lsh_incremental",
          _sim.ANN_LSH_TABLES_SQL)(ann_lsh_incremental)
+
+
+def ann_lsh_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index maintenance (round 11): vectors arrive as a
+    Structured Streaming file source (maxFilesPerTrigger=1 — three
+    micro-batches), and every micro-batch is admitted into the
+    persisted L-tables postings index via foreachBatch ->
+    lsh_index_append — the exact shape of a live embedding pipeline
+    feeding a retrieval index. After the stream drains (availableNow),
+    queries are served from the maintained index.
+
+    The final postings set is independent of micro-batch order (append
+    is a set union), so the entry hash-matches the same full-corpus
+    rebuild oracle as ann_lsh_tables/ann_lsh_incremental: the driver's
+    gate proves stream-ingested == rebuilt every round.
+
+    Scale: each micro-batch costs one coding pass + L sorted file
+    appends for ITS vectors only; the index never rebuilds; compaction
+    (lsh_index_compact) amortizes the small-file debt offline."""
+    import os as _os
+
+    work = _session_tmpdir("lshstream_")
+    idx = _os.path.join(work, "postings")
+    feed = _os.path.join(work, "feed")
+    _os.makedirs(feed)
+
+    emb = _sim._emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 >= 3)          # 40% bootstrap
+    _sim.lsh_index_build(base, idx)
+    for slice_id in range(3):                            # 3 arriving batches
+        (emb.where(F.col("vec_id") % 5 == slice_id)
+         .select("vec_id", "e").coalesce(1)
+         .write.mode("append").parquet(feed))
+
+    stream = (spark.readStream
+              .schema("vec_id long, e array<double>")
+              .option("maxFilesPerTrigger", "1").parquet(feed))
+    q = (stream.writeStream
+         .foreachBatch(lambda bdf, _bid: _sim.lsh_index_append(bdf, idx))
+         .option("checkpointLocation", _os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return _sim.lsh_index_query(spark, emb, idx)
+
+
+register("ann_lsh_stream_ingest",
+         _sim.ANN_LSH_TABLES_SQL)(ann_lsh_stream_ingest)
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 11): fuse the LEXICAL ranking (BM25 over
+    the fixed term set) with the VECTOR ranking (exact cosine against
+    the doc-0 embedding; documents and embeddings share the 0..n-1 id
+    space) by reciprocal-rank fusion — rrf = sum over systems of
+    1/(60 + rank), the parameter-free fusion every hybrid search stack
+    ships (Cormack/Clarke/Buettcher's K=60). A document absent from one
+    system's top-20 contributes exactly 0.0 from that system (rank kept
+    as 0, no NULLs — keeps both engines' pandas dtypes int64).
+
+    Exactness: ranks are integers; each contribution is ONE double
+    division of exact integers and the final score one double addition —
+    the same expression tree in DuckDB, so the hash gate holds.
+
+    Scale: both legs are top-20 TakeOrdered results (driver-bounded);
+    the fusion is a join of two 20-row relations — cost lives entirely
+    in the legs, which carry their own scale stories (BM25: one doc_id
+    shuffle + 1-row broadcast stats; cosine: one corpus scan against a
+    broadcast query)."""
+    from ru_cdc_spark.operators.textops import bm25_search
+
+    lex = bm25_search(spark, sf_dir, top_k=20).select(
+        "doc_id", F.col("rank").alias("lex_rank"))
+    emb = _sim._emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    cos = _sim.dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    vec = (emb.where(F.col("vec_id") != 0)
+           .crossJoin(F.broadcast(qv))
+           .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_sim"))
+           .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+           .limit(20)
+           .withColumn("vec_rank", F.row_number().over(w))
+           .select("doc_id", "vec_rank"))
+
+    def contrib(rank):
+        return F.when(rank == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) / (F.lit(60.0) + rank.cast("double")))
+
+    fused = (lex.join(vec, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+                     F.coalesce("vec_rank", F.lit(0)).alias("vec_rank")))
+    return (fused
+            .select("doc_id", "lex_rank", "vec_rank",
+                    (contrib(F.col("lex_rank"))
+                     + contrib(F.col("vec_rank"))).alias("rrf_score"))
+            .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+            .limit(10))
+
+
+from ru_cdc_spark.operators.textops import _bm25_sql  # noqa: E402
+
+HYBRID_RRF_SQL = f"""
+WITH lex AS (
+    SELECT doc_id, rank AS lex_rank FROM ({_bm25_sql(_tx.BM25_TERMS, 20)})
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+vec AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+               AS vec_rank
+    FROM (
+        SELECT c.vec_id AS doc_id,
+               list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+                   AS cos_sim
+        FROM embeddings c, qv WHERE c.vec_id <> 0
+        ORDER BY cos_sim DESC, doc_id ASC LIMIT 20
+    )
+),
+fused AS (
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+           COALESCE(lex_rank, 0) AS lex_rank,
+           COALESCE(vec_rank, 0) AS vec_rank
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       (CASE WHEN lex_rank = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(1.0 AS DOUBLE)
+                  / (CAST(60.0 AS DOUBLE) + CAST(lex_rank AS DOUBLE)) END
+        + CASE WHEN vec_rank = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(1.0 AS DOUBLE)
+                    / (CAST(60.0 AS DOUBLE) + CAST(vec_rank AS DOUBLE)) END)
+           AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+register("hybrid_rrf_search", HYBRID_RRF_SQL)(hybrid_rrf_search)
 register("centroid_per_label", _sim.CENTROID_PER_LABEL_SQL)(_sim.centroid_per_label)
 register("emb_quantize_int8", _sim.EMB_QUANTIZE_INT8_SQL)(_sim.emb_quantize_int8)
 register("knn_quantized", _sim.KNN_QUANTIZED_SQL)(_sim.knn_quantized)

@@ -79,6 +79,14 @@ HEADLINE = [
     # batch pipeline)
     "zorder_layout_stats",
     "multimodal_audio_spectral",
+    # round-11 additions — the r10..r09 comparison set is the 41
+    # entries above: the persisted-index lifecycle
+    # (build/append/compact/serve) and BM25+vector RRF hybrid
+    # retrieval. ann_lsh_stream_ingest is NOT a leg: its micro-batch
+    # trigger machinery measures Structured Streaming overhead, not
+    # operator throughput (same policy as the fault-injection queries).
+    "ann_lsh_incremental",
+    "hybrid_rrf_search",
 ]
 
 

@@ -213,15 +213,26 @@ def kcore(edges_und: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
 
 
 def copurchase_kcore(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """3-core of the part co-purchase graph: parts that survive iterative
-    peeling keep >= 3 co-purchase partners INSIDE the surviving set —
-    the stable nucleus of the catalog, robust to one-off baskets.
+    """3-core of the REPEAT co-purchase graph (edges kept only when the
+    pair co-occurs in >= 2 orders — the noise-robust affinity graph):
+    parts that survive iterative peeling keep >= 3 repeat partners
+    INSIDE the surviving set — the stable nucleus of the catalog.
 
-    Rows-only correctness (iterative peeling is not SQL-expressible);
-    fixpoint and maximality are pytest-gated.
+    The raw (w >= 1) graph is so dense and degree-homogeneous that
+    peeling either removes nothing or avalanches to empty at every k —
+    a k-core on it verifies only the degree count. The w >= 2 graph
+    peels for real at the driver's grading scale (sf0.01: 935 of 1880
+    vertices survive, cascade included).
+
+    Correctness (since r11): k-core is UNIQUE (peel order never matters),
+    so the expected rows are frozen by tools/gen_kcore_oracle.py from an
+    independent single-node peeling into a corpus-signature-keyed golden
+    DuckDB oracle — iterative peeling itself is not SQL-expressible.
+    Fixpoint and maximality stay pytest-gated on adversarial graphs.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    und = copurchase_edges(li).select("src", "dst")  # both directions
+    und = (copurchase_edges(li).where(F.col("w") >= 2)
+           .select("src", "dst"))  # both directions
     return kcore(und, k)
 
 

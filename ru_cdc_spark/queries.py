@@ -1678,7 +1678,13 @@ from ru_cdc_spark.operators import graph as _gr  # noqa: E402
 register("part_pagerank", None)(_gr.part_pagerank)  # iterative float: rows-only
 register("copurchase_triangles",
          _gr.COPURCHASE_TRIANGLES_SQL)(_gr.copurchase_triangles)
-register("copurchase_kcore", None)(_gr.copurchase_kcore)  # iterative peel
+from ru_cdc_spark.operators.kcore_golden_sql import (  # noqa: E402
+    COPURCHASE_KCORE_SQL,
+)
+
+# iterative peel is not SQL-expressible, but the k-core is UNIQUE, so
+# an independently-computed golden pins it (tools/gen_kcore_oracle.py)
+register("copurchase_kcore", COPURCHASE_KCORE_SQL)(_gr.copurchase_kcore)
 register("link_prediction_scores",
          _gr.LINK_PREDICTION_SQL)(_gr.link_prediction_scores)
 

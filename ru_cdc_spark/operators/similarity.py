@@ -1304,6 +1304,42 @@ def lsh_postings(df: DataFrame) -> DataFrame:
             .select("t", "b", "vec_id"))
 
 
+# marker (Spark-invisible: leading underscore) a compaction plants in
+# its staged directory BEFORE the swap, so recovery can tell "compact
+# crashed after the swap, .old is stale" from "something recreated the
+# index while the real one was parked at .old"
+_COMPACTED_MARKER = "_compacted_ok"
+
+
+def _lsh_recover(index_dir: str) -> None:
+    """Crash recovery for the compaction swap, run by EVERY index
+    entry point (build/append/query/compact): a compact killed between
+    its two renames parks the intact index at ``<dir>.old`` — restore
+    it; killed after the swap but before cleanup leaves a stale
+    ``.old`` next to a marker-carrying new index — sweep it; a marker-
+    less index next to a ``.old`` means someone WROTE a fresh index
+    while the real one was parked (e.g. an append recreated the
+    directory) — refuse loudly rather than silently serving or
+    deleting either."""
+    import os
+    import shutil
+
+    old = index_dir.rstrip("/") + ".old"
+    if not os.path.isdir(old):
+        return
+    if not os.path.isdir(index_dir):
+        os.rename(old, index_dir)  # crashed between the two renames
+    elif os.path.exists(os.path.join(index_dir, _COMPACTED_MARKER)):
+        shutil.rmtree(old)         # crashed after the swap: .old stale
+    else:
+        raise RuntimeError(
+            f"ambiguous LSH index state: {index_dir} exists without a "
+            f"compaction marker while {old} holds a parked index — a "
+            "compaction crashed mid-swap and the directory was "
+            "rewritten since; reconcile manually (the union of both "
+            "postings sets is the true index)")
+
+
 def lsh_index_build(emb: DataFrame, index_dir: str) -> None:
     """Materialize the postings hive-partitioned by TABLE with each
     file SORTED by bucket: directory count stays L — constant as the
@@ -1314,6 +1350,15 @@ def lsh_index_build(emb: DataFrame, index_dir: str) -> None:
     the whole query's wall time at the fixture scale.) The repartition
     co-locates each table in one task, so a build/append writes ONE
     b-sorted file per table."""
+    import os
+    import shutil
+
+    # a full rebuild supersedes any parked or staged state
+    for leftover in (index_dir.rstrip("/") + ".old",
+                     index_dir.rstrip("/") + ".compact"):
+        shutil.rmtree(leftover, ignore_errors=True)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)  # drop a stale marker with the data
     (lsh_postings(emb).repartition(F.col("t"))
      # t leads the sort: the dynamic-partition writer requires its
      # partition column sorted and would otherwise insert its own
@@ -1332,6 +1377,7 @@ def lsh_index_append(new_vecs: DataFrame, index_dir: str) -> None:
     it arrived at build or append time, and the index after any append
     sequence is row-identical to a fresh rebuild (the determinism gate
     + the shared full-corpus oracle)."""
+    _lsh_recover(index_dir)
     (lsh_postings(new_vecs).repartition(F.col("t"))
      # t leads the sort: the dynamic-partition writer requires its
      # partition column sorted and would otherwise insert its own
@@ -1354,6 +1400,7 @@ def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
     (~log2(n/bucket)) it skips almost all of the index; candidates are
     bucket-hit pairs, never n^2; the rerank join touches only candidate
     ids."""
+    _lsh_recover(index_dir)
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     # code the query batch ONCE: the codes are broadcast-sized by the
     # same |queries| x L argument as ann_batch_queries' collect, and
@@ -1424,14 +1471,17 @@ def lsh_index_compact(spark: SparkSession, index_dir: str) -> None:
     directory rename.
 
     Crash posture (plain directories have no atomic two-way swap): the
-    swap is two renames; a crash between them parks the index at
-    ``<dir>.old``, and the next call (or reader setup) recovers it by
-    renaming back — compaction is idempotent and re-runnable, and
-    leftover ``.compact``/``.old`` staging from any earlier crash is
-    swept before a new attempt. A reader racing the swap window itself
-    can observe a missing directory and should retry; a table format
-    with manifest commits (operators/acid_table.py) is the
-    reader-transactional upgrade when that window matters.
+    swap is two renames; EVERY index entry point (build / append /
+    query / compact) runs :func:`_lsh_recover` first, which restores an
+    index parked at ``<dir>.old`` by a crash between the renames,
+    sweeps a stale ``.old`` left by a crash after the swap (the
+    ``_compacted_ok`` marker planted in the staged directory before the
+    swap disambiguates the two), and REFUSES an ambiguous state where
+    the directory was rewritten while the real index was parked. A
+    reader racing the swap window itself can observe a missing
+    directory and should retry; a table format with manifest commits
+    (operators/acid_table.py) is the reader-transactional upgrade when
+    that window matters.
 
     Scale: compaction is per-TABLE (L independent rewrites, each a sort
     of that table's postings — parallel, bounded by the largest table,
@@ -1445,18 +1495,19 @@ def lsh_index_compact(spark: SparkSession, index_dir: str) -> None:
 
     staged = index_dir.rstrip("/") + ".compact"
     old = index_dir.rstrip("/") + ".old"
-    if not os.path.isdir(index_dir) and os.path.isdir(old):
-        # a previous compact crashed between its two renames: the
-        # intact pre-compaction index is parked at .old — restore it
-        os.rename(old, index_dir)
+    _lsh_recover(index_dir)
     shutil.rmtree(staged, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
     (spark.read.parquet(index_dir)
      .select("t", "b", "vec_id")
      .repartition(F.col("t"))
      # t leads for the dynamic-partition writer, as in build/append
      .sortWithinPartitions("t", "b", "vec_id")
      .write.mode("overwrite").partitionBy("t").parquet(staged))
+    # plant the marker BEFORE the swap: after the swap the new index
+    # carries it, so recovery can tell "crash after swap, .old stale"
+    # from "index rewritten while the real one was parked at .old"
+    with open(os.path.join(staged, _COMPACTED_MARKER), "w"):
+        pass
     os.rename(index_dir, old)
     os.rename(staged, index_dir)
     shutil.rmtree(old)

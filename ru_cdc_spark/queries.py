@@ -1364,6 +1364,7 @@ register("ann_batch_queries",
 
 
 _LSH_INDEX_DIRS: dict[str, str] = {}
+_LSH_STREAM_DIRS: dict[str, str] = {}
 
 
 def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1408,8 +1409,19 @@ def ann_lsh_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends for ITS vectors only; the index never rebuilds; compaction
     (lsh_index_compact) amortizes the small-file debt offline."""
     import os as _os
+    import shutil as _shutil
 
-    work = _session_tmpdir("lshstream_")
+    # one workdir per sf_dir for the session (same rationale as
+    # ann_lsh_incremental): repeated gate/bench invocations must not
+    # accumulate index+feed+checkpoint copies under /tmp. Contents are
+    # swept per invocation — the feed and checkpoint MUST start empty
+    # or the file stream would replay (or skip) old slices.
+    work = _LSH_STREAM_DIRS.get(sf_dir)
+    if work is None:
+        work = _LSH_STREAM_DIRS[sf_dir] = _session_tmpdir("lshstream_")
+    for sub in ("postings", "postings.old", "postings.compact",
+                "feed", "ckpt"):
+        _shutil.rmtree(_os.path.join(work, sub), ignore_errors=True)
     idx = _os.path.join(work, "postings")
     feed = _os.path.join(work, "feed")
     _os.makedirs(feed)
@@ -1429,7 +1441,11 @@ def ann_lsh_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
          .foreachBatch(lambda bdf, _bid: _sim.lsh_index_append(bdf, idx))
          .option("checkpointLocation", _os.path.join(work, "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ann_lsh_stream_ingest: ingest stream did not drain in "
+            "300s — refusing to serve from a partially ingested index")
     return _sim.lsh_index_query(spark, emb, idx)
 
 

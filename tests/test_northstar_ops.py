@@ -468,6 +468,52 @@ def test_lsh_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+def test_lsh_recover_disambiguates_marker_and_ambiguous(spark, sf_dir,
+                                                        tmp_path):
+    """Crash AFTER the swap leaves a stale .old next to the marker-
+    carrying new index (recover sweeps it); an index REWRITTEN while
+    the real one was parked at .old must be refused loudly, never
+    silently deleted (the r11 second-review finding: an append after a
+    mid-swap crash would otherwise lose the whole index)."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import similarity as sim
+
+    emb = sim._emb(spark, sf_dir)
+    idx = str(tmp_path / "postings")
+
+    # marker case: compacted index + stale .old -> recover sweeps .old
+    sim.lsh_index_build(emb, idx)
+    sim.lsh_index_compact(spark, idx)
+    want = {(r.t, r.b, r.vec_id) for r in spark.read.parquet(idx).collect()}
+    shutil.copytree(idx, idx + ".old")
+    sim._lsh_recover(idx)
+    assert not os.path.exists(idx + ".old")
+    got = {(r.t, r.b, r.vec_id) for r in spark.read.parquet(idx).collect()}
+    assert got == want
+
+    # ambiguous case: real index parked at .old, directory then
+    # recreated WITHOUT a marker (as a stray append would) -> every
+    # entry point must refuse
+    os.rename(idx, idx + ".old")
+    os.remove(os.path.join(idx + ".old", sim._COMPACTED_MARKER))
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    # recreate the directory marker-less, as a stray append would
+    os.makedirs(idx)
+    with _pytest.raises(RuntimeError, match="ambiguous"):
+        sim._lsh_recover(idx)
+    with _pytest.raises(RuntimeError, match="ambiguous"):
+        sim.lsh_index_append(batch, idx)
+    with _pytest.raises(RuntimeError, match="ambiguous"):
+        sim.lsh_index_query(spark, emb, idx)
+    with _pytest.raises(RuntimeError, match="ambiguous"):
+        sim.lsh_index_compact(spark, idx)
+
+
 def _parquet_inventory(root) -> dict:
     """{relative parquet file path: size} under an index directory."""
     import os

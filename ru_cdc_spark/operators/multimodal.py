@@ -519,9 +519,15 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = multimodal_phash_near_dup(spark, sf_dir) \
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = star_contraction_components(pairs)
+    # members as a CSV string, not an array: the driver's hash gate
+    # compares str(cell), and list cells render differently across
+    # engines' pandas conversions (the r01 comparator crash class)
+    members = F.array_join(
+        F.transform(F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string")), ",")
     return (comp.groupBy(F.col("component").alias("cluster_rep"))
             .agg(F.count("*").alias("n_members"),
-                 F.array_sort(F.collect_list("doc_id")).alias("members")))
+                 members.alias("members")))
 
 
 # ---------------------------------------------------------------------------

@@ -1673,8 +1673,17 @@ register("multimodal_decode_stub",
 register("multimodal_frame_sample",
          _mm.MULTIMODAL_FRAME_SAMPLE_SQL)(_mm.multimodal_frame_sample)
 register("multimodal_resize", _mm.MULTIMODAL_RESIZE_SQL)(_mm.multimodal_resize)
+from ru_cdc_spark.operators.phash_golden_sql import (  # noqa: E402
+    PHASH_CLUSTERS_SQL,
+    PHASH_NEAR_DUP_SQL,
+)
+
+# the DCT is not SQL-expressible, but the whole pHash pipeline is
+# deterministic, so independently-computed goldens pin it
+# (tools/gen_phash_oracle.py: direct nested-sum DCT, order-statistic
+# median, union-find components)
 register("multimodal_phash_near_dup",
-         None)(_mm.multimodal_phash_near_dup)  # DCT: rows-only
+         PHASH_NEAR_DUP_SQL)(_mm.multimodal_phash_near_dup)
 register("multimodal_png_decode",
          _mm.MULTIMODAL_PNG_DECODE_SQL)(_mm.multimodal_png_decode)
 register("multimodal_image_decode",
@@ -1685,7 +1694,7 @@ register("multimodal_video_frame_sample",
          _mm.MULTIMODAL_VIDEO_FRAME_SAMPLE_SQL)(
     _mm.multimodal_video_frame_sample)
 register("multimodal_phash_clusters",
-         None)(_mm.multimodal_phash_clusters)  # DCT + iterative
+         PHASH_CLUSTERS_SQL)(_mm.multimodal_phash_clusters)
 register("multimodal_audio_spectral",
          _mm.AUDIO_SPECTRAL_SQL)(_mm.audio_spectral)
 

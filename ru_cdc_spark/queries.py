@@ -1555,7 +1555,13 @@ register("ann_pq_rerank", None)(_sim.ann_pq_rerank)  # iterative: rows-only
 register("ann_ivfpq_rerank", None)(_sim.ann_ivfpq_rerank)  # iterative
 register("label_centroid_geometry",
          _sim.LABEL_CENTROID_GEOMETRY_SQL)(_sim.label_centroid_geometry)
-register("ann_mmr_diverse", None)(_sim.mmr_diverse_topk)
+from ru_cdc_spark.operators.mmr_golden_sql import (  # noqa: E402
+    ANN_MMR_DIVERSE_SQL,
+)
+
+# greedy MMR is iterative, not SQL-expressible — but deterministic, so
+# an independently-recomputed golden pins it (tools/gen_mmr_oracle.py)
+register("ann_mmr_diverse", ANN_MMR_DIVERSE_SQL)(_sim.mmr_diverse_topk)
 register("text_stats", _tx.TEXT_STATS_SQL)(_tx.text_stats)
 register("text_lang_id", _tx.LANG_ID_SQL)(_tx.lang_id)
 register("text_lang_id_ngram", _tx.LANG_ID_NGRAM_SQL)(_tx.lang_id_ngram)

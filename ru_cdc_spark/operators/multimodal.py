@@ -458,8 +458,11 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode jitter; pHash banding (4 bands x 16 bits) blocks candidates and
     an exact Hamming check (xor + bit_count, pure codegen) confirms.
 
-    Rows-only correctness (the DCT is not SQL-expressible); the
-    same-group/no-cross-group guarantees are pytest-gated.
+    Correctness (since r11): the DCT is not SQL-expressible, but the
+    pipeline is deterministic, so a golden oracle pins it
+    (tools/gen_phash_oracle.py — independent naive DCT + order-
+    statistic median, frozen per corpus signature). The same-group/
+    no-cross-group guarantees stay pytest-gated.
 
     Scale: hashing is a narrow Arrow map (the 100 TB cost is the decode
     itself, already payload-local); the band join shuffles 8-byte hashes
@@ -507,8 +510,9 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("keep one per visual cluster"), composing the perceptual-hash
     banding with the dedup module's component machinery.
 
-    Rows-only correctness (DCT + iterative contraction); the
-    groups-of-5 fixture guarantee is pytest-gated.
+    Correctness (since r11): golden oracle (union-find recomputation
+    in tools/gen_phash_oracle.py, frozen per corpus signature); the
+    groups-of-5 fixture guarantee stays pytest-gated.
 
     Scale: pairs are banding-bounded (pixels never shuffle); components
     run on the pair graph (vertices = near-dup images only, a sliver of

@@ -547,9 +547,13 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str, k: int = 10,
     work on a constant-size set, never on the corpus. At 100 TB only the
     scan grows; the pool stays 50 rows.
 
-    Rows-only correctness (greedy iteration is not SQL-expressible);
-    tests/test_northstar_ops.py gates that the selection is at least as
-    diverse as plain top-k at equal pool.
+    Correctness (since r11): greedy iteration is not SQL-expressible,
+    but the selection is deterministic, so a golden oracle pins it
+    (tools/gen_mmr_oracle.py — independent single-node re-run, frozen
+    as a corpus-signature-keyed literal table; changing lam/pool/
+    tie-breaks requires regenerating the golden).
+    tests/test_northstar_ops.py additionally gates that the selection
+    is at least as diverse as plain top-k at equal pool.
     """
     emb = _emb(spark, sf_dir)
     qid = 0
@@ -1471,7 +1475,7 @@ def lsh_index_compact(spark: SparkSession, index_dir: str) -> None:
     directory rename.
 
     Crash posture (plain directories have no atomic two-way swap): the
-    swap is two renames; EVERY index entry point (build / append /
+    swap is two renames; every state-preserving entry point (append /
     query / compact) runs :func:`_lsh_recover` first, which restores an
     index parked at ``<dir>.old`` by a crash between the renames,
     sweeps a stale ``.old`` left by a crash after the swap (the

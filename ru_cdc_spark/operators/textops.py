@@ -1139,8 +1139,10 @@ def corpus_stemmed_terms(spark: SparkSession, sf_dir: str,
     """Vocabulary head AFTER Porter stemming (functions/stemmer.py) —
     inflected forms collapse onto stems before counting, the
     normalization step tokenizer/stopword decisions actually consume.
-    Rows-only (a five-step suffix-stripping automaton is not
-    SQL-expressible); the stemmer itself is vector-gated in pytest.
+    Correctness (since r11): the automaton is not SQL-expressible, but
+    the head is deterministic, so a golden oracle pins the distributed
+    path against a sequential recount (tools/gen_stem_oracle.py; the
+    stemmer itself stays vector-gated in pytest).
 
     Scale: stemming is a per-token map inside Arrow batches; the only
     shuffle is the uniform stem-count aggregate with map-side partials,

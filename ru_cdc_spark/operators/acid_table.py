@@ -285,14 +285,16 @@ class AcidTable:
         contract comes from conditional PUT."""
         payload = json.dumps({"version": version, "op": op,
                               "actions": actions, "txn": txn})
+        from ru_cdc_spark.operators.commitlog import put_if_absent
         try:
-            fd = os.open(self._log_file(version),
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # temp-write + link (shared helper): the commit name never
+            # appears without its full content — a bare O_EXCL create
+            # let a racing/post-crash reader json-load a truncated log
+            # entry (r12 review finding, fixed in both logs at once)
+            put_if_absent(self._log_file(version), payload)
         except FileExistsError as exc:
             raise CommitConflict(
                 f"version {version} already committed") from exc
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
         self._maybe_checkpoint(version)
 
     # -- writing -----------------------------------------------------------

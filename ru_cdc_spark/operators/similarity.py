@@ -1024,10 +1024,6 @@ def _lsh_sign(t: int, j: int, d: int) -> float:
     return 1.0 if x & 1 else -1.0
 
 
-_LSH_SIGNS = [[[_lsh_sign(t, j, d) for d in range(LSH_DIM)]
-               for j in range(LSH_BITS)] for t in range(LSH_TABLES)]
-
-
 def _lsh_bucket(t: int, k: int = LSH_BITS) -> "F.Column":
     """Table t's k-bit bucket code: sign bits of deterministic
     hyperplane projections, folded LEFT over the dimensions (matching
@@ -1418,13 +1414,17 @@ def _lsh_try_commit(index_dir: str, version: int, op: str,
         entry["meta"] = meta
     payload = json.dumps(entry, sort_keys=True)
     path = os.path.join(log, f"{version:020d}.json")
+    from ru_cdc_spark.operators.commitlog import put_if_absent
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        # temp-write + link: the manifest name only ever appears bound
+        # to its COMPLETE content (the r12 review's torn-commit fix —
+        # a bare O_EXCL create is visible to listdir before the payload
+        # lands, so a racing or post-crash reader would json-load a
+        # truncated commit and fail with no recovery story)
+        put_if_absent(path, payload)
     except FileExistsError as exc:
         raise LshCommitConflict(
             f"manifest version {version} already committed") from exc
-    with os.fdopen(fd, "w") as fh:
-        fh.write(payload)
 
 
 def _lsh_live_files(index_dir: str,
@@ -1742,6 +1742,15 @@ def lsh_index_vacuum(index_dir: str, retain_versions: int = 0) -> list[str]:
         referenced |= set(_lsh_live_files(index_dir, v)[1])
     removed: list[str] = []
     for part in sorted(os.listdir(index_dir)):
+        if part.startswith(".staged-"):
+            # a writer that crashed DURING _lsh_stage_in (before the
+            # per-file moves) leaves its whole staging dir behind —
+            # unreferenced by construction, swept here (r12 review:
+            # the t=-only scan leaked these across repeated crashes)
+            import shutil
+            shutil.rmtree(os.path.join(index_dir, part))
+            removed.append(part)
+            continue
         if not part.startswith("t="):
             continue
         for f in sorted(os.listdir(os.path.join(index_dir, part))):

@@ -699,6 +699,102 @@ def test_lsh_index_records_and_reuses_k(spark, sf_dir, tmp_path):
     assert sim.lsh_index_meta(idx) == meta
 
 
+def test_commitlog_put_if_absent_atomic():
+    """r12 review fix: a commit name must never be observable without
+    its COMPLETE content (the bare O_EXCL create was listdir-visible
+    before the payload landed), conflicts must preserve the winner's
+    content, and no temp files may survive either outcome."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from ru_cdc_spark.operators.commitlog import put_if_absent
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "00000000000000000003.json")
+        put_if_absent(path, '{"v": 3}')
+        assert open(path).read() == '{"v": 3}'
+        with _pytest.raises(FileExistsError):
+            put_if_absent(path, '{"v": "loser"}')
+        assert open(path).read() == '{"v": 3}'  # winner untouched
+        assert os.listdir(d) == ["00000000000000000003.json"]  # no .tmp
+
+
+def test_lsh_vacuum_sweeps_crashed_staging_dirs(spark, sf_dir, tmp_path):
+    """r12 review fix: a writer that dies DURING _lsh_stage_in (before
+    any per-file move) leaves its whole .staged-* directory behind;
+    vacuum must reclaim it, not just unreferenced t=*/ files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import similarity as sim
+
+    emb = sim._emb(spark, sf_dir)
+    idx = str(tmp_path / "postings")
+    sim.lsh_index_build(emb.where(F.col("vec_id") % 10 != 7), idx,
+                        k=sim.LSH_BITS)
+    # simulate the crash: a staging dir with real content, never moved
+    staged = os.path.join(idx, ".staged-deadbeef0000")
+    os.makedirs(os.path.join(staged, "t=0"))
+    with open(os.path.join(staged, "t=0", "part-x.parquet"), "wb") as fh:
+        fh.write(b"orphan")
+    want = {(r.t, r.b, r.vec_id)
+            for r in sim.lsh_index_postings(spark, idx).collect()}
+    removed = sim.lsh_index_vacuum(idx, retain_versions=0)
+    assert ".staged-deadbeef0000" in removed
+    assert not os.path.exists(staged)
+    got = {(r.t, r.b, r.vec_id)
+           for r in sim.lsh_index_postings(spark, idx).collect()}
+    assert got == want
+
+
+def test_lsh_parameterized_oracle_parity_nondefault_k(spark, sf_dir,
+                                                      tmp_path):
+    """r12 review gap: the (L, k)-parameterized coding/SQL paths were
+    only ever gated at the pinned (32, 6). Full cross-engine parity at
+    (L=8, k=4): a persisted index built at the non-default budget must
+    serve results row-identical (bit-exact doubles included) to DuckDB
+    executing the generated ann_lsh_tables_sql(8, 4) — and the UDF
+    coding must stay bit-identical to the expression spec at k=4."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import similarity as sim
+
+    L, k = 8, 4
+    emb = sim._emb(spark, sf_dir)
+
+    # UDF vs expression spec at the non-default k
+    fast = {(r.vec_id, r["tb"]["t"], r["tb"]["b"]) for r in
+            emb.select("vec_id",
+                       F.posexplode(sim.lsh_codes(F.col("e"), L, k))
+                       .alias("t", "b"))
+            .select("vec_id", F.struct("t", "b").alias("tb")).collect()}
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("t"), sim._lsh_bucket(t, k).alias("b"))
+        for t in range(L)])
+    ref = {(r.vec_id, r["tb"]["t"], r["tb"]["b"]) for r in
+           emb.select("vec_id", F.explode(buckets).alias("tb"))
+           .collect()}
+    assert fast == ref and fast
+
+    # persisted-index serving vs the generated oracle SQL
+    idx = str(tmp_path / "postings")
+    sim.lsh_index_build(emb, idx, L=L, k=k)
+    assert sim.lsh_index_meta(idx) == {"L": L, "k": k,
+                                       "dim": sim.LSH_DIM}
+    served = {(r.q_vec, r.neighbor, r.cos_sim, r.rank) for r in
+              sim.lsh_index_query(spark, emb, idx).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{sf_dir}/embeddings.parquet'")
+    oracle = {(q, n, c, rk) for q, n, c, rk in
+              con.execute(sim.ann_lsh_tables_sql(L, k)).fetchall()}
+    assert served == oracle and served
+
+
 def test_stream_ingest_compacts_mid_run(spark, sf_dir):
     """r11 verdict #7: the streaming ingest entry must compact MID-RUN
     (every _LSH_STREAM_COMPACT_EVERY appended micro-batches), so a

@@ -1388,13 +1388,58 @@ def _lsh_log_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "_log")
 
 
+LSH_CHECKPOINT_INTERVAL = 10  # snapshot the live set every N commits
+
+
 def _lsh_versions(index_dir: str) -> list[int]:
     import os
     log = _lsh_log_dir(index_dir)
     if not os.path.isdir(log):
         return []
-    return sorted(int(f[:-5]) for f in os.listdir(log)
-                  if f.endswith(".json"))
+    return sorted(int(f.split(".")[0]) for f in os.listdir(log)
+                  if f.endswith(".json")
+                  and not f.endswith(".checkpoint.json")
+                  and not f.endswith(".tmp"))
+
+
+def _lsh_checkpoint_file(index_dir: str, version: int) -> str:
+    import os
+    return os.path.join(_lsh_log_dir(index_dir),
+                        f"{version:020d}.checkpoint.json")
+
+
+def _lsh_latest_checkpoint(index_dir: str,
+                           at_or_below: int) -> tuple[int, list[str]] | None:
+    import json
+    import os
+    log = _lsh_log_dir(index_dir)
+    cps = sorted(int(f.split(".")[0]) for f in os.listdir(log)
+                 if f.endswith(".checkpoint.json"))
+    cps = [v for v in cps if v <= at_or_below]
+    if not cps:
+        return None
+    with open(_lsh_checkpoint_file(index_dir, cps[-1])) as fh:
+        return cps[-1], json.load(fh)["files"]
+
+
+def _lsh_maybe_checkpoint(index_dir: str, version: int) -> None:
+    """Every LSH_CHECKPOINT_INTERVAL commits, snapshot the full live
+    file set next to the log (the acid_table/Delta checkpoint idea) so
+    a reader's replay cost stays O(interval), not O(history) — the
+    caveat the r12 manifest upgrade shipped with, closed for the
+    streaming-ingest case where commits accumulate one per micro-batch.
+    Best-effort and crash-safe: the write is tmp + atomic replace, two
+    racing writers produce identical content for the same version, and
+    readers that miss it just replay more commits."""
+    import json
+    import os
+    if version == 0 or version % LSH_CHECKPOINT_INTERVAL:
+        return
+    _v, live = _lsh_live_files(index_dir, version)
+    tmp = _lsh_checkpoint_file(index_dir, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": live}, fh)
+    os.replace(tmp, _lsh_checkpoint_file(index_dir, version))
 
 
 def _lsh_try_commit(index_dir: str, version: int, op: str,
@@ -1431,7 +1476,9 @@ def _lsh_live_files(index_dir: str,
                     version: int | None = None) -> tuple[int, list[str]]:
     """Replay the manifest log up to ``version`` (default: latest) and
     return ``(version, sorted relative data-file paths)`` — the PIN a
-    reader resolves once and then trusts for the whole query."""
+    reader resolves once and then trusts for the whole query. Seeds
+    from the newest checkpoint at or below ``version`` when one exists,
+    so replay cost is O(LSH_CHECKPOINT_INTERVAL), not O(history)."""
     import json
     import os
     vs = _lsh_versions(index_dir)
@@ -1442,7 +1489,14 @@ def _lsh_live_files(index_dir: str,
     if version is None:
         version = vs[-1]
     live: set[str] = set()
+    seed_version = -1
+    cp = _lsh_latest_checkpoint(index_dir, version)
+    if cp is not None:
+        seed_version, files = cp
+        live = set(files)
     for v in vs:
+        if v <= seed_version:
+            continue
         if v > version:
             break
         with open(os.path.join(_lsh_log_dir(index_dir),
@@ -1579,6 +1633,7 @@ def lsh_index_append(new_vecs: DataFrame, index_dir: str) -> None:
         version = _lsh_versions(index_dir)[-1] + 1
         try:
             _lsh_try_commit(index_dir, version, "append", added, [])
+            _lsh_maybe_checkpoint(index_dir, version)
             return
         except LshCommitConflict:
             continue
@@ -1717,6 +1772,7 @@ def lsh_index_compact(spark: SparkSession, index_dir: str,
         try:
             _lsh_try_commit(index_dir, latest + 1, "compact",
                             added, pin_files)
+            _lsh_maybe_checkpoint(index_dir, latest + 1)
             return
         except LshCommitConflict:
             continue

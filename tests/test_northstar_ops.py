@@ -795,6 +795,64 @@ def test_lsh_parameterized_oracle_parity_nondefault_k(spark, sf_dir,
     assert served == oracle and served
 
 
+def test_lsh_manifest_checkpoint_bounds_replay(spark, sf_dir, tmp_path):
+    """Long-lived indexes accumulate one commit per append (the
+    streaming-ingest shape); every LSH_CHECKPOINT_INTERVAL commits a
+    live-set snapshot lands next to the log so reader replay is
+    O(interval), not O(history). Gates: the checkpoint exists at the
+    interval version, pinned reads BELOW and ABOVE it both equal an
+    independent full replay done here without checkpoint seeding, and
+    the final postings content is exact."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import similarity as sim
+
+    emb = sim._emb(spark, sf_dir).where(F.col("vec_id") < 150)
+    idx = str(tmp_path / "postings")
+    sim.lsh_index_build(emb.where(F.col("vec_id") % 15 == 0), idx,
+                        k=sim.LSH_BITS)
+    n_appends = sim.LSH_CHECKPOINT_INTERVAL + 2
+    for m in range(1, n_appends + 1):
+        sim.lsh_index_append(emb.where(F.col("vec_id") % 15 == m), idx)
+
+    cp = sim._lsh_checkpoint_file(idx, sim.LSH_CHECKPOINT_INTERVAL)
+    assert os.path.exists(cp), "no checkpoint at the interval version"
+
+    # independent replay (no checkpoint seeding) at three pin points
+    def full_replay(version):
+        live: set = set()
+        for v in sim._lsh_versions(idx):
+            if v > version:
+                break
+            with open(os.path.join(sim._lsh_log_dir(idx),
+                                   f"{v:020d}.json")) as fh:
+                m = json.load(fh)
+            live -= set(m["remove"])
+            live |= set(m["add"])
+        return sorted(live)
+
+    for pin in (5, sim.LSH_CHECKPOINT_INTERVAL, n_appends):
+        _v, files = sim._lsh_live_files(idx, pin)
+        assert files == full_replay(pin), f"replay mismatch at v{pin}"
+
+    # the checkpoint content itself equals the replay at its version
+    with open(cp) as fh:
+        assert (json.load(fh)["files"]
+                == full_replay(sim.LSH_CHECKPOINT_INTERVAL))
+
+    # and the served content is exact over everything admitted
+    got = {(r.t, r.b, r.vec_id)
+           for r in sim.lsh_index_postings(spark, idx).collect()}
+    want = {(r.t, r.b, r.vec_id) for r in
+            sim.lsh_postings(
+                emb.where(F.col("vec_id") % 15 <= n_appends),
+                sim.LSH_TABLES, sim.LSH_BITS).collect()}
+    assert got == want and got
+
+
 def test_stream_ingest_compacts_mid_run(spark, sf_dir):
     """r11 verdict #7: the streaming ingest entry must compact MID-RUN
     (every _LSH_STREAM_COMPACT_EVERY appended micro-batches), so a

@@ -91,8 +91,11 @@ SHOWCASE = [
     # exactly-once offsets-in-transaction transform (rotated IN r10)
     "cdc_kafka_wire_roundtrip", "cdc_kafka_group_rebalance",
     "cdc_kafka_eos_transform",
-    # dedup family (embedding_cosine rotated OUT r11 after 9 greens)
-    "dedup_minhash_lsh_pairs", "dedup_clusters_star",
+    # dedup family (embedding_cosine rotated OUT r11 after 9 greens;
+    # minhash_lsh_pairs rotated OUT r12 for the new persisted-band-
+    # index admission flagship, which exercises banding AND the shared
+    # manifest store — the driver gate proves persisted == derived)
+    "dedup_index_admission", "dedup_clusters_star",
     "corpus_dedup_retain",
     # similarity / ANN (L-tables hyperplane LSH is the canonical
     # LSH index from round 9; batch serving shares its shape with a
@@ -124,6 +127,7 @@ SHOWCASE = [
     "rich_customers_without_orders", "weekly_revenue_growth",
     "top_orders_per_customer", "mysql_socket_tls_snapshot",
     "mysql_socket_semisync_snapshot", "binlog_txn_compressed",
+    "dedup_minhash_lsh_pairs",
     # (rotated OUT of the window r11 after 7-10 straight green gradings,
     # making room for the seven rows whose only driver grading was r01:)
     "cdc_change_stream", "cdc_changed_cols", "cdc_route",

@@ -764,6 +764,83 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def band_index_store(index_dir: str):
+    """The dedup MinHash BAND index as a persisted, manifest-committed
+    postings store (r12) — the same shared machinery as the ANN
+    L-tables index (operators/postings_store.py): hive-partitioned by
+    ``band_idx`` (directory count stays N_BANDS as the corpus grows),
+    files sorted by (band_idx, band_hash, doc_id) so hash-equality
+    probes prune via parquet min/max string stats, manifest-pinned
+    reads, append-only maintenance, atomic compaction commits, explicit
+    vacuum, checkpointed replay."""
+    from ru_cdc_spark.operators.postings_store import PostingsStore
+    return PostingsStore(index_dir, "band_idx",
+                         ("band_idx", "band_hash", "doc_id"))
+
+
+def band_index_build(bands: DataFrame, index_dir: str) -> None:
+    """Materialize the corpus's (band_idx, band_hash, doc_id) postings
+    as the persisted dedup index; commits manifest version 0 with the
+    banding configuration so later batches verify they were banded the
+    same way."""
+    band_index_store(index_dir).build(
+        bands.select("band_idx", "band_hash", "doc_id"),
+        meta={"n_bands": N_BANDS, "rows_per_band": 2})
+
+
+def band_index_append(bands: DataFrame, index_dir: str) -> None:
+    """Admit accepted documents' bands into the persisted index — one
+    new sorted file per band partition, one manifest commit; cost
+    scales with the batch, never the corpus (the ANN append contract,
+    shared store)."""
+    band_index_store(index_dir).append(
+        bands.select("band_idx", "band_hash", "doc_id"))
+
+
+def band_index_admit(spark: SparkSession, new_bands: DataFrame,
+                     index_dir: str) -> DataFrame:
+    """Admission decision for a NEW batch against the PERSISTED index:
+    a document is admitted iff none of its band hashes collides with
+    the accumulated corpus. The index side is a manifest-pinned scan —
+    a batch admitting concurrently with maintenance sees one committed
+    snapshot, never a torn one.
+
+    Scale: the join is batch-bands x index equi-join on
+    (band_idx, band_hash) — shuffle proportional to the BATCH; the
+    index partitions are band_idx-pruned at the directory level and
+    band_hash-pruned by row-group stats (files are hash-sorted). No
+    pairwise work: admission is a semi-join decision."""
+    postings = band_index_store(index_dir).postings(spark)
+    colliding = (new_bands
+                 .join(postings.select("band_idx", "band_hash"),
+                       ["band_idx", "band_hash"], "left_semi")
+                 .select("doc_id").distinct())
+    all_new = new_bands.select("doc_id").distinct()
+    return (
+        all_new.join(colliding, "doc_id", "left_anti")
+        .select("doc_id", F.lit(True).alias("admitted"))
+        .unionByName(colliding.select("doc_id",
+                                      F.lit(False).alias("admitted")))
+    )
+
+
+def dedup_index_admission(spark: SparkSession, sf_dir: str,
+                          index_dir: str) -> DataFrame:
+    """End-to-end persisted-index dedup admission (r12): build the band
+    index from the accumulated corpus (doc_id % 10 != 0), then decide
+    the arriving batch (doc_id % 10 == 0) against it via the
+    manifest-pinned semi-join. Semantically identical to
+    :func:`dedup_incremental_new_batch` (same split, same banding), so
+    it hash-gates against the SAME DuckDB oracle — the driver proves
+    persisted-index admission == derived-index admission every round.
+    The append/compact/vacuum lifecycle on this index is pytest-gated
+    (test_band_index_lifecycle_shares_store)."""
+    bands = _band_table(spark, sf_dir)
+    band_index_build(bands.where(F.col("doc_id") % 10 != 0), index_dir)
+    return band_index_admit(
+        spark, bands.where(F.col("doc_id") % 10 == 0), index_dir)
+
+
 def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: admit a NEW batch of documents only if no LSH
     band collides with the EXISTING corpus index — the continuous

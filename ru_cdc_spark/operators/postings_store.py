@@ -1,0 +1,324 @@
+"""Manifest-committed postings store — the shared persistence layer
+behind the engine's retrieval indexes (the ANN L-tables index in
+``operators/similarity.py`` and the dedup MinHash band index in
+``operators/dedup.py``).
+
+Layout and contract (r12; grew out of the ANN index's manifest
+upgrade, generalized here because the dedup band index needs the
+identical lifecycle):
+
+* data files live in a hive layout ``<partition_col>=<v>/...parquet``,
+  each file sorted by ``sort_cols`` so parquet min/max row-group stats
+  prune point lookups on the secondary key;
+* every mutation commits a file-list delta to
+  ``_log/{version:020d}.json``, claimed put-if-absent via the atomic
+  temp-write + ``os.link`` helper (``operators/commitlog.py``) — a
+  commit name never appears without its complete content;
+* readers PIN a manifest version once (``postings()``), then read
+  exactly the immutable files that version names — concurrent appends
+  and compactions are invisible, there is no swap window, and nothing
+  deletes data except an explicit ``vacuum()``;
+* compaction rewrites each partition to one sorted file BESIDE the old
+  files and retires them in one atomic commit; appends racing it are
+  preserved by the rebase loop; dual compactors are refused loudly;
+* a writer crash at ANY point before its commit leaves only orphan
+  files/staging dirs no manifest references — swept by ``vacuum()``;
+* every ``CHECKPOINT_INTERVAL`` commits, the live set is snapshotted
+  next to the log so reader replay is O(interval), not O(history).
+
+100 TB story: maintenance coordination cost is one tiny JSON write
+regardless of index size; readers and writers never block each other;
+on object stores the same semantics come from conditional PUT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ru_cdc_spark.operators.commitlog import put_if_absent
+
+
+class StoreCommitConflict(RuntimeError):
+    """Another writer claimed this manifest version first — retry."""
+
+
+class PostingsStore:
+    """One persisted, manifest-committed postings index directory."""
+
+    CHECKPOINT_INTERVAL = 10  # snapshot the live set every N commits
+
+    def __init__(self, index_dir: str, partition_col: str,
+                 sort_cols: tuple[str, ...]):
+        assert sort_cols and sort_cols[0] == partition_col, (
+            "partition column must LEAD the sort: the dynamic-partition "
+            "writer would otherwise insert its own unstable sort and "
+            "scramble the secondary order the stats pruning needs")
+        self.index_dir = index_dir
+        self.partition_col = partition_col
+        self.sort_cols = sort_cols
+
+    # -- manifest log --------------------------------------------------
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.index_dir, "_log")
+
+    def _log_file(self, version: int) -> str:
+        return os.path.join(self._log_dir(), f"{version:020d}.json")
+
+    def versions(self) -> list[int]:
+        log = self._log_dir()
+        if not os.path.isdir(log):
+            return []
+        return sorted(int(f.split(".")[0]) for f in os.listdir(log)
+                      if f.endswith(".json")
+                      and not f.endswith(".checkpoint.json")
+                      and not f.endswith(".tmp"))
+
+    def version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise RuntimeError(
+                f"{self.index_dir}: no postings manifest — not an "
+                "index (build first)")
+        return vs[-1]
+
+    def meta(self) -> dict:
+        """The configuration the index was BUILT with — read from the
+        build commit so maintenance and serving agree with the build's
+        (possibly corpus-adaptive) choice, never session constants."""
+        vs = self.versions()
+        if not vs:
+            raise RuntimeError(
+                f"{self.index_dir}: no postings manifest — not an "
+                "index (build first)")
+        with open(self._log_file(vs[0])) as fh:
+            entry = json.load(fh)
+        meta = entry.get("meta")
+        if not meta:
+            raise RuntimeError(
+                f"{self.index_dir}: build commit carries no metadata — "
+                "rebuild the index (pre-r12 layout)")
+        return meta
+
+    def _read_commit(self, version: int) -> dict:
+        with open(self._log_file(version)) as fh:
+            return json.load(fh)
+
+    def ops(self) -> list[str]:
+        """The op of every commit, in version order (audit helper)."""
+        return [self._read_commit(v)["op"] for v in self.versions()]
+
+    def _try_commit(self, version: int, op: str, add: list[str],
+                    remove: list[str], meta: dict | None = None) -> None:
+        os.makedirs(self._log_dir(), exist_ok=True)
+        entry = {"version": version, "op": op,
+                 "add": sorted(add), "remove": sorted(remove)}
+        if meta is not None:
+            entry["meta"] = meta
+        try:
+            put_if_absent(self._log_file(version),
+                          json.dumps(entry, sort_keys=True))
+        except FileExistsError as exc:
+            raise StoreCommitConflict(
+                f"manifest version {version} already committed") from exc
+
+    # -- checkpoints ----------------------------------------------------
+
+    def _checkpoint_file(self, version: int) -> str:
+        return os.path.join(self._log_dir(),
+                            f"{version:020d}.checkpoint.json")
+
+    def _latest_checkpoint(
+            self, at_or_below: int) -> tuple[int, list[str]] | None:
+        cps = sorted(int(f.split(".")[0])
+                     for f in os.listdir(self._log_dir())
+                     if f.endswith(".checkpoint.json"))
+        cps = [v for v in cps if v <= at_or_below]
+        if not cps:
+            return None
+        with open(self._checkpoint_file(cps[-1])) as fh:
+            return cps[-1], json.load(fh)["files"]
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Every CHECKPOINT_INTERVAL commits, snapshot the full live
+        set next to the log so reader replay stays O(interval), not
+        O(history). Best-effort and crash-safe: tmp + atomic replace,
+        racing writers produce identical content for the same version,
+        readers that miss it just replay more commits."""
+        if version == 0 or version % self.CHECKPOINT_INTERVAL:
+            return
+        _v, live = self.live_files(version)
+        tmp = self._checkpoint_file(version) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": live}, fh)
+        os.replace(tmp, self._checkpoint_file(version))
+
+    # -- reads ----------------------------------------------------------
+
+    def live_files(self,
+                   version: int | None = None) -> tuple[int, list[str]]:
+        """Replay the log up to ``version`` (default latest) — seeded
+        from the newest checkpoint at or below it — and return
+        ``(version, sorted relative paths)``: the PIN a reader resolves
+        once and then trusts for its whole query."""
+        vs = self.versions()
+        if not vs:
+            raise RuntimeError(
+                f"{self.index_dir}: no postings manifest — not an "
+                "index (build first)")
+        if version is None:
+            version = vs[-1]
+        live: set[str] = set()
+        seed_version = -1
+        cp = self._latest_checkpoint(version)
+        if cp is not None:
+            seed_version, files = cp
+            live = set(files)
+        for v in vs:
+            if v <= seed_version:
+                continue
+            if v > version:
+                break
+            m = self._read_commit(v)
+            live -= set(m["remove"])
+            live |= set(m["add"])
+        return version, sorted(live)
+
+    def postings(self, spark: SparkSession,
+                 version: int | None = None) -> DataFrame:
+        """Manifest-pinned scan: resolve the live file set ONCE, read
+        exactly those files — never a raw directory listing, so
+        concurrent maintenance (and uncommitted staging leftovers) are
+        invisible."""
+        _v, files = self.live_files(version)
+        return (spark.read.option("basePath", self.index_dir)
+                .parquet(*[os.path.join(self.index_dir, f)
+                           for f in files]))
+
+    # -- writes ---------------------------------------------------------
+
+    def _stage_in(self, postings: DataFrame) -> list[str]:
+        """Write a postings batch to a private staging dir, then MOVE
+        each parquet file into the shared hive layout (same filesystem:
+        the move is a rename) and return the relative paths. Files are
+        INVISIBLE until a manifest commit names them; Spark's part-file
+        names embed a UUID, so concurrent writers never collide. The
+        repartition on the partition column co-locates each partition
+        in one task — one sorted file per partition per batch."""
+        staged = os.path.join(self.index_dir,
+                              f".staged-{uuid.uuid4().hex[:12]}")
+        (postings.repartition(F.col(self.partition_col))
+         .sortWithinPartitions(*self.sort_cols)
+         .write.mode("overwrite")
+         .partitionBy(self.partition_col).parquet(staged))
+        prefix = f"{self.partition_col}="
+        added: list[str] = []
+        for part in sorted(os.listdir(staged)):
+            if not part.startswith(prefix):
+                continue
+            os.makedirs(os.path.join(self.index_dir, part),
+                        exist_ok=True)
+            for f in sorted(os.listdir(os.path.join(staged, part))):
+                if not f.endswith(".parquet"):
+                    continue
+                rel = f"{part}/{f}"
+                os.rename(os.path.join(staged, part, f),
+                          os.path.join(self.index_dir, rel))
+                added.append(rel)
+        shutil.rmtree(staged)
+        return added
+
+    def build(self, postings: DataFrame, meta: dict) -> None:
+        """CREATE the index (version 0), superseding anything at the
+        path — not a concurrent-maintenance op; append/compact/postings
+        are."""
+        if os.path.isdir(self.index_dir):
+            shutil.rmtree(self.index_dir)
+        os.makedirs(self.index_dir)
+        added = self._stage_in(postings)
+        self._try_commit(0, "build", added, [], meta=meta)
+
+    def append(self, postings: DataFrame) -> None:
+        """Admit a batch without touching existing files: one new
+        sorted file per partition, made visible by ONE commit. Adds
+        commute, so a lost put-if-absent race just re-claims the next
+        version; a crash before the commit leaves invisible orphans."""
+        self.version()  # refuse to invent an index
+        added = self._stage_in(postings)
+        while True:
+            version = self.versions()[-1] + 1
+            try:
+                self._try_commit(version, "append", added, [])
+                self._maybe_checkpoint(version)
+                return
+            except StoreCommitConflict:
+                continue
+
+    def compact(self, spark: SparkSession,
+                pin_version: int | None = None) -> None:
+        """Rewrite each partition to one sorted file beside the old
+        files and retire the pinned set in one atomic commit. Readers
+        are never exposed (nothing is deleted here); appends racing the
+        compaction survive via the rebase loop; a compactor whose
+        pinned remove-set was already retired is refused loudly.
+        ``pin_version`` compacts as of an older committed version (ops/
+        test hook)."""
+        pin_v, pin_files = self.live_files(pin_version)
+        cols = [F.col(c) for c in
+                dict.fromkeys((self.partition_col, *self.sort_cols))]
+        added = self._stage_in(
+            self.postings(spark, pin_v).select(*cols))
+        while True:
+            latest, live = self.live_files()
+            gone = set(pin_files) - set(live)
+            if gone:
+                raise RuntimeError(
+                    f"concurrent compaction detected on "
+                    f"{self.index_dir}: {len(gone)} files this "
+                    "compaction planned to retire were already removed "
+                    "by another committer — run ONE compactor at a "
+                    "time (appends are safe to race)")
+            try:
+                self._try_commit(latest + 1, "compact", added, pin_files)
+                self._maybe_checkpoint(latest + 1)
+                return
+            except StoreCommitConflict:
+                continue
+
+    def vacuum(self, retain_versions: int = 0) -> list[str]:
+        """Physically delete files no manifest in the retained window
+        references — retired compaction inputs, crashed writers'
+        orphans, and abandoned staging dirs. The ONLY deleter, explicit
+        and offline: run quiesced relative to in-flight WRITERS (their
+        uncommitted files look like orphans); readers need no quiescing
+        while ``retain_versions`` covers the oldest in-flight pin."""
+        vs = self.versions()
+        if not vs:
+            raise RuntimeError(
+                f"{self.index_dir}: no postings manifest — not an "
+                "index")
+        referenced: set[str] = set()
+        for v in vs[-(retain_versions + 1):]:
+            referenced |= set(self.live_files(v)[1])
+        prefix = f"{self.partition_col}="
+        removed: list[str] = []
+        for part in sorted(os.listdir(self.index_dir)):
+            if part.startswith(".staged-"):
+                shutil.rmtree(os.path.join(self.index_dir, part))
+                removed.append(part)
+                continue
+            if not part.startswith(prefix):
+                continue
+            for f in sorted(os.listdir(
+                    os.path.join(self.index_dir, part))):
+                rel = f"{part}/{f}"
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.remove(os.path.join(self.index_dir, rel))
+                    removed.append(rel)
+        return removed

@@ -1360,181 +1360,67 @@ def lsh_postings(df: DataFrame, L: int = LSH_TABLES,
 
 
 # ---------------------------------------------------------------------------
-# persisted-index manifest (r12): put-if-absent file-list commits
+# persisted index (r12): manifest-pinned file commits, shared store
 #
-# Round-11 shipped the index lifecycle on staged directory renames; its
-# own docstring named the reader race (a query racing the two-rename
-# compaction swap could observe a missing directory). r12 upgrades the
-# store to the acid_table.py manifest pattern: every mutation commits
-# the file-list delta to _log/{version:020d}.json claimed by EXCLUSIVE
-# CREATE (put-if-absent — the same primitive object stores expose), and
-# readers pin a manifest version before touching any data file. There
-# is no swap window at all: compaction ADDS its rewritten files and
-# marks the old ones removed in one atomic commit; a reader pinned to
-# any committed version always finds every file its manifest names,
-# because data files are immutable and only lsh_index_vacuum (an
-# explicit offline op) ever deletes them. A writer crash at ANY point
-# before its commit leaves only orphan data files that no manifest
-# references — invisible to every reader, swept by vacuum.
+# Round-11 shipped the lifecycle on staged directory renames; its own
+# docstring named the reader race (a query racing the two-rename swap
+# could observe a missing directory). r12 replaced it with manifest
+# commits, then generalized the machinery into
+# operators/postings_store.PostingsStore (the dedup band index shares
+# it) — see that module for the layout/atomicity/checkpoint contract.
+# The wrappers below keep the ANN-specific parts: (L, k) handling,
+# query coding, and the public lsh_index_* API the tests and registry
+# entries use.
 # ---------------------------------------------------------------------------
 
+from ru_cdc_spark.operators.postings_store import (  # noqa: E402
+    PostingsStore,
+    StoreCommitConflict as LshCommitConflict,
+)
 
-class LshCommitConflict(RuntimeError):
-    """Another writer claimed this manifest version first — retry."""
+LSH_CHECKPOINT_INTERVAL = PostingsStore.CHECKPOINT_INTERVAL
 
 
+def _lsh_store(index_dir: str) -> PostingsStore:
+    """The ANN postings store: hive-partitioned by TABLE t (directory
+    count stays L as the corpus grows), files sorted by (t, b, vec_id)
+    so bucket lookups prune via parquet min/max stats on b."""
+    return PostingsStore(index_dir, "t", ("t", "b", "vec_id"))
+
+
+# thin test/ops aliases over the shared store (same names as the r12
+# in-module implementation they replaced)
 def _lsh_log_dir(index_dir: str) -> str:
-    import os
-    return os.path.join(index_dir, "_log")
-
-
-LSH_CHECKPOINT_INTERVAL = 10  # snapshot the live set every N commits
+    return _lsh_store(index_dir)._log_dir()
 
 
 def _lsh_versions(index_dir: str) -> list[int]:
-    import os
-    log = _lsh_log_dir(index_dir)
-    if not os.path.isdir(log):
-        return []
-    return sorted(int(f.split(".")[0]) for f in os.listdir(log)
-                  if f.endswith(".json")
-                  and not f.endswith(".checkpoint.json")
-                  and not f.endswith(".tmp"))
+    return _lsh_store(index_dir).versions()
 
 
 def _lsh_checkpoint_file(index_dir: str, version: int) -> str:
-    import os
-    return os.path.join(_lsh_log_dir(index_dir),
-                        f"{version:020d}.checkpoint.json")
-
-
-def _lsh_latest_checkpoint(index_dir: str,
-                           at_or_below: int) -> tuple[int, list[str]] | None:
-    import json
-    import os
-    log = _lsh_log_dir(index_dir)
-    cps = sorted(int(f.split(".")[0]) for f in os.listdir(log)
-                 if f.endswith(".checkpoint.json"))
-    cps = [v for v in cps if v <= at_or_below]
-    if not cps:
-        return None
-    with open(_lsh_checkpoint_file(index_dir, cps[-1])) as fh:
-        return cps[-1], json.load(fh)["files"]
-
-
-def _lsh_maybe_checkpoint(index_dir: str, version: int) -> None:
-    """Every LSH_CHECKPOINT_INTERVAL commits, snapshot the full live
-    file set next to the log (the acid_table/Delta checkpoint idea) so
-    a reader's replay cost stays O(interval), not O(history) — the
-    caveat the r12 manifest upgrade shipped with, closed for the
-    streaming-ingest case where commits accumulate one per micro-batch.
-    Best-effort and crash-safe: the write is tmp + atomic replace, two
-    racing writers produce identical content for the same version, and
-    readers that miss it just replay more commits."""
-    import json
-    import os
-    if version == 0 or version % LSH_CHECKPOINT_INTERVAL:
-        return
-    _v, live = _lsh_live_files(index_dir, version)
-    tmp = _lsh_checkpoint_file(index_dir, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": live}, fh)
-    os.replace(tmp, _lsh_checkpoint_file(index_dir, version))
-
-
-def _lsh_try_commit(index_dir: str, version: int, op: str,
-                    add: list[str], remove: list[str],
-                    meta: dict | None = None) -> None:
-    """Claim ``version`` by exclusive create — losing writers get
-    :class:`LshCommitConflict` and must rebase. ``meta`` (build only)
-    pins the index's (L, k, dim) so every later append/query/compact
-    codes with the SAME configuration the build chose."""
-    import json
-    import os
-    log = _lsh_log_dir(index_dir)
-    os.makedirs(log, exist_ok=True)
-    entry = {"version": version, "op": op,
-             "add": sorted(add), "remove": sorted(remove)}
-    if meta is not None:
-        entry["meta"] = meta
-    payload = json.dumps(entry, sort_keys=True)
-    path = os.path.join(log, f"{version:020d}.json")
-    from ru_cdc_spark.operators.commitlog import put_if_absent
-    try:
-        # temp-write + link: the manifest name only ever appears bound
-        # to its COMPLETE content (the r12 review's torn-commit fix —
-        # a bare O_EXCL create is visible to listdir before the payload
-        # lands, so a racing or post-crash reader would json-load a
-        # truncated commit and fail with no recovery story)
-        put_if_absent(path, payload)
-    except FileExistsError as exc:
-        raise LshCommitConflict(
-            f"manifest version {version} already committed") from exc
+    return _lsh_store(index_dir)._checkpoint_file(version)
 
 
 def _lsh_live_files(index_dir: str,
                     version: int | None = None) -> tuple[int, list[str]]:
-    """Replay the manifest log up to ``version`` (default: latest) and
-    return ``(version, sorted relative data-file paths)`` — the PIN a
-    reader resolves once and then trusts for the whole query. Seeds
-    from the newest checkpoint at or below ``version`` when one exists,
-    so replay cost is O(LSH_CHECKPOINT_INTERVAL), not O(history)."""
-    import json
-    import os
-    vs = _lsh_versions(index_dir)
-    if not vs:
-        raise RuntimeError(
-            f"{index_dir}: no LSH index manifest — not an index "
-            "(build first)")
-    if version is None:
-        version = vs[-1]
-    live: set[str] = set()
-    seed_version = -1
-    cp = _lsh_latest_checkpoint(index_dir, version)
-    if cp is not None:
-        seed_version, files = cp
-        live = set(files)
-    for v in vs:
-        if v <= seed_version:
-            continue
-        if v > version:
-            break
-        with open(os.path.join(_lsh_log_dir(index_dir),
-                               f"{v:020d}.json")) as fh:
-            m = json.load(fh)
-        live -= set(m["remove"])
-        live |= set(m["add"])
-    return version, sorted(live)
+    return _lsh_store(index_dir).live_files(version)
+
+
+def _lsh_stage_in(postings: DataFrame, index_dir: str) -> list[str]:
+    return _lsh_store(index_dir)._stage_in(postings)
 
 
 def lsh_index_version(index_dir: str) -> int:
     """Latest committed manifest version (raises if not an index)."""
-    vs = _lsh_versions(index_dir)
-    if not vs:
-        raise RuntimeError(
-            f"{index_dir}: no LSH index manifest — not an index")
-    return vs[-1]
+    return _lsh_store(index_dir).version()
 
 
 def lsh_index_meta(index_dir: str) -> dict:
     """The (L, k, dim) the index was BUILT with — read from the build
     commit, so maintenance and serving agree with the build's choice
     (possibly scale-adaptive) rather than the session constants."""
-    import json
-    import os
-    vs = _lsh_versions(index_dir)
-    if not vs:
-        raise RuntimeError(
-            f"{index_dir}: no LSH index manifest — not an index")
-    with open(os.path.join(_lsh_log_dir(index_dir),
-                           f"{vs[0]:020d}.json")) as fh:
-        entry = json.load(fh)
-    meta = entry.get("meta")
-    if not meta:
-        raise RuntimeError(
-            f"{index_dir}: build commit carries no (L, k) metadata — "
-            "rebuild the index (pre-r12 layout)")
-    return meta
+    return _lsh_store(index_dir).meta()
 
 
 def lsh_index_postings(spark: SparkSession, index_dir: str,
@@ -1543,44 +1429,8 @@ def lsh_index_postings(spark: SparkSession, index_dir: str,
     ``version`` (default latest) ONCE, then read exactly those files —
     never a raw directory listing, so concurrent appends/compactions
     (and their uncommitted staging leftovers) are invisible."""
-    import os
-    _v, files = _lsh_live_files(index_dir, version)
-    return (spark.read.option("basePath", index_dir)
-            .parquet(*[os.path.join(index_dir, f) for f in files]))
+    return _lsh_store(index_dir).postings(spark, version)
 
-
-def _lsh_stage_in(postings: DataFrame, index_dir: str) -> list[str]:
-    """Write a postings batch to a private staging dir, then MOVE each
-    parquet file into the shared ``t=*/`` layout (same filesystem, so
-    the move is a rename) and return the relative paths. The files are
-    INVISIBLE until a manifest commit names them; Spark's part-file
-    names embed a UUID, so concurrent writers never collide. Each
-    partition dir receives one b-sorted file per task that held that
-    table — with ``repartition(col("t"))`` that is one file per table."""
-    import os
-    import shutil
-    import uuid
-    staged = os.path.join(index_dir, f".staged-{uuid.uuid4().hex[:12]}")
-    (postings.repartition(F.col("t"))
-     # t leads the sort: the dynamic-partition writer requires its
-     # partition column sorted and would otherwise insert its own
-     # (unstable) sort, scrambling the b order the stats pruning needs
-     .sortWithinPartitions("t", "b", "vec_id")
-     .write.mode("overwrite").partitionBy("t").parquet(staged))
-    added: list[str] = []
-    for part in sorted(os.listdir(staged)):
-        if not part.startswith("t="):
-            continue
-        os.makedirs(os.path.join(index_dir, part), exist_ok=True)
-        for f in sorted(os.listdir(os.path.join(staged, part))):
-            if not f.endswith(".parquet"):
-                continue
-            rel = f"{part}/{f}"
-            os.rename(os.path.join(staged, part, f),
-                      os.path.join(index_dir, rel))
-            added.append(rel)
-    shutil.rmtree(staged)
-    return added
 
 
 def lsh_index_build(emb: DataFrame, index_dir: str,
@@ -1602,17 +1452,10 @@ def lsh_index_build(emb: DataFrame, index_dir: str,
     so every later append/query/compact codes with the build's choice —
     the graded fixture entries pass ``k=LSH_BITS`` explicitly to stay
     pinned to their k-stable oracle SQL across scale factors."""
-    import os
-    import shutil
-
     if k is None:
         k = lsh_adaptive_bits(emb.count())
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir)
-    os.makedirs(index_dir)
-    added = _lsh_stage_in(lsh_postings(emb, L, k), index_dir)
-    _lsh_try_commit(index_dir, 0, "build", added, [],
-                    meta={"L": L, "k": k, "dim": LSH_DIM})
+    _lsh_store(index_dir).build(lsh_postings(emb, L, k),
+                                meta={"L": L, "k": k, "dim": LSH_DIM})
 
 
 def lsh_index_append(new_vecs: DataFrame, index_dir: str) -> None:
@@ -1626,17 +1469,9 @@ def lsh_index_append(new_vecs: DataFrame, index_dir: str) -> None:
     work; a crash before the commit leaves invisible orphans only.
     Codes with the (L, k) the index was BUILT with (manifest meta),
     never the session constants."""
-    meta = lsh_index_meta(index_dir)  # also refuses to invent an index
-    added = _lsh_stage_in(
-        lsh_postings(new_vecs, meta["L"], meta["k"]), index_dir)
-    while True:
-        version = _lsh_versions(index_dir)[-1] + 1
-        try:
-            _lsh_try_commit(index_dir, version, "append", added, [])
-            _lsh_maybe_checkpoint(index_dir, version)
-            return
-        except LshCommitConflict:
-            continue
+    store = _lsh_store(index_dir)
+    meta = store.meta()  # also refuses to invent an index
+    store.append(lsh_postings(new_vecs, meta["L"], meta["k"]))
 
 
 def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
@@ -1756,62 +1591,17 @@ def lsh_index_compact(spark: SparkSession, index_dir: str,
     ``_pin_version`` compacts as of an older committed version (ops /
     test hook — it is how the two-concurrent-compactors refusal is
     exercised deterministically)."""
-    pin_version, pin_files = _lsh_live_files(index_dir, _pin_version)
-    added = _lsh_stage_in(
-        lsh_index_postings(spark, index_dir, pin_version)
-        .select("t", "b", "vec_id"), index_dir)
-    while True:
-        latest, live = _lsh_live_files(index_dir)
-        gone = set(pin_files) - set(live)
-        if gone:
-            raise RuntimeError(
-                f"concurrent compaction detected on {index_dir}: "
-                f"{len(gone)} files this compaction planned to retire "
-                "were already removed by another committer — run ONE "
-                "compactor at a time (appends are safe to race)")
-        try:
-            _lsh_try_commit(index_dir, latest + 1, "compact",
-                            added, pin_files)
-            _lsh_maybe_checkpoint(index_dir, latest + 1)
-            return
-        except LshCommitConflict:
-            continue
+    _lsh_store(index_dir).compact(spark, _pin_version)
 
 
 def lsh_index_vacuum(index_dir: str, retain_versions: int = 0) -> list[str]:
     """Physically delete data files no manifest in the retained window
-    references: files retired by compactions older than the window plus
-    orphans from crashed writers. The ONLY operation that deletes data,
-    and deliberately explicit/offline — a reader pinned within the
-    retained window never loses a file. Run quiesced relative to
-    in-flight WRITERS (their staged-but-uncommitted files would look
-    like orphans); readers need no quiescing as long as
-    ``retain_versions`` covers the oldest pin still in flight.
-    Returns the deleted relative paths."""
-    import os
-    vs = _lsh_versions(index_dir)
-    if not vs:
-        raise RuntimeError(
-            f"{index_dir}: no LSH index manifest — not an index")
-    referenced: set[str] = set()
-    for v in vs[-(retain_versions + 1):]:
-        referenced |= set(_lsh_live_files(index_dir, v)[1])
-    removed: list[str] = []
-    for part in sorted(os.listdir(index_dir)):
-        if part.startswith(".staged-"):
-            # a writer that crashed DURING _lsh_stage_in (before the
-            # per-file moves) leaves its whole staging dir behind —
-            # unreferenced by construction, swept here (r12 review:
-            # the t=-only scan leaked these across repeated crashes)
-            import shutil
-            shutil.rmtree(os.path.join(index_dir, part))
-            removed.append(part)
-            continue
-        if not part.startswith("t="):
-            continue
-        for f in sorted(os.listdir(os.path.join(index_dir, part))):
-            rel = f"{part}/{f}"
-            if f.endswith(".parquet") and rel not in referenced:
-                os.remove(os.path.join(index_dir, rel))
-                removed.append(rel)
-    return removed
+    references: files retired by compactions older than the window,
+    orphans from crashed writers, and abandoned staging dirs. The ONLY
+    operation that deletes data, and deliberately explicit/offline — a
+    reader pinned within the retained window never loses a file. Run
+    quiesced relative to in-flight WRITERS (their staged-but-
+    uncommitted files would look like orphans); readers need no
+    quiescing as long as ``retain_versions`` covers the oldest pin
+    still in flight. Returns the deleted relative paths."""
+    return _lsh_store(index_dir).vacuum(retain_versions)

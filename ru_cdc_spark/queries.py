@@ -1353,6 +1353,28 @@ register("dedup_minhash_lsh_capped",
          _dd.MINHASH_LSH_PAIRS_CAPPED_SQL)(_dd.minhash_lsh_pairs_capped)
 register("dedup_incremental_new_batch",
          _dd.DEDUP_INCREMENTAL_SQL)(_dd.dedup_incremental_new_batch)
+
+_BAND_INDEX_DIRS: dict[str, str] = {}
+
+
+def dedup_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-band-index dedup admission (r12): the continuous-
+    ingestion shape with a REAL index on disk — manifest-pinned reads,
+    shared PostingsStore machinery with the ANN index. Hash-gates
+    against the same oracle as dedup_incremental_new_batch, so the
+    driver proves persisted == derived admission every round. One
+    workdir per sf_dir for the session (build overwrites)."""
+    import os as _os
+
+    work = _BAND_INDEX_DIRS.get(sf_dir)
+    if work is None:
+        work = _BAND_INDEX_DIRS[sf_dir] = _session_tmpdir("bandidx_")
+    return _dd.dedup_index_admission(spark, sf_dir,
+                                     _os.path.join(work, "postings"))
+
+
+register("dedup_index_admission",
+         _dd.DEDUP_INCREMENTAL_SQL)(dedup_index_admission)
 register("fuzzy_name_pairs", _dd.FUZZY_NAME_PAIRS_SQL)(_dd.fuzzy_name_pairs)
 
 

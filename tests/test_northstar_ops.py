@@ -795,6 +795,66 @@ def test_lsh_parameterized_oracle_parity_nondefault_k(spark, sf_dir,
     assert served == oracle and served
 
 
+def test_band_index_lifecycle_shares_store(spark, sf_dir, tmp_path):
+    """r12: the dedup MinHash band index persists through the SAME
+    PostingsStore as the ANN index — build/admit/append/compact/vacuum
+    with manifest-pinned reads. Gates: admission against the persisted
+    index equals the derived-index decision, appended bands land
+    without touching existing files, compaction collapses to one
+    hash-sorted file per band partition with content unchanged, vacuum
+    leaves disk == live manifest."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import dedup as dd
+    from ru_cdc_spark.queries import REGISTRY
+
+    bands = dd._band_table(spark, sf_dir)
+    corpus = bands.where(F.col("doc_id") % 10 != 0)
+    batch = bands.where(F.col("doc_id") % 10 == 0)
+    idx = str(tmp_path / "postings")
+
+    dd.band_index_build(corpus, idx)
+    store = dd.band_index_store(idx)
+    assert store.meta() == {"n_bands": dd.N_BANDS, "rows_per_band": 2}
+
+    verdicts = {(r.doc_id, r.admitted) for r in
+                dd.band_index_admit(spark, batch, idx).collect()}
+    derived = {(r.doc_id, r.admitted) for r in
+               REGISTRY["dedup_incremental_new_batch"]
+               .fn(spark, sf_dir).collect()}
+    assert verdicts == derived and verdicts
+
+    # the production next step: admitted docs' bands join the index
+    admitted = [d for d, ok in verdicts if ok]
+    dd.band_index_append(
+        batch.where(F.col("doc_id").isin(admitted)), idx)
+    got = {(r.band_idx, r.band_hash, r.doc_id)
+           for r in store.postings(spark).collect()}
+    want = {(r.band_idx, r.band_hash, r.doc_id) for r in
+            corpus.unionByName(
+                batch.where(F.col("doc_id").isin(admitted)))
+            .collect()}
+    assert got == want
+
+    store.compact(spark)
+    _v, live = store.live_files()
+    by_part: dict = {}
+    for path in live:
+        m = re.search(r"band_idx=(\d+)/", path)
+        assert m, path
+        by_part.setdefault(int(m.group(1)), []).append(path)
+    assert set(by_part) == set(range(dd.N_BANDS))
+    assert all(len(v) == 1 for v in by_part.values())
+    got_c = {(r.band_idx, r.band_hash, r.doc_id)
+             for r in store.postings(spark).collect()}
+    assert got_c == want
+    store.vacuum(retain_versions=0)
+    assert set(_parquet_inventory(idx)) == set(live)
+    assert store.ops() == ["build", "append", "compact"]
+
+
 def test_lsh_manifest_checkpoint_bounds_replay(spark, sf_dir, tmp_path):
     """Long-lived indexes accumulate one commit per append (the
     streaming-ingest shape); every LSH_CHECKPOINT_INTERVAL commits a

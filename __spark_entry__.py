@@ -95,7 +95,11 @@ SHOWCASE = [
     # minhash_lsh_pairs rotated OUT r12 for the new persisted-band-
     # index admission flagship, which exercises banding AND the shared
     # manifest store — the driver gate proves persisted == derived)
-    "dedup_index_admission", "dedup_clusters_star",
+    # dedup_clusters_star rotated OUT r12 (multi-round green) for the
+    # online streaming admission flagship: sequential verdicts that
+    # genuinely diverge from batch admission, hash-gated in arrival
+    # order by a chained-CTE oracle
+    "dedup_index_admission", "dedup_stream_admission",
     "corpus_dedup_retain",
     # similarity / ANN (L-tables hyperplane LSH is the canonical
     # LSH index from round 9; batch serving shares its shape with a
@@ -127,7 +131,7 @@ SHOWCASE = [
     "rich_customers_without_orders", "weekly_revenue_growth",
     "top_orders_per_customer", "mysql_socket_tls_snapshot",
     "mysql_socket_semisync_snapshot", "binlog_txn_compressed",
-    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs", "dedup_clusters_star",
     # (rotated OUT of the window r11 after 7-10 straight green gradings,
     # making room for the seven rows whose only driver grading was r01:)
     "cdc_change_stream", "cdc_changed_cols", "cdc_route",

@@ -129,7 +129,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-md5 + integer-permutation form is ~N_MINHASH x cheaper per
     shingle than hashing per (seed, shingle).
     """
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    return minhash_signatures_of(
+        spread(load_table(spark, sf_dir, "documents")))
+
+
+def minhash_signatures_of(docs: DataFrame) -> DataFrame:
+    """:func:`minhash_signatures` over an arbitrary documents frame —
+    the form streaming ingestion needs (each arriving micro-batch is
+    banded in place, same expressions, zero shuffle)."""
     w = F.col("w")
     k = 3
     # slice + array_join (not per-position element_at chains): one array
@@ -188,7 +195,14 @@ FROM hashed GROUP BY doc_id
 
 def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_idx, band_hash) — one row per doc per band."""
-    sig = minhash_signatures(spark, sf_dir)
+    return band_table_of(minhash_signatures(spark, sf_dir))
+
+
+def band_table_of(docs_or_sigs: DataFrame) -> DataFrame:
+    """Band table over an arbitrary frame: accepts either raw documents
+    (doc_id, text — banded in place) or precomputed signatures."""
+    sig = (docs_or_sigs if "mh0" in docs_or_sigs.columns
+           else minhash_signatures_of(docs_or_sigs))
     return sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -887,6 +901,53 @@ SELECT doc_id, TRUE AS admitted FROM (
 UNION ALL
 SELECT doc_id, FALSE AS admitted FROM colliding
 """
+
+
+def _seq_admission_sql() -> str:
+    """DuckDB oracle for SEQUENTIAL (online) dedup admission: base
+    index = odd doc_ids; three arriving batches (doc_id % 6 = 0, 2, 4)
+    decided IN ORDER, each admitted batch's bands joining the index
+    before the next batch is judged. A fixed batch count makes the
+    online semantics exactly SQL-expressible as a chained CTE — i0 ->
+    (n0, r0, a0, i1) -> ... — so the driver hash-gates the engine's
+    actual micro-batch replay, order included."""
+    parts = [MINHASH_LSH_PAIRS_SQL.rsplit("SELECT DISTINCT", 1)[0]]
+    parts.append(""",
+i0 AS (SELECT DISTINCT band_idx, band_hash FROM bands
+       WHERE doc_id % 2 <> 0)""")
+    for step, s in enumerate(STREAM_ADMISSION_SLICES):
+        parts.append(f""",
+n{step} AS (SELECT * FROM bands WHERE doc_id % 6 = {s}),
+r{step} AS (SELECT DISTINCT doc_id FROM n{step}
+      WHERE (band_idx, band_hash)
+            IN (SELECT (band_idx, band_hash) FROM i{step})),
+a{step} AS (SELECT DISTINCT doc_id FROM n{step}
+      EXCEPT SELECT doc_id FROM r{step}),
+i{step + 1} AS (SELECT band_idx, band_hash FROM i{step}
+      UNION SELECT band_idx, band_hash FROM n{step}
+      WHERE doc_id IN (SELECT doc_id FROM a{step}))""")
+    n = len(STREAM_ADMISSION_SLICES)
+    admitted = " UNION ALL ".join(
+        f"SELECT doc_id FROM a{i}" for i in range(n))
+    rejected = " UNION ALL ".join(
+        f"SELECT doc_id FROM r{i}" for i in range(n))
+    parts.append(f"""
+SELECT doc_id, TRUE AS admitted FROM ({admitted})
+UNION ALL
+SELECT doc_id, FALSE AS admitted FROM ({rejected})""")
+    return "".join(parts)
+
+
+# arriving-batch order for the streaming admission entry: doc_id % 6
+# values, judged strictly in this order (the % 2 == 0 half of the
+# corpus; the % 2 != 0 half is the pre-built index). Chosen so the
+# sequential verdicts genuinely DIVERGE from all-at-once batch
+# admission on the fixture (6 verdicts differ at sf0.001, 5 at sf0.01
+# — checked against an independent Python replay; a narrower new-set
+# had zero divergence, the r11 vacuousness trap).
+STREAM_ADMISSION_SLICES = (0, 2, 4)
+
+DEDUP_STREAM_ADMISSION_SQL = _seq_admission_sql()
 
 
 def corpus_dedup_retain(spark: SparkSession, sf_dir: str) -> DataFrame:

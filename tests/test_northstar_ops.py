@@ -855,6 +855,54 @@ def test_band_index_lifecycle_shares_store(spark, sf_dir, tmp_path):
     assert store.ops() == ["build", "append", "compact"]
 
 
+def test_dedup_stream_admission_is_sequential(spark, sf_dir):
+    """The streaming admission entry must exhibit ONLINE semantics —
+    an admitted document's bands block later-arriving near-duplicates —
+    so its verdicts genuinely diverge from all-at-once batch admission
+    (same base index, same new set). Also gates the mid-run compaction
+    cadence on the band index (shared-store ops log)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark import queries as Q
+    from ru_cdc_spark.operators import dedup as dd
+    from ru_cdc_spark.sources.readers import load_table
+
+    seq = {(r.doc_id, r.admitted) for r in
+           Q.REGISTRY["dedup_stream_admission"].fn(spark, sf_dir)
+           .collect()}
+    assert len(seq) == len({d for d, _ in seq}), "duplicate verdicts"
+
+    # all-at-once batch admission over the SAME split
+    docs = load_table(spark, sf_dir, "documents").select("doc_id",
+                                                         "text")
+    bands = dd.band_table_of(docs)
+    base = (bands.where(F.col("doc_id") % 2 != 0)
+            .select("band_idx", "band_hash").distinct())
+    new = bands.where(F.col("doc_id") % 2 == 0)
+    colliding = (new.join(base, ["band_idx", "band_hash"], "left_semi")
+                 .select("doc_id").distinct())
+    batch = {(r.doc_id, False) for r in colliding.collect()}
+    batch |= {(r.doc_id, True) for r in
+              new.select("doc_id").distinct()
+              .join(colliding, "doc_id", "left_anti").collect()}
+
+    assert {d for d, _ in seq} == {d for d, _ in batch}
+    diverging = {d for d, ok in seq if (d, ok) not in batch}
+    assert diverging, (
+        "sequential verdicts identical to batch admission — the entry "
+        "is vacuous on this corpus (retune the slices)")
+    # every divergence is a REJECTION the online index added (an
+    # admitted earlier-arrival blocked it); never the other way
+    assert all((d, False) in seq for d in diverging)
+
+    # mid-run compaction cadence on the shared store
+    idx = os.path.join(Q._BAND_STREAM_DIRS[sf_dir], "postings")
+    ops = dd.band_index_store(idx).ops()
+    assert ops == ["build", "append", "append", "compact", "append"]
+
+
 def test_lsh_manifest_checkpoint_bounds_replay(spark, sf_dir, tmp_path):
     """Long-lived indexes accumulate one commit per append (the
     streaming-ingest shape); every LSH_CHECKPOINT_INTERVAL commits a

@@ -87,6 +87,13 @@ HEADLINE = [
     # operator throughput (same policy as the fault-injection queries).
     "ann_lsh_incremental",
     "hybrid_rrf_search",
+    # round-12 addition — the r11..r10 comparison set is the 43 entries
+    # above: persisted-band-index dedup admission (build + manifest-
+    # pinned semi-join on the shared PostingsStore).
+    # dedup_stream_admission is NOT a leg for the same reason as
+    # ann_lsh_stream_ingest: its 3-trigger micro-batch machinery
+    # measures Structured Streaming overhead, not operator throughput.
+    "dedup_index_admission",
 ]
 
 

@@ -197,11 +197,17 @@ def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int, float]:
         # sum across data-carrying batches: max_events_per_trigger pins
         # this to ONE batch today, but a config change or a trailing
         # empty progress entry must not divide the full row count by a
-        # single batch's (possibly near-zero) addBatch time
+        # single batch's (possibly near-zero) addBatch time. And
+        # recentProgress is a RING BUFFER (default 100 entries): if the
+        # earliest retained batchId isn't 0, batches were evicted and
+        # the sum would undercount — fall back to wall time rather than
+        # report an inflated throughput.
         batch_secs = [p["durationMs"]["addBatch"] / 1000.0
                       for p in progress
                       if p.get("numInputRows", 0) > 0]
-        addbatch_sec = sum(batch_secs) if batch_secs else elapsed
+        evicted = bool(progress) and progress[0]["batchId"] != 0
+        addbatch_sec = (sum(batch_secs)
+                        if batch_secs and not evicted else elapsed)
         return elapsed, n_rows, addbatch_sec
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -270,10 +270,9 @@ class PostingsStore:
         ``pin_version`` compacts as of an older committed version (ops/
         test hook)."""
         pin_v, pin_files = self.live_files(pin_version)
-        cols = [F.col(c) for c in
-                dict.fromkeys((self.partition_col, *self.sort_cols))]
         added = self._stage_in(
-            self.postings(spark, pin_v).select(*cols))
+            self.postings(spark, pin_v)
+            .select(*[F.col(c) for c in self.sort_cols]))
         while True:
             latest, live = self.live_files()
             gone = set(pin_files) - set(live)
@@ -308,6 +307,13 @@ class PostingsStore:
             referenced |= set(self.live_files(v)[1])
         prefix = f"{self.partition_col}="
         removed: list[str] = []
+        # commit temp files a writer left by crashing between link and
+        # unlink in put_if_absent: vacuum runs quiesced relative to
+        # writers, so any surviving *.tmp in the log is dead
+        for f in sorted(os.listdir(self._log_dir())):
+            if f.endswith(".tmp"):
+                os.remove(os.path.join(self._log_dir(), f))
+                removed.append(f"_log/{f}")
         for part in sorted(os.listdir(self.index_dir)):
             if part.startswith(".staged-"):
                 shutil.rmtree(os.path.join(self.index_dir, part))

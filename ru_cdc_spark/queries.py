@@ -1432,17 +1432,22 @@ def dedup_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(tmp)
 
     def _ingest(bdf, bid):
+        # foreachBatch is at-least-once: the verdict sink writes to a
+        # DETERMINISTIC per-batch path with overwrite, so a retried
+        # batch replaces (never duplicates) its rows; the bands append
+        # below is semantically idempotent under retry — duplicate
+        # (band, doc) posting rows cannot change a semi-join verdict
         bands = _dd.band_table_of(bdf)
-        verdicts = _dd.band_index_admit(spark, bands, idx)
-        verdicts.write.mode("append").parquet(vdir)
-        admitted = (spark.read.parquet(vdir)
+        bdir = _os.path.join(vdir, f"batch-{bid}")
+        (_dd.band_index_admit(spark, bands, idx)
+         .write.mode("overwrite").parquet(bdir))
+        admitted = (spark.read.parquet(bdir)  # batch-sized, just wrote
                     .where(F.col("admitted")).select("doc_id"))
         _dd.band_index_append(
             bands.join(admitted, "doc_id", "left_semi"), idx)
         if (bid + 1) % _LSH_STREAM_COMPACT_EVERY == 0:
-            from ru_cdc_spark.operators import dedup as _dd2
-            _dd2.band_index_store(idx).compact(spark)
-            _dd2.band_index_store(idx).vacuum(retain_versions=0)
+            _dd.band_index_store(idx).compact(spark)
+            _dd.band_index_store(idx).vacuum(retain_versions=0)
 
     stream = (spark.readStream.schema("doc_id long, text string")
               .option("maxFilesPerTrigger", "1").parquet(feed))
@@ -1454,7 +1459,8 @@ def dedup_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "dedup_stream_admission: ingest stream did not drain in "
             "300s — refusing to report partial verdicts")
-    return spark.read.parquet(vdir).select("doc_id", "admitted")
+    return (spark.read.parquet(_os.path.join(vdir, "batch-*"))
+            .select("doc_id", "admitted"))
 
 
 register("dedup_stream_admission",

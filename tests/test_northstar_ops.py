@@ -742,8 +742,15 @@ def test_lsh_vacuum_sweeps_crashed_staging_dirs(spark, sf_dir, tmp_path):
         fh.write(b"orphan")
     want = {(r.t, r.b, r.vec_id)
             for r in sim.lsh_index_postings(spark, idx).collect()}
+    # and a commit temp file from a crash between link and unlink
+    tmp_leftover = sim._lsh_checkpoint_file(idx, 0).replace(
+        ".checkpoint.json", ".json.deadbeef.tmp")
+    with open(tmp_leftover, "w") as fh:
+        fh.write("{}")
     removed = sim.lsh_index_vacuum(idx, retain_versions=0)
     assert ".staged-deadbeef0000" in removed
+    assert any(r.endswith(".tmp") for r in removed)
+    assert not os.path.exists(tmp_leftover)
     assert not os.path.exists(staged)
     got = {(r.t, r.b, r.vec_id)
            for r in sim.lsh_index_postings(spark, idx).collect()}

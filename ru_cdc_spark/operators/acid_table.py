@@ -711,6 +711,13 @@ class AcidTable:
             if os.path.exists(path):
                 os.remove(path)
                 deleted.append(path)
+        # commit temp leftovers from writers that crashed between the
+        # link and the temp unlink in commitlog.put_if_absent — vacuum
+        # is the quiesced maintenance point for this log too (r12
+        # review: the sweep first landed only in PostingsStore.vacuum)
+        from ru_cdc_spark.operators.commitlog import sweep_tmp
+        deleted += [os.path.join(self._log_dir(), f)
+                    for f in sweep_tmp(self._log_dir())]
         return deleted
 
 

@@ -26,6 +26,23 @@ import os
 import uuid
 
 
+def sweep_tmp(log_dir: str) -> list[str]:
+    """Remove ``*.tmp`` commit leftovers a writer left by crashing
+    between the ``link`` and the temp unlink. This module owns the temp
+    naming convention, so both log owners' vacuums call here instead of
+    duplicating it. Call only quiesced relative to in-flight writers
+    (a live writer's temp would look identical). Returns removed
+    relative names."""
+    removed: list[str] = []
+    if not os.path.isdir(log_dir):
+        return removed
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".tmp"):
+            os.remove(os.path.join(log_dir, f))
+            removed.append(f)
+    return removed
+
+
 def put_if_absent(path: str, payload: str) -> None:
     """Atomically publish ``payload`` at ``path`` iff nothing is there;
     raise ``FileExistsError`` when another writer claimed it first.

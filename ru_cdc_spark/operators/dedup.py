@@ -855,6 +855,40 @@ def dedup_index_admission(spark: SparkSession, sf_dir: str,
         spark, bands.where(F.col("doc_id") % 10 == 0), index_dir)
 
 
+def band_stream_ingest_batch(spark: SparkSession, batch_docs: DataFrame,
+                             index_dir: str, verdict_dir: str,
+                             batch_id: int,
+                             compact_every: int = 2) -> None:
+    """One streaming-admission micro-batch, safe under Structured
+    Streaming's AT-LEAST-ONCE foreachBatch retries.
+
+    The decision is EXACTLY-ONCE: batch N's verdicts are computed at
+    most once — a retry reuses the completed ``batch-N`` verdict file
+    (``_SUCCESS``-marked) instead of recomputing, because a recompute
+    AFTER the batch's own admitted bands were appended would see the
+    batch colliding with ITSELF and flip admitted -> rejected (the r12
+    review finding: deterministic overwrite alone only covered the
+    crash-before-append window). Order matters: decide + persist
+    verdicts FIRST, append second — a crash mid-verdict-write implies
+    the append never ran (safe to recompute); a crash after the append
+    finds the completed verdicts and only re-appends, and duplicate
+    posting rows cannot change any future semi-join verdict."""
+    import os
+
+    bands = band_table_of(batch_docs)
+    bdir = os.path.join(verdict_dir, f"batch-{batch_id}")
+    if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        (band_index_admit(spark, bands, index_dir)
+         .write.mode("overwrite").parquet(bdir))
+    admitted = (spark.read.parquet(bdir)   # batch-sized, just written
+                .where(F.col("admitted")).select("doc_id"))
+    band_index_append(bands.join(admitted, "doc_id", "left_semi"),
+                      index_dir)
+    if (batch_id + 1) % compact_every == 0:
+        band_index_store(index_dir).compact(spark)
+        band_index_store(index_dir).vacuum(retain_versions=0)
+
+
 def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: admit a NEW batch of documents only if no LSH
     band collides with the EXISTING corpus index — the continuous

@@ -310,10 +310,8 @@ class PostingsStore:
         # commit temp files a writer left by crashing between link and
         # unlink in put_if_absent: vacuum runs quiesced relative to
         # writers, so any surviving *.tmp in the log is dead
-        for f in sorted(os.listdir(self._log_dir())):
-            if f.endswith(".tmp"):
-                os.remove(os.path.join(self._log_dir(), f))
-                removed.append(f"_log/{f}")
+        from ru_cdc_spark.operators.commitlog import sweep_tmp
+        removed += [f"_log/{f}" for f in sweep_tmp(self._log_dir())]
         for part in sorted(os.listdir(self.index_dir)):
             if part.startswith(".staged-"):
                 shutil.rmtree(os.path.join(self.index_dir, part))

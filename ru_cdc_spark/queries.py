@@ -1432,22 +1432,13 @@ def dedup_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(tmp)
 
     def _ingest(bdf, bid):
-        # foreachBatch is at-least-once: the verdict sink writes to a
-        # DETERMINISTIC per-batch path with overwrite, so a retried
-        # batch replaces (never duplicates) its rows; the bands append
-        # below is semantically idempotent under retry — duplicate
-        # (band, doc) posting rows cannot change a semi-join verdict
-        bands = _dd.band_table_of(bdf)
-        bdir = _os.path.join(vdir, f"batch-{bid}")
-        (_dd.band_index_admit(spark, bands, idx)
-         .write.mode("overwrite").parquet(bdir))
-        admitted = (spark.read.parquet(bdir)  # batch-sized, just wrote
-                    .where(F.col("admitted")).select("doc_id"))
-        _dd.band_index_append(
-            bands.join(admitted, "doc_id", "left_semi"), idx)
-        if (bid + 1) % _LSH_STREAM_COMPACT_EVERY == 0:
-            _dd.band_index_store(idx).compact(spark)
-            _dd.band_index_store(idx).vacuum(retain_versions=0)
+        # at-least-once retries handled inside: exactly-once DECISION
+        # via the _SUCCESS-marked per-batch verdict file (a recompute
+        # after the batch's own append would self-collide and flip
+        # verdicts), append-after-decide ordering, harmless re-appends
+        _dd.band_stream_ingest_batch(
+            spark, bdf, idx, vdir, bid,
+            compact_every=_LSH_STREAM_COMPACT_EVERY)
 
     stream = (spark.readStream.schema("doc_id long, text string")
               .option("maxFilesPerTrigger", "1").parquet(feed))

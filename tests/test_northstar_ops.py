@@ -862,6 +862,52 @@ def test_band_index_lifecycle_shares_store(spark, sf_dir, tmp_path):
     assert store.ops() == ["build", "append", "compact"]
 
 
+def test_band_stream_ingest_batch_retry_safe(spark, sf_dir, tmp_path):
+    """r12 review finding: a micro-batch RETRIED after its admitted
+    bands were appended must not flip its verdicts — without the
+    exactly-once decision marker, the recompute sees the batch
+    colliding with its own postings and rejects everything it had
+    admitted. The retry (same call again, the exact at-least-once
+    shape) must be a no-op on the verdicts; the non-vacuousness guard
+    proves a marker-less recompute really WOULD flip them."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ru_cdc_spark.operators import dedup as dd
+    from ru_cdc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id",
+                                                         "text")
+    idx = str(tmp_path / "postings")
+    vdir = str(tmp_path / "verdicts")
+    dd.band_index_build(
+        dd.band_table_of(docs.where(F.col("doc_id") % 2 != 0)), idx)
+    batch = docs.where(F.col("doc_id") % 6 == 0)
+
+    dd.band_stream_ingest_batch(spark, batch, idx, vdir, 0)
+    bdir = os.path.join(vdir, "batch-0")
+    first = {(r.doc_id, r.admitted)
+             for r in spark.read.parquet(bdir).collect()}
+    assert any(ok for _d, ok in first)  # some docs were admitted
+
+    # the retry: identical call after the append already happened
+    dd.band_stream_ingest_batch(spark, batch, idx, vdir, 0)
+    second = {(r.doc_id, r.admitted)
+              for r in spark.read.parquet(bdir).collect()}
+    assert second == first
+
+    # non-vacuousness: without the completion marker, the recompute
+    # self-collides and flips every admitted verdict to rejected
+    shutil.rmtree(bdir)
+    flipped = {(r.doc_id, r.admitted) for r in
+               dd.band_index_admit(spark, dd.band_table_of(batch), idx)
+               .collect()}
+    assert flipped != first
+    assert not any(ok for _d, ok in flipped)
+
+
 def test_dedup_stream_admission_is_sequential(spark, sf_dir):
     """The streaming admission entry must exhibit ONLINE semantics —
     an admitted document's bands block later-arriving near-duplicates —

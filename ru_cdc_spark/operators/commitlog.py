@@ -22,6 +22,7 @@ content-atomic by nature; this module is the POSIX equivalent.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
@@ -56,4 +57,8 @@ def put_if_absent(path: str, payload: str) -> None:
             os.fsync(fh.fileno())
         os.link(tmp, path)
     finally:
-        os.unlink(tmp)
+        # suppress a missing tmp (e.g. an un-quiesced sweep raced the
+        # write) so the link-time exception propagates unmasked instead
+        # of being replaced by a confusing secondary FileNotFoundError
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)

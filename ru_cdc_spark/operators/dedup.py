@@ -198,9 +198,23 @@ def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_table_of(minhash_signatures(spark, sf_dir))
 
 
-def band_table_of(docs_or_sigs: DataFrame) -> DataFrame:
+def band_table_of(docs_or_sigs: DataFrame,
+                  n_bands: int | None = None,
+                  rows_per_band: int | None = None) -> DataFrame:
     """Band table over an arbitrary frame: accepts either raw documents
-    (doc_id, text — banded in place) or precomputed signatures."""
+    (doc_id, text — banded in place) or precomputed signatures.
+
+    ``n_bands``/``rows_per_band`` default to the session constants
+    (N_BANDS, 2); persisted-index maintenance passes the BUILD's values
+    (``band_index_banding``) so a corpus-adaptive or reconfigured
+    session can never band a probe differently from the index it
+    probes."""
+    nb = N_BANDS if n_bands is None else int(n_bands)
+    rpb = 2 if rows_per_band is None else int(rows_per_band)
+    if nb * rpb > N_MINHASH:
+        raise ValueError(
+            f"banding ({nb} bands x {rpb} rows) needs {nb * rpb} "
+            f"minhashes but the signature has {N_MINHASH}")
     sig = (docs_or_sigs if "mh0" in docs_or_sigs.columns
            else minhash_signatures_of(docs_or_sigs))
     return sig.select(
@@ -208,10 +222,11 @@ def band_table_of(docs_or_sigs: DataFrame) -> DataFrame:
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws(":", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")))
+                F.md5(F.concat_ws(":", *[F.col(f"mh{rpb * b + r}")
+                                         for r in range(rpb)]))
                 .alias("band_hash"),
             )
-            for b in range(N_BANDS)
+            for b in range(nb)
         ])).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
@@ -792,27 +807,66 @@ def band_index_store(index_dir: str):
                          ("band_idx", "band_hash", "doc_id"))
 
 
-def band_index_build(bands: DataFrame, index_dir: str) -> None:
+def band_index_build(bands: DataFrame, index_dir: str,
+                     n_bands: int | None = None,
+                     rows_per_band: int | None = None) -> None:
     """Materialize the corpus's (band_idx, band_hash, doc_id) postings
     as the persisted dedup index; commits manifest version 0 with the
-    banding configuration so later batches verify they were banded the
-    same way."""
+    banding configuration — maintenance and admission read it back
+    (``band_index_banding``) and refuse frames banded any other way,
+    mirroring how the ANN store pins (L, k) at build
+    (similarity.py lsh_index_build)."""
     band_index_store(index_dir).build(
         bands.select("band_idx", "band_hash", "doc_id"),
-        meta={"n_bands": N_BANDS, "rows_per_band": 2})
+        meta={"n_bands": N_BANDS if n_bands is None else int(n_bands),
+              "rows_per_band": (2 if rows_per_band is None
+                                else int(rows_per_band))})
 
 
-def band_index_append(bands: DataFrame, index_dir: str) -> None:
+def band_index_banding(index_dir: str) -> tuple[int, int]:
+    """(n_bands, rows_per_band) the index was BUILT with — read from
+    the manifest build commit, never session constants, so session
+    drift (a retuned N_BANDS, a corpus-adaptive choice) cannot split
+    the coding between index and probe."""
+    meta = band_index_store(index_dir).meta()
+    try:
+        return int(meta["n_bands"]), int(meta["rows_per_band"])
+    except KeyError as exc:
+        raise RuntimeError(
+            f"{index_dir}: build commit metadata lacks banding config "
+            f"({meta!r}) — rebuild the index") from exc
+
+
+def _require_banding(index_dir: str,
+                     banded_with: tuple[int, int]) -> None:
+    """Fail loudly when a pre-banded frame's configuration differs
+    from the one the index was built with: probing 2-band hashes
+    against a 4-band index silently admits near-everything."""
+    built = band_index_banding(index_dir)
+    if built != tuple(banded_with):
+        raise RuntimeError(
+            f"{index_dir}: frame banded with (n_bands, rows_per_band)="
+            f"{tuple(banded_with)} but the index was built with "
+            f"{built} — band with band_index_banding(index_dir) "
+            "(band_table_of(docs, *banding))")
+
+
+def band_index_append(bands: DataFrame, index_dir: str,
+                      banded_with: tuple[int, int] | None = None) -> None:
     """Admit accepted documents' bands into the persisted index — one
     new sorted file per band partition, one manifest commit; cost
     scales with the batch, never the corpus (the ANN append contract,
-    shared store)."""
+    shared store). ``banded_with`` declares how ``bands`` was banded
+    (defaults to the session constants); it is checked against the
+    build commit's banding and mismatches refuse loudly."""
+    _require_banding(index_dir, banded_with or (N_BANDS, 2))
     band_index_store(index_dir).append(
         bands.select("band_idx", "band_hash", "doc_id"))
 
 
 def band_index_admit(spark: SparkSession, new_bands: DataFrame,
-                     index_dir: str) -> DataFrame:
+                     index_dir: str,
+                     banded_with: tuple[int, int] | None = None) -> DataFrame:
     """Admission decision for a NEW batch against the PERSISTED index:
     a document is admitted iff none of its band hashes collides with
     the accumulated corpus. The index side is a manifest-pinned scan —
@@ -823,7 +877,13 @@ def band_index_admit(spark: SparkSession, new_bands: DataFrame,
     (band_idx, band_hash) — shuffle proportional to the BATCH; the
     index partitions are band_idx-pruned at the directory level and
     band_hash-pruned by row-group stats (files are hash-sorted). No
-    pairwise work: admission is a semi-join decision."""
+    pairwise work: admission is a semi-join decision.
+
+    ``banded_with`` declares the (n_bands, rows_per_band) that banded
+    ``new_bands`` (defaults to the session constants) and is verified
+    against the build commit's banding — a mismatch refuses loudly
+    instead of silently probing with a different coding."""
+    _require_banding(index_dir, banded_with or (N_BANDS, 2))
     postings = band_index_store(index_dir).postings(spark)
     colliding = (new_bands
                  .join(postings.select("band_idx", "band_hash"),
@@ -875,18 +935,27 @@ def band_stream_ingest_batch(spark: SparkSession, batch_docs: DataFrame,
     posting rows cannot change any future semi-join verdict."""
     import os
 
-    bands = band_table_of(batch_docs)
+    # ADOPT the build's banding (never session constants): a session
+    # whose N_BANDS drifted from the build must still probe and append
+    # with the index's own coding — the ANN pattern (serving reads the
+    # build commit's (L, k), similarity.py:1497)
+    banding = band_index_banding(index_dir)
+    bands = band_table_of(batch_docs, *banding)
     bdir = os.path.join(verdict_dir, f"batch-{batch_id}")
     if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
-        (band_index_admit(spark, bands, index_dir)
+        (band_index_admit(spark, bands, index_dir, banded_with=banding)
          .write.mode("overwrite").parquet(bdir))
     admitted = (spark.read.parquet(bdir)   # batch-sized, just written
                 .where(F.col("admitted")).select("doc_id"))
     band_index_append(bands.join(admitted, "doc_id", "left_semi"),
-                      index_dir)
+                      index_dir, banded_with=banding)
     if (batch_id + 1) % compact_every == 0:
         band_index_store(index_dir).compact(spark)
-        band_index_store(index_dir).vacuum(retain_versions=0)
+        # retain one pre-compaction version: a reader pinned just
+        # before the compact commit (admission serving beside the
+        # stream) must still find its files — retain_versions=0 would
+        # delete under that pin (r12 verdict #6)
+        band_index_store(index_dir).vacuum(retain_versions=1)
 
 
 def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

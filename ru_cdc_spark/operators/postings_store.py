@@ -197,6 +197,15 @@ class PostingsStore:
         concurrent maintenance (and uncommitted staging leftovers) are
         invisible."""
         _v, files = self.live_files(version)
+        if not files:
+            # zero paths would make spark.read.parquet() fail with an
+            # opaque "path not specified" — name the index/version so an
+            # empty pin (empty-frame build/append, compact over nothing)
+            # diagnoses itself
+            raise RuntimeError(
+                f"{self.index_dir}: version {_v} pins no live files — "
+                "the index is empty at this version (empty build/append "
+                "commit, or compaction of an empty pin)")
         return (spark.read.option("basePath", self.index_dir)
                 .parquet(*[os.path.join(self.index_dir, f)
                            for f in files]))

@@ -1574,10 +1574,12 @@ def ann_lsh_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         appended["n"] += 1
         if appended["n"] % _LSH_STREAM_COMPACT_EVERY == 0:
             _sim.lsh_index_compact(spark, idx)
-            # this foreachBatch is the index's only writer, so vacuum
-            # is quiesced by construction; retain only the compacted
-            # version (no reader pins an older one mid-stream)
-            _sim.lsh_index_vacuum(idx, retain_versions=0)
+            # this foreachBatch is the index's only writer (quiesced by
+            # construction), but retain one pre-compaction version so a
+            # QUERY pinned just before the compact commit still finds
+            # its files if serving ever runs beside the stream — the
+            # last mid-run vacuum still bounds disk at ~2 versions
+            _sim.lsh_index_vacuum(idx, retain_versions=1)
 
     q = (stream.writeStream
          .foreachBatch(_ingest)

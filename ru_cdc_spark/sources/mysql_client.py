@@ -849,6 +849,12 @@ class MySQLConnection:
     def __init__(self, io: PacketIO) -> None:
         self.io = io
         self.handshake: HandshakeV10 | None = None
+        # set once a COM_BINLOG_DUMP(_GTID) has been issued: the
+        # connection is in dump mode and close() must NOT send COM_QUIT
+        # — a real replica just disconnects, and a semisync master
+        # blocked in its ACK read would misread the quit packet (0x01)
+        # as a malformed ACK (the COM_QUIT-vs-ACK race).
+        self._dumping = False
 
     # -- connect / auth ----------------------------------------------------
 
@@ -1213,6 +1219,7 @@ class MySQLConnection:
             self.query("SET @rpl_semi_sync_slave = 1")
         ack_file = filename  # updated by ROTATE events mid-stream
         checksum_bytes = 0   # set by FORMAT_DESCRIPTION mid-stream
+        self._dumping = True
         self._command(encode_com_binlog_dump(pos, server_id,
                                              filename, flags))
         while True:
@@ -1282,6 +1289,7 @@ class MySQLConnection:
         replicas use — no file/pos bookkeeping; the reference only
         speaks the legacy 0x12 form). Yields raw event bytes like
         ``binlog_dump``."""
+        self._dumping = True
         self._command(encode_com_binlog_dump_gtid(server_id, filename,
                                                   pos, gtid_set))
         while True:
@@ -1303,10 +1311,16 @@ class MySQLConnection:
             yield pkt[1:]
 
     def close(self) -> None:
-        try:
-            self._command(encode_com_quit())
-        except OSError:
-            pass
+        # dump-mode connections hang up without COM_QUIT: once a
+        # COM_BINLOG_DUMP is issued the server is no longer reading
+        # commands — a semisync master mid-ACK-wait would count the
+        # quit packet as a bad ACK (observed flake: slice reader
+        # closing at its range bound while the master awaited an ack).
+        if not self._dumping:
+            try:
+                self._command(encode_com_quit())
+            except OSError:
+                pass
         try:
             self.io.sock.close()
         except OSError:

@@ -1201,6 +1201,11 @@ class MySQLFixtureServer:
                     self.semi_sync_acks.append(
                         (ack[9:].decode("utf-8", "replace"),
                          int.from_bytes(ack[1:9], "little")))
+                elif ack == b"\x01":
+                    # a lone COM_QUIT instead of an ACK is a clean
+                    # replica goodbye (a client closing mid-dump), not
+                    # a malformed ACK — end the dump like a hangup
+                    raise ConnectionResetError("replica quit")
                 else:
                     self.semi_sync_bad_acks += 1
 

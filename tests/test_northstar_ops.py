@@ -908,6 +908,111 @@ def test_band_stream_ingest_batch_retry_safe(spark, sf_dir, tmp_path):
     assert not any(ok for _d, ok in flipped)
 
 
+def test_band_index_enforces_build_banding(spark, sf_dir, tmp_path,
+                                           monkeypatch):
+    """r12 verdict #4: the band index stores its banding config in the
+    build commit and maintenance must USE it — a session whose N_BANDS
+    drifted (the moment banding goes corpus-adaptive, as LSH k did)
+    must still probe and append with the BUILD's coding, and a
+    pre-banded frame declared with mismatched banding must refuse
+    loudly instead of silently admitting near-everything."""
+    import os
+
+    from ru_cdc_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id",
+                                                         "text")
+    idx = str(tmp_path / "postings")
+    dd.band_index_build(
+        dd.band_table_of(docs.where(F.col("doc_id") % 2 != 0)), idx)
+    assert dd.band_index_banding(idx) == (dd.N_BANDS, 2)
+
+    batch = docs.where(F.col("doc_id") % 6 == 0)
+    want = {(r.doc_id, r.admitted) for r in
+            dd.band_index_admit(spark, dd.band_table_of(batch), idx)
+            .collect()}
+
+    # flip the session constant: the drifted-session scenario
+    monkeypatch.setattr(dd, "N_BANDS", 2)
+
+    # ADOPTION: the streaming path reads the build's banding from the
+    # manifest and probes with it — verdicts identical to the
+    # un-drifted run, not a 2-band admission
+    vdir = str(tmp_path / "verdicts")
+    dd.band_stream_ingest_batch(spark, batch, idx, vdir, 0)
+    got = {(r.doc_id, r.admitted) for r in
+           spark.read.parquet(os.path.join(vdir, "batch-0")).collect()}
+    assert got == want
+
+    # REFUSAL: pre-banded frames carrying the session's (now wrong)
+    # banding are rejected by admit AND append
+    with pytest.raises(RuntimeError, match="banded with"):
+        dd.band_index_admit(spark, dd.band_table_of(batch), idx)
+    with pytest.raises(RuntimeError, match="banded with"):
+        dd.band_index_append(dd.band_table_of(batch), idx)
+
+
+def test_vacuum_retains_pinned_reader_version(spark, sf_dir, tmp_path):
+    """r12 verdict #6: the streaming cadence's compact + vacuum must
+    not delete files under a reader pinned to the pre-compaction
+    version. Reader thread pins v and resolves its file list; the
+    maintenance thread compacts and vacuums with retain_versions=1
+    (the streaming default); the pinned read must still complete with
+    exact content. Non-vacuousness: a retain_versions=0 vacuum
+    afterwards really does retire files from the pinned set — the
+    retention was load-bearing."""
+    import threading
+
+    from ru_cdc_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id",
+                                                         "text")
+    idx = str(tmp_path / "postings")
+    dd.band_index_build(
+        dd.band_table_of(docs.where(F.col("doc_id") % 3 == 1)), idx)
+    dd.band_index_append(
+        dd.band_table_of(docs.where(F.col("doc_id") % 3 == 2)), idx)
+    store = dd.band_index_store(idx)
+
+    pin, pinned_files = store.live_files()
+    expected = {(r.band_idx, r.band_hash, r.doc_id)
+                for r in store.postings(spark, version=pin).collect()}
+
+    pinned = threading.Event()
+    maintained = threading.Event()
+    result: dict = {}
+
+    def reader():
+        # pin + resolve the file list BEFORE maintenance commits
+        df = store.postings(spark, version=pin)
+        pinned.set()
+        maintained.wait(60)
+        try:
+            result["rows"] = {(r.band_idx, r.band_hash, r.doc_id)
+                              for r in df.collect()}
+        except Exception as exc:  # noqa: BLE001 — recorded for assert
+            result["err"] = exc
+
+    def maintenance():
+        pinned.wait(60)
+        store.compact(spark)
+        result["vacuumed"] = store.vacuum(retain_versions=1)
+        maintained.set()
+
+    t_r, t_m = threading.Thread(target=reader), threading.Thread(
+        target=maintenance)
+    t_r.start(), t_m.start()
+    t_r.join(120), t_m.join(120)
+
+    assert "err" not in result, f"pinned read failed: {result['err']}"
+    assert result["rows"] == expected and expected
+    # none of the pinned version's files were deleted
+    assert not set(result["vacuumed"]) & set(pinned_files)
+    # non-vacuousness: dropping retention NOW retires pinned files
+    retired = store.vacuum(retain_versions=0)
+    assert set(retired) & set(pinned_files)
+
+
 def test_dedup_stream_admission_is_sequential(spark, sf_dir):
     """The streaming admission entry must exhibit ONLINE semantics —
     an admitted document's bands block later-arriving near-duplicates —
@@ -1045,10 +1150,14 @@ def test_stream_ingest_compacts_mid_run(spark, sf_dir):
     assert ops == ["build", "append", "append", "compact", "append"]
 
     # live file count bounded: L compacted + L from the post-compaction
-    # append; the in-stream vacuum swept everything the compact retired
+    # append. The in-stream vacuum retains ONE pre-compaction version
+    # (reader-pin safety, r12 verdict #6), so disk = live(final) plus
+    # the version pinned just before the compact commit — still bounded
+    # (~2 versions), never growing with stream lifetime
     _v, live = sim._lsh_live_files(idx)
     assert len(live) == 2 * sim.LSH_TABLES
-    assert set(_parquet_inventory(idx)) == set(live)
+    _pv, pre_compact = sim._lsh_live_files(idx, 2)
+    assert set(_parquet_inventory(idx)) == set(live) | set(pre_compact)
 
 
 def test_lsh_manifest_concurrent_append_compact_query(spark, sf_dir,

@@ -137,11 +137,12 @@ def run_in_job_group(spark, fn):
     return out, len(sc.statusTracker().getJobIdsForGroup(group))
 
 
-def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int, float]:
+def bench_stream_pipeline(spark, sf_dir: str
+                          ) -> tuple[float, int, float, bool]:
     """End-to-end streaming CDC throughput (the reference's headline
     metric shape): Canal payloads through readStream -> two-phase parse ->
     route -> parquet sink with checkpointing, availableNow. Returns
-    (elapsed_sec, rows, addbatch_sec).
+    (elapsed_sec, rows, addbatch_sec, addbatch_is_wall_fallback).
 
     ``addbatch_sec`` is the batch's ``durationMs.addBatch`` from the
     query progress — the DATA-PATH time (decode + route + sink write)
@@ -202,13 +203,21 @@ def bench_stream_pipeline(spark, sf_dir: str) -> tuple[float, int, float]:
         # earliest retained batchId isn't 0, batches were evicted and
         # the sum would undercount — fall back to wall time rather than
         # report an inflated throughput.
-        batch_secs = [p["durationMs"]["addBatch"] / 1000.0
-                      for p in progress
-                      if p.get("numInputRows", 0) > 0]
+        # durationMs.addBatch can be absent on a progress entry (e.g. a
+        # no-data planning tick) — .get + filter, never a KeyError that
+        # aborts the whole bench (r12 advice)
+        batch_secs = [
+            ab / 1000.0 for ab in
+            (p.get("durationMs", {}).get("addBatch")
+             for p in progress if p.get("numInputRows", 0) > 0)
+            if ab is not None]
         evicted = bool(progress) and progress[0]["batchId"] != 0
-        addbatch_sec = (sum(batch_secs)
-                        if batch_secs and not evicted else elapsed)
-        return elapsed, n_rows, addbatch_sec
+        fallback = not batch_secs or evicted
+        # when falling back, report WALL under the addbatch return and
+        # FLAG it — the payload's fallback bit keeps the machinery-
+        # inclusive figure from silently impersonating the data-path one
+        addbatch_sec = elapsed if fallback else sum(batch_secs)
+        return elapsed, n_rows, addbatch_sec, fallback
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -254,7 +263,7 @@ def bench_txn_assembly(spark, n_txns: int = TXN_BENCH_TXNS,
 
 def bench_socket_ingest(spark, n_rows: int = SOCKET_BENCH_ROWS,
                         n_slices: int = SOCKET_BENCH_SLICES
-                        ) -> tuple[float, int]:
+                        ) -> tuple[float, int, int, int, float]:
     """Socket ingest throughput: a 100k-row virtual binlog served over
     real TCP, dumped by 16 task-local connections, byte-decoded, and
     counted — the reference's wire-to-rows path end to end (round 8:
@@ -298,9 +307,62 @@ def bench_socket_ingest(spark, n_rows: int = SOCKET_BENCH_ROWS,
             sec = time.time() - t0
             if sec < best:
                 best, best_jobs = sec, jobs
-        return best, n, best_jobs
+        dp_rows, dp_sec = _socket_datapath(spark, srv.port, srv.user,
+                                           srv.password, n_slices)
+        return best, n, best_jobs, dp_rows, dp_sec
     finally:
         srv.stop()
+
+
+def _socket_datapath(spark, port: int, user: str, password: str,
+                     n_slices: int) -> tuple[int, float]:
+    """IN-PIPELINE timer for the socket leg (the addBatch treatment the
+    cdc_stream leg got in r12): each executor task times its OWN
+    connect + dump + frame-reassembly + byte-decode window — the exact
+    per-slice data path socket_cdc_changes runs (same fetch_binlog_
+    layout / slice_at_table_maps / _dump_frames / decode_cdc_blobs
+    chain) — and emits (rows, sec). Throughput = rows / max(task sec),
+    the parallel critical path: Spark job launch, task scheduling, and
+    result collection (the components driver-run contention inflates;
+    r12 driver read 41.7k wall rows/s vs 124.6k standalone-idle) are
+    excluded by construction. Arrow result shipping is also outside the
+    window — it belongs to whichever sink consumes the stream. Wall
+    keys are untouched; this is the contention-robust comparator."""
+    from ru_cdc_spark.sources.mysql_socket_source import (
+        _dump_frames,
+        _slice_ranges_df,
+        fetch_binlog_layout,
+        slice_at_table_maps,
+    )
+
+    fname, _end, events = fetch_binlog_layout("127.0.0.1", port, user,
+                                              password)
+    ranges = _slice_ranges_df(spark, slice_at_table_maps(events,
+                                                         n_slices))
+
+    def timed(batches):
+        import time as _t
+
+        import pandas as _pd
+
+        from ru_cdc_spark.sources.binlog_frames import decode_cdc_blobs
+
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                t0 = _t.time()
+                frames = _dump_frames("127.0.0.1", port, user, password,
+                                      fname, int(lo), int(hi))
+                n = len(decode_cdc_blobs((f for _pos, f in frames)))
+                yield _pd.DataFrame({"rows": [n],
+                                     "sec": [_t.time() - t0]})
+
+    dp_rows, dp_sec = 0, float("inf")
+    for _ in range(2):  # min of 2: drop a cold-path high reading
+        stats = ranges.mapInPandas(timed, "rows long, sec double") \
+            .collect()
+        dp_rows = sum(r.rows for r in stats)
+        dp_sec = min(dp_sec, max(r.sec for r in stats))
+    return dp_rows, dp_sec
 
 
 BOOTSTRAP_BENCH_ROWS = 50_000
@@ -309,7 +371,7 @@ BOOTSTRAP_BENCH_CHUNK = 2_000
 
 def bench_bootstrap_snapshot(spark, n_rows: int = BOOTSTRAP_BENCH_ROWS,
                              chunk: int = BOOTSTRAP_BENCH_CHUNK
-                             ) -> tuple[float, int]:
+                             ) -> tuple[float, int, int, int, float]:
     """DBLog incremental-snapshot throughput: a 50k-row live table
     chunk-read over real TCP (25 chunks of 2k, one watermark pair +
     window dump each, parallel executor tasks), counted. Server and
@@ -370,9 +432,50 @@ def bench_bootstrap_snapshot(spark, n_rows: int = BOOTSTRAP_BENCH_ROWS,
             sec = _time.time() - t0
             if sec < best:
                 best, best_jobs = sec, jobs
-        return best, n, best_jobs
+        dp_rows, dp_sec = _bootstrap_datapath(
+            spark, srv.port, srv.user, srv.password, chunk)
+        return best, n, best_jobs, dp_rows, dp_sec
     finally:
         srv.stop()
+
+
+def _bootstrap_datapath(spark, port: int, user: str, password: str,
+                        chunk: int) -> tuple[int, float]:
+    """In-pipeline timer for the DBLog snapshot leg (see
+    :func:`_socket_datapath`): each chunk task times its own watermark
+    + windowed chunk read (the exact read_chunk call snapshot_chunks
+    makes) and emits (rows, sec); throughput = rows / max(task sec) —
+    the machinery-free counter driver-run contention can't halve."""
+    from ru_cdc_spark.sources.incremental_snapshot import plan_snapshot
+
+    plan = plan_snapshot("127.0.0.1", port, user, password, "snaptab",
+                         chunk_size=chunk)
+    ranges = (spark.createDataFrame(plan.ranges, "lo long, hi long")
+              .repartition(len(plan.ranges)))
+
+    def timed(batches):
+        import time as _t
+
+        import pandas as _pd
+
+        from ru_cdc_spark.sources.incremental_snapshot import read_chunk
+
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                t0 = _t.time()
+                rows, _pos = read_chunk("127.0.0.1", port, user,
+                                        password, plan, int(lo),
+                                        int(hi))
+                yield _pd.DataFrame({"rows": [len(rows)],
+                                     "sec": [_t.time() - t0]})
+
+    dp_rows, dp_sec = 0, float("inf")
+    for _ in range(2):
+        stats = ranges.mapInPandas(timed, "rows long, sec double") \
+            .collect()
+        dp_rows = sum(r.rows for r in stats)
+        dp_sec = min(dp_sec, max(r.sec for r in stats))
+    return dp_rows, dp_sec
 
 
 def calibration_probe(spark) -> float:
@@ -443,19 +546,22 @@ def main() -> None:
     # the whole suite — idle-machine spreads of 2x were observed on
     # this leg alone; the extra trial costs ~1.5s and only removes
     # noise-driven low readings
-    stream_sec, stream_rows, stream_addbatch = bench_stream_pipeline(
-        spark, sf_dir)
+    (stream_sec, stream_rows, stream_addbatch,
+     stream_ab_fallback) = bench_stream_pipeline(spark, sf_dir)
     for _ in range(2):
-        s2, _, ab2 = bench_stream_pipeline(spark, sf_dir)
+        s2, _, ab2, fb2 = bench_stream_pipeline(spark, sf_dir)
         stream_sec = min(stream_sec, s2)
         stream_addbatch = min(stream_addbatch, ab2)
+        stream_ab_fallback = stream_ab_fallback or fb2
     timings["cdc_stream_pipeline"] = round(stream_sec, 3)
 
     txn_sec, txn_rows, txn_jobs = bench_txn_assembly(spark)
 
-    sock_sec, sock_rows, sock_jobs = bench_socket_ingest(spark)
+    (sock_sec, sock_rows, sock_jobs,
+     sock_dp_rows, sock_dp_sec) = bench_socket_ingest(spark)
 
-    boot_sec, boot_rows, boot_jobs = bench_bootstrap_snapshot(spark)
+    (boot_sec, boot_rows, boot_jobs,
+     boot_dp_rows, boot_dp_sec) = bench_bootstrap_snapshot(spark)
 
     load_end = os.getloadavg()
     calib_end = min(calibration_probe(spark) for _ in range(3))
@@ -489,6 +595,11 @@ def main() -> None:
         "cdc_stream_addbatch_sec": round(stream_addbatch, 3),
         "cdc_stream_addbatch_rows_per_sec": round(
             stream_rows / stream_addbatch, 1),
+        # true when the addbatch figure above is actually WALL time
+        # (no usable durationMs.addBatch, or the progress ring buffer
+        # evicted batches) — never let the machinery-inclusive number
+        # silently impersonate the data-path one (r12 advice)
+        "cdc_stream_addbatch_fallback_wall": stream_ab_fallback,
         "txn_assembly_rows": txn_rows,
         "txn_assembly_rows_per_sec": round(txn_rows / txn_sec, 1),
         "txn_assembly_rows_per_sec_floor_adj": floor_adj(txn_rows,
@@ -499,6 +610,12 @@ def main() -> None:
         "socket_ingest_rows_per_sec_floor_adj": floor_adj(sock_rows,
                                                           sock_sec,
                                                           sock_jobs),
+        # r13: in-pipeline data-path counter (the addBatch treatment,
+        # r12 verdict #3) — per-task connect+dump+decode window, job
+        # machinery excluded; wall keys above unchanged
+        "socket_ingest_datapath_sec": round(sock_dp_sec, 3),
+        "socket_ingest_datapath_rows_per_sec": round(
+            sock_dp_rows / sock_dp_sec, 1),
         # round 7 addition (new key, never re-sized): DBLog chunked
         # snapshot throughput — watermarked SELECT chunks + window
         # dumps, parallel chunk tasks, end-to-end to counted rows
@@ -507,6 +624,9 @@ def main() -> None:
                                                  1),
         "bootstrap_snapshot_rows_per_sec_floor_adj": floor_adj(
             boot_rows, boot_sec, boot_jobs),
+        "bootstrap_datapath_sec": round(boot_dp_sec, 3),
+        "bootstrap_datapath_rows_per_sec": round(
+            boot_dp_rows / boot_dp_sec, 1),
         # r10: Spark-job count of each throughput leg's best trial
         # (job-group StatusTracker count) — the floor adjustment above
         # subtracts job_floor_sec x this, so the adjusted rows/s stays
@@ -557,7 +677,9 @@ def main() -> None:
     for k in ("cdc_stream_rows_per_sec", "cdc_stream_addbatch_rows_per_sec",
               "txn_assembly_rows_per_sec",
               "socket_ingest_rows_per_sec",
-              "bootstrap_snapshot_rows_per_sec", "job_floor_sec"):
+              "socket_ingest_datapath_rows_per_sec",
+              "bootstrap_snapshot_rows_per_sec",
+              "bootstrap_datapath_rows_per_sec", "job_floor_sec"):
         core[k] = payload[k]
     line = json.dumps(core, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never overflow the window

@@ -1508,6 +1508,46 @@ register("ann_lsh_incremental",
          _sim.ANN_LSH_TABLES_SQL)(ann_lsh_incremental)
 
 
+# adaptive-k oracle (r12 verdict #5): the SAME parameterized generator
+# as the pinned-k entries, instantiated at the k the adaptive rule
+# (lsh_adaptive_bits, bucket target 150) picks for EVERY known fixture
+# corpus — k=4 holds for all n <= 3393 (round(log2(n/150)) <= 4; the
+# sf0.001/sf0.01/sf0.1 embeddings tables are 500-2000 vectors). The
+# count guard makes drift LOUD: a corpus where the rule would pick a
+# different k zeroes the oracle instead of silently grading k=4.
+_LSH_ADAPTIVE_K = 4
+_LSH_ADAPTIVE_SQL = (
+    "SELECT q_vec, neighbor, cos_sim, rank FROM (\n"
+    + _sim.ann_lsh_tables_sql(_sim.LSH_TABLES, _LSH_ADAPTIVE_K)
+    + ") WHERE (SELECT count(*) FROM embeddings) <= 3393\n")
+_LSH_ADAPTIVE_DIRS: dict[str, str] = {}
+
+
+def ann_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION index path end-to-end (round 13): build with
+    k=None so :func:`~ru_cdc_spark.operators.similarity.
+    lsh_adaptive_bits` picks k from the corpus count and persists
+    (L, k, dim) in the build commit; serving then codes queries with
+    the BUILD's choice read back from the manifest — the whole
+    adaptive chain the pinned-k graded entries deliberately bypass.
+    The driver's hash gate proves the chain picks the k the oracle
+    instantiates AND serves exactly: any drift in the adaptive rule,
+    the persisted meta, or the meta-respecting query path breaks the
+    hash."""
+    import os as _os
+
+    work = _LSH_ADAPTIVE_DIRS.get(sf_dir)
+    if work is None:
+        work = _LSH_ADAPTIVE_DIRS[sf_dir] = _session_tmpdir("lshadapt_")
+    idx = _os.path.join(work, "postings")
+    emb = _sim._emb(spark, sf_dir)
+    _sim.lsh_index_build(emb, idx, k=None)  # the adaptive default
+    return _sim.lsh_index_query(spark, emb, idx)
+
+
+register("ann_lsh_adaptive", _LSH_ADAPTIVE_SQL)(ann_lsh_adaptive)
+
+
 def ann_lsh_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING index maintenance (round 11): vectors arrive as a
     Structured Streaming file source (maxFilesPerTrigger=1 — three

@@ -455,6 +455,38 @@ def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_history",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,
+           a_orderstatus AS o_orderstatus,
+           CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+           a_orderdate AS o_orderdate, a_orderpriority AS o_orderpriority,
+           valid_from_seq, valid_to_seq,
+           valid_to_seq IS NULL AS is_current
+    FROM (
+        SELECT *, id AS valid_from_seq,
+               lead(id) OVER (
+                   PARTITION BY COALESCE(a_orderkey, b_orderkey)
+                   ORDER BY id) AS valid_to_seq
+        FROM changes
+    ) WHERE type <> 'DELETE'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the CDC change stream (round
+    13): every key version with its validity interval in sequence
+    coordinates — updates close the prior version and open the next,
+    deletes close without opening (history survives, no current row).
+    One PK-hash shuffle total (the LEAD window); see
+    operators/merge.py:scd2_history for the scale argument."""
+    from ru_cdc_spark.operators.merge import scd2_history
+
+    hist = scd2_history(derive_order_changes(spark, sf_dir), ORDERS_PK)
+    return hist.withColumn("o_totalprice",
+                           F.col("o_totalprice").cast("double"))
+
+
+@register(
     "acid_merge_snapshot",
     ORDER_CHANGES_ORACLE_CTE + """
     SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,

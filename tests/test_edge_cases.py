@@ -37,6 +37,46 @@ def test_merge_versioned_none_then_batch(spark, sf_dir):
     assert snap.exceptAll(again).count() == 0
 
 
+def test_scd2_history_semantics(spark, sf_dir):
+    """SCD2 over the fixture change stream: updated keys carry a closed
+    INSERT version plus an open UPDATE version; deleted keys keep their
+    closed history with NO current row; untouched keys are a single
+    open version. Consistency: current rows == the latest-wins merge."""
+    from ru_cdc_spark.operators.merge import scd2_history
+
+    changes = derive_order_changes(spark, sf_dir)
+    hist = scd2_history(changes, ORDERS_PK)
+    rows = hist.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.o_orderkey, []).append(r)
+
+    assert by_key  # non-empty corpus
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r.valid_from_seq)
+        mod = k % 10
+        if mod < 3:  # INSERT then UPDATE
+            assert len(vs) == 2
+            assert vs[0].valid_to_seq == vs[1].valid_from_seq
+            assert vs[1].is_current and vs[1].valid_to_seq is None
+            assert not vs[0].is_current
+        elif mod == 3:  # INSERT then DELETE: history, no current row
+            assert len(vs) == 1
+            assert vs[0].valid_to_seq == k * 3 + 2
+            assert not vs[0].is_current
+        else:  # lone INSERT stays open
+            assert len(vs) == 1 and vs[0].is_current
+
+    current = {(r.o_orderkey, str(r.o_totalprice)) for r in rows
+               if r.is_current}
+    merged = {(r.o_orderkey, str(r.o_totalprice))
+              for r in apply_changes(changes, ORDERS_PK).collect()}
+    assert current == merged
+
+    # empty stream degenerates cleanly
+    assert scd2_history(changes.limit(0), ORDERS_PK).count() == 0
+
+
 def test_connected_components_edge_cases(spark):
     # empty edge set
     empty = spark.createDataFrame([], "src long, dst long")

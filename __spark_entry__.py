@@ -42,7 +42,7 @@ SHOWCASE = [
     # partial images (PK-only before, changed-cols-only after, ABSENT
     # semantics + per-column latest-present merge)
     "binlog_wire_decode",
-    "mysql_type_semantics", "binlog_minimal_image_merge",
+    "mysql_type_semantics",
     # real MySQL socket client (batch, GTID-sliced, and the unified
     # streaming+transactional path with kill/restart); round 7: GTID
     # failover across layouts + DBLog-style incremental snapshot
@@ -50,28 +50,31 @@ SHOWCASE = [
     # bootstrap handoff
     "mysql_socket_cdc_snapshot",
     "mysql_socket_txn_stream",
-    "mysql_socket_gtid_failover", "mysql_incremental_snapshot",
+    "mysql_socket_gtid_failover",
     "mysql_socket_bootstrap_stream",
     # transactional assembly (binlog_txn_compressed rotated OUT r12
     # after its r11 green; the zstd path stays covered past-50)
     "binlog_txn_changes",
-    # ACID table format + merge variants
-    "acid_merge_snapshot", "cdc_partitioned_merge",
-    # streaming: stateful operators (binlog_source_feed and
-    # stateful_user_totals rotated OUT r11 after 9 greens each, making
-    # room for the new index-maintenance flagships)
-    "events_session_window_stream",
+    # ACID table format + merge variants (cdc_partitioned_merge rotated
+    # OUT r13 after 9 greens; acid_merge_snapshot stays as family rep)
+    "acid_merge_snapshot",
     # r12 rotation IN: stateful streaming depth — versioned-store time
-    # travel and applyInPandasWithState sessionization, never
-    # driver-graded before
+    # travel and applyInPandasWithState sessionization
+    # (events_session_window_stream rotated OUT r13 after 11 greens)
     "cdc_time_travel", "events_sessionize_stateful",
+    # r13 rotation IN: STREAM-STREAM joins under watermarks (never
+    # driver-graded) — interval join, and the left/full outer joins
+    # whose null-extension rows exist only because the watermark
+    # EXPIRED unmatched state (the late-drop semantics made gradable)
+    "events_stream_interval_join", "events_stream_left_outer_join",
+    "events_stream_full_outer_join",
     # GEOMETRY/WKB column decode (r9 flagship, rotated IN r10;
     # tls/semisync socket transports rotated OUT r12 after r11 greens —
     # the socket family keeps 5 reps in-window)
     "mysql_geometry_decode",
-    # TPC-H-style analytics (the seven r01-era rows rotated IN r11 all
-    # re-graded green and rotate OUT r12; q1/q3 stay as family reps)
-    "q1_pricing_summary", "q3_shipping_priority",
+    # TPC-H-style analytics (q1 rotated OUT r13 after 12 straight
+    # greens; q3 stays as the family rep)
+    "q3_shipping_priority",
     # r12 rotation IN: the statistical-exactness family (never
     # driver-graded) — Pearson/Spearman matrices via pairwise stack,
     # Kolmogorov-Smirnov drift, Gini concentration, CUSUM changepoints;
@@ -86,11 +89,25 @@ SHOWCASE = [
     "copurchase_kcore",
     # windows / rollups / event analytics
     "events_value_quantile_sketch",
-    # real-wire Kafka sink roundtrip + consumer-group rebalance (r9:
-    # JoinGroup/SyncGroup/Heartbeat, two members, injected death) +
-    # exactly-once offsets-in-transaction transform (rotated IN r10)
-    "cdc_kafka_wire_roundtrip", "cdc_kafka_group_rebalance",
+    # real-wire Kafka consumer-group rebalance (r9: JoinGroup/SyncGroup
+    # /Heartbeat, two members, injected death) + exactly-once
+    # offsets-in-transaction transform (wire_roundtrip rotated OUT r13
+    # after 9 greens — every remaining kafka row exercises the same
+    # producer/fetch wire path end-to-end)
+    "cdc_kafka_group_rebalance",
     "cdc_kafka_eos_transform",
+    # r13 rotation IN: the Kafka coordination flagships (never
+    # driver-graded) — KIP-345 static membership reclaim across a
+    # member restart, KIP-54 sticky assignment surviving a rebalance,
+    # and ListOffsets timestamp-based replay
+    "cdc_kafka_static_member_stream", "cdc_kafka_sticky_rebalance",
+    "cdc_kafka_replay_from_ts",
+    # r13 rotation IN: Avro binary envelope with schema EVOLUTION
+    # (writer-schema v1 rows read under the evolved v2 reader schema)
+    "cdc_avro_evolution",
+    # r13 rotation IN: layout/pruning (never driver-graded) — Z-order
+    # scan-fraction proof and dynamic partition pruning on the fact join
+    "zorder_scan_fraction", "dpp_pruned_fact_join",
     # dedup family (embedding_cosine rotated OUT r11 after 9 greens;
     # minhash_lsh_pairs rotated OUT r12 for the new persisted-band-
     # index admission flagship, which exercises banding AND the shared
@@ -108,22 +125,35 @@ SHOWCASE = [
     # append-only maintenance + compaction (oracle IS the full-rebuild
     # equality), STREAMING micro-batch ingestion into the same index,
     # and BM25+vector hybrid retrieval fused by reciprocal rank
-    "ann_lsh_tables", "ann_batch_queries", "ann_lsh_incremental",
+    "ann_lsh_tables", "ann_lsh_incremental",
     "ann_lsh_stream_ingest", "hybrid_rrf_search",
-    # text analysis (incl. real trained byte-level BPE)
-    "text_stats", "text_bm25_search",
+    # r13 rotation IN: the adaptive-k PRODUCTION index path (build with
+    # k=None, serve with the manifest's persisted choice) against a
+    # count-guarded k=4 oracle — ann_batch_queries rotated OUT (shares
+    # its values with ann_lsh_tables, 3 greens)
+    "ann_lsh_adaptive",
+    # text analysis (text_stats rotated OUT r13 after 11 greens)
+    "text_bm25_search",
     "text_bpe_token_counts", "text_duplicate_span_strip",
     # multimodal (real PNG/JPEG/WAV/MJPEG-AVI codecs)
     "multimodal_media_decode",
-    # pipeline curation (round 8: context-window packing + benchmark
-    # decontamination; round 9: Pile/Dolma-style domain mixing,
-    # rotated IN r10)
-    "quality_filter_chain", "corpus_pack_windows",
+    # pipeline curation (corpus_pack_windows rotated OUT r13 after 4
+    # greens; packing semantics stay covered past-50)
+    "quality_filter_chain",
     "corpus_decontaminate", "corpus_mix_domains",
-    # corpus file-format ingestion (Common Crawl WARC, Dolma-style
-    # zstd JSONL shards written by the in-repo RFC 8878 encoder)
-    "warc_ingest_documents", "jsonl_spec_zstd_roundtrip",
+    # corpus file-format ingestion (warc_ingest_documents rotated OUT
+    # r13 after 6 greens; the zstd JSONL shard path stays as the rep)
+    "jsonl_spec_zstd_roundtrip",
     # ---- past the 50-window: still curated, still oracle-gated ----
+    # (r13 rotation OUT after multi-round greens: q1, partitioned
+    # merge, session-window stream, incremental snapshot, minimal-image
+    # merge, kafka wire roundtrip, batch ANN serving, text stats,
+    # WARC ingest, context packing)
+    "q1_pricing_summary", "cdc_partitioned_merge",
+    "events_session_window_stream", "mysql_incremental_snapshot",
+    "binlog_minimal_image_merge", "cdc_kafka_wire_roundtrip",
+    "ann_batch_queries", "text_stats", "warc_ingest_documents",
+    "corpus_pack_windows",
     # (r12 rotation OUT after r11 greens: the seven r01-era analytics
     # rows, both exotic socket transports, and compressed txns)
     "q12_shipmode_priority", "q14_promo_revenue",
@@ -142,15 +172,16 @@ SHOWCASE = [
     # dedup_exact, knn_brute_force, text_lang_id_ngram; r9 rotation:
     # kafka_to_acid_snapshot, mysql_socket_compressed_snapshot,
     # cdc_kafka_transactional_stream)
-    # round-10 additions (flagship candidates for a future rotation):
-    # KIP-345 static membership, header-only routing, the KIP-110
-    # compression matrix, ListOffsets replay, Z-order layout, FFT audio
-    "cdc_kafka_static_member_stream", "cdc_kafka_header_routing",
-    "cdc_kafka_compression_matrix", "cdc_kafka_replay_from_ts",
-    "cdc_kafka_sticky_rebalance", "mysql_socket_heartbeat_tail",
-    "kafka_consumer_lag", "dpp_pruned_fact_join",
+    # round-10 additions (static membership, sticky rebalance,
+    # ListOffsets replay, DPP, and Z-order scan fraction rotated INTO
+    # the window r13): header-only routing, the KIP-110 compression
+    # matrix, blocking heartbeat tail, consumer lag, FFT audio
+    "cdc_kafka_header_routing",
+    "cdc_kafka_compression_matrix",
+    "mysql_socket_heartbeat_tail",
+    "kafka_consumer_lag",
     "text_lang_id_confusion",
-    "zorder_scan_fraction", "zorder_layout_stats",
+    "zorder_layout_stats",
     "multimodal_audio_spectral",
     "q5_local_supplier_volume", "events_hourly_rollup",
     "dedup_exact", "knn_brute_force", "text_lang_id_ngram",

@@ -447,11 +447,15 @@ def _bootstrap_datapath(spark, port: int, user: str, password: str,
     makes) and emits (rows, sec); throughput = rows / max(task sec) —
     the machinery-free counter driver-run contention can't halve."""
     from ru_cdc_spark.sources.incremental_snapshot import plan_snapshot
+    from ru_cdc_spark.sources.mysql_socket_source import _slice_ranges_df
 
     plan = plan_snapshot("127.0.0.1", port, user, password, "snaptab",
                          chunk_size=chunk)
-    ranges = (spark.createDataFrame(plan.ranges, "lo long, hi long")
-              .repartition(len(plan.ranges)))
+    # EXACTLY one chunk per partition, no exchange (a round-robin
+    # repartition can land 2 chunks on one task and 0 on another,
+    # serializing work the max-task-sec critical path assumes parallel)
+    ranges = _slice_ranges_df(spark, [(int(lo), int(hi))
+                                      for lo, hi in plan.ranges])
 
     def timed(batches):
         import time as _t
@@ -551,8 +555,11 @@ def main() -> None:
     for _ in range(2):
         s2, _, ab2, fb2 = bench_stream_pipeline(spark, sf_dir)
         stream_sec = min(stream_sec, s2)
-        stream_addbatch = min(stream_addbatch, ab2)
-        stream_ab_fallback = stream_ab_fallback or fb2
+        # the fallback flag must describe the trial that SUPPLIED the
+        # min — OR-ing across trials would label a genuine addBatch
+        # reading as wall whenever any other trial fell back
+        if ab2 < stream_addbatch:
+            stream_addbatch, stream_ab_fallback = ab2, fb2
     timings["cdc_stream_pipeline"] = round(stream_sec, 3)
 
     txn_sec, txn_rows, txn_jobs = bench_txn_assembly(spark)

@@ -1543,15 +1543,16 @@ register("ann_lsh_incremental",
 # adaptive-k oracle (r12 verdict #5): the SAME parameterized generator
 # as the pinned-k entries, instantiated at the k the adaptive rule
 # (lsh_adaptive_bits, bucket target 150) picks for EVERY known fixture
-# corpus — k=4 holds for all n <= 3393 (round(log2(n/150)) <= 4; the
-# sf0.001/sf0.01/sf0.1 embeddings tables are 500-2000 vectors). The
-# count guard makes drift LOUD: a corpus where the rule would pick a
-# different k zeroes the oracle instead of silently grading k=4.
+# corpus — k=4 holds for all n <= 3394 (round(log2(n/150)) <= 4 up to
+# log2(n/150) < 4.5, i.e. n < 150*2^4.5 = 3394.6; the sf0.001/sf0.01/
+# sf0.1 embeddings tables are 500-2000 vectors). The count guard makes
+# drift LOUD: a corpus where the rule would pick a different k zeroes
+# the oracle instead of silently grading k=4.
 _LSH_ADAPTIVE_K = 4
 _LSH_ADAPTIVE_SQL = (
     "SELECT q_vec, neighbor, cos_sim, rank FROM (\n"
     + _sim.ann_lsh_tables_sql(_sim.LSH_TABLES, _LSH_ADAPTIVE_K)
-    + ") WHERE (SELECT count(*) FROM embeddings) <= 3393\n")
+    + ") WHERE (SELECT count(*) FROM embeddings) <= 3394\n")
 _LSH_ADAPTIVE_DIRS: dict[str, str] = {}
 
 

@@ -486,6 +486,58 @@ FROM tagged GROUP BY 1, 2
 
 
 # ===========================================================================
+# deterministic shuffle-sharding (epoch-stable training-shard writer)
+# ===========================================================================
+
+SHUFFLE_N_SHARDS = 8
+SHUFFLE_SEED = "epoch0"
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every document
+    gets a seeded hash key, lands in shard = key mod N, and takes its
+    position from the key order WITHIN the shard — the exact layout a
+    shard-writing pass materializes before training. Seeded, so the
+    epoch permutation is reproducible across reruns and resumable
+    mid-write; changing the seed string reshuffles every epoch.
+
+    Scale: NO global sort (the naive take — row_number over the whole
+    corpus — funnels 100 TB through one reducer). One hash-partition
+    exchange on shard + a within-partition sort; each shard's order is
+    still globally deterministic because the seeded key, not arrival
+    order, defines it."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.conv(F.substring(
+        F.md5(F.concat(F.lit(SHUFFLE_SEED + ":"),
+                       F.col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (docs.select("doc_id", key.alias("shuffle_key"))
+            .withColumn("shard",
+                        (F.col("shuffle_key") % SHUFFLE_N_SHARDS)
+                        .cast("int"))
+            .select("doc_id", "shard",
+                    F.row_number().over(w).alias("pos")))
+
+
+CORPUS_SHUFFLE_SHARDS_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('{SHUFFLE_SEED}:'
+                                   || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) AS shuffle_key
+    FROM documents
+)
+SELECT doc_id,
+       CAST(shuffle_key % {SHUFFLE_N_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY shuffle_key % {SHUFFLE_N_SHARDS}
+           ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+# ===========================================================================
 # boilerplate paragraph removal (CCNet-style corpus cleaning)
 # ===========================================================================
 

@@ -486,6 +486,113 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("o_totalprice").cast("double"))
 
 
+_SCD2_STREAM_DIRS: dict[str, str] = {}
+
+
+@register(
+    "cdc_scd2_stream",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,
+           a_orderstatus AS o_orderstatus,
+           CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+           a_orderdate AS o_orderdate, a_orderpriority AS o_orderpriority,
+           valid_from_seq, valid_to_seq,
+           valid_to_seq IS NULL AS is_current
+    FROM (
+        SELECT *, id AS valid_from_seq,
+               lead(id) OVER (
+                   PARTITION BY COALESCE(a_orderkey, b_orderkey)
+                   ORDER BY id) AS valid_to_seq
+        FROM changes
+    ) WHERE type <> 'DELETE'
+    """,
+)
+def cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 maintenance (round 13): the change stream arrives
+    as three seq-ordered micro-batches; a custom stateful operator
+    (streaming/stateful.scd2_closing_edges, applyInPandasWithState)
+    keeps ONE long of state per live key — the open version's opening
+    sequence — and emits each version's CLOSING EDGE in the batch where
+    the closing event arrives, across batch boundaries (a key's INSERT
+    and its UPDATE/DELETE land in different micro-batches here). The
+    final table joins the edges back to the version images by opening
+    sequence; it hash-matches the BATCH LEAD-window oracle, so the
+    driver gate proves incremental maintenance == full recompute.
+
+    Scale: the state store holds live keys x one long (no images pass
+    through state); edges sink to parquet append-only; the assembly
+    join is edge-sized. Nothing corpus-sized is rewritten per batch —
+    the weakness of snapshot-diff SCD2 jobs this operator exists to
+    avoid."""
+    import os as _os
+    import shutil as _shutil
+
+    from ru_cdc_spark.streaming.stateful import scd2_closing_edges
+
+    work = _SCD2_STREAM_DIRS.get(sf_dir)
+    if work is None:
+        work = _SCD2_STREAM_DIRS[sf_dir] = _session_tmpdir("scd2stream_")
+    for sub in ("feed", "ckpt", "closed"):
+        _shutil.rmtree(_os.path.join(work, sub), ignore_errors=True)
+    feed = _os.path.join(work, "feed")
+    closed_dir = _os.path.join(work, "closed")
+    _os.makedirs(feed)
+
+    changes = derive_order_changes(spark, sf_dir)
+    flat = changes.select(
+        F.coalesce(F.col("after.o_orderkey"),
+                   F.col("before.o_orderkey")).alias("pk"),
+        F.col("id").alias("seq"),
+        (F.col("type") == "DELETE").alias("is_delete"))
+    max_id = flat.agg(F.max("seq")).first()[0]
+    cuts = (max_id // 3, 2 * max_id // 3)
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    # seq-ranged slices, named and mtime-stamped in order: the file
+    # source triggers them as ordered micro-batches, so per-key event
+    # order across batches follows the sequence (the CDC feed contract)
+    for i, (lo, hi) in enumerate(bounds):
+        s = flat
+        if lo is not None:
+            s = s.where(F.col("seq") > lo)
+        if hi is not None:
+            s = s.where(F.col("seq") <= hi)
+        tmp = _os.path.join(work, f"slice_tmp_{i}")
+        s.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(_os.listdir(tmp))
+                    if f.endswith(".parquet"))
+        dst = _os.path.join(feed, f"slice-{i}.parquet")
+        _os.rename(_os.path.join(tmp, part), dst)
+        _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        _shutil.rmtree(tmp)
+
+    stream = (spark.readStream
+              .schema("pk long, seq long, is_delete boolean")
+              .option("maxFilesPerTrigger", "1").parquet(feed))
+    q = (scd2_closing_edges(stream).writeStream
+         .outputMode("update")
+         .foreachBatch(lambda bdf, _bid:
+                       bdf.write.mode("append").parquet(closed_dir))
+         .option("checkpointLocation", _os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "cdc_scd2_stream: edge stream did not drain in 300s — "
+            "refusing to assemble a partial history")
+
+    closed = (spark.read
+              .schema("pk long, valid_from_seq long, valid_to_seq long")
+              .parquet(closed_dir)
+              .select("valid_from_seq", "valid_to_seq")
+              .distinct())  # at-least-once retries may duplicate edges
+    return (changes.where(F.col("type") != "DELETE")
+            .select("after.*", F.col("id").alias("valid_from_seq"))
+            .join(closed, "valid_from_seq", "left")
+            .withColumn("is_current", F.col("valid_to_seq").isNull())
+            .withColumn("o_totalprice",
+                        F.col("o_totalprice").cast("double")))
+
+
 @register(
     "acid_merge_snapshot",
     ORDER_CHANGES_ORACLE_CTE + """
@@ -1961,6 +2068,8 @@ register("corpus_stemmed_terms",
 register("stratified_sample", _pp.STRATIFIED_SAMPLE_SQL)(_pp.stratified_sample)
 register("train_val_test_split",
          _pp.TRAIN_VAL_TEST_SPLIT_SQL)(_pp.train_val_test_split)
+register("corpus_shuffle_shards",
+         _pp.CORPUS_SHUFFLE_SHARDS_SQL)(_pp.corpus_shuffle_shards)
 register("sequence_packing", _pp.SEQUENCE_PACKING_SQL)(_pp.sequence_packing)
 register("token_mixture", _pp.TOKEN_MIXTURE_SQL)(_pp.token_mixture)
 register("capped_per_source", _pp.CAPPED_PER_SOURCE_SQL)(_pp.capped_per_source)

@@ -206,3 +206,69 @@ def sessionize_with_timeout(events_stream: DataFrame,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 maintenance: incremental closing edges over a change stream
+# ---------------------------------------------------------------------------
+
+# The batch formulation (operators/merge.scd2_history) closes version N
+# with a per-key LEAD — but a stream cannot LEAD into events that haven't
+# arrived. The streaming form keeps O(1) state per key (the OPEN version's
+# opening sequence) and emits a (pk, valid_from, valid_to) CLOSING EDGE
+# the moment the next event for that key arrives — possibly many batches
+# later. Version attributes never pass through the state store: the final
+# table joins the edges back to the change events by opening sequence, so
+# state stays one long per live key regardless of row width.
+
+SCD2_EDGE_OUTPUT_SCHEMA = (
+    "pk long, valid_from_seq long, valid_to_seq long"
+)
+SCD2_EDGE_STATE_SCHEMA = "open_from long"
+
+
+def _scd2_edge_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch = pd.concat(list(pdfs)).sort_values("seq")
+    open_from = state.get[0] if state.exists else None
+    closed: list[tuple[int, int]] = []
+    for seq, is_del in zip(batch["seq"], batch["is_delete"]):
+        seq = int(seq)
+        if open_from is not None:
+            closed.append((open_from, seq))
+        open_from = None if bool(is_del) else seq
+    if open_from is None:
+        if state.exists:
+            state.remove()
+    else:
+        state.update((open_from,))
+    yield pd.DataFrame({
+        "pk": [key[0]] * len(closed),
+        "valid_from_seq": [c[0] for c in closed],
+        "valid_to_seq": [c[1] for c in closed],
+    })
+
+
+def scd2_closing_edges(change_stream: DataFrame) -> DataFrame:
+    """(pk long, seq long, is_delete boolean) change stream -> closing
+    edges of SCD2 versions, each emitted exactly once, in the batch
+    where the closing event arrives. Events for one key may span
+    micro-batches (the state carries the open version across); within
+    a batch they are replayed in sequence order.
+
+    Scale: state per key is ONE long — bounded by live keys, not
+    history length; the state store checkpoints incrementally and keys
+    partition across executors. Each batch touches only the keys
+    present in it."""
+    return (
+        change_stream.select("pk", "seq", "is_delete")
+        .groupBy("pk")
+        .applyInPandasWithState(
+            _scd2_edge_update,
+            outputStructType=SCD2_EDGE_OUTPUT_SCHEMA,
+            stateStructType=SCD2_EDGE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -438,6 +438,47 @@ def test_streaming_winnowing_matches_batch_across_boundaries(spark, tmp_path):
     assert 0 < len(_winnow_text(part1, k, w)) < len(want)
 
 
+def test_scd2_closing_edges_across_batches(spark, tmp_path):
+    """The streaming SCD2 operator must close versions whose opening
+    and closing events arrive in DIFFERENT micro-batches (the one-long
+    per-key state exists for exactly this), emit each edge exactly
+    once, and drop state for deleted keys. Handcrafted split: key 1's
+    INSERT lands in batch 0, its UPDATE and DELETE in batch 1; key 2
+    opens in batch 0 and never closes; key 3 opens and closes within
+    batch 1."""
+    from ru_cdc_spark.streaming.stateful import scd2_closing_edges
+
+    schema = "pk long, seq long, is_delete boolean"
+    src = str(tmp_path / "changes")
+    batch0 = [(1, 10, False), (2, 20, False)]
+    batch1 = [(1, 30, False), (1, 40, True), (3, 50, False), (3, 60, False)]
+    spark.createDataFrame(batch0, schema) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    q = (scd2_closing_edges(stream).writeStream.format("memory")
+         .queryName("scd2_edges").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.processAllAvailable()
+    mid = {(r.pk, r.valid_from_seq, r.valid_to_seq)
+           for r in spark.sql("SELECT * FROM scd2_edges").collect()}
+    assert mid == set()  # nothing closed yet — both versions still open
+    spark.createDataFrame(batch1, schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.pk, r.valid_from_seq, r.valid_to_seq)
+           for r in spark.sql("SELECT * FROM scd2_edges").collect()}
+    assert got == {
+        (1, 10, 30),  # closed ACROSS the batch boundary
+        (1, 30, 40),  # closed by the delete (which opens nothing)
+        (3, 50, 60),  # closed within one batch
+    }
+
+
 def test_stream_interval_join_matches_batch(spark, sf_dir):
     """The watermarked stream-stream interval join, drained with
     availableNow, produces exactly the batch interval join's pairs."""

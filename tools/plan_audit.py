@@ -163,6 +163,14 @@ AUDIT = [
      "round 10: power-of-two buckets in pure integer arithmetic "
      "(shiftleft over bin-length, no float log2) — narrow token "
      "projection, log-cardinality partial agg"),
+    ("cdc_scd2_history",
+     "round 13: SCD2 version intervals — ONE PK-hash exchange feeding "
+     "the per-key LEAD window; no self-join, closing edges read off "
+     "the sorted partition"),
+    ("corpus_shuffle_shards",
+     "round 13: seeded epoch-shuffle sharding — hash exchange on "
+     "shard + within-partition sort; NO global sort / single-reducer "
+     "ntile anywhere in the plan"),
 ]
 
 

@@ -43,6 +43,15 @@ QUERIES = [
     "zorder_scan_fraction",
     "dpp_pruned_fact_join",
     "text_lang_id_confusion",
+    # round-13 flagships, scale-proven the round they shipped:
+    # SCD2 batch (one LEAD-window shuffle), SCD2 streaming (state =
+    # one long per live key; fixed 3-batch machinery dilutes the
+    # ratio — the data-path cost is the state-store + edge join), and
+    # the seeded shuffle-shard layout (hash exchange + in-partition
+    # sort, no global sort)
+    "cdc_scd2_history",
+    "cdc_scd2_stream",
+    "corpus_shuffle_shards",
 ]
 
 

@@ -151,12 +151,19 @@ _STRATUM_PCT = {"es": 50, "zh": 30}  # percent kept per lang; default below
 _DEFAULT_PCT = 20
 
 
-def _hash_bucket(key: Column) -> Column:
-    """md5 first-8-hex -> int in [0, 100): stable across engines and runs,
-    independent of partitioning — re-running the pipeline keeps the SAME
-    documents, which downstream dedup/packing relies on."""
+def _hash_key(key: Column) -> Column:
+    """md5 first-8-hex -> non-negative int64: the engine-portable hash
+    (DuckDB spells it CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) —
+    stable across engines, runs, and partitioning. The ONE copy of the
+    recipe; bucket/shard deriviations mod it down."""
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
-            .cast("bigint") % 100
+            .cast("bigint")
+
+
+def _hash_bucket(key: Column) -> Column:
+    """md5 bucket in [0, 100): re-running the pipeline keeps the SAME
+    documents, which downstream dedup/packing relies on."""
+    return _hash_key(key) % 100
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,10 +514,8 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     still globally deterministic because the seeded key, not arrival
     order, defines it."""
     docs = load_table(spark, sf_dir, "documents")
-    key = F.conv(F.substring(
-        F.md5(F.concat(F.lit(SHUFFLE_SEED + ":"),
-                       F.col("doc_id").cast("string"))), 1, 8),
-        16, 10).cast("long")
+    key = _hash_key(F.concat(F.lit(SHUFFLE_SEED + ":"),
+                             F.col("doc_id").cast("string")))
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return (docs.select("doc_id", key.alias("shuffle_key"))
             .withColumn("shard",

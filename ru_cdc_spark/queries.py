@@ -486,9 +486,6 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("o_totalprice").cast("double"))
 
 
-_SCD2_STREAM_DIRS: dict[str, str] = {}
-
-
 @register(
     "cdc_scd2_stream",
     ORDER_CHANGES_ORACLE_CTE + """
@@ -527,13 +524,16 @@ def cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _shutil
 
-    from ru_cdc_spark.streaming.stateful import scd2_closing_edges
+    from ru_cdc_spark.streaming.stateful import (
+        SCD2_EDGE_OUTPUT_SCHEMA,
+        scd2_closing_edges,
+    )
 
-    work = _SCD2_STREAM_DIRS.get(sf_dir)
-    if work is None:
-        work = _SCD2_STREAM_DIRS[sf_dir] = _session_tmpdir("scd2stream_")
-    for sub in ("feed", "ckpt", "closed"):
-        _shutil.rmtree(_os.path.join(work, sub), ignore_errors=True)
+    # a FRESH workdir per call (atexit-swept): the returned DataFrame
+    # stays lazy over closed_dir, so reusing one per-sf dir and
+    # rmtree-ing it on the next call would pull the files out from
+    # under a still-held result (the module invariant above)
+    work = _session_tmpdir("scd2stream_")
     feed = _os.path.join(work, "feed")
     closed_dir = _os.path.join(work, "closed")
     _os.makedirs(feed)
@@ -544,6 +544,10 @@ def cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("before.o_orderkey")).alias("pk"),
         F.col("id").alias("seq"),
         (F.col("type") == "DELETE").alias("is_delete"))
+    # the max-seq aggregate and the three slice writes would otherwise
+    # each re-run the full change-stream derivation (orders scan +
+    # spread + explode) — persist for the fixture-build phase only
+    flat = flat.persist()
     max_id = flat.agg(F.max("seq")).first()[0]
     cuts = (max_id // 3, 2 * max_id // 3)
     bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
@@ -564,6 +568,7 @@ def cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.rename(_os.path.join(tmp, part), dst)
         _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
         _shutil.rmtree(tmp)
+    flat.unpersist()
 
     stream = (spark.readStream
               .schema("pk long, seq long, is_delete boolean")
@@ -581,7 +586,7 @@ def cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "refusing to assemble a partial history")
 
     closed = (spark.read
-              .schema("pk long, valid_from_seq long, valid_to_seq long")
+              .schema(SCD2_EDGE_OUTPUT_SCHEMA)
               .parquet(closed_dir)
               .select("valid_from_seq", "valid_to_seq")
               .distinct())  # at-least-once retries may duplicate edges

@@ -487,6 +487,57 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_as_of",
+    ORDER_CHANGES_ORACLE_CTE + """
+    , hist AS (
+        SELECT COALESCE(a_orderkey, b_orderkey) AS o_orderkey,
+               a_custkey AS o_custkey, a_orderstatus AS o_orderstatus,
+               CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE)
+                   AS o_totalprice,
+               a_orderdate AS o_orderdate,
+               a_orderpriority AS o_orderpriority,
+               type, id AS valid_from_seq,
+               lead(id) OVER (
+                   PARTITION BY COALESCE(a_orderkey, b_orderkey)
+                   ORDER BY id) AS valid_to_seq
+        FROM changes
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM hist
+    WHERE type <> 'DELETE'
+      AND valid_from_seq <= (SELECT MAX(id) // 2 FROM changes)
+      AND (valid_to_seq IS NULL
+           OR valid_to_seq > (SELECT MAX(id) // 2 FROM changes))
+    """,
+)
+def cdc_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read over the SCD2 history — the reason
+    warehouses build SCD2 at all: reconstruct the table AS OF any past
+    change sequence without replaying the log. Pinned here to the
+    stream's midpoint (max seq // 2), where the state genuinely
+    differs from both the initial and the final table: later-half keys
+    don't exist yet, keys updated after the pin show pre-update values,
+    keys deleted after the pin are still present.
+
+    Scale: the AS-OF predicate lands on the history relation (one
+    LEAD-window pass, same budget as cdc_scd2_history); on a persisted
+    history table it is a pure filter — valid_from/valid_to min-max
+    stats prune untouched files, no log replay."""
+    from ru_cdc_spark.operators.merge import scd2_history
+
+    changes = derive_order_changes(spark, sf_dir)
+    s = changes.agg(F.max("id")).first()[0] // 2
+    hist = scd2_history(changes, ORDERS_PK)
+    return (hist.where((F.col("valid_from_seq") <= s)
+                       & (F.col("valid_to_seq").isNull()
+                          | (F.col("valid_to_seq") > s)))
+            .drop("valid_from_seq", "valid_to_seq", "is_current")
+            .withColumn("o_totalprice",
+                        F.col("o_totalprice").cast("double")))
+
+
+@register(
     "cdc_scd2_stream",
     ORDER_CHANGES_ORACLE_CTE + """
     SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,
@@ -521,58 +572,102 @@ def cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is edge-sized. Nothing corpus-sized is rewritten per batch —
     the weakness of snapshot-diff SCD2 jobs this operator exists to
     avoid."""
-    import os as _os
-    import shutil as _shutil
-
-    from ru_cdc_spark.streaming.stateful import (
-        SCD2_EDGE_OUTPUT_SCHEMA,
-        scd2_closing_edges,
-    )
-
     # a FRESH workdir per call (atexit-swept): the returned DataFrame
     # stays lazy over closed_dir, so reusing one per-sf dir and
     # rmtree-ing it on the next call would pull the files out from
     # under a still-held result (the module invariant above)
     work = _session_tmpdir("scd2stream_")
-    feed = _os.path.join(work, "feed")
-    closed_dir = _os.path.join(work, "closed")
-    _os.makedirs(feed)
+    changes, slices, flat = _scd2_feed_slices(spark, sf_dir)
+    for i, s in enumerate(slices):
+        _scd2_emit_slice(s, work, i)
+    flat.unpersist()
+    _scd2_drain(spark, work)
+    return _scd2_assemble(spark, changes, work)
 
+
+def _scd2_feed_slices(spark: SparkSession, sf_dir: str):
+    """(changes, [three seq-ranged slice DataFrames], flat) — the
+    ordered micro-batch feed for the streaming SCD2 entries. The
+    max-seq aggregate and the slice writes would each re-run the full
+    change-stream derivation (orders scan + spread + explode), so the
+    flat projection is returned PERSISTED; callers unpersist it after
+    emitting their last slice."""
     changes = derive_order_changes(spark, sf_dir)
     flat = changes.select(
         F.coalesce(F.col("after.o_orderkey"),
                    F.col("before.o_orderkey")).alias("pk"),
         F.col("id").alias("seq"),
-        (F.col("type") == "DELETE").alias("is_delete"))
-    # the max-seq aggregate and the three slice writes would otherwise
-    # each re-run the full change-stream derivation (orders scan +
-    # spread + explode) — persist for the fixture-build phase only
-    flat = flat.persist()
+        (F.col("type") == "DELETE").alias("is_delete")).persist()
     max_id = flat.agg(F.max("seq")).first()[0]
-    cuts = (max_id // 3, 2 * max_id // 3)
+    # cut placement is the NON-VACUOUSNESS guarantee: a naive max_id/3
+    # cut can land between keys, leaving NO version open across a batch
+    # (or restart) boundary — the cross-batch state path would then be
+    # untested by the hash gate (measured: zero spanning versions at
+    # both fixture SFs with arithmetic cuts). Cutting at seq = 3*k for
+    # an UPDATE-bearing key k (k % 10 < 3) puts k's INSERT in one batch
+    # and its closing UPDATE in the next, so every boundary provably
+    # exercises carried state: lose it and k's first version stays
+    # open (valid_to NULL, is_current flipped) — a hash mismatch.
+    maxkey = max_id // 3
+
+    def _cut_key(upper: int) -> int | None:
+        return (flat.where((F.col("pk") % 10 < 3)
+                           & (F.col("pk") <= upper))
+                .agg(F.max("pk")).first()[0])
+
+    k1, k2 = _cut_key(maxkey // 3), _cut_key(2 * maxkey // 3)
+    if k1 is None or k2 is None or k1 >= k2:
+        raise RuntimeError(
+            "scd2 stream feed: corpus too small to place boundary-"
+            "spanning cuts (need two distinct update-bearing keys)")
+    cuts = (3 * k1, 3 * k2)
     bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
-    # seq-ranged slices, named and mtime-stamped in order: the file
-    # source triggers them as ordered micro-batches, so per-key event
-    # order across batches follows the sequence (the CDC feed contract)
-    for i, (lo, hi) in enumerate(bounds):
+    out = []
+    for lo, hi in bounds:
         s = flat
         if lo is not None:
             s = s.where(F.col("seq") > lo)
         if hi is not None:
             s = s.where(F.col("seq") <= hi)
-        tmp = _os.path.join(work, f"slice_tmp_{i}")
-        s.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in sorted(_os.listdir(tmp))
-                    if f.endswith(".parquet"))
-        dst = _os.path.join(feed, f"slice-{i}.parquet")
-        _os.rename(_os.path.join(tmp, part), dst)
-        _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-        _shutil.rmtree(tmp)
-    flat.unpersist()
+        out.append(s)
+    return changes, out, flat
 
+
+def _scd2_emit_slice(s: DataFrame, work: str, i: int) -> None:
+    """Land slice i as ONE feed file, named and mtime-stamped in
+    sequence so the file source triggers the slices as ordered
+    micro-batches (per-key event order across batches follows the
+    sequence — the CDC feed contract)."""
+    import os as _os
+    import shutil as _shutil
+
+    feed = _os.path.join(work, "feed")
+    _os.makedirs(feed, exist_ok=True)
+    tmp = _os.path.join(work, f"slice_tmp_{i}")
+    s.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in sorted(_os.listdir(tmp))
+                if f.endswith(".parquet"))
+    dst = _os.path.join(feed, f"slice-{i}.parquet")
+    _os.rename(_os.path.join(tmp, part), dst)
+    _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    _shutil.rmtree(tmp)
+
+
+def _scd2_drain(spark: SparkSession, work: str) -> None:
+    """One availableNow drain of the edge stream over whatever feed
+    files exist, appending emitted closing edges to the sink. The
+    checkpoint lives in the workdir, so a SECOND drain after more feed
+    files land resumes from the state store — per-key open versions
+    survive the restart (cdc_scd2_stream_restart's property)."""
+    import os as _os
+
+    from ru_cdc_spark.streaming.stateful import scd2_closing_edges
+
+    closed_dir = _os.path.join(work, "closed")
     stream = (spark.readStream
               .schema("pk long, seq long, is_delete boolean")
-              .option("maxFilesPerTrigger", "1").parquet(feed))
+              .option("maxFilesPerTrigger", "1")
+              .parquet(_os.path.join(work, "feed")))
     q = (scd2_closing_edges(stream).writeStream
          .outputMode("update")
          .foreachBatch(lambda bdf, _bid:
@@ -582,12 +677,20 @@ def cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError(
-            "cdc_scd2_stream: edge stream did not drain in 300s — "
-            "refusing to assemble a partial history")
+            "scd2 edge stream did not drain in 300s — refusing to "
+            "assemble a partial history")
+
+
+def _scd2_assemble(spark: SparkSession, changes: DataFrame,
+                   work: str) -> DataFrame:
+    """Join the emitted closing edges back to the version images."""
+    import os as _os
+
+    from ru_cdc_spark.streaming.stateful import SCD2_EDGE_OUTPUT_SCHEMA
 
     closed = (spark.read
               .schema(SCD2_EDGE_OUTPUT_SCHEMA)
-              .parquet(closed_dir)
+              .parquet(_os.path.join(work, "closed"))
               .select("valid_from_seq", "valid_to_seq")
               .distinct())  # at-least-once retries may duplicate edges
     return (changes.where(F.col("type") != "DELETE")
@@ -596,6 +699,47 @@ def cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_current", F.col("valid_to_seq").isNull())
             .withColumn("o_totalprice",
                         F.col("o_totalprice").cast("double")))
+
+
+@register(
+    "cdc_scd2_stream_restart",
+    ORDER_CHANGES_ORACLE_CTE + """
+    SELECT a_orderkey AS o_orderkey, a_custkey AS o_custkey,
+           a_orderstatus AS o_orderstatus,
+           CAST(CAST(a_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+           a_orderdate AS o_orderdate, a_orderpriority AS o_orderpriority,
+           valid_from_seq, valid_to_seq,
+           valid_to_seq IS NULL AS is_current
+    FROM (
+        SELECT *, id AS valid_from_seq,
+               lead(id) OVER (
+                   PARTITION BY COALESCE(a_orderkey, b_orderkey)
+                   ORDER BY id) AS valid_to_seq
+        FROM changes
+    ) WHERE type <> 'DELETE'
+    """,
+)
+def cdc_scd2_stream_restart(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Streaming SCD2 across a STREAM RESTART (round 13): the first
+    query drains only the first two micro-batches and stops; a new
+    query on the SAME checkpoint ingests the third after new data
+    lands. Versions left open by the first run close correctly in the
+    second — the per-key open-version state RECOVERED from the state
+    store, not from any in-process memory. Hash-matching the batch
+    LEAD-window oracle proves checkpointed state recovery end-to-end:
+    lost state would leave stale versions open (is_current wrong),
+    re-read state would double-close (duplicate edges with different
+    bounds)."""
+    work = _session_tmpdir("scd2restart_")
+    changes, slices, flat = _scd2_feed_slices(spark, sf_dir)
+    for i, s in enumerate(slices[:2]):
+        _scd2_emit_slice(s, work, i)
+    _scd2_drain(spark, work)           # run 1: batches 0-1, then stop
+    _scd2_emit_slice(slices[2], work, 2)
+    flat.unpersist()
+    _scd2_drain(spark, work)           # run 2: recovers state, batch 2
+    return _scd2_assemble(spark, changes, work)
 
 
 @register(

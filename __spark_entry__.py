@@ -145,6 +145,11 @@ SHOWCASE = [
     # r13 after 6 greens; the zstd JSONL shard path stays as the rep)
     "jsonl_spec_zstd_roundtrip",
     # ---- past the 50-window: still curated, still oracle-gated ----
+    # r13 additions (rotation candidates for r14): the SCD2 family
+    # (batch history, point-in-time read, streaming maintenance, and
+    # stream-restart state recovery) + deterministic shuffle-sharding
+    "cdc_scd2_history", "cdc_scd2_as_of", "cdc_scd2_stream",
+    "cdc_scd2_stream_restart", "corpus_shuffle_shards",
     # (r13 rotation OUT after multi-round greens: q1, partitioned
     # merge, session-window stream, incremental snapshot, minimal-image
     # merge, kafka wire roundtrip, batch ANN serving, text stats,

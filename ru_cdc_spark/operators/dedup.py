@@ -803,8 +803,11 @@ def band_index_store(index_dir: str):
     reads, append-only maintenance, atomic compaction commits, explicit
     vacuum, checkpointed replay."""
     from ru_cdc_spark.operators.postings_store import PostingsStore
+    # n_partitions=N_BANDS is a staging-shuffle sizing hint only (see
+    # PostingsStore) — the band count is the partition-value count
     return PostingsStore(index_dir, "band_idx",
-                         ("band_idx", "band_hash", "doc_id"))
+                         ("band_idx", "band_hash", "doc_id"),
+                         n_partitions=N_BANDS)
 
 
 def band_index_build(bands: DataFrame, index_dir: str,

@@ -54,7 +54,8 @@ class PostingsStore:
     CHECKPOINT_INTERVAL = 10  # snapshot the live set every N commits
 
     def __init__(self, index_dir: str, partition_col: str,
-                 sort_cols: tuple[str, ...]):
+                 sort_cols: tuple[str, ...],
+                 n_partitions: int | None = None):
         assert sort_cols and sort_cols[0] == partition_col, (
             "partition column must LEAD the sort: the dynamic-partition "
             "writer would otherwise insert its own unstable sort and "
@@ -62,6 +63,15 @@ class PostingsStore:
         self.index_dir = index_dir
         self.partition_col = partition_col
         self.sort_cols = sort_cols
+        # performance HINT only (r13): the expected distinct-value count
+        # of partition_col. When set, staging shuffles into exactly this
+        # many hash partitions instead of spark.sql.shuffle.partitions +
+        # AQE coalescing — measured 0.4s/write cheaper at fixture scale
+        # (the coalesce machinery itself) and a no-op for layout
+        # guarantees: hash routing still sends each partition value to
+        # exactly one task, so "one sorted file per partition per batch"
+        # holds for ANY value here.
+        self.n_partitions = n_partitions
 
     # -- manifest log --------------------------------------------------
 
@@ -115,12 +125,15 @@ class PostingsStore:
         return [self._read_commit(v)["op"] for v in self.versions()]
 
     def _try_commit(self, version: int, op: str, add: list[str],
-                    remove: list[str], meta: dict | None = None) -> None:
+                    remove: list[str], meta: dict | None = None,
+                    schema_json: str | None = None) -> None:
         os.makedirs(self._log_dir(), exist_ok=True)
         entry = {"version": version, "op": op,
                  "add": sorted(add), "remove": sorted(remove)}
         if meta is not None:
             entry["meta"] = meta
+        if schema_json is not None:
+            entry["schema"] = schema_json
         try:
             put_if_absent(self._log_file(version),
                           json.dumps(entry, sort_keys=True))
@@ -206,9 +219,26 @@ class PostingsStore:
                 f"{self.index_dir}: version {_v} pins no live files — "
                 "the index is empty at this version (empty build/append "
                 "commit, or compaction of an empty pin)")
-        return (spark.read.option("basePath", self.index_dir)
-                .parquet(*[os.path.join(self.index_dir, f)
-                           for f in files]))
+        reader = spark.read.option("basePath", self.index_dir)
+        schema = self._schema()
+        if schema is not None:
+            # the build commit recorded the postings schema (r13):
+            # supplying it skips the footer-sampling schema-inference
+            # job every pinned read otherwise pays
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(schema)))
+        return reader.parquet(*[os.path.join(self.index_dir, f)
+                                for f in files])
+
+    def _schema(self) -> str | None:
+        """Schema JSON recorded by the build commit (None on pre-r13
+        indexes, which fall back to parquet schema inference)."""
+        vs = self.versions()
+        if not vs:
+            return None
+        return self._read_commit(vs[0]).get("schema")
 
     # -- writes ---------------------------------------------------------
 
@@ -222,8 +252,11 @@ class PostingsStore:
         in one task — one sorted file per partition per batch."""
         staged = os.path.join(self.index_dir,
                               f".staged-{uuid.uuid4().hex[:12]}")
-        (postings.repartition(F.col(self.partition_col))
-         .sortWithinPartitions(*self.sort_cols)
+        part = (postings.repartition(self.n_partitions,
+                                     F.col(self.partition_col))
+                if self.n_partitions
+                else postings.repartition(F.col(self.partition_col)))
+        (part.sortWithinPartitions(*self.sort_cols)
          .write.mode("overwrite")
          .partitionBy(self.partition_col).parquet(staged))
         prefix = f"{self.partition_col}="
@@ -251,7 +284,8 @@ class PostingsStore:
             shutil.rmtree(self.index_dir)
         os.makedirs(self.index_dir)
         added = self._stage_in(postings)
-        self._try_commit(0, "build", added, [], meta=meta)
+        self._try_commit(0, "build", added, [], meta=meta,
+                         schema_json=postings.schema.json())
 
     def append(self, postings: DataFrame) -> None:
         """Admit a batch without touching existing files: one new

@@ -44,18 +44,28 @@ _EMB_COUNT_CACHE: dict[str, int] = {}
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     n = _EMB_COUNT_CACHE.get(sf_dir)
     if n is None:
-        n = _emb(spark, sf_dir).count()
+        n = _emb(spark, sf_dir, wide=False).count()
         _EMB_COUNT_CACHE[sf_dir] = n
     return n
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb(spark: SparkSession, sf_dir: str, wide: bool = True) -> DataFrame:
     """Corpus projection with the vector norm precomputed ONCE per vector —
     the pairwise stage then only evaluates the dot product (3x less fold
     work than recomputing both norms per pair; bitwise-identical cosine
-    because the same sqrt on the same doubles divides the same dot)."""
+    because the same sqrt on the same doubles divides the same dot).
+
+    ``wide=False`` skips the :func:`spread` round-robin exchange (r13):
+    right for consumers whose downstream is broadcast-sized or a cheap
+    vectorized map — the exchange is a whole extra Spark job at fixture
+    scale and a no-op at 100 TB (spread passes wide scans through), so
+    narrow sides pay it for nothing. Values are identical either way
+    (norm is per-row)."""
     e = as_double_array(F.col("embedding"))
-    return spread(load_table(spark, sf_dir, "embeddings")).select(
+    base = load_table(spark, sf_dir, "embeddings")
+    if wide:
+        base = spread(base)
+    return base.select(
         "vec_id", "label", e.alias("e"), norm(e).alias("nrm"))
 
 
@@ -1104,6 +1114,24 @@ def lsh_codes(col: "F.Column", L: int = LSH_TABLES,
     return codes_udf(col)
 
 
+def _codes_np(vecs: "np.ndarray", L: int = LSH_TABLES,
+              k: int = LSH_BITS) -> "np.ndarray":
+    """Driver-local form of the :func:`lsh_codes` accumulation — the
+    SAME numpy statements over the SAME plane matrix in the same
+    dimension order, so codes are bit-identical to the UDF's (which is
+    differential-tested against the expression form and the oracle
+    SQL). Used to code an already-collected query batch without
+    spending a Spark job on it (r13)."""
+    m = vecs.astype(np.float64, copy=False)
+    planes = _lsh_planes(L, k)
+    acc = np.zeros((m.shape[0], L * k))
+    for d in range(LSH_DIM):
+        acc = acc + m[:, d:d + 1] * planes[d]
+    bits = ((acc >= 0) | np.isnan(acc)).reshape(-1, L, k)
+    weights = np.array([1 << j for j in range(k)], dtype=np.int32)
+    return (bits * weights).sum(axis=2).astype(np.int32)
+
+
 def ann_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-TABLE hyperplane LSH — the textbook L-tables scheme
     (Indyk-Motwani / Charikar sign-LSH): L independent k-bit codes per
@@ -1384,8 +1412,12 @@ LSH_CHECKPOINT_INTERVAL = PostingsStore.CHECKPOINT_INTERVAL
 def _lsh_store(index_dir: str) -> PostingsStore:
     """The ANN postings store: hive-partitioned by TABLE t (directory
     count stays L as the corpus grows), files sorted by (t, b, vec_id)
-    so bucket lookups prune via parquet min/max stats on b."""
-    return PostingsStore(index_dir, "t", ("t", "b", "vec_id"))
+    so bucket lookups prune via parquet min/max stats on b.
+    ``n_partitions=LSH_TABLES`` is a staging-shuffle sizing hint only
+    (see PostingsStore) — correct for any index at this path since L
+    is the table count and builds never vary it."""
+    return PostingsStore(index_dir, "t", ("t", "b", "vec_id"),
+                         n_partitions=LSH_TABLES)
 
 
 # thin test/ops aliases over the shared store (same names as the r12
@@ -1495,21 +1527,30 @@ def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
     the pinned manifest are immutable until an explicit vacuum."""
     meta = lsh_index_meta(index_dir)
     idx_L, idx_k = meta["L"], meta["k"]
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
-    # code the query batch ONCE, with the (L, k) the index was BUILT
-    # with (manifest meta — the session constants may disagree): the
-    # codes are broadcast-sized by the same |queries| x L argument as
-    # ann_batch_queries' collect, and re-created as a local relation so
-    # the join side doesn't re-run the coding UDF lineage
-    qrows = lsh_postings(q, idx_L, idx_k).collect()
-    if len(qrows) > ANN_BATCH_MAX * idx_L:
+    # collect the query batch ONCE — (vec_id, e, nrm), bounded by
+    # ANN_BATCH_MAX like ann_batch_queries' collect — then code it
+    # DRIVER-LOCALLY with the (L, k) the index was BUILT with
+    # (manifest meta — the session constants may disagree). r13: the
+    # previous shape spent one Spark job coding the batch through the
+    # Arrow UDF and a SECOND corpus scan re-deriving (qe, qn) for the
+    # rerank broadcast; one collect now feeds both local relations,
+    # and _codes_np is the UDF's own accumulation (bit-identical).
+    qvec_rows = (emb.where(F.col("vec_id") % QUERY_MOD == 0)
+                 .select("vec_id", "e", "nrm").collect())
+    if len(qvec_rows) > ANN_BATCH_MAX:
         raise ValueError(
-            f"query batch codes {len(qrows)} exceed "
-            f"ANN_BATCH_MAX x L: split the batch")
+            f"query batch {len(qvec_rows)} exceeds ANN_BATCH_MAX: "
+            "split the batch")
+    codes = _codes_np(np.array([r.e for r in qvec_rows]), idx_L, idx_k)
+    # (no coalesce(1) on these local relations: evaluating a coalesced
+    # PythonRDD forces one task to drain all defaultParallelism pickle
+    # slices SERIALLY through the Python worker — measured +3.3s; the
+    # 32-slice parallel evaluation is effectively free)
     qcodes = spark.createDataFrame(
-        [(r.t, r.b, r.vec_id) for r in qrows],
+        [(t, int(codes[i, t]), r.vec_id)
+         for i, r in enumerate(qvec_rows) for t in range(idx_L)],
         "t int, b int, q_vec long")
-    hit_b = sorted({r.b for r in qrows})
+    hit_b = sorted({int(b) for b in codes.ravel()})
     postings = lsh_index_postings(spark, index_dir)
     if len(hit_b) < (1 << idx_k):
         # bucket prune via parquet min/max stats on the SORTED b
@@ -1519,12 +1560,23 @@ def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
         # buckets, so skip the no-op filter; at production k the hit
         # set is sparse and this skips most row groups.
         postings = postings.where(F.col("b").isin(hit_b))
+    # ONE exchange serves both the pair-dedup and the rank window
+    # (r13, guide §2.4): hash-partitioning on q_vec alone satisfies the
+    # clustering requirement of the (q_vec, neighbor) distinct AND the
+    # q_vec window below, so the explicit repartition replaces two
+    # ENSURE_REQUIREMENTS exchanges with one. Bounded by the query
+    # batch (|q| <= ANN_BATCH_MAX), so q_vec-only partitioning cannot
+    # skew beyond a batch's own fan-in.
     pairs = (postings.join(F.broadcast(qcodes), ["t", "b"])
              .where(F.col("vec_id") != F.col("q_vec"))
              .select("q_vec", F.col("vec_id").alias("neighbor"))
+             .repartition(F.col("q_vec"))
              .distinct())
-    qv = q.select(F.col("vec_id").alias("q_vec"),
-                  F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    # (qe, qn) as a LOCAL relation from the same collect — the exact
+    # JVM doubles the corpus scan produced, no recompute, no re-scan
+    qv = spark.createDataFrame(
+        [(r.vec_id, r.e, r.nrm) for r in qvec_rows],
+        "q_vec long, qe array<double>, qn double")
     cv = emb.select(F.col("vec_id").alias("neighbor"),
                     F.col("e").alias("ce"), F.col("nrm").alias("cn"))
     cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
@@ -1547,8 +1599,14 @@ def ann_lsh_incremental(spark: SparkSession, sf_dir: str,
     oracle (a from-scratch full rebuild, semantically) IS the
     append-equals-rebuild-equals-compacted gate, graded by the driver
     every round. (Query-over-uncompacted equality is pytest-gated
-    separately in tests/test_northstar_ops.py.)"""
-    emb = _emb(spark, sf_dir)
+    separately in tests/test_northstar_ops.py.)
+
+    r13: the corpus is read NARROW (no spread exchange) — each consumer
+    is an immediate repartition-by-table (build/append staging
+    re-shuffles anyway), a driver-bounded collect, or a broadcast
+    build, so the round-robin exchange bought nothing and cost one
+    Spark job per phase."""
+    emb = _emb(spark, sf_dir, wide=False)
     base = emb.where(F.col("vec_id") % 10 != 7)
     batch = emb.where(F.col("vec_id") % 10 == 7)
     # k pinned to the fixture constant: the entry's oracle is the

@@ -345,6 +345,12 @@ class AcidTable:
         # exists only for files from a plain create() that predate the
         # first versioned merge (round-4 ADVICE fix, cost trimmed here)
         has_meta = self.seq_col in df.columns and "__deleted" in df.columns
+        # record the written schema in the log (r13): readers then merge
+        # schemas DRIVER-SIDE from the log instead of running parquet's
+        # mergeSchema footer job on every _read_files call (one Spark
+        # job per merge plan/rewrite/snapshot read at fixture scale)
+        schema_json = df.drop(self.partition_col).schema.json() \
+            if self.partition_col is not None else df.schema.json()
         out = []
         for path, rows, min_pk, max_pk in stats:
             if rows == 0:
@@ -353,7 +359,7 @@ class AcidTable:
                 continue
             add = {"path": path, "rows": rows,
                    "min_pk": min_pk, "max_pk": max_pk,
-                   "meta": has_meta}
+                   "meta": has_meta, "schema": schema_json}
             if self.partition_col is not None:
                 add["partition"] = _parse_hive_partition(
                     path, sub, self.partition_col,
@@ -411,20 +417,50 @@ class AcidTable:
 
     # -- reading -----------------------------------------------------------
 
+    @staticmethod
+    def _merged_log_schema(files: list[dict]) -> T.StructType | None:
+        """Union the schemas the log recorded at write time (field
+        order = first appearance, every field nullable — the same
+        shape parquet mergeSchema produces for files that differ only
+        by added columns). None when any file predates the r13 schema
+        recording or two files disagree on a field's type — those
+        reads fall back to the footer-merging job."""
+        fields: dict[str, T.StructField] = {}
+        for f in files:
+            sj = f.get("schema")
+            if not sj:
+                return None
+            for fld in T.StructType.fromJson(json.loads(sj)).fields:
+                seen = fields.get(fld.name)
+                if seen is None:
+                    fields[fld.name] = T.StructField(fld.name,
+                                                     fld.dataType, True)
+                elif seen.dataType != fld.dataType:
+                    return None
+        return T.StructType(list(fields.values()))
+
     def _read_files(self, files: list[dict]) -> DataFrame:
         """Read a file set, reconstituting the partition column: hive
         layout stores it in the directory name, not the file, so reads
-        by direct path inject it from the log's recorded value."""
-        if self.partition_col is None:
+        by direct path inject it from the log's recorded value. The
+        union schema comes from the LOG when every file recorded one
+        (r13) — driver-side merge, no mergeSchema footer job."""
+        def read(paths: list[str]) -> DataFrame:
+            schema = self._merged_log_schema(
+                [f for f in files if f["path"] in set(paths)])
+            if schema is not None:
+                return self.spark.read.schema(schema).parquet(*paths)
             return self.spark.read.option("mergeSchema", "true") \
-                .parquet(*[f["path"] for f in files])
+                .parquet(*paths)
+
+        if self.partition_col is None:
+            return read([f["path"] for f in files])
         groups: dict = {}
         for f in files:
             groups.setdefault(f.get("partition"), []).append(f["path"])
         parts = []
         for value, paths in groups.items():
-            df = self.spark.read.option("mergeSchema", "true") \
-                .parquet(*paths)
+            df = read(paths)
             if value is not None and self.partition_col not in df.columns:
                 df = df.withColumn(self.partition_col, F.lit(value))
             parts.append(df)
@@ -471,6 +507,39 @@ class AcidTable:
         return [f for f in files
                 if f.get("partition") is None or f["partition"] in vals]
 
+    def _hit_files(self, latest: DataFrame,
+                   candidates: list[dict]) -> list[dict]:
+        """Copy-on-write planning: which candidate files does the
+        collapsed batch hit (any change key inside the file's recorded
+        [min_pk, max_pk])?
+
+        r13: planned DRIVER-SIDE — collect the batch's key set (already
+        unique per pk after the latest-wins groupBy; bounded by the
+        micro-batch, the same bound the previous broadcast-join plan
+        relied on) and bisect each file's range into the sorted keys.
+        The old shape spent 4 Spark jobs here (local-relation ranges
+        build, its broadcast, the distinct join, the collect) to decide
+        pure metadata; this is 1 shuffle-free collect + O(F log K) on
+        the driver — the same file-skipping shape production table
+        formats use. Python ordering matches Spark's BETWEEN for the
+        key types the footer stats record (ints, floats, UTF-8 strings
+        — UTF-8 byte order IS codepoint order; NULL keys never match
+        BETWEEN and are dropped)."""
+        if not candidates:
+            return []
+        import bisect
+
+        keys = sorted(r[0] for r in latest.select(self.pk).collect()
+                      if r[0] is not None)
+        if not keys:
+            return []
+
+        def is_hit(f: dict) -> bool:
+            i = bisect.bisect_left(keys, f["min_pk"])
+            return i < len(keys) and keys[i] <= f["max_pk"]
+
+        return [f for f in candidates if is_hit(f)]
+
     # -- MERGE (copy-on-write) --------------------------------------------
 
     def merge(self, changes: DataFrame, op_col: str = "type",
@@ -503,19 +572,7 @@ class AcidTable:
                   .select("__r.*")).localCheckpoint(eager=True)
 
         candidates = self._partition_prune(files, latest)
-        pk_t = self._pk_type(latest)
-        ranges = self.spark.createDataFrame(
-            [(f["path"], f["min_pk"], f["max_pk"]) for f in candidates],
-            f"path string, min_pk {pk_t}, max_pk {pk_t}")
-        hit_paths = {
-            r["path"] for r in
-            latest.select(self.pk).distinct()
-            .join(F.broadcast(ranges),
-                  F.col(self.pk).between(F.col("min_pk"),
-                                         F.col("max_pk")), "inner")
-            .select("path").distinct().collect()
-        }
-        hit = [f for f in candidates if f["path"] in hit_paths]
+        hit = self._hit_files(latest, candidates)
 
         upserts = latest.where(F.col(op_col) != delete_op) \
             .drop(self.seq_col, op_col)
@@ -569,19 +626,7 @@ class AcidTable:
                   .select("__r.*")).localCheckpoint(eager=True)
 
         candidates = self._partition_prune(files, latest)
-        pk_t = self._pk_type(latest)
-        ranges = self.spark.createDataFrame(
-            [(f["path"], f["min_pk"], f["max_pk"]) for f in candidates],
-            f"path string, min_pk {pk_t}, max_pk {pk_t}")
-        hit_paths = {
-            r["path"] for r in
-            latest.select(self.pk).distinct()
-            .join(F.broadcast(ranges),
-                  F.col(self.pk).between(F.col("min_pk"),
-                                         F.col("max_pk")), "inner")
-            .select("path").distinct().collect()
-        } if candidates else set()
-        hit = [f for f in candidates if f["path"] in hit_paths]
+        hit = self._hit_files(latest, candidates)
 
         if hit:
             current = self._read_files(hit)

@@ -19,10 +19,25 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# per-(sf_dir, table) schema cache (r13): the test tables are immutable
+# within a process, but every load_table() used to re-run parquet schema
+# inference — a 1-task Spark job per call, paid by nearly every query.
+# Caching the INFERRED schema (metadata only, never results) and passing
+# it explicitly skips that job from the second load on; first load per
+# table still infers from the footers.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cached = _SCHEMA_CACHE.get((sf_dir, name))
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
     if name == "events":
         # ts is stored as timestamp[ns]; Spark reads it as long (see
         # session.py nanosAsLong). Truncate to micros — matches DuckDB's

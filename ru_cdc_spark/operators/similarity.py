@@ -614,7 +614,8 @@ PQ_TRAIN_CAP = 65_536  # max training vectors collected to the driver
 
 
 def pq_train_codebooks(emb, m: int, ksub: int, sub_dim: int,
-                       iters: int = 25, train_cap: int = PQ_TRAIN_CAP):
+                       iters: int = 25, train_cap: int = PQ_TRAIN_CAP,
+                       sample_X=None):
     """Train the ``m`` subspace codebooks on a BOUNDED deterministic
     sample, in-memory (round-3 rewrite of the per-subspace ml.KMeans
     fits, which burned ~12 Spark jobs per subspace on model-metadata-
@@ -634,12 +635,28 @@ def pq_train_codebooks(emb, m: int, ksub: int, sub_dim: int,
     import numpy as np
 
     spark = emb.sparkSession
-    sample = (emb.select("vec_id", "e")
-              .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
-              .limit(train_cap).collect())
-    X = np.array([r["e"] for r in sample], dtype=np.float64)
+    if sample_X is not None:
+        X = sample_X
+    else:
+        sample = (emb.select("vec_id", "e")
+                  .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+                  .limit(train_cap).collect())
+        X = np.array([r["e"] for r in sample], dtype=np.float64)
+    cents = _pq_train_np(X, m, ksub, sub_dim, iters)
+    rows = [(s, i, [float(v) for v in cents[s][i]])
+            for s in range(m) for i in range(len(cents[s]))]
+    return spark.createDataFrame(rows, "sub int, cid int, cent array<double>")
+
+
+def _pq_train_np(X, m: int, ksub: int, sub_dim: int,
+                 iters: int = 25) -> list:
+    """The numpy Lloyd's core of :func:`pq_train_codebooks`, returning
+    the per-subspace centroid matrices directly (r13 split: the rerank
+    path embeds them as literal expressions for a map-side encode)."""
+    import numpy as np
+
     rng = np.random.RandomState(7)
-    rows: list[tuple[int, int, list[float]]] = []
+    out: list = []
 
     def sq_dists(A, B):
         # ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b — one BLAS matmul and
@@ -676,8 +693,8 @@ def pq_train_codebooks(emb, m: int, ksub: int, sub_dim: int,
                 mask = assign == c
                 if mask.any():
                     cent[c] = Xs[mask].mean(axis=0)
-        rows += [(s, i, [float(v) for v in cent[i]]) for i in range(k)]
-    return spark.createDataFrame(rows, "sub int, cid int, cent array<double>")
+        out.append(cent)
+    return out
 
 
 def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
@@ -729,9 +746,19 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
     emb = emb.withColumn(
         "e", F.transform(F.col("e"), lambda x: x / F.col("nrm"))) \
         .withColumn("nrm", F.lit(1.0))
-    dim = len(emb.select("e").first()["e"])
+    # ONE collect supplies the training sample AND the dimensionality
+    # (r13: the previous shape spent a separate first() job on dim and
+    # trained from a second collect inside pq_train_codebooks)
+    import numpy as np
+    sample = (emb.select("vec_id", "e")
+              .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+              .limit(PQ_TRAIN_CAP).collect())
+    X = np.array([r["e"] for r in sample], dtype=np.float64)
+    dim = X.shape[1]
     sub_dim = dim // m
-    cb = pq_train_codebooks(emb, m, ksub, sub_dim)
+    cents = _pq_train_np(X, m, ksub, sub_dim)
+
+    cb = pq_train_codebooks(emb, m, ksub, sub_dim, sample_X=X)
 
     subs = F.array(*[
         F.struct(F.lit(s).alias("sub"),
@@ -747,7 +774,10 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
                             F.explode(subs).alias("p")) \
                     .select("neighbor", "p.sub", "p.sv")
     # nearest centroid per (vector, subspace): min_by partial-aggregates
-    # map-side — one shuffle at (neighbor, sub) grain, no sort window
+    # map-side — one shuffle at (neighbor, sub) grain, no sort window.
+    # (r13 note: a literal-codebook map-side encode was A/B'd here and
+    # LOST 3x — the 128 literal-array folds leave whole-stage codegen /
+    # run interpreted; the broadcast-join + min_by shape stays.)
     codes = (corpus_sub.join(F.broadcast(cb), "sub")
              .select("neighbor", "sub", "cid", d2.alias("cd2"))
              .groupBy("neighbor", "sub")
@@ -761,7 +791,12 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
             .join(F.broadcast(cb), "sub")
             .select("q_vec", "sub", "cid", d2.alias("qd2")))
 
+    # ONE exchange (q_vec) serves the ADC aggregation, the shortlist
+    # window, and the final rank window (guide §2.4) — q_vec-only
+    # clustering satisfies the (q_vec, neighbor) groupBy, and the
+    # broadcast rerank joins preserve the partitioning
     adc = (codes.join(F.broadcast(qtab), ["sub", "cid"])
+           .repartition(F.col("q_vec"))
            .groupBy("q_vec", "neighbor")
            .agg(F.sum("qd2").alias("adist")))
     w_short = Window.partitionBy("q_vec").orderBy(

@@ -1055,14 +1055,35 @@ def text_duplicate_span_strip(spark: SparkSession,
     carrying extra columns through the wide stages."""
     docs = load_table(spark, sf_dir, "documents")
     k = DUPSPAN_STRIP_K
-    words = (spread(docs)
-             .select("doc_id", words_col(F.col("text")).alias("w")))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("w")) - (k - 1)),
-        lambda i: F.md5(F.array_join(F.slice(F.col("w"), i, k), " ")),
-    )
-    positions = (words.where(F.size("w") >= k)
-                 .select("doc_id", F.posexplode(grams).alias("pos", "g")))
+    # r13 single-pass shape: ONE scan + ONE spread exchange produces
+    # every (doc_id, pos, word, g) row — g is the k-gram hash STARTING
+    # at pos (null where no full gram starts) — and is persisted for
+    # the three consumers below (positions x2, word rebuild). The
+    # previous plan re-derived the words subtree four times (4 scans,
+    # 4 spread exchanges) and evaluated the gram md5s twice. Values
+    # are identical: same md5 over the same slices, same positions.
+    w_ = F.col("w")
+    gvals = F.when(
+        F.size(w_) >= k,
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w_) - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice(w_, i, k), " "))),
+            F.array_repeat(F.lit(None).cast("string"), k - 1)),
+    ).otherwise(F.transform(w_, lambda _: F.lit(None).cast("string")))
+    exploded = (spread(docs)
+                .select("doc_id", words_col(F.col("text")).alias("w"))
+                .select("doc_id",
+                        F.posexplode(F.zip_with(
+                            w_, gvals,
+                            lambda word, g: F.struct(
+                                word.alias("word"), g.alias("g"))))
+                        .alias("pos", "s"))
+                .select("doc_id", "pos", "s.word", "s.g"))
+    from ru_cdc_spark.operators.rankops import _persist_tracked
+    exploded = _persist_tracked(exploded)
+    positions = exploded.where(F.col("g").isNotNull()) \
+        .select("doc_id", "pos", "g")
     cross = (positions.groupBy("g")
              .agg(F.count_distinct("doc_id").alias("nd"))
              .where(F.col("nd") > 1).select("g"))
@@ -1072,8 +1093,7 @@ def text_duplicate_span_strip(spark: SparkSession,
                            F.col("pos"),
                            F.col("pos") + (k - 1))).alias("cpos"))
                .distinct())
-    word_pos = words.select(
-        "doc_id", F.posexplode(F.col("w")).alias("pos", "word"))
+    word_pos = exploded.select("doc_id", "pos", "word")
     retained = (word_pos.join(
         covered,
         (word_pos["doc_id"] == covered["doc_id"])
@@ -1085,7 +1105,11 @@ def text_duplicate_span_strip(spark: SparkSession,
                            F.struct("pos", "word"))),
                        lambda s: s["word"]), " ").alias("retained_text"),
                    F.count("*").alias("n_kept")))
-    totals = words.select("doc_id", F.size("w").alias("n_words"))
+    # totals straight off the scan (cheap narrow expression, no md5,
+    # no spread) — and it must come from the DOCUMENT set, not the
+    # exploded rows, so zero-word documents still appear
+    totals = docs.select("doc_id",
+                         F.size(words_col(F.col("text"))).alias("n_words"))
     return (totals.join(rebuilt, "doc_id", "left")
             .select("doc_id", "n_words",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),

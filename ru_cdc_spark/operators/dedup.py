@@ -245,6 +245,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     The cap itself is one partial-agg count over the band table — cheap.
     """
     bands = _band_table(spark, sf_dir)
+    # persist the band table before the self-join (r13): both join
+    # sides (and the bucket-cap probe) otherwise re-run the whole
+    # words -> gram-md5 -> 8-permutation MinHash pipeline — the
+    # expensive half of this operator — once per reference. Tracked
+    # like the rank intermediates; released after materialization.
+    from ru_cdc_spark.operators.rankops import _persist_tracked
+    bands = _persist_tracked(bands)
     if bucket_cap is not None:
         small = (bands.groupBy("band_idx", "band_hash")
                  .agg(F.count("*").alias("__n"))

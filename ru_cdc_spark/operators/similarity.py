@@ -1191,9 +1191,13 @@ def ann_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = coded.where(F.col("vec_id") % QUERY_MOD == 0) \
         .select(F.col("vec_id").alias("q_vec"), "t", "b")
     cand = coded.select(F.col("vec_id").alias("neighbor"), "t", "b")
+    # one q_vec exchange serves the pair-dedup AND the rank window
+    # (r13, guide §2.4 — same fusion as lsh_index_query; bounded by
+    # the query set, so no skew risk beyond a query's own fan-in)
     pairs = (cand.join(F.broadcast(q), ["t", "b"])
              .where(F.col("neighbor") != F.col("q_vec"))
-             .select("q_vec", "neighbor").distinct())
+             .select("q_vec", "neighbor")
+             .repartition(F.col("q_vec")).distinct())
     qv = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"),
         F.col("nrm").alias("qn"))
@@ -1332,7 +1336,10 @@ def ann_batch_queries(spark: SparkSession, sf_dir: str,
             .select("q_vec", "neighbor", cos.alias("pair_cos"))
             # a pair found in several tables is the same exact cosine:
             # max() is pure dedup, computed map-side before the (small)
-            # candidate shuffle
+            # candidate shuffle. The explicit q_vec repartition makes
+            # ONE exchange serve both the dedup groupBy and the rank
+            # window (r13, guide §2.4).
+            .repartition(F.col("q_vec"))
             .groupBy("q_vec", "neighbor")
             .agg(F.max("pair_cos").alias("cos_sim"))
             .withColumn("rank", F.row_number().over(w))

@@ -77,9 +77,12 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     query id (cardinality = |queries|), so the window state is tiny.
     """
     emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0) \
-           .select(F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"),
-                   F.col("nrm").alias("qn"))
+    # wide=False (r13): the query side feeds a broadcast build — the
+    # spread() exchange is a wasted stage there (values identical)
+    q = _emb(spark, sf_dir, wide=False) \
+        .where(F.col("vec_id") % QUERY_MOD == 0) \
+        .select(F.col("vec_id").alias("q_vec"), F.col("e").alias("qe"),
+                F.col("nrm").alias("qn"))
     cand = emb.select(F.col("vec_id").alias("neighbor"), F.col("e").alias("ce"),
                       F.col("nrm").alias("cn"))
     cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))

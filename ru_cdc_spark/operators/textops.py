@@ -731,20 +731,44 @@ def bm25_search(spark: SparkSession, sf_dir: str,
     absent from a doc contributes exactly 0.0 (no CASE needed: tf=0 zeroes
     the numerator), and zero-score docs are excluded.
 
-    Scale: one (doc_id) shuffle builds per-doc term frequencies with
-    map-side combine; corpus statistics travel as a 1-row broadcast cross
-    join (never .collect()); the final top-k is TakeOrderedAndProject —
-    no global sort of the corpus.
+    Scale: ZERO data shuffles (r13) — per-doc term frequencies are
+    per-row array expressions (``size(filter(words, w -> w = term))``),
+    not an explode + groupBy(doc_id) re-aggregation, so the corpus
+    never leaves its scan partitions; corpus statistics travel as a
+    1-row broadcast cross join (never .collect()); the final top-k is
+    TakeOrderedAndProject — no global sort of the corpus. Exactness vs
+    the exploded shape: tf/doc_len are the same integers (count of
+    equal words / word count), and a zero-word document — absent from
+    the exploded groupBy — now carries tf=0, doc_len=0, contributing
+    exactly 0 to every stat sum and scoring 0 (tf=0 zeroes the
+    numerator), which the score>0 filter drops either way.
     """
     terms = terms or BM25_TERMS
     docs = spread(load_table(spark, sf_dir, "documents"))
-    words = docs.select(
-        "doc_id", F.explode(words_col(F.col("text"))).alias("word"))
-    per_doc = words.groupBy("doc_id").agg(
-        *[F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"tf{i}")
+    # tokenize in its OWN projection: the tf expressions below
+    # reference the words array len(terms)+1 times, so inlining
+    # words_col into each would tokenize every document 4 times per
+    # row — measured 2.5x slower. CollapseProject keeps this alias
+    # un-collapsed because it is non-cheap and referenced more than
+    # once.
+    toks = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    per_doc = toks.select(
+        "doc_id",
+        # tf via size − size(array_remove(w, t)): array_remove is a
+        # codegen'd collection expression (a higher-order filter() is
+        # interpreted and measured ~2x slower); counts are the same
+        # exact integers as the exploded SUM(CASE WHEN word = t)
+        *[(F.size("w") - F.size(F.array_remove("w", t))).alias(f"tf{i}")
           for i, t in enumerate(terms)],
-        F.count("*").alias("doc_len"),
+        F.size("w").alias("doc_len"),
     )
+    # per_doc is now a narrow map-only relation (doc_id + 4 ints per
+    # document) with two consumers (stats, scored): persisting it runs
+    # the tokenize pass ONCE total. The pre-r13 explode+groupBy shape
+    # lost this A/B because its per_doc materialization carried the
+    # doc_id shuffle with it.
+    from ru_cdc_spark.operators.rankops import _persist_tracked
+    per_doc = _persist_tracked(per_doc)
     stats = per_doc.agg(
         F.sum("doc_len").alias("total_len"),
         *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
@@ -1038,52 +1062,40 @@ def text_duplicate_span_strip(spark: SparkSession,
 
     Scale: the gram hash shuffle is the same uniform 128-bit key as
     ``text_duplicate_spans``; coverage expansion is bounded by
-    K x dup-occurrences (never words x docs); the rebuild is one
-    groupBy(doc_id) over (pos, word) pairs with an in-agg sort —
-    text bytes cross the wire once, at the final collect of retained
-    words.
+    K x dup-occurrences (never words x docs); and the rebuild (r13) is
+    map-side — covered positions aggregate to ONE small
+    (doc_id, sorted int array) row per affected document, broadcast
+    back onto the document scan, and each doc's retained words are cut
+    by a per-row array filter. Document text NEVER crosses the wire:
+    the old shape anti-joined the full exploded word stream and
+    re-assembled it through a groupBy(doc_id) exchange (the largest
+    shuffle in the leg); the only rows that shuffle now are gram hits.
 
-    This exact shape was A/B-measured against three single-exploded-
-    frame consolidations (per-gram window collect_set; groupBy +
-    collect_list(occs) + explode; covered-flag left join feeding a
-    conditional aggregate) and beat all of them ~2x warm at sf0.1
-    (0.5-0.7s vs 1.1-1.3s): the anti-join drops covered rows BEFORE
-    the rebuild aggregate, while every flag-carrying variant ships the
-    full word stream (or a full-stream sort, for the sliding-window
-    one) through the final groupBy. The re-referenced ``words``/
-    ``positions`` subtrees are narrow recomputes that cost less than
-    carrying extra columns through the wide stages."""
+    Exactness: covered = distinct positions in [pos, pos+k-1] per dup
+    gram — identical set whether deduped by ``.distinct()`` rows (old)
+    or ``collect_set`` per doc (new); retained words are the same
+    words at the same positions in the same ascending order (array
+    order == position order), joined with the same separator; a doc
+    with no covered positions keeps its full word stream (null
+    covered array -> filter passes all); n_kept = n_words − |covered|
+    because every covered position indexes a real word (pos+k-1 is
+    bounded by the gram's end ≤ n_words-1)."""
     docs = load_table(spark, sf_dir, "documents")
     k = DUPSPAN_STRIP_K
-    # r13 single-pass shape: ONE scan + ONE spread exchange produces
-    # every (doc_id, pos, word, g) row — g is the k-gram hash STARTING
-    # at pos (null where no full gram starts) — and is persisted for
-    # the three consumers below (positions x2, word rebuild). The
-    # previous plan re-derived the words subtree four times (4 scans,
-    # 4 spread exchanges) and evaluated the gram md5s twice. Values
-    # are identical: same md5 over the same slices, same positions.
-    w_ = F.col("w")
-    gvals = F.when(
-        F.size(w_) >= k,
-        F.concat(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w_) - (k - 1)),
-                lambda i: F.md5(F.array_join(F.slice(w_, i, k), " "))),
-            F.array_repeat(F.lit(None).cast("string"), k - 1)),
-    ).otherwise(F.transform(w_, lambda _: F.lit(None).cast("string")))
-    exploded = (spread(docs)
-                .select("doc_id", words_col(F.col("text")).alias("w"))
-                .select("doc_id",
-                        F.posexplode(F.zip_with(
-                            w_, gvals,
-                            lambda word, g: F.struct(
-                                word.alias("word"), g.alias("g"))))
-                        .alias("pos", "s"))
-                .select("doc_id", "pos", "s.word", "s.g"))
+    # single-pass gram derivation (r13): ONE scan + ONE spread
+    # exchange produces every (doc_id, pos, g) gram row, persisted for
+    # its two consumers (cross-gram detection, coverage expansion).
+    positions = (spread(docs)
+                 .select("doc_id", words_col(F.col("text")).alias("w"))
+                 .where(F.size("w") >= k)
+                 .select("doc_id",
+                         F.posexplode(F.transform(
+                             F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                             lambda i: F.md5(F.array_join(
+                                 F.slice(F.col("w"), i, k), " "))))
+                         .alias("pos", "g")))
     from ru_cdc_spark.operators.rankops import _persist_tracked
-    exploded = _persist_tracked(exploded)
-    positions = exploded.where(F.col("g").isNotNull()) \
-        .select("doc_id", "pos", "g")
+    positions = _persist_tracked(positions)
     cross = (positions.groupBy("g")
              .agg(F.count_distinct("doc_id").alias("nd"))
              .where(F.col("nd") > 1).select("g"))
@@ -1092,30 +1104,25 @@ def text_duplicate_span_strip(spark: SparkSession,
                        F.explode(F.sequence(
                            F.col("pos"),
                            F.col("pos") + (k - 1))).alias("cpos"))
-               .distinct())
-    word_pos = exploded.select("doc_id", "pos", "word")
-    retained = (word_pos.join(
-        covered,
-        (word_pos["doc_id"] == covered["doc_id"])
-        & (word_pos["pos"] == covered["cpos"]), "left_anti"))
-    rebuilt = (retained.groupBy("doc_id")
-               .agg(F.array_join(
-                   F.transform(
-                       F.sort_array(F.collect_list(
-                           F.struct("pos", "word"))),
-                       lambda s: s["word"]), " ").alias("retained_text"),
-                   F.count("*").alias("n_kept")))
-    # totals straight off the scan (cheap narrow expression, no md5,
-    # no spread) — and it must come from the DOCUMENT set, not the
-    # exploded rows, so zero-word documents still appear
-    totals = docs.select("doc_id",
-                         F.size(words_col(F.col("text"))).alias("n_words"))
-    return (totals.join(rebuilt, "doc_id", "left")
+               .groupBy("doc_id")
+               .agg(F.sort_array(F.collect_set("cpos")).alias("cov")))
+    # rebuild straight off the scan: retained words are a per-row cut
+    # of the (word, position) zip against the doc's covered-set array
+    w_ = words_col(F.col("text"))
+    kept = F.filter(
+        F.transform(w_, lambda word, i: F.struct(word.alias("word"),
+                                                 i.alias("pos"))),
+        lambda s: ~F.array_contains(F.col("cov"), s["pos"]))
+    base = (docs.join(F.broadcast(covered), "doc_id", "left")
+            .select("doc_id", F.size(w_).alias("n_words"),
+                    F.coalesce("cov", F.array().cast("array<int>"))
+                    .alias("cov"), F.col("text")))
+    return (base
             .select("doc_id", "n_words",
-                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-                    (F.col("n_words")
-                     - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-                    F.coalesce("retained_text", F.lit(""))
+                    (F.col("n_words") - F.size("cov")).alias("n_kept"),
+                    F.size("cov").alias("n_removed"),
+                    F.array_join(F.transform(
+                        kept, lambda s: s["word"]), " ")
                     .alias("retained_text")))
 
 

@@ -1950,7 +1950,11 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = bm25_search(spark, sf_dir, top_k=20).select(
         "doc_id", F.col("rank").alias("lex_rank"))
     emb = _sim._emb(spark, sf_dir)
-    qv = emb.where(F.col("vec_id") == 0).select(
+    # wide=False (r13): the query side is ONE row feeding a broadcast —
+    # the spread() round-robin exchange bought it nothing but an extra
+    # shuffle stage (values identical; norm is per-row)
+    qv = _sim._emb(spark, sf_dir, wide=False).where(
+        F.col("vec_id") == 0).select(
         F.col("e").alias("qe"), F.col("nrm").alias("qn"))
     cos = _sim.dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())

@@ -463,17 +463,24 @@ def test_span_strip_gram_shuffle_carries_no_text(spark, sf_dir):
         or "count(doc_id" in plan.lower()
 
 
-def test_span_strip_all_jvm_anti_join_shape(spark, sf_dir):
-    """Round-6 gates for the strip plan's load-bearing properties:
-    pure JVM (no Python stage anywhere — the operator is SQL functions
-    end to end) and covered positions removed by an ANTI join BEFORE
-    the rebuild aggregate (the A/B-winning shape: flag-carrying
-    variants ship the full word stream through the groupBy)."""
+def test_span_strip_all_jvm_mapside_rebuild_shape(spark, sf_dir):
+    """Gates for the strip plan's load-bearing properties: pure JVM
+    (no Python stage anywhere — the operator is SQL functions end to
+    end) and the r13 map-side rebuild — covered positions aggregate to
+    one small per-doc int array (collect_set) that is BROADCAST back
+    onto the document scan, so the full word stream never shuffles
+    (the pre-r13 anti-join shape re-assembled every word through a
+    groupBy(doc_id) exchange)."""
     df = REGISTRY["text_duplicate_span_strip"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan \
         and "BatchEvalPython" not in plan
-    assert "LeftAnti" in plan
+    assert "collect_set" in plan
+    # the rebuild join must be broadcast (covered side is per-doc
+    # arrays, orders of magnitude smaller than text) and no exchange
+    # may carry the word stream: the only wide columns live in scans
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" not in plan
 
 
 def test_partial_json_decode_is_exchange_free(spark, sf_dir):

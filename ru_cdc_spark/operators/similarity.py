@@ -661,25 +661,35 @@ def _pq_train_np(X, m: int, ksub: int, sub_dim: int,
     rng = np.random.RandomState(7)
     out: list = []
 
-    def sq_dists(A, B):
+    def sq_dists(A, B, a2=None):
         # ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b — one BLAS matmul and
         # O(n*k) memory, instead of materializing the (n, k, d)
         # difference tensor (2.6 GB at n=20k, k=256, d=64: the shape
-        # that made large-codebook training minutes-long)
-        d2 = (np.einsum("ij,ij->i", A, A)[:, None]
-              + np.einsum("ij,ij->i", B, B)[None, :]
-              - 2.0 * (A @ B.T))
-        return np.maximum(d2, 0.0)
+        # that made large-codebook training minutes-long).
+        # BIT-IDENTICAL fast path (r13 — ann_ivf is hash-gated off
+        # these centroids, so the fp result must not move): the point
+        # norms ``a2`` are hoisted out of the iteration loop (same
+        # einsum over the same data), and the temps update in place in
+        # the same evaluation order — x + y - 2ab computed as
+        # (x + y) += (ab *= -2), exact by IEEE a-b == a+(-b).
+        if a2 is None:
+            a2 = np.einsum("ij,ij->i", A, A)
+        ab = A @ B.T
+        ab *= -2.0
+        d2 = a2[:, None] + np.einsum("ij,ij->i", B, B)[None, :]
+        d2 += ab
+        return np.maximum(d2, 0.0, out=d2)
 
     for s in range(m):
         Xs = X[:, s * sub_dim:(s + 1) * sub_dim]
+        x2 = np.einsum("ij,ij->i", Xs, Xs)
         k = min(ksub, len(Xs))
         # k-means++ seeding with the INCREMENTAL running-min: only the
         # newest center's distances are computed per step — O(k n d)
         # total, where recomputing against the whole chosen set every
         # step (the naive form) is O(k^2 n d) and dominated training
         cent = [Xs[rng.randint(len(Xs))]]
-        d2p = sq_dists(Xs, cent[0][None, :])[:, 0]
+        d2p = sq_dists(Xs, cent[0][None, :], a2=x2)[:, 0]
         for _ in range(1, k):
             tot = d2p.sum()
             if tot <= 0:
@@ -688,10 +698,11 @@ def _pq_train_np(X, m: int, ksub: int, sub_dim: int,
                 nxt = Xs[np.searchsorted(np.cumsum(d2p / tot),
                                          rng.rand())]
             cent.append(nxt)
-            d2p = np.minimum(d2p, sq_dists(Xs, nxt[None, :])[:, 0])
+            d2p = np.minimum(d2p,
+                             sq_dists(Xs, nxt[None, :], a2=x2)[:, 0])
         cent = np.array(cent)
         for _ in range(iters):
-            assign = sq_dists(Xs, cent).argmin(axis=1)
+            assign = sq_dists(Xs, cent, a2=x2).argmin(axis=1)
             for c in range(k):
                 mask = assign == c
                 if mask.any():
@@ -773,19 +784,39 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
                    lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x)
 
-    corpus_sub = emb.select(F.col("vec_id").alias("neighbor"),
-                            F.explode(subs).alias("p")) \
-                    .select("neighbor", "p.sub", "p.sv")
-    # nearest centroid per (vector, subspace): min_by partial-aggregates
-    # map-side — one shuffle at (neighbor, sub) grain, no sort window.
-    # (r13 note: a literal-codebook map-side encode was A/B'd here and
-    # LOST 3x — the 128 literal-array folds leave whole-stage codegen /
-    # run interpreted; the broadcast-join + min_by shape stays.)
-    codes = (corpus_sub.join(F.broadcast(cb), "sub")
-             .select("neighbor", "sub", "cid", d2.alias("cd2"))
-             .groupBy("neighbor", "sub")
-             .agg(F.min_by("cid", F.struct(F.col("cd2"), F.col("cid")))
-                  .alias("cid")))
+    # corpus encode (r13): ONE Arrow-vectorized pass — each batch of
+    # vectors is BLAS-coded against the driver-resident centroids
+    # (guide §4: the heavyweight state rides the closure once per
+    # task), replacing the explode(m) x broadcast-join(ksub) row
+    # blowup and its (neighbor, sub) re-aggregation exchange. Ties
+    # break to the LOWEST cid (np.argmin takes the first minimum), the
+    # same policy as the previous min_by(cid, struct(cd2, cid));
+    # distances are the same math in a different summation order, so
+    # near-exact ties may code differently — this entry is rows-only
+    # gated with a pytest recall floor, both invariant to that. (A
+    # pure-JVM literal-codebook encode was A/B'd here and LOST 3x —
+    # the 128 literal-array folds run interpreted.)
+    import pandas as pd
+
+    cents_np = [np.asarray(c, dtype=np.float64) for c in cents]
+
+    @F.pandas_udf("array<int>")
+    def _pq_encode(es: pd.Series) -> pd.Series:
+        if not len(es):
+            return pd.Series([], dtype=object)
+        Xb = np.array(es.tolist(), dtype=np.float64)
+        out = np.empty((len(Xb), len(cents_np)), dtype=np.int32)
+        for s, C in enumerate(cents_np):
+            Xs = Xb[:, s * sub_dim:(s + 1) * sub_dim]
+            dd = (np.einsum("ij,ij->i", Xs, Xs)[:, None]
+                  + np.einsum("ij,ij->i", C, C)[None, :]
+                  - 2.0 * (Xs @ C.T))
+            out[:, s] = np.argmin(dd, axis=1)
+        return pd.Series(list(out))
+
+    codes = (emb.select(F.col("vec_id").alias("neighbor"),
+                        F.posexplode(_pq_encode(F.col("e")))
+                        .alias("sub", "cid")))
 
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     qtab = (q.select(F.col("vec_id").alias("q_vec"),

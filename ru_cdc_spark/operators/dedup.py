@@ -900,11 +900,13 @@ def band_index_admit(spark: SparkSession, new_bands: DataFrame,
                        ["band_idx", "band_hash"], "left_semi")
                  .select("doc_id").distinct())
     all_new = new_bands.select("doc_id").distinct()
+    # ONE left join replaces the previous anti-join + union pair
+    # (r13): colliding ⊆ all_new, so flagging membership partitions
+    # the batch identically while evaluating the colliding subtree
+    # once instead of twice
     return (
-        all_new.join(colliding, "doc_id", "left_anti")
-        .select("doc_id", F.lit(True).alias("admitted"))
-        .unionByName(colliding.select("doc_id",
-                                      F.lit(False).alias("admitted")))
+        all_new.join(colliding.withColumn("c", F.lit(1)), "doc_id", "left")
+        .select("doc_id", F.col("c").isNull().alias("admitted"))
     )
 
 
@@ -919,7 +921,12 @@ def dedup_index_admission(spark: SparkSession, sf_dir: str,
     persisted-index admission == derived-index admission every round.
     The append/compact/vacuum lifecycle on this index is pytest-gated
     (test_band_index_lifecycle_shares_store)."""
-    bands = _band_table(spark, sf_dir)
+    from ru_cdc_spark.operators.rankops import _persist_tracked
+
+    # persist the band table across its two consumers (r13): the
+    # build's staging write and the admission probe otherwise each
+    # re-derive the full words -> md5 -> minhash -> banding pipeline
+    bands = _persist_tracked(_band_table(spark, sf_dir))
     band_index_build(bands.where(F.col("doc_id") % 10 != 0), index_dir)
     return band_index_admit(
         spark, bands.where(F.col("doc_id") % 10 == 0), index_dir)

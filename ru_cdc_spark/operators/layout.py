@@ -88,19 +88,28 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both dimensions, but would need a data-dependent key bound.)
         (F.col("o_orderkey")
          % F.lit(1 << (2 * Z_BITS - Z_CELL_SHIFT))).alias("icell"))
-    out = []
-    for layout, cell in (("zorder", "zcell"), ("striped", "icell")):
-        agg = (with_cells.groupBy(F.col(cell).alias("cell"))
-               .agg(F.count("*").alias("n_rows"),
-                    F.min("zx").alias("min_x"), F.max("zx").alias("max_x"),
-                    F.min("zy").alias("min_y"), F.max("zy").alias("max_y"))
-               .select(F.lit(layout).alias("layout"), "cell", "n_rows",
-                       "min_x", "max_x", "min_y", "max_y",
-                       (~((F.col("max_x") < x0) | (F.col("min_x") > x1)
-                          | (F.col("max_y") < y0)
-                          | (F.col("min_y") > y1))).alias("scanned")))
-        out.append(agg)
-    return out[0].unionByName(out[1])
+    # ONE pass (r13): the previous per-layout groupBy + union scanned
+    # orders and evaluated the bit-interleave twice; exploding each row
+    # into its two (layout, cell) assignments feeds a single
+    # groupBy(layout, cell) with map-side partials — same groups, same
+    # integer aggregates, half the scan/compute and one shuffle
+    both = (with_cells.select(
+        "zx", "zy",
+        F.explode(F.array(
+            F.struct(F.lit("zorder").alias("layout"),
+                     F.col("zcell").alias("cell")),
+            F.struct(F.lit("striped").alias("layout"),
+                     F.col("icell").alias("cell")))).alias("lc"))
+        .select("lc.layout", "lc.cell", "zx", "zy"))
+    return (both.groupBy("layout", "cell")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("zx").alias("min_x"), F.max("zx").alias("max_x"),
+                 F.min("zy").alias("min_y"), F.max("zy").alias("max_y"))
+            .select("layout", "cell", "n_rows",
+                    "min_x", "max_x", "min_y", "max_y",
+                    (~((F.col("max_x") < x0) | (F.col("min_x") > x1)
+                       | (F.col("max_y") < y0)
+                       | (F.col("min_y") > y1))).alias("scanned")))
 
 
 def zorder_layout_stats_sql() -> str:

@@ -40,14 +40,25 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats surface: word/char counts, distinct ratio, average
     word length, stopword ratio — the quality-signal raw material."""
     docs = load_table(spark, sf_dir, "documents")
-    w = words_col(F.col("text"))
+    # tokenize ONCE in its own projection (r13): the stats expressions
+    # below reference the words array seven times, several through
+    # interpreted higher-order functions with no codegen CSE, so
+    # inlining words_col would re-tokenize every document per
+    # expression. CollapseProject keeps the alias un-collapsed
+    # (non-cheap, referenced more than once). No spread: the scan is
+    # already wide enough here and the exchange measurably loses
+    # (A/B'd 0.62/1j vs 0.70/2j warm at sf0.1).
+    toks = docs.select(
+        "doc_id", "lang", "source",
+        F.length("text").alias("n_chars_actual"),
+        words_col(F.col("text")).alias("w"))
+    w = F.col("w")
     n_words = F.size(w)
     n_distinct = F.size(F.array_distinct(w))
     total_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
     n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
-    return docs.select(
-        "doc_id", "lang", "source",
-        F.length("text").alias("n_chars_actual"),
+    return toks.select(
+        "doc_id", "lang", "source", "n_chars_actual",
         n_words.alias("n_words"),
         n_distinct.alias("n_distinct_words"),
         (n_distinct.cast("double") / n_words).alias("distinct_ratio"),
@@ -75,12 +86,19 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: score = |doc words ∩ markers(lang)| per
     language; argmax with lexicographic tiebreak; 'und' when all scores 0."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.array_distinct(words_col(F.col("text")))
+    # tokenize+dedupe ONCE in its own projection (r13, same reasoning
+    # as text_stats): the per-language score filters are interpreted
+    # higher-order functions, so inlining the words derivation would
+    # re-tokenize every document once per language
+    toks = docs.select(
+        "doc_id", F.col("lang").alias("declared_lang"),
+        F.array_distinct(words_col(F.col("text"))).alias("dw"))
+    w = F.col("dw")
     scores = [
         F.size(F.filter(w, lambda x: x.isin(*markers))).alias(f"score_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    scored = docs.select("doc_id", F.col("lang").alias("declared_lang"), *scores)
+    scored = toks.select("doc_id", "declared_lang", *scores)
     best_score = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
     predicted = F.lit("und")
     # reverse-lexicographic fold so earlier languages win ties

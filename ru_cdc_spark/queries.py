@@ -777,6 +777,11 @@ def acid_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("after"))
     flat = changes.select(F.col("id").alias("seq"), "type",
                           img.alias("__i")).select("seq", "type", "__i.*")
+    # persist the flattened change images across their two consumers
+    # (r13): create's insert filter and merge's non-insert filter each
+    # re-derived the whole change stream otherwise
+    from ru_cdc_spark.operators.rankops import _persist_tracked
+    flat = _persist_tracked(flat)
 
     # table directory lives for the session (same lifecycle as the
     # socket fixture servers): the returned snapshot stays LAZY over the

@@ -535,6 +535,12 @@ class AcidTable:
             return []
 
         def is_hit(f: dict) -> bool:
+            # a file whose pk column is entirely NULL records null
+            # min/max stats; the old broadcast BETWEEN plan treated it
+            # as not hit (NULL never satisfies BETWEEN) — match that,
+            # and don't let bisect compare None against real keys
+            if f["min_pk"] is None or f["max_pk"] is None:
+                return False
             i = bisect.bisect_left(keys, f["min_pk"])
             return i < len(keys) and keys[i] <= f["max_pk"]
 

@@ -60,9 +60,13 @@ def _image_map(img: Column, fields: list[tuple[str, str]]) -> Column:
     for name, type_name in fields:
         kvs.append(F.lit(name))
         kvs.append(stringify(img.getField(name), type_name))
-    return F.map_from_arrays(
-        F.array(*kvs[0::2]), F.array(*kvs[1::2])
-    )
+    # create_map, not map_from_arrays (r14): same map value, but
+    # CreateMap is the node SimplifyExtractValueOps understands — a
+    # consumer that extracts a literal key (the flat hash-gated
+    # projections do) collapses to the single value expression and the
+    # whole map construction is pruned; MapFromArrays defeats the rule
+    # and forced every row to build the full stringified map first.
+    return F.create_map(*kvs)
 
 
 def changed_old_map(before: Column, after: Column,
@@ -163,13 +167,16 @@ def build_envelope(
     )
 
     before, after = F.col("before"), F.col("after")
-    # data: after-image for INSERT/UPDATE; before-image for DELETE
-    data_img = F.when(F.col("type") == "DELETE", _image_map(before, fields)) \
-                .otherwise(_image_map(after, fields))
-    old_map = F.when(
-        (F.col("type") == "UPDATE") & before.isNotNull(),
-        changed_old_map(before, after, fields),
-    )
+    # data: after-image for INSERT/UPDATE; before-image for DELETE.
+    # r14: pick the IMAGE with one CASE, then build ONE map over it —
+    # the previous when(map_before).otherwise(map_after) constructed
+    # two full stringified maps per row and chose between them
+    # (per-field: getField(CASE(del, b, a)) ≡ CASE(del, b.f, a.f), so
+    # values are identical).
+    img = F.when(F.col("type") == "DELETE", before).otherwise(after)
+    data_img = _image_map(img, fields)
+    old_cond = (F.col("type") == "UPDATE") & before.isNotNull()
+    old_map = changed_old_map(before, after, fields)
 
     ts_col = processing_ts if processing_ts is not None else F.unix_millis(F.current_timestamp())
 
@@ -186,7 +193,12 @@ def build_envelope(
         sql_type.alias("sqlType"),
         mysql_type.alias("mysqlType"),
         F.array(data_img).alias("data"),
-        F.when(old_map.isNotNull(), F.array(old_map)).alias("old"),
+        # gate on the CONDITION, not isNotNull(old_map): map_from_
+        # entries of a non-null array is never null, so the null test
+        # was equivalent — but it made the optimizer evaluate the whole
+        # changed-column diff TWICE per row (once inside the test, once
+        # in the THEN branch). Same output, half the diff work (r14).
+        F.when(old_cond, F.array(old_map)).alias("old"),
     )
 
 

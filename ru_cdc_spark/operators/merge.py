@@ -124,11 +124,32 @@ def merge_sparse_changes(changes: DataFrame, pk_cols: list[str],
 def apply_changes(changes: DataFrame, pk_cols: list[str],
                   seq_col: str = "id", type_col: str = "type") -> DataFrame:
     """MERGE-emulation: latest-wins per PK, deletes drop the row, output is
-    the final after-image (one row per surviving key)."""
-    last = latest_changes(changes, pk_cols, seq_col)
+    the final after-image (one row per surviving key).
+
+    r14 (guide §2.3 — project before the exchange): only ``type`` and
+    ``after`` survive the aggregation, so the max_by struct carries
+    exactly those — the generic latest_changes struct dragged the full
+    before-image and every other change column through the partial agg,
+    both sorts, and the PK exchange as dead weight (the struct-valued
+    max_by is opaque to Catalyst's column pruning, so the narrowing
+    must happen in the caller). The before-image contributes only the
+    delete-row PK, extracted BEFORE the shuffle. Winner per key is
+    unchanged (same seq ordering), so output rows are identical."""
+    key_cols = [
+        F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(f"__pk_{c}")
+        for c in pk_cols
+    ]
+    narrow = changes.select(
+        *key_cols, F.col(seq_col).alias("__seq"),
+        F.struct(F.col(type_col).alias("__op"), F.col("after").alias("after"))
+        .alias("__v"))
+    last = (
+        narrow.groupBy(*[f"__pk_{c}" for c in pk_cols])
+        .agg(F.max_by(F.col("__v"), F.col("__seq")).alias("__r"))
+    )
     return (
-        last.where(F.col(type_col) != "DELETE")
-        .select("after.*")
+        last.where(F.col("__r.__op") != "DELETE")
+        .select("__r.after.*")
     )
 
 

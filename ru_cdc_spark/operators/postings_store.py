@@ -287,12 +287,36 @@ class PostingsStore:
         self._try_commit(0, "build", added, [], meta=meta,
                          schema_json=postings.schema.json())
 
+    def _require_build_schema(self, postings: DataFrame) -> None:
+        """Pinned reads apply the BUILD commit's recorded schema to
+        every version (postings()), so later commits must not change
+        the column set/types — a drifted append would be silently
+        null-filled or column-dropped on read where mergeSchema would
+        have surfaced it (r14 advice fix: enforce the invariant
+        instead of assuming it). Nullability is ignored: joins and
+        aggregates legitimately toggle it without changing the data
+        layout."""
+        recorded = self._schema()
+        if recorded is None:
+            return  # pre-r13 index: reads mergeSchema anyway
+        want = [(f["name"], f["type"])
+                for f in json.loads(recorded)["fields"]]
+        got = [(f["name"], f["type"])
+               for f in json.loads(postings.schema.json())["fields"]]
+        if want != got:
+            raise RuntimeError(
+                f"{self.index_dir}: staged batch schema {got} does not "
+                f"match the build commit's recorded schema {want} — "
+                "pinned reads would silently null-fill/drop columns; "
+                "rebuild the index or conform the batch")
+
     def append(self, postings: DataFrame) -> None:
         """Admit a batch without touching existing files: one new
         sorted file per partition, made visible by ONE commit. Adds
         commute, so a lost put-if-absent race just re-claims the next
         version; a crash before the commit leaves invisible orphans."""
         self.version()  # refuse to invent an index
+        self._require_build_schema(postings)
         added = self._stage_in(postings)
         while True:
             version = self.versions()[-1] + 1
@@ -313,9 +337,10 @@ class PostingsStore:
         ``pin_version`` compacts as of an older committed version (ops/
         test hook)."""
         pin_v, pin_files = self.live_files(pin_version)
-        added = self._stage_in(
-            self.postings(spark, pin_v)
-            .select(*[F.col(c) for c in self.sort_cols]))
+        compacted = (self.postings(spark, pin_v)
+                     .select(*[F.col(c) for c in self.sort_cols]))
+        self._require_build_schema(compacted)
+        added = self._stage_in(compacted)
         while True:
             latest, live = self.live_files()
             gone = set(pin_files) - set(live)

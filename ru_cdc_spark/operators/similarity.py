@@ -618,7 +618,7 @@ PQ_TRAIN_CAP = 65_536  # max training vectors collected to the driver
 
 def pq_train_codebooks(emb, m: int, ksub: int, sub_dim: int,
                        iters: int = 25, train_cap: int = PQ_TRAIN_CAP,
-                       sample_X=None):
+                       sample_X=None, cents=None):
     """Train the ``m`` subspace codebooks on a BOUNDED deterministic
     sample, in-memory (round-3 rewrite of the per-subspace ml.KMeans
     fits, which burned ~12 Spark jobs per subspace on model-metadata-
@@ -638,14 +638,20 @@ def pq_train_codebooks(emb, m: int, ksub: int, sub_dim: int,
     import numpy as np
 
     spark = emb.sparkSession
-    if sample_X is not None:
-        X = sample_X
-    else:
-        sample = (emb.select("vec_id", "e")
-                  .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
-                  .limit(train_cap).collect())
-        X = np.array([r["e"] for r in sample], dtype=np.float64)
-    cents = _pq_train_np(X, m, ksub, sub_dim, iters)
+    if cents is None:
+        # ``cents`` short-circuits the training entirely (r14 advice
+        # fix: ann_pq_rerank already holds the trained centroids, and
+        # re-running the full m-subspace Lloyd's loop here doubled the
+        # leg's dominant driver-side cost for identical output —
+        # RandomState(7) is re-seeded inside _pq_train_np)
+        if sample_X is not None:
+            X = sample_X
+        else:
+            sample = (emb.select("vec_id", "e")
+                      .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+                      .limit(train_cap).collect())
+            X = np.array([r["e"] for r in sample], dtype=np.float64)
+        cents = _pq_train_np(X, m, ksub, sub_dim, iters)
     rows = [(s, i, [float(v) for v in cents[s][i]])
             for s in range(m) for i in range(len(cents[s]))]
     return spark.createDataFrame(rows, "sub int, cid int, cent array<double>")
@@ -772,7 +778,12 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str, m: int = PQ_M,
     sub_dim = dim // m
     cents = _pq_train_np(X, m, ksub, sub_dim)
 
-    cb = pq_train_codebooks(emb, m, ksub, sub_dim, sample_X=X)
+    # cb is the SAME centroids as a DataFrame — pass them through
+    # instead of re-training (identical rows: pq_train_codebooks with
+    # sample_X=X re-ran _pq_train_np on the same X with the same
+    # re-seeded RNG, so the only effect of the second call was paying
+    # the dominant driver-side training cost twice — r14 advice fix)
+    cb = pq_train_codebooks(emb, m, ksub, sub_dim, cents=cents)
 
     subs = F.array(*[
         F.struct(F.lit(s).alias("sub"),
@@ -1617,6 +1628,12 @@ def lsh_index_query(spark: SparkSession, emb: DataFrame, index_dir: str,
         raise ValueError(
             f"query batch {len(qvec_rows)} exceeds ANN_BATCH_MAX: "
             "split the batch")
+    if not qvec_rows:
+        # empty query batch: np.array([]) is 1-D and _codes_np's
+        # column slicing would raise IndexError — return the empty
+        # ranked frame the pre-r13 shape produced (r14 advice fix)
+        return spark.createDataFrame(
+            [], "q_vec long, neighbor long, cos_sim double, rank int")
     codes = _codes_np(np.array([r.e for r in qvec_rows]), idx_L, idx_k)
     # (no coalesce(1) on these local relations: evaluating a coalesced
     # PythonRDD forces one task to drain all defaultParallelism pickle

@@ -476,10 +476,13 @@ def test_span_strip_all_jvm_mapside_rebuild_shape(spark, sf_dir):
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan \
         and "BatchEvalPython" not in plan
     assert "collect_set" in plan
-    # the rebuild join must be broadcast (covered side is per-doc
-    # arrays, orders of magnitude smaller than text) and no exchange
-    # may carry the word stream: the only wide columns live in scans
-    assert "BroadcastHashJoin" in plan
+    # the rebuild join strategy is AQE's call (r14): the covered side
+    # is per-affected-doc and data-dependent, so a FORCED broadcast
+    # was a 100 TB hazard — accept whichever equi-join the runtime
+    # stats pick (broadcast at fixture scale, shuffled at corpus
+    # scale), but never an anti-join re-assembly of the word stream
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
     assert "LeftAnti" not in plan
 
 

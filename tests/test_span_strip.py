@@ -71,3 +71,29 @@ def test_retained_order_preserved(strip_result):
     toks = r["retained_text"].split()
     assert toks == [f"a{i}" for i in range(10)] + \
         [f"b{i}" for i in range(10)]
+
+
+def test_over_cap_shuffled_join_identical(spark, tmp_path_factory,
+                                          monkeypatch):
+    """The r14 size gate: when the covered side exceeds the broadcast
+    cap, the rebuild join falls back to the AQE/stats choice — results
+    must be identical to the broadcast path (non-vacuous: the cap is
+    forced to 0 so the fallback branch provably runs)."""
+    from ru_cdc_spark.operators import textops
+
+    shared = _words(K, "dup")
+    docs = [
+        (0, _words(10, "a") + " " + shared + " " + _words(10, "b")),
+        (1, _words(10, "c") + " " + shared + " " + _words(10, "d")),
+        (2, _words(K + 15, "e")),
+    ]
+    d = tmp_path_factory.mktemp("spanstrip_cap")
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(str(d / "documents.parquet"))
+    fast = sorted(map(tuple, text_duplicate_span_strip(
+        spark, str(d)).collect()))
+    monkeypatch.setattr(textops, "SPAN_STRIP_BROADCAST_MAX_DOCS", 0)
+    slow = sorted(map(tuple, text_duplicate_span_strip(
+        spark, str(d)).collect()))
+    assert fast == slow
+    assert any(r[3] > 0 for r in fast)  # n_removed fired

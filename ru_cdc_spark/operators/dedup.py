@@ -28,6 +28,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -136,7 +137,67 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_of(docs: DataFrame) -> DataFrame:
     """:func:`minhash_signatures` over an arbitrary documents frame —
     the form streaming ingestion needs (each arriving micro-batch is
-    banded in place, same expressions, zero shuffle)."""
+    banded in place, same per-row math, zero shuffle).
+
+    r14 (guide §4.2): the shingle -> md5 -> 8-permutation-min pipeline
+    runs as ONE Arrow-vectorized pandas-UDF pass instead of the
+    interpreted higher-order-function chain (shingle transform, md5
+    transform, and 8 array_min(transform) folds — HOFs have no codegen,
+    so every element paid interpreted-expression overhead 10 times).
+    Tokenization stays in the JVM (words_col — codegen regex/split), so
+    the kernel sees the exact word arrays the expression form hashed.
+
+    BYTE-IDENTICAL by construction (differential-tested against the
+    retained expression form, ``_minhash_signatures_expr_of``):
+    shingles are ``" ".join`` of the same words (same UTF-8 bytes ->
+    same md5); ``int(hexdigest()[:8], 16)`` == conv(substring(md5,1,8),
+    16,10) (< 2^32, fits long exactly); the Carter-Wegman mins run in
+    int64 with no overflow (a < 2^31, h < 2^32 => a*h + b < 2^63), and
+    numpy int64 %, like Java long %, is exact on these non-negative
+    values; min over a set is order-independent, so JVM array_distinct
+    vs Python set() cannot matter."""
+    k = 3
+    base = (
+        docs.select("doc_id", words_col(F.col("text")).alias("w"))
+        .where(F.size("w") >= k)
+    )
+    sig = base.select("doc_id", _minhash_kernel(F.col("w")).alias("__mh"))
+    return sig.select(
+        "doc_id", *[F.col("__mh")[s].alias(f"mh{s}")
+                    for s in range(N_MINHASH)])
+
+
+def _minhash_kernel(col: Column) -> Column:
+    """Arrow-vectorized MinHash signature kernel: word array in, the
+    N_MINHASH permutation mins out (see minhash_signatures_of for the
+    exactness argument)."""
+    @F.pandas_udf("array<long>")
+    def mh_udf(ws: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        A = np.array([a for a, _ in MINHASH_AB], dtype=np.int64)
+        B = np.array([b for _, b in MINHASH_AB], dtype=np.int64)
+        md5 = hashlib.md5
+        out = []
+        for words in ws:
+            wl = words.tolist() if hasattr(words, "tolist") else list(words)
+            sh = {" ".join(wl[i:i + 3]) for i in range(len(wl) - 2)}
+            h = np.fromiter(
+                (int(md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                 for s in sh),
+                dtype=np.int64, count=len(sh))
+            out.append(((A * h[:, None] + B) % MINHASH_P).min(axis=0))
+        return pd.Series(out)
+
+    return mh_udf(col)
+
+
+def _minhash_signatures_expr_of(docs: DataFrame) -> DataFrame:
+    """The pre-r14 pure-expression form of :func:`minhash_signatures_of`
+    — retained as the differential-test anchor for the Arrow kernel
+    (tests prove bit-identical signatures on the fixture corpus)."""
     w = F.col("w")
     k = 3
     # slice + array_join (not per-position element_at chains): one array
@@ -198,6 +259,28 @@ def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_table_of(minhash_signatures(spark, sf_dir))
 
 
+# which relation the multi-consumer dedup entries persist: the
+# 1-row/doc signature table ("sigs" — band explode re-derives per
+# consumer as cheap codegen) or the 4-rows/doc band table ("bands").
+# A/B-switchable for measurement; see _shared_band_table.
+_PERSIST_STAGE = "sigs"
+
+
+def _shared_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band table persisted for MULTI-CONSUMER use (self-join sides,
+    bucket-cap probes, build+probe pairs): the expensive words ->
+    shingle-md5 -> 8-permutation pipeline materializes once; which
+    intermediate is cached is the measured _PERSIST_STAGE choice.
+    Released by release_rank_caches like every tracked persist."""
+    from ru_cdc_spark.operators.rankops import _persist_tracked
+
+    if _PERSIST_STAGE == "bands":
+        return _persist_tracked(band_table_of(
+            minhash_signatures(spark, sf_dir)))
+    return band_table_of(_persist_tracked(
+        minhash_signatures(spark, sf_dir)))
+
+
 def band_table_of(docs_or_sigs: DataFrame,
                   n_bands: int | None = None,
                   rows_per_band: int | None = None) -> DataFrame:
@@ -244,14 +327,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     still caught by their other bands unless they are hot everywhere).
     The cap itself is one partial-agg count over the band table — cheap.
     """
-    bands = _band_table(spark, sf_dir)
-    # persist the band table before the self-join (r13): both join
-    # sides (and the bucket-cap probe) otherwise re-run the whole
-    # words -> gram-md5 -> 8-permutation MinHash pipeline — the
-    # expensive half of this operator — once per reference. Tracked
-    # like the rank intermediates; released after materialization.
-    from ru_cdc_spark.operators.rankops import _persist_tracked
-    bands = _persist_tracked(bands)
+    # persist the shared MinHash derivation (r13 persisted the band
+    # table; r14 re-settled the stage with the Arrow kernel in place —
+    # see _shared_band_table / _PERSIST_STAGE and OPTIMIZATION_r14.md
+    # for the A/B): both self-join sides and the bucket-cap probe
+    # otherwise re-run the words -> shingle-md5 -> permutation pipeline
+    # once per reference. Released after materialization.
+    bands = _shared_band_table(spark, sf_dir)
     if bucket_cap is not None:
         small = (bands.groupBy("band_idx", "band_hash")
                  .agg(F.count("*").alias("__n"))
@@ -921,12 +1003,10 @@ def dedup_index_admission(spark: SparkSession, sf_dir: str,
     persisted-index admission == derived-index admission every round.
     The append/compact/vacuum lifecycle on this index is pytest-gated
     (test_band_index_lifecycle_shares_store)."""
-    from ru_cdc_spark.operators.rankops import _persist_tracked
-
-    # persist the band table across its two consumers (r13): the
-    # build's staging write and the admission probe otherwise each
-    # re-derive the full words -> md5 -> minhash -> banding pipeline
-    bands = _persist_tracked(_band_table(spark, sf_dir))
+    # persist the shared MinHash derivation across the build's staging
+    # write and the admission probe (r13; r14 re-settled the cached
+    # stage with the Arrow kernel in place — see _shared_band_table)
+    bands = _shared_band_table(spark, sf_dir)
     band_index_build(bands.where(F.col("doc_id") % 10 != 0), index_dir)
     return band_index_admit(
         spark, bands.where(F.col("doc_id") % 10 == 0), index_dir)

@@ -1267,3 +1267,34 @@ def test_lsh_manifest_concurrent_append_compact_query(spark, sf_dir,
             ops.append(json.load(fh)["op"])
     assert ops.count("append") == 4
     assert "compact" in ops
+
+
+def test_minhash_kernel_bit_identical_to_expression_form(spark, sf_dir):
+    """r14 Arrow MinHash kernel: signatures must be BIT-IDENTICAL to
+    the retained pure-expression form — on the fixture corpus and on a
+    crafted corpus with unicode, punctuation-only, and repeated-shingle
+    documents (every graded dedup entry hashes off these values)."""
+    import ru_cdc_spark.operators.dedup as dd
+    from ru_cdc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {r["doc_id"]: tuple(r[f"mh{s}"] for s in range(dd.N_MINHASH))
+            for r in dd.minhash_signatures_of(docs).collect()}
+    slow = {r["doc_id"]: tuple(r[f"mh{s}"] for s in range(dd.N_MINHASH))
+            for r in dd._minhash_signatures_expr_of(docs).collect()}
+    assert fast == slow and fast
+
+    crafted = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "ÜBER Straße naïve café — déjà vu!! 123 foo bar baz"),
+         (3, "a a a a a a a a"),                      # one repeated shingle
+         (4, "x1 x2 x3"),                             # exactly one shingle
+         (5, "!!! ??? ..."),                          # tokenizes to empty
+         (6, "two words")],                           # under the k=3 gate
+        "doc_id long, text string")
+    fast = {r["doc_id"]: tuple(r[f"mh{s}"] for s in range(dd.N_MINHASH))
+            for r in dd.minhash_signatures_of(crafted).collect()}
+    slow = {r["doc_id"]: tuple(r[f"mh{s}"] for s in range(dd.N_MINHASH))
+            for r in dd._minhash_signatures_expr_of(crafted).collect()}
+    assert fast == slow
+    assert set(fast) == {1, 2, 3, 4}  # 5/6 filtered by the k-word gate

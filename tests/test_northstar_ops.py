@@ -1298,3 +1298,4 @@ def test_minhash_kernel_bit_identical_to_expression_form(spark, sf_dir):
             for r in dd._minhash_signatures_expr_of(crafted).collect()}
     assert fast == slow
     assert set(fast) == {1, 2, 3, 4}  # 5/6 filtered by the k-word gate
+

@@ -38,18 +38,15 @@ SHOWCASE = [
     # CDC core (r11: change_stream/changed_cols/route rotated OUT after
     # 9-10 straight green gradings; envelope + merge stay as family reps)
     "cdc_envelope", "cdc_merge_snapshot",
-    # byte-level binlog wire decode; round 8: binlog_row_image=MINIMAL
-    # partial images (PK-only before, changed-cols-only after, ABSENT
-    # semantics + per-column latest-present merge)
-    "binlog_wire_decode",
+    # byte-level binlog wire decode family rep (binlog_wire_decode
+    # rotated OUT r14 after 13 straight greens; the txn assembly row
+    # and mysql_type_semantics keep the wire path covered in-window)
     "mysql_type_semantics",
-    # real MySQL socket client (batch, GTID-sliced, and the unified
-    # streaming+transactional path with kill/restart); round 7: GTID
-    # failover across layouts + DBLog-style incremental snapshot
-    # under scripted concurrent writes, batch AND one-streaming-query
-    # bootstrap handoff
-    "mysql_socket_cdc_snapshot",
-    "mysql_socket_txn_stream",
+    # real MySQL socket client — r14 keeps the two DEEPEST reps
+    # in-window (GTID failover across layouts, one-streaming-query
+    # bootstrap handoff); cdc_snapshot + txn_stream rotated OUT after
+    # multi-round greens (the socket wire path still runs under both
+    # kept rows every round)
     "mysql_socket_gtid_failover",
     "mysql_socket_bootstrap_stream",
     # transactional assembly (binlog_txn_compressed rotated OUT r12
@@ -68,38 +65,39 @@ SHOWCASE = [
     # EXPIRED unmatched state (the late-drop semantics made gradable)
     "events_stream_interval_join", "events_stream_left_outer_join",
     "events_stream_full_outer_join",
-    # GEOMETRY/WKB column decode (r9 flagship, rotated IN r10;
-    # tls/semisync socket transports rotated OUT r12 after r11 greens —
-    # the socket family keeps 5 reps in-window)
-    "mysql_geometry_decode",
     # TPC-H-style analytics (q1 rotated OUT r13 after 12 straight
-    # greens; q3 stays as the family rep)
+    # greens; q3 stays as the family rep; geometry decode rotated OUT
+    # r14 after 4 greens)
     "q3_shipping_priority",
-    # r12 rotation IN: the statistical-exactness family (never
-    # driver-graded) — Pearson/Spearman matrices via pairwise stack,
-    # Kolmogorov-Smirnov drift, Gini concentration, CUSUM changepoints;
-    # all integer/rational-core arithmetic so the hash gate is exact
-    "numeric_corr_matrix", "numeric_spearman_matrix",
-    "events_ks_drift", "segment_revenue_gini",
+    # statistical-exactness family (r12 in): corr matrix + CUSUM stay
+    # as the family reps; spearman/ks/gini rotated OUT r14 after two
+    # greens each — the family keeps two in-window rows
+    "numeric_corr_matrix",
     "events_cusum_changepoints",
-    # r12 rotation IN: graph depth (never driver-graded) — triangle
-    # counting, Adamic-Adar link prediction, and the golden-oracled
-    # unique 3-core (independent sequential-peel recompute)
-    "copurchase_triangles", "link_prediction_scores",
+    # graph depth (r12 in): triangles + the golden-oracled 3-core stay;
+    # link prediction rotated OUT r14 (two greens)
+    "copurchase_triangles",
     "copurchase_kcore",
-    # windows / rollups / event analytics
-    "events_value_quantile_sketch",
-    # real-wire Kafka consumer-group rebalance (r9: JoinGroup/SyncGroup
-    # /Heartbeat, two members, injected death) + exactly-once
-    # offsets-in-transaction transform (wire_roundtrip rotated OUT r13
-    # after 9 greens — every remaining kafka row exercises the same
-    # producer/fetch wire path end-to-end)
-    "cdc_kafka_group_rebalance",
+    # r14 rotation IN: the r13-built SCD2 family (batch history,
+    # point-in-time read, streaming maintenance via
+    # applyInPandasWithState, and stream-restart state recovery) +
+    # deterministic shuffle-sharding — never driver-graded until now
+    "cdc_scd2_history", "cdc_scd2_as_of", "cdc_scd2_stream",
+    "cdc_scd2_stream_restart", "corpus_shuffle_shards",
+    # r14 rotation IN: the legs the r13/r14 optimization rounds
+    # rewrote, so the driver's oracle independently certifies the
+    # rewrites — the Arrow MinHash kernel (minhash_lsh_pairs), the
+    # single-projection tokenize (text_stats), the one-pass explode
+    # layout stats (zorder), the spread-free broadcast query side
+    # (knn), and the fused one-exchange batch serving (ann_batch)
+    "dedup_minhash_lsh_pairs", "knn_brute_force", "text_stats",
+    "zorder_layout_stats", "ann_batch_queries",
+    # Kafka family: the r13-rotated coordination flagships (KIP-345
+    # static membership, KIP-54 sticky assignment, ListOffsets replay)
+    # + exactly-once offsets-in-transaction transform; group_rebalance
+    # rotated OUT r14 after 5 greens (its injected member death also
+    # made it the window's slowest row by design)
     "cdc_kafka_eos_transform",
-    # r13 rotation IN: the Kafka coordination flagships (never
-    # driver-graded) — KIP-345 static membership reclaim across a
-    # member restart, KIP-54 sticky assignment surviving a rebalance,
-    # and ListOffsets timestamp-based replay
     "cdc_kafka_static_member_stream", "cdc_kafka_sticky_rebalance",
     "cdc_kafka_replay_from_ts",
     # r13 rotation IN: Avro binary envelope with schema EVOLUTION
@@ -145,11 +143,15 @@ SHOWCASE = [
     # r13 after 6 greens; the zstd JSONL shard path stays as the rep)
     "jsonl_spec_zstd_roundtrip",
     # ---- past the 50-window: still curated, still oracle-gated ----
-    # r13 additions (rotation candidates for r14): the SCD2 family
-    # (batch history, point-in-time read, streaming maintenance, and
-    # stream-restart state recovery) + deterministic shuffle-sharding
-    "cdc_scd2_history", "cdc_scd2_as_of", "cdc_scd2_stream",
-    "cdc_scd2_stream_restart", "corpus_shuffle_shards",
+    # (r14 rotation OUT after multi-round greens: the byte-level wire
+    # decode rep, two socket transports, WKB geometry, three
+    # statistical-exactness rows, link prediction, the quantile
+    # sketch, and the fault-injection kafka rebalance)
+    "binlog_wire_decode", "mysql_socket_cdc_snapshot",
+    "mysql_socket_txn_stream", "mysql_geometry_decode",
+    "numeric_spearman_matrix", "events_ks_drift",
+    "segment_revenue_gini", "link_prediction_scores",
+    "events_value_quantile_sketch", "cdc_kafka_group_rebalance",
     # (r13 rotation OUT after multi-round greens: q1, partitioned
     # merge, session-window stream, incremental snapshot, minimal-image
     # merge, kafka wire roundtrip, batch ANN serving, text stats,
@@ -157,7 +159,7 @@ SHOWCASE = [
     "q1_pricing_summary", "cdc_partitioned_merge",
     "events_session_window_stream", "mysql_incremental_snapshot",
     "binlog_minimal_image_merge", "cdc_kafka_wire_roundtrip",
-    "ann_batch_queries", "text_stats", "warc_ingest_documents",
+    "warc_ingest_documents",
     "corpus_pack_windows",
     # (r12 rotation OUT after r11 greens: the seven r01-era analytics
     # rows, both exotic socket transports, and compressed txns)
@@ -166,7 +168,7 @@ SHOWCASE = [
     "rich_customers_without_orders", "weekly_revenue_growth",
     "top_orders_per_customer", "mysql_socket_tls_snapshot",
     "mysql_socket_semisync_snapshot", "binlog_txn_compressed",
-    "dedup_minhash_lsh_pairs", "dedup_clusters_star",
+    "dedup_clusters_star",
     # (rotated OUT of the window r11 after 7-10 straight green gradings,
     # making room for the seven rows whose only driver grading was r01:)
     "cdc_change_stream", "cdc_changed_cols", "cdc_route",
@@ -186,10 +188,9 @@ SHOWCASE = [
     "mysql_socket_heartbeat_tail",
     "kafka_consumer_lag",
     "text_lang_id_confusion",
-    "zorder_layout_stats",
     "multimodal_audio_spectral",
     "q5_local_supplier_volume", "events_hourly_rollup",
-    "dedup_exact", "knn_brute_force", "text_lang_id_ngram",
+    "dedup_exact", "text_lang_id_ngram",
     "kafka_to_acid_snapshot", "mysql_socket_compressed_snapshot",
     "cdc_kafka_transactional_stream", "cdc_kafka_idempotent_stream",
     "corpus_length_buckets",

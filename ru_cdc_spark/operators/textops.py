@@ -13,6 +13,8 @@ codegen); nothing shuffles except the optional corpus-level rollups.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1074,9 +1076,7 @@ DUPSPAN_STRIP_K = 20  # strip unit: ~the ACL'22 50-token standard,
 # well under 100 MB; above it the join falls back to AQE/stats choice
 # (shuffled at corpus scale — slower, cannot OOM). Parameterised for
 # cluster deploys; the local default never triggers at fixture scale.
-import os as _os
-
-SPAN_STRIP_BROADCAST_MAX_DOCS = int(_os.environ.get(
+SPAN_STRIP_BROADCAST_MAX_DOCS = int(os.environ.get(
     "RU_CDC_SPAN_STRIP_BROADCAST_MAX_DOCS", "200000"))
 
 

@@ -1071,7 +1071,9 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise work at all (contrast minhash_lsh_pairs): admission is a
     semi-join decision, not pair enumeration.
     """
-    bands = _band_table(spark, sf_dir)
+    # shared persisted derivation (r14): the new/index/all_new branches
+    # otherwise re-run the MinHash pipeline once per reference
+    bands = _shared_band_table(spark, sf_dir)
     new = bands.where(F.col("doc_id") % 10 == 0)
     index = bands.where(F.col("doc_id") % 10 != 0) \
                  .select("band_idx", "band_hash").distinct()

@@ -1080,6 +1080,21 @@ SPAN_STRIP_BROADCAST_MAX_DOCS = int(os.environ.get(
     "RU_CDC_SPAN_STRIP_BROADCAST_MAX_DOCS", "200000"))
 
 
+def _documents_row_count(sf_dir: str) -> int:
+    """Documents-table row count from the parquet FOOTERS, driver-side
+    — no Spark job (the acid-table file-planning pattern). Upper-bounds
+    the strip's covered relation (≤ one row per document); metadata
+    only, never results."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def text_duplicate_span_strip(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """CUT duplicated spans, not just count them (the second half of
@@ -1139,15 +1154,21 @@ def text_duplicate_span_strip(spark: SparkSession,
     # top item): `covered` has one row per duplicate-affected document
     # — data-dependent and unbounded (dedup corpora routinely run
     # 30-50% affected), so an unconditional F.broadcast hint would
-    # blow the broadcast limit / driver memory at 100 TB. Persist it
-    # (tiny: doc_id + one int array per affected doc) and count — the
-    # count reads the already-persisted gram stream, so it costs one
-    # small job — then hint only under the cap and let AQE/stats
-    # choose above it. An un-hinted AQE-converted join was A/B'd and
-    # lost ~0.5s at sf0.1 (the docs side pays a full text-carrying
-    # shuffle materialization before the runtime conversion).
-    covered = _persist_tracked(covered)
-    broadcast_ok = covered.count() <= SPAN_STRIP_BROADCAST_MAX_DOCS
+    # blow the broadcast limit / driver memory at 100 TB. The gate is
+    # the DOCUMENT COUNT read driver-side from the parquet footers
+    # (covered ≤ one row per document; pure metadata, ZERO Spark jobs
+    # — the same driver-side planning the ACID merge uses). A small
+    # corpus keeps the hint; a corpus past the cap falls back to the
+    # AQE/stats choice, which still broadcast-converts at runtime when
+    # the MEASURED covered set is small and shuffles — slower, cannot
+    # OOM — when it is not. Two rejected variants, A/B'd at sf0.1:
+    # hint-free AQE (3.05s vs 2.54 — the docs side pays a
+    # text-carrying shuffle materialization before the runtime
+    # conversion) and a persisted covered.count() gate (parity warm
+    # but +3 scheduling-floor jobs per run, ~+0.45s on the driver's
+    # cold floor).
+    broadcast_ok = (_documents_row_count(sf_dir)
+                    <= SPAN_STRIP_BROADCAST_MAX_DOCS)
     # rebuild straight off the scan: retained words are a per-row cut
     # of the (word, position) zip against the doc's covered-set array
     w_ = words_col(F.col("text"))

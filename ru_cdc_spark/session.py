@@ -52,6 +52,12 @@ def get_spark(
         # session scope so no query mutates shared conf mid-run (ADVICE
         # fix: the per-query set leaked into sibling queries)
         .config("spark.sql.timeType.enabled", "true")
+        # forked python workers get 15s by default to connect back to the
+        # JVM; on a loaded box (the full test suite saturating every core)
+        # that handshake can miss the window and kill a streaming query
+        # with "Python worker failed to connect back". Pure robustness
+        # timeout — no effect on results or happy-path latency.
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

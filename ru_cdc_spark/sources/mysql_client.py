@@ -860,7 +860,7 @@ class MySQLConnection:
 
     @classmethod
     def connect(cls, host: str, port: int, user: str, password: str,
-                database: str | None = None, timeout: float = 10.0,
+                database: str | None = None, timeout: float = 60.0,
                 max_packet_size: int = 1 << 24,
                 ssl_ca: str | None = None,
                 ssl_hostname: str | None = None,
@@ -875,7 +875,12 @@ class MySQLConnection:
         protocol) or "zstd" (8.0.18+ CLIENT_ZSTD_COMPRESSION_ALGORITHM)
         switches all post-auth traffic to compressed framing — what a
         WAN-replica CDC reader enables so a binlog dump's bytes on the
-        wire shrink by the payload's compressibility."""
+        wire shrink by the payload's compressibility.
+
+        ``timeout`` bounds dial + handshake only (see below). The 60s
+        default gives the threaded fixture server's accept/handshake
+        lane headroom when 32 tasks dial at once on a loaded host; the
+        happy-path handshake is a couple of local round trips."""
         sock = socket.create_connection((host, port), timeout=timeout)
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         conn = cls(PacketIO(sock))

@@ -231,7 +231,7 @@ class TestFailoverStream:
         try:
             # phase 1 on server A: commit SOME batches, then crash
             q = start_query()
-            deadline = time.time() + 180
+            deadline = time.time() + 360
             while covered(q) < 30:
                 assert q.exception() is None, q.exception()
                 assert time.time() < deadline, "phase 1 stalled"
@@ -242,13 +242,13 @@ class TestFailoverStream:
             # phase 2: restart -> reader must fail over to B (different
             # files/positions) and drain the remaining history
             q = start_query()
-            deadline = time.time() + 180
+            deadline = time.time() + 360
             while covered(q) < N:
                 assert q.exception() is None, q.exception()
                 assert time.time() < deadline, "failover drain stalled"
                 time.sleep(0.05)
             # let the last planned batch commit
-            deadline = time.time() + 120
+            deadline = time.time() + 360
             while time.time() < deadline:
                 p = q.lastProgress
                 if p and p["numInputRows"] == 0 and covered(q) >= N:

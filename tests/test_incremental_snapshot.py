@@ -386,7 +386,7 @@ class TestStreamingBootstrap:
 
         q = start_query()
         # kill mid-snapshot: after at least 2 chunk batches committed
-        deadline = _time.time() + 120
+        deadline = _time.time() + 360
         while int(self._end_offset(q).get("snap") or 0) < 2:
             assert _time.time() < deadline, "snapshot never started"
             _time.sleep(0.05)
@@ -397,7 +397,7 @@ class TestStreamingBootstrap:
         # restart: must resume the chunk index from Spark's offset log
         # and drain the snapshot + the mutation frames
         q = start_query()
-        deadline = _time.time() + 180
+        deadline = _time.time() + 360
         while True:
             eo = self._end_offset(q)
             p = q.lastProgress
@@ -642,7 +642,7 @@ class TestMultiTableBootstrap:
              .trigger(processingTime="0 seconds").start())
         import time as _time
 
-        deadline = _time.time() + 180
+        deadline = _time.time() + 360
         while True:
             eo = TestStreamingBootstrap._end_offset(q)
             p = q.lastProgress
@@ -748,7 +748,7 @@ class TestKeysetPlanning:
              .trigger(processingTime="0 seconds").start())
         import time as _time
 
-        deadline = _time.time() + 120
+        deadline = _time.time() + 360
         while True:
             eo = TestStreamingBootstrap._end_offset(q)
             p_ = q.lastProgress
